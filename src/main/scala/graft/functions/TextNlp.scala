@@ -1,0 +1,261 @@
+package graft.functions
+
+/** Token-level NLP cleaning pipeline.
+  *
+  * Re-expresses the reference's per-token cleaning chain
+  * (`utilities/nlp_preprocessing.py:19-70`): remove whitespace →
+  * expand contractions → strip non-alphanumerics → number-to-words →
+  * lowercase → lemmatize-and-rstrip-'s'. All supporting data
+  * (stopwords, contraction table, irregular-plural exceptions) is
+  * vendored here so the pipeline is a pure JVM function — broadcast
+  * once per executor instead of rebuilt per token as the reference
+  * does (`nlp_preprocessing.py:35,39`).
+  *
+  * Everything is deterministic and allocation-light: these run inside
+  * Spark UDFs on the hot path of the flagship matching query.
+  */
+object TextNlp extends Serializable {
+
+  /** NLTK's english stopword list (179 words), vendored for parity —
+    * MLlib's StopWordsRemover default list differs.
+    * (`nlp_preprocessing.py:38-39`) */
+  val stopwords: Set[String] = Set(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "you're", "you've", "you'll", "you'd", "your", "yours",
+    "yourself", "yourselves", "he", "him", "his", "himself", "she",
+    "she's", "her", "hers", "herself", "it", "it's", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "that'll", "these", "those", "am",
+    "is", "are", "was", "were", "be", "been", "being", "have", "has",
+    "had", "having", "do", "does", "did", "doing", "a", "an", "the",
+    "and", "but", "if", "or", "because", "as", "until", "while", "of",
+    "at", "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few",
+    "more", "most", "other", "some", "such", "no", "nor", "not",
+    "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've",
+    "now", "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren",
+    "aren't", "couldn", "couldn't", "didn", "didn't", "doesn",
+    "doesn't", "hadn", "hadn't", "hasn", "hasn't", "haven",
+    "haven't", "isn", "isn't", "ma", "mightn", "mightn't", "mustn",
+    "mustn't", "needn", "needn't", "shan", "shan't", "shouldn",
+    "shouldn't", "wasn", "wasn't", "weren", "weren't", "won",
+    "won't", "wouldn", "wouldn't")
+
+  /** Common-English contraction table (vendored subset of the public
+    * `contractions` package data; `nlp_preprocessing.py:22-23`).
+    * Lookup is case-insensitive-first-letter like the package. */
+  val contractionsMap: Map[String, String] = {
+    val base = Map(
+      "ain't" -> "are not", "aren't" -> "are not", "can't" -> "cannot",
+      "can't've" -> "cannot have", "'cause" -> "because",
+      "could've" -> "could have", "couldn't" -> "could not",
+      "didn't" -> "did not", "doesn't" -> "does not",
+      "don't" -> "do not", "hadn't" -> "had not", "hasn't" -> "has not",
+      "haven't" -> "have not", "he'd" -> "he would",
+      "he'll" -> "he will", "he's" -> "he is", "how'd" -> "how did",
+      "how'll" -> "how will", "how's" -> "how is", "i'd" -> "i would",
+      "i'll" -> "i will", "i'm" -> "i am", "i've" -> "i have",
+      "isn't" -> "is not", "it'd" -> "it would", "it'll" -> "it will",
+      "it's" -> "it is", "let's" -> "let us", "ma'am" -> "madam",
+      "mayn't" -> "may not", "might've" -> "might have",
+      "mightn't" -> "might not", "must've" -> "must have",
+      "mustn't" -> "must not", "needn't" -> "need not",
+      "o'clock" -> "of the clock", "oughtn't" -> "ought not",
+      "shan't" -> "shall not", "she'd" -> "she would",
+      "she'll" -> "she will", "she's" -> "she is",
+      "should've" -> "should have", "shouldn't" -> "should not",
+      "that'd" -> "that would", "that's" -> "that is",
+      "there'd" -> "there would", "there's" -> "there is",
+      "they'd" -> "they would", "they'll" -> "they will",
+      "they're" -> "they are", "they've" -> "they have",
+      "wasn't" -> "was not", "we'd" -> "we would",
+      "we'll" -> "we will", "we're" -> "we are", "we've" -> "we have",
+      "weren't" -> "were not", "what'll" -> "what will",
+      "what're" -> "what are", "what's" -> "what is",
+      "what've" -> "what have", "when's" -> "when is",
+      "where'd" -> "where did", "where's" -> "where is",
+      "who'll" -> "who will", "who's" -> "who is",
+      "who've" -> "who have", "why's" -> "why is",
+      "won't" -> "will not", "would've" -> "would have",
+      "wouldn't" -> "would not", "y'all" -> "you all",
+      "you'd" -> "you would", "you'll" -> "you will",
+      "you're" -> "you are", "you've" -> "you have")
+    // The contractions package also fixes capitalised variants; mirror
+    // by adding Title-case keys mapping to Title-case expansions.
+    base ++ base.map { case (k, v) => (k.capitalize, v.capitalize) }
+  }
+
+  def expandContractions(word: String): String =
+    contractionsMap.getOrElse(word, word)
+
+  // --- number to words (num2words-en compatible) ------------------------
+
+  private val ones = Array("zero", "one", "two", "three", "four", "five",
+    "six", "seven", "eight", "nine", "ten", "eleven", "twelve",
+    "thirteen", "fourteen", "fifteen", "sixteen", "seventeen",
+    "eighteen", "nineteen")
+  private val tens = Array("", "", "twenty", "thirty", "forty", "fifty",
+    "sixty", "seventy", "eighty", "ninety")
+  // scale words for 1000^i, i = 1..10 (enough for any 33-digit input)
+  private val scales = Array("", "thousand", "million", "billion",
+    "trillion", "quadrillion", "quintillion", "sextillion",
+    "septillion", "octillion", "nonillion", "decillion")
+
+  private def below100(n: Int): String =
+    if (n < 20) ones(n)
+    else if (n % 10 == 0) tens(n / 10)
+    else tens(n / 10) + "-" + ones(n % 10)
+
+  private def below1000(n: Int): String =
+    if (n < 100) below100(n)
+    else if (n % 100 == 0) ones(n / 100) + " hundred"
+    else ones(n / 100) + " hundred and " + below100(n % 100)
+
+  /** English cardinal words for a non-negative integer given as a
+    * digit string; matches num2words' en formatting: groups joined
+    * with ", ", "and" inside a hundred-group and between a scale word
+    * and a final sub-100 group ("1005" → "one thousand and five";
+    * "1234" → "one thousand, two hundred and thirty-four").
+    * (`nlp_preprocessing.py:28-29`) */
+  def numberToWords(digits: String): String = {
+    val trimmed = digits.dropWhile(_ == '0')
+    if (trimmed.isEmpty) return "zero"
+    val n = BigInt(trimmed)
+    if (n < 1000) return below1000(n.toInt)
+    // split into 3-digit groups, most-significant first
+    var groups = List.empty[Int]
+    var rest = n
+    while (rest > 0) { groups = (rest % 1000).toInt :: groups; rest /= 1000 }
+    val parts = groups.zipWithIndex.collect {
+      case (g, i) if g != 0 =>
+        val scaleIdx = groups.length - 1 - i
+        val scale = if (scaleIdx < scales.length) scales(scaleIdx) else ""
+        val text = if (scaleIdx == 0) below1000(g)
+                   else below1000(g) + " " + scale
+        (text, g, scaleIdx)
+    }
+    // num2words merge rule: a final group < 100 after a >=1000 prefix
+    // joins with " and "; otherwise groups join with ", ".
+    val sb = new StringBuilder(parts.head._1)
+    parts.tail.foreach { case (text, g, scaleIdx) =>
+      if (scaleIdx == 0 && g < 100) sb.append(" and ").append(text)
+      else sb.append(", ").append(text)
+    }
+    sb.toString
+  }
+
+  private val allDigits = java.util.regex.Pattern.compile("[0-9]+")
+
+  def convertNumberToWord(word: String): String =
+    if (allDigits.matcher(word).matches()) numberToWords(word) else word
+
+  // --- lemmatizer (WordNet-morphy noun rules) ---------------------------
+
+  /** Irregular noun plurals (subset of WordNet's noun.exc exception
+    * list — common words plus the biomedical terms that appear in
+    * ASCT+B labels). */
+  val lemmaExceptions: Map[String, String] = Map(
+    "men" -> "man", "women" -> "woman", "children" -> "child",
+    "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
+    "mice" -> "mouse", "lice" -> "louse", "people" -> "person",
+    "oxen" -> "ox", "dice" -> "die",
+    // identity exceptions: lexicon words that end like plurals
+    "series" -> "series", "species" -> "species", "axis" -> "axis",
+    "analysis" -> "analysis", "basis" -> "basis", "crisis" -> "crisis",
+    "mucus" -> "mucus", "plexus" -> "plexus", "villus" -> "villus",
+    "nucleus" -> "nucleus", "fungus" -> "fungus",
+    // latin plurals common in anatomy
+    "nuclei" -> "nucleus", "villi" -> "villus", "fungi" -> "fungus",
+    "alveoli" -> "alveolus", "bronchi" -> "bronchus",
+    "glomeruli" -> "glomerulus", "cilia" -> "cilium",
+    "ganglia" -> "ganglion", "mitochondria" -> "mitochondrion",
+    "epithelia" -> "epithelium", "endothelia" -> "endothelium",
+    "bacteria" -> "bacterium", "criteria" -> "criterion",
+    "phenomena" -> "phenomenon", "corpora" -> "corpus")
+
+  /** WordNet morphy noun detachment rules, in morphy's order; the
+    * first applicable rule wins (we have no full lexicon to validate
+    * candidates against — the reference's trailing `rstrip('s')`
+    * (`nlp_preprocessing.py:36`) makes the difference unobservable
+    * for the dominant "s"→"" rule). */
+  private val morphyRules: List[(String, String)] = List(
+    ("ses", "s"), ("ves", "f"), ("xes", "x"), ("zes", "z"),
+    ("ches", "ch"), ("shes", "sh"), ("ies", "y"), ("men", "man"),
+    ("s", ""))
+
+  def lemmatize(word: String): String =
+    lemmaExceptions.get(word) match {
+      case Some(l) => l
+      case None =>
+        morphyRules.collectFirst {
+          case (suf, rep) if word.length > suf.length && word.endsWith(suf) =>
+            word.dropRight(suf.length) + rep
+        }.getOrElse(word)
+    }
+
+  /** lemmatize then strip ALL trailing 's' characters — the reference
+    * applies `.rstrip('s')` after lemmatisation (`nlp_preprocessing.py:34-36`). */
+  def getRootWord(word: String): String = {
+    var w = lemmatize(word)
+    var end = w.length
+    while (end > 0 && w.charAt(end - 1) == 's') end -= 1
+    w.substring(0, end)
+  }
+
+  // --- composed pipeline ------------------------------------------------
+
+  private val nonAlnum = java.util.regex.Pattern.compile("[^a-zA-Z0-9]")
+
+  /** The full per-token pipeline, composed in the reference's order
+    * (`nlp_preprocessing.py:42-70`). */
+  def cleanToken(word: String): String = {
+    if (word == null) return null
+    val noWs = word.replace(" ", "")
+    val expanded = expandContractions(noWs)
+    val alnum = nonAlnum.matcher(expanded).replaceAll("")
+    val numed = convertNumberToWord(alnum)
+    val lowered = numed.toLowerCase
+    getRootWord(lowered)
+  }
+
+  /** Label-level clean: whitespace-split, clean each token, re-join
+    * (`main.py:82,139` — python's no-arg `split()` drops empty
+    * tokens and splits on any whitespace run). */
+  def cleanLabel(label: String): String = {
+    if (label == null) return null
+    label.split("\\s+").filter(_.nonEmpty).map(cleanToken).mkString(" ")
+  }
+
+  def isNotStopword(rawWord: String): Boolean =
+    !stopwords.contains(rawWord) && rawWord != "NaN"
+
+  /** Document-text preparation for embedding: truncate, split on
+    * single spaces (keeping empties, like python `split(' ')`),
+    * clean each token, keep first occurrence of each cleaned form
+    * whose RAW token is not a stopword — order-preserving dedup with
+    * the dedup key on the cleaned token but the stopword test on the
+    * raw token (`nlp_preprocessing.py:86-99`). */
+  def tokensCleanDedup(text: String, maxTextLength: Int = 150): Seq[String] = {
+    if (text == null) return Seq.empty
+    val truncated = if (text.length > maxTextLength) text.substring(0, maxTextLength) else text
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    truncated.split(" ", -1).foreach { raw =>
+      val cleaned = cleanToken(raw)
+      if (!seen.contains(cleaned) && isNotStopword(raw)) {
+        out += cleaned
+        seen += cleaned
+      }
+    }
+    out.toSeq
+  }
+
+  /** tokensCleanDedup re-joined — the exact string the reference
+    * hands to its sentence encoder (`nlp_preprocessing.py:100`). */
+  def embedText(text: String, maxTextLength: Int = 150): String =
+    tokensCleanDedup(text, maxTextLength).mkString(" ")
+}

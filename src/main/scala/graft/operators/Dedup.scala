@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Large-scale document deduplication — the training-data-pipeline
+  * generalisation of the reference's `drop_duplicates`
+  * (`asctb_data_wrangling.py:109`) to 100 TB corpora.
+  *
+  * All hashing is md5-based (built into both Spark and every SQL
+  * oracle engine) so every operator here is deterministic across
+  * engines and cluster sizes — no JVM `hashCode`, no seed drift.
+  *
+  * Scale design notes:
+  *  - exact dedup: one hash-aggregate (map-side partial combine; the
+  *    shuffle carries one row per distinct digest, not per document).
+  *  - MinHash/LSH: signatures are computed per-document with a single
+  *    explode + groupBy (shuffle keyed on doc_id); candidate
+  *    generation shuffles on (band, bucket) — only documents sharing
+  *    a bucket ever meet, so pair count stays near-linear instead of
+  *    quadratic.
+  *  - SimHash: one pass to 64-bit fingerprints, then banded buckets
+  *    like LSH.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: one row per distinct text, the
+    * lowest id wins, with the duplicate count. */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col(textCol)))
+      .groupBy("text_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of a text column: split on whitespace, then
+    * sliding windows of `n` words joined by single spaces. Pure
+    * Catalyst (split + transform + slice) — stays in codegen. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    when(size(words) < n, array(array_join(words, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, n), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash families,
+    * the minimum md5 digest of `seed || '|' || shingle`. Computed as
+    * `numHashes` min-aggregates in ONE pass over the exploded
+    * shingles (map-side combine means the shuffle carries one
+    * signature row per document). Output: (idCol, sig_0..sig_{h-1}).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    val aggs = (0 until numHashes).map { h =>
+      min(md5(concat_ws("|", lit(h), col("shingle")))).as(s"sig_$h")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: `numHashes / rowsPerBand`
+    * bands; documents agreeing on ALL rows of any band become a
+    * candidate pair. Returns distinct candidate pairs (id_a < id_b).
+    *
+    * The band/bucket explode keys the shuffle on the band hash, so
+    * only same-bucket documents are ever paired — the crucial
+    * difference from a quadratic self-join at 100 TB.
+    */
+  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
+                            numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bucket"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: signatures → banded candidates →
+    * exact word-set Jaccard verification ≥ threshold. */
+  def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 8,
+                            rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, numHashes)
+    val cands = minhashCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    val withJ = jaccardOnPairs(cands, docs, textCol, idCol, shingleSize)
+    withJ.filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Exact shingle-set Jaccard for given candidate pairs, via
+    * explode + equality join on the shingle (oracle-friendly: no
+    * array set-ops, just counting — same plan any SQL engine can
+    * express). */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
+                     idCol: String, shingleSize: Int = 3): DataFrame = {
+    val docShingles = docs.select(
+      col(idCol),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = docShingles.select(col(idCol), size(col("sh")).as("n_sh"))
+    val tok = docShingles.select(col(idCol), explode(col("sh")).as("shingle"))
+    val inter = pairs
+      .join(tok.as("ta"), col("id_a") === col(s"ta.$idCol"))
+      .join(tok.as("tb"),
+        col("id_b") === col(s"tb.$idCol") && col("ta.shingle") === col("tb.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** 64-bit SimHash fingerprint per document: each distinct word
+    * votes ±1 on each bit of its md5-derived 64-bit hash; the sign of
+    * each bit-sum forms the fingerprint. One explode + one aggregate.
+    * Near-dups are pairs within `maxHamming` bits. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // 60 bits from the first 15 hex chars (fits a signed long), as a
+    // cross-engine-reproducible word hash
+    val wordHash = conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+    val words = docs
+      .select(col(idCol), explode(array_distinct(split(col(textCol), "\\s+"))).as("word"))
+      .withColumn("h", wordHash)
+    val bitVotes = (0 until 60).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$bit")
+    }
+    val voted = words.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 60).map { bit =>
+      when(col(s"b_$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    voted.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the high `prefixBits` bits
+    * (cheap blocking — identical prefix is necessary for tiny Hamming
+    * distance only probabilistically, so we re-check all rotations by
+    * also bucketing on low bits), then filter by Hamming distance. */
+  def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 8): DataFrame = {
+    val fps = simhash(docs, textCol, idCol)
+    // block on 4 band-slices of 15 bits each: a pair within maxHamming
+    // of 60 bits must agree exactly on at least one slice when
+    // maxHamming < 4 slices (pigeonhole); for larger budgets this is a
+    // high-recall heuristic blocker.
+    val sliced = fps.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until 4).map(s =>
+        struct(lit(s).as("slice"),
+          shiftright(col("simhash"), s * 15).bitwiseAND(0x7fff).as("key"))): _*)).as("sl"))
+      .select(col(idCol), col("simhash"), col("sl.slice"), col("sl.key"))
+    val a = sliced.as("a")
+    val b = sliced.as("b")
+    a.join(b,
+        col("a.slice") === col("b.slice") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Blocked by
+    * sign-bit LSH against `hyperplanes` — a small broadcast side with
+    * (hpIdCol: int 0..H-1, hpVecCol: vector) — so the self-join is
+    * bucket-local; exact cosine verifies. Bucket = Σ sign_h · 2^h,
+    * computed order-independently (no collect_list ordering hazard).
+    */
+  def embeddingNearDuplicates(embs: DataFrame, vecCol: String, idCol: String,
+                              hyperplanes: DataFrame, hpIdCol: String, hpVecCol: String,
+                              cosineThreshold: Double): DataFrame = {
+    val hp = broadcast(hyperplanes.select(
+      col(hpIdCol).cast("int").as("hp_id"), col(hpVecCol).as("hp_vec")))
+    val buckets = embs.select(col(idCol), col(vecCol)).crossJoin(hp)
+      .withColumn("bit",
+        when(VectorOps.dotProduct(col(vecCol), col("hp_vec")) >= 0,
+          pow(lit(2.0), col("hp_id")).cast("long")).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("bit")).as("bucket"))
+    val withBucket = embs.select(col(idCol), col(vecCol)).join(buckets, Seq(idCol))
+    val a = withBucket.as("a")
+    val b = withBucket.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .filter(col("cos") >= cosineThreshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftUdfs, VectorOps}
+
+/** The flagship label-mapping query: raw labels → top-k reference
+  * matches → wide translation report with exact-match overwrite.
+  *
+  * Re-expresses `main.py:171-221` (per-label python loop, per-label
+  * cosine against a re-stacked reference matrix, boolean-mask scatter,
+  * 10 isin-mask passes for the exact overwrite) as ONE distributed
+  * pass:
+  *
+  *   labels → cleanLabel → embed → crossJoin(broadcast(ref))
+  *          → cosine → window top-k → rank pivot → exact-overwrite join
+  *
+  * Physical profile: 2 broadcasts (reference table; exact-match
+  * lookup), 1 shuffle (hash partition by query label for the window +
+  * pivot — same keys, so Catalyst reuses the exchange), no other wide
+  * ops. The query side stays distributed — at 100 TB of labels this
+  * scales linearly with executors; the reference side is broadcast
+  * (reference tables are catalog-sized by construction: 83 rows for
+  * Lung v1.2).
+  */
+object Matcher {
+
+  /** Prepare a reference table for matching: stable row id (the
+    * reference relies on pandas positional order for tie-breaks,
+    * `main.py:91-97`; we freeze an explicit id), cleaned CT_NAME for
+    * exact matching (`main.py:139`), pre-computed vector norm so the
+    * per-pair kernel is one dot product.
+    *
+    * `ref` must have columns CT_ID, CT_NAME, all_text, definition and
+    * `vecCol`; `orderCols` fixes what "first row" means (file order
+    * in the reference — pass an explicit ordering for determinism).
+    */
+  def prepareReference(ref: DataFrame, vecCol: String, orderCols: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    ref
+      .withColumn("ref_row_id", row_number().over(w).cast("long"))
+      .withColumn("CT_NAME_CLEANED", GraftUdfs.cleanLabel(col("CT_NAME")))
+      .withColumn("ref_norm", VectorOps.l2Norm(col(vecCol)))
+  }
+
+  /** queries: (source, raw_input_label, cleaned_input_label, qvec) —
+    * cleaned+embedded upstream so any [[graft.embed.Embedder]] plugs in.
+    * ref: output of [[prepareReference]].
+    * Returns the wide report of FIXTURES.md §4 / `main.py:194-211`.
+    */
+  def mapLabels(queries: DataFrame, ref: DataFrame, k: Int,
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qNorm = queries.withColumn("q_norm", VectorOps.l2Norm(col("qvec")))
+
+    // one distributed similarity pass replaces the reference's
+    // per-label python loop (`main.py:198-211`)
+    val scored = qNorm.crossJoin(
+        broadcast(ref.select(
+          col("ref_row_id"), col("CT_ID"), col("CT_NAME"), col("all_text"),
+          col(vecCol).as("ref_vec"), col("ref_norm"))))
+      .withColumn("score",
+        VectorOps.cosineWithNorms(col("qvec"), col("q_norm"), col("ref_vec"), col("ref_norm")))
+
+    // top-k with the reference's deterministic tie-break: numpy
+    // argsort stability ⇒ lower reference row index wins (`main.py:91`)
+    val w = Window.partitionBy(col("source"), col("raw_input_label"))
+      .orderBy(col("score").desc, col("ref_row_id").asc)
+    val topk = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+
+    // rank pivot: long top-k → wide report columns (`main.py:207-211`)
+    val pivoted = topk
+      .groupBy(col("source"), col("raw_input_label"), col("cleaned_input_label"))
+      .pivot("rank", (1 to k).map(i => i: Integer))
+      .agg(
+        first(col("score")).as("score"),
+        first(col("CT_ID")).as("id"),
+        first(col("CT_NAME")).as("label"),
+        first(col("all_text")).as("text"))
+    val renamed = (1 to k).foldLeft(pivoted) { (df, i) =>
+      df.withColumnRenamed(s"${i}_score", s"match_score_$i")
+        .withColumnRenamed(s"${i}_id", s"matched_asctb_id_$i")
+        .withColumnRenamed(s"${i}_label", s"matched_asctb_label_$i")
+        .withColumnRenamed(s"${i}_text", s"matched_asctb_text_$i")
+    }
+
+    overwriteExactMatches(renamed, ref, k)
+  }
+
+  /** Exact-match overwrite (`main.py:126-166`): where the cleaned
+    * input label equals a cleaned reference CT_NAME, slot 1 becomes
+    * the exact match with score 1.0 and slots 2..k are nulled. The
+    * reference's first-row-wins duplicate semantics
+    * (`.values[0]`, `main.py:119`) become row_number()==1 over
+    * ref_row_id. Its quirk of writing `definition` (not `all_text`)
+    * into matched_asctb_text_1 on the exact path (`main.py:97` vs
+    * `:145`) is reproduced.
+    */
+  def overwriteExactMatches(report: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    val firstPerName = Window.partitionBy(col("CT_NAME_CLEANED"))
+      .orderBy(col("ref_row_id").asc)
+    val exact = broadcast(
+      ref.select(col("CT_NAME_CLEANED"), col("CT_ID"), col("CT_NAME"),
+          col("definition"), col("ref_row_id"))
+        .withColumn("rn", row_number().over(firstPerName))
+        .filter(col("rn") === 1)
+        .select(
+          col("CT_NAME_CLEANED").as("__exact_key"),
+          col("CT_ID").as("__exact_id"),
+          col("CT_NAME").as("__exact_name"),
+          col("definition").as("__exact_def")))
+
+    val joined = report.join(exact,
+      report("cleaned_input_label") === exact("__exact_key"), "left")
+    val matched = col("__exact_key").isNotNull
+
+    val overwritten = joined
+      .withColumn("match_score_1",
+        when(matched, lit(1.0)).otherwise(col("match_score_1")))
+      .withColumn("matched_asctb_id_1",
+        when(matched, col("__exact_id")).otherwise(col("matched_asctb_id_1")))
+      .withColumn("matched_asctb_label_1",
+        when(matched, col("__exact_name")).otherwise(col("matched_asctb_label_1")))
+      .withColumn("matched_asctb_text_1",
+        when(matched, col("__exact_def")).otherwise(col("matched_asctb_text_1")))
+    val nulled = (2 to k).foldLeft(overwritten) { (df, i) =>
+      df.withColumn(s"match_score_$i",
+          when(matched, lit(null).cast("double")).otherwise(col(s"match_score_$i")))
+        .withColumn(s"matched_asctb_id_$i",
+          when(matched, lit(null).cast("string")).otherwise(col(s"matched_asctb_id_$i")))
+        .withColumn(s"matched_asctb_label_$i",
+          when(matched, lit(null).cast("string")).otherwise(col(s"matched_asctb_label_$i")))
+        .withColumn(s"matched_asctb_text_$i",
+          when(matched, lit(null).cast("string")).otherwise(col(s"matched_asctb_text_$i")))
+    }
+
+    val reportCols =
+      Seq("source", "raw_input_label", "cleaned_input_label") ++
+        (1 to k).flatMap(i => Seq(
+          s"match_score_$i", s"matched_asctb_id_$i",
+          s"matched_asctb_label_$i", s"matched_asctb_text_$i"))
+    nulled.select(reportCols.map(col): _*)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale text analysis for training-data pipelines: language
+  * identification, quality scoring, token counting, fingerprinting.
+  *
+  * Generalises the reference's token-level text handling
+  * (`nlp_preprocessing.py`) to the document level. Everything here is
+  * pure `functions._` — whole-stage-codegen'd, no UDFs — because at
+  * 100 TB these run over every document in the corpus and must stay
+  * fused inside the scan stage.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword marker lists for the n-gram/stopword
+    * language heuristic. Deliberately small + hardcoded: language ID
+    * at corpus scale needs a cheap broadcastable discriminator, not a
+    * model. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "den", "des", "mit", "im", "ein"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "不", "这", "中"))
+
+  private def tokens(text: Column): Column =
+    split(lower(text), "\\s+")
+
+  /** Per-language marker-hit counts + predicted language (argmax hit
+    * count; deterministic lexicographic tie-break on language code).
+    * One explode-free pass: `size(filter(tokens, in markers))` per
+    * language — stays in codegen, no shuffle at all. */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = tokens(col(textCol))
+    val hitCols = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val markerArr = array(markers.map(lit): _*)
+      size(filter(tok, t => array_contains(markerArr, t))).as(s"hits_$lang")
+    }
+    val withHits = docs.select(
+      (docs.columns.map(col).toSeq ++ hitCols): _*)
+    // argmax via a struct-max over (hits, negated-lang-ordinal): ties
+    // break toward the lexicographically smallest language code
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = greatest(langs.map(l =>
+      struct(col(s"hits_$l").as("h"), lit(-langs.indexOf(l)).as("ord"))): _*)
+    withHits.withColumn("predicted_lang",
+      element_at(array(langs.map(lit): _*), -best.getField("ord") + 1))
+  }
+
+  /** Document quality metrics: char/word counts, mean word length,
+    * alpha/digit/punct/whitespace character ratios, stopword ratio,
+    * uppercase ratio, and a composite [0,1] quality score — the
+    * standard cheap pre-filters of a training-data pipeline. Pure
+    * string built-ins; one narrow projection. */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val tok = tokens(t)
+    val nWords = size(tok).cast("double")
+    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val nPunct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double")
+    val nUpper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
+    val enStop = array(graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
+    val nStop = size(filter(tok, w => array_contains(enStop, w))).cast("double")
+    docs
+      .withColumn("n_chars_m", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", nAlpha / greatest(nWords, lit(1.0)))
+      .withColumn("alpha_ratio", nAlpha / greatest(nChars, lit(1.0)))
+      .withColumn("digit_ratio", nDigit / greatest(nChars, lit(1.0)))
+      .withColumn("punct_ratio", nPunct / greatest(nChars, lit(1.0)))
+      .withColumn("upper_ratio", nUpper / greatest(nChars, lit(1.0)))
+      .withColumn("stopword_ratio", nStop / greatest(nWords, lit(1.0)))
+      .withColumn("quality_score",
+        (least(col("alpha_ratio") / lit(0.7), lit(1.0)) * 0.4
+          + least(col("stopword_ratio") / lit(0.3), lit(1.0)) * 0.3
+          + (lit(1.0) - least(col("digit_ratio") * 5, lit(1.0))) * 0.15
+          + (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.15))
+  }
+
+  /** Token statistics: whitespace tokens and a BPE-ish sub-token
+    * count (word pieces of ≤4 chars via a greedy regex), the usual
+    * budget estimators for LLM training corpora. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", size(split(t, "\\s+")))
+      .withColumn("subword_tokens",
+        size(regexp_extract_all(t, lit("[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\\s]"), lit(0))))
+      .withColumn("chars_per_ws_token",
+        round(length(t).cast("double") / greatest(col("ws_tokens"), lit(1)).cast("double"), 6))
+  }
+
+  /** Content-defined document fingerprint: md5 over the
+    * canonicalised text (lowercase, non-alphanumerics collapsed to
+    * single spaces, trimmed) — robust to whitespace/punctuation noise,
+    * deterministic across engines. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", fingerprint(col(textCol)))
+}
