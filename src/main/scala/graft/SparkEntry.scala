@@ -1,13 +1,577 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Dedup, Matcher, TextAnalysis}
+
+/** Driver contract — see SURVEY.md §7 and the harness docs.
+  *
+  * Every SQL-expressible operator of the engine is registered in
+  * [[queries]] with a DuckDB oracle in [[oracleSql]]. Cross-engine
+  * hash-parity rules used throughout:
+  *
+  *  - money/measure aggregates are per-row integer quantisations
+  *    (`round(x*100) :: bigint`) summed exactly — never raw double
+  *    sums, whose accumulation order differs between engines;
+  *  - DuckDB `sum(BIGINT)` widens to int128, so every oracle sum is
+  *    wrapped in `CAST(... AS BIGINT)` to match Spark's int64;
+  *  - every query ends in a total ORDER BY;
+  *  - ratio columns are derived from integer counts with the exact
+  *    same IEEE expression tree in both engines (bit-identical);
+  *  - hashes are md5 (lowercase hex in both engines).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // testdata writes ts as parquet TIMESTAMP(NANOS), which Spark's
+    // vectorized reader rejects; read it as long nanos instead and
+    // convert explicitly where needed (see eventsWithTs).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` restored to a proper TimestampType (µs). */
+  private def eventsWithTs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Per-row integer cents: exact, order-independent summation. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Relational core (SURVEY.md §2.2-2.7 re-expressed over the testdata)
+  // ---------------------------------------------------------------------
+
+  /** Scan + filter + hash aggregate (P-ops + partial/final agg). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("sum_disc_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Predicate + projection pushdown to the parquet scan (P1-P3). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount") > 0.05 && col("l_quantity") < 25 &&
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 3-way shuffle join + aggregate with a distinct-agg (J-ops). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+
+  /** Star-schema rollup with an explicitly broadcast dimension (J1). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      t(s, dir, "nation").join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey")))
+    t(s, dir, "customer")
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join (P6 membership predicate). */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join (negated membership). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Window top-k with deterministic tie-break (T1). */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val priorities = Seq(
+    "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+    "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
+
+  /** Pivot long→wide (T2 rank-pivot family). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities.map(_._1))
+      .agg(count(lit(1)))
+    val renamed = priorities.foldLeft(pivoted) { case (df, (v, n)) =>
+      df.withColumnRenamed(v, n)
+    }
+    renamed.na.fill(0L, priorities.map(_._2)).orderBy("o_orderstatus")
+  }
+
+  /** INTERSECT / EXCEPT / DISTINCT set algebra (T5/V4). */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .union(cn.except(sn).withColumn("tag", lit("cust_only")))
+      .union(sn.except(cn).withColumn("tag", lit("supp_only")))
+      .select("tag", "nationkey")
+      .orderBy("tag", "nationkey")
+  }
+
+  /** Wide→long unpivot via stack() (A1 triplet unpivot family). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(3,
+           'discount', l_discount,
+           'extendedprice', l_extendedprice,
+           'quantity', l_quantity) as (metric, value)""")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** Sentinel imputation chains (P4/P8/P9/P10). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        coalesce(nullif(col("source"), lit("src0")), lit("UNK")).as("src_imputed"),
+        when(col("lang") === "zh", lit("Unknown")).otherwise(col("lang")).as("lang_display"))
+      .orderBy("doc_id")
+
+  /** String scalar functions (F3/F5/F11/F12 family, null-propagating concat). */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(regexp_replace(col("p_name"), "[^a-zA-Z0-9]", "")).as("name_alnum"),
+        substring(col("p_type"), 1, 10).as("type_prefix"),
+        concat(col("p_brand"), lit(" "), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_underscore"))
+      .orderBy("p_partkey")
+
+  /** JSON path extraction (F14/F15). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    eventsWithTs(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+      .orderBy("event_id")
+
+  /** Tumbling-window rollup — the batch shape of the streaming path
+    * (SURVEY.md §2.9); same plan Structured Streaming executes
+    * incrementally. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    eventsWithTs(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n_events"), col("value_milli"))
+      .orderBy("hour", "event_type")
+
+  // ---------------------------------------------------------------------
+  // Training-data-pipeline operators over documents/embeddings
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup by content digest (Dedup.exactDuplicates). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_md5")
+
+  /** Whitespace/punctuation-robust content fingerprint. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(s, dir, "documents"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  /** Document quality metrics (codegen-only text scoring). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(t(s, dir, "documents"))
+      .select("doc_id", "n_words", "mean_word_len", "alpha_ratio",
+        "digit_ratio", "punct_ratio", "upper_ratio", "stopword_ratio",
+        "quality_score")
+      .orderBy("doc_id")
+
+  /** Marker-token language identification. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    TextAnalysis.languageId(t(s, dir, "documents"))
+      .select(col("doc_id") +: langs.map(l => col(s"hits_$l")) :+ col("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Token budget statistics. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(t(s, dir, "documents"))
+      .select("doc_id", "ws_tokens", "subword_tokens", "chars_per_ws_token")
+      .orderBy("doc_id")
+
+  /** MinHash signatures (8 hash families over word 3-shingles). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 8)
+      .orderBy("doc_id")
+
+  /** SimHash 60-bit fingerprints. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")
+
+  /** Exact word-3-gram Jaccard over blocked candidate pairs. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.as("x").crossJoin(ids.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id", shingleSize = 3)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Non-SQL-expressible operators (rows-only driver check; exact
+  // semantics pinned by ScalaTest suites instead)
+  // ---------------------------------------------------------------------
+
+  /** Reference NLP cleaning pipeline (lemmatizer — not SQL-expressible). */
+  private def qNlp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        GraftUdfs.cleanLabel(substring(col("text"), 1, 60)).as("cleaned"))
+      .orderBy("doc_id")
+
+  /** The flagship label-mapping report (embedding model involved —
+    * rows-only check; semantics pinned by MatcherSpec). */
+  private def qFlagship(s: SparkSession, dir: String): DataFrame = {
+    val embedder = new HashingEmbedder(dim = 64)
+    val docs = t(s, dir, "documents")
+    val raw = docs.select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("raw_input_label"))
+      .distinct()
+      .withColumn("cleaned_input_label", GraftUdfs.cleanLabel(col("raw_input_label")))
+    val queries = embedder.embed(raw, "cleaned_input_label", "qvec")
+
+    val part = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").cast("string").as("CT_ID"),
+        col("p_name").as("CT_NAME"), col("p_brand").as("CT_LABEL"),
+        col("p_type").as("definition"))
+      .withColumn("all_text",
+        coalesce(concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "),
+          col("definition")), col("CT_NAME")))
+    val ref = Matcher.prepareReference(
+      embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
+    Matcher.mapLabels(queries, ref, k = 2)
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver contract
+  // ---------------------------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qFlagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_pushdown" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_dim_broadcast_join" -> (q04 _),
+    "q05_semi_join" -> (q05 _),
+    "q06_anti_join" -> (q06 _),
+    "q07_window_topk" -> (q07 _),
+    "q08_pivot" -> (q08 _),
+    "q09_setops" -> (q09 _),
+    "q10_unpivot" -> (q10 _),
+    "q11_impute_sentinels" -> (q11 _),
+    "q12_string_funcs" -> (q12 _),
+    "q13_json_extract" -> (q13 _),
+    "q14_hourly_rollup" -> (q14 _),
+    "q15_dedup_exact" -> (q15 _),
+    "q16_fingerprint" -> (q16 _),
+    "q17_quality_metrics" -> (q17 _),
+    "q18_language_id" -> (q18 _),
+    "q19_token_stats" -> (q19 _),
+    "q20_minhash_signatures" -> (q20 _),
+    "q21_simhash" -> (q21 _),
+    "q22_ngram_jaccard" -> (q22 _),
+    "q23_nlp_clean" -> (qNlp _),
+    "q24_label_match_report" -> (qFlagship _))
+
+  // --- oracle SQL (DuckDB dialect) ---------------------------------------
+
+  private val stopwordsSqlList: String =
+    graft.functions.TextNlp.stopwords.toSeq.sorted
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  private val langMarkersSql: Seq[(String, String)] =
+    TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      lang -> ms.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+    }
+
+  private def minhashOracle: String = {
+    val sigs = (0 until 8).map(h =>
+      s"min(md5(concat_ws('|', $h, shingle))) AS sig_$h").mkString(",\n  ")
+    s"""WITH w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+       ), sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       )
+       SELECT doc_id, $sigs FROM sh GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private def simhashOracle: String = {
+    val votes = (0 until 60).map(b =>
+      s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b_$b")
+      .mkString(",\n  ")
+    val fp = (0 until 60).map(b =>
+      s"CASE WHEN b_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" | ")
+    s"""WITH w AS (
+         SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
+         FROM documents
+       ), h AS (
+         SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w
+       ), v AS (
+         SELECT doc_id, $votes FROM h GROUP BY doc_id
+       )
+       SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+  }
+
+  private def langIdOracle: String = {
+    val hitCols = langMarkersSql.map { case (lang, list) =>
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkersSql.map(_._1)
+    val m = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH h AS (
+         SELECT doc_id, $hitCols FROM documents
+       )
+       SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+              CASE $pick END AS predicted_lang
+       FROM h ORDER BY doc_id"""
+  }
+
+  private def qualityOracle: String =
+    s"""WITH m AS (
+         SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+         FROM documents
+       ), r AS (
+         SELECT doc_id, n_words,
+           n_alpha / greatest(n_words, 1.0) AS mean_word_len,
+           n_alpha / greatest(n_chars_d, 1.0) AS alpha_ratio,
+           n_digit / greatest(n_chars_d, 1.0) AS digit_ratio,
+           n_punct / greatest(n_chars_d, 1.0) AS punct_ratio,
+           n_upper / greatest(n_chars_d, 1.0) AS upper_ratio,
+           n_stop / greatest(n_words, 1.0) AS stopword_ratio
+         FROM m
+       )
+       SELECT doc_id, n_words, mean_word_len, alpha_ratio, digit_ratio,
+              punct_ratio, upper_ratio, stopword_ratio,
+              least(alpha_ratio / 0.7, 1.0) * 0.4
+                + least(stopword_ratio / 0.3, 1.0) * 0.3
+                + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
+                + (1.0 - least(punct_ratio * 5, 1.0)) * 0.15 AS quality_score
+       FROM r ORDER BY doc_id"""
+
+  private def jaccardOracle: String =
+    s"""WITH d AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < 40
+       ), w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM d
+       ), sh AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), sizes AS (
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM sh GROUP BY doc_id
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+       ), inter AS (
+         SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM pairs p
+         JOIN sh ta ON ta.doc_id = p.id_a
+         JOIN sh tb ON tb.doc_id = p.id_b AND ta.shingle = tb.shingle
+         GROUP BY p.id_a, p.id_b
+       )
+       SELECT p.id_a, p.id_b,
+              coalesce(i.n_inter, 0) AS n_inter,
+              sa.n_sh AS n_a, sb.n_sh AS n_b,
+              CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+       FROM pairs p
+       LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       JOIN sizes sa ON sa.doc_id = p.id_a
+       JOIN sizes sb ON sb.doc_id = p.id_b
+       ORDER BY p.id_a, p.id_b"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+         FROM lineitem
+         WHERE l_discount > 0.05 AND l_quantity < 25
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "q04_dim_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         ORDER BY c_custkey""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q07_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+    "q08_pivot" ->
+      """SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q09_setops" ->
+      """SELECT 'both' AS tag, nationkey FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'cust_only' AS tag, nationkey FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'supp_only' AS tag, nationkey FROM
+           (SELECT s_nationkey AS nationkey FROM supplier
+            EXCEPT SELECT c_nationkey FROM customer)
+         ORDER BY tag, nationkey""",
+    "q10_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q11_impute_sentinels" ->
+      """SELECT doc_id,
+           coalesce(nullif(source, 'src0'), 'UNK') AS src_imputed,
+           CASE WHEN lang = 'zh' THEN 'Unknown' ELSE lang END AS lang_display
+         FROM documents ORDER BY doc_id""",
+    "q12_string_funcs" ->
+      """SELECT p_partkey,
+           lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS name_alnum,
+           substr(p_type, 1, 10) AS type_prefix,
+           p_brand || ' ' || p_type AS brand_type,
+           regexp_replace(p_brand, '#', '_', 'g') AS brand_underscore
+         FROM part ORDER BY p_partkey""",
+    "q13_json_extract" ->
+      """SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+         FROM events ORDER BY event_id""",
+    "q14_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY text_md5""",
+    "q16_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q17_quality_metrics" -> qualityOracle,
+    "q18_language_id" -> langIdOracle,
+    "q19_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS INTEGER) AS subword_tokens,
+           round(CAST(length(text) AS DOUBLE)
+             / CAST(greatest(len(string_split_regex(text, '\s+')), 1) AS DOUBLE), 6) AS chars_per_ws_token
+         FROM documents ORDER BY doc_id""",
+    "q20_minhash_signatures" -> minhashOracle,
+    "q21_simhash" -> simhashOracle,
+    "q22_ngram_jaccard" -> jaccardOracle)
 }

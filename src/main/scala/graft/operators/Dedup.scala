@@ -43,7 +43,7 @@ object Dedup {
     when(size(words) < n, array(array_join(words, " ")))
       .otherwise(transform(
         sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, n), " ")))
+        i => array_join(slice(words, i, lit(n)), " ")))
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash families,
