@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Dedup, Matcher, TextAnalysis}
+import graft.operators.{Ann, Dedup, Matcher, Multimodal, TextAnalysis}
+import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
   *
@@ -258,6 +259,93 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Similarity search / ANN over the embeddings table (SURVEY.md §2.8
+  // north-star; Ann.scala)
+  // ---------------------------------------------------------------------
+
+  /** 16 deterministic sign-LSH hyperplanes (seed 42) over the 64-d
+    * embeddings — the SAME constants are inlined into the DuckDB
+    * oracles below, so bucket assignment is cross-engine checkable. */
+  private val lshPlanes = Ann.hyperplanes(dim = 64, nPlanes = 16, seed = 42L)
+  private val lshBandSize = 4
+  private def lshBands = lshPlanes.grouped(lshBandSize).toSeq
+
+  /** Exact brute-force cosine top-k: every 50th vector queries the
+    * whole corpus (broadcast side). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Sign-LSH bucket assignment, 4 bands × 4 planes. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.select(
+        col("vec_id") +: lshBands.zipWithIndex.map { case (b, i) =>
+          Ann.bucketExpr(col("embedding"), b).as(s"bucket_$i")
+        }: _*)
+      .orderBy("vec_id")
+  }
+
+  /** Banded-LSH near-dup candidate pairs verified by exact cosine. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Ann.lshBandedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        lshPlanes, lshBandSize, cosineThreshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-LSH near-duplicate detection end-to-end: signatures →
+    * banded candidates → exact jaccard ≥ 0.8. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2, jaccardThreshold = 0.8)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** The hourly rollup run THROUGH the Structured Streaming engine
+    * (AvailableNow → memory sink); oracle-checked against the same
+    * batch SQL as q14 — stream/batch parity, proven. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runHourlyRollupAvailableNow(s, dir)
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min idle gap) per user. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionize(eventsWithTs(s, dir), gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata
+    * (byte length, digest, magic bytes, frame count). */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryMeta(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"),
+        "payload", frameSize = 256)
+      .select("doc_id", "byte_len", "content_md5", "magic_hex", "n_frames")
+      .orderBy("doc_id")
+
+  /** IVF approximate top-k: centroids = first 12 vectors (a
+    * deterministic stand-in for a trained codebook), nProbe=3, k=5. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    Ann.ivfTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        centroids, "cell", "cvec",
+        "vec_id", "vec_id", "embedding", nProbe = 3, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Sliding-window rollup (1 h / 30 min): the batch shape of the
+    * streaming sliding-window operator. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingRollup(eventsWithTs(s, dir))
+      .orderBy("win_start", "event_type")
+
+  // ---------------------------------------------------------------------
   // Non-SQL-expressible operators (rows-only driver check; exact
   // semantics pinned by ScalaTest suites instead)
   // ---------------------------------------------------------------------
@@ -324,7 +412,16 @@ object SparkEntry {
     "q21_simhash" -> (q21 _),
     "q22_ngram_jaccard" -> (q22 _),
     "q23_nlp_clean" -> (qNlp _),
-    "q24_label_match_report" -> (qFlagship _))
+    "q24_label_match_report" -> (qFlagship _),
+    "q25_knn_bruteforce" -> (q25 _),
+    "q26_lsh_buckets" -> (q26 _),
+    "q27_lsh_neardup" -> (q27 _),
+    "q28_minhash_lsh_pairs" -> (q28 _),
+    "q29_stream_rollup" -> (q29 _),
+    "q30_sessionize" -> (q30 _),
+    "q31_binary_meta" -> (q31 _),
+    "q32_ivf_topk" -> (q32 _),
+    "q33_sliding_window" -> (q33 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -449,6 +546,171 @@ object SparkEntry {
        JOIN sizes sb ON sb.doc_id = p.id_b
        ORDER BY p.id_a, p.id_b"""
 
+  // --- ANN / streaming / multimodal oracle builders ----------------------
+
+  /** Shared embeddings CTE: vectors cast to DOUBLE[] (exact float
+    * widening — identical IEEE values to Spark's `cast("array<double>")`)
+    * plus the L2 norm with the same expression tree as VectorOps. */
+  private val embCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+  /** Zero-guarded cosine — mirrors VectorOps.cosineWithNorms exactly. */
+  private def cosSql(av: String, an: String, bv: String, bn: String): String =
+    s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
+
+  /** One band's bucket: bit r set iff v · plane_{band*size+r} >= 0 —
+    * the hyperplane CONSTANTS are inlined from Ann.hyperplanes, so
+    * both engines evaluate the identical dot products. */
+  private def bucketSql(vExpr: String, band: Int): String = {
+    val bits = (0 until lshBandSize).map { r =>
+      val plane = Ann.hyperplaneSqlLiteral(lshPlanes(band * lshBandSize + r))
+      s"(CASE WHEN list_dot_product($vExpr, $plane) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  private def knnOracle: String =
+    s"""$embCte,
+       q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+       s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+             FROM q CROSS JOIN n c),
+       r AS (SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk
+             FROM s)
+       SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score
+       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private def lshBucketsOracle: String = {
+    val cols = (0 until lshPlanes.length / lshBandSize)
+      .map(b => s"${bucketSql("v", b)} AS bucket_$b").mkString(",\n  ")
+    s"""$embCte SELECT vec_id, $cols FROM e ORDER BY vec_id"""
+  }
+
+  private def lshNearDupOracle: String = {
+    val nBands = lshPlanes.length / lshBandSize
+    val bucketCols = (0 until nBands)
+      .map(b => s"${bucketSql("v", b)} AS bucket_$b").mkString(", ")
+    val unions = (0 until nBands).map { b =>
+      s"""SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM bk a JOIN bk b2 ON a.bucket_$b = b2.bucket_$b AND a.vec_id < b2.vec_id"""
+    }.mkString(" UNION ")
+    s"""$embCte,
+       bk AS (SELECT vec_id, $bucketCols FROM e),
+       p AS ($unions),
+       c AS (SELECT p.id_a, p.id_b,
+               ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS "cos"
+             FROM p JOIN n x ON x.vec_id = p.id_a JOIN n y ON y.vec_id = p.id_b)
+       SELECT id_a, id_b, "cos" FROM c WHERE "cos" >= 0.45 ORDER BY id_a, id_b"""
+  }
+
+  private def minhashLshPairsOracle: String = {
+    val sigs = (0 until 8).map(h =>
+      s"min(md5(concat_ws('|', $h, shingle))) AS sig_$h").mkString(", ")
+    val bandCols = (0 until 4).map(b =>
+      s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
+    val unions = (0 until 4).map(b =>
+      s"""SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2 ON a.b_$b = b2.b_$b AND a.doc_id < b2.doc_id""")
+      .mkString(" UNION ")
+    s"""WITH w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+       ), sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), shd AS (
+         SELECT DISTINCT doc_id, shingle FROM sh
+       ), sig AS (
+         SELECT doc_id, $sigs FROM sh GROUP BY doc_id
+       ), bands AS (
+         SELECT doc_id, $bandCols FROM sig
+       ), p AS ($unions),
+       sizes AS (
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM shd GROUP BY doc_id
+       ), inter AS (
+         SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM p
+         JOIN shd ta ON ta.doc_id = p.id_a
+         JOIN shd tb ON tb.doc_id = p.id_b AND ta.shingle = tb.shingle
+         GROUP BY p.id_a, p.id_b
+       ), j AS (
+         SELECT p.id_a, p.id_b,
+                coalesce(i.n_inter, 0) AS n_inter,
+                sa.n_sh AS n_a, sb.n_sh AS n_b,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+         FROM p
+         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         JOIN sizes sa ON sa.doc_id = p.id_a
+         JOIN sizes sb ON sb.doc_id = p.id_b
+       )
+       SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
+       FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+  }
+
+  private def sessionizeOracle: String =
+    """WITH x AS (
+         SELECT user_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+         FROM events
+       ), y AS (
+         SELECT user_id, ts, value,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+         FROM x
+       ), z AS (
+         SELECT user_id, ts, value,
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM y
+       )
+       SELECT user_id, session_id, count(*) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+              CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+       FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  private def ivfOracle: String =
+    s"""$embCte,
+       cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 12),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT nn.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                    ${cosSql("nn.v", "nn.nrm", "cent.cv", "cent.cnrm")} DESC,
+                    cent.cell ASC) AS rn
+           FROM n nn CROSS JOIN cent)
+         WHERE rn = 1
+       ),
+       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+       probes AS (
+         SELECT q_id, cell FROM (
+           SELECT q.q_id, cent.cell,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    ${cosSql("q.qv", "q.qnrm", "cent.cv", "cent.cnrm")} DESC,
+                    cent.cell ASC) AS rn
+           FROM q CROSS JOIN cent)
+         WHERE rn <= 3
+       ),
+       cand AS (
+         SELECT q.q_id, c.vec_id AS c_id,
+                ${cosSql("q.qv", "q.qnrm", "c.v", "c.nrm")} AS score
+         FROM probes p
+         JOIN assign a ON a.cell = p.cell
+         JOIN n c ON c.vec_id = a.vec_id
+         JOIN q ON q.q_id = p.q_id
+       )
+       SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score FROM (
+         SELECT q_id, c_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk
+         FROM cand)
+       WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -547,7 +809,7 @@ object SparkEntry {
     "q13_json_extract" ->
       """SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
          FROM events ORDER BY event_id""",
     "q14_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
@@ -573,5 +835,35 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q20_minhash_signatures" -> minhashOracle,
     "q21_simhash" -> simhashOracle,
-    "q22_ngram_jaccard" -> jaccardOracle)
+    "q22_ngram_jaccard" -> jaccardOracle,
+    "q25_knn_bruteforce" -> knnOracle,
+    "q26_lsh_buckets" -> lshBucketsOracle,
+    "q27_lsh_neardup" -> lshNearDupOracle,
+    "q28_minhash_lsh_pairs" -> minhashLshPairsOracle,
+    "q29_stream_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q30_sessionize" -> sessionizeOracle,
+    "q31_binary_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           substr(hex(encode(text)), 1, 8) AS magic_hex,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "q32_ivf_topk" -> ivfOracle,
+    "q33_sliding_window" ->
+      """WITH s AS (
+           SELECT event_type,
+                  to_timestamp(CAST((epoch_us(ts) // 1800000000) * 1800 AS BIGINT)) AS t0
+           FROM events
+         ), u AS (
+           SELECT event_type, unnest([t0, t0 - INTERVAL 30 MINUTE]) AS ws FROM s
+         )
+         SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+                count(*) AS n_events
+         FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""")
 }

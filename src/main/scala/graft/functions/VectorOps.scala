@@ -25,15 +25,21 @@ object VectorOps {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Cosine similarity of two vector columns (`main.py:86-89`). */
+  /** Cosine similarity of two vector columns (`main.py:86-89`).
+    * Zero vectors score 0 — sklearn's `cosine_similarity` returns 0
+    * rows for zero-norm inputs, and Spark 4's default ANSI mode would
+    * otherwise raise DIVIDE_BY_ZERO instead of yielding NaN. */
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    cosineWithNorms(a, l2Norm(a), b, l2Norm(b))
 
   /** Cosine against a pre-normalized side: when the corpus side is
     * normalized once up-front (norm column materialized), per-pair
-    * work drops to one dot product + one division. */
-  def cosineWithNorms(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
-    dotProduct(a, b) / (aNorm * bNorm)
+    * work drops to one dot product + one division. Zero-norm guard as
+    * in [[cosine]]. */
+  def cosineWithNorms(a: Column, aNorm: Column, b: Column, bNorm: Column): Column = {
+    val denom = aNorm * bNorm
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
 
   /** Squared L2 distance — used by the near-dup embedding path. */
   def l2Sq(a: Column, b: Column): Column =

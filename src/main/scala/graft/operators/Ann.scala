@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float|double>`)
+  * — the scale-out generalisation of the reference's dense cosine
+  * matching kernel (`main.py:84-91`).
+  *
+  * Three tiers, trading recall for shuffle volume:
+  *
+  *  1. [[bruteForceTopK]] — exact: queries × broadcast(corpus). The
+  *     oracle and the right choice whenever the corpus side fits a
+  *     broadcast (the reference's own regime: 83-row corpus). Linear
+  *     in |Q|·|C| but embarrassingly parallel — no shuffle at all on
+  *     the query side until the per-query window.
+  *  2. sign-LSH ([[lshBuckets]] / [[lshNearDupPairs]]) — random
+  *     hyperplane signatures. Candidates meet only inside a bucket,
+  *     so the self-join is keyed on the bucket hash: at 100 TB the
+  *     shuffle carries (id, vec, bucket) once instead of |C|² pairs.
+  *  3. IVF ([[ivfAssign]] / [[ivfTopK]]) — inverted-file search: a
+  *     small centroid table partitions the corpus into cells
+  *     (index build = one pass), queries probe only their `nProbe`
+  *     nearest cells. The candidate join is keyed on the cell id —
+  *     per-query work drops by ~nProbe/C while the window/topk shape
+  *     stays identical to brute force.
+  *
+  * Everything is pure Catalyst (higher-order functions + window), so
+  * plans stay inside whole-stage codegen; hyperplanes/centroids are
+  * deterministic, making every tier oracle-checkable cross-engine.
+  */
+object Ann {
+
+  // --- deterministic hyperplanes ----------------------------------------
+
+  /** splitmix64 — tiny, public-domain PRNG step; gives us seeded,
+    * engine-independent hyperplane components. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** `nPlanes` deterministic hyperplanes in `dim` dimensions, each
+    * component uniform in [-1, 1). Same (seed, dim, plane) always
+    * yields the same plane — the constants can be inlined verbatim
+    * into an oracle SQL text. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until nPlanes).map { p =>
+      Array.tabulate(dim) { j =>
+        val bits = splitmix64(seed + p.toLong * dim + j)
+        // top 53 bits → uniform double in [0,1), then map to [-1,1)
+        (bits >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** SQL literal for one hyperplane (DuckDB `[..]::DOUBLE[]` form);
+    * Double.toString round-trips, so both engines parse the exact
+    * same IEEE value. */
+  def hyperplaneSqlLiteral(plane: Array[Double]): String =
+    plane.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]::DOUBLE[]")
+
+  private def planeLit(plane: Array[Double]): Column =
+    array(plane.map(lit).toIndexedSeq: _*)
+
+  /** Sign-bit bucket of a vector: bit `i` set iff `vec · plane_i >= 0`.
+    * One projection, `nPlanes` fused dot products — no explode, no
+    * join, stays in codegen. */
+  def bucketExpr(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dotProduct(vec, planeLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** id → LSH bucket assignment. */
+  def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
+                 planes: Seq[Array[Double]]): DataFrame =
+    embs.select(col(idCol), bucketExpr(col(vecCol), planes).as("bucket"))
+
+  /** Near-duplicate pairs by cosine ≥ threshold, blocked by LSH
+    * bucket: the self-join shuffles on `bucket`, so only same-bucket
+    * vectors are ever compared. Exact cosine verifies each candidate
+    * (LSH decides *candidacy*, never the answer). */
+  def lshNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                      planes: Seq[Array[Double]], cosineThreshold: Double): DataFrame = {
+    val withBucket = embs.select(
+      col(idCol), col(vecCol),
+      bucketExpr(col(vecCol), planes).as("bucket"),
+      VectorOps.l2Norm(col(vecCol)).as("nrm"))
+    val a = withBucket.as("a")
+    val b = withBucket.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", VectorOps.cosineWithNorms(
+        col(s"a.$vecCol"), col("a.nrm"), col(s"b.$vecCol"), col("b.nrm")))
+      .filter(col("cos") >= cosineThreshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
+  }
+
+  /** Banded (OR-amplified) LSH near-dup pairs: `planes` split into
+    * bands of `bandSize`; vectors agreeing on ALL bits of ANY band
+    * become candidates (higher recall than one wide bucket — the
+    * classic r-of-L construction). Candidates verify by exact cosine.
+    * Each per-band self-join shuffles on that band's bucket only. */
+  def lshBandedNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                            planes: Seq[Array[Double]], bandSize: Int,
+                            cosineThreshold: Double): DataFrame = {
+    val bands = planes.grouped(bandSize).toSeq
+    val bucketed = embs.select(
+      Seq(col(idCol)) ++ bands.zipWithIndex.map { case (b, i) =>
+        bucketExpr(col(vecCol), b).as(s"bucket_$i")
+      }: _*)
+    val pairs = bands.indices.map { i =>
+      val a = bucketed.as("a")
+      val b = bucketed.as("b")
+      a.join(b, col(s"a.bucket_$i") === col(s"b.bucket_$i") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    }.reduce(_ union _).distinct()
+
+    val n = embs.select(col(idCol), col(vecCol),
+      VectorOps.l2Norm(col(vecCol)).as("nrm"))
+    pairs
+      .join(n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", VectorOps.cosineWithNorms(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= cosineThreshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  // --- exact top-k --------------------------------------------------------
+
+  /** Exact cosine top-k: every query row against a broadcast corpus.
+    * Norms are materialised once per side, so the per-pair kernel is
+    * a single fused dot product + one multiply-divide.
+    * Returns (qId, rank, cId, score); ties break to the lower corpus
+    * id (the reference's argsort-stability semantics, `main.py:91`).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, cIdCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(
+      col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+    val c = broadcast(corpus.select(
+      col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    q.crossJoin(c)
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+  }
+
+  // --- IVF ---------------------------------------------------------------
+
+  /** Assign each vector to its nearest centroid by cosine (ties → the
+    * lower centroid id). `centroids` is catalog-sized and broadcast;
+    * at scale this is the index-build pass whose output you'd persist
+    * partitioned by `cell`. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("cell"), col(centVecCol).as("cent_vec"))
+      .withColumn("cent_nrm", VectorOps.l2Norm(col("cent_vec"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cent_score").desc, col("cell").asc)
+    vectors
+      .withColumn("v_nrm", VectorOps.l2Norm(col(vecCol)))
+      .crossJoin(cents)
+      .withColumn("cent_score", VectorOps.cosineWithNorms(
+        col(vecCol), col("v_nrm"), col("cent_vec"), col("cent_nrm")))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") === 1)
+      .drop("cent_vec", "cent_nrm", "cent_score", "cent_rank")
+  }
+
+  /** IVF approximate top-k: corpus vectors live in centroid cells;
+    * each query probes its `nProbe` nearest cells only. The candidate
+    * join is an equi-join on `cell` — the shuffle is keyed by cell,
+    * carrying |C|·nProbe/|cells| candidates per query instead of |C|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              qIdCol: String, cIdCol: String, vecCol: String,
+              nProbe: Int, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("cell"), col(centVecCol).as("cent_vec"))
+      .withColumn("cent_nrm", VectorOps.l2Norm(col("cent_vec"))))
+
+    // index side: cell per corpus vector
+    val indexed = ivfAssign(corpus, cIdCol, vecCol, centroids, centIdCol, centVecCol)
+      .select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"), col("cell"))
+      .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec")))
+
+    // query side: nProbe nearest cells each
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cell").asc)
+    val probes = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+      .crossJoin(cents)
+      .withColumn("cent_score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("q_nrm"), col("cent_vec"), col("cent_nrm")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    probes.join(indexed, Seq("cell"))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: the payload is an opaque `binary` column plus typed
+  * metadata; all Spark-side plumbing (schema, slicing, batching,
+  * partitioning) is real, while the codec itself is a clearly-marked
+  * deterministic STUB — the image/audio libraries are not in this
+  * container, and at cluster scale the codec is a vendored native lib
+  * behind exactly this seam.
+  *
+  * Design: metadata extraction and frame slicing are pure Catalyst
+  * (codegen'd, pushdown-friendly); only the per-frame "decode" is a
+  * UDF, and it receives already-sliced bounded frames so its cost is
+  * proportional to sampled bytes, not payload size.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column derived from text — the testdata
+    * stand-in for reading real media bytes (`binaryFile` data source /
+    * parquet `binary` columns in production). */
+  def withBinaryPayload(df: DataFrame, textCol: String,
+                        binCol: String = "payload"): DataFrame =
+    df.withColumn(binCol, encode(col(textCol), "UTF-8"))
+
+  /** Typed metadata over an opaque binary column: byte length, content
+    * digest, leading magic bytes (format sniffing), frame count for a
+    * fixed frame size. Pure built-ins — one narrow projection. */
+  def binaryMeta(df: DataFrame, binCol: String, frameSize: Int = 256): DataFrame =
+    df
+      .withColumn("byte_len", length(col(binCol)).cast("long"))
+      .withColumn("content_md5", md5(col(binCol)))
+      .withColumn("magic_hex", hex(substring(col(binCol), 1, 4)))
+      .withColumn("n_frames",
+        ceil(col("byte_len").cast("double") / frameSize).cast("long"))
+
+  /** Sample every `stride`-th fixed-size frame from a binary payload:
+    * `substr` on binary slices bytes, `transform(sequence(...))` builds
+    * the frame array without exploding — rows stay 1:1 with documents
+    * until the caller chooses to explode. */
+  def sampleFrames(df: DataFrame, binCol: String, frameSize: Int = 256,
+                   stride: Int = 2, framesCol: String = "frames"): DataFrame = {
+    val bin = col(binCol)
+    val nFrames = ceil(length(bin).cast("double") / frameSize).cast("int")
+    df.withColumn(framesCol,
+      transform(
+        filter(sequence(lit(0), greatest(nFrames, lit(1)) - 1),
+          i => i % stride === 0),
+        i => bin.substr(i * frameSize + 1, lit(frameSize))))
+  }
+
+  /** STUB codec ??? — deterministic fake "decode + feature extract".
+    *
+    * A real deployment vendors an image/audio codec here (JNI or pure
+    * JVM) with THIS exact signature: bytes of one frame in, fixed-width
+    * feature vector out. The stub derives 4 moments from the byte
+    * histogram so tests exercise real data flow end-to-end. */
+  def decodeFrameStub(bytes: Array[Byte]): Array[Double] = {
+    if (bytes == null || bytes.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
+    val n = bytes.length.toDouble
+    var sum = 0.0; var sumSq = 0.0; var mn = 255.0; var mx = 0.0
+    bytes.foreach { b =>
+      val v = (b & 0xff).toDouble
+      sum += v; sumSq += v * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    val mean = sum / n
+    Array(mean, math.sqrt(math.max(0.0, sumSq / n - mean * mean)), mn, mx)
+  }
+
+  private val decodeFramesUdf =
+    udf((frames: Seq[Array[Byte]]) =>
+      if (frames == null) Seq.empty[Array[Double]]
+      else frames.map(decodeFrameStub))
+
+  /** Per-frame feature extraction over sampled frames (UDF over the
+    * bounded frame array — cost is proportional to the sample, not
+    * the payload; swap [[decodeFrameStub]] for the real codec). */
+  def extractFrameFeatures(df: DataFrame, framesCol: String = "frames",
+                           featCol: String = "frame_features"): DataFrame =
+    df.withColumn(featCol, decodeFramesUdf(col(framesCol)))
+}

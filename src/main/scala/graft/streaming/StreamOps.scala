@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming operators over the `events` table (SURVEY.md §2.9).
+  *
+  * The reference has no streaming; these are the north-star
+  * extensions a 100 TB training-data pipeline needs. Batch and
+  * streaming share the same declarative aggregation — Structured
+  * Streaming runs the identical logical plan incrementally, which is
+  * exactly the property [[runHourlyRollupAvailableNow]] demonstrates
+  * (its result is oracle-checked against the batch SQL).
+  */
+object StreamOps {
+
+  /** events parquet schema with `ts` as raw nanos (the testdata writes
+    * TIMESTAMP(NANOS), which the vectorized reader only accepts as
+    * long via the legacy flag). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of the events table with `ts` restored to a
+    * proper timestamp. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      // glob form: FileStreamSource requires its basePath (the glob's
+      // parent) to be a directory — a bare file path is rejected
+      .parquet(s"$dir/{events}.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour rollup — identical shape for batch and stream
+    * inputs (same plan; streaming just executes it incrementally). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n_events"), col("value_milli"))
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run the hourly rollup THROUGH the Structured Streaming engine
+    * (AvailableNow trigger → memory sink, complete mode) and return
+    * the final result table. Proves stream/batch plan parity: the
+    * driver oracle-checks this output against the batch SQL. */
+  def runHourlyRollupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_rollup_${runCounter.incrementAndGet()}"
+    val query = hourlyRollup(eventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Sliding-window rollup (1 h window, 30 min slide): each event
+    * lands in two windows. Same declarative form runs under
+    * streaming; exercised in batch for the oracle. */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"))
+
+  /** Gap-based sessionization, batch form: a session breaks when a
+    * user is idle longer than `gapMinutes`. One shuffle (hash on
+    * user_id) feeds both windows — lag and the running session
+    * counter share the same partitioning and sort. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+  }
+
+  // --- streaming sessionization with explicit state ----------------------
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, valueMilli: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        value_milli: Long)
+
+  /** Streaming gap-sessionization via `flatMapGroupsWithState`:
+    * per-user session state with a processing-time timeout — the
+    * stateful-operator form of [[sessionize]] for unbounded inputs.
+    * Emits a session when the gap is exceeded within the stream (the
+    * final open session flushes on state timeout). */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.valueMilli))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val vm = math.round(e.value * 1000)
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    valueMilli = s.valueMilli + vm))
+                case Some(s) =>
+                  closed += SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.valueMilli)
+                  cur = Some(SessionState(t, t, 1, vm))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, vm))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

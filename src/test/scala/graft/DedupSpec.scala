@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different text about spark engines here"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("shingles: sliding word 3-grams; short text collapses to one shingle") {
+    val sh = Seq(Tuple1("a b c d")).toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head().getSeq[String](0)
+    sh shouldBe Seq("a b c", "b c d")
+    val short = Seq(Tuple1("a b")).toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head().getSeq[String](0)
+    short shouldBe Seq("a b")
+  }
+
+  test("exactDuplicates: one row per digest, lowest id kept, copies counted") {
+    val out = Dedup.exactDuplicates(docs).collect()
+    out.length shouldBe 4 // 1&2 collapse
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    dup.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("minhash signatures: identical texts get identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs.filter($"doc_id" =!= 5L),
+      "text", "doc_id", shingleSize = 3, numHashes = 8)
+    val rows = sigs.collect().map(r => r.getAs[Long]("doc_id") ->
+      (0 until 8).map(h => r.getAs[String](s"sig_$h"))).toMap
+    rows(1L) shouldBe rows(2L)
+    rows(1L) should not be rows(4L)
+    // near-dup shares most (not necessarily all) signature slots
+    val shared = rows(1L).zip(rows(3L)).count { case (a, b) => a == b }
+    shared should be >= 4
+  }
+
+  test("LSH banding surfaces the exact and near dup pairs, not the unrelated doc") {
+    val sigs = Dedup.minhashSignatures(docs.filter($"doc_id" =!= 5L),
+      "text", "doc_id", shingleSize = 3, numHashes = 8)
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs should not contain ((1L, 4L))
+  }
+
+  test("jaccardOnPairs: identical docs 1.0; disjoint docs 0.0") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    j((1L, 2L)) shouldBe 1.0
+    j((1L, 4L)) shouldBe 0.0
+  }
+
+  test("minhashNearDuplicates end-to-end honours the jaccard threshold") {
+    // docs 1 vs 3: 7 shingles each, 4 shared → jaccard 4/10 = 0.4
+    val nd = Dedup.minhashNearDuplicates(docs.filter($"doc_id" =!= 5L),
+      "text", "doc_id", jaccardThreshold = 0.35)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    nd should contain((1L, 2L))
+    nd should contain((1L, 3L))
+    nd.foreach { case (a, b) => Set(a, b) should not contain 4L }
+  }
+
+  test("simhash: identical texts identical fingerprints, hamming 0; near dup close") {
+    val fps = Dedup.simhash(docs.filter($"doc_id" =!= 5L), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps(1L) shouldBe fps(2L)
+    java.lang.Long.bitCount(fps(1L) ^ fps(3L)) should be <= 20
+    java.lang.Long.bitCount(fps(1L) ^ fps(4L)) should be > 10
+  }
+
+  test("simhashNearDuplicates blocks then verifies hamming distance") {
+    val nd = Dedup.simhashNearDuplicates(docs.filter($"doc_id" =!= 5L),
+      "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    nd should contain((1L, 2L))
+  }
+
+  test("embeddingNearDuplicates: bucket-blocked cosine pairs") {
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.1, 0.0)),  // near dup of 1
+      (3L, Seq(-1.0, 0.0, 0.0))). // opposite
+      toDF("vec_id", "embedding")
+    val hps = Seq(
+      (0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)),
+      (2, Seq(0.3, -0.7, 0.2))).toDF("hp_id", "hp_vec")
+    val out = Dedup.embeddingNearDuplicates(embs, "embedding", "vec_id",
+        hps, "hp_id", "hp_vec", cosineThreshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    out shouldBe Set((1L, 2L))
+  }
+}

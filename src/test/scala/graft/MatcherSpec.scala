@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Matcher
+
+/** Pins the flagship-query semantics of `main.py:67-166`:
+  * deterministic top-k tie-break (argsort stability → lowest reference
+  * row wins), rank pivot column layout, and the exact-match overwrite
+  * incl. its definition-vs-all_text asymmetry and rank-2..k nulling. */
+class MatcherSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  // reference table: 3 rows with frozen 2-d vectors
+  private lazy val ref = Matcher.prepareReference(
+    Seq(
+      ("CL:1", "alveolar cell", "AT1", "def one", "alveolar cell AT1 def one", Seq(1.0, 0.0)),
+      ("CL:2", "basal cell", "BC", "def two", "basal cell BC def two", Seq(0.0, 1.0)),
+      ("CL:3", "duplicate name", "D1", "def three", "dup text three", Seq(1.0, 0.0)))
+      .toDF("CT_ID", "CT_NAME", "CT_LABEL", "definition", "all_text", "embedding"),
+    "embedding", Seq("CT_ID"))
+
+  private def queries(rows: (String, String, Seq[Double])*) =
+    rows.toSeq.toDF("source", "raw_input_label", "qvec")
+      .withColumn("cleaned_input_label",
+        graft.functions.GraftUdfs.cleanLabel(col("raw_input_label")))
+
+  test("top-k ranks by cosine desc; ties break to the lower ref_row_id") {
+    // qvec (1,0) ties CL:1 and CL:3 at cosine 1.0 — CL:1 (lower row id) must win rank 1
+    val out = Matcher.mapLabels(
+      queries(("test", "tied query", Seq(1.0, 0.0))), ref, k = 2).head()
+    out.getAs[String]("matched_asctb_id_1") shouldBe "CL:1"
+    out.getAs[String]("matched_asctb_id_2") shouldBe "CL:3"
+    out.getAs[Double]("match_score_1") shouldBe 1.0 +- 1e-12
+  }
+
+  test("report has the reference's wide schema for k=2") {
+    val out = Matcher.mapLabels(queries(("t", "x", Seq(1.0, 1.0))), ref, k = 2)
+    out.columns.toSeq shouldBe Seq(
+      "source", "raw_input_label", "cleaned_input_label",
+      "match_score_1", "matched_asctb_id_1", "matched_asctb_label_1", "matched_asctb_text_1",
+      "match_score_2", "matched_asctb_id_2", "matched_asctb_label_2", "matched_asctb_text_2")
+  }
+
+  test("fuzzy path writes all_text into matched_asctb_text_i (main.py:97)") {
+    val out = Matcher.mapLabels(
+      queries(("t", "no exact match here", Seq(0.0, 1.0))), ref, k = 1).head()
+    out.getAs[String]("matched_asctb_id_1") shouldBe "CL:2"
+    out.getAs[String]("matched_asctb_text_1") shouldBe "basal cell BC def two"
+  }
+
+  test("exact overwrite: score forced 1.0, definition (not all_text) in slot 1, ranks 2..k nulled") {
+    // cleaned("Basal Cells") == cleaned("basal cell") == "basal cell"
+    val out = Matcher.mapLabels(
+      queries(("t", "Basal Cells", Seq(1.0, 0.0))), ref, k = 2).head()
+    out.getAs[Double]("match_score_1") shouldBe 1.0
+    out.getAs[String]("matched_asctb_id_1") shouldBe "CL:2"
+    // the reference's quirk: exact path writes `definition` into the text slot (main.py:145 vs :97)
+    out.getAs[String]("matched_asctb_text_1") shouldBe "def two"
+    out.isNullAt(out.fieldIndex("match_score_2")) shouldBe true
+    out.isNullAt(out.fieldIndex("matched_asctb_id_2")) shouldBe true
+  }
+
+  test("zero query vector scores 0 everywhere and still yields k rows (no ANSI crash)") {
+    val out = Matcher.mapLabels(
+      queries(("t", "zzz empty", Seq(0.0, 0.0))), ref, k = 2).head()
+    out.getAs[Double]("match_score_1") shouldBe 0.0
+    out.getAs[String]("matched_asctb_id_1") shouldBe "CL:1" // tie at 0 → lowest row id
+  }
+
+  test("first-row-wins on duplicate cleaned reference names (main.py:119)") {
+    val dupRef = Matcher.prepareReference(
+      Seq(
+        ("CL:9", "same name", "L9", "def nine", "t9", Seq(1.0, 0.0)),
+        ("CL:8", "Same  Name", "L8", "def eight", "t8", Seq(0.0, 1.0)))
+        .toDF("CT_ID", "CT_NAME", "CT_LABEL", "definition", "all_text", "embedding"),
+      "embedding", Seq("CT_ID"))
+    // both clean to "same name"; ref_row_id ordered by CT_ID → CL:8 first
+    val out = Matcher.mapLabels(
+      queries(("t", "same name", Seq(1.0, 0.0))), dupRef, k = 1).head()
+    out.getAs[String]("matched_asctb_id_1") shouldBe "CL:8"
+    out.getAs[String]("matched_asctb_text_1") shouldBe "def eight"
+  }
+}

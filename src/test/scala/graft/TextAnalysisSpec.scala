@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("languageId: marker hits pick the language; ties break lexicographically") {
+    val docs = Seq(
+      (1L, "el perro y la casa de los vecinos en madrid"),
+      (2L, "the cat and the dog are in the house"),
+      (3L, "xyzzy plugh")). // zero hits everywhere → tie → first code ("de")
+      toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs)
+      .select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "es"
+    out(2L) shouldBe "en"
+    out(3L) shouldBe "de"
+  }
+
+  test("qualityMetrics ratios are in [0,1] and favour clean english prose") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "000000 111111 ### $$$ %%% 999999")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityMetrics(docs)
+      .select("doc_id", "alpha_ratio", "digit_ratio", "punct_ratio",
+        "stopword_ratio", "quality_score")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (r <- rows.values; i <- 1 to 4)
+      r.getDouble(i) should (be >= 0.0 and be <= 1.0)
+    rows(1L).getAs[Double]("quality_score") should be >
+      rows(2L).getAs[Double]("quality_score")
+  }
+
+  test("tokenStats counts whitespace and subword tokens") {
+    val out = TextAnalysis.tokenStats(Seq((1L, "hello world 12345")).toDF("doc_id", "text"))
+      .select("ws_tokens", "subword_tokens", "chars_per_ws_token").head()
+    out.getInt(0) shouldBe 3
+    // hell+o wor+ld 123+45 → 6 subword pieces
+    out.getInt(1) shouldBe 6
+    out.getDouble(2) shouldBe (17.0 / 3) +- 1e-6
+  }
+
+  test("fingerprint is whitespace/punctuation/case robust") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD"),
+      (4L, "different words")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df)
+      .select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fps(1L) shouldBe fps(2L)
+    fps(2L) shouldBe fps(3L)
+    fps(4L) should not be fps(1L)
+  }
+}

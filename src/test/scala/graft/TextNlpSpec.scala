@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextNlp
+
+/** Pins the reference's token-pipeline quirks
+  * (`nlp_preprocessing.py:19-99`): rstrip-'s'-after-lemmatise,
+  * raw-token stopword test, 'NaN' sentinel, num2words formatting. */
+class TextNlpSpec extends AnyFunSuite {
+
+  test("cleanToken composes the six steps in reference order") {
+    assert(TextNlp.cleanToken("Can't") == "cannot")
+    assert(TextNlp.cleanToken("2") == "two")
+    assert(TextNlp.cleanToken("Cells!") == "cell")
+    assert(TextNlp.cleanToken("EPITHELIAL") == "epithelial")
+    assert(TextNlp.cleanToken(null) == null)
+    assert(TextNlp.cleanToken("") == "")
+  }
+
+  test("getRootWord lemmatises THEN strips all trailing s (reference quirk)") {
+    // lemmatize("glomeruli") -> "glomerulus"; rstrip('s') -> "glomerulu"
+    assert(TextNlp.getRootWord("glomeruli") == "glomerulu")
+    assert(TextNlp.getRootWord("cells") == "cell")
+    // rstrip strips repeated trailing s's
+    assert(TextNlp.getRootWord("glass") == "gla")
+    assert(TextNlp.getRootWord("children") == "child")
+  }
+
+  test("numberToWords matches num2words en formatting") {
+    assert(TextNlp.numberToWords("0") == "zero")
+    assert(TextNlp.numberToWords("15") == "fifteen")
+    assert(TextNlp.numberToWords("42") == "forty-two")
+    assert(TextNlp.numberToWords("100") == "one hundred")
+    assert(TextNlp.numberToWords("101") == "one hundred and one")
+    assert(TextNlp.numberToWords("1005") == "one thousand and five")
+    assert(TextNlp.numberToWords("1234") == "one thousand, two hundred and thirty-four")
+    assert(TextNlp.numberToWords("1000000") == "one million")
+    assert(TextNlp.convertNumberToWord("2b") == "2b") // not all-digits: untouched
+  }
+
+  test("stopword test runs on the RAW token, not the cleaned one") {
+    // raw "The" (capitalised) is NOT in the lowercase stopword list, so
+    // it survives; the later raw "the" is dropped. Dedup key is the
+    // cleaned form. (`nlp_preprocessing.py:90-99`)
+    val out = TextNlp.tokensCleanDedup("The the cell Cells", 150)
+    assert(out == Seq("the", "cell"))
+  }
+
+  test("tokensCleanDedup truncates before tokenising and keeps first-seen order") {
+    val text = "alpha beta alpha gamma"
+    assert(TextNlp.tokensCleanDedup(text, 150) == Seq("alpha", "beta", "gamma"))
+    // truncation at 10 chars cuts "alpha beta" -> ["alpha", "beta"] ("beta" intact at boundary)
+    assert(TextNlp.tokensCleanDedup(text, 10) == Seq("alpha", "beta"))
+  }
+
+  test("'NaN' sentinel is filtered like a stopword") {
+    assert(!TextNlp.isNotStopword("NaN"))
+    assert(TextNlp.isNotStopword("nan")) // only the exact sentinel
+    assert(TextNlp.tokensCleanDedup("NaN cell", 150) == Seq("cell"))
+  }
+
+  test("cleanLabel splits on whitespace runs and drops empties (python str.split())") {
+    assert(TextNlp.cleanLabel("Type  2   Cells") == "type two cell")
+    assert(TextNlp.cleanLabel(null) == null)
+  }
+
+  test("cleanToken is idempotent on its own output") {
+    val words = Seq("Cells!", "can't", "2", "Glomeruli", "T-Cell", "typeIIpneumocytes")
+    words.foreach { w =>
+      val once = TextNlp.cleanToken(w)
+      assert(TextNlp.cleanToken(once) == once, s"not idempotent for $w")
+    }
+  }
+}

@@ -79,12 +79,16 @@ def main(sf_dir, out_dir):
                   f"duck={duck.num_rows}")
             n_fail += 1
             continue
+        # None-safe sort key: python3 can't compare None with int/str
+        def row_key(r):
+            return tuple((v is None, str(v)) for v in r)
+
         s_rows = sorted(
-            tuple(norm(spark_tbl.column(c)[i].as_py()) for c in s_cols)
-            for i in range(spark_tbl.num_rows))
+            (tuple(norm(spark_tbl.column(c)[i].as_py()) for c in s_cols)
+             for i in range(spark_tbl.num_rows)), key=row_key)
         d_rows = sorted(
-            tuple(norm(duck.column(c)[i].as_py()) for c in d_cols)
-            for i in range(duck.num_rows))
+            (tuple(norm(duck.column(c)[i].as_py()) for c in d_cols)
+             for i in range(duck.num_rows)), key=row_key)
         bad = None
         for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
             for c, (sv, dv) in zip(s_cols, zip(sr, dr)):
