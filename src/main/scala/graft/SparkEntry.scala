@@ -434,9 +434,14 @@ object SparkEntry {
       lang -> ms.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
     }
 
-  private def minhashOracle: String = {
-    val sigs = (0 until 8).map(h =>
-      s"min(md5(concat_ws('|', $h, shingle))) AS sig_$h").mkString(",\n  ")
+  /** Kirsch-Mitzenmacher families from one md5 — mirrors
+    * Dedup.minhashSignatures exactly. */
+  private def minhashSigsSql: String =
+    (0 until 8).map(h =>
+      s"min(('0x' || substr(md5(shingle), 1, 14))::BIGINT + $h * ('0x' || substr(md5(shingle), 15, 14))::BIGINT) AS sig_$h")
+      .mkString(",\n  ")
+
+  private def minhashOracle: String =
     s"""WITH w AS (
          SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
        ), sh AS (
@@ -446,8 +451,7 @@ object SparkEntry {
            END) AS shingle
          FROM w
        )
-       SELECT doc_id, $sigs FROM sh GROUP BY doc_id ORDER BY doc_id"""
-  }
+       SELECT doc_id, $minhashSigsSql FROM sh GROUP BY doc_id ORDER BY doc_id"""
 
   private def simhashOracle: String = {
     val votes = (0 until 60).map(b =>
@@ -606,8 +610,7 @@ object SparkEntry {
   }
 
   private def minhashLshPairsOracle: String = {
-    val sigs = (0 until 8).map(h =>
-      s"min(md5(concat_ws('|', $h, shingle))) AS sig_$h").mkString(", ")
+    val sigs = minhashSigsSql
     val bandCols = (0 until 4).map(b =>
       s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
     val unions = (0 until 4).map(b =>

@@ -6,22 +6,24 @@ import org.apache.spark.sql.functions._
 /** Dense-vector column math over `array<float|double>` columns.
   *
   * Re-expresses the reference's sklearn `cosine_similarity` call
-  * (`main.py:84-89`) as pure Catalyst higher-order functions —
-  * `zip_with` + `aggregate` stay inside whole-stage codegen, so the
-  * similarity kernel never leaves Tungsten rows, unlike a Scala UDF
-  * which would force serialization per row. At 100 TB this is the
-  * difference between a codegen'd fused loop and a boxed call per
-  * element.
+  * (`main.py:84-89`) as a native codegen [[DotProductExpr]] — a
+  * fused primitive loop inside whole-stage codegen. (The first cut
+  * used `aggregate(zip_with(...))`; higher-order functions are
+  * interpreted per element, which dominated the flagship matcher's
+  * runtime at sf0.1.) At 100 TB this is the difference between a
+  * codegen'd loop and a boxed lambda call per element.
   */
 object VectorOps {
 
-  /** Elementwise product-sum in double precision: index-ordered fold,
-    * deterministic regardless of partitioning. */
+  import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+
+  /** Elementwise product-sum in double precision: index-ordered
+    * accumulation, deterministic regardless of partitioning (and
+    * bit-identical to DuckDB's `list_dot_product` for the oracle). */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    toColumn(DotProductExpr(
+      toExpression(a.cast("array<double>")),
+      toExpression(b.cast("array<double>"))))
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

@@ -36,28 +36,34 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word n-gram shingles of a text column: split on whitespace, then
-    * sliding windows of `n` words joined by single spaces. Pure
-    * Catalyst (split + transform + slice) — stays in codegen. */
+    * sliding windows of `n` words joined by single spaces. One native
+    * expression ([[graft.functions.WordShinglesExpr]]) — the HOF
+    * chain (`transform`+`slice`+`array_join`) paid an interpreted
+    * lambda per shingle and dominated the minhash pipelines. */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
-    when(size(words) < n, array(array_join(words, " ")))
-      .otherwise(transform(
-        sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.WordShinglesExpr(
+      toExpression(split(text, "\\s+")), n))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash families,
-    * the minimum md5 digest of `seed || '|' || shingle`. Computed as
-    * `numHashes` min-aggregates in ONE pass over the exploded
-    * shingles (map-side combine means the shuffle carries one
-    * signature row per document). Output: (idCol, sig_0..sig_{h-1}).
+  /** MinHash signature via Kirsch-Mitzenmacher double hashing: ONE
+    * md5 per shingle yields two 56-bit halves (h1, h2); family `i` is
+    * `h1 + i·h2` (no overflow: max ≈ 2^59). 8× fewer digest
+    * computations than hashing per family, and the min-aggregates run
+    * on longs instead of hex strings. Computed as `numHashes`
+    * min-aggregates in ONE pass over the exploded shingles (map-side
+    * combine means the shuffle carries one signature row per
+    * document). Output: (idCol, sig_0..sig_{h-1}: long).
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+      .withColumn("__d", md5(col("shingle")))
+      .withColumn("__h1", conv(substring(col("__d"), 1, 14), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__d"), 15, 14), 16, 10).cast("long"))
     val aggs = (0 until numHashes).map { h =>
-      min(md5(concat_ws("|", lit(h), col("shingle")))).as(s"sig_$h")
+      min(col("__h1") + lit(h.toLong) * col("__h2")).as(s"sig_$h")
     }
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

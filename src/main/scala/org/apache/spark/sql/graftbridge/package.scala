@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 unified `Column` around ColumnNode and made the
+  * expression accessors `private[sql]`; a custom Catalyst
+  * `Expression` (graft.functions.DotProductExpr) still needs to be
+  * wrapped into a `Column` for the DataFrame API. This one-file
+  * shim lives in the `org.apache.spark.sql` namespace solely to
+  * re-export those two conversions — the classic-mode equivalent of
+  * what `functions.udf`/`expr` do internally.
+  */
+package object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
