@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Ann, Dedup, Matcher, Multimodal, TextAnalysis}
+import graft.operators.{Analyze, Ann, Dedup, Matcher, Multimodal, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
@@ -345,6 +345,22 @@ object SparkEntry {
     StreamOps.slidingRollup(eventsWithTs(s, dir))
       .orderBy("win_start", "event_type")
 
+  /** 7-region Venn set-agreement counts in one full-outer pass
+    * (plotting.py:22-31 re-expressed; Analyze.vennCounts3). */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Analyze.vennCounts3(
+        t(s, dir, "customer").select(col("c_nationkey")),
+        t(s, dir, "supplier").select(col("s_nationkey")),
+        t(s, dir, "nation").filter(col("n_regionkey") <= 2).select(col("n_nationkey")))
+      .orderBy("region")
+
+  /** 2-d PCA projection of the embeddings (M2, UMAP substitute) —
+    * component signs are basis-dependent, so this is a rows-only
+    * check; numeric properties pinned by AnalyzeSpec. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Analyze.pcaProject2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------------
   // Non-SQL-expressible operators (rows-only driver check; exact
   // semantics pinned by ScalaTest suites instead)
@@ -421,7 +437,9 @@ object SparkEntry {
     "q30_sessionize" -> (q30 _),
     "q31_binary_meta" -> (q31 _),
     "q32_ivf_topk" -> (q32 _),
-    "q33_sliding_window" -> (q33 _))
+    "q33_sliding_window" -> (q33 _),
+    "q34_venn_counts" -> (q34 _),
+    "q35_pca_projection" -> (q35 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -868,5 +886,22 @@ object SparkEntry {
          )
          SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
                 count(*) AS n_events
-         FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""")
+         FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q34_venn_counts" ->
+      """WITH a AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+           b AS (SELECT DISTINCT s_nationkey AS k FROM supplier),
+           c AS (SELECT DISTINCT n_nationkey AS k FROM nation WHERE n_regionkey <= 2),
+           u AS (
+             SELECT coalesce(a.k IS NOT NULL, false) AS ia,
+                    coalesce(b.k IS NOT NULL, false) AS ib,
+                    coalesce(c.k IS NOT NULL, false) AS ic
+             FROM a FULL JOIN b USING (k) FULL JOIN c USING (k))
+         SELECT CASE WHEN ia AND ib AND ic THEN 'abc'
+                     WHEN ia AND ib THEN 'ab_only'
+                     WHEN ia AND ic THEN 'ac_only'
+                     WHEN ib AND ic THEN 'bc_only'
+                     WHEN ia THEN 'a_only'
+                     WHEN ib THEN 'b_only'
+                     ELSE 'c_only' END AS region, count(*) AS n
+         FROM u GROUP BY 1 ORDER BY region""")
 }

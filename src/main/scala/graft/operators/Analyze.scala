@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Set-agreement and projection analytics (`utilities/plotting.py`).
+  *
+  * The reference computes 7-region Venn cardinalities over python
+  * sets (`plotting.py:22-31`) and a UMAP 2-d projection
+  * (`plotting.py:93-96`). Here: one full-outer-join pass produces all
+  * 7 regions at once (the reference's 7 separate set expressions each
+  * rescanned its inputs), and PCA stands in for UMAP (no JVM UMAP
+  * exists; documented deviation, SURVEY.md §7.4).
+  */
+object Analyze {
+
+  /** 7-region Venn cardinalities for three key sets, in ONE pass:
+    * distinct each side, full-outer join on the key (using-column
+    * joins coalesce the key), then count by membership pattern.
+    * Region labels: a_only, b_only, c_only, ab_only, ac_only,
+    * bc_only, abc. Regions with zero members are absent (count(*) of
+    * an empty group). */
+  def vennCounts3(a: DataFrame, b: DataFrame, c: DataFrame): DataFrame = {
+    def side(df: DataFrame, flag: String): DataFrame =
+      df.select(col(df.columns.head).as("k")).distinct()
+        .withColumn(flag, lit(true))
+    val fa = side(a, "in_a")
+    val fb = side(b, "in_b")
+    val fc = side(c, "in_c")
+    fa.join(fb, Seq("k"), "full_outer")
+      .join(fc, Seq("k"), "full_outer")
+      .na.fill(false, Seq("in_a", "in_b", "in_c"))
+      .withColumn("region",
+        when(col("in_a") && col("in_b") && col("in_c"), "abc")
+          .when(col("in_a") && col("in_b"), "ab_only")
+          .when(col("in_a") && col("in_c"), "ac_only")
+          .when(col("in_b") && col("in_c"), "bc_only")
+          .when(col("in_a"), "a_only")
+          .when(col("in_b"), "b_only")
+          .otherwise("c_only"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** 2-d PCA projection of a vector column — the engine-side
+    * equivalent of the reference's UMAP scatter table
+    * (`plotting.py:97-103`): id + (x, y) coordinates. The Gram
+    * matrix aggregation runs distributed; only the k×d rotation is
+    * driver-side. Component signs are basis-dependent — treat
+    * coordinates as defined up to sign per axis. */
+  def pcaProject2d(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
+    val assembled = df.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new PCA()
+      .setInputCol("__features").setOutputCol("__pca").setK(2)
+      .fit(assembled)
+    model.transform(assembled)
+      .withColumn("__coords", vector_to_array(col("__pca")))
+      .select(idCols.map(col) ++ Seq(
+        col("__coords").getItem(0).as("x"),
+        col("__coords").getItem(1).as("y")): _*)
+  }
+}

@@ -104,28 +104,40 @@ object StreamOps {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, valueMilli: Long)
-  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
-                        session_end: java.sql.Timestamp, n_events: Long,
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+                        session_end_ms: Long, n_events: Long,
                         value_milli: Long)
 
-  /** Streaming gap-sessionization via `flatMapGroupsWithState`:
-    * per-user session state with a processing-time timeout — the
-    * stateful-operator form of [[sessionize]] for unbounded inputs.
-    * Emits a session when the gap is exceeded within the stream (the
-    * final open session flushes on state timeout). */
-  def sessionizeStream(events: Dataset[SessionEvent],
-                       gapMinutes: Int = 30): Dataset[SessionOut] = {
+  /** Streaming gap-sessionization via `flatMapGroupsWithState` with
+    * an EVENT-TIME timeout: per-user session state; a session closes
+    * either when a later in-stream event exceeds the gap, or when the
+    * watermark passes `session_end + gap` (the stateful-operator form
+    * of [[sessionize]] for unbounded inputs — state is bounded by the
+    * watermark, so this runs forever without growing).
+    *
+    * (ProcessingTimeTimeout is avoided deliberately: under Spark
+    * 4.1.2 its state operator sends the per-batch analyzer into a
+    * non-terminating resolution loop — reproduced in
+    * graft.tools.StreamDebug.)
+    *
+    * `events` needs columns (user_id: long, ts: timestamp,
+    * value: double); the watermark bounds how late events may arrive.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(s => SessionOut(userId,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-              s.n, s.valueMilli))
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.start, s.end, s.n, s.valueMilli))
             state.remove()
             out.iterator
           } else {
@@ -140,8 +152,7 @@ object StreamOps {
                   cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
                     valueMilli = s.valueMilli + vm))
                 case Some(s) =>
-                  closed += SessionOut(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.valueMilli)
+                  closed += SessionOut(userId, s.start, s.end, s.n, s.valueMilli)
                   cur = Some(SessionState(t, t, 1, vm))
                 case None =>
                   cur = Some(SessionState(t, t, 1, vm))
@@ -149,7 +160,10 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // fire when the watermark passes the session's gap horizon
+              // (must stay ahead of the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

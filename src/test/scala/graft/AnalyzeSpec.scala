@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Analyze
+
+class AnalyzeSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("vennCounts3: all 7 regions from one pass") {
+    val a = Seq(1, 2, 3, 4, 7, 5).toDF("k")   // dup-free after distinct
+    val b = Seq(2, 3, 5, 6, 7).toDF("k")
+    val c = Seq(3, 4, 6, 7, 8).toDF("k")
+    val out = Analyze.vennCounts3(a, b, c)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map(
+      "a_only" -> 1L,   // 1
+      "b_only" -> 0L,   // none
+      "ab_only" -> 2L,  // 2, 5
+      "ac_only" -> 1L,  // 4
+      "bc_only" -> 1L,  // 6
+      "abc" -> 2L,      // 3, 7
+      "c_only" -> 1L    // 8
+    ).filter(_._2 > 0)  // zero regions are absent
+  }
+
+  test("vennCounts3 deduplicates inputs (set semantics like plotting.py:9)") {
+    val a = Seq(1, 1, 1, 2).toDF("k")
+    val b = Seq(2, 2).toDF("k")
+    val c = Seq(9).toDF("k")
+    val out = Analyze.vennCounts3(a, b, c)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("a_only" -> 1L, "ab_only" -> 1L, "c_only" -> 1L)
+  }
+
+  test("pcaProject2d: 2 coordinates per row; first component carries at least as much variance") {
+    val rnd = new scala.util.Random(7)
+    // anisotropic cloud: x-axis variance 100, others 1
+    val rows = (0L until 200L).map(i =>
+      (i, Seq(rnd.nextGaussian() * 10, rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Analyze.pcaProject2d(df, "embedding", Seq("vec_id")).collect()
+    out.length shouldBe 200
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(v => (v - m) * (v - m)).sum / xs.size
+    }
+    val vx = variance(out.map(_.getAs[Double]("x")).toSeq)
+    val vy = variance(out.map(_.getAs[Double]("y")).toSeq)
+    vx should be >= vy
+    vx should be > 50.0 // the dominant axis was found
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private lazy val embs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (1L, Seq(0.95, 0.3, 0.0, 0.0)),   // near 0
+    (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+    (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+    (4L, Seq(-1.0, 0.0, 0.0, 0.0)),   // opposite of 0
+    (5L, Seq(0.0, 0.0, 0.0, 0.0)))    // zero vector
+    .toDF("vec_id", "embedding")
+
+  test("hyperplanes are deterministic, seeded, in [-1,1)") {
+    val h1 = Ann.hyperplanes(8, 4, 42L)
+    val h2 = Ann.hyperplanes(8, 4, 42L)
+    h1.map(_.toSeq) shouldBe h2.map(_.toSeq)
+    Ann.hyperplanes(8, 4, 43L).map(_.toSeq) should not be h1.map(_.toSeq)
+    all(h1.flatten) should (be >= -1.0 and be < 1.0)
+    // the SQL literal round-trips the exact double
+    val lit0 = Ann.hyperplaneSqlLiteral(h1.head)
+    lit0 should startWith("[")
+    lit0 should endWith("]::DOUBLE[]")
+  }
+
+  test("bruteForceTopK: exact ranking, self first, deterministic ties, zero vector scores 0") {
+    val out = Ann.bruteForceTopK(embs, embs, "vec_id", "vec_id", "embedding", k = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rank")) }
+    // query 0: itself (1.0), then 1 (cos≈0.953), then the zero vector edges out orthogonals? no: 0 > ... ties at 0
+    val q0 = out(0L)
+    q0.map(_.getAs[Long]("c_id")).toSeq shouldBe Seq(0L, 1L, 2L)
+    q0.head.getAs[Double]("score") shouldBe 1.0 +- 1e-12
+    // ties at score 0 (ids 2,3,5 for query 3's perspective) break by ascending c_id
+    val q3 = out(3L)
+    q3.map(_.getAs[Long]("c_id")).toSeq shouldBe Seq(3L, 0L, 1L)
+    // zero-vector query: all scores 0, top-3 = lowest ids
+    val q5 = out(5L)
+    q5.map(_.getAs[Long]("c_id")).toSeq shouldBe Seq(0L, 1L, 2L)
+    all(q5.map(_.getAs[Double]("score"))) shouldBe 0.0
+  }
+
+  test("lshBuckets: same vector same bucket; opposite vectors differ in every used bit") {
+    val planes = Ann.hyperplanes(4, 8, 42L)
+    val buckets = Ann.lshBuckets(embs, "vec_id", "embedding", planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    buckets(0L) should not be buckets(4L) // opposite signs on every plane with nonzero dot
+    // near-identical vectors agree on most planes
+    java.lang.Long.bitCount(buckets(0L) ^ buckets(1L)) should be <= 2
+  }
+
+  test("lshBandedNearDupPairs finds the planted near-dup and verifies with exact cosine") {
+    val planes = Ann.hyperplanes(4, 16, 42L)
+    val pairs = Ann.lshBandedNearDupPairs(embs, "vec_id", "embedding",
+        planes, bandSize = 4, cosineThreshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos")))
+    pairs.map(p => (p._1, p._2)) should contain((0L, 1L))
+    pairs.foreach { case (_, _, c) => c should be >= 0.9 }
+  }
+
+  test("ivfTopK: with all cells probed it matches brute force") {
+    val centroids = embs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cell"), $"embedding".as("cvec"))
+    val ivf = Ann.ivfTopK(embs, embs, centroids, "cell", "cvec",
+        "vec_id", "vec_id", "embedding", nProbe = 4, k = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("c_id")).toMap
+    val bf = Ann.bruteForceTopK(embs, embs, "vec_id", "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("c_id")).toMap
+    // nProbe = all cells → IVF candidates = full corpus → identical top-k
+    ivf shouldBe bf
+  }
+
+  test("ivfTopK with nProbe=1 searches only the query's own cell (recall < exact is expected)") {
+    val centroids = embs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cell"), $"embedding".as("cvec"))
+    val ivf = Ann.ivfTopK(embs.filter($"vec_id" === 0), embs, centroids, "cell", "cvec",
+        "vec_id", "vec_id", "embedding", nProbe = 1, k = 3)
+      .collect().map(_.getAs[Long]("c_id")).toSet
+    // centroids are vectors 0..3, so v1 sits in its own cell 1; query 0's
+    // cell 0 holds v0 and the zero vector v5 (all-tie → lowest cell id)
+    ivf shouldBe Set(0L, 5L)
+  }
+}

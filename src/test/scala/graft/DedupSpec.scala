@@ -35,7 +35,7 @@ class DedupSpec extends SparkSpec with Matchers {
     val sigs = Dedup.minhashSignatures(docs.filter($"doc_id" =!= 5L),
       "text", "doc_id", shingleSize = 3, numHashes = 8)
     val rows = sigs.collect().map(r => r.getAs[Long]("doc_id") ->
-      (0 until 8).map(h => r.getAs[String](s"sig_$h"))).toMap
+      (0 until 8).map(h => r.getAs[Long](s"sig_$h"))).toMap
     rows(1L) shouldBe rows(2L)
     rows(1L) should not be rows(4L)
     // near-dup shares most (not necessarily all) signature slots

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a" * 600),           // 600 bytes → 3 frames of 256
+    (2L, "héllo"),             // multibyte: 5 chars, 6 bytes
+    (3L, "")).toDF("doc_id", "text")
+
+  test("binaryMeta: byte lengths (not char lengths), digest, magic bytes, frame count") {
+    val out = Multimodal.binaryMeta(
+        Multimodal.withBinaryPayload(docs, "text"), "payload")
+      .select("doc_id", "byte_len", "content_md5", "magic_hex", "n_frames")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("byte_len") shouldBe 600L
+    out(1L).getAs[Long]("n_frames") shouldBe 3L
+    out(2L).getAs[Long]("byte_len") shouldBe 6L // é is 2 bytes in UTF-8
+    out(2L).getAs[String]("magic_hex") shouldBe "68C3A96C" // h, é(2), l
+    out(3L).getAs[Long]("byte_len") shouldBe 0L
+    out(3L).getAs[Long]("n_frames") shouldBe 0L
+    out(1L).getAs[String]("content_md5") should have length 32
+  }
+
+  test("sampleFrames slices byte frames with stride; short payloads yield one frame") {
+    val out = Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(docs, "text"), "payload",
+        frameSize = 256, stride = 2)
+      .select("doc_id", "frames")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    // 3 frames (0,1,2), stride 2 keeps frames 0 and 2
+    out(1L).length shouldBe 2
+    out(1L).head.length shouldBe 256
+    out(1L)(1).length shouldBe 88 // 600 - 512
+    out(2L).length shouldBe 1
+    out(2L).head.length shouldBe 6
+  }
+
+  test("decodeFrameStub: deterministic 4-moment features; frame features flow through the UDF") {
+    Multimodal.decodeFrameStub(Array[Byte](0, 10, 20)) shouldBe
+      Multimodal.decodeFrameStub(Array[Byte](0, 10, 20))
+    Multimodal.decodeFrameStub(Array.emptyByteArray) shouldBe Array(0.0, 0.0, 0.0, 0.0)
+    val feats = Multimodal.extractFrameFeatures(
+        Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(docs.filter($"doc_id" === 1L), "text"), "payload"))
+      .select("frame_features").head().getSeq[Seq[Double]](0)
+    feats.length shouldBe 2
+    feats.head.length shouldBe 4
+    // all bytes are 'a' (97): mean 97, stddev 0, min 97, max 97
+    feats.head shouldBe Seq(97.0, 0.0, 97.0, 97.0)
+  }
+}

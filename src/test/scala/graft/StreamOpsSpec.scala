@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private lazy val events = Seq(
+    (1L, ts(0), 100L, "click", 1.0),
+    (2L, ts(10), 100L, "click", 2.0),   // same session (gap 10m)
+    (3L, ts(55), 100L, "view", 3.0),    // gap 45m → new session
+    (4L, ts(5), 200L, "click", 4.0))    // other user
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize: 30-min gap splits sessions per user; aggregates are exact") {
+    val out = StreamOps.sessionize(events, gapMinutes = 30)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) -> r).toMap
+    out.keySet shouldBe Set((100L, 1L), (100L, 2L), (200L, 1L))
+    val s1 = out((100L, 1L))
+    s1.getAs[Long]("n_events") shouldBe 2L
+    s1.getAs[String]("session_start") shouldBe "2026-01-01 10:00:00"
+    s1.getAs[String]("session_end") shouldBe "2026-01-01 10:10:00"
+    s1.getAs[Long]("value_milli") shouldBe 3000L
+    out((100L, 2L)).getAs[Long]("n_events") shouldBe 1L
+  }
+
+  test("hourlyRollup and slidingRollup shapes") {
+    val hourly = StreamOps.hourlyRollup(events).collect()
+    hourly.map(_.getAs[String]("hour")).distinct.toSeq shouldBe Seq("2026-01-01 10:00")
+    hourly.map(_.getAs[Long]("n_events")).sum shouldBe 4L
+    // sliding 1h/30m: every event lands in exactly 2 windows
+    val sliding = StreamOps.slidingRollup(events).collect()
+    sliding.map(_.getAs[Long]("n_events")).sum shouldBe 8L
+  }
+
+  test("sessionizeStream (flatMapGroupsWithState, event-time timeout) closes a session past the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val query = StreamOps.sessionizeStream(
+        input.toDS().toDF("user_id", "ts", "value"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("graft_sessions_test")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, ts(0), 1.0), (100L, ts(10), 2.0))
+      query.processAllAvailable()
+      // session still open — nothing emitted yet
+      spark.table("graft_sessions_test").count() shouldBe 0L
+      // an in-stream event past the gap closes the first session
+      input.addData((100L, ts(55), 3.0))
+      query.processAllAvailable()
+      val closed = spark.table("graft_sessions_test").collect()
+      closed.length shouldBe 1
+      closed.head.getAs[Long]("n_events") shouldBe 2L
+      closed.head.getAs[Long]("value_milli") shouldBe 3000L
+      closed.head.getAs[Long]("session_start_ms") shouldBe ts(0).getTime
+      closed.head.getAs[Long]("session_end_ms") shouldBe ts(10).getTime
+      // advance the watermark far past the open session's horizon:
+      // the event-time timeout flushes it without any user-100 event
+      input.addData((999L, Timestamp.valueOf("2026-01-01 14:00:00"), 0.0))
+      query.processAllAvailable()
+      input.addData((999L, Timestamp.valueOf("2026-01-01 15:00:00"), 0.0))
+      query.processAllAvailable()
+      val flushed = spark.table("graft_sessions_test")
+        .collect().filter(_.getAs[Long]("user_id") == 100L)
+      flushed.length shouldBe 2 // first session + timed-out second session
+    } finally query.stop()
+  }
+
+  test("streaming hourly rollup equals the batch rollup (AvailableNow, sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runHourlyRollupAvailableNow(spark, dir)
+      .orderBy("hour", "event_type").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = StreamOps.hourlyRollup(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .orderBy("hour", "event_type").collect().toSeq
+    streamed shouldBe batch
+  }
+}
