@@ -361,6 +361,19 @@ object SparkEntry {
     Analyze.pcaProject2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
       .orderBy("vec_id")
 
+  /** SQL front door: the native codegen kernels exposed as SQL
+    * functions (GraftExtensions) and driven through `spark.sql`. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    s.sql("""
+      SELECT vec_id,
+             graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                       CAST(embedding AS ARRAY<DOUBLE>)) AS sq_norm,
+             size(graft_shingles(array('a','b','c','d'), 3)) AS n_shingles
+      FROM graft_embeddings ORDER BY vec_id""")
+  }
+
   // ---------------------------------------------------------------------
   // Non-SQL-expressible operators (rows-only driver check; exact
   // semantics pinned by ScalaTest suites instead)
@@ -439,7 +452,8 @@ object SparkEntry {
     "q32_ivf_topk" -> (q32 _),
     "q33_sliding_window" -> (q33 _),
     "q34_venn_counts" -> (q34 _),
-    "q35_pca_projection" -> (q35 _))
+    "q35_pca_projection" -> (q35 _),
+    "q36_sql_native_funcs" -> (q36 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -903,5 +917,10 @@ object SparkEntry {
                      WHEN ia THEN 'a_only'
                      WHEN ib THEN 'b_only'
                      ELSE 'c_only' END AS region, count(*) AS n
-         FROM u GROUP BY 1 ORDER BY region""")
+         FROM u GROUP BY 1 ORDER BY region""",
+    "q36_sql_native_funcs" ->
+      """SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq_norm,
+           CAST(2 AS INTEGER) AS n_shingles
+         FROM embeddings ORDER BY vec_id""")
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration paths, same builders:
+  *  - cluster deployments: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` hook, applied at session
+  *    build time on every session of the cluster);
+  *  - an existing session (tests, notebooks): [[GraftExtensions.register]].
+  *
+  * After registration, `spark.sql` users get the codegen kernels
+  * directly: `graft_dot(a, b)`, `graft_shingles(words, n)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** (name, info, builder) triples shared by both registration paths. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - codegen dot product of two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot expects exactly 2 arguments")
+        DotProductExpr(args(0), args(1))
+      }),
+    ("graft_shingles",
+      info("graft_shingles",
+        "graft_shingles(words, n) - sliding word n-gram shingles over a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles expects exactly 2 arguments")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be an integer literal, got $other")
+        }
+        WordShinglesExpr(args(0), n)
+      }))
+
+  /** Register on an already-built session (the extensions hook only
+    * runs at builder time). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (name, i, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
+}
