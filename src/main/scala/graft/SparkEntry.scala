@@ -361,6 +361,26 @@ object SparkEntry {
     Analyze.pcaProject2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
       .orderBy("vec_id")
 
+  /** The reference's core ingest path (P1-P4/A1-A2: regex triplet
+    * projection → stack unpivot → dropna(all) → dedup → CT_ID
+    * sentinel impute) run over a part-table-shaped wide sheet, with
+    * planted nulls hitting both the sentinel and the all-null-triplet
+    * drop. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val t2null = col("p_partkey") % 13 === 0
+    val wide = part.select(
+      col("p_name").as("CT/1"),
+      when(col("p_partkey") % 7 === 0, lit(null))
+        .otherwise(col("p_partkey").cast("string")).as("CT/1/ID"),
+      col("p_brand").as("CT/1/LABEL"),
+      when(t2null, lit(null)).otherwise(col("p_type")).as("CT/2"),
+      when(t2null, lit(null)).otherwise(col("p_size").cast("string")).as("CT/2/ID"),
+      when(t2null, lit(null)).otherwise(col("p_brand")).as("CT/2/LABEL"))
+    graft.operators.Wrangle.wrangle(wide)
+      .orderBy("CT_ID", "CT_NAME", "CT_LABEL")
+  }
+
   /** SQL front door: the native codegen kernels exposed as SQL
     * functions (GraftExtensions) and driven through `spark.sql`. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
@@ -453,7 +473,8 @@ object SparkEntry {
     "q33_sliding_window" -> (q33 _),
     "q34_venn_counts" -> (q34 _),
     "q35_pca_projection" -> (q35 _),
-    "q36_sql_native_funcs" -> (q36 _))
+    "q36_sql_native_funcs" -> (q36 _),
+    "q37_wrangle_sheet" -> (q37 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -922,5 +943,26 @@ object SparkEntry {
       """SELECT vec_id,
            list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq_norm,
            CAST(2 AS INTEGER) AS n_shingles
-         FROM embeddings ORDER BY vec_id""")
+         FROM embeddings ORDER BY vec_id""",
+    "q37_wrangle_sheet" ->
+      """WITH t1 AS (
+           SELECT p_name AS CT_NAME,
+                  CASE WHEN p_partkey % 7 = 0 THEN NULL
+                       ELSE CAST(p_partkey AS VARCHAR) END AS CT_ID,
+                  p_brand AS CT_LABEL
+           FROM part
+         ), t2 AS (
+           SELECT CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_type END,
+                  CASE WHEN p_partkey % 13 = 0 THEN NULL
+                       ELSE CAST(p_size AS VARCHAR) END,
+                  CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_brand END
+           FROM part
+         ), u AS (
+           SELECT * FROM t1 UNION ALL SELECT * FROM t2
+         ), f AS (
+           SELECT DISTINCT * FROM u
+           WHERE NOT (CT_NAME IS NULL AND CT_ID IS NULL AND CT_LABEL IS NULL)
+         )
+         SELECT coalesce(CT_ID, 'ASCTB CT_ID UNK') AS CT_ID, CT_NAME, CT_LABEL
+         FROM f ORDER BY CT_ID, CT_NAME, CT_LABEL""")
 }
