@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+import graft.streaming.StreamOps
+
+/** Scale-up probe (dev tool): replicates the sf0.1 tables K× with
+  * re-keyed ids into /tmp, then times the shuffle-heavy operators at
+  * 1× and K× to observe the scaling exponent. Near-linear growth on
+  * the bucket-blocked paths is the design claim — this measures it.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_scale_x$k"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def replicate(name: String, idCol: String, idStep: Long): DataFrame = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until k).map(i =>
+        base.withColumn(idCol, col(idCol) + lit(i * idStep)))
+        .reduce(_ union _)
+    }
+    // ids re-keyed so replicas are near-dups (same content, new key) —
+    // the realistic dedup workload
+    replicate("documents", "doc_id", 1000000L)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    replicate("embeddings", "vec_id", 1000000L)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    replicate("events", "event_id", 10000000L)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    def time(name: String)(f: String => Long): Unit = {
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime(); val n = f(dir)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"  $name%-24s ${dir.split('/').last}%-18s $s%7.2f s  rows=$n")
+        s
+      }
+      val t1 = once(src)
+      val tk = once(dst)
+      println(f"  $name%-24s scaling: ${tk / t1}%.1fx wall for ${k}x data")
+    }
+
+    val planes = Ann.hyperplanes(64, 16, 42L)
+    time("minhash_neardup") { dir =>
+      Dedup.minhashNearDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        jaccardThreshold = 0.8).count()
+    }
+    time("lsh_banded_neardup") { dir =>
+      Ann.lshBandedNearDupPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        planes, 4, 0.45).count()
+    }
+    time("brute_topk_40q") { dir =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000),
+        e, "vec_id", "vec_id", "embedding", 5).count()
+    }
+    time("sessionize") { dir =>
+      StreamOps.sessionize(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))).count()
+    }
+    spark.stop()
+  }
+}
