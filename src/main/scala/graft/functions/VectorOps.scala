@@ -51,10 +51,9 @@ object VectorOps {
       (acc, x) => acc + x)
 
   /** L2-normalize a vector column (null-safe; zero vectors pass
-    * through unchanged to avoid NaN). */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    when(n === 0.0, a.cast("array<double>"))
-      .otherwise(transform(a.cast("array<double>"), x => x / n))
-  }
+    * through unchanged to avoid NaN). One-pass native expression —
+    * the `transform(a, x => x / l2Norm(a))` form recomputes the norm
+    * per element (O(d²), interpreted). */
+  def normalize(a: Column): Column =
+    toColumn(NormalizeExpr(toExpression(a.cast("array<double>"))))
 }

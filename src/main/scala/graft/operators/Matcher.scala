@@ -56,13 +56,15 @@ object Matcher {
     val qNorm = queries.withColumn("q_norm", VectorOps.l2Norm(col("qvec")))
 
     // one distributed similarity pass replaces the reference's
-    // per-label python loop (`main.py:198-211`)
+    // per-label python loop (`main.py:198-211`). Only (ref_row_id,
+    // score) ride along — the reference's display attributes join
+    // back AFTER top-k, so the |Q|·|C| sort never carries strings.
     val scored = qNorm.crossJoin(
         broadcast(ref.select(
-          col("ref_row_id"), col("CT_ID"), col("CT_NAME"), col("all_text"),
-          col(vecCol).as("ref_vec"), col("ref_norm"))))
+          col("ref_row_id"), col(vecCol).as("ref_vec"), col("ref_norm"))))
       .withColumn("score",
         VectorOps.cosineWithNorms(col("qvec"), col("q_norm"), col("ref_vec"), col("ref_norm")))
+      .drop("qvec", "q_norm", "ref_vec", "ref_norm")
 
     // top-k with the reference's deterministic tie-break: numpy
     // argsort stability ⇒ lower reference row index wins (`main.py:91`)
@@ -71,6 +73,10 @@ object Matcher {
     val topk = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      // late attribute fetch: |Q|·k rows join the broadcast reference
+      .join(broadcast(ref.select(
+          col("ref_row_id"), col("CT_ID"), col("CT_NAME"), col("all_text"))),
+        Seq("ref_row_id"))
 
     // rank pivot: long top-k → wide report columns (`main.py:207-211`)
     val pivoted = topk
