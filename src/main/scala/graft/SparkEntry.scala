@@ -361,6 +361,13 @@ object SparkEntry {
     Analyze.pcaProject2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
       .orderBy("vec_id")
 
+  /** SimHash near-duplicate pairs: 15-bit slice blocking (pigeonhole
+    * guarantee for small Hamming budgets) + exact Hamming verify. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
   /** The reference's core ingest path (P1-P4/A1-A2: regex triplet
     * projection → stack unpivot → dropna(all) → dedup → CT_ID
     * sentinel impute) run over a part-table-shaped wide sheet, with
@@ -474,7 +481,8 @@ object SparkEntry {
     "q34_venn_counts" -> (q34 _),
     "q35_pca_projection" -> (q35 _),
     "q36_sql_native_funcs" -> (q36 _),
-    "q37_wrangle_sheet" -> (q37 _))
+    "q37_wrangle_sheet" -> (q37 _),
+    "q38_simhash_neardup" -> (q38 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -706,6 +714,33 @@ object SparkEntry {
        )
        SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
        FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+  }
+
+  private def simhashNearDupOracle: String = {
+    val votes = (0 until 60).map(b =>
+      s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b_$b")
+      .mkString(", ")
+    val fp = (0 until 60).map(b =>
+      s"CASE WHEN b_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" | ")
+    val unions = (0 until 4).map(sl =>
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM sb a JOIN sb b
+            ON ((a.simhash >> ${sl * 15}) & 32767) = ((b.simhash >> ${sl * 15}) & 32767)
+           AND a.doc_id < b.doc_id""").mkString(" UNION ")
+    s"""WITH w AS (
+         SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
+         FROM documents
+       ), h AS (
+         SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w
+       ), v AS (
+         SELECT doc_id, $votes FROM h GROUP BY doc_id
+       ), sb AS (
+         SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v
+       ), p AS ($unions)
+       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+       ORDER BY id_a, id_b"""
   }
 
   private def sessionizeOracle: String =
@@ -964,5 +999,6 @@ object SparkEntry {
            WHERE NOT (CT_NAME IS NULL AND CT_ID IS NULL AND CT_LABEL IS NULL)
          )
          SELECT coalesce(CT_ID, 'ASCTB CT_ID UNK') AS CT_ID, CT_NAME, CT_LABEL
-         FROM f ORDER BY CT_ID, CT_NAME, CT_LABEL""")
+         FROM f ORDER BY CT_ID, CT_NAME, CT_LABEL""",
+    "q38_simhash_neardup" -> simhashNearDupOracle)
 }

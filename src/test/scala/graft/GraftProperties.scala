@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{DotProductExpr, NormalizeExpr, TextNlp, WordShinglesExpr}
+
+/** Property-based invariants (SURVEY.md §5.2.3). The custom Catalyst
+  * expressions are evaluated directly (interpreted eval path) — no
+  * SparkSession needed, so thousands of cases run in milliseconds. */
+object GraftProperties extends Properties("graft") {
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaChar, 2 -> Gen.numChar, 1 -> Gen.oneOf('-', '\'', '!')))
+      .map(_.mkString).suchThat(_.nonEmpty)
+
+  private val label: Gen[String] =
+    Gen.listOf(token).map(_.mkString(" "))
+
+  property("cleanToken is idempotent") = forAll(token) { w =>
+    val once = TextNlp.cleanToken(w)
+    TextNlp.cleanToken(once) == once
+  }
+
+  // cleanLabel is NOT idempotent in general — faithful to the
+  // reference (`main.py:82` = `' '.join(pipeline(w) for w in split())`):
+  //  (1) num2words expands "1234" to "one thousand, two hundred and
+  //      thirty-four", whose commas/hyphens a second pass strips;
+  //  (2) a token cleaning to "" (e.g. "s" → lemma → rstrip-'s' → "")
+  //      leaves a double space that only the next pass collapses.
+  // The true invariants:
+  property("cleanLabel is idempotent when every token cleans to non-empty") =
+    forAll(label) { s =>
+      val tokens = s.split("\\s+").filter(_.nonEmpty)
+      val wellBehaved = tokens.forall { t =>
+        val c = TextNlp.cleanToken(t)
+        c.nonEmpty && !c.contains(" ") && c.matches("[a-z0-9]*")
+      }
+      !wellBehaved || {
+        val once = TextNlp.cleanLabel(s)
+        TextNlp.cleanLabel(once) == once
+      }
+    }
+
+  property("cleanLabel stabilises after two passes (number-expansion quirk)") =
+    forAll(label) { s =>
+      val twice = TextNlp.cleanLabel(TextNlp.cleanLabel(s))
+      TextNlp.cleanLabel(twice) == twice
+    }
+
+  property("getRootWord never ends in 's'") = forAll(token) { w =>
+    !TextNlp.getRootWord(w.toLowerCase).endsWith("s")
+  }
+
+  property("numberToWords is alphabetic words for any digit string") =
+    forAll(Gen.choose(0L, 999999999999L)) { n =>
+      TextNlp.numberToWords(n.toString).matches("[a-z ,-]+")
+    }
+
+  property("tokensCleanDedup yields distinct cleaned tokens") = forAll(label) { s =>
+    val out = TextNlp.tokensCleanDedup(s, 150)
+    out.distinct == out
+  }
+
+  // --- native expression invariants (direct interpreted eval) -----------
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double =
+    DotProductExpr(
+      Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType)))
+      .eval(null).asInstanceOf[Double]
+
+  private val vec: Gen[Seq[Double]] =
+    Gen.choose(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-100.0, 100.0)).map(_.toSeq))
+
+  property("dot product is exactly symmetric") =
+    forAll(vec, vec) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      dot(a.take(n), b.take(n)) == dot(b.take(n), a.take(n))
+    }
+
+  property("dot(v, v) is non-negative") = forAll(vec) { v =>
+    dot(v, v) >= 0.0
+  }
+
+  property("normalize yields unit norm (or exact zero passthrough)") =
+    forAll(vec) { v =>
+      val out = NormalizeExpr(Literal.create(v, ArrayType(DoubleType)))
+        .eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      val sq = v.map(x => x * x).sum
+      if (sq == 0.0) out == v
+      else math.abs(math.sqrt(out.map(x => x * x).sum) - 1.0) < 1e-9
+    }
+
+  property("cosine built from dot stays within [-1, 1]") =
+    forAll(vec, vec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      val cos = if (denom == 0.0) 0.0 else dot(a, b) / denom
+      cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9
+    }
+
+  // --- shingle invariants -------------------------------------------------
+
+  private def shingles(words: Seq[String], n: Int): Seq[String] =
+    WordShinglesExpr(Literal.create(words, ArrayType(StringType)), n)
+      .eval(null).asInstanceOf[ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(_.toString).toSeq
+
+  private val words: Gen[Seq[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)).map(_.toSeq)
+
+  property("shingle count is max(len - n + 1, 1)") =
+    forAll(words, Gen.choose(1, 5)) { (ws, n) =>
+      shingles(ws, n).length == math.max(ws.length - n + 1, 1)
+    }
+
+  property("shingle i reconstructs words i..i+n-1") =
+    forAll(words.suchThat(_.length >= 3), Gen.choose(1, 3)) { (ws, n) =>
+      Prop.all(shingles(ws, n).zipWithIndex.map { case (sh, i) =>
+        Prop(sh == ws.slice(i, i + n).mkString(" ")) :| s"shingle $i"
+      }: _*)
+    }
+}
