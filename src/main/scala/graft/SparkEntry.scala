@@ -263,11 +263,17 @@ object SparkEntry {
   // north-star; Ann.scala)
   // ---------------------------------------------------------------------
 
-  /** 16 deterministic sign-LSH hyperplanes (seed 42) over the 64-d
+  /** 32 deterministic sign-LSH hyperplanes (seed 42) over the 64-d
     * embeddings — the SAME constants are inlined into the DuckDB
-    * oracles below, so bucket assignment is cross-engine checkable. */
-  private val lshPlanes = Ann.hyperplanes(dim = 64, nPlanes = 16, seed = 42L)
-  private val lshBandSize = 4
+    * oracles below, so bucket assignment is cross-engine checkable.
+    * Band size 8 (4 bands × 256 buckets): sized so expected bucket
+    * occupancy stays O(10) on this corpus — 4-bit bands put ~1/16 of
+    * the corpus in every bucket and candidate generation went
+    * quadratic (514k candidates for 80 true pairs at sf0.1; 8-bit
+    * bands cut that ~20×). The recall/cost knob of the classic
+    * r-of-L construction. */
+  private val lshPlanes = Ann.hyperplanes(dim = 64, nPlanes = 32, seed = 42L)
+  private val lshBandSize = 8
   private def lshBands = lshPlanes.grouped(lshBandSize).toSeq
 
   /** Exact brute-force cosine top-k: every 50th vector queries the

@@ -64,16 +64,25 @@ object Ann {
   def hyperplaneSqlLiteral(plane: Array[Double]): String =
     plane.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]::DOUBLE[]")
 
-  private def planeLit(plane: Array[Double]): Column =
-    array(plane.map(lit).toIndexedSeq: _*)
+
+  /** All band buckets of a vector in one native kernel: element `b`
+    * has bit `r` set iff `vec · plane_{b*bandSize+r} >= 0`. The plane
+    * matrix rides as expression state — the per-plane `when(dot(vec,
+    * array(lit…)))` fan-out inlined planes·dim double literals into
+    * the generated code and janino compile time dominated the query
+    * (measured: 32×64 literals cost more than the data pass at
+    * sf0.1). */
+  def bandBucketsExpr(vec: Column, planes: Seq[Array[Double]], bandSize: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.SignBucketsExpr(
+      toExpression(vec.cast("array<double>")), planes.toArray, bandSize))
+  }
 
   /** Sign-bit bucket of a vector: bit `i` set iff `vec · plane_i >= 0`.
     * One projection, `nPlanes` fused dot products — no explode, no
-    * join, stays in codegen. */
+    * join. */
   def bucketExpr(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(VectorOps.dotProduct(vec, planeLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    element_at(bandBucketsExpr(vec, planes, planes.length), 1)
 
   /** id → LSH bucket assignment. */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
@@ -108,19 +117,34 @@ object Ann {
                             planes: Seq[Array[Double]], bandSize: Int,
                             cosineThreshold: Double): DataFrame = {
     val bands = planes.grouped(bandSize).toSeq
-    val bucketed = embs.select(
-      Seq(col(idCol)) ++ bands.zipWithIndex.map { case (b, i) =>
-        bucketExpr(col(vecCol), b).as(s"bucket_$i")
-      }: _*)
-    val pairs = bands.indices.map { i =>
-      val a = bucketed.as("a")
-      val b = bucketed.as("b")
-      a.join(b, col(s"a.bucket_$i") === col(s"b.bucket_$i") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    }.reduce(_ union _).distinct()
+    // hoist the float→double widening: every dot product downstream
+    // casts its input, and a pre-widened column turns those into
+    // no-ops instead of one array allocation per plane per row
+    val embsD = embs.select(col(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val bucketed = embsD.select(
+      col(idCol),
+      bandBucketsExpr(col(vecCol), planes, bandSize).as("bks"))
+      .select(col(idCol), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    // ONE join keyed on (band, bucket) with first-match emission: a
+    // pair is produced only by the lowest band both sides share, so no
+    // cross-band `distinct` shuffle is needed — at scale the distinct's
+    // input would be every duplicate candidate occurrence.
+    val firstMatch = (0 until bands.length - 1)
+      .map { t =>
+        (col("a.band") <= t) ||
+          (element_at(col("a.bks"), t + 1) =!= element_at(col("b.bks"), t + 1))
+      }
+      .foldLeft(lit(true))(_ && _)
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
 
-    val n = embs.select(col(idCol), col(vecCol),
+    val n = embsD.select(col(idCol), col(vecCol),
       VectorOps.l2Norm(col(vecCol)).as("nrm"))
     pairs
       .join(n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na")), Seq("id_a"))

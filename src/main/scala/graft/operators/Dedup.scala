@@ -74,26 +74,37 @@ object Dedup {
     *
     * The band/bucket explode keys the shuffle on the band hash, so
     * only same-bucket documents are ever paired — the crucial
-    * difference from a quadratic self-join at 100 TB.
+    * difference from a quadratic self-join at 100 TB. Dedup across
+    * bands uses first-match emission (a pair is produced only by the
+    * FIRST band on which the two documents agree, enforced with a
+    * cheap per-pair predicate over the carried bucket array) instead
+    * of a `distinct` — at scale that removes an extra shuffle whose
+    * input is every duplicate candidate occurrence.
     */
   def minhashCandidatePairs(signatures: DataFrame, idCol: String,
                             numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    val bandCols = (0 until numBands).map { b =>
+    val bucketCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bucket"))
+      md5(concat_ws("|", parts: _*))
     }
     val banded = signatures
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol), array(bucketCols: _*).as("bks"))
+      .select(col(idCol), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
+    // emit only from the first agreeing band: every earlier band must differ
+    val firstMatch = (0 until numBands - 1)
+      .map { t =>
+        (col("a.band") <= t) ||
+          (element_at(col("a.bks"), t + 1) =!= element_at(col("b.bks"), t + 1))
+      }
+      .foldLeft(lit(true))(_ && _)
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
   }
 
   /** Full MinHash near-dup pipeline: signatures → banded candidates →
@@ -169,20 +180,30 @@ object Dedup {
     // of 60 bits must agree exactly on at least one slice when
     // maxHamming < 4 slices (pigeonhole); for larger budgets this is a
     // high-recall heuristic blocker.
+    def sliceKey(fp: Column, s: Int): Column =
+      shiftright(fp, s * 15).bitwiseAND(0x7fff)
     val sliced = fps.select(
       col(idCol), col("simhash"),
       explode(array((0 until 4).map(s =>
-        struct(lit(s).as("slice"),
-          shiftright(col("simhash"), s * 15).bitwiseAND(0x7fff).as("key"))): _*)).as("sl"))
+        struct(lit(s).as("slice"), sliceKey(col("simhash"), s).as("key"))): _*)).as("sl"))
       .select(col(idCol), col("simhash"), col("sl.slice"), col("sl.key"))
     val a = sliced.as("a")
     val b = sliced.as("b")
+    // first-match emission replaces a distinct over every duplicate
+    // candidate occurrence: a pair is produced only by its lowest
+    // agreeing slice (all earlier slices must differ — cheap bit math
+    // on the carried fingerprints, no extra shuffle).
+    val firstMatch = (0 until 3)
+      .map { t =>
+        (col("a.slice") <= t) ||
+          (sliceKey(col("a.simhash"), t) =!= sliceKey(col("b.simhash"), t))
+      }
+      .foldLeft(lit(true))(_ && _)
     a.join(b,
         col("a.slice") === col("b.slice") && col("a.key") === col("b.key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
