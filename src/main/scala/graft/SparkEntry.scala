@@ -437,8 +437,13 @@ object SparkEntry {
       .withColumn("all_text",
         coalesce(concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "),
           col("definition")), col("CT_NAME")))
+    // the prepared reference is referenced ~5× inside mapLabels (score
+    // side, per-rank attribute fetches, exact-match side); it is
+    // catalog-sized by construction, so cache the 301-row table once
+    // instead of re-running scan+embed+row_number per reference.
     val ref = Matcher.prepareReference(
       embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
+      .cache()
     Matcher.mapLabels(queries, ref, k = 2)
   }
 

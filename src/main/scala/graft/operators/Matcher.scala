@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftUdfs, VectorOps}
+import graft.functions.{GraftUdfs, TopKByScoreAgg, VectorOps}
 
 /** The flagship label-mapping query: raw labels → top-k reference
   * matches → wide translation report with exact-match overwrite.
@@ -67,32 +67,42 @@ object Matcher {
       .drop("qvec", "q_norm", "ref_vec", "ref_norm")
 
     // top-k with the reference's deterministic tie-break: numpy
-    // argsort stability ⇒ lower reference row index wins (`main.py:91`)
-    val w = Window.partitionBy(col("source"), col("raw_input_label"))
-      .orderBy(col("score").desc, col("ref_row_id").asc)
-    val topk = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      // late attribute fetch: |Q|·k rows join the broadcast reference
-      .join(broadcast(ref.select(
-          col("ref_row_id"), col("CT_ID"), col("CT_NAME"), col("all_text"))),
-        Seq("ref_row_id"))
-
-    // rank pivot: long top-k → wide report columns (`main.py:207-211`)
-    val pivoted = topk
+    // argsort stability ⇒ lower reference row index wins (`main.py:91`).
+    // A bounded-heap AGGREGATE ([[TopKByScoreAgg]]) replaces the
+    // row_number window: the window form must sort every query's full
+    // |C| candidate list before WindowGroupLimit truncates (the
+    // dominant flagship cost — a |Q|·|C|-row per-partition sort),
+    // while the aggregate streams candidates through a k-entry state
+    // with map-side partial merge. The upstream distinct's hash
+    // partitioning on (source, raw_input_label) satisfies the
+    // grouping, so NO new exchange appears — one shuffle end to end.
+    val agged = scored
       .groupBy(col("source"), col("raw_input_label"), col("cleaned_input_label"))
-      .pivot("rank", (1 to k).map(i => i: Integer))
-      .agg(
-        first(col("score")).as("score"),
-        first(col("CT_ID")).as("id"),
-        first(col("CT_NAME")).as("label"),
-        first(col("all_text")).as("text"))
-    val renamed = (1 to k).foldLeft(pivoted) { (df, i) =>
-      df.withColumnRenamed(s"${i}_score", s"match_score_$i")
-        .withColumnRenamed(s"${i}_id", s"matched_asctb_id_$i")
-        .withColumnRenamed(s"${i}_label", s"matched_asctb_label_$i")
-        .withColumnRenamed(s"${i}_text", s"matched_asctb_text_$i")
+      .agg(TopKByScoreAgg.topK(col("score"), col("ref_row_id"), k).as("__topk"))
+
+    // rank pivot is now a flat projection: element r of the sorted
+    // top-k array IS rank r (`main.py:207-211`'s wide columns), and
+    // each rank's display attributes join back from the broadcast
+    // reference — |Q| rows × k tiny joins, not a second aggregate.
+    val withRanks = (1 to k).foldLeft(agged) { (df, i) =>
+      val e = get(col("__topk"), lit(i - 1)) // null-safe past-the-end
+      df.withColumn(s"match_score_$i", e.getField("score"))
+        .withColumn(s"__ref_id_$i", e.getField("id"))
+    }.drop("__topk")
+    val fetched = (1 to k).foldLeft(withRanks) { (df, i) =>
+      df.join(
+        broadcast(ref.select(
+          col("ref_row_id").as(s"__ref_id_$i"),
+          col("CT_ID").as(s"matched_asctb_id_$i"),
+          col("CT_NAME").as(s"matched_asctb_label_$i"),
+          col("all_text").as(s"matched_asctb_text_$i"))),
+        Seq(s"__ref_id_$i"), "left")
     }
+    val renamed = fetched.select(
+      Seq(col("source"), col("raw_input_label"), col("cleaned_input_label")) ++
+        (1 to k).flatMap(i => Seq(
+          col(s"match_score_$i"), col(s"matched_asctb_id_$i"),
+          col(s"matched_asctb_label_$i"), col(s"matched_asctb_text_$i"))): _*)
 
     overwriteExactMatches(renamed, ref, k)
   }

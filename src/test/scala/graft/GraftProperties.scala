@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{DotProductExpr, NormalizeExpr, TextNlp, WordShinglesExpr}
+import graft.functions.{DotProductExpr, NormalizeExpr, TextNlp, TopKBuffer, WordShinglesExpr}
 
 /** Property-based invariants (SURVEY.md §5.2.3). The custom Catalyst
   * expressions are evaluated directly (interpreted eval path) — no
@@ -149,5 +149,40 @@ object GraftProperties extends Properties("graft") {
       Prop.all(shingles(ws, n).zipWithIndex.map { case (sh, i) =>
         Prop(sh == ws.slice(i, i + n).mkString(" ")) :| s"shingle $i"
       }: _*)
+    }
+
+  // --- bounded top-k aggregation buffer ---------------------------------
+
+  private val scoredIds: Gen[List[(Double, Long)]] =
+    Gen.listOf(for {
+      s <- Gen.chooseNum(-1.0, 1.0) // cosine range; finite by construction
+      i <- Gen.chooseNum(0L, 50L)   // small id space to force ties
+    } yield (s, i))
+
+  private def topKExpected(xs: List[(Double, Long)], k: Int): List[(Double, Long)] =
+    xs.sortBy { case (s, i) => (-s, i) }.take(k)
+
+  private def fill(k: Int, xs: Seq[(Double, Long)]): TopKBuffer = {
+    val b = new TopKBuffer(k)
+    xs.foreach { case (s, i) => b.insert(s, i) }
+    b
+  }
+
+  private def contents(b: TopKBuffer): List[(Double, Long)] =
+    (0 until b.size).map(i => (b.scores(i), b.ids(i))).toList
+
+  property("TopKBuffer equals sort-then-take-k (score desc, id asc)") =
+    forAll(scoredIds, Gen.choose(1, 5)) { (xs, k) =>
+      contents(fill(k, xs)) == topKExpected(xs, k)
+    }
+
+  property("TopKBuffer merge of any split equals single-pass fill") =
+    forAll(scoredIds, Gen.choose(1, 5), Gen.choose(0, 100)) { (xs, k, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.length + 1))
+      val merged = fill(k, l)
+      val other = fill(k, r)
+      var i = 0
+      while (i < other.size) { merged.insert(other.scores(i), other.ids(i)); i += 1 }
+      contents(merged) == topKExpected(xs, k)
     }
 }
