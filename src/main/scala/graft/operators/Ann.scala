@@ -156,6 +156,37 @@ object Ann {
 
   // --- exact top-k --------------------------------------------------------
 
+  /** Rank the top `k` (id, score) per `groupCol` with the (score desc,
+    * id asc) tie-break. Integral id columns go through
+    * [[graft.functions.TopKByScoreAgg]] — a bounded k-entry heap with
+    * map-side partial merge, so the |group|·|candidates| scored rows
+    * are never sorted and never shuffled (only k-entry states move).
+    * Non-integral ids fall back to the row_number window (same
+    * semantics; `WindowGroupLimit` truncates after a sort). */
+  private def rankTopK(scored: DataFrame, groupCol: String, idCol: String,
+                       scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema(idCol).dataType
+    val integral =
+      idType == LongType || idType == IntegerType || idType == ShortType || idType == ByteType
+    if (integral) {
+      scored
+        .groupBy(col(groupCol))
+        .agg(graft.functions.TopKByScoreAgg
+          .topK(col(scoreCol), col(idCol).cast("long"), k).as("__tk"))
+        .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col(groupCol), (col("__pos") + 1).as("rank"),
+          col("__e.id").cast(idType).as(idCol), col("__e.score").as(scoreCol))
+    } else {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(groupCol), col("rank"), col(idCol), col(scoreCol))
+    }
+  }
+
   /** Exact cosine top-k: every query row against a broadcast corpus.
     * Norms are materialised once per side, so the per-pair kernel is
     * a single fused dot product + one multiply-divide.
@@ -171,14 +202,10 @@ object Ann {
     val c = broadcast(corpus.select(
       col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec"))))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("c_id").asc)
-    q.crossJoin(c)
+    val scored = q.crossJoin(c)
       .withColumn("score", VectorOps.cosineWithNorms(
         col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+    rankTopK(scored, "q_id", "c_id", "score", k)
   }
 
   // --- IVF ---------------------------------------------------------------
@@ -234,13 +261,9 @@ object Ann {
       .filter(col("probe_rank") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
 
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("c_id").asc)
-    probes.join(indexed, Seq("cell"))
+    val scored = probes.join(indexed, Seq("cell"))
       .withColumn("score", VectorOps.cosineWithNorms(
         col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+    rankTopK(scored, "q_id", "c_id", "score", k)
   }
 }
