@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - an existing session (tests, notebooks): [[GraftExtensions.register]].
   *
   * After registration, `spark.sql` users get the codegen kernels
-  * directly: `graft_dot(a, b)`, `graft_shingles(words, n)`.
+  * directly: `graft_dot(a, b)`, `graft_shingles(words, n)`,
+  * `graft_topk(score, id, k)` (aggregate).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -46,6 +47,19 @@ object GraftExtensions {
             s"graft_shingles: n must be an integer literal, got $other")
         }
         WordShinglesExpr(args(0), n)
+      }),
+    ("graft_topk",
+      info("graft_topk",
+        "graft_topk(score, id, k) - aggregate: top-k (score, id) pairs per group, " +
+          "score desc then id asc, as a sorted array of structs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_topk expects exactly 3 arguments")
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk: k must be an integer literal, got $other")
+        }
+        TopKByScoreAgg(args(0), args(1), k).toAggregateExpression()
       }))
 
   /** Register on an already-built session (the extensions hook only

@@ -23,6 +23,23 @@ class GraftExtensionsSpec extends SparkSpec with Matchers {
     noException should be thrownBy new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("graft_topk aggregates top-k per group through spark.sql") {
+    GraftExtensions.register(spark)
+    spark.sql(
+      """SELECT * FROM VALUES
+           ('a', 0.9D, 1L), ('a', 0.9D, 0L), ('a', 0.5D, 2L),
+           ('b', 0.1D, 7L)
+         AS t(g, score, id)""").createOrReplaceTempView("graft_topk_in")
+    val rows = spark.sql(
+      """SELECT g, graft_topk(score, id, 2) AS tk
+         FROM graft_topk_in GROUP BY g ORDER BY g""").collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("a", "b")
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    a.map(r => (r.getDouble(0), r.getLong(1))) shouldBe Seq((0.9, 0L), (0.9, 1L))
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    b.map(r => (r.getDouble(0), r.getLong(1))) shouldBe Seq((0.1, 7L))
+  }
+
   test("graft_shingles rejects a non-literal n") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
