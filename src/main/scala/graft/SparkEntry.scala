@@ -367,6 +367,42 @@ object SparkEntry {
     Analyze.pcaProject2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
       .orderBy("vec_id")
 
+  /** Incremental embedding upsert through Structured Streaming
+    * (SURVEY §2.9's last planned extension): three staged versions of
+    * the documents table arrive one micro-batch each; only arriving
+    * rows are embedded; the parquet target is merged with
+    * max-version-wins (order-independent, so the streaming result
+    * equals the batch SQL oracle). Checked columns are the winning
+    * (doc_id, version, content md5) plus the embedding width — the
+    * dimension contract on the incrementally-embedded column. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    StreamOps.stageVersionFile(
+      docs.select(col("doc_id"), lit(0L).as("version"), col("text")),
+      s"$staging/v0.parquet")
+    StreamOps.stageVersionFile(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(1L).as("version"),
+          concat(col("text"), lit(" v1")).as("text")),
+      s"$staging/v1.parquet")
+    StreamOps.stageVersionFile(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          concat(col("text"), lit(" v2")).as("text")),
+      s"$staging/v2.parquet")
+    val target = s"$work/target"
+    StreamOps.embeddingUpsert(s, staging, target, s"$work/ckpt",
+      new HashingEmbedder(dim = 64))
+    s.read.parquet(target)
+      .select(col("doc_id"), col("version"),
+        md5(col("text")).as("content_md5"),
+        size(col("embedding")).cast("long").as("emb_dim"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-duplicate pairs: 15-bit slice blocking (pigeonhole
     * guarantee for small Hamming budgets) + exact Hamming verify. */
   private def q38(s: SparkSession, dir: String): DataFrame =
@@ -493,7 +529,8 @@ object SparkEntry {
     "q35_pca_projection" -> (q35 _),
     "q36_sql_native_funcs" -> (q36 _),
     "q37_wrangle_sheet" -> (q37 _),
-    "q38_simhash_neardup" -> (q38 _))
+    "q38_simhash_neardup" -> (q38 _),
+    "q39_stream_upsert" -> (q39 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1011,5 +1048,18 @@ object SparkEntry {
          )
          SELECT coalesce(CT_ID, 'ASCTB CT_ID UNK') AS CT_ID, CT_NAME, CT_LABEL
          FROM f ORDER BY CT_ID, CT_NAME, CT_LABEL""",
-    "q38_simhash_neardup" -> simhashNearDupOracle)
+    "q38_simhash_neardup" -> simhashNearDupOracle,
+    "q39_stream_upsert" ->
+      """WITH v0 AS (SELECT doc_id, 0 AS version, text FROM documents),
+         v1 AS (SELECT doc_id, 1 AS version, text || ' v1' AS text
+                FROM documents WHERE doc_id % 5 = 0),
+         v2 AS (SELECT doc_id, 2 AS version, text || ' v2' AS text
+                FROM documents WHERE doc_id % 7 = 0),
+         allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+         win AS (SELECT doc_id, version, text,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+                 FROM allv)
+         SELECT doc_id, CAST(version AS BIGINT) AS version,
+                md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
+         FROM win WHERE rn = 1 ORDER BY doc_id""")
 }

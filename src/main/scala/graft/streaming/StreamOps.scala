@@ -169,4 +169,80 @@ object StreamOps {
           }
       }
   }
+
+  // --- incremental embedding upsert (SURVEY §2.9) -----------------------
+
+  /** Schema of the staged upsert source files. */
+  private val upsertSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("version", LongType),
+    StructField("text", StringType)))
+
+  /** Write `df` as ONE parquet FILE at `filePath` (FileStreamSource
+    * lists plain files; a Spark output directory would not glob as
+    * one unit). */
+  def stageVersionFile(df: DataFrame, filePath: String): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(filePath + "__tmpdir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))(0).getPath
+    val dst = new org.apache.hadoop.fs.Path(filePath)
+    fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(tmp, true)
+  }
+
+  /** Merge one arriving (already embedded) batch into the parquet
+    * target: last-writer-wins per doc_id, the winner being the MAX
+    * `version` — deliberately order-independent, so the result is
+    * identical whatever order the streaming source delivers files in
+    * (and identical to the batch SQL oracle). Existing rows keep
+    * their stored embeddings; only arriving rows were embedded.
+    *
+    * The swap is write-next-then-rename on plain parquet — the
+    * container stand-in for a real table format's MERGE (Delta /
+    * Iceberg upsert at cluster scale); the streaming plumbing
+    * (incremental embedding, keyed merge, exactly-once per file via
+    * the checkpoint) is the portable part. */
+  private def upsertBatch(incoming: DataFrame, targetDir: String): Unit = {
+    val spark = incoming.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val unioned =
+      if (fs.exists(target)) spark.read.parquet(targetDir).unionByName(incoming)
+      else incoming
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    val merged = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val next = new org.apache.hadoop.fs.Path(targetDir + "__next")
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(target, true)
+    fs.rename(next, target)
+  }
+
+  /** Incremental embedding upsert, end to end: stream staged
+    * (doc_id, version, text) files one micro-batch per file, embed
+    * ONLY the rows that arrive, and upsert them into `targetDir` with
+    * max-version-wins semantics. AvailableNow drains the staging
+    * directory and terminates. */
+  def embeddingUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
+                      checkpointDir: String,
+                      embedder: graft.embed.Embedder): Unit = {
+    val src = spark.readStream
+      .schema(upsertSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/*.parquet")
+    val query = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(embedder.embed(batch.toDF(), "text", "embedding"), targetDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
 }

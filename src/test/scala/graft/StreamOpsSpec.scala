@@ -87,4 +87,40 @@ class StreamOpsSpec extends SparkSpec with Matchers {
       .orderBy("hour", "event_type").collect().toSeq
     streamed shouldBe batch
   }
+
+  test("embeddingUpsert: max-version wins and ONLY arriving rows are embedded") {
+    val work = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    StreamOps.stageVersionFile(
+      Seq((1L, 0L, "alpha beta"), (2L, 0L, "gamma delta"), (3L, 0L, "epsilon"))
+        .toDF("doc_id", "version", "text"),
+      s"$staging/v0.parquet")
+    StreamOps.stageVersionFile(
+      Seq((2L, 1L, "gamma delta UPDATED")).toDF("doc_id", "version", "text"),
+      s"$staging/v1.parquet")
+
+    val embedded = new java.util.concurrent.atomic.AtomicLong(0)
+    val counting = new graft.embed.Embedder {
+      private val inner = new graft.embed.HashingEmbedder(dim = 8)
+      override def embed(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         outCol: String): org.apache.spark.sql.DataFrame = {
+        embedded.addAndGet(df.count())
+        inner.embed(df, textCol, outCol)
+      }
+    }
+    StreamOps.embeddingUpsert(spark, staging, s"$work/target", s"$work/ckpt", counting)
+
+    val out = spark.read.parquet(s"$work/target")
+      .select("doc_id", "version", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    out shouldBe Map(
+      1L -> ((0L, "alpha beta")),
+      2L -> ((1L, "gamma delta UPDATED")),
+      3L -> ((0L, "epsilon")))
+    // incremental contract: 3 rows in batch v0 + 1 row in batch v1 —
+    // never the target re-embedded per batch
+    embedded.get() shouldBe 4L
+    spark.read.parquet(s"$work/target").schema("embedding").dataType.typeName shouldBe "array"
+  }
 }
