@@ -216,19 +216,43 @@ object Ann {
     * partitioned by `cell`. */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val cents = broadcast(centroids.select(
       col(centIdCol).as("cell"), col(centVecCol).as("cent_vec"))
       .withColumn("cent_nrm", VectorOps.l2Norm(col("cent_vec"))))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cent_score").desc, col("cell").asc)
-    vectors
+    val scored = vectors
       .withColumn("v_nrm", VectorOps.l2Norm(col(vecCol)))
       .crossJoin(cents)
       .withColumn("cent_score", VectorOps.cosineWithNorms(
         col(vecCol), col("v_nrm"), col("cent_vec"), col("cent_nrm")))
-      .withColumn("cent_rank", row_number().over(w))
-      .filter(col("cent_rank") === 1)
-      .drop("cent_vec", "cent_nrm", "cent_score", "cent_rank")
+    val cellType = cents.schema("cell").dataType
+    val integral = cellType == LongType || cellType == IntegerType ||
+      cellType == ShortType || cellType == ByteType
+    if (integral) {
+      // argmax as a bounded top-1 aggregate: the cross-joined rows
+      // carry every vector |cells| times, and the window form would
+      // push ALL of them through the exchange and a sort. Map-side
+      // partial aggregation collapses each vector to ONE k=1 state
+      // (plus first() of its carried columns) before any shuffle —
+      // a |cells|× reduction on the index-build shuffle.
+      val carried = vectors.columns.filter(_ != idCol).toSeq
+      scored
+        .groupBy(col(idCol))
+        .agg(
+          graft.functions.TopKByScoreAgg
+            .topK(col("cent_score"), col("cell").cast("long"), 1).as("__tk"),
+          carried.map(c => first(col(c)).as(c)): _*)
+        .select(
+          Seq(col(idCol)) ++ carried.map(col) :+
+            col("__tk").getItem(0).getField("id").cast(cellType).as("cell"): _*)
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_score").desc, col("cell").asc)
+      scored
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") === 1)
+        .drop("cent_vec", "cent_nrm", "cent_score", "cent_rank")
+    }
   }
 
   /** IVF approximate top-k: corpus vectors live in centroid cells;
