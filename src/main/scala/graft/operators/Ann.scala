@@ -28,9 +28,12 @@ import graft.functions.VectorOps
   *     per-query work drops by ~nProbe/C while the window/topk shape
   *     stays identical to brute force.
   *
-  * Everything is pure Catalyst (higher-order functions + window), so
-  * plans stay inside whole-stage codegen; hyperplanes/centroids are
-  * deterministic, making every tier oracle-checkable cross-engine.
+  * Kernels are native: dot products via [[graft.functions.DotProductExpr]]
+  * (codegen), bucketing via [[graft.functions.SignBucketsExpr]] (plane
+  * matrix as expression state), and small-k ranking via
+  * [[graft.functions.TopKByScoreAgg]] (bounded heap, map-side partial
+  * merge — candidate lists are never sorted). Hyperplanes/centroids
+  * are deterministic, making every tier oracle-checkable cross-engine.
   */
 object Ann {
 
