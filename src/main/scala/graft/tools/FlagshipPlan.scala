@@ -12,6 +12,13 @@ object FlagshipPlan {
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // TypedImperativeAggregate (TopKByScoreAgg) runs on
+      // ObjectHashAggregateExec, which falls back to SORT-based
+      // aggregation after 128 distinct keys per partition by default —
+      // re-introducing exactly the candidate-list sort the aggregate
+      // exists to avoid (measured 6x on the flagship at 8x data).
+      // States are ~100-byte bounded heaps, so a high threshold is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val embedder = new HashingEmbedder(dim = 64)

@@ -3,7 +3,9 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup}
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Ann, Dedup, Matcher}
 import graft.streaming.StreamOps
 
 /** Scale-up probe (dev tool): replicates the sf0.1 tables K× with
@@ -18,6 +20,7 @@ object ScaleProbe {
     val dst = s"/tmp/graft_scale_x$k"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,7 +52,7 @@ object ScaleProbe {
       println(f"  $name%-24s scaling: ${tk / t1}%.1fx wall for ${k}x data")
     }
 
-    val planes = Ann.hyperplanes(64, 16, 42L)
+    val planes = Ann.hyperplanes(64, 32, 42L)
     time("minhash_neardup") { dir =>
       Dedup.minhashNearDuplicates(
         spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
@@ -58,12 +61,48 @@ object ScaleProbe {
     time("lsh_banded_neardup") { dir =>
       Ann.lshBandedNearDupPairs(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        planes, 4, 0.45).count()
+        planes, 8, 0.45).count()
     }
     time("brute_topk_40q") { dir =>
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000),
         e, "vec_id", "vec_id", "embedding", 5).count()
+    }
+    time("simhash_neardup") { dir =>
+      Dedup.simhashNearDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        maxHamming = 8).count()
+    }
+    time("flagship_matcher") { dir =>
+      // queries grow with the data; the reference side stays
+      // catalog-sized (the realistic scale-up shape)
+      val embedder = new HashingEmbedder(dim = 64)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // tag the label with the replica id so the distinct query set
+      // actually grows with the data (identical replica text would
+      // otherwise collapse in the distinct)
+      val raw = docs.select(col("source"),
+          concat_ws(" ",
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+            concat(lit("r"), floor(col("doc_id") / 1000000L).cast("string")))
+            .as("raw_input_label"))
+        .distinct()
+        .withColumn("cleaned_input_label", GraftUdfs.cleanLabel(col("raw_input_label")))
+      val queries = embedder.embed(raw, "cleaned_input_label", "qvec")
+      val part = spark.read.parquet(s"$src/part.parquet")
+        .filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("string").as("CT_ID"),
+          col("p_name").as("CT_NAME"), col("p_brand").as("CT_LABEL"),
+          col("p_type").as("definition"))
+        .withColumn("all_text",
+          coalesce(concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "),
+            col("definition")), col("CT_NAME")))
+      val ref = Matcher.prepareReference(
+        embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
+        .cache()
+      val n = Matcher.mapLabels(queries, ref, k = 2).count()
+      ref.unpersist()
+      n
     }
     time("sessionize") { dir =>
       StreamOps.sessionize(
