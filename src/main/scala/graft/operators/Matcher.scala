@@ -18,12 +18,19 @@ import graft.functions.{GraftUdfs, TopKByScoreAgg, VectorOps}
   *          → cosine → window top-k → rank pivot → exact-overwrite join
   *
   * Physical profile: 2 broadcasts (reference table; exact-match
-  * lookup), 1 shuffle (hash partition by query label for the window +
-  * pivot — same keys, so Catalyst reuses the exchange), no other wide
-  * ops. The query side stays distributed — at 100 TB of labels this
-  * scales linearly with executors; the reference side is broadcast
-  * (reference tables are catalog-sized by construction: 83 rows for
-  * Lung v1.2).
+  * lookup), 1 shuffle (hash partition by query label — the top-k
+  * aggregate reuses the upstream distinct's partitioning), no other
+  * wide ops, and no sort of the candidate set anywhere. The query
+  * side stays distributed — at 100 TB of labels this scales linearly
+  * with executors; the reference side is broadcast (reference tables
+  * are catalog-sized by construction: 83 rows for Lung v1.2).
+  *
+  * Session note: raise
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (128
+  * by default) — the bounded top-k aggregate runs on
+  * ObjectHashAggregateExec, and the default threshold silently falls
+  * back to sort-based aggregation beyond 128 groups per partition,
+  * re-introducing the sort this operator is designed to avoid.
   */
 object Matcher {
 
