@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of common elements of two string-array SETS (callers pass
+  * `array_distinct` outputs), as one hash-probe loop per row.
+  *
+  * Replaces the explode-join intersection count in the Jaccard
+  * verification (`pairs ⋈ shingles(a) ⋈ shingles(b) → groupBy(pair)`)
+  * whose intermediate is |pairs|·|shingles-per-doc| rows plus a
+  * re-aggregation shuffle — at 8× sf0.1 that was ~52M joined rows and
+  * ~16 s of the 19.6 s minhash pipeline. Here each candidate pair
+  * carries its two (distinct) shingle arrays and pays O(|a|+|b|)
+  * probes in-place: no explosion, no extra shuffle.
+  *
+  * `array_intersect` + `size` would compute the same value but builds
+  * the intersection ARRAY per row (and is interpreted per element);
+  * this needs only the count.
+  *
+  * CodegenFallback costs one boxed call per row; DedupSpec pins
+  * equality with the explode-join form.
+  */
+case class ArrayIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, big) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val n = small.numElements()
+    val set = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    var count = 0L
+    val m = big.numElements()
+    i = 0
+    while (i < m) {
+      if (set.contains(big.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}

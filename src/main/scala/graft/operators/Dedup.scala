@@ -118,28 +118,29 @@ object Dedup {
     withJ.filter(col("jaccard") >= jaccardThreshold)
   }
 
-  /** Exact shingle-set Jaccard for given candidate pairs, via
-    * explode + equality join on the shingle (oracle-friendly: no
-    * array set-ops, just counting — same plan any SQL engine can
-    * express). */
+  /** Exact shingle-set Jaccard for given candidate pairs. Each pair
+    * fetches its two (distinct) shingle arrays by key join and pays
+    * one in-place hash-probe intersection count
+    * ([[graft.functions.ArrayIntersectCountExpr]]) — the first cut
+    * exploded shingles and equality-joined them back per pair, whose
+    * intermediate is |pairs|·|shingles/doc| rows plus a re-aggregation
+    * shuffle (~16 s of the 19.6 s minhash pipeline at 8× sf0.1; the
+    * value computed is identical and the DuckDB oracle keeps the
+    * explode-join SQL form). */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
                      idCol: String, shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    def intersectCount(a: Column, b: Column): Column =
+      toColumn(graft.functions.ArrayIntersectCountExpr(toExpression(a), toExpression(b)))
     val docShingles = docs.select(
       col(idCol),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = docShingles.select(col(idCol), size(col("sh")).as("n_sh"))
-    val tok = docShingles.select(col(idCol), explode(col("sh")).as("shingle"))
-    val inter = pairs
-      .join(tok.as("ta"), col("id_a") === col(s"ta.$idCol"))
-      .join(tok.as("tb"),
-        col("id_b") === col(s"tb.$idCol") && col("ta.shingle") === col("tb.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .join(docShingles.select(col(idCol).as("id_a"), col("sh").as("__sh_a")), Seq("id_a"))
+      .join(docShingles.select(col(idCol).as("id_b"), col("sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("n_inter", intersectCount(col("__sh_a"), col("__sh_b")))
+      .withColumn("n_a", size(col("__sh_a")))
+      .withColumn("n_b", size(col("__sh_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
