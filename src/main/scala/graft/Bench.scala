@@ -30,15 +30,26 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+    // best-of-N timed passes (default 2): single-pass numbers swing
+    // ±30% on sub-second queries from GC/scheduling noise; the min is
+    // the standard stable estimator of steady-state cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val passes = (1 to reps).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            }
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = passes.head.keys.map { name =>
+      name -> passes.map(_(name)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -146,25 +146,20 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
-  /** 64-bit SimHash fingerprint per document: each distinct word
-    * votes ±1 on each bit of its md5-derived 64-bit hash; the sign of
-    * each bit-sum forms the fingerprint. One explode + one aggregate.
-    * Near-dups are pairs within `maxHamming` bits. */
+  /** 60-bit SimHash fingerprint per document: each distinct word
+    * votes ±1 on each bit of its md5-derived 60-bit hash (first 15
+    * hex chars — cross-engine-reproducible); the sign of each
+    * bit-sum forms the fingerprint. Computed as a pure projection by
+    * [[graft.functions.SimhashExpr]] — the relational form (explode +
+    * 60-buffer vote aggregate over every exploded word row) pays a
+    * shuffle and 60 conditional sums per word for the identical
+    * value. Near-dups are pairs within `maxHamming` bits. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // 60 bits from the first 15 hex chars (fits a signed long), as a
-    // cross-engine-reproducible word hash
-    val wordHash = conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
-    val words = docs
-      .select(col(idCol), explode(array_distinct(split(col(textCol), "\\s+"))).as("word"))
-      .withColumn("h", wordHash)
-    val bitVotes = (0 until 60).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$bit")
-    }
-    val voted = words.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 60).map { bit =>
-      when(col(s"b_$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    voted.select(col(idCol), fp.as("simhash"))
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    docs.select(
+      col(idCol),
+      toColumn(graft.functions.SimhashExpr(
+        toExpression(array_distinct(split(col(textCol), "\\s+"))))).as("simhash"))
   }
 
   /** Hamming distance between two simhash fingerprints. */

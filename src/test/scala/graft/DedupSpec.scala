@@ -80,6 +80,31 @@ class DedupSpec extends SparkSpec with Matchers {
     java.lang.Long.bitCount(fps(1L) ^ fps(4L)) should be > 10
   }
 
+
+  test("SimhashExpr is bit-identical to the relational md5/conv/vote form") {
+    // the DuckDB oracle keeps exactly this SQL formulation — pin the
+    // native kernel against it on real text
+    val sample = docs.select($"doc_id", $"text")
+    val relational = {
+      val wordHash = conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+      val words = sample
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("word"))
+        .withColumn("h", wordHash)
+      val bitVotes = (0 until 60).map { bit =>
+        sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$bit")
+      }
+      val voted = words.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      val fp = (0 until 60).map { bit =>
+        when(col(s"b_$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      voted.select(col("doc_id"), fp.as("simhash"))
+    }
+    val native = Dedup.simhash(sample, "text", "doc_id")
+    val rel = relational.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nat shouldBe rel
+  }
+
   test("simhashNearDuplicates blocks then verifies hamming distance") {
     val nd = Dedup.simhashNearDuplicates(docs.filter($"doc_id" =!= 5L),
       "text", "doc_id", maxHamming = 8)
