@@ -48,6 +48,20 @@ object GraftExtensions {
         }
         WordShinglesExpr(args(0), n)
       }),
+    ("graft_intersect_count",
+      info("graft_intersect_count",
+        "graft_intersect_count(a, b) - count of common elements of two string-array sets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_intersect_count expects exactly 2 arguments")
+        ArrayIntersectCountExpr(args(0), args(1))
+      }),
+    ("graft_simhash",
+      info("graft_simhash",
+        "graft_simhash(words) - 60-bit simhash of a distinct word array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash expects exactly 1 argument")
+        SimhashExpr(args(0))
+      }),
     ("graft_topk",
       info("graft_topk",
         "graft_topk(score, id, k) - aggregate: top-k (score, id) pairs per group, " +

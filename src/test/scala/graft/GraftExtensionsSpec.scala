@@ -23,6 +23,18 @@ class GraftExtensionsSpec extends SparkSpec with Matchers {
     noException should be thrownBy new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("graft_intersect_count and graft_simhash run through spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_intersect_count(array('a', 'b', 'c'), array('b', 'c', 'd')) AS n,
+                graft_simhash(array('hello')) AS fp""").head()
+    row.getLong(0) shouldBe 2L
+    // single word: fingerprint = the word's own 60-bit hash
+    val expected = spark.sql(
+      "SELECT CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT)").head().getLong(0)
+    row.getLong(1) shouldBe expected
+  }
+
   test("graft_topk aggregates top-k per group through spark.sql") {
     GraftExtensions.register(spark)
     spark.sql(
