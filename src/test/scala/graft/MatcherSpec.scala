@@ -35,6 +35,18 @@ class MatcherSpec extends SparkSpec with Matchers {
     out.getAs[Double]("match_score_1") shouldBe 1.0 +- 1e-12
   }
 
+  test("k larger than the corpus: missing ranks are null, no ANSI crash") {
+    // 3-row reference, k=5 — ranks 4..5 have no candidate; the rank
+    // projection must read past the top-k array's end null-safely
+    // (ANSI mode turns a plain element access into an error)
+    val out = Matcher.mapLabels(
+      queries(("t", "small corpus", Seq(1.0, 0.5))), ref, k = 5).head()
+    out.getAs[String]("matched_asctb_id_3") should not be null
+    out.isNullAt(out.fieldIndex("match_score_4")) shouldBe true
+    out.isNullAt(out.fieldIndex("matched_asctb_id_4")) shouldBe true
+    out.isNullAt(out.fieldIndex("matched_asctb_text_5")) shouldBe true
+  }
+
   test("report has the reference's wide schema for k=2") {
     val out = Matcher.mapLabels(queries(("t", "x", Seq(1.0, 1.0))), ref, k = 2)
     out.columns.toSeq shouldBe Seq(
