@@ -483,6 +483,48 @@ object SparkEntry {
     Matcher.mapLabels(queries, ref, k = 2)
   }
 
+  /** Frozen 8-d vector derived from the md5 of a key string:
+    * component i = integer value of hex pair i. Deterministic,
+    * engine-independent, and DuckDB-recomputable — the components are
+    * small integers (0..255), so every dot product / norm in the
+    * matcher is an EXACT double and the scores are bit-identical
+    * across engines regardless of accumulation order. */
+  private def frozenVec(key: Column): Column =
+    array((0 until 8).map(i =>
+      conv(substring(md5(key), 2 * i + 1, 2), 16, 10).cast("double")): _*)
+
+  /** The flagship matcher (q24's crossJoin → bounded-heap top-k →
+    * rank pivot → exact-overwrite, `main.py:171-221`) run with its two
+    * non-SQL seams — embedder and label cleaner — swapped for
+    * DuckDB-expressible substitutes (md5-derived frozen vectors;
+    * `lower`). Same operator code end to end, so this converts the
+    * headline query from spec-pinned to oracle-proven (rows + schema +
+    * hash). 'planted' queries ARE reference CT_NAMEs, exercising the
+    * exact-overwrite path (score 1.0, slots 2..k nulled) in the hash
+    * check too. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val part300 = t(s, dir, "part").filter(col("p_partkey") <= 300)
+    val fromDocs = t(s, dir, "documents").select(col("source"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("raw_input_label"))
+    val planted = part300.filter(col("p_partkey") % 50 === 0)
+      .select(lit("planted").as("source"), col("p_name").as("raw_input_label"))
+    val queries = fromDocs.union(planted).distinct()
+      .withColumn("cleaned_input_label", lower(col("raw_input_label")))
+      .withColumn("qvec", frozenVec(col("cleaned_input_label")))
+
+    val ref0 = part300
+      .select(col("p_partkey").cast("string").as("CT_ID"),
+        col("p_name").as("CT_NAME"), col("p_brand").as("CT_LABEL"),
+        col("p_type").as("definition"))
+      .withColumn("all_text",
+        concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "), col("definition")))
+      .withColumn("embedding", frozenVec(col("all_text")))
+    val ref = Matcher.prepareReference(ref0, "embedding", Seq("CT_ID"),
+      cleaner = lower).cache()
+    Matcher.mapLabels(queries, ref, k = 2)
+      .orderBy("source", "raw_input_label")
+  }
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -530,7 +572,8 @@ object SparkEntry {
     "q36_sql_native_funcs" -> (q36 _),
     "q37_wrangle_sheet" -> (q37 _),
     "q38_simhash_neardup" -> (q38 _),
-    "q39_stream_upsert" -> (q39 _))
+    "q39_stream_upsert" -> (q39 _),
+    "q40_label_match_frozen" -> (q40 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -789,6 +832,89 @@ object SparkEntry {
        ), p AS ($unions)
        SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
        ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB twin of [[frozenVec]]: 8 exact small-integer doubles from
+    * the md5 hex pairs of `keyExpr`. */
+  private def frozenVecSql(keyExpr: String): String =
+    (0 until 8).map(i =>
+      s"('0x' || substr(md5($keyExpr), ${2 * i + 1}, 2))::BIGINT::DOUBLE")
+      .mkString("[", ", ", "]")
+
+  /** Full DuckDB replay of the flagship matcher with the frozen
+    * embedder + `lower` cleaner (q40): crossJoin cosine → top-2 with
+    * the lower-ref_row_id tie-break → rank pivot → exact-overwrite
+    * (first-row-wins, definition-vs-all_text asymmetry, rank-2
+    * nulling). Every stage mirrors Matcher.mapLabels /
+    * overwriteExactMatches one-to-one. */
+  private def labelMatchFrozenOracle: String = {
+    def cos(av: String, an: String, bv: String, bn: String) =
+      s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
+    s"""WITH p AS (
+         SELECT CAST(p_partkey AS VARCHAR) AS ct_id, p_name AS ct_name,
+                p_brand AS ct_label, p_type AS def,
+                p_name || ' ' || p_brand || ' ' || p_type AS all_text
+         FROM part WHERE p_partkey <= 300
+       ), ref AS (
+         SELECT ct_id, ct_name, def, all_text,
+                row_number() OVER (ORDER BY ct_id) AS ref_row_id,
+                ${frozenVecSql("all_text")} AS v
+         FROM p
+       ), refn AS (
+         SELECT *, sqrt(list_dot_product(v, v)) AS nrm FROM ref
+       ), rawq AS (
+         SELECT DISTINCT source, raw FROM (
+           SELECT source,
+                  array_to_string((string_split(text, ' '))[1:3], ' ') AS raw
+           FROM documents
+           UNION ALL
+           SELECT 'planted' AS source, p_name AS raw
+           FROM part WHERE p_partkey <= 300 AND p_partkey % 50 = 0
+         )
+       ), q AS (
+         SELECT source, raw, lower(raw) AS cleaned,
+                ${frozenVecSql("lower(raw)")} AS qv
+         FROM rawq
+       ), qn AS (
+         SELECT *, sqrt(list_dot_product(qv, qv)) AS qnrm FROM q
+       ), s AS (
+         SELECT qn.source, qn.raw, qn.cleaned, r.ref_row_id,
+                ${cos("qn.qv", "qn.qnrm", "r.v", "r.nrm")} AS score
+         FROM qn CROSS JOIN refn r
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY source, raw
+                     ORDER BY score DESC, ref_row_id ASC) AS rnk
+         FROM s
+       ), wide AS (
+         SELECT source, raw, cleaned,
+           max(CASE WHEN rnk = 1 THEN score END) AS sc1,
+           max(CASE WHEN rnk = 1 THEN ref_row_id END) AS rid1,
+           max(CASE WHEN rnk = 2 THEN score END) AS sc2,
+           max(CASE WHEN rnk = 2 THEN ref_row_id END) AS rid2
+         FROM rk WHERE rnk <= 2 GROUP BY source, raw, cleaned
+       ), ex AS (
+         SELECT ekey, eid, ename, edef FROM (
+           SELECT lower(ct_name) AS ekey, ct_id AS eid, ct_name AS ename,
+                  def AS edef,
+                  row_number() OVER (PARTITION BY lower(ct_name)
+                    ORDER BY ref_row_id ASC) AS rn
+           FROM ref)
+         WHERE rn = 1
+       )
+       SELECT w.source, w.raw AS raw_input_label, w.cleaned AS cleaned_input_label,
+         CASE WHEN e.ekey IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE w.sc1 END AS match_score_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.eid ELSE r1.ct_id END AS matched_asctb_id_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.ename ELSE r1.ct_name END AS matched_asctb_label_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.edef ELSE r1.all_text END AS matched_asctb_text_1,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE w.sc2 END AS match_score_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_id END AS matched_asctb_id_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_name END AS matched_asctb_label_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.all_text END AS matched_asctb_text_2
+       FROM wide w
+       LEFT JOIN ex e ON e.ekey = w.cleaned
+       LEFT JOIN ref r1 ON r1.ref_row_id = w.rid1
+       LEFT JOIN ref r2 ON r2.ref_row_id = w.rid2
+       ORDER BY w.source, raw_input_label"""
   }
 
   private def sessionizeOracle: String =
@@ -1061,5 +1187,6 @@ object SparkEntry {
                  FROM allv)
          SELECT doc_id, CAST(version AS BIGINT) AS version,
                 md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
-         FROM win WHERE rn = 1 ORDER BY doc_id""")
+         FROM win WHERE rn = 1 ORDER BY doc_id""",
+    "q40_label_match_frozen" -> labelMatchFrozenOracle)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,12 +43,20 @@ object Matcher {
     * `ref` must have columns CT_ID, CT_NAME, all_text, definition and
     * `vecCol`; `orderCols` fixes what "first row" means (file order
     * in the reference — pass an explicit ordering for determinism).
+    *
+    * `cleaner` is the label-normalisation stage applied to CT_NAME for
+    * exact matching — a pluggable seam like the embedder. Production
+    * default is the full reference NLP pipeline
+    * (`nlp_preprocessing.py:86-99`); the frozen-vector oracle variant
+    * (q40) injects a SQL-expressible cleaner so DuckDB can replay the
+    * whole matcher.
     */
-  def prepareReference(ref: DataFrame, vecCol: String, orderCols: Seq[String]): DataFrame = {
+  def prepareReference(ref: DataFrame, vecCol: String, orderCols: Seq[String],
+                       cleaner: Column => Column = GraftUdfs.cleanLabel(_)): DataFrame = {
     val w = Window.orderBy(orderCols.map(col): _*)
     ref
       .withColumn("ref_row_id", row_number().over(w).cast("long"))
-      .withColumn("CT_NAME_CLEANED", GraftUdfs.cleanLabel(col("CT_NAME")))
+      .withColumn("CT_NAME_CLEANED", cleaner(col("CT_NAME")))
       .withColumn("ref_norm", VectorOps.l2Norm(col(vecCol)))
   }
 
