@@ -200,28 +200,55 @@ object StreamOps {
     * (and identical to the batch SQL oracle). Existing rows keep
     * their stored embeddings; only arriving rows were embedded.
     *
-    * The swap is write-next-then-rename on plain parquet — the
-    * container stand-in for a real table format's MERGE (Delta /
-    * Iceberg upsert at cluster scale); the streaming plumbing
-    * (incremental embedding, keyed merge, exactly-once per file via
-    * the checkpoint) is the portable part. */
-  private def upsertBatch(incoming: DataFrame, targetDir: String): Unit = {
-    val spark = incoming.sparkSession
+    * The target is PARTITIONED by `bucket = doc_id mod nBuckets`, and
+    * a batch rewrites ONLY the buckets its doc_ids land in: read side
+    * prunes to the touched partitions, write side swaps just those
+    * bucket directories. Per-batch cost is O(|batch| + |touched
+    * buckets|), NOT O(|target|) — the property that lets the upsert
+    * survive a 100 TB target (size nBuckets so one bucket is an
+    * executor-memory-sized slice). The directory swap is the plain-FS
+    * stand-in for dynamic partition overwrite / a table format's
+    * MERGE (Delta / Iceberg), which replace the same per-partition
+    * commit transactionally on a real cluster. */
+  private def upsertBatch(batch: DataFrame, targetDir: String,
+                          embedder: graft.embed.Embedder, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(targetDir)
+    val bucketOf = pmod(col("doc_id"), lit(nBuckets.toLong))
+    // Touched buckets from the RAW batch, before the embed stage — a
+    // scan of the one staged file yielding ≤ nBuckets small integers:
+    // partition METADATA (the same list dynamic partition overwrite
+    // discovers), not a data collect.
+    val touched = batch.select(bucketOf.as("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    // only arriving rows are embedded — once, inside the merge job
+    val inc = embedder.embed(batch, "text", "embedding")
+      .withColumn("bucket", bucketOf)
     val unioned =
-      if (fs.exists(target)) spark.read.parquet(targetDir).unionByName(incoming)
-      else incoming
+      if (fs.exists(target))
+        spark.read.parquet(targetDir)
+          // partition-dir inference types bucket as int; align with inc
+          .withColumn("bucket", col("bucket").cast("long"))
+          .filter(col("bucket").isin(touched: _*)) // partition pruning
+          .unionByName(inc)
+      else inc
     val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
     val merged = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val next = new org.apache.hadoop.fs.Path(targetDir + "__next")
-    merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(target, true)
-    fs.rename(next, target)
+    val delta = new org.apache.hadoop.fs.Path(targetDir + "__delta")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(delta.toString)
+    fs.mkdirs(target)
+    // swap ONLY the touched bucket directories
+    fs.globStatus(new org.apache.hadoop.fs.Path(delta, "bucket=*")).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
+      fs.delete(dst, true)
+      fs.rename(st.getPath, dst)
+    }
+    fs.delete(delta, true)
   }
 
   /** Incremental embedding upsert, end to end: stream staged
@@ -231,14 +258,15 @@ object StreamOps {
     * directory and terminates. */
   def embeddingUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
                       checkpointDir: String,
-                      embedder: graft.embed.Embedder): Unit = {
+                      embedder: graft.embed.Embedder,
+                      nBuckets: Int = 16): Unit = {
     val src = spark.readStream
       .schema(upsertSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stagingDir/*.parquet")
     val query = src.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        upsertBatch(embedder.embed(batch.toDF(), "text", "embedding"), targetDir)
+        upsertBatch(batch.toDF(), targetDir, embedder, nBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

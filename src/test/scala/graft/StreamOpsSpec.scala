@@ -123,4 +123,45 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     embedded.get() shouldBe 4L
     spark.read.parquet(s"$work/target").schema("embedding").dataType.typeName shouldBe "array"
   }
+
+  test("embeddingUpsert rewrites ONLY the buckets a batch touches") {
+    val work = java.nio.file.Files.createTempDirectory("graft_upsert_bkt_").toString
+    val staging = s"$work/staging"
+    val target = s"$work/target"
+    new java.io.File(staging).mkdirs()
+    val emb = new graft.embed.HashingEmbedder(dim = 8)
+
+    // batch 1: doc_ids 0..15 populate all 16 buckets
+    StreamOps.stageVersionFile(
+      (0L to 15L).map(i => (i, 0L, s"doc $i")).toDF("doc_id", "version", "text"),
+      s"$staging/v0.parquet")
+    StreamOps.embeddingUpsert(spark, staging, target, s"$work/ckpt", emb)
+
+    def bucketMtimes(): Map[String, Long] =
+      new java.io.File(target).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max)
+        .toMap
+    val before = bucketMtimes()
+    before.keySet should have size 16
+
+    // batch 2 (same checkpoint — only the new file is processed):
+    // doc_ids 3 and 5 touch exactly buckets 3 and 5
+    Thread.sleep(1100) // mtime granularity
+    StreamOps.stageVersionFile(
+      Seq((3L, 1L, "doc 3 v1"), (5L, 1L, "doc 5 v1")).toDF("doc_id", "version", "text"),
+      s"$staging/v1.parquet")
+    StreamOps.embeddingUpsert(spark, staging, target, s"$work/ckpt", emb)
+
+    val after = bucketMtimes()
+    val rewritten = after.keySet.filter(k => after(k) != before(k))
+    rewritten shouldBe Set("bucket=3", "bucket=5")
+    // merged content is still max-version-wins over the whole target
+    val versions = spark.read.parquet(target)
+      .select("doc_id", "version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    versions(3L) shouldBe 1L
+    versions(5L) shouldBe 1L
+    versions.values.count(_ == 0L) shouldBe 14
+  }
 }
