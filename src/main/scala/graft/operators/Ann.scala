@@ -87,6 +87,31 @@ object Ann {
   def bucketExpr(vec: Column, planes: Seq[Array[Double]]): Column =
     element_at(bandBucketsExpr(vec, planes, planes.length), 1)
 
+  /** Train an IVF codebook with k-means (MLlib, fixed seed) — the
+    * index-build's training pass. At 100 TB you fit on a sample (one
+    * scan feeding a driver-side Lloyd's loop over k·dim doubles) and
+    * persist the centroids; the result here is the same catalog-sized
+    * (cell: int, cvec: array<double>) table [[ivfTopK]] expects.
+    * Deterministic for a given (data, k, seed, maxIter). */
+  def trainCodebook(vectors: DataFrame, vecCol: String, k: Int,
+                    seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // train on L2-normalized copies: cell assignment downstream is by
+    // COSINE, and for unit vectors the L2 ordering k-means optimises
+    // coincides with the cosine ordering (spherical k-means
+    // approximation) — unnormalized inputs cluster by magnitude and
+    // cost real recall.
+    val feats = vectors.select(
+      array_to_vector(VectorOps.normalize(col(vecCol))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "cvec")
+  }
+
   /** id → LSH bucket assignment. */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
                  planes: Seq[Array[Double]]): DataFrame =
@@ -231,6 +256,8 @@ object Ann {
     val cellType = cents.schema("cell").dataType
     val integral = cellType == LongType || cellType == IntegerType ||
       cellType == ShortType || cellType == ByteType
+    // both branches return the identical schema: idCol, carried..., cell
+    val carried = vectors.columns.filter(_ != idCol).toSeq
     if (integral) {
       // argmax as a bounded top-1 aggregate: the cross-joined rows
       // carry every vector |cells| times, and the window form would
@@ -238,7 +265,6 @@ object Ann {
       // partial aggregation collapses each vector to ONE k=1 state
       // (plus first() of its carried columns) before any shuffle —
       // a |cells|× reduction on the index-build shuffle.
-      val carried = vectors.columns.filter(_ != idCol).toSeq
       scored
         .groupBy(col(idCol))
         .agg(
@@ -254,7 +280,7 @@ object Ann {
       scored
         .withColumn("cent_rank", row_number().over(w))
         .filter(col("cent_rank") === 1)
-        .drop("cent_vec", "cent_nrm", "cent_score", "cent_rank")
+        .select(Seq(col(idCol)) ++ carried.map(col) :+ col("cell"): _*)
     }
   }
 

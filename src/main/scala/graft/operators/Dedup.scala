@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
-
 /** Large-scale document deduplication — the training-data-pipeline
   * generalisation of the reference's `drop_duplicates`
   * (`asctb_data_wrangling.py:109`) to 100 TB corpora.
@@ -204,28 +202,27 @@ object Dedup {
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Blocked by
-    * sign-bit LSH against `hyperplanes` — a small broadcast side with
+    * sign-bit LSH against `hyperplanes` — a small table with
     * (hpIdCol: int 0..H-1, hpVecCol: vector) — so the self-join is
-    * bucket-local; exact cosine verifies. Bucket = Σ sign_h · 2^h,
-    * computed order-independently (no collect_list ordering hazard).
+    * bucket-local; exact cosine verifies. Bucket = Σ sign_h · 2^h.
+    *
+    * Delegates to [[Ann.lshNearDupPairs]]: the hyperplane table
+    * (catalog-sized by contract — it was a broadcast side) is
+    * materialised into the plane matrix of the native
+    * [[graft.functions.SignBucketsExpr]] kernel, so bucketing is one
+    * codegen projection per row instead of a crossJoin(planes) +
+    * groupBy(id) shuffle with per-plane float `pow` bit math.
     */
   def embeddingNearDuplicates(embs: DataFrame, vecCol: String, idCol: String,
                               hyperplanes: DataFrame, hpIdCol: String, hpVecCol: String,
                               cosineThreshold: Double): DataFrame = {
-    val hp = broadcast(hyperplanes.select(
-      col(hpIdCol).cast("int").as("hp_id"), col(hpVecCol).as("hp_vec")))
-    val buckets = embs.select(col(idCol), col(vecCol)).crossJoin(hp)
-      .withColumn("bit",
-        when(VectorOps.dotProduct(col(vecCol), col("hp_vec")) >= 0,
-          pow(lit(2.0), col("hp_id")).cast("long")).otherwise(lit(0L)))
-      .groupBy(col(idCol))
-      .agg(sum(col("bit")).as("bucket"))
-    val withBucket = embs.select(col(idCol), col(vecCol)).join(buckets, Seq(idCol))
-    val a = withBucket.as("a")
-    val b = withBucket.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
-      .filter(col("cos") >= cosineThreshold)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
+    val planes = hyperplanes
+      .select(col(hpIdCol).cast("int").as("hp_id"),
+        col(hpVecCol).cast("array<double>").as("hp_vec"))
+      .collect() // H plane rows — operator parameters, not data
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+      .toSeq
+    Ann.lshNearDupPairs(embs, idCol, vecCol, planes, cosineThreshold)
   }
 }

@@ -77,6 +77,39 @@ class AnnSpec extends SparkSpec with Matchers {
     ivf shouldBe bf
   }
 
+  // Note: the synthetic embeddings are near-uniform on the sphere —
+  // IVF's worst case (no cluster structure, so recall ≈ fraction of
+  // cells probed; measured curve is in the test output). On real
+  // embedding corpora with cluster structure the same operator gets
+  // high recall at small nProbe; here we pin the operator properties:
+  // recall is monotone in nProbe, ≥0.9 at nProbe=8/12, and exactly
+  // 1.0 when every cell is probed.
+  test("trainCodebook + ivfTopK: recall vs brute force is monotone, >=0.9 at nProbe=8, exact at full probe") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" % 25 === 0)
+    val codebook = Ann.trainCodebook(e, "embedding", k = 12)
+    codebook.count() shouldBe 12L
+    // training is deterministic: same data, k, seed → same centroids
+    val again = Ann.trainCodebook(e, "embedding", k = 12)
+    codebook.orderBy("cell").collect().map(_.getSeq[Double](1)) shouldBe
+      again.orderBy("cell").collect().map(_.getSeq[Double](1))
+    val bf = Ann.bruteForceTopK(queries, e, "vec_id", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recalls = (1 to 12).map { np =>
+      val ivf = Ann.ivfTopK(queries, e, codebook, "cell", "cvec",
+          "vec_id", "vec_id", "embedding", nProbe = np, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      np -> (ivf intersect bf).size.toDouble / bf.size
+    }
+    info(s"recall curve: ${recalls.map { case (n, r) => s"$n:$r" }.mkString(" ")}")
+    withClue(s"recall curve $recalls: ") {
+      recalls.sliding(2).foreach { case Seq((_, lo), (_, hi)) => hi should be >= lo }
+      recalls.toMap.apply(8) should be >= 0.9
+      recalls.last._2 shouldBe 1.0
+    }
+  }
+
   test("ivfTopK with nProbe=1 searches only the query's own cell (recall < exact is expected)") {
     val centroids = embs.filter($"vec_id" < 4)
       .select($"vec_id".as("cell"), $"embedding".as("cvec"))
