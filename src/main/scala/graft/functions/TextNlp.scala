@@ -155,27 +155,24 @@ object TextNlp extends Serializable {
 
   // --- lemmatizer (WordNet-morphy noun rules) ---------------------------
 
-  /** Irregular noun plurals (subset of WordNet's noun.exc exception
-    * list — common words plus the biomedical terms that appear in
-    * ASCT+B labels). */
-  val lemmaExceptions: Map[String, String] = Map(
-    "men" -> "man", "women" -> "woman", "children" -> "child",
-    "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
-    "mice" -> "mouse", "lice" -> "louse", "people" -> "person",
-    "oxen" -> "ox", "dice" -> "die",
-    // identity exceptions: lexicon words that end like plurals
-    "series" -> "series", "species" -> "species", "axis" -> "axis",
-    "analysis" -> "analysis", "basis" -> "basis", "crisis" -> "crisis",
-    "mucus" -> "mucus", "plexus" -> "plexus", "villus" -> "villus",
-    "nucleus" -> "nucleus", "fungus" -> "fungus",
-    // latin plurals common in anatomy
-    "nuclei" -> "nucleus", "villi" -> "villus", "fungi" -> "fungus",
-    "alveoli" -> "alveolus", "bronchi" -> "bronchus",
-    "glomeruli" -> "glomerulus", "cilia" -> "cilium",
-    "ganglia" -> "ganglion", "mitochondria" -> "mitochondrion",
-    "epithelia" -> "epithelium", "endothelia" -> "endothelium",
-    "bacteria" -> "bacterium", "criteria" -> "criterion",
-    "phenomena" -> "phenomenon", "corpora" -> "corpus")
+  /** Noun exception table in WordNet noun.exc format ("inflected
+    * lemma" per line), vendored as a resource: standard irregular
+    * plurals, Latin/Greek scientific plurals, and identity entries
+    * that emulate the lexicon check morphy performs before accepting a
+    * detachment (without them the bare men→man rule turns "abdomen"
+    * into "abdoman" — WordNet rejects that candidate because it is
+    * not in the lexicon and keeps the original).
+    * (`nlp_preprocessing.py:34-36` uses the full WordNet lemmatizer.) */
+  val lemmaExceptions: Map[String, String] = {
+    val stream = getClass.getResourceAsStream("/graft/noun_exceptions.txt")
+    require(stream != null, "missing resource graft/noun_exceptions.txt")
+    try scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val p = l.split("\\s+"); p(0) -> p(1) }
+      .toMap
+    finally stream.close()
+  }
 
   /** WordNet morphy noun detachment rules, in morphy's order; the
     * first applicable rule wins (we have no full lexicon to validate

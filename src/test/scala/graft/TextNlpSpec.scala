@@ -27,6 +27,30 @@ class TextNlpSpec extends AnyFunSuite {
     assert(TextNlp.getRootWord("children") == "child")
   }
 
+  test("lemmatize matches WordNet on lexicon-dependent words (vendored noun exceptions)") {
+    // irregulars the detachment rules get wrong
+    assert(TextNlp.lemmatize("wives") == "wife")      // ves->f would give "wif"
+    assert(TextNlp.lemmatize("knives") == "knife")
+    assert(TextNlp.lemmatize("leaves") == "leaf")
+    assert(TextNlp.lemmatize("indices") == "index")   // no ces rule exists
+    assert(TextNlp.lemmatize("matrices") == "matrix")
+    assert(TextNlp.lemmatize("criteria") == "criterion")
+    assert(TextNlp.lemmatize("diagnoses") == "diagnosis") // ses->s would give "diagnose"
+    assert(TextNlp.lemmatize("vertebrae") == "vertebra")
+    assert(TextNlp.lemmatize("septa") == "septum")
+    // identity entries emulate morphy's lexicon check: without them the
+    // men->man rule mangles lexicon words ending in -men
+    assert(TextNlp.lemmatize("abdomen") == "abdomen")
+    assert(TextNlp.lemmatize("specimen") == "specimen")
+    assert(TextNlp.lemmatize("foramen") == "foramen")
+    assert(TextNlp.lemmatize("rabies") == "rabies")   // ies->y would give "raby"
+    assert(TextNlp.lemmatize("riches") == "riches")   // ches->ch would give "rich"
+    // full-pipeline parity with the reference (lemmatize + rstrip 's')
+    assert(TextNlp.getRootWord("abdomen") == "abdomen")
+    assert(TextNlp.getRootWord("wives") == "wife")
+    assert(TextNlp.getRootWord("diagnoses") == "diagnosi") // NLTK "diagnosis", then rstrip
+  }
+
   test("numberToWords matches num2words en formatting") {
     assert(TextNlp.numberToWords("0") == "zero")
     assert(TextNlp.numberToWords("15") == "fifteen")
