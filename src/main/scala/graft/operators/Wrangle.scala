@@ -104,6 +104,47 @@ object Wrangle {
       .drop("ct_id_underscore")
   }
 
+  /** url → response body, or None for a failed request (the
+    * reference's status_code != 200 check,
+    * `asctb_data_wrangling.py:147-148`). Production wires an HTTP
+    * client pooled per executor; tests — and this zero-egress build —
+    * inject a fake, so the operator's dataflow is fully testable
+    * offline. */
+  trait Transport extends Serializable {
+    def fetch(url: String): Option[String]
+  }
+
+  /** OLS term-lookup URL for an underscore-form CT_ID — the
+    * reference's ONTOBEE_BASE_URL (`asctb_data_wrangling.py:135`). */
+  def olsTermUrl(ctIdUnderscore: String): String =
+    "http://www.ebi.ac.uk/ols/api/ontologies/cl/terms?iri=" +
+      "http%3A%2F%2Fpurl.obolibrary.org%2Fobo%2F" + ctIdUnderscore
+
+  /** Live-mode ontology enrichment — the online counterpart of
+    * [[enrich]] (`asctb_data_wrangling.py:124-137,205`).
+    *
+    * The reference issues one blocking GET per ROW, refetching
+    * duplicate CT_IDs. Here the id set is distinct-reduced first (a
+    * shuffle carrying one short string per distinct term), fetched
+    * partition-at-a-time via `mapPartitions` — so total fetches =
+    * |distinct ids| and they parallelise across executors — and the
+    * parsed bodies feed the exact same broadcast-join path as the
+    * offline [[enrich]]. Failed fetches parse to the 'NaN' definition
+    * sentinel, as in the reference. */
+  def enrichOnline(asctb: DataFrame, transport: Transport): DataFrame = {
+    val spark = asctb.sparkSession
+    import spark.implicits._
+    val distinctIds = asctb
+      .select(regexp_replace(col("CT_ID"), ":", "_").as("id"))
+      .na.drop().distinct()
+    val bodies = distinctIds.as[String]
+      .mapPartitions(ids => ids.map(id => (id, transport.fetch(olsTermUrl(id)).orNull)))
+      .toDF("ct_id_underscore", "body")
+    val (label, definition) = parseOlsResponse(col("body"))
+    enrich(asctb, bodies.select(
+      col("ct_id_underscore"), label.as("label"), definition.as("definition")))
+  }
+
   /** JSON extraction used by the online OLS source (`asctb_data_wrangling.py:155,176-181`):
     * label and first definition from an OLS term response body. */
   def parseOlsResponse(body: org.apache.spark.sql.Column)

@@ -65,6 +65,48 @@ class WrangleSpec extends SparkSpec with Matchers {
     out("CL:3") shouldBe (("NaN", "unknown cell UK NaN"))
   }
 
+  test("enrichOnline: one fetch per DISTINCT id, output identical to offline enrich") {
+    val asctb = Seq(
+      ("CL:1", "alveolar cell", "AT1"),
+      ("CL:1", "alveolar cell again", "AT1b"), // duplicate id → no refetch
+      ("CL:2", "basal cell", "BC"),
+      ("CL:9", "unknown cell", "UK"))          // fetch fails → 'NaN'
+      .toDF("CT_ID", "CT_NAME", "CT_LABEL")
+    def body(label: String, definition: String) =
+      s"""{"_embedded":{"terms":[{"label":"$label","annotation":{"definition":["$definition"]}}]}}"""
+    // captured by the transport closure: locals only (a matcher or
+    // outer-method call in fetch would drag the whole spec — and its
+    // SparkSession — into the task closure)
+    val bodies = Map(
+      "CL_1" -> body("alveolar label", "a type I pneumocyte"),
+      "CL_2" -> body("basal label", "a basal epithelial cell"))
+    val fetches = spark.sparkContext.longAccumulator("fetches")
+    val fake = new Wrangle.Transport {
+      override def fetch(url: String): Option[String] = {
+        fetches.add(1)
+        require(url.startsWith("http://www.ebi.ac.uk/ols/api/ontologies/cl/terms?iri="))
+        bodies.get(url.substring(url.lastIndexOf("%2F") + 3)) // miss → non-200
+      }
+    }
+    val online = Wrangle.enrichOnline(asctb, fake)
+      .select("CT_ID", "CT_NAME", "definition", "all_text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    fetches.value shouldBe 3L // CL:1 (once), CL:2, CL:9 — never per row
+    online(("CL:1", "alveolar cell")) shouldBe
+      (("a type I pneumocyte", "alveolar cell AT1 a type I pneumocyte"))
+    online(("CL:9", "unknown cell")) shouldBe (("NaN", "unknown cell UK NaN"))
+    // fixture-identical to the offline path fed the equivalent lookup
+    val offline = Wrangle.enrich(asctb, Seq(
+        ("CL_1", "alveolar label", "a type I pneumocyte"),
+        ("CL_2", "basal label", "a basal epithelial cell"))
+        .toDF("ct_id_underscore", "label", "definition"))
+      .select("CT_ID", "CT_NAME", "definition", "all_text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    online shouldBe offline
+  }
+
   test("parseOlsResponse extracts label and first definition; missing → 'NaN'") {
     val body =
       """{"_embedded":{"terms":[{"label":"type I pneumocyte",
