@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of common elements of two string-array SETS (callers pass
@@ -25,7 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * equality with the explode-join form.
   */
 case class ArrayIntersectCountExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = LongType
 
@@ -38,11 +43,15 @@ case class ArrayIntersectCountExpr(left: Expression, right: Expression)
     val n = small.numElements()
     val set = new java.util.HashSet[UTF8String](n * 2)
     var i = 0
-    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      if (small.isNullAt(i)) return null // null element → null count
+      set.add(small.getUTF8String(i)); i += 1
+    }
     var count = 0L
     val m = big.numElements()
     i = 0
     while (i < m) {
+      if (big.isNullAt(i)) return null
       if (set.contains(big.getUTF8String(i))) count += 1
       i += 1
     }

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen dot product over two `array<double>` columns.
   *
@@ -21,15 +21,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `list_dot_product` oracle parity is preserved.
   *
   * Semantics notes (vs the zip_with form): inputs are expected to be
-  * equal-length, null-free numeric arrays (embedding columns);
-  * mismatched lengths dot the common prefix rather than yielding
-  * null.
+  * equal-length numeric arrays (embedding columns); mismatched
+  * lengths dot the common prefix rather than yielding null. A null
+  * ELEMENT nulls the whole result (the zip_with form's null
+  * propagation); ImplicitCastInputTypes makes the analyzer coerce
+  * e.g. array<int> SQL inputs instead of the unsafe accessor reading
+  * int words as doubles.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  // callers (VectorOps.dotProduct) always cast both sides to
-  // array<double>, so no ExpectsInputTypes coercion is needed
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def nullable: Boolean = true
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_dot"
@@ -41,6 +47,7 @@ case class DotProductExpr(left: Expression, right: Expression)
     var i = 0
     var s = 0.0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -56,9 +63,10 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

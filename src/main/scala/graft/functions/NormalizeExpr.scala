@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (sklearn parity — same convention as VectorOps.cosine).
   */
 case class NormalizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] = Seq(ArrayType(DoubleType))
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -26,7 +30,12 @@ case class NormalizeExpr(child: Expression)
     val n = arr.numElements()
     var i = 0
     var sq = 0.0
-    while (i < n) { val v = arr.getDouble(i); sq += v * v; i += 1 }
+    // a null element nulls the result (the transform form's propagation)
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getDouble(i); sq += v * v; i += 1
+    }
+    i = 0
     if (sq == 0.0) {
       arr.copy()
     } else {

@@ -2,10 +2,10 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 60-bit SimHash of a (distinct) word array in ONE pass per row.
   *
@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * form.
   */
 case class SimhashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] = Seq(ArrayType(StringType))
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = LongType
 
@@ -39,6 +43,7 @@ case class SimhashExpr(child: Expression)
     val n = words.numElements()
     var i = 0
     while (i < n) {
+      if (words.isNullAt(i)) return null // null element → null fingerprint
       md.reset()
       val bytes = md.digest(words.getUTF8String(i).getBytes)
       // first 15 hex chars = bytes 0..6 in full + high nibble of byte 7

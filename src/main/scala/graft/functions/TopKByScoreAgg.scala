@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -47,9 +47,14 @@ case class TopKByScoreAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] {
+    extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k >= 1, "k must be >= 1")
+
+  // analyzer-inserted casts (or an analysis error) instead of a
+  // runtime ClassCastException when the SQL surface passes e.g. an
+  // int score
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
 
@@ -130,9 +135,17 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size: Int = 0
 
-  /** true if (s1, i1) ranks strictly before (s2, i2). */
-  @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** true if (s1, i1) ranks strictly before (s2, i2).
+    * java.lang.Double.compare, not primitive >: primitive comparisons
+    * are all-false for NaN, which would silently DROP NaN scores here
+    * while the row_number window fallback (Ann.rankTopK) sorts NaN as
+    * the largest double — the two documented-identical branches would
+    * diverge. Double.compare orders NaN greatest (and -0.0 < 0.0),
+    * matching Spark's total sort order. */
+  @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size == k && !before(s, id, scores(size - 1), ids(size - 1))) return

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -24,9 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the surrounding projection stays in whole-stage codegen.
   */
 case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
   require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] = Seq(ArrayType(StringType))
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -37,6 +41,11 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val len = words.numElements()
+    var chk = 0
+    while (chk < len) { // null token → null result (HOF-form propagation)
+      if (words.isNullAt(chk)) return null
+      chk += 1
+    }
     if (len < n) {
       val all = new Array[UTF8String](len)
       var i = 0

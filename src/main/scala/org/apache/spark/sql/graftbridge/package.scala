@@ -15,4 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` (the supertype `ExpectsInputTypes.inputTypes`
+    * needs) is `private[sql]` in Spark 4; re-export it so graft
+    * expressions can declare coercible input types. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

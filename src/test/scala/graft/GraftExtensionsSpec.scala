@@ -52,6 +52,33 @@ class GraftExtensionsSpec extends SparkSpec with Matchers {
     b.map(r => (r.getDouble(0), r.getLong(1))) shouldBe Seq((0.1, 7L))
   }
 
+  test("SQL inputs coerce: int arrays / int scores get analyzer casts, not wrong bytes") {
+    GraftExtensions.register(spark)
+    // pre-fix, graft_dot over array<int> read int-backed UnsafeArrayData
+    // via getDouble → silently wrong numbers
+    val d = spark.sql(
+      "SELECT graft_dot(array(1, 2, 3), array(4, 5, 6)) AS d").head().getDouble(0)
+    d shouldBe 32.0
+    // pre-fix, a non-double score threw ClassCastException at execution
+    val tk = spark.sql(
+      """SELECT graft_topk(score, id, 1) AS tk FROM VALUES (3, 7), (9, 5) AS t(score, id)""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    tk.map(r => (r.getDouble(0), r.getLong(1))) shouldBe Seq((9.0, 5L))
+  }
+
+  test("null array elements propagate to a null result (HOF-form parity)") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d,
+                graft_simhash(array('a', CAST(NULL AS STRING))) AS fp,
+                graft_intersect_count(array('a', CAST(NULL AS STRING)), array('a')) AS n,
+                graft_shingles(array('a', CAST(NULL AS STRING)), 2) AS sh""").head()
+    row.isNullAt(0) shouldBe true
+    row.isNullAt(1) shouldBe true
+    row.isNullAt(2) shouldBe true
+    row.isNullAt(3) shouldBe true
+  }
+
   test("graft_shingles rejects a non-literal n") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

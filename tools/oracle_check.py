@@ -8,6 +8,7 @@ run the oracle SQL in DuckDB over views registered for each testdata
 table, sort columns by name, sort rows, and compare row counts +
 per-cell values (exact for ints/strings, 1e-9 rel tol for floats).
 """
+import decimal
 import json
 import math
 import os
@@ -79,9 +80,28 @@ def main(sf_dir, out_dir):
                   f"duck={duck.num_rows}")
             n_fail += 1
             continue
-        # None-safe sort key: python3 can't compare None with int/str
+        # Type-aware, None-safe sort key. str(v) keys sorted floats
+        # lexicographically ('10.0' < '2.0'), so two engines whose
+        # values differ below the comparison tolerance could sort rows
+        # into different relative orders and misalign the zip-compare.
+        # Numbers sort numerically (floats rounded to ~the 1e-9 rel
+        # tolerance, ints kept exact — Python compares int/float/Decimal
+        # cross-type), NaN sorts between numbers and strings.
+        def cell_key(v):
+            if v is None:
+                return (0, 0, 0, "")
+            if isinstance(v, bool):
+                return (1, 3, 0, str(v))
+            if isinstance(v, float):
+                if math.isnan(v):
+                    return (1, 2, 0, "")
+                return (1, 1, float(f"{v:.9e}"), "")
+            if isinstance(v, (int, decimal.Decimal)):
+                return (1, 1, v, "")
+            return (1, 3, 0, str(v))
+
         def row_key(r):
-            return tuple((v is None, str(v)) for v in r)
+            return tuple(cell_key(v) for v in r)
 
         s_rows = sorted(
             (tuple(norm(spark_tbl.column(c)[i].as_py()) for c in s_cols)
