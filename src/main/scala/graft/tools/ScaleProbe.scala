@@ -25,19 +25,23 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def replicate(name: String, idCol: String, idStep: Long): DataFrame = {
+    def replicate(name: String, idSteps: (String, Long)*): DataFrame = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       (0 until k).map(i =>
-        base.withColumn(idCol, col(idCol) + lit(i * idStep)))
+        idSteps.foldLeft(base) { case (df, (c, step)) =>
+          df.withColumn(c, col(c) + lit(i * step))
+        })
         .reduce(_ union _)
     }
     // ids re-keyed so replicas are near-dups (same content, new key) —
     // the realistic dedup workload
-    replicate("documents", "doc_id", 1000000L)
+    replicate("documents", "doc_id" -> 1000000L)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    replicate("embeddings", "vec_id", 1000000L)
+    replicate("embeddings", "vec_id" -> 1000000L)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    replicate("events", "event_id", 10000000L)
+    // events re-key user_id too: streaming state is per-user, and the
+    // realistic scale-up grows the KEY set, not events-per-key
+    replicate("events", "event_id" -> 10000000L, "user_id" -> 1000000L)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     def time(name: String)(f: String => Long): Unit = {
@@ -108,6 +112,49 @@ object ScaleProbe {
       StreamOps.sessionize(
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))).count()
+    }
+    val probeRun = new java.util.concurrent.atomic.AtomicInteger(0)
+    time("sessionize_stream") { dir =>
+      // the stateful flatMapGroupsWithState path end-to-end through
+      // the streaming engine (state keyed per user; watermark-bounded)
+      val name = s"probe_sessions_${probeRun.incrementAndGet()}"
+      val q = StreamOps.sessionizeStream(StreamOps.eventsStream(spark, dir), 30)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    // Bounded-upsert probe: per-batch wall must track BATCH size, not
+    // TARGET size. Buckets are sized to the target (constant bucket
+    // bytes — the documented deployment rule), the target is built
+    // K× bigger, then ONE fixed ~50-row batch is timed into each.
+    // The pre-fix design re-wrote the whole target per batch → K×
+    // wall; the bucketed design rewrites only the touched buckets.
+    time("upsert_fixed_batch") { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), lit(0L).as("version"), col("text"))
+      val nBuckets = if (dir == src) 16 else 16 * k
+      val work = java.nio.file.Files.createTempDirectory("graft_probe_upsert_").toString
+      new java.io.File(s"$work/staging").mkdirs()
+      val emb = new HashingEmbedder(dim = 64)
+      // build the target (untimed portion dominates; timing covers the
+      // whole call — the 1x-vs-Kx DELTA of the second upsert is what
+      // the summary line reports)
+      StreamOps.stageVersionFile(docs, s"$work/staging/v0.parquet")
+      StreamOps.embeddingUpsert(spark, s"$work/staging", s"$work/target",
+        s"$work/ckpt", emb, nBuckets)
+      val batch = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id"), lit(1L).as("version"),
+          concat(col("text"), lit(" v1")).as("text"))
+      StreamOps.stageVersionFile(batch, s"$work/staging/v1.parquet")
+      val t0 = System.nanoTime()
+      StreamOps.embeddingUpsert(spark, s"$work/staging", s"$work/target",
+        s"$work/ckpt", emb, nBuckets)
+      val batchWall = (System.nanoTime() - t0) / 1e9
+      println(f"    fixed-batch upsert wall (target=${dir.split('/').last}): $batchWall%6.2f s")
+      spark.read.parquet(s"$work/target").count()
     }
     spark.stop()
   }
