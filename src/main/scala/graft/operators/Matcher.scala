@@ -52,7 +52,22 @@ object Matcher {
     * whole matcher.
     */
   def prepareReference(ref: DataFrame, vecCol: String, orderCols: Seq[String],
-                       cleaner: Column => Column = GraftUdfs.cleanLabel(_)): DataFrame = {
+                       cleaner: Column => Column = GraftUdfs.cleanLabel(_),
+                       maxCatalogRows: Int = 1 << 20): DataFrame = {
+    // ref_row_id is a GLOBAL row_number — a single-partition sort —
+    // because the reference's tie-breaks are positional file order
+    // (`main.py:91-97`). That is only sane for catalog-sized
+    // references (83 rows for Lung v1.2), which the rest of the
+    // matcher broadcasts anyway. Fail loudly on a corpus-sized input
+    // instead of silently one-task-sorting it (the limit bounds the
+    // guard's own cost).
+    // project to the order columns first: column pruning drops any
+    // upstream embed/enrich stages from the guard's scan
+    val n = ref.select(orderCols.map(col): _*).limit(maxCatalogRows + 1).count()
+    require(n <= maxCatalogRows,
+      s"prepareReference: reference table exceeds $maxCatalogRows rows — it must be " +
+        "catalog-sized (it is broadcast and globally row-numbered). For corpus-scale " +
+        "similarity use Ann.bruteForceTopK/ivfTopK instead.")
     val w = Window.orderBy(orderCols.map(col): _*)
     ref
       .withColumn("ref_row_id", row_number().over(w).cast("long"))

@@ -185,4 +185,29 @@ object GraftProperties extends Properties("graft") {
       while (i < other.size) { merged.insert(other.scores(i), other.ids(i)); i += 1 }
       contents(merged) == topKExpected(xs, k)
     }
+
+  // NaN scores must follow Spark's TOTAL sort order (NaN greatest) so
+  // the aggregate and the row_number window fallback stay equivalent —
+  // primitive `>` comparisons would silently drop NaN entries instead.
+  private val scoredIdsWithNaN: Gen[List[(Double, Long)]] =
+    Gen.listOf(for {
+      s <- Gen.frequency(4 -> Gen.chooseNum(-1.0, 1.0), 1 -> Gen.const(Double.NaN))
+      i <- Gen.chooseNum(0L, 50L)
+    } yield (s, i))
+
+  private def topKExpectedTotal(xs: List[(Double, Long)], k: Int): List[(Double, Long)] =
+    xs.sortWith { case ((s1, i1), (s2, i2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }.take(k)
+
+  private def sameEntries(a: List[(Double, Long)], b: List[(Double, Long)]): Boolean =
+    a.length == b.length && a.zip(b).forall { case ((s1, i1), (s2, i2)) =>
+      java.lang.Double.compare(s1, s2) == 0 && i1 == i2 // NaN-safe equality
+    }
+
+  property("TopKBuffer totally orders NaN greatest (window-form parity)") =
+    forAll(scoredIdsWithNaN, Gen.choose(1, 5)) { (xs, k) =>
+      sameEntries(contents(fill(k, xs)), topKExpectedTotal(xs, k))
+    }
 }
