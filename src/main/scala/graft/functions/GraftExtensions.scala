@@ -62,6 +62,14 @@ object GraftExtensions {
         require(args.length == 1, "graft_simhash expects exactly 1 argument")
         SimhashExpr(args(0))
       }),
+    ("graft_l2_normalize",
+      info("graft_l2_normalize",
+        "graft_l2_normalize(a) - one-pass L2 normalization of a double array " +
+          "(zero vectors pass through unchanged)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_l2_normalize expects exactly 1 argument")
+        NormalizeExpr(args(0))
+      }),
     ("graft_topk",
       info("graft_topk",
         "graft_topk(score, id, k) - aggregate: top-k (score, id) pairs per group, " +

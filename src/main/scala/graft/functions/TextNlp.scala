@@ -83,7 +83,32 @@ object TextNlp extends Serializable {
       "won't" -> "will not", "would've" -> "would have",
       "wouldn't" -> "would not", "y'all" -> "you all",
       "you'd" -> "you would", "you'll" -> "you will",
-      "you're" -> "you are", "you've" -> "you have")
+      "you're" -> "you are", "you've" -> "you have",
+      // second tranche of the package's table: -'d have chains,
+      // interrogative -'d/-'re forms, possess-like -'s copulas,
+      // archaic/colloquial single tokens
+      "couldn't've" -> "could not have",
+      "he'd've" -> "he would have", "i'd've" -> "i would have",
+      "it'd've" -> "it would have", "she'd've" -> "she would have",
+      "they'd've" -> "they would have", "we'd've" -> "we would have",
+      "you'd've" -> "you would have", "daren't" -> "dare not",
+      "everybody's" -> "everybody is", "everyone's" -> "everyone is",
+      "here's" -> "here is", "how're" -> "how are",
+      "somebody's" -> "somebody is", "someone's" -> "someone is",
+      "something's" -> "something is", "that'll" -> "that will",
+      "that're" -> "that are", "there'll" -> "there will",
+      "there're" -> "there are", "these're" -> "these are",
+      "this's" -> "this is", "those're" -> "those are",
+      "what'd" -> "what did", "when'd" -> "when did",
+      "where're" -> "where are", "where've" -> "where have",
+      "which's" -> "which is", "who'd" -> "who would",
+      "who're" -> "who are", "why'd" -> "why did",
+      "why're" -> "why are", "'tis" -> "it is", "'twas" -> "it was",
+      "o'er" -> "over", "ne'er" -> "never", "e'er" -> "ever",
+      "gonna" -> "going to", "wanna" -> "want to", "gotta" -> "got to",
+      "kinda" -> "kind of", "sorta" -> "sort of", "outta" -> "out of",
+      "dunno" -> "do not know", "gimme" -> "give me", "lemme" -> "let me",
+      "c'mon" -> "come on")
     // The contractions package also fixes capitalised variants; mirror
     // by adding Title-case keys mapping to Title-case expansions.
     base ++ base.map { case (k, v) => (k.capitalize, v.capitalize) }

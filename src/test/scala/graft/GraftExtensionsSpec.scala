@@ -52,6 +52,15 @@ class GraftExtensionsSpec extends SparkSpec with Matchers {
     b.map(r => (r.getDouble(0), r.getLong(1))) shouldBe Seq((0.1, 7L))
   }
 
+  test("graft_l2_normalize runs through spark.sql (and coerces int arrays)") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_l2_normalize(array(3, 4)) AS v,
+                graft_l2_normalize(array(0.0D, 0.0D)) AS z""").head()
+    row.getSeq[Double](0) shouldBe Seq(0.6, 0.8)
+    row.getSeq[Double](1) shouldBe Seq(0.0, 0.0) // zero vector passthrough
+  }
+
   test("SQL inputs coerce: int arrays / int scores get analyzer casts, not wrong bytes") {
     GraftExtensions.register(spark)
     // pre-fix, graft_dot over array<int> read int-backed UnsafeArrayData
