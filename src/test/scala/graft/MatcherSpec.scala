@@ -81,6 +81,33 @@ class MatcherSpec extends SparkSpec with Matchers {
     out.getAs[String]("matched_asctb_id_1") shouldBe "CL:1" // tie at 0 → lowest row id
   }
 
+  test("prepareReference rejects a corpus-sized reference table") {
+    val corpus = spark.range(0, 1000)
+      .select(col("id").cast("string").as("CT_ID"), lit("n").as("CT_NAME"),
+        lit("t").as("all_text"), lit("d").as("definition"),
+        array(lit(1.0), lit(0.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Matcher.prepareReference(corpus, "embedding", Seq("CT_ID"), maxCatalogRows = 100)
+    }
+    e.getMessage should include("catalog-sized")
+  }
+
+  test("mapLabels plan shape: broadcast joins only, at most 3 shuffles, no sort-merge join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = Matcher.mapLabels(
+        queries(("test", "probe", Seq(1.0, 0.0))), ref, k = 2)
+      .queryExecution.executedPlan
+    val all = plan.collectWithSubqueries { case p => p }
+    // the design claim the operator's scaladoc makes: one query-side
+    // shuffle (the upstream distinct's, reused by the top-k aggregate)
+    // plus the catalog-sized reference's row_number sort — everything
+    // else broadcasts. A SortMergeJoin or extra exchange appearing
+    // here means a Spark upgrade or edit broke the physical shape.
+    all.count(_.isInstanceOf[ShuffleExchangeExec]) should be <= 3
+    all.count(_.isInstanceOf[SortMergeJoinExec]) shouldBe 0
+  }
+
   test("first-row-wins on duplicate cleaned reference names (main.py:119)") {
     val dupRef = Matcher.prepareReference(
       Seq(
