@@ -82,4 +82,67 @@ object Multimodal {
   def extractFrameFeatures(df: DataFrame, framesCol: String = "frames",
                            featCol: String = "frame_features"): DataFrame =
     df.withColumn(featCol, decodeFramesUdf(col(framesCol)))
+
+  /** STUB resize — deterministic byte-stride downsample of one frame
+    * to `target` bytes (real image resize lives behind the same
+    * codec seam; the Spark-side contract — bounded output size per
+    * frame — is what matters to the pipeline). */
+  def resizeFrameStub(bytes: Array[Byte], target: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty || target <= 0) return Array.emptyByteArray
+    if (bytes.length <= target) return bytes
+    Array.tabulate(target)(i => bytes((i.toLong * bytes.length / target).toInt))
+  }
+
+  private val resizeFramesUdf =
+    udf((frames: Seq[Array[Byte]], target: Int) =>
+      if (frames == null) Seq.empty[Array[Byte]]
+      else frames.map(f => resizeFrameStub(f, target)))
+
+  /** Resize every sampled frame to a bounded byte budget. */
+  def resizeFrames(df: DataFrame, framesCol: String = "frames",
+                   target: Int = 64, outCol: String = "frames_resized"): DataFrame =
+    df.withColumn(outCol, resizeFramesUdf(col(framesCol), lit(target)))
+
+  // --- batched decode (the mapInPandas batch shape, JVM form) -----------
+
+  /** Codec handle seam: real codecs (libjpeg/ffmpeg via JNI, or a JVM
+    * decoder) pay an expensive INIT that must be amortized per
+    * partition, never per row — exactly what python's `mapInPandas`
+    * batch shape buys. The stub records instantiations so the
+    * one-init-per-partition contract is testable. */
+  final class CodecHandle private[Multimodal] () {
+    def decode(bytes: Array[Byte]): Array[Double] = decodeFrameStub(bytes)
+  }
+
+  /** Count of codec-handle instantiations (test observability for the
+    * init-amortization contract; local-mode tasks share the JVM). */
+  val codecInits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def newCodecHandle(): CodecHandle = {
+    codecInits.incrementAndGet()
+    new CodecHandle
+  }
+
+  /** Per-frame feature extraction with `mapPartitions` batching — the
+    * JVM analog of `mapInPandas`: ONE codec handle per partition
+    * streams all its rows (swap the stub handle for a JNI codec and
+    * the init cost amortizes over the partition, not per row/frame).
+    * Appends `featCol: array<array<double>>` to the schema. */
+  def extractFrameFeaturesBatched(df: DataFrame, framesCol: String = "frames",
+                                  featCol: String = "frame_features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val outSchema = df.schema.add(featCol, ArrayType(ArrayType(DoubleType)))
+    val framesIdx = df.schema.fieldIndex(framesCol)
+    df.mapPartitions { rows =>
+      val codec = newCodecHandle() // per-PARTITION init, not per row
+      rows.map { r =>
+        val frames = r.getSeq[Array[Byte]](framesIdx)
+        val feats =
+          if (frames == null) Seq.empty[Array[Double]]
+          else frames.map(codec.decode)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

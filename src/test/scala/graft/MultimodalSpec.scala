@@ -54,4 +54,34 @@ class MultimodalSpec extends SparkSpec with Matchers {
     // all bytes are 'a' (97): mean 97, stddev 0, min 97, max 97
     feats.head shouldBe Seq(97.0, 0.0, 97.0, 97.0)
   }
+
+  test("resizeFrames bounds every frame to the byte budget, deterministically") {
+    val out = Multimodal.resizeFrames(
+        Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(docs, "text"), "payload"),
+        target = 64)
+      .select("doc_id", "frames_resized")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    all(out(1L).map(_.length)) should be <= 64
+    out(2L).head.length shouldBe 6 // already under budget: untouched
+    Multimodal.resizeFrameStub("abcdefgh".getBytes, 4).toSeq shouldBe
+      Multimodal.resizeFrameStub("abcdefgh".getBytes, 4).toSeq
+  }
+
+  test("batched decode matches the per-row UDF and inits the codec once per PARTITION") {
+    val framed = Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(docs, "text"), "payload")
+      .repartition(2)
+    val perRow = Multimodal.extractFrameFeatures(framed)
+      .select("doc_id", "frame_features")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Double]](1)).toMap
+    val before = Multimodal.codecInits.get()
+    val batched = Multimodal.extractFrameFeaturesBatched(framed)
+      .select("doc_id", "frame_features")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Double]](1)).toMap
+    batched shouldBe perRow
+    // the init-amortization contract: one codec handle per partition,
+    // never per row or per frame
+    (Multimodal.codecInits.get() - before) shouldBe 2L
+  }
 }
