@@ -255,7 +255,13 @@ object StreamOps {
     * (doc_id, version, text) files one micro-batch per file, embed
     * ONLY the rows that arrive, and upsert them into `targetDir` with
     * max-version-wins semantics. AvailableNow drains the staging
-    * directory and terminates. */
+    * directory and terminates.
+    *
+    * `nBuckets` sizes the target's hash partitioning: pick it so ONE
+    * bucket is an executor-memory-sized slice of the final target
+    * (per-batch cost is |batch| + the touched buckets' bytes — the
+    * ScaleProbe `upsert_fixed_batch` row measures this staying flat
+    * when buckets are sized to the target). */
   def embeddingUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
                       checkpointDir: String,
                       embedder: graft.embed.Embedder,
