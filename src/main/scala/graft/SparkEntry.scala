@@ -525,6 +525,19 @@ object SparkEntry {
       .orderBy("source", "raw_input_label")
   }
 
+  /** Contraction expansion as a relational corpus pass: token
+    * posexplode → broadcast map join → order-preserving reassembly
+    * (the distributed form of the per-token F2 step). The planted
+    * suffix guarantees expansions actually fire inside the hash
+    * check, including a capitalized-variant entry. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.expandContractionsColumn(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" Don't i'm o'clock")).as("text")),
+        "text", "doc_id")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -573,7 +586,8 @@ object SparkEntry {
     "q37_wrangle_sheet" -> (q37 _),
     "q38_simhash_neardup" -> (q38 _),
     "q39_stream_upsert" -> (q39 _),
-    "q40_label_match_frozen" -> (q40 _))
+    "q40_label_match_frozen" -> (q40 _),
+    "q41_expand_contractions" -> (q41 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -917,6 +931,28 @@ object SparkEntry {
        ORDER BY w.source, raw_input_label"""
   }
 
+  /** The vendored contraction table as DuckDB VALUES — both engines
+    * evaluate the identical map. */
+  private def expandContractionsOracle: String = {
+    val values = graft.functions.TextNlp.contractionsMap.toSeq.sorted
+      .map { case (k, v) =>
+        s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+    s"""WITH src AS (
+         SELECT doc_id, text || ' Don''t i''m o''clock' AS text FROM documents
+       ), ct(tok, exp) AS (SELECT * FROM (VALUES $values)),
+       toks AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS tok,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         FROM src
+       )
+       SELECT t.doc_id,
+              string_agg(coalesce(ct.exp, t.tok), ' ' ORDER BY t.pos) AS expanded
+       FROM toks t LEFT JOIN ct ON ct.tok = t.tok
+       GROUP BY t.doc_id ORDER BY doc_id"""
+  }
+
   private def sessionizeOracle: String =
     """WITH x AS (
          SELECT user_id, ts, value,
@@ -1188,5 +1224,6 @@ object SparkEntry {
          SELECT doc_id, CAST(version AS BIGINT) AS version,
                 md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
          FROM win WHERE rn = 1 ORDER BY doc_id""",
-    "q40_label_match_frozen" -> labelMatchFrozenOracle)
+    "q40_label_match_frozen" -> labelMatchFrozenOracle,
+    "q41_expand_contractions" -> expandContractionsOracle)
 }

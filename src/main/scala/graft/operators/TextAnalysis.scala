@@ -101,6 +101,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** Contraction expansion as a RELATIONAL operator: tokens explode
+    * with their position, join the (broadcast) contraction table, and
+    * the text reassembles order-preservingly (collect_list of
+    * (pos, word) structs → array_sort → array_join).
+    *
+    * This is the distributed form of [[graft.functions.TextNlp.expandContractions]]
+    * (`nlp_preprocessing.py:22-23` applies the package map per token):
+    * the per-token JVM map is the right shape inside the fused NLP
+    * UDF, but as a standalone corpus pass the join form keeps the
+    * whole expansion in Catalyst — the map rides as one broadcast,
+    * and the only shuffle is the per-document reassembly aggregate,
+    * keyed on the document id. Empty tokens (consecutive spaces)
+    * round-trip unchanged, so unmatched text reconstructs exactly.
+    */
+  def expandContractionsColumn(docs: DataFrame, textCol: String, idCol: String,
+                               outCol: String = "expanded"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = broadcast(
+      graft.functions.TextNlp.contractionsMap.toSeq.toDF("__tok", "__exp"))
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__tok")))
+      .join(table, Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"),
+            coalesce(col("__exp"), col("__tok")).as("__w")))),
+          e => e.getField("__w")),
+        " ").as(outCol))
+  }
+
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", fingerprint(col(textCol)))
 }

@@ -56,4 +56,20 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     fps(2L) shouldBe fps(3L)
     fps(4L) should not be fps(1L)
   }
+
+  test("expandContractionsColumn: map join expands, order preserved, empties round-trip") {
+    val df = Seq(
+      (1L, "I'm sure it's fine"),
+      (2L, "Don't  stop"),          // double space → empty token preserved
+      (3L, "no contractions here"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.expandContractionsColumn(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("expanded")).toMap
+    out(1L) shouldBe "I am sure it is fine" // capitalized variant entries fire too
+    out(2L) shouldBe "Do not  stop"        // Title-case entry + empty token kept
+    out(3L) shouldBe "no contractions here"
+    out(4L) shouldBe ""
+    // matches the per-token JVM function on single tokens
+    graft.functions.TextNlp.expandContractions("it's") shouldBe "it is"
+  }
 }
