@@ -538,6 +538,25 @@ object SparkEntry {
         "text", "doc_id")
       .orderBy("doc_id")
 
+  /** The lemmatizer itself, oracle-proven: the Spark side runs the
+    * REAL JVM function (exceptions + morphy rules + rstrip-'s') as a
+    * UDF over every alphabetic token of the corpus; the DuckDB side
+    * replays its full specification (exception table as VALUES, rule
+    * chain as CASE, rtrim). A hash match proves the JVM lemmatizer
+    * equals its SQL spec on the whole corpus vocabulary — converting
+    * F6 from spec-pinned to oracle-checked. Alphabetic-only tokens
+    * keep the number-to-words step (not SQL-expressible) out of
+    * scope. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "raw")))
+      .filter(col("raw").rlike("^[A-Za-z]+$"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        lower(col("raw")).as("word"))
+      .withColumn("root", GraftUdfs.rootWord(col("word")))
+      .orderBy("doc_id", "pos")
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -587,7 +606,8 @@ object SparkEntry {
     "q38_simhash_neardup" -> (q38 _),
     "q39_stream_upsert" -> (q39 _),
     "q40_label_match_frozen" -> (q40 _),
-    "q41_expand_contractions" -> (q41 _))
+    "q41_expand_contractions" -> (q41 _),
+    "q42_lemmatize" -> (q42 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -953,6 +973,38 @@ object SparkEntry {
        GROUP BY t.doc_id ORDER BY doc_id"""
   }
 
+  /** SQL specification of TextNlp.getRootWord: exception VALUES (the
+    * vendored noun_exceptions resource) + the morphy rule chain (CASE
+    * in rule order with the strict length guard) + rtrim('s'). Both
+    * sides derive from the SAME Scala data, so the oracle checks the
+    * JVM implementation against its spec, not a re-keyed copy. */
+  private def lemmatizeOracle: String = {
+    val excValues = graft.functions.TextNlp.lemmaExceptions.toSeq.sorted
+      .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    val ruleCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
+      s"WHEN len(word) > ${suf.length} AND word LIKE '%$suf' " +
+        s"THEN substr(word, 1, len(word) - ${suf.length}) || '$rep'"
+    }.mkString("\n             ")
+    s"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS raw,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos1
+         FROM documents
+       ), w AS (
+         SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, lower(raw) AS word
+         FROM toks WHERE regexp_matches(raw, '^[A-Za-z]+$$')
+       ), exc(eword, elemma) AS (SELECT * FROM (VALUES $excValues)),
+       lem AS (
+         SELECT w.doc_id, w.pos, w.word,
+           coalesce(e.elemma, CASE
+             $ruleCases
+             ELSE word END) AS lemma
+         FROM w LEFT JOIN exc e ON e.eword = w.word
+       )
+       SELECT doc_id, pos, word, rtrim(lemma, 's') AS root
+       FROM lem ORDER BY doc_id, pos"""
+  }
+
   private def sessionizeOracle: String =
     """WITH x AS (
          SELECT user_id, ts, value,
@@ -1225,5 +1277,6 @@ object SparkEntry {
                 md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
          FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q40_label_match_frozen" -> labelMatchFrozenOracle,
-    "q41_expand_contractions" -> expandContractionsOracle)
+    "q41_expand_contractions" -> expandContractionsOracle,
+    "q42_lemmatize" -> lemmatizeOracle)
 }

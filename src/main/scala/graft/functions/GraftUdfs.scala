@@ -33,8 +33,12 @@ object GraftUdfs {
   val embedTextUdf: UserDefinedFunction =
     udf((s: String, maxLen: Int) => TextNlp.embedText(s, maxLen))
 
+  val rootWordUdf: UserDefinedFunction =
+    udf((w: String) => if (w == null) null else TextNlp.getRootWord(w))
+
   def cleanToken(c: Column): Column = cleanTokenUdf(c)
   def cleanLabel(c: Column): Column = cleanLabelUdf(c)
+  def rootWord(c: Column): Column = rootWordUdf(c)
   def tokensCleanDedup(c: Column, maxLen: Column): Column = tokensCleanDedupUdf(c, maxLen)
   def embedText(c: Column, maxLen: Column): Column = embedTextUdf(c, maxLen)
 

@@ -201,10 +201,13 @@ object TextNlp extends Serializable {
 
   /** WordNet morphy noun detachment rules, in morphy's order; the
     * first applicable rule wins (we have no full lexicon to validate
-    * candidates against — the reference's trailing `rstrip('s')`
-    * (`nlp_preprocessing.py:36`) makes the difference unobservable
-    * for the dominant "s"→"" rule). */
-  private val morphyRules: List[(String, String)] = List(
+    * candidates against — the identity entries in the exception
+    * resource emulate lexicon membership for words the rules would
+    * mangle, and the reference's trailing `rstrip('s')`
+    * (`nlp_preprocessing.py:36`) masks the difference for the
+    * dominant "s"→"" rule). Public: the q42 oracle derives its SQL
+    * CASE chain from this exact list. */
+  val morphyRules: List[(String, String)] = List(
     ("ses", "s"), ("ves", "f"), ("xes", "x"), ("zes", "z"),
     ("ches", "ch"), ("shes", "sh"), ("ies", "y"), ("men", "man"),
     ("s", ""))
