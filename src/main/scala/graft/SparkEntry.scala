@@ -557,6 +557,19 @@ object SparkEntry {
       .withColumn("root", GraftUdfs.rootWord(col("word")))
       .orderBy("doc_id", "pos")
 
+  /** num2words formatting (F4), oracle-proven: the real JVM formatter
+    * runs over two deterministic number streams per document (doc_id
+    * and an affine transform reaching the millions range — covering
+    * zero, teens, hyphens, "hundred and", scale words, and both
+    * inter-group join rules), while the DuckDB side evaluates a SQL
+    * formatter GENERATED from the same ones/tens word tables. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        GraftUdfs.numberWords(col("doc_id").cast("string")).as("w_small"),
+        GraftUdfs.numberWords((col("doc_id") * 12345 + 678).cast("string")).as("w_large"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -607,7 +620,8 @@ object SparkEntry {
     "q39_stream_upsert" -> (q39 _),
     "q40_label_match_frozen" -> (q40 _),
     "q41_expand_contractions" -> (q41 _),
-    "q42_lemmatize" -> (q42 _))
+    "q42_lemmatize" -> (q42 _),
+    "q43_number_words" -> (q43 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1005,6 +1019,39 @@ object SparkEntry {
        FROM lem ORDER BY doc_id, pos"""
   }
 
+  /** DuckDB twin of TextNlp.numberToWords for values < 10^9, generated
+    * from the SAME ones/tens tables: nested CASE for the sub-1000
+    * formatter (teens, hyphens, "hundred and"), then the num2words
+    * group-join rules — ", " between scale groups, " and " before a
+    * final sub-100 group. */
+  private def numberWordsOracle: String = {
+    val onesList = graft.functions.TextNlp.ones.map(w => s"'$w'").mkString("[", ", ", "]")
+    val tensList = graft.functions.TextNlp.tens.map(w => s"'$w'").mkString("[", ", ", "]")
+    def below100(e: String): String =
+      s"""CASE WHEN ($e) < 20 THEN ($onesList)[($e) + 1]
+              WHEN ($e) % 10 = 0 THEN ($tensList)[($e) // 10 + 1]
+              ELSE ($tensList)[($e) // 10 + 1] || '-' || ($onesList)[($e) % 10 + 1] END"""
+    def below1000(e: String): String =
+      s"""CASE WHEN ($e) < 100 THEN ${below100(e)}
+              WHEN ($e) % 100 = 0 THEN ($onesList)[($e) // 100 + 1] || ' hundred'
+              ELSE ($onesList)[($e) // 100 + 1] || ' hundred and ' || ${below100(s"($e) % 100")} END"""
+    def words(n: String): String =
+      s"""CASE WHEN ($n) < 1000 THEN ${below1000(n)}
+          ELSE (CASE WHEN ($n) // 1000000 > 0
+                     THEN ${below1000(s"($n) // 1000000")} || ' million' ELSE '' END)
+            || (CASE WHEN ($n) // 1000 % 1000 > 0
+                     THEN (CASE WHEN ($n) // 1000000 > 0 THEN ', ' ELSE '' END)
+                          || ${below1000(s"($n) // 1000 % 1000")} || ' thousand' ELSE '' END)
+            || (CASE WHEN ($n) % 1000 > 0
+                     THEN (CASE WHEN ($n) % 1000 < 100 THEN ' and ' ELSE ', ' END)
+                          || ${below1000(s"($n) % 1000")} ELSE '' END)
+          END"""
+    s"""SELECT doc_id,
+         ${words("doc_id")} AS w_small,
+         ${words("doc_id * 12345 + 678")} AS w_large
+       FROM documents ORDER BY doc_id"""
+  }
+
   private def sessionizeOracle: String =
     """WITH x AS (
          SELECT user_id, ts, value,
@@ -1278,5 +1325,6 @@ object SparkEntry {
          FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q40_label_match_frozen" -> labelMatchFrozenOracle,
     "q41_expand_contractions" -> expandContractionsOracle,
-    "q42_lemmatize" -> lemmatizeOracle)
+    "q42_lemmatize" -> lemmatizeOracle,
+    "q43_number_words" -> numberWordsOracle)
 }

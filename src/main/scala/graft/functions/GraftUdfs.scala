@@ -36,9 +36,13 @@ object GraftUdfs {
   val rootWordUdf: UserDefinedFunction =
     udf((w: String) => if (w == null) null else TextNlp.getRootWord(w))
 
+  val numberWordsUdf: UserDefinedFunction =
+    udf((d: String) => if (d == null) null else TextNlp.numberToWords(d))
+
   def cleanToken(c: Column): Column = cleanTokenUdf(c)
   def cleanLabel(c: Column): Column = cleanLabelUdf(c)
   def rootWord(c: Column): Column = rootWordUdf(c)
+  def numberWords(c: Column): Column = numberWordsUdf(c)
   def tokensCleanDedup(c: Column, maxLen: Column): Column = tokensCleanDedupUdf(c, maxLen)
   def embedText(c: Column, maxLen: Column): Column = embedTextUdf(c, maxLen)
 

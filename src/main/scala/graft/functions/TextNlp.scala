@@ -119,11 +119,13 @@ object TextNlp extends Serializable {
 
   // --- number to words (num2words-en compatible) ------------------------
 
-  private val ones = Array("zero", "one", "two", "three", "four", "five",
+  // public: the q43 oracle builds its SQL formatter from these exact
+  // tables, so the DuckDB twin can never drift from the JVM one
+  val ones = Array("zero", "one", "two", "three", "four", "five",
     "six", "seven", "eight", "nine", "ten", "eleven", "twelve",
     "thirteen", "fourteen", "fifteen", "sixteen", "seventeen",
     "eighteen", "nineteen")
-  private val tens = Array("", "", "twenty", "thirty", "forty", "fifty",
+  val tens = Array("", "", "twenty", "thirty", "forty", "fifty",
     "sixty", "seventy", "eighty", "ninety")
   // scale words for 1000^i, i = 1..10 (enough for any 33-digit input)
   private val scales = Array("", "thousand", "million", "billion",
