@@ -992,13 +992,7 @@ object SparkEntry {
     * in rule order with the strict length guard) + rtrim('s'). Both
     * sides derive from the SAME Scala data, so the oracle checks the
     * JVM implementation against its spec, not a re-keyed copy. */
-  private def lemmatizeOracle: String = {
-    val excValues = graft.functions.TextNlp.lemmaExceptions.toSeq.sorted
-      .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
-    val ruleCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
-      s"WHEN len(word) > ${suf.length} AND word LIKE '%$suf' " +
-        s"THEN substr(word, 1, len(word) - ${suf.length}) || '$rep'"
-    }.mkString("\n             ")
+  private def lemmatizeOracle: String =
     s"""WITH toks AS (
          SELECT doc_id,
                 unnest(string_split(text, ' ')) AS raw,
@@ -1007,50 +1001,120 @@ object SparkEntry {
        ), w AS (
          SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, lower(raw) AS word
          FROM toks WHERE regexp_matches(raw, '^[A-Za-z]+$$')
-       ), exc(eword, elemma) AS (SELECT * FROM (VALUES $excValues)),
+       ), exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
        lem AS (
          SELECT w.doc_id, w.pos, w.word,
-           coalesce(e.elemma, CASE
-             $ruleCases
-             ELSE word END) AS lemma
+           coalesce(e.elemma, ${morphyCaseSql("word")}) AS lemma
          FROM w LEFT JOIN exc e ON e.eword = w.word
        )
        SELECT doc_id, pos, word, rtrim(lemma, 's') AS root
        FROM lem ORDER BY doc_id, pos"""
+
+  /** Full cleanLabel pipeline in SQL — the composition of every step
+    * the q41/q42/q43 oracles prove individually, in cleanToken's
+    * exact order (`nlp_preprocessing.py:42-70`): whitespace-split
+    * (empties dropped, python no-arg split) → contraction map →
+    * strip non-alphanumerics → number-to-words on all-digit tokens →
+    * lowercase → exception/morphy lemma → rstrip 's' → re-join.
+    * Converts q23 from rows-only to hash-checked. */
+  private def nlpCleanOracle: String = {
+    val ctValues = graft.functions.TextNlp.contractionsMap.toSeq.sorted
+      .map { case (k, v) =>
+        s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+    s"""WITH src AS (
+         SELECT doc_id, substr(text, 1, 60) AS t FROM documents
+       ), toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(t, '\\s+')) AS raw,
+                unnest(range(1, len(string_split_regex(t, '\\s+')) + 1)) AS pos
+         FROM src
+       ), nz AS (
+         SELECT doc_id, pos, raw FROM toks WHERE raw <> ''
+       ), ct(tok, exp) AS (SELECT * FROM (VALUES $ctValues)),
+       al AS (
+         SELECT nz.doc_id, nz.pos,
+                regexp_replace(coalesce(ct.exp, nz.raw), '[^a-zA-Z0-9]', '', 'g') AS alnum
+         FROM nz LEFT JOIN ct ON ct.tok = nz.raw
+       ), lowered AS (
+         SELECT doc_id, pos,
+                lower(CASE WHEN regexp_matches(alnum, '^[0-9]+$$')
+                           THEN ${numberWordsSql("CAST(alnum AS BIGINT)")}
+                           ELSE alnum END) AS word
+         FROM al
+       ), exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       rooted AS (
+         SELECT l.doc_id, l.pos,
+                rtrim(coalesce(e.elemma, ${morphyCaseSql("l.word")}), 's') AS root
+         FROM lowered l LEFT JOIN exc e ON e.eword = l.word
+       ), agg AS (
+         SELECT doc_id, string_agg(root, ' ' ORDER BY pos) AS cleaned
+         FROM rooted GROUP BY doc_id
+       )
+       SELECT s.doc_id, coalesce(a.cleaned, '') AS cleaned
+       FROM src s LEFT JOIN agg a USING (doc_id)
+       ORDER BY s.doc_id"""
   }
 
-  /** DuckDB twin of TextNlp.numberToWords for values < 10^9, generated
-    * from the SAME ones/tens tables: nested CASE for the sub-1000
-    * formatter (teens, hyphens, "hundred and"), then the num2words
-    * group-join rules — ", " between scale groups, " and " before a
-    * final sub-100 group. */
-  private def numberWordsOracle: String = {
+  // --- NLP oracle builders: SQL twins GENERATED from TextNlp's own
+  // --- word tables / rule lists, so the spec can never drift ---------
+
+  private def below100Sql(e: String): String = {
     val onesList = graft.functions.TextNlp.ones.map(w => s"'$w'").mkString("[", ", ", "]")
     val tensList = graft.functions.TextNlp.tens.map(w => s"'$w'").mkString("[", ", ", "]")
-    def below100(e: String): String =
-      s"""CASE WHEN ($e) < 20 THEN ($onesList)[($e) + 1]
-              WHEN ($e) % 10 = 0 THEN ($tensList)[($e) // 10 + 1]
-              ELSE ($tensList)[($e) // 10 + 1] || '-' || ($onesList)[($e) % 10 + 1] END"""
-    def below1000(e: String): String =
-      s"""CASE WHEN ($e) < 100 THEN ${below100(e)}
-              WHEN ($e) % 100 = 0 THEN ($onesList)[($e) // 100 + 1] || ' hundred'
-              ELSE ($onesList)[($e) // 100 + 1] || ' hundred and ' || ${below100(s"($e) % 100")} END"""
-    def words(n: String): String =
-      s"""CASE WHEN ($n) < 1000 THEN ${below1000(n)}
-          ELSE (CASE WHEN ($n) // 1000000 > 0
-                     THEN ${below1000(s"($n) // 1000000")} || ' million' ELSE '' END)
-            || (CASE WHEN ($n) // 1000 % 1000 > 0
-                     THEN (CASE WHEN ($n) // 1000000 > 0 THEN ', ' ELSE '' END)
-                          || ${below1000(s"($n) // 1000 % 1000")} || ' thousand' ELSE '' END)
-            || (CASE WHEN ($n) % 1000 > 0
-                     THEN (CASE WHEN ($n) % 1000 < 100 THEN ' and ' ELSE ', ' END)
-                          || ${below1000(s"($n) % 1000")} ELSE '' END)
-          END"""
-    s"""SELECT doc_id,
-         ${words("doc_id")} AS w_small,
-         ${words("doc_id * 12345 + 678")} AS w_large
-       FROM documents ORDER BY doc_id"""
+    s"""CASE WHEN ($e) < 20 THEN ($onesList)[($e) + 1]
+            WHEN ($e) % 10 = 0 THEN ($tensList)[($e) // 10 + 1]
+            ELSE ($tensList)[($e) // 10 + 1] || '-' || ($onesList)[($e) % 10 + 1] END"""
   }
+
+  private def below1000Sql(e: String): String = {
+    val onesList = graft.functions.TextNlp.ones.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CASE WHEN ($e) < 100 THEN ${below100Sql(e)}
+            WHEN ($e) % 100 = 0 THEN ($onesList)[($e) // 100 + 1] || ' hundred'
+            ELSE ($onesList)[($e) // 100 + 1] || ' hundred and ' || ${below100Sql(s"($e) % 100")} END"""
+  }
+
+  /** Full number formatter for values < 10^(3·maxGroups): scale-group
+    * decomposition with num2words' join rules — ", " between scale
+    * groups, " and " before a final sub-100 group. Scale words come
+    * from TextNlp.scales. */
+  private def numberWordsSql(n: String, maxGroups: Int = 5): String = {
+    val groupClauses = ((maxGroups - 1) to 1 by -1).map { k =>
+      val div = "1" + "000" * k
+      val divHigher = "1" + "000" * (k + 1)
+      val g = s"($n) // $div % 1000"
+      val scale = graft.functions.TextNlp.scales(k)
+      s"""(CASE WHEN $g > 0
+               THEN (CASE WHEN ($n) // $divHigher > 0 THEN ', ' ELSE '' END)
+                    || ${below1000Sql(g)} || ' $scale' ELSE '' END)"""
+    }
+    val rest =
+      s"""(CASE WHEN ($n) % 1000 > 0
+              THEN (CASE WHEN ($n) % 1000 < 100 THEN ' and ' ELSE ', ' END)
+                   || ${below1000Sql(s"($n) % 1000")} ELSE '' END)"""
+    s"""CASE WHEN ($n) < 1000 THEN ${below1000Sql(n)}
+        ELSE ${(groupClauses :+ rest).mkString(" || ")} END"""
+  }
+
+  /** Morphy rule chain as a CASE in rule order with the strict length
+    * guard — applied to `word` when the exception lookup missed. */
+  private def morphyCaseSql(word: String): String = {
+    val ruleCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
+      s"WHEN len($word) > ${suf.length} AND $word LIKE '%$suf' " +
+        s"THEN substr($word, 1, len($word) - ${suf.length}) || '$rep'"
+    }.mkString(" ")
+    s"CASE $ruleCases ELSE $word END"
+  }
+
+  private def lemmaExcValuesSql: String =
+    graft.functions.TextNlp.lemmaExceptions.toSeq.sorted
+      .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+
+  private def numberWordsOracle: String =
+    s"""SELECT doc_id,
+         ${numberWordsSql("doc_id")} AS w_small,
+         ${numberWordsSql("doc_id * 12345 + 678")} AS w_large
+       FROM documents ORDER BY doc_id"""
 
   private def sessionizeOracle: String =
     """WITH x AS (
@@ -1326,5 +1390,6 @@ object SparkEntry {
     "q40_label_match_frozen" -> labelMatchFrozenOracle,
     "q41_expand_contractions" -> expandContractionsOracle,
     "q42_lemmatize" -> lemmatizeOracle,
-    "q43_number_words" -> numberWordsOracle)
+    "q43_number_words" -> numberWordsOracle,
+    "q23_nlp_clean" -> nlpCleanOracle)
 }
