@@ -67,6 +67,24 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Run the SLIDING rollup through the Structured Streaming engine
+    * (AvailableNow → memory sink, complete mode) — proves the sliding
+    * form's stream/batch plan parity the same way
+    * [[runHourlyRollupAvailableNow]] does for tumbling windows
+    * (StreamOpsSpec compares it to the batch result). */
+  def runSlidingRollupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
+    val query = slidingRollup(eventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** Sliding-window rollup (1 h window, 30 min slide): each event
     * lands in two windows. Same declarative form runs under
     * streaming; exercised in batch for the oracle. */

@@ -88,6 +88,18 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streaming SLIDING rollup equals the batch rollup (AvailableNow, sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
+      .orderBy("win_start", "event_type").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = StreamOps.slidingRollup(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .orderBy("win_start", "event_type").collect().toSeq
+    streamed shouldBe batch
+  }
+
   test("embeddingUpsert: max-version wins and ONLY arriving rows are embedded") {
     val work = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
     val staging = s"$work/staging"
