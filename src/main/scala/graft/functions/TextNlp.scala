@@ -128,7 +128,7 @@ object TextNlp extends Serializable {
   val tens = Array("", "", "twenty", "thirty", "forty", "fifty",
     "sixty", "seventy", "eighty", "ninety")
   // scale words for 1000^i, i = 1..10 (enough for any 33-digit input)
-  private val scales = Array("", "thousand", "million", "billion",
+  val scales = Array("", "thousand", "million", "billion",
     "trillion", "quadrillion", "quintillion", "sextillion",
     "septillion", "octillion", "nonillion", "decillion")
 
