@@ -48,18 +48,40 @@ object Analyze {
     * equivalent of the reference's UMAP scatter table
     * (`plotting.py:97-103`): id + (x, y) coordinates. The Gram
     * matrix aggregation runs distributed; only the k×d rotation is
-    * driver-side. Component signs are basis-dependent — treat
-    * coordinates as defined up to sign per axis. */
+    * driver-side.
+    *
+    * Eigenvector signs are mathematically arbitrary, so a raw PCA is
+    * only reproducible up to per-axis sign flips. We fix a canonical
+    * orientation — each principal axis is flipped so its
+    * largest-|loading| component is positive (the standard
+    * sign-determinism convention) — making the projection a
+    * deterministic function of the data, as a training pipeline
+    * artifact must be. */
   def pcaProject2d(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
     val assembled = df.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new PCA()
       .setInputCol("__features").setOutputCol("__pca").setK(2)
       .fit(assembled)
+    // per-axis canonical sign: +1 if the largest-|loading| entry of
+    // the axis is positive, else -1 (k×d principal matrix, driver-side)
+    val pc = model.pc // d rows × k cols, column-major
+    val d = pc.numRows
+    val signs = Array.tabulate(2) { axis =>
+      var best = 0.0
+      var sign = 1.0
+      var i = 0
+      while (i < d) {
+        val v = pc(i, axis)
+        if (math.abs(v) > math.abs(best)) { best = v; sign = if (v < 0) -1.0 else 1.0 }
+        i += 1
+      }
+      sign
+    }
     model.transform(assembled)
       .withColumn("__coords", vector_to_array(col("__pca")))
       .select(idCols.map(col) ++ Seq(
-        col("__coords").getItem(0).as("x"),
-        col("__coords").getItem(1).as("y")): _*)
+        (col("__coords").getItem(0) * lit(signs(0))).as("x"),
+        (col("__coords").getItem(1) * lit(signs(1))).as("y")): _*)
   }
 }

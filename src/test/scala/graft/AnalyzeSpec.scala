@@ -50,4 +50,20 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     vx should be >= vy
     vx should be > 50.0 // the dominant axis was found
   }
+
+  test("pcaProject2d orientation is canonical: dominant-loading axis points positive") {
+    // points spread along u ≈ (0.98, 0.2, 0): PC1 = ±u; the canonical
+    // convention (largest-|loading| component positive) must pick +u,
+    // so a point with a large POSITIVE first component projects to
+    // positive x regardless of which sign the eigensolver returned.
+    val rnd = new scala.util.Random(11)
+    val rows = (-50 to 50).map { t =>
+      (t.toLong + 50, Seq(t * 1.0 + rnd.nextGaussian() * 0.01,
+        t * 0.2 + rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01))
+    }
+    val out = Analyze.pcaProject2d(rows.toDF("vec_id", "embedding"), "embedding", Seq("vec_id"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("x")).toMap
+    out(100L) should be > 0.0 // the t=+50 extreme
+    out(0L) should be < 0.0   // the t=-50 extreme
+  }
 }
