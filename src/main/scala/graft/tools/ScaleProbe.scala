@@ -77,6 +77,16 @@ object ScaleProbe {
         spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
         maxHamming = 8).count()
     }
+    time("ivf_train_and_topk") { dir =>
+      // trained codebook + cell-keyed probe search; fixed 40-query set,
+      // corpus (and index build) grow with the data
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cb = Ann.trainCodebook(e, "embedding", k = 12)
+      Ann.ivfTopK(
+        e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 4000), e,
+        cb, "cell", "cvec", "vec_id", "vec_id", "embedding",
+        nProbe = 3, k = 5).count()
+    }
     time("flagship_matcher") { dir =>
       // queries grow with the data; the reference side stays
       // catalog-sized (the realistic scale-up shape)
