@@ -1051,7 +1051,9 @@ object SparkEntry {
          SELECT doc_id, string_agg(root, ' ' ORDER BY pos) AS cleaned
          FROM rooted GROUP BY doc_id
        )
-       SELECT s.doc_id, coalesce(a.cleaned, '') AS cleaned
+       SELECT s.doc_id,
+              CASE WHEN s.t IS NULL THEN NULL
+                   ELSE coalesce(a.cleaned, '') END AS cleaned
        FROM src s LEFT JOIN agg a USING (doc_id)
        ORDER BY s.doc_id"""
   }
