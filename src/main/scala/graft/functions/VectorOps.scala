@@ -43,13 +43,6 @@ object VectorOps {
     when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
   }
 
-  /** Squared L2 distance — used by the near-dup embedding path. */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, x) => acc + x)
-
   /** L2-normalize a vector column (null-safe; zero vectors pass
     * through unchanged to avoid NaN). One-pass native expression —
     * the `transform(a, x => x / l2Norm(a))` form recomputes the norm

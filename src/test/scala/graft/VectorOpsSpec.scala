@@ -50,13 +50,6 @@ class VectorOpsSpec extends SparkSpec with Matchers {
     df(1) shouldBe 0.0
   }
 
-  test("l2Sq is the squared euclidean distance") {
-    val d = Seq((Seq(1.0, 2.0), Seq(4.0, 6.0))).toDF("a", "b")
-      .select(VectorOps.l2Sq(col("a"), col("b")).as("d"))
-      .head().getDouble(0)
-    d shouldBe 25.0 +- 1e-12
-  }
-
   test("cosine stays within [-1, 1] over random vectors (property)") {
     val rnd = new scala.util.Random(42)
     val rows = Seq.fill(50)((Seq.fill(8)(rnd.nextDouble() * 10 - 5),
