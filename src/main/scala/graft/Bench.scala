@@ -30,10 +30,12 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // best-of-N timed passes (default 2): single-pass numbers swing
-    // ±30% on sub-second queries from GC/scheduling noise; the min is
+    // best-of-N timed passes (default 5): single-pass numbers swing
+    // ±30% on sub-second queries from GC/scheduling noise, and at
+    // N=2 code-UNCHANGED queries drifted 1.3-1.4× between rounds —
+    // too noisy to detect a 30% regression. The min over 5 passes is
     // the standard stable estimator of steady-state cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val passes = (1 to reps).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -302,17 +302,46 @@ object Ann {
       .select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"), col("cell"))
       .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec")))
 
-    // query side: nProbe nearest cells each
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("cent_score").desc, col("cell").asc)
-    val probes = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+    // query side: nProbe nearest cells each. Integral cell ids go
+    // through the same bounded k=nProbe heap aggregate as the index
+    // side (and as rankTopK): the cross-joined rows carry every query
+    // |cells| times, and the row_number window form would sort each
+    // query's full centroid list per partition before truncating — at
+    // 10⁹ queries that probe sort was the one remaining unbounded
+    // window in the ANN tier. Map-side partial aggregation collapses
+    // each query to ONE nProbe-entry state before any shuffle.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val cellType = cents.schema("cell").dataType
+    val cellIntegral = cellType == LongType || cellType == IntegerType ||
+      cellType == ShortType || cellType == ByteType
+    val qScored = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
       .crossJoin(cents)
       .withColumn("cent_score", VectorOps.cosineWithNorms(
         col("q_vec"), col("q_nrm"), col("cent_vec"), col("cent_nrm")))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val probes =
+      if (cellIntegral) {
+        // heap tie-break is (score desc, id asc) — identical to the
+        // window's orderBy, so probed cell SETS match exactly
+        qScored
+          .groupBy(col("q_id"))
+          .agg(
+            graft.functions.TopKByScoreAgg
+              .topK(col("cent_score"), col("cell").cast("long"), nProbe).as("__pk"),
+            first(col("q_vec")).as("q_vec"),
+            first(col("q_nrm")).as("q_nrm"))
+          .select(col("q_id"), col("q_vec"), col("q_nrm"),
+            explode(col("__pk")).as("__e"))
+          .select(col("q_id"), col("q_vec"), col("q_nrm"),
+            col("__e.id").cast(cellType).as("cell"))
+      } else {
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(col("cent_score").desc, col("cell").asc)
+        qScored
+          .withColumn("probe_rank", row_number().over(wProbe))
+          .filter(col("probe_rank") <= nProbe)
+          .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+      }
 
     val scored = probes.join(indexed, Seq("cell"))
       .withColumn("score", VectorOps.cosineWithNorms(

@@ -59,18 +59,20 @@ object Matcher {
     // (`main.py:91-97`). That is only sane for catalog-sized
     // references (83 rows for Lung v1.2), which the rest of the
     // matcher broadcasts anyway. Fail loudly on a corpus-sized input
-    // instead of silently one-task-sorting it (the limit bounds the
-    // guard's own cost).
-    // project to the order columns first: column pruning drops any
-    // upstream embed/enrich stages from the guard's scan
-    val n = ref.select(orderCols.map(col): _*).limit(maxCatalogRows + 1).count()
-    require(n <= maxCatalogRows,
-      s"prepareReference: reference table exceeds $maxCatalogRows rows — it must be " +
-        "catalog-sized (it is broadcast and globally row-numbered). For corpus-scale " +
-        "similarity use Ann.bruteForceTopK/ivfTopK instead.")
+    // instead of silently one-task-sorting it. The guard is folded
+    // into the row_number projection itself (raise_error past the
+    // limit) — zero extra Spark jobs per invocation, and the failure
+    // still fires on the first action before any downstream work
+    // consumes an over-sized broadcast.
     val w = Window.orderBy(orderCols.map(col): _*)
+    val rid = row_number().over(w).cast("long")
+    val guarded = when(rid <= lit(maxCatalogRows.toLong), rid)
+      .otherwise(raise_error(lit(
+        s"prepareReference: reference table exceeds $maxCatalogRows rows — it must be " +
+          "catalog-sized (it is broadcast and globally row-numbered). For corpus-scale " +
+          "similarity use Ann.bruteForceTopK/ivfTopK instead.")).cast("long"))
     ref
-      .withColumn("ref_row_id", row_number().over(w).cast("long"))
+      .withColumn("ref_row_id", guarded)
       .withColumn("CT_NAME_CLEANED", cleaner(col("CT_NAME")))
       .withColumn("ref_norm", VectorOps.l2Norm(col(vecCol)))
   }

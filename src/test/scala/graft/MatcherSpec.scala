@@ -86,10 +86,19 @@ class MatcherSpec extends SparkSpec with Matchers {
       .select(col("id").cast("string").as("CT_ID"), lit("n").as("CT_NAME"),
         lit("t").as("all_text"), lit("d").as("definition"),
         array(lit(1.0), lit(0.0)).as("embedding"))
-    val e = intercept[IllegalArgumentException] {
+    // the guard is folded into the row_number projection (no separate
+    // guard job), so it fires on the first ACTION over the prepared ref
+    val e = intercept[Exception] {
       Matcher.prepareReference(corpus, "embedding", Seq("CT_ID"), maxCatalogRows = 100)
+        .collect()
     }
-    e.getMessage should include("catalog-sized")
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    messages should include("catalog-sized")
+  }
+
+  test("prepareReference under the limit passes and numbers rows in order") {
+    ref.select("ref_row_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
   }
 
   test("mapLabels plan shape: broadcast joins only, at most 3 shuffles, no sort-merge join") {
