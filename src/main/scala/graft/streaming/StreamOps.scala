@@ -257,10 +257,20 @@ object StreamOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+      // coalesce the delta write: the window upstream is hash-
+      // partitioned on doc_id, so a direct partitionBy("bucket") write
+      // would make EVERY task emit a file into every touched bucket dir
+      // (tasks × buckets small files per micro-batch — measured as the
+      // dominant q39 cost at toy scale). Re-keying on bucket puts each
+      // bucket in exactly one task → one file per touched bucket. The
+      // extra exchange moves only |batch| + |touched buckets| rows.
+      .repartition(col("bucket"))
     val delta = new org.apache.hadoop.fs.Path(targetDir + "__delta")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(delta.toString)
-    fs.mkdirs(target)
-    // swap ONLY the touched bucket directories
+    if (!fs.exists(target)) fs.mkdirs(target)
+    // swap ONLY the touched bucket directories (globStatus lists just
+    // the dirs the delta actually wrote — untouched buckets keep their
+    // bytes, which StreamOpsSpec proves by mtime)
     fs.globStatus(new org.apache.hadoop.fs.Path(delta, "bucket=*")).foreach { st =>
       val dst = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
       fs.delete(dst, true)
@@ -284,6 +294,10 @@ object StreamOps {
                       checkpointDir: String,
                       embedder: graft.embed.Embedder,
                       nBuckets: Int = 16): Unit = {
+    // every micro-batch runs one delta write; the _SUCCESS marker is
+    // one extra FS create+rename per batch and nothing reads it here
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     val src = spark.readStream
       .schema(upsertSchema)
       .option("maxFilesPerTrigger", "1")
