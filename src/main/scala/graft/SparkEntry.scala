@@ -1002,10 +1002,11 @@ object SparkEntry {
          SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, lower(raw) AS word
          FROM toks WHERE regexp_matches(raw, '^[A-Za-z]+$$')
        ), exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       nlex AS ($nounLexiconCteSql),
        lem AS (
          SELECT w.doc_id, w.pos, w.word,
            coalesce(e.elemma, ${morphyCaseSql("word")}) AS lemma
-         FROM w LEFT JOIN exc e ON e.eword = w.word
+         FROM w CROSS JOIN nlex LEFT JOIN exc e ON e.eword = w.word
        )
        SELECT doc_id, pos, word, rtrim(lemma, 's') AS root
        FROM lem ORDER BY doc_id, pos"""
@@ -1043,10 +1044,11 @@ object SparkEntry {
                            ELSE alnum END) AS word
          FROM al
        ), exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       nlex AS ($nounLexiconCteSql),
        rooted AS (
          SELECT l.doc_id, l.pos,
                 rtrim(coalesce(e.elemma, ${morphyCaseSql("l.word")}), 's') AS root
-         FROM lowered l LEFT JOIN exc e ON e.eword = l.word
+         FROM lowered l CROSS JOIN nlex LEFT JOIN exc e ON e.eword = l.word
        ), agg AS (
          SELECT doc_id, string_agg(root, ' ' ORDER BY pos) AS cleaned
          FROM rooted GROUP BY doc_id
@@ -1098,14 +1100,33 @@ object SparkEntry {
         ELSE ${(groupClauses :+ rest).mkString(" || ")} END"""
   }
 
-  /** Morphy rule chain as a CASE in rule order with the strict length
-    * guard — applied to `word` when the exception lookup missed. */
+  /** One-row CTE body holding the vendored noun lexicon as a DuckDB
+    * list — cross-joined so [[morphyCaseSql]]'s validation step can
+    * probe it without repeating the literal per rule. */
+  private def nounLexiconCteSql: String =
+    graft.functions.TextNlp.nounLexicon.toSeq.sorted
+      .map(w => s"'$w'").mkString("SELECT [", ", ", "] AS ws")
+
+  /** Morphy rule chain with candidate validation, as a CASE in rule
+    * order — applied to `word` when the exception lookup missed.
+    * First tier: the first rule whose candidate is in the vendored
+    * noun lexicon (`list_contains` against the `ws` list from
+    * [[nounLexiconCteSql]]'s CTE). Fallback tier: the first
+    * APPLICABLE rule's candidate with the strict length guard —
+    * exactly TextNlp.lemmatize's two-tier order. */
   private def morphyCaseSql(word: String): String = {
-    val ruleCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
-      s"WHEN len($word) > ${suf.length} AND $word LIKE '%$suf' " +
-        s"THEN substr($word, 1, len($word) - ${suf.length}) || '$rep'"
+    def cand(suf: String, rep: String) =
+      s"substr($word, 1, len($word) - ${suf.length}) || '$rep'"
+    def applicable(suf: String) =
+      s"len($word) > ${suf.length} AND $word LIKE '%$suf'"
+    val validatedCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
+      s"WHEN ${applicable(suf)} AND list_contains(ws, ${cand(suf, rep)}) " +
+        s"THEN ${cand(suf, rep)}"
     }.mkString(" ")
-    s"CASE $ruleCases ELSE $word END"
+    val fallbackCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
+      s"WHEN ${applicable(suf)} THEN ${cand(suf, rep)}"
+    }.mkString(" ")
+    s"CASE $validatedCases ELSE (CASE $fallbackCases ELSE $word END) END"
   }
 
   private def lemmaExcValuesSql: String =

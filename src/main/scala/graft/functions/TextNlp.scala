@@ -201,27 +201,57 @@ object TextNlp extends Serializable {
     finally stream.close()
   }
 
-  /** WordNet morphy noun detachment rules, in morphy's order; the
-    * first applicable rule wins (we have no full lexicon to validate
-    * candidates against — the identity entries in the exception
-    * resource emulate lexicon membership for words the rules would
-    * mangle, and the reference's trailing `rstrip('s')`
-    * (`nlp_preprocessing.py:36`) masks the difference for the
-    * dominant "s"→"" rule). Public: the q42 oracle derives its SQL
-    * CASE chain from this exact list. */
+  /** WordNet morphy noun detachment rules, in morphy's order. Public:
+    * the q42 oracle derives its SQL CASE chain from this exact list. */
   val morphyRules: List[(String, String)] = List(
     ("ses", "s"), ("ves", "f"), ("xes", "x"), ("zes", "z"),
     ("ches", "ch"), ("shes", "sh"), ("ies", "y"), ("men", "man"),
     ("s", ""))
 
+  /** Vendored noun lexicon for morphy's candidate-validation step
+    * (`nlp_preprocessing.py:34-36` uses full WordNet, which only
+    * accepts a detachment candidate present in its lexicon). This is
+    * the minimal slice that matters under the rule list above: the
+    * singular -se/-ve/-ze/-che/-ie nouns whose plurals an earlier
+    * rule mangles ("houses"→"hous", "nerves"→"nerf", "sizes"→"siz",
+    * "aches"→"ach", "movies"→"movy") while the later s→"" rule is
+    * right. Public: the q42/q23 oracles inline it as a SQL list. */
+  val nounLexicon: Set[String] = {
+    val stream = getClass.getResourceAsStream("/graft/noun_lexicon.txt")
+    require(stream != null, "missing resource graft/noun_lexicon.txt")
+    try scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSet
+    finally stream.close()
+  }
+
+  private val morphyRulesArr: Array[(String, String)] = morphyRules.toArray
+
+  /** Morphy with candidate validation: exceptions first; otherwise
+    * the first rule candidate present in [[nounLexicon]]; otherwise
+    * the first applicable rule's candidate (deviation from NLTK,
+    * which returns the word unchanged when no candidate is in the
+    * lexicon — with a partial lexicon, first-rule fallback matches
+    * NLTK on every word whose true lemma is either vendored or
+    * produced by the first rule, and the reference's trailing
+    * `rstrip('s')` masks the difference for the dominant s→"" rule). */
   def lemmatize(word: String): String =
     lemmaExceptions.get(word) match {
       case Some(l) => l
       case None =>
-        morphyRules.collectFirst {
-          case (suf, rep) if word.length > suf.length && word.endsWith(suf) =>
-            word.dropRight(suf.length) + rep
-        }.getOrElse(word)
+        var firstApplicable: String = null
+        var i = 0
+        while (i < morphyRulesArr.length) {
+          val (suf, rep) = morphyRulesArr(i)
+          if (word.length > suf.length && word.endsWith(suf)) {
+            val cand = word.substring(0, word.length - suf.length) + rep
+            if (nounLexicon.contains(cand)) return cand
+            if (firstApplicable == null) firstApplicable = cand
+          }
+          i += 1
+        }
+        if (firstApplicable != null) firstApplicable else word
     }
 
   /** lemmatize then strip ALL trailing 's' characters — the reference

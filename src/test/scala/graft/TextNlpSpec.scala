@@ -45,10 +45,44 @@ class TextNlpSpec extends AnyFunSuite {
     assert(TextNlp.lemmatize("foramen") == "foramen")
     assert(TextNlp.lemmatize("rabies") == "rabies")   // ies->y would give "raby"
     assert(TextNlp.lemmatize("riches") == "riches")   // ches->ch would give "rich"
+    // NLTK-verified irregular Latin/Greek plurals (noun.exc entries)
+    assert(TextNlp.lemmatize("ganglia") == "ganglion")
+    assert(TextNlp.lemmatize("femora") == "femur")
+    assert(TextNlp.lemmatize("pelves") == "pelvis")   // ves->f would give "pelf"
+    assert(TextNlp.lemmatize("testes") == "testis")
+    assert(TextNlp.lemmatize("menisci") == "meniscus")
+    assert(TextNlp.lemmatize("sulci") == "sulcus")
     // full-pipeline parity with the reference (lemmatize + rstrip 's')
     assert(TextNlp.getRootWord("abdomen") == "abdomen")
     assert(TextNlp.getRootWord("wives") == "wife")
     assert(TextNlp.getRootWord("diagnoses") == "diagnosi") // NLTK "diagnosis", then rstrip
+  }
+
+  test("morphy validates candidates against the vendored noun lexicon") {
+    // the FIRST applicable rule's candidate is a non-word; the later
+    // s->"" candidate is in the lexicon — WordNet's lexicon check
+    // (nlp_preprocessing.py:34-36) picks the later rule
+    assert(TextNlp.lemmatize("houses") == "house")    // ses->s would give "hous"
+    assert(TextNlp.lemmatize("nerves") == "nerve")    // ves->f would give "nerf"
+    assert(TextNlp.lemmatize("valves") == "valve")
+    assert(TextNlp.lemmatize("sizes") == "size")      // zes->z would give "siz"
+    assert(TextNlp.lemmatize("aches") == "ache")      // ches->ch would give "ach"
+    assert(TextNlp.lemmatize("headaches") == "headache")
+    assert(TextNlp.lemmatize("movies") == "movie")    // ies->y would give "movy"
+    assert(TextNlp.lemmatize("calories") == "calorie")
+    assert(TextNlp.lemmatize("synapses") == "synapse")
+    assert(TextNlp.lemmatize("doses") == "dose")
+    assert(TextNlp.lemmatize("proteases") == "protease")
+    // lexicon validation must NOT override a correct first rule
+    assert(TextNlp.lemmatize("branches") == "branch")
+    assert(TextNlp.lemmatize("boxes") == "box")
+    assert(TextNlp.lemmatize("bodies") == "body")
+    assert(TextNlp.lemmatize("classes") == "class")
+    // out-of-lexicon regulars keep first-applicable-rule behaviour
+    assert(TextNlp.lemmatize("fibroblasts") == "fibroblast")
+    // vendored resources are loaded at the expected scale
+    assert(TextNlp.lemmaExceptions.size >= 400)
+    assert(TextNlp.nounLexicon.size >= 180)
   }
 
   test("numberToWords matches num2words en formatting") {
