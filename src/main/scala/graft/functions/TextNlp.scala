@@ -45,70 +45,24 @@ object TextNlp extends Serializable {
     "shouldn't", "wasn", "wasn't", "weren", "weren't", "won",
     "won't", "wouldn", "wouldn't")
 
-  /** Common-English contraction table (vendored subset of the public
-    * `contractions` package data; `nlp_preprocessing.py:22-23`).
-    * Lookup is case-insensitive-first-letter like the package. */
+  /** English contraction table (the public `contractions` package's
+    * expansion data incl. its slang tier, vendored as a resource;
+    * `nlp_preprocessing.py:22-23`). Lookup adds Title-case variants
+    * like the package's capitalised handling. */
   val contractionsMap: Map[String, String] = {
-    val base = Map(
-      "ain't" -> "are not", "aren't" -> "are not", "can't" -> "cannot",
-      "can't've" -> "cannot have", "'cause" -> "because",
-      "could've" -> "could have", "couldn't" -> "could not",
-      "didn't" -> "did not", "doesn't" -> "does not",
-      "don't" -> "do not", "hadn't" -> "had not", "hasn't" -> "has not",
-      "haven't" -> "have not", "he'd" -> "he would",
-      "he'll" -> "he will", "he's" -> "he is", "how'd" -> "how did",
-      "how'll" -> "how will", "how's" -> "how is", "i'd" -> "i would",
-      "i'll" -> "i will", "i'm" -> "i am", "i've" -> "i have",
-      "isn't" -> "is not", "it'd" -> "it would", "it'll" -> "it will",
-      "it's" -> "it is", "let's" -> "let us", "ma'am" -> "madam",
-      "mayn't" -> "may not", "might've" -> "might have",
-      "mightn't" -> "might not", "must've" -> "must have",
-      "mustn't" -> "must not", "needn't" -> "need not",
-      "o'clock" -> "of the clock", "oughtn't" -> "ought not",
-      "shan't" -> "shall not", "she'd" -> "she would",
-      "she'll" -> "she will", "she's" -> "she is",
-      "should've" -> "should have", "shouldn't" -> "should not",
-      "that'd" -> "that would", "that's" -> "that is",
-      "there'd" -> "there would", "there's" -> "there is",
-      "they'd" -> "they would", "they'll" -> "they will",
-      "they're" -> "they are", "they've" -> "they have",
-      "wasn't" -> "was not", "we'd" -> "we would",
-      "we'll" -> "we will", "we're" -> "we are", "we've" -> "we have",
-      "weren't" -> "were not", "what'll" -> "what will",
-      "what're" -> "what are", "what's" -> "what is",
-      "what've" -> "what have", "when's" -> "when is",
-      "where'd" -> "where did", "where's" -> "where is",
-      "who'll" -> "who will", "who's" -> "who is",
-      "who've" -> "who have", "why's" -> "why is",
-      "won't" -> "will not", "would've" -> "would have",
-      "wouldn't" -> "would not", "y'all" -> "you all",
-      "you'd" -> "you would", "you'll" -> "you will",
-      "you're" -> "you are", "you've" -> "you have",
-      // second tranche of the package's table: -'d have chains,
-      // interrogative -'d/-'re forms, possess-like -'s copulas,
-      // archaic/colloquial single tokens
-      "couldn't've" -> "could not have",
-      "he'd've" -> "he would have", "i'd've" -> "i would have",
-      "it'd've" -> "it would have", "she'd've" -> "she would have",
-      "they'd've" -> "they would have", "we'd've" -> "we would have",
-      "you'd've" -> "you would have", "daren't" -> "dare not",
-      "everybody's" -> "everybody is", "everyone's" -> "everyone is",
-      "here's" -> "here is", "how're" -> "how are",
-      "somebody's" -> "somebody is", "someone's" -> "someone is",
-      "something's" -> "something is", "that'll" -> "that will",
-      "that're" -> "that are", "there'll" -> "there will",
-      "there're" -> "there are", "these're" -> "these are",
-      "this's" -> "this is", "those're" -> "those are",
-      "what'd" -> "what did", "when'd" -> "when did",
-      "where're" -> "where are", "where've" -> "where have",
-      "which's" -> "which is", "who'd" -> "who would",
-      "who're" -> "who are", "why'd" -> "why did",
-      "why're" -> "why are", "'tis" -> "it is", "'twas" -> "it was",
-      "o'er" -> "over", "ne'er" -> "never", "e'er" -> "ever",
-      "gonna" -> "going to", "wanna" -> "want to", "gotta" -> "got to",
-      "kinda" -> "kind of", "sorta" -> "sort of", "outta" -> "out of",
-      "dunno" -> "do not know", "gimme" -> "give me", "lemme" -> "let me",
-      "c'mon" -> "come on")
+    val stream = getClass.getResourceAsStream("/graft/contractions.txt")
+    require(stream != null, "missing resource graft/contractions.txt")
+    val base =
+      try scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val i = l.indexOf('\t')
+          require(i > 0, s"malformed contractions entry: $l")
+          l.substring(0, i) -> l.substring(i + 1)
+        }
+        .toMap
+      finally stream.close()
     // The contractions package also fixes capitalised variants; mirror
     // by adding Title-case keys mapping to Title-case expansions.
     base ++ base.map { case (k, v) => (k.capitalize, v.capitalize) }

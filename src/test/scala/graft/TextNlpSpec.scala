@@ -85,6 +85,19 @@ class TextNlpSpec extends AnyFunSuite {
     assert(TextNlp.nounLexicon.size >= 180)
   }
 
+  test("contraction table is the full package data, loaded from the resource") {
+    // full -'ll've / -'d've chains and the slang tier, not just the
+    // common-aux subset
+    assert(TextNlp.expandContractions("y'all'd've") == "you all would have")
+    assert(TextNlp.expandContractions("shan't've") == "shall not have")
+    assert(TextNlp.expandContractions("howdy") == "how do you do")
+    assert(TextNlp.expandContractions("finna") == "fixing to")
+    assert(TextNlp.expandContractions("Don't") == "Do not") // Title-case mirror
+    assert(TextNlp.expandContractions("plain") == "plain")  // miss → unchanged
+    // 160+ base entries, doubled by the Title-case augmentation
+    assert(TextNlp.contractionsMap.size >= 320)
+  }
+
   test("numberToWords matches num2words en formatting") {
     assert(TextNlp.numberToWords("0") == "zero")
     assert(TextNlp.numberToWords("15") == "fifteen")
