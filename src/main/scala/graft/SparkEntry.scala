@@ -483,6 +483,34 @@ object SparkEntry {
     Matcher.mapLabels(queries, ref, k = 2)
   }
 
+  /** The flagship report with the TRAINED embedder: Word2Vec (MLlib)
+    * fit on the reference corpus's all_text with a fixed seed, applied
+    * to both sides through the same [[graft.embed.Embedder]] seam the
+    * hashing and frozen variants use. Rows-only by declared nature —
+    * Word2Vec training is not SQL-expressible — with the matcher
+    * semantics hash-proven by q40 and the embedder pinned by
+    * EmbedderSpec (determinism, OOV handling, normalization). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val raw = docs.select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("raw_input_label"))
+      .distinct()
+      .withColumn("cleaned_input_label", GraftUdfs.cleanLabel(col("raw_input_label")))
+    val part = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").cast("string").as("CT_ID"),
+        col("p_name").as("CT_NAME"), col("p_brand").as("CT_LABEL"),
+        col("p_type").as("definition"))
+      .withColumn("all_text",
+        coalesce(concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "),
+          col("definition")), col("CT_NAME")))
+    val embedder = graft.embed.Word2VecEmbedder.fit(part, "all_text", dim = 64)
+    val queries = embedder.embed(raw, "cleaned_input_label", "qvec")
+    val ref = Matcher.prepareReference(
+      embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
+      .cache()
+    Matcher.mapLabels(queries, ref, k = 2)
+  }
+
   /** Frozen 8-d vector derived from the md5 of a key string:
     * component i = integer value of hex pair i. Deterministic,
     * engine-independent, and DuckDB-recomputable — the components are
@@ -621,7 +649,8 @@ object SparkEntry {
     "q40_label_match_frozen" -> (q40 _),
     "q41_expand_contractions" -> (q41 _),
     "q42_lemmatize" -> (q42 _),
-    "q43_number_words" -> (q43 _))
+    "q43_number_words" -> (q43 _),
+    "q44_label_match_w2v" -> (q44 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 

@@ -43,6 +43,70 @@ class HashingEmbedder(dim: Int = 64, maxTextLength: Int = 150) extends Embedder 
   }
 }
 
+/** Trained Word2Vec embedder — the "MLlib embeddings" option of
+  * SURVEY §2.6 T4: a learned distributed representation standing in
+  * for the reference's externally-supplied SentenceTransformer
+  * (`main.py:9,67`), where [[HashingEmbedder]] is the stateless one.
+  *
+  * Train/apply split mirrors the reference's own lifecycle (SBERT is
+  * fit elsewhere, applied here): [[Word2VecEmbedder.fit]] learns the
+  * vocabulary matrix once — at 100 TB you fit on a bounded sample or
+  * the deduped corpus, never the raw stream — and the resulting
+  * embedder applies it as one distributed transform. The model state
+  * is a |vocab|×dim float matrix that MLlib broadcasts to executors;
+  * transform averages the word vectors of each document's cleaned
+  * token sequence (OOV tokens ignored, all-OOV → zero vector, which
+  * the cosine kernel's zero-norm guard already handles), then
+  * L2-normalizes like every other live embedder here.
+  *
+  * Determinism: fixed seed + numPartitions=1 training makes the fit
+  * reproducible for a given corpus (pinned by EmbedderSpec); the
+  * transform itself is a pure broadcast lookup.
+  */
+class Word2VecEmbedder private (
+    model: org.apache.spark.ml.feature.Word2VecModel,
+    maxTextLength: Int) extends Embedder {
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tokCol = outCol + "__tokens"
+    val rawCol = outCol + "__raw"
+    val withTokens = df.withColumn(
+      tokCol, GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)))
+    model.setInputCol(tokCol).setOutputCol(rawCol)
+      .transform(withTokens)
+      .withColumn(outCol, VectorOps.normalize(vector_to_array(col(rawCol))))
+      .drop(tokCol, rawCol)
+  }
+
+  /** The learned vector for one vocabulary word (test/diagnostic). */
+  def wordVector(word: String): Option[Array[Double]] = {
+    import org.apache.spark.ml.linalg.Vector
+    val rows = model.getVectors.filter(col("word") === word)
+      .select("vector").collect()
+    rows.headOption.map(_.getAs[Vector](0).toArray)
+  }
+}
+
+object Word2VecEmbedder {
+  /** Fit the vocabulary matrix on `corpus(textCol)` with the same
+    * clean-dedup tokenization the embed path applies. */
+  def fit(corpus: DataFrame, textCol: String, dim: Int = 64, seed: Long = 42L,
+          minCount: Int = 1, maxIter: Int = 1,
+          maxTextLength: Int = 150): Word2VecEmbedder = {
+    val tokens = corpus.select(
+      GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)).as("__tokens"))
+    val w2v = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("__tokens").setOutputCol("__vec")
+      .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
+      .setMaxIter(maxIter)
+      // one training partition: Word2Vec's per-partition SGD merges
+      // nondeterministically across partitions; the corpora this fits
+      // on are bounded (sample/catalog), so determinism wins
+      .setNumPartitions(1)
+    new Word2VecEmbedder(w2v.fit(tokens), maxTextLength)
+  }
+}
+
 /** Fixture-backed embedder: joins pre-computed vectors by text key —
   * the Spark analog of the reference's frozen golden embeddings
   * (`asctb_reference_embeddings/ASCTB_Lungv1_2.csv`). The lookup is
