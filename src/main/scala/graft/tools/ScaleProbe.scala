@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Ann, Dedup, Matcher}
+import graft.operators.{Ann, Dedup, Matcher, Multimodal}
 import graft.streaming.StreamOps
 
 /** Scale-up probe (dev tool): replicates the sf0.1 tables K× with
@@ -123,6 +123,21 @@ object ScaleProbe {
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))).count()
     }
+    // Multimodal decode: wall must be proportional to SAMPLED bytes —
+    // linear in data volume at fixed stride (the per-row scaling),
+    // and ~stride-proportional at fixed data (decode sees only the
+    // sampled frames, never the full payload). Comparing the s2 and
+    // s8 rows at the same scale shows the second property.
+    def multimodalCount(dir: String, stride: Int): Long = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val framed = Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(docs, "text"), "payload",
+        frameSize = 64, stride = stride)
+      Multimodal.extractFrameFeaturesBatched(framed, "frames")
+        .select(explode(col("frame_features"))).count()
+    }
+    time("multimodal_decode_s2") { dir => multimodalCount(dir, 2) }
+    time("multimodal_decode_s8") { dir => multimodalCount(dir, 8) }
     val probeRun = new java.util.concurrent.atomic.AtomicInteger(0)
     time("sessionize_stream") { dir =>
       // the stateful flatMapGroupsWithState path end-to-end through
