@@ -52,6 +52,19 @@ class TextNlpSpec extends AnyFunSuite {
     assert(TextNlp.lemmatize("testes") == "testis")
     assert(TextNlp.lemmatize("menisci") == "meniscus")
     assert(TextNlp.lemmatize("sulci") == "sulcus")
+    // round-7 additions — -mina neuters and other anatomy irregulars
+    // no morphy rule touches ("foramina" ends in 'a': only an
+    // exception entry can reach "foramen")
+    assert(TextNlp.lemmatize("foramina") == "foramen")
+    assert(TextNlp.lemmatize("lumina") == "lumen")
+    assert(TextNlp.lemmatize("ossa") == "os")
+    assert(TextNlp.lemmatize("pontes") == "pons")     // s->"" would give "ponte"
+    assert(TextNlp.lemmatize("irides") == "iris")     // s->"" would give "iride"
+    assert(TextNlp.lemmatize("chiasmata") == "chiasma")
+    assert(TextNlp.lemmatize("tarsi") == "tarsus")
+    assert(TextNlp.lemmatize("maxillae") == "maxilla")
+    assert(TextNlp.lemmatize("sequelae") == "sequela")
+    assert(TextNlp.lemmatize("ischia") == "ischium")
     // full-pipeline parity with the reference (lemmatize + rstrip 's')
     assert(TextNlp.getRootWord("abdomen") == "abdomen")
     assert(TextNlp.getRootWord("wives") == "wife")
