@@ -310,6 +310,41 @@ object SparkEntry {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
 
+  /** The boilerplate text planted by [[corpusWithBoilerplate]] — also
+    * inlined into the q45/q46 oracle SQL. */
+  private val boilerplateText =
+    "subscribe to our newsletter for updates all rights reserved"
+
+  /** documents plus a 12-copy boilerplate cluster: the hot-bucket
+    * workload for the capped dedup queries (q45/q46) — identical texts
+    * land every copy in ONE (band, bucket) key in every band. */
+  private def corpusWithBoilerplate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1, 13).select(
+        (col("id") + 10000000L).as("doc_id"),
+        lit(boilerplateText).as("text")))
+
+  /** MinHash-LSH near-dup with the HOT-BUCKET CAP (the 100 TB skew
+    * guard): buckets over 8 members emit no pairwise candidates — the
+    * planted boilerplate cluster's 66 pairs are suppressed while every
+    * small-bucket pair is found exactly as in q28. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(corpusWithBoilerplate(s, dir), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2, jaccardThreshold = 0.8,
+        maxBucketSize = Some(8))
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** The linear companion of the cap: identical-full-signature
+    * clusters (the capped boilerplate mass, recovered as ONE group by
+    * a map-side-combined aggregate instead of |cluster|² pairs). */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSignatureDuplicates(
+        Dedup.minhashSignatures(corpusWithBoilerplate(s, dir), "text", "doc_id",
+          shingleSize = 3, numHashes = 8),
+        "doc_id", numHashes = 8)
+      .orderBy("keep_id")
+
   /** The hourly rollup run THROUGH the Structured Streaming engine
     * (AvailableNow → memory sink); oracle-checked against the same
     * batch SQL as q14 — stream/batch parity, proven. */
@@ -650,7 +685,9 @@ object SparkEntry {
     "q41_expand_contractions" -> (q41 _),
     "q42_lemmatize" -> (q42 _),
     "q43_number_words" -> (q43 _),
-    "q44_label_match_w2v" -> (q44 _))
+    "q44_label_match_w2v" -> (q44 _),
+    "q45_minhash_capped" -> (q45 _),
+    "q46_signature_clusters" -> (q46 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -838,16 +875,45 @@ object SparkEntry {
        SELECT id_a, id_b, "cos" FROM c WHERE "cos" >= 0.45 ORDER BY id_a, id_b"""
   }
 
-  private def minhashLshPairsOracle: String = {
+  /** q45/q46 oracle corpus: documents + the planted boilerplate
+    * cluster (mirrors `corpusWithBoilerplate`). */
+  private def boilerplateCorpusSql: String =
+    s"""corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id, '$boilerplateText' AS text
+         FROM range(1, 13) t(r)
+       ), """
+
+  private def minhashLshPairsOracle: String =
+    minhashPairsOracle(corpusCte = "", source = "documents", cap = None)
+
+  private def minhashCappedPairsOracle: String =
+    minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
+      cap = Some(8))
+
+  /** MinHash-LSH near-dup pair oracle. The Spark side emits each pair
+    * once via first-match banding; the oracle gets the same SET with a
+    * plain UNION (which dedups) over per-band joins. With `cap`, each
+    * band join is restricted to buckets of at most `cap` members —
+    * the hot-bucket guard's semantics: a pair survives iff SOME band
+    * puts both docs in a small-enough bucket. */
+  private def minhashPairsOracle(corpusCte: String, source: String,
+                                 cap: Option[Int]): String = {
     val sigs = minhashSigsSql
     val bandCols = (0 until 4).map(b =>
       s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
-    val unions = (0 until 4).map(b =>
+    val unions = (0 until 4).map { b =>
+      val capClause = cap.map(c =>
+        s"""
+          JOIN (SELECT b_$b AS k, count(*) AS c FROM bands GROUP BY 1) sz
+            ON sz.k = a.b_$b
+          WHERE sz.c <= $c""").getOrElse("")
       s"""SELECT a.doc_id AS id_a, b2.doc_id AS id_b
-          FROM bands a JOIN bands b2 ON a.b_$b = b2.b_$b AND a.doc_id < b2.doc_id""")
-      .mkString(" UNION ")
-    s"""WITH w AS (
-         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+          FROM bands a JOIN bands b2 ON a.b_$b = b2.b_$b AND a.doc_id < b2.doc_id$capClause"""
+    }.mkString(" UNION ")
+    s"""WITH ${corpusCte}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM $source
        ), sh AS (
          SELECT doc_id, unnest(
            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
@@ -882,6 +948,29 @@ object SparkEntry {
        )
        SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
        FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+  }
+
+  /** Identical-full-signature clusters over the boilerplate corpus
+    * (q46). DuckDB `count(*)` is already BIGINT; `concat_ws` renders
+    * the BIGINT signature slots in plain decimal, matching Spark's
+    * `concat_ws` on longs. */
+  private def signatureClustersOracle: String = {
+    val sigCols = (0 until 8).map(h => s"sig_$h").mkString(", ")
+    s"""WITH ${boilerplateCorpusSql}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM corpus
+       ), sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), sig AS (
+         SELECT doc_id, $minhashSigsSql FROM sh GROUP BY doc_id
+       )
+       SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs,
+              md5(concat_ws('|', $sigCols)) AS sig_md5
+       FROM sig GROUP BY $sigCols HAVING count(*) > 1
+       ORDER BY keep_id"""
   }
 
   private def simhashNearDupOracle: String = {
@@ -1443,5 +1532,7 @@ object SparkEntry {
     "q41_expand_contractions" -> expandContractionsOracle,
     "q42_lemmatize" -> lemmatizeOracle,
     "q43_number_words" -> numberWordsOracle,
+    "q45_minhash_capped" -> minhashCappedPairsOracle,
+    "q46_signature_clusters" -> signatureClustersOracle,
     "q23_nlp_clean" -> nlpCleanOracle)
 }

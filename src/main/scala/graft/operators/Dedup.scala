@@ -105,13 +105,107 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
   }
 
+  /** [[minhashCandidatePairs]] with a HOT-BUCKET CAP — the skew guard
+    * the uncapped form needs at 100 TB. A degenerate bucket (web
+    * boilerplate, empty documents, any text shared by millions of
+    * pages — all land on ONE (band, bucket) key) makes the bucket
+    * self-join quadratic inside a single shuffle partition: |bucket|²
+    * pairs that no AQE skew split can parallelise away, because the
+    * blowup is the OUTPUT, not the partition layout. Industrial dedup
+    * pipelines cap the bucket: members of a bucket larger than
+    * `maxBucketSize` emit no pairwise candidates from that band (they
+    * are near-certainly mutual duplicates of one boilerplate cluster —
+    * route them through [[exactSignatureDuplicates]], which groups the
+    * identical-signature mass in ONE linear aggregate instead of
+    * |bucket|² pairs).
+    *
+    * A pair survives iff SOME band puts both docs in a small-enough
+    * bucket, and is emitted exactly once (first such band) — the
+    * first-match predicate additionally treats a hot earlier band as
+    * non-emitting via the carried per-band size array. Cost vs the
+    * uncapped form: one (band, bucket) count aggregate (same shuffle
+    * key as the join — co-partitioned), its size join back, and one
+    * per-doc re-aggregation keyed like the upstream signature groupBy;
+    * all keyed, none quadratic, no driver-side state (the hot set is
+    * never collected). */
+  def minhashCandidatePairsCapped(signatures: DataFrame, idCol: String,
+                                  numHashes: Int = 8, rowsPerBand: Int = 2,
+                                  maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    require(maxBucketSize >= 2, "a bucket of 2 is the smallest that can pair")
+    val numBands = numHashes / rowsPerBand
+    val bucketCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      md5(concat_ws("|", parts: _*))
+    }
+    val exploded = signatures
+      .select(col(idCol), array(bucketCols: _*).as("bks"))
+      .select(col(idCol), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val sizes = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    // per-doc bucket-size array aligned with `bks` (szs[t] = how many
+    // docs share this doc's band-t bucket) — carried into the join so
+    // the first-match predicate can see earlier bands' hotness
+    // bks joins the grouping key (it is functionally dependent on the
+    // id) so every aggregate buffer stays a primitive long —
+    // HashAggregate instead of the SortAggregate a first(array) buffer
+    // would force
+    val perDoc = exploded.join(sizes, Seq("band", "bucket"))
+      .groupBy(col(idCol), col("bks"))
+      .agg(array((0 until numBands).map(t =>
+        max(when(col("band") === t, col("bsz")))): _*).as("szs"))
+    val banded = perDoc
+      .select(col(idCol), col("bks"), col("szs"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+      .filter(element_at(col("szs"), col("band") + 1) <= maxBucketSize)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // emit only from the first agreeing SMALL band: every earlier band
+    // must differ or have been capped out
+    val firstMatch = (0 until numBands - 1)
+      .map { t =>
+        (col("a.band") <= t) ||
+          (element_at(col("a.bks"), t + 1) =!= element_at(col("b.bks"), t + 1)) ||
+          (element_at(col("a.szs"), t + 1) > maxBucketSize)
+      }
+      .foldLeft(lit(true))(_ && _)
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** The linear-cost companion of the hot-bucket cap: group documents
+    * whose FULL MinHash signature is identical (the dominant hot-bucket
+    * cause — exact or trivially-rehashed boilerplate copies) in one
+    * map-side-combined aggregate. One row per duplicate cluster, the
+    * lowest id as keeper — |cluster| rows shuffled, never |cluster|²
+    * pairs. */
+  def exactSignatureDuplicates(signatures: DataFrame, idCol: String,
+                               numHashes: Int = 8): DataFrame = {
+    val sigCols = (0 until numHashes).map(h => col(s"sig_$h"))
+    signatures
+      .groupBy(sigCols: _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("keep_id"), col("n_docs"),
+        md5(concat_ws("|", sigCols: _*)).as("sig_md5"))
+  }
+
   /** Full MinHash near-dup pipeline: signatures → banded candidates →
-    * exact word-set Jaccard verification ≥ threshold. */
+    * exact word-set Jaccard verification ≥ threshold. `maxBucketSize`
+    * enables the hot-bucket skew guard
+    * ([[minhashCandidatePairsCapped]]); None keeps the exhaustive
+    * uncapped join. */
   def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, numHashes: Int = 8,
-                            rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5): DataFrame = {
+                            rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, numHashes)
-    val cands = minhashCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    val cands = maxBucketSize match {
+      case Some(cap) => minhashCandidatePairsCapped(sigs, idCol, numHashes, rowsPerBand, cap)
+      case None      => minhashCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    }
     val withJ = jaccardOnPairs(cands, docs, textCol, idCol, shingleSize)
     withJ.filter(col("jaccard") >= jaccardThreshold)
   }

@@ -53,6 +53,61 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should not contain ((1L, 4L))
   }
 
+  test("capped banding equals uncapped when no bucket exceeds the cap") {
+    val sigs = Dedup.minhashSignatures(docs.filter($"doc_id" =!= 5L),
+      "text", "doc_id", shingleSize = 3, numHashes = 8)
+    val uncapped = Dedup.minhashCandidatePairs(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidatePairsCapped(sigs, "doc_id", 8, 2,
+        maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe uncapped
+  }
+
+  test("hot-bucket cap suppresses the boilerplate cluster's quadratic pairs " +
+    "and exactSignatureDuplicates groups it linearly instead") {
+    // 12 boilerplate copies (one hot bucket in EVERY band) + the normal docs
+    val boiler = (100L until 112L)
+      .map(i => (i, "subscribe to our newsletter all rights reserved"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 5L).unionByName(boiler)
+    val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 8)
+    val capped = Dedup.minhashCandidatePairsCapped(sigs, "doc_id", 8, 2,
+        maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair touches the boilerplate cluster (its 66 pairs are capped out) ...
+    capped.foreach { case (a, b) =>
+      a should be < 100L
+      b should be < 100L
+    }
+    // ... the small-bucket pairs are untouched ...
+    capped should contain((1L, 2L))
+    capped should contain((1L, 3L))
+    // ... and the capped mass is recovered as ONE signature cluster
+    val clusters = Dedup.exactSignatureDuplicates(sigs, "doc_id").collect()
+    val boilerCluster = clusters.find(_.getAs[Long]("keep_id") == 100L).get
+    boilerCluster.getAs[Long]("n_docs") shouldBe 12L
+    // docs 1 & 2 are exact dups too — identical signatures
+    clusters.find(_.getAs[Long]("keep_id") == 1L).get
+      .getAs[Long]("n_docs") shouldBe 2L
+  }
+
+  test("a pair sharing only a hot band and a small band still survives via the small band") {
+    // construct signatures directly: docs 1..10 share band 0 exactly
+    // (sig_0, sig_1 equal — hot at cap 4); docs 1 & 2 additionally share
+    // band 3 (sig_6, sig_7) — a small bucket, so (1,2) must survive
+    val rows = (1L to 10L).map { i =>
+      val b3 = if (i <= 2) 77L else 1000L + i
+      (i, 1L, 2L, 10L + i, 20L + i, 30L + i, 40L + i, b3, b3 + 1)
+    }
+    val sigs = rows.toDF("doc_id", "sig_0", "sig_1", "sig_2", "sig_3",
+      "sig_4", "sig_5", "sig_6", "sig_7")
+    val capped = Dedup.minhashCandidatePairsCapped(sigs, "doc_id", 8, 2,
+        maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((1L, 2L))
+  }
+
   test("jaccardOnPairs: identical docs 1.0; disjoint docs 0.0") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id", 3)
