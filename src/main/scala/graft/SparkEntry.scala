@@ -438,6 +438,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Streaming exact dedup across micro-batches (first-arrival wins,
+    * watermark-bounded digest state): v0 = the exact-deduped document
+    * snapshot; v1 = a re-crawl where every third doc is unchanged
+    * (suppressed by the stream's digest state) and the rest are edits
+    * (new digests — kept). Deterministic by construction: digests are
+    * unique within each staged file, so the kept set is exactly
+    * first-arrival per digest whatever the in-batch row order. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val v0 = d.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), lit(0L).as("version"), col("text"))
+    val v1 = v0.select(col("doc_id"), lit(1L).as("version"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v1"))).as("text"))
+    val work = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    StreamOps.stageVersionFile(v0, s"$staging/v0.parquet")
+    StreamOps.stageVersionFile(v1, s"$staging/v1.parquet")
+    StreamOps.runStreamingDedupAvailableNow(s, staging)
+      .select(col("doc_id"), col("version"), col("text_md5"))
+      .orderBy("doc_id", "version")
+  }
+
   /** SimHash near-duplicate pairs: 15-bit slice blocking (pigeonhole
     * guarantee for small Hamming budgets) + exact Hamming verify. */
   private def q38(s: SparkSession, dir: String): DataFrame =
@@ -687,7 +714,8 @@ object SparkEntry {
     "q43_number_words" -> (q43 _),
     "q44_label_match_w2v" -> (q44 _),
     "q45_minhash_capped" -> (q45 _),
-    "q46_signature_clusters" -> (q46 _))
+    "q46_signature_clusters" -> (q46 _),
+    "q47_stream_dedup" -> (q47 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1534,5 +1562,17 @@ object SparkEntry {
     "q43_number_words" -> numberWordsOracle,
     "q45_minhash_capped" -> minhashCappedPairsOracle,
     "q46_signature_clusters" -> signatureClustersOracle,
+    "q47_stream_dedup" ->
+      """WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+           keepers AS (SELECT h, min(doc_id) AS m FROM d GROUP BY h),
+           v0 AS (
+             SELECT d.doc_id, d.text, d.h
+             FROM d JOIN keepers k ON d.h = k.h AND d.doc_id = k.m)
+         SELECT doc_id, CAST(0 AS BIGINT) AS version, h AS text_md5 FROM v0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT) AS version,
+                md5(text || ' v1') AS text_md5
+         FROM v0 WHERE doc_id % 3 <> 0
+         ORDER BY doc_id, version""",
     "q23_nlp_clean" -> nlpCleanOracle)
 }

@@ -188,6 +188,52 @@ object StreamOps {
       }
   }
 
+  // --- streaming exact dedup --------------------------------------------
+
+  /** Streaming exact dedup: suppress re-arrivals of already-seen
+    * content across micro-batches. State is keyed by the content
+    * digest and expires via the watermark
+    * (`dropDuplicatesWithinWatermark`), so an unbounded crawl stream
+    * runs forever with BOUNDED state — the property a plain streaming
+    * `dropDuplicates` lacks (its digest state grows with every
+    * distinct document ever seen). A re-crawl inside the watermark
+    * horizon is dropped; one arriving after the state expired is
+    * re-emitted and left to a downstream batch exact-dedup
+    * ([[graft.operators.Dedup.exactDuplicates]]) — the standard
+    * split of duties at 100 TB: the stream keeps the horizon clean,
+    * the batch pass owns history. */
+  def streamingExactDedup(stream: DataFrame, textCol: String, tsCol: String,
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Run [[streamingExactDedup]] over staged (doc_id, version, text)
+    * files — one micro-batch per file, event time derived from the
+    * version — and return the emitted (first-arrival) rows. */
+  def runStreamingDedupAvailableNow(spark: SparkSession, stagingDir: String,
+                                    watermarkDelay: String = "10 minutes"): DataFrame = {
+    val src = spark.readStream
+      .schema(upsertSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/*.parquet")
+      // synthetic event time: one minute per version, so every batch's
+      // watermark trails all retained state during the drain
+      .withColumn("ts",
+        expr("timestamp_micros(1700000000000000 + version * 60000000)"))
+    val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
+    val query = streamingExactDedup(src, "text", "ts", watermarkDelay)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- incremental embedding upsert (SURVEY §2.9) -----------------------
 
   /** Schema of the staged upsert source files. */

@@ -100,6 +100,25 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streamingExactDedup drops cross-batch re-arrivals, keeps new content") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sdedup_spec_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    StreamOps.stageVersionFile(
+      Seq((1L, 0L, "alpha beta"), (2L, 0L, "gamma delta"))
+        .toDF("doc_id", "version", "text"),
+      s"$staging/v0.parquet")
+    StreamOps.stageVersionFile(
+      // doc 3 re-crawls doc 1's exact content (dropped); doc 4 is new
+      Seq((3L, 1L, "alpha beta"), (4L, 1L, "epsilon zeta"))
+        .toDF("doc_id", "version", "text"),
+      s"$staging/v1.parquet")
+    val out = StreamOps.runStreamingDedupAvailableNow(spark, staging)
+      .select("doc_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 0L), (2L, 0L), (4L, 1L))
+  }
+
   test("embeddingUpsert: max-version wins and ONLY arriving rows are embedded") {
     val work = java.nio.file.Files.createTempDirectory("graft_upsert_spec_").toString
     val staging = s"$work/staging"
