@@ -298,19 +298,21 @@ object StreamOps {
           .filter(col("bucket").isin(touched: _*)) // partition pruning
           .unionByName(inc)
       else inc
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    // ONE shuffle for the whole merge: re-key on bucket first (each
+    // bucket lands in exactly one task → one file per touched bucket
+    // dir instead of tasks × buckets small files), then window on
+    // (bucket, doc_id) — bucket is a function of doc_id, so the
+    // grouping is semantically per-doc, and HashPartitioning(bucket)
+    // satisfies the window's ClusteredDistribution(bucket, doc_id):
+    // no second exchange (the pre-round-7 form windowed on doc_id and
+    // re-keyed afterwards, paying the exchange twice per micro-batch).
+    val w = Window.partitionBy(col("bucket"), col("doc_id"))
+      .orderBy(col("version").desc)
     val merged = unioned
+      .repartition(col("bucket"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      // coalesce the delta write: the window upstream is hash-
-      // partitioned on doc_id, so a direct partitionBy("bucket") write
-      // would make EVERY task emit a file into every touched bucket dir
-      // (tasks × buckets small files per micro-batch — measured as the
-      // dominant q39 cost at toy scale). Re-keying on bucket puts each
-      // bucket in exactly one task → one file per touched bucket. The
-      // extra exchange moves only |batch| + |touched buckets| rows.
-      .repartition(col("bucket"))
     val delta = new org.apache.hadoop.fs.Path(targetDir + "__delta")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(delta.toString)
     if (!fs.exists(target)) fs.mkdirs(target)
