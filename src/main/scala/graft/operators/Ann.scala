@@ -140,37 +140,25 @@ object Ann {
     * bands of `bandSize`; vectors agreeing on ALL bits of ANY band
     * become candidates (higher recall than one wide bucket — the
     * classic r-of-L construction). Candidates verify by exact cosine.
-    * Each per-band self-join shuffles on that band's bucket only. */
+    * Each per-band self-join shuffles on that band's bucket only; the
+    * shared [[Banding]] kernel emits each pair once (first agreeing
+    * band), and `maxBucketSize` enables its hot-bucket skew guard (a
+    * zero vector's bucket collects every other zero vector — the
+    * embedding-space analogue of boilerplate text). */
   def lshBandedNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                             planes: Seq[Array[Double]], bandSize: Int,
-                            cosineThreshold: Double): DataFrame = {
+                            cosineThreshold: Double,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val bands = planes.grouped(bandSize).toSeq
     // hoist the float→double widening: every dot product downstream
     // casts its input, and a pre-widened column turns those into
     // no-ops instead of one array allocation per plane per row
     val embsD = embs.select(col(idCol),
       col(vecCol).cast("array<double>").as(vecCol))
-    val bucketed = embsD.select(
-      col(idCol),
-      bandBucketsExpr(col(vecCol), planes, bandSize).as("bks"))
-      .select(col(idCol), col("bks"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    // ONE join keyed on (band, bucket) with first-match emission: a
-    // pair is produced only by the lowest band both sides share, so no
-    // cross-band `distinct` shuffle is needed — at scale the distinct's
-    // input would be every duplicate candidate occurrence.
-    val firstMatch = (0 until bands.length - 1)
-      .map { t =>
-        (col("a.band") <= t) ||
-          (element_at(col("a.bks"), t + 1) =!= element_at(col("b.bks"), t + 1))
-      }
-      .foldLeft(lit(true))(_ && _)
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val pairs = Banding.firstMatchPairs(
+      embsD.select(col(idCol),
+        bandBucketsExpr(col(vecCol), planes, bandSize).as("bks")),
+      idCol, bands.length, maxBucketSize)
 
     val n = embsD.select(col(idCol), col(vecCol),
       VectorOps.l2Norm(col(vecCol)).as("nrm"))

@@ -80,29 +80,22 @@ object Dedup {
     * input is every duplicate candidate occurrence.
     */
   def minhashCandidatePairs(signatures: DataFrame, idCol: String,
-                            numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                            numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    Banding.firstMatchPairs(
+      bandedSignatures(signatures, idCol, numHashes, rowsPerBand),
+      idCol, numHashes / rowsPerBand)
+
+  /** One row per doc with its per-band bucket array (md5 of the band's
+    * signature slots). */
+  private def bandedSignatures(signatures: DataFrame, idCol: String,
+                               numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
     val bucketCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       md5(concat_ws("|", parts: _*))
     }
-    val banded = signatures
-      .select(col(idCol), array(bucketCols: _*).as("bks"))
-      .select(col(idCol), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    // emit only from the first agreeing band: every earlier band must differ
-    val firstMatch = (0 until numBands - 1)
-      .map { t =>
-        (col("a.band") <= t) ||
-          (element_at(col("a.bks"), t + 1) =!= element_at(col("b.bks"), t + 1))
-      }
-      .foldLeft(lit(true))(_ && _)
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    signatures.select(col(idCol), array(bucketCols: _*).as("bks"))
   }
 
   /** [[minhashCandidatePairs]] with a HOT-BUCKET CAP — the skew guard
@@ -130,50 +123,10 @@ object Dedup {
     * never collected). */
   def minhashCandidatePairsCapped(signatures: DataFrame, idCol: String,
                                   numHashes: Int = 8, rowsPerBand: Int = 2,
-                                  maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    require(maxBucketSize >= 2, "a bucket of 2 is the smallest that can pair")
-    val numBands = numHashes / rowsPerBand
-    val bucketCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      md5(concat_ws("|", parts: _*))
-    }
-    val exploded = signatures
-      .select(col(idCol), array(bucketCols: _*).as("bks"))
-      .select(col(idCol), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    val sizes = exploded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-    // per-doc bucket-size array aligned with `bks` (szs[t] = how many
-    // docs share this doc's band-t bucket) — carried into the join so
-    // the first-match predicate can see earlier bands' hotness
-    // bks joins the grouping key (it is functionally dependent on the
-    // id) so every aggregate buffer stays a primitive long —
-    // HashAggregate instead of the SortAggregate a first(array) buffer
-    // would force
-    val perDoc = exploded.join(sizes, Seq("band", "bucket"))
-      .groupBy(col(idCol), col("bks"))
-      .agg(array((0 until numBands).map(t =>
-        max(when(col("band") === t, col("bsz")))): _*).as("szs"))
-    val banded = perDoc
-      .select(col(idCol), col("bks"), col("szs"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
-      .filter(element_at(col("szs"), col("band") + 1) <= maxBucketSize)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    // emit only from the first agreeing SMALL band: every earlier band
-    // must differ or have been capped out
-    val firstMatch = (0 until numBands - 1)
-      .map { t =>
-        (col("a.band") <= t) ||
-          (element_at(col("a.bks"), t + 1) =!= element_at(col("b.bks"), t + 1)) ||
-          (element_at(col("a.szs"), t + 1) > maxBucketSize)
-      }
-      .foldLeft(lit(true))(_ && _)
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-  }
+                                  maxBucketSize: Int = 1000): DataFrame =
+    Banding.firstMatchPairs(
+      bandedSignatures(signatures, idCol, numHashes, rowsPerBand),
+      idCol, numHashes / rowsPerBand, Some(maxBucketSize))
 
   /** The linear-cost companion of the hot-bucket cap: group documents
     * whose FULL MinHash signature is identical (the dominant hot-bucket
@@ -262,7 +215,8 @@ object Dedup {
     * distance only probabilistically, so we re-check all rotations by
     * also bucketing on low bits), then filter by Hamming distance. */
   def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 8): DataFrame = {
+                            maxHamming: Int = 8,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val fps = simhash(docs, textCol, idCol)
     // block on 4 band-slices of 15 bits each: a pair within maxHamming
     // of 60 bits must agree exactly on at least one slice when
@@ -270,6 +224,24 @@ object Dedup {
     // high-recall heuristic blocker.
     def sliceKey(fp: Column, s: Int): Column =
       shiftright(fp, s * 15).bitwiseAND(0x7fff)
+    // capped form: route through the shared Banding kernel (slice keys
+    // as the per-band bucket array) and join fingerprints back for the
+    // Hamming verify — an identical-fingerprint mass (empty/boilerplate
+    // docs collapse to ONE fingerprint) otherwise pairs quadratically
+    // inside its slice buckets. The default path keeps the carried-
+    // fingerprint join below (no join-back).
+    if (maxBucketSize.isDefined) {
+      val pairs = Banding.firstMatchPairs(
+        fps.select(col(idCol),
+          array((0 until 4).map(s => sliceKey(col("simhash"), s)): _*).as("bks")),
+        idCol, 4, maxBucketSize)
+      return pairs
+        .join(fps.select(col(idCol).as("id_a"), col("simhash").as("__fa")), Seq("id_a"))
+        .join(fps.select(col(idCol).as("id_b"), col("simhash").as("__fb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          hammingDistance(col("__fa"), col("__fb")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
     val sliced = fps.select(
       col(idCol), col("simhash"),
       explode(array((0 until 4).map(s =>

@@ -65,6 +65,33 @@ class AnnSpec extends SparkSpec with Matchers {
     pairs.foreach { case (_, _, c) => c should be >= 0.9 }
   }
 
+  test("banded pairs: hot-bucket cap suppresses an identical-vector pile, keeps real pairs") {
+    val planes = Ann.hyperplanes(4, 16, 42L)
+    // 10 identical vectors land in ONE bucket in every band (the
+    // embedding-space boilerplate pile): 45 cos-1.0 pairs uncapped.
+    // Direction chosen off the (0,1) pair's axis so the pile does not
+    // drag their buckets over the cap too.
+    val pile = (100L until 110L).map(i => (i, Seq(0.0, 0.0, 0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val corpus = embs.unionByName(pile)
+    val uncapped = Ann.lshBandedNearDupPairs(corpus, "vec_id", "embedding",
+        planes, bandSize = 4, cosineThreshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val capped = Ann.lshBandedNearDupPairs(corpus, "vec_id", "embedding",
+        planes, bandSize = 4, cosineThreshold = 0.9, maxBucketSize = Some(8))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    capped should contain((0L, 1L))
+    capped.foreach { case (a, b) =>
+      a should be < 100L
+      b should be < 100L
+    }
+    // with a generous cap the result is the uncapped one
+    Ann.lshBandedNearDupPairs(corpus, "vec_id", "embedding",
+        planes, bandSize = 4, cosineThreshold = 0.9, maxBucketSize = Some(1000))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet shouldBe uncapped
+  }
+
   test("ivfTopK: with all cells probed it matches brute force") {
     val centroids = embs.filter($"vec_id" < 4)
       .select($"vec_id".as("cell"), $"embedding".as("cvec"))

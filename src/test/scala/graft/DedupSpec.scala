@@ -108,6 +108,26 @@ class DedupSpec extends SparkSpec with Matchers {
     capped shouldBe Set((1L, 2L))
   }
 
+  test("simhash cap: identical-fingerprint pile suppressed; equals uncapped under a generous cap") {
+    val boiler = (100L until 110L)
+      .map(i => (i, "subscribe to our newsletter all rights reserved"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 5L).unionByName(boiler)
+    val uncapped = Dedup.simhashNearDuplicates(corpus, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashNearDuplicates(corpus, "text", "doc_id", maxHamming = 8,
+        maxBucketSize = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped should contain((1L, 2L))
+    capped.foreach { case (a, b) =>
+      a should be < 100L
+      b should be < 100L
+    }
+    Dedup.simhashNearDuplicates(corpus, "text", "doc_id", maxHamming = 8,
+        maxBucketSize = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe uncapped
+  }
+
   test("jaccardOnPairs: identical docs 1.0; disjoint docs 0.0") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id", 3)
