@@ -465,6 +465,39 @@ object SparkEntry {
       .orderBy("doc_id", "version")
   }
 
+  /** Deterministic train/valid/test split + independent 10% sample
+    * flag: pure md5-hash projections of the id (partition-invariant,
+    * stable under corpus growth — `operators/Curation`). */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.deterministicSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .withColumn("in_sample",
+        graft.operators.Curation.inSample(col("doc_id"), 1, 10, salt = "sample"))
+      .orderBy("doc_id")
+
+  /** The composed curation pipeline a training corpus actually runs:
+    * language filter (en) → quality filter (score ≥ 0.5, ≥ 5 words) →
+    * exact dedup (lowest id per content digest) → deterministic
+    * split. Every stage is an operator proven individually (q18, q17,
+    * q15, q48); this query proves the COMPOSITION end to end against
+    * one relational oracle. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityMetrics(
+      TextAnalysis.languageId(t(s, dir, "documents")))
+    val filtered = scored.filter(col("predicted_lang") === "en" &&
+      col("quality_score") >= 0.5 && col("n_words") >= 5)
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = filtered.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    graft.operators.Curation.deterministicSplit(deduped, "doc_id",
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("predicted_lang"),
+        col("n_words").cast("long").as("n_words"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-duplicate pairs: 15-bit slice blocking (pigeonhole
     * guarantee for small Hamming budgets) + exact Hamming verify. */
   private def q38(s: SparkSession, dir: String): DataFrame =
@@ -715,7 +748,9 @@ object SparkEntry {
     "q44_label_match_w2v" -> (q44 _),
     "q45_minhash_capped" -> (q45 _),
     "q46_signature_clusters" -> (q46 _),
-    "q47_stream_dedup" -> (q47 _))
+    "q47_stream_dedup" -> (q47 _),
+    "q48_dataset_split" -> (q48 _),
+    "q49_curation_pipeline" -> (q49 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -999,6 +1034,63 @@ object SparkEntry {
               md5(concat_ws('|', $sigCols)) AS sig_md5
        FROM sig GROUP BY $sigCols HAVING count(*) > 1
        ORDER BY keep_id"""
+  }
+
+  /** DuckDB mirror of `Curation.sampleHash(...) pmod mod`. */
+  private def splitHashSql(salt: String, mod: Int): String =
+    s"('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % $mod"
+
+  /** q49: the composed curation pipeline — language-id + quality
+    * fragments are verbatim from the q18/q17 oracles, then filter,
+    * min-id-per-digest dedup, and the split-hash CASE. */
+  private def curationPipelineOracle: String = {
+    val hitCols = langMarkersSql.map { case (lang, list) =>
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkersSql.map(_._1)
+    val m = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH hh AS (
+         SELECT doc_id, text, $hitCols FROM documents
+       ), lang AS (
+         SELECT doc_id, text, CASE $pick END AS predicted_lang FROM hh
+       ), met AS (
+         SELECT doc_id, text, predicted_lang,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+         FROM lang
+       ), r AS (
+         SELECT doc_id, text, predicted_lang, n_words,
+           n_alpha / greatest(n_chars_d, 1.0) AS alpha_ratio,
+           n_digit / greatest(n_chars_d, 1.0) AS digit_ratio,
+           n_punct / greatest(n_chars_d, 1.0) AS punct_ratio,
+           n_stop / greatest(n_words, 1.0) AS stopword_ratio
+         FROM met
+       ), q AS (
+         SELECT doc_id, text, predicted_lang, n_words,
+           least(alpha_ratio / 0.7, 1.0) * 0.4
+             + least(stopword_ratio / 0.3, 1.0) * 0.3
+             + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
+             + (1.0 - least(punct_ratio * 5, 1.0)) * 0.15 AS quality_score
+         FROM r
+       ), f AS (
+         SELECT * FROM q
+         WHERE predicted_lang = 'en' AND quality_score >= 0.5 AND n_words >= 5
+       ), k AS (
+         SELECT doc_id, predicted_lang, n_words,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                ${splitHashSql("graft", 100)} AS hs
+         FROM f
+       )
+       SELECT doc_id, predicted_lang, CAST(n_words AS BIGINT) AS n_words,
+              CASE WHEN hs < 90 THEN 'train'
+                   WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+       FROM k WHERE rn = 1 ORDER BY doc_id"""
   }
 
   private def simhashNearDupOracle: String = {
@@ -1574,5 +1666,16 @@ object SparkEntry {
                 md5(text || ' v1') AS text_md5
          FROM v0 WHERE doc_id % 3 <> 0
          ORDER BY doc_id, version""",
+    "q48_dataset_split" ->
+      s"""WITH h AS (
+           SELECT doc_id, ${splitHashSql("graft", 100)} AS hs,
+                  ${splitHashSql("sample", 10)} AS hq
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split,
+                hq < 1 AS in_sample
+         FROM h ORDER BY doc_id""",
+    "q49_curation_pipeline" -> curationPipelineOracle,
     "q23_nlp_clean" -> nlpCleanOracle)
 }
