@@ -153,6 +153,17 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     // never the target re-embedded per batch
     embedded.get() shouldBe 4L
     spark.read.parquet(s"$work/target").schema("embedding").dataType.typeName shouldBe "array"
+
+    // restart-resume contract: a new invocation on the SAME checkpoint
+    // processes only files staged since the last drain — the property
+    // that makes the upsert a long-lived service (already-processed
+    // files are never re-read, re-embedded or re-merged)
+    StreamOps.stageVersionFile(
+      Seq((4L, 2L, "zeta eta")).toDF("doc_id", "version", "text"),
+      s"$staging/v2.parquet")
+    StreamOps.embeddingUpsert(spark, staging, s"$work/target", s"$work/ckpt", counting)
+    embedded.get() shouldBe 5L // +1 for v2's single row, nothing re-done
+    spark.read.parquet(s"$work/target").count() shouldBe 4L
   }
 
   test("embeddingUpsert rewrites ONLY the buckets a batch touches") {
