@@ -26,4 +26,20 @@ object Sinks {
     * with the vector column stringified (CSV has no array type). */
   def embeddingsParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Bucketed-layout sink — the 100 TB shape of S8: `bucketBy` +
+    * `sortBy` on the join key persists the hash distribution in the
+    * table metadata, so every LATER join or aggregation on that key
+    * between co-bucketed tables plans with ZERO exchanges (and, with
+    * one file per bucket, zero sorts). At corpus scale this is the
+    * difference between shuffling 100 TB once per downstream query and
+    * shuffling it once at ingest: embed once, bucket by doc id, and
+    * every dedup-verify, enrichment or metrics join afterwards is
+    * partition-local. SinksSpec proves the exchange-free plan. */
+  def bucketedParquetTable(df: DataFrame, table: String,
+                           bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -21,6 +21,30 @@ class SinksSpec extends SparkSpec with Matchers {
       Set(("a", 1), ("b", 2))
   }
 
+  test("co-bucketed tables join and aggregate with zero exchanges") {
+    val docs = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val meta = (0L until 100L).map(i => (i, i % 7)).toDF("doc_id", "grp")
+    Sinks.bucketedParquetTable(docs, "graft_bkt_docs", "doc_id", 4)
+    Sinks.bucketedParquetTable(meta, "graft_bkt_meta", "doc_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_docs")
+        .join(spark.table("graft_bkt_meta"), "doc_id")
+      joined.count() shouldBe 100L
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      joinPlan should not include "Exchange"
+      // aggregation on the bucket key is exchange-free too
+      val agg = spark.table("graft_bkt_docs").groupBy("doc_id").count()
+      agg.count() shouldBe 100L
+      agg.queryExecution.executedPlan.toString should not include "Exchange"
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_meta")
+    }
+  }
+
   test("bulkCsv preserves partition parallelism") {
     val dir = Files.createTempDirectory("sinks").toFile
     val path = new java.io.File(dir, "bulk").getAbsolutePath
