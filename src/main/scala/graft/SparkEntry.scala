@@ -498,6 +498,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Symmetric int8 embedding quantization (4× storage/bandwidth at
+    * ≲1% cosine error — the standard ANN-candidate trade at 100 TB;
+    * exact re-scoring reads floats for the top candidates only):
+    * per-vector max-abs scale, quantized bytes (digested — the array
+    * itself is the payload), and the max reconstruction error. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", VectorOps.quantScale(col("v")))
+      .withColumn("q", VectorOps.quantizeInt8(col("v"), col("scale")))
+    e.select(col("vec_id"), col("scale"),
+        md5(array_join(transform(col("q"), _.cast("string")), ",")).as("q_md5"),
+        array_max(zip_with(col("v"),
+          VectorOps.dequantizeInt8(col("q"), col("scale")),
+          (x, y) => abs(x - y))).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   /** SimHash near-duplicate pairs: 15-bit slice blocking (pigeonhole
     * guarantee for small Hamming budgets) + exact Hamming verify. */
   private def q38(s: SparkSession, dir: String): DataFrame =
@@ -750,7 +769,8 @@ object SparkEntry {
     "q46_signature_clusters" -> (q46 _),
     "q47_stream_dedup" -> (q47 _),
     "q48_dataset_split" -> (q48 _),
-    "q49_curation_pipeline" -> (q49 _))
+    "q49_curation_pipeline" -> (q49 _),
+    "q50_embedding_quantize" -> (q50 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1677,5 +1697,19 @@ object SparkEntry {
                 hq < 1 AS in_sample
          FROM h ORDER BY doc_id""",
     "q49_curation_pipeline" -> curationPipelineOracle,
+    "q50_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           s AS (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+           q AS (SELECT vec_id, v, scale,
+                        list_transform(v, x -> CAST(
+                          CASE WHEN scale = 0 THEN 0
+                               ELSE round(x / scale * 127) END AS TINYINT)) AS qv
+                 FROM s)
+         SELECT vec_id, scale,
+                md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+                list_max([abs(v[i] - CAST(qv[i] AS DOUBLE) * scale / 127)
+                          for i in range(1, len(v) + 1)]) AS max_err
+         FROM q ORDER BY vec_id""",
     "q23_nlp_clean" -> nlpCleanOracle)
 }

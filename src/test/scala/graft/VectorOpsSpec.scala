@@ -50,6 +50,32 @@ class VectorOpsSpec extends SparkSpec with Matchers {
     df(1) shouldBe 0.0
   }
 
+  test("int8 quantization: bounded reconstruction error, zero vector to zeros, cosine preserved") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(40)(Tuple1(Seq.fill(16)(rnd.nextDouble() * 4 - 2))) :+
+      Tuple1(Seq.fill(16)(0.0))
+    val df = rows.toDF("v")
+      .withColumn("scale", VectorOps.quantScale(col("v")))
+      .withColumn("q", VectorOps.quantizeInt8(col("v"), col("scale")))
+      .withColumn("back", VectorOps.dequantizeInt8(col("q"), col("scale")))
+    val out = df.select(col("scale"),
+        array_max(zip_with(col("v"), col("back"), (x, y) => abs(x - y))).as("err"),
+        VectorOps.cosine(col("v"), col("back")).as("cos"),
+        array_max(transform(col("q"), _.cast("int").cast("double"))).as("qmax"))
+      .collect()
+    out.foreach { r =>
+      val scale = r.getDouble(0)
+      // half-step quantization bound
+      r.getDouble(1) should be <= scale / 127 / 2 + 1e-12
+      if (scale > 0) r.getDouble(2) should be >= 0.999
+      r.getDouble(3) should be <= 127.0
+    }
+    // zero vector: scale 0, all-zero bytes, exact round trip
+    val z = out.last
+    z.getDouble(0) shouldBe 0.0
+    z.getDouble(1) shouldBe 0.0
+  }
+
   test("cosine stays within [-1, 1] over random vectors (property)") {
     val rnd = new scala.util.Random(42)
     val rows = Seq.fill(50)((Seq.fill(8)(rnd.nextDouble() * 10 - 5),
