@@ -92,6 +92,32 @@ class AnnSpec extends SparkSpec with Matchers {
       .toSet shouldBe uncapped
   }
 
+  test("top-k over int8-dequantized vectors recovers the exact top-k (recall contract)") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 200L).map(i => (i, Seq.fill(32)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val quantized = corpus
+      .withColumn("scale", VectorOps.quantScale(col("embedding")))
+      .select(col("vec_id"),
+        VectorOps.dequantizeInt8(
+          VectorOps.quantizeInt8(col("embedding"), col("scale")),
+          col("scale")).as("embedding"))
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    def topIds(c: org.apache.spark.sql.DataFrame) =
+      Ann.bruteForceTopK(queries, c, "vec_id", "vec_id", "embedding", k = 5)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val exact = topIds(corpus)
+    val approx = topIds(quantized)
+    // int8 keeps ~0.999 cosine: overlap of the 5-sets stays >= 4/5 per query
+    val recalls = exact.map { case (q, ids) =>
+      approx(q).intersect(ids).size.toDouble / ids.size
+    }
+    all(recalls) should be >= 0.8
+    (recalls.sum / recalls.size) should be >= 0.95
+  }
+
   test("ivfTopK: with all cells probed it matches brute force") {
     val centroids = embs.filter($"vec_id" < 4)
       .select($"vec_id".as("cell"), $"embedding".as("cvec"))
