@@ -498,6 +498,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup with the hot-bucket cap — the capped family's
+    * third path through the shared Banding kernel, proven against its
+    * own relational oracle on the boilerplate corpus (identical texts
+    * collapse to ONE fingerprint, hot in every slice). */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(corpusWithBoilerplate(s, dir), "text", "doc_id",
+        maxHamming = 8, maxBucketSize = Some(8))
+      .orderBy("id_a", "id_b")
+
   /** Symmetric int8 embedding quantization (4× storage/bandwidth at
     * ≲1% cosine error — the standard ANN-candidate trade at 100 TB;
     * exact re-scoring reads floats for the top candidates only):
@@ -770,7 +779,8 @@ object SparkEntry {
     "q47_stream_dedup" -> (q47 _),
     "q48_dataset_split" -> (q48 _),
     "q49_curation_pipeline" -> (q49 _),
-    "q50_embedding_quantize" -> (q50 _))
+    "q50_embedding_quantize" -> (q50 _),
+    "q51_simhash_capped" -> (q51 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1113,22 +1123,41 @@ object SparkEntry {
        FROM k WHERE rn = 1 ORDER BY doc_id"""
   }
 
-  private def simhashNearDupOracle: String = {
+  private def simhashNearDupOracle: String =
+    simhashPairsOracle(corpusCte = "", source = "documents", cap = None)
+
+  private def simhashCappedOracle: String =
+    simhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
+      cap = Some(8))
+
+  /** SimHash near-dup oracle; with `cap`, each slice join is
+    * restricted to slice-key buckets of at most `cap` members (the
+    * hot-bucket guard — same UNION-set equivalence as the capped
+    * minhash oracle). */
+  private def simhashPairsOracle(corpusCte: String, source: String,
+                                 cap: Option[Int]): String = {
     val votes = (0 until 60).map(b =>
       s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b_$b")
       .mkString(", ")
     val fp = (0 until 60).map(b =>
       s"CASE WHEN b_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
       .mkString(" | ")
-    val unions = (0 until 4).map(sl =>
+    val unions = (0 until 4).map { sl =>
+      val capClause = cap.map(c =>
+        s"""
+          JOIN (SELECT (simhash >> ${sl * 15}) & 32767 AS k, count(*) AS c
+                FROM sb GROUP BY 1) sz
+            ON sz.k = ((a.simhash >> ${sl * 15}) & 32767)
+          WHERE sz.c <= $c""").getOrElse("")
       s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           FROM sb a JOIN sb b
             ON ((a.simhash >> ${sl * 15}) & 32767) = ((b.simhash >> ${sl * 15}) & 32767)
-           AND a.doc_id < b.doc_id""").mkString(" UNION ")
-    s"""WITH w AS (
+           AND a.doc_id < b.doc_id$capClause"""
+    }.mkString(" UNION ")
+    s"""WITH ${corpusCte}w AS (
          SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
-         FROM documents
+         FROM $source
        ), h AS (
          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w
        ), v AS (
@@ -1655,6 +1684,7 @@ object SparkEntry {
          SELECT coalesce(CT_ID, 'ASCTB CT_ID UNK') AS CT_ID, CT_NAME, CT_LABEL
          FROM f ORDER BY CT_ID, CT_NAME, CT_LABEL""",
     "q38_simhash_neardup" -> simhashNearDupOracle,
+    "q51_simhash_capped" -> simhashCappedOracle,
     "q39_stream_upsert" ->
       """WITH v0 AS (SELECT doc_id, 0 AS version, text FROM documents),
          v1 AS (SELECT doc_id, 1 AS version, text || ' v1' AS text
