@@ -62,6 +62,14 @@ object ScaleProbe {
         spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
         jaccardThreshold = 0.8).count()
     }
+    // the 8x replicas are exact near-dups — every replica cluster is a
+    // hot bucket, the workload the cap exists for: wall and output
+    // should collapse vs the uncapped row while small clusters survive
+    time("minhash_neardup_capped") { dir =>
+      Dedup.minhashNearDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        jaccardThreshold = 0.8, maxBucketSize = Some(6)).count()
+    }
     time("lsh_banded_neardup") { dir =>
       Ann.lshBandedNearDupPairs(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",

@@ -128,6 +128,32 @@ class DedupSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe uncapped
   }
 
+  test("Banding kernel equals the brute-force reference on random bucket tables, exactly once") {
+    import graft.operators.Banding
+    val numBands = 4
+    for (seed <- 1 to 5; cap <- Seq(None, Some(3))) {
+      val rnd = new scala.util.Random(seed)
+      // small bucket domain forces collisions, including piles over the cap
+      val rows = (0L until 30L).map(i =>
+        (i, Seq.fill(numBands)(rnd.nextInt(5).toLong)))
+      val bySize: Map[(Int, Long), Int] = rows.flatMap { case (_, bks) =>
+        bks.zipWithIndex.map { case (b, t) => (t, b) }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = (for {
+        (a, abks) <- rows; (b, bbks) <- rows if a < b
+        t <- 0 until numBands
+        if abks(t) == bbks(t) && cap.forall(bySize((t, abks(t))) <= _)
+      } yield (a, b)).toSet
+      val out = Banding.firstMatchPairs(
+          rows.toDF("id", "bks"), "id", numBands, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      withClue(s"seed=$seed cap=$cap: ") {
+        out.toSet shouldBe expected
+        out.distinct.size shouldBe out.size // first-match = exactly once
+      }
+    }
+  }
+
   test("jaccardOnPairs: identical docs 1.0; disjoint docs 0.0") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id", 3)
