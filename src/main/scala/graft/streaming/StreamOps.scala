@@ -276,50 +276,61 @@ object StreamOps {
     * commit transactionally on a real cluster. */
   private def upsertBatch(batch: DataFrame, targetDir: String,
                           embedder: graft.embed.Embedder, nBuckets: Int): Unit = {
-    val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(targetDir)
     val bucketOf = pmod(col("doc_id"), lit(nBuckets.toLong))
     // Touched buckets from the RAW batch, before the embed stage — a
     // scan of the one staged file yielding ≤ nBuckets small integers:
     // partition METADATA (the same list dynamic partition overwrite
     // discovers), not a data collect.
     val touched = batch.select(bucketOf.as("bucket")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).toSeq
     // only arriving rows are embedded — once, inside the merge job
     val inc = embedder.embed(batch, "text", "embedding")
       .withColumn("bucket", bucketOf)
+    mergeTouchedPartitions(inc, targetDir, "bucket", touched)
+  }
+
+  /** The shared merge core of the partitioned upserts: union the
+    * arriving rows with the target's TOUCHED partition dirs only,
+    * merge max-version-wins per doc, rewrite one file per touched
+    * partition, and swap just those directories.
+    *
+    * ONE shuffle for the whole merge: re-key on the partition column
+    * first (each partition lands in exactly one task → one file per
+    * touched dir instead of tasks × partitions small files), then
+    * window on (partition, doc_id) — the partition value is a
+    * function of the row, so the grouping is semantically per-doc,
+    * and HashPartitioning(partition) satisfies the window's
+    * ClusteredDistribution(partition, doc_id): no second exchange
+    * (the pre-round-7 form windowed on doc_id and re-keyed
+    * afterwards, paying the exchange twice per micro-batch). */
+  private def mergeTouchedPartitions(inc: DataFrame, targetDir: String,
+                                     partCol: String, touched: Seq[Long]): Unit = {
+    val spark = inc.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
     val unioned =
       if (fs.exists(target))
         spark.read.parquet(targetDir)
-          // partition-dir inference types bucket as int; align with inc
-          .withColumn("bucket", col("bucket").cast("long"))
-          .filter(col("bucket").isin(touched: _*)) // partition pruning
+          // partition-dir inference types the column as int; align with inc
+          .withColumn(partCol, col(partCol).cast("long"))
+          .filter(col(partCol).isin(touched: _*)) // partition pruning
           .unionByName(inc)
       else inc
-    // ONE shuffle for the whole merge: re-key on bucket first (each
-    // bucket lands in exactly one task → one file per touched bucket
-    // dir instead of tasks × buckets small files), then window on
-    // (bucket, doc_id) — bucket is a function of doc_id, so the
-    // grouping is semantically per-doc, and HashPartitioning(bucket)
-    // satisfies the window's ClusteredDistribution(bucket, doc_id):
-    // no second exchange (the pre-round-7 form windowed on doc_id and
-    // re-keyed afterwards, paying the exchange twice per micro-batch).
-    val w = Window.partitionBy(col("bucket"), col("doc_id"))
+    val w = Window.partitionBy(col(partCol), col("doc_id"))
       .orderBy(col("version").desc)
     val merged = unioned
-      .repartition(col("bucket"))
+      .repartition(col(partCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
     val delta = new org.apache.hadoop.fs.Path(targetDir + "__delta")
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(delta.toString)
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(delta.toString)
     if (!fs.exists(target)) fs.mkdirs(target)
-    // swap ONLY the touched bucket directories (globStatus lists just
-    // the dirs the delta actually wrote — untouched buckets keep their
-    // bytes, which StreamOpsSpec proves by mtime)
-    fs.globStatus(new org.apache.hadoop.fs.Path(delta, "bucket=*")).foreach { st =>
+    // swap ONLY the touched partition directories (globStatus lists
+    // just the dirs the delta actually wrote — untouched partitions
+    // keep their bytes, which StreamOpsSpec proves by mtime)
+    fs.globStatus(new org.apache.hadoop.fs.Path(delta, s"$partCol=*")).foreach { st =>
       val dst = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
       fs.delete(dst, true)
       fs.rename(st.getPath, dst)
@@ -338,6 +349,83 @@ object StreamOps {
     * (per-batch cost is |batch| + the touched buckets' bytes — the
     * ScaleProbe `upsert_fixed_batch` row measures this staying flat
     * when buckets are sized to the target). */
+  /** Incremental ANN-INDEX maintenance: the [[embeddingUpsert]] merge
+    * with the IVF cell as the partition key. Arriving documents are
+    * embedded, assigned to their nearest codebook cell
+    * ([[graft.operators.Ann.ivfAssign]] — broadcast centroids, top-1
+    * bounded aggregate), and merged max-version-wins into a
+    * cell-partitioned parquet index; only the cells a batch touches
+    * are rewritten. An IVF search ([[graft.operators.Ann.ivfTopK]]'s
+    * probe side) over the target then prunes to its probed cells at
+    * the SCAN — the index stays queryable while it absorbs updates,
+    * no full rebuild. The codebook is the frozen operating parameter
+    * (retrain + full re-partition is the rare offline event, exactly
+    * as in FAISS-style IVF deployments).
+    *
+    * LSM-style staleness contract: a re-embedded document can MIGRATE
+    * cells, and its previous cell is not touched by the batch — the
+    * old row stays behind. Readers therefore resolve max-version-per-
+    * doc over their probed candidates (cheap: candidate sets are
+    * k-sized), and [[ivfIndexCompact]] is the offline sweep that
+    * removes stale rows — the delete-log/compaction split every
+    * updatable ANN index makes. */
+  def ivfIndexUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
+                     checkpointDir: String,
+                     embedder: graft.embed.Embedder,
+                     codebook: DataFrame): Unit = {
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    val src = spark.readStream
+      .schema(upsertSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/*.parquet")
+    val query = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val assigned = graft.operators.Ann.ivfAssign(
+            embedder.embed(batch.toDF(), "text", "embedding"),
+            "doc_id", "embedding", codebook, "cell", "cvec")
+          .withColumn("cell", col("cell").cast("long"))
+          .cache() // the touched-cell collect below reuses the embed+assign
+        try {
+          val touched = assigned.select(col("cell")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          mergeTouchedPartitions(assigned, targetDir, "cell", touched)
+        } finally assigned.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Offline compaction for [[ivfIndexUpsert]]'s staleness contract:
+    * keep the max-version row per doc across ALL cells (one doc_id
+    * shuffle — a migrated doc's rows live in different cells, so the
+    * per-cell merge cannot see them together), re-key by cell, and
+    * swap every cell directory. O(index) by design — the rare
+    * amortized sweep, not the per-batch path. */
+  def ivfIndexCompact(spark: SparkSession, targetDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    val merged = spark.read.parquet(targetDir)
+      .withColumn("cell", col("cell").cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .repartition(col("cell"))
+    val delta = new org.apache.hadoop.fs.Path(targetDir + "__compact")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(delta.toString)
+    // full swap: a cell can lose all its rows, so stale dirs must go
+    fs.globStatus(new org.apache.hadoop.fs.Path(target, "cell=*"))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.globStatus(new org.apache.hadoop.fs.Path(delta, "cell=*")).foreach { st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(target, st.getPath.getName))
+    }
+    fs.delete(delta, true)
+  }
+
   def embeddingUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
                       checkpointDir: String,
                       embedder: graft.embed.Embedder,

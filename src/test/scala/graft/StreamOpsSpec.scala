@@ -166,6 +166,65 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     spark.read.parquet(s"$work/target").count() shouldBe 4L
   }
 
+  test("ivfIndexUpsert maintains a cell-partitioned ANN index incrementally") {
+    import graft.operators.Ann
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_upsert_").toString
+    val staging = s"$work/staging"
+    val target = s"$work/target"
+    new java.io.File(staging).mkdirs()
+    val emb = new graft.embed.HashingEmbedder(dim = 8)
+    val codebook = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (2, Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0))).toDF("cell", "cvec")
+    val v0 = (0L until 12L).map(i => (i, 0L, s"document number $i about topic ${i % 4}"))
+      .toDF("doc_id", "version", "text")
+    StreamOps.stageVersionFile(v0, s"$staging/v0.parquet")
+    StreamOps.ivfIndexUpsert(spark, staging, target, s"$work/ckpt", emb, codebook)
+
+    def indexRows() = spark.read.parquet(target)
+      // partition-dir inference types cell as int
+      .select(col("doc_id"), col("version"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def expected(winners: org.apache.spark.sql.DataFrame) =
+      Ann.ivfAssign(emb.embed(winners, "text", "embedding"),
+          "doc_id", "embedding", codebook, "cell", "cvec")
+        .select(col("doc_id"), col("version"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    indexRows() shouldBe expected(v0)
+
+    // incremental batch: one updated doc — only its cell dir rewrites
+    val v1 = Seq((5L, 1L, "document number 5 rewritten entirely"))
+      .toDF("doc_id", "version", "text")
+    val touchedCells = expected(v1).map(_._3)
+    def cellMtimes() = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    val before = cellMtimes()
+    Thread.sleep(1100) // FS mtime granularity
+    StreamOps.stageVersionFile(v1, s"$staging/v1.parquet")
+    StreamOps.ivfIndexUpsert(spark, staging, target, s"$work/ckpt", emb, codebook)
+    val winners = v0.filter($"doc_id" =!= 5L).unionByName(v1)
+    // LSM staleness contract: max-version-per-doc over the index is
+    // the true content; a stale (5, 0) row may linger in doc 5's OLD
+    // cell if the re-embedding migrated cells
+    val rows = indexRows()
+    rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet shouldBe
+      expected(winners)
+    (rows -- expected(winners)).foreach { stale =>
+      stale._1 shouldBe 5L
+      stale._2 shouldBe 0L
+    }
+    val after = cellMtimes()
+    before.foreach { case (dir, m) =>
+      val cellId = dir.stripPrefix("cell=").toLong
+      if (!touchedCells.contains(cellId)) after(dir) shouldBe m
+    }
+    // compaction sweeps the stale rows: index == winners exactly
+    StreamOps.ivfIndexCompact(spark, target)
+    indexRows() shouldBe expected(winners)
+  }
+
   test("embeddingUpsert rewrites ONLY the buckets a batch touches") {
     val work = java.nio.file.Files.createTempDirectory("graft_upsert_bkt_").toString
     val staging = s"$work/staging"
