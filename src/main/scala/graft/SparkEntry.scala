@@ -498,6 +498,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (concat-and-chunk at a 512-token budget) per
+    * deterministic split shard — the LLM-pretraining batch prep,
+    * expressed as one per-shard running-sum window. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"))
+    val withSplit = graft.operators.Curation.deterministicSplit(
+      docs, "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+    graft.operators.Curation.packSequences(withSplit, "doc_id", "ws_tokens",
+        budget = 512, partCols = Seq("split"))
+      .select("doc_id", "split", "ws_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup with the hot-bucket cap — the capped family's
     * third path through the shared Banding kernel, proven against its
     * own relational oracle on the boilerplate corpus (identical texts
@@ -780,7 +795,8 @@ object SparkEntry {
     "q48_dataset_split" -> (q48 _),
     "q49_curation_pipeline" -> (q49 _),
     "q50_embedding_quantize" -> (q50 _),
-    "q51_simhash_capped" -> (q51 _))
+    "q51_simhash_capped" -> (q51 _),
+    "q52_sequence_packing" -> (q52 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1727,6 +1743,28 @@ object SparkEntry {
                 hq < 1 AS in_sample
          FROM h ORDER BY doc_id""",
     "q49_curation_pipeline" -> curationPipelineOracle,
+    "q52_sequence_packing" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+                  ${splitHashSql("graft", 100)} AS hs
+           FROM documents
+         ), s AS (
+           SELECT doc_id, ws_tokens,
+                  CASE WHEN hs < 90 THEN 'train'
+                       WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+           FROM d
+         ), c AS (
+           SELECT doc_id, split, ws_tokens,
+                  CAST(SUM(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - ws_tokens AS strt
+           FROM s
+         )
+         SELECT doc_id, split, ws_tokens,
+                CAST(floor(strt / 512) AS BIGINT) AS pack_id,
+                strt - CAST(floor(strt / 512) AS BIGINT) * 512 AS pack_offset
+         FROM c ORDER BY doc_id""",
     "q50_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            s AS (SELECT vec_id, v,

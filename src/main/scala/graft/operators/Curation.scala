@@ -59,4 +59,29 @@ object Curation {
                          salt: String = "graft",
                          outCol: String = "split"): DataFrame =
     df.withColumn(outCol, splitLabel(col(idCol), weights, salt))
+
+  /** Concat-and-chunk sequence packing — the standard LLM-pretraining
+    * batch prep: documents are laid out in deterministic id order and
+    * chunked at `budget` tokens; `pack_id` is the training sequence a
+    * document STARTS in and `pack_offset` its token position there
+    * (documents may straddle pack boundaries, exactly as the
+    * concatenated-corpus approach trains).
+    *
+    * Packing is a running sum, inherently sequential — so it runs
+    * per `partCols` shard (split, language, bucket): one shuffle
+    * keyed on the shard, each shard's window independent. A single
+    * global pack stream would serialize the corpus through one
+    * partition; per-shard packing is what a 100 TB pipeline does
+    * anyway (each training shard is packed independently). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, partCols: Seq[String]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__start", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_id", floor(col("__start") / budget))
+      .withColumn("pack_offset", col("__start") - col("pack_id") * budget)
+      .drop("__start")
+  }
 }

@@ -48,6 +48,25 @@ class CurationSpec extends SparkSpec with Matchers {
     (kept.intersect(other).size.toDouble / 2000) shouldBe 0.01 +- 0.015
   }
 
+  test("packSequences: concat-and-chunk invariants per shard") {
+    import graft.operators.Curation
+    val rows = Seq((1L, "a", 100L), (2L, "a", 400L), (3L, "a", 200L),
+      (4L, "a", 50L), (5L, "b", 600L), (6L, "b", 10L))
+      .toDF("doc_id", "shard", "tok")
+    val out = Curation.packSequences(rows, "doc_id", "tok", budget = 512,
+        partCols = Seq("shard"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    // shard a: starts 0, 100, 500, 700 → packs 0,0,0,1; offsets 0,100,500,188
+    out(1L) shouldBe ((0L, 0L))
+    out(2L) shouldBe ((0L, 100L))
+    out(3L) shouldBe ((0L, 500L)) // starts in pack 0, straddles into 1
+    out(4L) shouldBe ((1L, 188L))
+    // shard b packs independently
+    out(5L) shouldBe ((0L, 0L))
+    out(6L) shouldBe ((1L, 88L))
+  }
+
   test("degenerate weights: single label covers everything") {
     Curation.deterministicSplit(docs, "doc_id", Seq("all" -> 1))
       .select("split").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("all")
