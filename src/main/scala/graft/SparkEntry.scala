@@ -513,6 +513,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Duplicate CLUSTERS: MinHash near-dup pairs → alternating
+    * large-star/small-star connected components → one cluster label
+    * per document (min id canonical). Near-dup pairs are not
+    * transitive; the unit of corpus dedup is the component. The
+    * planted 12-copy boilerplate cluster exercises a dense component;
+    * the oracle recomputes the closure with a recursive CTE. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(corpusWithBoilerplate(s, dir), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8)
+      .orderBy("doc_id")
+
   /** SimHash near-dup with the hot-bucket cap — the capped family's
     * third path through the shared Banding kernel, proven against its
     * own relational oracle on the boilerplate corpus (identical texts
@@ -796,7 +808,8 @@ object SparkEntry {
     "q49_curation_pipeline" -> (q49 _),
     "q50_embedding_quantize" -> (q50 _),
     "q51_simhash_capped" -> (q51 _),
-    "q52_sequence_packing" -> (q52 _))
+    "q52_sequence_packing" -> (q52 _),
+    "q53_duplicate_clusters" -> (q53 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1057,6 +1070,39 @@ object SparkEntry {
        )
        SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
        FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+  }
+
+  /** q53: connected components over the q45-family near-dup pairs,
+    * recomputed in DuckDB as a recursive transitive closure — the
+    * component label is the minimum reachable id, exactly the
+    * large-star/small-star fixpoint. Singleton documents label
+    * themselves via the left join. */
+  private def duplicateClustersOracle: String = {
+    val pairs = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM ($pairs)
+       ), sym AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION
+         SELECT id_b AS u, id_a AS v FROM p
+       ), reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       ), lbl AS (
+         SELECT u AS node, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u
+       ), ids AS (
+         SELECT doc_id FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id FROM range(1, 13) t(r)
+       )
+       SELECT i.doc_id,
+              coalesce(l.cluster_id, i.doc_id) AS cluster_id,
+              coalesce(l.cluster_id, i.doc_id) = i.doc_id AS is_canonical
+       FROM ids i LEFT JOIN lbl l ON l.node = i.doc_id
+       ORDER BY doc_id"""
   }
 
   /** Identical-full-signature clusters over the boilerplate corpus
@@ -1719,6 +1765,7 @@ object SparkEntry {
     "q42_lemmatize" -> lemmatizeOracle,
     "q43_number_words" -> numberWordsOracle,
     "q45_minhash_capped" -> minhashCappedPairsOracle,
+    "q53_duplicate_clusters" -> duplicateClustersOracle,
     "q46_signature_clusters" -> signatureClustersOracle,
     "q47_stream_dedup" ->
       """WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),

@@ -267,6 +267,101 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-duplicate PAIRS — the step a real
+    * corpus dedup pipeline runs after pair generation: near-duplicate
+    * is not transitive, but the unit of removal is the transitive
+    * CLUSTER (keep one document per component, drop the rest).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — converges in
+    * O(log²) rounds regardless of component diameter, unlike plain
+    * min-label propagation whose round count is the graph diameter
+    * (a chained-paraphrase cluster can be arbitrarily deep).
+    *
+    * Scale design: each star operation is a groupBy-min plus a join
+    * back on the SAME key — never a `collect_list` of a node's
+    * neighborhood, so a 10⁹-member component's root never
+    * materialises its full adjacency in one aggregation buffer.
+    * Every round's lineage is truncated with `localCheckpoint`
+    * (a 20-round iterated-join plan otherwise dominates planning
+    * time; on a real cluster use reliable `checkpoint` dirs).
+    * Convergence is detected with a two-long edge-set checksum
+    * (count + bit_xor of xxhash64) — constant driver traffic per
+    * round, no edge data ever collected.
+    *
+    * Input: one row per undirected edge (`aCol`, `bCol`). Output:
+    * (node, cluster_id) for every node appearing in an edge, where
+    * cluster_id is the component's minimum node id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 25): DataFrame = {
+    // large-star: every neighbor v > u links to the min of u's
+    // closed neighborhood — strictly-larger nodes hop toward the root.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: orient each edge large→small; u and all its smaller
+    // neighbors link to the neighborhood min.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val attach = dir.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      attach.union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val row = edges.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x")).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      round += 1
+    }
+    // converged state is a star forest: (node → component-min) per
+    // non-root node; roots appear only on the v side.
+    edges.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("node"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
+  /** End-to-end duplicate-cluster assignment: MinHash near-dup pairs →
+    * connected components → every document labelled with its cluster
+    * id (its own id if it has no near-duplicates) and a canonical flag
+    * (the cluster's minimum id — the one copy a dedup pass keeps). */
+  def duplicateClusters(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 8,
+                        rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, textCol, idCol, shingleSize,
+      numHashes, rowsPerBand, jaccardThreshold, maxBucketSize)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    docs.join(cc, docs(idCol) === cc("node"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col(idCol))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Blocked by
     * sign-bit LSH against `hyperplanes` — a small table with
     * (hpIdCol: int 0..H-1, hpVecCol: vector) — so the self-join is

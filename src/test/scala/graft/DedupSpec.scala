@@ -227,4 +227,67 @@ class DedupSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     out shouldBe Set((1L, 2L))
   }
+
+  private def ccLabels(edges: Seq[(Long, Long)], maxRounds: Int = 25): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find reference for the tests. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents: a deep chain collapses to its min id " +
+      "(transitivity past any single pair's reach)") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    ccLabels(chain) shouldBe (1L to 40L).map(_ -> 1L).toMap
+  }
+
+  test("connectedComponents: separate components keep separate labels; " +
+      "self-loops and duplicate edges ignored") {
+    val edges = Seq((5L, 7L), (7L, 6L), (6L, 6L), (5L, 7L),
+      (20L, 30L), (30L, 10L))
+    ccLabels(edges) shouldBe Map(5L -> 5L, 6L -> 5L, 7L -> 5L,
+      10L -> 10L, 20L -> 10L, 30L -> 10L)
+  }
+
+  test("connectedComponents: empty edge set yields empty labels") {
+    ccLabels(Seq.empty) shouldBe Map.empty
+  }
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      ccLabels(edges) shouldBe unionFind(edges)
+    }
+  }
+
+  test("duplicateClusters: boilerplate copies form one cluster with the " +
+      "lowest id canonical; unrelated docs are their own singletons") {
+    val boiler = "subscribe to our newsletter for updates all rights reserved"
+    val docs = ((1L to 5L).map(i => (100L + i, boiler)) ++ Seq(
+      (1L, "completely unrelated text about cats and dogs playing outside"),
+      (2L, "another standalone document concerning weather patterns today")))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateClusters(docs, "text", "doc_id",
+        jaccardThreshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toSet
+    out shouldBe Set(
+      (101L, 101L, true), (102L, 101L, false), (103L, 101L, false),
+      (104L, 101L, false), (105L, 101L, false),
+      (1L, 1L, true), (2L, 2L, true))
+  }
 }
