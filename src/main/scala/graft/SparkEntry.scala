@@ -525,6 +525,17 @@ object SparkEntry {
         jaccardThreshold = 0.8)
       .orderBy("doc_id")
 
+  /** Gopher-style repetition quality filters (word repetition ratio,
+    * top-bigram and duplicated-trigram coverage + keep flag), computed
+    * in-place per row by RepetitionStatsExpr — the oracle recomputes
+    * the counters relationally (explode + (doc, gram) aggregate). */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select("doc_id", "n_words", "word_rep_ratio", "top_bigram_frac",
+        "dup_trigram_frac", "repetition_keep")
+      .orderBy("doc_id")
+
   /** SimHash near-dup with the hot-bucket cap — the capped family's
     * third path through the shared Banding kernel, proven against its
     * own relational oracle on the boilerplate corpus (identical texts
@@ -809,7 +820,8 @@ object SparkEntry {
     "q50_embedding_quantize" -> (q50 _),
     "q51_simhash_capped" -> (q51 _),
     "q52_sequence_packing" -> (q52 _),
-    "q53_duplicate_clusters" -> (q53 _))
+    "q53_duplicate_clusters" -> (q53 _),
+    "q54_repetition_filter" -> (q54 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1766,6 +1778,49 @@ object SparkEntry {
     "q43_number_words" -> numberWordsOracle,
     "q45_minhash_capped" -> minhashCappedPairsOracle,
     "q53_duplicate_clusters" -> duplicateClustersOracle,
+    "q54_repetition_filter" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), base AS (
+           SELECT doc_id, len(words) AS n_words,
+                  len(list_distinct(words)) AS n_distinct
+           FROM w
+         ), bg AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest([words[i] || ' ' || words[i+1]
+                                    for i in range(1, len(words))]) AS g
+             FROM w) GROUP BY doc_id, g
+         ), topbg AS (
+           SELECT doc_id, max(c) AS top_bigram FROM bg GROUP BY doc_id
+         ), tg AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                    for i in range(1, len(words) - 1)]) AS g
+             FROM w) GROUP BY doc_id, g
+         ), duptg AS (
+           SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram
+           FROM tg GROUP BY doc_id
+         ), m AS (
+           SELECT b.doc_id, b.n_words,
+                  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(b.n_words - b.n_distinct AS DOUBLE)
+                            / CAST(b.n_words AS DOUBLE) END AS word_rep_ratio,
+                  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(coalesce(t.top_bigram, 0) AS DOUBLE) * 2
+                            / CAST(b.n_words AS DOUBLE) END AS top_bigram_frac,
+                  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(coalesce(d.dup_trigram, 0) AS DOUBLE) * 3
+                            / CAST(b.n_words AS DOUBLE) END AS dup_trigram_frac
+           FROM base b
+           LEFT JOIN topbg t ON t.doc_id = b.doc_id
+           LEFT JOIN duptg d ON d.doc_id = b.doc_id
+         )
+         SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                word_rep_ratio, top_bigram_frac, dup_trigram_frac,
+                word_rep_ratio <= CAST(0.3 AS DOUBLE)
+                  AND top_bigram_frac <= CAST(0.2 AS DOUBLE)
+                  AND dup_trigram_frac <= CAST(0.3 AS DOUBLE) AS repetition_keep
+         FROM m ORDER BY doc_id""",
     "q46_signature_clusters" -> signatureClustersOracle,
     "q47_stream_dedup" ->
       """WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),

@@ -94,6 +94,45 @@ object TextAnalysis {
         round(length(t).cast("double") / greatest(col("ws_tokens"), lit(1)).cast("double"), 6))
   }
 
+  /** Gopher-style repetition quality signals (word-level duplicate
+    * fractions — §A1.1 of the Gopher paper's filter set): word
+    * repetition ratio, fraction of word slots covered by the most
+    * frequent adjacent 2-gram, and fraction covered by duplicated
+    * adjacent 3-grams, plus a keep flag at the given thresholds.
+    *
+    * Counting runs in-place over each document's token array
+    * ([[graft.functions.RepetitionStatsExpr]]) — a pure projection
+    * fused into the scan, vs the relational explode + (doc, gram)
+    * re-aggregation whose shuffle carries the whole corpus token
+    * stream (the form the DuckDB oracle keeps). Coverage fractions
+    * count gram OCCURRENCES × gram length over total words (the
+    * deterministic, engine-portable reading of Gopher's character
+    * fractions; overlapping occurrences may push it past 1.0). */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text",
+                        maxWordRep: Double = 0.3, maxTopBigram: Double = 0.2,
+                        maxDupTrigram: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val stats = toColumn(graft.functions.RepetitionStatsExpr(
+      toExpression(split(col(textCol), "\\s+"))))
+    val nW = col("__rs.n_words").cast("double")
+    def frac(c: Column): Column =
+      when(col("__rs.n_words") === 0, lit(0.0)).otherwise(c / nW)
+    docs
+      .withColumn("__rs", stats)
+      .withColumn("n_words", col("__rs.n_words"))
+      .withColumn("word_rep_ratio",
+        frac((col("__rs.n_words") - col("__rs.n_distinct")).cast("double")))
+      .withColumn("top_bigram_frac",
+        frac(col("__rs.top_bigram").cast("double") * 2))
+      .withColumn("dup_trigram_frac",
+        frac(col("__rs.dup_trigram").cast("double") * 3))
+      .withColumn("repetition_keep",
+        col("word_rep_ratio") <= maxWordRep &&
+          col("top_bigram_frac") <= maxTopBigram &&
+          col("dup_trigram_frac") <= maxDupTrigram)
+      .drop("__rs")
+  }
+
   /** Content-defined document fingerprint: md5 over the
     * canonicalised text (lowercase, non-alphanumerics collapsed to
     * single spaces, trimmed) — robust to whitespace/punctuation noise,

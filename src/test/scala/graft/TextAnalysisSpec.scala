@@ -57,6 +57,49 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     fps(4L) should not be fps(1L)
   }
 
+  test("repetitionMetrics: hand-computed fractions and keep flag") {
+    val docs = Seq(
+      // 6 words, 3 distinct; "buy now" ×2 of 5 bigrams; trigram
+      // "buy now buy" ×2 of 4 → dup coverage 2 trigram occurrences
+      (1L, "buy now buy now buy again"),
+      (2L, "all six words here are distinct")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Int]("n_words") shouldBe 6
+    out(1L).getAs[Double]("word_rep_ratio") shouldBe 0.5
+    out(1L).getAs[Double]("top_bigram_frac") shouldBe (2.0 * 2 / 6)
+    out(1L).getAs[Double]("dup_trigram_frac") shouldBe (2.0 * 3 / 6)
+    out(1L).getAs[Boolean]("repetition_keep") shouldBe false
+    out(2L).getAs[Double]("word_rep_ratio") shouldBe 0.0
+    out(2L).getAs[Double]("top_bigram_frac") shouldBe (1.0 * 2 / 6)
+    out(2L).getAs[Double]("dup_trigram_frac") shouldBe 0.0
+    out(2L).getAs[Boolean]("repetition_keep") shouldBe false // bigram 1/3 > 0.2
+  }
+
+  test("RepetitionStatsExpr equals the relational explode+aggregate form") {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val docs = Seq(
+      (1L, "a b a b a b c"), (2L, "x"), (3L, "x y"), (4L, "q q q q q q"),
+      (5L, "the quick brown fox jumps over the lazy dog the quick brown fox"))
+      .toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"), toColumn(
+        graft.functions.RepetitionStatsExpr(
+          toExpression(split(col("text"), "\\s+")))).as("s"))
+      .select(col("doc_id"), col("s.n_words"), col("s.n_distinct"),
+        col("s.top_bigram"), col("s.dup_trigram"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val relational = docs.collect().map { r =>
+      val words = r.getString(1).split("\\s+").toSeq
+      val bi = words.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val topBi = if (bi.isEmpty) 0 else bi.groupBy(identity).values.map(_.size).max
+      val dupTri = tri.groupBy(identity).values.map(_.size).filter(_ > 1).sum
+      (r.getLong(0), (words.size, words.distinct.size, topBi, dupTri))
+    }.toMap
+    kernel shouldBe relational
+  }
+
   test("expandContractionsColumn: map join expands, order preserved, empties round-trip") {
     val df = Seq(
       (1L, "I'm sure it's fine"),
