@@ -525,6 +525,16 @@ object SparkEntry {
         jaccardThreshold = 0.8)
       .orderBy("doc_id")
 
+  /** Deterministic per-source cap (≤10 docs per source by salted-hash
+    * priority) — the "no domain dominates" curation rule, run as a
+    * bounded heap aggregate + id-keyed semi-join instead of a
+    * group-keyed row_number (the oracle keeps the window form). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", maxPerGroup = 10, salt = "capsalt")
+      .orderBy("doc_id")
+
   /** Gopher-style repetition quality filters (word repetition ratio,
     * top-bigram and duplicated-trigram coverage + keep flag), computed
     * in-place per row by RepetitionStatsExpr — the oracle recomputes
@@ -821,7 +831,8 @@ object SparkEntry {
     "q51_simhash_capped" -> (q51 _),
     "q52_sequence_packing" -> (q52 _),
     "q53_duplicate_clusters" -> (q53 _),
-    "q54_repetition_filter" -> (q54 _))
+    "q54_repetition_filter" -> (q54 _),
+    "q55_per_source_cap" -> (q55 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1778,6 +1789,17 @@ object SparkEntry {
     "q43_number_words" -> numberWordsOracle,
     "q45_minhash_capped" -> minhashCappedPairsOracle,
     "q53_duplicate_clusters" -> duplicateClustersOracle,
+    "q55_per_source_cap" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5('capsalt:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hq
+           FROM documents
+         ), r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY hq ASC, doc_id ASC) AS rn
+           FROM h
+         )
+         SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
     "q54_repetition_filter" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents

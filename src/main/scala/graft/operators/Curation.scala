@@ -60,6 +60,41 @@ object Curation {
                          outCol: String = "split"): DataFrame =
     df.withColumn(outCol, splitLabel(col(idCol), weights, salt))
 
+  /** Deterministic per-group cap: keep at most `maxPerGroup` rows of
+    * every group (domain, source, language — the "no domain dominates
+    * the corpus" rule of web-scale curation), selected by salted-hash
+    * priority so the kept set is partition-invariant and stable under
+    * corpus growth within a group's first `maxPerGroup` hash ranks.
+    *
+    * Scale shape: the obvious `row_number() OVER (PARTITION BY
+    * group)` form shuffles EVERY row on the group key — and a group
+    * key is exactly where real corpora are skewed (one domain with
+    * 10⁹ pages lands in one partition and full-sorts there). Here the
+    * selection runs as a bounded top-k heap aggregate
+    * ([[graft.functions.TopKByScoreAgg]]): map-side partials mean the
+    * group-keyed shuffle carries k-entry states instead of rows, and
+    * the full-width table only shuffles in the final semi-join keyed
+    * on the UNIQUE id — no skew, no sort anywhere.
+    *
+    * The 52-bit hash (13 hex chars) is exact in double, so the heap's
+    * (score DESC, id ASC) order is exactly (hash ASC, id ASC) — the
+    * order an oracle engine computes on the integer hash. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  maxPerGroup: Int, salt: String = "graft"): DataFrame = {
+    require(maxPerGroup >= 1, "maxPerGroup must be >= 1")
+    val h52 = conv(substring(
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val picks = df
+      .select(col(groupCol), col(idCol).cast("long").as("__cap_id"), h52.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScoreAgg.topK(
+        -col("__h").cast("double"), col("__cap_id"), maxPerGroup).as("__picks"))
+      .select(explode(col("__picks")).as("__p"))
+      .select(col("__p.id").as("__keep_id"))
+    df.join(picks, col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
+
   /** Concat-and-chunk sequence packing — the standard LLM-pretraining
     * batch prep: documents are laid out in deterministic id order and
     * chunked at `budget` tokens; `pack_id` is the training sequence a

@@ -67,6 +67,41 @@ class CurationSpec extends SparkSpec with Matchers {
     out(6L) shouldBe ((1L, 88L))
   }
 
+  test("capPerGroup: at most N per group, hash-rank selection, stable under growth") {
+    import graft.operators.Curation
+    val docs = (1L to 200L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
+    val kept = Curation.capPerGroup(docs, "grp", "doc_id", 5, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.groupBy(_._2).values.foreach(_.size shouldBe 5)
+    // selection = the 5 lowest salted hashes per group (window-form reference)
+    val ref = docs
+      .withColumn("h", conv(substring(md5(concat(lit("s1:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.toSet shouldBe ref.toSet
+    // growth within a group cannot evict an already-kept member unless
+    // the newcomer outranks it: adding docs with HIGHER hashes keeps
+    // the selection identical
+    val keptIds = kept.map(_._1).toSet
+    val grown = docs.unionByName(
+      (1001L to 1100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp"))
+    val keptGrown = Curation.capPerGroup(grown, "grp", "doc_id", 5, "s1")
+      .collect().map(_.getLong(0)).toSet
+    // every survivor of the grown corpus that existed before was kept before
+    keptGrown.filter(_ <= 200L).subsetOf(keptIds) shouldBe true
+  }
+
+  test("capPerGroup: groups smaller than the cap pass through whole") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "grp")
+    Curation.capPerGroup(docs, "grp", "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+  }
+
   test("degenerate weights: single label covers everything") {
     Curation.deterministicSplit(docs, "doc_id", Seq("all" -> 1))
       .select("split").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("all")
