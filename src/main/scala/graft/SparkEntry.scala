@@ -525,6 +525,17 @@ object SparkEntry {
         jaccardThreshold = 0.8)
       .orderBy("doc_id")
 
+  /** Heavy-hitter token counts through the Misra-Gries bounded-state
+    * aggregate, run in its exact regime (capacity ≥ distinct tokens —
+    * no decrement ever fires) so the summary IS the exact count table
+    * and hash-checks against a plain GROUP BY; the approximation
+    * contract under adversarial cardinality is pinned by
+    * FreqItemsSpec. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitterTokens(
+        t(s, dir, "documents").select(col("text")), capacity = 4096)
+      .orderBy(desc("cnt"), col("token"))
+
   /** Deterministic per-source cap (≤10 docs per source by salted-hash
     * priority) — the "no domain dominates" curation rule, run as a
     * bounded heap aggregate + id-keyed semi-join instead of a
@@ -832,7 +843,8 @@ object SparkEntry {
     "q52_sequence_packing" -> (q52 _),
     "q53_duplicate_clusters" -> (q53 _),
     "q54_repetition_filter" -> (q54 _),
-    "q55_per_source_cap" -> (q55 _))
+    "q55_per_source_cap" -> (q55 _),
+    "q56_heavy_hitters" -> (q56 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1789,6 +1801,11 @@ object SparkEntry {
     "q43_number_words" -> numberWordsOracle,
     "q45_minhash_capped" -> minhashCappedPairsOracle,
     "q53_duplicate_clusters" -> duplicateClustersOracle,
+    "q56_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

@@ -133,6 +133,23 @@ object TextAnalysis {
       .drop("__rs")
   }
 
+  /** Corpus-wide heavy-hitter tokens via a Misra-Gries summary
+    * ([[graft.functions.FreqItemsAgg]]): `capacity` counters of
+    * bounded state per partition instead of one shuffled row per
+    * DISTINCT token — the difference between O(capacity) and
+    * O(vocabulary) memory when the vocabulary is web-scale (billions
+    * of typos/urls/identifiers). Counts are exact whenever the true
+    * distinct count fits `capacity`; otherwise they are lower bounds
+    * within N/(capacity+1), and every token more frequent than that
+    * is guaranteed present. */
+  def heavyHitterTokens(docs: DataFrame, textCol: String = "text",
+                        capacity: Int = 4096): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
+      .agg(graft.functions.FreqItemsAgg.freqItems(col("token"), capacity).as("__hh"))
+      .select(explode(col("__hh")).as("__e"))
+      .select(col("__e.item").as("token"), col("__e.count").as("cnt"))
+
   /** Content-defined document fingerprint: md5 over the
     * canonicalised text (lowercase, non-alphanumerics collapsed to
     * single spaces, trimmed) — robust to whitespace/punctuation noise,
