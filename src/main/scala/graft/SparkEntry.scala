@@ -357,6 +357,28 @@ object SparkEntry {
     StreamOps.sessionize(eventsWithTs(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_id")
 
+  /** Backward as-of join: each purchase picks up the user's latest
+    * click at or before it ([[graft.operators.AsofJoin]] — the
+    * union-merge form, one key-shuffle, no per-key join explosion).
+    * Times are epoch-micros BIGINTs so both engines order the exact
+    * same integers (testdata ns timestamps are µs-precision). Clicks
+    * are pre-aggregated per (user, time) — the operator's uniqueness
+    * contract, same as DuckDB's ASOF. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_uid"),
+        expr("ts div 1000").as("click_ts_us"), col("value"))
+      .groupBy("r_uid", "click_ts_us")
+      .agg(max(col("value")).as("click_val"))
+    graft.operators.AsofJoin.asofBackward(
+        purchases, clicks, "user_id", "r_uid", "ts_us", "click_ts_us")
+      .orderBy("event_id")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata
     * (byte length, digest, magic bytes, frame count). */
   private def q31(s: SparkSession, dir: String): DataFrame =
@@ -844,7 +866,8 @@ object SparkEntry {
     "q53_duplicate_clusters" -> (q53 _),
     "q54_repetition_filter" -> (q54 _),
     "q55_per_source_cap" -> (q55 _),
-    "q56_heavy_hitters" -> (q56 _))
+    "q56_heavy_hitters" -> (q56 _),
+    "q57_asof_join" -> (q57 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1806,6 +1829,20 @@ object SparkEntry {
          FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
                FROM documents)
          GROUP BY token ORDER BY cnt DESC, token""",
+    "q57_asof_join" ->
+      """WITH l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'
+         ), r AS (
+           SELECT user_id AS r_uid, epoch_us(ts) AS click_ts_us,
+                  max(value) AS click_val
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         )
+         SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                r.click_ts_us, r.click_val
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
+         ORDER BY l.event_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

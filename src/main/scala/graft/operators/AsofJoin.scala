@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the single most recent
+  * right row with the same key and `rightTime <= leftTime`
+  * (inclusive). The canonical time-series enrichment ("price as of
+  * the trade", "last click before the purchase") that relational
+  * Spark has no operator for.
+  *
+  * Implementation is the union-merge form, not a join: tag both
+  * inputs, union them into one stream keyed on the join key, sort
+  * each key's partition by (time, side) — right rows before left rows
+  * at equal timestamps, which is exactly the inclusive `<=` bound —
+  * and run `last(right_payload, ignoreNulls)` over the unbounded
+  * preceding window. That window is a RUNNING aggregate: Spark
+  * evaluates it with O(1) state per row (one held struct), never
+  * buffering a frame.
+  *
+  * Scale shape: ONE shuffle, keyed on the join key, carrying
+  * left+right exactly once each — versus the naive
+  * `left JOIN right ON key AND rt <= lt` + window-rank form, whose
+  * join output is |left| × (matching rights) BEFORE the rank prunes
+  * it (quadratic per key in event density). Per-key cost is the sort;
+  * state is one struct regardless of history length. A pathologically
+  * hot key serializes through one partition's sort — at 100 TB the
+  * standard refinement is per-(key, coarse time bucket) packing with
+  * a per-bucket boundary carry, but per-key sort is the right default
+  * while keys are users/instruments (bounded history each).
+  *
+  * Right rows must be unique per (key, time) — pre-aggregate
+  * duplicates first (the result would otherwise be order-dependent,
+  * in any engine; DuckDB's ASOF JOIN has the same contract).
+  */
+object AsofJoin {
+
+  /** @param right its non-key columns become the payload, emitted
+    *              with their own names (rename upstream on clash;
+    *              this asserts there is none). A left row with no
+    *              prior right row gets nulls. */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(_ == rightKey)
+    require(payloadCols.contains(rightTime), s"right is missing $rightTime")
+    val clash = payloadCols.intersect(left.columns)
+    require(clash.isEmpty,
+      s"right payload columns clash with left: ${clash.mkString(", ")}")
+
+    val lStructType = left.select(struct(left.columns.map(col): _*).as("__l"))
+      .schema("__l").dataType
+    val rStructType = right.select(struct(payloadCols.map(col): _*).as("__r"))
+      .schema("__r").dataType
+
+    val lRows = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStructType).as("__r"))
+    val rRows = right.select(
+      col(rightKey).as("__k"), col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(lStructType).as("__l"),
+      struct(payloadCols.map(col): _*).as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lRows.unionByName(rRows)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: payloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}
