@@ -379,6 +379,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Benchmark decontamination ([[graft.operators.Decontaminate]]):
+    * eval set = every 97th document, train = the rest; 3-gram
+    * overlap, contaminated at >= 2 distinct leaked grams. Broadcast
+    * eval-gram join, one train scan, per-doc map-side counts. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Decontaminate.contaminationReport(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, minOverlap = 2)
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata
     * (byte length, digest, magic bytes, frame count). */
   private def q31(s: SparkSession, dir: String): DataFrame =
@@ -867,7 +879,8 @@ object SparkEntry {
     "q54_repetition_filter" -> (q54 _),
     "q55_per_source_cap" -> (q55 _),
     "q56_heavy_hitters" -> (q56 _),
-    "q57_asof_join" -> (q57 _))
+    "q57_asof_join" -> (q57 _),
+    "q58_decontaminate" -> (q58 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1843,6 +1856,27 @@ object SparkEntry {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
          ORDER BY l.event_id""",
+    "q58_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS gram
+           FROM d
+         ), eg AS (
+           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+         ), tg AS (
+           SELECT g.doc_id, g.gram, eg.gram IS NOT NULL AS hit
+           FROM g LEFT JOIN eg USING (gram)
+           WHERE g.doc_id % 97 <> 0
+         )
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                sum(CASE WHEN hit THEN 1 ELSE 0 END) >= 2 AS contaminated
+         FROM tg GROUP BY doc_id ORDER BY doc_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
