@@ -379,6 +379,14 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Stream-stream interval join run THROUGH the streaming engine
+    * (click attribution: purchase × all that user's clicks in the
+    * trailing 2 h; watermark-bounded join state on both sides) —
+    * oracle-checked against the equivalent batch interval-join SQL. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runClickAttributionAvailableNow(s, dir, windowMinutes = 120)
+      .orderBy("purchase_id", "click_id")
+
   /** Benchmark decontamination ([[graft.operators.Decontaminate]]):
     * eval set = every 97th document, train = the rest; 3-gram
     * overlap, contaminated at >= 2 distinct leaked grams. Broadcast
@@ -880,7 +888,8 @@ object SparkEntry {
     "q55_per_source_cap" -> (q55 _),
     "q56_heavy_hitters" -> (q56 _),
     "q57_asof_join" -> (q57 _),
-    "q58_decontaminate" -> (q58 _))
+    "q58_decontaminate" -> (q58 _),
+    "q59_stream_join" -> (q59 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1877,6 +1886,16 @@ object SparkEntry {
                 CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                 sum(CASE WHEN hit THEN 1 ELSE 0 END) >= 2 AS contaminated
          FROM tg GROUP BY doc_id ORDER BY doc_id""",
+    "q59_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us, p.value AS purchase_val,
+                c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us,
+                c.value AS click_val
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts BETWEEN p.ts - INTERVAL 120 MINUTE AND p.ts
+         ORDER BY purchase_id, click_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

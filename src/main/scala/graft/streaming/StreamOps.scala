@@ -67,6 +67,62 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Stream-stream interval join — click attribution: every purchase
+    * pairs with ALL of that user's clicks in the trailing
+    * `windowMinutes` (inner interval join; the one-latest-click form
+    * is the batch [[graft.operators.AsofJoin]]). Both sides carry
+    * watermarks, and the time-range predicate is what lets the engine
+    * EXPIRE state: a buffered click is dropped once the purchase-side
+    * watermark passes `click_ts + windowMinutes`, so join state is
+    * bounded by (event rate × window + lateness), never by stream
+    * length — the only stream-stream join shape that survives an
+    * unbounded feed. State is hash-partitioned on `user_id` on both
+    * sides (co-partitioned by the same key, one shuffle each).
+    *
+    * Identical plan runs in batch: [[clickAttribution]] on two batch
+    * DataFrames is the batch interval join the oracle SQL states. */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+                       windowMinutes: Int,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_val"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"), col("value").as("click_val"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), col("purchase_val"),
+        col("click_id"), unix_micros(col("c_ts")).as("c_ts_us"),
+        col("click_val"))
+  }
+
+  /** Run the click-attribution join THROUGH the streaming engine
+    * (AvailableNow → memory sink, append mode — the only mode
+    * stream-stream inner joins support). */
+  def runClickAttributionAvailableNow(spark: SparkSession, dir: String,
+                                      windowMinutes: Int): DataFrame = {
+    val name = s"graft_stream_join_${runCounter.incrementAndGet()}"
+    val src = eventsStream(spark, dir)
+    val query = clickAttribution(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click"),
+        windowMinutes)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run the SLIDING rollup through the Structured Streaming engine
     * (AvailableNow → memory sink, complete mode) — proves the sliding
     * form's stream/batch plan parity the same way

@@ -88,6 +88,21 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("stream-stream interval join equals the batch interval join (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runClickAttributionAvailableNow(spark, dir, 120)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = StreamOps.clickAttribution(
+        ev.filter($"event_type" === "purchase"),
+        ev.filter($"event_type" === "click"), 120)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    streamed.nonEmpty shouldBe true
+    streamed shouldBe batch
+  }
+
   test("streaming SLIDING rollup equals the batch rollup (AvailableNow, sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
