@@ -379,6 +379,14 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Okapi BM25 lexical retrieval over the corpus for a fixed query
+    * ([[TextAnalysis.bm25]]): the In-predicate prunes non-query terms
+    * at the scan, df broadcast back, corpus stats one broadcast row. */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "dup", "window"))
+      .orderBy("doc_id")
+
   /** Stream-stream interval join run THROUGH the streaming engine
     * (click attribution: purchase × all that user's clicks in the
     * trailing 2 h; watermark-bounded join state on both sides) —
@@ -889,7 +897,8 @@ object SparkEntry {
     "q56_heavy_hitters" -> (q56 _),
     "q57_asof_join" -> (q57 _),
     "q58_decontaminate" -> (q58 _),
-    "q59_stream_join" -> (q59 _))
+    "q59_stream_join" -> (q59 _),
+    "q60_bm25" -> (q60 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1896,6 +1905,31 @@ object SparkEntry {
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.ts BETWEEN p.ts - INTERVAL 120 MINUTE AND p.ts
          ORDER BY purchase_id, click_id""",
+    "q60_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
+         ), lens AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+         ), corpus AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens
+         ), tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+           WHERE term IN ('hash', 'join', 'dup', 'window')
+           GROUP BY doc_id, term
+         ), dfx AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         )
+         SELECT tf.doc_id,
+                CAST(count(*) AS BIGINT) AS n_terms_matched,
+                sum(ln(1 + (c.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                    * tf.tf * (1.2 + 1.0)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))) AS bm25
+         FROM tf
+         JOIN dfx USING (term)
+         JOIN lens l ON l.doc_id = tf.doc_id
+         CROSS JOIN corpus c
+         GROUP BY tf.doc_id ORDER BY tf.doc_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

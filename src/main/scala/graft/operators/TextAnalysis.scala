@@ -150,6 +150,56 @@ object TextAnalysis {
       .select(explode(col("__hh")).as("__e"))
       .select(col("__e.item").as("token"), col("__e.count").as("cnt"))
 
+  /** Okapi BM25 relevance of every document against a fixed query
+    * term set — the lexical-retrieval baseline that sits next to the
+    * ANN tier ([[Ann]]) in a retrieval pipeline.
+    *
+    * Fully relational, three aggregates, no index build:
+    *  1. corpus stats (N, avgdl): one map-side-combining global agg
+    *     to a single broadcast row;
+    *  2. per-(doc, term) tf: the `isin(queryTerms)` filter is a
+    *     literal In-predicate evaluated BEFORE the explode output
+    *     shuffles, so the tf aggregation's shuffle carries only
+    *     query-term occurrences (|terms| is a handful; everything
+    *     else dies at the scan side);
+    *  3. per-term df: an agg over (2)'s tiny output, broadcast back.
+    * Final score = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) — the Robertson/Sparck-Jones
+    * form that cannot go negative. Only documents containing ≥ 1
+    * query term appear (score of the rest is exactly 0).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = docs.select(col(idCol),
+      split(lower(col(textCol)), "\\s+").as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
+
+    val corpus = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+
+    val tf = toks
+      .select(col(idCol), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+
+    val df = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"))
+
+    tf.join(broadcast(df), "__term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * col("__tf") * (lit(k1) + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("__contrib")).as("bm25"))
+  }
+
   /** Content-defined document fingerprint: md5 over the
     * canonicalised text (lowercase, non-alphanumerics collapsed to
     * single spaces, trimmed) — robust to whitespace/punctuation noise,

@@ -115,4 +115,44 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     // matches the per-token JVM function on single tokens
     graft.functions.TextNlp.expandContractions("it's") shouldBe "it is"
   }
+
+  test("bm25 matches the formula computed by hand on a tiny corpus") {
+    val docs = Seq(
+      (1L, "cat dog cat"),       // cat tf=2, dl=3
+      (2L, "dog bird"),          // dl=2
+      (3L, "fish fish fish cat") // cat tf=1, dl=4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms_matched"), r.getAs[Double]("bm25")))).toMap
+
+    val (n, avgdl, dfCat, k1, b) = (3.0, 3.0, 2.0, 1.2, 0.75)
+    val idf = math.log(1 + (n - dfCat + 0.5) / (dfCat + 0.5))
+    def score(tf: Double, dl: Double) =
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    out.keySet shouldBe Set(1L, 3L) // doc 2 has no query term -> absent
+    out(1L)._1 shouldBe 1L
+    out(1L)._2 shouldBe score(2, 3) +- 1e-12
+    out(3L)._2 shouldBe score(1, 4) +- 1e-12
+    // more occurrences of the term (same length class) rank higher
+    out(1L)._2 should be > out(3L)._2
+  }
+
+  test("bm25: rarer terms contribute more; partition-invariant") {
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common"), (3L, "common rare extra"),
+      (4L, "common filler words here"), (5L, "common again")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    // doc 3 (rare + common, short) outscores doc 2 (common only)
+    out(3L) should be > out(2L)
+    val repart = TextAnalysis.bm25(docs.repartition(7), "doc_id", "text",
+        Seq("rare", "common"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    repart.keySet shouldBe out.keySet
+    out.foreach { case (k, v) => repart(k) shouldBe v +- 1e-12 }
+  }
 }
