@@ -379,6 +379,15 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Deterministic mixture resample ([[graft.operators.Curation
+    * .resampleToMixture]]): src0 weighted 3, src1 weighted 2, rest 1;
+    * exact integer-rational keep rates, no big-table shuffle. */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.resampleToMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", Seq("src0" -> 3, "src1" -> 2))
+      .orderBy("doc_id")
+
   /** Okapi BM25 lexical retrieval over the corpus for a fixed query
     * ([[TextAnalysis.bm25]]): the In-predicate prunes non-query terms
     * at the scan, df broadcast back, corpus stats one broadcast row. */
@@ -898,7 +907,8 @@ object SparkEntry {
     "q57_asof_join" -> (q57 _),
     "q58_decontaminate" -> (q58 _),
     "q59_stream_join" -> (q59 _),
-    "q60_bm25" -> (q60 _))
+    "q60_bm25" -> (q60 _),
+    "q61_mixture_resample" -> (q61 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1930,6 +1940,23 @@ object SparkEntry {
          JOIN lens l ON l.doc_id = tf.doc_id
          CROSS JOIN corpus c
          GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+    "q61_mixture_resample" ->
+      """WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+         ), cw AS (
+           SELECT source, n,
+                  CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                       ELSE 1 END AS BIGINT) AS w
+           FROM c
+         ), m AS (
+           SELECT n AS mn, w AS mw FROM cw
+           ORDER BY CAST(n AS DOUBLE) / w, source LIMIT 1
+         )
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN cw USING (source) CROSS JOIN m
+         WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                 % (m.mw * cw.n) < (m.mn * cw.w)
+         ORDER BY d.doc_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

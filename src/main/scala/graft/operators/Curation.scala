@@ -108,6 +108,48 @@ object Curation {
     * global pack stream would serialize the corpus through one
     * partition; per-shard packing is what a 100 TB pipeline does
     * anyway (each training shard is packed independently). */
+  /** Deterministic downsample to a TARGET MIXTURE — the "data mix"
+    * step of corpus assembly (e.g. 3 parts curated : 2 parts books :
+    * 1 part web). Output proportions match integer `weights` exactly
+    * in expectation, at the largest total the corpus can supply
+    * without upsampling: the binding source (min nₛ/wₛ) is kept
+    * whole and every other source thins to rate (nₘ·wₛ)/(wₘ·nₛ).
+    *
+    * Selection is `pmod(md5-hash, den) < num` with num/den the EXACT
+    * integer rationals above — no float thresholds, so any engine
+    * computing the same integers selects the same rows, and
+    * membership inherits [[sampleHash]]'s partition-invariance (a
+    * kept document stays kept when re-run on any layout). Per-source
+    * counts are one map-side-combining agg; rates join back broadcast
+    * (sources are a catalog, not data); the corpus itself is a single
+    * scan + filter — no shuffle of the big table at all.
+    *
+    * @param weights  integer mixture parts per source value; sources
+    *                 not listed get `defaultWeight`. Ratio ordering
+    *                 uses IEEE division of the same longs in every
+    *                 engine, tie-broken by source value. */
+  def resampleToMixture(df: DataFrame, sourceCol: String, idCol: String,
+                        weights: Seq[(String, Int)], defaultWeight: Int = 1,
+                        salt: String = "mix"): DataFrame = {
+    require(weights.forall(_._2 > 0) && defaultWeight > 0,
+      "weights must be positive")
+    val wExpr = weights.foldRight(lit(defaultWeight): Column) {
+      case ((s, w), rest) => when(col(sourceCol) === s, lit(w)).otherwise(rest)
+    }
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wExpr.cast("long"))
+    val binding = counts
+      .agg(min_by(struct(col("__n"), col("__w")),
+        struct(col("__n").cast("double") / col("__w"), col(sourceCol))).as("__m"))
+      .select(col("__m.__n").as("__mn"), col("__m.__w").as("__mw"))
+    df.join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(binding))
+      .filter(pmod(sampleHash(col(idCol), salt), col("__mw") * col("__n")) <
+        col("__mn") * col("__w"))
+      .drop("__n", "__w", "__mn", "__mw")
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, partCols: Seq[String]): DataFrame = {
     require(budget > 0, "budget must be positive")

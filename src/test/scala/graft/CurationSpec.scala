@@ -106,4 +106,34 @@ class CurationSpec extends SparkSpec with Matchers {
     Curation.deterministicSplit(docs, "doc_id", Seq("all" -> 1))
       .select("split").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("all")
   }
+
+  test("resampleToMixture: binding source kept whole, others thin to the ratio") {
+    val corpus = spark.range(0, 6000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    // equal counts (2000 each), weights 4:2:1 -> s0 binding (kept whole),
+    // s1 at rate 1/2, s2 at rate 1/4
+    val kept = Curation.resampleToMixture(corpus, "source", "doc_id",
+        Seq("s0" -> 4, "s1" -> 2, "s2" -> 1))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("s0") shouldBe 2000L
+    kept("s1").toDouble shouldBe 1000.0 +- 80.0
+    kept("s2").toDouble shouldBe 500.0 +- 60.0
+    // realized mixture tracks 4:2:1
+    (kept("s0").toDouble / kept("s2")) shouldBe 4.0 +- 0.6
+  }
+
+  test("resampleToMixture is partition-invariant and stable") {
+    val corpus = spark.range(0, 3000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 4).cast("string")).as("source"))
+    val w = Seq("s0" -> 3, "s1" -> 2)
+    val a = Curation.resampleToMixture(corpus, "source", "doc_id", w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.resampleToMixture(corpus.repartition(17), "source", "doc_id", w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    b shouldBe a
+    a.nonEmpty shouldBe true
+  }
 }
