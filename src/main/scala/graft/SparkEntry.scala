@@ -379,6 +379,17 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Ordered conversion funnel ([[graft.operators.Funnel]]): per
+    * user, first view → first strictly-later click → first
+    * strictly-later purchase; chained conditional min-aggregates
+    * reusing one key partitioning. */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   /** Deterministic mixture resample ([[graft.operators.Curation
     * .resampleToMixture]]): src0 weighted 3, src1 weighted 2, rest 1;
     * exact integer-rational keep rates, no big-table shuffle. */
@@ -908,7 +919,8 @@ object SparkEntry {
     "q58_decontaminate" -> (q58 _),
     "q59_stream_join" -> (q59 _),
     "q60_bm25" -> (q60 _),
-    "q61_mixture_resample" -> (q61 _))
+    "q61_mixture_resample" -> (q61 _),
+    "q62_funnel" -> (q62 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1957,6 +1969,28 @@ object SparkEntry {
          WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
                  % (m.mw * cw.n) < (m.mn * cw.w)
          ORDER BY d.doc_id""",
+    "q62_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+         ), s0 AS (
+           SELECT user_id, min(t) AS t_0 FROM e
+           WHERE event_type = 'view' GROUP BY 1
+         ), s1 AS (
+           SELECT e.user_id, min(t) AS t_1 FROM e JOIN s0 USING (user_id)
+           WHERE event_type = 'click' AND t > t_0 GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(t) AS t_2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t_1 GROUP BY 1
+         )
+         SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+                CAST(CASE WHEN s0.t_0 IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN s1.t_1 IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS stages_reached
+         FROM s0
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         ORDER BY s0.user_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
