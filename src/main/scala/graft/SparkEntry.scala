@@ -379,6 +379,32 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Sketch aggregates, self-certified: per source, exact distinct
+    * content digests (hash-proven) alongside HLL++
+    * `approx_count_distinct` and t-digest `percentile_approx`, each
+    * emitted as a WITHIN-BOUND flag the oracle states as TRUE — the
+    * sketch estimate itself is engine-specific, but the accuracy
+    * contract is not. Exact percentiles hash-match DuckDB's
+    * `quantile_cont` (same (n−1)·p interpolation). */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("h"), col("n_chars"))
+    d.groupBy("source")
+      .agg(
+        count_distinct(col("h")).as("exact_distinct"),
+        approx_count_distinct(col("h"), 0.05).as("__approx"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.95)").as("p95_chars"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("__ap50"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("__approx") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") <= 0.15).as("distinct_within_bound"),
+        col("p50_chars"), col("p95_chars"),
+        (col("__ap50") >= col("p50_chars") * 0.8 &&
+          col("__ap50") <= col("p50_chars") * 1.2).as("p50_within_bound"))
+      .orderBy("source")
+  }
+
   /** Ordered conversion funnel ([[graft.operators.Funnel]]): per
     * user, first view → first strictly-later click → first
     * strictly-later purchase; chained conditional min-aggregates
@@ -920,7 +946,8 @@ object SparkEntry {
     "q59_stream_join" -> (q59 _),
     "q60_bm25" -> (q60 _),
     "q61_mixture_resample" -> (q61 _),
-    "q62_funnel" -> (q62 _))
+    "q62_funnel" -> (q62 _),
+    "q63_sketch_stats" -> (q63 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1991,6 +2018,14 @@ object SparkEntry {
          LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          ORDER BY s0.user_id""",
+    "q63_sketch_stats" ->
+      """SELECT source,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+                TRUE AS distinct_within_bound,
+                quantile_cont(n_chars, 0.5) AS p50_chars,
+                quantile_cont(n_chars, 0.95) AS p95_chars,
+                TRUE AS p50_within_bound
+         FROM documents GROUP BY source ORDER BY source""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
