@@ -379,6 +379,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Batch interval join via time-bucketed equality
+    * ([[graft.operators.RangeJoin]]) — same semantics as the
+    * streaming q59, but planned as a shuffled HASH join on
+    * (key, bucket) instead of the nested loop Spark gives a raw
+    * inequality join. Same oracle family as q59. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("p_ts_us"), col("value").as("purchase_val"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        expr("ts div 1000").as("c_ts_us"), col("value").as("click_val"))
+    graft.operators.RangeJoin.intervalJoin(
+        purchases, clicks, "user_id", "c_user_id", "p_ts_us", "c_ts_us",
+        lowerOffset = -120L * 60 * 1000000, upperOffset = 0L)
+      .select("purchase_id", "user_id", "p_ts_us", "purchase_val",
+        "click_id", "c_ts_us", "click_val")
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** Sketch aggregates, self-certified: per source, exact distinct
     * content digests (hash-proven) alongside HLL++
     * `approx_count_distinct` and t-digest `percentile_approx`, each
@@ -947,7 +968,8 @@ object SparkEntry {
     "q60_bm25" -> (q60 _),
     "q61_mixture_resample" -> (q61 _),
     "q62_funnel" -> (q62 _),
-    "q63_sketch_stats" -> (q63 _))
+    "q63_sketch_stats" -> (q63 _),
+    "q64_range_join" -> (q64 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2026,6 +2048,17 @@ object SparkEntry {
                 quantile_cont(n_chars, 0.95) AS p95_chars,
                 TRUE AS p50_within_bound
          FROM documents GROUP BY source ORDER BY source""",
+    "q64_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us, p.value AS purchase_val,
+                c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us,
+                c.value AS click_val
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts)
+              BETWEEN epoch_us(p.ts) - 7200000000 AND epoch_us(p.ts)
+         ORDER BY purchase_id, click_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
