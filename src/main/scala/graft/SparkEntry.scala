@@ -379,6 +379,35 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Hierarchical rollup (GROUPING SETS): per-(source, lang),
+    * per-source and grand-total aggregates in ONE pass with
+    * `grouping_id` disambiguating levels — Spark's Expand operator
+    * replicates rows per grouping set before a single hash agg. */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("lang"), col("gid").cast("long").as("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("gid", "source", "lang")
+
+  /** Frame-based rolling aggregates per user: 5-row trailing moving
+    * sum/count over event time — partitioned window, bounded frame
+    * state, no global sort. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("value_milli")).over(w).as("roll_sum_milli"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("event_id")
+  }
+
   /** Batch interval join via time-bucketed equality
     * ([[graft.operators.RangeJoin]]) — same semantics as the
     * streaming q59, but planned as a shuffled HASH join on
@@ -969,7 +998,9 @@ object SparkEntry {
     "q61_mixture_resample" -> (q61 _),
     "q62_funnel" -> (q62 _),
     "q63_sketch_stats" -> (q63 _),
-    "q64_range_join" -> (q64 _))
+    "q64_range_join" -> (q64 _),
+    "q65_rollup" -> (q65 _),
+    "q66_rolling_window" -> (q66 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2059,6 +2090,21 @@ object SparkEntry {
           AND epoch_us(c.ts)
               BETWEEN epoch_us(p.ts) - 7200000000 AND epoch_us(p.ts)
          ORDER BY purchase_id, click_id""",
+    "q65_rollup" ->
+      """SELECT source, lang,
+                CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ROLLUP (source, lang)
+         ORDER BY gid, source, lang""",
+    "q66_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS roll_sum_milli,
+                CAST(count(*) OVER w AS BIGINT) AS roll_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
