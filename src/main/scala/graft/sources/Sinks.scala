@@ -42,4 +42,25 @@ object Sinks {
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Hive-partitioned parquet layout: one directory per value of
+    * `partitionCols`, rows sorted by `sortCols` INSIDE each file.
+    * This is the other half of the physical-layout story next to
+    * [[bucketedParquetTable]]: a reader filtering on a partition
+    * column touches only matching directories (partition pruning —
+    * the scan lists, not reads, the rest), and the within-file sort
+    * tightens parquet min/max page stats so row-group skipping works
+    * on the sort key. Partition columns must be LOW-cardinality
+    * (split, language, date — never an id: a 10⁹-value partition
+    * column is 10⁹ directories and a dead metastore). */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String],
+                         sortCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    import org.apache.spark.sql.functions.col
+    df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

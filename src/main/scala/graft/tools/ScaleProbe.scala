@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Ann, Dedup, Matcher, Multimodal}
+import graft.operators.{Ann, AsofJoin, Dedup, Matcher, Multimodal, RangeJoin}
 import graft.streaming.StreamOps
 
 /** Scale-up probe (dev tool): replicates the sf0.1 tables K× with
@@ -130,6 +130,33 @@ object ScaleProbe {
       StreamOps.sessionize(
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))).count()
+    }
+    // as-of / range join: user keys grow Kx (per-key density constant),
+    // so both should hold ~linear wall — the key-shuffle (as-of) and
+    // (key,bucket)-shuffle (range) both spread with the key set
+    def purchasesClicks(dir: String): (DataFrame, DataFrame) = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      (ev.filter(col("event_type") === "purchase")
+         .select(col("event_id"), col("user_id"),
+           expr("ts div 1000").as("ts_us"), col("value")),
+       ev.filter(col("event_type") === "click")
+         .select(col("user_id").as("r_uid"),
+           expr("ts div 1000").as("click_ts_us"), col("value")))
+    }
+    time("asof_join") { dir =>
+      val (p, c) = purchasesClicks(dir)
+      AsofJoin.asofBackward(p,
+        c.groupBy("r_uid", "click_ts_us").agg(max(col("value")).as("click_val")),
+        "user_id", "r_uid", "ts_us", "click_ts_us").count()
+    }
+    time("range_join_2h") { dir =>
+      val (p, c) = purchasesClicks(dir)
+      RangeJoin.intervalJoin(
+        p.withColumnRenamed("event_id", "purchase_id")
+          .withColumnRenamed("value", "purchase_val"),
+        c.withColumnRenamed("value", "click_val"),
+        "user_id", "r_uid", "ts_us", "click_ts_us",
+        -7200000000L, 0L).count()
     }
     // Multimodal decode: wall must be proportional to SAMPLED bytes —
     // linear in data volume at fixed stride (the per-row scaling),

@@ -53,4 +53,29 @@ class SinksSpec extends SparkSpec with Matchers {
     parts.length shouldBe 4
     spark.read.option("header", "true").csv(path).count() shouldBe 100L
   }
+
+  test("partitionedParquet: a partition-column filter prunes to matching dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("sinks").toFile
+    val path = new java.io.File(dir, "bylang").getAbsolutePath
+    val docs = spark.range(0, 300).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr")),
+        (col("id") % 3 + 1).cast("int")).as("lang"))
+    Sinks.partitionedParquet(docs, path, Seq("lang"), Seq("doc_id"))
+
+    // three lang=... directories on disk
+    new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("lang=")) shouldBe 3
+
+    val filtered = spark.read.parquet(path).filter(col("lang") === "en")
+    filtered.count() shouldBe 100L
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    scans should have size 1
+    // pruning happened at planning: only the lang=en partition is read
+    scans.head.selectedPartitions.partitionCount shouldBe 1
+  }
 }
