@@ -379,6 +379,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Corrupt-record quarantine: `from_json` yields a null struct on
+    * malformed input (planted on every 7th event), routing bad rows
+    * to quarantine counts instead of failing the job — the ingest
+    * posture a crawl pipeline needs. Parse + route is one projection;
+    * no separate validation pass. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    t(s, dir, "events")
+      .withColumn("__p",
+        when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("__k", from_json(col("__p"), schema).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(coalesce(col("__k"), lit(0L))).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   /** Hierarchical rollup (GROUPING SETS): per-(source, lang),
     * per-source and grand-total aggregates in ONE pass with
     * `grouping_id` disambiguating levels — Spark's Expand operator
@@ -1000,7 +1021,8 @@ object SparkEntry {
     "q63_sketch_stats" -> (q63 _),
     "q64_range_join" -> (q64 _),
     "q65_rollup" -> (q65 _),
-    "q66_rolling_window" -> (q66 _))
+    "q66_rolling_window" -> (q66 _),
+    "q67_json_quarantine" -> (q67 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2105,6 +2127,21 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q67_json_quarantine" ->
+      """WITH x AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 7 = 0 THEN 'x' || props
+                       ELSE props END AS p
+           FROM events
+         )
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quarantined,
+                CAST(sum(CASE WHEN json_valid(p)
+                              THEN CAST(json_extract(p, '$.k') AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS sum_k
+         FROM x GROUP BY event_type ORDER BY event_type""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
