@@ -21,6 +21,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.PushFilterThroughExplode)
     // Untimed warmup pass: first execution pays JVM/JIT warmup, codegen
     // compilation, Hadoop FS init and parquet footer reads — none of
     // which exist in a long-running cluster. Timed pass below measures

@@ -21,6 +21,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's optimizer rule, via the public experimental hook
+    // (the spark.sql.extensions path needs builder-time config)
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.PushFilterThroughExplode)
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -17,10 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `graft_topk(score, id, k)` (aggregate).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughExplode)
+  }
 }
 
 object GraftExtensions {

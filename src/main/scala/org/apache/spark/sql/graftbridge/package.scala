@@ -20,4 +20,11 @@ package object graftbridge {
     * needs) is `private[sql]` in Spark 4; re-export it so graft
     * expressions can declare coercible input types. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Build a DataFrame from a hand-transformed logical plan
+    * (`Dataset.ofRows` is `private[sql]`) — used by specs to execute
+    * a plan after applying one optimizer rule in isolation. */
+  def dataFrameOf(spark: SparkSession,
+                  plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
