@@ -379,6 +379,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Boilerplate-unit removal ([[TextAnalysis.removeFrequentUnits]]):
+    * text chunked into 8-word units; a template header planted on
+    * three sources (60 docs ≫ maxDocFreq=10) must strip from every
+    * doc while content chunks survive in order. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val header = "terms of service apply to this site content"
+    val withHeader = t(s, dir, "documents").select(col("doc_id"),
+      when(col("source").isin("src0", "src1", "src2"),
+        concat(lit(header + " "), col("text"))).otherwise(col("text")).as("t"))
+    val words = split(col("t"), "\\s+")
+    val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+    val units = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    TextAnalysis.removeFrequentUnits(
+        withHeader.select(col("doc_id"), units.as("units")),
+        "doc_id", "units", maxDocFreq = 10)
+      .orderBy("doc_id")
+  }
+
   /** Corrupt-record quarantine: `from_json` yields a null struct on
     * malformed input (planted on every 7th event), routing bad rows
     * to quarantine counts instead of failing the job — the ingest
@@ -1022,7 +1041,8 @@ object SparkEntry {
     "q64_range_join" -> (q64 _),
     "q65_rollup" -> (q65 _),
     "q66_rolling_window" -> (q66 _),
-    "q67_json_quarantine" -> (q67 _))
+    "q67_json_quarantine" -> (q67 _),
+    "q68_boilerplate_removal" -> (q68 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2142,6 +2162,37 @@ object SparkEntry {
                               THEN CAST(json_extract(p, '$.k') AS BIGINT)
                               ELSE 0 END) AS BIGINT) AS sum_k
          FROM x GROUP BY event_type ORDER BY event_type""",
+    "q68_boilerplate_removal" ->
+      """WITH base AS (
+           SELECT doc_id, CASE WHEN source IN ('src0', 'src1', 'src2')
+                  THEN 'terms of service apply to this site content ' || text
+                  ELSE text END AS t
+           FROM documents
+         ), w AS (
+           SELECT doc_id, string_split_regex(t, '\s+') AS words FROM base
+         ), d AS (
+           SELECT doc_id,
+                  [array_to_string(words[i*8+1:i*8+8], ' ')
+                   for i in range(0, CAST(ceil(len(words)/8.0) AS BIGINT))] AS units
+           FROM w
+         ), pu AS (
+           SELECT doc_id, x.pos AS pos, x.u AS unit FROM (
+             SELECT doc_id, unnest([{'pos': i, 'u': units[i+1]}
+                                    for i in range(0, len(units))]) AS x
+             FROM d)
+         ), hot AS (
+           SELECT unit FROM (SELECT DISTINCT doc_id, unit FROM pu)
+           GROUP BY unit HAVING count(*) > 10
+         ), kept AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(unit, ' ' ORDER BY pos) AS cleaned
+           FROM pu WHERE unit NOT IN (SELECT unit FROM hot)
+           GROUP BY doc_id
+         )
+         SELECT d.doc_id, CAST(len(d.units) AS BIGINT) AS n_units,
+                CAST(len(d.units) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+                coalesce(k.cleaned, '') AS cleaned
+         FROM d LEFT JOIN kept k USING (doc_id) ORDER BY d.doc_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

@@ -150,6 +150,50 @@ object TextAnalysis {
       .select(explode(col("__hh")).as("__e"))
       .select(col("__e.item").as("token"), col("__e.count").as("cnt"))
 
+  /** Boilerplate-unit removal — the C4/RefinedWeb corpus-hygiene
+    * step: a text UNIT (line, sentence, fixed chunk — anything that
+    * partitions the document into an array column) occurring in more
+    * than `maxDocFreq` DISTINCT documents is template furniture
+    * (nav bars, cookie banners, license headers), not content, and
+    * is stripped from every document while unit order is preserved.
+    *
+    * Two shuffles, both safe at corpus scale: (1) unit doc-frequency
+    * — `array_distinct` INSIDE the row first, so the groupBy(unit)
+    * sees each (doc, unit) once and map-side partials collapse the
+    * rest; (2) reassembly keyed on the UNIQUE doc id (no skew). The
+    * hot-unit set between them is template furniture — catalog-sized
+    * by definition — and joins back as a BROADCAST anti join against
+    * the positional explode. Never a doc×doc comparison anywhere.
+    *
+    * @return one row per input doc: (idCol, n_units, n_removed,
+    *         cleaned = surviving units joined by single spaces, ""
+    *         when everything was boilerplate). */
+  def removeFrequentUnits(docs: DataFrame, idCol: String, unitsCol: String,
+                          maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val hot = docs
+      .select(explode(array_distinct(col(unitsCol))).as("__u"))
+      .groupBy(col("__u")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__u"))
+
+    val kept = docs
+      .select(col(idCol), posexplode(col(unitsCol)).as(Seq("__pos", "__u")))
+      .join(broadcast(hot), Seq("__u"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+            s => s.getField("__u")),
+          " ").as("cleaned"))
+
+    docs.select(col(idCol), size(col(unitsCol)).cast("long").as("n_units"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_units"),
+        (col("n_units") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query
     * term set — the lexical-retrieval baseline that sits next to the
     * ANN tier ([[Ann]]) in a retrieval pipeline.

@@ -116,6 +116,44 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     graft.functions.TextNlp.expandContractions("it's") shouldBe "it is"
   }
 
+  test("removeFrequentUnits strips corpus-frequent units, keeps order, handles edge docs") {
+    import graft.operators.TextAnalysis
+    // "BOILER" appears in 4 docs (> maxDocFreq=2); content units are rare
+    val docs = Seq(
+      (1L, Seq("BOILER", "u1a", "u1b")),
+      (2L, Seq("u2a", "BOILER", "u2b")),
+      (3L, Seq("u3a", "BOILER")),
+      (4L, Seq("BOILER", "BOILER")),   // all-boilerplate doc -> empty result
+      (5L, Seq("u5a"))
+    ).toDF("doc_id", "units")
+    val out = TextAnalysis.removeFrequentUnits(docs, "doc_id", "units", 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    out(1L) shouldBe ((3L, 1L, "u1a u1b"))
+    out(2L) shouldBe ((3L, 1L, "u2a u2b"))
+    out(3L) shouldBe ((2L, 1L, "u3a"))
+    out(4L) shouldBe ((2L, 2L, ""))    // row survives with empty cleaned text
+    out(5L) shouldBe ((1L, 0L, "u5a"))
+    // duplicate units inside ONE doc don't make it corpus-frequent
+    val oneDoc = Seq((9L, Seq("x", "x", "x", "y"))).toDF("doc_id", "units")
+    val m = TextAnalysis.removeFrequentUnits(oneDoc, "doc_id", "units", 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    m(9L) shouldBe "x x x y"
+  }
+
+  test("removeFrequentUnits is partition-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 100L).map(i =>
+      (i, Seq("COMMON", s"unique_$i", s"also_$i"))).toDF("doc_id", "units")
+    val a = TextAnalysis.removeFrequentUnits(docs, "doc_id", "units", 50L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = TextAnalysis.removeFrequentUnits(docs.repartition(13), "doc_id", "units", 50L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    b shouldBe a
+    a(7L) shouldBe "unique_7 also_7"
+  }
+
   test("bm25 matches the formula computed by hand on a tiny corpus") {
     val docs = Seq(
       (1L, "cat dog cat"),       // cat tf=2, dl=3
