@@ -379,6 +379,38 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Native `session_window` gap sessions (the built-in SessionWindow
+    * operator, vs q30's window-function formulation). The gap is
+    * INCLUSIVE — an event at exactly prev+gap merges (pinned by
+    * StreamOpsSpec's exact-gap case), the same `> gap` split rule as
+    * the oracle's lag/cumsum form; `end = last event + gap`. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    eventsWithTs(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("value_milli"))
+      .orderBy("user_id", "session_start")
+
+  /** Edit-distance fuzzy join ([[graft.operators.FuzzyJoin]]):
+    * every 10th part name with its first character corrupted, matched
+    * back to the catalog at levenshtein <= 1 — length-interval
+    * blocking + bounded-threshold verify. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val queries = part.filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("q_key"),
+        concat(lit("x"), substring(col("p_name"), 2, 1000)).as("q_name"))
+    graft.operators.FuzzyJoin.editDistanceJoin(
+        queries, part.select(col("p_partkey"), col("p_name")),
+        "q_name", "p_name", maxDist = 1)
+      .select(col("q_key"), col("p_partkey"), col("dist"))
+      .orderBy("q_key", "p_partkey")
+  }
+
   /** Boilerplate-unit removal ([[TextAnalysis.removeFrequentUnits]]):
     * text chunked into 8-word units; a template header planted on
     * three sources (60 docs ≫ maxDocFreq=10) must strip from every
@@ -1042,7 +1074,9 @@ object SparkEntry {
     "q65_rollup" -> (q65 _),
     "q66_rolling_window" -> (q66 _),
     "q67_json_quarantine" -> (q67 _),
-    "q68_boilerplate_removal" -> (q68 _))
+    "q68_boilerplate_removal" -> (q68 _),
+    "q69_fuzzy_join" -> (q69 _),
+    "q70_session_window" -> (q70 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2193,6 +2227,43 @@ object SparkEntry {
                 CAST(len(d.units) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
                 coalesce(k.cleaned, '') AS cleaned
          FROM d LEFT JOIN kept k USING (doc_id) ORDER BY d.doc_id""",
+    "q69_fuzzy_join" ->
+      """WITH q AS (
+           SELECT p_partkey AS q_key, 'x' || substr(p_name, 2) AS q_name
+           FROM part WHERE p_partkey % 10 = 0
+         )
+         SELECT q.q_key, p.p_partkey,
+                CAST(levenshtein(q.q_name, p.p_name) AS INT) AS dist
+         FROM q JOIN part p
+           ON abs(length(q.q_name) - length(p.p_name)) <= 1
+          AND levenshtein(q.q_name, p.p_name) <= 1
+         ORDER BY q.q_key, p.p_partkey""",
+    "q70_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x
+         ), z AS (
+           SELECT user_id, ts, value,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM y
+         )
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                  AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_milli
+         FROM z GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

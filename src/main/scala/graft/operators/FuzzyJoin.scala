@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) join — all pairs with
+  * `levenshtein(left, right) <= maxDist`. Entity-resolution lite:
+  * matching noisy labels/titles against a canonical catalog.
+  *
+  * Blocking reuses [[RangeJoin.intervalJoin]] on STRING LENGTH:
+  * `|len(a) − len(b)| <= maxDist` is a necessary condition for edit
+  * distance ≤ maxDist, and it is exactly an interval join with
+  * offsets ±maxDist — candidate pairs form per (length-bucket) hash
+  * partitions, never a full cross join. The exact verify uses
+  * Spark's bounded `levenshtein(l, r, threshold)` (early-exits past
+  * the threshold, returns −1 — the hot loop never computes a full
+  * distance matrix for far pairs).
+  *
+  * Length blocking alone admits every same-length pair as a
+  * candidate; production entity resolution adds a content prefilter
+  * (q-gram prefix or [[Dedup.shingles]]-Jaccard banding — both here)
+  * in front when a length class is large. The necessary-condition
+  * structure (and this operator's output) is identical either way.
+  */
+object FuzzyJoin {
+
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+                       leftCol: String, rightCol: String,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val l = left.withColumn("__llen", length(col(leftCol)).cast("long"))
+      .withColumn("__lk", lit(0))
+    val r = right.withColumn("__rlen", length(col(rightCol)).cast("long"))
+      .withColumn("__rk", lit(0))
+    val d = levenshtein(col(leftCol), col(rightCol), maxDist)
+    RangeJoin.intervalJoin(l, r, "__lk", "__rk", "__llen", "__rlen",
+        -maxDist.toLong, maxDist.toLong)
+      .withColumn("dist", d)
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .drop("__llen", "__lk", "__rlen", "__rk")
+  }
+}

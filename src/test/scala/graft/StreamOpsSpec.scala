@@ -88,6 +88,25 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("native session_window: an event at exactly start+gap still MERGES " +
+      "(inclusive gap, same split rule as sessionize)") {
+    val ev = Seq(
+      (1L, ts(0), 100L, "view", 1.0),
+      (2L, ts(30), 100L, "view", 1.0),  // exactly 30 min later -> merges
+      (3L, ts(40), 100L, "view", 1.0),  // 10 min after -> merges
+      (4L, ts(0), 200L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = ev
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"sw.start", $"n")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    sessions shouldBe Map(
+      (100L, "2026-01-01 10:00:00.0") -> 3L,
+      (200L, "2026-01-01 10:00:00.0") -> 1L)
+  }
+
   test("stream-stream interval join equals the batch interval join (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runClickAttributionAvailableNow(spark, dir, 120)
