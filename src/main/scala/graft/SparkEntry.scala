@@ -379,6 +379,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q5-shaped 4-table star join: revenue by nation for one
+    * order year — two big-table hash joins on their keys plus two
+    * broadcast dims (customer at this SF, nation always), date filter
+    * pushed to the orders scan, money summed as integer cents. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** Native `session_window` gap sessions (the built-in SessionWindow
     * operator, vs q30's window-function formulation). The gap is
     * INCLUSIVE — an event at exactly prev+gap merges (pinned by
@@ -1076,7 +1097,8 @@ object SparkEntry {
     "q67_json_quarantine" -> (q67 _),
     "q68_boilerplate_removal" -> (q68 _),
     "q69_fuzzy_join" -> (q69 _),
-    "q70_session_window" -> (q70 _))
+    "q70_session_window" -> (q70 _),
+    "q71_star_join" -> (q71 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2264,6 +2286,18 @@ object SparkEntry {
                   AS value_milli
          FROM z GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "q71_star_join" ->
+      """SELECT n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS revenue_cents,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name ORDER BY n.n_name""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
