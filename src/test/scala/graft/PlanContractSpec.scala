@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Plan regression guard: no query may silently degrade into a
+  * cartesian product or an unintended nested-loop join. The
+  * similarity tier (flagship matcher, brute-force ANN) uses an
+  * INTENTIONAL broadcast-nested-loop against a catalog-sized
+  * reference — those are whitelisted by name; everything else must
+  * plan as hash/sort-merge joins.
+  */
+class PlanContractSpec extends SparkSpec with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries that EXECUTE on construction (streaming AvailableNow
+    * drains, embedder training) — plan inspection would run them. */
+  private val eager = Set(
+    "q29_stream_rollup", "q39_stream_upsert", "q47_stream_dedup",
+    "q59_stream_join", "q44_label_match_w2v")
+
+  /** Broadcast similarity scans (reference side catalog-sized by
+    * contract, guarded in Matcher/Ann — the nested loop IS the plan),
+    * plus single-row scalar broadcasts (corpus stats in q60/q61: a
+    * 1-row build side makes BNLJ the optimal join) and q22's
+    * intentionally bounded 40×40 pair demo. */
+  private val intentionalNestedLoop = Set(
+    "q24_label_match_report", "q25_knn_bruteforce", "q27_lsh_neardup",
+    "q32_ivf_topk", "q40_label_match_frozen",
+    "q22_ngram_jaccard", "q60_bm25", "q61_mixture_resample")
+
+  test("no batch query plans a CartesianProduct; nested loops only where intended") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!eager.contains(name)) {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+            !intentionalNestedLoop.contains(name))
+          offenders += s"$name: BroadcastNestedLoopJoin"
+      }
+    }
+    offenders shouldBe empty
+  }
+}
