@@ -379,6 +379,15 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** LEFT-OUTER stream-stream interval join through the engine:
+    * unmatched purchases emit null click columns only on
+    * watermark-driven state eviction (sentinel micro-batches advance
+    * the watermark past all real data — see
+    * [[StreamOps.runClickAttributionOuterAvailableNow]]). */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runClickAttributionOuterAvailableNow(s, dir, windowMinutes = 120)
+      .orderBy("purchase_id", "click_id")
+
   /** TPC-H Q5-shaped 4-table star join: revenue by nation for one
     * order year — two big-table hash joins on their keys plus two
     * broadcast dims (customer at this SF, nation always), date filter
@@ -1098,7 +1107,8 @@ object SparkEntry {
     "q68_boilerplate_removal" -> (q68 _),
     "q69_fuzzy_join" -> (q69 _),
     "q70_session_window" -> (q70 _),
-    "q71_star_join" -> (q71 _))
+    "q71_star_join" -> (q71 _),
+    "q72_stream_outer_join" -> (q72 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2298,6 +2308,16 @@ object SparkEntry {
          WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
            AND o.o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n.n_name ORDER BY n.n_name""",
+    "q72_stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us, p.value AS purchase_val,
+                c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us,
+                c.value AS click_val
+         FROM events p LEFT JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts BETWEEN p.ts - INTERVAL 120 MINUTE AND p.ts
+         WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id, click_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

@@ -83,7 +83,8 @@ object StreamOps {
     * DataFrames is the batch interval join the oracle SQL states. */
   def clickAttribution(purchases: DataFrame, clicks: DataFrame,
                        windowMinutes: Int,
-                       watermarkDelay: String = "10 minutes"): DataFrame = {
+                       watermarkDelay: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"), col("value").as("purchase_val"))
@@ -95,7 +96,8 @@ object StreamOps {
     p.join(c,
         col("user_id") === col("c_user_id") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-          col("c_ts") <= col("p_ts"))
+          col("c_ts") <= col("p_ts"),
+        joinType)
       .select(col("purchase_id"), col("user_id"),
         unix_micros(col("p_ts")).as("p_ts_us"), col("purchase_val"),
         col("click_id"), unix_micros(col("c_ts")).as("c_ts_us"),
@@ -121,6 +123,61 @@ object StreamOps {
       .start()
     query.awaitTermination()
     spark.table(name)
+  }
+
+  /** LEFT-OUTER stream-stream interval join — the hardest streaming
+    * join surface: a purchase with NO click in its window may only
+    * emit (with null click columns) once the WATERMARK proves no
+    * matching click can still arrive; until then it sits in state.
+    * To drain deterministically under AvailableNow, the real events
+    * are staged as micro-batch 1 and far-future SENTINEL events as
+    * batches 2-3: the sentinels push the watermark past every real
+    * purchase, evicting all unmatched state so the null rows emit
+    * before termination. Sentinel rows (negative ids) are filtered
+    * from the result — the output is exactly the batch left-outer
+    * interval join over the real events, which is what the oracle
+    * states. */
+  def runClickAttributionOuterAvailableNow(spark: SparkSession, dir: String,
+                                           windowMinutes: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val work = java.nio.file.Files.createTempDirectory("graft_souter_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    stageVersionFile(ev, s"$staging/f0.parquet")
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    def sentinels(offsetDays: Int): DataFrame = {
+      val far = maxTs + offsetDays.toLong * 24 * 3600 * 1000000000L
+      spark.range(1).select(
+        lit(-offsetDays.toLong).as("event_id"), lit(far).as("ts"),
+        lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .unionByName(spark.range(1).select(
+          lit(-100L - offsetDays).as("event_id"), lit(far).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")))
+    }
+    stageVersionFile(sentinels(30), s"$staging/f1.parquet")
+    stageVersionFile(sentinels(60), s"$staging/f2.parquet")
+
+    val src = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"graft_stream_ojoin_${runCounter.incrementAndGet()}"
+    val query = clickAttribution(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click"),
+        windowMinutes, joinType = "left_outer")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name).filter(col("purchase_id") >= 0)
   }
 
   /** Run the SLIDING rollup through the Structured Streaming engine

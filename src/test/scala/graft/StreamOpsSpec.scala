@@ -122,6 +122,23 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("LEFT-OUTER stream-stream join: null rows emit on watermark eviction " +
+      "and equal the batch left join (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runClickAttributionOuterAvailableNow(spark, dir, 120)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = StreamOps.clickAttribution(
+        ev.filter($"event_type" === "purchase"),
+        ev.filter($"event_type" === "click"), 120, joinType = "left_outer")
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    streamed shouldBe batch
+    // the outer rows are the point: purchases with no prior click exist
+    streamed.count(_.isNullAt(4)) should be > 0
+  }
+
   test("streaming SLIDING rollup equals the batch rollup (AvailableNow, sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
