@@ -379,6 +379,40 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** The end-to-end corpus-assembly pipeline, composed from operators
+    * proven individually: quality+language filter (q17/q18) → exact
+    * dedup (q15) → benchmark decontamination (q58, dropping eval docs
+    * and ≥2-hit leaks) → mixture resample (q61) → deterministic split
+    * (q48) → 512-token packing per split (q52). One oracle proves the
+    * whole composition — the "switch your training-data pipeline to
+    * this engine" showpiece. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = TextAnalysis.qualityMetrics(TextAnalysis.languageId(d))
+    val filtered = scored.filter(col("predicted_lang") === "en" &&
+      col("quality_score") >= 0.5 && col("n_words") >= 5)
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = filtered.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val train = deduped.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = graft.operators.Decontaminate.contaminationReport(
+        train, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3, 2)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        col("n_words").cast("long").as("ws_tokens"))
+    val mixed = graft.operators.Curation.resampleToMixture(
+      clean, "source", "doc_id", Seq("src0" -> 3, "src1" -> 2))
+    val split = graft.operators.Curation.deterministicSplit(
+      mixed, "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+    graft.operators.Curation.packSequences(
+        split, "doc_id", "ws_tokens", budget = 512L, partCols = Seq("split"))
+      .select(col("doc_id"), col("source"), col("split"), col("ws_tokens"),
+        col("pack_id"), col("pack_offset").cast("long").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   /** LEFT-OUTER stream-stream interval join through the engine:
     * unmatched purchases emit null click columns only on
     * watermark-driven state eviction (sentinel micro-batches advance
@@ -1108,7 +1142,8 @@ object SparkEntry {
     "q69_fuzzy_join" -> (q69 _),
     "q70_session_window" -> (q70 _),
     "q71_star_join" -> (q71 _),
-    "q72_stream_outer_join" -> (q72 _))
+    "q72_stream_outer_join" -> (q72 _),
+    "q73_corpus_pipeline" -> (q73 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1434,19 +1469,22 @@ object SparkEntry {
   /** q49: the composed curation pipeline — language-id + quality
     * fragments are verbatim from the q18/q17 oracles, then filter,
     * min-id-per-digest dedup, and the split-hash CASE. */
-  private def curationPipelineOracle: String = {
+  /** Shared hh..f CTE chain (language-id + quality scoring + the
+    * q49/q73 keep-filter), threaded with `source` for the mixture
+    * stage. Used WITHOUT a leading WITH. */
+  private def qualityFilterCtes: String = {
     val hitCols = langMarkersSql.map { case (lang, list) =>
       s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
     }.mkString(",\n  ")
     val langs = langMarkersSql.map(_._1)
     val m = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
     val pick = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
-    s"""WITH hh AS (
-         SELECT doc_id, text, $hitCols FROM documents
+    s"""hh AS (
+         SELECT doc_id, text, source, $hitCols FROM documents
        ), lang AS (
-         SELECT doc_id, text, CASE $pick END AS predicted_lang FROM hh
+         SELECT doc_id, text, source, CASE $pick END AS predicted_lang FROM hh
        ), met AS (
-         SELECT doc_id, text, predicted_lang,
+         SELECT doc_id, text, source, predicted_lang,
            CAST(length(text) AS DOUBLE) AS n_chars_d,
            CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_words,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
@@ -1456,14 +1494,14 @@ object SparkEntry {
              x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
          FROM lang
        ), r AS (
-         SELECT doc_id, text, predicted_lang, n_words,
+         SELECT doc_id, text, source, predicted_lang, n_words,
            n_alpha / greatest(n_chars_d, 1.0) AS alpha_ratio,
            n_digit / greatest(n_chars_d, 1.0) AS digit_ratio,
            n_punct / greatest(n_chars_d, 1.0) AS punct_ratio,
            n_stop / greatest(n_words, 1.0) AS stopword_ratio
          FROM met
        ), q AS (
-         SELECT doc_id, text, predicted_lang, n_words,
+         SELECT doc_id, text, source, predicted_lang, n_words,
            least(alpha_ratio / 0.7, 1.0) * 0.4
              + least(stopword_ratio / 0.3, 1.0) * 0.3
              + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
@@ -1472,7 +1510,11 @@ object SparkEntry {
        ), f AS (
          SELECT * FROM q
          WHERE predicted_lang = 'en' AND quality_score >= 0.5 AND n_words >= 5
-       ), k AS (
+       )"""
+  }
+
+  private def curationPipelineOracle: String =
+    s"""WITH $qualityFilterCtes, k AS (
          SELECT doc_id, predicted_lang, n_words,
                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
                 ${splitHashSql("graft", 100)} AS hs
@@ -1482,7 +1524,72 @@ object SparkEntry {
               CASE WHEN hs < 90 THEN 'train'
                    WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
        FROM k WHERE rn = 1 ORDER BY doc_id"""
-  }
+
+  /** q73: the end-to-end corpus-assembly pipeline — quality filter →
+    * exact dedup → decontaminate (vs the doc_id%97 eval set) →
+    * mixture resample (src0:3, src1:2) → split → 512-token packing
+    * per split. Every stage's fragment is proven individually
+    * (q49/q58/q61/q48/q52); this oracle proves the COMPOSITION. */
+  private def corpusPipelineOracle: String =
+    s"""WITH $qualityFilterCtes, dd AS (
+         SELECT doc_id, text, source, n_words,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         FROM f
+       ), surv AS (
+         SELECT doc_id, text, source, n_words FROM dd
+         WHERE rn = 1 AND doc_id % 97 <> 0
+       ), gw AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+       ), g AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS gram
+         FROM gw
+       ), eg AS (
+         SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+       ), contam AS (
+         SELECT g.doc_id FROM g JOIN eg USING (gram)
+         JOIN surv ON surv.doc_id = g.doc_id
+         GROUP BY g.doc_id HAVING count(*) >= 2
+       ), clean AS (
+         SELECT s.doc_id, s.source, s.n_words FROM surv s
+         WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)
+       ), cnt AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY 1
+       ), cw AS (
+         SELECT source, n,
+                CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                     ELSE 1 END AS BIGINT) AS w
+         FROM cnt
+       ), mm AS (
+         SELECT n AS mn, w AS mw FROM cw
+         ORDER BY CAST(n AS DOUBLE) / w, source LIMIT 1
+       ), mixed AS (
+         SELECT c.doc_id, c.source, c.n_words
+         FROM clean c JOIN cw USING (source) CROSS JOIN mm
+         WHERE ('0x' || substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                 % (mm.mw * cw.n) < (mm.mn * cw.w)
+       ), sp AS (
+         SELECT doc_id, source, CAST(n_words AS BIGINT) AS ws_tokens,
+                ${splitHashSql("graft", 100)} AS hs
+         FROM mixed
+       ), ss AS (
+         SELECT doc_id, source, ws_tokens,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM sp
+       ), pk AS (
+         SELECT doc_id, source, split, ws_tokens,
+                CAST(SUM(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - ws_tokens AS strt
+         FROM ss
+       )
+       SELECT doc_id, source, split, ws_tokens,
+              CAST(floor(strt / 512) AS BIGINT) AS pack_id,
+              strt - CAST(floor(strt / 512) AS BIGINT) * 512 AS pack_offset
+       FROM pk ORDER BY doc_id"""
 
   private def simhashNearDupOracle: String =
     simhashPairsOracle(corpusCte = "", source = "documents", cap = None)
@@ -2318,6 +2425,7 @@ object SparkEntry {
           AND c.ts BETWEEN p.ts - INTERVAL 120 MINUTE AND p.ts
          WHERE p.event_type = 'purchase'
          ORDER BY purchase_id, click_id""",
+    "q73_corpus_pipeline" -> corpusPipelineOracle,
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
