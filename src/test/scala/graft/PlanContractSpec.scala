@@ -17,7 +17,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     * drains, embedder training) — plan inspection would run them. */
   private val eager = Set(
     "q29_stream_rollup", "q39_stream_upsert", "q47_stream_dedup",
-    "q59_stream_join", "q44_label_match_w2v")
+    "q59_stream_join", "q72_stream_outer_join", "q44_label_match_w2v")
 
   /** Broadcast similarity scans (reference side catalog-sized by
     * contract, guarded in Matcher/Ann — the nested loop IS the plan),
@@ -27,7 +27,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
   private val intentionalNestedLoop = Set(
     "q24_label_match_report", "q25_knn_bruteforce", "q27_lsh_neardup",
     "q32_ivf_topk", "q40_label_match_frozen",
-    "q22_ngram_jaccard", "q60_bm25", "q61_mixture_resample")
+    "q22_ngram_jaccard", "q60_bm25", "q61_mixture_resample",
+    "q73_corpus_pipeline")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
