@@ -273,6 +273,9 @@ object SparkEntry {
     * bands cut that ~20×). The recall/cost knob of the classic
     * r-of-L construction. */
   private val lshPlanes = Ann.hyperplanes(dim = 64, nPlanes = 32, seed = 42L)
+
+  /** q74 projection planes — 64-d → 8-d JL, independent seed. */
+  private val projPlanes = Ann.hyperplanes(dim = 64, nPlanes = 8, seed = 7L)
   private val lshBandSize = 8
   private def lshBands = lshPlanes.grouped(lshBandSize).toSeq
 
@@ -378,6 +381,14 @@ object SparkEntry {
         purchases, clicks, "user_id", "r_uid", "ts_us", "click_ts_us")
       .orderBy("event_id")
   }
+
+  /** Johnson-Lindenstrauss random projection ([[Ann.randomProject]]):
+    * 64-d embeddings → 8 dims through seeded literal planes shared
+    * verbatim with the oracle SQL — a pure codegen projection, no
+    * shuffle, no fit. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Ann.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding", projPlanes)
+      .orderBy("vec_id")
 
   /** The end-to-end corpus-assembly pipeline, composed from operators
     * proven individually: quality+language filter (q17/q18) → exact
@@ -1143,7 +1154,8 @@ object SparkEntry {
     "q70_session_window" -> (q70 _),
     "q71_star_join" -> (q71 _),
     "q72_stream_outer_join" -> (q72 _),
-    "q73_corpus_pipeline" -> (q73 _))
+    "q73_corpus_pipeline" -> (q73 _),
+    "q74_random_projection" -> (q74 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2426,6 +2438,16 @@ object SparkEntry {
          WHERE p.event_type = 'purchase'
          ORDER BY purchase_id, click_id""",
     "q73_corpus_pipeline" -> corpusPipelineOracle,
+    "q74_random_projection" -> {
+      val scale = java.lang.Double.toString(1.0 / math.sqrt(projPlanes.size.toDouble))
+      val cols = projPlanes.zipWithIndex.map { case (p, i) =>
+        s"list_dot_product(v, ${Ann.hyperplaneSqlLiteral(p)}) * $scale AS p$i"
+      }.mkString(",\n                ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT vec_id,
+                $cols
+         FROM e ORDER BY vec_id"""
+    },
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

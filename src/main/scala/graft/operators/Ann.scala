@@ -67,6 +67,26 @@ object Ann {
   def hyperplaneSqlLiteral(plane: Array[Double]): String =
     plane.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]::DOUBLE[]")
 
+  /** Johnson-Lindenstrauss random projection: D-dim vectors → k dims
+    * via dot products against `planes` (seeded [[hyperplanes]]),
+    * scaled by 1/√k — the JL estimator whose pairwise distances
+    * concentrate within (1±ε) for k = O(log n / ε²). A pure
+    * codegen'd projection (k [[graft.functions.DotProductExpr]]s per
+    * row, planes as literals): no shuffle, no fit, deterministic
+    * across engines — the cheap dimensionality-reduction front of an
+    * ANN tier (project once, search in k dims, re-score survivors in
+    * full precision). Output columns `p0..p{k-1}`. */
+  def randomProject(embs: DataFrame, idCol: String, vecCol: String,
+                    planes: Seq[Array[Double]]): DataFrame = {
+    require(planes.nonEmpty, "need at least one projection plane")
+    val scale = 1.0 / math.sqrt(planes.size.toDouble)
+    val outs = planes.zipWithIndex.map { case (p, i) =>
+      (graft.functions.VectorOps.dotProduct(
+        col(vecCol), array(p.map(lit): _*)) * scale).as(s"p$i")
+    }
+    embs.select(col(idCol) +: outs: _*)
+  }
+
 
   /** All band buckets of a vector in one native kernel: element `b`
     * has bit `r` set iff `vec · plane_{b*bandSize+r} >= 0`. The plane

@@ -28,15 +28,24 @@ object FuzzyJoin {
                        leftCol: String, rightCol: String,
                        maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val l = left.withColumn("__llen", length(col(leftCol)).cast("long"))
+    // distance is a function of the VALUES: compute it once per
+    // distinct (left, right) value pair, then expand back through two
+    // hash joins. Real catalogs repeat labels massively (20k rows / 64
+    // names in the harness part table), so the quadratic levenshtein
+    // work shrinks by the duplication factor squared while the
+    // expansion joins stay plain value-keyed hash joins.
+    val lVals = left.select(col(leftCol)).distinct()
+      .withColumn("__llen", length(col(leftCol)).cast("long"))
       .withColumn("__lk", lit(0))
-    val r = right.withColumn("__rlen", length(col(rightCol)).cast("long"))
+    val rVals = right.select(col(rightCol)).distinct()
+      .withColumn("__rlen", length(col(rightCol)).cast("long"))
       .withColumn("__rk", lit(0))
     val d = levenshtein(col(leftCol), col(rightCol), maxDist)
-    RangeJoin.intervalJoin(l, r, "__lk", "__rk", "__llen", "__rlen",
-        -maxDist.toLong, maxDist.toLong)
+    val pairs = RangeJoin.intervalJoin(lVals, rVals, "__lk", "__rk",
+        "__llen", "__rlen", -maxDist.toLong, maxDist.toLong)
       .withColumn("dist", d)
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .drop("__llen", "__lk", "__rlen", "__rk")
+      .select(col(leftCol), col(rightCol), col("dist"))
+    left.join(pairs, leftCol).join(right, rightCol)
   }
 }

@@ -163,6 +163,40 @@ class AnnSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("randomProject: exact per-dim values, linearity, JL norm concentration") {
+    import org.apache.spark.sql.functions._
+    val planes = Ann.hyperplanes(dim = 4, nPlanes = 2, seed = 7L)
+    val v = Array(1.0, 2.0, -1.0, 0.5)
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val row = Ann.randomProject(df, "vec_id", "embedding", planes).head()
+    val scale = 1.0 / math.sqrt(2.0)
+    row.getDouble(1) shouldBe
+      (v.zip(planes(0)).map { case (a, b) => a * b }.sum * scale) +- 1e-12
+    row.getDouble(2) shouldBe
+      (v.zip(planes(1)).map { case (a, b) => a * b }.sum * scale) +- 1e-12
+
+    // JL concentration: with k=32 planes, projected squared norms track
+    // the originals within a loose band on a deterministic sample
+    val planes32 = Ann.hyperplanes(dim = 8, nPlanes = 32, seed = 11L)
+    val sample = spark.range(0, 50).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => sin(col("id") * 7 + j * 3).cast("double")).as("embedding"))
+    val projected = Ann.randomProject(sample, "vec_id", "embedding", planes32)
+    val sqNormExpr = (0 until 32).map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _)
+    // planes have entries uniform in [-1,1) (variance 1/3), so
+    // E[proj sq-norm] = ||v||^2 / 3 — check the ratio concentrates
+    val ratios = projected.select(col("vec_id"), sqNormExpr.as("pn"))
+      .join(sample.select(col("vec_id"),
+        graft.functions.VectorOps.dotProduct(col("embedding"), col("embedding")).as("n")),
+        "vec_id")
+      .select((col("pn") / col("n") * 3.0).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    mean shouldBe 1.0 +- 0.25
+    all(ratios) should (be > 0.2 and be < 2.5)
+  }
+
   test("ivfTopK with nProbe=1 searches only the query's own cell (recall < exact is expected)") {
     val centroids = embs.filter($"vec_id" < 4)
       .select($"vec_id".as("cell"), $"embedding".as("cvec"))
