@@ -382,6 +382,19 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Score-weighted importance sampling
+    * ([[graft.operators.Curation.importanceSample]]): each doc kept
+    * with probability = its quality score — membership a pure
+    * hash-threshold projection, engine-exact because both engines
+    * compute the identical score doubles (q17) and the identical
+    * floor product. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.importanceSample(
+        TextAnalysis.qualityMetrics(TextAnalysis.languageId(t(s, dir, "documents"))),
+        "doc_id", col("quality_score"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy("doc_id")
+
   /** Johnson-Lindenstrauss random projection ([[Ann.randomProject]]):
     * 64-d embeddings → 8 dims through seeded literal planes shared
     * verbatim with the oracle SQL — a pure codegen projection, no
@@ -1155,7 +1168,8 @@ object SparkEntry {
     "q71_star_join" -> (q71 _),
     "q72_stream_outer_join" -> (q72 _),
     "q73_corpus_pipeline" -> (q73 _),
-    "q74_random_projection" -> (q74 _))
+    "q74_random_projection" -> (q74 _),
+    "q75_importance_sample" -> (q75 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2448,6 +2462,12 @@ object SparkEntry {
                 $cols
          FROM e ORDER BY vec_id"""
     },
+    "q75_importance_sample" ->
+      s"""WITH $qualityFilterCtes
+         SELECT doc_id, source, quality_score FROM q
+         WHERE ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+               < CAST(floor(quality_score * 72057594037927936.0) AS BIGINT)
+         ORDER BY doc_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

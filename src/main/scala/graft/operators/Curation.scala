@@ -60,6 +60,24 @@ object Curation {
                          outCol: String = "split"): DataFrame =
     df.withColumn(outCol, splitLabel(col(idCol), weights, salt))
 
+  /** Deterministic IMPORTANCE sampling: keep each row with
+    * probability `weight` (clamped to [0,1]) — "sample high-quality
+    * documents preferentially", the score-weighted counterpart of
+    * [[deterministicSample]]. Selection is `hash < floor(w · 2⁵⁶)`
+    * on the salted md5 coordinate: membership is a pure projection
+    * (partition-invariant, stable under corpus growth), and any
+    * engine computing the same weight doubles selects the same rows
+    * (the floor product is exact IEEE arithmetic on both sides).
+    * A weight that ROUNDS differently across engines would flip a
+    * row only if its 56-bit hash hit the one boundary value —
+    * probability 2⁻⁵⁶ per row. */
+  def importanceSample(df: DataFrame, idCol: String, weight: Column,
+                       salt: String = "imp"): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(sampleHash(col(idCol), salt) <
+      floor(w * lit(72057594037927936.0)).cast("long")) // 2^56
+  }
+
   /** Deterministic per-group cap: keep at most `maxPerGroup` rows of
     * every group (domain, source, language — the "no domain dominates
     * the corpus" rule of web-scale curation), selected by salted-hash

@@ -131,9 +131,10 @@ object StreamOps {
     * matching click can still arrive; until then it sits in state.
     * To drain deterministically under AvailableNow, the real events
     * are staged as micro-batch 1 and far-future SENTINEL events as
-    * batches 2-3: the sentinels push the watermark past every real
-    * purchase, evicting all unmatched state so the null rows emit
-    * before termination. Sentinel rows (negative ids) are filtered
+    * batch 2: the sentinels push the watermark past every real
+    * purchase, and the engine's closing no-data batch then evicts all
+    * unmatched state so the null rows emit before termination.
+    * Sentinel rows (negative ids) are filtered
     * from the result — the output is exactly the batch left-outer
     * interval join over the real events, which is what the oracle
     * states. */
@@ -158,7 +159,6 @@ object StreamOps {
           lit(0.0).as("value"), lit("{}").as("props")))
     }
     stageVersionFile(sentinels(30), s"$staging/f1.parquet")
-    stageVersionFile(sentinels(60), s"$staging/f2.parquet")
 
     val src = spark.readStream
       .schema(eventsRawSchema)

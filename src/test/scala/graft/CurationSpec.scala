@@ -107,6 +107,27 @@ class CurationSpec extends SparkSpec with Matchers {
       .select("split").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("all")
   }
 
+  test("importanceSample: keep probability tracks the weight; 0 and 1 are exact") {
+    val scored = spark.range(0, 4000).select(
+      col("id").as("doc_id"),
+      (when(col("id") % 4 === 0, 0.0)
+        .when(col("id") % 4 === 1, 1.0)
+        .when(col("id") % 4 === 2, 0.25).otherwise(0.75)).as("w"))
+    val kept = Curation.importanceSample(scored, "doc_id", col("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    kept.contains(0.0) shouldBe false          // weight 0 -> never kept
+    kept(1.0) shouldBe 1000L                   // weight 1 -> always kept
+    kept(0.25).toDouble shouldBe 250.0 +- 50.0
+    kept(0.75).toDouble shouldBe 750.0 +- 60.0
+    // pure projection: partition layout cannot change membership
+    val a = Curation.importanceSample(scored, "doc_id", col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.importanceSample(scored.repartition(17), "doc_id", col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    b shouldBe a
+  }
+
   test("resampleToMixture: binding source kept whole, others thin to the ratio") {
     val corpus = spark.range(0, 6000).select(
       col("id").as("doc_id"),
