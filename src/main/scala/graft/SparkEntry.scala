@@ -382,6 +382,15 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming per-source admission quota
+    * ([[StreamOps.perSourceQuota]]): at most 15 docs per source
+    * ACROSS two staged crawl waves — one long of state per key,
+    * deterministic (batch, doc_id) admission order, mirrored by the
+    * oracle's row_number over (version, doc_id). */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runPerSourceQuotaAvailableNow(s, dir, quota = 15L)
+      .orderBy("doc_id")
+
   /** Score-weighted importance sampling
     * ([[graft.operators.Curation.importanceSample]]): each doc kept
     * with probability = its quality score — membership a pure
@@ -1169,7 +1178,8 @@ object SparkEntry {
     "q72_stream_outer_join" -> (q72 _),
     "q73_corpus_pipeline" -> (q73 _),
     "q74_random_projection" -> (q74 _),
-    "q75_importance_sample" -> (q75 _))
+    "q75_importance_sample" -> (q75 _),
+    "q76_stream_quota" -> (q76 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2467,6 +2477,17 @@ object SparkEntry {
          SELECT doc_id, source, quality_score FROM q
          WHERE ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
                < CAST(floor(quality_score * 72057594037927936.0) AS BIGINT)
+         ORDER BY doc_id""",
+    "q76_stream_quota" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 2 AS version, source FROM documents
+         ), r AS (
+           SELECT doc_id, version, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY version, doc_id) AS rn
+           FROM d
+         )
+         SELECT doc_id, version, source FROM r WHERE rn <= 15
          ORDER BY doc_id""",
     "q55_per_source_cap" ->
       """WITH h AS (

@@ -301,6 +301,66 @@ object StreamOps {
       }
   }
 
+  // --- streaming per-key quota ------------------------------------------
+
+  case class QuotaRow(doc_id: Long, version: Long, source: String)
+
+  /** Streaming per-key admission quota — "at most N documents per
+    * source", enforced ACROSS micro-batches: the stateful
+    * rate-limiting counterpart of the batch
+    * [[graft.operators.Curation.capPerGroup]]. State per key is ONE
+    * long (admitted-so-far); admission order is deterministic —
+    * micro-batch arrival order, then `doc_id` inside a batch — so a
+    * replay admits the identical set. A production feed would expire
+    * idle keys via a timeout; the drain here is finite. */
+  def perSourceQuota(stream: Dataset[QuotaRow], quota: Long): Dataset[QuotaRow] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[QuotaRow], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = (quota - admitted).max(0L)
+          val take = rows.toSeq.sortBy(r => (r.version, r.doc_id)).take(room.toInt)
+          state.update(admitted + take.size)
+          take.iterator
+      }
+  }
+
+  /** Drive [[perSourceQuota]] through the engine: documents staged as
+    * two crawl waves (even doc_ids then odd), quota applied across
+    * both micro-batches. */
+  def runPerSourceQuotaAvailableNow(spark: SparkSession, dir: String,
+                                    quota: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 2).as("version"), col("source"))
+    val work = java.nio.file.Files.createTempDirectory("graft_quota_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    stageVersionFile(d.filter(col("version") === 0), s"$staging/f0.parquet")
+    stageVersionFile(d.filter(col("version") === 1), s"$staging/f1.parquet")
+
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("version", LongType),
+        StructField("source", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[QuotaRow]
+    val name = s"graft_stream_quota_${runCounter.incrementAndGet()}"
+    val query = perSourceQuota(src, quota)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming exact dedup --------------------------------------------
 
   /** Streaming exact dedup: suppress re-arrivals of already-seen

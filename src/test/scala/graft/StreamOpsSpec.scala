@@ -151,6 +151,25 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("perSourceQuota admits at most N per key ACROSS micro-batches, " +
+      "earliest-first (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamOps.runPerSourceQuotaAvailableNow(spark, dir, quota = 7L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    // never more than the quota per source
+    out.groupBy(_._2).values.foreach(_.size should be <= 7)
+    // batch 1 (even ids) fills first; odd ids only appear where evens ran out
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", ($"doc_id" % 2).as("v"), $"source")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("v", "doc_id")))
+      .filter($"rn" <= 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.map(_._1).toSet shouldBe expected
+  }
+
   test("streamingExactDedup drops cross-batch re-arrivals, keeps new content") {
     val work = java.nio.file.Files.createTempDirectory("graft_sdedup_spec_").toString
     val staging = s"$work/staging"
