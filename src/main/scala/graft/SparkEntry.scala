@@ -382,6 +382,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Winnowing rolling-hash fingerprints
+    * ([[TextAnalysis.rollingFingerprints]], k=8 chars, w=5 windows)
+    * exploded to (doc_id, fp) rows — the native one-pass kernel vs
+    * the oracle's fully relational restatement of the same
+    * arithmetic. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.rollingFingerprints(col("text"), k = 8, w = 5))
+          .as("fp"))
+      .orderBy("doc_id", "fp")
+
   /** Streaming per-source admission quota
     * ([[StreamOps.perSourceQuota]]): at most 15 docs per source
     * ACROSS two staged crawl waves — one long of state per key,
@@ -1179,7 +1191,8 @@ object SparkEntry {
     "q73_corpus_pipeline" -> (q73 _),
     "q74_random_projection" -> (q74 _),
     "q75_importance_sample" -> (q75 _),
-    "q76_stream_quota" -> (q76 _))
+    "q76_stream_quota" -> (q76 _),
+    "q77_rolling_fingerprint" -> (q77 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2489,6 +2502,24 @@ object SparkEntry {
          )
          SELECT doc_id, version, source FROM r WHERE rn <= 15
          ORDER BY doc_id""",
+    "q77_rolling_fingerprint" ->
+      """WITH hs AS (
+           SELECT doc_id,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM documents
+         ), sel AS (
+           SELECT doc_id,
+                  CASE WHEN len(h) = 0 THEN []
+                       WHEN len(h) < 5 THEN [list_min(h)]
+                       ELSE [list_min(h[i:i+4]) for i in range(1, len(h) - 5 + 2)]
+                  END AS mins
+           FROM hs
+         )
+         SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+         FROM sel ORDER BY doc_id, fp""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

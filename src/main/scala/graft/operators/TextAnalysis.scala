@@ -244,6 +244,14 @@ object TextAnalysis {
         sum(col("__contrib")).as("bm25"))
   }
 
+  /** Winnowing rolling-hash fingerprint set of a text column — see
+    * [[graft.functions.RollingFingerprintExpr]]: char-k-gram rolling
+    * hashes, sliding-window-w minima, distinct + sorted. */
+  def rollingFingerprints(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.RollingFingerprintExpr(toExpression(text), k, w))
+  }
+
   /** Content-defined document fingerprint: md5 over the
     * canonicalised text (lowercase, non-alphanumerics collapsed to
     * single spaces, trimmed) — robust to whitespace/punctuation noise,
