@@ -394,6 +394,16 @@ object SparkEntry {
           .as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** Winnowing-based near-dup pairs
+    * ([[TextAnalysis.winnowNearDuplicates]]): fingerprint-keyed
+    * self-join (no doc×doc), ubiquitous fingerprints (df > 5)
+    * dropped first, pairs sharing ≥ 2 selected 20-char-gram
+    * fingerprints. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowNearDuplicates(t(s, dir, "documents"),
+        "doc_id", "text", k = 20, w = 12, minShared = 2L, maxDocFreq = 5L)
+      .orderBy("id_a", "id_b")
+
   /** Streaming per-source admission quota
     * ([[StreamOps.perSourceQuota]]): at most 15 docs per source
     * ACROSS two staged crawl waves — one long of state per key,
@@ -1192,7 +1202,8 @@ object SparkEntry {
     "q74_random_projection" -> (q74 _),
     "q75_importance_sample" -> (q75 _),
     "q76_stream_quota" -> (q76 _),
-    "q77_rolling_fingerprint" -> (q77 _))
+    "q77_rolling_fingerprint" -> (q77 _),
+    "q78_winnow_neardup" -> (q78 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2520,6 +2531,34 @@ object SparkEntry {
          )
          SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
          FROM sel ORDER BY doc_id, fp""",
+    "q78_winnow_neardup" ->
+      """WITH hs AS (
+           SELECT doc_id,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 20)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 20 + 2, 1))] AS h
+           FROM documents
+         ), sel AS (
+           SELECT doc_id,
+                  CASE WHEN len(h) = 0 THEN []
+                       WHEN len(h) < 12 THEN [list_min(h)]
+                       ELSE [list_min(h[i:i+11]) for i in range(1, len(h) - 12 + 2)]
+                  END AS mins
+           FROM hs
+         ), fp AS (
+           SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM sel
+         ), hot AS (
+           SELECT fp FROM fp GROUP BY fp HAVING count(*) > 5
+         ), pruned AS (
+           SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM pruned a JOIN pruned b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

@@ -252,6 +252,32 @@ object TextAnalysis {
     toColumn(graft.functions.RollingFingerprintExpr(toExpression(text), k, w))
   }
 
+  /** Winnowing near-duplicate pairs: documents sharing at least
+    * `minShared` selected fingerprints ([[rollingFingerprints]]).
+    * The self-join is keyed on the FINGERPRINT — near-dup candidacy
+    * without any doc×doc comparison — and fingerprints occurring in
+    * more than `maxDocFreq` documents are dropped FIRST (ubiquitous
+    * boilerplate hashes would otherwise each contribute |docs|²
+    * pairs; standard winnowing practice, and this engine's hot-bucket
+    * rule — see [[graft.operators.Banding]]). The df prune is a
+    * map-side-combining count over per-doc-distinct fingerprints
+    * broadcast back as an anti join. */
+  def winnowNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int, minShared: Long,
+                           maxDocFreq: Long = 50L): DataFrame = {
+    val fps = docs.select(col(idCol),
+      explode(rollingFingerprints(col(textCol), k, w)).as("fp"))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select(col("fp"))
+    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Content-defined document fingerprint: md5 over the
     * canonicalised text (lowercase, non-alphanumerics collapsed to
     * single spaces, trimmed) — robust to whitespace/punctuation noise,

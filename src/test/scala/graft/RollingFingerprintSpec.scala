@@ -50,6 +50,23 @@ class RollingFingerprintSpec extends SparkSpec with Matchers {
     (a intersect c) shouldBe Set.empty
   }
 
+  test("winnowNearDuplicates: planted near-dups pair up; boilerplate fp suppressed") {
+    val boiler = "ubiquitous legal disclaimer footer attached to every single page here"
+    val docs = ((1L to 8L).map(i => (i, s"unique body number $i with nothing shared " + boiler)) ++
+      Seq(
+        (20L, "the same long shared article body about spark engines and planning" + " tail a"),
+        (21L, "the same long shared article body about spark engines and planning" + " tail b"),
+        (30L, "totally unrelated content that matches nothing else at all in here")))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowNearDuplicates(docs, "doc_id", "text",
+        k = 20, w = 12, minShared = 2L, maxDocFreq = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((20L, 21L))
+    // the 8 boilerplate docs share ONLY df=8 > 5 fingerprints -> suppressed
+    pairs.filter(p => p._1 <= 8L && p._2 <= 8L) shouldBe Set.empty
+    pairs.exists(p => p._1 == 30L || p._2 == 30L) shouldBe false
+  }
+
   test("near-duplicates overlap heavily, distinct docs do not") {
     val base = "shared boilerplate sentence that dominates the document body"
     val a = fp(base + " tail one", 8, 5).toSet
