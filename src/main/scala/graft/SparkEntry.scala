@@ -394,6 +394,36 @@ object SparkEntry {
           .as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
+    * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
+    * per-domain top terms with O(capacity) state per group. Counts
+    * are exact here (vocabulary ≪ capacity), so the oracle states
+    * plain exact counts. */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy(col("source"))
+      .agg(graft.functions.FreqItemsAgg.freqItems(col("token"), 4096).as("__hh"))
+      .select(col("source"), explode(col("__hh")).as("__e"))
+      .select(col("source"), col("__e.item").as("token"), col("__e.count").as("cnt"))
+      .orderBy("source", "token")
+
+  /** SCD type-2 validity intervals: each (user, value-change) row
+    * becomes [valid_from, valid_to) via `lead()` over event time —
+    * the warehouse history-table build, one partitioned window. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("valid_from"),
+        lead(col("ts_us"), 1).over(w).as("valid_to"),
+        col("value_milli"),
+        (lead(col("ts_us"), 1).over(w).isNull).as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** Winnowing-based near-dup pairs
     * ([[TextAnalysis.winnowNearDuplicates]]): fingerprint-keyed
     * self-join (no doc×doc), ubiquitous fingerprints (df > 5)
@@ -1203,7 +1233,9 @@ object SparkEntry {
     "q75_importance_sample" -> (q75 _),
     "q76_stream_quota" -> (q76 _),
     "q77_rolling_fingerprint" -> (q77 _),
-    "q78_winnow_neardup" -> (q78 _))
+    "q78_winnow_neardup" -> (q78 _),
+    "q79_group_heavy_hitters" -> (q79 _),
+    "q80_scd2_intervals" -> (q80 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2559,6 +2591,25 @@ object SparkEntry {
            ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY id_a, id_b""",
+    "q79_group_heavy_hitters" ->
+      """SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         GROUP BY source, token ORDER BY source, token""",
+    "q80_scd2_intervals" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 1000) AS BIGINT) AS value_milli
+           FROM events
+           WHERE event_type IN ('signup', 'purchase')
+         )
+         SELECT user_id, event_id, ts_us AS valid_from,
+                lead(ts_us) OVER w AS valid_to,
+                value_milli,
+                lead(ts_us) OVER w IS NULL AS is_current
+         FROM x
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, valid_from, event_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
