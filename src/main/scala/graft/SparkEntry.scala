@@ -394,6 +394,15 @@ object SparkEntry {
           .as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** Streaming conversion funnel ([[StreamOps.streamingFunnel]]):
+    * per-user state machine across two time-split micro-batches,
+    * emitting a row the moment view→click→purchase completes; equals
+    * the batch chained-min funnel (q62) restricted to completions. */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingFunnelAvailableNow(s, dir,
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1235,7 +1244,8 @@ object SparkEntry {
     "q77_rolling_fingerprint" -> (q77 _),
     "q78_winnow_neardup" -> (q78 _),
     "q79_group_heavy_hitters" -> (q79 _),
-    "q80_scd2_intervals" -> (q80 _))
+    "q80_scd2_intervals" -> (q80 _),
+    "q81_stream_funnel" -> (q81 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2610,6 +2620,22 @@ object SparkEntry {
          FROM x
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, valid_from, event_id""",
+    "q81_stream_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+         ), s0 AS (
+           SELECT user_id, min(t) AS t_0 FROM e
+           WHERE event_type = 'view' GROUP BY 1
+         ), s1 AS (
+           SELECT e.user_id, min(t) AS t_1 FROM e JOIN s0 USING (user_id)
+           WHERE event_type = 'click' AND t > t_0 GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(t) AS t_2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t_1 GROUP BY 1
+         )
+         SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2
+         FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+         ORDER BY s0.user_id""",
     "q55_per_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

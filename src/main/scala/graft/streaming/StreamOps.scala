@@ -372,6 +372,79 @@ object StreamOps {
     spark.table(name)
   }
 
+  // --- streaming funnel -------------------------------------------------
+
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class FunnelProgress(stage: Int, times: Seq[Long], done: Boolean)
+  case class FunnelOut(user_id: Long, t_0: Long, t_1: Long, t_2: Long)
+
+  /** Streaming 3-stage conversion funnel — the real-time counterpart
+    * of [[graft.operators.Funnel]]: per-user state machine over
+    * `flatMapGroupsWithState`, advancing on the FIRST event of the
+    * awaited stage strictly after the previous stage's time, emitting
+    * one completion row the moment stage 3 lands. Greedy in-order
+    * processing computes exactly the batch chained-min times (first
+    * qualifying = minimal qualifying when events arrive time-sorted
+    * per user — which time-split micro-batches guarantee). State per
+    * user: one int + up to 3 longs. */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+                      stages: Seq[String]): Dataset[FunnelOut] = {
+    require(stages.size == 3, "this funnel shape is 3-stage")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var p = state.getOption.getOrElse(FunnelProgress(0, Nil, done = false))
+          val out = Seq.newBuilder[FunnelOut]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            if (!p.done && p.stage < stages.size && e.event_type == stages(p.stage) &&
+                (p.times.isEmpty || e.ts_us > p.times.last)) {
+              p = FunnelProgress(p.stage + 1, p.times :+ e.ts_us,
+                done = p.stage + 1 == stages.size)
+              if (p.done)
+                out += FunnelOut(uid, p.times(0), p.times(1), p.times(2))
+            }
+          }
+          state.update(p)
+          out.result().iterator
+      }
+  }
+
+  /** Drive [[streamingFunnel]] through the engine: events staged as
+    * two time-split waves (cross-batch state carries partial
+    * progress). */
+  def runStreamingFunnelAvailableNow(spark: SparkSession, dir: String,
+                                     stages: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val staging = stagedDir("funnel", dir) { staging =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
+        .head().getLong(0)
+      stageVersionFile(ev.filter(col("ts_us") < mid), s"$staging/f0.parquet")
+      stageVersionFile(ev.filter(col("ts_us") >= mid), s"$staging/f1.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts_us", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[FunnelEvent]
+    val name = s"graft_stream_funnel_${runCounter.incrementAndGet()}"
+    val query = streamingFunnel(src, stages)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming exact dedup --------------------------------------------
 
   /** Streaming exact dedup: suppress re-arrivals of already-seen

@@ -158,6 +158,29 @@ object ScaleProbe {
         "user_id", "r_uid", "ts_us", "click_ts_us",
         -7200000000L, 0L).count()
     }
+    // decontamination: eval set FIXED (benchmarks don't grow with the
+    // corpus), train side scans Kx docs — broadcast join, linear wall
+    time("decontaminate") { dir =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Decontaminate.contaminationReport(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L),
+        "doc_id", "text", n = 3, minOverlap = 2).count()
+    }
+    time("bm25") { dir =>
+      graft.operators.TextAnalysis.bm25(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", Seq("hash", "join", "dup", "window")).count()
+    }
+    // winnow near-dup at Kx: replicas share ALL fingerprints, so the
+    // df-prune (maxDocFreq) suppresses the replica pair mass exactly
+    // like the banded-LSH hot-bucket cap
+    time("winnow_neardup") { dir =>
+      graft.operators.TextAnalysis.winnowNearDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", k = 20, w = 12, minShared = 2L,
+        maxDocFreq = 5L).count()
+    }
     // Multimodal decode: wall must be proportional to SAMPLED bytes —
     // linear in data volume at fixed stride (the per-row scaling),
     // and ~stride-proportional at fixed data (decode sees only the

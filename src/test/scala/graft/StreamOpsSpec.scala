@@ -151,6 +151,24 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streamingFunnel completions equal the batch chained-min funnel (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingFunnelAvailableNow(spark, dir,
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.operators.Funnel.funnel(
+        spark.read.parquet(s"$dir/events.parquet")
+          .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type"),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+      .filter($"stages_reached" === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
   test("perSourceQuota admits at most N per key ACROSS micro-batches, " +
       "earliest-first (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
