@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance (fuzzy) join — all pairs with
@@ -46,6 +46,83 @@ object FuzzyJoin {
       .withColumn("dist", d)
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col(leftCol), col(rightCol), col("dist"))
+    left.join(pairs, leftCol).join(right, rightCol)
+  }
+
+  /** Segment-blocked edit-distance join (PassJoin-style) — the scale
+    * path when VALUES are high-cardinality and length blocking alone
+    * leaves huge length classes: by pigeonhole, two strings within
+    * edit distance d agree EXACTLY on at least one of the d+1
+    * even-partition segments of the right string (alignment shifts a
+    * segment's position by at most d). The right side emits its d+1
+    * segments; the left side emits every substring a segment could
+    * occupy (segment index × target length ±d × shift ±d — a
+    * constant ≈ (d+1)(2d+1)² keys per row); candidacy is an EQUALITY
+    * join on (substring, segment, target length) — selective content
+    * keys, not length classes — and bounded-threshold levenshtein
+    * verifies. Output identical to [[editDistanceJoin]].
+    */
+  def editDistanceJoinSegmented(left: DataFrame, right: DataFrame,
+                                leftCol: String, rightCol: String,
+                                maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "use an equality join for maxDist = 0")
+    val nSeg = maxDist + 1
+    val clash = right.columns.intersect(left.columns)
+    require(clash.isEmpty,
+      s"left/right column names clash: ${clash.mkString(", ")}")
+
+    def segStart(len: Column, j: Int): Column = floor(len * j / nSeg).cast("int")
+    def segLen(len: Column, j: Int): Column =
+      segStart(len, j + 1) - segStart(len, j)
+
+    // right: its own d+1 segments, keyed by (segment text, j, own length)
+    val rLen = length(col(rightCol))
+    val rKeys = (0 until nSeg).map { j =>
+      struct(
+        substring(col(rightCol), segStart(rLen, j) + 1, segLen(rLen, j).cast("int"))
+          .as("seg"),
+        lit(j).as("j"), rLen.as("target_len"))
+    }
+    val rVals = right.select(col(rightCol)).distinct()
+      .select(col(rightCol), explode(array(rKeys: _*)).as("__k"))
+      // zero-length segments (very short strings) carry no signal
+      .filter(length(col("__k.seg")) > 0)
+
+    // left: every substring a segment of a right string of length
+    // M±maxDist could occupy, shifted by up to ±maxDist
+    val lLen = length(col(leftCol))
+    val lKeys = for {
+      delta <- -maxDist to maxDist
+      j <- 0 until nSeg
+      shift <- -maxDist to maxDist
+    } yield {
+      val tLen = lLen + delta
+      val p = segStart(tLen, j) + shift
+      val sl = segLen(tLen, j).cast("int")
+      when(tLen >= 1 && p >= 0 && sl > 0 && p + sl <= lLen,
+        struct(substring(col(leftCol), p + 1, sl).as("seg"),
+          lit(j).as("j"), tLen.as("target_len")))
+    }
+    val lVals = left.select(col(leftCol)).distinct()
+      .select(col(leftCol),
+        explode(array_distinct(array(lKeys: _*))).as("__k"))
+      .filter(col("__k").isNotNull)
+
+    val segPairs = lVals.join(rVals, lVals("__k") === rVals("__k"))
+      .select(col(leftCol), col(rightCol))
+
+    // strings shorter than d+1 chars have zero-length segments and no
+    // pigeonhole guarantee — pair them against all short-enough lefts
+    // directly (a negligible slice: lengths <= 2d)
+    val tinyPairs = left.select(col(leftCol)).distinct()
+      .filter(length(col(leftCol)) <= 2 * maxDist)
+      .crossJoin(broadcast(right.select(col(rightCol)).distinct()
+        .filter(length(col(rightCol)) <= maxDist)))
+      .select(col(leftCol), col(rightCol))
+
+    val pairs = segPairs.unionByName(tinyPairs).distinct()
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
     left.join(pairs, leftCol).join(right, rightCol)
   }
 }

@@ -44,6 +44,38 @@ class FuzzyJoinSpec extends SparkSpec with Matchers {
     brute.exceptAll(got).count() shouldBe 0
   }
 
+  test("segment-blocked variant equals brute force on high-cardinality strings") {
+    // distinct values everywhere -> the distinct-value trick cannot help;
+    // this is the workload the segment path exists for
+    val queries = spark.range(0, 250).select(
+      col("id").as("q_id"),
+      concat(lit("user_"), col("id").cast("string"), lit("_x")).as("q"))
+    val cat = spark.range(0, 300).select(
+      col("id").as("cat_id"),
+      concat(lit("user_"), (col("id") + 5).cast("string"), lit("_y")).as("name"))
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.editDistanceJoinSegmented(queries, cat, "q", "name", d)
+        .select("q_id", "cat_id", "dist")
+      val brute = queries.crossJoin(cat)
+        .withColumn("dist", levenshtein(col("q"), col("name")))
+        .filter(col("dist") <= d)
+        .select("q_id", "cat_id", "dist")
+      got.exceptAll(brute).count() shouldBe 0
+      brute.exceptAll(got).count() shouldBe 0
+    }
+  }
+
+  test("segment-blocked variant: short and empty strings still pair (tiny fallback)") {
+    val queries = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "abcdef")).toDF("q_id", "q")
+    val cat = Seq((10L, "a"), (11L, ""), (12L, "abcdeg"), (13L, "zz")).toDF("cat_id", "name")
+    val got = FuzzyJoin.editDistanceJoinSegmented(queries, cat, "q", "name", 1)
+      .select("q_id", "cat_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = queries.crossJoin(cat)
+      .filter(levenshtein(col("q"), col("name")) <= 1)
+      .select("q_id", "cat_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe brute
+  }
+
   test("maxDist=0 degenerates to exact equality") {
     val queries = Seq((1L, "spark"), (2L, "nope")).toDF("q_id", "q")
     FuzzyJoin.editDistanceJoin(queries, catalog, "q", "name", 0)
