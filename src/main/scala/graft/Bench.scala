@@ -54,11 +54,15 @@ object Bench {
     val results = passes.head.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the single JSON line compact: the driver
+    // captures a bounded stdout tail, and full-precision doubles for
+    // 80+ queries overflowed it in round 7 (22 entries lost).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

@@ -2416,7 +2416,7 @@ object SparkEntry {
          ORDER BY gid, source, lang""",
     "q66_rolling_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS roll_sum_milli,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_milli,
                 CAST(count(*) OVER w AS BIGINT) AS roll_n
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id

@@ -48,6 +48,11 @@ object AsofJoin {
     val clash = payloadCols.intersect(left.columns)
     require(clash.isEmpty,
       s"right payload columns clash with left: ${clash.mkString(", ")}")
+    // __k/__t/__side/__l/__r/__match are internal; an input already
+    // carrying a __-prefixed column would silently shadow them mid-plan
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with '__' are reserved by asofBackward: ${reserved.mkString(", ")}")
 
     val lStructType = left.select(struct(left.columns.map(col): _*).as("__l"))
       .schema("__l").dataType

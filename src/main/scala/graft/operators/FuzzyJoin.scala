@@ -28,6 +28,11 @@ object FuzzyJoin {
                        leftCol: String, rightCol: String,
                        maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    require(leftCol != rightCol,
+      s"leftCol and rightCol must differ (both '$leftCol'): rename one side")
+    val clash = right.columns.intersect(left.columns)
+    require(clash.isEmpty,
+      s"left/right column names clash: ${clash.mkString(", ")}")
     // distance is a function of the VALUES: compute it once per
     // distinct (left, right) value pair, then expand back through two
     // hash joins. Real catalogs repeat labels massively (20k rows / 64
@@ -66,6 +71,8 @@ object FuzzyJoin {
                                 leftCol: String, rightCol: String,
                                 maxDist: Int): DataFrame = {
     require(maxDist >= 1, "use an equality join for maxDist = 0")
+    require(leftCol != rightCol,
+      s"leftCol and rightCol must differ (both '$leftCol'): rename one side")
     val nSeg = maxDist + 1
     val clash = right.columns.intersect(left.columns)
     require(clash.isEmpty,

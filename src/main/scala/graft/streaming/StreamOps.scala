@@ -332,8 +332,11 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[QuotaRow], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
-          val room = (quota - admitted).max(0L)
-          val take = rows.toSeq.sortBy(r => (r.version, r.doc_id)).take(room.toInt)
+          // clamp before toInt: quota > Int.MaxValue would wrap negative
+          // and silently admit zero rows. The sortBy buffers the key's
+          // batch slice — per-(key, micro-batch), not per-key history.
+          val room = math.min((quota - admitted).max(0L), Int.MaxValue.toLong).toInt
+          val take = rows.toSeq.sortBy(r => (r.version, r.doc_id)).take(room)
           state.update(admitted + take.size)
           take.iterator
       }
