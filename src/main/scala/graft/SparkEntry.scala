@@ -1013,10 +1013,15 @@ object SparkEntry {
         GraftUdfs.cleanLabel(substring(col("text"), 1, 60)).as("cleaned"))
       .orderBy("doc_id")
 
-  /** The flagship label-mapping report (embedding model involved —
-    * rows-only check; semantics pinned by MatcherSpec). */
+  /** The flagship label-mapping report on the LIVE hashing embedder
+    * (`main.py:171-221`), hash-proven end to end: the md5-kernel
+    * [[graft.embed.Md5HashingEmbedder]] makes every stage — NLP clean,
+    * clean-dedup tokenization, TF bucket counts, L2 normalize, cosine
+    * top-k, exact-overwrite — DuckDB-replayable, so the driver oracle
+    * checks the full live path (the murmur3 [[HashingEmbedder]] keeps
+    * MLlib-HashingTF parity, pinned by EmbedderSpec). */
   private def qFlagship(s: SparkSession, dir: String): DataFrame = {
-    val embedder = new HashingEmbedder(dim = 64)
+    val embedder = new graft.embed.Md5HashingEmbedder(dim = 64)
     val docs = t(s, dir, "documents")
     val raw = docs.select(col("source"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("raw_input_label"))
@@ -1039,6 +1044,7 @@ object SparkEntry {
       embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
       .cache()
     Matcher.mapLabels(queries, ref, k = 2)
+      .orderBy("source", "raw_input_label")
   }
 
   /** The flagship report with the TRAINED embedder: Word2Vec (MLlib)
@@ -1822,6 +1828,191 @@ object SparkEntry {
        ORDER BY w.source, raw_input_label"""
   }
 
+  /** Raw-token stopword filter (F7/F10: NLTK list + 'NaN') as a SQL
+    * NOT IN list, generated from TextNlp.stopwords. */
+  private def notStopwordSql(e: String): String = {
+    val words = (graft.functions.TextNlp.stopwords + "NaN").toSeq.sorted
+      .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+    s"$e NOT IN ($words)"
+  }
+
+  /** CTE stages applying the full cleanToken pipeline (contraction →
+    * alnum-strip → number-words → lowercase → exception/morphy lemma →
+    * rstrip-'s') to every token of `textExpr`, keyed by `keys`.
+    * regexSplit=true mirrors cleanLabel's python no-arg split (`\s+`,
+    * empties dropped); false mirrors tokensCleanDedup's `split(' ')`
+    * (empties kept). Emits `<p>_rooted(keys*, pos, rt, ctok)`;
+    * expects global CTEs ct(tok,exp), exc(eword,elemma), nlex(ws). */
+  private def cleanTokenStagesSql(p: String, srcCte: String, keys: Seq[String],
+                                  textExpr: String, regexSplit: Boolean): String = {
+    val ks = keys.mkString(", ")
+    val split =
+      if (regexSplit) s"string_split_regex($textExpr, '\\s+')"
+      else s"string_split($textExpr, ' ')"
+    val emptyFilter = if (regexSplit) "WHERE rt <> ''" else ""
+    s"""${p}_toks AS (
+         SELECT $ks, unnest($split) AS rt,
+                unnest(range(1, len($split) + 1)) AS pos
+         FROM $srcCte
+       ), ${p}_nz AS (SELECT * FROM ${p}_toks $emptyFilter
+       ), ${p}_al AS (
+         SELECT $ks, pos, rt,
+                regexp_replace(coalesce(ct.exp, x.rt), '[^a-zA-Z0-9]', '', 'g') AS alnum
+         FROM ${p}_nz x LEFT JOIN ct ON ct.tok = x.rt
+       ), ${p}_lw AS (
+         SELECT $ks, pos, rt,
+                lower(CASE WHEN regexp_matches(alnum, '^[0-9]+$$')
+                           THEN ${numberWordsSql("CAST(alnum AS BIGINT)")}
+                           ELSE alnum END) AS w
+         FROM ${p}_al
+       ), ${p}_rooted AS (
+         SELECT $ks, pos, rt,
+                rtrim(coalesce(e.elemma, ${morphyCaseSql("w")}), 's') AS ctok
+         FROM ${p}_lw CROSS JOIN nlex LEFT JOIN exc e ON e.eword = w
+       )"""
+  }
+
+  /** Stages turning `<p>_rooted` into the md5-TF embedding vector of
+    * [[graft.embed.Md5HashingEmbedder]]: raw-token stopword filter →
+    * first-emitted-occurrence dedup on the cleaned token → md5-56
+    * bucket counts (dim buckets) → L2 normalize (zero vectors pass
+    * through). `baseCte` supplies one row per key so all-stopword /
+    * empty token lists still yield a (zero) vector. */
+  private def md5TfVecStagesSql(p: String, baseCte: String, keys: Seq[String],
+                                dim: Int): String = {
+    val ks = keys.mkString(", ")
+    val joinOn = keys.map(k => s"b.$k = k.$k").mkString(" AND ")
+    val bks = keys.map(k => s"b.$k").mkString(", ")
+    s"""${p}_kept AS (
+         SELECT $ks, pos, ctok,
+                row_number() OVER (PARTITION BY $ks, ctok ORDER BY pos) AS dup_rn
+         FROM ${p}_rooted WHERE ${notStopwordSql("rt")}
+       ), ${p}_toklist AS (
+         SELECT $bks,
+                list(k.ctok ORDER BY k.pos) FILTER (WHERE k.pos IS NOT NULL) AS toks
+         FROM $baseCte b LEFT JOIN (SELECT * FROM ${p}_kept WHERE dup_rn = 1) k
+           ON $joinOn
+         GROUP BY $bks
+       ), ${p}_cnt AS (
+         SELECT $ks,
+                list_transform(range(0, $dim), i ->
+                  CAST(len(list_filter(coalesce(toks, []), t ->
+                    (('0x' || substr(md5(t), 1, 14))::BIGINT % $dim) = i)) AS DOUBLE)) AS c
+         FROM ${p}_toklist
+       ), ${p}_vec AS (
+         SELECT $ks,
+                CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN c
+                     ELSE list_transform(c, x -> x / sqrt(list_dot_product(c, c))) END AS v
+         FROM ${p}_cnt
+       )"""
+  }
+
+  /** Full DuckDB replay of the flagship matcher on the LIVE md5-kernel
+    * hashing embedder (q24): every stage of qFlagship — NLP label
+    * clean, clean-dedup tokenization of both sides, TF bucket counts,
+    * L2 normalize, cosine top-2 with the lower-ref_row_id tie-break,
+    * rank pivot, exact-overwrite — mirrored one-to-one. The pipeline
+    * stages are applied four times exactly as the engine does: query
+    * label clean (display + embed input), query embed tokens, ref
+    * embed tokens (raw all_text), ref CT_NAME clean (exact-match
+    * key). */
+  private def labelMatchHashedOracle: String = {
+    val dim = 64
+    val ctValues = graft.functions.TextNlp.contractionsMap.toSeq.sorted
+      .map { case (k, v) =>
+        s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+    def cos(av: String, an: String, bv: String, bn: String) =
+      s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
+    s"""WITH ct(tok, exp) AS (SELECT * FROM (VALUES $ctValues)),
+       exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       nlex AS ($nounLexiconCteSql),
+       p AS (
+         SELECT CAST(p_partkey AS VARCHAR) AS ct_id, p_name AS ct_name,
+                p_type AS def,
+                coalesce(p_name || ' ' || p_brand || ' ' || p_type, p_name) AS all_text
+         FROM part WHERE p_partkey <= 300
+       ), ref0 AS (
+         SELECT ct_id, ct_name, def, all_text,
+                row_number() OVER (ORDER BY ct_id) AS ref_row_id
+         FROM p
+       ), rawq AS (
+         SELECT DISTINCT source,
+                array_to_string((string_split(text, ' '))[1:3], ' ') AS raw
+         FROM documents
+       ),
+       ${cleanTokenStagesSql("qc", "rawq", Seq("source", "raw"), "raw", regexSplit = true)},
+       qlab AS (
+         SELECT r.source, r.raw, coalesce(l.lbl, '') AS cleaned
+         FROM rawq r LEFT JOIN (
+           SELECT source, raw, string_agg(ctok, ' ' ORDER BY pos) AS lbl
+           FROM qc_rooted GROUP BY source, raw) l
+           ON l.source = r.source AND l.raw = r.raw
+       ),
+       ${cleanTokenStagesSql("qe", "qlab", Seq("source", "raw"),
+        "substr(cleaned, 1, 150)", regexSplit = false)},
+       ${md5TfVecStagesSql("qe", "qlab", Seq("source", "raw"), dim)},
+       ${cleanTokenStagesSql("re", "ref0", Seq("ct_id"),
+        "substr(all_text, 1, 150)", regexSplit = false)},
+       ${md5TfVecStagesSql("re", "ref0", Seq("ct_id"), dim)},
+       ${cleanTokenStagesSql("rc", "ref0", Seq("ct_id"), "ct_name", regexSplit = true)},
+       rclab AS (
+         SELECT r.ct_id, coalesce(l.lbl, '') AS name_cleaned
+         FROM ref0 r LEFT JOIN (
+           SELECT ct_id, string_agg(ctok, ' ' ORDER BY pos) AS lbl
+           FROM rc_rooted GROUP BY ct_id) l ON l.ct_id = r.ct_id
+       ),
+       qn AS (
+         SELECT b.source, b.raw, b.cleaned, t.v,
+                sqrt(list_dot_product(t.v, t.v)) AS qnrm
+         FROM qlab b JOIN qe_vec t ON t.source = b.source AND t.raw = b.raw
+       ), refn AS (
+         SELECT r0.ct_id, r0.ct_name, r0.def, r0.all_text, r0.ref_row_id,
+                c.name_cleaned, t.v,
+                sqrt(list_dot_product(t.v, t.v)) AS nrm
+         FROM ref0 r0
+         JOIN re_vec t ON t.ct_id = r0.ct_id
+         JOIN rclab c ON c.ct_id = r0.ct_id
+       ), s AS (
+         SELECT qn.source, qn.raw, qn.cleaned, r.ref_row_id,
+                ${cos("qn.v", "qn.qnrm", "r.v", "r.nrm")} AS score
+         FROM qn CROSS JOIN refn r
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY source, raw
+                     ORDER BY score DESC, ref_row_id ASC) AS rnk
+         FROM s
+       ), wide AS (
+         SELECT source, raw, cleaned,
+           max(CASE WHEN rnk = 1 THEN score END) AS sc1,
+           max(CASE WHEN rnk = 1 THEN ref_row_id END) AS rid1,
+           max(CASE WHEN rnk = 2 THEN score END) AS sc2,
+           max(CASE WHEN rnk = 2 THEN ref_row_id END) AS rid2
+         FROM rk WHERE rnk <= 2 GROUP BY source, raw, cleaned
+       ), ex AS (
+         SELECT ekey, eid, ename, edef FROM (
+           SELECT name_cleaned AS ekey, ct_id AS eid, ct_name AS ename,
+                  def AS edef,
+                  row_number() OVER (PARTITION BY name_cleaned
+                    ORDER BY ref_row_id ASC) AS ex_rn
+           FROM refn)
+         WHERE ex_rn = 1
+       )
+       SELECT w.source, w.raw AS raw_input_label, w.cleaned AS cleaned_input_label,
+         CASE WHEN e.ekey IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE w.sc1 END AS match_score_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.eid ELSE r1.ct_id END AS matched_asctb_id_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.ename ELSE r1.ct_name END AS matched_asctb_label_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.edef ELSE r1.all_text END AS matched_asctb_text_1,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE w.sc2 END AS match_score_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_id END AS matched_asctb_id_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_name END AS matched_asctb_label_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.all_text END AS matched_asctb_text_2
+       FROM wide w
+       LEFT JOIN ex e ON e.ekey = w.cleaned
+       LEFT JOIN ref0 r1 ON r1.ref_row_id = w.rid1
+       LEFT JOIN ref0 r2 ON r2.ref_row_id = w.rid2
+       ORDER BY w.source, raw_input_label"""
+  }
+
   /** The vendored contraction table as DuckDB VALUES — both engines
     * evaluate the identical map. */
   private def expandContractionsOracle: String = {
@@ -2268,6 +2459,7 @@ object SparkEntry {
          SELECT doc_id, CAST(version AS BIGINT) AS version,
                 md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
          FROM win WHERE rn = 1 ORDER BY doc_id""",
+    "q24_label_match_report" -> labelMatchHashedOracle,
     "q40_label_match_frozen" -> labelMatchFrozenOracle,
     "q41_expand_contractions" -> expandContractionsOracle,
     "q42_lemmatize" -> lemmatizeOracle,

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names to dump (dev-loop
+    // shortcut; the driver always passes exactly two args = full run)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, q) => (s, o, Some(q.split(",").toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [q1,q2,...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +33,9 @@ object Verify {
       Seq(graft.plans.PushFilterThroughExplode)
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -43,6 +43,32 @@ class HashingEmbedder(dim: Int = 64, maxTextLength: Int = 150) extends Embedder 
   }
 }
 
+/** Feature-hashing embedder with an md5 bucket kernel: identical
+  * tokenizer (clean-dedup, `nlp_preprocessing.py:86-99`) and TF→L2
+  * semantics to [[HashingEmbedder]], but bucket(t) = top-56-bit
+  * md5(t) mod dim instead of murmur3. md5 is engine-standardized, so
+  * the WHOLE live embedding path — clean → tokens → TF vector →
+  * normalize → cosine — is replayable in any SQL engine; q24's DuckDB
+  * oracle replays exactly this. Cost shape: one md5 per token
+  * (codegen'd), then dim×|tokens| integer probes per row — embedding
+  * runs once per document at ingest, never in the per-pair hot loop,
+  * and |tokens| is bounded by the 150-char truncate. */
+class Md5HashingEmbedder(dim: Int = 64, maxTextLength: Int = 150) extends Embedder {
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val tokCol = outCol + "__tokens"
+    val bktCol = outCol + "__buckets"
+    import org.apache.spark.sql.Column
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 14), 16, 10).cast("long"), lit(dim.toLong))
+    val counts = transform(sequence(lit(0L), lit(dim - 1L)),
+      i => size(filter(col(bktCol), b => b === i)).cast("double"))
+    df.withColumn(tokCol, GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)))
+      .withColumn(bktCol, transform(col(tokCol), t => bucket(t)))
+      .withColumn(outCol, VectorOps.normalize(counts))
+      .drop(tokCol, bktCol)
+  }
+}
+
 /** Trained Word2Vec embedder — the "MLlib embeddings" option of
   * SURVEY §2.6 T4: a learned distributed representation standing in
   * for the reference's externally-supplied SentenceTransformer
