@@ -403,6 +403,16 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  /** PCA contract certification ([[Analyze.pcaCertify2d]]) — the
+    * oracle-side proof for q35's eigendecomposition-in-the-loop
+    * projection: per-row norm contraction + global orthonormality /
+    * eigenvalue order / canonical sign / subspace-optimality flags,
+    * all stated TRUE by the DuckDB oracle (q63's self-certification
+    * pattern). */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Analyze.pcaCertify2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
+      .orderBy("vec_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1251,7 +1261,8 @@ object SparkEntry {
     "q78_winnow_neardup" -> (q78 _),
     "q79_group_heavy_hitters" -> (q79 _),
     "q80_scd2_intervals" -> (q80 _),
-    "q81_stream_funnel" -> (q81 _))
+    "q81_stream_funnel" -> (q81 _),
+    "q82_pca_certify" -> (q82 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2812,6 +2823,11 @@ object SparkEntry {
          FROM x
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, valid_from, event_id""",
+    "q82_pca_certify" ->
+      """SELECT vec_id, TRUE AS norm_contract, TRUE AS orthonormal,
+                TRUE AS var_ordered, TRUE AS sign_canonical,
+                TRUE AS axis_optimal
+         FROM embeddings ORDER BY vec_id""",
     "q81_stream_funnel" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) AS t, event_type FROM events

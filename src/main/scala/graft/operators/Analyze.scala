@@ -58,6 +58,16 @@ object Analyze {
     * deterministic function of the data, as a training pipeline
     * artifact must be. */
   def pcaProject2d(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
+    val (model, signs, assembled) = fitSigned2d(df, vecCol)
+    model.transform(assembled)
+      .withColumn("__coords", vector_to_array(col("__pca")))
+      .select(idCols.map(col) ++ Seq(
+        (col("__coords").getItem(0) * lit(signs(0))).as("x"),
+        (col("__coords").getItem(1) * lit(signs(1))).as("y")): _*)
+  }
+
+  private def fitSigned2d(df: DataFrame, vecCol: String)
+      : (org.apache.spark.ml.feature.PCAModel, Array[Double], DataFrame) = {
     val assembled = df.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new PCA()
@@ -78,10 +88,84 @@ object Analyze {
       }
       sign
     }
-    model.transform(assembled)
+    (model, signs, assembled)
+  }
+
+  /** PCA contract certification — the oracle-side proof for the
+    * projection an eigendecomposition-in-the-loop query (q35) cannot
+    * hash-check directly. Emits one row per input with boolean
+    * contracts a DuckDB oracle states as `TRUE` (the q63
+    * self-certification pattern); each flag is a real mathematical
+    * invariant of a correct 2-d PCA, so an implementation defect
+    * (wrong eigenvectors, broken sign convention, non-orthonormal
+    * rotation) flips a flag and the driver's hash row goes red.
+    *
+    * Per row: `norm_contract` — an orthonormal 2-d projection never
+    * lengthens a vector, x²+y² ≤ ‖v‖²(1+ε). Global (same value every
+    * row): `orthonormal` — the rotation's columns are unit and
+    * mutually orthogonal; `var_ordered` — Var(x) ≥ Var(y) (eigenvalue
+    * order; variance is shift-invariant so uncentered projection
+    * coordinates inherit it); `sign_canonical` — after the canonical
+    * flip each axis's largest-|loading| entry is positive;
+    * `axis_optimal` — the top-2 subspace captures at least the
+    * variance of the best PAIR of coordinate axes (PCA subspace
+    * optimality probed against d·(d−1)/2 competitors via
+    * Summarizer's one-pass per-coordinate variances).
+    *
+    * Scale shape: one PCA fit (Gram aggregation, distributed), one
+    * Summarizer pass, one 1-row variance aggregate; the only
+    * driver-side values are k×d loadings and three scalars. */
+  def pcaCertify2d(df: DataFrame, vecCol: String, idCols: Seq[String],
+                   tol: Double = 1e-9): DataFrame = {
+    val (model, signs, assembled) = fitSigned2d(df, vecCol)
+    val pc = model.pc
+    val d = pc.numRows
+
+    def dot(a1: Int, a2: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += pc(i, a1) * pc(i, a2); i += 1 }
+      s
+    }
+    val orthonormal =
+      math.abs(dot(0, 0) - 1.0) < 1e-9 && math.abs(dot(1, 1) - 1.0) < 1e-9 &&
+        math.abs(dot(0, 1)) < 1e-9
+    val signCanonical = (0 until 2).forall { axis =>
+      var bestAbs = 0.0; var bestVal = 0.0; var i = 0
+      while (i < d) {
+        val v = pc(i, axis) * signs(axis)
+        if (math.abs(v) > bestAbs) { bestAbs = math.abs(v); bestVal = v }
+        i += 1
+      }
+      bestVal >= 0.0
+    }
+
+    // per-coordinate input variances in ONE distributed pass (no
+    // posexplode shuffle); 1-row collect is parameter-sized
+    import org.apache.spark.ml.stat.Summarizer
+    val coordVar = assembled
+      .select(Summarizer.variance(col("__features")).as("__cv"))
+      .first().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    val bestAxisPair = coordVar.sorted.takeRight(2).sum
+
+    val proj = model.transform(assembled)
       .withColumn("__coords", vector_to_array(col("__pca")))
-      .select(idCols.map(col) ++ Seq(
-        (col("__coords").getItem(0) * lit(signs(0))).as("x"),
-        (col("__coords").getItem(1) * lit(signs(1))).as("y")): _*)
+      .withColumn("__x", col("__coords").getItem(0) * lit(signs(0)))
+      .withColumn("__y", col("__coords").getItem(1) * lit(signs(1)))
+      .withColumn("__vsq",
+        graft.functions.VectorOps.dotProduct(col(vecCol), col(vecCol)))
+    val Array(varX, varY) = proj
+      .select(var_samp(col("__x")), var_samp(col("__y")))
+      .first().toSeq.map(_.asInstanceOf[Double]).toArray
+    val relTol = 1e-8 * (math.abs(varX) + math.abs(varY) + 1.0)
+    val varOrdered = varX >= varY - relTol
+    val axisOptimal = varX + varY >= bestAxisPair - relTol
+
+    proj.select(idCols.map(col) ++ Seq(
+      (col("__x") * col("__x") + col("__y") * col("__y") <=
+        col("__vsq") * lit(1.0 + tol) + lit(tol)).as("norm_contract"),
+      lit(orthonormal).as("orthonormal"),
+      lit(varOrdered).as("var_ordered"),
+      lit(signCanonical).as("sign_canonical"),
+      lit(axisOptimal).as("axis_optimal")): _*)
   }
 }

@@ -66,4 +66,36 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     out(100L) should be > 0.0 // the t=+50 extreme
     out(0L) should be < 0.0   // the t=-50 extreme
   }
+
+  test("pcaCertify2d: every contract flag holds on an anisotropic cloud") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq(rnd.nextGaussian() * 8, rnd.nextGaussian() * 3,
+        rnd.nextGaussian(), rnd.nextGaussian())))
+    val out = Analyze.pcaCertify2d(rows.toDF("vec_id", "embedding"),
+      "embedding", Seq("vec_id")).collect()
+    out.length shouldBe 300
+    val flags = Seq("norm_contract", "orthonormal", "var_ordered",
+      "sign_canonical", "axis_optimal")
+    flags.foreach { f =>
+      withClue(f) { out.forall(_.getAs[Boolean](f)) shouldBe true }
+    }
+  }
+
+  test("pcaCertify2d axis_optimal beats the best coordinate pair on a rotated cloud") {
+    // variance lives along a DIAGONAL direction: no coordinate pair
+    // captures it fully, a correct top-2 PCA subspace must — so the
+    // axis_optimal probe is non-vacuous here (the captured variance
+    // strictly exceeds the best coordinate pair's)
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map { i =>
+      val t = rnd.nextGaussian() * 10
+      (i, Seq(t + rnd.nextGaussian() * 0.1, t + rnd.nextGaussian() * 0.1,
+        t + rnd.nextGaussian() * 0.1, rnd.nextGaussian() * 0.1))
+    }
+    val out = Analyze.pcaCertify2d(rows.toDF("vec_id", "embedding"),
+      "embedding", Seq("vec_id")).collect()
+    out.forall(_.getAs[Boolean]("axis_optimal")) shouldBe true
+    out.forall(_.getAs[Boolean]("norm_contract")) shouldBe true
+  }
 }

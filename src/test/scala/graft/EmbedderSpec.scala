@@ -54,4 +54,32 @@ class EmbedderSpec extends SparkSpec with Matchers {
     // break to the lower id, and ids are distinct per text here
     top.foreach { case (q, c) => c shouldBe q }
   }
+
+  test("Md5HashingEmbedder: bucket counts from md5-56 mod dim, then L2 normalize") {
+    val emb = new graft.embed.Md5HashingEmbedder(dim = 8)
+    val out = emb.embed(Seq((1L, "alpha beta alpha")).toDF("id", "text"), "text", "vec")
+      .select(col("vec")).collect().head.getSeq[Double](0)
+    out should have size 8
+    // expected: clean-dedup tokens of "alpha beta alpha" = [alpha, beta]
+    // (dedup drops the repeat), each hashed md5-56 mod 8 once
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 14), 16) % 8).toInt
+    }
+    val toks = graft.functions.TextNlp.tokensCleanDedup("alpha beta alpha")
+    toks shouldBe Seq("alpha", "beta")
+    val counts = Array.fill(8)(0.0)
+    toks.foreach(t => counts(bucket(t)) += 1.0)
+    val nrm = math.sqrt(counts.map(x => x * x).sum)
+    val expected = counts.map(_ / nrm).toSeq
+    out.zip(expected).foreach { case (a, b) => a shouldBe b +- 1e-12 }
+  }
+
+  test("Md5HashingEmbedder: empty/all-stopword text maps to the zero vector") {
+    val emb = new graft.embed.Md5HashingEmbedder(dim = 8)
+    val out = emb.embed(Seq((1L, "the and of")).toDF("id", "text"), "text", "vec")
+      .select(col("vec")).collect().head.getSeq[Double](0)
+    out.forall(_ == 0.0) shouldBe true
+  }
 }
