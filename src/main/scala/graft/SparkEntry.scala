@@ -413,6 +413,21 @@ object SparkEntry {
     Analyze.pcaCertify2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
       .orderBy("vec_id")
 
+  /** REAL image codec through the multimodal seam: deterministic
+    * grayscale PNGs (closed-form pixels from doc_id) are encoded AND
+    * decoded with javax.imageio under the one-codec-init-per-partition
+    * batch contract; the oracle recomputes width/height/pixel-sum from
+    * the generating formula, so a lossy or broken round trip breaks
+    * the hash ([[Multimodal.withGrayPngPayload]] /
+    * [[Multimodal.decodePngFeaturesBatched]]). */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val withPng = Multimodal.withGrayPngPayload(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.decodePngFeaturesBatched(withPng, "payload")
+      .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1262,7 +1277,8 @@ object SparkEntry {
     "q79_group_heavy_hitters" -> (q79 _),
     "q80_scd2_intervals" -> (q80 _),
     "q81_stream_funnel" -> (q81 _),
-    "q82_pca_certify" -> (q82 _))
+    "q82_pca_certify" -> (q82 _),
+    "q83_png_roundtrip" -> (q83 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2823,6 +2839,20 @@ object SparkEntry {
          FROM x
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, valid_from, event_id""",
+    "q83_png_roundtrip" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height
+           FROM documents
+         ), g AS (
+           SELECT doc_id, width, height,
+                  unnest(range(0, width * height)) AS i
+           FROM d
+         )
+         SELECT doc_id, CAST(width AS BIGINT) AS width,
+                CAST(height AS BIGINT) AS height,
+                CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS px_sum
+         FROM g GROUP BY doc_id, width, height
+         ORDER BY doc_id""",
     "q82_pca_certify" ->
       """SELECT vec_id, TRUE AS norm_contract, TRUE AS orthonormal,
                 TRUE AS var_ordered, TRUE AS sign_canonical,

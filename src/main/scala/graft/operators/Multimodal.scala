@@ -123,6 +123,99 @@ object Multimodal {
     new CodecHandle
   }
 
+  // --- REAL codec through the same seam (javax.imageio PNG) -------------
+
+  /** Count of REAL image-codec instantiations (same observability as
+    * [[codecInits]] for the stub path). */
+  val imageCodecInits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Real JVM image codec behind the same handle seam as
+    * [[CodecHandle]]: javax.imageio PNG (JDK built-in, no new deps).
+    * Exists so the batched-decode and one-init-per-partition contracts
+    * are exercised against bytes that ACTUALLY decode — the stub seam
+    * stays for formats whose codecs aren't in this container. */
+  final class ImageCodecHandle private[Multimodal] () {
+    /** Decode a PNG; features = [width, height, pixel sum] over the
+      * 8-bit gray channel. Undecodable bytes → nulls upstream. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    }
+  }
+
+  private def newImageCodecHandle(): ImageCodecHandle = {
+    imageCodecInits.incrementAndGet()
+    new ImageCodecHandle
+  }
+
+  /** Encode an 8-bit grayscale PNG with `pixel(x, y)` values (0-255).
+    * PNG gray is lossless, so decode recovers every sample exactly —
+    * the round-trip the q83 oracle proves from the generating
+    * formula. */
+  def encodeGrayPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic gray-PNG payload per row: width = 8 + id % 9,
+    * height = 8 + id % 7, pixel(x, y) = (id·31 + y·width + x) % 256 —
+    * a closed-form image an SQL oracle can recompute without any
+    * codec, making the REAL encode→decode round trip hash-checkable. */
+  def withGrayPngPayload(df: DataFrame, idCol: String,
+                         binCol: String = "payload"): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      encodeGrayPng(w, h, (x, y) => ((id * 31 + y.toLong * w + x) % 256).toInt)
+    }
+    df.withColumn(binCol, gen(col(idCol)))
+  }
+
+  /** Batched REAL decode: ONE ImageIO codec handle per partition
+    * streams all its rows (the mapInPandas batch shape, JVM form —
+    * same contract as [[extractFrameFeaturesBatched]]). Appends
+    * width/height/px_sum; undecodable payloads yield nulls. */
+  def decodePngFeaturesBatched(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema
+      .add("width", LongType).add("height", LongType).add("px_sum", LongType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val codec = newImageCodecHandle() // per-PARTITION init, not per row
+      rows.map { r =>
+        codec.decode(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((w, h, sum)) =>
+            Row.fromSeq(r.toSeq ++ Seq(w.toLong, h.toLong, sum))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-frame feature extraction with `mapPartitions` batching — the
     * JVM analog of `mapInPandas`: ONE codec handle per partition
     * streams all its rows (swap the stub handle for a JNI codec and

@@ -84,4 +84,32 @@ class MultimodalSpec extends SparkSpec with Matchers {
     // never per row or per frame
     (Multimodal.codecInits.get() - before) shouldBe 2L
   }
+
+  test("REAL PNG codec: lossless round trip of the closed-form image; per-partition init") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 63L, 1000L).toDF("doc_id").repartition(2)
+    val before = Multimodal.imageCodecInits.get()
+    val out = Multimodal.decodePngFeaturesBatched(
+        Multimodal.withGrayPngPayload(ids, "doc_id"), "payload")
+      .select("doc_id", "width", "height", "px_sum")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    (Multimodal.imageCodecInits.get() - before) shouldBe 2L
+    out.foreach { case (id, (w, h, sum)) =>
+      w shouldBe 8 + id % 9
+      h shouldBe 8 + id % 7
+      val expected = (0L until w * h).map(i => (id * 31 + i) % 256).sum
+      sum shouldBe expected // PNG gray is lossless: every sample exact
+    }
+  }
+
+  test("REAL PNG codec: undecodable bytes yield null features, not a crash") {
+    import spark.implicits._
+    val junk = Seq((1L, "not a png".getBytes)).toDF("doc_id", "payload")
+    val r = Multimodal.decodePngFeaturesBatched(junk, "payload")
+      .select("width", "height", "px_sum").collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+    r.isNullAt(2) shouldBe true
+  }
 }
