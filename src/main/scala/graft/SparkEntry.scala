@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Dedup, Matcher, Multimodal, TextAnalysis}
+import graft.operators.{Analyze, Ann, Dedup, Matcher, Multimodal, Scrub, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
@@ -426,6 +426,57 @@ object SparkEntry {
     Multimodal.decodePngFeaturesBatched(withPng, "payload")
       .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
       .orderBy("doc_id")
+  }
+
+  /** One planted PII string per category (doc_id mod 7 picks the
+    * class) so every [[Scrub.piiPatterns]] regex fires inside the
+    * hash check — the q41 planting pattern. Shared verbatim with the
+    * oracle. */
+  private val piiPlants: Seq[String] = Seq(
+    " reach me at alice.smith+spam@corp-mail.example.org now",
+    " ssn 123-45-6789 on file",
+    " call 415-555-0123 today",
+    " from host 10.42.255.7 logged",
+    " card 4111111111111111 charged",
+    " token deadbeefcafebabe0123456789abcdef leaked",
+    " key sk-AbCd1234EfGh5678Ij leaked")
+
+  /** PII / secret scrubbing as a corpus pass ([[Scrub.scrubPii]]):
+    * per-category counts on the raw text + sequential redaction, all
+    * dialect-shared regex — counts and redacted text both inside the
+    * hash. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val planted = element_at(array(piiPlants.map(lit): _*),
+      (col("doc_id") % 7 + 1).cast("int"))
+    Scrub.scrubPii(
+        t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), planted).as("text")),
+        "text")
+      .select(col("doc_id") +:
+        Scrub.piiPatterns.map { case (c, _, _) => col(s"n_$c") } :+
+        col("scrubbed"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** URL canonicalization + per-domain dedup rollup
+    * ([[UrlOps.urlDedupRollup]]): synthetic crawl URLs with tracking
+    * noise (query strings, fragments, WWW/case variants, trailing
+    * slash — doc_id mods pick the variant) collapse to one canonical
+    * form; the rollup reports URLs kept and rows removed per
+    * domain. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      element_at(array(lit("https://"), lit("HTTPS://WWW.")),
+        (col("doc_id") % 2 + 1).cast("int")),
+      col("source"), lit(".Example.COM/p/"),
+      (col("doc_id") % 37).cast("string"),
+      element_at(
+        array(lit(""), lit("/"), lit("?utm_source=feed&id=9"), lit("#section-2")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    UrlOps.urlDedupRollup(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+      .orderBy("domain")
   }
 
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
@@ -1278,7 +1329,9 @@ object SparkEntry {
     "q80_scd2_intervals" -> (q80 _),
     "q81_stream_funnel" -> (q81 _),
     "q82_pca_certify" -> (q82 _),
-    "q83_png_roundtrip" -> (q83 _))
+    "q83_png_roundtrip" -> (q83 _),
+    "q84_pii_scrub" -> (q84 _),
+    "q85_url_rollup" -> (q85 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2040,6 +2093,63 @@ object SparkEntry {
        ORDER BY w.source, raw_input_label"""
   }
 
+  /** q84 oracle GENERATED from [[Scrub.piiPatterns]] — counts via
+    * regexp_extract_all on the raw text, redaction as the nested
+    * global regexp_replace chain in application order. Same pattern
+    * strings, same planted PII, both engines. */
+  private def piiScrubOracle: String = {
+    val plantList = piiPlants.map(p => s"'$p'").mkString("[", ", ", "]")
+    val counts = Scrub.piiPatterns.map { case (cat, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$cat"
+    }.mkString(",\n                ")
+    val redacted = Scrub.piiPatterns.foldLeft("text") {
+      case (acc, (_, pat, ph)) => s"regexp_replace($acc, '$pat', '$ph', 'g')"
+    }
+    s"""WITH src AS (
+         SELECT doc_id, text || ($plantList)[(doc_id % 7) + 1] AS text
+         FROM documents
+       )
+       SELECT doc_id,
+              $counts,
+              $redacted AS scrubbed
+       FROM src ORDER BY doc_id"""
+  }
+
+  /** q85 oracle — the same strip-fragment/strip-query/lowercase/
+    * www-drop/trailing-slash regex chain [[UrlOps]] applies, then the
+    * two-level (canonical URL → domain) rollup. */
+  private def urlRollupOracle: String = {
+    val shp = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$"
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://', 'HTTPS://WWW.'])[(doc_id % 2) + 1]
+                  || source || '.Example.COM/p/' || CAST(doc_id % 37 AS VARCHAR)
+                  || (['', '/', '?utm_source=feed&id=9', '#section-2'])[(doc_id % 4) + 1]
+                  AS url
+         FROM documents
+       ), c AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                               '\\?.*$$', '', 'g') AS bare
+         FROM u
+       ), p AS (
+         SELECT doc_id,
+                lower(regexp_extract(bare, '$shp', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(bare, '$shp', 2)),
+                               '^www\\.', '', 'g') AS dom,
+                regexp_replace(regexp_extract(bare, '$shp', 3), '/$$', '', 'g') AS path
+         FROM c
+       ), g AS (
+         SELECT dom, scheme || '://' || dom || path AS curl,
+                count(*) AS n, min(doc_id) AS keeper
+         FROM p GROUP BY dom, scheme || '://' || dom || path
+       )
+       SELECT dom AS domain, CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(sum(n - 1) AS BIGINT) AS n_removed
+       FROM g GROUP BY dom ORDER BY domain"""
+  }
+
   /** The vendored contraction table as DuckDB VALUES — both engines
     * evaluate the identical map. */
   private def expandContractionsOracle: String = {
@@ -2487,6 +2597,8 @@ object SparkEntry {
                 md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
          FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q24_label_match_report" -> labelMatchHashedOracle,
+    "q84_pii_scrub" -> piiScrubOracle,
+    "q85_url_rollup" -> urlRollupOracle,
     "q40_label_match_frozen" -> labelMatchFrozenOracle,
     "q41_expand_contractions" -> expandContractionsOracle,
     "q42_lemmatize" -> lemmatizeOracle,
