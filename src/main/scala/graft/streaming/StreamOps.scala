@@ -152,24 +152,41 @@ object StreamOps {
     * Sentinel rows (negative ids) are filtered
     * from the result — the output is exactly the batch left-outer
     * interval join over the real events, which is what the oracle
-    * states. */
+    * states.
+    *
+    * CONTRACT — the sentinel batch is a HARNESS-ONLY deviation, not
+    * part of the operator: in production the watermark advances from
+    * live traffic and unmatched state drains continuously; a bounded
+    * AvailableNow replay has no "later" data, so without the sentinel
+    * the purchases inside the final delay+window band would sit in
+    * state forever — the closing no-data batch evicts only up to the
+    * state-value watermark, which for this join's purchase side is
+    * wm − window (derived from c_ts >= p_ts − window).
+    * `drainSentinels = false` exposes exactly that truncated
+    * behavior; StreamOpsSpec pins the difference to precisely the
+    * purchases past that eviction line. SURVEY §2.9 records the
+    * deviation. */
   def runClickAttributionOuterAvailableNow(spark: SparkSession, dir: String,
-                                           windowMinutes: Int): DataFrame = {
+                                           windowMinutes: Int,
+                                           drainSentinels: Boolean = true): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staging = stagedDir("souter", dir) { staging =>
+    val key = if (drainSentinels) "souter" else "souter_nosent"
+    val staging = stagedDir(key, dir) { staging =>
       val ev = spark.read.parquet(s"$dir/events.parquet")
       stageVersionFile(ev, s"$staging/f0.parquet")
-      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-      val far = maxTs + 30L * 24 * 3600 * 1000000000L
-      val sentinels = spark.range(1).select(
-        lit(-1L).as("event_id"), lit(far).as("ts"),
-        lit(-1L).as("user_id"), lit("purchase").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-        .unionByName(spark.range(1).select(
-          lit(-2L).as("event_id"), lit(far).as("ts"),
-          lit(-1L).as("user_id"), lit("click").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props")))
-      stageVersionFile(sentinels, s"$staging/f1.parquet")
+      if (drainSentinels) {
+        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+        val far = maxTs + 30L * 24 * 3600 * 1000000000L
+        val sentinels = spark.range(1).select(
+          lit(-1L).as("event_id"), lit(far).as("ts"),
+          lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+          .unionByName(spark.range(1).select(
+            lit(-2L).as("event_id"), lit(far).as("ts"),
+            lit(-1L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")))
+        stageVersionFile(sentinels, s"$staging/f1.parquet")
+      }
     }
 
     val src = spark.readStream

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Ann, AsofJoin, Dedup, Matcher, Multimodal, RangeJoin}
+import graft.operators.{Ann, AsofJoin, Dedup, FuzzyJoin, Matcher, Multimodal, RangeJoin}
 import graft.streaming.StreamOps
 
 /** Scale-up probe (dev tool): replicates the sf0.1 tables K× with
@@ -209,6 +209,48 @@ object ScaleProbe {
       q.awaitTermination()
       spark.table(name).count()
     }
+    // Fuzzy join, length blocking vs PassJoin segment blocking, SAME
+    // inputs and d=2: length classes admit every same-length pair, so
+    // the length-blocked candidate mass grows ~quadratically with the
+    // distinct-value count; segment signatures are content keys whose
+    // buckets stay small — the seg row should hold near-linear while
+    // the len row degrades. Labels are replica-tagged so the distinct
+    // value set actually grows Kx.
+    def fuzzyInputs(dir: String): (DataFrame, DataFrame) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val labels = docs.select(
+          concat_ws(" ",
+            concat_ws(" ", slice(split(col("text"), " "), 1, 2)),
+            concat(lit("r"), floor(col("doc_id") / 1000000L).cast("string")))
+            .as("name"))
+        .distinct()
+      val queries = labels.select(
+        concat(lit("xy"), substring(col("name"), 2, 10000)).as("q_name"))
+      (queries, labels)
+    }
+    time("fuzzy_join_len_d2") { dir =>
+      val (q, c) = fuzzyInputs(dir)
+      FuzzyJoin.editDistanceJoin(q, c, "q_name", "name", 2).count()
+    }
+    time("fuzzy_join_seg_d2") { dir =>
+      val (q, c) = fuzzyInputs(dir)
+      FuzzyJoin.editDistanceJoinSegmented(q, c, "q_name", "name", 2).count()
+    }
+    // Round-7 tail, driven through the public driver contract:
+    // - q79 heavy hitters: bounded Misra-Gries state per group, token
+    //   volume grows Kx, group count fixed -> linear map-side wall
+    // - q80 SCD-2: per-user window; the replica re-key grows the KEY
+    //   set, per-key history constant -> linear keyed sort
+    // - q68 boilerplate: unit-keyed df join; replica chunks stay under
+    //   maxDocFreq so content survives while the planted header strips
+    // - q73 end-to-end: the md5 dedup stage collapses the exact-dup
+    //   replicas, so OUTPUT stays ~1x while the scan/shuffle mass is Kx
+    def entryCount(name: String)(dir: String): Long =
+      graft.SparkEntry.queries(name)(spark, dir).count()
+    time("group_heavy_hitters")(entryCount("q79_group_heavy_hitters"))
+    time("scd2_intervals")(entryCount("q80_scd2_intervals"))
+    time("boilerplate_removal")(entryCount("q68_boilerplate_removal"))
+    time("corpus_pipeline")(entryCount("q73_corpus_pipeline"))
     // Bounded-upsert probe: per-batch wall must track BATCH size, not
     // TARGET size. Buckets are sized to the target (constant bucket
     // bytes — the documented deployment rule), the target is built

@@ -139,6 +139,41 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed.count(_.isNullAt(4)) should be > 0
   }
 
+  test("outer-join drain contract: without the sentinel batch, exactly the " +
+      "final-watermark-window purchases never emit their null rows") {
+    val dir = "/root/testdata/sf0.001"
+    val withSent = StreamOps.runClickAttributionOuterAvailableNow(spark, dir, 120)
+      .filter(col("click_id").isNull)
+      .select("purchase_id", "p_ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val noSent = StreamOps.runClickAttributionOuterAvailableNow(spark, dir, 120,
+        drainSentinels = false)
+      .filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxTsUs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    // the engine's closing no-data batch evicts up to the last REAL
+    // watermark (max event time - 10 min delay) MINUS the join's
+    // interval margin: the symmetric hash join's state-value watermark
+    // for the purchase side is wm - window (derived from
+    // c_ts >= p_ts - window), so purchases with p_ts >= wm - window
+    // are stuck in state without the sentinel. 1 ms slack covers the
+    // engine's millisecond watermark truncation.
+    val watermarkUs = maxTsUs - 10L * 60 * 1000000
+    val windowUs = 120L * 60 * 1000000
+    val slackUs = 1000L
+    val evictLineUs = watermarkUs - windowUs
+    val definitelyStuck =
+      withSent.filter { case (_, ts) => ts >= evictLineUs + slackUs }.keySet
+    val definitelyDrained =
+      withSent.filter { case (_, ts) => ts < evictLineUs - slackUs }.keySet
+    definitelyStuck should not be empty // the contract case actually fires
+    noSent.subsetOf(withSent.keySet) shouldBe true
+    (noSent intersect definitelyStuck) shouldBe empty
+    definitelyDrained.subsetOf(noSent) shouldBe true
+  }
+
   test("streaming SLIDING rollup equals the batch rollup (AvailableNow, sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
