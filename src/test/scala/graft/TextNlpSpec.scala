@@ -98,6 +98,42 @@ class TextNlpSpec extends AnyFunSuite {
     assert(TextNlp.nounLexicon.size >= 180)
   }
 
+  test("round-8 data expansion: NLTK-divergent rare plurals now match") {
+    // -se/-ve/-ze/-che/-ie tails whose FIRST applicable rule mangles
+    // the word; the expanded lexicon lets validation pick s->""
+    assert(TextNlp.lemmatize("paraphrases") == "paraphrase") // ses->s: "paraphras"
+    assert(TextNlp.lemmatize("catchphrases") == "catchphrase")
+    assert(TextNlp.lemmatize("porpoises") == "porpoise")
+    assert(TextNlp.lemmatize("tortoises") == "tortoise")
+    assert(TextNlp.lemmatize("impasses") == "impasse")  // ses->s: "impass"
+    assert(TextNlp.lemmatize("finesses") == "finesse")
+    assert(TextNlp.lemmatize("wheezes") == "wheeze")    // zes->z: "wheez"
+    assert(TextNlp.lemmatize("trapezes") == "trapeze")
+    assert(TextNlp.lemmatize("pastiches") == "pastiche") // ches->ch: "pastich"
+    assert(TextNlp.lemmatize("tranches") == "tranche")
+    assert(TextNlp.lemmatize("pies") == "pie")          // ies->y: "py"
+    assert(TextNlp.lemmatize("ties") == "tie")
+    assert(TextNlp.lemmatize("dies") == "die")
+    assert(TextNlp.lemmatize("magpies") == "magpie")
+    assert(TextNlp.lemmatize("alcoves") == "alcove")    // ves->f: "alcof"
+    assert(TextNlp.lemmatize("sieves") == "sieve")
+    // new exception families
+    assert(TextNlp.lemmatize("potatoes") == "potato")
+    assert(TextNlp.lemmatize("heroes") == "hero")
+    assert(TextNlp.lemmatize("graffiti") == "graffito")
+    assert(TextNlp.lemmatize("quizzes") == "quiz")      // zes->z: "quizz"
+    assert(TextNlp.lemmatize("gateaux") == "gateau")
+    assert(TextNlp.lemmatize("polyhedra") == "polyhedron")
+    assert(TextNlp.lemmatize("cicatrices") == "cicatrix")
+    assert(TextNlp.lemmatize("amygdalae") == "amygdala")
+    assert(TextNlp.lemmatize("candelabra") == "candelabrum")
+    assert(TextNlp.lemmatize("forceps") == "forceps")   // invariant lemma
+    // a deliberately ABSENT exception: "syringes" must stay the
+    // regular syringe (an exception syringes->syrinx would break the
+    // common word)
+    assert(TextNlp.lemmatize("syringes") == "syringe")
+  }
+
   test("contraction table is the full package data, loaded from the resource") {
     // full -'ll've / -'d've chains and the slang tier, not just the
     // common-aux subset
