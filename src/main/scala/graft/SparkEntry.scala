@@ -479,6 +479,26 @@ object SparkEntry {
       .orderBy("domain")
   }
 
+  /** Corpus-trained unigram log-probability quality score
+    * ([[TextAnalysis.unigramLogProb]]): per-token ln(freq/N) quantized
+    * to integer micros so the per-doc sum is exact and
+    * order-independent — perplexity-lite filtering as a two-aggregate
+    * corpus pass. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Deterministic training-order shuffle + sharding
+    * ([[Curation.shardAndOrder]]): salted-hash shard assignment and
+    * within-shard hash order, reproducible byte-for-byte — the stage
+    * that hands a curated corpus to the trainer. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.shardAndOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", nShards = 16)
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1331,7 +1351,9 @@ object SparkEntry {
     "q82_pca_certify" -> (q82 _),
     "q83_png_roundtrip" -> (q83 _),
     "q84_pii_scrub" -> (q84 _),
-    "q85_url_rollup" -> (q85 _))
+    "q85_url_rollup" -> (q85 _),
+    "q86_unigram_logprob" -> (q86 _),
+    "q87_shard_order" -> (q87 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2599,6 +2621,33 @@ object SparkEntry {
     "q24_label_match_report" -> labelMatchHashedOracle,
     "q84_pii_scrub" -> piiScrubOracle,
     "q85_url_rollup" -> urlRollupOracle,
+    "q86_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''
+         ), per_doc AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM nz GROUP BY doc_id, tok
+         ), freq AS (
+           SELECT tok, CAST(sum(c) AS BIGINT) AS f FROM per_doc GROUP BY tok
+         ), total AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM freq)
+         SELECT p.doc_id,
+                CAST(sum(p.c) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(round(ln(CAST(f.f AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e6)
+                              AS BIGINT) * p.c) AS BIGINT) AS logprob_micros
+         FROM per_doc p JOIN freq f USING (tok) CROSS JOIN total t
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q87_shard_order" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hk
+           FROM documents
+         )
+         SELECT doc_id, source, hk % 16 AS shard,
+                CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id)
+                     AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
     "q40_label_match_frozen" -> labelMatchFrozenOracle,
     "q41_expand_contractions" -> expandContractionsOracle,
     "q42_lemmatize" -> lemmatizeOracle,

@@ -179,4 +179,24 @@ object Curation {
       .withColumn("pack_offset", col("__start") - col("pack_id") * budget)
       .drop("__start")
   }
+
+  /** Deterministic training-order shuffle + sharding — the last stage
+    * before a corpus ships to a trainer: every row gets a `shard`
+    * (uniform over nShards via the salted 56-bit hash) and a `pos`
+    * within its shard (hash order, id tie-break), so any worker can
+    * reconstruct exactly its slice with no coordination and a re-run
+    * yields byte-identical order. One shuffle, keyed on the shard —
+    * the per-shard sort is each writer's local order at 100 TB
+    * (shards are sized to a worker, not to the corpus). */
+  def shardAndOrder(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "order"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = sampleHash(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

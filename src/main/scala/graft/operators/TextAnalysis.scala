@@ -244,6 +244,44 @@ object TextAnalysis {
         sum(col("__contrib")).as("bm25"))
   }
 
+  /** Corpus-trained unigram log-probability quality score — the
+    * "does this document look like the corpus" perplexity-lite filter
+    * a curation pipeline runs beside the heuristic metrics: documents
+    * whose average token log-probability under the corpus unigram
+    * model is far below the mean are OCR garbage, wrong-language, or
+    * machine-generated slop.
+    *
+    * Output per doc: `n_tokens` and `logprob_micros` = Σ_token
+    * count·round(ln(freq/N)·10⁶) — the per-TOKEN quantization makes
+    * the sum an exact integer (order-independent across partitions,
+    * so a DuckDB oracle hash-matches; raw double sums would depend on
+    * accumulation order). Callers derive avg = logprob_micros /
+    * (10⁶·n_tokens).
+    *
+    * Scale shape: (doc, token) counts first — one keyed aggregate —
+    * then the frequency join runs on DISTINCT (doc, token) pairs,
+    * not raw token instances; the vocabulary aggregate is a second
+    * keyed shuffle. The freq join key is the token: the stopword-skew
+    * standard case — pre-aggregating per doc bounds each join row's
+    * weight, and AQE's skew split handles the head tokens. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val perDoc = toks.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val freq = perDoc.groupBy(col("__tok")).agg(sum(col("__c")).as("__f"))
+    val total = freq.agg(sum(col("__f")).as("__n"))
+    perDoc.join(freq, "__tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp_micro",
+        round(log(col("__f").cast("double") / col("__n").cast("double")) * 1e6)
+          .cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__lp_micro")).as("logprob_micros"))
+  }
+
   /** Winnowing rolling-hash fingerprint set of a text column — see
     * [[graft.functions.RollingFingerprintExpr]]: char-k-gram rolling
     * hashes, sliding-window-w minima, distinct + sorted. */

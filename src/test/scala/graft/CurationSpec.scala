@@ -157,4 +157,23 @@ class CurationSpec extends SparkSpec with Matchers {
     b shouldBe a
     a.nonEmpty shouldBe true
   }
+
+  test("shardAndOrder: partition-invariant deterministic shards and dense per-shard order") {
+    val corpus = spark.range(0, 2000).select(col("id").as("doc_id"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.shardAndOrder(df, "doc_id", nShards = 8)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = run(corpus)
+    val b = run(corpus.repartition(13))
+    b shouldBe a // reproducible byte-for-byte whatever the layout
+    a.values.map(_._1).toSet.size shouldBe 8 // all shards populated
+    // per-shard positions are dense 1..n
+    a.values.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._2).toSeq.sorted shouldBe (1L to rows.size)
+    }
+    // hash order is not id order (it's a real shuffle)
+    val shard0 = a.toSeq.filter(_._2._1 == 0L).sortBy(_._2._2).map(_._1)
+    shard0 should not be shard0.sorted
+  }
 }

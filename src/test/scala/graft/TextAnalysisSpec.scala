@@ -193,4 +193,23 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     repart.keySet shouldBe out.keySet
     out.foreach { case (k, v) => repart(k) shouldBe v +- 1e-12 }
   }
+
+  test("unigramLogProb: exact integer-micro sums, corpus-frequency model, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),   // a:2 b:1
+      (2L, "a c"),     // a:1 c:1
+      (3L, "b")        // b:1
+    ).toDF("doc_id", "text")
+    // corpus: a=3, b=2, c=1, N=6
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def lp(f: Long) = math.round(math.log(f.toDouble / 6.0) * 1e6)
+    out(1L) shouldBe ((3L, 2 * lp(3) + lp(2)))
+    out(2L) shouldBe ((2L, lp(3) + lp(1)))
+    out(3L) shouldBe ((1L, lp(2)))
+    val repart = TextAnalysis.unigramLogProb(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    repart shouldBe out // integer sums: no accumulation-order drift
+  }
 }
