@@ -28,7 +28,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q24_label_match_report", "q25_knn_bruteforce", "q27_lsh_neardup",
     "q32_ivf_topk", "q40_label_match_frozen",
     "q22_ngram_jaccard", "q60_bm25", "q61_mixture_resample",
-    "q73_corpus_pipeline")
+    "q73_corpus_pipeline",
+    "q86_unigram_logprob") // 1-row corpus-total broadcast, like q60
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
