@@ -499,6 +499,15 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("shard"), col("pos"))
       .orderBy("doc_id")
 
+  /** Overlapping token-window chunking ([[TextAnalysis.chunkTokens]]):
+    * 32-token chunks, 8-token overlap, provenance columns — the
+    * document → model-input preparation stage, hash-checked including
+    * every chunk's text. */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1353,7 +1362,8 @@ object SparkEntry {
     "q84_pii_scrub" -> (q84 _),
     "q85_url_rollup" -> (q85 _),
     "q86_unigram_logprob" -> (q86 _),
-    "q87_shard_order" -> (q87 _))
+    "q87_shard_order" -> (q87 _),
+    "q88_chunking" -> (q88 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2638,6 +2648,22 @@ object SparkEntry {
                               AS BIGINT) * p.c) AS BIGINT) AS logprob_micros
          FROM per_doc p JOIN freq f USING (tok) CROSS JOIN total t
          GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q88_chunking" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  unnest([s for s in range(0, greatest(len(toks), 1), 24) if s < len(toks)]) AS s
+           FROM d
+         )
+         SELECT doc_id,
+                CAST(s // 24 AS BIGINT) AS chunk_id,
+                CAST(s AS BIGINT) AS start_tok,
+                CAST(least(32, n - s) AS BIGINT) AS n_tok,
+                array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+         FROM w ORDER BY doc_id, chunk_id""",
     "q87_shard_order" ->
       """WITH h AS (
            SELECT doc_id, source,

@@ -282,6 +282,39 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** Overlapping token-window chunking — the document → model-input
+    * preparation stage (RAG indexing, long-doc training samples):
+    * fixed `chunkSize`-token windows advancing by `chunkSize −
+    * overlap`, each chunk carrying provenance (doc id, chunk id,
+    * start token, token count). Pure projection: tokens, start
+    * offsets, and slices are all built-ins evaluated per row — no
+    * shuffle, no UDF; rows expand by ~n/step which is the OUTPUT
+    * size, not an intermediate.
+    *
+    * Chunk ids are `start / step` — a pure function of the offset, so
+    * ids are stable under any row order or partitioning. Empty or
+    * whitespace-only docs produce no chunks. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)), s => s < n)
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("__n"), starts.as("__starts"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(col("__starts")).as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / step).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkSize), col("__n") - col("start_tok")).cast("long").as("n_tok"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Winnowing rolling-hash fingerprint set of a text column — see
     * [[graft.functions.RollingFingerprintExpr]]: char-k-gram rolling
     * hashes, sliding-window-w minima, distinct + sorted. */

@@ -212,4 +212,24 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     repart shouldBe out // integer sums: no accumulation-order drift
   }
+
+  test("chunkTokens: overlapping windows with provenance; short and empty docs") {
+    import spark.implicits._
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: starts 0,3,6,9 (step 3) over 10 tokens
+    out((1L, 0L)) shouldBe ((0L, 4L, "w1 w2 w3 w4"))
+    out((1L, 1L)) shouldBe ((3L, 4L, "w4 w5 w6 w7")) // 1-token overlap
+    out((1L, 2L)) shouldBe ((6L, 4L, "w7 w8 w9 w10"))
+    out((1L, 3L)) shouldBe ((9L, 1L, "w10")) // tail clipped
+    // doc 2: one short chunk
+    out((2L, 0L)) shouldBe ((0L, 2L, "a b"))
+    // empty / whitespace-only docs produce no chunks
+    out.keys.map(_._1).toSet shouldBe Set(1L, 2L)
+  }
 }
