@@ -55,17 +55,21 @@ class HashingEmbedder(dim: Int = 64, maxTextLength: Int = 150) extends Embedder 
   * and |tokens| is bounded by the 150-char truncate. */
 class Md5HashingEmbedder(dim: Int = 64, maxTextLength: Int = 150) extends Embedder {
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val tokCol = outCol + "__tokens"
-    val bktCol = outCol + "__buckets"
     import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
     def bucket(t: Column): Column =
       pmod(conv(substring(md5(t), 1, 14), 16, 10).cast("long"), lit(dim.toLong))
-    val counts = transform(sequence(lit(0L), lit(dim - 1L)),
-      i => size(filter(col(bktCol), b => b === i)).cast("double"))
-    df.withColumn(tokCol, GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)))
-      .withColumn(bktCol, transform(col(tokCol), t => bucket(t)))
-      .withColumn(outCol, VectorOps.normalize(counts))
-      .drop(tokCol, bktCol)
+    val buckets = transform(
+      GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)),
+      t => bucket(t))
+    // one-pass histogram expression, NOT a per-bucket filter chain:
+    // CollapseProject would inline `buckets` (tokenizer UDF + md5 per
+    // token) into every per-bucket probe — 64× the tokenize+hash work
+    // per row (measured 2.4× on the whole flagship). BucketCountsExpr
+    // evaluates its child once.
+    val counts = toColumn(
+      graft.functions.BucketCountsExpr(toExpression(buckets), dim))
+    df.withColumn(outCol, VectorOps.normalize(counts))
   }
 }
 
