@@ -508,6 +508,15 @@ object SparkEntry {
         chunkSize = 32, overlap = 8)
       .orderBy("doc_id", "chunk_id")
 
+  /** Stream-static enrichment join
+    * ([[StreamOps.streamStaticEnrich]]): each micro-batch broadcast-
+    * joins a static customer dimension, then aggregates by (segment,
+    * event type) — the stateless production enrichment shape, run
+    * through the real engine against a plain batch-join oracle. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamStaticEnrichAvailableNow(s, dir)
+      .orderBy("c_mktsegment", "event_type")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1363,7 +1372,8 @@ object SparkEntry {
     "q85_url_rollup" -> (q85 _),
     "q86_unigram_logprob" -> (q86 _),
     "q87_shard_order" -> (q87 _),
-    "q88_chunking" -> (q88 _))
+    "q88_chunking" -> (q88 _),
+    "q89_stream_static_join" -> (q89 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2648,6 +2658,13 @@ object SparkEntry {
                               AS BIGINT) * p.c) AS BIGINT) AS logprob_micros
          FROM per_doc p JOIN freq f USING (tok) CROSS JOIN total t
          GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q89_stream_static_join" ->
+      """SELECT c_mktsegment, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id % 150 + 1
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
     "q88_chunking" ->
       """WITH d AS (
            SELECT doc_id,

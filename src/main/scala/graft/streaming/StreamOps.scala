@@ -37,6 +37,41 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stream-static enrichment — the most common production streaming
+    * shape: each micro-batch of the event stream hash/broadcast-joins
+    * a STATIC dimension (no state store, no watermark; the dim is
+    * re-resolvable per batch, which is how slowly-changing dims get
+    * picked up on restart). Identical declarative form for batch and
+    * stream inputs, so the batch run IS the oracle. Aggregation after
+    * the join keys on (segment, event_type) — bounded cardinality, so
+    * Complete output mode is the natural sink contract. */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("__ckey", pmod(col("user_id"), lit(150L)) + 1L)
+      .join(dim, col("__ckey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+
+  /** Drive [[streamStaticEnrich]] through the engine (AvailableNow →
+    * memory sink, complete mode — the aggregate's cardinality is
+    * |segments|×|event types|). */
+  def runStreamStaticEnrichAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = s"graft_stream_static_${runCounter.incrementAndGet()}"
+    val query = streamStaticEnrich(eventsStream(spark, dir), dim)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** Tumbling 1-hour rollup — identical shape for batch and stream
     * inputs (same plan; streaming just executes it incrementally). */
   def hourlyRollup(events: DataFrame): DataFrame =

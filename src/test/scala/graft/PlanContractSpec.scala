@@ -17,7 +17,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     * drains, embedder training) — plan inspection would run them. */
   private val eager = Set(
     "q29_stream_rollup", "q39_stream_upsert", "q47_stream_dedup",
-    "q59_stream_join", "q72_stream_outer_join", "q44_label_match_w2v")
+    "q59_stream_join", "q72_stream_outer_join", "q44_label_match_w2v",
+    "q89_stream_static_join")
 
   /** Broadcast similarity scans (reference side catalog-sized by
     * contract, guarded in Matcher/Ann — the nested loop IS the plan),

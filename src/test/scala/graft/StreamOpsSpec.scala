@@ -174,6 +174,21 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     definitelyDrained.subsetOf(noSent) shouldBe true
   }
 
+  test("stream-static enrichment equals the batch join+aggregate (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamStaticEnrichAvailableNow(spark, dir)
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = StreamOps.streamStaticEnrich(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        spark.read.parquet(s"$dir/customer.parquet")
+          .select($"c_custkey", $"c_mktsegment"))
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    streamed.nonEmpty shouldBe true
+    streamed shouldBe batch
+  }
+
   test("streaming SLIDING rollup equals the batch rollup (AvailableNow, sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
