@@ -517,6 +517,29 @@ object SparkEntry {
     StreamOps.runStreamStaticEnrichAvailableNow(s, dir)
       .orderBy("c_mktsegment", "event_type")
 
+  /** Registrable-domain (eTLD+1) folding
+    * ([[UrlOps.registrableDomain]]): international URLs with
+    * subdomain shards and two-label public suffixes fold to the
+    * per-site grouping key; the vendored PSL slice is shared data the
+    * oracle inlines. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      element_at(array(
+        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
+        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
+        (col("doc_id") % 6 + 1).cast("int")),
+      (col("doc_id") % 20).cast("string"),
+      element_at(array(
+        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
+        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
+        (col("doc_id") % 6 + 1).cast("int")))
+    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlOps.domainOf(col("url")).as("host"),
+        UrlOps.registrableDomain(col("url")).as("registrable"))
+      .orderBy("doc_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1373,7 +1396,8 @@ object SparkEntry {
     "q86_unigram_logprob" -> (q86 _),
     "q87_shard_order" -> (q87 _),
     "q88_chunking" -> (q88 _),
-    "q89_stream_static_join" -> (q89 _))
+    "q89_stream_static_join" -> (q89 _),
+    "q90_registrable_domain" -> (q90 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2157,6 +2181,42 @@ object SparkEntry {
        FROM src ORDER BY doc_id"""
   }
 
+  /** q90 oracle — GENERATED from [[UrlOps.publicSuffixes]]: the same
+    * host extraction, then eTLD+1 folding with the identical suffix
+    * set inlined as an IN list. */
+  private def registrableDomainOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id, url,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, url, host, string_split(host, '.') AS toks
+         FROM h
+       )
+       SELECT doc_id, url, host,
+              CASE WHEN len(toks) <= 2 THEN host
+                   WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                     THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                   ELSE toks[-2] || '.' || toks[-1] END AS registrable
+       FROM l ORDER BY doc_id"""
+  }
+
   /** q85 oracle — the same strip-fragment/strip-query/lowercase/
     * www-drop/trailing-slash regex chain [[UrlOps]] applies, then the
     * two-level (canonical URL → domain) rollup. */
@@ -2641,6 +2701,7 @@ object SparkEntry {
     "q24_label_match_report" -> labelMatchHashedOracle,
     "q84_pii_scrub" -> piiScrubOracle,
     "q85_url_rollup" -> urlRollupOracle,
+    "q90_registrable_domain" -> registrableDomainOracle,
     "q86_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -46,6 +46,41 @@ object UrlOps {
     concat(scheme, lit("://"), domainOf(u), path)
   }
 
+  /** Two-label public suffixes (vendored slice of publicsuffix.org —
+    * see `resources/graft/public_suffix_slice.txt`; a deployment
+    * ships the full PSL through the same one-suffix-per-line seam).
+    * Public: the q90 oracle inlines this exact set. */
+  val publicSuffixes: Set[String] = {
+    val stream = getClass.getResourceAsStream("/graft/public_suffix_slice.txt")
+    require(stream != null, "missing resource graft/public_suffix_slice.txt")
+    try scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSet
+    finally stream.close()
+  }
+
+  /** Registrable domain (eTLD+1) of a URL: the [[domainOf]] host
+    * folded to `label.suffix` — where the suffix is two labels when
+    * the host's last two labels are a known public suffix (bbc.co.uk
+    * stays bbc.co.uk; news.bbc.co.uk folds to bbc.co.uk), else one
+    * label (a.b.example.com → example.com). The crawl-curation
+    * grouping key for per-site caps and domain-level dedup: plain
+    * host grouping over-splits sites that shard across subdomains.
+    * Wildcard/exception PSL rules are out of this slice's scope.
+    * Hosts with a single label (or empty) pass through unchanged. */
+  def registrableDomain(u: Column): Column = {
+    val host = domainOf(u)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    val suffixes = publicSuffixes.toSeq.sorted
+    when(n <= 2, host)
+      .when(last2.isin(suffixes: _*), last3)
+      .otherwise(last2)
+  }
+
   /** Per-domain dedup rollup: collapse rows by canonical URL
     * (first-wins keeper = min id), then per domain report distinct
     * URLs, total crawled docs, and how many rows URL-dedup removed. */

@@ -29,6 +29,21 @@ class UrlOpsSpec extends SparkSpec with Matchers {
       "http://host.com/CaseSensitive/Path"
   }
 
+  test("registrableDomain folds eTLD+1 with the vendored suffix slice") {
+    def reg(u: String): String =
+      Seq(u).toDF("u").select(UrlOps.registrableDomain(col("u")).as("r"))
+        .collect().head.getString(0)
+    reg("https://news.bbc.co.uk/x") shouldBe "bbc.co.uk"
+    reg("https://bbc.co.uk/x") shouldBe "bbc.co.uk"
+    reg("https://a.b.example.com.au/x") shouldBe "example.com.au"
+    reg("https://a.b.example.com/x") shouldBe "example.com"
+    reg("https://example.com/x") shouldBe "example.com"
+    reg("https://WWW.Example.DE/x") shouldBe "example.de"
+    reg("https://localhost/x") shouldBe "localhost" // single label passes through
+    UrlOps.publicSuffixes should contain ("co.uk")
+    UrlOps.publicSuffixes.size should be >= 100
+  }
+
   test("urlDedupRollup: per-domain URL counts, doc counts, removed rows") {
     val rows = Seq(
       (1L, "https://a.com/x"),
