@@ -540,6 +540,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Z-order clustering key ([[Layout.zOrderKey]]): Morton
+    * interleave of (user_id, value-milli) masked to 16 bits — the
+    * write-side layout coordinate that makes parquet min/max stats
+    * prune on both columns; the key arithmetic is hash-checked, the
+    * layout win is pinned by LayoutSpec's rectangle-span test. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      .withColumn("z",
+        graft.operators.Layout.zOrderKey(col("user_id"), col("value_milli")))
+      .orderBy("event_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1397,7 +1410,8 @@ object SparkEntry {
     "q87_shard_order" -> (q87 _),
     "q88_chunking" -> (q88 _),
     "q89_stream_static_join" -> (q89 _),
-    "q90_registrable_domain" -> (q90 _))
+    "q90_registrable_domain" -> (q90 _),
+    "q91_zorder_key" -> (q91 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2217,6 +2231,22 @@ object SparkEntry {
        FROM l ORDER BY doc_id"""
   }
 
+  /** q91 oracle — the same Morton interleave, generated as the
+    * shift-mask chain (disjoint bit positions, so | is exact). */
+  private def zOrderOracle: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((user_id >> $i) & 1) << ${2 * i})",
+      s"(((vm >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH e AS (
+         SELECT event_id, user_id,
+                CAST(round(value * 1000) AS BIGINT) AS vm
+         FROM events
+       )
+       SELECT event_id, user_id, vm AS value_milli,
+              CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+       FROM e ORDER BY event_id"""
+  }
+
   /** q85 oracle — the same strip-fragment/strip-query/lowercase/
     * www-drop/trailing-slash regex chain [[UrlOps]] applies, then the
     * two-level (canonical URL → domain) rollup. */
@@ -2702,6 +2732,7 @@ object SparkEntry {
     "q84_pii_scrub" -> piiScrubOracle,
     "q85_url_rollup" -> urlRollupOracle,
     "q90_registrable_domain" -> registrableDomainOracle,
+    "q91_zorder_key" -> zOrderOracle,
     "q86_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the write-side half of 100 TB scan
+  * performance. Parquet scans prune with per-file (and per-row-group)
+  * min/max statistics; those statistics only help if the writer
+  * CLUSTERED the data so each file covers a narrow value range.
+  * Range-partitioning on one column does that for one predicate
+  * dimension; a Z-ORDER key does it for two at once by interleaving
+  * their bits, so files are tight rectangles in (x, y) space and
+  * point/range predicates on EITHER column skip most files.
+  */
+object Layout {
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative long columns — x in the even positions, y in the
+    * odd. Pure codegen'd integer bit arithmetic (2·bits shift-mask
+    * terms OR-folded), no UDF, no shuffle. Inputs are masked to
+    * `bits` bits (callers bucket-quantize wider domains first —
+    * standard Z-order practice; the key is a clustering coordinate,
+    * not a lossless encoding). */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Cluster a frame for writing: range-partition on the Z key into
+    * `numFiles` output partitions and sort within each — every output
+    * file then covers a compact Z range, i.e. a tight (x, y)
+    * rectangle, which is exactly what min/max pruning needs. One
+    * range shuffle (with Spark's range-boundary sampling); the sort
+    * is per-partition. */
+  def clusterByZ(df: DataFrame, xCol: String, yCol: String,
+                 numFiles: Int, bits: Int = 16): DataFrame = {
+    val z = zOrderKey(col(xCol), col(yCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

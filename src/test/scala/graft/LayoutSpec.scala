@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Layout
+
+/** Pins the Z-order key arithmetic and the layout property it exists
+  * for: after clusterByZ, each output partition (= output file at
+  * write) covers a tight rectangle in BOTH dimensions, so min/max
+  * stats prune on either predicate column. */
+class LayoutSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("zOrderKey interleaves bits (known values)") {
+    def z(x: Long, y: Long): Long =
+      Seq((x, y)).toDF("x", "y")
+        .select(Layout.zOrderKey(col("x"), col("y")).as("z"))
+        .collect().head.getLong(0)
+    z(0L, 0L) shouldBe 0L
+    z(1L, 0L) shouldBe 1L  // x occupies even bit positions
+    z(0L, 1L) shouldBe 2L  // y occupies odd
+    z(1L, 1L) shouldBe 3L
+    z(2L, 0L) shouldBe 4L
+    z(0L, 2L) shouldBe 8L
+    z(3L, 5L) shouldBe 39L // 0b100111: x=11 -> bits 0,2; y=101 -> bits 1,5
+  }
+
+  test("clusterByZ partitions are tight rectangles in BOTH dimensions") {
+    val n = 1 << 12
+    val pts = spark.range(n).select(
+      (col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y")) // 64x64 grid
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df
+        .withColumn("__pid", spark_partition_id())
+        .groupBy("__pid")
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .agg(avg(col("xs")), avg(col("ys"))).collect().head
+      (rows.getDouble(0), rows.getDouble(1))
+    }
+    val (zx, zy) = spans(Layout.clusterByZ(pts, "x", "y", numFiles = 16, bits = 6))
+    // one-dimensional range layout: x is tight, y spans the world
+    val (rx, ry) = spans(pts.repartitionByRange(16, col("x")))
+    zx should be < 64.0 * 0.6 // both dims bounded well under full range
+    zy should be < 64.0 * 0.6
+    ry should be > 60.0       // x-only layout leaves y unclustered
+    (zx + zy) should be < (rx + ry) // z wins on combined span
+  }
+}
