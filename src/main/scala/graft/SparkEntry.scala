@@ -553,6 +553,17 @@ object SparkEntry {
         graft.operators.Layout.zOrderKey(col("user_id"), col("value_milli")))
       .orderBy("event_id")
 
+  /** Distributed global ordinals ([[Layout.globalOrdinals]]): 1-based
+    * ranks by a total key via range repartition + per-partition
+    * offset attach — no single-partition window sort anywhere in the
+    * plan. The oracle is the window form (`row_number() OVER (ORDER
+    * BY ...)`): same semantics, scale-opposite plan. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.globalOrdinals(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source", "doc_id"))
+      .orderBy("doc_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1411,7 +1422,8 @@ object SparkEntry {
     "q88_chunking" -> (q88 _),
     "q89_stream_static_join" -> (q89 _),
     "q90_registrable_domain" -> (q90 _),
-    "q91_zorder_key" -> (q91 _))
+    "q91_zorder_key" -> (q91 _),
+    "q92_global_ordinals" -> (q92 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2733,6 +2745,11 @@ object SparkEntry {
     "q85_url_rollup" -> urlRollupOracle,
     "q90_registrable_domain" -> registrableDomainOracle,
     "q91_zorder_key" -> zOrderOracle,
+    "q92_global_ordinals" ->
+      """SELECT doc_id, source,
+                CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+                  AS ordinal
+         FROM documents ORDER BY doc_id""",
     "q86_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -30,6 +30,43 @@ object Layout {
     }
   }
 
+  /** Global 1-based ordinals by a total order WITHOUT the
+    * single-partition sort a global `row_number()` window plans
+    * (Matcher.prepareReference documents that trap and caps its
+    * input; THIS is the corpus-scale form). Range-repartition on the
+    * order columns — partitions are globally ordered, each sorted
+    * locally — then one metadata-sized pass collects per-partition
+    * counts, and each partition adds its exclusive prefix offset to
+    * its local index. Two scans, both fully parallel; driver state is
+    * one long per partition.
+    *
+    * The order columns must be a total key (unique) for the ordinals
+    * to be deterministic — range-boundary SAMPLING is not, but with a
+    * unique key every row's global rank is well-defined whatever the
+    * partition boundaries. */
+  def globalOrdinals(df: DataFrame, orderCols: Seq[String],
+                     ordCol: String = "ordinal",
+                     numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val cols = orderCols.map(col)
+    val sorted = numPartitions
+      .map(n => df.repartitionByRange(n, cols: _*))
+      .getOrElse(df.repartitionByRange(cols: _*))
+      .sortWithinPartitions(cols: _*)
+    // pass 1: per-partition row counts (one long per partition)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // exclusive prefix sums
+    val outSchema = sorted.schema.add(ordCol, LongType, nullable = false)
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var ord = offsets(i)
+      it.map { r => ord += 1; Row.fromSeq(r.toSeq :+ ord) }
+    }
+    sorted.sparkSession.createDataFrame(outRdd, outSchema)
+  }
+
   /** Cluster a frame for writing: range-partition on the Z key into
     * `numFiles` output partitions and sort within each — every output
     * file then covers a compact Z range, i.e. a tight (x, y)

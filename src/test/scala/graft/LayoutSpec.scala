@@ -48,4 +48,23 @@ class LayoutSpec extends SparkSpec with Matchers {
     ry should be > 60.0       // x-only layout leaves y unclustered
     (zx + zy) should be < (rx + ry) // z wins on combined span
   }
+
+  test("globalOrdinals equals the window row_number with no global sort, any partitioning") {
+    val df = spark.range(0, 5000).select(
+      (col("id") * 37 % 5000).as("k")) // permuted unique keys
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Layout.globalOrdinals(d, Seq("k"), numPartitions = Some(7))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(df.repartition(13))
+    got.size shouldBe 5000
+    // rank of k in sorted order is k+1 (keys are exactly 0..4999)
+    (0L until 5000L by 997L).foreach { k => got(k) shouldBe k + 1 }
+    got(4999L) shouldBe 5000L
+    run(df.repartition(3)) shouldBe got // partitioning-invariant
+    // and the plan has no single-partition global Sort: the exchange
+    // is a range partitioning over 7 partitions
+    val plan = Layout.globalOrdinals(df, Seq("k"), numPartitions = Some(7))
+      .queryExecution.executedPlan.toString
+    plan should not include "SinglePartition"
+  }
 }
