@@ -564,6 +564,14 @@ object SparkEntry {
         Seq("source", "doc_id"))
       .orderBy("doc_id")
 
+  /** Streaming SCD type-2 ([[StreamOps.streamingScd2]]): per-key
+    * state holds the open version; arriving changes close and emit
+    * [valid_from, valid_to) rows incrementally. Oracle = the batch
+    * q80 `lead()` form restricted to closed intervals. */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingScd2AvailableNow(s, dir)
+      .orderBy("user_id", "valid_from", "event_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1423,7 +1431,8 @@ object SparkEntry {
     "q89_stream_static_join" -> (q89 _),
     "q90_registrable_domain" -> (q90 _),
     "q91_zorder_key" -> (q91 _),
-    "q92_global_ordinals" -> (q92 _))
+    "q92_global_ordinals" -> (q92 _),
+    "q93_stream_scd2" -> (q93 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2750,6 +2759,21 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
                   AS ordinal
          FROM documents ORDER BY doc_id""",
+    "q93_stream_scd2" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 1000) AS BIGINT) AS value_milli
+           FROM events
+           WHERE event_type IN ('signup', 'purchase')
+         ), iv AS (
+           SELECT user_id, event_id, ts_us AS valid_from,
+                  lead(ts_us) OVER w AS valid_to, value_milli
+           FROM x
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         )
+         SELECT user_id, event_id, valid_from, valid_to, value_milli
+         FROM iv WHERE valid_to IS NOT NULL
+         ORDER BY user_id, valid_from, event_id""",
     "q86_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok

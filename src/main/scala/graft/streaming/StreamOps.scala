@@ -469,6 +469,80 @@ object StreamOps {
   /** Drive [[streamingFunnel]] through the engine: events staged as
     * two time-split waves (cross-batch state carries partial
     * progress). */
+  // --- streaming SCD-2 --------------------------------------------------
+
+  case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long,
+                       value_milli: Long)
+  case class Scd2Interval(user_id: Long, event_id: Long, valid_from: Long,
+                          valid_to: Long, value_milli: Long)
+
+  /** Streaming SCD type-2: per-key state holds the OPEN version; each
+    * arriving change event closes it, emitting the finished
+    * [valid_from, valid_to) row — the warehouse history table built
+    * incrementally as changes arrive, instead of q80's batch window
+    * over the full log. State per key is ONE open version (the
+    * minimum any SCD-2 writer must hold); output is append-only
+    * closed intervals, exactly the batch `lead()` form restricted to
+    * `valid_to IS NOT NULL`, which is what the oracle states.
+    * Within a batch events sort by (ts, id); across batches the
+    * staged replay is time-split so arrival order respects event
+    * order (a production feed gets that from the upstream log's
+    * per-key ordering). */
+  def streamingScd2(stream: Dataset[Scd2Event]): Dataset[Scd2Interval] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Event, Scd2Interval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Scd2Event], state: GroupState[Scd2Event]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
+          var open = state.getOption
+          sorted.foreach { r =>
+            open.foreach { p =>
+              out += Scd2Interval(uid, p.event_id, p.ts_us, r.ts_us, p.value_milli)
+            }
+            open = Some(r)
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Drive [[streamingScd2]]: signup/purchase change events staged as
+    * two time-split micro-batches. */
+  def runStreamingScd2AvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val staging = stagedDir("scd2", dir) { staging =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          round(col("value") * 1000).cast("long").as("value_milli"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
+        .head().getLong(0)
+      stageVersionFile(ev.filter(col("ts_us") < mid), s"$staging/f0.parquet")
+      stageVersionFile(ev.filter(col("ts_us") >= mid), s"$staging/f1.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts_us", LongType), StructField("value_milli", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[Scd2Event]
+    val name = s"graft_stream_scd2_${runCounter.incrementAndGet()}"
+    val query = streamingScd2(src)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   def runStreamingFunnelAvailableNow(spark: SparkSession, dir: String,
                                      stages: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

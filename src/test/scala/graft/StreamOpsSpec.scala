@@ -189,6 +189,25 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streaming SCD-2 closed intervals equal the batch lead() form (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingScd2AvailableNow(spark, dir)
+      .orderBy("user_id", "valid_from", "event_id").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .filter($"event_type" === "signup" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"),
+        round($"value" * 1000).cast("long").as("value_milli"))
+      .select($"user_id", $"event_id", $"ts_us".as("valid_from"),
+        lead($"ts_us", 1).over(w).as("valid_to"), $"value_milli")
+      .filter($"valid_to".isNotNull)
+      .orderBy("user_id", "valid_from", "event_id").collect().toSeq
+    streamed.nonEmpty shouldBe true
+    streamed shouldBe batch
+  }
+
   test("streaming SLIDING rollup equals the batch rollup (AvailableNow, sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
