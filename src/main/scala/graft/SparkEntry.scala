@@ -572,6 +572,14 @@ object SparkEntry {
     StreamOps.runStreamingScd2AvailableNow(s, dir)
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** Character-entropy quality signal ([[TextAnalysis.charEntropy]]):
+    * exact integer-micro Shannon entropy per document — the
+    * compression-ratio-style gibberish/filler detector of the quality
+    * family (q17 heuristics, q86 unigram model, this). */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1432,7 +1440,8 @@ object SparkEntry {
     "q90_registrable_domain" -> (q90 _),
     "q91_zorder_key" -> (q91 _),
     "q92_global_ordinals" -> (q92 _),
-    "q93_stream_scd2" -> (q93 _))
+    "q93_stream_scd2" -> (q93 _),
+    "q94_char_entropy" -> (q94 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2759,6 +2768,21 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
                   AS ordinal
          FROM documents ORDER BY doc_id""",
+    "q94_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+           FROM documents
+         ), cnt AS (
+           SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+           FROM ch GROUP BY doc_id, c
+         ), tot AS (
+           SELECT doc_id, c, k, sum(k) OVER (PARTITION BY doc_id) AS n
+           FROM cnt
+         )
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                CAST(sum(CAST(round(-ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                              AS BIGINT) * k) AS BIGINT) AS entropy_micros
+         FROM tot GROUP BY doc_id ORDER BY doc_id""",
     "q93_stream_scd2" ->
       """WITH x AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

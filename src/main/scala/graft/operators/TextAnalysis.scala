@@ -282,6 +282,32 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** Per-document character-level Shannon entropy — the
+    * compression-ratio-style quality signal beside the heuristic
+    * metrics and the unigram model: natural text sits in a narrow
+    * entropy band; OCR noise and random gibberish sit high, repeated
+    * filler sits low. Same exactness discipline as
+    * [[unigramLogProb]]: each character class contributes
+    * `count · round(−ln(count/n)·10⁶)` so the per-doc sum is an
+    * exact integer (entropy_micros / (10⁶·n_chars) = H in nats).
+    * Shape: one (doc, char) aggregate, a doc-partitioned window for
+    * the totals, one final doc aggregate — all keyed on the doc. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("__ch"))
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(w))
+      .withColumn("__e",
+        round(-log(col("__c").cast("double") / col("__n").cast("double")) * 1e6)
+          .cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_chars"),
+        sum(col("__e")).as("entropy_micros"))
+  }
+
   /** Overlapping token-window chunking — the document → model-input
     * preparation stage (RAG indexing, long-doc training samples):
     * fixed `chunkSize`-token windows advancing by `chunkSize −

@@ -213,6 +213,22 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     repart shouldBe out // integer sums: no accumulation-order drift
   }
 
+  test("charEntropy: exact integer micros; uniform text maxes, repeated text zeroes") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(1L) shouldBe ((4L, 0L)) // -ln(1) = 0: no information
+    // uniform over 4 symbols: each contributes round(ln 4 * 1e6) * 1
+    val ln4 = math.round(math.log(4.0) * 1e6)
+    out(2L) shouldBe ((4L, 4 * ln4))
+    val ln2 = math.round(math.log(2.0) * 1e6)
+    out(3L) shouldBe ((4L, 4 * ln2))
+    // partition invariance (integer sums)
+    TextAnalysis.charEntropy(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap shouldBe out
+  }
+
   test("chunkTokens: overlapping windows with provenance; short and empty docs") {
     import spark.implicits._
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
