@@ -580,6 +580,14 @@ object SparkEntry {
     TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Watermark late-data semantics
+    * ([[StreamOps.runLateDataRollupAvailableNow]]): planted late
+    * arrivals must be dropped and only watermark-finalized windows
+    * emit; the oracle states both effects in closed form. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runLateDataRollupAvailableNow(s, dir)
+      .orderBy("win_start_us", "event_type")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1441,7 +1449,8 @@ object SparkEntry {
     "q91_zorder_key" -> (q91 _),
     "q92_global_ordinals" -> (q92 _),
     "q93_stream_scd2" -> (q93 _),
-    "q94_char_entropy" -> (q94 _))
+    "q94_char_entropy" -> (q94 _),
+    "q95_stream_late_data" -> (q95 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2768,6 +2777,24 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
                   AS ordinal
          FROM documents ORDER BY doc_id""",
+    "q95_stream_late_data" ->
+      """WITH e AS (
+           SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+         ), b AS (
+           SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e
+         ), keep AS (
+           SELECT e.* FROM e, b
+           WHERE NOT (event_id % 11 = 0 AND ts_us < mn + (mx - mn) / 2)
+         ), wm AS (
+           -- the engine tracks event time in milliseconds: watermark =
+           -- ms-truncated max minus the delay
+           SELECT (mx // 1000) * 1000 - 600000000 AS w FROM b
+         )
+         SELECT (ts_us // 3600000000) * 3600000000 AS win_start_us,
+                event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM keep, wm
+         WHERE (ts_us // 3600000000) * 3600000000 + 3600000000 <= w
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q94_char_entropy" ->
       """WITH ch AS (
            SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c

@@ -469,6 +469,74 @@ object StreamOps {
   /** Drive [[streamingFunnel]] through the engine: events staged as
     * two time-split waves (cross-batch state carries partial
     * progress). */
+  // --- late-data semantics ----------------------------------------------
+
+  /** Watermark LATE-DATA semantics, pinned end to end: a tumbling
+    * hourly count in APPEND mode (only finalized windows emit) is fed
+    * three micro-batches — on-time events below the 60% time mark,
+    * then the rest of the on-time events (carrying the global max, so
+    * the watermark lands at max − delay), then PLANTED LATE arrivals
+    * (old rows, `event_id % 11 = 0`, from the first half of the
+    * range). Batch 2's watermark advance EVICTS the old windows, so
+    * when the late rows arrive in batch 3 their windows are already
+    * finalized and the engine DROPS every one (the engine's late rule
+    * is eviction-based: a late row merges fine while its window is
+    * still in state — StreamOpsSpec pins the drop count). The result
+    * is therefore closed-form over the batch table: counts EXCLUDING
+    * the late set, for windows ending ≤ (ms-truncated max − delay).
+    * This is the correctness contract a 100 TB streaming ingest lives
+    * by: lateness is bounded and EXPLICIT, not silently double
+    * counted. */
+  def runLateDataRollupAvailableNow(spark: SparkSession, dir: String,
+                                    delayMinutes: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staging = stagedDir("latedata", dir) { staging =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val b = ev.agg(min(expr("ts div 1000")).as("mn"), max(expr("ts div 1000")).as("mx"))
+        .head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val isLate = col("event_id") % 11 === 0 &&
+        expr("ts div 1000") < lit(mn + (mx - mn) / 2)
+      val tsplit = mn + (mx - mn) * 3 / 5
+      val onTime = ev.filter(!isLate)
+      stageVersionFile(onTime.filter(expr("ts div 1000") < lit(tsplit)),
+        s"$staging/f0.parquet")
+      stageVersionFile(onTime.filter(expr("ts div 1000") >= lit(tsplit)),
+        s"$staging/f1.parquet")
+      stageVersionFile(ev.filter(isLate), s"$staging/f2.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
+    val query = src
+      .withWatermark("ts", s"$delayMinutes minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    lastLateDropCount = query.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    spark.table(name)
+  }
+
+  /** numRowsDroppedByWatermark summed over the LAST
+    * [[runLateDataRollupAvailableNow]] run — test observability for
+    * the drop side of the late-data contract. */
+  @volatile var lastLateDropCount: Long = -1L
+
   // --- streaming SCD-2 --------------------------------------------------
 
   case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long,

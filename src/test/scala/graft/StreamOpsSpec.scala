@@ -189,6 +189,32 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("late-data contract: planted late rows are ALL dropped; only finalized windows emit") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runLateDataRollupAvailableNow(spark, dir)
+      .orderBy("win_start_us", "event_type").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", expr("ts div 1000").as("ts_us"), $"event_type")
+    val Array(mn, mx) = ev.agg(min($"ts_us"), max($"ts_us"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val lateCount = ev
+      .filter($"event_id" % 11 === 0 && $"ts_us" < mn + (mx - mn) / 2).count()
+    lateCount should be > 0L
+    // every planted late row was dropped by the watermark
+    StreamOps.lastLateDropCount shouldBe lateCount
+    // and the emitted windows equal the keep-only closed form
+    val wm = (mx / 1000) * 1000 - 600000000L
+    val batch = ev
+      .filter(!($"event_id" % 11 === 0 && $"ts_us" < mn + (mx - mn) / 2))
+      .withColumn("win_start_us", ($"ts_us" / 3600000000L).cast("long") * 3600000000L)
+      .filter($"win_start_us" + 3600000000L <= wm)
+      .groupBy("win_start_us", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_start_us", "event_type").collect().toSeq
+    streamed shouldBe batch
+  }
+
   test("streaming SCD-2 closed intervals equal the batch lead() form (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamingScd2AvailableNow(spark, dir)
