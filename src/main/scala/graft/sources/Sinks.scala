@@ -63,4 +63,25 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** JSONL (newline-delimited JSON) sink — the de-facto interchange
+    * format for LLM training corpora (one document object per line;
+    * what tokenizer and trainer toolchains ingest). Gzip by default:
+    * JSONL is verbose and the write is IO-bound; per-file gzip keeps
+    * files independently readable. One file per partition — feed
+    * through [[graft.operators.Layout.clusterByZ]] or a repartition
+    * to control file count/size. */
+  def jsonl(df: DataFrame, path: String, compress: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSONL source with an EXPLICIT schema — schema inference reads
+    * the whole dataset twice at 100 TB; corpus readers always know
+    * their document shape. Corrupt lines surface in the standard
+    * `_corrupt_record` column under PERMISSIVE mode rather than
+    * failing the read (quarantine them with the q67 pattern). */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

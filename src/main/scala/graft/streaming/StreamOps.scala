@@ -668,14 +668,7 @@ object StreamOps {
     * version — and return the emitted (first-arrival) rows. */
   def runStreamingDedupAvailableNow(spark: SparkSession, stagingDir: String,
                                     watermarkDelay: String = "10 minutes"): DataFrame = {
-    val src = spark.readStream
-      .schema(upsertSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$stagingDir/*.parquet")
-      // synthetic event time: one minute per version, so every batch's
-      // watermark trails all retained state during the drain
-      .withColumn("ts",
-        expr("timestamp_micros(1700000000000000 + version * 60000000)"))
+    val src = dedupSource(spark, stagingDir)
     val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
     val query = streamingExactDedup(src, "text", "ts", watermarkDelay)
       .writeStream
@@ -686,6 +679,41 @@ object StreamOps {
       .start()
     query.awaitTermination()
     spark.table(name)
+  }
+
+  private def dedupSource(spark: SparkSession, stagingDir: String): DataFrame =
+    spark.readStream
+      .schema(upsertSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/*.parquet")
+      // synthetic event time: one minute per version, so every batch's
+      // watermark trails all retained state during the drain
+      .withColumn("ts",
+        expr("timestamp_micros(1700000000000000 + version * 60000000)"))
+
+  /** RESUMABLE dedup drain — a durable (parquet) sink plus a FIXED
+    * checkpoint, so a later invocation with the same locations
+    * RESTARTS the query: already-processed source files are skipped
+    * and the dedup state store is restored, meaning a re-crawled
+    * duplicate arriving after the restart is still suppressed and no
+    * emitted row is ever duplicated — the exactly-once-across-
+    * restarts contract (memory sinks cannot recover a checkpoint,
+    * which is why the driver-facing runner above uses a fresh one per
+    * drain). Returns the CUMULATIVE sink contents. */
+  def runStreamingDedupResumable(spark: SparkSession, stagingDir: String,
+                                 outDir: String, checkpoint: String,
+                                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    val query = streamingExactDedup(
+        dedupSource(spark, stagingDir), "text", "ts", watermarkDelay)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   // --- incremental embedding upsert (SURVEY §2.9) -----------------------

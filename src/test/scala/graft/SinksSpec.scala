@@ -78,4 +78,38 @@ class SinksSpec extends SparkSpec with Matchers {
     // pruning happened at planning: only the lang=en partition is read
     scans.head.selectedPartitions.partitionCount shouldBe 1
   }
+
+  test("jsonl: gzip round trip with explicit schema; corrupt lines quarantine") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sinks").toFile
+    val path = new java.io.File(dir, "corpus.jsonl").getAbsolutePath
+    val docs = Seq((1L, "alpha text", "src0"), (2L, "beta", "src1"))
+      .toDF("doc_id", "text", "source")
+    Sinks.jsonl(docs, path)
+    // gzip part files on disk
+    new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".json.gz")) should be >= 1
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val back = Sinks.readJsonl(spark, path, schema)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    back shouldBe Array((1L, "alpha text", "src0"), (2L, "beta", "src1"))
+    // corrupt line -> _corrupt_record, not a failed read
+    val badPath = new java.io.File(dir, "bad.jsonl").getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(badPath),
+      """{"doc_id": 1, "text": "ok", "source": "s"}""" + "\nnot json at all\n")
+    // (cache first: Spark refuses corrupt-column-only queries on the
+    // raw file scan)
+    val withCorrupt = spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .json(badPath)
+      .cache()
+    try {
+      withCorrupt.filter(col("_corrupt_record").isNotNull).count() shouldBe 1L
+      withCorrupt.filter(col("_corrupt_record").isNull).count() shouldBe 1L
+    } finally withCorrupt.unpersist()
+  }
 }

@@ -189,6 +189,32 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("checkpoint resume: dedup state survives a RESTART; only new rows emit") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_resume_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    val ckpt = s"$work/ckpt"
+    val out = s"$work/out"
+    StreamOps.stageVersionFile(
+      Seq((1L, 0L, "alpha"), (2L, 0L, "beta"), (3L, 0L, "alpha"))
+        .toDF("doc_id", "version", "text"),
+      s"$staging/f0.parquet")
+    val run1 = StreamOps.runStreamingDedupResumable(spark, staging, out, ckpt)
+      .select("text").collect().map(_.getString(0)).sorted
+    run1 shouldBe Array("alpha", "beta") // first-arrival dedup in run 1
+    // RESTART: new file with re-crawled duplicates + one new text
+    StreamOps.stageVersionFile(
+      Seq((4L, 1L, "alpha"), (5L, 1L, "beta"), (6L, 1L, "gamma"))
+        .toDF("doc_id", "version", "text"),
+      s"$staging/f1.parquet")
+    val run2 = StreamOps.runStreamingDedupResumable(spark, staging, out, ckpt)
+      .select("text").collect().map(_.getString(0)).sorted
+    // resumed state remembered alpha/beta (re-crawl suppressed) and f0
+    // was not reprocessed (no duplicated emissions in the durable sink)
+    run2 shouldBe Array("alpha", "beta", "gamma")
+  }
+
   test("late-data contract: planted late rows are ALL dropped; only finalized windows emit") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runLateDataRollupAvailableNow(spark, dir)
