@@ -264,12 +264,26 @@ object TextAnalysis {
     * keyed shuffle. The freq join key is the token: the stopword-skew
     * standard case — pre-aggregating per doc bounds each join row's
     * weight, and AQE's skew split handles the head tokens. */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLogProbFromCounts(tokenCounts(docs, idCol, textCol), idCol)
+
+  /** (id, __tok, __c) whitespace-token counts — the intermediate the
+    * scorer consumes THREE ways (per-doc rows, vocabulary
+    * frequencies, corpus total). Spark recomputes an unmaterialized
+    * lineage per consumer, so the composed [[unigramLogProb]] plans
+    * three corpus scans; at corpus scale persist (or write out) this
+    * frame first and hand it to [[unigramLogProbFromCounts]] — one
+    * scan + one tokenize pass, two cheap re-reads. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
         explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
-    val perDoc = toks.groupBy(col(idCol), col("__tok"))
+      .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__c"))
+
+  /** Score from pre-aggregated [[tokenCounts]] (persist the counts
+    * to make the three consumers share one computation). */
+  def unigramLogProbFromCounts(perDoc: DataFrame, idCol: String): DataFrame = {
     val freq = perDoc.groupBy(col("__tok")).agg(sum(col("__c")).as("__f"))
     val total = freq.agg(sum(col("__f")).as("__n"))
     perDoc.join(freq, "__tok")

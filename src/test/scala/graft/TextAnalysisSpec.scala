@@ -211,6 +211,14 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     val repart = TextAnalysis.unigramLogProb(docs.repartition(5), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     repart shouldBe out // integer sums: no accumulation-order drift
+    // the persist seam: scoring from pre-aggregated (persisted) counts
+    // is the same function
+    val counts = TextAnalysis.tokenCounts(docs, "doc_id", "text").persist()
+    try {
+      TextAnalysis.unigramLogProbFromCounts(counts, "doc_id")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap shouldBe out
+    } finally counts.unpersist()
   }
 
   test("charEntropy: exact integer micros; uniform text maxes, repeated text zeroes") {
