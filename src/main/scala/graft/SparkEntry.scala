@@ -588,6 +588,26 @@ object SparkEntry {
     StreamOps.runLateDataRollupAvailableNow(s, dir)
       .orderBy("win_start_us", "event_type")
 
+  /** Bucketed as-of join ([[AsofJoin.asofBackwardBucketed]]): q57's
+    * enrichment with the per-(key, day-bucket) packing that spreads a
+    * hot key's history across its time range — output hash-identical
+    * to the plain form against the same DuckDB ASOF oracle. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_uid"),
+        expr("ts div 1000").as("click_ts_us"), col("value"))
+      .groupBy("r_uid", "click_ts_us")
+      .agg(max(col("value")).as("click_val"))
+    graft.operators.AsofJoin.asofBackwardBucketed(
+        purchases, clicks, "user_id", "r_uid", "ts_us", "click_ts_us",
+        bucketSpan = 86400L * 1000000)
+      .orderBy("event_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1450,7 +1470,8 @@ object SparkEntry {
     "q92_global_ordinals" -> (q92 _),
     "q93_stream_scd2" -> (q93 _),
     "q94_char_entropy" -> (q94 _),
-    "q95_stream_late_data" -> (q95 _))
+    "q95_stream_late_data" -> (q95 _),
+    "q96_asof_bucketed" -> (q96 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2887,6 +2908,20 @@ object SparkEntry {
                FROM documents)
          GROUP BY token ORDER BY cnt DESC, token""",
     "q57_asof_join" ->
+      """WITH l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'
+         ), r AS (
+           SELECT user_id AS r_uid, epoch_us(ts) AS click_ts_us,
+                  max(value) AS click_val
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         )
+         SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                r.click_ts_us, r.click_val
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
+         ORDER BY l.event_id""",
+    "q96_asof_bucketed" ->
       """WITH l AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
            FROM events WHERE event_type = 'purchase'

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,104 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lRows.unionByName(rRows)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: payloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** [[asofBackward]] with per-(key, time-bucket) packing — the
+    * hot-key refinement the plain form's docstring names: a
+    * pathologically hot key serializes through ONE partition's sort
+    * there; here the heavy merge is partitioned by (key, bucket of
+    * span µs), so a hot key's history spreads across its time range.
+    *
+    * Construction: each bucket's candidate set = the right rows OF
+    * that bucket plus ONE boundary-carry row — the latest right row
+    * from any earlier bucket — so the within-bucket union-merge is
+    * self-contained. The carry is built on the per-key bucket SPINE
+    * (distinct buckets of either side): per (key, bucket) keep the
+    * last right row (keyed aggregate), then one per-key window over
+    * the spine propagates the running last across empty buckets. That
+    * window IS per-key sequential, but over ≤ time-range/span rows —
+    * bucket COUNT, not event count; pick span so a key's bucket count
+    * stays ~10³-10⁶ while each bucket's rows fit a task.
+    *
+    * Output is identical to [[asofBackward]] (q96 hash-proves it
+    * against the same ASOF oracle). */
+  def asofBackwardBucketed(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTime: String, rightTime: String,
+                           bucketSpan: Long): DataFrame = {
+    require(bucketSpan > 0, "bucketSpan must be positive")
+    val payloadCols = right.columns.filterNot(_ == rightKey)
+    require(payloadCols.contains(rightTime), s"right is missing $rightTime")
+    val clash = payloadCols.intersect(left.columns)
+    require(clash.isEmpty,
+      s"right payload columns clash with left: ${clash.mkString(", ")}")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with '__' are reserved by asofBackwardBucketed: ${reserved.mkString(", ")}")
+
+    val lStructType = left.select(struct(left.columns.map(col): _*).as("__l"))
+      .schema("__l").dataType
+    val rStruct = struct(payloadCols.map(col): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
+
+    def bucketOf(t: Column): Column = floor(t.cast("double") / bucketSpan).cast("long")
+
+    val rT = col(rightTime).cast(left.schema(leftTime).dataType)
+    val rRows = right.select(
+      col(rightKey).as("__k"), rT.as("__t"), bucketOf(rT).as("__b"),
+      rStruct.as("__r"))
+
+    // one row per (key, bucket): the bucket's LAST right row
+    val lastPerBucket = rRows
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__k"), col("__b"))
+          .orderBy(col("__t").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__b"), col("__t"), col("__r"))
+
+    // per-key bucket spine (buckets either side touches), carry = the
+    // running last right row STRICTLY BEFORE each bucket
+    val lBuckets = left.select(col(leftKey).as("__k"),
+      bucketOf(col(leftTime)).as("__b")).distinct()
+    val spine = lBuckets
+      .unionByName(lastPerBucket.select(col("__k"), col("__b")))
+      .distinct()
+    val wSpine = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = spine
+      .join(lastPerBucket, Seq("__k", "__b"), "left")
+      .withColumn("__run",
+        // when() nulls the spine-only rows: a bare struct(null, null)
+        // is NOT null and would clobber the running carry
+        last(when(col("__t").isNotNull,
+            struct(col("__t").as("t"), col("__r").as("r"))),
+          ignoreNulls = true).over(wSpine))
+      .withColumn("__carry", lag(col("__run"), 1).over(
+        Window.partitionBy(col("__k")).orderBy(col("__b"))))
+      .filter(col("__carry").isNotNull)
+      .select(col("__k"), col("__b"),
+        col("__carry.t").as("__t"), col("__carry.r").as("__r"))
+
+    // within-bucket union-merge: bucket's own right rows + the carry
+    // (whose time precedes the bucket start by construction)
+    val candidates = rRows.select(col("__k"), col("__b"), col("__t"), col("__r"))
+      .unionByName(carries)
+      .select(col("__k"), col("__b"), col("__t"), lit(0).as("__side"),
+        lit(null).cast(lStructType).as("__l"), col("__r"))
+    val lRows = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      bucketOf(col(leftTime)).as("__b"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStructType).as("__r"))
+
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lRows.unionByName(candidates)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(col("__l.*") +: payloadCols.map(c => col(s"__match.$c").as(c)): _*)

@@ -158,6 +158,26 @@ object ScaleProbe {
         "user_id", "r_uid", "ts_us", "click_ts_us",
         -7200000000L, 0L).count()
     }
+    // HOT-KEY as-of: every event re-keyed to ONE user. The plain
+    // union-merge serializes that key through a single partition's
+    // sort; the bucketed form spreads it across (key, day) partitions
+    // — the wall gap at 8x is the point of asofBackwardBucketed.
+    def hotKeyAsof(dir: String): (DataFrame, DataFrame) = {
+      val (p, c0) = purchasesClicks(dir)
+      (p.withColumn("user_id", lit(1L)),
+        c0.withColumn("r_uid", lit(1L))
+          .groupBy("r_uid", "click_ts_us")
+          .agg(max(col("value")).as("click_val")))
+    }
+    time("asof_hotkey_plain") { dir =>
+      val (p, c) = hotKeyAsof(dir)
+      AsofJoin.asofBackward(p, c, "user_id", "r_uid", "ts_us", "click_ts_us").count()
+    }
+    time("asof_hotkey_bucketed") { dir =>
+      val (p, c) = hotKeyAsof(dir)
+      AsofJoin.asofBackwardBucketed(p, c, "user_id", "r_uid",
+        "ts_us", "click_ts_us", bucketSpan = 86400L * 1000000).count()
+    }
     // decontamination: eval set FIXED (benchmarks don't grow with the
     // corpus), train side scans Kx docs — broadcast join, linear wall
     time("decontaminate") { dir =>

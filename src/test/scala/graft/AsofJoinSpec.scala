@@ -86,4 +86,30 @@ class AsofJoinSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       AsofJoin.asofBackward(trades, bad, "t_key", "q_key", "t_ts", "q_ts")
   }
+
+  test("bucketed form equals the plain form, including carries across EMPTY buckets") {
+    // right rows cluster in early buckets; many left rows land in
+    // later buckets with no right rows at all — every match must ride
+    // the boundary carry across the empty-bucket gap (the exact shape
+    // that breaks if a spine row without right rows clobbers the
+    // running carry)
+    val right = spark.range(0, 40).select(
+      (col("id") % 4).as("k"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 13).as("rt"),
+      (col("id") * 2.0).as("v"))
+    val left = spark.range(0, 300).select(
+      col("id").as("lid"), (col("id") % 5).as("lk"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 997).as("lt"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rt", "v").collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.toString), Option(r.get(2)))).toMap
+    val plain = norm(AsofJoin.asofBackward(left, right, "lk", "k", "lt", "rt"))
+    // small bucket span (in the ts domain, seconds): forces many
+    // empty buckets between the right cluster and the left tail
+    val bucketed = norm(AsofJoin.asofBackwardBucketed(
+      left, right, "lk", "k", "lt", "rt", bucketSpan = 1000L))
+    bucketed shouldBe plain
+    plain.count(_._2._1.isDefined) should be > 50 // carries actually fired
+  }
 }
