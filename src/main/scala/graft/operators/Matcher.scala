@@ -59,7 +59,9 @@ object Matcher {
     // (`main.py:91-97`). That is only sane for catalog-sized
     // references (83 rows for Lung v1.2), which the rest of the
     // matcher broadcasts anyway. Fail loudly on a corpus-sized input
-    // instead of silently one-task-sorting it. The guard is folded
+    // instead of silently one-task-sorting it. (Corpus-scale global
+    // ordinals, where genuinely needed, are Layout.globalOrdinals —
+    // range-partitioned offset attach, no SinglePartition sort.) The guard is folded
     // into the row_number projection itself (raise_error past the
     // limit) — zero extra Spark jobs per invocation, and the failure
     // still fires on the first action before any downstream work
