@@ -143,11 +143,15 @@ object ScaleProbe {
          .select(col("user_id").as("r_uid"),
            expr("ts div 1000").as("click_ts_us"), col("value")))
     }
+    // aggregate over the MATCH payload: a bare count() lets column
+    // pruning drop the as-of window itself and times only the scan
+    def forceAsof(df: DataFrame): Long =
+      df.agg(count(col("click_ts_us"))).head().getLong(0)
     time("asof_join") { dir =>
       val (p, c) = purchasesClicks(dir)
-      AsofJoin.asofBackward(p,
+      forceAsof(AsofJoin.asofBackward(p,
         c.groupBy("r_uid", "click_ts_us").agg(max(col("value")).as("click_val")),
-        "user_id", "r_uid", "ts_us", "click_ts_us").count()
+        "user_id", "r_uid", "ts_us", "click_ts_us"))
     }
     time("range_join_2h") { dir =>
       val (p, c) = purchasesClicks(dir)
@@ -158,25 +162,36 @@ object ScaleProbe {
         "user_id", "r_uid", "ts_us", "click_ts_us",
         -7200000000L, 0L).count()
     }
-    // HOT-KEY as-of: every event re-keyed to ONE user. The plain
-    // union-merge serializes that key through a single partition's
-    // sort; the bucketed form spreads it across (key, day) partitions
-    // — the wall gap at 8x is the point of asofBackwardBucketed.
+    // HOT-KEY as-of: every event re-keyed to ONE user and amplified
+    // x16 (timestamps spread x16 keep right-side uniqueness) — 2.5M+
+    // rows on one key at 8x. The plain union-merge serializes that
+    // key through a single partition's sort; the bucketed form
+    // spreads it across (key, day-bucket) partitions. See also
+    // tools/HotKeyProbe for the focused comparison.
     def hotKeyAsof(dir: String): (DataFrame, DataFrame) = {
-      val (p, c0) = purchasesClicks(dir)
-      (p.withColumn("user_id", lit(1L)),
-        c0.withColumn("r_uid", lit(1L))
-          .groupBy("r_uid", "click_ts_us")
-          .agg(max(col("value")).as("click_val")))
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val amp = explode(sequence(lit(0L), lit(15L))).as("__rep")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"), amp)
+        .select((col("event_id") * 16 + col("__rep")).as("event_id"),
+          lit(1L).as("user_id"),
+          (col("ts_us") * 16 + col("__rep")).as("ts_us"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(expr("ts div 1000").as("ts_us"), col("value"), amp)
+        .select(lit(1L).as("r_uid"),
+          (col("ts_us") * 16 + col("__rep")).as("click_ts_us"), col("value"))
+        .groupBy("r_uid", "click_ts_us")
+        .agg(max(col("value")).as("click_val"))
+      (p, c)
     }
     time("asof_hotkey_plain") { dir =>
       val (p, c) = hotKeyAsof(dir)
-      AsofJoin.asofBackward(p, c, "user_id", "r_uid", "ts_us", "click_ts_us").count()
+      forceAsof(AsofJoin.asofBackward(p, c, "user_id", "r_uid", "ts_us", "click_ts_us"))
     }
     time("asof_hotkey_bucketed") { dir =>
       val (p, c) = hotKeyAsof(dir)
-      AsofJoin.asofBackwardBucketed(p, c, "user_id", "r_uid",
-        "ts_us", "click_ts_us", bucketSpan = 86400L * 1000000).count()
+      forceAsof(AsofJoin.asofBackwardBucketed(p, c, "user_id", "r_uid",
+        "ts_us", "click_ts_us", bucketSpan = 86400L * 1000000))
     }
     // decontamination: eval set FIXED (benchmarks don't grow with the
     // corpus), train side scans Kx docs — broadcast join, linear wall
