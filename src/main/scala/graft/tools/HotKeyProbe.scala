@@ -42,6 +42,20 @@ object HotKeyProbe {
     val dirs = Seq("/root/testdata/sf0.1") ++
       Some("/tmp/graft_scale_x8").filter(d => new java.io.File(d).exists())
     for (dir <- dirs) {
+      // normal-key as-of (forced payload) for the corrected PERF row
+      val ev0 = spark.read.parquet(s"$dir/events.parquet")
+      val pn = ev0.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      val cn = ev0.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_uid"),
+          expr("ts div 1000").as("click_ts_us"), col("value"))
+        .groupBy("r_uid", "click_ts_us")
+        .agg(max(col("value")).as("click_val"))
+      time("asof_join_forced", dir) {
+        AsofJoin.asofBackward(pn, cn, "user_id", "r_uid", "ts_us", "click_ts_us")
+          .agg(count(col("click_ts_us"))).head().getLong(0)
+      }
       val (p, c) = hotInputs(dir)
       p.cache().count(); c.cache().count() // inputs off the clock
       // aggregate over the MATCH payload: a bare count() lets column
