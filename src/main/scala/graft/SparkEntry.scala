@@ -1202,7 +1202,11 @@ object SparkEntry {
       SELECT vec_id,
              graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
                        CAST(embedding AS ARRAY<DOUBLE>)) AS sq_norm,
-             size(graft_shingles(array('a','b','c','d'), 3)) AS n_shingles
+             size(graft_shingles(array('a','b','c','d'), 3)) AS n_shingles,
+             graft_bucket_counts(
+               transform(sequence(CAST(0 AS BIGINT), vec_id % 7),
+                         i -> pmod(i, 4)), 4)
+               AS bucket_hist
       FROM graft_embeddings ORDER BY vec_id""")
   }
 
@@ -2750,7 +2754,10 @@ object SparkEntry {
     "q36_sql_native_funcs" ->
       """SELECT vec_id,
            list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq_norm,
-           CAST(2 AS INTEGER) AS n_shingles
+           CAST(2 AS INTEGER) AS n_shingles,
+           list_transform(range(0, 4), b ->
+             CAST(len(list_filter(range(0, vec_id % 7 + 1), i -> i % 4 = b)) AS DOUBLE))
+             AS bucket_hist
          FROM embeddings ORDER BY vec_id""",
     "q37_wrangle_sheet" ->
       """WITH t1 AS (

@@ -84,6 +84,19 @@ object GraftExtensions {
             s"graft_topk: k must be an integer literal, got $other")
         }
         TopKByScoreAgg(args(0), args(1), k).toAggregateExpression()
+      }),
+    ("graft_bucket_counts",
+      info("graft_bucket_counts",
+        "graft_bucket_counts(buckets, dim) - one-pass histogram of a long " +
+          "bucket-id array into a dim-wide double count vector"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bucket_counts expects exactly 2 arguments")
+        val dim = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bucket_counts: dim must be an integer literal, got $other")
+        }
+        BucketCountsExpr(args(0), dim)
       }))
 
   /** Register on an already-built session (the extensions hook only
