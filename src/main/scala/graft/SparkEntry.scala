@@ -608,6 +608,21 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Incremental dedup against corpus history
+    * ([[Dedup.dedupAgainstCorpus]]): a synthetic recrawl (every 5th
+    * doc re-keyed; every 3rd of those edited) anti-joins the corpus
+    * digest set — only genuinely new content survives ingestion. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Dedup.dedupAgainstCorpus(batch, docs)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1475,7 +1490,8 @@ object SparkEntry {
     "q93_stream_scd2" -> (q93 _),
     "q94_char_entropy" -> (q94 _),
     "q95_stream_late_data" -> (q95 _),
-    "q96_asof_bucketed" -> (q96 _))
+    "q96_asof_bucketed" -> (q96 _),
+    "q97_incremental_dedup" -> (q97 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2928,6 +2944,16 @@ object SparkEntry {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
          ORDER BY l.event_id""",
+    "q97_incremental_dedup" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 5 = 0
+         ), seen AS (SELECT DISTINCT md5(text) AS h FROM documents)
+         SELECT b.doc_id, md5(b.text) AS content_md5
+         FROM batch b LEFT JOIN seen s ON s.h = md5(b.text)
+         WHERE s.h IS NULL
+         ORDER BY b.doc_id""",
     "q96_asof_bucketed" ->
       """WITH l AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value

@@ -386,4 +386,21 @@ object Dedup {
       .toSeq
     Ann.lshNearDupPairs(embs, idCol, vecCol, planes, cosineThreshold)
   }
+
+  /** Incremental exact dedup: keep only the arriving batch's rows
+    * whose content digest does NOT already exist in the corpus — the
+    * recrawl-ingestion stage (dedup against history, not within the
+    * batch; compose with [[exactDuplicates]] for within-batch).
+    * Shape: digest-keyed LEFT ANTI hash join; the corpus side prunes
+    * to its digest column only, so at 100 TB the build input is one
+    * narrow column (or a pre-materialized digest table — pass any
+    * frame with the same text column). */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__seen_md5")).distinct()
+    batch
+      .withColumn("__md5", md5(col(textCol)))
+      .join(seen, col("__md5") === col("__seen_md5"), "left_anti")
+      .drop("__md5")
+  }
 }

@@ -32,16 +32,33 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q73_corpus_pipeline",
     "q86_unigram_logprob") // 1-row corpus-total broadcast, like q60
 
+  /** Queries whose plan legitimately carries a GLOBAL window (empty
+    * partitionSpec ⇒ a one-task sort of the window's input):
+    * prepareReference's positional row id — catalog-sized by guarded
+    * contract (q24/q40/q44). A SinglePartition exchange alone is NOT
+    * flagged: global aggregates finalize on one partition whose input
+    * is partial-aggregate-sized (q56/q60/q61/q73/q86's corpus
+    * stats) — benign by construction. */
+  private val intentionalGlobalWindow = Set(
+    "q24_label_match_report", "q40_label_match_frozen", "q44_label_match_w2v")
+
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!eager.contains(name)) {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val executed = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = executed.toString
         if (plan.contains("CartesianProduct"))
           offenders += s"$name: CartesianProduct"
         if (plan.contains("BroadcastNestedLoopJoin") &&
             !intentionalNestedLoop.contains(name))
           offenders += s"$name: BroadcastNestedLoopJoin"
+        val globalWindows = executed.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (globalWindows.nonEmpty && !intentionalGlobalWindow.contains(name))
+          offenders += s"$name: global window (one-task sort)"
       }
     }
     offenders shouldBe empty
