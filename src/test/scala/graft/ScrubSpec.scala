@@ -52,4 +52,30 @@ class ScrubSpec extends SparkSpec with Matchers {
     out.getAs[String]("scrubbed") shouldBe "id <SSN> x"
     out.getAs[Long]("n_ssn") shouldBe 1L
   }
+
+  test("adversarial completeness: no pattern matches its own scrub output") {
+    // randomized PII-ish soup (seeded): after scrubbing, NO pattern
+    // may still match — placeholders must not recombine with
+    // surrounding text into fresh matches
+    val rnd = new scala.util.Random(99)
+    val frags = Seq(
+      "bob@x.io", "999-99-9999", "650-555-0000", "8.8.8.8",
+      "4242424242424242", "abcdefabcdefabcdefabcdefabcdef12",
+      "sk-Zz9Yy8Xx7Ww6Vv5Uu4", "plain", "words", "-", ".", "@", "12",
+      "a1b2", "end.")
+    val texts = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(12)(frags(rnd.nextInt(frags.length))).mkString(" "))
+    }
+    val compiled = Scrub.piiPatterns.map { case (c, p, _) =>
+      c -> java.util.regex.Pattern.compile(p)
+    }
+    Scrub.scrubPii(texts.toDF("id", "text"), "text")
+      .select("scrubbed").collect().map(_.getString(0)).foreach { s =>
+      compiled.foreach { case (cat, pat) =>
+        withClue(s"$cat still matches in: $s") {
+          pat.matcher(s).find() shouldBe false
+        }
+      }
+    }
+  }
 }

@@ -79,6 +79,25 @@ class SinksSpec extends SparkSpec with Matchers {
     scans.head.selectedPartitions.partitionCount shouldBe 1
   }
 
+  test("schema drift: mergeSchema unifies parquet files written with evolving columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sinks").toFile
+    val path = new java.io.File(dir, "evolving").getAbsolutePath
+    // v1 writer: (doc_id, text); v2 adds a lang column
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.parquet(s"$path/batch=1")
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$path/batch=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(path)
+      .orderBy("doc_id").collect()
+    unified.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    // old rows surface the new column as null — the ingest contract
+    // for evolving crawl schemas
+    unified(0).getAs[String]("lang") shouldBe null
+    unified(1).getAs[String]("lang") shouldBe "en"
+  }
+
   test("jsonl: gzip round trip with explicit schema; corrupt lines quarantine") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
