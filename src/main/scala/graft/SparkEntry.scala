@@ -623,6 +623,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-8 end-to-end capstone, the q73 pattern over the NEW
+    * stages: PII scrub → canonical-URL first-wins dedup → character-
+    * entropy quality gate (exact integer predicate) → token-window
+    * chunking → deterministic shard ordering. Every stage proven
+    * individually (q84/q85/q94/q88/q87); ONE oracle proves the
+    * composition. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val planted = element_at(array(piiPlants.map(lit): _*),
+      (col("doc_id") % 7 + 1).cast("int"))
+    val url = concat(
+      element_at(array(lit("https://"), lit("HTTPS://WWW.")),
+        (col("doc_id") % 2 + 1).cast("int")),
+      col("source"), lit(".Example.COM/p/"),
+      (col("doc_id") % 37).cast("string"),
+      element_at(
+        array(lit(""), lit("/"), lit("?utm_source=feed&id=9"), lit("#section-2")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), planted).as("text"),
+        url.as("url"))
+    val scrubbed = Scrub.scrubPii(base, "text")
+      .select(col("doc_id"), col("url"), col("scrubbed"))
+    val w = Window.partitionBy(col("__curl")).orderBy(col("doc_id"))
+    val urlDeduped = scrubbed
+      .withColumn("__curl", UrlOps.canonicalizeUrl(col("url")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("scrubbed"))
+    val ent = TextAnalysis.charEntropy(urlDeduped, "doc_id", "scrubbed")
+    val gated = urlDeduped.join(ent, "doc_id")
+      .filter(col("n_chars") >= 100 &&
+        col("entropy_micros") >= lit(2800000L) * col("n_chars"))
+      .select(col("doc_id"), col("scrubbed"))
+    val chunks = TextAnalysis.chunkTokens(gated, "doc_id", "scrubbed",
+      chunkSize = 32, overlap = 8)
+    graft.operators.Curation.shardAndOrder(
+        chunks.select(
+          (col("doc_id") * 1000 + col("chunk_id")).as("chunk_uid"),
+          col("doc_id"), col("chunk_id"), col("n_tok")),
+        "chunk_uid", nShards = 16)
+      .select(col("chunk_uid"), col("doc_id"), col("chunk_id"),
+        col("n_tok"), col("shard"), col("pos"))
+      .orderBy("chunk_uid")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1491,7 +1536,8 @@ object SparkEntry {
     "q94_char_entropy" -> (q94 _),
     "q95_stream_late_data" -> (q95 _),
     "q96_asof_bucketed" -> (q96 _),
-    "q97_incremental_dedup" -> (q97 _))
+    "q97_incremental_dedup" -> (q97 _),
+    "q98_curation_pipeline_v2" -> (q98 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2253,18 +2299,26 @@ object SparkEntry {
        ORDER BY w.source, raw_input_label"""
   }
 
+  /** The nested global regexp_replace chain of [[Scrub.piiPatterns]]
+    * in application order, as SQL over `expr`. */
+  private def piiRedactChainSql(expr: String): String =
+    Scrub.piiPatterns.foldLeft(expr) {
+      case (acc, (_, pat, ph)) => s"regexp_replace($acc, '$pat', '$ph', 'g')"
+    }
+
+  private def piiPlantListSql: String =
+    piiPlants.map(p => s"'$p'").mkString("[", ", ", "]")
+
   /** q84 oracle GENERATED from [[Scrub.piiPatterns]] — counts via
     * regexp_extract_all on the raw text, redaction as the nested
     * global regexp_replace chain in application order. Same pattern
     * strings, same planted PII, both engines. */
   private def piiScrubOracle: String = {
-    val plantList = piiPlants.map(p => s"'$p'").mkString("[", ", ", "]")
+    val plantList = piiPlantListSql
     val counts = Scrub.piiPatterns.map { case (cat, pat, _) =>
       s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$cat"
     }.mkString(",\n                ")
-    val redacted = Scrub.piiPatterns.foldLeft("text") {
-      case (acc, (_, pat, ph)) => s"regexp_replace($acc, '$pat', '$ph', 'g')"
-    }
+    val redacted = piiRedactChainSql("text")
     s"""WITH src AS (
          SELECT doc_id, text || ($plantList)[(doc_id % 7) + 1] AS text
          FROM documents
@@ -2360,6 +2414,85 @@ object SparkEntry {
               CAST(sum(n) AS BIGINT) AS n_docs,
               CAST(sum(n - 1) AS BIGINT) AS n_removed
        FROM g GROUP BY dom ORDER BY domain"""
+  }
+
+  /** q98 oracle — the composed round-8 pipeline: the q84 redact
+    * chain, the q85 canonicalization regex chain, the q94 entropy
+    * arithmetic, the q88 chunk windows and the q87 shard hash, all
+    * generated from the same shared data/builders as their individual
+    * oracles. */
+  private def curationPipelineV2Oracle: String = {
+    val shp = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$"
+    s"""WITH src AS (
+         SELECT doc_id,
+                text || ($piiPlantListSql)[(doc_id % 7) + 1] AS text,
+                (['https://', 'HTTPS://WWW.'])[(doc_id % 2) + 1]
+                  || source || '.Example.COM/p/' || CAST(doc_id % 37 AS VARCHAR)
+                  || (['', '/', '?utm_source=feed&id=9', '#section-2'])[(doc_id % 4) + 1]
+                  AS url
+         FROM documents
+       ), scr AS (
+         SELECT doc_id, url, ${piiRedactChainSql("text")} AS scrubbed
+         FROM src
+       ), bare AS (
+         SELECT doc_id, scrubbed,
+                regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                               '\\?.*$$', '', 'g') AS b
+         FROM scr
+       ), canon AS (
+         SELECT doc_id, scrubbed,
+                lower(regexp_extract(b, '$shp', 1)) || '://'
+                  || regexp_replace(lower(regexp_extract(b, '$shp', 2)),
+                                    '^www\\.', '', 'g')
+                  || regexp_replace(regexp_extract(b, '$shp', 3), '/$$', '', 'g')
+                  AS curl
+         FROM bare
+       ), kept AS (
+         SELECT doc_id, scrubbed FROM (
+           SELECT doc_id, scrubbed,
+                  row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+           FROM canon)
+         WHERE rn = 1
+       ), ch AS (
+         SELECT doc_id, unnest(regexp_extract_all(scrubbed, '.')) AS c
+         FROM kept
+       ), cnt AS (
+         SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+         FROM ch GROUP BY doc_id, c
+       ), tot AS (
+         SELECT doc_id, c, k, sum(k) OVER (PARTITION BY doc_id) AS n
+         FROM cnt
+       ), ent AS (
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                CAST(sum(CAST(round(-ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                              AS BIGINT) * k) AS BIGINT) AS ent_micros
+         FROM tot GROUP BY doc_id
+       ), gated AS (
+         SELECT k.doc_id, k.scrubbed
+         FROM kept k JOIN ent e USING (doc_id)
+         WHERE e.n_chars >= 100 AND e.ent_micros >= 2800000 * e.n_chars
+       ), tk AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(scrubbed, '\\s+'), t -> t <> '') AS toks
+         FROM gated
+       ), wnd AS (
+         SELECT doc_id, toks, len(toks) AS n,
+                unnest([s for s in range(0, greatest(len(toks), 1), 24) if s < len(toks)]) AS s
+         FROM tk
+       ), chunks AS (
+         SELECT doc_id * 1000 + s // 24 AS chunk_uid, doc_id,
+                CAST(s // 24 AS BIGINT) AS chunk_id,
+                CAST(least(32, n - s) AS BIGINT) AS n_tok
+         FROM wnd
+       ), h AS (
+         SELECT chunk_uid, doc_id, chunk_id, n_tok,
+                ('0x' || substr(md5('order:' || CAST(chunk_uid AS VARCHAR)), 1, 14))::BIGINT AS hk
+         FROM chunks
+       )
+       SELECT chunk_uid, doc_id, chunk_id, n_tok, hk % 16 AS shard,
+              CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, chunk_uid)
+                   AS BIGINT) AS pos
+       FROM h ORDER BY chunk_uid"""
   }
 
   /** The vendored contraction table as DuckDB VALUES — both engines
@@ -2944,6 +3077,7 @@ object SparkEntry {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
          ORDER BY l.event_id""",
+    "q98_curation_pipeline_v2" -> curationPipelineV2Oracle,
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,
