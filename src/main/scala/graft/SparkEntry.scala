@@ -668,6 +668,21 @@ object SparkEntry {
       .orderBy("chunk_uid")
   }
 
+  /** Hard-negative mining ([[Ann.hardNegatives]]): per query, the
+    * top-5 most-similar corpus vectors that are neither the query nor
+    * its labeled positive (q_id+1) — the contrastive-training
+    * negatives a retrieval pipeline mines; over-fetch + filter proven
+    * equal to filter-then-rank by the oracle. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val positives = queries.select(col("vec_id").as("q_id"),
+      (col("vec_id") + 1).as("pos_id"))
+    Ann.hardNegatives(queries, e, positives,
+        "vec_id", "vec_id", "embedding", k = 5, maxPositivesPerQuery = 1)
+      .orderBy("q_id", "neg_rank")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1537,7 +1552,8 @@ object SparkEntry {
     "q95_stream_late_data" -> (q95 _),
     "q96_asof_bucketed" -> (q96 _),
     "q97_incremental_dedup" -> (q97 _),
-    "q98_curation_pipeline_v2" -> (q98 _))
+    "q98_curation_pipeline_v2" -> (q98 _),
+    "q99_hard_negatives" -> (q99 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1701,6 +1717,21 @@ object SparkEntry {
              FROM s)
        SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score
        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** q99 oracle — filter-then-rank directly (the Spark side's
+    * over-fetch + filter must equal it exactly). */
+  private def hardNegativesOracle: String =
+    s"""$embCte,
+       q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+       s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+             FROM q CROSS JOIN n c),
+       f AS (SELECT * FROM s WHERE c_id <> q_id AND c_id <> q_id + 1),
+       r AS (SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk
+             FROM f)
+       SELECT q_id, CAST(rnk AS BIGINT) AS neg_rank, c_id, score
+       FROM r WHERE rnk <= 5 ORDER BY q_id, neg_rank"""
 
   private def lshBucketsOracle: String = {
     val cols = (0 until lshPlanes.length / lshBandSize)
@@ -2854,6 +2885,7 @@ object SparkEntry {
     "q21_simhash" -> simhashOracle,
     "q22_ngram_jaccard" -> jaccardOracle,
     "q25_knn_bruteforce" -> knnOracle,
+    "q99_hard_negatives" -> hardNegativesOracle,
     "q26_lsh_buckets" -> lshBucketsOracle,
     "q27_lsh_neardup" -> lshNearDupOracle,
     "q28_minhash_lsh_pairs" -> minhashLshPairsOracle,

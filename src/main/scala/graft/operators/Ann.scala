@@ -356,4 +356,40 @@ object Ann {
         col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
     rankTopK(scored, "q_id", "c_id", "score", k)
   }
+
+  /** Hard-negative mining for retrieval/contrastive training: per
+    * query, the k MOST SIMILAR corpus items that are neither the
+    * query itself nor a labeled positive — the negatives that
+    * actually teach a ranking model (random negatives are trivially
+    * separable).
+    *
+    * Over-fetch correctness: top-(k + maxPositivesPerQuery + 1)
+    * candidates are fetched, then self and positives are removed and
+    * the survivors re-ranked — any candidate outside the over-fetched
+    * set scores below all kept negatives, so the result is exactly
+    * the filter-then-rank top-k. `positives` carries (q_id, pos_id)
+    * label pairs (label tables are broadcast-sized by construction).
+    * Scale shape inherits [[bruteForceTopK]] (broadcast corpus GEMM +
+    * bounded-heap rank); swap in [[ivfTopK]] candidates upstream for
+    * corpus-scale mining. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame,
+                    qIdCol: String, cIdCol: String, vecCol: String,
+                    k: Int, maxPositivesPerQuery: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxPositivesPerQuery >= 0, "maxPositivesPerQuery must be >= 0")
+    val fetched = bruteForceTopK(queries, corpus, qIdCol, cIdCol, vecCol,
+      k + maxPositivesPerQuery + 1)
+    val pos = positives.select(col("q_id").as("__pq"), col("pos_id").as("__pc"))
+    val negs = fetched
+      .filter(col("c_id") =!= col("q_id"))
+      .join(broadcast(pos),
+        col("q_id") === col("__pq") && col("c_id") === col("__pc"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    negs
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("q_id"), col("neg_rank"), col("c_id"), col("score"))
+  }
 }

@@ -207,4 +207,35 @@ class AnnSpec extends SparkSpec with Matchers {
     // cell 0 holds v0 and the zero vector v5 (all-tie → lowest cell id)
     ivf shouldBe Set(0L, 5L)
   }
+
+  test("hardNegatives: over-fetch + filter equals brute filter-then-rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 120L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    val positives = queries.select($"vec_id".as("q_id"),
+      ($"vec_id" + 1).as("pos_id"))
+    val got = Ann.hardNegatives(queries, corpus, positives,
+        "vec_id", "vec_id", "embedding", k = 4, maxPositivesPerQuery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute reference: filter self+positive FIRST, then rank
+    val brute = Ann.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 120)
+      .filter($"c_id" =!= $"q_id" && $"c_id" =!= $"q_id" + 1)
+      .withColumn("neg_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"score".desc, $"c_id")))
+      .filter($"neg_rank" <= 4)
+      .collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+        r.getInt(r.fieldIndex("neg_rank")).toLong) -> r.getLong(r.fieldIndex("c_id")))
+      .toMap
+    got shouldBe brute
+    got.keys.map(_._1).toSet should have size 6 // all queries mined
+    // no self or positive leaked into the negatives
+    got.foreach { case ((q, _), c) =>
+      c should not be q
+      c should not be (q + 1)
+    }
+  }
 }
