@@ -628,7 +628,10 @@ object SparkEntry {
     * entropy quality gate (exact integer predicate) → token-window
     * chunking → deterministic shard ordering. Every stage proven
     * individually (q84/q85/q94/q88/q87); ONE oracle proves the
-    * composition. */
+    * composition. (Corpus-scale note: the url-deduped frame feeds the
+    * entropy aggregate AND the gate join — an unmaterialized lineage
+    * replans the upstream scan per consumer; persist it, like q86's
+    * tokenCounts seam, when running this off-harness at scale.) */
   private def q98(s: SparkSession, dir: String): DataFrame = {
     val planted = element_at(array(piiPlants.map(lit): _*),
       (col("doc_id") % 7 + 1).cast("int"))
