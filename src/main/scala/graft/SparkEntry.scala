@@ -686,6 +686,36 @@ object SparkEntry {
       .orderBy("q_id", "neg_rank")
   }
 
+  /** Streaming-ingest capstone
+    * ([[StreamOps.runStreamIngestAvailableNow]]): two crawl waves
+    * (originals, then a recrawl with planted PII on every 4th doc and
+    * unchanged re-fetches on every 6th) flow scrub → length gate →
+    * cross-batch dedup UNDER the engine; the oracle replays the chain
+    * in batch over the same staged union. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val planted = element_at(array(piiPlants.map(lit): _*),
+      (col("doc_id") % 7 + 1).cast("int"))
+    val v0 = d.select(col("doc_id"), lit(0L).as("version"), col("text"))
+    val v1 = d.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), lit(1L).as("version"),
+        concat(col("text"), planted).as("text"))
+      .unionByName(d.filter(col("doc_id") % 6 === 0 && col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), lit(1L).as("version"), col("text")))
+    val work = java.nio.file.Files.createTempDirectory("graft_singest_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    StreamOps.stageVersionFile(v0, s"$staging/v0.parquet")
+    StreamOps.stageVersionFile(v1, s"$staging/v1.parquet")
+    val nRedactions = Scrub.piiPatterns
+      .map { case (c, _, _) => col(s"n_$c") }
+      .reduce(_ + _)
+    StreamOps.runStreamIngestAvailableNow(s, staging, minChars = 50)
+      .select(col("doc_id"), col("version"), col("text_md5"),
+        nRedactions.as("n_redactions"))
+      .orderBy("doc_id", "version")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1556,7 +1586,8 @@ object SparkEntry {
     "q96_asof_bucketed" -> (q96 _),
     "q97_incremental_dedup" -> (q97 _),
     "q98_curation_pipeline_v2" -> (q98 _),
-    "q99_hard_negatives" -> (q99 _))
+    "q99_hard_negatives" -> (q99 _),
+    "q100_stream_ingest" -> (q100 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2529,6 +2560,40 @@ object SparkEntry {
        FROM h ORDER BY chunk_uid"""
   }
 
+  /** q100 oracle — the batch replay of the streaming ingest chain:
+    * same staged union, same redact chain and counts, same length
+    * gate, first-arrival (version, doc_id) dedup on the scrubbed
+    * digest. */
+  private def streamIngestOracle: String = {
+    val counts = Scrub.piiPatterns.map { case (_, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH v0 AS (
+         SELECT doc_id, CAST(0 AS BIGINT) AS version, text FROM documents
+       ), v1 AS (
+         SELECT doc_id, CAST(1 AS BIGINT) AS version,
+                text || ($piiPlantListSql)[(doc_id % 7) + 1] AS text
+         FROM documents WHERE doc_id % 4 = 0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), text
+         FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 <> 0
+       ), u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       ), scr AS (
+         SELECT doc_id, version,
+                ${piiRedactChainSql("text")} AS scrubbed,
+                $counts AS n_redactions
+         FROM u
+       ), f AS (SELECT * FROM scr WHERE len(scrubbed) >= 50
+       ), r AS (
+         SELECT doc_id, version, md5(scrubbed) AS text_md5, n_redactions,
+                row_number() OVER (PARTITION BY md5(scrubbed)
+                  ORDER BY version, doc_id) AS rn
+         FROM f
+       )
+       SELECT doc_id, version, text_md5, n_redactions
+       FROM r WHERE rn = 1 ORDER BY doc_id, version"""
+  }
+
   /** The vendored contraction table as DuckDB VALUES — both engines
     * evaluate the identical map. */
   private def expandContractionsOracle: String = {
@@ -3113,6 +3178,7 @@ object SparkEntry {
            ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
          ORDER BY l.event_id""",
     "q98_curation_pipeline_v2" -> curationPipelineV2Oracle,
+    "q100_stream_ingest" -> streamIngestOracle,
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

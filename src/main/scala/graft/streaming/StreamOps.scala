@@ -691,6 +691,30 @@ object StreamOps {
       .withColumn("ts",
         expr("timestamp_micros(1700000000000000 + version * 60000000)"))
 
+  /** Streaming INGEST pipeline — PII scrub → length quality gate →
+    * cross-batch exact dedup, composed and run UNDER the streaming
+    * engine: proves the curation projections are streaming-safe (pure
+    * per-row maps compose with the watermarked dedup state with no
+    * batch-only constructs) — the "your crawl ingest is a stream job"
+    * posture. Batch twin = the same chain over the staged union,
+    * which is what the q100 oracle states. */
+  def runStreamIngestAvailableNow(spark: SparkSession, stagingDir: String,
+                                  minChars: Int): DataFrame = {
+    val src = dedupSource(spark, stagingDir)
+    val scrubbed = graft.operators.Scrub.scrubPii(src, "text")
+      .filter(length(col("scrubbed")) >= minChars)
+    val name = s"graft_stream_ingest_${runCounter.incrementAndGet()}"
+    val query = streamingExactDedup(scrubbed, "scrubbed", "ts")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** RESUMABLE dedup drain — a durable (parquet) sink plus a FIXED
     * checkpoint, so a later invocation with the same locations
     * RESTARTS the query: already-processed source files are skipped
