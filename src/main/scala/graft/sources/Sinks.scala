@@ -76,6 +76,18 @@ object Sinks {
     (if (compress) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** ORC sink — the other big columnar warehouse format (Hive-world
+    * interchange); Spark's native ORC writer keeps min/max/bloom
+    * statistics so predicate pushdown works like parquet's
+    * (SinksSpec proves the pushed filter reaches the scan). Same
+    * layout knobs compose: partitionBy upstream, or
+    * [[graft.operators.Layout.clusterByZ]] for two-column pruning. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSONL source with an EXPLICIT schema — schema inference reads
     * the whole dataset twice at 100 TB; corpus readers always know
     * their document shape. Corrupt lines surface in the standard

@@ -98,6 +98,28 @@ class SinksSpec extends SparkSpec with Matchers {
     unified(1).getAs[String]("lang") shouldBe "en"
   }
 
+  test("orc: round trip preserves types; predicate pushes to the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sinks").toFile
+    val path = new java.io.File(dir, "docs.orc").getAbsolutePath
+    val docs = (1L to 500L).map(i => (i, s"text $i", i * 1.5))
+      .toDF("doc_id", "text", "score")
+    Sinks.orc(docs, path)
+    val back = Sinks.readOrc(spark, path)
+    back.schema.map(_.dataType.typeName).toSeq shouldBe
+      Seq("long", "string", "double")
+    val filtered = back.filter(col("doc_id") === 42L)
+    filtered.collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((42L, "text 42"))
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    // the equality predicate reached the ORC reader's pushdown slot
+    scan.metadata("PushedFilters") should include ("doc_id")
+  }
+
   test("jsonl: gzip round trip with explicit schema; corrupt lines quarantine") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
