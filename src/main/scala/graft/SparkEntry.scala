@@ -716,6 +716,14 @@ object SparkEntry {
       .orderBy("doc_id", "version")
   }
 
+  /** Streaming EWMA ([[StreamOps.streamingEwma]], α = 0.25): one
+    * double of per-user state; the oracle replays the exact recursion
+    * (recursive CTE, identical IEEE expression shape), so the hash
+    * proves bit-faithful float state across micro-batches. */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingEwmaAvailableNow(s, dir, alpha = 0.25)
+      .orderBy("user_id", "ts_us", "event_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1587,7 +1595,8 @@ object SparkEntry {
     "q97_incremental_dedup" -> (q97 _),
     "q98_curation_pipeline_v2" -> (q98 _),
     "q99_hard_negatives" -> (q99 _),
-    "q100_stream_ingest" -> (q100 _))
+    "q100_stream_ingest" -> (q100 _),
+    "q101_stream_ewma" -> (q101 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3179,6 +3188,25 @@ object SparkEntry {
          ORDER BY l.event_id""",
     "q98_curation_pipeline_v2" -> curationPipelineV2Oracle,
     "q100_stream_ingest" -> streamIngestOracle,
+    "q101_stream_ewma" ->
+      """WITH RECURSIVE x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(value AS DOUBLE) AS x
+           FROM events WHERE event_type IN ('signup', 'purchase')
+         ), seq AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS rn
+           FROM x
+         ), ew AS (
+           SELECT user_id, event_id, ts_us, rn, x, x AS ewma
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT q.user_id, q.event_id, q.ts_us, q.rn, q.x,
+                  ew.ewma * 0.75 + q.x * 0.25
+           FROM seq q JOIN ew ON q.user_id = ew.user_id AND q.rn = ew.rn + 1
+         )
+         SELECT user_id, event_id, ts_us, ewma
+         FROM ew ORDER BY user_id, ts_us, event_id""",
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

@@ -537,6 +537,78 @@ object StreamOps {
     * the drop side of the late-data contract. */
   @volatile var lastLateDropCount: Long = -1L
 
+  // --- streaming EWMA ----------------------------------------------------
+
+  case class EwmaEvent(user_id: Long, event_id: Long, ts_us: Long, x: Double)
+  case class EwmaOut(user_id: Long, event_id: Long, ts_us: Long, ewma: Double)
+
+  /** Streaming exponentially-weighted moving average — the continuous
+    * NUMERIC feature a time-series feature store maintains per key:
+    * one double of state, updated s' = s·(1−α) + x·α as each event
+    * arrives (first event seeds the state). Unlike the counting/
+    * interval state machines (quota, funnel, SCD-2) this carries
+    * float accumulation across batches, and the q101 oracle replays
+    * the EXACT recursion (DuckDB recursive CTE, identical IEEE
+    * expression shape s·0.75 + x·0.25), so a hash match proves the
+    * engine's state path is bit-faithful, not just approximately
+    * right. In-batch order is (ts, id); the staged replay is
+    * time-split so arrival order respects event order. */
+  def streamingEwma(stream: Dataset[EwmaEvent], alpha: Double): Dataset[EwmaOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EwmaEvent], state: GroupState[Double]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
+          var s = state.getOption
+          val out = sorted.map { r =>
+            val next = s match {
+              case None => r.x
+              case Some(p) => p * (1 - alpha) + r.x * alpha
+            }
+            s = Some(next)
+            EwmaOut(uid, r.event_id, r.ts_us, next)
+          }
+          s.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Drive [[streamingEwma]]: signup/purchase values staged as two
+    * time-split micro-batches. */
+  def runStreamingEwmaAvailableNow(spark: SparkSession, dir: String,
+                                   alpha: Double): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val staging = stagedDir("ewma", dir) { staging =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value").as("x"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
+        .head().getLong(0)
+      stageVersionFile(ev.filter(col("ts_us") < mid), s"$staging/f0.parquet")
+      stageVersionFile(ev.filter(col("ts_us") >= mid), s"$staging/f1.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts_us", LongType), StructField("x", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[EwmaEvent]
+    val name = s"graft_stream_ewma_${runCounter.incrementAndGet()}"
+    val query = streamingEwma(src, alpha)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming SCD-2 --------------------------------------------------
 
   case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long,

@@ -241,6 +241,31 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streaming EWMA is bit-identical to the sequential recursion (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingEwmaAvailableNow(spark, dir, alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .filter($"event_type" === "signup" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    val state = scala.collection.mutable.Map.empty[Long, Double]
+    rows.foreach { case (u, _, ts, x) =>
+      val s = state.get(u) match {
+        case None => x
+        case Some(p) => p * 0.75 + x * 0.25
+      }
+      state(u) = s
+      expected((u, ts)) = s
+    }
+    streamed.size shouldBe expected.size
+    // EXACT equality: float state must be bit-faithful across batches
+    expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
+  }
+
   test("streaming SCD-2 closed intervals equal the batch lead() form (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamingScd2AvailableNow(spark, dir)
