@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Dedup, Matcher, Multimodal, Scrub, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Dedup, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
@@ -723,6 +723,24 @@ object SparkEntry {
   private def q101(s: SparkSession, dir: String): DataFrame =
     StreamOps.runStreamingEwmaAvailableNow(s, dir, alpha = 0.25)
       .orderBy("user_id", "ts_us", "event_id")
+
+  /** Count-min sketch frequency estimation ([[Sketch]]): build a
+    * 4×16 deterministic md5-keyed sketch over the corpus token
+    * frequencies, then point-query every vocabulary term. The narrow
+    * width FORCES collisions at the harness vocabulary, so the
+    * overcount column exercises the real CMS behaviour; the oracle
+    * replays every cell and the min-estimate arithmetic exactly.
+    * est ≥ f always (never undercounts). */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val freq = TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("__tok").as("tok")).agg(sum(col("__c")).as("f"))
+    val sketch = Sketch.countMinBuild(freq, "tok", "f",
+      depth = 4, width = 16, salt = "cms")
+    Sketch.countMinEstimate(sketch, freq, "tok",
+        depth = 4, width = 16, salt = "cms")
+      .select(col("tok"), col("f"), col("est"), (col("est") - col("f")).as("overcount"))
+      .orderBy("tok")
+  }
 
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
@@ -1596,7 +1614,8 @@ object SparkEntry {
     "q98_curation_pipeline_v2" -> (q98 _),
     "q99_hard_negatives" -> (q99 _),
     "q100_stream_ingest" -> (q100 _),
-    "q101_stream_ewma" -> (q101 _))
+    "q101_stream_ewma" -> (q101 _),
+    "q102_countmin" -> (q102 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3207,6 +3226,29 @@ object SparkEntry {
          )
          SELECT user_id, event_id, ts_us, ewma
          FROM ew ORDER BY user_id, ts_us, event_id""",
+    "q102_countmin" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), freq AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f
+           FROM toks WHERE tok <> '' GROUP BY tok
+         ), cells AS (
+           SELECT tok, f, h,
+                  ('0x' || substr(md5('cms:' || CAST(h AS VARCHAR) || ':' || tok),
+                                  1, 14))::BIGINT % 16 AS bucket
+           FROM freq CROSS JOIN (SELECT unnest(range(0, 4)) AS h)
+         ), sketch AS (
+           SELECT h, bucket, CAST(sum(f) AS BIGINT) AS cnt
+           FROM cells GROUP BY h, bucket
+         ), est AS (
+           SELECT c.tok, c.f, min(s.cnt) AS est
+           FROM cells c JOIN sketch s USING (h, bucket)
+           GROUP BY c.tok, c.f
+         )
+         SELECT tok, f, CAST(est AS BIGINT) AS est,
+                CAST(est - f AS BIGINT) AS overcount
+         FROM est ORDER BY tok""",
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

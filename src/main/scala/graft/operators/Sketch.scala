@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a weighted item stream — the fixed-memory
+  * frequency summary a 100 TB corpus needs when the exact per-term
+  * count table itself (q86's `tokenCounts`) is too large to hold or
+  * ship. The reference has no sketch surface (its corpus is 83 rows,
+  * `main.py:9-60`); this is part of the training-data-pipeline tier
+  * alongside the heavy-hitter aggregate ([[graft.functions.FreqItemsAgg]])
+  * and the HLL/t-digest built-ins (q63).
+  *
+  * Design for scale, in Spark terms:
+  *   - the BUILD is one `groupBy(h, bucket).sum` — a map-side-
+  *     combinable aggregate whose output is bounded by depth×width
+  *     CELLS, independent of corpus size. Partial aggregation does
+  *     the sketch MERGE for free: each task builds a local sketch,
+  *     the exchange moves ≤ d·w rows per task, and the final merge is
+  *     the same `sum`. No driver-side state, no collect.
+  *   - the ESTIMATE broadcasts the (tiny, ≤ d·w-row) sketch back to
+  *     the probe side: probing is a broadcast hash join plus a
+  *     `min` over d rows per item — no shuffle of the probe stream
+  *     beyond its own groupBy.
+  *   - the hash family is the repo's cross-engine md5 coordinate
+  *     ([[Curation.sampleHash]]): row i of the sketch keys on
+  *     `md5(salt:i:item)`, so a DuckDB oracle can replay every cell
+  *     and the estimate arithmetic EXACTLY — the sketch is
+  *     deterministic, not an engine-specific opaque (contrast
+  *     `approx_count_distinct`, which q63 certifies by bound flags).
+  *
+  * Standard CMS guarantees hold (Cormode–Muthukrishnan): estimates
+  * never undercount, and overcount ≤ εN with probability 1−δ for
+  * width ≥ e/ε, depth ≥ ln(1/δ).
+  */
+object Sketch {
+
+  /** Bucket of `item` under hash row `h` (a column, so one `explode`
+    * can fan an item across all depth rows): 56-bit md5 coordinate
+    * mod width. Non-negative by construction on both engines. */
+  def cmBucket(item: Column, h: Column, width: Int, salt: String): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt), lit(":"), h.cast("string"),
+        lit(":"), item.cast("string"))), 1, 14), 16, 10).cast("long"),
+      lit(width.toLong))
+
+  /** Build the depth×width sketch from weighted items: one row per
+    * non-empty cell, `(h, bucket, cnt)`. `weightCol` is the item's
+    * count/weight (use `lit(1)` upstream for a raw stream). */
+  def countMinBuild(items: DataFrame, itemCol: String, weightCol: String,
+      depth: Int, width: Int, salt: String): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    items.select(col(itemCol).as("__it"), col(weightCol).cast("long").as("__w"))
+      .withColumn("h", explode(array((0 until depth).map(i => lit(i)): _*)))
+      .select(col("h"), cmBucket(col("__it"), col("h"), width, salt).as("bucket"),
+        col("__w"))
+      .groupBy(col("h"), col("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point-query the sketch for every row of `queries`: appends
+    * `est = min over depth rows of cnt[h][bucket(item)]` (0 for an
+    * item no build row ever touched — empty cells are absent rows).
+    * Payload columns of `queries` ride along (they join the groupBy
+    * key set, so keep them functionally dependent on `itemCol`). */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
+      depth: Int, width: Int, salt: String): DataFrame = {
+    require(!queries.columns.contains("h") && !queries.columns.contains("bucket"),
+      "queries must not contain reserved columns h/bucket")
+    val payload = queries.columns.map(col).toSeq
+    queries
+      .withColumn("h", explode(array((0 until depth).map(i => lit(i)): _*)))
+      .withColumn("bucket", cmBucket(col(itemCol), col("h"), width, salt))
+      .join(broadcast(sketch), Seq("h", "bucket"), "left")
+      .groupBy(payload: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

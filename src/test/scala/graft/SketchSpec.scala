@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freq(rows: (String, Long)*) = rows.toDF("item", "w")
+
+  test("never undercounts, exact when width is collision-free") {
+    val items = freq("a" -> 10L, "b" -> 3L, "c" -> 7L, "d" -> 1L)
+    // wide sketch: 4 items over 4096 buckets x 4 rows — collisions
+    // essentially impossible, estimates must be exact
+    val wide = Sketch.countMinBuild(items, "item", "w", 4, 4096, "t")
+    val exact = Sketch.countMinEstimate(wide, items, "item", 4, 4096, "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.forall { case (_, (w, est)) => est == w })
+
+    // narrow sketch: 2 buckets force collisions — est >= true, always
+    val narrow = Sketch.countMinBuild(items, "item", "w", 4, 2, "t")
+    val est = Sketch.countMinEstimate(narrow, items, "item", 4, 2, "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est.forall { case (_, (w, e)) => e >= w })
+    // with 4 items in 2 buckets some row must collide somewhere
+    assert(est.values.map(_._2).sum >= est.values.map(_._1).sum)
+  }
+
+  test("absent item estimates 0 against an unrelated sketch, when no collision") {
+    val sketch = Sketch.countMinBuild(freq("a" -> 5L), "item", "w", 4, 4096, "t")
+    val out = Sketch.countMinEstimate(sketch, freq("zzz" -> 0L), "item", 4, 4096, "t")
+      .collect()
+    assert(out.length == 1 && out(0).getLong(2) == 0L)
+  }
+
+  test("sketch is mergeable: build(A union B) == cell-wise sum of build(A), build(B)") {
+    val a = freq("a" -> 10L, "b" -> 3L, "c" -> 7L)
+    val b = freq("b" -> 2L, "d" -> 9L)
+    val whole = Sketch.countMinBuild(a.unionByName(b), "item", "w", 4, 8, "m")
+      .orderBy("h", "bucket").collect().toSeq
+    val merged = Sketch.countMinBuild(a, "item", "w", 4, 8, "m")
+      .unionByName(Sketch.countMinBuild(b, "item", "w", 4, 8, "m"))
+      .groupBy("h", "bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("h", "bucket").collect().toSeq
+    assert(whole == merged)
+  }
+
+  test("build output is bounded by depth x width cells and partition-invariant") {
+    val items = (1 to 500).map(i => (s"it$i", (i % 7 + 1).toLong)).toDF("item", "w")
+    val s1 = Sketch.countMinBuild(items.repartition(1), "item", "w", 4, 16, "p")
+      .orderBy("h", "bucket").collect().toSeq
+    val s8 = Sketch.countMinBuild(items.repartition(8), "item", "w", 4, 16, "p")
+      .orderBy("h", "bucket").collect().toSeq
+    assert(s1 == s8)
+    assert(s1.size <= 4 * 16)
+  }
+
+  test("estimate keeps payload columns and reserved-name misuse fails fast") {
+    val items = freq("a" -> 5L)
+    val sketch = Sketch.countMinBuild(items, "item", "w", 2, 8, "t")
+    val withPayload = items.withColumn("extra", lit("x"))
+    val out = Sketch.countMinEstimate(sketch, withPayload, "item", 2, 8, "t").collect()
+    assert(out(0).schema.fieldNames.toSeq == Seq("item", "w", "extra", "est"))
+    intercept[IllegalArgumentException] {
+      Sketch.countMinEstimate(sketch, items.withColumn("h", lit(1)), "item", 2, 8, "t")
+    }
+  }
+}
