@@ -742,6 +742,35 @@ object SparkEntry {
       .orderBy("tok")
   }
 
+  /** Bloom-filter decontamination pre-filter ([[Sketch.bloomBuild]]):
+    * the q58 eval/train split, but the eval 3-gram set is summarized
+    * into a 1024-bit / 3-hash Bloom filter and every distinct train
+    * (doc, shingle) is probed through it. Per train doc: shingle
+    * count, bloom hits, exact hits — `bloom_hits ≥ exact_hits` on
+    * every row (no false negatives), and the gap IS the measured
+    * false-positive mass at the harness load factor (~16% of 16k
+    * distinct probe shingles). The oracle replays every bit position
+    * and the all-k-set test exactly. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def docShingles(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("shingle")).distinct()
+    val evalSh = docShingles(d.filter(col("doc_id") % 97 === 0))
+      .select("shingle").distinct()
+    val trainSh = docShingles(d.filter(col("doc_id") % 97 =!= 0))
+    val bloom = Sketch.bloomBuild(evalSh, "shingle",
+      numBits = 1024, numHashes = 3, salt = "bloom")
+    Sketch.bloomMightContain(bloom, trainSh, "shingle",
+        numBits = 1024, numHashes = 3, salt = "bloom")
+      .join(broadcast(evalSh.withColumn("__ex", lit(1))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("__ex").isNotNull, 1L).otherwise(0L)).as("exact_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1615,7 +1644,8 @@ object SparkEntry {
     "q99_hard_negatives" -> (q99 _),
     "q100_stream_ingest" -> (q100 _),
     "q101_stream_ewma" -> (q101 _),
-    "q102_countmin" -> (q102 _))
+    "q102_countmin" -> (q102 _),
+    "q103_bloom_decontaminate" -> (q103 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3249,6 +3279,44 @@ object SparkEntry {
          SELECT tok, f, CAST(est AS BIGINT) AS est,
                 CAST(est - f AS BIGINT) AS overcount
          FROM est ORDER BY tok""",
+    "q103_bloom_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), shd AS (
+           SELECT DISTINCT doc_id, shingle FROM sh
+         ), ev AS (
+           SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM shd WHERE doc_id % 97 <> 0
+         ), hs AS (
+           SELECT unnest(range(0, 3)) AS h
+         ), bloom AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5('bloom:' || CAST(h AS VARCHAR) || ':' || shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM ev CROSS JOIN hs
+         ), probe AS (
+           SELECT t.doc_id, t.shingle,
+             ('0x' || substr(md5('bloom:' || CAST(h AS VARCHAR) || ':' || t.shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM tr t CROSS JOIN hs
+         ), hit AS (
+           SELECT doc_id, shingle, count(b.pos) = 3 AS maybe
+           FROM probe p LEFT JOIN bloom b USING (pos)
+           GROUP BY doc_id, shingle
+         )
+         SELECT h.doc_id,
+                CAST(count(*) AS BIGINT) AS n_sh,
+                CAST(sum(CASE WHEN h.maybe THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+                CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+         FROM hit h LEFT JOIN ev e ON e.shingle = h.shingle
+         GROUP BY h.doc_id ORDER BY h.doc_id""",
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

@@ -59,6 +59,48 @@ object Sketch {
       .agg(sum(col("__w")).as("cnt"))
   }
 
+  /** Bloom filter build over `items`: one row per SET BIT, `(pos)`,
+    * bounded by `numBits` rows regardless of item count — like the
+    * CMS build, `groupBy(pos)` makes partial aggregation the filter
+    * merge (bit-OR of per-task filters = distinct of their set
+    * positions) and the exchange moves ≤ numBits rows per task.
+    * Position family reuses [[cmBucket]]'s md5 coordinate, so a
+    * DuckDB oracle replays every bit exactly.
+    *
+    * The scale story vs an exact semi-join (q58's decontamination):
+    * the filter is a fixed ≤ numBits-row broadcast however large the
+    * reference set grows, and probing is k hash evaluations per row —
+    * the classic pre-filter that keeps a 100 TB scan from shuffling
+    * into a join against a reference set that no longer broadcasts
+    * exactly. No false negatives, ever; false positives at the
+    * standard (1−e^{−kn/m})^k rate. */
+  def bloomBuild(items: DataFrame, itemCol: String,
+      numBits: Int, numHashes: Int, salt: String): DataFrame = {
+    require(numBits >= 1 && numHashes >= 1, "numBits and numHashes must be positive")
+    items
+      .withColumn("__h", explode(array((0 until numHashes).map(i => lit(i)): _*)))
+      .select(cmBucket(col(itemCol), col("__h"), numBits, salt).as("pos"))
+      .distinct()
+  }
+
+  /** Membership probe: appends `maybe = (all numHashes positions of
+    * item are set)`. Never false-negative for any item that went into
+    * [[bloomBuild]] with the same (numBits, numHashes, salt). Payload
+    * columns of `queries` ride along as the groupBy key set. */
+  def bloomMightContain(bloom: DataFrame, queries: DataFrame, itemCol: String,
+      numBits: Int, numHashes: Int, salt: String): DataFrame = {
+    val reserved = queries.columns.filter(c => c == "pos" || c == "__h" || c == "__bh")
+    require(reserved.isEmpty,
+      s"queries must not contain reserved columns: ${reserved.mkString(", ")}")
+    val payload = queries.columns.map(col).toSeq
+    queries
+      .withColumn("__h", explode(array((0 until numHashes).map(i => lit(i)): _*)))
+      .withColumn("pos", cmBucket(col(itemCol), col("__h"), numBits, salt))
+      .join(broadcast(bloom.withColumn("__bh", lit(1))), Seq("pos"), "left")
+      .groupBy(payload: _*)
+      .agg((count(col("__bh")) === numHashes).as("maybe"))
+  }
+
   /** Point-query the sketch for every row of `queries`: appends
     * `est = min over depth rows of cnt[h][bucket(item)]` (0 for an
     * item no build row ever touched — empty cells are absent rows).

@@ -55,6 +55,46 @@ class SketchSpec extends SparkSpec {
     assert(s1.size <= 4 * 16)
   }
 
+  test("bloom: no false negatives — every inserted item probes true") {
+    val items = (1 to 200).map(i => (s"item$i", 0L)).toDF("item", "w")
+    // tiny filter, heavily loaded: FPs abound but never a false negative
+    val bloom = Sketch.bloomBuild(items, "item", numBits = 64, numHashes = 3, salt = "b")
+    val probed = Sketch.bloomMightContain(bloom, items, "item", 64, 3, "b").collect()
+    assert(probed.length == 200 && probed.forall(_.getBoolean(2)))
+  }
+
+  test("bloom: wide filter rejects absent items; build bounded by numBits") {
+    val in = freq("a" -> 1L, "b" -> 1L, "c" -> 1L)
+    val out = (1 to 50).map(i => (s"zz$i", 0L)).toDF("item", "w")
+    val bloom = Sketch.bloomBuild(in, "item", numBits = 65536, numHashes = 4, salt = "b")
+    assert(bloom.count() <= 3 * 4)
+    val probed = Sketch.bloomMightContain(bloom, out, "item", 65536, 4, "b").collect()
+    // 50 absent probes against 12 set bits of 65536: expected FP mass ~1e-11
+    assert(probed.forall(!_.getBoolean(2)))
+  }
+
+  test("bloom: merge is distinct-union of positions; partition-invariant") {
+    val a = freq("a" -> 1L, "b" -> 1L)
+    val b = freq("b" -> 1L, "c" -> 1L)
+    val whole = Sketch.bloomBuild(a.unionByName(b), "item", 256, 3, "m")
+      .orderBy("pos").collect().toSeq
+    val merged = Sketch.bloomBuild(a, "item", 256, 3, "m")
+      .unionByName(Sketch.bloomBuild(b, "item", 256, 3, "m"))
+      .distinct().orderBy("pos").collect().toSeq
+    assert(whole == merged)
+    val r8 = Sketch.bloomBuild(a.unionByName(b).repartition(8), "item", 256, 3, "m")
+      .orderBy("pos").collect().toSeq
+    assert(whole == r8)
+  }
+
+  test("bloom: reserved-name misuse fails fast") {
+    val items = freq("a" -> 1L)
+    val bloom = Sketch.bloomBuild(items, "item", 256, 3, "b")
+    intercept[IllegalArgumentException] {
+      Sketch.bloomMightContain(bloom, items.withColumn("pos", lit(1)), "item", 256, 3, "b")
+    }
+  }
+
   test("estimate keeps payload columns and reserved-name misuse fails fast") {
     val items = freq("a" -> 5L)
     val sketch = Sketch.countMinBuild(items, "item", "w", 2, 8, "t")
