@@ -771,6 +771,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram LM scoring ([[TextAnalysis.bigramLogProb]]):
+    * q86's unigram scorer with one token of context, λ=0.75
+    * Jelinek-Mercer backoff. The oracle replays the ordered-adjacency
+    * extraction, all three count layers, and the exact IEEE
+    * expression shape `0.75·(f2/fc) + 0.25·(f1/N)` inside the micro-
+    * quantized ln. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1645,7 +1655,8 @@ object SparkEntry {
     "q100_stream_ingest" -> (q100 _),
     "q101_stream_ewma" -> (q101 _),
     "q102_countmin" -> (q102 _),
-    "q103_bloom_decontaminate" -> (q103 _))
+    "q103_bloom_decontaminate" -> (q103 _),
+    "q104_bigram_logprob" -> (q104 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3317,6 +3328,40 @@ object SparkEntry {
                 CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
          FROM hit h LEFT JOIN ev e ON e.shingle = h.shingle
          GROUP BY h.doc_id ORDER BY h.doc_id""",
+    "q104_bigram_logprob" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, unnest(ts) AS tok FROM d
+         ), f1 AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f1 FROM tok GROUP BY tok
+         ), tot AS (
+           SELECT CAST(sum(f1) AS BIGINT) AS n FROM f1
+         ), bg AS (
+           SELECT doc_id, unnest([{'u': ts[i], 'v': ts[i+1]} for i in range(1, len(ts))]) AS b
+           FROM d WHERE len(ts) >= 2
+         ), pd AS (
+           SELECT doc_id, b.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY doc_id, b.u, b.v
+         ), f2 AS (
+           SELECT u, v, CAST(sum(c) AS BIGINT) AS f2 FROM pd GROUP BY u, v
+         ), fc AS (
+           SELECT u, CAST(sum(f2) AS BIGINT) AS fc FROM f2 GROUP BY u
+         )
+         SELECT pd.doc_id,
+                CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+                CAST(sum(CAST(round(ln(
+                        0.75 * (CAST(f2.f2 AS DOUBLE) / CAST(fc.fc AS DOUBLE))
+                        + 0.25 * (CAST(f1.f1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      ) * 1e6) AS BIGINT) * pd.c) AS BIGINT) AS logprob_micros
+         FROM pd
+         JOIN f2 USING (u, v)
+         JOIN fc USING (u)
+         JOIN f1 ON f1.tok = pd.v
+         CROSS JOIN tot t
+         GROUP BY pd.doc_id ORDER BY pd.doc_id""",
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

@@ -267,6 +267,61 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     unigramLogProbFromCounts(tokenCounts(docs, idCol, textCol), idCol)
 
+  /** Interpolated bigram log-probability — [[unigramLogProb]]'s
+    * context-aware sibling: score each document by
+    * Σ round(ln(λ·P(v|u) + (1−λ)·P_uni(v))·10⁶) over its ordered
+    * bigram instances, with P(v|u) = f₂(u,v)/f_ctx(u) the corpus MLE
+    * and P_uni the unigram backoff (Jelinek-Mercer interpolation; the
+    * corpus scores itself, so the bigram term is never zero, but the
+    * backoff is what generalizes the scorer to held-out text). The
+    * per-token micro-quantization keeps the doc sum an exact,
+    * order-independent integer, same discipline as the unigram and
+    * entropy scorers.
+    *
+    * Adjacency comes from ONE ordered token array per doc (`filter` +
+    * `zip_with(ts, ts[2:], struct)`) — no positional self-join, no
+    * window over token instances. After that everything is (doc,u,v)
+    * keyed aggregates: f₂ by (u,v), context totals by u (derived from
+    * f₂, not re-scanned), vocabulary by v, one cross-joined scalar N.
+    * Pre-aggregating per doc FIRST bounds every join row's weight,
+    * and hot bigrams ("of the") split under AQE skew handling.
+    * Documents with fewer than two tokens have no bigrams and drop
+    * out of the output. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    val ts = docs.select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val perDoc = ts
+      .select(col(idCol), explode(
+        zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("u"), b.as("v")))).as("__bg"))
+      .select(col(idCol), col("__bg.u").as("__u"), col("__bg.v").as("__v"))
+      .groupBy(col(idCol), col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val f2 = perDoc.groupBy(col("__u"), col("__v")).agg(sum(col("__c")).as("__f2"))
+    val fc = f2.groupBy(col("__u")).agg(sum(col("__f2")).as("__fc"))
+    val f1 = tokenCounts(docs, idCol, textCol)
+      .groupBy(col("__tok")).agg(sum(col("__c")).as("__f1"))
+    val total = f1.agg(sum(col("__f1")).as("__n"))
+    perDoc
+      .join(f2, Seq("__u", "__v"))
+      .join(fc, Seq("__u"))
+      .join(f1.withColumnRenamed("__tok", "__v"), Seq("__v"))
+      .crossJoin(broadcast(total))
+      .withColumn("__lp_micro",
+        round(log(
+          lit(lambda) * (col("__f2").cast("double") / col("__fc").cast("double"))
+            + lit(1.0 - lambda) * (col("__f1").cast("double") / col("__n").cast("double"))
+        ) * 1e6).cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        sum(col("__lp_micro")).as("logprob_micros"))
+  }
+
   /** (id, __tok, __c) whitespace-token counts — the intermediate the
     * scorer consumes THREE ways (per-doc rows, vocabulary
     * frequencies, corpus total). Spark recomputes an unmaterialized

@@ -221,6 +221,42 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     } finally counts.unpersist()
   }
 
+  test("bigramLogProb: hand-computed interpolated scores, adjacency from order, " +
+      "short docs drop, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a,b) x2, (b,a) x1
+      (2L, "b a"),     // bigrams: (b,a) x1
+      (3L, "c")        // no bigrams: excluded
+    ).toDF("doc_id", "text")
+    // unigrams: a=3, b=3, c=1, N=7
+    // f2: (a,b)=2, (b,a)=2; fc: a=2, b=2
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def lp(f2: Long, fc: Long, f1: Long) =
+      math.round(math.log(0.75 * (f2.toDouble / fc.toDouble)
+        + 0.25 * (f1.toDouble / 7.0)) * 1e6)
+    val ab = lp(2, 2, 3) // P(b|a) interpolated with P_uni(b)
+    val ba = lp(2, 2, 3)
+    out(1L) shouldBe ((3L, 2 * ab + ba))
+    out(2L) shouldBe ((1L, ba))
+    assert(!out.contains(3L))
+    val repart = TextAnalysis.bigramLogProb(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    repart shouldBe out
+  }
+
+  test("bigramLogProb: lambda=1 is the pure bigram MLE; empty-token runs collapse") {
+    import spark.implicits._
+    // doubled whitespace must not create empty-string tokens or bigrams
+    val docs = Seq((1L, "x  y"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text", lambda = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both docs: the single bigram (x,y), f2=2, fc=2 -> ln(1)=0
+    out(1L) shouldBe ((1L, 0L))
+    out(2L) shouldBe ((1L, 0L))
+  }
+
   test("charEntropy: exact integer micros; uniform text maxes, repeated text zeroes") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb")).toDF("doc_id", "text")
