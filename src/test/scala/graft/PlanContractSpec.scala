@@ -32,7 +32,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q22_ngram_jaccard", "q60_bm25", "q61_mixture_resample",
     "q73_corpus_pipeline",
     "q86_unigram_logprob", // 1-row corpus-total broadcast, like q60
-    "q99_hard_negatives")  // bruteForceTopK broadcast scan, like q25
+    "q99_hard_negatives",  // bruteForceTopK broadcast scan, like q25
+    "q104_bigram_logprob") // 1-row corpus-total broadcast, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
