@@ -781,6 +781,64 @@ object SparkEntry {
     TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Per-doc TF-IDF keyword extraction: top-5 terms by
+    * `tf · round(ln(N/df)·10⁶)` with (score desc, term asc)
+    * tie-break — the metadata-enrichment stage that tags every
+    * curated document with its distinguishing terms. Integer-micro
+    * idf keeps scores exactly ordinal cross-engine (no float-tie
+    * ambiguity); df is one aggregate over DISTINCT (doc, term) rows,
+    * the top-k is a doc-partitioned window (WindowGroupLimit prunes
+    * to 5 per doc before the final sort). */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val counts = TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+    val nDocs = counts.select(countDistinct(col("doc_id")).as("__nd"))
+    val dfreq = counts.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micros").desc, col("__tok").asc)
+    counts.join(dfreq, Seq("__tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micros",
+        round(log(col("__nd").cast("double") / col("__df").cast("double")) * 1e6)
+          .cast("long") * col("__c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("__tok").as("term"), col("__c").as("tf"), col("score_micros"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** MinHash estimator accuracy, measured: for every LSH candidate
+    * pair, the signature-agreement count (0..8 equal components — the
+    * sketch's Jaccard estimate in eighths) beside the EXACT shingle
+    * Jaccard. Per-component agreement is unbiased on a RANDOM pair
+    * (P[sig_i equal] = J), but on pairs SELECTED by band collision it
+    * overestimates wildly — at sf0.01 the sig_eq∈[2,7] candidates
+    * average J≈0.01 while sig_eq=8 averages J≈0.87. That measured
+    * selection bias is precisely why [[Dedup.minhashNearDuplicates]]
+    * rescores candidates with exact Jaccard instead of trusting the
+    * sketch. Both columns replay in DuckDB; one signature build, one
+    * banding pass, pair-keyed joins only. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(d, "text", "doc_id",
+      shingleSize = 3, numHashes = 8)
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id",
+      numHashes = 8, rowsPerBand = 2)
+    val sigA = sigs.select(col("doc_id").as("id_a") +:
+      (0 until 8).map(i => col(s"sig_$i").as(s"__a_$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("id_b") +:
+      (0 until 8).map(i => col(s"sig_$i").as(s"__b_$i")): _*)
+    val sigEq = (0 until 8)
+      .map(i => when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Dedup.jaccardOnPairs(pairs, d, "text", "doc_id", shingleSize = 3)
+      .join(sigA, Seq("id_a"))
+      .join(sigB, Seq("id_b"))
+      .withColumn("sig_eq", sigEq)
+      .select("id_a", "id_b", "sig_eq", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1656,7 +1714,9 @@ object SparkEntry {
     "q101_stream_ewma" -> (q101 _),
     "q102_countmin" -> (q102 _),
     "q103_bloom_decontaminate" -> (q103 _),
-    "q104_bigram_logprob" -> (q104 _))
+    "q104_bigram_logprob" -> (q104 _),
+    "q105_tfidf_keywords" -> (q105 _),
+    "q106_minhash_estimate" -> (q106 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1872,6 +1932,12 @@ object SparkEntry {
   private def minhashLshPairsOracle: String =
     minhashPairsOracle(corpusCte = "", source = "documents", cap = None)
 
+  /** q106: every LSH candidate pair (no Jaccard threshold) with the
+    * signature-agreement count beside the exact Jaccard. */
+  private def minhashEstimateOracle: String =
+    minhashPairsOracle(corpusCte = "", source = "documents", cap = None,
+      threshold = None, withSigEq = true)
+
   private def minhashCappedPairsOracle: String =
     minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
       cap = Some(8))
@@ -1883,7 +1949,9 @@ object SparkEntry {
     * the hot-bucket guard's semantics: a pair survives iff SOME band
     * puts both docs in a small-enough bucket. */
   private def minhashPairsOracle(corpusCte: String, source: String,
-                                 cap: Option[Int]): String = {
+                                 cap: Option[Int],
+                                 threshold: Option[Double] = Some(0.8),
+                                 withSigEq: Boolean = false): String = {
     val sigs = minhashSigsSql
     val bandCols = (0 until 4).map(b =>
       s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
@@ -1896,6 +1964,23 @@ object SparkEntry {
       s"""SELECT a.doc_id AS id_a, b2.doc_id AS id_b
           FROM bands a JOIN bands b2 ON a.b_$b = b2.b_$b AND a.doc_id < b2.doc_id$capClause"""
     }.mkString(" UNION ")
+    val where = threshold.map(t => s" WHERE jaccard >= $t").getOrElse("")
+    val sigEqCte = if (!withSigEq) "" else {
+      val eqSum = (0 until 8)
+        .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s""", se AS (
+         SELECT j.id_a, j.id_b, CAST($eqSum AS BIGINT) AS sig_eq
+         FROM j JOIN sig sa ON sa.doc_id = j.id_a
+                JOIN sig sb ON sb.doc_id = j.id_b
+       )"""
+    }
+    val sigEqJoin =
+      if (withSigEq) " JOIN se ON se.id_a = j.id_a AND se.id_b = j.id_b" else ""
+    val finalCols =
+      if (withSigEq) "j.id_a AS id_a, j.id_b AS id_b, se.sig_eq AS sig_eq, " +
+        "j.n_inter AS n_inter, j.n_a AS n_a, j.n_b AS n_b, j.jaccard AS jaccard"
+      else "id_a, id_b, n_inter, n_a, n_b, jaccard"
     s"""WITH ${corpusCte}w AS (
          SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM $source
        ), sh AS (
@@ -1929,9 +2014,9 @@ object SparkEntry {
          LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
          JOIN sizes sa ON sa.doc_id = p.id_a
          JOIN sizes sb ON sb.doc_id = p.id_b
-       )
-       SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
-       FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+       )$sigEqCte
+       SELECT $finalCols
+       FROM j$sigEqJoin$where ORDER BY id_a, id_b"""
   }
 
   /** q53: connected components over the q45-family near-dup pairs,
@@ -3362,6 +3447,32 @@ object SparkEntry {
          JOIN f1 ON f1.tok = pd.v
          CROSS JOIN tot t
          GROUP BY pd.doc_id ORDER BY pd.doc_id""",
+    "q105_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''
+         ), per_doc AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM nz GROUP BY doc_id, tok
+         ), nd AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM per_doc
+         ), dfq AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS df FROM per_doc GROUP BY tok
+         ), sc AS (
+           SELECT p.doc_id, p.tok, p.c,
+                  CAST(round(ln(CAST(nd.nd AS DOUBLE) / CAST(dfq.df AS DOUBLE)) * 1e6)
+                       AS BIGINT) * p.c AS score_micros
+           FROM per_doc p JOIN dfq USING (tok) CROSS JOIN nd
+         ), rk AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_micros DESC, tok ASC) AS rnk
+           FROM sc
+         )
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rank, tok AS term,
+                c AS tf, score_micros
+         FROM rk WHERE rnk <= 5 ORDER BY doc_id, rank""",
+    "q106_minhash_estimate" -> minhashEstimateOracle,
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,
