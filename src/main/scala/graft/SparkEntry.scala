@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Dedup, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
@@ -837,6 +837,26 @@ object SparkEntry {
       .withColumn("sig_eq", sigEq)
       .select("id_a", "id_b", "sig_eq", "n_inter", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Weighted PageRank over the co-purchase graph ([[Graph.pageRank]]):
+    * consecutive lineitems of an order define part→part edges, 5
+    * damped iterations over micro-quantized ranks. The oracle unrolls
+    * the identical 5 iterations as CTEs — integer re-quantization per
+    * edge makes every iteration's sums order-independent, so the hash
+    * certifies the whole fixpoint trajectory, not just row counts. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) alone is NOT unique in the harness
+    // data — the part/supp tiebreak makes the lead() order total
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
+      .orderBy("node")
   }
 
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
@@ -1716,7 +1736,8 @@ object SparkEntry {
     "q103_bloom_decontaminate" -> (q103 _),
     "q104_bigram_logprob" -> (q104 _),
     "q105_tfidf_keywords" -> (q105 _),
-    "q106_minhash_estimate" -> (q106 _))
+    "q106_minhash_estimate" -> (q106 _),
+    "q107_pagerank" -> (q107 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1937,6 +1958,48 @@ object SparkEntry {
   private def minhashEstimateOracle: String =
     minhashPairsOracle(corpusCte = "", source = "documents", cap = None,
       threshold = None, withSigEq = true)
+
+  /** q107: [[Graph.pageRank]]'s 5 iterations unrolled as CTEs. The
+    * base literal is computed HERE in Scala — the same
+    * `(1.0 − d)·10⁶` IEEE arithmetic `pageRank` embeds via `lit` —
+    * and printed through Double's round-tripping formatter, so both
+    * engines hold the bit-identical constant (with d = 0.85 it is NOT
+    * exactly 150000). */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val base = (1.0 - damping) * 1e6
+    val iterCtes = (1 to iterations).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST(round($base + CAST($damping AS DOUBLE)
+                             * CAST(coalesce(c.s, 0) AS DOUBLE)) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT er.dst AS node,
+                    sum(CAST(round(CAST(p.r AS DOUBLE) * er.ratio) AS BIGINT)) AS s
+             FROM r${i - 1} p JOIN er ON er.src = p.node
+             GROUP BY er.dst) c USING (node)
+         )"""
+    }.mkString(", ")
+    s"""WITH adj AS (
+         SELECT l_partkey AS src,
+                lead(l_partkey) OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+         FROM lineitem
+       ), ed AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         FROM adj WHERE dst IS NOT NULL GROUP BY src, dst
+       ), ow AS (
+         SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY src
+       ), er AS (
+         SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS ratio
+         FROM ed e JOIN ow o USING (src)
+       ), nodes AS (
+         SELECT src AS node FROM ed UNION SELECT dst FROM ed
+       ), r0 AS (
+         SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       ), $iterCtes
+       SELECT node, r AS rank_micro FROM r$iterations ORDER BY node"""
+  }
 
   private def minhashCappedPairsOracle: String =
     minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
@@ -3473,6 +3536,7 @@ object SparkEntry {
                 c AS tf, score_micros
          FROM rk WHERE rnk <= 5 ORDER BY doc_id, rank""",
     "q106_minhash_estimate" -> minhashEstimateOracle,
+    "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

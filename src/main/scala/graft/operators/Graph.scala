@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as relational fixpoints — the tier the
+  * engine needs beyond [[Dedup.connectedComponents]]'s star
+  * contractions: weighted PageRank over an edge list, the
+  * link-analysis primitive for crawl-frontier prioritization and
+  * source-authority weighting in a web-scale curation pipeline (the
+  * reference has no graph surface; its corpus is 83 labels).
+  *
+  * Design for scale, in Spark terms: the graph lives as an EDGE LIST
+  * DataFrame — no driver-side adjacency, no vertex index. Each
+  * iteration is two keyed operations: ranks ⋈ edges on src (a hash
+  * join that AQE can broadcast when the rank frame is small, or
+  * shuffle co-partitioned when it isn't) and a groupBy(dst) sum whose
+  * map-side partials bound the shuffle by the DISTINCT dst count per
+  * task, not the edge count. Out-degree totals are computed ONCE
+  * before the loop. Hot destinations (every page links to the home
+  * page) are partial-aggregated before the exchange, the same
+  * defense [[TextAnalysis]] uses for stopword skew.
+  *
+  * Determinism across engines and partitionings: ranks are held as
+  * INTEGER MICROS and re-quantized every iteration — each edge
+  * contribution `round(rank·w/out_w)` is a long, so the per-dst sum
+  * is order-independent and a DuckDB oracle unrolling the same
+  * iterations hash-matches exactly (raw double accumulation would
+  * drift with partition order). Per-iteration rounding injects ≤ 0.5
+  * micro per edge — noise far below the 10⁻⁶ rank scale the damping
+  * contraction leaves after a handful of iterations.
+  *
+  * Iteration count is a parameter, not a convergence test — a
+  * convergence test is a per-iteration driver round-trip and an
+  * unbounded plan; production runs fix the budget (10-20 iterations)
+  * and measure residual offline. For deep budgets pass
+  * `checkpoint = true` so each iteration's plan is cut at a
+  * materialized boundary instead of compounding 2·k joins of lineage
+  * into one tree (at harness depth the linear plan is fine and keeps
+  * the operator lazy for plan inspection).
+  *
+  * Dangling mass (nodes with no outgoing edges) leaks rather than
+  * redistributes — the simple-variant semantics, stated so the
+  * oracle states it too.
+  */
+object Graph {
+
+  /** Weighted PageRank, `iterations` rounds of
+    * `r'(v) = round(base + d · Σ_{(u,v,w)} round(r(u)·w/out_w(u)))`
+    * over micro-quantized ranks starting at 10⁶ per node. Nodes =
+    * distinct src ∪ dst. Output: (node, rank_micro). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, damping: Double = 0.85,
+      checkpoint: Boolean = false): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+    val outW = e.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
+    // contribution RATIO per edge, fixed across iterations
+    val rated = e.join(outW, Seq("__src"))
+      .withColumn("__ratio",
+        col("__w").cast("double") / col("__ow").cast("double"))
+      .select("__src", "__dst", "__ratio")
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val base = (1.0 - damping) * 1e6
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 0 until iterations) {
+      val contribs = ranks
+        .join(rated, ranks("node") === rated("__src"))
+        .select(col("__dst").as("node"),
+          round(col("rank_micro").cast("double") * col("__ratio"))
+            .cast("long").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(base) + lit(damping)
+            * coalesce(col("__in"), lit(0L)).cast("double"))
+            .cast("long").as("rank_micro"))
+      ranks = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    ranks
+  }
+}

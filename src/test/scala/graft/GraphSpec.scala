@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val base = (1.0 - 0.85) * 1e6 // NOT exactly 150000 in IEEE
+
+  private def ranks(edges: Seq[(Long, Long, Long)], iters: Int) =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("symmetric 2-cycle is the fixpoint: ranks stay at 1e6") {
+    val out = ranks(Seq((1L, 2L, 1L), (2L, 1L, 1L)), 5)
+    out shouldBe Map(1L -> 1000000L, 2L -> 1000000L)
+  }
+
+  test("dangling mass leaks: source decays to the base, sink follows") {
+    val out = ranks(Seq((1L, 2L, 1L)), 2)
+    val a1 = math.round(base) // no in-edges after iter 1
+    out(1L) shouldBe a1
+    out(2L) shouldBe math.round(base + 0.85 * math.round(a1.toDouble * 1.0))
+  }
+
+  test("weighted edges split contribution by w/out_w") {
+    // a -> b (w=3), a -> c (w=1): b gets 0.75 of a's rank, c gets 0.25
+    val out = ranks(Seq((1L, 2L, 3L), (1L, 3L, 1L)), 1)
+    out(2L) shouldBe math.round(base + 0.85 * math.round(1000000.0 * 0.75))
+    out(3L) shouldBe math.round(base + 0.85 * math.round(1000000.0 * 0.25))
+    out(1L) shouldBe math.round(base)
+  }
+
+  test("zero iterations returns the uniform start; nodes = src union dst") {
+    val out = ranks(Seq((1L, 2L, 1L), (3L, 2L, 1L)), 0)
+    out shouldBe Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+  }
+
+  test("partition-invariant and checkpoint-invariant") {
+    val edges = (1L to 200L).map(i => (i, i * 7 % 200 + 1, i % 3 + 1))
+    val df = edges.toDF("src", "dst", "w")
+    val plain = Graph.pageRank(df, "src", "dst", "w", 4)
+      .orderBy("node").collect().toSeq
+    val repart = Graph.pageRank(df.repartition(8), "src", "dst", "w", 4)
+      .orderBy("node").collect().toSeq
+    val ckpt = Graph.pageRank(df, "src", "dst", "w", 4, checkpoint = true)
+      .orderBy("node").collect().toSeq
+    plain shouldBe repart
+    plain shouldBe ckpt
+  }
+
+  test("rank mass is conserved up to damping leak on a closed graph") {
+    // 3-cycle: total rank stays 3e6 (no dangling nodes, rounding only)
+    val out = ranks(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)), 5)
+    out.values.sum shouldBe 3000000L +- 5L
+  }
+}
