@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Sketch, TextAnalysis}
+
+/** Scale-up probe for the round-8 additions (dev tool): replicates
+  * documents and lineitem K× with re-keyed ids, then times PageRank,
+  * bigram LM scoring, Bloom decontamination, and count-min at 1× and
+  * K×. Companion to [[ScaleProbe]] — same method, newer operators.
+  *
+  * Expected shapes: PageRank wall ~linear in edges (K disjoint
+  * subgraph copies; every iteration is edge-keyed joins + dst
+  * aggregates). Bigram ~linear in tokens (vocab and bigram tables
+  * grow sublinearly on replicated text — replicas share the
+  * vocabulary). Bloom probe ~linear in train shingles with a FIXED
+  * filter broadcast. CMS build ~linear scan with constant d·w state.
+  */
+object NewOpsProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_newops_x$k"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(name: String, idSteps: (String, Long)*): DataFrame = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until k).map(i =>
+        idSteps.foldLeft(base) { case (df, (c, step)) =>
+          df.withColumn(c, col(c) + lit(i * step))
+        }).reduce(_ union _)
+    }
+    replicate("documents", "doc_id" -> 1000000L)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // l_partkey offset too: K disjoint copies of the co-purchase graph
+    replicate("lineitem", "l_orderkey" -> 100000000L, "l_partkey" -> 10000000L)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    def time(name: String)(f: String => Long): Unit = {
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime(); val n = f(dir)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"  $name%-24s ${dir.split('/').last}%-18s $s%7.2f s  rows=$n")
+        s
+      }
+      val t1 = once(src)
+      val tk = once(dst)
+      println(f"  $name%-24s scaling: ${tk / t1}%.1fx wall for ${k}x data")
+    }
+
+    time("pagerank_5it") { dir =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      // aggregate over the rank column so nothing prunes the loop
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
+        .agg(sum(col("rank_micro"))).head().getLong(0)
+    }
+    time("bigram_logprob") { dir =>
+      TextAnalysis.bigramLogProb(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .agg(sum(col("logprob_micros"))).head().getLong(0)
+    }
+    // eval set FIXED (doc_id < 1M keeps it 1x), train side grows Kx —
+    // the filter build is constant, the probe scan is the moving part
+    time("bloom_decontaminate") { dir =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      def sh(docs: DataFrame) = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("shingle")).distinct()
+      val evalSh = sh(d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L))
+        .select("shingle").distinct()
+      val bloom = Sketch.bloomBuild(evalSh, "shingle", 1024, 3, "bloom")
+      Sketch.bloomMightContain(bloom, sh(d.filter(col("doc_id") % 97 =!= 0)),
+          "shingle", 1024, 3, "bloom")
+        .filter(col("maybe")).count()
+    }
+    time("countmin_build_probe") { dir =>
+      val freq = TextAnalysis.tokenCounts(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .groupBy(col("__tok").as("tok")).agg(sum(col("__c")).as("f"))
+      val sk = Sketch.countMinBuild(freq, "tok", "f", 4, 16, "cms")
+      Sketch.countMinEstimate(sk, freq, "tok", 4, 16, "cms")
+        .agg(sum(col("est"))).head().getLong(0)
+    }
+    spark.stop()
+  }
+}
