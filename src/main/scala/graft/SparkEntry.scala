@@ -859,6 +859,24 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Deterministic HLL ([[Sketch.hllDistinct]]): distinct-token
+    * estimate per source, m=64 registers, beside the exact count.
+    * The ESTIMATE hash-matches DuckDB — integer register math and one
+    * fixed double expression — where q63's `approx_count_distinct`
+    * could only be certified by accuracy-bound flags. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val est = Sketch.hllDistinct(toks, Seq("source"), "tok", p = 6, salt = "hll")
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    est.join(exact, Seq("source"))
+      .select("source", "n_used", "est", "exact_distinct")
+      .orderBy("source")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1737,7 +1755,8 @@ object SparkEntry {
     "q104_bigram_logprob" -> (q104 _),
     "q105_tfidf_keywords" -> (q105 _),
     "q106_minhash_estimate" -> (q106 _),
-    "q107_pagerank" -> (q107 _))
+    "q107_pagerank" -> (q107 _),
+    "q108_hll_distinct" -> (q108 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -1958,6 +1977,60 @@ object SparkEntry {
   private def minhashEstimateOracle: String =
     minhashPairsOracle(corpusCte = "", source = "documents", cap = None,
       threshold = None, withSigEq = true)
+
+  /** q108: [[Sketch.hllDistinct]] replayed register-for-register. The
+    * α·m² and 2^K double constants are computed HERE with the same
+    * Scala arithmetic the operator embeds via `lit`, then printed
+    * through Double's round-tripping formatter — both engines hold
+    * bit-identical constants, and the integer register sums make the
+    * rest exact by construction. */
+  private def hllDistinctOracle(p: Int): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val alphaM2 = Sketch.hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    s"""WITH toks AS (
+         SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         FROM documents
+       ), nz AS (
+         SELECT source, tok FROM toks WHERE tok <> ''
+       ), hh AS (
+         SELECT source, ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+         FROM nz
+       ), reg AS (
+         SELECT source, h >> $remBits AS bucket,
+                h & ((1::BIGINT << $remBits) - 1) AS r
+         FROM hh
+       ), mm AS (
+         SELECT source, bucket,
+                max(CASE WHEN r = 0 THEN $maxM
+                         ELSE $maxM - length(bin(r)) END) AS mb
+         FROM reg GROUP BY source, bucket
+       ), agg AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+                CAST(sum(1::BIGINT << ($maxM - mb)) AS BIGINT) AS sp
+         FROM mm GROUP BY source
+       ), fin AS (
+         SELECT source, n_used,
+                CAST(sp + ($m - n_used) * (1::BIGINT << $maxM) AS BIGINT) AS s,
+                $m - n_used AS v
+         FROM agg
+       ), est AS (
+         SELECT source, n_used, v,
+                $alphaM2 * ($twoK / CAST(s AS DOUBLE)) AS raw
+         FROM fin
+       ), ex AS (
+         SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+         FROM nz GROUP BY source
+       )
+       SELECT e.source, e.n_used,
+              CASE WHEN e.raw <= ${2.5 * m} AND e.v > 0
+                   THEN ${m.toDouble} * ln(${m.toDouble} / CAST(e.v AS DOUBLE))
+                   ELSE e.raw END AS est,
+              x.exact_distinct
+       FROM est e JOIN ex x USING (source) ORDER BY source"""
+  }
 
   /** q107: [[Graph.pageRank]]'s 5 iterations unrolled as CTEs. The
     * base literal is computed HERE in Scala — the same
@@ -3537,6 +3610,7 @@ object SparkEntry {
          FROM rk WHERE rnk <= 5 ORDER BY doc_id, rank""",
     "q106_minhash_estimate" -> minhashEstimateOracle,
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
+    "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

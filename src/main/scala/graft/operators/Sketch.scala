@@ -101,6 +101,65 @@ object Sketch {
       .agg((count(col("__bh")) === numHashes).as("maybe"))
   }
 
+  /** α constant of the standard HLL estimator for m = 2^p buckets. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Deterministic HyperLogLog distinct estimate per group — unlike
+    * `approx_count_distinct` (whose sketch is an engine-internal
+    * opaque that q63 can only certify by accuracy BOUNDS), this HLL
+    * is built from the repo's md5 coordinate with integer-only
+    * register math, so a DuckDB oracle replays the ESTIMATE itself
+    * bit-for-bit: bucket = top p bits of a 60-bit hash, register
+    * M = leading-zeros+1 of the remainder via `length(bin(r))`
+    * (integer-exact — no float log2 at bucket boundaries), and the
+    * harmonic sum Σ 2^−M is held as Σ 2^(K−M) in a LONG (max m·2^K =
+    * 2^61, no overflow, no float-accumulation order dependence). Only
+    * the final α·m²·2^K/S division and the small-range linear-count
+    * branch touch doubles, in one fixed expression shape.
+    *
+    * Scale shape: (group, bucket) max-aggregate — map-side partials
+    * ARE the HLL merge (register-wise max), the exchange carries
+    * ≤ m rows per group per task, and the final per-group fold is m
+    * rows. Output: group cols + (n_used, est). */
+  def hllDistinct(items: DataFrame, groupCols: Seq[String], itemCol: String,
+      p: Int = 6, salt: String): DataFrame = {
+    require(p >= 4 && p <= 12, "p must be in [4, 12]")
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1 // register value of an all-zero remainder
+    val g = groupCols.map(col)
+    val h = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(itemCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val alphaM2 = hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    items
+      .select(g :+ h.as("__h"): _*)
+      .withColumn("__bucket", shiftright(col("__h"), remBits))
+      .withColumn("__r", col("__h").bitwiseAND(lit((1L << remBits) - 1)))
+      .withColumn("__m",
+        when(col("__r") === 0, lit(maxM))
+          .otherwise(lit(maxM) - length(bin(col("__r")))))
+      .groupBy(g :+ col("__bucket"): _*)
+      .agg(max(col("__m")).as("__mb"))
+      .withColumn("__term", expr(s"shiftleft(CAST(1 AS BIGINT), $maxM - __mb)"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_used"), sum(col("__term")).as("__sp"))
+      .withColumn("__s",
+        col("__sp") + (lit(m.toLong) - col("n_used")) * lit(1L << maxM))
+      .withColumn("__raw", lit(alphaM2) * (lit(twoK) / col("__s").cast("double")))
+      .withColumn("__v", lit(m.toLong) - col("n_used"))
+      .withColumn("est",
+        when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v").cast("double")))
+          .otherwise(col("__raw")))
+      .select(g ++ Seq(col("n_used"), col("est")): _*)
+  }
+
   /** Point-query the sketch for every row of `queries`: appends
     * `est = min over depth rows of cnt[h][bucket(item)]` (0 for an
     * item no build row ever touched — empty cells are absent rows).

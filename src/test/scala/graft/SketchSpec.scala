@@ -95,6 +95,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll: estimate is insensitive to duplicates and partitioning") {
+    val items = (1 to 2000).map(i => (s"g", s"item${i % 500}")).toDF("grp", "item")
+    val once = Sketch.hllDistinct(items, Seq("grp"), "item", p = 6, salt = "h")
+      .collect()(0)
+    val doubled = Sketch.hllDistinct(items.unionByName(items), Seq("grp"), "item",
+      p = 6, salt = "h").collect()(0)
+    val repart = Sketch.hllDistinct(items.repartition(8), Seq("grp"), "item",
+      p = 6, salt = "h").collect()(0)
+    assert(once.getLong(1) == doubled.getLong(1) && once.getDouble(2) == doubled.getDouble(2))
+    assert(once.getLong(1) == repart.getLong(1) && once.getDouble(2) == repart.getDouble(2))
+  }
+
+  test("hll: within the standard error band on a 5k-distinct set (m=64)") {
+    val items = (1 to 5000).map(i => ("g", s"val$i")).toDF("grp", "item")
+    val est = Sketch.hllDistinct(items, Seq("grp"), "item", p = 6, salt = "h")
+      .collect()(0).getDouble(2)
+    // sigma = 1.04/sqrt(64) ~ 13%; 3-sigma gate
+    assert(math.abs(est / 5000.0 - 1.0) < 0.4, s"est $est too far from 5000")
+  }
+
+  test("hll: small sets take the linear-counting branch exactly") {
+    val items = Seq(("g", "a"), ("g", "b"), ("g", "c")).toDF("grp", "item")
+    val row = Sketch.hllDistinct(items, Seq("grp"), "item", p = 6, salt = "h")
+      .collect()(0)
+    val used = row.getLong(1)
+    val v = 64 - used
+    assert(row.getDouble(2) == 64.0 * math.log(64.0 / v.toDouble))
+    assert(used <= 3)
+  }
+
   test("estimate keeps payload columns and reserved-name misuse fails fast") {
     val items = freq("a" -> 5L)
     val sketch = Sketch.countMinBuild(items, "item", "w", 2, 8, "t")
