@@ -877,6 +877,34 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Hash-sample quantiles: per source, the exact p50/p90 of n_chars
+    * beside the same percentiles over a DETERMINISTIC 8-row sample —
+    * the k smallest md5(doc_id) rows per group (KMV-style bottom-k).
+    * The exact percentile needs a full per-group sort; the sample
+    * variant bounds per-group state to k rows under WindowGroupLimit,
+    * the trade a 100 TB profiling pass actually makes. The md5 order
+    * makes the sample itself cross-engine identical, so BOTH columns
+    * hash-match (contrast approx_percentile's engine-opaque t-digest,
+    * q63). */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("__hk", md5(concat(lit("qs:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("__hk"))
+    val sample = d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 8)
+      .groupBy("source")
+      .agg(count(lit(1)).as("sample_n"),
+        expr("percentile(n_chars, 0.5)").as("sample_p50"),
+        expr("percentile(n_chars, 0.9)").as("sample_p90"))
+    val exact = d.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("exact_p50"),
+        expr("percentile(n_chars, 0.9)").as("exact_p90"))
+    sample.join(exact, Seq("source"))
+      .select("source", "sample_n", "sample_p50", "sample_p90",
+        "exact_p50", "exact_p90")
+      .orderBy("source")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1756,7 +1784,8 @@ object SparkEntry {
     "q105_tfidf_keywords" -> (q105 _),
     "q106_minhash_estimate" -> (q106 _),
     "q107_pagerank" -> (q107 _),
-    "q108_hll_distinct" -> (q108 _))
+    "q108_hll_distinct" -> (q108 _),
+    "q109_sample_quantiles" -> (q109 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3611,6 +3640,29 @@ object SparkEntry {
     "q106_minhash_estimate" -> minhashEstimateOracle,
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
+    "q109_sample_quantiles" ->
+      """WITH d AS (
+           SELECT source, n_chars,
+                  md5('qs:' || CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents
+         ), rn AS (
+           SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY hk) AS rn
+           FROM d
+         ), samp AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS sample_n,
+                  quantile_cont(n_chars, 0.5) AS sample_p50,
+                  quantile_cont(n_chars, 0.9) AS sample_p90
+           FROM rn WHERE rn <= 8 GROUP BY source
+         ), ex AS (
+           SELECT source, quantile_cont(n_chars, 0.5) AS exact_p50,
+                  quantile_cont(n_chars, 0.9) AS exact_p90
+           FROM documents GROUP BY source
+         )
+         SELECT s.source, s.sample_n, s.sample_p50, s.sample_p90,
+                e.exact_p50, e.exact_p90
+         FROM samp s JOIN ex e USING (source)
+         ORDER BY source""",
     "q97_incremental_dedup" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,
