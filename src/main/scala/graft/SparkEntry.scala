@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
@@ -905,6 +905,24 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Distributed micro-quantized Lloyd's k-means
+    * ([[graft.operators.Cluster.kmeansMicro]]) — the certifiable
+    * IVF-training path: per-vector cell assignment after 3
+    * assign/update rounds at k=4, exact integer-micro squared
+    * distances, cell sizes joined on for the balance picture. The
+    * whole iterative trajectory hash-matches a DuckDB oracle
+    * unrolling the same rounds (MLlib's KMeans, q32's codebook
+    * trainer, can never be oracled — its float accumulation order is
+    * partition-dependent). */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val asg = Cluster.kmeansMicro(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4, iterations = 3)
+    val sizes = asg.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    asg.join(sizes, Seq("cell"))
+      .select("vec_id", "cell", "dist2_q", "cell_n")
+      .orderBy("vec_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1785,7 +1803,8 @@ object SparkEntry {
     "q106_minhash_estimate" -> (q106 _),
     "q107_pagerank" -> (q107 _),
     "q108_hll_distinct" -> (q108 _),
-    "q109_sample_quantiles" -> (q109 _))
+    "q109_sample_quantiles" -> (q109 _),
+    "q110_kmeans" -> (q110 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2101,6 +2120,61 @@ object SparkEntry {
          SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
        ), $iterCtes
        SELECT node, r AS rank_micro FROM r$iterations ORDER BY node"""
+  }
+
+  /** Unrolled micro-quantized Lloyd's oracle mirroring
+    * [[graft.operators.Cluster.kmeansMicro]]: per iteration an argmin
+    * cross join (ties → lowest cell), a per-(cell,dim) integer mean
+    * via zipped unnest, and an empty-cell carry. All distances are
+    * exact BIGINT; only the one `round(sum/count)` expression touches
+    * doubles, in the identical IEEE shape on both engines. */
+  private def kmeansOracle(k: Int, iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""a$i AS (
+           SELECT vec_id, vq, cell, dist,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+           FROM (
+             SELECT q.vec_id, q.vq, c.cell,
+                    CAST(list_sum([(q.vq[j] - c.cvec[j])
+                                   * (q.vq[j] - c.cvec[j])
+                                   for j in range(1, len(q.vq) + 1)])
+                         AS BIGINT) AS dist
+             FROM q, c${i - 1} c)
+         ), m$i AS (
+           SELECT vec_id, vq, cell, dist FROM a$i WHERE rn = 1
+         ), u$i AS (
+           SELECT cell, j,
+                  CAST(round(CAST(sum(v) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv
+           FROM (SELECT cell, unnest(vq) AS v,
+                        unnest(range(1, len(vq) + 1)) AS j FROM m$i)
+           GROUP BY cell, j
+         ), c$i AS (
+           SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+           FROM c${i - 1} p LEFT JOIN (
+             SELECT cell, list(cv ORDER BY j) AS cvec FROM u$i
+             GROUP BY cell) n USING (cell)
+         )"""
+    }.mkString(", ")
+    s"""WITH q AS (
+         SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+         FROM embeddings
+       ), sk AS (
+         SELECT md5('km:' || CAST(vec_id AS VARCHAR)) AS h, vq
+         FROM q ORDER BY h LIMIT $k
+       ), c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell,
+                vq AS cvec
+         FROM sk
+       ), $iterCtes
+       SELECT m.vec_id, m.cell, m.dist AS dist2_q, s.cell_n
+       FROM m$iterations m JOIN (
+         SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+         FROM m$iterations GROUP BY cell) s USING (cell)
+       ORDER BY m.vec_id"""
   }
 
   private def minhashCappedPairsOracle: String =
@@ -3640,6 +3714,7 @@ object SparkEntry {
     "q106_minhash_estimate" -> minhashEstimateOracle,
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
+    "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q109_sample_quantiles" ->
       """WITH d AS (
            SELECT source, n_chars,

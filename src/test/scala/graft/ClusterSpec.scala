@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Cluster
+
+class ClusterSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+  test("two separated blobs converge to the blob partition") {
+    // blob A around (0,0), blob B around (10,10)
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.2f, 0.0f)), (3L, Seq(-0.1f, 0.1f)),
+      (4L, Seq(10.0f, 9.9f)), (5L, Seq(10.1f, 10.0f)), (6L, Seq(9.9f, 10.2f))
+    ).toDF("id", "v")
+    val out = Cluster.kmeansMicro(pts, "id", "v", k = 2, iterations = 3)
+    val cells = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cells(1L) shouldBe cells(2L)
+    cells(2L) shouldBe cells(3L)
+    cells(4L) shouldBe cells(5L)
+    cells(5L) shouldBe cells(6L)
+    cells(1L) should not be cells(4L)
+  }
+
+  test("hand-computed single iteration: nearest seed wins, exact micro distance") {
+    // k = 2 seeds are the 2 ids with smallest md5('km:'||id); with one
+    // iteration the assignment is just nearest-seed. Verify against a
+    // brute-force recomputation of the same integer arithmetic.
+    val data = Seq(
+      (10L, Seq(1.0f, 2.0f)), (11L, Seq(4.0f, 6.0f)),
+      (12L, Seq(1.1f, 2.1f)), (13L, Seq(3.9f, 5.8f)))
+    val pts = data.toDF("id", "v")
+    val seeds = data
+      .map { case (id, v) => (id, v,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"km:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString) }
+      .sortBy(_._3).take(2).sortBy(_._3)
+    def micro(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.round(x.toDouble * 1000000L))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = data.map { case (id, v) =>
+      val ds = seeds.zipWithIndex
+        .map { case ((_, sv, _), cell) => (d2(micro(v), micro(sv)), cell) }
+      id -> ds.min
+    }.toMap
+    val out = asMap(
+      Cluster.kmeansMicro(pts, "id", "v", k = 2, iterations = 1)
+        .select(col("id"), col("cell"), col("dist2_q")))
+    out.map { case (id, (cell, d)) => id -> ((d, cell)) } shouldBe expected
+  }
+
+  test("partition invariance: 7-way repartition hash-matches 1 partition") {
+    val pts = (1L to 60L)
+      .map(i => (i, Seq((i % 7).toFloat, (i % 11).toFloat, (i % 5).toFloat)))
+      .toDF("id", "v")
+    val a = asMap(Cluster.kmeansMicro(
+      pts.repartition(7), "id", "v", k = 3, iterations = 4))
+    val b = asMap(Cluster.kmeansMicro(
+      pts.coalesce(1), "id", "v", k = 3, iterations = 4))
+    a shouldBe b
+  }
+
+  test("checkpoint = true leaves the trajectory unchanged") {
+    val pts = (1L to 40L)
+      .map(i => (i, Seq((i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("id", "v")
+    val a = asMap(Cluster.kmeansMicro(pts, "id", "v", k = 3, iterations = 3))
+    val b = asMap(Cluster.kmeansMicro(pts, "id", "v", k = 3, iterations = 3,
+      checkpoint = true))
+    a shouldBe b
+  }
+
+  test("empty cell keeps its previous centroid") {
+    // all points identical except one far outlier that seeds a cell of
+    // its own; with k = 2 one cell may end up empty after round 1 —
+    // the operator must not lose it (k cells survive every round, so a
+    // later round could still repopulate it)
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f)), (5L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val out = Cluster.kmeansMicro(pts, "id", "v", k = 2, iterations = 3)
+    // identical points: every row lands in one cell, distances all 0
+    out.select("dist2_q").as[Long].collect().toSet shouldBe Set(0L)
+    out.select("cell").distinct().count() shouldBe 1L
+  }
+
+  test("ties break to the lowest cell id") {
+    // md5('km:3') < md5('km:1') < md5('km:2'), so k = 2 seeds the
+    // frame with ids 3 (cell 0) and 1 (cell 1); id 2 is the probe,
+    // placed exactly midway between them
+    val pts = Seq(
+      (1L, Seq(2.0f)), (2L, Seq(1.0f)), (3L, Seq(0.0f))).toDF("id", "v")
+    val out = asMap(
+      Cluster.kmeansMicro(pts, "id", "v", k = 2, iterations = 1))
+    out(2L)._1 shouldBe 0
+  }
+
+  test("reserved __ column names fail fast") {
+    val pts = Seq((1L, Seq(0.0f), "x")).toDF("id", "v", "__vq")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.kmeansMicro(pts, "id", "v", k = 1, iterations = 1)
+    }
+    e.getMessage should include("reserved")
+  }
+}

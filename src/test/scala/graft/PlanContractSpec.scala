@@ -34,7 +34,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q86_unigram_logprob", // 1-row corpus-total broadcast, like q60
     "q99_hard_negatives",  // bruteForceTopK broadcast scan, like q25
     "q104_bigram_logprob", // 1-row corpus-total broadcast, like q86
-    "q105_tfidf_keywords") // 1-row doc-count broadcast, like q86
+    "q105_tfidf_keywords", // 1-row doc-count broadcast, like q86
+    "q110_kmeans")         // 1-row folded-centroid broadcast per iteration
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
