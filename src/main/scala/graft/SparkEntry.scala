@@ -923,6 +923,18 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering
+    * ([[graft.operators.Dedup.prefixJaccardPairs]]) — the
+    * AllPairs/PPJoin blocking family beside q28's banded MinHash:
+    * every pair at tau >= 4/5 is FOUND (no LSH false negatives; the
+    * guarantee q106 measures the sketch against). Same planted
+    * boilerplate corpus as q45/q46, so the recovered pair sets are
+    * directly comparable. */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(corpusWithBoilerplate(s, dir), "text", "doc_id",
+        shingleSize = 3, tauNum = 4, tauDen = 5)
+      .orderBy("id_a", "id_b")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1804,7 +1816,8 @@ object SparkEntry {
     "q107_pagerank" -> (q107 _),
     "q108_hll_distinct" -> (q108 _),
     "q109_sample_quantiles" -> (q109 _),
-    "q110_kmeans" -> (q110 _))
+    "q110_kmeans" -> (q110 _),
+    "q111_prefix_jaccard_join" -> (q111 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2176,6 +2189,57 @@ object SparkEntry {
          FROM m$iterations GROUP BY cell) s USING (cell)
        ORDER BY m.vec_id"""
   }
+
+  /** Prefix-filter exact Jaccard join oracle mirroring
+    * [[graft.operators.Dedup.prefixJaccardPairs]]: rarity-keyed
+    * shingles (lpad(df):shingle), prefix length L - ceil(tau·L) + 1
+    * in integer arithmetic, first-match emission at the minimum
+    * shared prefix key, then exact set verification. */
+  private def prefixJaccardOracle(tauNum: Int, tauDen: Int): String =
+    s"""WITH ${boilerplateCorpusSql}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM corpus
+       ), sh AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ')
+                      for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), df AS (
+         SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+       ), keyed AS (
+         SELECT s.doc_id,
+                lpad(CAST(d.df AS VARCHAR), 10, '0') || ':' || s.shingle AS k
+         FROM sh s JOIN df d USING (shingle)
+       ), sets AS (
+         SELECT doc_id, list_sort(list(k)) AS ks, CAST(count(*) AS BIGINT) AS l
+         FROM keyed GROUP BY doc_id
+       ), pref AS (
+         SELECT doc_id, l,
+                ks[1:CAST(l - (l * $tauNum + ${tauDen - 1}) // $tauDen + 1
+                          AS INTEGER)] AS p
+         FROM sets
+       ), pe AS (
+         SELECT doc_id, l, p, unnest(p) AS pk FROM pref
+       ), cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pe a JOIN pe b ON a.pk = b.pk AND a.doc_id < b.doc_id
+         WHERE a.l * $tauNum <= b.l * $tauDen
+           AND b.l * $tauNum <= a.l * $tauDen
+           AND a.pk = list_min(list_intersect(a.p, b.p))
+       ), ver AS (
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(sa.ks, sb.ks)) AS BIGINT) AS n_inter,
+                sa.l AS n_a, sb.l AS n_b
+         FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
+                     JOIN sets sb ON sb.doc_id = c.id_b
+       )
+       SELECT id_a, id_b, n_inter, n_a, n_b,
+              CAST(n_inter AS DOUBLE)
+                / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+       FROM ver
+       WHERE n_inter * $tauDen >= (n_a + n_b - n_inter) * $tauNum
+       ORDER BY id_a, id_b"""
 
   private def minhashCappedPairsOracle: String =
     minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
@@ -3715,6 +3779,7 @@ object SparkEntry {
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
+    "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q109_sample_quantiles" ->
       """WITH d AS (
            SELECT source, n_chars,

@@ -191,6 +191,92 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** EXACT similarity self-join by prefix filtering (the
+    * AllPairs/PPJoin family) — the exact-result complement to the
+    * MinHash tier: every pair with shingle-set Jaccard >= tau is
+    * found, no LSH false negatives, no signature tuning. The filter
+    * is the classic prefix theorem: order each document's shingles by
+    * GLOBAL RARITY (df asc, shingle asc — encoded as one sortable
+    * `lpad(df):shingle` key), and two sets with J >= tau MUST share a
+    * token within their first `L - ceil(tau·L) + 1` keys. Rare-first
+    * ordering is what makes the join selective: a df=1 shingle can
+    * never produce a candidate, and hot shingles sort to the suffix
+    * where they are never join keys.
+    *
+    * Scale shape, in Spark terms: one token-keyed shuffle to attach
+    * df, one doc-keyed aggregate to build the sorted key arrays, and
+    * a candidate hash join ON PREFIX KEY whose output is emitted
+    * exactly once per pair with NO distinct shuffle — each candidate
+    * row carries both prefix arrays (bounded at ~(1-tau)·L keys), and
+    * a pair survives only from its MINIMUM shared prefix key, the
+    * same first-match discipline as the banded-LSH tier. Verification
+    * joins the full key arrays back by id (two hash joins) and counts
+    * the intersection in place ([[graft.functions
+    * .ArrayIntersectCountExpr]]). Length pre-filter `tau·|A| <= |B|
+    * <= |A|/tau` runs as integer rationals inside the join predicate.
+    *
+    * The known skew hole is the same one the LSH cap guards: a
+    * cluster of c IDENTICAL documents emits c² candidates here (their
+    * rare prefixes coincide). Exactness forbids a cap, so compose
+    * with [[exactDuplicates]]/[[dedupAgainstCorpus]] upstream — at
+    * 100 TB exact-dup collapse precedes similarity search anyway.
+    *
+    * `tau = tauNum/tauDen` as integer rationals — no float-threshold
+    * drift (membership predicates stay engine-exact). Output:
+    * (id_a, id_b, n_inter, n_a, n_b, jaccard), id_a < id_b. */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "tau = tauNum/tauDen must be in (0, 1]")
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    def intersectCount(a: Column, b: Column): Column =
+      toColumn(graft.functions.ArrayIntersectCountExpr(toExpression(a), toExpression(b)))
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(shingles(col(textCol), shingleSize)))
+        .as("__tok"))
+    val df = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val keyed = toks.join(df, Seq("__tok"))
+      .select(col("__id"),
+        concat(lpad(col("__df").cast("string"), 10, "0"), lit(":"),
+          col("__tok")).as("__k"))
+    val sets = keyed.groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__k"))).as("__ks"),
+        count(lit(1)).as("__l"))
+    // prefix length = L - ceil(tau*L) + 1, integer-exact
+    val pref = sets.withColumn("__p",
+      expr(s"slice(__ks, 1, CAST(__l - ((__l * $tauNum + ${tauDen - 1}) " +
+        s"div $tauDen) + 1 AS INT))"))
+    val pe = pref.select(col("__id"), col("__l"), col("__p"),
+      explode(col("__p")).as("__pk"))
+    val a = pe.select(col("__id").as("id_a"), col("__l").as("__la"),
+      col("__p").as("__pa"), col("__pk"))
+    val b = pe.select(col("__id").as("id_b"), col("__l").as("__lb"),
+      col("__p").as("__pb"), col("__pk"))
+    val cands = a.join(b, Seq("__pk"))
+      .filter(col("id_a") < col("id_b")
+        && col("__la") * tauNum <= col("__lb") * tauDen
+        && col("__lb") * tauNum <= col("__la") * tauDen)
+      // first-match emission: only the lowest shared prefix key speaks
+      .filter(col("__pk") ===
+        array_min(array_intersect(col("__pa"), col("__pb"))))
+      .select("id_a", "id_b")
+    val withSets = cands
+      .join(sets.select(col("__id").as("id_a"), col("__ks").as("__ka")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__ks").as("__kb")),
+        Seq("id_b"))
+      .withColumn("n_inter",
+        intersectCount(col("__ka"), col("__kb")).cast("long"))
+      .withColumn("n_a", size(col("__ka")).cast("long"))
+      .withColumn("n_b", size(col("__kb")).cast("long"))
+    withSets
+      .filter(col("n_inter") * tauDen
+        >= (col("n_a") + col("n_b") - col("n_inter")) * tauNum)
+      .withColumn("jaccard", col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
   /** 60-bit SimHash fingerprint per document: each distinct word
     * votes ±1 on each bit of its md5-derived 60-bit hash (first 15
     * hex chars — cross-engine-reproducible); the sign of each

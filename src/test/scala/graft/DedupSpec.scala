@@ -274,6 +274,68 @@ class DedupSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("prefixJaccardPairs finds EXACTLY the brute-force tau-pairs") {
+    // mixed corpus: one exact-dup pair, one near-dup pair, distinct rest
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy cat tonight"),
+      (4L, "entirely different words compose this document body here"),
+      (5L, "another unrelated text with its own vocabulary entirely"),
+      (6L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    // brute force: all pairs, exact jaccard, filter >= 0.5
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    val brute = Dedup.jaccardOnPairs(allPairs, docs, "text", "doc_id",
+        shingleSize = 3)
+      .filter(col("n_inter") * 2 >= (col("n_a") + col("n_b") - col("n_inter")))
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe brute
+    got should contain((1L, 2L)) // the exact dup must be found
+  }
+
+  test("prefixJaccardPairs emits each pair exactly once and is " +
+      "partition-invariant") {
+    val docs = (1L to 30L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta"
+      val text = if (i % 3 == 0) base else base + s" tail$i word$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val once = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, tauNum = 4, tauDen = 5)
+    val rows = once.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe rows.toSet.size // no double emission
+    val repart = Dedup.prefixJaccardPairs(docs.repartition(7), "text",
+      "doc_id", shingleSize = 3, tauNum = 4, tauDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    repart shouldBe rows.toSet
+    // the 10 identical docs (i % 3 == 0) give 45 J=1 pairs
+    rows.count { case (a, b) => a % 3 == 0 && b % 3 == 0 } shouldBe 45
+  }
+
+  test("prefixJaccardPairs tau bounds: disjoint docs never pair, " +
+      "tau rational is inclusive") {
+    val docs = Seq(
+      (1L, "one two three four"), // shingles: {one two three, two three four}
+      (2L, "one two three five"), // J = 1/3 with doc 1
+      (3L, "nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val atThird = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, tauNum = 1, tauDen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    atThird shouldBe Set((1L, 2L)) // J = 1/3 >= 1/3 inclusive
+    val above = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, tauNum = 1, tauDen = 2)
+      .collect()
+    above shouldBe empty // J = 1/3 < 1/2
+  }
+
   test("duplicateClusters: boilerplate copies form one cluster with the " +
       "lowest id canonical; unrelated docs are their own singletons") {
     val boiler = "subscribe to our newsletter for updates all rights reserved"
