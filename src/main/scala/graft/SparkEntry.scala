@@ -935,6 +935,17 @@ object SparkEntry {
         shingleSize = 3, tauNum = 4, tauDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** Streaming cardinality: q108's HLL registers carried as PER-KEY
+    * STREAMING STATE ([[graft.streaming.StreamOps
+    * .streamingHllDistinct]]) — per-source distinct-token estimates
+    * snapshotted after each crawl wave, O(m) state per key. The
+    * register math bit-matches the batch sketch, so a batch oracle
+    * over each wave's cumulative prefix hash-matches the streamed
+    * snapshots exactly. */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingHllAvailableNow(s, dir, p = 6, salt = "hll")
+      .orderBy("source", "wave")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1817,7 +1828,8 @@ object SparkEntry {
     "q108_hll_distinct" -> (q108 _),
     "q109_sample_quantiles" -> (q109 _),
     "q110_kmeans" -> (q110 _),
-    "q111_prefix_jaccard_join" -> (q111 _))
+    "q111_prefix_jaccard_join" -> (q111 _),
+    "q112_stream_hll" -> (q112 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2188,6 +2200,47 @@ object SparkEntry {
          SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
          FROM m$iterations GROUP BY cell) s USING (cell)
        ORDER BY m.vec_id"""
+  }
+
+  /** Streaming-HLL oracle: the q108 register/estimate SQL evaluated
+    * over each wave's CUMULATIVE document prefix — wave w sees docs
+    * with `(doc_id // 20) % 2 <= w`, exactly the state the streamed
+    * registers hold after micro-batch w. */
+  private def hllWaveOracle(p: Int): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val alphaM2 = Sketch.hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    def waveEst(w: Int): String =
+      s"""(SELECT source, CAST($w AS BIGINT) AS wave, n_used,
+             CASE WHEN raw <= ${2.5 * m} AND v > 0
+                  THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v AS DOUBLE))
+                  ELSE raw END AS est
+           FROM (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+                    $m - count(*) AS v,
+                    $alphaM2 * ($twoK / CAST(
+                      CAST(sum(1::BIGINT << ($maxM - mb))
+                           + ($m - count(*)) * (1::BIGINT << $maxM)
+                           AS BIGINT) AS DOUBLE)) AS raw
+             FROM (
+               SELECT source, h >> $remBits AS bucket,
+                      max(CASE WHEN h & ((1::BIGINT << $remBits) - 1) = 0
+                               THEN $maxM
+                               ELSE $maxM - length(bin(
+                                 h & ((1::BIGINT << $remBits) - 1))) END) AS mb
+               FROM (
+                 SELECT source,
+                        ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+                 FROM (SELECT source, unnest(
+                         string_split_regex(lower(text), '\\s+')) AS tok
+                       FROM documents WHERE (doc_id // 20) % 2 <= $w) u
+                 WHERE tok <> '') hh
+               GROUP BY source, bucket) mm
+             GROUP BY source) agg)"""
+    s"""SELECT * FROM (${waveEst(0)} UNION ALL ${waveEst(1)}) z
+       ORDER BY source, wave"""
   }
 
   /** Prefix-filter exact Jaccard join oracle mirroring
@@ -3780,6 +3833,7 @@ object SparkEntry {
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
+    "q112_stream_hll" -> hllWaveOracle(p = 6),
     "q109_sample_quantiles" ->
       """WITH d AS (
            SELECT source, n_chars,

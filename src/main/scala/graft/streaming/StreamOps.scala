@@ -427,6 +427,108 @@ object StreamOps {
     spark.table(name)
   }
 
+  // --- streaming cardinality (HLL registers as state) -------------------
+
+  case class HllTok(wave: Long, source: String, tok: String)
+  case class HllRegs(regs: Map[Int, Int])
+  case class HllWaveOut(source: String, wave: Long, n_used: Long, est: Double)
+
+  /** Streaming distinct-count: [[graft.operators.Sketch.hllDistinct]]'s
+    * register array carried as PER-KEY STREAMING STATE — the
+    * "cardinality so far" feed a crawl monitor actually wants, for
+    * O(m) state per key where exact streaming distinct would hold
+    * every value ever seen. Each micro-batch folds its tokens into
+    * the registers (register-wise max — order- and batch-split-
+    * independent by construction, the same property that made the
+    * batch sketch's partial aggregation correct) and emits one
+    * (source, wave, n_used, est) snapshot per key touched. The
+    * register math BIT-MATCHES the batch operator: same md5
+    * coordinates, same integer max-merge, same one fixed double shape
+    * for the estimate — so a batch oracle over each wave's cumulative
+    * prefix hash-matches the streamed snapshots exactly. */
+  def streamingHllDistinct(toks: Dataset[HllTok], p: Int,
+                           salt: String): Dataset[HllWaveOut] = {
+    require(p >= 4 && p <= 12, "p must be in [4, 12]")
+    import toks.sparkSession.implicits._
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val alphaM2 = graft.operators.Sketch.hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    toks.groupByKey(_.source)
+      .flatMapGroupsWithState[HllRegs, HllWaveOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[HllTok], state: GroupState[HllRegs]) =>
+          val batch = rows.toSeq
+          var regs = state.getOption.map(_.regs).getOrElse(Map.empty[Int, Int])
+          batch.foreach { row =>
+            // identical coordinates to the SQL path:
+            // conv(substring(md5(salt:tok), 1, 15), 16, 10)
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$salt:${row.tok}".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.substring(0, 15)
+            val h = java.lang.Long.parseLong(hex, 16)
+            val bucket = (h >>> remBits).toInt
+            val r = h & ((1L << remBits) - 1)
+            // length(bin(r)) = 64 - numberOfLeadingZeros(r) for r > 0
+            val mb =
+              if (r == 0L) maxM
+              else maxM - (64 - java.lang.Long.numberOfLeadingZeros(r))
+            if (regs.getOrElse(bucket, 0) < mb) regs = regs.updated(bucket, mb)
+          }
+          state.update(HllRegs(regs))
+          val used = regs.size
+          val sp = regs.valuesIterator.map(mb => 1L << (maxM - mb)).sum
+          val s = sp + (m.toLong - used) * (1L << maxM)
+          val raw = alphaM2 * (twoK / s.toDouble)
+          val v = m - used
+          // StrictMath.log, not math.log: Spark's `log` expression is
+          // StrictMath-backed, and the JVM intrinsic can differ by 1
+          // ulp — enough to break bit-parity with the batch sketch
+          val est =
+            if (raw <= 2.5 * m && v > 0)
+              m.toDouble * StrictMath.log(m.toDouble / v)
+            else raw
+          Iterator.single(
+            HllWaveOut(source, batch.map(_.wave).max, used.toLong, est))
+      }
+  }
+
+  /** Drive [[streamingHllDistinct]] through the engine: documents
+    * tokenized and staged as two crawl waves (`(doc_id div 20) % 2` —
+    * the round-robin doc_id layout makes plain parity single-wave per
+    * source), snapshots emitted per (source, wave). */
+  def runStreamingHllAvailableNow(spark: SparkSession, dir: String,
+                                  p: Int, salt: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val staging = stagedDir("hll", dir) { staging =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(expr("(doc_id div 20) % 2").as("wave"), col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      stageVersionFile(d.filter(col("wave") === 0), s"$staging/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$staging/f1.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("source", StringType),
+        StructField("tok", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[HllTok]
+    val name = s"graft_stream_hll_${runCounter.incrementAndGet()}"
+    val query = streamingHllDistinct(src, p, salt)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming funnel -------------------------------------------------
 
   case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)

@@ -19,7 +19,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q29_stream_rollup", "q39_stream_upsert", "q47_stream_dedup",
     "q59_stream_join", "q72_stream_outer_join", "q44_label_match_w2v",
     "q89_stream_static_join", "q93_stream_scd2", "q95_stream_late_data",
-    "q100_stream_ingest", "q101_stream_ewma")
+    "q100_stream_ingest", "q101_stream_ewma", "q112_stream_hll")
 
   /** Broadcast similarity scans (reference side catalog-sized by
     * contract, guarded in Matcher/Ann — the nested loop IS the plan),

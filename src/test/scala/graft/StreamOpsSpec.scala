@@ -266,6 +266,31 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
   }
 
+  test("streaming HLL snapshots are bit-identical to the batch sketch " +
+      "over each wave's cumulative prefix (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingHllAvailableNow(spark, dir,
+        p = 6, salt = "hll")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def batchWave(w: Int) = graft.operators.Sketch.hllDistinct(
+      docs.filter(expr(s"(doc_id div 20) % 2 <= $w"))
+        .select($"source",
+          explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= ""),
+      Seq("source"), "tok", p = 6, salt = "hll")
+      .collect()
+      .map(r => (r.getString(0), w.toLong) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val expected = batchWave(0) ++ batchWave(1)
+    streamed.keySet shouldBe expected.keySet
+    // EXACT equality: register state and the one double expression
+    // must be bit-faithful across micro-batches
+    expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
+  }
+
   test("streaming SCD-2 closed intervals equal the batch lead() form (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamingScd2AvailableNow(spark, dir)
