@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, Sketch, TextAnalysis}
+import graft.operators.{Cluster, Dedup, Graph, Sketch, TextAnalysis}
 
 /** Scale-up probe for the round-8 additions (dev tool): replicates
   * documents and lineitem K× with re-keyed ids, then times PageRank,
@@ -36,6 +36,8 @@ object NewOpsProbe {
     }
     replicate("documents", "doc_id" -> 1000000L)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    replicate("embeddings", "vec_id" -> 1000000L)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     // l_partkey offset too: K disjoint copies of the co-purchase graph
     replicate("lineitem", "l_orderkey" -> 100000000L, "l_partkey" -> 10000000L)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
@@ -82,6 +84,50 @@ object NewOpsProbe {
       Sketch.bloomMightContain(bloom, sh(d.filter(col("doc_id") % 97 =!= 0)),
           "shingle", 1024, 3, "bloom")
         .filter(col("maybe")).count()
+    }
+    time("kmeans_k4_3it") { dir =>
+      Cluster.kmeansMicro(spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", k = 4, iterations = 3)
+        .agg(sum(col("dist2_q")) + sum(col("cell"))).head().getLong(0)
+    }
+    // RAW replicated corpus: every doc has K identical copies, so the
+    // prefix join pays the documented quadratic identical-cluster mass
+    // (the same hole minhash_neardup's uncapped row prices)
+    time("prefix_jaccard_raw") { dir =>
+      Dedup.prefixJaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
+          "text", "doc_id", shingleSize = 3, tauNum = 4, tauDen = 5)
+        .count()
+    }
+    // the documented composition: exact-dup collapse FIRST, then the
+    // similarity join — replica mass disappears linearly upstream
+    time("prefix_jaccard_deduped") { dir =>
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val keep = Dedup.exactDuplicates(d, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      Dedup.prefixJaccardPairs(d.join(keep, Seq("doc_id")),
+          "text", "doc_id", shingleSize = 3, tauNum = 4, tauDen = 5)
+        .count()
+    }
+    // exact per-group percentile (full per-group sort) vs the q109
+    // bottom-k hash sample (bounded state) — the profiling trade
+    time("quantiles_exact") { dir =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"))
+        .agg(sum(col("p50") + col("p90"))).head().getDouble(0).toLong
+    }
+    time("quantiles_sample8") { dir =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("qs:"), col("doc_id").cast("string"))))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 8)
+        .groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"))
+        .agg(sum(col("p50") + col("p90"))).head().getDouble(0).toLong
     }
     time("countmin_build_probe") { dir =>
       val freq = TextAnalysis.tokenCounts(

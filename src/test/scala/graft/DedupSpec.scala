@@ -336,6 +336,28 @@ class DedupSpec extends SparkSpec with Matchers {
     above shouldBe empty // J = 1/3 < 1/2
   }
 
+  test("banded MinHash pairs are a SUBSET of the exact prefix-filter " +
+      "pairs at the same tau (the q106 guarantee, operator-level)") {
+    val docs = (1L to 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val text =
+        if (i % 4 == 0) base
+        else if (i % 4 == 1) base + " lambda"
+        else s"doc$i " + (1 to 8).map(j => s"w${i}_$j").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, tauNum = 4, tauDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted pairs the exact join missed: ${lsh -- exact}")
+    exact should not be empty
+  }
+
   test("duplicateClusters: boilerplate copies form one cluster with the " +
       "lowest id canonical; unrelated docs are their own singletons") {
     val boiler = "subscribe to our newsletter for updates all rights reserved"
