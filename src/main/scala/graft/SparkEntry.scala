@@ -946,6 +946,24 @@ object SparkEntry {
     StreamOps.runStreamingHllAvailableNow(s, dir, p = 6, salt = "hll")
       .orderBy("source", "wave")
 
+  /** Embedding-space outlier mining
+    * ([[graft.operators.Cluster.centroidDistances]]): each vector's
+    * exact integer-micro squared distance to its OWN label centroid,
+    * top-3 farthest per label under WindowGroupLimit — the
+    * mislabeled-sample shortlist a semantic noise filter reviews.
+    * Every distance is an exact BIGINT, so ranks and values
+    * hash-match the DuckDB replay. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val d = Cluster.centroidDistances(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label")
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_q").desc, col("vec_id"))
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("label", "rank", "vec_id", "dist2_q")
+      .orderBy("label", "rank")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1829,7 +1847,8 @@ object SparkEntry {
     "q109_sample_quantiles" -> (q109 _),
     "q110_kmeans" -> (q110 _),
     "q111_prefix_jaccard_join" -> (q111 _),
-    "q112_stream_hll" -> (q112 _))
+    "q112_stream_hll" -> (q112 _),
+    "q113_embedding_outliers" -> (q113 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3834,6 +3853,35 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q113_embedding_outliers" ->
+      """WITH q AS (
+           SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+           FROM embeddings
+         ), u AS (
+           SELECT label, j,
+                  CAST(round(CAST(sum(v) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv
+           FROM (SELECT label, unnest(vq) AS v,
+                        unnest(range(1, len(vq) + 1)) AS j FROM q)
+           GROUP BY label, j
+         ), c AS (
+           SELECT label, list(cv ORDER BY j) AS cvec FROM u GROUP BY label
+         ), d AS (
+           SELECT q.vec_id, q.label,
+                  CAST(list_sum([(q.vq[j] - c.cvec[j]) * (q.vq[j] - c.cvec[j])
+                                 for j in range(1, len(q.vq) + 1)])
+                       AS BIGINT) AS dist2_q
+           FROM q JOIN c USING (label)
+         ), r AS (
+           SELECT label, vec_id, dist2_q,
+                  row_number() OVER (PARTITION BY label
+                                     ORDER BY dist2_q DESC, vec_id) AS rk
+           FROM d
+         )
+         SELECT label, CAST(rk AS BIGINT) AS rank, vec_id, dist2_q
+         FROM r WHERE rk <= 3 ORDER BY label, rank""",
     "q109_sample_quantiles" ->
       """WITH d AS (
            SELECT source, n_chars,

@@ -58,9 +58,40 @@ object Cluster {
       x => round(x * lit(Micros.toDouble)).cast("long"))
 
   /** Exact squared L2 distance between two array<long> columns. */
-  private def dist2(a: Column, b: Column): Column =
+  def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
+
+  /** Exact squared-L2 distance of every vector to its OWN group's
+    * centroid — the embedding-space outlier signal (mislabeled-sample
+    * mining, semantic noise filtering: the farthest members of a
+    * class/source cluster are the curation candidates). Centroids are
+    * the same integer-micro means as [[kmeansMicro]]'s update step, so
+    * distances are exact BIGINTs and cross-engine reproducible. The
+    * centroid table is group-count-sized (catalog-sized by contract)
+    * and broadcast; the corpus never shuffles — the only exchange is
+    * the k·dim-bounded centroid aggregation itself.
+    * Output: (groupCol, idCol, dist2_q). */
+  def centroidDistances(vectors: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val reserved = vectors.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with '__' are reserved: ${reserved.mkString(", ")}")
+    val q = vectors.select(col(groupCol), col(idCol),
+      microQuantize(col(vecCol)).as("__vq"))
+    val cent = q
+      .select(col(groupCol), posexplode(col("__vq")).as(Seq("__j", "__v")))
+      .groupBy(col(groupCol), col("__j"))
+      .agg(round(sum(col("__v")).cast("double")
+        / count(lit(1)).cast("double")).cast("long").as("__cv"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__j"), col("__cv")))),
+        s => s.getField("__cv")).as("__cvec"))
+    q.join(broadcast(cent), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        dist2(col("__vq"), col("__cvec")).as("dist2_q"))
+  }
 
   /** `iterations` rounds of (assign, update) over micro-quantized
     * coordinates. Returns the LAST round's assignment:

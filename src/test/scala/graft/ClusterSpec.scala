@@ -101,6 +101,25 @@ class ClusterSpec extends SparkSpec with Matchers {
     out(2L)._1 shouldBe 0
   }
 
+  test("centroidDistances: hand-computed integer-micro centroid and " +
+      "exact distances; planted outlier ranks first") {
+    val pts = Seq(
+      (1L, "a", Seq(0.0f, 0.0f)), (2L, "a", Seq(2.0f, 2.0f)),
+      (3L, "b", Seq(5.0f, 5.0f)),
+      (4L, "c", Seq(0.0f, 0.0f)), (5L, "c", Seq(0.2f, 0.0f)),
+      (6L, "c", Seq(100.0f, 0.0f))
+    ).toDF("id", "grp", "v")
+    val d = Cluster.centroidDistances(pts, "id", "v", "grp")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // group a centroid = (1e6, 1e6); each point at squared dist 2e12
+    d(1L) shouldBe 2L * 1000000L * 1000000L
+    d(2L) shouldBe 2L * 1000000L * 1000000L
+    d(3L) shouldBe 0L // singleton group sits on its centroid
+    // group c: the planted far point dominates
+    d(6L) should be > d(4L)
+    d(6L) should be > d(5L)
+  }
+
   test("reserved __ column names fail fast") {
     val pts = Seq((1L, Seq(0.0f), "x")).toDF("id", "v", "__vq")
     val e = intercept[IllegalArgumentException] {
