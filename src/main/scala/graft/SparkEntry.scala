@@ -964,6 +964,33 @@ object SparkEntry {
       .orderBy("label", "rank")
   }
 
+  /** Exact-budget mixture build: largest-remainder quotas
+    * ([[graft.operators.Curation.largestRemainderQuotas]], B = 123
+    * rows across the 20 sources — non-divisible on purpose, and the
+    * harness's equal per-source counts make EVERY remainder tie, so
+    * the key-asc tiebreak is load-bearing) followed by the
+    * deterministic md5 bottom-k pick per source. `picked_md5` hashes
+    * the actual selected id set, so the driver check pins the full
+    * selection, not just its size. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotas = graft.operators.Curation.largestRemainderQuotas(
+      docs, "source", budget = 123L)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("lr:"), col("doc_id").cast("string"))))
+    val picked = docs
+      .withColumn("__rn", row_number().over(w))
+      .join(quotas.select("source", "quota"), Seq("source"))
+      .filter(col("__rn") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("picked_n"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("picked_md5"))
+    quotas.join(picked, Seq("source"))
+      .select("source", "n_docs", "quota", "picked_n", "picked_md5")
+      .orderBy("source")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1848,7 +1875,8 @@ object SparkEntry {
     "q110_kmeans" -> (q110 _),
     "q111_prefix_jaccard_join" -> (q111 _),
     "q112_stream_hll" -> (q112 _),
-    "q113_embedding_outliers" -> (q113 _))
+    "q113_embedding_outliers" -> (q113 _),
+    "q114_mixture_quota" -> (q114 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3853,6 +3881,40 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q114_mixture_quota" ->
+      """WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source
+         ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM counts),
+         b AS (
+           SELECT source, n_docs, (123 * n_docs) // t AS base,
+                  123 * n_docs - ((123 * n_docs) // t) * t AS rem
+           FROM counts, tot
+         ), l AS (SELECT CAST(123 - sum(base) AS BIGINT) AS lft FROM b),
+         r AS (
+           SELECT source, n_docs, base,
+                  row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM b
+         ), q AS (
+           SELECT source, n_docs,
+                  CAST(base + CASE WHEN rk <= (SELECT lft FROM l)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM r
+         ), sel AS (
+           SELECT d.source, d.doc_id,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5('lr:' || CAST(d.doc_id AS VARCHAR))) AS rn
+           FROM documents d
+         ), p AS (
+           SELECT s.source, CAST(count(*) AS BIGINT) AS picked_n,
+                  md5(array_to_string(
+                    list(CAST(s.doc_id AS VARCHAR) ORDER BY s.doc_id),
+                    ',')) AS picked_md5
+           FROM sel s JOIN q USING (source)
+           WHERE s.rn <= q.quota GROUP BY s.source
+         )
+         SELECT q.source, q.n_docs, q.quota, p.picked_n, p.picked_md5
+         FROM q JOIN p USING (source) ORDER BY q.source""",
     "q113_embedding_outliers" ->
       """WITH q AS (
            SELECT vec_id, label,

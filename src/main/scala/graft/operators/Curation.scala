@@ -168,6 +168,41 @@ object Curation {
       .drop("__n", "__w", "__mn", "__mw")
   }
 
+  /** EXACT-total mixture quotas by largest-remainder (Hamilton)
+    * apportionment: split `budget` rows across the distinct values of
+    * `keyCol` proportionally to their counts, summing to EXACTLY the
+    * budget — where [[resampleToMixture]]'s rate filter is
+    * expectation-exact, this is the form a fixed token/row budget
+    * needs. All integer arithmetic: base = floor(B·n/N), scaled
+    * remainder B·n − base·N, the B − Σbase leftovers going to the
+    * largest remainders (ties → key asc) — deterministic on every
+    * engine, no float shares. The quota table is keyed by a CATALOG
+    * (sources/domains), so the global remainder-rank window is
+    * catalog-sized by contract; corpus data never enters this
+    * operator — pass it the already-aggregated frame or the raw rows
+    * (one map-side-combining count either way).
+    * Output: (keyCol, n_docs, quota). */
+  def largestRemainderQuotas(df: DataFrame, keyCol: String,
+                             budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__tot"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"($budget * n_docs) div __tot"))
+      .withColumn("__rem",
+        lit(budget) * col("n_docs") - col("__base") * col("__tot"))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(keyCol))
+    based
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .select(col(keyCol), col("n_docs"),
+        (col("__base") + when(col("__rk") <= col("__left"), lit(1L))
+          .otherwise(lit(0L))).as("quota"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, partCols: Seq[String]): DataFrame = {
     require(budget > 0, "budget must be positive")

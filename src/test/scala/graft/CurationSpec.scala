@@ -158,6 +158,30 @@ class CurationSpec extends SparkSpec with Matchers {
     a.nonEmpty shouldBe true
   }
 
+  test("largestRemainderQuotas: sums EXACTLY to the budget, within 1 of " +
+      "the proportional share, ties break by key asc") {
+    val rows = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 50) "a" else if (i < 80) "b" else "c"))
+      .toDF("doc_id", "src")
+    val q = Curation.largestRemainderQuotas(rows, "src", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    q.values.sum shouldBe 7L
+    // shares: a 3.5, b 2.1, c 1.4 → bases 3/2/1, leftover 1 to the
+    // largest remainder (a, .5)
+    q shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 1L)
+    // all-equal counts: every remainder ties; keys ascending win
+    val eq = Seq.tabulate(40)(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "src")
+    val q2 = Curation.largestRemainderQuotas(eq, "src", budget = 6L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    q2.values.sum shouldBe 6L
+    q2 shouldBe Map("s0" -> 2L, "s1" -> 2L, "s2" -> 1L, "s3" -> 1L)
+    // divisible budget: no leftovers, pure proportion
+    val q3 = Curation.largestRemainderQuotas(eq, "src", budget = 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    q3.values.toSet shouldBe Set(2L)
+  }
+
   test("shardAndOrder: partition-invariant deterministic shards and dense per-shard order") {
     val corpus = spark.range(0, 2000).select(col("id").as("doc_id"))
     def run(df: org.apache.spark.sql.DataFrame) =

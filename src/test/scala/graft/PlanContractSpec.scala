@@ -35,7 +35,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q99_hard_negatives",  // bruteForceTopK broadcast scan, like q25
     "q104_bigram_logprob", // 1-row corpus-total broadcast, like q86
     "q105_tfidf_keywords", // 1-row doc-count broadcast, like q86
-    "q110_kmeans")         // 1-row folded-centroid broadcast per iteration
+    "q110_kmeans",         // 1-row folded-centroid broadcast per iteration
+    "q114_mixture_quota")  // 1-row total/leftover broadcasts
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
@@ -45,7 +46,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     * is partial-aggregate-sized (q56/q60/q61/q73/q86's corpus
     * stats) — benign by construction. */
   private val intentionalGlobalWindow = Set(
-    "q24_label_match_report", "q40_label_match_frozen", "q44_label_match_w2v")
+    "q24_label_match_report", "q40_label_match_frozen", "q44_label_match_w2v",
+    "q114_mixture_quota") // remainder rank over the catalog-sized quota table
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
