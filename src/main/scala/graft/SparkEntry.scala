@@ -991,6 +991,32 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Content-defined chunk dedup
+    * ([[graft.operators.TextAnalysis.cdcChunks]], k=8, 2⁵ mask):
+    * CDC-split the boilerplate corpus, hash every chunk, and report
+    * per doc how many of its chunks are SHARED with another document
+    * — the dedup-storage / RETRO-retrieval primitive beside q88's
+    * fixed-window chunking. The planted 12-copy cluster shares every
+    * chunk; edit-shifted docs keep their untouched chunks shared,
+    * which fixed chunking loses past the first edit. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val ch = corpusWithBoilerplate(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.cdcChunks(col("text"), k = 8, maskBits = 5))
+          .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("hh"),
+        length(col("chunk")).as("clen"))
+    val spread = ch.groupBy("hh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(spread, Seq("hh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_shared"),
+        sum(col("clen").cast("long")).as("total_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1876,7 +1902,8 @@ object SparkEntry {
     "q111_prefix_jaccard_join" -> (q111 _),
     "q112_stream_hll" -> (q112 _),
     "q113_embedding_outliers" -> (q113 _),
-    "q114_mixture_quota" -> (q114 _))
+    "q114_mixture_quota" -> (q114 _),
+    "q115_cdc_chunks" -> (q115 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3881,6 +3908,40 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q115_cdc_chunks" ->
+      s"""WITH ${boilerplateCorpusSql}hs AS (
+           SELECT doc_id, text,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM corpus
+         ), cut AS (
+           SELECT doc_id, text,
+                  [i + 7 for i in range(1, len(h) + 1)
+                   if h[i] % 32 = 0 AND i + 7 < length(text)] AS c
+           FROM hs
+         ), bnd AS (
+           SELECT doc_id, text,
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_append(c, CAST(length(text) AS BIGINT))) AS b
+           FROM cut
+         ), chunks AS (
+           SELECT doc_id, unnest([substr(text, b[i] + 1, b[i + 1] - b[i])
+                                  for i in range(1, len(b))]) AS chunk
+           FROM bnd
+         ), ch AS (
+           SELECT doc_id, md5(chunk) AS hh, length(chunk) AS clen
+           FROM chunks WHERE chunk <> ''
+         ), spread AS (
+           SELECT hh, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY hh
+         )
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared,
+                CAST(sum(c.clen) AS BIGINT) AS total_chars
+         FROM ch c JOIN spread s USING (hh)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
     "q114_mixture_quota" ->
       """WITH counts AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -428,6 +428,16 @@ object TextAnalysis {
     * rule — see [[graft.operators.Banding]]). The df prune is a
     * map-side-combining count over per-doc-distinct fingerprints
     * broadcast back as an anti join. */
+  /** Content-defined chunks ([[graft.functions.CdcChunksExpr]]):
+    * variable-size chunks cut where the rolling hash of the trailing
+    * `k` codepoints lands on a 2^maskBits boundary — chunk-level
+    * dedup that SURVIVES insertions, where [[chunkTokens]]' fixed
+    * windows re-align every chunk after an edit. Pure projection. */
+  def cdcChunks(text: Column, k: Int, maskBits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.CdcChunksExpr(toExpression(text), k, maskBits))
+  }
+
   def winnowNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int, minShared: Long,
                            maxDocFreq: Long = 50L): DataFrame = {

@@ -292,4 +292,43 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     // empty / whitespace-only docs produce no chunks
     out.keys.map(_._1).toSet shouldBe Set(1L, 2L)
   }
+
+  test("cdcChunks: chunks reassemble the text exactly; edits stay local; " +
+      "short and empty texts") {
+    import spark.implicits._
+    val body = (1 to 60).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body + " EDITED-TAIL-ONLY"), // suffix edit
+      (3L, "tiny"),                     // shorter than k
+      (4L, "")                          // empty
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.cdcChunks(col("text"), k = 8, maskBits = 5).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // losslessness: concatenation restores the original
+    out(1L).mkString shouldBe body
+    out(2L).mkString shouldBe body + " EDITED-TAIL-ONLY"
+    out(1L).foreach(c => assert(c.nonEmpty))
+    // edit locality: a suffix edit leaves every chunk before the edit
+    // point identical — fixed-size chunking would share only a prefix
+    // window's worth
+    val shared = out(1L).zip(out(2L)).takeWhile { case (a, b) => a == b }
+    assert(shared.length >= out(1L).length - 1,
+      s"suffix edit disturbed more than the final chunk: " +
+        s"${shared.length} of ${out(1L).length} chunks survive")
+    out(3L) shouldBe Seq("tiny")
+    out(4L) shouldBe Seq.empty
+    // boundary contract: each non-final chunk ends where the rolling
+    // hash of its trailing 8 codepoints hits the 2^5 mask — recompute
+    // directly from the definition
+    val mod = 1000000007L
+    def gramHash(s: String, start: Int): Long =
+      (start until start + 8).foldLeft(0L)((a, i) => (a * 257 + s(i)) % mod)
+    var pos = 0
+    out(1L).dropRight(1).foreach { c =>
+      pos += c.length
+      assert(gramHash(body, pos - 8) % 32 == 0, s"no boundary at $pos")
+    }
+  }
 }
