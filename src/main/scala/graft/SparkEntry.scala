@@ -1017,6 +1017,60 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Join-skew diagnostic: the top-20 hottest keys of a would-be join
+    * column, with EXACT integer share-of-total micros and a rational
+    * hot flag (cnt·500 > total ⇔ share > 0.2%) — the report you run
+    * before keying a 100 TB shuffle on a column, and the measurement
+    * behind this engine's hot-bucket caps and salting decisions.
+    * Bounded output via orderBy+limit (TakeOrderedAndProject — no
+    * global window); the total is a 1-row broadcast. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("(cnt * 1000000) div __tot"))
+      .withColumn("hot", col("cnt") * 500 > col("__tot"))
+      .select("key", "cnt", "share_micro", "hot")
+      .orderBy(col("cnt").desc, col("key")).limit(20)
+  }
+
+  /** Per-source OLS trend of doc length vs token count — aggregate
+    * regression as a SINGLE map-side-combining pass: the five exact
+    * integer sums (n, Σx, Σy, Σxy, Σx²) shuffle one row per group,
+    * and slope/intercept are each ONE fixed double expression over
+    * them, so the result hash-matches DuckDB bit-for-bit (the same
+    * discipline as the LM scorers; `regr_slope`-style running-state
+    * aggregates would drift with partition order). Degenerate groups
+    * (zero x-variance) yield NULL, not an ANSI crash. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"),
+      expr("CAST(size(filter(split(text, '\\\\s+'), t -> t != '')) AS BIGINT)")
+        .as("x"),
+      col("n_chars").as("y"))
+    val a = d.groupBy("source").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("__a", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__b", col("n") * col("sxx") - col("sx") * col("sx"))
+    a.withColumn("slope_micro",
+        when(col("__b") === 0, lit(null))
+          .otherwise(round(lit(1000000)
+            * (col("__a").cast("double") / col("__b").cast("double")))
+            .cast("long")))
+      .withColumn("intercept_micro",
+        when(col("__b") === 0, lit(null))
+          .otherwise(round(lit(1000000)
+            * ((col("sy").cast("double")
+              - (col("__a").cast("double") / col("__b").cast("double"))
+                * col("sx").cast("double"))
+              / col("n").cast("double")))
+            .cast("long")))
+      .select("source", "n", "slope_micro", "intercept_micro")
+      .orderBy("source")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1903,7 +1957,9 @@ object SparkEntry {
     "q112_stream_hll" -> (q112 _),
     "q113_embedding_outliers" -> (q113 _),
     "q114_mixture_quota" -> (q114 _),
-    "q115_cdc_chunks" -> (q115 _))
+    "q115_cdc_chunks" -> (q115 _),
+    "q116_skew_report" -> (q116 _),
+    "q117_group_ols" -> (q117 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3908,6 +3964,45 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q116_skew_report" ->
+      """WITH counts AS (
+           SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1
+         ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts)
+         SELECT key, cnt, (cnt * 1000000) // t AS share_micro,
+                cnt * 500 > t AS hot
+         FROM counts, tot ORDER BY cnt DESC, key LIMIT 20""",
+    "q117_group_ols" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(len([t for t in string_split_regex(text, '\s+')
+                            if t <> '']) AS BIGINT) AS x,
+                  n_chars AS y
+           FROM documents
+         ), s AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM d GROUP BY source
+         ), ab AS (
+           SELECT source, n, sx, sy,
+                  n * sxy - sx * sy AS a, n * sxx - sx * sx AS b
+           FROM s
+         )
+         SELECT source, n,
+                CASE WHEN b = 0 THEN NULL
+                     ELSE CAST(round(1000000
+                       * (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)))
+                       AS BIGINT) END AS slope_micro,
+                CASE WHEN b = 0 THEN NULL
+                     ELSE CAST(round(1000000
+                       * ((CAST(sy AS DOUBLE)
+                           - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+                             * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)))
+                       AS BIGINT) END AS intercept_micro
+         FROM ab ORDER BY source""",
     "q115_cdc_chunks" ->
       s"""WITH ${boilerplateCorpusSql}hs AS (
            SELECT doc_id, text,

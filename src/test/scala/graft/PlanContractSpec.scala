@@ -36,7 +36,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q104_bigram_logprob", // 1-row corpus-total broadcast, like q86
     "q105_tfidf_keywords", // 1-row doc-count broadcast, like q86
     "q110_kmeans",         // 1-row folded-centroid broadcast per iteration
-    "q114_mixture_quota")  // 1-row total/leftover broadcasts
+    "q114_mixture_quota",  // 1-row total/leftover broadcasts
+    "q116_skew_report")    // 1-row total broadcast
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
