@@ -1071,6 +1071,45 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Corpus drift monitor: per-source token-distribution shift
+    * between the two crawl waves — Jensen-Shannon divergence with
+    * each token's contribution micro-quantized (one fixed double
+    * expression per token over exact integer counts, `ln` parity
+    * proven by the LM scorers) so the per-source SUM is an exact
+    * long, order-independent, and hash-matches the DuckDB replay.
+    * `new_types`/`lost_types` count vocabulary churn. One shuffle on
+    * (source, tok), map-side-combined; wave totals join back
+    * broadcast (sources are a catalog). */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), expr("(doc_id div 20) % 2").as("wave"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cnt = toks.groupBy("source", "tok").agg(
+      sum(when(col("wave") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("wave") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy("source")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val term = cnt.join(broadcast(tot), Seq("source"))
+      .withColumn("__p", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("__q", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("__t", round(lit(1000000) * (
+        when(col("ca") > 0, lit(0.5) * col("__p")
+          * log(lit(2.0) * col("__p") / (col("__p") + col("__q"))))
+          .otherwise(lit(0.0))
+        + when(col("cb") > 0, lit(0.5) * col("__q")
+          * log(lit(2.0) * col("__q") / (col("__p") + col("__q"))))
+          .otherwise(lit(0.0)))).cast("long"))
+    term.groupBy("source").agg(
+        max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(when(col("cb") > 0 && col("ca") === 0, 1L).otherwise(0L))
+          .as("new_types"),
+        sum(when(col("ca") > 0 && col("cb") === 0, 1L).otherwise(0L))
+          .as("lost_types"),
+        sum(col("__t")).as("jsd_micro"))
+      .orderBy("source")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1959,7 +1998,8 @@ object SparkEntry {
     "q114_mixture_quota" -> (q114 _),
     "q115_cdc_chunks" -> (q115 _),
     "q116_skew_report" -> (q116 _),
-    "q117_group_ols" -> (q117 _))
+    "q117_group_ols" -> (q117 _),
+    "q118_corpus_drift" -> (q118 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3964,6 +4004,45 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q118_corpus_drift" ->
+      """WITH toks AS (
+           SELECT source, (doc_id // 20) % 2 AS wave,
+                  unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''),
+         cnt AS (
+           SELECT source, tok,
+                  CAST(sum(CASE WHEN wave = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN wave = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM nz GROUP BY source, tok
+         ), tot AS (
+           SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+                  CAST(sum(cb) AS BIGINT) AS nb
+           FROM cnt GROUP BY source
+         ), term AS (
+           SELECT c.source, c.ca, c.cb, t.na, t.nb,
+                  CAST(round(1000000 * (
+                    CASE WHEN c.ca > 0
+                         THEN 0.5 * (CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                              * ln(2.0 * (CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                                   / ((CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                                      + (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))))
+                         ELSE 0.0 END
+                    + CASE WHEN c.cb > 0
+                           THEN 0.5 * (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                                * ln(2.0 * (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                                     / ((CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                                        + (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))))
+                           ELSE 0.0 END)) AS BIGINT) AS tmicro
+           FROM cnt c JOIN tot t USING (source)
+         )
+         SELECT source, max(na) AS na, max(nb) AS nb,
+                CAST(sum(CASE WHEN cb > 0 AND ca = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS new_types,
+                CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS lost_types,
+                CAST(sum(tmicro) AS BIGINT) AS jsd_micro
+         FROM term GROUP BY source ORDER BY source""",
     "q116_skew_report" ->
       """WITH counts AS (
            SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
