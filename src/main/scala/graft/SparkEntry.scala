@@ -1110,6 +1110,55 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Hybrid-retrieval rank fusion: reciprocal-rank fusion of the
+    * EXACT cosine top-10 (q25's ranker) with a SCALE-FREE INT8 top-10
+    * (q50's quantization ranked by the exact integer dot product) —
+    * the two-view retrieval a curation pipeline fuses before mining
+    * (q99). Every RRF contribution is `1000000 div (60 + rank)` —
+    * PURE INTEGER, so fusion has no float anywhere and the fused
+    * ranking hash-matches by construction; items outside one
+    * ranker's top-10 contribute only their present term (standard
+    * RRF@k). Output also exposes both source ranks, so rank
+    * disagreement (the int8 quantization error in RANK space, beside
+    * q50's value-space max_err) is directly readable. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val ra = Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("q_id"), col("c_id"),
+        col("rank").cast("long").as("r_exact"))
+    val qz = e
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("__v"))
+      .withColumn("__sc",
+        expr("array_max(transform(__v, x -> abs(x)))"))
+      .select(col("vec_id"),
+        expr("transform(__v, x -> CAST(CASE WHEN __sc = 0 THEN 0 " +
+          "ELSE round(x / __sc * 127) END AS INT))").as("qv"))
+    val scored = qz.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+      .crossJoin(broadcast(qz.select(col("vec_id").as("c_id"),
+        col("qv").as("qb"))))
+      .withColumn("dotint",
+        expr("aggregate(zip_with(qa, qb, (a, b) -> CAST(a AS BIGINT) * b), " +
+          "0L, (s, x) -> s + x)"))
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("dotint").desc, col("c_id"))
+    val rb = scored.withColumn("r_int8", row_number().over(wb).cast("long"))
+      .filter(col("r_int8") <= 10)
+      .select("q_id", "c_id", "r_int8")
+    val fused = ra.join(rb, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + r_exact)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + r_int8)"), lit(0L)))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("c_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "rrf_micro", "r_exact", "r_int8")
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -1999,7 +2048,8 @@ object SparkEntry {
     "q115_cdc_chunks" -> (q115 _),
     "q116_skew_report" -> (q116 _),
     "q117_group_ols" -> (q117 _),
-    "q118_corpus_drift" -> (q118 _))
+    "q118_corpus_drift" -> (q118 _),
+    "q119_rank_fusion" -> (q119 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -4004,6 +4054,47 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q119_rank_fusion" ->
+      s"""$embCte,
+         q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+               FROM q CROSS JOIN n c),
+         ra AS (SELECT q_id, c_id, r_exact FROM (
+                  SELECT q_id, c_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY score DESC, c_id ASC) AS BIGINT) AS r_exact
+                  FROM s) WHERE r_exact <= 10),
+         z AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS sc
+               FROM e),
+         qz AS (SELECT vec_id,
+                       [CAST(CASE WHEN sc = 0 THEN 0
+                                  ELSE round(v[i] / sc * 127) END AS INTEGER)
+                        for i in range(1, len(v) + 1)] AS qv
+                FROM z),
+         si AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                       CAST(list_sum([CAST(a.qv[i] AS BIGINT) * b.qv[i]
+                                      for i in range(1, len(a.qv) + 1)])
+                            AS BIGINT) AS dotint
+                FROM qz a CROSS JOIN qz b WHERE a.vec_id % 50 = 0),
+         rb AS (SELECT q_id, c_id, r_int8 FROM (
+                  SELECT q_id, c_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dotint DESC, c_id ASC) AS BIGINT) AS r_int8
+                  FROM si) WHERE r_int8 <= 10),
+         f AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                      coalesce(a.c_id, b.c_id) AS c_id,
+                      a.r_exact, b.r_int8,
+                      coalesce(1000000 // (60 + a.r_exact), 0)
+                        + coalesce(1000000 // (60 + b.r_int8), 0) AS rrf_micro
+               FROM ra a FULL OUTER JOIN rb b
+                 ON a.q_id = b.q_id AND a.c_id = b.c_id)
+         SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id,
+                CAST(rrf_micro AS BIGINT) AS rrf_micro, r_exact, r_int8
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf_micro DESC, c_id ASC) AS rnk FROM f)
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "q118_corpus_drift" ->
       """WITH toks AS (
            SELECT source, (doc_id // 20) % 2 AS wave,

@@ -37,7 +37,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q105_tfidf_keywords", // 1-row doc-count broadcast, like q86
     "q110_kmeans",         // 1-row folded-centroid broadcast per iteration
     "q114_mixture_quota",  // 1-row total/leftover broadcasts
-    "q116_skew_report")    // 1-row total broadcast
+    "q116_skew_report",    // 1-row total broadcast
+    "q119_rank_fusion")    // brute-force + int8 broadcast scans, like q25
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
