@@ -1159,6 +1159,40 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Round-8 capstone — training-shard MANIFEST build: exact-budget
+    * quota selection (q114) → deterministic shard assignment + dense
+    * order (q87) → content-defined chunking (q115) → per-shard
+    * manifest rows with an md5 over the ORDERED chunk-hash stream.
+    * One lineage from corpus to publishable shard manifest, every
+    * stage the already-certified operator, ONE oracle replaying the
+    * whole chain — the manifest_md5 pins chunk content AND order, so
+    * any drift in any stage breaks the hash. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotas = graft.operators.Curation.largestRemainderQuotas(
+      docs, "source", budget = 123L)
+    val wq = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("lr:"), col("doc_id").cast("string"))))
+    val picked = docs.withColumn("__rn", row_number().over(wq))
+      .join(quotas.select("source", "quota"), Seq("source"))
+      .filter(col("__rn") <= col("quota"))
+      .select("doc_id", "text")
+    val sharded = graft.operators.Curation.shardAndOrder(
+      picked, "doc_id", nShards = 4)
+    val chunks = sharded.select(col("shard"), col("pos"), col("doc_id"),
+      posexplode(TextAnalysis.cdcChunks(col("text"), k = 8, maskBits = 5))
+        .as(Seq("ci", "chunk")))
+    chunks.groupBy("shard").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk")).cast("long")).as("total_chars"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos").as("p"),
+            col("ci").as("i"), md5(col("chunk")).as("h")))),
+          x => x.getField("h")), "")).as("manifest_md5"))
+      .orderBy("shard")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -2049,7 +2083,8 @@ object SparkEntry {
     "q116_skew_report" -> (q116 _),
     "q117_group_ols" -> (q117 _),
     "q118_corpus_drift" -> (q118 _),
-    "q119_rank_fusion" -> (q119 _))
+    "q119_rank_fusion" -> (q119 _),
+    "q120_shard_manifest" -> (q120 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -4054,6 +4089,73 @@ object SparkEntry {
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q120_shard_manifest" ->
+      """WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source
+         ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM counts),
+         b AS (
+           SELECT source, n_docs, (123 * n_docs) // t AS base,
+                  123 * n_docs - ((123 * n_docs) // t) * t AS rem
+           FROM counts, tot
+         ), l AS (SELECT CAST(123 - sum(base) AS BIGINT) AS lft FROM b),
+         r AS (
+           SELECT source, base,
+                  row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM b
+         ), q AS (
+           SELECT source,
+                  CAST(base + CASE WHEN rk <= (SELECT lft FROM l)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM r
+         ), sel AS (
+           SELECT d.source, d.doc_id, d.text,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5('lr:' || CAST(d.doc_id AS VARCHAR))) AS rn
+           FROM documents d
+         ), pick AS (
+           SELECT s.doc_id, s.text FROM sel s JOIN q USING (source)
+           WHERE s.rn <= q.quota
+         ), sh AS (
+           SELECT doc_id, text,
+                  ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)),
+                                  1, 14))::BIGINT AS hk
+           FROM pick
+         ), sp AS (
+           SELECT doc_id, text, hk % 4 AS shard,
+                  CAST(row_number() OVER (PARTITION BY hk % 4
+                    ORDER BY hk, doc_id) AS BIGINT) AS pos
+           FROM sh
+         ), hs AS (
+           SELECT doc_id, shard, pos, text,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM sp
+         ), cut AS (
+           SELECT doc_id, shard, pos, text,
+                  [i + 7 for i in range(1, len(h) + 1)
+                   if h[i] % 32 = 0 AND i + 7 < length(text)] AS c
+           FROM hs
+         ), bnd AS (
+           SELECT doc_id, shard, pos, text,
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_append(c, CAST(length(text) AS BIGINT))) AS bb
+           FROM cut
+         ), chunks AS (
+           SELECT doc_id, shard, pos,
+                  unnest([substr(text, bb[i] + 1, bb[i + 1] - bb[i])
+                          for i in range(1, len(bb))]) AS chunk,
+                  unnest(range(1, len(bb))) AS ci
+           FROM bnd
+         ), ch AS (SELECT * FROM chunks WHERE chunk <> '')
+         SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
+                md5(array_to_string(
+                  list(md5(chunk) ORDER BY pos, ci), '')) AS manifest_md5
+         FROM ch GROUP BY shard ORDER BY shard""",
     "q119_rank_fusion" ->
       s"""$embCte,
          q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),

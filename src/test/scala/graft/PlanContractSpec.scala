@@ -38,7 +38,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q110_kmeans",         // 1-row folded-centroid broadcast per iteration
     "q114_mixture_quota",  // 1-row total/leftover broadcasts
     "q116_skew_report",    // 1-row total broadcast
-    "q119_rank_fusion")    // brute-force + int8 broadcast scans, like q25
+    "q119_rank_fusion",    // brute-force + int8 broadcast scans, like q25
+    "q120_shard_manifest") // quota stage's 1-row broadcasts, like q114
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
@@ -49,7 +50,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     * stats) — benign by construction. */
   private val intentionalGlobalWindow = Set(
     "q24_label_match_report", "q40_label_match_frozen", "q44_label_match_w2v",
-    "q114_mixture_quota") // remainder rank over the catalog-sized quota table
+    "q114_mixture_quota", // remainder rank over the catalog-sized quota table
+    "q120_shard_manifest") // same quota stage inside the capstone
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
