@@ -27,8 +27,16 @@ object Bench {
     // compilation, Hadoop FS init and parquet footer reads — none of
     // which exist in a long-running cluster. Timed pass below measures
     // steady state. Disable with SPARK_GRAFT_WARMUP=0.
+    // dev-loop subset: SPARK_GRAFT_BENCH_ONLY=q01_x,q02_y times just
+    // those queries (the driver never sets it — full run)
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

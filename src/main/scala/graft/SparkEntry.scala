@@ -1193,6 +1193,46 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** embeddings plus a planted near-duplicate twin for every 25th
+    * vector (one coordinate +0.01, id offset +100000) — the
+    * semantic-dedup workload for q121; the natural corpus has no
+    * pair above cosine 0.52, so every emitted pair is a twin. The
+    * DOUBLE cast + perturbation replay bit-identically in the oracle
+    * ([[twinsCteSql]]): both engines do the same IEEE add before the
+    * same micro rounding. */
+  private def embeddingsWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // two-step projection: the perturbation lambda must see the
+    // ORIGINAL vec_id — in a single select, col("vec_id") inside the
+    // lambda resolves against the re-aliased output (+100000) and the
+    // wrong coordinate moves
+    e.unionByName(e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i.cast("long") === col("vec_id") % 64,
+            x + lit(0.01)).otherwise(x)).as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  /** SemDeDup — semantic near-duplicate detection
+    * ([[graft.operators.Cluster.semanticNearDupPairs]], k=8, 2
+    * rounds, tau = 9/10): cluster the twinned embeddings with the
+    * certified k-means, then exact-integer cosine tests ONLY within
+    * a cell — the cluster step bounds the quadratic exactly the way
+    * banding bounds MinHash, which is what makes embedding-space
+    * dedup feasible at 100 TB (k scales with the corpus; cells stay
+    * bounded; the hot-cell cap guards collapse). All 20 planted
+    * twins surface; the keep side is the member closer to its
+    * centroid. The whole chain — k-means trajectory, integer dots,
+    * threshold, keep rule — hash-matches the DuckDB replay. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Cluster.semanticNearDupPairs(embeddingsWithTwins(s, dir),
+        "vec_id", "embedding", k = 8, iterations = 2,
+        tauNum = 9, tauDen = 10)
+      .orderBy("id_a", "id_b")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -2084,7 +2124,8 @@ object SparkEntry {
     "q117_group_ols" -> (q117 _),
     "q118_corpus_drift" -> (q118 _),
     "q119_rank_fusion" -> (q119 _),
-    "q120_shard_manifest" -> (q120 _))
+    "q120_shard_manifest" -> (q120 _),
+    "q121_semantic_neardup" -> (q121 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2408,7 +2449,12 @@ object SparkEntry {
     * via zipped unnest, and an empty-cell carry. All distances are
     * exact BIGINT; only the one `round(sum/count)` expression touches
     * doubles, in the identical IEEE shape on both engines. */
-  private def kmeansOracle(k: Int, iterations: Int): String = {
+  /** The kmeansMicro replay as a reusable CTE chain over any source
+    * relation exposing (vec_id, embedding) — `m$iterations` is the
+    * final assignment (vec_id, vq, cell, dist). Shared by the q110
+    * oracle and the q121 semantic-dedup oracle. */
+  private def kmeansCtesSql(src: String, k: Int, iterations: Int,
+      salt: String): String = {
     val iterCtes = (1 to iterations).map { i =>
       s"""a$i AS (
            SELECT vec_id, vq, cell, dist,
@@ -2437,25 +2483,80 @@ object SparkEntry {
              GROUP BY cell) n USING (cell)
          )"""
     }.mkString(", ")
-    s"""WITH q AS (
+    s"""q AS (
          SELECT vec_id,
                 list_transform(CAST(embedding AS DOUBLE[]),
                   x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
-         FROM embeddings
+         FROM $src
        ), sk AS (
-         SELECT md5('km:' || CAST(vec_id AS VARCHAR)) AS h, vq
+         SELECT md5('$salt:' || CAST(vec_id AS VARCHAR)) AS h, vq
          FROM q ORDER BY h LIMIT $k
        ), c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell,
                 vq AS cvec
          FROM sk
-       ), $iterCtes
+       ), $iterCtes"""
+  }
+
+  private def kmeansOracle(k: Int, iterations: Int): String =
+    s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}
        SELECT m.vec_id, m.cell, m.dist AS dist2_q, s.cell_n
        FROM m$iterations m JOIN (
          SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
          FROM m$iterations GROUP BY cell) s USING (cell)
        ORDER BY m.vec_id"""
-  }
+
+  /** The q121 planted-twin relation: every 25th embedding gets a
+    * near-identical copy (one coordinate +0.01) at vec_id+100000 —
+    * the semantic-duplicate workload, mirrored exactly in Spark by
+    * [[embeddingsWithTwins]]. */
+  private def twinsCteSql: String =
+    """twins AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000,
+                [CASE WHEN j - 1 = vec_id % 64 THEN emb[j] + 0.01
+                      ELSE emb[j] END
+                 for j in range(1, len(emb) + 1)]
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id % 25 = 0)
+       )"""
+
+  /** SemDeDup oracle: replay the k-means over the twinned relation,
+    * then the within-cell exact-integer cosine pair test in HUGEINT
+    * (Spark does the same comparison in DECIMAL(38,0)). */
+  private def semanticNearDupOracle(k: Int, iterations: Int,
+      tauNum: Int, tauDen: Int): String =
+    s"""WITH $twinsCteSql, ${kmeansCtesSql("twins", k, iterations, "sd")},
+       wv AS (
+         SELECT vec_id, cell, dist, vq,
+                CAST(list_sum([vq[j] * vq[j]
+                               for j in range(1, len(vq) + 1)])
+                     AS BIGINT) AS n2
+         FROM m$iterations
+       ), p AS (
+         SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                a.dist AS da, b.dist AS db,
+                a.n2 AS na2_q, b.n2 AS nb2_q,
+                CAST(list_sum([a.vq[j] * b.vq[j]
+                               for j in range(1, len(a.vq) + 1)])
+                     AS BIGINT) AS dot_q
+         FROM wv a JOIN wv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       )
+       SELECT cell, id_a, id_b, dot_q, na2_q, nb2_q,
+              CAST(round(CAST(dot_q AS DOUBLE)
+                     / sqrt(CAST(na2_q AS DOUBLE) * CAST(nb2_q AS DOUBLE))
+                     * 1000000) AS BIGINT) AS cos_micros,
+              CASE WHEN da < db OR (da = db AND id_a < id_b)
+                   THEN id_a ELSE id_b END AS keep_id,
+              CASE WHEN da < db OR (da = db AND id_a < id_b)
+                   THEN id_b ELSE id_a END AS drop_id
+       FROM p
+       WHERE dot_q > 0
+         AND CAST(dot_q AS HUGEINT) * dot_q * ${tauDen.toLong * tauDen}
+             >= CAST(na2_q AS HUGEINT) * nb2_q * ${tauNum.toLong * tauNum}
+       ORDER BY id_a, id_b"""
 
   /** Streaming-HLL oracle: the q108 register/estimate SQL evaluated
     * over each wave's CUMULATIVE document prefix — wave w sees docs
@@ -4084,6 +4185,8 @@ object SparkEntry {
                 c AS tf, score_micros
          FROM rk WHERE rnk <= 5 ORDER BY doc_id, rank""",
     "q106_minhash_estimate" -> minhashEstimateOracle,
+    "q121_semantic_neardup" ->
+      semanticNearDupOracle(k = 8, iterations = 2, tauNum = 9, tauDen = 10),
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed Lloyd's k-means as a relational fixpoint — the
   * TRAINING half of the IVF tier ([[Ann.trainCodebook]] delegates to
@@ -157,5 +158,84 @@ object Cluster {
       cents = if (checkpoint) next.localCheckpoint(true) else next
     }
     lastAssign.select(col(idCol), col("cell"), col("dist2_q"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with [[kmeansMicro]],
+    * then test pairs ONLY within a cell against a cosine threshold —
+    * the cluster step bounds the quadratic the way banding bounds
+    * MinHash ([[Dedup]]): at 100 TB, k scales with the corpus so cell
+    * populations stay bounded, and the only N-row shuffles are the
+    * id-keyed vector join and the cell-keyed pair join. `maxCellSize`
+    * is the same hot-bucket guard the banded paths carry — an
+    * over-populated cell (degenerate embeddings, collapsed space)
+    * emits NO pairs rather than a quadratic blow-up.
+    *
+    * Exactness across engines: vectors are integer micros, the dot
+    * and both squared norms are exact BIGINTs (precomputed per ROW,
+    * not per pair, so the pair join carries one array instead of
+    * three aggregates), and the threshold test
+    * `cos >= tauNum/tauDen` is evaluated in integer arithmetic as
+    * `dot > 0 AND dot²·tauDen² >= na2·nb2·tauNum²` — DECIMAL(38,0)
+    * here, HUGEINT in the DuckDB oracle; `cos_micros` is the one
+    * fixed double expression over those exact integers. The keep rule
+    * is SemDeDup's: the member CLOSER to its centroid represents the
+    * pair (tie → lower id).
+    *
+    * Output: (cell, id_a, id_b, dot_q, na2_q, nb2_q, cos_micros,
+    * keep_id, drop_id) with id_a < id_b. */
+  def semanticNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, tauNum: Int, tauDen: Int,
+      salt: String = "sd", maxCellSize: Option[Int] = None): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "tau must be a rational in (0, 1]")
+    val asg = kmeansMicro(vectors, idCol, vecCol, k, iterations, salt)
+    val q = vectors.select(col(idCol),
+      microQuantize(col(vecCol)).as("__vq"))
+    // codegen dot kernel on the micro arrays: every product and
+    // partial sum is an integer < 2^53 (dim·(2·10⁶)² ≪ 2⁵³ for
+    // unit-scale embeddings), so the double accumulator is EXACT and
+    // the long cast recovers the exact integer sum — same value as
+    // the interpreted aggregate/zip_with fold, ~10× faster in the
+    // pair loop
+    def exactDot(a: Column, b: Column): Column =
+      graft.functions.VectorOps.dotProduct(a, b).cast("long")
+    val withv0 = asg.join(q, Seq(idCol))
+      .withColumn("__n2", exactDot(col("__vq"), col("__vq")))
+    val withv = maxCellSize match {
+      case None => withv0
+      case Some(cap) =>
+        val sizes = withv0.groupBy(col("cell"))
+          .agg(count(lit(1)).as("__cn"))
+        withv0.join(broadcast(sizes), Seq("cell"))
+          .filter(col("__cn") <= cap).drop("__cn")
+    }
+    val a = withv.select(col("cell"), col(idCol).as("id_a"),
+      col("dist2_q").as("__da"), col("__vq").as("__va"),
+      col("__n2").as("na2_q"))
+    val b = withv.select(col("cell"), col(idCol).as("id_b"),
+      col("dist2_q").as("__db"), col("__vq").as("__vb"),
+      col("__n2").as("nb2_q"))
+    def dec(c: Column): Column = c.cast(DecimalType(20, 0))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot_q", exactDot(col("__va"), col("__vb")))
+      .filter(col("dot_q") > 0 &&
+        dec(col("dot_q")) * dec(col("dot_q"))
+          * lit(tauDen.toLong * tauDen) >=
+        dec(col("na2_q")) * dec(col("nb2_q"))
+          * lit(tauNum.toLong * tauNum))
+      .withColumn("cos_micros",
+        round(col("dot_q").cast("double")
+          / sqrt(col("na2_q").cast("double") * col("nb2_q").cast("double"))
+          * 1e6).cast("long"))
+      .withColumn("keep_id",
+        when(col("__da") < col("__db")
+          || (col("__da") === col("__db") && col("id_a") < col("id_b")),
+          col("id_a")).otherwise(col("id_b")))
+      .withColumn("drop_id",
+        when(col("keep_id") === col("id_a"), col("id_b"))
+          .otherwise(col("id_a")))
+      .select("cell", "id_a", "id_b", "dot_q", "na2_q", "nb2_q",
+        "cos_micros", "keep_id", "drop_id")
   }
 }

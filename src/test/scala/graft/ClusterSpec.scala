@@ -127,4 +127,54 @@ class ClusterSpec extends SparkSpec with Matchers {
     }
     e.getMessage should include("reserved")
   }
+
+  // two tight blobs far apart: (1,2,3) near the x-axis unit vector,
+  // (4,5) near the y-axis one; 3 is a scaled copy of 1 (cosine 1),
+  // 2 is slightly rotated (cosine ~0.9999), 5 is a twin of 4
+  private def semBlobs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.01f, 0.0f)),
+    (3L, Seq(2.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.0f, 1.0f, 0.0f)), (5L, Seq(0.0f, 1.0f, 0.001f))
+  ).toDF("id", "v")
+
+  test("semanticNearDupPairs finds within-cell twins, exact keep rule") {
+    val out = Cluster.semanticNearDupPairs(semBlobs, "id", "v",
+      k = 2, iterations = 3, tauNum = 999, tauDen = 1000)
+    val pairs = out.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(7))).toSet
+    // blob A: all three mutually above 0.999 cosine; blob B: the twin
+    pairs.map(p => (p._1, p._2)) shouldBe
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    // keep side is the member closer to its centroid: for (4,5) both
+    // are ~identical so distances decide deterministically; assert the
+    // keep_id is one of the pair and consistent with dist ordering
+    val kept = out.collect().map(r =>
+      ((r.getLong(1), r.getLong(2)), r.getLong(7))).toMap
+    kept.foreach { case ((a, b), k) => Set(a, b) should contain(k) }
+  }
+
+  test("semanticNearDupPairs: cosine is scale-free and threshold exact") {
+    // 1 vs 3 is an exact scaled copy: cos_micros = 1000000
+    val out = Cluster.semanticNearDupPairs(semBlobs, "id", "v",
+        k = 2, iterations = 3, tauNum = 999, tauDen = 1000)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getLong(6))).toMap
+    out((1L, 3L)) shouldBe 1000000L
+    // orthogonal blobs never pair even at a loose threshold
+    val loose = Cluster.semanticNearDupPairs(semBlobs, "id", "v",
+      k = 1, iterations = 1, tauNum = 1, tauDen = 2)
+    val cross = loose.collect().map(r => (r.getLong(1), r.getLong(2)))
+      .filter { case (a, b) => a <= 3 && b >= 4 }
+    cross shouldBe empty
+  }
+
+  test("semanticNearDupPairs: maxCellSize suppresses over-populated cells") {
+    // k = 1 puts all five in one cell of size 5; cap at 4 → no pairs
+    val capped = Cluster.semanticNearDupPairs(semBlobs, "id", "v",
+      k = 1, iterations = 1, tauNum = 1, tauDen = 2,
+      maxCellSize = Some(4))
+    capped.count() shouldBe 0L
+    val uncapped = Cluster.semanticNearDupPairs(semBlobs, "id", "v",
+      k = 1, iterations = 1, tauNum = 1, tauDen = 2)
+    uncapped.count() should be > 0L
+  }
 }
