@@ -1233,6 +1233,17 @@ object SparkEntry {
         tauNum = 9, tauDen = 10)
       .orderBy("id_a", "id_b")
 
+  /** Duplicate 5-gram SPAN mass per document
+    * ([[TextAnalysis.duplicateSpans]]) — the substring-level dedup
+    * tier (Lee et al. 2021 ExactSubstr, n-gram-anchored): positions
+    * whose 5-token gram repeats corpus-wide, merged into maximal
+    * spans, reported as exact integer span counts/mass/fraction. */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.duplicateSpans(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -2125,7 +2136,8 @@ object SparkEntry {
     "q118_corpus_drift" -> (q118 _),
     "q119_rank_fusion" -> (q119 _),
     "q120_shard_manifest" -> (q120 _),
-    "q121_semantic_neardup" -> (q121 _))
+    "q121_semantic_neardup" -> (q121 _),
+    "q122_duplicate_spans" -> (q122 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -4187,6 +4199,56 @@ object SparkEntry {
     "q106_minhash_estimate" -> minhashEstimateOracle,
     "q121_semantic_neardup" ->
       semanticNearDupOracle(k = 8, iterations = 2, tauNum = 9, tauDen = 10),
+    "q122_duplicate_spans" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '') AS ts
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM d
+         ), g AS (
+           SELECT doc_id,
+                  unnest([{'p': i, 'g': array_to_string(ts[i:i+4], ' ')}
+                          for i in range(1, len(ts) - 3)]) AS u
+           FROM tk WHERE len(ts) >= 5
+         ), grams AS (
+           SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.g AS gram FROM g
+         ), dup AS (
+           SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+         ), marked AS (
+           SELECT doc_id, pos, pos + 4 AS e
+           FROM grams WHERE gram IN (SELECT gram FROM dup)
+         ), isl AS (
+           SELECT doc_id, pos, e,
+                  CASE WHEN pos > coalesce(max(e) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100) + 1
+                       THEN 1 ELSE 0 END AS nw
+           FROM marked
+         ), isl2 AS (
+           SELECT doc_id, pos, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+           FROM isl
+         ), spans AS (
+           SELECT doc_id, island, min(pos) AS s, max(e) AS en
+           FROM isl2 GROUP BY doc_id, island
+         ), per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(en - s + 1) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY doc_id
+         )
+         SELECT t.doc_id, t.n_tokens,
+                CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                CAST(CASE WHEN t.n_tokens > 0
+                          THEN (coalesce(p.dup_tokens, 0) * 1000000) // t.n_tokens
+                          ELSE 0 END AS BIGINT) AS dup_frac_micros
+         FROM tk t LEFT JOIN per p USING (doc_id)
+         ORDER BY doc_id""",
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),

@@ -496,4 +496,74 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Duplicate n-gram SPAN detection — the substring-level dedup tier
+    * between doc-level near-dup (MinHash/SimHash) and chunk-level
+    * dedup ([[cdcChunks]]): find every position whose n-token gram
+    * occurs ≥ `minCount` times corpus-wide (within- OR cross-doc),
+    * merge overlapping/adjacent hits into maximal spans
+    * (gaps-and-islands per doc), and report per-doc duplicated token
+    * mass. This is the distributed n-gram-anchored approximation of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr
+    * finds ≥50-token repeats; anchoring on n-grams and merging
+    * islands recovers the same maximal repeated regions when repeats
+    * are ≥ n tokens).
+    *
+    * Scale shape: grams are emitted by a pure projection (no shuffle
+    * — `transform` over the carried token array); the corpus-wide
+    * gram count is ONE map-side-combining aggregate keyed on the gram
+    * string, and duplicated positions come back via a gram-keyed
+    * left-semi join (AQE handles hot boilerplate grams). The island
+    * merge is a per-DOC window — state bounded by doc length, never a
+    * global sort. Output is one row per document.
+    *
+    * Everything is integer: positions are 1-based token offsets,
+    * `dup_frac_micros` is exact integer division — the whole result
+    * hash-replays relationally. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 2, "gram size n must be >= 2")
+    require(minCount >= 2, "minCount must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val toks = docs.select(col(idCol), ts.as("__ts"),
+      size(ts).cast("long").as("n_tokens"))
+    val grams = toks
+      .select(col(idCol),
+        explode(when(size(col("__ts")) >= n,
+            transform(sequence(lit(1), size(col("__ts")) - (n - 1)),
+              i => struct(i.as("pos"),
+                array_join(slice(col("__ts"), i, lit(n)), " ").as("gram"))))
+          .otherwise(array())).as("__g"))
+      .select(col(idCol), col("__g.pos").cast("long").as("pos"),
+        col("__g.gram").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select(col("gram"))
+    val marked = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + (n - 1)).as("end"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = marked
+      .withColumn("__pmax",
+        max(col("end")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("pos") > col("__pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = islands
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("__s"), max(col("end")).as("__e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1).as("dup_tokens"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac_micros",
+        when(col("n_tokens") > 0,
+          expr("(dup_tokens * 1000000) div n_tokens")).otherwise(lit(0L)))
+  }
 }

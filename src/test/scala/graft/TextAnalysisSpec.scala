@@ -331,4 +331,59 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       assert(gramHash(body, pos - 8) % 32 == 0, s"no boundary at $pos")
     }
   }
+
+  test("duplicateSpans: planted cross-doc repeat recovered exactly; " +
+    "islands merge overlaps and split on gaps; short docs empty") {
+    // docs 1 and 2 share a 7-token run → positions 3..9 in doc 1
+    // (grams at 3,4,5 with n=3 → one merged island [3, 9]); doc 3 is
+    // unique; doc 4 too short for any gram; doc 5 empty.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two $shared tail1 tail2"),
+      (2L, s"$shared completely different ending here"),
+      (3L, "nothing here repeats at all ever once"),
+      (4L, "too short"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(1L) shouldBe ((11L, 1L, 7L, 7L * 1000000L / 11L))
+    out(2L) shouldBe ((11L, 1L, 7L, 7L * 1000000L / 11L))
+    out(3L) shouldBe ((7L, 0L, 0L, 0L))
+    out(4L) shouldBe ((2L, 0L, 0L, 0L))
+    out(5L) shouldBe ((0L, 0L, 0L, 0L))
+  }
+
+  test("duplicateSpans: within-doc repetition marks both sites; " +
+    "disjoint repeats form separate spans; partition-invariant") {
+    // "a b c" appears twice INSIDE doc 10, separated by a unique gap
+    // longer than n, so the two occurrences are two distinct spans.
+    val docs = Seq(
+      (10L, "a b c filler1 filler2 filler3 filler4 a b c"),
+      (11L, "totally unrelated words live here today")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(10L) shouldBe ((10L, 2L, 6L))
+    out(11L) shouldBe ((6L, 0L, 0L))
+    // same result under any input partitioning
+    val p7 = TextAnalysis.duplicateSpans(docs.repartition(7), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    val p1 = TextAnalysis.duplicateSpans(docs.coalesce(1), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    p7 shouldBe p1
+  }
+
+  test("duplicateSpans: adjacent-but-not-overlapping spans merge " +
+    "(gap of exactly one position boundary)") {
+    // doc 20 repeats doc 21's grams "p q r" and "s t u" back to back:
+    // hits [1,3] and [4,6] are adjacent (4 == 3 + 1) → ONE span [1,6].
+    val docs = Seq(
+      (20L, "p q r s t u"),
+      (21L, "p q r x1 x2 x3 s t u")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out(20L) shouldBe ((1L, 6L))   // merged single span covering all 6
+    out(21L) shouldBe ((2L, 6L))   // two disjoint spans of 3
+  }
 }
