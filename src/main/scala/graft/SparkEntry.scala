@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §7 and the harness docs.
@@ -1244,6 +1244,69 @@ object SparkEntry {
         "doc_id", "text", n = 5)
       .orderBy("doc_id")
 
+  /** BPE tokenizer training ([[graft.operators.Bpe.trainMerges]]):
+    * 8 merge rounds over the corpus vocabulary — pair counting as a
+    * map-combined aggregate, the merge decision a 1-row collect, the
+    * merge application a literal replace on the bracket-encoded
+    * symbol state. The whole merge trajectory (winning pair, its
+    * weighted count, and the post-merge corpus token count per
+    * round) hash-matches a DuckDB oracle unrolling the same rounds
+    * independently — argmax recomputed from the oracle's own state,
+    * not replayed from learned literals. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(t(s, dir, "documents"), "text", iterations = 8)
+      .orderBy("iteration")
+
+  /** Unicode NFC normalization
+    * ([[graft.functions.NfcNormalizeExpr]]): canonical composition of
+    * the mixed precomposed/decomposed text a real crawl delivers,
+    * BEFORE any content hash treats the two byte forms as different
+    * documents. Every third doc gets a decomposed suffix (combining
+    * acute/tilde/diaeresis); the rest exercise the already-NFC fast
+    * path. Codepoint counts before/after, the changed flag, and the
+    * md5 of the normalized text hash-match DuckDB's native
+    * `nfc_normalize`. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    // DECOMPOSED on purpose: base letters + combining acute (U+0301),
+    // tilde (U+0303), diaeresis (U+0308); NFC composes them to the
+    // precomposed cafe/manana/zurich accented forms
+    val suffix = " cafe\u0301 man\u0303ana zu\u0308rich"
+    val messy = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(suffix))).otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), messy.as("__m"))
+      .withColumn("__n", toColumn(
+        graft.functions.NfcNormalizeExpr(toExpression(col("__m")))))
+      .select(col("doc_id"),
+        length(col("__m")).cast("long").as("raw_cp"),
+        length(col("__n")).cast("long").as("nfc_cp"),
+        (col("__n") =!= col("__m")).as("changed"),
+        md5(col("__n")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus snapshot diff ([[graft.operators.Curation.snapshotDiff]]):
+    * the re-crawl audit — adds, deletes, content changes, carries —
+    * over a planted v2 snapshot (every 11th doc deleted, every 5th
+    * revised, every 13th re-added under a new id). Content reduces
+    * to (id, md5) BEFORE the full-outer join, so the text never
+    * crosses the shuffle. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.select(col("doc_id"), col("text"))
+    val newSnap = docs
+      .filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    graft.operators.Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -2137,7 +2200,10 @@ object SparkEntry {
     "q119_rank_fusion" -> (q119 _),
     "q120_shard_manifest" -> (q120 _),
     "q121_semantic_neardup" -> (q121 _),
-    "q122_duplicate_spans" -> (q122 _))
+    "q122_duplicate_spans" -> (q122 _),
+    "q123_bpe_train" -> (q123 _),
+    "q124_unicode_nfc" -> (q124 _),
+    "q125_snapshot_diff" -> (q125 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2508,6 +2574,58 @@ object SparkEntry {
                 vq AS cvec
          FROM sk
        ), $iterCtes"""
+  }
+
+  /** Unrolled BPE-training oracle mirroring
+    * [[graft.operators.Bpe.trainMerges]]: per round, pair counts via
+    * a zipped parallel unnest of the two symbol-array slices, the
+    * argmax with the (count DESC, lexical) tie-break recomputed from
+    * the oracle's OWN state, and the merge applied with the same
+    * left-to-right non-overlapping `replace` on the bracket
+    * encoding. Fully independent recomputation — no learned
+    * literals cross from the engine. */
+  private def bpeTrainOracle(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""p$i AS (
+           SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM (
+             SELECT unnest(syms[1:len(syms) - 1]) AS lft,
+                    unnest(syms[2:len(syms)]) AS rgt, freq
+             FROM (SELECT string_split(substr(state, 2,
+                            length(state) - 2), '><') AS syms, freq
+                   FROM s${i - 1}))
+           GROUP BY lft, rgt
+         ), m$i AS (
+           SELECT lft, rgt, pair_count FROM p$i
+           ORDER BY pair_count DESC, lft, rgt LIMIT 1
+         ), s$i AS (
+           SELECT replace(state, '<' || m.lft || '><' || m.rgt || '>',
+                          '<' || m.lft || m.rgt || '>') AS state, freq
+           FROM s${i - 1}, m$i m
+         ), k$i AS (
+           SELECT CAST(sum(freq * len(string_split(substr(state, 2,
+                    length(state) - 2), '><'))) AS BIGINT) AS tokens_after
+           FROM s$i
+         )"""
+    }.mkString(", ")
+    val rows = (1 to iterations).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iteration, m.lft, m.rgt,
+                 m.lft || m.rgt AS merged, m.pair_count, k.tokens_after
+          FROM m$i m, k$i k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                        AS word
+               FROM documents)
+         WHERE regexp_full_match(word, '[a-z]+')
+         GROUP BY word
+       ), s0 AS (
+         SELECT regexp_replace(word || '_', '(.)', '<\\1>', 'g')
+                  AS state, freq
+         FROM w
+       ), $iterCtes
+       $rows ORDER BY iteration"""
   }
 
   private def kmeansOracle(k: Int, iterations: Int): String =
@@ -4248,6 +4366,42 @@ object SparkEntry {
                           THEN (coalesce(p.dup_tokens, 0) * 1000000) // t.n_tokens
                           ELSE 0 END AS BIGINT) AS dup_frac_micros
          FROM tk t LEFT JOIN per p USING (doc_id)
+         ORDER BY doc_id""",
+    "q123_bpe_train" -> bpeTrainOracle(iterations = 8),
+    "q124_unicode_nfc" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' cafe' || chr(769) || ' man'
+                            || chr(771) || 'ana zu' || chr(776) || 'rich'
+                       ELSE text END AS mm
+           FROM documents
+         ), n AS (
+           SELECT doc_id, mm, nfc_normalize(mm) AS nf FROM m
+         )
+         SELECT doc_id, CAST(length(mm) AS BIGINT) AS raw_cp,
+                CAST(length(nf) AS BIGINT) AS nfc_cp,
+                nf <> mm AS changed, md5(nf) AS nfc_md5
+         FROM n ORDER BY doc_id""",
+    "q125_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id, md5(text) AS old_md5 FROM documents
+         ), newsnap AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                           ELSE text END) AS new_md5
+           FROM documents WHERE doc_id % 11 <> 3
+           UNION ALL
+           SELECT doc_id + 100000, md5('new ' || text)
+           FROM documents WHERE doc_id % 13 = 0
+         )
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'deleted'
+                     WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                o.old_md5, n.new_md5
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),

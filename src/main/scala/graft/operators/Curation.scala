@@ -234,4 +234,31 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Corpus snapshot DIFF — the incremental-crawl audit between two
+    * corpus versions: which documents were added, deleted, changed
+    * (same id, different content), or carried unchanged. The report
+    * every re-crawl / re-scrape cycle publishes before the delta is
+    * admitted downstream (and the input to incremental dedup /
+    * re-embedding: only `added`+`changed` rows need work — the
+    * batch counterpart of the streaming CDC paths q93/q97).
+    *
+    * Scale shape: each side is first REDUCED to (id, md5) — the
+    * content column never crosses the shuffle — then one
+    * co-partitioned full-outer hash join on the id. No broadcast
+    * assumption: both snapshots are corpus-sized.
+    * Output: (idCol, status, old_md5, new_md5). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    def keyed(df: DataFrame, mdCol: String) =
+      df.select(col(idCol), md5(col(contentCol)).as(mdCol))
+    keyed(oldDf, "old_md5")
+      .join(keyed(newDf, "new_md5"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("deleted"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_md5"), col("new_md5"))
+  }
 }

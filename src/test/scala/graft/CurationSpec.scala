@@ -200,4 +200,23 @@ class CurationSpec extends SparkSpec with Matchers {
     val shard0 = a.toSeq.filter(_._2._1 == 0L).sortBy(_._2._2).map(_._1)
     shard0 should not be shard0.sorted
   }
+
+  test("snapshotDiff: all four statuses, content keyed by md5 not identity") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "deleted", 4L -> "added")
+  }
+
+  test("snapshotDiff: a moved document (same content, new id) is added+deleted") {
+    val oldSnap = Seq((1L, "same")).toDF("doc_id", "text")
+    val newSnap = Seq((9L, "same")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(1L -> "deleted", 9L -> "added")
+  }
 }
