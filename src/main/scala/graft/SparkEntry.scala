@@ -27,17 +27,16 @@ import graft.streaming.StreamOps
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // testdata writes ts as parquet TIMESTAMP(NANOS), which Spark's
-    // vectorized reader rejects; read it as long nanos instead and
-    // convert explicitly where needed (see eventsWithTs).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    // events' ts column has shipped under two parquet encodings
+    // (TIMESTAMP(NANOS) and TIMESTAMP(MICROS,NTZ)); the loader probes
+    // the footer and normalizes ts to TimestampType either way.
+    if (name == "events") graft.sources.EventsLoader.events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` restored to a proper TimestampType (µs). */
+  /** events with `ts` as a proper TimestampType (µs precision). */
   private def eventsWithTs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    t(s, dir, "events")
 
   /** Per-row integer cents: exact, order-independent summation. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
@@ -371,10 +370,10 @@ object SparkEntry {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        unix_micros(col("ts")).as("ts_us"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("r_uid"),
-        expr("ts div 1000").as("click_ts_us"), col("value"))
+        unix_micros(col("ts")).as("click_ts_us"), col("value"))
       .groupBy("r_uid", "click_ts_us")
       .agg(max(col("value")).as("click_val"))
     graft.operators.AsofJoin.asofBackward(
@@ -596,10 +595,10 @@ object SparkEntry {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        unix_micros(col("ts")).as("ts_us"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("r_uid"),
-        expr("ts div 1000").as("click_ts_us"), col("value"))
+        unix_micros(col("ts")).as("click_ts_us"), col("value"))
       .groupBy("r_uid", "click_ts_us")
       .agg(max(col("value")).as("click_val"))
     graft.operators.AsofJoin.asofBackwardBucketed(
@@ -1328,7 +1327,7 @@ object SparkEntry {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     t(s, dir, "events")
       .filter(col("event_type") === "signup" || col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         round(col("value") * 1000).cast("long").as("value_milli"))
       .select(col("user_id"), col("event_id"), col("ts_us").as("valid_from"),
         lead(col("ts_us"), 1).over(w).as("valid_to"),
@@ -1534,7 +1533,7 @@ object SparkEntry {
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(-4, Window.currentRow)
     t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
         round(col("value") * 1000).cast("long").as("value_milli"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         sum(col("value_milli")).over(w).as("roll_sum_milli"),
@@ -1551,10 +1550,10 @@ object SparkEntry {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        expr("ts div 1000").as("p_ts_us"), col("value").as("purchase_val"))
+        unix_micros(col("ts")).as("p_ts_us"), col("value").as("purchase_val"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
-        expr("ts div 1000").as("c_ts_us"), col("value").as("click_val"))
+        unix_micros(col("ts")).as("c_ts_us"), col("value").as("click_val"))
     graft.operators.RangeJoin.intervalJoin(
         purchases, clicks, "user_id", "c_user_id", "p_ts_us", "c_ts_us",
         lowerOffset = -120L * 60 * 1000000, upperOffset = 0L)
@@ -1596,7 +1595,7 @@ object SparkEntry {
   private def q62(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel.funnel(
         t(s, dir, "events").select(col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type")),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
         "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
@@ -1902,11 +1901,17 @@ object SparkEntry {
              graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
                        CAST(embedding AS ARRAY<DOUBLE>)) AS sq_norm,
              size(graft_shingles(array('a','b','c','d'), 3)) AS n_shingles,
-             graft_bucket_counts(
-               transform(sequence(CAST(0 AS BIGINT), vec_id % 7),
-                         i -> pmod(i, 4)), 4)
+             array_join(
+               transform(graft_bucket_counts(
+                 transform(sequence(CAST(0 AS BIGINT), vec_id % 7),
+                           i -> pmod(i, 4)), 4),
+                 x -> CAST(CAST(x AS BIGINT) AS STRING)), ',')
                AS bucket_hist
       FROM graft_embeddings ORDER BY vec_id""")
+    // bucket_hist is emitted as a comma-joined string, not the raw
+    // ARRAY: the driver's pandas-side sort/hash cannot hash ndarray
+    // cells. The array-typed kernel itself is pinned in
+    // GraftExtensionsSpec.
   }
 
   // ---------------------------------------------------------------------
@@ -4000,8 +4005,8 @@ object SparkEntry {
       """SELECT vec_id,
            list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq_norm,
            CAST(2 AS INTEGER) AS n_shingles,
-           list_transform(range(0, 4), b ->
-             CAST(len(list_filter(range(0, vec_id % 7 + 1), i -> i % 4 = b)) AS DOUBLE))
+           array_to_string(list_transform(range(0, 4), b ->
+             CAST(len(list_filter(range(0, vec_id % 7 + 1), i -> i % 4 = b)) AS BIGINT)), ',')
              AS bucket_hist
          FROM embeddings ORDER BY vec_id""",
     "q37_wrangle_sheet" ->

@@ -17,25 +17,19 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events parquet schema with `ts` as raw nanos (the testdata writes
-    * TIMESTAMP(NANOS), which the vectorized reader only accepts as
-    * long via the legacy flag). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Schema of events files WE stage (always written by this engine,
+    * so `ts` is a plain TimestampType regardless of how the source
+    * testdata encodes its own ts — the encoding probe lives in
+    * [[graft.sources.EventsLoader]] and only applies to source reads). */
+  private val stagedEventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming scan of the events table with `ts` restored to a
-    * proper timestamp. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      // glob form: FileStreamSource requires its basePath (the glob's
-      // parent) to be a directory — a bare file path is rejected
-      .parquet(s"$dir/{events}.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** Streaming scan of the events table with `ts` normalized to a
+    * proper timestamp (schema-adaptive — see EventsLoader). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.EventsLoader.eventsStream(spark, dir)
 
   /** Stream-static enrichment — the most common production streaming
     * shape: each micro-batch of the event stream hash/broadcast-joins
@@ -57,7 +51,6 @@ object StreamOps {
     * memory sink, complete mode — the aggregate's cardinality is
     * |segments|×|event types|). */
   def runStreamStaticEnrichAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val name = s"graft_stream_static_${runCounter.incrementAndGet()}"
@@ -204,20 +197,19 @@ object StreamOps {
   def runClickAttributionOuterAvailableNow(spark: SparkSession, dir: String,
                                            windowMinutes: Int,
                                            drainSentinels: Boolean = true): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = if (drainSentinels) "souter" else "souter_nosent"
     val staging = stagedDir(key, dir) { staging =>
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsLoader.events(spark, dir)
       stageVersionFile(ev, s"$staging/f0.parquet")
       if (drainSentinels) {
-        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-        val far = maxTs + 30L * 24 * 3600 * 1000000000L
+        val maxTsUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val far = timestamp_micros(lit(maxTsUs + 30L * 24 * 3600 * 1000000L))
         val sentinels = spark.range(1).select(
-          lit(-1L).as("event_id"), lit(far).as("ts"),
+          lit(-1L).as("event_id"), far.as("ts"),
           lit(-1L).as("user_id"), lit("purchase").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
           .unionByName(spark.range(1).select(
-            lit(-2L).as("event_id"), lit(far).as("ts"),
+            lit(-2L).as("event_id"), far.as("ts"),
             lit(-1L).as("user_id"), lit("click").as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props")))
         stageVersionFile(sentinels, s"$staging/f1.parquet")
@@ -225,10 +217,9 @@ object StreamOps {
     }
 
     val src = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(stagedEventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$staging/*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = s"graft_stream_ojoin_${runCounter.incrementAndGet()}"
     val query = clickAttribution(
         src.filter(col("event_type") === "purchase"),
@@ -399,7 +390,6 @@ object StreamOps {
     * both micro-batches. */
   def runPerSourceQuotaAvailableNow(spark: SparkSession, dir: String,
                                     quota: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val staging = stagedDir("quota", dir) { staging =>
       val d = spark.read.parquet(s"$dir/documents.parquet")
@@ -500,7 +490,6 @@ object StreamOps {
     * source), snapshots emitted per (source, wave). */
   def runStreamingHllAvailableNow(spark: SparkSession, dir: String,
                                   p: Int, salt: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val staging = stagedDir("hll", dir) { staging =>
       val d = spark.read.parquet(s"$dir/documents.parquet")
@@ -591,30 +580,28 @@ object StreamOps {
     * counted. */
   def runLateDataRollupAvailableNow(spark: SparkSession, dir: String,
                                     delayMinutes: Int = 10): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staging = stagedDir("latedata", dir) { staging =>
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val tsUs = unix_micros(col("ts"))
+      val ev = graft.sources.EventsLoader.events(spark, dir)
         .select(col("event_id"), col("ts"), col("event_type"))
-      val b = ev.agg(min(expr("ts div 1000")).as("mn"), max(expr("ts div 1000")).as("mx"))
-        .head()
+      val b = ev.agg(min(tsUs).as("mn"), max(tsUs).as("mx")).head()
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val isLate = col("event_id") % 11 === 0 &&
-        expr("ts div 1000") < lit(mn + (mx - mn) / 2)
+        tsUs < lit(mn + (mx - mn) / 2)
       val tsplit = mn + (mx - mn) * 3 / 5
       val onTime = ev.filter(!isLate)
-      stageVersionFile(onTime.filter(expr("ts div 1000") < lit(tsplit)),
+      stageVersionFile(onTime.filter(tsUs < lit(tsplit)),
         s"$staging/f0.parquet")
-      stageVersionFile(onTime.filter(expr("ts div 1000") >= lit(tsplit)),
+      stageVersionFile(onTime.filter(tsUs >= lit(tsplit)),
         s"$staging/f1.parquet")
       stageVersionFile(ev.filter(isLate), s"$staging/f2.parquet")
     }
     val src = spark.readStream
       .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("event_type", StringType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$staging/*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
     val query = src
       .withWatermark("ts", s"$delayMinutes minutes")
@@ -680,13 +667,12 @@ object StreamOps {
     * time-split micro-batches. */
   def runStreamingEwmaAvailableNow(spark: SparkSession, dir: String,
                                    alpha: Double): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val staging = stagedDir("ewma", dir) { staging =>
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsLoader.events(spark, dir)
         .filter(col("event_type") === "signup" || col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("value").as("x"))
+          unix_micros(col("ts")).as("ts_us"), col("value").as("x"))
       val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
         .head().getLong(0)
       stageVersionFile(ev.filter(col("ts_us") < mid), s"$staging/f0.parquet")
@@ -753,13 +739,12 @@ object StreamOps {
   /** Drive [[streamingScd2]]: signup/purchase change events staged as
     * two time-split micro-batches. */
   def runStreamingScd2AvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val staging = stagedDir("scd2", dir) { staging =>
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsLoader.events(spark, dir)
         .filter(col("event_type") === "signup" || col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"),
+          unix_micros(col("ts")).as("ts_us"),
           round(col("value") * 1000).cast("long").as("value_milli"))
       val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
         .head().getLong(0)
@@ -787,11 +772,10 @@ object StreamOps {
 
   def runStreamingFunnelAvailableNow(spark: SparkSession, dir: String,
                                      stages: Seq[String]): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val staging = stagedDir("funnel", dir) { staging =>
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val ev = graft.sources.EventsLoader.events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
       val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
         .head().getLong(0)
       stageVersionFile(ev.filter(col("ts_us") < mid), s"$staging/f0.parquet")

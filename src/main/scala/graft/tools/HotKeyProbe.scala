@@ -17,18 +17,17 @@ object HotKeyProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def hotInputs(dir: String): (DataFrame, DataFrame) = {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsLoader.events(spark, dir)
       val amp = explode(sequence(lit(0L), lit(15L))).as("__rep")
       val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"), amp)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"), amp)
         .select((col("event_id") * 16 + col("__rep")).as("event_id"),
           lit(1L).as("user_id"),
           (col("ts_us") * 16 + col("__rep")).as("ts_us"), col("value"))
       val c = ev.filter(col("event_type") === "click")
-        .select(expr("ts div 1000").as("ts_us"), col("value"), amp)
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"), amp)
         .select(lit(1L).as("r_uid"),
           (col("ts_us") * 16 + col("__rep")).as("click_ts_us"), col("value"))
         .groupBy("r_uid", "click_ts_us")
@@ -43,13 +42,13 @@ object HotKeyProbe {
       Some("/tmp/graft_scale_x8").filter(d => new java.io.File(d).exists())
     for (dir <- dirs) {
       // normal-key as-of (forced payload) for the corrected PERF row
-      val ev0 = spark.read.parquet(s"$dir/events.parquet")
+      val ev0 = graft.sources.EventsLoader.events(spark, dir)
       val pn = ev0.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("value"))
+          unix_micros(col("ts")).as("ts_us"), col("value"))
       val cn = ev0.filter(col("event_type") === "click")
         .select(col("user_id").as("r_uid"),
-          expr("ts div 1000").as("click_ts_us"), col("value"))
+          unix_micros(col("ts")).as("click_ts_us"), col("value"))
         .groupBy("r_uid", "click_ts_us")
         .agg(max(col("value")).as("click_val"))
       time("asof_join_forced", dir) {

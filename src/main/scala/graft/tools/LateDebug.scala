@@ -13,24 +13,22 @@ object LateDebug {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import F._
     val staging = java.nio.file.Files.createTempDirectory("late_dbg_").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.sources.EventsLoader.events(spark, dir)
       .select(col("event_id"), col("ts"), col("event_type"))
-    val b = ev.agg(min(expr("ts div 1000")).as("mn"), max(expr("ts div 1000")).as("mx")).head()
+    val b = ev.agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     println(s"mn=$mn mx=$mx expect_wm=${(mx / 1000) * 1000 - 600000000}")
-    val isLate = col("event_id") % 11 === 0 && expr("ts div 1000") < lit(mn + (mx - mn) / 2)
+    val isLate = col("event_id") % 11 === 0 && unix_micros(col("ts")) < lit(mn + (mx - mn) / 2)
     graft.streaming.StreamOps.stageVersionFile(ev.filter(!isLate), s"$staging/f0.parquet")
     graft.streaming.StreamOps.stageVersionFile(ev.filter(isLate), s"$staging/f1.parquet")
     val src = spark.readStream
       .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("event_type", StringType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$staging/*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = src
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

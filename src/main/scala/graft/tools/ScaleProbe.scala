@@ -23,7 +23,6 @@ object ScaleProbe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def replicate(name: String, idSteps: (String, Long)*): DataFrame = {
       val base = spark.read.parquet(s"$src/$name.parquet")
@@ -128,20 +127,19 @@ object ScaleProbe {
     }
     time("sessionize") { dir =>
       StreamOps.sessionize(
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))).count()
+        graft.sources.EventsLoader.events(spark, dir)).count()
     }
     // as-of / range join: user keys grow Kx (per-key density constant),
     // so both should hold ~linear wall — the key-shuffle (as-of) and
     // (key,bucket)-shuffle (range) both spread with the key set
     def purchasesClicks(dir: String): (DataFrame, DataFrame) = {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsLoader.events(spark, dir)
       (ev.filter(col("event_type") === "purchase")
          .select(col("event_id"), col("user_id"),
-           expr("ts div 1000").as("ts_us"), col("value")),
+           unix_micros(col("ts")).as("ts_us"), col("value")),
        ev.filter(col("event_type") === "click")
          .select(col("user_id").as("r_uid"),
-           expr("ts div 1000").as("click_ts_us"), col("value")))
+           unix_micros(col("ts")).as("click_ts_us"), col("value")))
     }
     // aggregate over the MATCH payload: a bare count() lets column
     // pruning drop the as-of window itself and times only the scan
@@ -169,15 +167,15 @@ object ScaleProbe {
     // spreads it across (key, day-bucket) partitions. See also
     // tools/HotKeyProbe for the focused comparison.
     def hotKeyAsof(dir: String): (DataFrame, DataFrame) = {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsLoader.events(spark, dir)
       val amp = explode(sequence(lit(0L), lit(15L))).as("__rep")
       val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"), amp)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"), amp)
         .select((col("event_id") * 16 + col("__rep")).as("event_id"),
           lit(1L).as("user_id"),
           (col("ts_us") * 16 + col("__rep")).as("ts_us"), col("value"))
       val c = ev.filter(col("event_type") === "click")
-        .select(expr("ts div 1000").as("ts_us"), col("value"), amp)
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"), amp)
         .select(lit(1L).as("r_uid"),
           (col("ts_us") * 16 + col("__rep")).as("click_ts_us"), col("value"))
         .groupBy("r_uid", "click_ts_us")

@@ -138,7 +138,6 @@ class AnnSpec extends SparkSpec with Matchers {
   // recall is monotone in nProbe, ≥0.9 at nProbe=8/12, and exactly
   // 1.0 when every cell is probed.
   test("trainCodebook + ivfTopK: recall vs brute force is monotone, >=0.9 at nProbe=8, exact at full probe") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.filter($"vec_id" % 25 === 0)
     val codebook = Ann.trainCodebook(e, "embedding", k = 12)

@@ -80,10 +80,8 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runHourlyRollupAvailableNow(spark, dir)
       .orderBy("hour", "event_type").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = StreamOps.hourlyRollup(
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        val batch = StreamOps.hourlyRollup(
+        graft.sources.EventsLoader.events(spark, dir))
       .orderBy("hour", "event_type").collect().toSeq
     streamed shouldBe batch
   }
@@ -111,9 +109,7 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runClickAttributionAvailableNow(spark, dir, 120)
       .orderBy("purchase_id", "click_id").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.EventsLoader.events(spark, dir)
     val batch = StreamOps.clickAttribution(
         ev.filter($"event_type" === "purchase"),
         ev.filter($"event_type" === "click"), 120)
@@ -127,9 +123,7 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runClickAttributionOuterAvailableNow(spark, dir, 120)
       .orderBy("purchase_id", "click_id").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.EventsLoader.events(spark, dir)
     val batch = StreamOps.clickAttribution(
         ev.filter($"event_type" === "purchase"),
         ev.filter($"event_type" === "click"), 120, joinType = "left_outer")
@@ -150,9 +144,8 @@ class StreamOpsSpec extends SparkSpec with Matchers {
         drainSentinels = false)
       .filter(col("click_id").isNull)
       .select("purchase_id").collect().map(_.getLong(0)).toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxTsUs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000"))).head().getLong(0)
+        val maxTsUs = graft.sources.EventsLoader.events(spark, dir)
+      .agg(max(unix_micros($"ts"))).head().getLong(0)
     // the engine's closing no-data batch evicts up to the last REAL
     // watermark (max event time - 10 min delay) MINUS the join's
     // interval margin: the symmetric hash join's state-value watermark
@@ -178,10 +171,8 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamStaticEnrichAvailableNow(spark, dir)
       .orderBy("c_mktsegment", "event_type").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = StreamOps.streamStaticEnrich(
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        val batch = StreamOps.streamStaticEnrich(
+        graft.sources.EventsLoader.events(spark, dir),
         spark.read.parquet(s"$dir/customer.parquet")
           .select($"c_custkey", $"c_mktsegment"))
       .orderBy("c_mktsegment", "event_type").collect().toSeq
@@ -219,9 +210,8 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runLateDataRollupAvailableNow(spark, dir)
       .orderBy("win_start_us", "event_type").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select($"event_id", expr("ts div 1000").as("ts_us"), $"event_type")
+        val ev = graft.sources.EventsLoader.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
     val Array(mn, mx) = ev.agg(min($"ts_us"), max($"ts_us"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val lateCount = ev
@@ -245,10 +235,9 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamingEwmaAvailableNow(spark, dir, alpha = 0.25)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows = spark.read.parquet(s"$dir/events.parquet")
+        val rows = graft.sources.EventsLoader.events(spark, dir)
       .filter($"event_type" === "signup" || $"event_type" === "purchase")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"), $"value")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._3, t._2))
     val expected = scala.collection.mutable.Map.empty[(Long, Long), Double]
@@ -295,12 +284,11 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamingScd2AvailableNow(spark, dir)
       .orderBy("user_id", "valid_from", "event_id").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.sources.EventsLoader.events(spark, dir)
       .filter($"event_type" === "signup" || $"event_type" === "purchase")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"),
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
         round($"value" * 1000).cast("long").as("value_milli"))
       .select($"user_id", $"event_id", $"ts_us".as("valid_from"),
         lead($"ts_us", 1).over(w).as("valid_to"), $"value_milli")
@@ -314,10 +302,8 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runSlidingRollupAvailableNow(spark, dir)
       .orderBy("win_start", "event_type").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = StreamOps.slidingRollup(
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        graft.sources.EventsLoader.events(spark, dir))
       .orderBy("win_start", "event_type").collect().toSeq
     streamed shouldBe batch
   }
@@ -328,10 +314,9 @@ class StreamOpsSpec extends SparkSpec with Matchers {
         Seq("view", "click", "purchase"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = graft.operators.Funnel.funnel(
-        spark.read.parquet(s"$dir/events.parquet")
-          .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type"),
+        graft.sources.EventsLoader.events(spark, dir)
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type"),
         "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
       .filter($"stages_reached" === 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -348,7 +333,6 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     // never more than the quota per source
     out.groupBy(_._2).values.foreach(_.size should be <= 7)
     // batch 1 (even ids) fills first; odd ids only appear where evens ran out
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val expected = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", ($"doc_id" % 2).as("v"), $"source")
       .withColumn("rn", row_number().over(
