@@ -89,6 +89,18 @@ object Bpe {
     val base = if (persistVocab) words0.persist() else words0
     var states = base
     val out = collection.mutable.ArrayBuffer.empty[Row]
+    // ONE action per merge round. The round's single aggregate row
+    // carries BOTH the merge decision (min_by over the ordering
+    // struct (-count, lft, rgt) = the desc-count/lex tie-break) and
+    // the total adjacent-pair count, and the latter retro-fills the
+    // PREVIOUS round's tokens_after: every word contributes
+    // (symbols - 1) pairs, so tokens = total_pairs + total_freq,
+    // with total_freq constant across rounds (one tiny job up
+    // front). Only the final round needs a dedicated post-merge
+    // count — the pre-r9 form ran that aggregate every round.
+    val totalFreq = base.agg(coalesce(sum(col("__freq")), lit(0L)))
+      .head().getLong(0)
+    var pending: Option[(Long, String, String, Long)] = None
     var exhausted = false
     for (i <- 1 to iterations if !exhausted) {
       val syms = symbols(col("__state")).as("__syms")
@@ -103,24 +115,32 @@ object Bpe {
         .agg(sum(col("__freq")).as("pair_count"))
       // ONE row to the driver per round — the merge decision is
       // parameter-sized, like kmeansMicro's centroid fold
-      val best = pairs
-        .orderBy(col("pair_count").desc, col("lft"), col("rgt"))
-        .limit(1).collect()
-      if (best.isEmpty) {
+      val agg = pairs.agg(
+        coalesce(sum(col("pair_count")), lit(0L)).as("total_pairs"),
+        min_by(struct(col("lft"), col("rgt"), col("pair_count")),
+          struct((-col("pair_count")).as("nc"), col("lft"), col("rgt")))
+          .as("best")).head()
+      pending.foreach { case (pi, l, r, c) =>
+        out += Row(pi, l, r, l + r, c, agg.getLong(0) + totalFreq)
+      }
+      pending = None
+      if (agg.isNullAt(1)) {
         exhausted = true
       } else {
-        val l = best(0).getString(0)
-        val r = best(0).getString(1)
-        val c = best(0).getLong(2)
+        val b = agg.getStruct(1)
+        val (l, r, c) = (b.getString(0), b.getString(1), b.getLong(2))
         states = states.withColumn("__state",
           replace(col("__state"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
-        // vocabulary-sized aggregate: the post-merge token count
-        val tokensAfter = states
-          .agg(coalesce(sum(col("__freq")
-            * size(symbols(col("__state"))).cast("long")), lit(0L)))
-          .head().getLong(0)
-        out += Row(i.toLong, l, r, l + r, c, tokensAfter)
+        pending = Some((i.toLong, l, r, c))
       }
+    }
+    pending.foreach { case (pi, l, r, c) =>
+      // final round only: vocabulary-sized post-merge token count
+      val tokensAfter = states
+        .agg(coalesce(sum(col("__freq")
+          * size(symbols(col("__state"))).cast("long")), lit(0L)))
+        .head().getLong(0)
+      out += Row(pi, l, r, l + r, c, tokensAfter)
     }
     if (persistVocab) base.unpersist()
     spark.createDataFrame(
