@@ -71,6 +71,62 @@ class TextNlpSpec extends AnyFunSuite {
     assert(TextNlp.getRootWord("diagnoses") == "diagnosi") // NLTK "diagnosis", then rstrip
   }
 
+  test("round-9 expansion: rare-plural sweep across the new noun.exc families") {
+    // -sis medical/scientific plurals (ses->s cannot reconstruct -sis)
+    assert(TextNlp.lemmatize("psoriases") == "psoriasis")
+    assert(TextNlp.lemmatize("glycolyses") == "glycolysis")
+    assert(TextNlp.lemmatize("sarcoidoses") == "sarcoidosis")
+    assert(TextNlp.lemmatize("anaphylaxes") == "anaphylaxis") // xes->x would give "anaphylax"
+    assert(TextNlp.lemmatize("pneumothoraces") == "pneumothorax")
+    // Greek -ma -> -mata
+    assert(TextNlp.lemmatize("lipomata") == "lipoma")
+    assert(TextNlp.lemmatize("scotomata") == "scotoma")
+    // Latin -ium/-um -> -ia/-a
+    assert(TextNlp.lemmatize("conidia") == "conidium")
+    assert(TextNlp.lemmatize("sporangia") == "sporangium")
+    assert(TextNlp.lemmatize("frusta") == "frustum")
+    assert(TextNlp.lemmatize("qualia") == "quale")
+    // Latin -us -> -i, -a -> -ae
+    assert(TextNlp.lemmatize("homunculi") == "homunculus")
+    assert(TextNlp.lemmatize("papyri") == "papyrus")
+    assert(TextNlp.lemmatize("alumnae") == "alumna")
+    assert(TextNlp.lemmatize("tesserae") == "tessera")
+    // -oes, -ices, Romance plurals
+    assert(TextNlp.lemmatize("tornadoes") == "tornado")
+    assert(TextNlp.lemmatize("noes") == "no")
+    assert(TextNlp.lemmatize("cruces") == "crux")
+    // NOT added: "syringes syrinx" — the r8 decision keeps the common
+    // "syringe" over NLTK's min-length "syrinx" (see the r8 test)
+    assert(TextNlp.lemmatize("tempi") == "tempo")
+    assert(TextNlp.lemmatize("conquistadores") == "conquistador")
+    // -fe compounds (ves->f truncates the e)
+    assert(TextNlp.lemmatize("midwives") == "midwife")
+    assert(TextNlp.lemmatize("penknives") == "penknife")
+    // -mina neuters + singular identity
+    assert(TextNlp.lemmatize("numina") == "numen")
+    assert(TextNlp.lemmatize("velamen") == "velamen")
+    // plurale tantum: the inflected form IS the WordNet lemma
+    assert(TextNlp.lemmatize("news") == "news")
+    assert(TextNlp.lemmatize("molasses") == "molasses")
+    assert(TextNlp.lemmatize("eaves") == "eave") // "eave" is the WordNet back-form
+    assert(TextNlp.lemmatize("monies") == "money")
+    // lexicon-check emulation: common -s/-us/-is lemmas stay fixed
+    assert(TextNlp.lemmatize("atlas") == "atlas")
+    assert(TextNlp.lemmatize("virus") == "virus")
+    assert(TextNlp.lemmatize("census") == "census")
+    assert(TextNlp.lemmatize("ibis") == "ibis")
+  }
+
+  test("every vendored lemma is a lemmatize fixed-point (morphy lexicon-check emulation)") {
+    // WordNet's morphy accepts a word already in its lexicon; every
+    // lemma in the exception table is a WordNet noun, so it must map
+    // to itself — the property that keeps e.g. "abdomen" from
+    // becoming "abdoman" via the men->man rule. Full-table sweep.
+    val bad = TextNlp.lemmaExceptions.values.toSet[String]
+      .filter(l => TextNlp.lemmatize(l) != l)
+    assert(bad.isEmpty, s"non-fixed-point lemmas: ${bad.toSeq.sorted.take(20)}")
+  }
+
   test("morphy validates candidates against the vendored noun lexicon") {
     // the FIRST applicable rule's candidate is a non-word; the later
     // s->"" candidate is in the lexicon — WordNet's lexicon check
