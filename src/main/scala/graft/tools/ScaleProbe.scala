@@ -284,6 +284,13 @@ object ScaleProbe {
     time("scd2_intervals")(entryCount("q80_scd2_intervals"))
     time("boilerplate_removal")(entryCount("q68_boilerplate_removal"))
     time("corpus_pipeline")(entryCount("q73_corpus_pipeline"))
+    // - q121 SemDeDup: the replica repeats every vector Kx under new
+    //   ids, so each k-means cell gets Kx denser — exactly the
+    //   degenerate-cluster shape the maxCellSize cap exists for. The
+    //   cap keeps the within-cell self-join bounded (suppressed mass
+    //   is the exact-dup tier's job upstream); expect ~linear wall
+    //   from the assignment scan, NOT quadratic from the pair join.
+    time("semantic_neardup")(entryCount("q121_semantic_neardup"))
     // Bounded-upsert probe: per-batch wall must track BATCH size, not
     // TARGET size. Buckets are sized to the target (constant bucket
     // bytes — the documented deployment rule), the target is built
