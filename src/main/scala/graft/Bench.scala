@@ -47,7 +47,7 @@ object Bench {
     // the standard stable estimator of steady-state cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val passes = (1 to reps).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

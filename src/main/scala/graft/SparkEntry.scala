@@ -1306,6 +1306,64 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric shingle containment ([[Dedup.containmentOnPairs]]):
+    * each doc paired with a planted half-length PREFIX clone — the
+    * near-inclusion shape (quote/subset) where containment on the
+    * short side is ~1 while Jaccard collapses toward |B|/|A|. The
+    * decontamination measure symmetric Jaccard misses. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val words = split(col("text"), "\\s+")
+    val half = base.select((col("doc_id") + 5000L).as("doc_id"),
+      array_join(slice(words, lit(1),
+        greatest(floor(size(words) / 2), lit(1)).cast("int")), " ").as("text"))
+    val docs = base.unionByName(half)
+    val pairs = base.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 5000L).as("id_b"))
+    Dedup.containmentOnPairs(pairs, docs, "text", "doc_id", shingleSize = 3)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard",
+        "containment_a", "containment_b")
+      .orderBy("id_a")
+  }
+
+  /** Quality-aware cluster canonicalization
+    * ([[Dedup.clusterCanonicalByScore]]): q53's near-dup components
+    * with the representative picked by MAX text length (ties → min
+    * id) — keep the richest copy, not the smallest id. */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterCanonicalByScore(corpusWithBoilerplate(s, dir), "text",
+        "doc_id", length(col("text")).cast("long"),
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8)
+      .orderBy("doc_id")
+
+  /** Matryoshka-truncation recall audit: exact top-10 by full-width
+    * cosine vs top-10 by the first-16-dims truncation, per-query
+    * overlap count — the evaluation a dimension-reduction rollout
+    * ships before swapping the cheap prefilter in. Both rankings are
+    * broadcast brute-force with the identical score expression, so
+    * the oracle replays them bit-exactly. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val et = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val k = 10
+    val full = Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e,
+      "vec_id", "vec_id", "embedding", k)
+    val trunc = Ann.bruteForceTopK(et.filter(col("vec_id") % 50 === 0), et,
+      "vec_id", "vec_id", "embedding", k)
+    val ov = full.select(col("q_id"), col("c_id"))
+      .join(trunc.select(col("q_id").as("t_q"), col("c_id").as("t_c")),
+        col("q_id") === col("t_q") && col("c_id") === col("t_c"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+    full.select("q_id").distinct()
+      .join(ov, Seq("q_id"), "left")
+      .select(col("q_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy("q_id")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -2208,7 +2266,10 @@ object SparkEntry {
     "q122_duplicate_spans" -> (q122 _),
     "q123_bpe_train" -> (q123 _),
     "q124_unicode_nfc" -> (q124 _),
-    "q125_snapshot_diff" -> (q125 _))
+    "q125_snapshot_diff" -> (q125 _),
+    "q126_containment" -> (q126 _),
+    "q127_cluster_canonical" -> (q127 _),
+    "q128_matryoshka_recall" -> (q128 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -5219,5 +5280,119 @@ object SparkEntry {
                 list_max([abs(v[i] - CAST(qv[i] AS DOUBLE) * scale / 127)
                           for i in range(1, len(v) + 1)]) AS max_err
          FROM q ORDER BY vec_id""",
-    "q23_nlp_clean" -> nlpCleanOracle)
+    "q23_nlp_clean" -> nlpCleanOracle,
+    "q126_containment" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 40
+         ), h AS (
+           SELECT doc_id + 5000 AS doc_id,
+                  array_to_string(
+                    string_split_regex(text, '\s+')
+                      [1:greatest(len(string_split_regex(text, '\s+')) // 2, 1)],
+                    ' ') AS text
+           FROM d
+         ), u AS (
+           SELECT * FROM d UNION ALL SELECT * FROM h
+         ), w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM u
+         ), sh AS (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), sizes AS (
+           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM sh GROUP BY doc_id
+         ), pairs AS (
+           SELECT doc_id AS id_a, doc_id + 5000 AS id_b FROM d
+         ), inter AS (
+           SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+           FROM pairs p
+           JOIN sh ta ON ta.doc_id = p.id_a
+           JOIN sh tb ON tb.doc_id = p.id_b AND ta.shingle = tb.shingle
+           GROUP BY p.id_a, p.id_b
+         )
+         SELECT p.id_a, p.id_b,
+                coalesce(i.n_inter, 0) AS n_inter,
+                sa.n_sh AS n_a, sb.n_sh AS n_b,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE) / sa.n_sh AS containment_a,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE) / sb.n_sh AS containment_b
+         FROM pairs p
+         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         JOIN sizes sa ON sa.doc_id = p.id_a
+         JOIN sizes sb ON sb.doc_id = p.id_b
+         ORDER BY p.id_a""",
+    "q127_cluster_canonical" -> clusterCanonicalOracle,
+    "q128_matryoshka_recall" ->
+      s"""$embCte,
+         tn AS (SELECT vec_id, v[1:16] AS tv,
+                       sqrt(list_dot_product(v[1:16], v[1:16])) AS tnrm FROM e),
+         q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         qt AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
+         sf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+                FROM q CROSS JOIN n c),
+         rf AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM sf),
+         st AS (SELECT qt.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("qt.tv", "qt.tnrm", "c.tv", "c.tnrm")} AS score
+                FROM qt CROSS JOIN tn c),
+         rt AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM st),
+         ov AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_common
+                FROM (SELECT q_id, c_id FROM rf WHERE rnk <= 10) f
+                JOIN (SELECT q_id, c_id FROM rt WHERE rnk <= 10) t2
+                  ON t2.q_id = f.q_id AND t2.c_id = f.c_id
+                GROUP BY f.q_id)
+         SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS k,
+                coalesce(o.n_common, CAST(0 AS BIGINT)) AS n_common
+         FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""")
+
+  /** q127: the q53 recursive-closure clusters with the representative
+    * re-picked by max score (text length; ties → min id) — both the
+    * closure and the argmax replayed in SQL. */
+  private def clusterCanonicalOracle: String = {
+    val pairs = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM ($pairs)
+       ), sym AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION
+         SELECT id_b AS u, id_a AS v FROM p
+       ), reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       ), lbl AS (
+         SELECT u AS node, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u
+       ), d AS (
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id,
+                CAST(length('$boilerplateText') AS BIGINT) AS score
+         FROM range(1, 13) t(r)
+       ), cl AS (
+         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                d.score
+         FROM d LEFT JOIN lbl l ON l.node = d.doc_id
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY score DESC, doc_id) AS rn
+         FROM cl
+       ), best AS (
+         SELECT cluster_id, doc_id AS keep_id FROM rk WHERE rn = 1
+       )
+       SELECT c.doc_id, c.cluster_id, c.score, b.keep_id,
+              c.doc_id = b.keep_id AS keep
+       FROM cl c JOIN best b USING (cluster_id)
+       ORDER BY doc_id"""
+  }
 }

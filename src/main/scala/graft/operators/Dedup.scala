@@ -191,6 +191,21 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** ASYMMETRIC shingle-set overlap on candidate pairs: containment
+    * |A∩B|/|A| and |A∩B|/|B| beside the symmetric Jaccard. The
+    * decontamination/near-inclusion measure Jaccard misses: a short
+    * document wholly quoted inside a long one has containment ≈ 1 on
+    * the short side but Jaccard ≈ |B|/|A| — near zero for a long
+    * host. Same plan shape as [[jaccardOnPairs]] (two id-keyed hash
+    * joins, per-pair sorted-merge intersection count, no shingle
+    * explode); the ratios are derived from the same three integers,
+    * so the added columns are free. */
+  def containmentOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
+                         idCol: String, shingleSize: Int = 3): DataFrame =
+    jaccardOnPairs(pairs, docs, textCol, idCol, shingleSize)
+      .withColumn("containment_a", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("n_inter").cast("double") / col("n_b"))
+
   /** EXACT similarity self-join by prefix filtering (the
     * AllPairs/PPJoin family) — the exact-result complement to the
     * MinHash tier: every pair with shingle-set Jaccard >= tau is
@@ -446,6 +461,33 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col(idCol))
+  }
+
+  /** Quality-aware duplicate-cluster canonicalization: assign every
+    * document its near-dup cluster ([[duplicateClusters]]), then keep
+    * the cluster member with the HIGHEST `scoreCol` (ties → the
+    * minimum id) instead of the blind minimum-id pick — the
+    * representative-selection rule a real dedup pass ships (keep the
+    * longest / highest-quality copy, drop the rest). Selection is an
+    * argmax aggregate per cluster (`min_by` over the ordering struct
+    * (-score, id) — deterministic under ties) joined back on the
+    * cluster id: two cluster-keyed shuffles, no window over the
+    * corpus. Output: (idCol, cluster_id, score, keep_id, keep). */
+  def clusterCanonicalByScore(docs: DataFrame, textCol: String, idCol: String,
+                              scoreCol: Column,
+                              shingleSize: Int = 3, numHashes: Int = 8,
+                              rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5,
+                              maxBucketSize: Option[Int] = None): DataFrame = {
+    val cl = duplicateClusters(docs, textCol, idCol, shingleSize, numHashes,
+        rowsPerBand, jaccardThreshold, maxBucketSize)
+      .select(col(idCol), col("cluster_id"))
+    val scored = docs.select(col(idCol).as("__sid"), scoreCol.as("score"))
+    val m = cl.join(scored, col(idCol) === col("__sid")).drop("__sid")
+    val best = m.groupBy("cluster_id").agg(
+      min_by(col(idCol), struct((-col("score")).as("ns"), col(idCol))).as("keep_id"))
+    m.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("score"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("keep"))
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Blocked by

