@@ -945,6 +945,42 @@ object SparkEntry {
     StreamOps.runStreamingHllAvailableNow(s, dir, p = 6, salt = "hll")
       .orderBy("source", "wave")
 
+  /** Streaming Count-Min ([[StreamOps.streamingCountMin]]): the CMS
+    * cell table as per-source streaming state over the same two-wave
+    * token staging as q112; per (source, wave, probe) estimates
+    * bit-match the batch sketch over the wave's cumulative prefix. */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingCountMinAvailableNow(s, dir,
+        depth = 4, width = 16, salt = "cms",
+        probes = Seq("data", "of", "the"))
+      .orderBy("source", "wave", "probe")
+
+  /** Exact per-shard embedding DIVERSITY audit: spread_num =
+    * n·Σ‖x‖² − ‖Σx‖² over 2^20-quantized elements — n² times the
+    * total variance, as exact BIGINTs (the curation signal behind
+    * diversity-aware data selection: a shard of near-identical
+    * vectors scores ~0). One posexplode projection, ONE map-combined
+    * (shard, dim) aggregate (≤ shards·dims rows cross the shuffle),
+    * then a shards-sized fold — the corpus never shuffles. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), pmod(col("vec_id"), lit(8L)).as("shard"),
+        col("embedding"))
+    val q = e
+      .select(col("shard"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("shard"), col("dim"),
+        round(col("x") * 1048576).cast("long").as("qx"))
+    val dimAgg = q.groupBy("shard", "dim")
+      .agg(sum(col("qx")).as("s_d"), sum(col("qx") * col("qx")).as("ss_d"))
+    val shardAgg = dimAgg.groupBy("shard")
+      .agg(sum(col("ss_d")).as("sum_sq"), sum(col("s_d") * col("s_d")).as("sum_dim_sq"))
+    val n = e.groupBy("shard").agg(count(lit(1)).as("n"))
+    n.join(shardAgg, Seq("shard"))
+      .select(col("shard"), col("n"), col("sum_sq"), col("sum_dim_sq"),
+        (col("n") * col("sum_sq") - col("sum_dim_sq")).as("spread_num"))
+      .orderBy("shard")
+  }
+
   /** Embedding-space outlier mining
     * ([[graft.operators.Cluster.centroidDistances]]): each vector's
     * exact integer-micro squared distance to its OWN label centroid,
@@ -2269,7 +2305,9 @@ object SparkEntry {
     "q125_snapshot_diff" -> (q125 _),
     "q126_containment" -> (q126 _),
     "q127_cluster_canonical" -> (q127 _),
-    "q128_matryoshka_recall" -> (q128 _))
+    "q128_matryoshka_recall" -> (q128 _),
+    "q129_stream_countmin" -> (q129 _),
+    "q130_shard_diversity" -> (q130 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2793,6 +2831,44 @@ object SparkEntry {
              GROUP BY source) agg)"""
     s"""SELECT * FROM (${waveEst(0)} UNION ALL ${waveEst(1)}) z
        ORDER BY source, wave"""
+  }
+
+  /** q129: per (source, wave, probe) Count-Min estimates, each wave
+    * recomputed as the batch sketch over that wave's CUMULATIVE token
+    * prefix — identical md5 cell coordinates to `Sketch.cmBucket`
+    * and the streaming fold. */
+  private def cmWaveOracle(depth: Int, width: Int, salt: String,
+                           probes: Seq[String]): String = {
+    val probeValues = probes.map(p => s"('$p')").mkString(", ")
+    def waveEst(w: Int): String =
+      s"""(SELECT g.source, CAST($w AS BIGINT) AS wave, g.probe,
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+           FROM (SELECT src.source, p.probe, p.h, p.bucket
+                 FROM (SELECT DISTINCT source FROM tt) src
+                 CROSS JOIN pc p) g
+           LEFT JOIN (
+             SELECT source, h,
+                    ('0x' || substr(md5('$salt:' || CAST(h AS VARCHAR)
+                       || ':' || tok), 1, 14))::BIGINT % $width AS bucket,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM tt CROSS JOIN (SELECT unnest(range(0, $depth)) AS h)
+             WHERE wave <= $w GROUP BY source, h, bucket) s
+             ON s.source = g.source AND s.h = g.h AND s.bucket = g.bucket
+           GROUP BY g.source, g.probe)"""
+    s"""WITH t AS (
+         SELECT source, (doc_id // 20) % 2 AS wave,
+                unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         FROM documents
+       ), tt AS (SELECT * FROM t WHERE tok <> ''),
+       probes(probe) AS (VALUES $probeValues),
+       pc AS (
+         SELECT probe, h,
+                ('0x' || substr(md5('$salt:' || CAST(h AS VARCHAR)
+                   || ':' || probe), 1, 14))::BIGINT % $width AS bucket
+         FROM probes CROSS JOIN (SELECT unnest(range(0, $depth)) AS h)
+       )
+       SELECT * FROM (${waveEst(0)} UNION ALL ${waveEst(1)}) z
+       ORDER BY source, wave, probe"""
   }
 
   /** Prefix-filter exact Jaccard join oracle mirroring
@@ -5325,6 +5401,33 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = p.id_b
          ORDER BY p.id_a""",
     "q127_cluster_canonical" -> clusterCanonicalOracle,
+    "q129_stream_countmin" -> cmWaveOracle(depth = 4, width = 16,
+      salt = "cms", probes = Seq("data", "of", "the")),
+    "q130_shard_diversity" ->
+      """WITH e AS (
+           SELECT vec_id, vec_id % 8 AS shard,
+                  CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+         ), q AS (
+           SELECT shard,
+                  unnest(range(1, len(v) + 1)) - 1 AS dim,
+                  unnest([CAST(round(v[i] * 1048576) AS BIGINT)
+                          for i in range(1, len(v) + 1)]) AS qx
+           FROM e
+         ), dimagg AS (
+           SELECT shard, dim, CAST(sum(qx) AS BIGINT) AS s_d,
+                  CAST(sum(qx * qx) AS BIGINT) AS ss_d
+           FROM q GROUP BY shard, dim
+         ), sh AS (
+           SELECT shard, CAST(sum(ss_d) AS BIGINT) AS sum_sq,
+                  CAST(sum(s_d * s_d) AS BIGINT) AS sum_dim_sq
+           FROM dimagg GROUP BY shard
+         ), n AS (
+           SELECT shard, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY shard
+         )
+         SELECT n.shard, n.n, sh.sum_sq, sh.sum_dim_sq,
+                CAST(n.n * sh.sum_sq - sh.sum_dim_sq AS BIGINT) AS spread_num
+         FROM n JOIN sh USING (shard) ORDER BY shard""",
     "q128_matryoshka_recall" ->
       s"""$embCte,
          tn AS (SELECT vec_id, v[1:16] AS tv,

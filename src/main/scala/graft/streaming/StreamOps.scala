@@ -488,10 +488,12 @@ object StreamOps {
     * tokenized and staged as two crawl waves (`(doc_id div 20) % 2` —
     * the round-robin doc_id layout makes plain parity single-wave per
     * source), snapshots emitted per (source, wave). */
-  def runStreamingHllAvailableNow(spark: SparkSession, dir: String,
-                                  p: Int, salt: String): DataFrame = {
-    import spark.implicits._
-    val staging = stagedDir("hll", dir) { staging =>
+  /** Two-wave token staging shared by the streaming sketch runners
+    * (HLL, Count-Min): documents tokenized and split into two crawl
+    * waves by `(doc_id div 20) % 2` — the round-robin doc_id layout
+    * puts every source in both waves. */
+  private def tokenWaveStream(spark: SparkSession, dir: String): DataFrame = {
+    val staging = stagedDir("tokwaves", dir) { staging =>
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(expr("(doc_id div 20) % 2").as("wave"), col("source"),
           explode(split(lower(col("text")), "\\s+")).as("tok"))
@@ -499,15 +501,94 @@ object StreamOps {
       stageVersionFile(d.filter(col("wave") === 0), s"$staging/f0.parquet")
       stageVersionFile(d.filter(col("wave") === 1), s"$staging/f1.parquet")
     }
-    val src = spark.readStream
+    spark.readStream
       .schema(StructType(Seq(
         StructField("wave", LongType), StructField("source", StringType),
         StructField("tok", StringType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$staging/*.parquet")
-      .as[HllTok]
+  }
+
+  def runStreamingHllAvailableNow(spark: SparkSession, dir: String,
+                                  p: Int, salt: String): DataFrame = {
+    import spark.implicits._
     val name = s"graft_stream_hll_${runCounter.incrementAndGet()}"
-    val query = streamingHllDistinct(src, p, salt)
+    val query = streamingHllDistinct(tokenWaveStream(spark, dir).as[HllTok], p, salt)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
+  // --- streaming count-min sketch ---------------------------------------
+
+  case class CmTok(wave: Long, source: String, tok: String)
+  case class CmCells(cells: Map[Int, Long])
+  case class CmWaveOut(source: String, wave: Long, probe: String, est: Long)
+
+  /** Streaming Count-Min: [[graft.operators.Sketch.countMinBuild]]'s
+    * depth×width cell table carried as PER-KEY STREAMING STATE — the
+    * running frequency monitor of the sketch family, beside
+    * [[streamingHllDistinct]]'s cardinality. Each micro-batch folds
+    * its tokens into the cells (integer adds — order- and
+    * batch-split-independent, the same property that makes the batch
+    * sketch's partial aggregation correct) and emits one
+    * (source, wave, probe, est) row per key touched and probe token,
+    * est = min over rows of the probe's cells. The cell coordinates
+    * BIT-MATCH the batch operator (`cmBucket`: md5 14-hex-char
+    * prefix, base-16, mod width), so a batch oracle over each wave's
+    * cumulative prefix hash-matches the streamed snapshots exactly.
+    * State per key is ≤ depth·width longs — O(1) in stream length. */
+  def streamingCountMin(toks: Dataset[CmTok], depth: Int, width: Int,
+                        salt: String, probes: Seq[String]): Dataset[CmWaveOut] = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    require(probes.nonEmpty, "need at least one probe token")
+    import toks.sparkSession.implicits._
+    def bucket(item: String, h: Int): Int = {
+      // identical coordinates to the SQL path:
+      // pmod(conv(substring(md5(salt:h:item), 1, 14), 16, 10), width)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$h:$item".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 14)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt // 56-bit, nonneg
+    }
+    val probeCells: Map[String, Array[Int]] =
+      probes.map(p => p -> (0 until depth).map(h => h * width + bucket(p, h)).toArray).toMap
+    toks.groupByKey(_.source)
+      .flatMapGroupsWithState[CmCells, CmWaveOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[CmTok], state: GroupState[CmCells]) =>
+          val batch = rows.toSeq
+          var cells = state.getOption.map(_.cells).getOrElse(Map.empty[Int, Long])
+          batch.foreach { r =>
+            var h = 0
+            while (h < depth) {
+              val key = h * width + bucket(r.tok, h)
+              cells = cells.updated(key, cells.getOrElse(key, 0L) + 1L)
+              h += 1
+            }
+          }
+          state.update(CmCells(cells))
+          val wave = batch.map(_.wave).max
+          probes.map { p =>
+            val est = probeCells(p).map(k => cells.getOrElse(k, 0L)).min
+            CmWaveOut(source, wave, p, est)
+          }.iterator
+      }
+  }
+
+  /** Drive [[streamingCountMin]] over the two-wave token staging. */
+  def runStreamingCountMinAvailableNow(spark: SparkSession, dir: String,
+                                       depth: Int, width: Int, salt: String,
+                                       probes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_stream_cms_${runCounter.incrementAndGet()}"
+    val query = streamingCountMin(tokenWaveStream(spark, dir).as[CmTok],
+        depth, width, salt, probes)
       .writeStream
       .format("memory")
       .queryName(name)

@@ -280,6 +280,51 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
   }
 
+  test("streaming Count-Min estimates are bit-identical to the batch sketch " +
+      "over each wave's cumulative prefix (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val probes = Seq("data", "of", "the")
+    val streamed = StreamOps.runStreamingCountMinAvailableNow(spark, dir,
+        depth = 4, width = 16, salt = "cms", probes = probes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def batchWave(w: Int): Map[(String, Long, String), Long] = {
+      val toks = docs.filter(expr(s"(doc_id div 20) % 2 <= $w"))
+        .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+      // per-source batch sketch: cell = (source, h, bucket) counts
+      val cells = toks
+        .withColumn("h", explode(array((0 until 4).map(lit): _*)))
+        .select($"source", $"h",
+          graft.operators.Sketch.cmBucket($"tok", $"h", 16, "cms").as("bucket"))
+        .groupBy("source", "h", "bucket").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val sources = cells.keySet.map(_._1)
+      def bucketOf(p: String, h: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cms:$h:$p".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 14)
+        java.lang.Long.parseLong(hex, 16) % 16
+      }
+      (for (s <- sources; p <- probes) yield {
+        val est = (0 until 4)
+          .map(h => cells.getOrElse((s, h, bucketOf(p, h)), 0L)).min
+        (s, w.toLong, p) -> est
+      }).toMap
+    }
+    val expected = batchWave(0) ++ batchWave(1)
+    streamed.keySet shouldBe expected.keySet
+    expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
+    // wave-1 estimates never shrink: the state accumulates
+    streamed.collect { case ((s, 1L, p), e) => (s, p) -> e }.foreach {
+      case ((s, p), e1) => e1 should be >= streamed((s, 0L, p))
+    }
+  }
+
   test("streaming SCD-2 closed intervals equal the batch lead() form (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.runStreamingScd2AvailableNow(spark, dir)
