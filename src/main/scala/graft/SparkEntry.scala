@@ -955,6 +955,39 @@ object SparkEntry {
         probes = Seq("data", "of", "the"))
       .orderBy("source", "wave", "probe")
 
+  /** Leakage-safe GROUPED split ([[graft.operators.Curation
+    * .groupedSplit]]): q90's synthetic URLs reduced to their
+    * registrable domain, split by the DOMAIN hash — every page of a
+    * domain lands in one split, so near-duplicate scrapes cannot
+    * straddle train and eval. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      element_at(array(
+        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
+        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
+        (col("doc_id") % 6 + 1).cast("int")),
+      (col("doc_id") % 20).cast("string"),
+      element_at(array(
+        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
+        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
+        (col("doc_id") % 6 + 1).cast("int")))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("registrable",
+        graft.operators.UrlOps.registrableDomain(col("url")))
+    graft.operators.Curation.groupedSplit(d, col("registrable"),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5), salt = "gsplit")
+      .select("doc_id", "registrable", "split")
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocations ([[TextAnalysis.pmiCollocations]]): corpus-wide
+    * top-50 adjacent-pair collocations at min-count 5, PMI quantized
+    * to integer micros with the oracle's identical expression tree. */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+      minCount = 5L, topK = 50)
+
   /** Exact per-shard embedding DIVERSITY audit: spread_num =
     * n·Σ‖x‖² − ‖Σx‖² over 2^20-quantized elements — n² times the
     * total variance, as exact BIGINTs (the curation signal behind
@@ -2307,7 +2340,9 @@ object SparkEntry {
     "q127_cluster_canonical" -> (q127 _),
     "q128_matryoshka_recall" -> (q128 _),
     "q129_stream_countmin" -> (q129 _),
-    "q130_shard_diversity" -> (q130 _))
+    "q130_shard_diversity" -> (q130 _),
+    "q131_grouped_split" -> (q131 _),
+    "q132_pmi_collocations" -> (q132 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2831,6 +2866,51 @@ object SparkEntry {
              GROUP BY source) agg)"""
     s"""SELECT * FROM (${waveEst(0)} UNION ALL ${waveEst(1)}) z
        ORDER BY source, wave"""
+  }
+
+  /** q131: q90's domain derivation + the grouped-split hash on the
+    * DOMAIN string (same md5-14-hex arithmetic as splitHashSql, keyed
+    * on the group value instead of the row id). */
+  private def groupedSplitOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id, url,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM h
+       ), reg AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS registrable
+         FROM l
+       ), sp AS (
+         SELECT doc_id, registrable,
+                ('0x' || substr(md5('gsplit:' || registrable), 1, 14))::BIGINT
+                  % 100 AS hh
+         FROM reg
+       )
+       SELECT doc_id, registrable,
+              CASE WHEN hh < 90 THEN 'train'
+                   WHEN hh < 95 THEN 'valid' ELSE 'test' END AS split
+       FROM sp ORDER BY doc_id"""
   }
 
   /** q129: per (source, wave, probe) Count-Min estimates, each wave
@@ -5403,6 +5483,37 @@ object SparkEntry {
     "q127_cluster_canonical" -> clusterCanonicalOracle,
     "q129_stream_countmin" -> cmWaveOracle(depth = 4, width = 16,
       salt = "cms", probes = Seq("data", "of", "the")),
+    "q131_grouped_split" -> groupedSplitOracle,
+    "q132_pmi_collocations" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '') AS ts
+           FROM documents
+         ), bg AS (
+           SELECT unnest(ts[1:len(ts) - 1]) AS u, unnest(ts[2:len(ts)]) AS v
+           FROM w WHERE len(ts) >= 2
+         ), f2 AS (
+           SELECT u, v, CAST(count(*) AS BIGINT) AS f2 FROM bg GROUP BY u, v
+         ), f1 AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f1
+           FROM (SELECT unnest(ts) AS tok FROM w) GROUP BY tok
+         ), nb AS (SELECT CAST(sum(f2) AS BIGINT) AS nb FROM f2),
+         nt AS (SELECT CAST(sum(f1) AS BIGINT) AS nt FROM f1),
+         j AS (
+           SELECT f2.u, f2.v, f2.f2, a.f1 AS f1_u, b.f1 AS f1_v
+           FROM f2 JOIN f1 a ON a.tok = f2.u JOIN f1 b ON b.tok = f2.v
+           WHERE f2.f2 >= 5
+         ), p AS (
+           SELECT u, v, f2, f1_u, f1_v,
+                  CAST(round(ln(
+                    (CAST(f2 AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                      / ((CAST(f1_u AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+                         * (CAST(f1_v AS DOUBLE) / CAST(nt.nt AS DOUBLE))))
+                    * 1000000) AS BIGINT) AS pmi_micro
+           FROM j, nb, nt
+         )
+         SELECT * FROM p ORDER BY pmi_micro DESC, u, v LIMIT 50""",
     "q130_shard_diversity" ->
       """WITH e AS (
            SELECT vec_id, vec_id % 8 AS shard,

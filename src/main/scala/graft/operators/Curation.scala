@@ -53,6 +53,20 @@ object Curation {
       }
   }
 
+  /** Leakage-safe GROUPED split: hash the GROUP key (domain, author,
+    * source...) instead of the row id, so every row sharing the key
+    * lands in the SAME split — the split rule that keeps a domain's
+    * near-duplicate pages from straddling train and test (row-id
+    * splits leak: two scrapes of one page land in different splits
+    * and the eval set scores memorization). Pure projection — the
+    * hash is computed per row from the key value, no shuffle, no
+    * group materialization; identical key ⇒ identical label by
+    * construction. */
+  def groupedSplit(df: DataFrame, groupKey: Column,
+                   weights: Seq[(String, Int)],
+                   salt: String = "graft"): DataFrame =
+    df.withColumn("split", splitLabel(groupKey, weights, salt))
+
   /** Assign every row its deterministic split label. */
   def deterministicSplit(df: DataFrame, idCol: String,
                          weights: Seq[(String, Int)],

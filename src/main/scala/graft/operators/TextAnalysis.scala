@@ -322,6 +322,50 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** Top-k COLLOCATIONS by pointwise mutual information over adjacent
+    * token pairs: pmi = ln(P(u,v) / (P(u)·P(v))) with bigram and
+    * unigram probabilities from the corpus counts, quantized to
+    * integer micros with the identical IEEE expression tree the
+    * oracle states (same ln-at-micro-rounding parity as the LM
+    * scorers q86/q104). `minCount` is the standard noise floor —
+    * PMI's known failure mode is rare pairs maxing the score.
+    *
+    * Scale shape: two map-combined count aggregates (bigram,
+    * unigram), two hash joins on the token, 1-row total broadcasts,
+    * and a TakeOrdered top-k — no corpus-sized sort, no window.
+    * Deterministic under ties: (pmi desc, u, v). */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val ts = docs.select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val f2 = ts.select(explode(
+        zip_with(
+          slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+          (a, b) => struct(a.as("u"), b.as("v")))).as("__bg"))
+      .select(col("__bg.u").as("u"), col("__bg.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("f2"))
+    val f1 = tokenCounts(docs, idCol, textCol)
+      .groupBy(col("__tok")).agg(sum(col("__c")).as("f1"))
+    val nb = f2.agg(sum(col("f2")).as("nb"))
+    val nt = f1.agg(sum(col("f1")).as("nt"))
+    f2.filter(col("f2") >= minCount)
+      .join(f1.select(col("__tok").as("u"), col("f1").as("f1_u")), Seq("u"))
+      .join(f1.select(col("__tok").as("v"), col("f1").as("f1_v")), Seq("v"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+      .withColumn("pmi_micro", round(log(
+          (col("f2").cast("double") / col("nb").cast("double")) /
+            ((col("f1_u").cast("double") / col("nt").cast("double"))
+              * (col("f1_v").cast("double") / col("nt").cast("double")))) * 1e6)
+        .cast("long"))
+      .select(col("u"), col("v"), col("f2"), col("f1_u"), col("f1_v"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   /** (id, __tok, __c) whitespace-token counts — the intermediate the
     * scorer consumes THREE ways (per-doc rows, vocabulary
     * frequencies, corpus total). Spark recomputes an unmaterialized

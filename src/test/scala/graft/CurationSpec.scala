@@ -219,4 +219,28 @@ class CurationSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     got shouldBe Map(1L -> "deleted", 9L -> "added")
   }
+
+  test("groupedSplit: every row sharing the group key lands in the SAME split; " +
+      "row-id splits would leak") {
+    val rows = (0L until 200L).map(i => (i, s"domain${i % 7}.com"))
+      .toDF("doc_id", "domain")
+    val out = Curation.groupedSplit(rows, col("domain"),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5), salt = "gs")
+      .collect().map(r => r.getString(1) -> r.getString(2))
+    // leakage-safety: one split per domain, however many rows
+    out.groupBy(_._1).values.foreach(_.map(_._2).distinct.size shouldBe 1)
+    // determinism: a re-run yields the identical assignment
+    val again = Curation.groupedSplit(rows, col("domain"),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5), salt = "gs")
+      .collect().map(r => r.getString(1) -> r.getString(2))
+    again.toSet shouldBe out.toSet
+    // the salt moves assignments (different hash family)
+    val moved = Curation.groupedSplit(rows, col("domain"),
+        Seq("a" -> 1, "b" -> 1), salt = "s1")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSet
+    val moved2 = Curation.groupedSplit(rows, col("domain"),
+        Seq("a" -> 1, "b" -> 1), salt = "s2")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSet
+    moved should not be moved2
+  }
 }

@@ -41,7 +41,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q119_rank_fusion",    // brute-force + int8 broadcast scans, like q25
     "q120_shard_manifest", // quota stage's 1-row broadcasts, like q114
     "q121_semantic_neardup", // kmeansMicro's 1-row centroid broadcast, like q110
-    "q128_matryoshka_recall") // two bruteForceTopK broadcast scans, like q25
+    "q128_matryoshka_recall", // two bruteForceTopK broadcast scans, like q25
+    "q132_pmi_collocations") // 1-row bigram/token-total broadcasts, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):

@@ -386,4 +386,28 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     out(20L) shouldBe ((1L, 6L))   // merged single span covering all 6
     out(21L) shouldBe ((2L, 6L))   // two disjoint spans of 3
   }
+
+  test("pmiCollocations: hand-computed PMI on a tiny corpus; min-count floor; " +
+      "deterministic tie order") {
+    // "a b" appears 3x; tokens: a=3, b=3, c=2; bigrams: ab,ab,ab,bc,bc -> 5
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    val nTok = 8.0; val nBg = 5.0
+    def pmiMicro(f2: Double, fu: Double, fv: Double): Long =
+      math.round(math.log((f2 / nBg) / ((fu / nTok) * (fv / nTok))) * 1e6)
+    out.keySet shouldBe Set(("a", "b"), ("b", "c"))
+    out(("a", "b")) shouldBe ((3L, pmiMicro(3, 3, 3)))
+    out(("b", "c")) shouldBe ((2L, pmiMicro(2, 3, 2)))
+    // min-count floor: a singleton bigram never surfaces
+    val floored = TextAnalysis.pmiCollocations(
+        Seq((1L, "x y"), (2L, "p q"), (3L, "p q")).toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    floored shouldBe Array(("p", "q"))
+  }
 }
