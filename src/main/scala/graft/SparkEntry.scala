@@ -934,6 +934,29 @@ object SparkEntry {
         shingleSize = 3, tauNum = 4, tauDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** LSH RECALL audit: every exact prefix-filter pair at tau >= 0.8
+    * (the ground truth — no false negatives by the prefix theorem)
+    * flagged with whether the banded-MinHash tier also surfaced it.
+    * The dedup-quality report a 100 TB pipeline ships before trusting
+    * its LSH pass: found_by_lsh = false rows ARE the measured recall
+    * loss of the 8-hash/2-row banding at this corpus. Both chains are
+    * certified individually (q111, q45-family); this joins them. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithBoilerplate(s, dir)
+    val exact = Dedup.prefixJaccardPairs(corpus, "text", "doc_id",
+        shingleSize = 3, tauNum = 4, tauDen = 5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val lsh = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8)
+      .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
+    exact.join(lsh,
+        col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("l_a").isNotNull.as("found_by_lsh"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Streaming cardinality: q108's HLL registers carried as PER-KEY
     * STREAMING STATE ([[graft.streaming.StreamOps
     * .streamingHllDistinct]]) — per-source distinct-token estimates
@@ -2342,7 +2365,8 @@ object SparkEntry {
     "q129_stream_countmin" -> (q129 _),
     "q130_shard_diversity" -> (q130 _),
     "q131_grouped_split" -> (q131 _),
-    "q132_pmi_collocations" -> (q132 _))
+    "q132_pmi_collocations" -> (q132 _),
+    "q133_lsh_recall" -> (q133 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2911,6 +2935,21 @@ object SparkEntry {
               CASE WHEN hh < 90 THEN 'train'
                    WHEN hh < 95 THEN 'valid' ELSE 'test' END AS split
        FROM sp ORDER BY doc_id"""
+  }
+
+  /** q133: the exact prefix-filter pairs LEFT JOIN the banded-LSH
+    * pairs — both subqueries are the certified q111/q45-family
+    * oracles verbatim. */
+  private def lshRecallOracle: String = {
+    val exact = prefixJaccardOracle(tauNum = 4, tauDen = 5)
+    val lsh = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    s"""WITH ex AS (SELECT id_a, id_b, jaccard FROM ($exact)),
+         ls AS (SELECT id_a AS l_a, id_b AS l_b FROM ($lsh))
+       SELECT ex.id_a, ex.id_b, ex.jaccard,
+              ls.l_a IS NOT NULL AS found_by_lsh
+       FROM ex LEFT JOIN ls ON ls.l_a = ex.id_a AND ls.l_b = ex.id_b
+       ORDER BY ex.id_a, ex.id_b"""
   }
 
   /** q129: per (source, wave, probe) Count-Min estimates, each wave
@@ -5484,6 +5523,7 @@ object SparkEntry {
     "q129_stream_countmin" -> cmWaveOracle(depth = 4, width = 16,
       salt = "cms", probes = Seq("data", "of", "the")),
     "q131_grouped_split" -> groupedSplitOracle,
+    "q133_lsh_recall" -> lshRecallOracle,
     "q132_pmi_collocations" ->
       """WITH w AS (
            SELECT doc_id,
