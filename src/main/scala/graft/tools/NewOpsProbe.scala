@@ -137,6 +137,44 @@ object NewOpsProbe {
       Sketch.countMinEstimate(sk, freq, "tok", 4, 16, "cms")
         .agg(sum(col("est"))).head().getLong(0)
     }
+    // Round-9 additions:
+    // - PMI: replicas share the vocabulary, so the bigram/unigram
+    //   count tables grow sublinearly — expect bigram-LM-like walls
+    //   (the scan is the only growing term).
+    // - diversity: posexplode projection + (shard, dim)-combined
+    //   aggregate — map-side state is shards*dims cells per task,
+    //   expect ~linear scan wall.
+    // - containment: jaccardOnPairs machinery on a FIXED pair list —
+    //   the pair join probes a growing build side but output is
+    //   constant; expect ~flat.
+    time("pmi_collocations") { dir =>
+      TextAnalysis.pmiCollocations(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          minCount = 5L, topK = 50)
+        .agg(sum(col("pmi_micro"))).head().getLong(0)
+    }
+    time("shard_diversity") { dir =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), pmod(col("vec_id"), lit(8L)).as("shard"),
+          col("embedding"))
+      val q = e.select(col("shard"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("shard"), col("dim"),
+          round(col("x") * 1048576).cast("long").as("qx"))
+      q.groupBy("shard", "dim")
+        .agg(sum(col("qx")).as("s_d"), sum(col("qx") * col("qx")).as("ss_d"))
+        .groupBy("shard")
+        .agg((sum(col("ss_d")) - sum(col("s_d"))).as("m"))
+        .agg(sum(col("m"))).head().getLong(0)
+    }
+    time("containment_fixed_pairs") { dir =>
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pairs = (0L until 40L).map(i => (i, i + 40L)).toDF("id_a", "id_b")
+      Dedup.containmentOnPairs(pairs, docs, "text", "doc_id", 3)
+        .agg(sum(col("n_inter"))).head().getLong(0)
+    }
     spark.stop()
   }
 }
