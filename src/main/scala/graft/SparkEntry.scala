@@ -1004,6 +1004,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Crawl-frontier politeness interleave ([[graft.operators.Curation
+    * .frontierInterleave]]) over q90's URL corpus: per-domain wave +
+    * salted fetch key — ordering by (wave, fetch_key) spaces any one
+    * domain's fetches ~|domains| apart. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      element_at(array(
+        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
+        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
+        (col("doc_id") % 6 + 1).cast("int")),
+      (col("doc_id") % 20).cast("string"),
+      element_at(array(
+        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
+        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
+        (col("doc_id") % 6 + 1).cast("int")))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("registrable",
+        graft.operators.UrlOps.registrableDomain(col("url")))
+    graft.operators.Curation.frontierInterleave(d, "doc_id", "registrable",
+        salt = "frontier")
+      .select("doc_id", "registrable", "wave", "fetch_key")
+      .orderBy("doc_id")
+  }
+
   /** PMI collocations ([[TextAnalysis.pmiCollocations]]): corpus-wide
     * top-50 adjacent-pair collocations at min-count 5, PMI quantized
     * to integer micros with the oracle's identical expression tree. */
@@ -2366,7 +2391,8 @@ object SparkEntry {
     "q130_shard_diversity" -> (q130 _),
     "q131_grouped_split" -> (q131 _),
     "q132_pmi_collocations" -> (q132 _),
-    "q133_lsh_recall" -> (q133 _))
+    "q133_lsh_recall" -> (q133 _),
+    "q134_frontier_interleave" -> (q134 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2935,6 +2961,50 @@ object SparkEntry {
               CASE WHEN hh < 90 THEN 'train'
                    WHEN hh < 95 THEN 'valid' ELSE 'test' END AS split
        FROM sp ORDER BY doc_id"""
+  }
+
+  /** q134: q90's domain derivation + the per-domain wave rank + the
+    * salted (domain, wave) fetch key, all replayed in SQL. */
+  private def frontierInterleaveOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM h
+       ), reg AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS registrable
+         FROM l
+       ), wv AS (
+         SELECT doc_id, registrable,
+                CAST(row_number() OVER (PARTITION BY registrable
+                  ORDER BY doc_id) AS BIGINT) AS wave
+         FROM reg
+       )
+       SELECT doc_id, registrable, wave,
+              ('0x' || substr(md5('frontier:' || registrable || ':'
+                 || CAST(wave AS VARCHAR)), 1, 14))::BIGINT AS fetch_key
+       FROM wv ORDER BY doc_id"""
   }
 
   /** q133: the exact prefix-filter pairs LEFT JOIN the banded-LSH
@@ -5524,6 +5594,7 @@ object SparkEntry {
       salt = "cms", probes = Seq("data", "of", "the")),
     "q131_grouped_split" -> groupedSplitOracle,
     "q133_lsh_recall" -> lshRecallOracle,
+    "q134_frontier_interleave" -> frontierInterleaveOracle,
     "q132_pmi_collocations" ->
       """WITH w AS (
            SELECT doc_id,

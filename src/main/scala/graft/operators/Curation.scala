@@ -67,6 +67,27 @@ object Curation {
                    salt: String = "graft"): DataFrame =
     df.withColumn("split", splitLabel(groupKey, weights, salt))
 
+  /** Crawl-frontier POLITENESS interleave: `wave` = the row's arrival
+    * rank within its domain (1-based), `fetch_key` = the salted hash
+    * of (domain, wave). Ordering the frontier by (wave, fetch_key,
+    * id) yields a fetch schedule where every domain appears AT MOST
+    * ONCE per wave — consecutive fetches of one domain are ~|active
+    * domains| apart, the politeness spacing a crawler owes each host
+    * — and the within-wave order is deterministically shuffled so no
+    * domain is systematically first. One domain-keyed window (shuffle
+    * on the domain, per-domain sort bounded by the domain's own
+    * frontier), no global sort — the ORDER is carried by the key
+    * columns, not a global row number. */
+  def frontierInterleave(df: DataFrame, idCol: String, domainCol: String,
+                         salt: String = "frontier"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(idCol))
+    df.withColumn("wave", row_number().over(w).cast("long"))
+      .withColumn("fetch_key",
+        sampleHash(concat(col(domainCol), lit(":"), col("wave").cast("string")),
+          salt))
+  }
+
   /** Assign every row its deterministic split label. */
   def deterministicSplit(df: DataFrame, idCol: String,
                          weights: Seq[(String, Int)],

@@ -243,4 +243,25 @@ class CurationSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getString(1) -> r.getString(2)).toSet
     moved should not be moved2
   }
+
+  test("frontierInterleave: each domain appears at most once per wave, " +
+      "waves are dense per domain, order keys are deterministic") {
+    val rows = (0L until 60L).map(i => (i, s"host${i % 7}.com"))
+      .toDF("doc_id", "domain")
+    val out = Curation.frontierInterleave(rows, "doc_id", "domain")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // politeness: within a wave every domain occurs exactly once
+    out.groupBy(_._3).values.foreach { wave =>
+      wave.map(_._2).distinct.length shouldBe wave.length
+    }
+    // waves are dense 1..n per domain in id order
+    out.groupBy(_._2).values.foreach { d =>
+      d.sortBy(_._1).map(_._3).toSeq shouldBe (1L to d.length).toSeq
+    }
+    // the fetch key is a pure function of (domain, wave): re-run identical
+    val again = Curation.frontierInterleave(rows, "doc_id", "domain")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    out.foreach { case (id, _, _, k) => again(id) shouldBe k }
+  }
 }
