@@ -1029,6 +1029,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality signal ([[graft.functions
+    * .DeflateLenExpr]]): the Gopher-tier junk detector — repetitive
+    * machine text compresses far below natural language, random
+    * noise barely compresses. DuckDB has no DEFLATE, so the oracle
+    * certifies BOUNDS the codec must satisfy (comp within
+    * [11, raw+64]; a 4× self-repeat compresses to well under twice
+    * the single copy — the backreference property that IS the
+    * signal), the q63 self-certification pattern; the exact ratio is
+    * pinned by DeflateLenSpec. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    def dlen(c: Column): Column =
+      toColumn(graft.functions.DeflateLenExpr(toExpression(c)))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(expr("octet_length(text)") >= 200)
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("raw_bytes"),
+        dlen(col("text")).cast("long").as("__c"),
+        dlen(concat(col("text"), col("text"), col("text"), col("text")))
+          .cast("long").as("__c4"))
+      .select(col("doc_id"), col("raw_bytes"),
+        (col("__c") >= 11L && col("__c") <= col("raw_bytes") + 64L)
+          .as("comp_bounds_ok"),
+        (col("__c4") < col("__c") * 2L + 32L).as("repetition_detected"))
+      .orderBy("doc_id")
+  }
+
   /** PMI collocations ([[TextAnalysis.pmiCollocations]]): corpus-wide
     * top-50 adjacent-pair collocations at min-count 5, PMI quantized
     * to integer micros with the oracle's identical expression tree. */
@@ -2392,7 +2419,8 @@ object SparkEntry {
     "q131_grouped_split" -> (q131 _),
     "q132_pmi_collocations" -> (q132 _),
     "q133_lsh_recall" -> (q133 _),
-    "q134_frontier_interleave" -> (q134 _))
+    "q134_frontier_interleave" -> (q134 _),
+    "q135_compression_quality" -> (q135 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -5595,6 +5623,14 @@ object SparkEntry {
     "q131_grouped_split" -> groupedSplitOracle,
     "q133_lsh_recall" -> lshRecallOracle,
     "q134_frontier_interleave" -> frontierInterleaveOracle,
+    "q135_compression_quality" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+           TRUE AS comp_bounds_ok,
+           TRUE AS repetition_detected
+         FROM documents
+         WHERE octet_length(encode(text)) >= 200
+         ORDER BY doc_id""",
     "q132_pmi_collocations" ->
       """WITH w AS (
            SELECT doc_id,
