@@ -1056,6 +1056,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-9 curation capstone: quality-aware canonical dedup (keep
+    * the longest member per near-dup cluster) → leakage-safe GROUPED
+    * split on the synthetic registrable domain → crawl-frontier
+    * politeness interleave of the train split. Every stage certified
+    * individually (q127, q131, q134); this proves the composition
+    * against ONE oracle built from the same SQL fragments. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.clusterCanonicalByScore(corpusWithBoilerplate(s, dir),
+        "text", "doc_id", length(col("text")).cast("long"),
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8)
+      .filter(col("keep"))
+      .select(col("doc_id"))
+    val url = concat(
+      element_at(array(
+        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
+        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
+        (col("doc_id") % 6 + 1).cast("int")),
+      (col("doc_id") % 20).cast("string"),
+      element_at(array(
+        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
+        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
+        (col("doc_id") % 6 + 1).cast("int")))
+    val domained = kept
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("registrable",
+        graft.operators.UrlOps.registrableDomain(col("url")))
+    val split = graft.operators.Curation.groupedSplit(domained,
+      col("registrable"), Seq("train" -> 90, "valid" -> 5, "test" -> 5),
+      salt = "gsplit")
+    graft.operators.Curation.frontierInterleave(
+        split.filter(col("split") === "train"), "doc_id", "registrable",
+        salt = "frontier")
+      .select("doc_id", "registrable", "split", "wave", "fetch_key")
+      .orderBy("doc_id")
+  }
+
   /** PMI collocations ([[TextAnalysis.pmiCollocations]]): corpus-wide
     * top-50 adjacent-pair collocations at min-count 5, PMI quantized
     * to integer micros with the oracle's identical expression tree. */
@@ -2420,7 +2457,8 @@ object SparkEntry {
     "q132_pmi_collocations" -> (q132 _),
     "q133_lsh_recall" -> (q133 _),
     "q134_frontier_interleave" -> (q134 _),
-    "q135_compression_quality" -> (q135 _))
+    "q135_compression_quality" -> (q135 _),
+    "q136_curation_pipeline_v3" -> (q136 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -3033,6 +3071,91 @@ object SparkEntry {
               ('0x' || substr(md5('frontier:' || registrable || ':'
                  || CAST(wave AS VARCHAR)), 1, 14))::BIGINT AS fetch_key
        FROM wv ORDER BY doc_id"""
+  }
+
+  /** q136: the round-9 capstone oracle — recursive-closure canonical
+    * keep, then the q131 domain/split fragments, then the q134 wave/
+    * fetch-key fragments, composed exactly as the engine composes the
+    * operators. */
+  private def curationV3Oracle: String = {
+    val pairs = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM ($pairs)
+       ), sym AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION
+         SELECT id_b AS u, id_a AS v FROM p
+       ), reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       ), lbl AS (
+         SELECT u AS node, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u
+       ), d AS (
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id,
+                CAST(length('$boilerplateText') AS BIGINT) AS score
+         FROM range(1, 13) t(r)
+       ), cl AS (
+         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                d.score
+         FROM d LEFT JOIN lbl l ON l.node = d.doc_id
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY score DESC, doc_id) AS rn
+         FROM cl
+       ), keepers AS (
+         SELECT doc_id FROM rk WHERE rn = 1
+       ), uu AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM keepers
+       ), hh AS (
+         SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM uu
+       ), ll AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM hh
+       ), reg AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS registrable
+         FROM ll
+       ), lab AS (
+         SELECT doc_id, registrable,
+                CASE WHEN ('0x' || substr(md5('gsplit:' || registrable),
+                             1, 14))::BIGINT % 100 < 90 THEN 'train'
+                     WHEN ('0x' || substr(md5('gsplit:' || registrable),
+                             1, 14))::BIGINT % 100 < 95 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM reg
+       ), tr AS (
+         SELECT doc_id, registrable, split,
+                CAST(row_number() OVER (PARTITION BY registrable
+                  ORDER BY doc_id) AS BIGINT) AS wave
+         FROM lab WHERE split = 'train'
+       )
+       SELECT doc_id, registrable, split, wave,
+              ('0x' || substr(md5('frontier:' || registrable || ':'
+                 || CAST(wave AS VARCHAR)), 1, 14))::BIGINT AS fetch_key
+       FROM tr ORDER BY doc_id"""
   }
 
   /** q133: the exact prefix-filter pairs LEFT JOIN the banded-LSH
@@ -5623,6 +5746,7 @@ object SparkEntry {
     "q131_grouped_split" -> groupedSplitOracle,
     "q133_lsh_recall" -> lshRecallOracle,
     "q134_frontier_interleave" -> frontierInterleaveOracle,
+    "q136_curation_pipeline_v3" -> curationV3Oracle,
     "q135_compression_quality" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
