@@ -34,10 +34,6 @@ object SparkEntry {
     if (name == "events") graft.sources.EventsLoader.events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` as a proper TimestampType (µs precision). */
-  private def eventsWithTs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-
   /** Per-row integer cents: exact, order-independent summation. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -179,7 +175,7 @@ object SparkEntry {
 
   /** JSON path extraction (F14/F15). */
   private def q13(s: SparkSession, dir: String): DataFrame =
-    eventsWithTs(s, dir)
+    t(s, dir, "events")
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
@@ -190,7 +186,7 @@ object SparkEntry {
     * (SURVEY.md §2.9); same plan Structured Streaming executes
     * incrementally. */
   private def q14(s: SparkSession, dir: String): DataFrame =
-    eventsWithTs(s, dir)
+    t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 1000).cast("long")).as("value_milli"))
@@ -356,7 +352,7 @@ object SparkEntry {
 
   /** Gap-based sessionization (30-min idle gap) per user. */
   private def q30(s: SparkSession, dir: String): DataFrame =
-    StreamOps.sessionize(eventsWithTs(s, dir), gapMinutes = 30)
+    StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
       .orderBy("user_id", "session_id")
 
   /** Backward as-of join: each purchase picks up the user's latest
@@ -521,8 +517,9 @@ object SparkEntry {
     * subdomain shards and two-label public suffixes fold to the
     * per-site grouping key; the vendored PSL slice is shared data the
     * oracle inlines. */
-  private def q90(s: SparkSession, dir: String): DataFrame = {
-    val url = concat(
+  /** The deterministic synthetic URL corpus shared by q90/q131/q134/
+    * q136 (and their oracles, which inline the same arithmetic). */
+  private def syntheticUrl: Column = concat(
       element_at(array(
         lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
         lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
@@ -532,6 +529,9 @@ object SparkEntry {
         lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
         lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
         (col("doc_id") % 6 + 1).cast("int")))
+
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val url = syntheticUrl
     t(s, dir, "documents").select(col("doc_id"), url.as("url"))
       .select(col("doc_id"), col("url"),
         UrlOps.domainOf(col("url")).as("host"),
@@ -984,16 +984,7 @@ object SparkEntry {
     * domain lands in one split, so near-duplicate scrapes cannot
     * straddle train and eval. */
   private def q131(s: SparkSession, dir: String): DataFrame = {
-    val url = concat(
-      element_at(array(
-        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
-        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
-        (col("doc_id") % 6 + 1).cast("int")),
-      (col("doc_id") % 20).cast("string"),
-      element_at(array(
-        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
-        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
-        (col("doc_id") % 6 + 1).cast("int")))
+    val url = syntheticUrl
     val d = t(s, dir, "documents")
       .select(col("doc_id"), url.as("url"))
       .withColumn("registrable",
@@ -1009,16 +1000,7 @@ object SparkEntry {
     * salted fetch key — ordering by (wave, fetch_key) spaces any one
     * domain's fetches ~|domains| apart. */
   private def q134(s: SparkSession, dir: String): DataFrame = {
-    val url = concat(
-      element_at(array(
-        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
-        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
-        (col("doc_id") % 6 + 1).cast("int")),
-      (col("doc_id") % 20).cast("string"),
-      element_at(array(
-        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
-        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
-        (col("doc_id") % 6 + 1).cast("int")))
+    val url = syntheticUrl
     val d = t(s, dir, "documents")
       .select(col("doc_id"), url.as("url"))
       .withColumn("registrable",
@@ -1069,16 +1051,7 @@ object SparkEntry {
         jaccardThreshold = 0.8)
       .filter(col("keep"))
       .select(col("doc_id"))
-    val url = concat(
-      element_at(array(
-        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
-        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
-        (col("doc_id") % 6 + 1).cast("int")),
-      (col("doc_id") % 20).cast("string"),
-      element_at(array(
-        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
-        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
-        (col("doc_id") % 6 + 1).cast("int")))
+    val url = syntheticUrl
     val domained = kept
       .select(col("doc_id"), url.as("url"))
       .withColumn("registrable",
@@ -1685,7 +1658,7 @@ object SparkEntry {
     * StreamOpsSpec's exact-gap case), the same `> gap` split rule as
     * the oracle's lag/cumsum form; `end = last event + gap`. */
   private def q70(s: SparkSession, dir: String): DataFrame =
-    eventsWithTs(s, dir)
+    t(s, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 1000).cast("long")).as("value_milli"))
@@ -1901,7 +1874,7 @@ object SparkEntry {
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private def q33(s: SparkSession, dir: String): DataFrame =
-    StreamOps.slidingRollup(eventsWithTs(s, dir))
+    StreamOps.slidingRollup(t(s, dir, "events"))
       .orderBy("win_start", "event_type")
 
   /** 7-region Venn set-agreement counts in one full-outer pass

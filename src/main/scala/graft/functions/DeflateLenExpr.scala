@@ -32,19 +32,10 @@ case class DeflateLenExpr(child: Expression)
 
   override def prettyName: String = "graft_deflate_len"
 
-  @transient private lazy val deflaters = new ThreadLocal[Deflater] {
-    override def initialValue(): Deflater =
-      new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ false)
-  }
-
-  @transient private lazy val sinks = new ThreadLocal[Array[Byte]] {
-    override def initialValue(): Array[Byte] = new Array[Byte](8192)
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val d = deflaters.get()
-    val sink = sinks.get()
+    val d = DeflateLenExpr.deflaters.get()
+    val sink = DeflateLenExpr.sinks.get()
     d.reset()
     d.setInput(bytes)
     d.finish()
@@ -55,4 +46,20 @@ case class DeflateLenExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): DeflateLenExpr =
     copy(child = newChild)
+}
+
+object DeflateLenExpr {
+  /** One Deflater + sink per THREAD for the whole JVM, shared across
+    * expression instances — bounded native state (|threads| zlib
+    * contexts total), instead of one ThreadLocal family per
+    * deserialized expression copy whose native Deflaters linger until
+    * the old instances are GC'd. */
+  private[functions] val deflaters = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater =
+      new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ false)
+  }
+
+  private[functions] val sinks = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,18 +32,29 @@ import org.apache.spark.sql.types._
   */
 object EventsLoader {
 
-  /** Footer-derived schema per events path — the probe is one
-    * driver-side footer read; memoized so bench reps don't repeat it. */
-  private val schemaCache = new ConcurrentHashMap[String, StructType]()
+  /** Footer-derived schema per (path, mtime) — the probe is one
+    * driver-side footer read; memoized so bench reps don't repeat it.
+    * The mtime in the key means an in-place testdata regeneration
+    * (which has already flipped the ts encoding once) re-probes
+    * instead of driving the stale decode branch. */
+  private val schemaCache =
+    new ConcurrentHashMap[(String, Long), StructType]()
 
-  private def rawSchema(spark: SparkSession, path: String): StructType =
-    schemaCache.computeIfAbsent(path, { _ =>
-      // without the flag a TIMESTAMP(NANOS) footer fails schema
-      // inference outright; with it, nanos arrive as LongType and
-      // micros/NTZ inference is unaffected
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def mtimeOf(path: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis
+    catch { case _: java.io.IOException => 0L }
+
+  private def rawSchema(spark: SparkSession, path: String): StructType = {
+    // set on EVERY call, not just the memoized probe: the cache is
+    // JVM-global while the flag is per-session, and without it a
+    // TIMESTAMP(NANOS) footer fails schema inference outright (with
+    // it, nanos arrive as LongType; micros/NTZ are unaffected)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schemaCache.computeIfAbsent((path, mtimeOf(path)), { _ =>
       spark.read.parquet(path).schema
     })
+  }
 
   /** True when the file stores `ts` as raw nanos-since-epoch longs
     * (the legacy `TIMESTAMP(NANOS)` encoding under the nanosAsLong
@@ -87,7 +98,4 @@ object EventsLoader {
       spark.readStream.schema(tsAsTimestampSchema(raw)).parquet(glob)
   }
 
-  /** `ts` as micros-since-epoch long — the integer form the oracle's
-    * `epoch_us(ts)` states and every exact-arithmetic query keys on. */
-  def tsUs: Column = unix_micros(col("ts"))
 }

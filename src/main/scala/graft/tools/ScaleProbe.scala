@@ -25,7 +25,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def replicate(name: String, idSteps: (String, Long)*): DataFrame = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+      // events goes through the schema-adaptive loader (ts encoding
+      // has changed across testdata regenerations); replicas then
+      // carry a plain TimestampType ts whatever the source had
+      val base =
+        if (name == "events") graft.sources.EventsLoader.events(spark, src)
+        else spark.read.parquet(s"$src/$name.parquet")
       (0 until k).map(i =>
         idSteps.foldLeft(base) { case (df, (c, step)) =>
           df.withColumn(c, col(c) + lit(i * step))

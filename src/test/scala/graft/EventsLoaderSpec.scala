@@ -79,6 +79,35 @@ class EventsLoaderSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("a TRUE parquet TIMESTAMP(NANOS) file (the round-8 incident encoding, " +
+      "checked-in pyarrow fixture) decodes through the nanosAsLong path") {
+    // the long-nanos fixture above only simulates what the flag
+    // DELIVERS; this one exercises the flag itself — without
+    // nanosAsLong a TIMESTAMP(NANOS) footer fails schema inference
+    val res = getClass.getResource("/graft/events_nanos.parquet")
+    res should not be null
+    val dir = java.nio.file.Files.createTempDirectory("evts_realnanos").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(res.toURI),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    Seq(
+      EventsLoader.events(spark, dir),
+      {
+        val name = "evload_realnanos"
+        val q = EventsLoader.eventsStream(spark, dir)
+          .writeStream.format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(name)
+      }).foreach { out =>
+      out.schema("ts").dataType shouldBe TimestampType
+      val got = out.select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    }
+  }
+
   test("the real testdata decodes to the 2024-01 30-day event range, not 43 minutes") {
     val ev = EventsLoader.events(spark, "/root/testdata/sf0.001")
     val r = ev.agg(min(unix_micros(col("ts"))).as("mn"),
