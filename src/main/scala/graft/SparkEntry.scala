@@ -1066,6 +1066,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Hot-key-safe salted aggregation ([[graft.operators.Salting]]):
+    * per-event-type exact milli-sums through the two-phase
+    * salt → partial → merge rewrite; result equals the plain GROUP BY
+    * the oracle states — the aggregate-skew guard beside the as-of
+    * bucketing (joins) and LSH caps (buckets). */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.saltedSumCount(
+        t(s, dir, "events"), "event_type",
+        round(col("value") * 1000).cast("long"), buckets = 16)
+      .orderBy("event_type")
+
+  /** ANALYZE-style column statistics audit: per-column min/max/ndv/
+    * null-count over lineitem, every measure exact and
+    * integer-quantized where the source is a double (cents /
+    * basis-points) so the stats table hash-matches cross-engine.
+    * This is the stats surface that drives pruning and join planning
+    * — emitted as a relational audit, one map-combined aggregate per
+    * column unioned into the report. At 100 TB swap the exact ndv
+    * for the HLL sketch (q108) per column; the shape is identical. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def statsOf(name: String, c: Column): DataFrame =
+      li.agg(
+        min(c).as("min_v"), max(c).as("max_v"),
+        count(c).as("n_nonnull"), count_distinct(c).as("ndv"))
+        .select(lit(name).as("column"),
+          col("min_v").cast("long").as("min_v"),
+          col("max_v").cast("long").as("max_v"),
+          col("n_nonnull"), col("ndv"))
+    statsOf("l_quantity", col("l_quantity").cast("long"))
+      .unionByName(statsOf("l_extendedprice_cents", cents(col("l_extendedprice"))))
+      .unionByName(statsOf("l_discount_bp",
+        round(col("l_discount") * 10000).cast("long")))
+      .unionByName(statsOf("l_partkey", col("l_partkey").cast("long")))
+      .orderBy("column")
+  }
+
   /** PMI collocations ([[TextAnalysis.pmiCollocations]]): corpus-wide
     * top-50 adjacent-pair collocations at min-count 5, PMI quantized
     * to integer micros with the oracle's identical expression tree. */
@@ -2431,7 +2468,9 @@ object SparkEntry {
     "q133_lsh_recall" -> (q133 _),
     "q134_frontier_interleave" -> (q134 _),
     "q135_compression_quality" -> (q135 _),
-    "q136_curation_pipeline_v3" -> (q136 _))
+    "q136_curation_pipeline_v3" -> (q136 _),
+    "q137_salted_agg" -> (q137 _),
+    "q138_table_stats" -> (q138 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -5720,6 +5759,42 @@ object SparkEntry {
     "q133_lsh_recall" -> lshRecallOracle,
     "q134_frontier_interleave" -> frontierInterleaveOracle,
     "q136_curation_pipeline_v3" -> curationV3Oracle,
+    "q137_salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q138_table_stats" ->
+      """WITH s AS (
+           SELECT 'l_quantity' AS "column",
+                  CAST(min(l_quantity) AS BIGINT) AS min_v,
+                  CAST(max(l_quantity) AS BIGINT) AS max_v,
+                  CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+                  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice_cents',
+                  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT),
+                  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT),
+                  CAST(count(l_extendedprice) AS BIGINT),
+                  CAST(count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount_bp',
+                  CAST(min(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT),
+                  CAST(max(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT),
+                  CAST(count(l_discount) AS BIGINT),
+                  CAST(count(DISTINCT CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey',
+                  CAST(min(l_partkey) AS BIGINT),
+                  CAST(max(l_partkey) AS BIGINT),
+                  CAST(count(l_partkey) AS BIGINT),
+                  CAST(count(DISTINCT l_partkey) AS BIGINT)
+           FROM lineitem
+         )
+         SELECT * FROM s ORDER BY "column"""",
     "q135_compression_quality" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
