@@ -27,6 +27,21 @@ import graft.streaming.StreamOps
   */
 object SparkEntry {
 
+  /** Model-state capture for generated oracles: Verify runs every
+    * query BEFORE dumping [[oracleSql]] (same JVM), so a
+    * model-in-the-loop query can freeze its fitted state here and
+    * the oracle builder emits it as a VALUES table — the q41-43
+    * generated-oracle pattern extended to trained models. Unset
+    * (e.g. a partial dev run that skipped the query) → the entry is
+    * omitted and the driver records its rows-only fallback. */
+  final class ModelStateHolder[A] {
+    @volatile private var state: Option[A] = None
+    def set(a: A): Unit = { state = Some(a) }
+    def get: Option[A] = state
+  }
+  private val q35BasisHolder = new ModelStateHolder[Array[Array[Double]]]
+  private val q44VocabHolder = new ModelStateHolder[Seq[(String, Array[Double])]]
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     // events' ts column has shipped under two parquet encodings
     // (TIMESTAMP(NANOS) and TIMESTAMP(MICROS,NTZ)); the loader probes
@@ -934,6 +949,17 @@ object SparkEntry {
         shingleSize = 3, tauNum = 4, tauDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** q111 with the AUTO-COMPOSED exact-dup collapse
+    * (`collapseExact = true`): the planted 12-copy boilerplate
+    * cluster is represented by its lowest-id member instead of 66
+    * identical jaccard-1.0 rows — the structural fix for the
+    * prefix join's only skew hole (a c-copy cluster can never emit
+    * c² output). Pairs between DISTINCT texts are unchanged. */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(corpusWithBoilerplate(s, dir), "text", "doc_id",
+        shingleSize = 3, tauNum = 4, tauDen = 5, collapseExact = true)
+      .orderBy("id_a", "id_b")
+
   /** LSH RECALL audit: every exact prefix-filter pair at tau >= 0.8
     * (the ground truth — no false negatives by the prefix theorem)
     * flagged with whether the banded-MinHash tier also surfaced it.
@@ -941,13 +967,28 @@ object SparkEntry {
     * its LSH pass: found_by_lsh = false rows ARE the measured recall
     * loss of the 8-hash/2-row banding at this corpus. Both chains are
     * certified individually (q111, q45-family); this joins them. */
-  private def q133(s: SparkSession, dir: String): DataFrame = {
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    lshRecallAudit(s, dir, numHashes = 8)
+
+  /** q139: the q133 recall audit at the SECOND banding preset —
+    * 16 hashes × 2 rows = 8 bands. Doubling the bands roughly
+    * squares the per-band miss probability's product term
+    * (1-(1-s²)^b), so recall at the 0.8 threshold rises toward 1;
+    * the measured recall delta and its wall cost sit in the PERF.md
+    * ledger, making the recall/cost trade a config choice WITH data
+    * — exactly what a 100 TB dedup pass needs before choosing its
+    * preset. */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    lshRecallAudit(s, dir, numHashes = 16)
+
+  private def lshRecallAudit(s: SparkSession, dir: String,
+                             numHashes: Int): DataFrame = {
     val corpus = corpusWithBoilerplate(s, dir)
     val exact = Dedup.prefixJaccardPairs(corpus, "text", "doc_id",
         shingleSize = 3, tauNum = 4, tauDen = 5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val lsh = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
-        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        shingleSize = 3, numHashes = numHashes, rowsPerBand = 2,
         jaccardThreshold = 0.8)
       .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
     exact.join(lsh,
@@ -1019,13 +1060,19 @@ object SparkEntry {
     * [11, raw+64]; a 4× self-repeat compresses to well under twice
     * the single copy — the backreference property that IS the
     * signal), the q63 self-certification pattern; the exact ratio is
-    * pinned by DeflateLenSpec. */
+    * pinned by DeflateLenSpec. Upper length bound: DEFLATE's
+    * backreference window is 32 KB, so the 4× self-concat can only
+    * reference the previous copy when one copy fits in the window —
+    * the repetition contract is asserted for docs under 30 KB and
+    * longer docs are out of this signal's scope (both sides filter
+    * identically). */
   private def q135(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
     def dlen(c: Column): Column =
       toColumn(graft.functions.DeflateLenExpr(toExpression(c)))
     t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .filter(expr("octet_length(text)") >= 200)
+      .filter(expr("octet_length(text)") >= 200 &&
+        expr("octet_length(text)") < 30000)
       .select(col("doc_id"),
         expr("octet_length(text)").cast("long").as("raw_bytes"),
         dlen(col("text")).cast("long").as("__c"),
@@ -1442,9 +1489,15 @@ object SparkEntry {
     * weighted count, and the post-merge corpus token count per
     * round) hash-matches a DuckDB oracle unrolling the same rounds
     * independently — argmax recomputed from the oracle's own state,
-    * not replayed from learned literals. */
+    * not replayed from learned literals. Runs in BATCHED mode
+    * (mergesPerAction=16): provably sequential-equivalent multi-merge
+    * actions (Bpe.trainMergesBatched's prefix/chain/threat rules), so
+    * the hash is unchanged while the gate exercises the scale path;
+    * the driver-local tail variant is pinned by BpeSpec and the
+    * BpeBatchProbe ledger row. */
   private def q123(s: SparkSession, dir: String): DataFrame =
-    Bpe.trainMerges(t(s, dir, "documents"), "text", iterations = 8)
+    Bpe.trainMerges(t(s, dir, "documents"), "text", iterations = 8,
+        mergesPerAction = 16)
       .orderBy("iteration")
 
   /** Unicode NFC normalization
@@ -1923,12 +1976,19 @@ object SparkEntry {
         t(s, dir, "nation").filter(col("n_regionkey") <= 2).select(col("n_nationkey")))
       .orderBy("region")
 
-  /** 2-d PCA projection of the embeddings (M2, UMAP substitute) —
-    * component signs are basis-dependent, so this is a rows-only
-    * check; numeric properties pinned by AnalyzeSpec. */
-  private def q35(s: SparkSession, dir: String): DataFrame =
-    Analyze.pcaProject2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
-      .orderBy("vec_id")
+  /** 2-d PCA projection of the embeddings (M2, UMAP substitute),
+    * oracle-proven: the fit exports its signed basis (captured in
+    * [[q35BasisHolder]] when this runs under Verify) and the
+    * projection is two codegen ordered dot products, so the DuckDB
+    * oracle replays the exact coordinates from the frozen basis —
+    * closing the eigendecomposition-in-the-loop gap (the basis
+    * CONTRACT is independently certified by q82). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val (out, basis) = Analyze.pcaProject2dWithBasis(
+      t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
+    q35BasisHolder.set(basis)
+    out.orderBy("vec_id")
+  }
 
   /** Incremental embedding upsert through Structured Streaming
     * (SURVEY §2.9's last planned extension): three staged versions of
@@ -2212,10 +2272,16 @@ object SparkEntry {
   /** The flagship report with the TRAINED embedder: Word2Vec (MLlib)
     * fit on the reference corpus's all_text with a fixed seed, applied
     * to both sides through the same [[graft.embed.Embedder]] seam the
-    * hashing and frozen variants use. Rows-only by declared nature —
-    * Word2Vec training is not SQL-expressible — with the matcher
-    * semantics hash-proven by q40 and the embedder pinned by
-    * EmbedderSpec (determinism, OOV handling, normalization). */
+    * hashing and frozen variants use. Oracle-proven despite the
+    * model in the loop: the fitted vocabulary matrix is quantized to
+    * multiples of 2^-20 ([[graft.embed.QuantizedVocabEmbedder]]) —
+    * making every token-sum exact and therefore order-free — then
+    * FROZEN into a generated-VALUES DuckDB table
+    * ([[q44VocabHolder]]), and the oracle replays tokenize → vocab
+    * mean → normalize → cosine top-2 → pivot → exact-overwrite end
+    * to end (the q41-43 generated-oracle pattern applied to the
+    * trained model; training itself stays un-oracled — its output
+    * does not). */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val raw = docs.select(col("source"),
@@ -2229,12 +2295,15 @@ object SparkEntry {
       .withColumn("all_text",
         coalesce(concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "),
           col("definition")), col("CT_NAME")))
-    val embedder = graft.embed.Word2VecEmbedder.fit(part, "all_text", dim = 64)
+    val w2v = graft.embed.Word2VecEmbedder.fit(part, "all_text", dim = 64)
+    val embedder = graft.embed.QuantizedVocabEmbedder.fromWord2Vec(w2v, dim = 64)
+    q44VocabHolder.set(embedder.vocab)
     val queries = embedder.embed(raw, "cleaned_input_label", "qvec")
     val ref = Matcher.prepareReference(
       embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
       .cache()
     Matcher.mapLabels(queries, ref, k = 2)
+      .orderBy("source", "raw_input_label")
   }
 
   /** Frozen 8-d vector derived from the md5 of a key string:
@@ -2444,6 +2513,7 @@ object SparkEntry {
     "q109_sample_quantiles" -> (q109 _),
     "q110_kmeans" -> (q110 _),
     "q111_prefix_jaccard_join" -> (q111 _),
+    "q140_prefix_jaccard_collapsed" -> (q140 _),
     "q112_stream_hll" -> (q112 _),
     "q113_embedding_outliers" -> (q113 _),
     "q114_mixture_quota" -> (q114 _),
@@ -2466,6 +2536,7 @@ object SparkEntry {
     "q131_grouped_split" -> (q131 _),
     "q132_pmi_collocations" -> (q132 _),
     "q133_lsh_recall" -> (q133 _),
+    "q139_lsh_recall_16x2" -> (q139 _),
     "q134_frontier_interleave" -> (q134 _),
     "q135_compression_quality" -> (q135 _),
     "q136_curation_pipeline_v3" -> (q136 _),
@@ -2485,8 +2556,10 @@ object SparkEntry {
 
   /** Kirsch-Mitzenmacher families from one md5 — mirrors
     * Dedup.minhashSignatures exactly. */
-  private def minhashSigsSql: String =
-    (0 until 8).map(h =>
+  private def minhashSigsSql: String = minhashSigsSql(8)
+
+  private def minhashSigsSql(numHashes: Int): String =
+    (0 until numHashes).map(h =>
       s"min(('0x' || substr(md5(shingle), 1, 14))::BIGINT + $h * ('0x' || substr(md5(shingle), 15, 14))::BIGINT) AS sig_$h")
       .mkString(",\n  ")
 
@@ -3170,13 +3243,13 @@ object SparkEntry {
        FROM tr ORDER BY doc_id"""
   }
 
-  /** q133: the exact prefix-filter pairs LEFT JOIN the banded-LSH
-    * pairs — both subqueries are the certified q111/q45-family
-    * oracles verbatim. */
-  private def lshRecallOracle: String = {
+  /** q133/q139: the exact prefix-filter pairs LEFT JOIN the
+    * banded-LSH pairs at the given preset — both subqueries are the
+    * certified q111/q45-family oracles verbatim. */
+  private def lshRecallOracle(numHashes: Int = 8): String = {
     val exact = prefixJaccardOracle(tauNum = 4, tauDen = 5)
     val lsh = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
-      source = "corpus", cap = None)
+      source = "corpus", cap = None, numHashes = numHashes)
     s"""WITH ex AS (SELECT id_a, id_b, jaccard FROM ($exact)),
          ls AS (SELECT id_a AS l_a, id_b AS l_b FROM ($lsh))
        SELECT ex.id_a, ex.id_b, ex.jaccard,
@@ -3228,9 +3301,15 @@ object SparkEntry {
     * shingles (lpad(df):shingle), prefix length L - ceil(tau·L) + 1
     * in integer arithmetic, first-match emission at the minimum
     * shared prefix key, then exact set verification. */
-  private def prefixJaccardOracle(tauNum: Int, tauDen: Int): String =
-    s"""WITH ${boilerplateCorpusSql}w AS (
-         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM corpus
+  private def prefixJaccardOracle(tauNum: Int, tauDen: Int,
+                                  collapse: Boolean = false): String = {
+    // collapse: lowest-id representative per distinct text (the
+    // exactDuplicates keep rule) before the join — q140's contract
+    val repCte = if (!collapse) ""
+      else "rcorpus AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text), "
+    val src = if (collapse) "rcorpus" else "corpus"
+    s"""WITH ${boilerplateCorpusSql}${repCte}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM $src
        ), sh AS (
          SELECT DISTINCT doc_id, unnest(
            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
@@ -3273,6 +3352,7 @@ object SparkEntry {
        FROM ver
        WHERE n_inter * $tauDen >= (n_a + n_b - n_inter) * $tauNum
        ORDER BY id_a, id_b"""
+  }
 
   private def minhashCappedPairsOracle: String =
     minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
@@ -3287,11 +3367,13 @@ object SparkEntry {
   private def minhashPairsOracle(corpusCte: String, source: String,
                                  cap: Option[Int],
                                  threshold: Option[Double] = Some(0.8),
-                                 withSigEq: Boolean = false): String = {
-    val sigs = minhashSigsSql
-    val bandCols = (0 until 4).map(b =>
+                                 withSigEq: Boolean = false,
+                                 numHashes: Int = 8): String = {
+    val numBands = numHashes / 2 // rowsPerBand = 2 throughout
+    val sigs = minhashSigsSql(numHashes)
+    val bandCols = (0 until numBands).map(b =>
       s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
-    val unions = (0 until 4).map { b =>
+    val unions = (0 until numBands).map { b =>
       val capClause = cap.map(c =>
         s"""
           JOIN (SELECT b_$b AS k, count(*) AS c FROM bands GROUP BY 1) sz
@@ -3302,7 +3384,7 @@ object SparkEntry {
     }.mkString(" UNION ")
     val where = threshold.map(t => s" WHERE jaccard >= $t").getOrElse("")
     val sigEqCte = if (!withSigEq) "" else {
-      val eqSum = (0 until 8)
+      val eqSum = (0 until numHashes)
         .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s""", se AS (
@@ -3748,6 +3830,58 @@ object SparkEntry {
        )"""
   }
 
+  /** Stages turning `<p>_rooted` into the frozen-trained-vocabulary
+    * mean vector of [[graft.embed.QuantizedVocabEmbedder]] /
+    * [[graft.functions.VocabAvgExpr]]: identical kept/toklist stages
+    * to [[md5TfVecStagesSql]] (raw-token stopword filter,
+    * first-occurrence dedup), then per-dimension SUM of the in-vocab
+    * word vectors — a plain group aggregate, valid because the
+    * quantized weights make the sum exact and order-free — scaled by
+    * `(1.0 / n)` exactly as the JVM applies it (single rounding
+    * step), then the shared L2-normalize stage. Expects a global CTE
+    * `w2v(word, vec DOUBLE[])`. OOV tokens contribute nothing but
+    * count toward n; empty/all-OOV token lists yield the zero
+    * vector. */
+  private def w2vVecStagesSql(p: String, baseCte: String, keys: Seq[String],
+                              dim: Int): String = {
+    val ks = keys.mkString(", ")
+    val joinOn = keys.map(k => s"b.$k = k.$k").mkString(" AND ")
+    val bks = keys.map(k => s"b.$k").mkString(", ")
+    val ivJoin = keys.map(k => s"tl.$k = iv.$k").mkString(" AND ")
+    val tks = keys.map(k => s"tl.$k").mkString(", ")
+    val zeros = Seq.fill(dim)("0.0").mkString("[", ", ", "]")
+    s"""${p}_kept AS (
+         SELECT $ks, pos, ctok,
+                row_number() OVER (PARTITION BY $ks, ctok ORDER BY pos) AS dup_rn
+         FROM ${p}_rooted WHERE ${notStopwordSql("rt")}
+       ), ${p}_toklist AS (
+         SELECT $bks,
+                list(k.ctok ORDER BY k.pos) FILTER (WHERE k.pos IS NOT NULL) AS toks
+         FROM $baseCte b LEFT JOIN (SELECT * FROM ${p}_kept WHERE dup_rn = 1) k
+           ON $joinOn
+         GROUP BY $bks
+       ), ${p}_ivs AS (
+         SELECT $ks, list(w.vec) AS vecs
+         FROM (SELECT $ks, unnest(coalesce(toks, [])) AS tok FROM ${p}_toklist) u
+         JOIN w2v w ON w.word = u.tok
+         GROUP BY $ks
+       ), ${p}_cnt AS (
+         SELECT $tks,
+                CASE WHEN len(coalesce(tl.toks, [])) = 0 THEN $zeros
+                     ELSE list_transform(range(1, ${dim + 1}), d ->
+                       coalesce(list_sum(list_transform(coalesce(iv.vecs, []),
+                                                        v -> v[d])), 0.0)
+                         * (1.0 / len(tl.toks)))
+                END AS c
+         FROM ${p}_toklist tl LEFT JOIN ${p}_ivs iv ON $ivJoin
+       ), ${p}_vec AS (
+         SELECT $ks,
+                CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN c
+                     ELSE list_transform(c, x -> x / sqrt(list_dot_product(c, c))) END AS v
+         FROM ${p}_cnt
+       )"""
+  }
+
   /** Full DuckDB replay of the flagship matcher on the LIVE md5-kernel
     * hashing embedder (q24): every stage of qFlagship — NLP label
     * clean, clean-dedup tokenization of both sides, TF bucket counts,
@@ -3757,8 +3891,56 @@ object SparkEntry {
     * label clean (display + embed input), query embed tokens, ref
     * embed tokens (raw all_text), ref CT_NAME clean (exact-match
     * key). */
-  private def labelMatchHashedOracle: String = {
-    val dim = 64
+  private def labelMatchHashedOracle: String =
+    flagshipLiveOracle((p, base, keys) => md5TfVecStagesSql(p, base, keys, 64))
+
+  /** q44's oracle: the SAME flagship replay with the vector stages
+    * swapped for the frozen trained-vocabulary mean
+    * ([[w2vVecStagesSql]]) over a generated-VALUES w2v(word, vec)
+    * table — the fitted, 2^-20-quantized Word2Vec matrix captured by
+    * [[q44VocabHolder]] during the q44 run. */
+  private def labelMatchW2vOracle(vocab: Seq[(String, Array[Double])]): String = {
+    val rows = vocab.map { case (w, v) =>
+      s"('${w.replace("'", "''")}', ${v.map(_.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n         ")
+    flagshipLiveOracle((p, base, keys) => w2vVecStagesSql(p, base, keys, 64),
+      extraCtes = s",\n       w2v(word, vec) AS (SELECT * FROM (VALUES $rows))")
+  }
+
+  /** q35's oracle: replay the 2-d projection from the frozen signed
+    * eigenbasis ([[q35BasisHolder]], captured at fit time). Both
+    * engines compute the same ordered 64-term dot product
+    * ([[graft.functions.DotProductExpr]] ↔ `list_dot_product`), so
+    * the coordinates match bit-for-bit; the basis itself is certified
+    * against PCA's mathematical contract by q82. */
+  private def pcaProjectionOracle(basis: Array[Array[Double]]): String = {
+    def arr(b: Array[Double]) = b.map(_.toString).mkString("[", ", ", "]")
+    s"""SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), ${arr(basis(0))}) AS x,
+         list_dot_product(CAST(embedding AS DOUBLE[]), ${arr(basis(1))}) AS y
+       FROM embeddings ORDER BY vec_id"""
+  }
+
+  /** Oracles generated from model state frozen at query-run time
+    * (Verify runs every query before dumping [[oracleSql]]); empty
+    * until the capturing queries have run in this JVM, in which case
+    * the driver falls back to its rows-only record for them. */
+  private def modelOracles: Map[String, String] =
+    q35BasisHolder.get
+      .map(b => "q35_pca_projection" -> pcaProjectionOracle(b)).toMap ++
+    q44VocabHolder.get
+      .map(v => "q44_label_match_w2v" -> labelMatchW2vOracle(v)).toMap
+
+  /** The shared flagship-replay skeleton (every stage of qFlagship
+    * mirrored one-to-one — see [[labelMatchHashedOracle]]'s doc),
+    * parameterized over the embedding-vector stages so the md5-TF
+    * (q24) and frozen-Word2Vec (q44) oracles state the identical
+    * matcher algebra. `vecStages(p, baseCte, keys)` must emit
+    * `${p}_vec(keys*, v)`; `extraCtes` is appended to the global CTE
+    * prelude (leading comma included by the caller). */
+  private def flagshipLiveOracle(
+      vecStages: (String, String, Seq[String]) => String,
+      extraCtes: String = ""): String = {
     val ctValues = graft.functions.TextNlp.contractionsMap.toSeq.sorted
       .map { case (k, v) =>
         s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
@@ -3767,7 +3949,7 @@ object SparkEntry {
       s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
     s"""WITH ct(tok, exp) AS (SELECT * FROM (VALUES $ctValues)),
        exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
-       nlex AS ($nounLexiconCteSql),
+       nlex AS ($nounLexiconCteSql)$extraCtes,
        p AS (
          SELECT CAST(p_partkey AS VARCHAR) AS ct_id, p_name AS ct_name,
                 p_type AS def,
@@ -3792,10 +3974,10 @@ object SparkEntry {
        ),
        ${cleanTokenStagesSql("qe", "qlab", Seq("source", "raw"),
         "substr(cleaned, 1, 150)", regexSplit = false)},
-       ${md5TfVecStagesSql("qe", "qlab", Seq("source", "raw"), dim)},
+       ${vecStages("qe", "qlab", Seq("source", "raw"))},
        ${cleanTokenStagesSql("re", "ref0", Seq("ct_id"),
         "substr(all_text, 1, 150)", regexSplit = false)},
-       ${md5TfVecStagesSql("re", "ref0", Seq("ct_id"), dim)},
+       ${vecStages("re", "ref0", Seq("ct_id"))},
        ${cleanTokenStagesSql("rc", "ref0", Seq("ct_id"), "ct_name", regexSplit = true)},
        rclab AS (
          SELECT r.ct_id, coalesce(l.lbl, '') AS name_cleaned
@@ -4901,6 +5083,8 @@ object SparkEntry {
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
+    "q140_prefix_jaccard_collapsed" ->
+      prefixJaccardOracle(tauNum = 4, tauDen = 5, collapse = true),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
     "q120_shard_manifest" ->
       """WITH counts AS (
@@ -5756,7 +5940,8 @@ object SparkEntry {
     "q129_stream_countmin" -> cmWaveOracle(depth = 4, width = 16,
       salt = "cms", probes = Seq("data", "of", "the")),
     "q131_grouped_split" -> groupedSplitOracle,
-    "q133_lsh_recall" -> lshRecallOracle,
+    "q133_lsh_recall" -> lshRecallOracle(),
+    "q139_lsh_recall_16x2" -> lshRecallOracle(numHashes = 16),
     "q134_frontier_interleave" -> frontierInterleaveOracle,
     "q136_curation_pipeline_v3" -> curationV3Oracle,
     "q137_salted_agg" ->
@@ -5802,6 +5987,7 @@ object SparkEntry {
            TRUE AS repetition_detected
          FROM documents
          WHERE octet_length(encode(text)) >= 200
+           AND octet_length(encode(text)) < 30000
          ORDER BY doc_id""",
     "q132_pmi_collocations" ->
       """WITH w AS (
@@ -5885,7 +6071,8 @@ object SparkEntry {
                 GROUP BY f.q_id)
          SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS k,
                 coalesce(o.n_common, CAST(0 AS BIGINT)) AS n_common
-         FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""")
+         FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""") ++
+    modelOracles
 
   /** q127: the q53 recursive-closure clusters with the representative
     * re-picked by max score (text length; ties → min id) — both the

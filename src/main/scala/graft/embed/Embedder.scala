@@ -115,6 +115,17 @@ class Word2VecEmbedder private (
       .select("vector").collect()
     rows.headOption.map(_.getAs[Vector](0).toArray)
   }
+
+  /** The full fitted vocabulary matrix, word-sorted — vocab-sized by
+    * the fit contract (catalog/sample corpora), so the collect is
+    * bounded. Doubles are the exact widenings of the stored float
+    * weights. */
+  def vocabVectors: Seq[(String, Array[Double])] = {
+    import org.apache.spark.ml.linalg.Vector
+    model.getVectors.collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Vector]("vector").toArray)
+      .sortBy(_._1).toSeq
+  }
 }
 
 object Word2VecEmbedder {
@@ -134,6 +145,64 @@ object Word2VecEmbedder {
       // on are bounded (sample/catalog), so determinism wins
       .setNumPartitions(1)
     new Word2VecEmbedder(w2v.fit(tokens), maxTextLength)
+  }
+}
+
+/** Trained-vocabulary embedder with EXACT replay arithmetic: applies
+  * a frozen word-vector matrix (typically a fitted
+  * [[Word2VecEmbedder]]'s, quantized) through
+  * [[graft.functions.VocabAvgExpr]] — clean-dedup tokens → mean of
+  * in-vocab word vectors (MLlib transform semantics: denominator is
+  * the full token count) → L2 normalize.
+  *
+  * Quantizing each vocabulary weight to the nearest multiple of
+  * 2^-scaleBits makes every per-dimension token sum exact in double
+  * arithmetic (≲ 30 significant bits per addend, ≤ ~75 addends —
+  * far under the 53-bit mantissa), so the sum is order-free and a SQL
+  * engine recomputes it bit-identically with a plain aggregate; the
+  * remaining ops (× (1/n), norm, divide) are single correctly-rounded
+  * IEEE steps both engines share. This is what turns the trained
+  * flagship (q44) from rows-only into a full hash-checked query: the
+  * frozen matrix is exported as a generated-VALUES oracle table.
+  *
+  * The quantization error (≤ 2^-21 per weight ≈ 5e-7 relative) is
+  * orders below any semantic effect on cosine ranking — the same
+  * trade [[graft.functions.VectorOps.quantizeInt8]] makes far more
+  * aggressively for storage.
+  */
+class QuantizedVocabEmbedder(
+    val vocab: Seq[(String, Array[Double])],
+    dim: Int,
+    maxTextLength: Int = 150) extends Embedder {
+
+  private val lookup: Map[String, Array[Double]] = vocab.toMap
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val tokCol = outCol + "__tokens"
+    df.withColumn(tokCol,
+        GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)))
+      .withColumn(outCol, VectorOps.normalize(toColumn(
+        graft.functions.VocabAvgExpr(toExpression(col(tokCol)), lookup, dim))))
+      .drop(tokCol)
+  }
+}
+
+object QuantizedVocabEmbedder {
+  /** Quantize a fitted Word2Vec vocabulary to multiples of
+    * 2^-scaleBits. scaleBits=20 keeps ~6 decimal digits of each
+    * weight while guaranteeing exact token sums. */
+  def fromWord2Vec(w2v: Word2VecEmbedder, dim: Int,
+                   scaleBits: Int = 20,
+                   maxTextLength: Int = 150): QuantizedVocabEmbedder = {
+    val scale = math.pow(2.0, scaleBits)
+    val q = w2v.vocabVectors.map { case (w, v) =>
+      // + 0.0 canonicalizes -0.0 (a tiny negative weight rounds to
+      // -0.0, whose sign would survive a single-addend SQL sum but
+      // not the JVM's 0.0-seeded fold)
+      w -> v.map(x => math.rint(x * scale) / scale + 0.0)
+    }
+    new QuantizedVocabEmbedder(q, dim, maxTextLength)
   }
 }
 

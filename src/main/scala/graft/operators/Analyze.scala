@@ -57,13 +57,35 @@ object Analyze {
     * sign-determinism convention) — making the projection a
     * deterministic function of the data, as a training pipeline
     * artifact must be. */
-  def pcaProject2d(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
-    val (model, signs, assembled) = fitSigned2d(df, vecCol)
-    model.transform(assembled)
-      .withColumn("__coords", vector_to_array(col("__pca")))
-      .select(idCols.map(col) ++ Seq(
-        (col("__coords").getItem(0) * lit(signs(0))).as("x"),
-        (col("__coords").getItem(1) * lit(signs(1))).as("y")): _*)
+  def pcaProject2d(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame =
+    pcaProject2dWithBasis(df, vecCol, idCols)._1
+
+  /** [[pcaProject2d]] plus the signed 2×d rotation it projected with.
+    *
+    * The projection itself is applied as two [[graft.functions.DotProductExpr]]
+    * columns against the basis rows as array literals — a pure
+    * whole-stage-codegen projection (no per-row ML UDF, no BLAS
+    * dispatch), and, because the codegen loop is a plain left-to-right
+    * fold, the coordinates are replayable bit-for-bit by any engine's
+    * ordered dot product (DuckDB `list_dot_product`): the exported
+    * basis makes q35 oracle-checkable instead of rows-only. Signs are
+    * folded into the basis before the dot (multiplication by ±1 is
+    * exact, so this equals post-multiplying the projection by the
+    * sign). */
+  def pcaProject2dWithBasis(df: DataFrame, vecCol: String, idCols: Seq[String])
+      : (DataFrame, Array[Array[Double]]) = {
+    val (model, signs, _) = fitSigned2d(df, vecCol)
+    val pc = model.pc // d rows × k cols
+    val d = pc.numRows
+    val basis = Array.tabulate(2)(axis =>
+      Array.tabulate(d)(i => pc(i, axis) * signs(axis)))
+    def proj(b: Array[Double]): org.apache.spark.sql.Column =
+      graft.functions.VectorOps.dotProduct(
+        col(vecCol).cast("array<double>"),
+        array(b.map(lit(_)).toSeq: _*))
+    val out = df.select(idCols.map(col) ++ Seq(
+      proj(basis(0)).as("x"), proj(basis(1)).as("y")): _*)
+    (out, basis)
   }
 
   private def fitSigned2d(df: DataFrame, vecCol: String)

@@ -235,14 +235,37 @@ object Dedup {
     * rare prefixes coincide). Exactness forbids a cap, so compose
     * with [[exactDuplicates]]/[[dedupAgainstCorpus]] upstream — at
     * 100 TB exact-dup collapse precedes similarity search anyway.
+    * `collapseExact = true` AUTO-COMPOSES that contract: documents
+    * are collapsed to one representative per distinct text (lowest
+    * id, the [[exactDuplicates]] keep rule) before the join, and the
+    * emitted pairs are between representatives — identical-document
+    * clusters are represented by their cluster (recover members via
+    * [[exactDuplicates]]), never enumerated pairwise, so a planted
+    * 50-copy cluster contributes ZERO quadratic output instead of
+    * 1225 jaccard-1.0 rows (DedupSpec pins this). Cross-cluster
+    * scores are unchanged: identical texts have identical shingle
+    * sets, so the representative's jaccard IS every member's.
     *
     * `tau = tauNum/tauDen` as integer rationals — no float-threshold
     * drift (membership predicates stay engine-exact). Output:
     * (id_a, id_b, n_inter, n_a, n_b, jaccard), id_a < id_b. */
   def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+      shingleSize: Int = 3, tauNum: Int = 4, tauDen: Int = 5,
+      collapseExact: Boolean = false): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       "tau = tauNum/tauDen must be in (0, 1]")
+    if (collapseExact) {
+      // one representative (lowest id) per distinct text, then the
+      // exact join over representatives only — the identical-doc
+      // quadratic is structurally impossible
+      val reps = docs
+        .groupBy(md5(col(textCol)).as("__h"))
+        .agg(min(col(idCol)).as(idCol))
+        .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+        .select(col(idCol), col(textCol))
+      return prefixJaccardPairs(reps, textCol, idCol,
+        shingleSize, tauNum, tauDen, collapseExact = false)
+    }
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
     def intersectCount(a: Column, b: Column): Column =
       toColumn(graft.functions.ArrayIntersectCountExpr(toExpression(a), toExpression(b)))

@@ -129,16 +129,40 @@ object Multimodal {
     * [[codecInits]] for the stub path). */
   val imageCodecInits = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One-time JVM-wide ImageIO config: the default stream cache spills
+    * to TEMP FILES on disk — under a 32-thread decode fan-out that is
+    * file creation + I/O contention per image (the q83 full-suite wall
+    * drift). Heap-backed cache instead; payloads are KB-sized. */
+  private lazy val imageIoHeapCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Real JVM image codec behind the same handle seam as
     * [[CodecHandle]]: javax.imageio PNG (JDK built-in, no new deps).
     * Exists so the batched-decode and one-init-per-partition contracts
     * are exercised against bytes that ACTUALLY decode — the stub seam
-    * stays for formats whose codecs aren't in this container. */
+    * stays for formats whose codecs aren't in this container. Holds
+    * ONE `ImageReader` for its lifetime (`ImageIO.read` re-scans the
+    * plugin registry and allocates a fresh reader per call). */
   final class ImageCodecHandle private[Multimodal] () {
+    imageIoHeapCache
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
     /** Decode a PNG; features = [width, height, pixel sum] over the
       * 8-bit gray channel. Undecodable bytes → nulls upstream. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, true, true)
+            reader.read(0)
+          } finally {
+            reader.setInput(null)
+            iis.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth
@@ -176,6 +200,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoHeapCache // heap-backed stream cache (see above)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }

@@ -27,8 +27,10 @@ object Salting {
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: Column,
                      buckets: Int, saltOf: Option[Column] = None): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
+    // pmod alone normalizes negative hashes (abs() would overflow on
+    // Int.MinValue anyway)
     val salt = saltOf.getOrElse(
-      pmod(abs(hash(valueCol)).cast("long"), lit(buckets.toLong)))
+      pmod(hash(valueCol).cast("long"), lit(buckets.toLong)))
     df.select(col(keyCol), valueCol.as("__v"), salt.as("__salt"))
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(col("__v")).as("__ps"), count(lit(1)).as("__pc"))

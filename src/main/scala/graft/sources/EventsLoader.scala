@@ -36,14 +36,26 @@ object EventsLoader {
     * driver-side footer read; memoized so bench reps don't repeat it.
     * The mtime in the key means an in-place testdata regeneration
     * (which has already flipped the ts encoding once) re-probes
-    * instead of driving the stale decode branch. */
+    * instead of driving the stale decode branch. The mtime is the
+    * NEWEST entry under the path, not the directory's own: rewriting
+    * part files in place need not bump the directory mtime, and a
+    * long-lived JVM would otherwise keep the stale branch. */
   private val schemaCache =
     new ConcurrentHashMap[(String, Long), StructType]()
 
-  private def mtimeOf(path: String): Long =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path)).toMillis
-    catch { case _: java.io.IOException => 0L }
+  private def mtimeOf(path: String): Long = {
+    def m(p: java.nio.file.Path): Long =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => 0L }
+    val p = java.nio.file.Paths.get(path)
+    val self = m(p)
+    if (!java.nio.file.Files.isDirectory(p)) self
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.mapToLong(c => m(c)).reduce(self, (a: Long, b: Long) => math.max(a, b))
+      finally s.close()
+    }
+  }
 
   private def rawSchema(spark: SparkSession, path: String): StructType = {
     // set on EVERY call, not just the memoized probe: the cache is

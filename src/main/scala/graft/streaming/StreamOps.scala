@@ -500,6 +500,19 @@ object StreamOps {
         .filter(col("tok") =!= "")
       stageVersionFile(d.filter(col("wave") === 0), s"$staging/f0.parquet")
       stageVersionFile(d.filter(col("wave") === 1), s"$staging/f1.parquet")
+      // parity contract with the cumulative-prefix oracles: the
+      // sketch streams snapshot only sources PRESENT in a micro-batch,
+      // while the oracles emit every (source, wave) pair — equal only
+      // because the round-robin doc_id layout lands every source in
+      // both waves. A testdata regeneration that breaks that layout
+      // must fail loudly here, not as a silent oracle hash drift.
+      val oneWave = d.groupBy("source")
+        .agg(countDistinct(col("wave")).as("nw"))
+        .filter(col("nw") < 2).count()
+      require(oneWave == 0L,
+        s"$oneWave source(s) absent from a crawl wave — staged token " +
+          "waves no longer satisfy the every-source-in-both-waves " +
+          "contract the streaming-sketch oracles assume")
     }
     spark.readStream
       .schema(StructType(Seq(

@@ -67,6 +67,30 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     out(0L) should be < 0.0   // the t=-50 extreme
   }
 
+  test("pcaProject2dWithBasis: coordinates ARE the ordered dot products " +
+       "against the exported signed basis (bit-exact oracle replay contract)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 80L).map(i =>
+      (i, Seq(rnd.nextGaussian() * 5, rnd.nextGaussian() * 2,
+        rnd.nextGaussian(), rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "embedding")
+    val (out, basis) = Analyze.pcaProject2dWithBasis(df, "embedding", Seq("vec_id"))
+    basis.length shouldBe 2
+    basis(0).length shouldBe 4
+    val got = out.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    def fold(v: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += v(i) * b(i); i += 1 }
+      s
+    }
+    rows.foreach { case (id, v) =>
+      assert(got(id)._1 == fold(v, basis(0))) // left-to-right fold, bit-exact
+      assert(got(id)._2 == fold(v, basis(1)))
+    }
+  }
+
   test("pcaCertify2d: every contract flag holds on an anisotropic cloud") {
     val rnd = new scala.util.Random(13)
     val rows = (0L until 300L).map(i =>

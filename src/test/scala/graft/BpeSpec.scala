@@ -112,6 +112,69 @@ class BpeSpec extends SparkSpec with Matchers {
     a shouldBe b
   }
 
+  test("batched training equals the sequential fold over 128 rounds " +
+       "(and the brute-force reference) with >4 merges per action") {
+    // a corpus rich enough for 128 distinct merges: seeded random
+    // words over a 12-letter alphabet with Zipf-ish repetition
+    val rnd = new scala.util.Random(42)
+    val letters = "abcdefghijkl"
+    val wordPool = (0 until 400).map { _ =>
+      (0 until (3 + rnd.nextInt(6)))
+        .map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }
+    val words = (0 until 4000).map { _ =>
+      wordPool(math.min((math.abs(rnd.nextGaussian()) * 80).toInt,
+        wordPool.length - 1))
+    }
+    val docs = words.grouped(20).map(_.mkString(" ")).toSeq.toDF("text")
+
+    val seq128 = collectMerges(
+      Bpe.trainMerges(docs, "text", iterations = 128, mergesPerAction = 1))
+    val seqActions = Bpe.lastTrainActions.get()
+    val bat128 = collectMerges(
+      Bpe.trainMerges(docs, "text", iterations = 128, mergesPerAction = 16))
+    val batActions = Bpe.lastTrainActions.get()
+
+    bat128 shouldBe seq128 // identical merge list, counts, trajectories
+    seq128.size shouldBe 128
+    // batched: strictly fewer driver round-trips, same output
+    batActions should be < seqActions
+    // driver-local tail (the bounded-vocabulary production contract):
+    // ONE distributed action, identical merges
+    val loc128 = collectMerges(Bpe.trainMerges(docs, "text",
+      iterations = 128, localVocabThreshold = 1000000L))
+    val locActions = Bpe.lastTrainActions.get()
+    loc128 shouldBe seq128
+    locActions shouldBe 1L
+    (loc128.size.toDouble / locActions) should be > 4.0 // 128 rounds/action
+    // and the local brute-force reference agrees with all of them
+    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    bat128.take(32) shouldBe bruteMerges(freq, 32)
+  }
+
+  test("driver-local threshold smaller than the vocabulary falls back " +
+       "to distributed rounds with identical output") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val dist = collectMerges(Bpe.trainMerges(docs, "text", iterations = 4))
+    val fellBack = collectMerges(Bpe.trainMerges(docs, "text", iterations = 4,
+      localVocabThreshold = 2L)) // 4 distinct words > 2
+    fellBack shouldBe dist
+  }
+
+  test("batched training equals sequential on the overlap-heavy corpus " +
+       "(l==r runs force solo re-measured steps)") {
+    val docs = (Seq.fill(9)("aaaa") ++ Seq.fill(5)("aabb") ++
+      Seq.fill(4)("bbbb") ++ Seq.fill(3)("abab"))
+      .grouped(3).map(_.mkString(" ")).toSeq.toDF("text")
+    val a = collectMerges(
+      Bpe.trainMerges(docs, "text", iterations = 8, mergesPerAction = 1))
+    val b = collectMerges(
+      Bpe.trainMerges(docs, "text", iterations = 8, mergesPerAction = 8))
+    b shouldBe a
+  }
+
   test("encodeStats: learned merges compress, zero merges degenerate to chars") {
     val docs = Seq((1L, "low lower"), (2L, "newest newest")).toDF("id", "text")
     val merges = Bpe.trainMerges(docs, "text", iterations = 4)

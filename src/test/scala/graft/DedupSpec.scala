@@ -319,6 +319,26 @@ class DedupSpec extends SparkSpec with Matchers {
     rows.count { case (a, b) => a % 3 == 0 && b % 3 == 0 } shouldBe 45
   }
 
+  test("prefixJaccardPairs collapseExact: a planted 50-copy cluster " +
+      "stays linear (zero intra-cluster pairs), cross-cluster matches survive") {
+    val boiler = "all rights reserved click here to accept our cookie policy now"
+    val near = "all rights reserved click here to accept our cookie policy today"
+    val docs = ((1L to 50L).map(i => (i, boiler)) ++ Seq(
+        (100L, near),
+        (200L, "entirely unrelated text with its own private vocabulary")))
+      .toDF("doc_id", "text")
+    val uncollapsed = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, tauNum = 4, tauDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the mis-use shape: 50·49/2 identical pairs + 50 near-dup rows
+    uncollapsed.count { case (a, b) => a <= 50 && b <= 50 } shouldBe 1225
+    val collapsed = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, tauNum = 4, tauDen = 5, collapseExact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // representatives only: the cluster contributes its lowest id once
+    collapsed.toSet shouldBe Set((1L, 100L)) // cross-cluster match kept
+  }
+
   test("prefixJaccardPairs tau bounds: disjoint docs never pair, " +
       "tau rational is inclusive") {
     val docs = Seq(

@@ -82,4 +82,67 @@ class EmbedderSpec extends SparkSpec with Matchers {
       .select(col("vec")).collect().head.getSeq[Double](0)
     out.forall(_ == 0.0) shouldBe true
   }
+
+  test("QuantizedVocabEmbedder: weights are exact multiples of 2^-20 with no -0.0") {
+    val w2v = Word2VecEmbedder.fit(corpus, "text", dim = 16)
+    val q = graft.embed.QuantizedVocabEmbedder.fromWord2Vec(w2v, dim = 16)
+    q.vocab should not be empty
+    q.vocab.foreach { case (_, v) =>
+      v.foreach { x =>
+        val scaled = x * 1048576.0
+        scaled shouldBe math.rint(scaled) // exact multiple of 2^-20
+        java.lang.Double.doubleToRawLongBits(x) should not be
+          java.lang.Double.doubleToRawLongBits(-0.0) // -0.0 canonicalized
+      }
+    }
+  }
+
+  test("QuantizedVocabEmbedder: embed equals the manual replay " +
+       "(OOV-inclusive denominator, exact order-free token sum, L2 normalize)") {
+    val w2v = Word2VecEmbedder.fit(corpus, "text", dim = 16)
+    val q = graft.embed.QuantizedVocabEmbedder.fromWord2Vec(w2v, dim = 16)
+    val vocab = q.vocab.toMap
+    val text = "goblet cell zzzoov mucus"
+    val out = q.embed(Seq((1L, text)).toDF("id", "text"), "text", "vec")
+      .select(col("vec")).collect().head.getSeq[Double](0)
+    val toks = graft.functions.TextNlp.tokensCleanDedup(text)
+    val n = toks.size
+    // sum in REVERSED token order: the quantized sum must be exact,
+    // hence order-free — the property the SQL oracle's plain group
+    // aggregate relies on
+    val sum = new Array[Double](16)
+    toks.reverse.foreach(t => vocab.get(t).foreach { v =>
+      (0 until 16).foreach(d => sum(d) += v(d))
+    })
+    val avg = sum.map(_ * (1.0 / n))
+    val nrm = math.sqrt(avg.map(x => x * x).sum)
+    val expected = if (nrm == 0.0) avg.toSeq else avg.map(_ / nrm).toSeq
+    out.zip(expected).foreach { case (a, b) => assert(a == b) } // bit-exact
+  }
+
+  test("QuantizedVocabEmbedder: empty and all-OOV texts map to the zero vector") {
+    val w2v = Word2VecEmbedder.fit(corpus, "text", dim = 16)
+    val q = graft.embed.QuantizedVocabEmbedder.fromWord2Vec(w2v, dim = 16)
+    val out = q.embed(
+        Seq((1L, ""), (2L, "zzz qqq www")).toDF("id", "text"), "text", "vec")
+      .select(col("id"), col("vec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out(1L).forall(_ == 0.0) shouldBe true
+    out(2L).forall(_ == 0.0) shouldBe true
+  }
+
+  test("QuantizedVocabEmbedder: preserves the trained embedder's nearest-neighbour ranking") {
+    val w2v = Word2VecEmbedder.fit(corpus, "text", dim = 16)
+    val q = graft.embed.QuantizedVocabEmbedder.fromWord2Vec(w2v, dim = 16)
+    def top1(e: graft.embed.Embedder): Map[Long, Long] = {
+      val embedded = e.embed(corpus, "text", "embedding")
+      graft.operators.Ann.bruteForceTopK(
+          embedded.select(col("id").as("qid"), col("embedding")),
+          embedded.select(col("id").as("cid"), col("embedding")),
+          "qid", "cid", "embedding", k = 1)
+        .collect().map(r => r.getLong(r.fieldIndex("q_id")) ->
+          r.getLong(r.fieldIndex("c_id"))).toMap
+    }
+    top1(q) shouldBe top1(w2v) // ≤2^-21 per-weight perturbation never flips self-match
+  }
 }
