@@ -981,15 +981,28 @@ object SparkEntry {
   private def q139(s: SparkSession, dir: String): DataFrame =
     lshRecallAudit(s, dir, numHashes = 16)
 
+  /** q141: the recall audit with INDEPENDENT per-family digests
+    * (salted md5 per family instead of the Kirsch-Mitzenmacher
+    * h1+i·h2 derivation) — the engine-side fix for the correlated
+    * recall loss the q133/q139 pair measured (same two pairs missed
+    * at both band presets because one jointly-small (h1,h2) shingle
+    * owned every derived family's min). The audit loop closed:
+    * monitoring found a loss class, the engine ships the preset that
+    * removes it, and this query measures the recovery under the same
+    * ground truth. */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    lshRecallAudit(s, dir, numHashes = 8, independentHashes = true)
+
   private def lshRecallAudit(s: SparkSession, dir: String,
-                             numHashes: Int): DataFrame = {
+                             numHashes: Int,
+                             independentHashes: Boolean = false): DataFrame = {
     val corpus = corpusWithBoilerplate(s, dir)
     val exact = Dedup.prefixJaccardPairs(corpus, "text", "doc_id",
         shingleSize = 3, tauNum = 4, tauDen = 5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val lsh = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
         shingleSize = 3, numHashes = numHashes, rowsPerBand = 2,
-        jaccardThreshold = 0.8)
+        jaccardThreshold = 0.8, independentHashes = independentHashes)
       .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
     exact.join(lsh,
         col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
@@ -2537,6 +2550,7 @@ object SparkEntry {
     "q132_pmi_collocations" -> (q132 _),
     "q133_lsh_recall" -> (q133 _),
     "q139_lsh_recall_16x2" -> (q139 _),
+    "q141_lsh_recall_independent" -> (q141 _),
     "q134_frontier_interleave" -> (q134 _),
     "q135_compression_quality" -> (q135 _),
     "q136_curation_pipeline_v3" -> (q136 _),
@@ -2558,9 +2572,13 @@ object SparkEntry {
     * Dedup.minhashSignatures exactly. */
   private def minhashSigsSql: String = minhashSigsSql(8)
 
-  private def minhashSigsSql(numHashes: Int): String =
+  private def minhashSigsSql(numHashes: Int,
+                             independent: Boolean = false): String =
     (0 until numHashes).map(h =>
-      s"min(('0x' || substr(md5(shingle), 1, 14))::BIGINT + $h * ('0x' || substr(md5(shingle), 15, 14))::BIGINT) AS sig_$h")
+      if (independent)
+        s"min(('0x' || substr(md5('mh$h:' || shingle), 1, 14))::BIGINT) AS sig_$h"
+      else
+        s"min(('0x' || substr(md5(shingle), 1, 14))::BIGINT + $h * ('0x' || substr(md5(shingle), 15, 14))::BIGINT) AS sig_$h")
       .mkString(",\n  ")
 
   private def minhashOracle: String =
@@ -3246,10 +3264,12 @@ object SparkEntry {
   /** q133/q139: the exact prefix-filter pairs LEFT JOIN the
     * banded-LSH pairs at the given preset — both subqueries are the
     * certified q111/q45-family oracles verbatim. */
-  private def lshRecallOracle(numHashes: Int = 8): String = {
+  private def lshRecallOracle(numHashes: Int = 8,
+                              independent: Boolean = false): String = {
     val exact = prefixJaccardOracle(tauNum = 4, tauDen = 5)
     val lsh = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
-      source = "corpus", cap = None, numHashes = numHashes)
+      source = "corpus", cap = None, numHashes = numHashes,
+      independent = independent)
     s"""WITH ex AS (SELECT id_a, id_b, jaccard FROM ($exact)),
          ls AS (SELECT id_a AS l_a, id_b AS l_b FROM ($lsh))
        SELECT ex.id_a, ex.id_b, ex.jaccard,
@@ -3368,9 +3388,10 @@ object SparkEntry {
                                  cap: Option[Int],
                                  threshold: Option[Double] = Some(0.8),
                                  withSigEq: Boolean = false,
-                                 numHashes: Int = 8): String = {
+                                 numHashes: Int = 8,
+                                 independent: Boolean = false): String = {
     val numBands = numHashes / 2 // rowsPerBand = 2 throughout
-    val sigs = minhashSigsSql(numHashes)
+    val sigs = minhashSigsSql(numHashes, independent)
     val bandCols = (0 until numBands).map(b =>
       s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
     val unions = (0 until numBands).map { b =>
@@ -5942,6 +5963,8 @@ object SparkEntry {
     "q131_grouped_split" -> groupedSplitOracle,
     "q133_lsh_recall" -> lshRecallOracle(),
     "q139_lsh_recall_16x2" -> lshRecallOracle(numHashes = 16),
+    "q141_lsh_recall_independent" ->
+      lshRecallOracle(numHashes = 8, independent = true),
     "q134_frontier_interleave" -> frontierInterleaveOracle,
     "q136_curation_pipeline_v3" -> curationV3Oracle,
     "q137_salted_agg" ->

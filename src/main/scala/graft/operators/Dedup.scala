@@ -54,16 +54,34 @@ object Dedup {
     * document). Output: (idCol, sig_0..sig_{h-1}: long).
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+                        shingleSize: Int = 3, numHashes: Int = 8,
+                        independentHashes: Boolean = false): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("shingle"))
-      .withColumn("__d", md5(col("shingle")))
-      .withColumn("__h1", conv(substring(col("__d"), 1, 14), 16, 10).cast("long"))
-      .withColumn("__h2", conv(substring(col("__d"), 15, 14), 16, 10).cast("long"))
-    val aggs = (0 until numHashes).map { h =>
-      min(col("__h1") + lit(h.toLong) * col("__h2")).as(s"sig_$h")
+    if (independentHashes) {
+      // one salted digest PER FAMILY: h× the md5 cost, but the
+      // families are genuinely independent — the Kirsch-Mitzenmacher
+      // derivation below shares (h1, h2) across all families, so one
+      // shingle with jointly-small halves owns EVERY family's min and
+      // near-dup signatures move together (the correlated recall loss
+      // q139's audit measured: the same two pairs missed at 8x2 AND
+      // 16x2 banding). Use this preset when measured recall matters
+      // more than signature cost.
+      val aggs = (0 until numHashes).map { h =>
+        min(conv(substring(md5(concat(lit(s"mh$h:"), col("shingle"))), 1, 14),
+          16, 10).cast("long")).as(s"sig_$h")
+      }
+      exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val keyed = exploded
+        .withColumn("__d", md5(col("shingle")))
+        .withColumn("__h1", conv(substring(col("__d"), 1, 14), 16, 10).cast("long"))
+        .withColumn("__h2", conv(substring(col("__d"), 15, 14), 16, 10).cast("long"))
+      val aggs = (0 until numHashes).map { h =>
+        min(col("__h1") + lit(h.toLong) * col("__h2")).as(s"sig_$h")
+      }
+      keyed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over MinHash signatures: `numHashes / rowsPerBand`
@@ -153,8 +171,10 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, numHashes: Int = 8,
                             rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5,
-                            maxBucketSize: Option[Int] = None): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, numHashes)
+                            maxBucketSize: Option[Int] = None,
+                            independentHashes: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, numHashes,
+      independentHashes)
     val cands = maxBucketSize match {
       case Some(cap) => minhashCandidatePairsCapped(sigs, idCol, numHashes, rowsPerBand, cap)
       case None      => minhashCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
@@ -417,6 +437,11 @@ object Dedup {
     * (node, cluster_id) for every node appearing in an edge, where
     * cluster_id is the component's minimum node id.
     */
+  /** Convergence rounds of the most recent [[connectedComponents]]
+    * call (probe-visible: the closure's scale driver is rounds ×
+    * per-round shuffle). */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25): DataFrame = {
     // large-star: every neighbor v > u links to the min of u's
@@ -462,6 +487,7 @@ object Dedup {
       prevSig = sig
       round += 1
     }
+    lastCcRounds.set(round)
     // converged state is a star forest: (node → component-min) per
     // non-root node; roots appear only on the v side.
     edges.select(col("u").as("node"), col("v").as("cluster_id"))

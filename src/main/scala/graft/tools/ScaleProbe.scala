@@ -296,6 +296,31 @@ object ScaleProbe {
     //   is the exact-dup tier's job upstream); expect ~linear wall
     //   from the assignment scan, NOT quadratic from the pair join.
     time("semantic_neardup")(entryCount("q121_semantic_neardup"))
+    // - q136 capstone: the CC-closure stage dominates its wall. The
+    //   Kx replicas are exact near-dups, so every text becomes a
+    //   K-member component — component COUNT grows with distinct
+    //   texts, component DIAMETER stays bounded, so large-star/
+    //   small-star round count should stay FLAT while the per-round
+    //   edge shuffle carries ~Kx mass. This split probe attributes
+    //   which moves first: pair generation, or the closure (rounds ×
+    //   per-round wall).
+    time("curation_v3_full")(entryCount("q136_curation_pipeline_v3"))
+    time("curation_v3_cc_split") { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8).cache()
+      val np = pairs.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      val tCc = (System.nanoTime() - t1) / 1e9
+      println(f"    pairs=$np%d ($tPairs%5.2f s)  " +
+        f"cc rounds=${Dedup.lastCcRounds.get()}%d ($tCc%5.2f s)")
+      pairs.unpersist()
+      n
+    }
     // Bounded-upsert probe: per-batch wall must track BATCH size, not
     // TARGET size. Buckets are sized to the target (constant bucket
     // bytes — the documented deployment rule), the target is built

@@ -43,6 +43,29 @@ class DedupSpec extends SparkSpec with Matchers {
     shared should be >= 4
   }
 
+  test("minhash signatures independentHashes: deterministic, partition-" +
+      "invariant, identical texts still collide, families decorrelated") {
+    val in = docs.filter($"doc_id" =!= 5L)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(h => r.getAs[Long](s"sig_$h"))).toMap
+    val a = collect(Dedup.minhashSignatures(in, "text", "doc_id",
+      shingleSize = 3, numHashes = 8, independentHashes = true))
+    val b = collect(Dedup.minhashSignatures(in.repartition(7), "text",
+      "doc_id", shingleSize = 3, numHashes = 8, independentHashes = true))
+    a shouldBe b
+    a(1L) shouldBe a(2L) // identical texts collide per family
+    // decorrelation: the salted families are NOT the affine h1+i*h2
+    // ladder — consecutive slot deltas of one doc must not be constant
+    val deltas = a(1L).sliding(2).map(p => p(1) - p(0)).toSeq
+    deltas.distinct.size should be > 1
+    // near-dup still shares slots at ~jaccard rate (E = j·8 ≈ 4-5
+    // with binomial spread on 8 trials; ≥3 keeps the property check
+    // meaningful without flaking on variance)
+    val shared = a(1L).zip(a(3L)).count { case (x, y) => x == y }
+    shared should be >= 3
+  }
+
   test("LSH banding surfaces the exact and near dup pairs, not the unrelated doc") {
     val sigs = Dedup.minhashSignatures(docs.filter($"doc_id" =!= 5L),
       "text", "doc_id", shingleSize = 3, numHashes = 8)
