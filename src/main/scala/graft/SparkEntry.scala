@@ -1022,6 +1022,33 @@ object SparkEntry {
     StreamOps.runStreamingHllAvailableNow(s, dir, p = 6, salt = "hll")
       .orderBy("source", "wave")
 
+  /** STREAMING decontamination gate ([[StreamOps
+    * .runStreamingDecontaminateAvailableNow]]): the q103 Bloom
+    * pre-filter at crawl rate — eval 3-gram Bloom built once in
+    * batch and folded into the plan as a bit-array literal
+    * ([[graft.operators.Sketch.bloomProbeColumn]]), train docs
+    * arriving as two staged waves, each micro-batch a PURE
+    * PROJECTION (no state store, no shuffle). The oracle replays
+    * every bit position; bit coordinates are shared with the batch
+    * sketch, so stream ≡ batch exactly. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingDecontaminateAvailableNow(s, dir,
+        numBits = 1024, numHashes = 3, salt = "sdecon")
+      .orderBy("doc_id")
+
+  /** BOUNDED-MEMORY streaming dedup ([[StreamOps
+    * .streamingBloomDedup]]): per-shard Bloom BITS as the only
+    * state — the crawl-rate answer to q47's exact digest state
+    * (which grows linearly forever). Exact duplicates always flag;
+    * the deterministic false-positive rate is the price of the O(1)
+    * bound, and determinism makes even the FPs hash-checkable: the
+    * oracle replays first-setter-wins per (shard, bit position) over
+    * the same (wave, doc_id) fold order. */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingBloomDedupAvailableNow(s, dir,
+        numBits = 8192, numHashes = 3, salt = "bdedup", shards = 8)
+      .orderBy("doc_id")
+
   /** Streaming Count-Min ([[StreamOps.streamingCountMin]]): the CMS
     * cell table as per-source streaming state over the same two-wave
     * token staging as q112; per (source, wave, probe) estimates
@@ -2555,7 +2582,9 @@ object SparkEntry {
     "q135_compression_quality" -> (q135 _),
     "q136_curation_pipeline_v3" -> (q136 _),
     "q137_salted_agg" -> (q137 _),
-    "q138_table_stats" -> (q138 _))
+    "q138_table_stats" -> (q138 _),
+    "q142_stream_decontaminate" -> (q142 _),
+    "q143_stream_bloom_dedup" -> (q143 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -4952,6 +4981,80 @@ object SparkEntry {
                 CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
          FROM hit h LEFT JOIN ev e ON e.shingle = h.shingle
          GROUP BY h.doc_id ORDER BY h.doc_id""",
+    "q142_stream_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), shd AS (
+           SELECT DISTINCT doc_id, shingle FROM sh
+         ), ev AS (
+           SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM shd WHERE doc_id % 97 <> 0
+         ), hs AS (
+           SELECT unnest(range(0, 3)) AS h
+         ), bloom AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5('sdecon:' || CAST(h AS VARCHAR) || ':' || shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM ev CROSS JOIN hs
+         ), probe AS (
+           SELECT t.doc_id, t.shingle,
+             ('0x' || substr(md5('sdecon:' || CAST(h AS VARCHAR) || ':' || t.shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM tr t CROSS JOIN hs
+         ), hit AS (
+           SELECT doc_id, shingle, count(b.pos) = 3 AS maybe
+           FROM probe p LEFT JOIN bloom b USING (pos)
+           GROUP BY doc_id, shingle
+         ), agg AS (
+           SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_sh,
+                  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits
+           FROM hit GROUP BY doc_id
+         )
+         SELECT doc_id, CAST((doc_id // 20) % 2 AS BIGINT) AS wave,
+                n_sh, bloom_hits, bloom_hits >= 1 AS flagged
+         FROM agg ORDER BY doc_id""",
+    "q143_stream_bloom_dedup" ->
+      """WITH d0 AS (
+           SELECT CAST(0 AS BIGINT) AS wave, doc_id, text FROM documents
+         ), d1 AS (
+           SELECT CAST(1 AS BIGINT) AS wave, doc_id + 10000000 AS doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text
+                       ELSE text || ' v1' END AS text
+           FROM documents
+         ), u AS (
+           SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         ), dg AS (
+           SELECT wave, doc_id, md5(text) AS dig FROM u
+         ), shd AS (
+           SELECT *, ('0x' || substr(md5('shard:' || dig), 1, 14))::BIGINT % 8
+                       AS shard
+           FROM dg
+         ), orded AS (
+           SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY wave, doc_id) AS ord
+           FROM shd
+         ), pos AS (
+           SELECT doc_id, wave, shard, ord,
+                  ('0x' || substr(md5('bdedup:' || CAST(h AS VARCHAR)
+                     || ':' || dig), 1, 14))::BIGINT % 8192 AS pos
+           FROM orded CROSS JOIN (SELECT unnest(range(0, 3)) AS h)
+         ), firstpos AS (
+           SELECT shard, pos, min(ord) AS first_ord
+           FROM pos GROUP BY shard, pos
+         )
+         SELECT p.doc_id, p.wave,
+                bool_and(f.first_ord < p.ord) AS is_dup
+         FROM pos p JOIN firstpos f ON f.shard = p.shard AND f.pos = p.pos
+         GROUP BY p.doc_id, p.wave
+         ORDER BY p.doc_id""",
     "q104_bigram_logprob" ->
       """WITH d AS (
            SELECT doc_id,

@@ -101,6 +101,25 @@ object Sketch {
       .agg((count(col("__bh")) === numHashes).as("maybe"))
   }
 
+  /** Per-row Bloom membership PROJECTION: the collected bit set
+    * folded into one array literal, probe = all `numHashes` salted
+    * positions set. The stateless, stream-safe form of
+    * [[bloomMightContain]] — numBits booleans ride the plan as a
+    * constant (a Bloom is driver-collectable by construction), no
+    * explode/join/aggregate, so it runs inside a streaming
+    * micro-batch as a pure map at unbounded rate. Identical bit
+    * coordinates to [[bloomBuild]] (`cmBucket`), so batch and stream
+    * probes agree bit-for-bit. */
+  def bloomProbeColumn(bits: Array[Boolean], item: Column,
+      numBits: Int, numHashes: Int, salt: String): Column = {
+    require(bits.length == numBits, "bits array must have numBits entries")
+    val bitsLit = typedLit(bits.toSeq)
+    (0 until numHashes)
+      .map(h => element_at(bitsLit,
+        (cmBucket(item, lit(h), numBits, salt) + 1).cast("int")))
+      .reduce(_ && _)
+  }
+
   /** α constant of the standard HLL estimator for m = 2^p buckets. */
   def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673

@@ -537,6 +537,156 @@ object StreamOps {
     spark.table(name)
   }
 
+  // --- streaming decontamination gate -----------------------------------
+
+  /** Streaming benchmark-decontamination gate: the eval side is
+    * static (benchmarks), so its 3-gram Bloom filter is built ONCE in
+    * batch and collected to a bit array; the TRAIN side arrives as a
+    * stream (two staged crawl waves) and every micro-batch applies a
+    * PURE PROJECTION — per-doc distinct shingles, Bloom-probed
+    * in-row via [[graft.operators.Sketch.bloomProbeColumn]]. No state
+    * store, no aggregation, unbounded ingest rate: this is the
+    * crawl-time hygiene architecture (Bloom pre-filter at the
+    * firehose; exact verification downstream in batch on the tiny
+    * flagged subset — q58/q103's job). Emits (doc_id, wave, n_sh,
+    * bloom_hits, flagged). */
+  def runStreamingDecontaminateAvailableNow(spark: SparkSession, dir: String,
+      numBits: Int, numHashes: Int, salt: String): DataFrame = {
+    import graft.operators.{Dedup, Sketch}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def sh(c: org.apache.spark.sql.Column) =
+      array_distinct(Dedup.shingles(c, 3))
+    val evalSh = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(sh(col("text"))).as("shingle")).distinct()
+    val bits = Array.fill(numBits)(false)
+    Sketch.bloomBuild(evalSh, "shingle", numBits, numHashes, salt)
+      .collect().foreach(r => bits(r.getLong(0).toInt) = true)
+    val staging = stagedDir("decon", dir) { st =>
+      val d = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(expr("(doc_id div 20) % 2").as("wave"), col("doc_id"),
+          col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val probed = stream
+      .withColumn("__sh", sh(col("text")))
+      .select(col("doc_id"), col("wave"),
+        size(col("__sh")).cast("long").as("n_sh"),
+        size(filter(col("__sh"), s =>
+          Sketch.bloomProbeColumn(bits, s, numBits, numHashes, salt)))
+          .cast("long").as("bloom_hits"))
+      .withColumn("flagged", col("bloom_hits") >= 1L)
+    val name = s"graft_stream_decon_${runCounter.incrementAndGet()}"
+    val query = probed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
+  // --- streaming Bloom dedup (bounded-memory crawl dedup) ---------------
+
+  case class BloomDoc(wave: Long, doc_id: Long, dig: String, shard: Long)
+  case class BloomBits(bits: Array[Byte])
+  case class BloomDedupOut(doc_id: Long, wave: Long, is_dup: Boolean)
+
+  /** Bounded-memory streaming dedup: per-shard BLOOM BITS as the
+    * only state. q47's exact streaming dedup carries one digest per
+    * distinct document ever seen — linear state, the thing that
+    * cannot run forever at crawl rate. Here state is
+    * `shards × numBits` BITS, period: a document is flagged dup when
+    * all its salted positions are already set (exact duplicates
+    * always are — same digest, same positions; a deterministic
+    * false-positive rate trades for the O(1) bound, the standard
+    * crawl-frontier contract). Sharding is content-derived (md5 of
+    * the digest), so identical texts always meet the same state and
+    * the shard shuffle spreads uniformly. Rows are folded in
+    * (wave, doc_id) order inside each group, making the decision
+    * sequence — and therefore every false positive — deterministic
+    * and replayable by a SQL oracle (first-setter-wins per
+    * (shard, position)). */
+  def streamingBloomDedup(docs: Dataset[BloomDoc], numBits: Int,
+      numHashes: Int, salt: String): Dataset[BloomDedupOut] = {
+    require(numBits >= 8 && numHashes >= 1, "need >=8 bits and >=1 hash")
+    import docs.sparkSession.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(dig: String, h: Int): Int =
+      (java.lang.Long.parseLong(md5hex(s"$salt:$h:$dig").substring(0, 14), 16)
+        % numBits).toInt
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[BloomBits, BloomDedupOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[BloomDoc], state: GroupState[BloomBits]) =>
+          val bits = state.getOption.map(_.bits)
+            .getOrElse(new Array[Byte]((numBits + 7) / 8))
+          def get(i: Int): Boolean = (bits(i >> 3) & (1 << (i & 7))) != 0
+          def set(i: Int): Unit =
+            bits(i >> 3) = (bits(i >> 3) | (1 << (i & 7))).toByte
+          // deterministic fold order whatever the batch's row order
+          val out = rows.toSeq.sortBy(r => (r.wave, r.doc_id)).map { r =>
+            val ps = (0 until numHashes).map(h => bucket(r.dig, h))
+            val dup = ps.forall(get)
+            if (!dup) ps.foreach(set)
+            BloomDedupOut(r.doc_id, r.wave, dup)
+          }
+          state.update(BloomBits(bits))
+          out.iterator
+      }
+  }
+
+  /** Drive [[streamingBloomDedup]] over a two-wave re-crawl staging:
+    * wave 0 = the corpus; wave 1 = a re-crawl under new ids where
+    * every third document is byte-identical (must flag dup) and the
+    * rest are edits (pass, modulo the deterministic FP rate). */
+  def runStreamingBloomDedupAvailableNow(spark: SparkSession, dir: String,
+      numBits: Int, numHashes: Int, salt: String, shards: Int): DataFrame = {
+    val staging = stagedDir("bloomdedup", dir) { st =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      stageVersionFile(
+        docs.select(lit(0L).as("wave"), col("doc_id"), col("text")),
+        s"$st/f0.parquet")
+      stageVersionFile(
+        docs.select(lit(1L).as("wave"),
+          (col("doc_id") + 10000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v1"))).as("text")),
+        s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .withColumn("dig", md5(col("text")))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("shard:"), col("dig"))), 1, 14),
+          16, 10).cast("long"), lit(shards.toLong)))
+      .select("wave", "doc_id", "dig", "shard")
+    import spark.implicits._
+    val name = s"graft_stream_bloomdedup_${runCounter.incrementAndGet()}"
+    val query = streamingBloomDedup(stream.as[BloomDoc], numBits, numHashes, salt)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming count-min sketch ---------------------------------------
 
   case class CmTok(wave: Long, source: String, tok: String)

@@ -175,6 +175,28 @@ class BpeSpec extends SparkSpec with Matchers {
     b shouldBe a
   }
 
+  test("randomized cross-mode equality: batched-distributed vs " +
+       "driver-local (independent code paths) over seeded corpora") {
+    // the batched trainer's admission rules (chain-overlap, fresh
+    // merged symbol, parent-threat bound) are novel — fuzz them
+    // against the driver-local exact fold, which shares NO code with
+    // the distributed rounds
+    for (seed <- Seq(1, 7, 13, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val letters = "abcde" // tiny alphabet maximizes chain collisions
+      val pool = (0 until 60).map(_ =>
+        (0 until (2 + rnd.nextInt(5)))
+          .map(_ => letters(rnd.nextInt(letters.length))).mkString)
+      val words = (0 until 600).map(_ => pool(rnd.nextInt(pool.length)))
+      val docs = words.grouped(15).map(_.mkString(" ")).toSeq.toDF("text")
+      val bat = collectMerges(Bpe.trainMerges(docs, "text",
+        iterations = 24, mergesPerAction = 8))
+      val loc = collectMerges(Bpe.trainMerges(docs, "text",
+        iterations = 24, localVocabThreshold = 100000L))
+      withClue(s"seed=$seed: ") { bat shouldBe loc }
+    }
+  }
+
   test("encodeStats: learned merges compress, zero merges degenerate to chars") {
     val docs = Seq((1L, "low lower"), (2L, "newest newest")).toDF("id", "text")
     val merges = Bpe.trainMerges(docs, "text", iterations = 4)

@@ -280,6 +280,36 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
   }
 
+  test("streaming decontamination gate equals the batch Bloom probe " +
+      "per document, and is a pure projection (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingDecontaminateAvailableNow(spark, dir,
+        numBits = 512, numHashes = 3, salt = "sdtest")
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("n_sh")), r.getLong(r.fieldIndex("bloom_hits"))))
+      .toMap
+    // batch replay through the SET-BASED bloom path (different code:
+    // explode + broadcast join vs the stream's in-row bit-literal)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def docSh(d: org.apache.spark.sql.DataFrame) =
+      d.select($"doc_id",
+        explode(array_distinct(graft.operators.Dedup.shingles($"text", 3)))
+          .as("shingle"))
+    val evalSh = docSh(docs.filter($"doc_id" % 97 === 0))
+      .select("shingle").distinct()
+    val bloom = graft.operators.Sketch.bloomBuild(evalSh, "shingle",
+      numBits = 512, numHashes = 3, salt = "sdtest")
+    val batch = graft.operators.Sketch.bloomMightContain(bloom,
+        docSh(docs.filter($"doc_id" % 97 =!= 0)), "shingle",
+        numBits = 512, numHashes = 3, salt = "sdtest")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when($"maybe", 1L).otherwise(0L)).as("bloom_hits"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamed shouldBe batch
+  }
+
   test("streaming Count-Min estimates are bit-identical to the batch sketch " +
       "over each wave's cumulative prefix (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
