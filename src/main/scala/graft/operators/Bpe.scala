@@ -70,13 +70,17 @@ object Bpe {
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__freq"))
 
-  /** [[wordFreq]] bracket-encoded: (`__state` = `<c><c>..<_>`, `__freq`). */
+  /** Bracket-encode a word-frequency table:
+    * (`__state` = `<c><c>..<_>`, `__freq`). */
+  private def encodeStates(wf: DataFrame): DataFrame =
+    wf.select(
+      regexp_replace(concat(col("__w"), lit("_")), "(.)", "<$1>")
+        .as("__state"),
+      col("__freq"))
+
+  /** [[wordFreq]] bracket-encoded. */
   private def vocab(docs: DataFrame, textCol: String): DataFrame =
-    wordFreq(docs, textCol)
-      .select(
-        regexp_replace(concat(col("__w"), lit("_")), "(.)", "<$1>")
-          .as("__state"),
-        col("__freq"))
+    encodeStates(wordFreq(docs, textCol))
 
   /** Split a bracket-encoded state back into its symbol array
     * (strip the outer brackets, split on the inner `><` seams). */
@@ -113,8 +117,9 @@ object Bpe {
     * round-trip-per-merge shape, which at a production ~32k-merge
     * vocabulary would mean ~32k actions. Output is identical to the
     * sequential fold for ANY corpus (BpeSpec pins 128-round
-    * equality); default 1 preserves the original loop. */
-  /** `localVocabThreshold` > 0 enables the DRIVER-LOCAL tail: after
+    * equality); default 1 preserves the original loop.
+    *
+    * `localVocabThreshold` > 0 enables the DRIVER-LOCAL tail: after
     * the one corpus-sized word-frequency aggregation, if the distinct
     * vocabulary has at most that many rows it is collected once and
     * ALL merge rounds run locally — zero further Spark actions. This
@@ -131,26 +136,43 @@ object Bpe {
       localVocabThreshold: Long = 0L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(mergesPerAction >= 1, "mergesPerAction must be >= 1")
+    lastTrainActions.set(0)
     if (localVocabThreshold > 0L) {
       val spark = docs.sparkSession
-      lastTrainActions.set(0)
-      val wf = wordFreq(docs, textCol)
+      // driver-collect budgets beyond Int.MaxValue rows are not a
+      // thing — clamp instead of letting toInt wrap negative
+      val cap = math.min(localVocabThreshold, (Int.MaxValue - 1).toLong).toInt
+      val wf = wordFreq(docs, textCol).persist()
       lastTrainActions.incrementAndGet()
       // one aggregate returns BOTH the gate count and (if small
       // enough) the rows: collect with a limit guard
-      val rows = wf.limit(localVocabThreshold.toInt + 1).collect()
-      if (rows.length <= localVocabThreshold) {
+      val rows = wf.limit(cap + 1).collect()
+      if (rows.length <= cap) {
+        wf.unpersist()
         val words = rows.map(r => r.getString(0) -> r.getLong(1))
         return spark.createDataFrame(
           spark.sparkContext.parallelize(trainLocal(words, iterations), 1),
           mergeSchema)
       }
       // vocabulary larger than the driver budget: distributed rounds
+      // over the ALREADY-AGGREGATED (persisted) word-freq table — the
+      // corpus is not rescanned, and the probe action stays counted
+      val out =
+        if (mergesPerAction > 1)
+          trainMergesBatched(encodeStates(wf), spark, iterations,
+            persistVocab = false, mergesPerAction)
+        else
+          trainMergesSequential(encodeStates(wf), spark, iterations,
+            persistVocab = false)
+      wf.unpersist()
+      return out
     }
     if (mergesPerAction > 1)
-      trainMergesBatched(docs, textCol, iterations, persistVocab, mergesPerAction)
+      trainMergesBatched(vocab(docs, textCol), docs.sparkSession, iterations,
+        persistVocab, mergesPerAction)
     else
-      trainMergesSequential(docs, textCol, iterations, persistVocab)
+      trainMergesSequential(vocab(docs, textCol), docs.sparkSession, iterations,
+        persistVocab)
   }
 
   /** The exact sequential fold, driver-side, over the collected
@@ -193,13 +215,11 @@ object Bpe {
     out.toSeq
   }
 
-  private def trainMergesSequential(docs: DataFrame, textCol: String,
+  private def trainMergesSequential(words0: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
       iterations: Int, persistVocab: Boolean): DataFrame = {
-    val spark = docs.sparkSession
-    lastTrainActions.set(0)
-    val words0 = vocab(docs, textCol)
     // vocabulary ≪ corpus by contract: persist so the merge rounds
-    // never rescan the corpus (the one corpus-sized scan is here)
+    // never rescan the corpus (the one corpus-sized scan is upstream)
     val base = if (persistVocab) words0.persist() else words0
     var states = base
     val out = collection.mutable.ArrayBuffer.empty[Row]
@@ -293,11 +313,9 @@ object Bpe {
     * solo sequential step with a measured post-merge token count.
     * BpeSpec pins 128-round merge-list equality with the sequential
     * fold; q123's oracle hash is unchanged by construction. */
-  private def trainMergesBatched(docs: DataFrame, textCol: String,
+  private def trainMergesBatched(words0: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
       iterations: Int, persistVocab: Boolean, batchMax: Int): DataFrame = {
-    val spark = docs.sparkSession
-    lastTrainActions.set(0)
-    val words0 = vocab(docs, textCol)
     val base = if (persistVocab) words0.persist() else words0
     var states = base
     val out = collection.mutable.ArrayBuffer.empty[Row]

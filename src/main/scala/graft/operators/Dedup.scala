@@ -277,11 +277,13 @@ object Dedup {
     if (collapseExact) {
       // one representative (lowest id) per distinct text, then the
       // exact join over representatives only — the identical-doc
-      // quadratic is structurally impossible
+      // quadratic is structurally impossible. Grouped on the TEXT
+      // itself (not a digest): exact semantics, matches the q140
+      // oracle's GROUP BY text, and one aggregation instead of a
+      // hash-group + join-back.
       val reps = docs
-        .groupBy(md5(col(textCol)).as("__h"))
+        .groupBy(col(textCol))
         .agg(min(col(idCol)).as(idCol))
-        .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
         .select(col(idCol), col(textCol))
       return prefixJaccardPairs(reps, textCol, idCol,
         shingleSize, tauNum, tauDen, collapseExact = false)

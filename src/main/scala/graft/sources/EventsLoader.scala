@@ -51,9 +51,14 @@ object EventsLoader {
     val self = m(p)
     if (!java.nio.file.Files.isDirectory(p)) self
     else {
-      val s = java.nio.file.Files.list(p)
-      try s.mapToLong(c => m(c)).reduce(self, (a: Long, b: Long) => math.max(a, b))
-      finally s.close()
+      // the listing itself can race an in-place regeneration (dir
+      // deleted between the isDirectory check and list) — degrade to
+      // the directory's own mtime like the per-entry probe does
+      try {
+        val s = java.nio.file.Files.list(p)
+        try s.mapToLong(c => m(c)).reduce(self, (a: Long, b: Long) => math.max(a, b))
+        finally s.close()
+      } catch { case _: java.io.IOException => self }
     }
   }
 
