@@ -299,6 +299,34 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** SEMANTIC decontamination ([[Ann.bruteForceTopK]] k=1 against
+    * the eval set): the embedding-space complement of the n-gram
+    * gates (q58/q103/q142) — paraphrased eval leakage shares no
+    * 3-gram but sits at high cosine. The eval side is benchmarks
+    * (broadcast, ~1% of vec_ids here); the train side streams
+    * through ONE scan + broadcast cross-score, so the shape holds at
+    * 100 TB. Emits each train vector's nearest eval neighbour, its
+    * cosine, and the threshold flag (0.9 — natural scores top out at
+    * ~0.47 on this corpus and planted leaks sit at ~1.0, so the
+    * boolean clears the threshold by a wide margin on both sides and
+    * is stable under ulp-level engine differences). PLANTED leakage
+    * (every fifth eval vector re-inserted under a new train id)
+    * exercises the contaminated=true path inside the hash check. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val evalSet = e.filter(col("vec_id") % 97 === 0)
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+      .union(evalSet.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("label")))
+    Ann.bruteForceTopK(train, evalSet,
+        "vec_id", "vec_id", "embedding", k = 1)
+      .select(col("q_id").as("vec_id"), col("c_id").as("nearest_eval_id"),
+        col("score").as("max_cos"),
+        (col("score") >= 0.9).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Sign-LSH bucket assignment, 4 bands × 4 planes. */
   private def q26(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -2584,7 +2612,8 @@ object SparkEntry {
     "q137_salted_agg" -> (q137 _),
     "q138_table_stats" -> (q138 _),
     "q142_stream_decontaminate" -> (q142 _),
-    "q143_stream_bloom_dedup" -> (q143 _))
+    "q143_stream_bloom_dedup" -> (q143 _),
+    "q145_semantic_decontaminate" -> (q145 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 
@@ -2754,6 +2783,26 @@ object SparkEntry {
              FROM s)
        SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score
        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** q145 oracle — nearest eval neighbour per train vector with the
+    * 0.9-threshold flag (margin-verified on this corpus). */
+  private def semanticDecontaminateOracle: String =
+    s"""$embCte,
+       q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 = 0),
+       tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 <> 0
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, v, nrm FROM n
+              WHERE vec_id % 97 = 0 AND vec_id % 5 = 0),
+       s AS (SELECT tr.vec_id, q.vec_id AS eval_id,
+               ${cosSql("tr.v", "tr.nrm", "q.v", "q.nrm")} AS score
+             FROM tr CROSS JOIN q),
+       r AS (SELECT vec_id, eval_id, score,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, eval_id ASC) AS rnk
+             FROM s)
+       SELECT vec_id, eval_id AS nearest_eval_id, score AS max_cos,
+              score >= 0.9 AS contaminated
+       FROM r WHERE rnk = 1 ORDER BY vec_id"""
 
   /** q99 oracle — filter-then-rank directly (the Spark side's
     * over-fetch + filter must equal it exactly). */
@@ -4675,6 +4724,7 @@ object SparkEntry {
     "q21_simhash" -> simhashOracle,
     "q22_ngram_jaccard" -> jaccardOracle,
     "q25_knn_bruteforce" -> knnOracle,
+    "q145_semantic_decontaminate" -> semanticDecontaminateOracle,
     "q99_hard_negatives" -> hardNegativesOracle,
     "q26_lsh_buckets" -> lshBucketsOracle,
     "q27_lsh_neardup" -> lshNearDupOracle,

@@ -175,6 +175,33 @@ object NewOpsProbe {
       Dedup.containmentOnPairs(pairs, docs, "text", "doc_id", 3)
         .agg(sum(col("n_inter"))).head().getLong(0)
     }
+    // round-10 streaming hygiene ops. Expected shapes: the decon gate
+    // is a stateless projection — wall ~linear in streamed docs with a
+    // FIXED bit-array in the plan; bloom dedup state is shards×bits
+    // whatever the stream length — wall ~linear, state flat (the
+    // O(1)-state claim measured). The stagedDir cache is keyed by dir,
+    // so 1× and K× each stage once.
+    time("stream_decontaminate") { dir =>
+      graft.streaming.StreamOps.runStreamingDecontaminateAvailableNow(
+        spark, dir, numBits = 1024, numHashes = 3, salt = "probe_sd").count()
+    }
+    time("stream_bloom_dedup") { dir =>
+      graft.streaming.StreamOps.runStreamingBloomDedupAvailableNow(
+        spark, dir, numBits = 8192, numHashes = 3, salt = "probe_bd",
+        shards = 8).count()
+    }
+    // eval side pinned to the 1× table: benchmarks are FIXED — only
+    // the train corpus grows — so the realistic scaling is linear in
+    // train vectors against a constant broadcast
+    time("semantic_decontaminate") { dir =>
+      val train = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 97 =!= 0)
+      val evalSet = spark.read.parquet(s"$src/embeddings.parquet")
+        .filter(col("vec_id") % 97 === 0)
+      graft.operators.Ann.bruteForceTopK(train, evalSet,
+          "vec_id", "vec_id", "embedding", k = 1)
+        .filter(col("score") >= 0.9).count()
+    }
     spark.stop()
   }
 }

@@ -42,6 +42,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q120_shard_manifest", // quota stage's 1-row broadcasts, like q114
     "q121_semantic_neardup", // kmeansMicro's 1-row centroid broadcast, like q110
     "q128_matryoshka_recall", // two bruteForceTopK broadcast scans, like q25
+    "q145_semantic_decontaminate", // bruteForceTopK vs the benchmark-sized eval set, like q25
     "q132_pmi_collocations") // 1-row bigram/token-total broadcasts, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
