@@ -1073,8 +1073,12 @@ object SparkEntry {
     * oracle replays first-setter-wins per (shard, bit position) over
     * the same (wave, doc_id) fold order. */
   private def q143(s: SparkSession, dir: String): DataFrame =
+    // 64k bits/shard = 64 KB total state: sized so the fill stays
+    // meaningful at BOTH harness SFs (~2% at sf0.01, ~32% at sf0.1 —
+    // FP rate 7e-6 / 3e-2) instead of saturating; the production rule
+    // is bits ~ 10x expected distinct digests per shard
     StreamOps.runStreamingBloomDedupAvailableNow(s, dir,
-        numBits = 8192, numHashes = 3, salt = "bdedup", shards = 8)
+        numBits = 65536, numHashes = 3, salt = "bdedup", shards = 8)
       .orderBy("doc_id")
 
   /** Streaming Count-Min ([[StreamOps.streamingCountMin]]): the CMS
@@ -5094,7 +5098,7 @@ object SparkEntry {
          ), pos AS (
            SELECT doc_id, wave, shard, ord,
                   ('0x' || substr(md5('bdedup:' || CAST(h AS VARCHAR)
-                     || ':' || dig), 1, 14))::BIGINT % 8192 AS pos
+                     || ':' || dig), 1, 14))::BIGINT % 65536 AS pos
            FROM orded CROSS JOIN (SELECT unnest(range(0, 3)) AS h)
          ), firstpos AS (
            SELECT shard, pos, min(ord) AS first_ord

@@ -210,4 +210,42 @@ object GraftProperties extends Properties("graft") {
     forAll(scoredIdsWithNaN, Gen.choose(1, 5)) { (xs, k) =>
       sameEntries(contents(fill(k, xs)), topKExpectedTotal(xs, k))
     }
+
+  // --- VocabAvgExpr: the quantized-sum exactness the q44 oracle rests on
+
+  private val quantWeight: Gen[Double] =
+    Gen.choose(-8 * 1048576, 8 * 1048576).map(_ / 1048576.0) // multiples of 2^-20
+
+  private val vocabGen: Gen[Map[String, Array[Double]]] =
+    Gen.mapOf(Gen.zip(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+      Gen.listOfN(4, quantWeight).map(_.toArray)))
+
+  private def evalVocabAvg(vocab: Map[String, Array[Double]],
+                           toks: List[String]): Seq[Double] = {
+    val e = graft.functions.VocabAvgExpr(
+      Literal.create(toks, ArrayType(StringType)), vocab, 4)
+    e.eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+  }
+
+  property("VocabAvgExpr is EXACTLY token-order-free on quantized " +
+           "vocabularies (the oracle's plain-aggregate premise)") =
+    forAll(vocabGen, Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)),
+           Gen.long) { (vocab, toks, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      evalVocabAvg(vocab, toks).zip(evalVocabAvg(vocab, shuffled))
+        .forall { case (a, b) => a == b } // bit-exact, not approximate
+    }
+
+  property("VocabAvgExpr: denominator counts OOV tokens; empty list is zeros") =
+    forAll(vocabGen) { vocab =>
+      val zero = evalVocabAvg(vocab, Nil)
+      val known = vocab.keys.toList.sorted.take(1)
+      val withOov = known ++ List("zz_never_a_vocab_word_zz")
+      val expected =
+        if (known.isEmpty) Seq.fill(4)(0.0)
+        else vocab(known.head).map(_ * (1.0 / withOov.size)).toSeq
+      zero == Seq.fill(4)(0.0) &&
+        (known.isEmpty || evalVocabAvg(vocab, withOov) == expected)
+    }
 }
