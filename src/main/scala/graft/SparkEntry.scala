@@ -2637,9 +2637,11 @@ object SparkEntry {
   private def minhashSigsSql(numHashes: Int,
                              independent: Boolean = false): String =
     (0 until numHashes).map(h =>
-      if (independent)
-        s"min(('0x' || substr(md5('mh$h:' || shingle), 1, 14))::BIGINT) AS sig_$h"
-      else
+      if (independent) {
+        // two families per salted digest: its 56-bit halves
+        val (lo, len) = if (h % 2 == 0) (1, 14) else (15, 14)
+        s"min(('0x' || substr(md5('mh${h / 2}:' || shingle), $lo, $len))::BIGINT) AS sig_$h"
+      } else
         s"min(('0x' || substr(md5(shingle), 1, 14))::BIGINT + $h * ('0x' || substr(md5(shingle), 15, 14))::BIGINT) AS sig_$h")
       .mkString(",\n  ")
 

@@ -59,19 +59,28 @@ object Dedup {
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("shingle"))
     if (independentHashes) {
-      // one salted digest PER FAMILY: h× the md5 cost, but the
-      // families are genuinely independent — the Kirsch-Mitzenmacher
-      // derivation below shares (h1, h2) across all families, so one
-      // shingle with jointly-small halves owns EVERY family's min and
-      // near-dup signatures move together (the correlated recall loss
-      // q139's audit measured: the same two pairs missed at 8x2 AND
-      // 16x2 banding). Use this preset when measured recall matters
-      // more than signature cost.
-      val aggs = (0 until numHashes).map { h =>
-        min(conv(substring(md5(concat(lit(s"mh$h:"), col("shingle"))), 1, 14),
-          16, 10).cast("long")).as(s"sig_$h")
+      // genuinely independent families — the Kirsch-Mitzenmacher
+      // derivation below makes ALL families affine in one digest's
+      // (h1, h2), so one shingle with jointly-small halves owns EVERY
+      // family's min and near-dup signatures move together (the
+      // correlated recall loss q139's audit measured: the same two
+      // pairs missed at 8x2 AND 16x2 banding). One salted digest
+      // yields TWO families (its 56-bit halves — distinct md5 bits,
+      // not affine transforms of each other), so the preset costs
+      // ⌈h/2⌉ digests per shingle, and a jointly-small digest can
+      // touch at most 2 families instead of all of them. Use when
+      // measured recall matters more than signature cost.
+      val withDigests = (0 until (numHashes + 1) / 2).foldLeft(exploded) {
+        case (df, d) => df.withColumn(s"__id$d",
+          md5(concat(lit(s"mh$d:"), col("shingle"))))
       }
-      exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      val aggs = (0 until numHashes).map { h =>
+        val half =
+          if (h % 2 == 0) substring(col(s"__id${h / 2}"), 1, 14)
+          else substring(col(s"__id${h / 2}"), 15, 14)
+        min(conv(half, 16, 10).cast("long")).as(s"sig_$h")
+      }
+      withDigests.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     } else {
       val keyed = exploded
         .withColumn("__d", md5(col("shingle")))

@@ -59,11 +59,25 @@ class DedupSpec extends SparkSpec with Matchers {
     // ladder — consecutive slot deltas of one doc must not be constant
     val deltas = a(1L).sliding(2).map(p => p(1) - p(0)).toSeq
     deltas.distinct.size should be > 1
-    // near-dup still shares slots at ~jaccard rate (E = j·8 ≈ 4-5
-    // with binomial spread on 8 trials; ≥3 keeps the property check
-    // meaningful without flaking on variance)
-    val shared = a(1L).zip(a(3L)).count { case (x, y) => x == y }
-    shared should be >= 3
+    // the signature IS its specification: recompute doc 1's slots
+    // locally from the same two-families-per-salted-digest formula
+    // (deterministic — no statistical tail to flake on; the
+    // shares-at-jaccard-rate property is carried by the oracle-checked
+    // recall audits q141 at both SFs)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingles1 = Dedup.shingles(org.apache.spark.sql.functions.lit(
+      "the quick brown fox jumps over the lazy dog"), 3)
+    val sh = spark.range(1).select(shingles1.as("s"))
+      .collect().head.getSeq[String](0).distinct
+    val expected = (0 until 8).map { h =>
+      sh.map { s =>
+        val d = md5hex(s"mh${h / 2}:$s")
+        val half = if (h % 2 == 0) d.substring(0, 14) else d.substring(14, 28)
+        java.lang.Long.parseLong(half, 16)
+      }.min
+    }
+    a(1L) shouldBe expected
   }
 
   test("LSH banding surfaces the exact and near dup pairs, not the unrelated doc") {
