@@ -135,7 +135,18 @@ object Word2VecEmbedder {
           minCount: Int = 1, maxIter: Int = 1,
           maxTextLength: Int = 150): Word2VecEmbedder = {
     val tokens = corpus.select(
-      GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)).as("__tokens"))
+        GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)).as("__tokens"))
+      // canonical sentence order: single-partition SGD is sequential,
+      // so the FIT depends on the order sentences arrive — which
+      // upstream partitioning would otherwise dictate (a repartitioned
+      // corpus trained different vectors). Sorting by sentence content
+      // then merging the sorted ranges order-preservingly makes the
+      // model a pure function of the corpus CONTENT (equal sentences
+      // are interchangeable); the fit corpus is bounded by contract,
+      // so the sort is catalog-sized. EmbedderSpec pins
+      // repartition-invariance.
+      .orderBy(concat_ws(" ", col("__tokens")))
+      .coalesce(1)
     val w2v = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("__tokens").setOutputCol("__vec")
       .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
@@ -146,6 +157,22 @@ object Word2VecEmbedder {
       .setNumPartitions(1)
     new Word2VecEmbedder(w2v.fit(tokens), maxTextLength)
   }
+
+  /** The 100 TB fit contract, composed explicitly: train on a
+    * DETERMINISTIC `num/den` sample of the corpus
+    * ([[graft.operators.Curation.deterministicSample]] — salted-md5
+    * membership, partition-invariant, stable under corpus growth) so
+    * the fitted vocabulary is reproducible run-to-run and machine-to-
+    * machine even as the corpus is re-partitioned or appended. The
+    * single-partition SGD then runs over a bounded sample, never the
+    * raw corpus. */
+  def fitSampled(corpus: DataFrame, textCol: String, idCol: String,
+                 num: Int, den: Int, dim: Int = 64, seed: Long = 42L,
+                 minCount: Int = 1, maxIter: Int = 1,
+                 maxTextLength: Int = 150,
+                 salt: String = "w2vfit"): Word2VecEmbedder =
+    fit(graft.operators.Curation.deterministicSample(corpus, idCol, num, den, salt),
+      textCol, dim, seed, minCount, maxIter, maxTextLength)
 }
 
 /** Trained-vocabulary embedder with EXACT replay arithmetic: applies

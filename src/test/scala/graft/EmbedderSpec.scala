@@ -131,6 +131,27 @@ class EmbedderSpec extends SparkSpec with Matchers {
     out(2L).forall(_ == 0.0) shouldBe true
   }
 
+  test("fitSampled: deterministic sample membership => identical vectors " +
+       "whatever the partitioning; vocabulary limited to sampled docs") {
+    val wide = (1L to 40L).map(i =>
+      (i, s"tok$i alveolar cell airway epithelium sample"))
+      .toDF("id", "text")
+    val a = graft.embed.Word2VecEmbedder
+      .fitSampled(wide, "text", "id", num = 1, den = 2, dim = 8)
+    val b = graft.embed.Word2VecEmbedder
+      .fitSampled(wide.repartition(7), "text", "id", num = 1, den = 2, dim = 8)
+    a.vocabVectors.map { case (w, v) => w -> v.toSeq } shouldBe
+      b.vocabVectors.map { case (w, v) => w -> v.toSeq }
+    // per-doc marker tokens of UNSAMPLED docs never enter the vocabulary
+    val sampled = (1L to 40L).filter(i =>
+      graft.operators.Curation.deterministicSample(
+        wide.filter(col("id") === i), "id", 1, 2, "w2vfit").count() == 1)
+    val vocabWords = a.vocabVectors.map(_._1).toSet
+    sampled.foreach(i => vocabWords should contain(s"tok$i"))
+    (1L to 40L).filterNot(sampled.contains)
+      .foreach(i => vocabWords should not contain s"tok$i")
+  }
+
   test("QuantizedVocabEmbedder: preserves the trained embedder's nearest-neighbour ranking") {
     val w2v = Word2VecEmbedder.fit(corpus, "text", dim = 16)
     val q = graft.embed.QuantizedVocabEmbedder.fromWord2Vec(w2v, dim = 16)
