@@ -317,7 +317,9 @@ object SparkEntry {
     val evalSet = e.filter(col("vec_id") % 97 === 0)
     val train = e.filter(col("vec_id") % 97 =!= 0)
       .union(evalSet.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        // planted ids mirrored NEGATIVE: collision-free with any real
+        // (non-negative) vec_id at any corpus scale
+        .select((-col("vec_id") - 1L).as("vec_id"), col("embedding"),
           col("label")))
     Ann.bruteForceTopK(train, evalSet,
         "vec_id", "vec_id", "embedding", k = 1)
@@ -2797,7 +2799,7 @@ object SparkEntry {
        q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 = 0),
        tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 <> 0
               UNION ALL
-              SELECT vec_id + 1000000 AS vec_id, v, nrm FROM n
+              SELECT -vec_id - 1 AS vec_id, v, nrm FROM n
               WHERE vec_id % 97 = 0 AND vec_id % 5 = 0),
        s AS (SELECT tr.vec_id, q.vec_id AS eval_id,
                ${cosSql("tr.v", "tr.nrm", "q.v", "q.nrm")} AS score

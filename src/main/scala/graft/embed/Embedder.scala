@@ -202,6 +202,10 @@ class QuantizedVocabEmbedder(
     dim: Int,
     maxTextLength: Int = 150) extends Embedder {
 
+  require(vocab.forall(_._2.length == dim),
+    s"every vocabulary vector must have exactly dim=$dim components " +
+      "(a mismatch would silently truncate or crash per-row in executors)")
+
   private val lookup: Map[String, Array[Double]] = vocab.toMap
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {

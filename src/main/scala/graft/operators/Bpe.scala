@@ -302,17 +302,21 @@ object Bpe {
     *     therefore excluded, bounding the new type's count by F);
     *
     * the walk stops at the first rejection (the batch must stay a
-    * PREFIX of the sorted order so every excluded pair's count is a
-    * lower bound), and the batch is then truncated until its last
-    * count STRICTLY exceeds the first excluded count F. Under 1-4,
-    * at sequential step i every competitor is either an original
-    * excluded pair (count ≤ F < c_i) or a new pair type (count
-    * bounded by an excluded parent's, ≤ F < c_i), so the sequential
-    * argmax picks exactly the accepted pairs in order. An
-    * inadmissible top-1 (l==r or symbol collision) falls back to a
-    * solo sequential step with a measured post-merge token count.
-    * BpeSpec pins 128-round merge-list equality with the sequential
-    * fold; q123's oracle hash is unchanged by construction. */
+    * PREFIX of the sorted order), and each member beyond the first
+    * must STRICTLY dominate its new-pair THREAT bound: the maximum
+    * count over visible excluded pairs chain-overlapping an EARLIER
+    * accepted member, with the horizon (last visible count) standing
+    * in for parents hiding below the window. Under 1-4 + the threat
+    * bound, at sequential step i every competitor is either an
+    * original excluded pair — count never increased, sorted after
+    * the prefix, so it loses on count or on the lex tie-break — or a
+    * new pair type, whose count is bounded by a chain-overlapping
+    * excluded parent's ≤ threat < c_i. Hence the sequential argmax
+    * picks exactly the accepted pairs in order. An inadmissible
+    * top-1 (l==r or symbol collision) falls back to a solo
+    * sequential step. BpeSpec pins 128-round merge-list equality
+    * with the sequential fold plus a randomized cross-mode fuzz;
+    * q123's oracle hash is unchanged by construction. */
   private def trainMergesBatched(words0: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       iterations: Int, persistVocab: Boolean, batchMax: Int): DataFrame = {

@@ -422,6 +422,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Convergence rounds of the most recent [[connectedComponents]]
+    * call (probe-visible: the closure's scale driver is rounds ×
+    * per-round shuffle). */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Connected components over near-duplicate PAIRS — the step a real
     * corpus dedup pipeline runs after pair generation: near-duplicate
     * is not transitive, but the unit of removal is the transitive
@@ -448,11 +453,6 @@ object Dedup {
     * (node, cluster_id) for every node appearing in an edge, where
     * cluster_id is the component's minimum node id.
     */
-  /** Convergence rounds of the most recent [[connectedComponents]]
-    * call (probe-visible: the closure's scale driver is rounds ×
-    * per-round shuffle). */
-  val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(0)
-
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25): DataFrame = {
     // large-star: every neighbor v > u links to the min of u's

@@ -662,6 +662,11 @@ object StreamOps {
           when(col("doc_id") % 3 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" v1"))).as("text")),
         s"$st/f1.parquet")
+      // this op's PER-ROW output depends on cross-file fold order
+      // (first-arrival-sets-the-bits), and FileStreamSource orders by
+      // mtime with an unspecified tie-break — pin strictly increasing
+      // mtimes so wave 0 always folds first
+      forceMtimeOrder(Seq(s"$st/f0.parquet", s"$st/f1.parquet"))
     }
     val stream = spark.readStream
       .schema(StructType(Seq(
@@ -1152,6 +1157,20 @@ object StreamOps {
   /** Write `df` as ONE parquet FILE at `filePath` (FileStreamSource
     * lists plain files; a Spark output directory would not glob as
     * one unit). */
+  /** Pin strictly increasing modification times (2 s apart, ending
+    * now) on the given staged files, in order — FileStreamSource
+    * sorts by mtime with an unspecified tie-break, and same-clock-tick
+    * staging would otherwise leave multi-file processing order to the
+    * filesystem's listing. */
+  def forceMtimeOrder(paths: Seq[String]): Unit = {
+    val base = System.currentTimeMillis() - 2000L * paths.size
+    paths.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(base + 2000L * (i + 1)))
+    }
+  }
+
   def stageVersionFile(df: DataFrame, filePath: String): Unit = {
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
