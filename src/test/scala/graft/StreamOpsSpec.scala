@@ -310,6 +310,47 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("streaming Bloom dedup equals a local sequential simulation of the " +
+      "same bit fold — exact dups always flag, FPs deterministic (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val numBits = 4096
+    val streamed = StreamOps.runStreamingBloomDedupAvailableNow(spark, dir,
+        numBits = numBits, numHashes = 3, salt = "bdtest", shards = 4)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("wave"))) ->
+        r.getBoolean(r.fieldIndex("is_dup")))
+      .toMap
+    // local replay: same staging derivation, same digest/shard/bucket
+    // formulas, strict (wave, doc_id) fold per shard
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val rows = docs.map { case (id, t) => (0L, id, md5hex(t)) } ++
+      docs.map { case (id, t) =>
+        (1L, id + 10000000L, md5hex(if (id % 3 == 0) t else t + " v1")) }
+    val expected = rows
+      .groupBy { case (_, _, dig) =>
+        java.lang.Long.parseLong(md5hex("shard:" + dig).substring(0, 14), 16) % 4 }
+      .iterator.flatMap { case (_, members) =>
+        val bits = collection.mutable.Set.empty[Int]
+        members.sortBy(m => (m._1, m._2)).map { case (w, id, dig) =>
+          val ps = (0 until 3).map(h =>
+            (java.lang.Long.parseLong(md5hex(s"bdtest:$h:$dig").substring(0, 14), 16)
+              % numBits).toInt)
+          val dup = ps.forall(bits.contains)
+          if (!dup) bits ++= ps
+          (id, w) -> dup
+        }
+      }.toMap
+    streamed shouldBe expected
+    // every identical re-crawl is flagged, whatever the FP draw
+    docs.filter(_._1 % 3 == 0).foreach { case (id, _) =>
+      assert(streamed((id + 10000000L, 1L)), s"identical re-crawl of $id")
+    }
+  }
+
   test("streaming Count-Min estimates are bit-identical to the batch sketch " +
       "over each wave's cumulative prefix (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
