@@ -468,6 +468,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL image resize through the multimodal seam: q83's
+    * deterministic gray PNGs decoded and nearest-neighbour resized
+    * to 8×6 ([[Multimodal.resizePngBatched]] — exact integer index
+    * map `src = (dst·size) div outSize`), with the resized raster's
+    * pixel sum recomputed by the oracle from the generating formula
+    * alone. Completes the decode / feature-extract / RESIZE /
+    * frame-sample family with a real, hash-certified member (the
+    * byte-stride stub stays as the seam for codecs this container
+    * lacks). */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val withPng = Multimodal.withGrayPngPayload(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.resizePngBatched(withPng, "payload", outW = 8, outH = 6)
+      .select(col("doc_id"), col("out_width"), col("out_height"),
+        col("out_px_sum"))
+      .orderBy("doc_id")
+  }
+
   /** One planted PII string per category (doc_id mod 7 picks the
     * class) so every [[Scrub.piiPatterns]] regex fires inside the
     * hash check — the q41 planting pattern. Shared verbatim with the
@@ -2559,6 +2577,7 @@ object SparkEntry {
     "q81_stream_funnel" -> (q81 _),
     "q82_pca_certify" -> (q82 _),
     "q83_png_roundtrip" -> (q83 _),
+    "q146_png_resize" -> (q146 _),
     "q84_pii_scrub" -> (q84 _),
     "q85_url_rollup" -> (q85 _),
     "q86_unigram_logprob" -> (q86 _),
@@ -5925,6 +5944,25 @@ object SparkEntry {
          FROM x
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, valid_from, event_id""",
+    "q146_png_resize" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents
+         ), g AS (
+           SELECT doc_id, w, h,
+                  unnest(range(0, 6)) AS y2
+           FROM d
+         ), gx AS (
+           SELECT doc_id, w, h, y2, unnest(range(0, 8)) AS x2
+           FROM g
+         )
+         SELECT doc_id, CAST(8 AS BIGINT) AS out_width,
+                CAST(6 AS BIGINT) AS out_height,
+                CAST(sum((doc_id * 31
+                          + (y2 * h // 6) * w + (x2 * w // 8)) % 256)
+                     AS BIGINT) AS out_px_sum
+         FROM gx GROUP BY doc_id
+         ORDER BY doc_id""",
     "q83_png_roundtrip" ->
       """WITH d AS (
            SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height

@@ -148,9 +148,9 @@ object Multimodal {
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
 
-    /** Decode a PNG; features = [width, height, pixel sum] over the
-      * 8-bit gray channel. Undecodable bytes → nulls upstream. */
-    def decode(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    /** Decode a PNG to its full 8-bit gray raster (row-major).
+      * Undecodable bytes → None. */
+    def decodeRaw(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       val img =
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -168,16 +168,26 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val raster = img.getRaster
-        var sum = 0L
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
-          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
           y += 1
         }
-        Some((w, h, sum))
+        Some((w, h, px))
       }
     }
+
+    /** Decode a PNG; features = [width, height, pixel sum] over the
+      * 8-bit gray channel. Undecodable bytes → nulls upstream. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+      decodeRaw(bytes).map { case (w, h, px) =>
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        (w, h, sum)
+      }
   }
 
   private def newImageCodecHandle(): ImageCodecHandle = {
@@ -217,6 +227,49 @@ object Multimodal {
       encodeGrayPng(w, h, (x, y) => ((id * 31 + y.toLong * w + x) % 256).toInt)
     }
     df.withColumn(binCol, gen(col(idCol)))
+  }
+
+  /** Batched REAL resize: decode → nearest-neighbour sample to
+    * (outW, outH) → resized-raster stats, ONE codec handle per
+    * partition. The index map is exact integer arithmetic —
+    * `srcX = (x·w) div outW` — so the resized raster is an
+    * engine-replayable pure function of the source pixels and the
+    * whole decode→resize→encode→decode chain hash-certifies against
+    * a closed-form oracle (q146; the REAL counterpart of
+    * [[resizeFrameStub]]'s byte-stride seam). Appends
+    * out_width/out_height/out_px_sum; undecodable payloads yield
+    * nulls. */
+  def resizePngBatched(df: DataFrame, binCol: String,
+                       outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "target dims must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema
+      .add("out_width", LongType).add("out_height", LongType)
+      .add("out_px_sum", LongType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val codec = newImageCodecHandle() // per-PARTITION init, not per row
+      rows.map { r =>
+        val resized = codec.decodeRaw(r.getAs[Array[Byte]](binIdx)).map {
+          case (w, h, px) =>
+            var sum = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) { sum += px(sy * w + (x * w / outW)); x += 1 }
+              y += 1
+            }
+            sum
+        }
+        resized match {
+          case Some(sum) =>
+            Row.fromSeq(r.toSeq ++ Seq(outW.toLong, outH.toLong, sum))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Batched REAL decode: ONE ImageIO codec handle per partition

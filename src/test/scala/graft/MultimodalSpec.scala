@@ -112,4 +112,33 @@ class MultimodalSpec extends SparkSpec with Matchers {
     r.isNullAt(1) shouldBe true
     r.isNullAt(2) shouldBe true
   }
+
+  test("REAL PNG resize: nearest-neighbour integer index map, hand-checked; " +
+       "junk payloads yield nulls") {
+    import spark.implicits._
+    val ids = Seq(Tuple1(5L), Tuple1(12L)).toDF("doc_id")
+    val out = Multimodal.resizePngBatched(
+        Multimodal.withGrayPngPayload(ids, "doc_id"), "payload",
+        outW = 4, outH = 3)
+      .select("doc_id", "out_width", "out_height", "out_px_sum")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out.keySet shouldBe Set(5L, 12L)
+    out.foreach { case (id, (ow, oh, sum)) =>
+      ow shouldBe 4L
+      oh shouldBe 3L
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val expected = (for (y2 <- 0 until 3; x2 <- 0 until 4) yield {
+        val sy = y2 * h / 3
+        val sx = x2 * w / 4
+        (id * 31 + sy.toLong * w + sx) % 256
+      }).sum
+      sum shouldBe expected
+    }
+    val junk = Seq((1L, "nope".getBytes)).toDF("doc_id", "payload")
+    val r = Multimodal.resizePngBatched(junk, "payload", 4, 3)
+      .select("out_width", "out_height", "out_px_sum").collect().head
+    (0 to 2).foreach(i => r.isNullAt(i) shouldBe true)
+  }
 }
