@@ -190,6 +190,20 @@ object NewOpsProbe {
         spark, dir, numBits = 8192, numHashes = 3, salt = "probe_bd",
         shards = 8).count()
     }
+    // independent-digest MinHash vs the KM preset: same banding, same
+    // near-dup workload; the delta is the ceil(h/2)-digests-per-shingle
+    // signature cost (the price of the 100%-recall preset), and both
+    // should hold the bucket-blocked sublinear shape
+    time("minhash_neardup_km") { dir =>
+      Dedup.minhashNearDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        jaccardThreshold = 0.8).count()
+    }
+    time("minhash_neardup_indep") { dir =>
+      Dedup.minhashNearDuplicates(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        jaccardThreshold = 0.8, independentHashes = true).count()
+    }
     // eval side pinned to the 1× table: benchmarks are FIXED — only
     // the train corpus grows — so the realistic scaling is linear in
     // train vectors against a constant broadcast
