@@ -1700,6 +1700,29 @@ object SparkEntry {
       .orderBy("q_id")
   }
 
+  /** The retrieval-cascade capstone ([[Ann.retrievalCascade]]): the
+    * certified tiers composed into the production read path —
+    * matryoshka 32-dim prefix prefilter (q128's truncation) → int8
+    * re-rank over dequantized q50 vectors → exact full-precision
+    * top-5 rescore (q25's kernel), candidates contracting
+    * corpus → 100 → 30 → 5 per query. `exact_rank` joins each answer
+    * to its brute-force ground-truth position, so recall is measured
+    * inside the hash-checked result (0.94 at sf0.01 — the loss is
+    * entirely tier 1: these synthetic vectors are isotropic, so a
+    * 32/64 prefix carries only half the variance; trained matryoshka
+    * embeddings concentrate it, which is what makes the tier a
+    * prefilter rather than a gamble). Every tier's arithmetic is
+    * engine-exact (prefix slice, q50's round-quantize formula, shared
+    * cosine kernel), so the WHOLE cascade replays in DuckDB. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Ann.retrievalCascade(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding",
+        prefixDim = 32, c1 = 100, c2 = 30, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-GROUP heavy hitters: the Misra-Gries bounded-state sketch
     * ([[graft.functions.FreqItemsAgg]]) as one aggregate per source —
     * per-domain top terms with O(capacity) state per group. Counts
@@ -2624,6 +2647,7 @@ object SparkEntry {
     "q126_containment" -> (q126 _),
     "q127_cluster_canonical" -> (q127 _),
     "q128_matryoshka_recall" -> (q128 _),
+    "q147_retrieval_cascade" -> (q147 _),
     "q129_stream_countmin" -> (q129 _),
     "q130_shard_diversity" -> (q130 _),
     "q131_grouped_split" -> (q131 _),
@@ -6293,7 +6317,57 @@ object SparkEntry {
                 GROUP BY f.q_id)
          SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS k,
                 coalesce(o.n_common, CAST(0 AS BIGINT)) AS n_common
-         FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""") ++
+         FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""",
+    "q147_retrieval_cascade" ->
+      s"""$embCte,
+         tn AS (SELECT vec_id, v[1:32] AS tv,
+                       sqrt(list_dot_product(v[1:32], v[1:32])) AS tnrm FROM e),
+         qset AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         qp AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
+         t1 AS (SELECT q_id, c_id FROM (
+                  SELECT qp.vec_id AS q_id, c.vec_id AS c_id,
+                         row_number() OVER (PARTITION BY qp.vec_id ORDER BY
+                           ${cosSql("qp.tv", "qp.tnrm", "c.tv", "c.tnrm")} DESC,
+                           c.vec_id ASC) AS rn
+                  FROM qp CROSS JOIN tn c)
+                WHERE rn <= 100),
+         s8 AS (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         dq AS (SELECT vec_id,
+                       list_transform(v, x ->
+                         CAST(CAST(CASE WHEN scale = 0 THEN 0
+                                        ELSE round(x / scale * 127)
+                                   END AS TINYINT) AS DOUBLE) * scale / 127) AS dv
+                FROM s8),
+         dqn AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq),
+         t2 AS (SELECT q_id, c_id FROM (
+                  SELECT t1.q_id, t1.c_id,
+                         row_number() OVER (PARTITION BY t1.q_id ORDER BY
+                           ${cosSql("q.v", "q.nrm", "d.dv", "d.dnrm")} DESC,
+                           t1.c_id ASC) AS rn
+                  FROM t1 JOIN dqn d ON d.vec_id = t1.c_id
+                          JOIN qset q ON q.vec_id = t1.q_id)
+                WHERE rn <= 30),
+         t3 AS (SELECT q_id, rn AS rnk, c_id, score FROM (
+                  SELECT t2.q_id, t2.c_id,
+                         ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score,
+                         row_number() OVER (PARTITION BY t2.q_id ORDER BY
+                           ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
+                           t2.c_id ASC) AS rn
+                  FROM t2 JOIN n c ON c.vec_id = t2.c_id
+                          JOIN qset q ON q.vec_id = t2.q_id)
+                WHERE rn <= 5),
+         ex AS (SELECT q_id, c_id, rn AS exact_rank FROM (
+                  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
+                           c.vec_id ASC) AS rn
+                  FROM qset q CROSS JOIN n c)
+                WHERE rn <= 5)
+         SELECT t3.q_id, CAST(t3.rnk AS BIGINT) AS "rank", t3.c_id, t3.score,
+                CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
+         FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
+         ORDER BY t3.q_id, t3.rnk""") ++
     modelOracles
 
   /** q127: the q53 recursive-closure clusters with the representative

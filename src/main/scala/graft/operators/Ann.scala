@@ -392,4 +392,76 @@ object Ann {
       .filter(col("neg_rank") <= k)
       .select(col("q_id"), col("neg_rank"), col("c_id"), col("score"))
   }
+
+  /** The production retrieval read path, composed from the certified
+    * tiers: matryoshka prefix prefilter (the q128 truncation — cosine
+    * over the first `prefixDim` dims, top-`c1` candidates per query)
+    * → int8 re-rank (the q50 quantization — cosine of the full query
+    * against DEQUANTIZED int8 corpus vectors, top-`c2`) → exact
+    * full-precision rescore (the q25 kernel, final top-`k`). Each
+    * tier reads strictly fewer candidates: the prefix tier scans the
+    * whole corpus at dim/4 bandwidth, the int8 tier touches only
+    * c1 rows/query at 1/4 byte width, the exact tier only c2 — at
+    * 100 TB the full-precision vectors are read for a few dozen rows
+    * per query instead of the corpus. `exact_rank` carries the
+    * ground-truth position of each returned candidate in the
+    * brute-force top-`k` (0 = missed), so recall is measured in the
+    * result itself, not a side claim.
+    *
+    * Candidate→vector re-joins are on `c_id`: broadcast-sized here
+    * (corpus is one table), shuffle-hash on the candidate set at
+    * corpus scale — candidates are `|Q|·c1` rows, never the corpus.
+    * Ties break (score desc, c_id asc) in every tier, matching
+    * [[rankTopK]] / the reference's argsort stability. */
+  def retrievalCascade(queries: DataFrame, corpus: DataFrame,
+                       qIdCol: String, cIdCol: String, vecCol: String,
+                       prefixDim: Int, c1: Int, c2: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    require(c1 >= c2 && c2 >= k && k >= 1,
+      "cascade tiers must contract: c1 >= c2 >= k >= 1")
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+      .withColumn("qp_vec", slice(col("q_vec"), 1, prefixDim))
+      .withColumn("qp_nrm", VectorOps.l2Norm(col("qp_vec")))
+    val c = corpus.select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+    // tier-1 index: prefix vectors only (dim/prefixDim × less bandwidth)
+    val cPrefix = broadcast(c.select(col("c_id"),
+        slice(col("c_vec"), 1, prefixDim).as("cp_vec"))
+      .withColumn("cp_nrm", VectorOps.l2Norm(col("cp_vec"))))
+    val t1 = rankTopK(
+      q.crossJoin(cPrefix)
+        .withColumn("score", VectorOps.cosineWithNorms(
+          col("qp_vec"), col("qp_nrm"), col("cp_vec"), col("cp_nrm"))),
+      "q_id", "c_id", "score", c1)
+    // tier-2 index: int8 vectors + per-vector scale (4× less bandwidth)
+    val cInt8 = broadcast(c
+      .withColumn("scale", VectorOps.quantScale(col("c_vec")))
+      .select(col("c_id"),
+        VectorOps.dequantizeInt8(
+          VectorOps.quantizeInt8(col("c_vec"), col("scale")),
+          col("scale")).as("dq_vec"))
+      .withColumn("dq_nrm", VectorOps.l2Norm(col("dq_vec"))))
+    val t2 = rankTopK(
+      t1.select("q_id", "c_id")
+        .join(cInt8, Seq("c_id"))
+        .join(q.select(col("q_id"), col("q_vec"), col("q_nrm")), Seq("q_id"))
+        .withColumn("score", VectorOps.cosineWithNorms(
+          col("q_vec"), col("q_nrm"), col("dq_vec"), col("dq_nrm"))),
+      "q_id", "c_id", "score", c2)
+    // tier 3: exact full-precision rescore of c2 candidates
+    val cFull = broadcast(c.withColumn("c_nrm", VectorOps.l2Norm(col("c_vec"))))
+    val t3 = rankTopK(
+      t2.select("q_id", "c_id")
+        .join(cFull, Seq("c_id"))
+        .join(q.select(col("q_id"), col("q_vec"), col("q_nrm")), Seq("q_id"))
+        .withColumn("score", VectorOps.cosineWithNorms(
+          col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm"))),
+      "q_id", "c_id", "score", k)
+    // ground truth: exact top-k, so recall rides in the result
+    val exact = bruteForceTopK(queries, corpus, qIdCol, cIdCol, vecCol, k)
+      .select(col("q_id"), col("c_id"), col("rank").cast("long").as("exact_rank"))
+    t3.join(exact, Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+        col("score"), coalesce(col("exact_rank"), lit(0L)).as("exact_rank"))
+  }
 }

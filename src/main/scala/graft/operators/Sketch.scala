@@ -113,6 +113,7 @@ object Sketch {
   def bloomProbeColumn(bits: Array[Boolean], item: Column,
       numBits: Int, numHashes: Int, salt: String): Column = {
     require(bits.length == numBits, "bits array must have numBits entries")
+    require(numHashes >= 1, "numHashes must be >= 1")
     val bitsLit = typedLit(bits.toSeq)
     (0 until numHashes)
       .map(h => element_at(bitsLit,

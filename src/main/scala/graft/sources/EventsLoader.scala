@@ -46,7 +46,10 @@ object EventsLoader {
   private def mtimeOf(path: String): Long = {
     def m(p: java.nio.file.Path): Long =
       try java.nio.file.Files.getLastModifiedTime(p).toMillis
-      catch { case _: java.io.IOException => 0L }
+      catch {
+        case _: java.io.IOException          => 0L
+        case _: java.io.UncheckedIOException => 0L
+      }
     val p = java.nio.file.Paths.get(path)
     val self = m(p)
     if (!java.nio.file.Files.isDirectory(p)) self
@@ -58,7 +61,14 @@ object EventsLoader {
         val s = java.nio.file.Files.list(p)
         try s.mapToLong(c => m(c)).reduce(self, (a: Long, b: Long) => math.max(a, b))
         finally s.close()
-      } catch { case _: java.io.IOException => self }
+      } catch {
+        // the terminal reduce surfaces mid-listing deletion as
+        // UncheckedIOException (wrapping NoSuchFileException) or
+        // DirectoryIteratorException, not plain IOException
+        case _: java.io.IOException                       => self
+        case _: java.io.UncheckedIOException              => self
+        case _: java.nio.file.DirectoryIteratorException  => self
+      }
     }
   }
 

@@ -266,4 +266,53 @@ class AnnSpec extends SparkSpec with Matchers {
       c should not be (q + 1)
     }
   }
+
+  test("retrievalCascade: wide tiers reproduce the exact top-k; exact_rank marks recall") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 60L).map(i =>
+        (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    // c1 = |corpus|: tier 1 cannot lose a candidate, so the cascade
+    // must equal brute force exactly and every exact_rank = rank
+    val wide = Ann.retrievalCascade(queries, corpus, "vec_id", "vec_id",
+        "embedding", prefixDim = 4, c1 = 60, c2 = 20, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("c_id"), r.getAs[Long]("exact_rank"))).toMap
+    val brute = Ann.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank").toLong) ->
+        r.getAs[Long]("c_id")).toMap
+    wide.map { case (k2, (c, _)) => k2 -> c } shouldBe brute
+    wide.foreach { case ((_, rank), (_, exactRank)) => exactRank shouldBe rank }
+    // self is always recovered (prefix cosine of self = 1 survives any tier)
+    (0L until 60L by 10L).foreach { q =>
+      wide((q, 1L))._1 shouldBe q
+    }
+  }
+
+  test("retrievalCascade: narrow prefix tier degrades recall measurably, never silently") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 80L).map(i =>
+        (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    val narrow = Ann.retrievalCascade(queries, corpus, "vec_id", "vec_id",
+        "embedding", prefixDim = 2, c1 = 10, c2 = 8, k = 5)
+      .collect()
+    // every query still returns a full k block with ranks 1..k
+    narrow.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      rows.map(_.getAs[Long]("rank")).sorted.toSeq shouldBe (1L to 5L)
+    }
+    // missed ground-truth answers surface as exact_rank = 0, and
+    // recovered ones carry their true brute-force position
+    val exact = Ann.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    narrow.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      r.getAs[Long]("exact_rank") shouldBe exact.getOrElse(key, 0L)
+    }
+  }
 }
