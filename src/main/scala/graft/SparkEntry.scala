@@ -2421,6 +2421,40 @@ object SparkEntry {
       .orderBy("source", "raw_input_label")
   }
 
+  /** The flagship with the DISTRIBUTED-trained embedder
+    * ([[graft.embed.CoocPowerEmbedder]]): exact integer co-occurrence
+    * counts over the reference corpus diffused for 2 quantized
+    * rounds — no single-partition SGD, no content-sort, no frozen
+    * model state. Because the whole trajectory is order-free integer
+    * arithmetic, the oracle RETRAINS the model inside DuckDB
+    * (co-occurrence → ±micro md5 init → 2 unrolled update rounds →
+    * vocab-mean apply → cosine top-2 → pivot → exact-overwrite) —
+    * one step stronger than q44's frozen-VALUES replay: nothing is
+    * exported, both engines fit from raw data and must agree on
+    * every trained weight to hash-match. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val raw = docs.select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("raw_input_label"))
+      .distinct()
+      .withColumn("cleaned_input_label", GraftUdfs.cleanLabel(col("raw_input_label")))
+    val part = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").cast("string").as("CT_ID"),
+        col("p_name").as("CT_NAME"), col("p_brand").as("CT_LABEL"),
+        col("p_type").as("definition"))
+      .withColumn("all_text",
+        coalesce(concat(col("CT_NAME"), lit(" "), col("CT_LABEL"), lit(" "),
+          col("definition")), col("CT_NAME")))
+    val embedder = graft.embed.CoocPowerEmbedder.fit(part, "CT_ID", "all_text",
+      dim = 64, rounds = 2)
+    val queries = embedder.embed(raw, "cleaned_input_label", "qvec")
+    val ref = Matcher.prepareReference(
+      embedder.embed(part, "all_text", "embedding"), "embedding", Seq("CT_ID"))
+      .cache()
+    Matcher.mapLabels(queries, ref, k = 2)
+      .orderBy("source", "raw_input_label")
+  }
+
   /** Frozen 8-d vector derived from the md5 of a key string:
     * component i = integer value of hex pair i. Deterministic,
     * engine-independent, and DuckDB-recomputable — the components are
@@ -2648,6 +2682,7 @@ object SparkEntry {
     "q127_cluster_canonical" -> (q127 _),
     "q128_matryoshka_recall" -> (q128 _),
     "q147_retrieval_cascade" -> (q147 _),
+    "q148_label_match_cooc" -> (q148 _),
     "q129_stream_countmin" -> (q129 _),
     "q130_shard_diversity" -> (q130 _),
     "q131_grouped_split" -> (q131 _),
@@ -4056,6 +4091,68 @@ object SparkEntry {
     flagshipLiveOracle((p, base, keys) => w2vVecStagesSql(p, base, keys, 64),
       extraCtes = s",\n       w2v(word, vec) AS (SELECT * FROM (VALUES $rows))")
   }
+
+  /** q148's training trajectory as CTEs: RETRAIN the
+    * [[graft.embed.CoocPowerEmbedder]] inside DuckDB — tokenize the
+    * fit corpus with the engine's clean-dedup pipeline, count exact
+    * (u,v) document co-occurrences (diagonal = row frequency), seed
+    * ±micro vectors from md5 parity, unroll `rounds` floor-mean
+    * diffusion rounds (the exactly-divisible `(raw - pmod) / deg`
+    * form both engines compute exactly), and emit `w2v(word, vec)`
+    * for the shared [[w2vVecStagesSql]] apply stages. */
+  private def coocTrainCtesSql(dim: Int, rounds: Int, micro: Long,
+                               salt: String): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cr$r AS (
+         SELECT c.u, w.d, CAST(sum(c.cnt * w.x) AS BIGINT) AS raw
+         FROM cooc c JOIN cw${r - 1} w ON w.word = c.v
+         GROUP BY c.u, w.d
+       ), cw$r AS (
+         SELECT r.u AS word, r.d,
+                CAST((r.raw - (((r.raw % g.deg) + g.deg) % g.deg)) / g.deg
+                  AS BIGINT) AS x
+         FROM cr$r r JOIN cdeg g ON g.u = r.u
+       )"""
+    }.mkString(",\n       ")
+    s""",
+       twsrc AS (
+         SELECT CAST(p_partkey AS VARCHAR) AS ct_id,
+                coalesce(p_name || ' ' || p_brand || ' ' || p_type, p_name) AS all_text
+         FROM part WHERE p_partkey <= 300
+       ),
+       ${cleanTokenStagesSql("tw", "twsrc", Seq("ct_id"),
+        "substr(all_text, 1, 150)", regexSplit = false)},
+       tw_tok AS (
+         SELECT ct_id, ctok AS tok FROM (
+           SELECT ct_id, ctok,
+                  row_number() OVER (PARTITION BY ct_id, ctok ORDER BY pos) AS dup_rn
+           FROM tw_rooted WHERE ${notStopwordSql("rt")})
+         WHERE dup_rn = 1
+       ),
+       cooc AS (
+         SELECT a.tok AS u, b.tok AS v, CAST(count(*) AS BIGINT) AS cnt
+         FROM tw_tok a JOIN tw_tok b ON b.ct_id = a.ct_id
+         GROUP BY a.tok, b.tok
+       ),
+       cdeg AS (SELECT u, CAST(sum(cnt) AS BIGINT) AS deg FROM cooc GROUP BY u),
+       cw0 AS (
+         SELECT g.u AS word, dd.d,
+                CAST(CASE WHEN ('0x' || substr(md5('$salt:' || g.u || ':' ||
+                         CAST(dd.d AS VARCHAR)), 1, 14))::BIGINT % 2 = 0
+                     THEN $micro ELSE -$micro END AS BIGINT) AS x
+         FROM cdeg g CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) dd
+       ),
+       $roundCtes,
+       w2v AS (
+         SELECT word, list(CAST(x AS DOUBLE) ORDER BY d) AS vec
+         FROM cw$rounds GROUP BY word
+       )"""
+  }
+
+  private def labelMatchCoocOracle: String =
+    flagshipLiveOracle((p, base, keys) => w2vVecStagesSql(p, base, keys, 64),
+      extraCtes = coocTrainCtesSql(dim = 64, rounds = 2, micro = 1000000L,
+        salt = "cpe"))
 
   /** q35's oracle: replay the 2-d projection from the frozen signed
     * eigenbasis ([[q35BasisHolder]], captured at fit time). Both
@@ -6367,7 +6464,8 @@ object SparkEntry {
          SELECT t3.q_id, CAST(t3.rnk AS BIGINT) AS "rank", t3.c_id, t3.score,
                 CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
          FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
-         ORDER BY t3.q_id, t3.rnk""") ++
+         ORDER BY t3.q_id, t3.rnk""",
+    "q148_label_match_cooc" -> labelMatchCoocOracle) ++
     modelOracles
 
   /** q127: the q53 recursive-closure clusters with the representative

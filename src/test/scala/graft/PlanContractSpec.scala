@@ -19,7 +19,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q29_stream_rollup", "q39_stream_upsert", "q47_stream_dedup",
     "q59_stream_join", "q72_stream_outer_join", "q44_label_match_w2v",
     "q89_stream_static_join", "q93_stream_scd2", "q95_stream_late_data",
-    "q100_stream_ingest", "q101_stream_ewma", "q112_stream_hll")
+    "q100_stream_ingest", "q101_stream_ewma", "q112_stream_hll",
+    "q148_label_match_cooc") // cooc fit collects its vocab on construction
 
   /** Broadcast similarity scans (reference side catalog-sized by
     * contract, guarded in Matcher/Ann — the nested loop IS the plan),
@@ -43,6 +44,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q121_semantic_neardup", // kmeansMicro's 1-row centroid broadcast, like q110
     "q128_matryoshka_recall", // two bruteForceTopK broadcast scans, like q25
     "q145_semantic_decontaminate", // bruteForceTopK vs the benchmark-sized eval set, like q25
+    "q147_retrieval_cascade", // three broadcast similarity tiers, like q25/q128
     "q132_pmi_collocations") // 1-row bigram/token-total broadcasts, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
