@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.streaming.StreamOps
+
+/** Shared helpers and constants of the query registry: table loader, integer-cents quantizer, LSH plane sets, planted corpora, and the model-state holders for generated oracles. */
+private[graft] trait EntryBase { this: SparkEntry.type =>
+
+  /** Model-state capture for generated oracles: Verify runs every
+    * query BEFORE dumping [[oracleSql]] (same JVM), so a
+    * model-in-the-loop query can freeze its fitted state here and
+    * the oracle builder emits it as a VALUES table — the q41-43
+    * generated-oracle pattern extended to trained models. Unset
+    * (e.g. a partial dev run that skipped the query) → the entry is
+    * omitted and the driver records its rows-only fallback. */
+  final class ModelStateHolder[A] {
+    @volatile private var state: Option[A] = None
+    def set(a: A): Unit = { state = Some(a) }
+    def get: Option[A] = state
+  }
+
+  private[graft] val q35BasisHolder = new ModelStateHolder[Array[Array[Double]]]
+
+  private[graft] val q44VocabHolder = new ModelStateHolder[Seq[(String, Array[Double])]]
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    // events' ts column has shipped under two parquet encodings
+    // (TIMESTAMP(NANOS) and TIMESTAMP(MICROS,NTZ)); the loader probes
+    // the footer and normalizes ts to TimestampType either way.
+    if (name == "events") graft.sources.EventsLoader.events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-row integer cents: exact, order-independent summation. */
+  private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private[graft] val priorities = Seq(
+    "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+    "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
+
+  /** 32 deterministic sign-LSH hyperplanes (seed 42) over the 64-d
+    * embeddings — the SAME constants are inlined into the DuckDB
+    * oracles below, so bucket assignment is cross-engine checkable.
+    * Band size 8 (4 bands × 256 buckets): sized so expected bucket
+    * occupancy stays O(10) on this corpus — 4-bit bands put ~1/16 of
+    * the corpus in every bucket and candidate generation went
+    * quadratic (514k candidates for 80 true pairs at sf0.1; 8-bit
+    * bands cut that ~20×). The recall/cost knob of the classic
+    * r-of-L construction. */
+  private[graft] val lshPlanes = Ann.hyperplanes(dim = 64, nPlanes = 32, seed = 42L)
+
+  /** q74 projection planes — 64-d → 8-d JL, independent seed. */
+  private[graft] val projPlanes = Ann.hyperplanes(dim = 64, nPlanes = 8, seed = 7L)
+
+  private[graft] val lshBandSize = 8
+
+  private[graft] def lshBands = lshPlanes.grouped(lshBandSize).toSeq
+
+  /** The boilerplate text planted by [[corpusWithBoilerplate]] — also
+    * inlined into the q45/q46 oracle SQL. */
+  private[graft] val boilerplateText =
+    "subscribe to our newsletter for updates all rights reserved"
+
+  /** documents plus a 12-copy boilerplate cluster: the hot-bucket
+    * workload for the capped dedup queries (q45/q46) — identical texts
+    * land every copy in ONE (band, bucket) key in every band. */
+  private[graft] def corpusWithBoilerplate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1, 13).select(
+        (col("id") + 10000000L).as("doc_id"),
+        lit(boilerplateText).as("text")))
+
+  /** One planted PII string per category (doc_id mod 7 picks the
+    * class) so every [[Scrub.piiPatterns]] regex fires inside the
+    * hash check — the q41 planting pattern. Shared verbatim with the
+    * oracle. */
+  private[graft] val piiPlants: Seq[String] = Seq(
+    " reach me at alice.smith+spam@corp-mail.example.org now",
+    " ssn 123-45-6789 on file",
+    " call 415-555-0123 today",
+    " from host 10.42.255.7 logged",
+    " card 4111111111111111 charged",
+    " token deadbeefcafebabe0123456789abcdef leaked",
+    " key sk-AbCd1234EfGh5678Ij leaked")
+
+  /** Registrable-domain (eTLD+1) folding
+    * ([[UrlOps.registrableDomain]]): international URLs with
+    * subdomain shards and two-label public suffixes fold to the
+    * per-site grouping key; the vendored PSL slice is shared data the
+    * oracle inlines. */
+  /** The deterministic synthetic URL corpus shared by q90/q131/q134/
+    * q136 (and their oracles, which inline the same arithmetic). */
+  private[graft] def syntheticUrl: Column = concat(
+      element_at(array(
+        lit("https://ex"), lit("https://news.ex"), lit("https://WWW.ex"),
+        lit("https://a.b.ex"), lit("https://ex"), lit("https://sub.ex")),
+        (col("doc_id") % 6 + 1).cast("int")),
+      (col("doc_id") % 20).cast("string"),
+      element_at(array(
+        lit(".com/p"), lit(".co.uk/a"), lit(".co.uk/b"),
+        lit(".com.au/x"), lit(".org/y"), lit(".de/z")),
+        (col("doc_id") % 6 + 1).cast("int")))
+
+  /** embeddings plus a planted near-duplicate twin for every 25th
+    * vector (one coordinate +0.01, id offset +100000) — the
+    * semantic-dedup workload for q121; the natural corpus has no
+    * pair above cosine 0.52, so every emitted pair is a twin. The
+    * DOUBLE cast + perturbation replay bit-identically in the oracle
+    * ([[twinsCteSql]]): both engines do the same IEEE add before the
+    * same micro rounding. */
+  private[graft] def embeddingsWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // two-step projection: the perturbation lambda must see the
+    // ORIGINAL vec_id — in a single select, col("vec_id") inside the
+    // lambda resolves against the re-aliased output (+100000) and the
+    // wrong coordinate moves
+    e.unionByName(e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i.cast("long") === col("vec_id") % 64,
+            x + lit(0.01)).otherwise(x)).as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  /** Frozen 8-d vector derived from the md5 of a key string:
+    * component i = integer value of hex pair i. Deterministic,
+    * engine-independent, and DuckDB-recomputable — the components are
+    * small integers (0..255), so every dot product / norm in the
+    * matcher is an EXACT double and the scores are bit-identical
+    * across engines regardless of accumulation order. */
+  private[graft] def frozenVec(key: Column): Column =
+    array((0 until 8).map(i =>
+      conv(substring(md5(key), 2 * i + 1, 2), 16, 10).cast("double")): _*)
+
+}

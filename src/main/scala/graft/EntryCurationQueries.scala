@@ -1,0 +1,460 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.streaming.StreamOps
+
+/** Corpus-curation and analytics queries: splits, mixtures, quotas, sharding, PII scrub, URL rollups, projection/Venn analyzers, the curation capstones. */
+private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
+
+  /** PCA contract certification ([[Analyze.pcaCertify2d]]) — the
+    * oracle-side proof for q35's eigendecomposition-in-the-loop
+    * projection: per-row norm contraction + global orthonormality /
+    * eigenvalue order / canonical sign / subspace-optimality flags,
+    * all stated TRUE by the DuckDB oracle (q63's self-certification
+    * pattern). */
+  private[graft] def q82(s: SparkSession, dir: String): DataFrame =
+    Analyze.pcaCertify2d(t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
+      .orderBy("vec_id")
+
+  /** PII / secret scrubbing as a corpus pass ([[Scrub.scrubPii]]):
+    * per-category counts on the raw text + sequential redaction, all
+    * dialect-shared regex — counts and redacted text both inside the
+    * hash. */
+  private[graft] def q84(s: SparkSession, dir: String): DataFrame = {
+    val planted = element_at(array(piiPlants.map(lit): _*),
+      (col("doc_id") % 7 + 1).cast("int"))
+    Scrub.scrubPii(
+        t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), planted).as("text")),
+        "text")
+      .select(col("doc_id") +:
+        Scrub.piiPatterns.map { case (c, _, _) => col(s"n_$c") } :+
+        col("scrubbed"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** URL canonicalization + per-domain dedup rollup
+    * ([[UrlOps.urlDedupRollup]]): synthetic crawl URLs with tracking
+    * noise (query strings, fragments, WWW/case variants, trailing
+    * slash — doc_id mods pick the variant) collapse to one canonical
+    * form; the rollup reports URLs kept and rows removed per
+    * domain. */
+  private[graft] def q85(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      element_at(array(lit("https://"), lit("HTTPS://WWW.")),
+        (col("doc_id") % 2 + 1).cast("int")),
+      col("source"), lit(".Example.COM/p/"),
+      (col("doc_id") % 37).cast("string"),
+      element_at(
+        array(lit(""), lit("/"), lit("?utm_source=feed&id=9"), lit("#section-2")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    UrlOps.urlDedupRollup(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+      .orderBy("domain")
+  }
+
+  /** Deterministic training-order shuffle + sharding
+    * ([[Curation.shardAndOrder]]): salted-hash shard assignment and
+    * within-shard hash order, reproducible byte-for-byte — the stage
+    * that hands a curated corpus to the trainer. */
+  private[graft] def q87(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.shardAndOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", nShards = 16)
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  private[graft] def q90(s: SparkSession, dir: String): DataFrame = {
+    val url = syntheticUrl
+    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlOps.domainOf(col("url")).as("host"),
+        UrlOps.registrableDomain(col("url")).as("registrable"))
+      .orderBy("doc_id")
+  }
+
+  /** Z-order clustering key ([[Layout.zOrderKey]]): Morton
+    * interleave of (user_id, value-milli) masked to 16 bits — the
+    * write-side layout coordinate that makes parquet min/max stats
+    * prune on both columns; the key arithmetic is hash-checked, the
+    * layout win is pinned by LayoutSpec's rectangle-span test. */
+  private[graft] def q91(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      .withColumn("z",
+        graft.operators.Layout.zOrderKey(col("user_id"), col("value_milli")))
+      .orderBy("event_id")
+
+  /** Distributed global ordinals ([[Layout.globalOrdinals]]): 1-based
+    * ranks by a total key via range repartition + per-partition
+    * offset attach — no single-partition window sort anywhere in the
+    * plan. The oracle is the window form (`row_number() OVER (ORDER
+    * BY ...)`): same semantics, scale-opposite plan. */
+  private[graft] def q92(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.globalOrdinals(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source", "doc_id"))
+      .orderBy("doc_id")
+
+  /** Round-8 end-to-end capstone, the q73 pattern over the NEW
+    * stages: PII scrub → canonical-URL first-wins dedup → character-
+    * entropy quality gate (exact integer predicate) → token-window
+    * chunking → deterministic shard ordering. Every stage proven
+    * individually (q84/q85/q94/q88/q87); ONE oracle proves the
+    * composition. (Corpus-scale note: the url-deduped frame feeds the
+    * entropy aggregate AND the gate join — an unmaterialized lineage
+    * replans the upstream scan per consumer; persist it, like q86's
+    * tokenCounts seam, when running this off-harness at scale.) */
+  private[graft] def q98(s: SparkSession, dir: String): DataFrame = {
+    val planted = element_at(array(piiPlants.map(lit): _*),
+      (col("doc_id") % 7 + 1).cast("int"))
+    val url = concat(
+      element_at(array(lit("https://"), lit("HTTPS://WWW.")),
+        (col("doc_id") % 2 + 1).cast("int")),
+      col("source"), lit(".Example.COM/p/"),
+      (col("doc_id") % 37).cast("string"),
+      element_at(
+        array(lit(""), lit("/"), lit("?utm_source=feed&id=9"), lit("#section-2")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), planted).as("text"),
+        url.as("url"))
+    val scrubbed = Scrub.scrubPii(base, "text")
+      .select(col("doc_id"), col("url"), col("scrubbed"))
+    val w = Window.partitionBy(col("__curl")).orderBy(col("doc_id"))
+    val urlDeduped = scrubbed
+      .withColumn("__curl", UrlOps.canonicalizeUrl(col("url")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("scrubbed"))
+    val ent = TextAnalysis.charEntropy(urlDeduped, "doc_id", "scrubbed")
+    val gated = urlDeduped.join(ent, "doc_id")
+      .filter(col("n_chars") >= 100 &&
+        col("entropy_micros") >= lit(2800000L) * col("n_chars"))
+      .select(col("doc_id"), col("scrubbed"))
+    val chunks = TextAnalysis.chunkTokens(gated, "doc_id", "scrubbed",
+      chunkSize = 32, overlap = 8)
+    graft.operators.Curation.shardAndOrder(
+        chunks.select(
+          (col("doc_id") * 1000 + col("chunk_id")).as("chunk_uid"),
+          col("doc_id"), col("chunk_id"), col("n_tok")),
+        "chunk_uid", nShards = 16)
+      .select(col("chunk_uid"), col("doc_id"), col("chunk_id"),
+        col("n_tok"), col("shard"), col("pos"))
+      .orderBy("chunk_uid")
+  }
+
+  /** Weighted PageRank over the co-purchase graph ([[Graph.pageRank]]):
+    * consecutive lineitems of an order define part→part edges, 5
+    * damped iterations over micro-quantized ranks. The oracle unrolls
+    * the identical 5 iterations as CTEs — integer re-quantization per
+    * edge makes every iteration's sums order-independent, so the hash
+    * certifies the whole fixpoint trajectory, not just row counts. */
+  private[graft] def q107(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) alone is NOT unique in the harness
+    // data — the part/supp tiebreak makes the lead() order total
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
+      .orderBy("node")
+  }
+
+  /** Leakage-safe GROUPED split ([[graft.operators.Curation
+    * .groupedSplit]]): q90's synthetic URLs reduced to their
+    * registrable domain, split by the DOMAIN hash — every page of a
+    * domain lands in one split, so near-duplicate scrapes cannot
+    * straddle train and eval. */
+  private[graft] def q131(s: SparkSession, dir: String): DataFrame = {
+    val url = syntheticUrl
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("registrable",
+        graft.operators.UrlOps.registrableDomain(col("url")))
+    graft.operators.Curation.groupedSplit(d, col("registrable"),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5), salt = "gsplit")
+      .select("doc_id", "registrable", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Crawl-frontier politeness interleave ([[graft.operators.Curation
+    * .frontierInterleave]]) over q90's URL corpus: per-domain wave +
+    * salted fetch key — ordering by (wave, fetch_key) spaces any one
+    * domain's fetches ~|domains| apart. */
+  private[graft] def q134(s: SparkSession, dir: String): DataFrame = {
+    val url = syntheticUrl
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("registrable",
+        graft.operators.UrlOps.registrableDomain(col("url")))
+    graft.operators.Curation.frontierInterleave(d, "doc_id", "registrable",
+        salt = "frontier")
+      .select("doc_id", "registrable", "wave", "fetch_key")
+      .orderBy("doc_id")
+  }
+
+  /** Round-9 curation capstone: quality-aware canonical dedup (keep
+    * the longest member per near-dup cluster) → leakage-safe GROUPED
+    * split on the synthetic registrable domain → crawl-frontier
+    * politeness interleave of the train split. Every stage certified
+    * individually (q127, q131, q134); this proves the composition
+    * against ONE oracle built from the same SQL fragments. */
+  private[graft] def q136(s: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.clusterCanonicalByScore(corpusWithBoilerplate(s, dir),
+        "text", "doc_id", length(col("text")).cast("long"),
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.8)
+      .filter(col("keep"))
+      .select(col("doc_id"))
+    val url = syntheticUrl
+    val domained = kept
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("registrable",
+        graft.operators.UrlOps.registrableDomain(col("url")))
+    val split = graft.operators.Curation.groupedSplit(domained,
+      col("registrable"), Seq("train" -> 90, "valid" -> 5, "test" -> 5),
+      salt = "gsplit")
+    graft.operators.Curation.frontierInterleave(
+        split.filter(col("split") === "train"), "doc_id", "registrable",
+        salt = "frontier")
+      .select("doc_id", "registrable", "split", "wave", "fetch_key")
+      .orderBy("doc_id")
+  }
+
+  /** Exact per-shard embedding DIVERSITY audit: spread_num =
+    * n·Σ‖x‖² − ‖Σx‖² over 2^20-quantized elements — n² times the
+    * total variance, as exact BIGINTs (the curation signal behind
+    * diversity-aware data selection: a shard of near-identical
+    * vectors scores ~0). One posexplode projection, ONE map-combined
+    * (shard, dim) aggregate (≤ shards·dims rows cross the shuffle),
+    * then a shards-sized fold — the corpus never shuffles. */
+  private[graft] def q130(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), pmod(col("vec_id"), lit(8L)).as("shard"),
+        col("embedding"))
+    val q = e
+      .select(col("shard"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("shard"), col("dim"),
+        round(col("x") * 1048576).cast("long").as("qx"))
+    val dimAgg = q.groupBy("shard", "dim")
+      .agg(sum(col("qx")).as("s_d"), sum(col("qx") * col("qx")).as("ss_d"))
+    val shardAgg = dimAgg.groupBy("shard")
+      .agg(sum(col("ss_d")).as("sum_sq"), sum(col("s_d") * col("s_d")).as("sum_dim_sq"))
+    val n = e.groupBy("shard").agg(count(lit(1)).as("n"))
+    n.join(shardAgg, Seq("shard"))
+      .select(col("shard"), col("n"), col("sum_sq"), col("sum_dim_sq"),
+        (col("n") * col("sum_sq") - col("sum_dim_sq")).as("spread_num"))
+      .orderBy("shard")
+  }
+
+  /** Exact-budget mixture build: largest-remainder quotas
+    * ([[graft.operators.Curation.largestRemainderQuotas]], B = 123
+    * rows across the 20 sources — non-divisible on purpose, and the
+    * harness's equal per-source counts make EVERY remainder tie, so
+    * the key-asc tiebreak is load-bearing) followed by the
+    * deterministic md5 bottom-k pick per source. `picked_md5` hashes
+    * the actual selected id set, so the driver check pins the full
+    * selection, not just its size. */
+  private[graft] def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotas = graft.operators.Curation.largestRemainderQuotas(
+      docs, "source", budget = 123L)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("lr:"), col("doc_id").cast("string"))))
+    val picked = docs
+      .withColumn("__rn", row_number().over(w))
+      .join(quotas.select("source", "quota"), Seq("source"))
+      .filter(col("__rn") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("picked_n"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("picked_md5"))
+    quotas.join(picked, Seq("source"))
+      .select("source", "n_docs", "quota", "picked_n", "picked_md5")
+      .orderBy("source")
+  }
+
+  /** Round-8 capstone — training-shard MANIFEST build: exact-budget
+    * quota selection (q114) → deterministic shard assignment + dense
+    * order (q87) → content-defined chunking (q115) → per-shard
+    * manifest rows with an md5 over the ORDERED chunk-hash stream.
+    * One lineage from corpus to publishable shard manifest, every
+    * stage the already-certified operator, ONE oracle replaying the
+    * whole chain — the manifest_md5 pins chunk content AND order, so
+    * any drift in any stage breaks the hash. */
+  private[graft] def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotas = graft.operators.Curation.largestRemainderQuotas(
+      docs, "source", budget = 123L)
+    val wq = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("lr:"), col("doc_id").cast("string"))))
+    val picked = docs.withColumn("__rn", row_number().over(wq))
+      .join(quotas.select("source", "quota"), Seq("source"))
+      .filter(col("__rn") <= col("quota"))
+      .select("doc_id", "text")
+    val sharded = graft.operators.Curation.shardAndOrder(
+      picked, "doc_id", nShards = 4)
+    val chunks = sharded.select(col("shard"), col("pos"), col("doc_id"),
+      posexplode(TextAnalysis.cdcChunks(col("text"), k = 8, maskBits = 5))
+        .as(Seq("ci", "chunk")))
+    chunks.groupBy("shard").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk")).cast("long")).as("total_chars"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos").as("p"),
+            col("ci").as("i"), md5(col("chunk")).as("h")))),
+          x => x.getField("h")), "")).as("manifest_md5"))
+      .orderBy("shard")
+  }
+
+  /** Score-weighted importance sampling
+    * ([[graft.operators.Curation.importanceSample]]): each doc kept
+    * with probability = its quality score — membership a pure
+    * hash-threshold projection, engine-exact because both engines
+    * compute the identical score doubles (q17) and the identical
+    * floor product. */
+  private[graft] def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.importanceSample(
+        TextAnalysis.qualityMetrics(TextAnalysis.languageId(t(s, dir, "documents"))),
+        "doc_id", col("quality_score"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy("doc_id")
+
+  /** The end-to-end corpus-assembly pipeline, composed from operators
+    * proven individually: quality+language filter (q17/q18) → exact
+    * dedup (q15) → benchmark decontamination (q58, dropping eval docs
+    * and ≥2-hit leaks) → mixture resample (q61) → deterministic split
+    * (q48) → 512-token packing per split (q52). One oracle proves the
+    * whole composition — the "switch your training-data pipeline to
+    * this engine" showpiece. */
+  private[graft] def q73(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = TextAnalysis.qualityMetrics(TextAnalysis.languageId(d))
+    val filtered = scored.filter(col("predicted_lang") === "en" &&
+      col("quality_score") >= 0.5 && col("n_words") >= 5)
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = filtered.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val train = deduped.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = graft.operators.Decontaminate.contaminationReport(
+        train, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3, 2)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        col("n_words").cast("long").as("ws_tokens"))
+    val mixed = graft.operators.Curation.resampleToMixture(
+      clean, "source", "doc_id", Seq("src0" -> 3, "src1" -> 2))
+    val split = graft.operators.Curation.deterministicSplit(
+      mixed, "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+    graft.operators.Curation.packSequences(
+        split, "doc_id", "ws_tokens", budget = 512L, partCols = Seq("split"))
+      .select(col("doc_id"), col("source"), col("split"), col("ws_tokens"),
+        col("pack_id"), col("pack_offset").cast("long").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic mixture resample ([[graft.operators.Curation
+    * .resampleToMixture]]): src0 weighted 3, src1 weighted 2, rest 1;
+    * exact integer-rational keep rates, no big-table shuffle. */
+  private[graft] def q61(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.resampleToMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", Seq("src0" -> 3, "src1" -> 2))
+      .orderBy("doc_id")
+
+  /** 7-region Venn set-agreement counts in one full-outer pass
+    * (plotting.py:22-31 re-expressed; Analyze.vennCounts3). */
+  private[graft] def q34(s: SparkSession, dir: String): DataFrame =
+    Analyze.vennCounts3(
+        t(s, dir, "customer").select(col("c_nationkey")),
+        t(s, dir, "supplier").select(col("s_nationkey")),
+        t(s, dir, "nation").filter(col("n_regionkey") <= 2).select(col("n_nationkey")))
+      .orderBy("region")
+
+  /** 2-d PCA projection of the embeddings (M2, UMAP substitute),
+    * oracle-proven: the fit exports its signed basis (captured in
+    * [[q35BasisHolder]] when this runs under Verify) and the
+    * projection is two codegen ordered dot products, so the DuckDB
+    * oracle replays the exact coordinates from the frozen basis —
+    * closing the eigendecomposition-in-the-loop gap (the basis
+    * CONTRACT is independently certified by q82). */
+  private[graft] def q35(s: SparkSession, dir: String): DataFrame = {
+    val (out, basis) = Analyze.pcaProject2dWithBasis(
+      t(s, dir, "embeddings"), "embedding", Seq("vec_id"))
+    q35BasisHolder.set(basis)
+    out.orderBy("vec_id")
+  }
+
+  /** Deterministic train/valid/test split + independent 10% sample
+    * flag: pure md5-hash projections of the id (partition-invariant,
+    * stable under corpus growth — `operators/Curation`). */
+  private[graft] def q48(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.deterministicSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .withColumn("in_sample",
+        graft.operators.Curation.inSample(col("doc_id"), 1, 10, salt = "sample"))
+      .orderBy("doc_id")
+
+  /** The composed curation pipeline a training corpus actually runs:
+    * language filter (en) → quality filter (score ≥ 0.5, ≥ 5 words) →
+    * exact dedup (lowest id per content digest) → deterministic
+    * split. Every stage is an operator proven individually (q18, q17,
+    * q15, q48); this query proves the COMPOSITION end to end against
+    * one relational oracle. */
+  private[graft] def q49(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityMetrics(
+      TextAnalysis.languageId(t(s, dir, "documents")))
+    val filtered = scored.filter(col("predicted_lang") === "en" &&
+      col("quality_score") >= 0.5 && col("n_words") >= 5)
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = filtered.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    graft.operators.Curation.deterministicSplit(deduped, "doc_id",
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("predicted_lang"),
+        col("n_words").cast("long").as("n_words"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (concat-and-chunk at a 512-token budget) per
+    * deterministic split shard — the LLM-pretraining batch prep,
+    * expressed as one per-shard running-sum window. */
+  private[graft] def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"))
+    val withSplit = graft.operators.Curation.deterministicSplit(
+      docs, "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+    graft.operators.Curation.packSequences(withSplit, "doc_id", "ws_tokens",
+        budget = 512, partCols = Seq("split"))
+      .select("doc_id", "split", "ws_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic per-source cap (≤10 docs per source by salted-hash
+    * priority) — the "no domain dominates" curation rule, run as a
+    * bounded heap aggregate + id-keyed semi-join instead of a
+    * group-keyed row_number (the oracle keeps the window form). */
+  private[graft] def q55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", maxPerGroup = 10, salt = "capsalt")
+      .orderBy("doc_id")
+
+}

@@ -1,0 +1,2101 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.streaming.StreamOps
+
+/** Generated-DuckDB-SQL builders shared by [[EntryOracleSql]]: SQL twins generated from the engine's own word tables, plane constants, and model state so the oracle can never drift from the implementation. */
+private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
+
+  private[graft] val stopwordsSqlList: String =
+    graft.functions.TextNlp.stopwords.toSeq.sorted
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  private[graft] val langMarkersSql: Seq[(String, String)] =
+    TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      lang -> ms.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+    }
+
+  /** Kirsch-Mitzenmacher families from one md5 — mirrors
+    * Dedup.minhashSignatures exactly. */
+  private[graft] def minhashSigsSql: String = minhashSigsSql(8)
+
+  private[graft] def minhashSigsSql(numHashes: Int,
+                             independent: Boolean = false): String =
+    (0 until numHashes).map(h =>
+      if (independent) {
+        // two families per salted digest: its 56-bit halves
+        val (lo, len) = if (h % 2 == 0) (1, 14) else (15, 14)
+        s"min(('0x' || substr(md5('mh${h / 2}:' || shingle), $lo, $len))::BIGINT) AS sig_$h"
+      } else
+        s"min(('0x' || substr(md5(shingle), 1, 14))::BIGINT + $h * ('0x' || substr(md5(shingle), 15, 14))::BIGINT) AS sig_$h")
+      .mkString(",\n  ")
+
+  private[graft] def minhashOracle: String =
+    s"""WITH w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+       ), sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       )
+       SELECT doc_id, $minhashSigsSql FROM sh GROUP BY doc_id ORDER BY doc_id"""
+
+  private[graft] def simhashOracle: String = {
+    val votes = (0 until 60).map(b =>
+      s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b_$b")
+      .mkString(",\n  ")
+    val fp = (0 until 60).map(b =>
+      s"CASE WHEN b_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" | ")
+    s"""WITH w AS (
+         SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
+         FROM documents
+       ), h AS (
+         SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w
+       ), v AS (
+         SELECT doc_id, $votes FROM h GROUP BY doc_id
+       )
+       SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+  }
+
+  private[graft] def langIdOracle: String = {
+    val hitCols = langMarkersSql.map { case (lang, list) =>
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkersSql.map(_._1)
+    val m = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH h AS (
+         SELECT doc_id, $hitCols FROM documents
+       )
+       SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+              CASE $pick END AS predicted_lang
+       FROM h ORDER BY doc_id"""
+  }
+
+  private[graft] def qualityOracle: String =
+    s"""WITH m AS (
+         SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+         FROM documents
+       ), r AS (
+         SELECT doc_id, n_words,
+           n_alpha / greatest(n_words, 1.0) AS mean_word_len,
+           n_alpha / greatest(n_chars_d, 1.0) AS alpha_ratio,
+           n_digit / greatest(n_chars_d, 1.0) AS digit_ratio,
+           n_punct / greatest(n_chars_d, 1.0) AS punct_ratio,
+           n_upper / greatest(n_chars_d, 1.0) AS upper_ratio,
+           n_stop / greatest(n_words, 1.0) AS stopword_ratio
+         FROM m
+       )
+       SELECT doc_id, n_words, mean_word_len, alpha_ratio, digit_ratio,
+              punct_ratio, upper_ratio, stopword_ratio,
+              least(alpha_ratio / 0.7, 1.0) * 0.4
+                + least(stopword_ratio / 0.3, 1.0) * 0.3
+                + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
+                + (1.0 - least(punct_ratio * 5, 1.0)) * 0.15 AS quality_score
+       FROM r ORDER BY doc_id"""
+
+  private[graft] def jaccardOracle: String =
+    s"""WITH d AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < 40
+       ), w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM d
+       ), sh AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), sizes AS (
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM sh GROUP BY doc_id
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+       ), inter AS (
+         SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM pairs p
+         JOIN sh ta ON ta.doc_id = p.id_a
+         JOIN sh tb ON tb.doc_id = p.id_b AND ta.shingle = tb.shingle
+         GROUP BY p.id_a, p.id_b
+       )
+       SELECT p.id_a, p.id_b,
+              coalesce(i.n_inter, 0) AS n_inter,
+              sa.n_sh AS n_a, sb.n_sh AS n_b,
+              CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+       FROM pairs p
+       LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       JOIN sizes sa ON sa.doc_id = p.id_a
+       JOIN sizes sb ON sb.doc_id = p.id_b
+       ORDER BY p.id_a, p.id_b"""
+
+  // --- ANN / streaming / multimodal oracle builders ----------------------
+
+  /** Shared embeddings CTE: vectors cast to DOUBLE[] (exact float
+    * widening — identical IEEE values to Spark's `cast("array<double>")`)
+    * plus the L2 norm with the same expression tree as VectorOps. */
+  private[graft] val embCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+  /** Zero-guarded cosine — mirrors VectorOps.cosineWithNorms exactly. */
+  private[graft] def cosSql(av: String, an: String, bv: String, bn: String): String =
+    s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
+
+  /** One band's bucket: bit r set iff v · plane_{band*size+r} >= 0 —
+    * the hyperplane CONSTANTS are inlined from Ann.hyperplanes, so
+    * both engines evaluate the identical dot products. */
+  private[graft] def bucketSql(vExpr: String, band: Int): String = {
+    val bits = (0 until lshBandSize).map { r =>
+      val plane = Ann.hyperplaneSqlLiteral(lshPlanes(band * lshBandSize + r))
+      s"(CASE WHEN list_dot_product($vExpr, $plane) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  private[graft] def knnOracle: String =
+    s"""$embCte,
+       q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+       s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+             FROM q CROSS JOIN n c),
+       r AS (SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk
+             FROM s)
+       SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score
+       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** q145 oracle — nearest eval neighbour per train vector with the
+    * 0.9-threshold flag (margin-verified on this corpus). */
+  private[graft] def semanticDecontaminateOracle: String =
+    s"""$embCte,
+       q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 = 0),
+       tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 97 <> 0
+              UNION ALL
+              SELECT -vec_id - 1 AS vec_id, v, nrm FROM n
+              WHERE vec_id % 97 = 0 AND vec_id % 5 = 0),
+       s AS (SELECT tr.vec_id, q.vec_id AS eval_id,
+               ${cosSql("tr.v", "tr.nrm", "q.v", "q.nrm")} AS score
+             FROM tr CROSS JOIN q),
+       r AS (SELECT vec_id, eval_id, score,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, eval_id ASC) AS rnk
+             FROM s)
+       SELECT vec_id, eval_id AS nearest_eval_id, score AS max_cos,
+              score >= 0.9 AS contaminated
+       FROM r WHERE rnk = 1 ORDER BY vec_id"""
+
+  /** q99 oracle — filter-then-rank directly (the Spark side's
+    * over-fetch + filter must equal it exactly). */
+  private[graft] def hardNegativesOracle: String =
+    s"""$embCte,
+       q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+       s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+             FROM q CROSS JOIN n c),
+       f AS (SELECT * FROM s WHERE c_id <> q_id AND c_id <> q_id + 1),
+       r AS (SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk
+             FROM f)
+       SELECT q_id, CAST(rnk AS BIGINT) AS neg_rank, c_id, score
+       FROM r WHERE rnk <= 5 ORDER BY q_id, neg_rank"""
+
+  private[graft] def lshBucketsOracle: String = {
+    val cols = (0 until lshPlanes.length / lshBandSize)
+      .map(b => s"${bucketSql("v", b)} AS bucket_$b").mkString(",\n  ")
+    s"""$embCte SELECT vec_id, $cols FROM e ORDER BY vec_id"""
+  }
+
+  private[graft] def lshNearDupOracle: String = {
+    val nBands = lshPlanes.length / lshBandSize
+    val bucketCols = (0 until nBands)
+      .map(b => s"${bucketSql("v", b)} AS bucket_$b").mkString(", ")
+    val unions = (0 until nBands).map { b =>
+      s"""SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM bk a JOIN bk b2 ON a.bucket_$b = b2.bucket_$b AND a.vec_id < b2.vec_id"""
+    }.mkString(" UNION ")
+    s"""$embCte,
+       bk AS (SELECT vec_id, $bucketCols FROM e),
+       p AS ($unions),
+       c AS (SELECT p.id_a, p.id_b,
+               ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS "cos"
+             FROM p JOIN n x ON x.vec_id = p.id_a JOIN n y ON y.vec_id = p.id_b)
+       SELECT id_a, id_b, "cos" FROM c WHERE "cos" >= 0.45 ORDER BY id_a, id_b"""
+  }
+
+  /** q45/q46 oracle corpus: documents + the planted boilerplate
+    * cluster (mirrors `corpusWithBoilerplate`). */
+  private[graft] def boilerplateCorpusSql: String =
+    s"""corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id, '$boilerplateText' AS text
+         FROM range(1, 13) t(r)
+       ), """
+
+  private[graft] def minhashLshPairsOracle: String =
+    minhashPairsOracle(corpusCte = "", source = "documents", cap = None)
+
+  /** q106: every LSH candidate pair (no Jaccard threshold) with the
+    * signature-agreement count beside the exact Jaccard. */
+  private[graft] def minhashEstimateOracle: String =
+    minhashPairsOracle(corpusCte = "", source = "documents", cap = None,
+      threshold = None, withSigEq = true)
+
+  /** q108: [[Sketch.hllDistinct]] replayed register-for-register. The
+    * α·m² and 2^K double constants are computed HERE with the same
+    * Scala arithmetic the operator embeds via `lit`, then printed
+    * through Double's round-tripping formatter — both engines hold
+    * bit-identical constants, and the integer register sums make the
+    * rest exact by construction. */
+  private[graft] def hllDistinctOracle(p: Int): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val alphaM2 = Sketch.hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    s"""WITH toks AS (
+         SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         FROM documents
+       ), nz AS (
+         SELECT source, tok FROM toks WHERE tok <> ''
+       ), hh AS (
+         SELECT source, ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+         FROM nz
+       ), reg AS (
+         SELECT source, h >> $remBits AS bucket,
+                h & ((1::BIGINT << $remBits) - 1) AS r
+         FROM hh
+       ), mm AS (
+         SELECT source, bucket,
+                max(CASE WHEN r = 0 THEN $maxM
+                         ELSE $maxM - length(bin(r)) END) AS mb
+         FROM reg GROUP BY source, bucket
+       ), agg AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+                CAST(sum(1::BIGINT << ($maxM - mb)) AS BIGINT) AS sp
+         FROM mm GROUP BY source
+       ), fin AS (
+         SELECT source, n_used,
+                CAST(sp + ($m - n_used) * (1::BIGINT << $maxM) AS BIGINT) AS s,
+                $m - n_used AS v
+         FROM agg
+       ), est AS (
+         SELECT source, n_used, v,
+                $alphaM2 * ($twoK / CAST(s AS DOUBLE)) AS raw
+         FROM fin
+       ), ex AS (
+         SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+         FROM nz GROUP BY source
+       )
+       SELECT e.source, e.n_used,
+              CASE WHEN e.raw <= ${2.5 * m} AND e.v > 0
+                   THEN ${m.toDouble} * ln(${m.toDouble} / CAST(e.v AS DOUBLE))
+                   ELSE e.raw END AS est,
+              x.exact_distinct
+       FROM est e JOIN ex x USING (source) ORDER BY source"""
+  }
+
+  /** q107: [[Graph.pageRank]]'s 5 iterations unrolled as CTEs. The
+    * base literal is computed HERE in Scala — the same
+    * `(1.0 − d)·10⁶` IEEE arithmetic `pageRank` embeds via `lit` —
+    * and printed through Double's round-tripping formatter, so both
+    * engines hold the bit-identical constant (with d = 0.85 it is NOT
+    * exactly 150000). */
+  private[graft] def pageRankOracle(iterations: Int, damping: Double): String = {
+    val base = (1.0 - damping) * 1e6
+    val iterCtes = (1 to iterations).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST(round($base + CAST($damping AS DOUBLE)
+                             * CAST(coalesce(c.s, 0) AS DOUBLE)) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT er.dst AS node,
+                    sum(CAST(round(CAST(p.r AS DOUBLE) * er.ratio) AS BIGINT)) AS s
+             FROM r${i - 1} p JOIN er ON er.src = p.node
+             GROUP BY er.dst) c USING (node)
+         )"""
+    }.mkString(", ")
+    s"""WITH adj AS (
+         SELECT l_partkey AS src,
+                lead(l_partkey) OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+         FROM lineitem
+       ), ed AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         FROM adj WHERE dst IS NOT NULL GROUP BY src, dst
+       ), ow AS (
+         SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY src
+       ), er AS (
+         SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS ratio
+         FROM ed e JOIN ow o USING (src)
+       ), nodes AS (
+         SELECT src AS node FROM ed UNION SELECT dst FROM ed
+       ), r0 AS (
+         SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       ), $iterCtes
+       SELECT node, r AS rank_micro FROM r$iterations ORDER BY node"""
+  }
+
+  /** Unrolled micro-quantized Lloyd's oracle mirroring
+    * [[graft.operators.Cluster.kmeansMicro]]: per iteration an argmin
+    * cross join (ties → lowest cell), a per-(cell,dim) integer mean
+    * via zipped unnest, and an empty-cell carry. All distances are
+    * exact BIGINT; only the one `round(sum/count)` expression touches
+    * doubles, in the identical IEEE shape on both engines. */
+  /** The kmeansMicro replay as a reusable CTE chain over any source
+    * relation exposing (vec_id, embedding) — `m$iterations` is the
+    * final assignment (vec_id, vq, cell, dist). Shared by the q110
+    * oracle and the q121 semantic-dedup oracle. */
+  private[graft] def kmeansCtesSql(src: String, k: Int, iterations: Int,
+      salt: String): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""a$i AS (
+           SELECT vec_id, vq, cell, dist,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+           FROM (
+             SELECT q.vec_id, q.vq, c.cell,
+                    CAST(list_sum([(q.vq[j] - c.cvec[j])
+                                   * (q.vq[j] - c.cvec[j])
+                                   for j in range(1, len(q.vq) + 1)])
+                         AS BIGINT) AS dist
+             FROM q, c${i - 1} c)
+         ), m$i AS (
+           SELECT vec_id, vq, cell, dist FROM a$i WHERE rn = 1
+         ), u$i AS (
+           SELECT cell, j,
+                  CAST(round(CAST(sum(v) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv
+           FROM (SELECT cell, unnest(vq) AS v,
+                        unnest(range(1, len(vq) + 1)) AS j FROM m$i)
+           GROUP BY cell, j
+         ), c$i AS (
+           SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+           FROM c${i - 1} p LEFT JOIN (
+             SELECT cell, list(cv ORDER BY j) AS cvec FROM u$i
+             GROUP BY cell) n USING (cell)
+         )"""
+    }.mkString(", ")
+    s"""q AS (
+         SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+         FROM $src
+       ), sk AS (
+         SELECT md5('$salt:' || CAST(vec_id AS VARCHAR)) AS h, vq
+         FROM q ORDER BY h LIMIT $k
+       ), c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell,
+                vq AS cvec
+         FROM sk
+       ), $iterCtes"""
+  }
+
+  /** Unrolled BPE-training oracle mirroring
+    * [[graft.operators.Bpe.trainMerges]]: per round, pair counts via
+    * a zipped parallel unnest of the two symbol-array slices, the
+    * argmax with the (count DESC, lexical) tie-break recomputed from
+    * the oracle's OWN state, and the merge applied with the same
+    * left-to-right non-overlapping `replace` on the bracket
+    * encoding. Fully independent recomputation — no learned
+    * literals cross from the engine. */
+  private[graft] def bpeTrainOracle(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""p$i AS (
+           SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM (
+             SELECT unnest(syms[1:len(syms) - 1]) AS lft,
+                    unnest(syms[2:len(syms)]) AS rgt, freq
+             FROM (SELECT string_split(substr(state, 2,
+                            length(state) - 2), '><') AS syms, freq
+                   FROM s${i - 1}))
+           GROUP BY lft, rgt
+         ), m$i AS (
+           SELECT lft, rgt, pair_count FROM p$i
+           ORDER BY pair_count DESC, lft, rgt LIMIT 1
+         ), s$i AS (
+           SELECT replace(state, '<' || m.lft || '><' || m.rgt || '>',
+                          '<' || m.lft || m.rgt || '>') AS state, freq
+           FROM s${i - 1}, m$i m
+         ), k$i AS (
+           SELECT CAST(sum(freq * len(string_split(substr(state, 2,
+                    length(state) - 2), '><'))) AS BIGINT) AS tokens_after
+           FROM s$i
+         )"""
+    }.mkString(", ")
+    val rows = (1 to iterations).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iteration, m.lft, m.rgt,
+                 m.lft || m.rgt AS merged, m.pair_count, k.tokens_after
+          FROM m$i m, k$i k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                        AS word
+               FROM documents)
+         WHERE regexp_full_match(word, '[a-z]+')
+         GROUP BY word
+       ), s0 AS (
+         SELECT regexp_replace(word || '_', '(.)', '<\\1>', 'g')
+                  AS state, freq
+         FROM w
+       ), $iterCtes
+       $rows ORDER BY iteration"""
+  }
+
+  private[graft] def kmeansOracle(k: Int, iterations: Int): String =
+    s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}
+       SELECT m.vec_id, m.cell, m.dist AS dist2_q, s.cell_n
+       FROM m$iterations m JOIN (
+         SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+         FROM m$iterations GROUP BY cell) s USING (cell)
+       ORDER BY m.vec_id"""
+
+  /** The q121 planted-twin relation: every 25th embedding gets a
+    * near-identical copy (one coordinate +0.01) at vec_id+100000 —
+    * the semantic-duplicate workload, mirrored exactly in Spark by
+    * [[embeddingsWithTwins]]. */
+  private[graft] def twinsCteSql: String =
+    """twins AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000,
+                [CASE WHEN j - 1 = vec_id % 64 THEN emb[j] + 0.01
+                      ELSE emb[j] END
+                 for j in range(1, len(emb) + 1)]
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id % 25 = 0)
+       )"""
+
+  /** SemDeDup oracle: replay the k-means over the twinned relation,
+    * then the within-cell exact-integer cosine pair test in HUGEINT
+    * (Spark does the same comparison in DECIMAL(38,0)). */
+  private[graft] def semanticNearDupOracle(k: Int, iterations: Int,
+      tauNum: Int, tauDen: Int): String =
+    s"""WITH $twinsCteSql, ${kmeansCtesSql("twins", k, iterations, "sd")},
+       wv AS (
+         SELECT vec_id, cell, dist, vq,
+                CAST(list_sum([vq[j] * vq[j]
+                               for j in range(1, len(vq) + 1)])
+                     AS BIGINT) AS n2
+         FROM m$iterations
+       ), p AS (
+         SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                a.dist AS da, b.dist AS db,
+                a.n2 AS na2_q, b.n2 AS nb2_q,
+                CAST(list_sum([a.vq[j] * b.vq[j]
+                               for j in range(1, len(a.vq) + 1)])
+                     AS BIGINT) AS dot_q
+         FROM wv a JOIN wv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       )
+       SELECT cell, id_a, id_b, dot_q, na2_q, nb2_q,
+              CAST(round(CAST(dot_q AS DOUBLE)
+                     / sqrt(CAST(na2_q AS DOUBLE) * CAST(nb2_q AS DOUBLE))
+                     * 1000000) AS BIGINT) AS cos_micros,
+              CASE WHEN da < db OR (da = db AND id_a < id_b)
+                   THEN id_a ELSE id_b END AS keep_id,
+              CASE WHEN da < db OR (da = db AND id_a < id_b)
+                   THEN id_b ELSE id_a END AS drop_id
+       FROM p
+       WHERE dot_q > 0
+         AND CAST(dot_q AS HUGEINT) * dot_q * ${tauDen.toLong * tauDen}
+             >= CAST(na2_q AS HUGEINT) * nb2_q * ${tauNum.toLong * tauNum}
+       ORDER BY id_a, id_b"""
+
+  /** Streaming-HLL oracle: the q108 register/estimate SQL evaluated
+    * over each wave's CUMULATIVE document prefix — wave w sees docs
+    * with `(doc_id // 20) % 2 <= w`, exactly the state the streamed
+    * registers hold after micro-batch w. */
+  private[graft] def hllWaveOracle(p: Int): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val alphaM2 = Sketch.hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    def waveEst(w: Int): String =
+      s"""(SELECT source, CAST($w AS BIGINT) AS wave, n_used,
+             CASE WHEN raw <= ${2.5 * m} AND v > 0
+                  THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v AS DOUBLE))
+                  ELSE raw END AS est
+           FROM (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_used,
+                    $m - count(*) AS v,
+                    $alphaM2 * ($twoK / CAST(
+                      CAST(sum(1::BIGINT << ($maxM - mb))
+                           + ($m - count(*)) * (1::BIGINT << $maxM)
+                           AS BIGINT) AS DOUBLE)) AS raw
+             FROM (
+               SELECT source, h >> $remBits AS bucket,
+                      max(CASE WHEN h & ((1::BIGINT << $remBits) - 1) = 0
+                               THEN $maxM
+                               ELSE $maxM - length(bin(
+                                 h & ((1::BIGINT << $remBits) - 1))) END) AS mb
+               FROM (
+                 SELECT source,
+                        ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+                 FROM (SELECT source, unnest(
+                         string_split_regex(lower(text), '\\s+')) AS tok
+                       FROM documents WHERE (doc_id // 20) % 2 <= $w) u
+                 WHERE tok <> '') hh
+               GROUP BY source, bucket) mm
+             GROUP BY source) agg)"""
+    s"""SELECT * FROM (${waveEst(0)} UNION ALL ${waveEst(1)}) z
+       ORDER BY source, wave"""
+  }
+
+  /** q131: q90's domain derivation + the grouped-split hash on the
+    * DOMAIN string (same md5-14-hex arithmetic as splitHashSql, keyed
+    * on the group value instead of the row id). */
+  private[graft] def groupedSplitOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id, url,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM h
+       ), reg AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS registrable
+         FROM l
+       ), sp AS (
+         SELECT doc_id, registrable,
+                ('0x' || substr(md5('gsplit:' || registrable), 1, 14))::BIGINT
+                  % 100 AS hh
+         FROM reg
+       )
+       SELECT doc_id, registrable,
+              CASE WHEN hh < 90 THEN 'train'
+                   WHEN hh < 95 THEN 'valid' ELSE 'test' END AS split
+       FROM sp ORDER BY doc_id"""
+  }
+
+  /** q134: q90's domain derivation + the per-domain wave rank + the
+    * salted (domain, wave) fetch key, all replayed in SQL. */
+  private[graft] def frontierInterleaveOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM h
+       ), reg AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS registrable
+         FROM l
+       ), wv AS (
+         SELECT doc_id, registrable,
+                CAST(row_number() OVER (PARTITION BY registrable
+                  ORDER BY doc_id) AS BIGINT) AS wave
+         FROM reg
+       )
+       SELECT doc_id, registrable, wave,
+              ('0x' || substr(md5('frontier:' || registrable || ':'
+                 || CAST(wave AS VARCHAR)), 1, 14))::BIGINT AS fetch_key
+       FROM wv ORDER BY doc_id"""
+  }
+
+  /** q136: the round-9 capstone oracle — recursive-closure canonical
+    * keep, then the q131 domain/split fragments, then the q134 wave/
+    * fetch-key fragments, composed exactly as the engine composes the
+    * operators. */
+  private[graft] def curationV3Oracle: String = {
+    val pairs = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM ($pairs)
+       ), sym AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION
+         SELECT id_b AS u, id_a AS v FROM p
+       ), reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       ), lbl AS (
+         SELECT u AS node, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u
+       ), d AS (
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id,
+                CAST(length('$boilerplateText') AS BIGINT) AS score
+         FROM range(1, 13) t(r)
+       ), cl AS (
+         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                d.score
+         FROM d LEFT JOIN lbl l ON l.node = d.doc_id
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY score DESC, doc_id) AS rn
+         FROM cl
+       ), keepers AS (
+         SELECT doc_id FROM rk WHERE rn = 1
+       ), uu AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM keepers
+       ), hh AS (
+         SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM uu
+       ), ll AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM hh
+       ), reg AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS registrable
+         FROM ll
+       ), lab AS (
+         SELECT doc_id, registrable,
+                CASE WHEN ('0x' || substr(md5('gsplit:' || registrable),
+                             1, 14))::BIGINT % 100 < 90 THEN 'train'
+                     WHEN ('0x' || substr(md5('gsplit:' || registrable),
+                             1, 14))::BIGINT % 100 < 95 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM reg
+       ), tr AS (
+         SELECT doc_id, registrable, split,
+                CAST(row_number() OVER (PARTITION BY registrable
+                  ORDER BY doc_id) AS BIGINT) AS wave
+         FROM lab WHERE split = 'train'
+       )
+       SELECT doc_id, registrable, split, wave,
+              ('0x' || substr(md5('frontier:' || registrable || ':'
+                 || CAST(wave AS VARCHAR)), 1, 14))::BIGINT AS fetch_key
+       FROM tr ORDER BY doc_id"""
+  }
+
+  /** q133/q139: the exact prefix-filter pairs LEFT JOIN the
+    * banded-LSH pairs at the given preset — both subqueries are the
+    * certified q111/q45-family oracles verbatim. */
+  private[graft] def lshRecallOracle(numHashes: Int = 8,
+                              independent: Boolean = false): String = {
+    val exact = prefixJaccardOracle(tauNum = 4, tauDen = 5)
+    val lsh = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None, numHashes = numHashes,
+      independent = independent)
+    s"""WITH ex AS (SELECT id_a, id_b, jaccard FROM ($exact)),
+         ls AS (SELECT id_a AS l_a, id_b AS l_b FROM ($lsh))
+       SELECT ex.id_a, ex.id_b, ex.jaccard,
+              ls.l_a IS NOT NULL AS found_by_lsh
+       FROM ex LEFT JOIN ls ON ls.l_a = ex.id_a AND ls.l_b = ex.id_b
+       ORDER BY ex.id_a, ex.id_b"""
+  }
+
+  /** q129: per (source, wave, probe) Count-Min estimates, each wave
+    * recomputed as the batch sketch over that wave's CUMULATIVE token
+    * prefix — identical md5 cell coordinates to `Sketch.cmBucket`
+    * and the streaming fold. */
+  private[graft] def cmWaveOracle(depth: Int, width: Int, salt: String,
+                           probes: Seq[String]): String = {
+    val probeValues = probes.map(p => s"('$p')").mkString(", ")
+    def waveEst(w: Int): String =
+      s"""(SELECT g.source, CAST($w AS BIGINT) AS wave, g.probe,
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+           FROM (SELECT src.source, p.probe, p.h, p.bucket
+                 FROM (SELECT DISTINCT source FROM tt) src
+                 CROSS JOIN pc p) g
+           LEFT JOIN (
+             SELECT source, h,
+                    ('0x' || substr(md5('$salt:' || CAST(h AS VARCHAR)
+                       || ':' || tok), 1, 14))::BIGINT % $width AS bucket,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM tt CROSS JOIN (SELECT unnest(range(0, $depth)) AS h)
+             WHERE wave <= $w GROUP BY source, h, bucket) s
+             ON s.source = g.source AND s.h = g.h AND s.bucket = g.bucket
+           GROUP BY g.source, g.probe)"""
+    s"""WITH t AS (
+         SELECT source, (doc_id // 20) % 2 AS wave,
+                unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         FROM documents
+       ), tt AS (SELECT * FROM t WHERE tok <> ''),
+       probes(probe) AS (VALUES $probeValues),
+       pc AS (
+         SELECT probe, h,
+                ('0x' || substr(md5('$salt:' || CAST(h AS VARCHAR)
+                   || ':' || probe), 1, 14))::BIGINT % $width AS bucket
+         FROM probes CROSS JOIN (SELECT unnest(range(0, $depth)) AS h)
+       )
+       SELECT * FROM (${waveEst(0)} UNION ALL ${waveEst(1)}) z
+       ORDER BY source, wave, probe"""
+  }
+
+  /** Prefix-filter exact Jaccard join oracle mirroring
+    * [[graft.operators.Dedup.prefixJaccardPairs]]: rarity-keyed
+    * shingles (lpad(df):shingle), prefix length L - ceil(tau·L) + 1
+    * in integer arithmetic, first-match emission at the minimum
+    * shared prefix key, then exact set verification. */
+  private[graft] def prefixJaccardOracle(tauNum: Int, tauDen: Int,
+                                  collapse: Boolean = false): String = {
+    // collapse: lowest-id representative per distinct text (the
+    // exactDuplicates keep rule) before the join — q140's contract
+    val repCte = if (!collapse) ""
+      else "rcorpus AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text), "
+    val src = if (collapse) "rcorpus" else "corpus"
+    s"""WITH ${boilerplateCorpusSql}${repCte}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM $src
+       ), sh AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ')
+                      for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), df AS (
+         SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+       ), keyed AS (
+         SELECT s.doc_id,
+                lpad(CAST(d.df AS VARCHAR), 10, '0') || ':' || s.shingle AS k
+         FROM sh s JOIN df d USING (shingle)
+       ), sets AS (
+         SELECT doc_id, list_sort(list(k)) AS ks, CAST(count(*) AS BIGINT) AS l
+         FROM keyed GROUP BY doc_id
+       ), pref AS (
+         SELECT doc_id, l,
+                ks[1:CAST(l - (l * $tauNum + ${tauDen - 1}) // $tauDen + 1
+                          AS INTEGER)] AS p
+         FROM sets
+       ), pe AS (
+         SELECT doc_id, l, p, unnest(p) AS pk FROM pref
+       ), cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pe a JOIN pe b ON a.pk = b.pk AND a.doc_id < b.doc_id
+         WHERE a.l * $tauNum <= b.l * $tauDen
+           AND b.l * $tauNum <= a.l * $tauDen
+           AND a.pk = list_min(list_intersect(a.p, b.p))
+       ), ver AS (
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(sa.ks, sb.ks)) AS BIGINT) AS n_inter,
+                sa.l AS n_a, sb.l AS n_b
+         FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
+                     JOIN sets sb ON sb.doc_id = c.id_b
+       )
+       SELECT id_a, id_b, n_inter, n_a, n_b,
+              CAST(n_inter AS DOUBLE)
+                / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+       FROM ver
+       WHERE n_inter * $tauDen >= (n_a + n_b - n_inter) * $tauNum
+       ORDER BY id_a, id_b"""
+  }
+
+  private[graft] def minhashCappedPairsOracle: String =
+    minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
+      cap = Some(8))
+
+  /** MinHash-LSH near-dup pair oracle. The Spark side emits each pair
+    * once via first-match banding; the oracle gets the same SET with a
+    * plain UNION (which dedups) over per-band joins. With `cap`, each
+    * band join is restricted to buckets of at most `cap` members —
+    * the hot-bucket guard's semantics: a pair survives iff SOME band
+    * puts both docs in a small-enough bucket. */
+  private[graft] def minhashPairsOracle(corpusCte: String, source: String,
+                                 cap: Option[Int],
+                                 threshold: Option[Double] = Some(0.8),
+                                 withSigEq: Boolean = false,
+                                 numHashes: Int = 8,
+                                 independent: Boolean = false): String = {
+    val numBands = numHashes / 2 // rowsPerBand = 2 throughout
+    val sigs = minhashSigsSql(numHashes, independent)
+    val bandCols = (0 until numBands).map(b =>
+      s"md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1})) AS b_$b").mkString(", ")
+    val unions = (0 until numBands).map { b =>
+      val capClause = cap.map(c =>
+        s"""
+          JOIN (SELECT b_$b AS k, count(*) AS c FROM bands GROUP BY 1) sz
+            ON sz.k = a.b_$b
+          WHERE sz.c <= $c""").getOrElse("")
+      s"""SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2 ON a.b_$b = b2.b_$b AND a.doc_id < b2.doc_id$capClause"""
+    }.mkString(" UNION ")
+    val where = threshold.map(t => s" WHERE jaccard >= $t").getOrElse("")
+    val sigEqCte = if (!withSigEq) "" else {
+      val eqSum = (0 until numHashes)
+        .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s""", se AS (
+         SELECT j.id_a, j.id_b, CAST($eqSum AS BIGINT) AS sig_eq
+         FROM j JOIN sig sa ON sa.doc_id = j.id_a
+                JOIN sig sb ON sb.doc_id = j.id_b
+       )"""
+    }
+    val sigEqJoin =
+      if (withSigEq) " JOIN se ON se.id_a = j.id_a AND se.id_b = j.id_b" else ""
+    val finalCols =
+      if (withSigEq) "j.id_a AS id_a, j.id_b AS id_b, se.sig_eq AS sig_eq, " +
+        "j.n_inter AS n_inter, j.n_a AS n_a, j.n_b AS n_b, j.jaccard AS jaccard"
+      else "id_a, id_b, n_inter, n_a, n_b, jaccard"
+    s"""WITH ${corpusCte}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM $source
+       ), sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), shd AS (
+         SELECT DISTINCT doc_id, shingle FROM sh
+       ), sig AS (
+         SELECT doc_id, $sigs FROM sh GROUP BY doc_id
+       ), bands AS (
+         SELECT doc_id, $bandCols FROM sig
+       ), p AS ($unions),
+       sizes AS (
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM shd GROUP BY doc_id
+       ), inter AS (
+         SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM p
+         JOIN shd ta ON ta.doc_id = p.id_a
+         JOIN shd tb ON tb.doc_id = p.id_b AND ta.shingle = tb.shingle
+         GROUP BY p.id_a, p.id_b
+       ), j AS (
+         SELECT p.id_a, p.id_b,
+                coalesce(i.n_inter, 0) AS n_inter,
+                sa.n_sh AS n_a, sb.n_sh AS n_b,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+         FROM p
+         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         JOIN sizes sa ON sa.doc_id = p.id_a
+         JOIN sizes sb ON sb.doc_id = p.id_b
+       )$sigEqCte
+       SELECT $finalCols
+       FROM j$sigEqJoin$where ORDER BY id_a, id_b"""
+  }
+
+  /** q53: connected components over the q45-family near-dup pairs,
+    * recomputed in DuckDB as a recursive transitive closure — the
+    * component label is the minimum reachable id, exactly the
+    * large-star/small-star fixpoint. Singleton documents label
+    * themselves via the left join. */
+  private[graft] def duplicateClustersOracle: String = {
+    val pairs = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM ($pairs)
+       ), sym AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION
+         SELECT id_b AS u, id_a AS v FROM p
+       ), reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       ), lbl AS (
+         SELECT u AS node, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u
+       ), ids AS (
+         SELECT doc_id FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id FROM range(1, 13) t(r)
+       )
+       SELECT i.doc_id,
+              coalesce(l.cluster_id, i.doc_id) AS cluster_id,
+              coalesce(l.cluster_id, i.doc_id) = i.doc_id AS is_canonical
+       FROM ids i LEFT JOIN lbl l ON l.node = i.doc_id
+       ORDER BY doc_id"""
+  }
+
+  /** Identical-full-signature clusters over the boilerplate corpus
+    * (q46). DuckDB `count(*)` is already BIGINT; `concat_ws` renders
+    * the BIGINT signature slots in plain decimal, matching Spark's
+    * `concat_ws` on longs. */
+  private[graft] def signatureClustersOracle: String = {
+    val sigCols = (0 until 8).map(h => s"sig_$h").mkString(", ")
+    s"""WITH ${boilerplateCorpusSql}w AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM corpus
+       ), sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM w
+       ), sig AS (
+         SELECT doc_id, $minhashSigsSql FROM sh GROUP BY doc_id
+       )
+       SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs,
+              md5(concat_ws('|', $sigCols)) AS sig_md5
+       FROM sig GROUP BY $sigCols HAVING count(*) > 1
+       ORDER BY keep_id"""
+  }
+
+  /** DuckDB mirror of `Curation.sampleHash(...) pmod mod`. */
+  private[graft] def splitHashSql(salt: String, mod: Int): String =
+    s"('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % $mod"
+
+  /** q49: the composed curation pipeline — language-id + quality
+    * fragments are verbatim from the q18/q17 oracles, then filter,
+    * min-id-per-digest dedup, and the split-hash CASE. */
+  /** Shared hh..f CTE chain (language-id + quality scoring + the
+    * q49/q73 keep-filter), threaded with `source` for the mixture
+    * stage. Used WITHOUT a leading WITH. */
+  private[graft] def qualityFilterCtes: String = {
+    val hitCols = langMarkersSql.map { case (lang, list) =>
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkersSql.map(_._1)
+    val m = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+    s"""hh AS (
+         SELECT doc_id, text, source, $hitCols FROM documents
+       ), lang AS (
+         SELECT doc_id, text, source, CASE $pick END AS predicted_lang FROM hh
+       ), met AS (
+         SELECT doc_id, text, source, predicted_lang,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+         FROM lang
+       ), r AS (
+         SELECT doc_id, text, source, predicted_lang, n_words,
+           n_alpha / greatest(n_chars_d, 1.0) AS alpha_ratio,
+           n_digit / greatest(n_chars_d, 1.0) AS digit_ratio,
+           n_punct / greatest(n_chars_d, 1.0) AS punct_ratio,
+           n_stop / greatest(n_words, 1.0) AS stopword_ratio
+         FROM met
+       ), q AS (
+         SELECT doc_id, text, source, predicted_lang, n_words,
+           least(alpha_ratio / 0.7, 1.0) * 0.4
+             + least(stopword_ratio / 0.3, 1.0) * 0.3
+             + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
+             + (1.0 - least(punct_ratio * 5, 1.0)) * 0.15 AS quality_score
+         FROM r
+       ), f AS (
+         SELECT * FROM q
+         WHERE predicted_lang = 'en' AND quality_score >= 0.5 AND n_words >= 5
+       )"""
+  }
+
+  private[graft] def curationPipelineOracle: String =
+    s"""WITH $qualityFilterCtes, k AS (
+         SELECT doc_id, predicted_lang, n_words,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                ${splitHashSql("graft", 100)} AS hs
+         FROM f
+       )
+       SELECT doc_id, predicted_lang, CAST(n_words AS BIGINT) AS n_words,
+              CASE WHEN hs < 90 THEN 'train'
+                   WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+       FROM k WHERE rn = 1 ORDER BY doc_id"""
+
+  /** q73: the end-to-end corpus-assembly pipeline — quality filter →
+    * exact dedup → decontaminate (vs the doc_id%97 eval set) →
+    * mixture resample (src0:3, src1:2) → split → 512-token packing
+    * per split. Every stage's fragment is proven individually
+    * (q49/q58/q61/q48/q52); this oracle proves the COMPOSITION. */
+  private[graft] def corpusPipelineOracle: String =
+    s"""WITH $qualityFilterCtes, dd AS (
+         SELECT doc_id, text, source, n_words,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         FROM f
+       ), surv AS (
+         SELECT doc_id, text, source, n_words FROM dd
+         WHERE rn = 1 AND doc_id % 97 <> 0
+       ), gw AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+       ), g AS (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+           END) AS gram
+         FROM gw
+       ), eg AS (
+         SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+       ), contam AS (
+         SELECT g.doc_id FROM g JOIN eg USING (gram)
+         JOIN surv ON surv.doc_id = g.doc_id
+         GROUP BY g.doc_id HAVING count(*) >= 2
+       ), clean AS (
+         SELECT s.doc_id, s.source, s.n_words FROM surv s
+         WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)
+       ), cnt AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY 1
+       ), cw AS (
+         SELECT source, n,
+                CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                     ELSE 1 END AS BIGINT) AS w
+         FROM cnt
+       ), mm AS (
+         SELECT n AS mn, w AS mw FROM cw
+         ORDER BY CAST(n AS DOUBLE) / w, source LIMIT 1
+       ), mixed AS (
+         SELECT c.doc_id, c.source, c.n_words
+         FROM clean c JOIN cw USING (source) CROSS JOIN mm
+         WHERE ('0x' || substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                 % (mm.mw * cw.n) < (mm.mn * cw.w)
+       ), sp AS (
+         SELECT doc_id, source, CAST(n_words AS BIGINT) AS ws_tokens,
+                ${splitHashSql("graft", 100)} AS hs
+         FROM mixed
+       ), ss AS (
+         SELECT doc_id, source, ws_tokens,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM sp
+       ), pk AS (
+         SELECT doc_id, source, split, ws_tokens,
+                CAST(SUM(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - ws_tokens AS strt
+         FROM ss
+       )
+       SELECT doc_id, source, split, ws_tokens,
+              CAST(floor(strt / 512) AS BIGINT) AS pack_id,
+              strt - CAST(floor(strt / 512) AS BIGINT) * 512 AS pack_offset
+       FROM pk ORDER BY doc_id"""
+
+  private[graft] def simhashNearDupOracle: String =
+    simhashPairsOracle(corpusCte = "", source = "documents", cap = None)
+
+  private[graft] def simhashCappedOracle: String =
+    simhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
+      cap = Some(8))
+
+  /** SimHash near-dup oracle; with `cap`, each slice join is
+    * restricted to slice-key buckets of at most `cap` members (the
+    * hot-bucket guard — same UNION-set equivalence as the capped
+    * minhash oracle). */
+  private[graft] def simhashPairsOracle(corpusCte: String, source: String,
+                                 cap: Option[Int]): String = {
+    val votes = (0 until 60).map(b =>
+      s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b_$b")
+      .mkString(", ")
+    val fp = (0 until 60).map(b =>
+      s"CASE WHEN b_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" | ")
+    val unions = (0 until 4).map { sl =>
+      val capClause = cap.map(c =>
+        s"""
+          JOIN (SELECT (simhash >> ${sl * 15}) & 32767 AS k, count(*) AS c
+                FROM sb GROUP BY 1) sz
+            ON sz.k = ((a.simhash >> ${sl * 15}) & 32767)
+          WHERE sz.c <= $c""").getOrElse("")
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM sb a JOIN sb b
+            ON ((a.simhash >> ${sl * 15}) & 32767) = ((b.simhash >> ${sl * 15}) & 32767)
+           AND a.doc_id < b.doc_id$capClause"""
+    }.mkString(" UNION ")
+    s"""WITH ${corpusCte}w AS (
+         SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word
+         FROM $source
+       ), h AS (
+         SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w
+       ), v AS (
+         SELECT doc_id, $votes FROM h GROUP BY doc_id
+       ), sb AS (
+         SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v
+       ), p AS ($unions)
+       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+       ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB twin of [[frozenVec]]: 8 exact small-integer doubles from
+    * the md5 hex pairs of `keyExpr`. */
+  private[graft] def frozenVecSql(keyExpr: String): String =
+    (0 until 8).map(i =>
+      s"('0x' || substr(md5($keyExpr), ${2 * i + 1}, 2))::BIGINT::DOUBLE")
+      .mkString("[", ", ", "]")
+
+  /** Full DuckDB replay of the flagship matcher with the frozen
+    * embedder + `lower` cleaner (q40): crossJoin cosine → top-2 with
+    * the lower-ref_row_id tie-break → rank pivot → exact-overwrite
+    * (first-row-wins, definition-vs-all_text asymmetry, rank-2
+    * nulling). Every stage mirrors Matcher.mapLabels /
+    * overwriteExactMatches one-to-one. */
+  private[graft] def labelMatchFrozenOracle: String = {
+    def cos(av: String, an: String, bv: String, bn: String) =
+      s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
+    s"""WITH p AS (
+         SELECT CAST(p_partkey AS VARCHAR) AS ct_id, p_name AS ct_name,
+                p_brand AS ct_label, p_type AS def,
+                p_name || ' ' || p_brand || ' ' || p_type AS all_text
+         FROM part WHERE p_partkey <= 300
+       ), ref AS (
+         SELECT ct_id, ct_name, def, all_text,
+                row_number() OVER (ORDER BY ct_id) AS ref_row_id,
+                ${frozenVecSql("all_text")} AS v
+         FROM p
+       ), refn AS (
+         SELECT *, sqrt(list_dot_product(v, v)) AS nrm FROM ref
+       ), rawq AS (
+         SELECT DISTINCT source, raw FROM (
+           SELECT source,
+                  array_to_string((string_split(text, ' '))[1:3], ' ') AS raw
+           FROM documents
+           UNION ALL
+           SELECT 'planted' AS source, p_name AS raw
+           FROM part WHERE p_partkey <= 300 AND p_partkey % 50 = 0
+         )
+       ), q AS (
+         SELECT source, raw, lower(raw) AS cleaned,
+                ${frozenVecSql("lower(raw)")} AS qv
+         FROM rawq
+       ), qn AS (
+         SELECT *, sqrt(list_dot_product(qv, qv)) AS qnrm FROM q
+       ), s AS (
+         SELECT qn.source, qn.raw, qn.cleaned, r.ref_row_id,
+                ${cos("qn.qv", "qn.qnrm", "r.v", "r.nrm")} AS score
+         FROM qn CROSS JOIN refn r
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY source, raw
+                     ORDER BY score DESC, ref_row_id ASC) AS rnk
+         FROM s
+       ), wide AS (
+         SELECT source, raw, cleaned,
+           max(CASE WHEN rnk = 1 THEN score END) AS sc1,
+           max(CASE WHEN rnk = 1 THEN ref_row_id END) AS rid1,
+           max(CASE WHEN rnk = 2 THEN score END) AS sc2,
+           max(CASE WHEN rnk = 2 THEN ref_row_id END) AS rid2
+         FROM rk WHERE rnk <= 2 GROUP BY source, raw, cleaned
+       ), ex AS (
+         SELECT ekey, eid, ename, edef FROM (
+           SELECT lower(ct_name) AS ekey, ct_id AS eid, ct_name AS ename,
+                  def AS edef,
+                  row_number() OVER (PARTITION BY lower(ct_name)
+                    ORDER BY ref_row_id ASC) AS rn
+           FROM ref)
+         WHERE rn = 1
+       )
+       SELECT w.source, w.raw AS raw_input_label, w.cleaned AS cleaned_input_label,
+         CASE WHEN e.ekey IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE w.sc1 END AS match_score_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.eid ELSE r1.ct_id END AS matched_asctb_id_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.ename ELSE r1.ct_name END AS matched_asctb_label_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.edef ELSE r1.all_text END AS matched_asctb_text_1,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE w.sc2 END AS match_score_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_id END AS matched_asctb_id_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_name END AS matched_asctb_label_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.all_text END AS matched_asctb_text_2
+       FROM wide w
+       LEFT JOIN ex e ON e.ekey = w.cleaned
+       LEFT JOIN ref r1 ON r1.ref_row_id = w.rid1
+       LEFT JOIN ref r2 ON r2.ref_row_id = w.rid2
+       ORDER BY w.source, raw_input_label"""
+  }
+
+  /** Raw-token stopword filter (F7/F10: NLTK list + 'NaN') as a SQL
+    * NOT IN list, generated from TextNlp.stopwords. */
+  private[graft] def notStopwordSql(e: String): String = {
+    val words = (graft.functions.TextNlp.stopwords + "NaN").toSeq.sorted
+      .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+    s"$e NOT IN ($words)"
+  }
+
+  /** CTE stages applying the full cleanToken pipeline (contraction →
+    * alnum-strip → number-words → lowercase → exception/morphy lemma →
+    * rstrip-'s') to every token of `textExpr`, keyed by `keys`.
+    * regexSplit=true mirrors cleanLabel's python no-arg split (`\s+`,
+    * empties dropped); false mirrors tokensCleanDedup's `split(' ')`
+    * (empties kept). Emits `<p>_rooted(keys*, pos, rt, ctok)`;
+    * expects global CTEs ct(tok,exp), exc(eword,elemma), nlex(ws). */
+  private[graft] def cleanTokenStagesSql(p: String, srcCte: String, keys: Seq[String],
+                                  textExpr: String, regexSplit: Boolean): String = {
+    val ks = keys.mkString(", ")
+    val split =
+      if (regexSplit) s"string_split_regex($textExpr, '\\s+')"
+      else s"string_split($textExpr, ' ')"
+    val emptyFilter = if (regexSplit) "WHERE rt <> ''" else ""
+    s"""${p}_toks AS (
+         SELECT $ks, unnest($split) AS rt,
+                unnest(range(1, len($split) + 1)) AS pos
+         FROM $srcCte
+       ), ${p}_nz AS (SELECT * FROM ${p}_toks $emptyFilter
+       ), ${p}_al AS (
+         SELECT $ks, pos, rt,
+                regexp_replace(coalesce(ct.exp, x.rt), '[^a-zA-Z0-9]', '', 'g') AS alnum
+         FROM ${p}_nz x LEFT JOIN ct ON ct.tok = x.rt
+       ), ${p}_lw AS (
+         SELECT $ks, pos, rt,
+                lower(CASE WHEN regexp_matches(alnum, '^[0-9]+$$')
+                           THEN ${numberWordsSql("CAST(alnum AS BIGINT)")}
+                           ELSE alnum END) AS w
+         FROM ${p}_al
+       ), ${p}_rooted AS (
+         SELECT $ks, pos, rt,
+                rtrim(coalesce(e.elemma, ${morphyCaseSql("w")}), 's') AS ctok
+         FROM ${p}_lw CROSS JOIN nlex LEFT JOIN exc e ON e.eword = w
+       )"""
+  }
+
+  /** Stages turning `<p>_rooted` into the md5-TF embedding vector of
+    * [[graft.embed.Md5HashingEmbedder]]: raw-token stopword filter →
+    * first-emitted-occurrence dedup on the cleaned token → md5-56
+    * bucket counts (dim buckets) → L2 normalize (zero vectors pass
+    * through). `baseCte` supplies one row per key so all-stopword /
+    * empty token lists still yield a (zero) vector. */
+  private[graft] def md5TfVecStagesSql(p: String, baseCte: String, keys: Seq[String],
+                                dim: Int): String = {
+    val ks = keys.mkString(", ")
+    val joinOn = keys.map(k => s"b.$k = k.$k").mkString(" AND ")
+    val bks = keys.map(k => s"b.$k").mkString(", ")
+    s"""${p}_kept AS (
+         SELECT $ks, pos, ctok,
+                row_number() OVER (PARTITION BY $ks, ctok ORDER BY pos) AS dup_rn
+         FROM ${p}_rooted WHERE ${notStopwordSql("rt")}
+       ), ${p}_toklist AS (
+         SELECT $bks,
+                list(k.ctok ORDER BY k.pos) FILTER (WHERE k.pos IS NOT NULL) AS toks
+         FROM $baseCte b LEFT JOIN (SELECT * FROM ${p}_kept WHERE dup_rn = 1) k
+           ON $joinOn
+         GROUP BY $bks
+       ), ${p}_cnt AS (
+         SELECT $ks,
+                list_transform(range(0, $dim), i ->
+                  CAST(len(list_filter(coalesce(toks, []), t ->
+                    (('0x' || substr(md5(t), 1, 14))::BIGINT % $dim) = i)) AS DOUBLE)) AS c
+         FROM ${p}_toklist
+       ), ${p}_vec AS (
+         SELECT $ks,
+                CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN c
+                     ELSE list_transform(c, x -> x / sqrt(list_dot_product(c, c))) END AS v
+         FROM ${p}_cnt
+       )"""
+  }
+
+  /** Stages turning `<p>_rooted` into the frozen-trained-vocabulary
+    * mean vector of [[graft.embed.QuantizedVocabEmbedder]] /
+    * [[graft.functions.VocabAvgExpr]]: identical kept/toklist stages
+    * to [[md5TfVecStagesSql]] (raw-token stopword filter,
+    * first-occurrence dedup), then per-dimension SUM of the in-vocab
+    * word vectors — a plain group aggregate, valid because the
+    * quantized weights make the sum exact and order-free — scaled by
+    * `(1.0 / n)` exactly as the JVM applies it (single rounding
+    * step), then the shared L2-normalize stage. Expects a global CTE
+    * `w2v(word, vec DOUBLE[])`. OOV tokens contribute nothing but
+    * count toward n; empty/all-OOV token lists yield the zero
+    * vector. */
+  private[graft] def w2vVecStagesSql(p: String, baseCte: String, keys: Seq[String],
+                              dim: Int): String = {
+    val ks = keys.mkString(", ")
+    val joinOn = keys.map(k => s"b.$k = k.$k").mkString(" AND ")
+    val bks = keys.map(k => s"b.$k").mkString(", ")
+    val ivJoin = keys.map(k => s"tl.$k = iv.$k").mkString(" AND ")
+    val tks = keys.map(k => s"tl.$k").mkString(", ")
+    val zeros = Seq.fill(dim)("0.0").mkString("[", ", ", "]")
+    s"""${p}_kept AS (
+         SELECT $ks, pos, ctok,
+                row_number() OVER (PARTITION BY $ks, ctok ORDER BY pos) AS dup_rn
+         FROM ${p}_rooted WHERE ${notStopwordSql("rt")}
+       ), ${p}_toklist AS (
+         SELECT $bks,
+                list(k.ctok ORDER BY k.pos) FILTER (WHERE k.pos IS NOT NULL) AS toks
+         FROM $baseCte b LEFT JOIN (SELECT * FROM ${p}_kept WHERE dup_rn = 1) k
+           ON $joinOn
+         GROUP BY $bks
+       ), ${p}_ivs AS (
+         SELECT $ks, list(w.vec) AS vecs
+         FROM (SELECT $ks, unnest(coalesce(toks, [])) AS tok FROM ${p}_toklist) u
+         JOIN w2v w ON w.word = u.tok
+         GROUP BY $ks
+       ), ${p}_cnt AS (
+         SELECT $tks,
+                CASE WHEN len(coalesce(tl.toks, [])) = 0 THEN $zeros
+                     ELSE list_transform(range(1, ${dim + 1}), d ->
+                       coalesce(list_sum(list_transform(coalesce(iv.vecs, []),
+                                                        v -> v[d])), 0.0)
+                         * (1.0 / len(tl.toks)))
+                END AS c
+         FROM ${p}_toklist tl LEFT JOIN ${p}_ivs iv ON $ivJoin
+       ), ${p}_vec AS (
+         SELECT $ks,
+                CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN c
+                     ELSE list_transform(c, x -> x / sqrt(list_dot_product(c, c))) END AS v
+         FROM ${p}_cnt
+       )"""
+  }
+
+  /** Full DuckDB replay of the flagship matcher on the LIVE md5-kernel
+    * hashing embedder (q24): every stage of qFlagship — NLP label
+    * clean, clean-dedup tokenization of both sides, TF bucket counts,
+    * L2 normalize, cosine top-2 with the lower-ref_row_id tie-break,
+    * rank pivot, exact-overwrite — mirrored one-to-one. The pipeline
+    * stages are applied four times exactly as the engine does: query
+    * label clean (display + embed input), query embed tokens, ref
+    * embed tokens (raw all_text), ref CT_NAME clean (exact-match
+    * key). */
+  private[graft] def labelMatchHashedOracle: String =
+    flagshipLiveOracle((p, base, keys) => md5TfVecStagesSql(p, base, keys, 64))
+
+  /** q44's oracle: the SAME flagship replay with the vector stages
+    * swapped for the frozen trained-vocabulary mean
+    * ([[w2vVecStagesSql]]) over a generated-VALUES w2v(word, vec)
+    * table — the fitted, 2^-20-quantized Word2Vec matrix captured by
+    * [[q44VocabHolder]] during the q44 run. */
+  private[graft] def labelMatchW2vOracle(vocab: Seq[(String, Array[Double])]): String = {
+    val rows = vocab.map { case (w, v) =>
+      s"('${w.replace("'", "''")}', ${v.map(_.toString).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n         ")
+    flagshipLiveOracle((p, base, keys) => w2vVecStagesSql(p, base, keys, 64),
+      extraCtes = s",\n       w2v(word, vec) AS (SELECT * FROM (VALUES $rows))")
+  }
+
+  /** q148's training trajectory as CTEs: RETRAIN the
+    * [[graft.embed.CoocPowerEmbedder]] inside DuckDB — tokenize the
+    * fit corpus with the engine's clean-dedup pipeline, count exact
+    * (u,v) document co-occurrences (diagonal = row frequency), seed
+    * ±micro vectors from md5 parity, unroll `rounds` floor-mean
+    * diffusion rounds (the exactly-divisible `(raw - pmod) / deg`
+    * form both engines compute exactly), and emit `w2v(word, vec)`
+    * for the shared [[w2vVecStagesSql]] apply stages. */
+  private[graft] def coocTrainCtesSql(dim: Int, rounds: Int, micro: Long,
+                               salt: String): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cr$r AS (
+         SELECT c.u, w.d, CAST(sum(c.cnt * w.x) AS BIGINT) AS raw
+         FROM cooc c JOIN cw${r - 1} w ON w.word = c.v
+         GROUP BY c.u, w.d
+       ), cw$r AS (
+         SELECT r.u AS word, r.d,
+                CAST((r.raw - (((r.raw % g.deg) + g.deg) % g.deg)) / g.deg
+                  AS BIGINT) AS x
+         FROM cr$r r JOIN cdeg g ON g.u = r.u
+       )"""
+    }.mkString(",\n       ")
+    s""",
+       twsrc AS (
+         SELECT CAST(p_partkey AS VARCHAR) AS ct_id,
+                coalesce(p_name || ' ' || p_brand || ' ' || p_type, p_name) AS all_text
+         FROM part WHERE p_partkey <= 300
+       ),
+       ${cleanTokenStagesSql("tw", "twsrc", Seq("ct_id"),
+        "substr(all_text, 1, 150)", regexSplit = false)},
+       tw_tok AS (
+         SELECT ct_id, ctok AS tok FROM (
+           SELECT ct_id, ctok,
+                  row_number() OVER (PARTITION BY ct_id, ctok ORDER BY pos) AS dup_rn
+           FROM tw_rooted WHERE ${notStopwordSql("rt")})
+         WHERE dup_rn = 1
+       ),
+       cooc AS (
+         SELECT a.tok AS u, b.tok AS v, CAST(count(*) AS BIGINT) AS cnt
+         FROM tw_tok a JOIN tw_tok b ON b.ct_id = a.ct_id
+         GROUP BY a.tok, b.tok
+       ),
+       cdeg AS (SELECT u, CAST(sum(cnt) AS BIGINT) AS deg FROM cooc GROUP BY u),
+       cw0 AS (
+         SELECT g.u AS word, dd.d,
+                CAST(CASE WHEN ('0x' || substr(md5('$salt:' || g.u || ':' ||
+                         CAST(dd.d AS VARCHAR)), 1, 14))::BIGINT % 2 = 0
+                     THEN $micro ELSE -$micro END AS BIGINT) AS x
+         FROM cdeg g CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) dd
+       ),
+       $roundCtes,
+       w2v AS (
+         SELECT word, list(CAST(x AS DOUBLE) ORDER BY d) AS vec
+         FROM cw$rounds GROUP BY word
+       )"""
+  }
+
+  private[graft] def labelMatchCoocOracle: String =
+    flagshipLiveOracle((p, base, keys) => w2vVecStagesSql(p, base, keys, 64),
+      extraCtes = coocTrainCtesSql(dim = 64, rounds = 2, micro = 1000000L,
+        salt = "cpe"))
+
+  /** q35's oracle: replay the 2-d projection from the frozen signed
+    * eigenbasis ([[q35BasisHolder]], captured at fit time). Both
+    * engines compute the same ordered 64-term dot product
+    * ([[graft.functions.DotProductExpr]] ↔ `list_dot_product`), so
+    * the coordinates match bit-for-bit; the basis itself is certified
+    * against PCA's mathematical contract by q82. */
+  private[graft] def pcaProjectionOracle(basis: Array[Array[Double]]): String = {
+    def arr(b: Array[Double]) = b.map(_.toString).mkString("[", ", ", "]")
+    s"""SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), ${arr(basis(0))}) AS x,
+         list_dot_product(CAST(embedding AS DOUBLE[]), ${arr(basis(1))}) AS y
+       FROM embeddings ORDER BY vec_id"""
+  }
+
+  /** Oracles generated from model state frozen at query-run time
+    * (Verify runs every query before dumping [[oracleSql]]); empty
+    * until the capturing queries have run in this JVM, in which case
+    * the driver falls back to its rows-only record for them. */
+  private[graft] def modelOracles: Map[String, String] =
+    q35BasisHolder.get
+      .map(b => "q35_pca_projection" -> pcaProjectionOracle(b)).toMap ++
+    q44VocabHolder.get
+      .map(v => "q44_label_match_w2v" -> labelMatchW2vOracle(v)).toMap
+
+  /** The shared flagship-replay skeleton (every stage of qFlagship
+    * mirrored one-to-one — see [[labelMatchHashedOracle]]'s doc),
+    * parameterized over the embedding-vector stages so the md5-TF
+    * (q24) and frozen-Word2Vec (q44) oracles state the identical
+    * matcher algebra. `vecStages(p, baseCte, keys)` must emit
+    * `${p}_vec(keys*, v)`; `extraCtes` is appended to the global CTE
+    * prelude (leading comma included by the caller). */
+  private[graft] def flagshipLiveOracle(
+      vecStages: (String, String, Seq[String]) => String,
+      extraCtes: String = ""): String = {
+    val ctValues = graft.functions.TextNlp.contractionsMap.toSeq.sorted
+      .map { case (k, v) =>
+        s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+    def cos(av: String, an: String, bv: String, bn: String) =
+      s"CASE WHEN $an * $bn = 0 THEN 0.0 ELSE list_dot_product($av, $bv) / ($an * $bn) END"
+    s"""WITH ct(tok, exp) AS (SELECT * FROM (VALUES $ctValues)),
+       exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       nlex AS ($nounLexiconCteSql)$extraCtes,
+       p AS (
+         SELECT CAST(p_partkey AS VARCHAR) AS ct_id, p_name AS ct_name,
+                p_type AS def,
+                coalesce(p_name || ' ' || p_brand || ' ' || p_type, p_name) AS all_text
+         FROM part WHERE p_partkey <= 300
+       ), ref0 AS (
+         SELECT ct_id, ct_name, def, all_text,
+                row_number() OVER (ORDER BY ct_id) AS ref_row_id
+         FROM p
+       ), rawq AS (
+         SELECT DISTINCT source,
+                array_to_string((string_split(text, ' '))[1:3], ' ') AS raw
+         FROM documents
+       ),
+       ${cleanTokenStagesSql("qc", "rawq", Seq("source", "raw"), "raw", regexSplit = true)},
+       qlab AS (
+         SELECT r.source, r.raw, coalesce(l.lbl, '') AS cleaned
+         FROM rawq r LEFT JOIN (
+           SELECT source, raw, string_agg(ctok, ' ' ORDER BY pos) AS lbl
+           FROM qc_rooted GROUP BY source, raw) l
+           ON l.source = r.source AND l.raw = r.raw
+       ),
+       ${cleanTokenStagesSql("qe", "qlab", Seq("source", "raw"),
+        "substr(cleaned, 1, 150)", regexSplit = false)},
+       ${vecStages("qe", "qlab", Seq("source", "raw"))},
+       ${cleanTokenStagesSql("re", "ref0", Seq("ct_id"),
+        "substr(all_text, 1, 150)", regexSplit = false)},
+       ${vecStages("re", "ref0", Seq("ct_id"))},
+       ${cleanTokenStagesSql("rc", "ref0", Seq("ct_id"), "ct_name", regexSplit = true)},
+       rclab AS (
+         SELECT r.ct_id, coalesce(l.lbl, '') AS name_cleaned
+         FROM ref0 r LEFT JOIN (
+           SELECT ct_id, string_agg(ctok, ' ' ORDER BY pos) AS lbl
+           FROM rc_rooted GROUP BY ct_id) l ON l.ct_id = r.ct_id
+       ),
+       qn AS (
+         SELECT b.source, b.raw, b.cleaned, t.v,
+                sqrt(list_dot_product(t.v, t.v)) AS qnrm
+         FROM qlab b JOIN qe_vec t ON t.source = b.source AND t.raw = b.raw
+       ), refn AS (
+         SELECT r0.ct_id, r0.ct_name, r0.def, r0.all_text, r0.ref_row_id,
+                c.name_cleaned, t.v,
+                sqrt(list_dot_product(t.v, t.v)) AS nrm
+         FROM ref0 r0
+         JOIN re_vec t ON t.ct_id = r0.ct_id
+         JOIN rclab c ON c.ct_id = r0.ct_id
+       ), s AS (
+         SELECT qn.source, qn.raw, qn.cleaned, r.ref_row_id,
+                ${cos("qn.v", "qn.qnrm", "r.v", "r.nrm")} AS score
+         FROM qn CROSS JOIN refn r
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY source, raw
+                     ORDER BY score DESC, ref_row_id ASC) AS rnk
+         FROM s
+       ), wide AS (
+         SELECT source, raw, cleaned,
+           max(CASE WHEN rnk = 1 THEN score END) AS sc1,
+           max(CASE WHEN rnk = 1 THEN ref_row_id END) AS rid1,
+           max(CASE WHEN rnk = 2 THEN score END) AS sc2,
+           max(CASE WHEN rnk = 2 THEN ref_row_id END) AS rid2
+         FROM rk WHERE rnk <= 2 GROUP BY source, raw, cleaned
+       ), ex AS (
+         SELECT ekey, eid, ename, edef FROM (
+           SELECT name_cleaned AS ekey, ct_id AS eid, ct_name AS ename,
+                  def AS edef,
+                  row_number() OVER (PARTITION BY name_cleaned
+                    ORDER BY ref_row_id ASC) AS ex_rn
+           FROM refn)
+         WHERE ex_rn = 1
+       )
+       SELECT w.source, w.raw AS raw_input_label, w.cleaned AS cleaned_input_label,
+         CASE WHEN e.ekey IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE w.sc1 END AS match_score_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.eid ELSE r1.ct_id END AS matched_asctb_id_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.ename ELSE r1.ct_name END AS matched_asctb_label_1,
+         CASE WHEN e.ekey IS NOT NULL THEN e.edef ELSE r1.all_text END AS matched_asctb_text_1,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE w.sc2 END AS match_score_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_id END AS matched_asctb_id_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.ct_name END AS matched_asctb_label_2,
+         CASE WHEN e.ekey IS NOT NULL THEN NULL ELSE r2.all_text END AS matched_asctb_text_2
+       FROM wide w
+       LEFT JOIN ex e ON e.ekey = w.cleaned
+       LEFT JOIN ref0 r1 ON r1.ref_row_id = w.rid1
+       LEFT JOIN ref0 r2 ON r2.ref_row_id = w.rid2
+       ORDER BY w.source, raw_input_label"""
+  }
+
+  /** The nested global regexp_replace chain of [[Scrub.piiPatterns]]
+    * in application order, as SQL over `expr`. */
+  private[graft] def piiRedactChainSql(expr: String): String =
+    Scrub.piiPatterns.foldLeft(expr) {
+      case (acc, (_, pat, ph)) => s"regexp_replace($acc, '$pat', '$ph', 'g')"
+    }
+
+  private[graft] def piiPlantListSql: String =
+    piiPlants.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** q84 oracle GENERATED from [[Scrub.piiPatterns]] — counts via
+    * regexp_extract_all on the raw text, redaction as the nested
+    * global regexp_replace chain in application order. Same pattern
+    * strings, same planted PII, both engines. */
+  private[graft] def piiScrubOracle: String = {
+    val plantList = piiPlantListSql
+    val counts = Scrub.piiPatterns.map { case (cat, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$cat"
+    }.mkString(",\n                ")
+    val redacted = piiRedactChainSql("text")
+    s"""WITH src AS (
+         SELECT doc_id, text || ($plantList)[(doc_id % 7) + 1] AS text
+         FROM documents
+       )
+       SELECT doc_id,
+              $counts,
+              $redacted AS scrubbed
+       FROM src ORDER BY doc_id"""
+  }
+
+  /** q90 oracle — GENERATED from [[UrlOps.publicSuffixes]]: the same
+    * host extraction, then eTLD+1 folding with the identical suffix
+    * set inlined as an IN list. */
+  private[graft] def registrableDomainOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id, url,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, url, host, string_split(host, '.') AS toks
+         FROM h
+       )
+       SELECT doc_id, url, host,
+              CASE WHEN len(toks) <= 2 THEN host
+                   WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                     THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                   ELSE toks[-2] || '.' || toks[-1] END AS registrable
+       FROM l ORDER BY doc_id"""
+  }
+
+  /** q91 oracle — the same Morton interleave, generated as the
+    * shift-mask chain (disjoint bit positions, so | is exact). */
+  private[graft] def zOrderOracle: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((user_id >> $i) & 1) << ${2 * i})",
+      s"(((vm >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH e AS (
+         SELECT event_id, user_id,
+                CAST(round(value * 1000) AS BIGINT) AS vm
+         FROM events
+       )
+       SELECT event_id, user_id, vm AS value_milli,
+              CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+       FROM e ORDER BY event_id"""
+  }
+
+  /** q85 oracle — the same strip-fragment/strip-query/lowercase/
+    * www-drop/trailing-slash regex chain [[UrlOps]] applies, then the
+    * two-level (canonical URL → domain) rollup. */
+  private[graft] def urlRollupOracle: String = {
+    val shp = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$"
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://', 'HTTPS://WWW.'])[(doc_id % 2) + 1]
+                  || source || '.Example.COM/p/' || CAST(doc_id % 37 AS VARCHAR)
+                  || (['', '/', '?utm_source=feed&id=9', '#section-2'])[(doc_id % 4) + 1]
+                  AS url
+         FROM documents
+       ), c AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                               '\\?.*$$', '', 'g') AS bare
+         FROM u
+       ), p AS (
+         SELECT doc_id,
+                lower(regexp_extract(bare, '$shp', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(bare, '$shp', 2)),
+                               '^www\\.', '', 'g') AS dom,
+                regexp_replace(regexp_extract(bare, '$shp', 3), '/$$', '', 'g') AS path
+         FROM c
+       ), g AS (
+         SELECT dom, scheme || '://' || dom || path AS curl,
+                count(*) AS n, min(doc_id) AS keeper
+         FROM p GROUP BY dom, scheme || '://' || dom || path
+       )
+       SELECT dom AS domain, CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(sum(n - 1) AS BIGINT) AS n_removed
+       FROM g GROUP BY dom ORDER BY domain"""
+  }
+
+  /** q98 oracle — the composed round-8 pipeline: the q84 redact
+    * chain, the q85 canonicalization regex chain, the q94 entropy
+    * arithmetic, the q88 chunk windows and the q87 shard hash, all
+    * generated from the same shared data/builders as their individual
+    * oracles. */
+  private[graft] def curationPipelineV2Oracle: String = {
+    val shp = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$"
+    s"""WITH src AS (
+         SELECT doc_id,
+                text || ($piiPlantListSql)[(doc_id % 7) + 1] AS text,
+                (['https://', 'HTTPS://WWW.'])[(doc_id % 2) + 1]
+                  || source || '.Example.COM/p/' || CAST(doc_id % 37 AS VARCHAR)
+                  || (['', '/', '?utm_source=feed&id=9', '#section-2'])[(doc_id % 4) + 1]
+                  AS url
+         FROM documents
+       ), scr AS (
+         SELECT doc_id, url, ${piiRedactChainSql("text")} AS scrubbed
+         FROM src
+       ), bare AS (
+         SELECT doc_id, scrubbed,
+                regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                               '\\?.*$$', '', 'g') AS b
+         FROM scr
+       ), canon AS (
+         SELECT doc_id, scrubbed,
+                lower(regexp_extract(b, '$shp', 1)) || '://'
+                  || regexp_replace(lower(regexp_extract(b, '$shp', 2)),
+                                    '^www\\.', '', 'g')
+                  || regexp_replace(regexp_extract(b, '$shp', 3), '/$$', '', 'g')
+                  AS curl
+         FROM bare
+       ), kept AS (
+         SELECT doc_id, scrubbed FROM (
+           SELECT doc_id, scrubbed,
+                  row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+           FROM canon)
+         WHERE rn = 1
+       ), ch AS (
+         SELECT doc_id, unnest(regexp_extract_all(scrubbed, '.')) AS c
+         FROM kept
+       ), cnt AS (
+         SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+         FROM ch GROUP BY doc_id, c
+       ), tot AS (
+         SELECT doc_id, c, k, sum(k) OVER (PARTITION BY doc_id) AS n
+         FROM cnt
+       ), ent AS (
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                CAST(sum(CAST(round(-ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                              AS BIGINT) * k) AS BIGINT) AS ent_micros
+         FROM tot GROUP BY doc_id
+       ), gated AS (
+         SELECT k.doc_id, k.scrubbed
+         FROM kept k JOIN ent e USING (doc_id)
+         WHERE e.n_chars >= 100 AND e.ent_micros >= 2800000 * e.n_chars
+       ), tk AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(scrubbed, '\\s+'), t -> t <> '') AS toks
+         FROM gated
+       ), wnd AS (
+         SELECT doc_id, toks, len(toks) AS n,
+                unnest([s for s in range(0, greatest(len(toks), 1), 24) if s < len(toks)]) AS s
+         FROM tk
+       ), chunks AS (
+         SELECT doc_id * 1000 + s // 24 AS chunk_uid, doc_id,
+                CAST(s // 24 AS BIGINT) AS chunk_id,
+                CAST(least(32, n - s) AS BIGINT) AS n_tok
+         FROM wnd
+       ), h AS (
+         SELECT chunk_uid, doc_id, chunk_id, n_tok,
+                ('0x' || substr(md5('order:' || CAST(chunk_uid AS VARCHAR)), 1, 14))::BIGINT AS hk
+         FROM chunks
+       )
+       SELECT chunk_uid, doc_id, chunk_id, n_tok, hk % 16 AS shard,
+              CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, chunk_uid)
+                   AS BIGINT) AS pos
+       FROM h ORDER BY chunk_uid"""
+  }
+
+  /** q100 oracle — the batch replay of the streaming ingest chain:
+    * same staged union, same redact chain and counts, same length
+    * gate, first-arrival (version, doc_id) dedup on the scrubbed
+    * digest. */
+  private[graft] def streamIngestOracle: String = {
+    val counts = Scrub.piiPatterns.map { case (_, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH v0 AS (
+         SELECT doc_id, CAST(0 AS BIGINT) AS version, text FROM documents
+       ), v1 AS (
+         SELECT doc_id, CAST(1 AS BIGINT) AS version,
+                text || ($piiPlantListSql)[(doc_id % 7) + 1] AS text
+         FROM documents WHERE doc_id % 4 = 0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), text
+         FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 <> 0
+       ), u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       ), scr AS (
+         SELECT doc_id, version,
+                ${piiRedactChainSql("text")} AS scrubbed,
+                $counts AS n_redactions
+         FROM u
+       ), f AS (SELECT * FROM scr WHERE len(scrubbed) >= 50
+       ), r AS (
+         SELECT doc_id, version, md5(scrubbed) AS text_md5, n_redactions,
+                row_number() OVER (PARTITION BY md5(scrubbed)
+                  ORDER BY version, doc_id) AS rn
+         FROM f
+       )
+       SELECT doc_id, version, text_md5, n_redactions
+       FROM r WHERE rn = 1 ORDER BY doc_id, version"""
+  }
+
+  /** The vendored contraction table as DuckDB VALUES — both engines
+    * evaluate the identical map. */
+  private[graft] def expandContractionsOracle: String = {
+    val values = graft.functions.TextNlp.contractionsMap.toSeq.sorted
+      .map { case (k, v) =>
+        s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+    s"""WITH src AS (
+         SELECT doc_id, text || ' Don''t i''m o''clock' AS text FROM documents
+       ), ct(tok, exp) AS (SELECT * FROM (VALUES $values)),
+       toks AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS tok,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         FROM src
+       )
+       SELECT t.doc_id,
+              string_agg(coalesce(ct.exp, t.tok), ' ' ORDER BY t.pos) AS expanded
+       FROM toks t LEFT JOIN ct ON ct.tok = t.tok
+       GROUP BY t.doc_id ORDER BY doc_id"""
+  }
+
+  /** SQL specification of TextNlp.getRootWord: exception VALUES (the
+    * vendored noun_exceptions resource) + the morphy rule chain (CASE
+    * in rule order with the strict length guard) + rtrim('s'). Both
+    * sides derive from the SAME Scala data, so the oracle checks the
+    * JVM implementation against its spec, not a re-keyed copy. */
+  private[graft] def lemmatizeOracle: String =
+    s"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS raw,
+                unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos1
+         FROM documents
+       ), w AS (
+         SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, lower(raw) AS word
+         FROM toks WHERE regexp_matches(raw, '^[A-Za-z]+$$')
+       ), exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       nlex AS ($nounLexiconCteSql),
+       lem AS (
+         SELECT w.doc_id, w.pos, w.word,
+           coalesce(e.elemma, ${morphyCaseSql("word")}) AS lemma
+         FROM w CROSS JOIN nlex LEFT JOIN exc e ON e.eword = w.word
+       )
+       SELECT doc_id, pos, word, rtrim(lemma, 's') AS root
+       FROM lem ORDER BY doc_id, pos"""
+
+  /** Full cleanLabel pipeline in SQL — the composition of every step
+    * the q41/q42/q43 oracles prove individually, in cleanToken's
+    * exact order (`nlp_preprocessing.py:42-70`): whitespace-split
+    * (empties dropped, python no-arg split) → contraction map →
+    * strip non-alphanumerics → number-to-words on all-digit tokens →
+    * lowercase → exception/morphy lemma → rstrip 's' → re-join.
+    * Converts q23 from rows-only to hash-checked. */
+  private[graft] def nlpCleanOracle: String = {
+    val ctValues = graft.functions.TextNlp.contractionsMap.toSeq.sorted
+      .map { case (k, v) =>
+        s"('${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+    s"""WITH src AS (
+         SELECT doc_id, substr(text, 1, 60) AS t FROM documents
+       ), toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(t, '\\s+')) AS raw,
+                unnest(range(1, len(string_split_regex(t, '\\s+')) + 1)) AS pos
+         FROM src
+       ), nz AS (
+         SELECT doc_id, pos, raw FROM toks WHERE raw <> ''
+       ), ct(tok, exp) AS (SELECT * FROM (VALUES $ctValues)),
+       al AS (
+         SELECT nz.doc_id, nz.pos,
+                regexp_replace(coalesce(ct.exp, nz.raw), '[^a-zA-Z0-9]', '', 'g') AS alnum
+         FROM nz LEFT JOIN ct ON ct.tok = nz.raw
+       ), lowered AS (
+         SELECT doc_id, pos,
+                lower(CASE WHEN regexp_matches(alnum, '^[0-9]+$$')
+                           THEN ${numberWordsSql("CAST(alnum AS BIGINT)")}
+                           ELSE alnum END) AS word
+         FROM al
+       ), exc(eword, elemma) AS (SELECT * FROM (VALUES $lemmaExcValuesSql)),
+       nlex AS ($nounLexiconCteSql),
+       rooted AS (
+         SELECT l.doc_id, l.pos,
+                rtrim(coalesce(e.elemma, ${morphyCaseSql("l.word")}), 's') AS root
+         FROM lowered l CROSS JOIN nlex LEFT JOIN exc e ON e.eword = l.word
+       ), agg AS (
+         SELECT doc_id, string_agg(root, ' ' ORDER BY pos) AS cleaned
+         FROM rooted GROUP BY doc_id
+       )
+       SELECT s.doc_id,
+              CASE WHEN s.t IS NULL THEN NULL
+                   ELSE coalesce(a.cleaned, '') END AS cleaned
+       FROM src s LEFT JOIN agg a USING (doc_id)
+       ORDER BY s.doc_id"""
+  }
+
+  // --- NLP oracle builders: SQL twins GENERATED from TextNlp's own
+  // --- word tables / rule lists, so the spec can never drift ---------
+
+  private[graft] def below100Sql(e: String): String = {
+    val onesList = graft.functions.TextNlp.ones.map(w => s"'$w'").mkString("[", ", ", "]")
+    val tensList = graft.functions.TextNlp.tens.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CASE WHEN ($e) < 20 THEN ($onesList)[($e) + 1]
+            WHEN ($e) % 10 = 0 THEN ($tensList)[($e) // 10 + 1]
+            ELSE ($tensList)[($e) // 10 + 1] || '-' || ($onesList)[($e) % 10 + 1] END"""
+  }
+
+  private[graft] def below1000Sql(e: String): String = {
+    val onesList = graft.functions.TextNlp.ones.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CASE WHEN ($e) < 100 THEN ${below100Sql(e)}
+            WHEN ($e) % 100 = 0 THEN ($onesList)[($e) // 100 + 1] || ' hundred'
+            ELSE ($onesList)[($e) // 100 + 1] || ' hundred and ' || ${below100Sql(s"($e) % 100")} END"""
+  }
+
+  /** Full number formatter for values < 10^(3·maxGroups): scale-group
+    * decomposition with num2words' join rules — ", " between scale
+    * groups, " and " before a final sub-100 group. Scale words come
+    * from TextNlp.scales. */
+  private[graft] def numberWordsSql(n: String, maxGroups: Int = 5): String = {
+    val groupClauses = ((maxGroups - 1) to 1 by -1).map { k =>
+      val div = "1" + "000" * k
+      val divHigher = "1" + "000" * (k + 1)
+      val g = s"($n) // $div % 1000"
+      val scale = graft.functions.TextNlp.scales(k)
+      s"""(CASE WHEN $g > 0
+               THEN (CASE WHEN ($n) // $divHigher > 0 THEN ', ' ELSE '' END)
+                    || ${below1000Sql(g)} || ' $scale' ELSE '' END)"""
+    }
+    val rest =
+      s"""(CASE WHEN ($n) % 1000 > 0
+              THEN (CASE WHEN ($n) % 1000 < 100 THEN ' and ' ELSE ', ' END)
+                   || ${below1000Sql(s"($n) % 1000")} ELSE '' END)"""
+    s"""CASE WHEN ($n) < 1000 THEN ${below1000Sql(n)}
+        ELSE ${(groupClauses :+ rest).mkString(" || ")} END"""
+  }
+
+  /** One-row CTE body holding the vendored noun lexicon as a DuckDB
+    * list — cross-joined so [[morphyCaseSql]]'s validation step can
+    * probe it without repeating the literal per rule. */
+  private[graft] def nounLexiconCteSql: String =
+    graft.functions.TextNlp.nounLexicon.toSeq.sorted
+      .map(w => s"'$w'").mkString("SELECT [", ", ", "] AS ws")
+
+  /** Morphy rule chain with candidate validation, as a CASE in rule
+    * order — applied to `word` when the exception lookup missed.
+    * First tier: the first rule whose candidate is in the vendored
+    * noun lexicon (`list_contains` against the `ws` list from
+    * [[nounLexiconCteSql]]'s CTE). Fallback tier: the first
+    * APPLICABLE rule's candidate with the strict length guard —
+    * exactly TextNlp.lemmatize's two-tier order. */
+  private[graft] def morphyCaseSql(word: String): String = {
+    def cand(suf: String, rep: String) =
+      s"substr($word, 1, len($word) - ${suf.length}) || '$rep'"
+    def applicable(suf: String) =
+      s"len($word) > ${suf.length} AND $word LIKE '%$suf'"
+    val validatedCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
+      s"WHEN ${applicable(suf)} AND list_contains(ws, ${cand(suf, rep)}) " +
+        s"THEN ${cand(suf, rep)}"
+    }.mkString(" ")
+    val fallbackCases = graft.functions.TextNlp.morphyRules.map { case (suf, rep) =>
+      s"WHEN ${applicable(suf)} THEN ${cand(suf, rep)}"
+    }.mkString(" ")
+    s"CASE $validatedCases ELSE (CASE $fallbackCases ELSE $word END) END"
+  }
+
+  private[graft] def lemmaExcValuesSql: String =
+    graft.functions.TextNlp.lemmaExceptions.toSeq.sorted
+      .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+
+  private[graft] def numberWordsOracle: String =
+    s"""SELECT doc_id,
+         ${numberWordsSql("doc_id")} AS w_small,
+         ${numberWordsSql("doc_id * 12345 + 678")} AS w_large
+       FROM documents ORDER BY doc_id"""
+
+  private[graft] def sessionizeOracle: String =
+    """WITH x AS (
+         SELECT user_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+         FROM events
+       ), y AS (
+         SELECT user_id, ts, value,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+         FROM x
+       ), z AS (
+         SELECT user_id, ts, value,
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM y
+       )
+       SELECT user_id, session_id, count(*) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+              CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+       FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  private[graft] def ivfOracle: String =
+    s"""$embCte,
+       cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 12),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT nn.vec_id, cent.cell,
+                  row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                    ${cosSql("nn.v", "nn.nrm", "cent.cv", "cent.cnrm")} DESC,
+                    cent.cell ASC) AS rn
+           FROM n nn CROSS JOIN cent)
+         WHERE rn = 1
+       ),
+       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+       probes AS (
+         SELECT q_id, cell FROM (
+           SELECT q.q_id, cent.cell,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    ${cosSql("q.qv", "q.qnrm", "cent.cv", "cent.cnrm")} DESC,
+                    cent.cell ASC) AS rn
+           FROM q CROSS JOIN cent)
+         WHERE rn <= 3
+       ),
+       cand AS (
+         SELECT q.q_id, c.vec_id AS c_id,
+                ${cosSql("q.qv", "q.qnrm", "c.v", "c.nrm")} AS score
+         FROM probes p
+         JOIN assign a ON a.cell = p.cell
+         JOIN n c ON c.vec_id = a.vec_id
+         JOIN q ON q.q_id = p.q_id
+       )
+       SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score FROM (
+         SELECT q_id, c_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk
+         FROM cand)
+       WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** q127: the q53 recursive-closure clusters with the representative
+    * re-picked by max score (text length; ties → min id) — both the
+    * closure and the argmax replayed in SQL. */
+  private[graft] def clusterCanonicalOracle: String = {
+    val pairs = minhashPairsOracle(corpusCte = boilerplateCorpusSql,
+      source = "corpus", cap = None)
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM ($pairs)
+       ), sym AS (
+         SELECT id_a AS u, id_b AS v FROM p
+         UNION
+         SELECT id_b AS u, id_a AS v FROM p
+       ), reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       ), lbl AS (
+         SELECT u AS node, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u
+       ), d AS (
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents
+         UNION ALL
+         SELECT 10000000 + r AS doc_id,
+                CAST(length('$boilerplateText') AS BIGINT) AS score
+         FROM range(1, 13) t(r)
+       ), cl AS (
+         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                d.score
+         FROM d LEFT JOIN lbl l ON l.node = d.doc_id
+       ), rk AS (
+         SELECT *, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY score DESC, doc_id) AS rn
+         FROM cl
+       ), best AS (
+         SELECT cluster_id, doc_id AS keep_id FROM rk WHERE rn = 1
+       )
+       SELECT c.doc_id, c.cluster_id, c.score, b.keep_id,
+              c.doc_id = b.keep_id AS keep
+       FROM cl c JOIN best b USING (cluster_id)
+       ORDER BY doc_id"""
+  }
+}

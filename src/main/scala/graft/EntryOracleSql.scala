@@ -1,0 +1,1737 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.streaming.StreamOps
+
+/** The oracle registry: one DuckDB SQL twin per query in [[SparkEntry.queries]] (the driver's hash-parity gate). */
+private[graft] trait EntryOracleSql { this: SparkEntry.type =>
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+         FROM lineitem
+         WHERE l_discount > 0.05 AND l_quantity < 25
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "q04_dim_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         ORDER BY c_custkey""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q07_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+    "q08_pivot" ->
+      """SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q09_setops" ->
+      """SELECT 'both' AS tag, nationkey FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'cust_only' AS tag, nationkey FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'supp_only' AS tag, nationkey FROM
+           (SELECT s_nationkey AS nationkey FROM supplier
+            EXCEPT SELECT c_nationkey FROM customer)
+         ORDER BY tag, nationkey""",
+    "q10_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q11_impute_sentinels" ->
+      """SELECT doc_id,
+           coalesce(nullif(source, 'src0'), 'UNK') AS src_imputed,
+           CASE WHEN lang = 'zh' THEN 'Unknown' ELSE lang END AS lang_display
+         FROM documents ORDER BY doc_id""",
+    "q12_string_funcs" ->
+      """SELECT p_partkey,
+           lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS name_alnum,
+           substr(p_type, 1, 10) AS type_prefix,
+           p_brand || ' ' || p_type AS brand_type,
+           regexp_replace(p_brand, '#', '_', 'g') AS brand_underscore
+         FROM part ORDER BY p_partkey""",
+    "q13_json_extract" ->
+      """SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+         FROM events ORDER BY event_id""",
+    "q14_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY text_md5""",
+    "q16_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q17_quality_metrics" -> qualityOracle,
+    "q18_language_id" -> langIdOracle,
+    "q19_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS INTEGER) AS subword_tokens,
+           round(CAST(length(text) AS DOUBLE)
+             / CAST(greatest(len(string_split_regex(text, '\s+')), 1) AS DOUBLE), 6) AS chars_per_ws_token
+         FROM documents ORDER BY doc_id""",
+    "q20_minhash_signatures" -> minhashOracle,
+    "q21_simhash" -> simhashOracle,
+    "q22_ngram_jaccard" -> jaccardOracle,
+    "q25_knn_bruteforce" -> knnOracle,
+    "q145_semantic_decontaminate" -> semanticDecontaminateOracle,
+    "q99_hard_negatives" -> hardNegativesOracle,
+    "q26_lsh_buckets" -> lshBucketsOracle,
+    "q27_lsh_neardup" -> lshNearDupOracle,
+    "q28_minhash_lsh_pairs" -> minhashLshPairsOracle,
+    "q29_stream_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q30_sessionize" -> sessionizeOracle,
+    "q31_binary_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           substr(hex(encode(text)), 1, 8) AS magic_hex,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "q32_ivf_topk" -> ivfOracle,
+    "q33_sliding_window" ->
+      """WITH s AS (
+           SELECT event_type,
+                  to_timestamp(CAST((epoch_us(ts) // 1800000000) * 1800 AS BIGINT)) AS t0
+           FROM events
+         ), u AS (
+           SELECT event_type, unnest([t0, t0 - INTERVAL 30 MINUTE]) AS ws FROM s
+         )
+         SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+                count(*) AS n_events
+         FROM u GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q34_venn_counts" ->
+      """WITH a AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+           b AS (SELECT DISTINCT s_nationkey AS k FROM supplier),
+           c AS (SELECT DISTINCT n_nationkey AS k FROM nation WHERE n_regionkey <= 2),
+           u AS (
+             SELECT coalesce(a.k IS NOT NULL, false) AS ia,
+                    coalesce(b.k IS NOT NULL, false) AS ib,
+                    coalesce(c.k IS NOT NULL, false) AS ic
+             FROM a FULL JOIN b USING (k) FULL JOIN c USING (k))
+         SELECT CASE WHEN ia AND ib AND ic THEN 'abc'
+                     WHEN ia AND ib THEN 'ab_only'
+                     WHEN ia AND ic THEN 'ac_only'
+                     WHEN ib AND ic THEN 'bc_only'
+                     WHEN ia THEN 'a_only'
+                     WHEN ib THEN 'b_only'
+                     ELSE 'c_only' END AS region, count(*) AS n
+         FROM u GROUP BY 1 ORDER BY region""",
+    "q36_sql_native_funcs" ->
+      """SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq_norm,
+           CAST(2 AS INTEGER) AS n_shingles,
+           array_to_string(list_transform(range(0, 4), b ->
+             CAST(len(list_filter(range(0, vec_id % 7 + 1), i -> i % 4 = b)) AS BIGINT)), ',')
+             AS bucket_hist
+         FROM embeddings ORDER BY vec_id""",
+    "q37_wrangle_sheet" ->
+      """WITH t1 AS (
+           SELECT p_name AS CT_NAME,
+                  CASE WHEN p_partkey % 7 = 0 THEN NULL
+                       ELSE CAST(p_partkey AS VARCHAR) END AS CT_ID,
+                  p_brand AS CT_LABEL
+           FROM part
+         ), t2 AS (
+           SELECT CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_type END,
+                  CASE WHEN p_partkey % 13 = 0 THEN NULL
+                       ELSE CAST(p_size AS VARCHAR) END,
+                  CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_brand END
+           FROM part
+         ), u AS (
+           SELECT * FROM t1 UNION ALL SELECT * FROM t2
+         ), f AS (
+           SELECT DISTINCT * FROM u
+           WHERE NOT (CT_NAME IS NULL AND CT_ID IS NULL AND CT_LABEL IS NULL)
+         )
+         SELECT coalesce(CT_ID, 'ASCTB CT_ID UNK') AS CT_ID, CT_NAME, CT_LABEL
+         FROM f ORDER BY CT_ID, CT_NAME, CT_LABEL""",
+    "q38_simhash_neardup" -> simhashNearDupOracle,
+    "q51_simhash_capped" -> simhashCappedOracle,
+    "q39_stream_upsert" ->
+      """WITH v0 AS (SELECT doc_id, 0 AS version, text FROM documents),
+         v1 AS (SELECT doc_id, 1 AS version, text || ' v1' AS text
+                FROM documents WHERE doc_id % 5 = 0),
+         v2 AS (SELECT doc_id, 2 AS version, text || ' v2' AS text
+                FROM documents WHERE doc_id % 7 = 0),
+         allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+         win AS (SELECT doc_id, version, text,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+                 FROM allv)
+         SELECT doc_id, CAST(version AS BIGINT) AS version,
+                md5(text) AS content_md5, CAST(64 AS BIGINT) AS emb_dim
+         FROM win WHERE rn = 1 ORDER BY doc_id""",
+    "q24_label_match_report" -> labelMatchHashedOracle,
+    "q84_pii_scrub" -> piiScrubOracle,
+    "q85_url_rollup" -> urlRollupOracle,
+    "q90_registrable_domain" -> registrableDomainOracle,
+    "q91_zorder_key" -> zOrderOracle,
+    "q92_global_ordinals" ->
+      """SELECT doc_id, source,
+                CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+                  AS ordinal
+         FROM documents ORDER BY doc_id""",
+    "q95_stream_late_data" ->
+      """WITH e AS (
+           SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+         ), b AS (
+           SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e
+         ), keep AS (
+           SELECT e.* FROM e, b
+           WHERE NOT (event_id % 11 = 0 AND ts_us < mn + (mx - mn) / 2)
+         ), wm AS (
+           -- the engine tracks event time in milliseconds: watermark =
+           -- ms-truncated max minus the delay
+           SELECT (mx // 1000) * 1000 - 600000000 AS w FROM b
+         )
+         SELECT (ts_us // 3600000000) * 3600000000 AS win_start_us,
+                event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM keep, wm
+         WHERE (ts_us // 3600000000) * 3600000000 + 3600000000 <= w
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q94_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+           FROM documents
+         ), cnt AS (
+           SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+           FROM ch GROUP BY doc_id, c
+         ), tot AS (
+           SELECT doc_id, c, k, sum(k) OVER (PARTITION BY doc_id) AS n
+           FROM cnt
+         )
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                CAST(sum(CAST(round(-ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                              AS BIGINT) * k) AS BIGINT) AS entropy_micros
+         FROM tot GROUP BY doc_id ORDER BY doc_id""",
+    "q93_stream_scd2" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 1000) AS BIGINT) AS value_milli
+           FROM events
+           WHERE event_type IN ('signup', 'purchase')
+         ), iv AS (
+           SELECT user_id, event_id, ts_us AS valid_from,
+                  lead(ts_us) OVER w AS valid_to, value_milli
+           FROM x
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         )
+         SELECT user_id, event_id, valid_from, valid_to, value_milli
+         FROM iv WHERE valid_to IS NOT NULL
+         ORDER BY user_id, valid_from, event_id""",
+    "q86_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''
+         ), per_doc AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM nz GROUP BY doc_id, tok
+         ), freq AS (
+           SELECT tok, CAST(sum(c) AS BIGINT) AS f FROM per_doc GROUP BY tok
+         ), total AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM freq)
+         SELECT p.doc_id,
+                CAST(sum(p.c) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(round(ln(CAST(f.f AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e6)
+                              AS BIGINT) * p.c) AS BIGINT) AS logprob_micros
+         FROM per_doc p JOIN freq f USING (tok) CROSS JOIN total t
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q89_stream_static_join" ->
+      """SELECT c_mktsegment, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id % 150 + 1
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
+    "q88_chunking" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  unnest([s for s in range(0, greatest(len(toks), 1), 24) if s < len(toks)]) AS s
+           FROM d
+         )
+         SELECT doc_id,
+                CAST(s // 24 AS BIGINT) AS chunk_id,
+                CAST(s AS BIGINT) AS start_tok,
+                CAST(least(32, n - s) AS BIGINT) AS n_tok,
+                array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+         FROM w ORDER BY doc_id, chunk_id""",
+    "q87_shard_order" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hk
+           FROM documents
+         )
+         SELECT doc_id, source, hk % 16 AS shard,
+                CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id)
+                     AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
+    "q40_label_match_frozen" -> labelMatchFrozenOracle,
+    "q41_expand_contractions" -> expandContractionsOracle,
+    "q42_lemmatize" -> lemmatizeOracle,
+    "q43_number_words" -> numberWordsOracle,
+    "q45_minhash_capped" -> minhashCappedPairsOracle,
+    "q53_duplicate_clusters" -> duplicateClustersOracle,
+    "q56_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token""",
+    "q57_asof_join" ->
+      """WITH l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'
+         ), r AS (
+           SELECT user_id AS r_uid, epoch_us(ts) AS click_ts_us,
+                  max(value) AS click_val
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         )
+         SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                r.click_ts_us, r.click_val
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
+         ORDER BY l.event_id""",
+    "q98_curation_pipeline_v2" -> curationPipelineV2Oracle,
+    "q100_stream_ingest" -> streamIngestOracle,
+    "q101_stream_ewma" ->
+      """WITH RECURSIVE x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(value AS DOUBLE) AS x
+           FROM events WHERE event_type IN ('signup', 'purchase')
+         ), seq AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS rn
+           FROM x
+         ), ew AS (
+           SELECT user_id, event_id, ts_us, rn, x, x AS ewma
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT q.user_id, q.event_id, q.ts_us, q.rn, q.x,
+                  ew.ewma * 0.75 + q.x * 0.25
+           FROM seq q JOIN ew ON q.user_id = ew.user_id AND q.rn = ew.rn + 1
+         )
+         SELECT user_id, event_id, ts_us, ewma
+         FROM ew ORDER BY user_id, ts_us, event_id""",
+    "q102_countmin" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), freq AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f
+           FROM toks WHERE tok <> '' GROUP BY tok
+         ), cells AS (
+           SELECT tok, f, h,
+                  ('0x' || substr(md5('cms:' || CAST(h AS VARCHAR) || ':' || tok),
+                                  1, 14))::BIGINT % 16 AS bucket
+           FROM freq CROSS JOIN (SELECT unnest(range(0, 4)) AS h)
+         ), sketch AS (
+           SELECT h, bucket, CAST(sum(f) AS BIGINT) AS cnt
+           FROM cells GROUP BY h, bucket
+         ), est AS (
+           SELECT c.tok, c.f, min(s.cnt) AS est
+           FROM cells c JOIN sketch s USING (h, bucket)
+           GROUP BY c.tok, c.f
+         )
+         SELECT tok, f, CAST(est AS BIGINT) AS est,
+                CAST(est - f AS BIGINT) AS overcount
+         FROM est ORDER BY tok""",
+    "q103_bloom_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), shd AS (
+           SELECT DISTINCT doc_id, shingle FROM sh
+         ), ev AS (
+           SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM shd WHERE doc_id % 97 <> 0
+         ), hs AS (
+           SELECT unnest(range(0, 3)) AS h
+         ), bloom AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5('bloom:' || CAST(h AS VARCHAR) || ':' || shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM ev CROSS JOIN hs
+         ), probe AS (
+           SELECT t.doc_id, t.shingle,
+             ('0x' || substr(md5('bloom:' || CAST(h AS VARCHAR) || ':' || t.shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM tr t CROSS JOIN hs
+         ), hit AS (
+           SELECT doc_id, shingle, count(b.pos) = 3 AS maybe
+           FROM probe p LEFT JOIN bloom b USING (pos)
+           GROUP BY doc_id, shingle
+         )
+         SELECT h.doc_id,
+                CAST(count(*) AS BIGINT) AS n_sh,
+                CAST(sum(CASE WHEN h.maybe THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+                CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+         FROM hit h LEFT JOIN ev e ON e.shingle = h.shingle
+         GROUP BY h.doc_id ORDER BY h.doc_id""",
+    "q142_stream_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), shd AS (
+           SELECT DISTINCT doc_id, shingle FROM sh
+         ), ev AS (
+           SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM shd WHERE doc_id % 97 <> 0
+         ), hs AS (
+           SELECT unnest(range(0, 3)) AS h
+         ), bloom AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5('sdecon:' || CAST(h AS VARCHAR) || ':' || shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM ev CROSS JOIN hs
+         ), probe AS (
+           SELECT t.doc_id, t.shingle,
+             ('0x' || substr(md5('sdecon:' || CAST(h AS VARCHAR) || ':' || t.shingle),
+                             1, 14))::BIGINT % 1024 AS pos
+           FROM tr t CROSS JOIN hs
+         ), hit AS (
+           SELECT doc_id, shingle, count(b.pos) = 3 AS maybe
+           FROM probe p LEFT JOIN bloom b USING (pos)
+           GROUP BY doc_id, shingle
+         ), agg AS (
+           SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_sh,
+                  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits
+           FROM hit GROUP BY doc_id
+         )
+         SELECT doc_id, CAST((doc_id // 20) % 2 AS BIGINT) AS wave,
+                n_sh, bloom_hits, bloom_hits >= 1 AS flagged
+         FROM agg ORDER BY doc_id""",
+    "q143_stream_bloom_dedup" ->
+      """WITH d0 AS (
+           SELECT CAST(0 AS BIGINT) AS wave, doc_id, text FROM documents
+         ), d1 AS (
+           SELECT CAST(1 AS BIGINT) AS wave, doc_id + 10000000 AS doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text
+                       ELSE text || ' v1' END AS text
+           FROM documents
+         ), u AS (
+           SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         ), dg AS (
+           SELECT wave, doc_id, md5(text) AS dig FROM u
+         ), shd AS (
+           SELECT *, ('0x' || substr(md5('shard:' || dig), 1, 14))::BIGINT % 8
+                       AS shard
+           FROM dg
+         ), orded AS (
+           SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY wave, doc_id) AS ord
+           FROM shd
+         ), pos AS (
+           SELECT doc_id, wave, shard, ord,
+                  ('0x' || substr(md5('bdedup:' || CAST(h AS VARCHAR)
+                     || ':' || dig), 1, 14))::BIGINT % 65536 AS pos
+           FROM orded CROSS JOIN (SELECT unnest(range(0, 3)) AS h)
+         ), firstpos AS (
+           SELECT shard, pos, min(ord) AS first_ord
+           FROM pos GROUP BY shard, pos
+         )
+         SELECT p.doc_id, p.wave,
+                bool_and(f.first_ord < p.ord) AS is_dup
+         FROM pos p JOIN firstpos f ON f.shard = p.shard AND f.pos = p.pos
+         GROUP BY p.doc_id, p.wave
+         ORDER BY p.doc_id""",
+    "q104_bigram_logprob" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, unnest(ts) AS tok FROM d
+         ), f1 AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f1 FROM tok GROUP BY tok
+         ), tot AS (
+           SELECT CAST(sum(f1) AS BIGINT) AS n FROM f1
+         ), bg AS (
+           SELECT doc_id, unnest([{'u': ts[i], 'v': ts[i+1]} for i in range(1, len(ts))]) AS b
+           FROM d WHERE len(ts) >= 2
+         ), pd AS (
+           SELECT doc_id, b.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY doc_id, b.u, b.v
+         ), f2 AS (
+           SELECT u, v, CAST(sum(c) AS BIGINT) AS f2 FROM pd GROUP BY u, v
+         ), fc AS (
+           SELECT u, CAST(sum(f2) AS BIGINT) AS fc FROM f2 GROUP BY u
+         )
+         SELECT pd.doc_id,
+                CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+                CAST(sum(CAST(round(ln(
+                        0.75 * (CAST(f2.f2 AS DOUBLE) / CAST(fc.fc AS DOUBLE))
+                        + 0.25 * (CAST(f1.f1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      ) * 1e6) AS BIGINT) * pd.c) AS BIGINT) AS logprob_micros
+         FROM pd
+         JOIN f2 USING (u, v)
+         JOIN fc USING (u)
+         JOIN f1 ON f1.tok = pd.v
+         CROSS JOIN tot t
+         GROUP BY pd.doc_id ORDER BY pd.doc_id""",
+    "q105_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''
+         ), per_doc AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM nz GROUP BY doc_id, tok
+         ), nd AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM per_doc
+         ), dfq AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS df FROM per_doc GROUP BY tok
+         ), sc AS (
+           SELECT p.doc_id, p.tok, p.c,
+                  CAST(round(ln(CAST(nd.nd AS DOUBLE) / CAST(dfq.df AS DOUBLE)) * 1e6)
+                       AS BIGINT) * p.c AS score_micros
+           FROM per_doc p JOIN dfq USING (tok) CROSS JOIN nd
+         ), rk AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_micros DESC, tok ASC) AS rnk
+           FROM sc
+         )
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rank, tok AS term,
+                c AS tf, score_micros
+         FROM rk WHERE rnk <= 5 ORDER BY doc_id, rank""",
+    "q106_minhash_estimate" -> minhashEstimateOracle,
+    "q121_semantic_neardup" ->
+      semanticNearDupOracle(k = 8, iterations = 2, tauNum = 9, tauDen = 10),
+    "q122_duplicate_spans" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '') AS ts
+           FROM documents
+         ), tk AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM d
+         ), g AS (
+           SELECT doc_id,
+                  unnest([{'p': i, 'g': array_to_string(ts[i:i+4], ' ')}
+                          for i in range(1, len(ts) - 3)]) AS u
+           FROM tk WHERE len(ts) >= 5
+         ), grams AS (
+           SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.g AS gram FROM g
+         ), dup AS (
+           SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+         ), marked AS (
+           SELECT doc_id, pos, pos + 4 AS e
+           FROM grams WHERE gram IN (SELECT gram FROM dup)
+         ), isl AS (
+           SELECT doc_id, pos, e,
+                  CASE WHEN pos > coalesce(max(e) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100) + 1
+                       THEN 1 ELSE 0 END AS nw
+           FROM marked
+         ), isl2 AS (
+           SELECT doc_id, pos, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+           FROM isl
+         ), spans AS (
+           SELECT doc_id, island, min(pos) AS s, max(e) AS en
+           FROM isl2 GROUP BY doc_id, island
+         ), per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(en - s + 1) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY doc_id
+         )
+         SELECT t.doc_id, t.n_tokens,
+                CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                CAST(CASE WHEN t.n_tokens > 0
+                          THEN (coalesce(p.dup_tokens, 0) * 1000000) // t.n_tokens
+                          ELSE 0 END AS BIGINT) AS dup_frac_micros
+         FROM tk t LEFT JOIN per p USING (doc_id)
+         ORDER BY doc_id""",
+    "q123_bpe_train" -> bpeTrainOracle(iterations = 8),
+    "q124_unicode_nfc" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' cafe' || chr(769) || ' man'
+                            || chr(771) || 'ana zu' || chr(776) || 'rich'
+                       ELSE text END AS mm
+           FROM documents
+         ), n AS (
+           SELECT doc_id, mm, nfc_normalize(mm) AS nf FROM m
+         )
+         SELECT doc_id, CAST(length(mm) AS BIGINT) AS raw_cp,
+                CAST(length(nf) AS BIGINT) AS nfc_cp,
+                nf <> mm AS changed, md5(nf) AS nfc_md5
+         FROM n ORDER BY doc_id""",
+    "q125_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id, md5(text) AS old_md5 FROM documents
+         ), newsnap AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                           ELSE text END) AS new_md5
+           FROM documents WHERE doc_id % 11 <> 3
+           UNION ALL
+           SELECT doc_id + 100000, md5('new ' || text)
+           FROM documents WHERE doc_id % 13 = 0
+         )
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'deleted'
+                     WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                o.old_md5, n.new_md5
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
+    "q108_hll_distinct" -> hllDistinctOracle(p = 6),
+    "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
+    "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),
+    "q140_prefix_jaccard_collapsed" ->
+      prefixJaccardOracle(tauNum = 4, tauDen = 5, collapse = true),
+    "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q120_shard_manifest" ->
+      """WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source
+         ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM counts),
+         b AS (
+           SELECT source, n_docs, (123 * n_docs) // t AS base,
+                  123 * n_docs - ((123 * n_docs) // t) * t AS rem
+           FROM counts, tot
+         ), l AS (SELECT CAST(123 - sum(base) AS BIGINT) AS lft FROM b),
+         r AS (
+           SELECT source, base,
+                  row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM b
+         ), q AS (
+           SELECT source,
+                  CAST(base + CASE WHEN rk <= (SELECT lft FROM l)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM r
+         ), sel AS (
+           SELECT d.source, d.doc_id, d.text,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5('lr:' || CAST(d.doc_id AS VARCHAR))) AS rn
+           FROM documents d
+         ), pick AS (
+           SELECT s.doc_id, s.text FROM sel s JOIN q USING (source)
+           WHERE s.rn <= q.quota
+         ), sh AS (
+           SELECT doc_id, text,
+                  ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)),
+                                  1, 14))::BIGINT AS hk
+           FROM pick
+         ), sp AS (
+           SELECT doc_id, text, hk % 4 AS shard,
+                  CAST(row_number() OVER (PARTITION BY hk % 4
+                    ORDER BY hk, doc_id) AS BIGINT) AS pos
+           FROM sh
+         ), hs AS (
+           SELECT doc_id, shard, pos, text,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM sp
+         ), cut AS (
+           SELECT doc_id, shard, pos, text,
+                  [i + 7 for i in range(1, len(h) + 1)
+                   if h[i] % 32 = 0 AND i + 7 < length(text)] AS c
+           FROM hs
+         ), bnd AS (
+           SELECT doc_id, shard, pos, text,
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_append(c, CAST(length(text) AS BIGINT))) AS bb
+           FROM cut
+         ), chunks AS (
+           SELECT doc_id, shard, pos,
+                  unnest([substr(text, bb[i] + 1, bb[i + 1] - bb[i])
+                          for i in range(1, len(bb))]) AS chunk,
+                  unnest(range(1, len(bb))) AS ci
+           FROM bnd
+         ), ch AS (SELECT * FROM chunks WHERE chunk <> '')
+         SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
+                md5(array_to_string(
+                  list(md5(chunk) ORDER BY pos, ci), '')) AS manifest_md5
+         FROM ch GROUP BY shard ORDER BY shard""",
+    "q119_rank_fusion" ->
+      s"""$embCte,
+         q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+               FROM q CROSS JOIN n c),
+         ra AS (SELECT q_id, c_id, r_exact FROM (
+                  SELECT q_id, c_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY score DESC, c_id ASC) AS BIGINT) AS r_exact
+                  FROM s) WHERE r_exact <= 10),
+         z AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS sc
+               FROM e),
+         qz AS (SELECT vec_id,
+                       [CAST(CASE WHEN sc = 0 THEN 0
+                                  ELSE round(v[i] / sc * 127) END AS INTEGER)
+                        for i in range(1, len(v) + 1)] AS qv
+                FROM z),
+         si AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                       CAST(list_sum([CAST(a.qv[i] AS BIGINT) * b.qv[i]
+                                      for i in range(1, len(a.qv) + 1)])
+                            AS BIGINT) AS dotint
+                FROM qz a CROSS JOIN qz b WHERE a.vec_id % 50 = 0),
+         rb AS (SELECT q_id, c_id, r_int8 FROM (
+                  SELECT q_id, c_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dotint DESC, c_id ASC) AS BIGINT) AS r_int8
+                  FROM si) WHERE r_int8 <= 10),
+         f AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                      coalesce(a.c_id, b.c_id) AS c_id,
+                      a.r_exact, b.r_int8,
+                      coalesce(1000000 // (60 + a.r_exact), 0)
+                        + coalesce(1000000 // (60 + b.r_int8), 0) AS rrf_micro
+               FROM ra a FULL OUTER JOIN rb b
+                 ON a.q_id = b.q_id AND a.c_id = b.c_id)
+         SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id,
+                CAST(rrf_micro AS BIGINT) AS rrf_micro, r_exact, r_int8
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf_micro DESC, c_id ASC) AS rnk FROM f)
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "q118_corpus_drift" ->
+      """WITH toks AS (
+           SELECT source, (doc_id // 20) % 2 AS wave,
+                  unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''),
+         cnt AS (
+           SELECT source, tok,
+                  CAST(sum(CASE WHEN wave = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN wave = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM nz GROUP BY source, tok
+         ), tot AS (
+           SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+                  CAST(sum(cb) AS BIGINT) AS nb
+           FROM cnt GROUP BY source
+         ), term AS (
+           SELECT c.source, c.ca, c.cb, t.na, t.nb,
+                  CAST(round(1000000 * (
+                    CASE WHEN c.ca > 0
+                         THEN 0.5 * (CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                              * ln(2.0 * (CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                                   / ((CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                                      + (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))))
+                         ELSE 0.0 END
+                    + CASE WHEN c.cb > 0
+                           THEN 0.5 * (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                                * ln(2.0 * (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                                     / ((CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                                        + (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))))
+                           ELSE 0.0 END)) AS BIGINT) AS tmicro
+           FROM cnt c JOIN tot t USING (source)
+         )
+         SELECT source, max(na) AS na, max(nb) AS nb,
+                CAST(sum(CASE WHEN cb > 0 AND ca = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS new_types,
+                CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS lost_types,
+                CAST(sum(tmicro) AS BIGINT) AS jsd_micro
+         FROM term GROUP BY source ORDER BY source""",
+    "q116_skew_report" ->
+      """WITH counts AS (
+           SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1
+         ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts)
+         SELECT key, cnt, (cnt * 1000000) // t AS share_micro,
+                cnt * 500 > t AS hot
+         FROM counts, tot ORDER BY cnt DESC, key LIMIT 20""",
+    "q117_group_ols" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(len([t for t in string_split_regex(text, '\s+')
+                            if t <> '']) AS BIGINT) AS x,
+                  n_chars AS y
+           FROM documents
+         ), s AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM d GROUP BY source
+         ), ab AS (
+           SELECT source, n, sx, sy,
+                  n * sxy - sx * sy AS a, n * sxx - sx * sx AS b
+           FROM s
+         )
+         SELECT source, n,
+                CASE WHEN b = 0 THEN NULL
+                     ELSE CAST(round(1000000
+                       * (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)))
+                       AS BIGINT) END AS slope_micro,
+                CASE WHEN b = 0 THEN NULL
+                     ELSE CAST(round(1000000
+                       * ((CAST(sy AS DOUBLE)
+                           - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+                             * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)))
+                       AS BIGINT) END AS intercept_micro
+         FROM ab ORDER BY source""",
+    "q115_cdc_chunks" ->
+      s"""WITH ${boilerplateCorpusSql}hs AS (
+           SELECT doc_id, text,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM corpus
+         ), cut AS (
+           SELECT doc_id, text,
+                  [i + 7 for i in range(1, len(h) + 1)
+                   if h[i] % 32 = 0 AND i + 7 < length(text)] AS c
+           FROM hs
+         ), bnd AS (
+           SELECT doc_id, text,
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_append(c, CAST(length(text) AS BIGINT))) AS b
+           FROM cut
+         ), chunks AS (
+           SELECT doc_id, unnest([substr(text, b[i] + 1, b[i + 1] - b[i])
+                                  for i in range(1, len(b))]) AS chunk
+           FROM bnd
+         ), ch AS (
+           SELECT doc_id, md5(chunk) AS hh, length(chunk) AS clen
+           FROM chunks WHERE chunk <> ''
+         ), spread AS (
+           SELECT hh, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY hh
+         )
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared,
+                CAST(sum(c.clen) AS BIGINT) AS total_chars
+         FROM ch c JOIN spread s USING (hh)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q114_mixture_quota" ->
+      """WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source
+         ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM counts),
+         b AS (
+           SELECT source, n_docs, (123 * n_docs) // t AS base,
+                  123 * n_docs - ((123 * n_docs) // t) * t AS rem
+           FROM counts, tot
+         ), l AS (SELECT CAST(123 - sum(base) AS BIGINT) AS lft FROM b),
+         r AS (
+           SELECT source, n_docs, base,
+                  row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM b
+         ), q AS (
+           SELECT source, n_docs,
+                  CAST(base + CASE WHEN rk <= (SELECT lft FROM l)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM r
+         ), sel AS (
+           SELECT d.source, d.doc_id,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5('lr:' || CAST(d.doc_id AS VARCHAR))) AS rn
+           FROM documents d
+         ), p AS (
+           SELECT s.source, CAST(count(*) AS BIGINT) AS picked_n,
+                  md5(array_to_string(
+                    list(CAST(s.doc_id AS VARCHAR) ORDER BY s.doc_id),
+                    ',')) AS picked_md5
+           FROM sel s JOIN q USING (source)
+           WHERE s.rn <= q.quota GROUP BY s.source
+         )
+         SELECT q.source, q.n_docs, q.quota, p.picked_n, p.picked_md5
+         FROM q JOIN p USING (source) ORDER BY q.source""",
+    "q113_embedding_outliers" ->
+      """WITH q AS (
+           SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+           FROM embeddings
+         ), u AS (
+           SELECT label, j,
+                  CAST(round(CAST(sum(v) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv
+           FROM (SELECT label, unnest(vq) AS v,
+                        unnest(range(1, len(vq) + 1)) AS j FROM q)
+           GROUP BY label, j
+         ), c AS (
+           SELECT label, list(cv ORDER BY j) AS cvec FROM u GROUP BY label
+         ), d AS (
+           SELECT q.vec_id, q.label,
+                  CAST(list_sum([(q.vq[j] - c.cvec[j]) * (q.vq[j] - c.cvec[j])
+                                 for j in range(1, len(q.vq) + 1)])
+                       AS BIGINT) AS dist2_q
+           FROM q JOIN c USING (label)
+         ), r AS (
+           SELECT label, vec_id, dist2_q,
+                  row_number() OVER (PARTITION BY label
+                                     ORDER BY dist2_q DESC, vec_id) AS rk
+           FROM d
+         )
+         SELECT label, CAST(rk AS BIGINT) AS rank, vec_id, dist2_q
+         FROM r WHERE rk <= 3 ORDER BY label, rank""",
+    "q109_sample_quantiles" ->
+      """WITH d AS (
+           SELECT source, n_chars,
+                  md5('qs:' || CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents
+         ), rn AS (
+           SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY hk) AS rn
+           FROM d
+         ), samp AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS sample_n,
+                  quantile_cont(n_chars, 0.5) AS sample_p50,
+                  quantile_cont(n_chars, 0.9) AS sample_p90
+           FROM rn WHERE rn <= 8 GROUP BY source
+         ), ex AS (
+           SELECT source, quantile_cont(n_chars, 0.5) AS exact_p50,
+                  quantile_cont(n_chars, 0.9) AS exact_p90
+           FROM documents GROUP BY source
+         )
+         SELECT s.source, s.sample_n, s.sample_p50, s.sample_p90,
+                e.exact_p50, e.exact_p90
+         FROM samp s JOIN ex e USING (source)
+         ORDER BY source""",
+    "q97_incremental_dedup" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 5 = 0
+         ), seen AS (SELECT DISTINCT md5(text) AS h FROM documents)
+         SELECT b.doc_id, md5(b.text) AS content_md5
+         FROM batch b LEFT JOIN seen s ON s.h = md5(b.text)
+         WHERE s.h IS NULL
+         ORDER BY b.doc_id""",
+    "q96_asof_bucketed" ->
+      """WITH l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'
+         ), r AS (
+           SELECT user_id AS r_uid, epoch_us(ts) AS click_ts_us,
+                  max(value) AS click_val
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         )
+         SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                r.click_ts_us, r.click_val
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.r_uid AND l.ts_us >= r.click_ts_us
+         ORDER BY l.event_id""",
+    "q58_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS gram
+           FROM d
+         ), eg AS (
+           SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+         ), tg AS (
+           SELECT g.doc_id, g.gram, eg.gram IS NOT NULL AS hit
+           FROM g LEFT JOIN eg USING (gram)
+           WHERE g.doc_id % 97 <> 0
+         )
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                sum(CASE WHEN hit THEN 1 ELSE 0 END) >= 2 AS contaminated
+         FROM tg GROUP BY doc_id ORDER BY doc_id""",
+    "q59_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us, p.value AS purchase_val,
+                c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us,
+                c.value AS click_val
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts BETWEEN p.ts - INTERVAL 120 MINUTE AND p.ts
+         ORDER BY purchase_id, click_id""",
+    "q60_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents
+         ), lens AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+         ), corpus AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens
+         ), tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+           WHERE term IN ('hash', 'join', 'dup', 'window')
+           GROUP BY doc_id, term
+         ), dfx AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         )
+         SELECT tf.doc_id,
+                CAST(count(*) AS BIGINT) AS n_terms_matched,
+                sum(ln(1 + (c.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                    * tf.tf * (1.2 + 1.0)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))) AS bm25
+         FROM tf
+         JOIN dfx USING (term)
+         JOIN lens l ON l.doc_id = tf.doc_id
+         CROSS JOIN corpus c
+         GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+    "q61_mixture_resample" ->
+      """WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+         ), cw AS (
+           SELECT source, n,
+                  CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                       ELSE 1 END AS BIGINT) AS w
+           FROM c
+         ), m AS (
+           SELECT n AS mn, w AS mw FROM cw
+           ORDER BY CAST(n AS DOUBLE) / w, source LIMIT 1
+         )
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN cw USING (source) CROSS JOIN m
+         WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                 % (m.mw * cw.n) < (m.mn * cw.w)
+         ORDER BY d.doc_id""",
+    "q62_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+         ), s0 AS (
+           SELECT user_id, min(t) AS t_0 FROM e
+           WHERE event_type = 'view' GROUP BY 1
+         ), s1 AS (
+           SELECT e.user_id, min(t) AS t_1 FROM e JOIN s0 USING (user_id)
+           WHERE event_type = 'click' AND t > t_0 GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(t) AS t_2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t_1 GROUP BY 1
+         )
+         SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+                CAST(CASE WHEN s0.t_0 IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN s1.t_1 IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS stages_reached
+         FROM s0
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         ORDER BY s0.user_id""",
+    "q63_sketch_stats" ->
+      """SELECT source,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+                TRUE AS distinct_within_bound,
+                quantile_cont(n_chars, 0.5) AS p50_chars,
+                quantile_cont(n_chars, 0.95) AS p95_chars,
+                TRUE AS p50_within_bound
+         FROM documents GROUP BY source ORDER BY source""",
+    "q64_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us, p.value AS purchase_val,
+                c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us,
+                c.value AS click_val
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts)
+              BETWEEN epoch_us(p.ts) - 7200000000 AND epoch_us(p.ts)
+         ORDER BY purchase_id, click_id""",
+    "q65_rollup" ->
+      """SELECT source, lang,
+                CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ROLLUP (source, lang)
+         ORDER BY gid, source, lang""",
+    "q66_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_milli,
+                CAST(count(*) OVER w AS BIGINT) AS roll_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q67_json_quarantine" ->
+      """WITH x AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 7 = 0 THEN 'x' || props
+                       ELSE props END AS p
+           FROM events
+         )
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quarantined,
+                CAST(sum(CASE WHEN json_valid(p)
+                              THEN CAST(json_extract(p, '$.k') AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS sum_k
+         FROM x GROUP BY event_type ORDER BY event_type""",
+    "q68_boilerplate_removal" ->
+      """WITH base AS (
+           SELECT doc_id, CASE WHEN source IN ('src0', 'src1', 'src2')
+                  THEN 'terms of service apply to this site content ' || text
+                  ELSE text END AS t
+           FROM documents
+         ), w AS (
+           SELECT doc_id, string_split_regex(t, '\s+') AS words FROM base
+         ), d AS (
+           SELECT doc_id,
+                  [array_to_string(words[i*8+1:i*8+8], ' ')
+                   for i in range(0, CAST(ceil(len(words)/8.0) AS BIGINT))] AS units
+           FROM w
+         ), pu AS (
+           SELECT doc_id, x.pos AS pos, x.u AS unit FROM (
+             SELECT doc_id, unnest([{'pos': i, 'u': units[i+1]}
+                                    for i in range(0, len(units))]) AS x
+             FROM d)
+         ), hot AS (
+           SELECT unit FROM (SELECT DISTINCT doc_id, unit FROM pu)
+           GROUP BY unit HAVING count(*) > 10
+         ), kept AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(unit, ' ' ORDER BY pos) AS cleaned
+           FROM pu WHERE unit NOT IN (SELECT unit FROM hot)
+           GROUP BY doc_id
+         )
+         SELECT d.doc_id, CAST(len(d.units) AS BIGINT) AS n_units,
+                CAST(len(d.units) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+                coalesce(k.cleaned, '') AS cleaned
+         FROM d LEFT JOIN kept k USING (doc_id) ORDER BY d.doc_id""",
+    "q69_fuzzy_join" ->
+      """WITH q AS (
+           SELECT p_partkey AS q_key, 'x' || substr(p_name, 2) AS q_name
+           FROM part WHERE p_partkey % 10 = 0
+         )
+         SELECT q.q_key, p.p_partkey,
+                CAST(levenshtein(q.q_name, p.p_name) AS INT) AS dist
+         FROM q JOIN part p
+           ON abs(length(q.q_name) - length(p.p_name)) <= 1
+          AND levenshtein(q.q_name, p.p_name) <= 1
+         ORDER BY q.q_key, p.p_partkey""",
+    "q70_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x
+         ), z AS (
+           SELECT user_id, ts, value,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM y
+         )
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                  AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS value_milli
+         FROM z GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q71_star_join" ->
+      """SELECT n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS revenue_cents,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name ORDER BY n.n_name""",
+    "q72_stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us, p.value AS purchase_val,
+                c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us,
+                c.value AS click_val
+         FROM events p LEFT JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts BETWEEN p.ts - INTERVAL 120 MINUTE AND p.ts
+         WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id, click_id""",
+    "q73_corpus_pipeline" -> corpusPipelineOracle,
+    "q74_random_projection" -> {
+      val scale = java.lang.Double.toString(1.0 / math.sqrt(projPlanes.size.toDouble))
+      val cols = projPlanes.zipWithIndex.map { case (p, i) =>
+        s"list_dot_product(v, ${Ann.hyperplaneSqlLiteral(p)}) * $scale AS p$i"
+      }.mkString(",\n                ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT vec_id,
+                $cols
+         FROM e ORDER BY vec_id"""
+    },
+    "q75_importance_sample" ->
+      s"""WITH $qualityFilterCtes
+         SELECT doc_id, source, quality_score FROM q
+         WHERE ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+               < CAST(floor(quality_score * 72057594037927936.0) AS BIGINT)
+         ORDER BY doc_id""",
+    "q76_stream_quota" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 2 AS version, source FROM documents
+         ), r AS (
+           SELECT doc_id, version, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY version, doc_id) AS rn
+           FROM d
+         )
+         SELECT doc_id, version, source FROM r WHERE rn <= 15
+         ORDER BY doc_id""",
+    "q77_rolling_fingerprint" ->
+      """WITH hs AS (
+           SELECT doc_id,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM documents
+         ), sel AS (
+           SELECT doc_id,
+                  CASE WHEN len(h) = 0 THEN []
+                       WHEN len(h) < 5 THEN [list_min(h)]
+                       ELSE [list_min(h[i:i+4]) for i in range(1, len(h) - 5 + 2)]
+                  END AS mins
+           FROM hs
+         )
+         SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+         FROM sel ORDER BY doc_id, fp""",
+    "q78_winnow_neardup" ->
+      """WITH hs AS (
+           SELECT doc_id,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 20)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 20 + 2, 1))] AS h
+           FROM documents
+         ), sel AS (
+           SELECT doc_id,
+                  CASE WHEN len(h) = 0 THEN []
+                       WHEN len(h) < 12 THEN [list_min(h)]
+                       ELSE [list_min(h[i:i+11]) for i in range(1, len(h) - 12 + 2)]
+                  END AS mins
+           FROM hs
+         ), fp AS (
+           SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM sel
+         ), hot AS (
+           SELECT fp FROM fp GROUP BY fp HAVING count(*) > 5
+         ), pruned AS (
+           SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM pruned a JOIN pruned b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b""",
+    "q79_group_heavy_hitters" ->
+      """SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         GROUP BY source, token ORDER BY source, token""",
+    "q80_scd2_intervals" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 1000) AS BIGINT) AS value_milli
+           FROM events
+           WHERE event_type IN ('signup', 'purchase')
+         )
+         SELECT user_id, event_id, ts_us AS valid_from,
+                lead(ts_us) OVER w AS valid_to,
+                value_milli,
+                lead(ts_us) OVER w IS NULL AS is_current
+         FROM x
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, valid_from, event_id""",
+    "q146_png_resize" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents
+         ), g AS (
+           SELECT doc_id, w, h,
+                  unnest(range(0, 6)) AS y2
+           FROM d
+         ), gx AS (
+           SELECT doc_id, w, h, y2, unnest(range(0, 8)) AS x2
+           FROM g
+         )
+         SELECT doc_id, CAST(8 AS BIGINT) AS out_width,
+                CAST(6 AS BIGINT) AS out_height,
+                CAST(sum((doc_id * 31
+                          + (y2 * h // 6) * w + (x2 * w // 8)) % 256)
+                     AS BIGINT) AS out_px_sum
+         FROM gx GROUP BY doc_id
+         ORDER BY doc_id""",
+    "q83_png_roundtrip" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height
+           FROM documents
+         ), g AS (
+           SELECT doc_id, width, height,
+                  unnest(range(0, width * height)) AS i
+           FROM d
+         )
+         SELECT doc_id, CAST(width AS BIGINT) AS width,
+                CAST(height AS BIGINT) AS height,
+                CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS px_sum
+         FROM g GROUP BY doc_id, width, height
+         ORDER BY doc_id""",
+    "q82_pca_certify" ->
+      """SELECT vec_id, TRUE AS norm_contract, TRUE AS orthonormal,
+                TRUE AS var_ordered, TRUE AS sign_canonical,
+                TRUE AS axis_optimal
+         FROM embeddings ORDER BY vec_id""",
+    "q81_stream_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+         ), s0 AS (
+           SELECT user_id, min(t) AS t_0 FROM e
+           WHERE event_type = 'view' GROUP BY 1
+         ), s1 AS (
+           SELECT e.user_id, min(t) AS t_1 FROM e JOIN s0 USING (user_id)
+           WHERE event_type = 'click' AND t > t_0 GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(t) AS t_2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t_1 GROUP BY 1
+         )
+         SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2
+         FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+         ORDER BY s0.user_id""",
+    "q55_per_source_cap" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5('capsalt:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hq
+           FROM documents
+         ), r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY hq ASC, doc_id ASC) AS rn
+           FROM h
+         )
+         SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "q54_repetition_filter" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+         ), base AS (
+           SELECT doc_id, len(words) AS n_words,
+                  len(list_distinct(words)) AS n_distinct
+           FROM w
+         ), bg AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest([words[i] || ' ' || words[i+1]
+                                    for i in range(1, len(words))]) AS g
+             FROM w) GROUP BY doc_id, g
+         ), topbg AS (
+           SELECT doc_id, max(c) AS top_bigram FROM bg GROUP BY doc_id
+         ), tg AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                    for i in range(1, len(words) - 1)]) AS g
+             FROM w) GROUP BY doc_id, g
+         ), duptg AS (
+           SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram
+           FROM tg GROUP BY doc_id
+         ), m AS (
+           SELECT b.doc_id, b.n_words,
+                  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(b.n_words - b.n_distinct AS DOUBLE)
+                            / CAST(b.n_words AS DOUBLE) END AS word_rep_ratio,
+                  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(coalesce(t.top_bigram, 0) AS DOUBLE) * 2
+                            / CAST(b.n_words AS DOUBLE) END AS top_bigram_frac,
+                  CASE WHEN b.n_words = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(coalesce(d.dup_trigram, 0) AS DOUBLE) * 3
+                            / CAST(b.n_words AS DOUBLE) END AS dup_trigram_frac
+           FROM base b
+           LEFT JOIN topbg t ON t.doc_id = b.doc_id
+           LEFT JOIN duptg d ON d.doc_id = b.doc_id
+         )
+         SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                word_rep_ratio, top_bigram_frac, dup_trigram_frac,
+                word_rep_ratio <= CAST(0.3 AS DOUBLE)
+                  AND top_bigram_frac <= CAST(0.2 AS DOUBLE)
+                  AND dup_trigram_frac <= CAST(0.3 AS DOUBLE) AS repetition_keep
+         FROM m ORDER BY doc_id""",
+    "q46_signature_clusters" -> signatureClustersOracle,
+    "q47_stream_dedup" ->
+      """WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+           keepers AS (SELECT h, min(doc_id) AS m FROM d GROUP BY h),
+           v0 AS (
+             SELECT d.doc_id, d.text, d.h
+             FROM d JOIN keepers k ON d.h = k.h AND d.doc_id = k.m)
+         SELECT doc_id, CAST(0 AS BIGINT) AS version, h AS text_md5 FROM v0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT) AS version,
+                md5(text || ' v1') AS text_md5
+         FROM v0 WHERE doc_id % 3 <> 0
+         ORDER BY doc_id, version""",
+    "q48_dataset_split" ->
+      s"""WITH h AS (
+           SELECT doc_id, ${splitHashSql("graft", 100)} AS hs,
+                  ${splitHashSql("sample", 10)} AS hq
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split,
+                hq < 1 AS in_sample
+         FROM h ORDER BY doc_id""",
+    "q49_curation_pipeline" -> curationPipelineOracle,
+    "q52_sequence_packing" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+                  ${splitHashSql("graft", 100)} AS hs
+           FROM documents
+         ), s AS (
+           SELECT doc_id, ws_tokens,
+                  CASE WHEN hs < 90 THEN 'train'
+                       WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+           FROM d
+         ), c AS (
+           SELECT doc_id, split, ws_tokens,
+                  CAST(SUM(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - ws_tokens AS strt
+           FROM s
+         )
+         SELECT doc_id, split, ws_tokens,
+                CAST(floor(strt / 512) AS BIGINT) AS pack_id,
+                strt - CAST(floor(strt / 512) AS BIGINT) * 512 AS pack_offset
+         FROM c ORDER BY doc_id""",
+    "q50_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           s AS (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+           q AS (SELECT vec_id, v, scale,
+                        list_transform(v, x -> CAST(
+                          CASE WHEN scale = 0 THEN 0
+                               ELSE round(x / scale * 127) END AS TINYINT)) AS qv
+                 FROM s)
+         SELECT vec_id, scale,
+                md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+                list_max([abs(v[i] - CAST(qv[i] AS DOUBLE) * scale / 127)
+                          for i in range(1, len(v) + 1)]) AS max_err
+         FROM q ORDER BY vec_id""",
+    "q23_nlp_clean" -> nlpCleanOracle,
+    "q126_containment" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 40
+         ), h AS (
+           SELECT doc_id + 5000 AS doc_id,
+                  array_to_string(
+                    string_split_regex(text, '\s+')
+                      [1:greatest(len(string_split_regex(text, '\s+')) // 2, 1)],
+                    ' ') AS text
+           FROM d
+         ), u AS (
+           SELECT * FROM d UNION ALL SELECT * FROM h
+         ), w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words FROM u
+         ), sh AS (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), sizes AS (
+           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM sh GROUP BY doc_id
+         ), pairs AS (
+           SELECT doc_id AS id_a, doc_id + 5000 AS id_b FROM d
+         ), inter AS (
+           SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+           FROM pairs p
+           JOIN sh ta ON ta.doc_id = p.id_a
+           JOIN sh tb ON tb.doc_id = p.id_b AND ta.shingle = tb.shingle
+           GROUP BY p.id_a, p.id_b
+         )
+         SELECT p.id_a, p.id_b,
+                coalesce(i.n_inter, 0) AS n_inter,
+                sa.n_sh AS n_a, sb.n_sh AS n_b,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE) / sa.n_sh AS containment_a,
+                CAST(coalesce(i.n_inter, 0) AS DOUBLE) / sb.n_sh AS containment_b
+         FROM pairs p
+         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         JOIN sizes sa ON sa.doc_id = p.id_a
+         JOIN sizes sb ON sb.doc_id = p.id_b
+         ORDER BY p.id_a""",
+    "q127_cluster_canonical" -> clusterCanonicalOracle,
+    "q129_stream_countmin" -> cmWaveOracle(depth = 4, width = 16,
+      salt = "cms", probes = Seq("data", "of", "the")),
+    "q131_grouped_split" -> groupedSplitOracle,
+    "q133_lsh_recall" -> lshRecallOracle(),
+    "q139_lsh_recall_16x2" -> lshRecallOracle(numHashes = 16),
+    "q141_lsh_recall_independent" ->
+      lshRecallOracle(numHashes = 8, independent = true),
+    "q134_frontier_interleave" -> frontierInterleaveOracle,
+    "q136_curation_pipeline_v3" -> curationV3Oracle,
+    "q137_salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q138_table_stats" ->
+      """WITH s AS (
+           SELECT 'l_quantity' AS "column",
+                  CAST(min(l_quantity) AS BIGINT) AS min_v,
+                  CAST(max(l_quantity) AS BIGINT) AS max_v,
+                  CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+                  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice_cents',
+                  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT),
+                  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT),
+                  CAST(count(l_extendedprice) AS BIGINT),
+                  CAST(count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount_bp',
+                  CAST(min(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT),
+                  CAST(max(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT),
+                  CAST(count(l_discount) AS BIGINT),
+                  CAST(count(DISTINCT CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey',
+                  CAST(min(l_partkey) AS BIGINT),
+                  CAST(max(l_partkey) AS BIGINT),
+                  CAST(count(l_partkey) AS BIGINT),
+                  CAST(count(DISTINCT l_partkey) AS BIGINT)
+           FROM lineitem
+         )
+         SELECT * FROM s ORDER BY "column"""",
+    "q135_compression_quality" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+           TRUE AS comp_bounds_ok,
+           TRUE AS repetition_detected
+         FROM documents
+         WHERE octet_length(encode(text)) >= 200
+           AND octet_length(encode(text)) < 30000
+         ORDER BY doc_id""",
+    "q132_pmi_collocations" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '') AS ts
+           FROM documents
+         ), bg AS (
+           SELECT unnest(ts[1:len(ts) - 1]) AS u, unnest(ts[2:len(ts)]) AS v
+           FROM w WHERE len(ts) >= 2
+         ), f2 AS (
+           SELECT u, v, CAST(count(*) AS BIGINT) AS f2 FROM bg GROUP BY u, v
+         ), f1 AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f1
+           FROM (SELECT unnest(ts) AS tok FROM w) GROUP BY tok
+         ), nb AS (SELECT CAST(sum(f2) AS BIGINT) AS nb FROM f2),
+         nt AS (SELECT CAST(sum(f1) AS BIGINT) AS nt FROM f1),
+         j AS (
+           SELECT f2.u, f2.v, f2.f2, a.f1 AS f1_u, b.f1 AS f1_v
+           FROM f2 JOIN f1 a ON a.tok = f2.u JOIN f1 b ON b.tok = f2.v
+           WHERE f2.f2 >= 5
+         ), p AS (
+           SELECT u, v, f2, f1_u, f1_v,
+                  CAST(round(ln(
+                    (CAST(f2 AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                      / ((CAST(f1_u AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+                         * (CAST(f1_v AS DOUBLE) / CAST(nt.nt AS DOUBLE))))
+                    * 1000000) AS BIGINT) AS pmi_micro
+           FROM j, nb, nt
+         )
+         SELECT * FROM p ORDER BY pmi_micro DESC, u, v LIMIT 50""",
+    "q130_shard_diversity" ->
+      """WITH e AS (
+           SELECT vec_id, vec_id % 8 AS shard,
+                  CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+         ), q AS (
+           SELECT shard,
+                  unnest(range(1, len(v) + 1)) - 1 AS dim,
+                  unnest([CAST(round(v[i] * 1048576) AS BIGINT)
+                          for i in range(1, len(v) + 1)]) AS qx
+           FROM e
+         ), dimagg AS (
+           SELECT shard, dim, CAST(sum(qx) AS BIGINT) AS s_d,
+                  CAST(sum(qx * qx) AS BIGINT) AS ss_d
+           FROM q GROUP BY shard, dim
+         ), sh AS (
+           SELECT shard, CAST(sum(ss_d) AS BIGINT) AS sum_sq,
+                  CAST(sum(s_d * s_d) AS BIGINT) AS sum_dim_sq
+           FROM dimagg GROUP BY shard
+         ), n AS (
+           SELECT shard, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY shard
+         )
+         SELECT n.shard, n.n, sh.sum_sq, sh.sum_dim_sq,
+                CAST(n.n * sh.sum_sq - sh.sum_dim_sq AS BIGINT) AS spread_num
+         FROM n JOIN sh USING (shard) ORDER BY shard""",
+    "q128_matryoshka_recall" ->
+      s"""$embCte,
+         tn AS (SELECT vec_id, v[1:16] AS tv,
+                       sqrt(list_dot_product(v[1:16], v[1:16])) AS tnrm FROM e),
+         q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         qt AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
+         sf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+                FROM q CROSS JOIN n c),
+         rf AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM sf),
+         st AS (SELECT qt.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("qt.tv", "qt.tnrm", "c.tv", "c.tnrm")} AS score
+                FROM qt CROSS JOIN tn c),
+         rt AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM st),
+         ov AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_common
+                FROM (SELECT q_id, c_id FROM rf WHERE rnk <= 10) f
+                JOIN (SELECT q_id, c_id FROM rt WHERE rnk <= 10) t2
+                  ON t2.q_id = f.q_id AND t2.c_id = f.c_id
+                GROUP BY f.q_id)
+         SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS k,
+                coalesce(o.n_common, CAST(0 AS BIGINT)) AS n_common
+         FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""",
+    "q147_retrieval_cascade" ->
+      s"""$embCte,
+         tn AS (SELECT vec_id, v[1:32] AS tv,
+                       sqrt(list_dot_product(v[1:32], v[1:32])) AS tnrm FROM e),
+         qset AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         qp AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
+         t1 AS (SELECT q_id, c_id FROM (
+                  SELECT qp.vec_id AS q_id, c.vec_id AS c_id,
+                         row_number() OVER (PARTITION BY qp.vec_id ORDER BY
+                           ${cosSql("qp.tv", "qp.tnrm", "c.tv", "c.tnrm")} DESC,
+                           c.vec_id ASC) AS rn
+                  FROM qp CROSS JOIN tn c)
+                WHERE rn <= 100),
+         s8 AS (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         dq AS (SELECT vec_id,
+                       list_transform(v, x ->
+                         CAST(CAST(CASE WHEN scale = 0 THEN 0
+                                        ELSE round(x / scale * 127)
+                                   END AS TINYINT) AS DOUBLE) * scale / 127) AS dv
+                FROM s8),
+         dqn AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq),
+         t2 AS (SELECT q_id, c_id FROM (
+                  SELECT t1.q_id, t1.c_id,
+                         row_number() OVER (PARTITION BY t1.q_id ORDER BY
+                           ${cosSql("q.v", "q.nrm", "d.dv", "d.dnrm")} DESC,
+                           t1.c_id ASC) AS rn
+                  FROM t1 JOIN dqn d ON d.vec_id = t1.c_id
+                          JOIN qset q ON q.vec_id = t1.q_id)
+                WHERE rn <= 30),
+         t3 AS (SELECT q_id, rn AS rnk, c_id, score FROM (
+                  SELECT t2.q_id, t2.c_id,
+                         ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score,
+                         row_number() OVER (PARTITION BY t2.q_id ORDER BY
+                           ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
+                           t2.c_id ASC) AS rn
+                  FROM t2 JOIN n c ON c.vec_id = t2.c_id
+                          JOIN qset q ON q.vec_id = t2.q_id)
+                WHERE rn <= 5),
+         ex AS (SELECT q_id, c_id, rn AS exact_rank FROM (
+                  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
+                           c.vec_id ASC) AS rn
+                  FROM qset q CROSS JOIN n c)
+                WHERE rn <= 5)
+         SELECT t3.q_id, CAST(t3.rnk AS BIGINT) AS "rank", t3.c_id, t3.score,
+                CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
+         FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
+         ORDER BY t3.q_id, t3.rnk""",
+    "q148_label_match_cooc" -> labelMatchCoocOracle) ++
+    modelOracles
+
+}

@@ -1,0 +1,525 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.functions.GraftUdfs
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.streaming.StreamOps
+
+/** Relational / event-analytics queries (SURVEY.md §2.2-2.7): scans, joins, windows, as-of/range joins, SCD2, funnels, table stats. */
+private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
+
+  /** Scan + filter + hash aggregate (P-ops + partial/final agg). */
+  private[graft] def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("sum_disc_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Predicate + projection pushdown to the parquet scan (P1-P3). */
+  private[graft] def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount") > 0.05 && col("l_quantity") < 25 &&
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 3-way shuffle join + aggregate with a distinct-agg (J-ops). */
+  private[graft] def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+
+  /** Star-schema rollup with an explicitly broadcast dimension (J1). */
+  private[graft] def q04(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      t(s, dir, "nation").join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey")))
+    t(s, dir, "customer")
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join (P6 membership predicate). */
+  private[graft] def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join (negated membership). */
+  private[graft] def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Window top-k with deterministic tie-break (T1). */
+  private[graft] def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Pivot long→wide (T2 rank-pivot family). */
+  private[graft] def q08(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities.map(_._1))
+      .agg(count(lit(1)))
+    val renamed = priorities.foldLeft(pivoted) { case (df, (v, n)) =>
+      df.withColumnRenamed(v, n)
+    }
+    renamed.na.fill(0L, priorities.map(_._2)).orderBy("o_orderstatus")
+  }
+
+  /** INTERSECT / EXCEPT / DISTINCT set algebra (T5/V4). */
+  private[graft] def q09(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .union(cn.except(sn).withColumn("tag", lit("cust_only")))
+      .union(sn.except(cn).withColumn("tag", lit("supp_only")))
+      .select("tag", "nationkey")
+      .orderBy("tag", "nationkey")
+  }
+
+  /** Wide→long unpivot via stack() (A1 triplet unpivot family). */
+  private[graft] def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(3,
+           'discount', l_discount,
+           'extendedprice', l_extendedprice,
+           'quantity', l_quantity) as (metric, value)""")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** Sentinel imputation chains (P4/P8/P9/P10). */
+  private[graft] def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        coalesce(nullif(col("source"), lit("src0")), lit("UNK")).as("src_imputed"),
+        when(col("lang") === "zh", lit("Unknown")).otherwise(col("lang")).as("lang_display"))
+      .orderBy("doc_id")
+
+  /** String scalar functions (F3/F5/F11/F12 family, null-propagating concat). */
+  private[graft] def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(regexp_replace(col("p_name"), "[^a-zA-Z0-9]", "")).as("name_alnum"),
+        substring(col("p_type"), 1, 10).as("type_prefix"),
+        concat(col("p_brand"), lit(" "), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_underscore"))
+      .orderBy("p_partkey")
+
+  /** JSON path extraction (F14/F15). */
+  private[graft] def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"))
+      .orderBy("event_id")
+
+  /** Tumbling-window rollup — the batch shape of the streaming path
+    * (SURVEY.md §2.9); same plan Structured Streaming executes
+    * incrementally. */
+  private[graft] def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n_events"), col("value_milli"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min idle gap) per user. */
+  private[graft] def q30(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+
+  /** Backward as-of join: each purchase picks up the user's latest
+    * click at or before it ([[graft.operators.AsofJoin]] — the
+    * union-merge form, one key-shuffle, no per-key join explosion).
+    * Times are epoch-micros BIGINTs so both engines order the exact
+    * same integers (testdata ns timestamps are µs-precision). Clicks
+    * are pre-aggregated per (user, time) — the operator's uniqueness
+    * contract, same as DuckDB's ASOF. */
+  private[graft] def q57(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_uid"),
+        unix_micros(col("ts")).as("click_ts_us"), col("value"))
+      .groupBy("r_uid", "click_ts_us")
+      .agg(max(col("value")).as("click_val"))
+    graft.operators.AsofJoin.asofBackward(
+        purchases, clicks, "user_id", "r_uid", "ts_us", "click_ts_us")
+      .orderBy("event_id")
+  }
+
+  /** Bucketed as-of join ([[AsofJoin.asofBackwardBucketed]]): q57's
+    * enrichment with the per-(key, day-bucket) packing that spreads a
+    * hot key's history across its time range — output hash-identical
+    * to the plain form against the same DuckDB ASOF oracle. */
+  private[graft] def q96(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_uid"),
+        unix_micros(col("ts")).as("click_ts_us"), col("value"))
+      .groupBy("r_uid", "click_ts_us")
+      .agg(max(col("value")).as("click_val"))
+    graft.operators.AsofJoin.asofBackwardBucketed(
+        purchases, clicks, "user_id", "r_uid", "ts_us", "click_ts_us",
+        bucketSpan = 86400L * 1000000)
+      .orderBy("event_id")
+  }
+
+  /** Hash-sample quantiles: per source, the exact p50/p90 of n_chars
+    * beside the same percentiles over a DETERMINISTIC 8-row sample —
+    * the k smallest md5(doc_id) rows per group (KMV-style bottom-k).
+    * The exact percentile needs a full per-group sort; the sample
+    * variant bounds per-group state to k rows under WindowGroupLimit,
+    * the trade a 100 TB profiling pass actually makes. The md5 order
+    * makes the sample itself cross-engine identical, so BOTH columns
+    * hash-match (contrast approx_percentile's engine-opaque t-digest,
+    * q63). */
+  private[graft] def q109(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("__hk", md5(concat(lit("qs:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("__hk"))
+    val sample = d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 8)
+      .groupBy("source")
+      .agg(count(lit(1)).as("sample_n"),
+        expr("percentile(n_chars, 0.5)").as("sample_p50"),
+        expr("percentile(n_chars, 0.9)").as("sample_p90"))
+    val exact = d.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("exact_p50"),
+        expr("percentile(n_chars, 0.9)").as("exact_p90"))
+    sample.join(exact, Seq("source"))
+      .select("source", "sample_n", "sample_p50", "sample_p90",
+        "exact_p50", "exact_p90")
+      .orderBy("source")
+  }
+
+  /** Hot-key-safe salted aggregation ([[graft.operators.Salting]]):
+    * per-event-type exact milli-sums through the two-phase
+    * salt → partial → merge rewrite; result equals the plain GROUP BY
+    * the oracle states — the aggregate-skew guard beside the as-of
+    * bucketing (joins) and LSH caps (buckets). */
+  private[graft] def q137(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.saltedSumCount(
+        t(s, dir, "events"), "event_type",
+        round(col("value") * 1000).cast("long"), buckets = 16)
+      .orderBy("event_type")
+
+  /** ANALYZE-style column statistics audit: per-column min/max/ndv/
+    * null-count over lineitem, every measure exact and
+    * integer-quantized where the source is a double (cents /
+    * basis-points) so the stats table hash-matches cross-engine.
+    * This is the stats surface that drives pruning and join planning
+    * — emitted as a relational audit, one map-combined aggregate per
+    * column unioned into the report. At 100 TB swap the exact ndv
+    * for the HLL sketch (q108) per column; the shape is identical. */
+  private[graft] def q138(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def statsOf(name: String, c: Column): DataFrame =
+      li.agg(
+        min(c).as("min_v"), max(c).as("max_v"),
+        count(c).as("n_nonnull"), count_distinct(c).as("ndv"))
+        .select(lit(name).as("column"),
+          col("min_v").cast("long").as("min_v"),
+          col("max_v").cast("long").as("max_v"),
+          col("n_nonnull"), col("ndv"))
+    statsOf("l_quantity", col("l_quantity").cast("long"))
+      .unionByName(statsOf("l_extendedprice_cents", cents(col("l_extendedprice"))))
+      .unionByName(statsOf("l_discount_bp",
+        round(col("l_discount") * 10000).cast("long")))
+      .unionByName(statsOf("l_partkey", col("l_partkey").cast("long")))
+      .orderBy("column")
+  }
+
+  /** Join-skew diagnostic: the top-20 hottest keys of a would-be join
+    * column, with EXACT integer share-of-total micros and a rational
+    * hot flag (cnt·500 > total ⇔ share > 0.2%) — the report you run
+    * before keying a 100 TB shuffle on a column, and the measurement
+    * behind this engine's hot-bucket caps and salting decisions.
+    * Bounded output via orderBy+limit (TakeOrderedAndProject — no
+    * global window); the total is a 1-row broadcast. */
+  private[graft] def q116(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("(cnt * 1000000) div __tot"))
+      .withColumn("hot", col("cnt") * 500 > col("__tot"))
+      .select("key", "cnt", "share_micro", "hot")
+      .orderBy(col("cnt").desc, col("key")).limit(20)
+  }
+
+  /** Per-source OLS trend of doc length vs token count — aggregate
+    * regression as a SINGLE map-side-combining pass: the five exact
+    * integer sums (n, Σx, Σy, Σxy, Σx²) shuffle one row per group,
+    * and slope/intercept are each ONE fixed double expression over
+    * them, so the result hash-matches DuckDB bit-for-bit (the same
+    * discipline as the LM scorers; `regr_slope`-style running-state
+    * aggregates would drift with partition order). Degenerate groups
+    * (zero x-variance) yield NULL, not an ANSI crash. */
+  private[graft] def q117(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"),
+      expr("CAST(size(filter(split(text, '\\\\s+'), t -> t != '')) AS BIGINT)")
+        .as("x"),
+      col("n_chars").as("y"))
+    val a = d.groupBy("source").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("__a", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__b", col("n") * col("sxx") - col("sx") * col("sx"))
+    a.withColumn("slope_micro",
+        when(col("__b") === 0, lit(null))
+          .otherwise(round(lit(1000000)
+            * (col("__a").cast("double") / col("__b").cast("double")))
+            .cast("long")))
+      .withColumn("intercept_micro",
+        when(col("__b") === 0, lit(null))
+          .otherwise(round(lit(1000000)
+            * ((col("sy").cast("double")
+              - (col("__a").cast("double") / col("__b").cast("double"))
+                * col("sx").cast("double"))
+              / col("n").cast("double")))
+            .cast("long")))
+      .select("source", "n", "slope_micro", "intercept_micro")
+      .orderBy("source")
+  }
+
+  /** SCD type-2 validity intervals: each (user, value-change) row
+    * becomes [valid_from, valid_to) via `lead()` over event time —
+    * the warehouse history-table build, one partitioned window. */
+  private[graft] def q80(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("valid_from"),
+        lead(col("ts_us"), 1).over(w).as("valid_to"),
+        col("value_milli"),
+        (lead(col("ts_us"), 1).over(w).isNull).as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** TPC-H Q5-shaped 4-table star join: revenue by nation for one
+    * order year — two big-table hash joins on their keys plus two
+    * broadcast dims (customer at this SF, nation always), date filter
+    * pushed to the orders scan, money summed as integer cents. */
+  private[graft] def q71(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Corrupt-record quarantine: `from_json` yields a null struct on
+    * malformed input (planted on every 7th event), routing bad rows
+    * to quarantine counts instead of failing the job — the ingest
+    * posture a crawl pipeline needs. Parse + route is one projection;
+    * no separate validation pass. */
+  private[graft] def q67(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    t(s, dir, "events")
+      .withColumn("__p",
+        when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("__k", from_json(col("__p"), schema).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(coalesce(col("__k"), lit(0L))).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** Hierarchical rollup (GROUPING SETS): per-(source, lang),
+    * per-source and grand-total aggregates in ONE pass with
+    * `grouping_id` disambiguating levels — Spark's Expand operator
+    * replicates rows per grouping set before a single hash agg. */
+  private[graft] def q65(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("lang"), col("gid").cast("long").as("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("gid", "source", "lang")
+
+  /** Frame-based rolling aggregates per user: 5-row trailing moving
+    * sum/count over event time — partitioned window, bounded frame
+    * state, no global sort. */
+  private[graft] def q66(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("value_milli")).over(w).as("roll_sum_milli"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("event_id")
+  }
+
+  /** Batch interval join via time-bucketed equality
+    * ([[graft.operators.RangeJoin]]) — same semantics as the
+    * streaming q59, but planned as a shuffled HASH join on
+    * (key, bucket) instead of the nested loop Spark gives a raw
+    * inequality join. Same oracle family as q59. */
+  private[graft] def q64(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_ts_us"), col("value").as("purchase_val"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("c_ts_us"), col("value").as("click_val"))
+    graft.operators.RangeJoin.intervalJoin(
+        purchases, clicks, "user_id", "c_user_id", "p_ts_us", "c_ts_us",
+        lowerOffset = -120L * 60 * 1000000, upperOffset = 0L)
+      .select("purchase_id", "user_id", "p_ts_us", "purchase_val",
+        "click_id", "c_ts_us", "click_val")
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** Sketch aggregates, self-certified: per source, exact distinct
+    * content digests (hash-proven) alongside HLL++
+    * `approx_count_distinct` and t-digest `percentile_approx`, each
+    * emitted as a WITHIN-BOUND flag the oracle states as TRUE — the
+    * sketch estimate itself is engine-specific, but the accuracy
+    * contract is not. Exact percentiles hash-match DuckDB's
+    * `quantile_cont` (same (n−1)·p interpolation). */
+  private[graft] def q63(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("h"), col("n_chars"))
+    d.groupBy("source")
+      .agg(
+        count_distinct(col("h")).as("exact_distinct"),
+        approx_count_distinct(col("h"), 0.05).as("__approx"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.95)").as("p95_chars"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("__ap50"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("__approx") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") <= 0.15).as("distinct_within_bound"),
+        col("p50_chars"), col("p95_chars"),
+        (col("__ap50") >= col("p50_chars") * 0.8 &&
+          col("__ap50") <= col("p50_chars") * 1.2).as("p50_within_bound"))
+      .orderBy("source")
+  }
+
+  /** Ordered conversion funnel ([[graft.operators.Funnel]]): per
+    * user, first view → first strictly-later click → first
+    * strictly-later purchase; chained conditional min-aggregates
+    * reusing one key partitioning. */
+  private[graft] def q62(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(
+        t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** Sliding-window rollup (1 h / 30 min): the batch shape of the
+    * streaming sliding-window operator. */
+  private[graft] def q33(s: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingRollup(t(s, dir, "events"))
+      .orderBy("win_start", "event_type")
+
+  /** The reference's core ingest path (P1-P4/A1-A2: regex triplet
+    * projection → stack unpivot → dropna(all) → dedup → CT_ID
+    * sentinel impute) run over a part-table-shaped wide sheet, with
+    * planted nulls hitting both the sentinel and the all-null-triplet
+    * drop. */
+  private[graft] def q37(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val t2null = col("p_partkey") % 13 === 0
+    val wide = part.select(
+      col("p_name").as("CT/1"),
+      when(col("p_partkey") % 7 === 0, lit(null))
+        .otherwise(col("p_partkey").cast("string")).as("CT/1/ID"),
+      col("p_brand").as("CT/1/LABEL"),
+      when(t2null, lit(null)).otherwise(col("p_type")).as("CT/2"),
+      when(t2null, lit(null)).otherwise(col("p_size").cast("string")).as("CT/2/ID"),
+      when(t2null, lit(null)).otherwise(col("p_brand")).as("CT/2/LABEL"))
+    graft.operators.Wrangle.wrangle(wide)
+      .orderBy("CT_ID", "CT_NAME", "CT_LABEL")
+  }
+
+  /** SQL front door: the native codegen kernels exposed as SQL
+    * functions (GraftExtensions) and driven through `spark.sql`. */
+  private[graft] def q36(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    s.sql("""
+      SELECT vec_id,
+             graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                       CAST(embedding AS ARRAY<DOUBLE>)) AS sq_norm,
+             size(graft_shingles(array('a','b','c','d'), 3)) AS n_shingles,
+             array_join(
+               transform(graft_bucket_counts(
+                 transform(sequence(CAST(0 AS BIGINT), vec_id % 7),
+                           i -> pmod(i, 4)), 4),
+                 x -> CAST(CAST(x AS BIGINT) AS STRING)), ',')
+               AS bucket_hist
+      FROM graft_embeddings ORDER BY vec_id""")
+    // bucket_hist is emitted as a comma-joined string, not the raw
+    // ARRAY: the driver's pandas-side sort/hash cannot hash ndarray
+    // cells. The array-typed kernel itself is pinned in
+    // GraftExtensionsSpec.
+  }
+
+}

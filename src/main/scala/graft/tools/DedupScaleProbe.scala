@@ -35,10 +35,12 @@ object DedupScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = spark.read.parquet(s"$src/documents.parquet")
-    (0 until k).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    if (!new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      (0 until k).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
 
     def time(name: String)(f: String => Long): Unit = {
       def once(dir: String): Double = {
@@ -55,6 +57,10 @@ object DedupScaleProbe {
     def docs(dir: String): DataFrame =
       spark.read.parquet(s"$dir/documents.parquet")
 
+    // cap 6 < K: at 32x EVERY replica bucket exceeds the cap and is
+    // dropped whole (rows -> 0) — this pair of rows measures the cap's
+    // wall bound under maximum hot-bucket pressure, NOT recall (an
+    // all-replicas corpus has no sub-cap clusters left to keep)
     time("minhash_km_capped") { dir =>
       Dedup.minhashNearDuplicates(docs(dir), "text", "doc_id",
         jaccardThreshold = 0.8, maxBucketSize = Some(6)).count()
@@ -64,11 +70,26 @@ object DedupScaleProbe {
         jaccardThreshold = 0.8, maxBucketSize = Some(6),
         independentHashes = true).count()
     }
+    // the PRODUCTION composition under the same pressure: collapse
+    // exact duplicates to one representative (min id per text), then
+    // the capped near-dup join — the K-replica flood must reduce to
+    // ~the 1x pair set at ~the 1x join wall plus one linear scan
+    time("minhash_collapsed") { dir =>
+      val reps = docs(dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      Dedup.minhashNearDuplicates(reps, "text", "doc_id",
+        jaccardThreshold = 0.8, maxBucketSize = Some(6)).count()
+    }
+    // closure pressure needs EDGES: cap sized above K so the replica
+    // cliques survive banding and each distinct text becomes a
+    // K-member component — rounds must stay flat while edge mass grows
     time("cc_closure_split") { dir =>
+      val cap = if (dir == src) 6 else 2 * k
       val t0 = System.nanoTime()
       val pairs = Dedup.minhashNearDuplicates(docs(dir), "text", "doc_id",
         shingleSize = 3, numHashes = 8, rowsPerBand = 2,
-        jaccardThreshold = 0.8, maxBucketSize = Some(6)).cache()
+        jaccardThreshold = 0.8, maxBucketSize = Some(cap)).cache()
       val np = pairs.count()
       val tPairs = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
