@@ -100,6 +100,47 @@ object CoocPowerEmbedder {
         transform(col("__dx"), s => s.getField("x").cast("double")).as("vec"))
   }
 
+  /** Fully distributed APPLY: embed `df(textCol)` against a trained
+    * word-vector TABLE (the [[fitVectors]] output) with a join —
+    * no driver-side vocabulary at all, the 100 TB apply path when
+    * the vocabulary outgrows a task broadcast (web-scale vocab,
+    * per-domain vocabularies). Arithmetic is BIT-identical to
+    * [[QuantizedVocabEmbedder]]'s broadcast kernel
+    * ([[graft.functions.VocabAvgExpr]]): per-dimension sums of the
+    * integer-valued weights are exact doubles (order-free, so the
+    * shuffle's arbitrary order cannot change them), then the single
+    * `· (1.0/n)` scaling with the FULL token count and the shared
+    * L2 normalize — CoocPowerEmbedderSpec pins join-apply ≡
+    * broadcast-apply exactly. Plan shape: tokens explode → join on
+    * the token key (broadcast when the vectors table is small,
+    * shuffle-hash otherwise — Spark picks by stats) → two
+    * map-combined aggregates keyed on (row, dim) then row. */
+  def embedJoined(df: DataFrame, idCol: String, textCol: String, outCol: String,
+                  vectors: DataFrame, dim: Int,
+                  maxTextLength: Int = 150): DataFrame = {
+    import graft.functions.VectorOps
+    val withToks = df.withColumn("__toks",
+      GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength)))
+    val sums = withToks
+      .select(col(idCol).as("__jid"), explode(col("__toks")).as("__tok"))
+      .join(vectors.select(col("word").as("__tok"), col("vec").as("__wv")),
+        Seq("__tok"))
+      .select(col("__jid"), posexplode(col("__wv")).as(Seq("__d", "__x")))
+      .groupBy("__jid", "__d").agg(sum(col("__x")).as("__s"))
+      .groupBy("__jid")
+      .agg(sort_array(collect_list(struct(col("__d"), col("__s")))).as("__ds"))
+      .select(col("__jid"),
+        transform(col("__ds"), s => s.getField("__s")).as("__sum"))
+    val zeros = array((0 until dim).map(_ => lit(0.0)): _*)
+    withToks
+      .join(sums, col(idCol) === col("__jid"), "left")
+      .withColumn(outCol, VectorOps.normalize(
+        when(size(col("__toks")) === 0 || col("__sum").isNull, zeros)
+          .otherwise(transform(col("__sum"),
+            x => x * (lit(1.0) / size(col("__toks")))))))
+      .drop("__toks", "__jid", "__sum")
+  }
+
   /** Fit and wrap as a [[QuantizedVocabEmbedder]] (integer weights
     * are trivially 2^-scaleBits-quantized), so the apply path shares
     * the certified clean → in-vocab mean → L2-normalize replay

@@ -66,6 +66,28 @@ class CoocPowerEmbedderSpec extends SparkSpec with Matchers {
     cos(vecs("gear"), vecs("piston")) should be > cos(vecs("banana"), vecs("piston"))
   }
 
+  test("join-apply (no driver vocab) is bit-identical to the broadcast kernel") {
+    val vectors = CoocPowerEmbedder.fitVectors(corpus, "doc_id", "body",
+      dim = 16, rounds = 2)
+    val broadcastOut = CoocPowerEmbedder.fit(corpus, "doc_id", "body",
+        dim = 16, rounds = 2)
+      .embed(corpus, "body", "vec")
+      .select("doc_id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // include an all-OOV row and an empty-text row: both must produce
+    // the zero vector on BOTH paths
+    val extra = Seq((7L, "zzzqx wwwqy"), (8L, "")).toDF("doc_id", "body")
+    val joinOut = CoocPowerEmbedder.embedJoined(corpus.union(extra), "doc_id",
+        "body", "vec", vectors, dim = 16)
+      .select("doc_id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (1L to 6L).foreach { id =>
+      joinOut(id) shouldBe broadcastOut(id) // exact, not approximate
+    }
+    joinOut(7L) shouldBe Seq.fill(16)(0.0)
+    joinOut(8L) shouldBe Seq.fill(16)(0.0)
+  }
+
   test("fit wraps as QuantizedVocabEmbedder and embeds through the shared seam") {
     val emb = CoocPowerEmbedder.fit(corpus, "doc_id", "body", dim = 16, rounds = 2)
     val out = emb.embed(corpus, "body", "vec")
