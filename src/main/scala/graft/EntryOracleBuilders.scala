@@ -461,6 +461,68 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        $rows ORDER BY iteration"""
   }
 
+  /** q149's oracle: RETRAIN the deterministic IVF index inside
+    * DuckDB (the [[kmeansCtesSql]] trajectory), probe `nProbe` cells
+    * per query with the same exact integer distance the build used
+    * (ties -> lowest cell), then replay the shared int8 -> exact
+    * cascade tail with brute-force exact_rank ground truth — the
+    * whole corpus-scale read path, index build included, in one
+    * generated query. */
+  private[graft] def ivfCascadeOracle(kCells: Int, iterations: Int,
+      nProbe: Int, c2: Int, k: Int, salt: String): String =
+    s"""WITH ${kmeansCtesSql("embeddings", kCells, iterations, salt)},
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       qset AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+       qmq AS (SELECT vec_id, vq FROM q WHERE vec_id % 50 = 0),
+       probes AS (SELECT q_id, cell FROM (
+           SELECT qm.vec_id AS q_id, c.cell,
+                  row_number() OVER (PARTITION BY qm.vec_id ORDER BY
+                    CAST(list_sum([(qm.vq[j] - c.cvec[j]) * (qm.vq[j] - c.cvec[j])
+                                   for j in range(1, len(qm.vq) + 1)]) AS BIGINT) ASC,
+                    c.cell ASC) AS rn
+           FROM qmq qm CROSS JOIN c${iterations - 1} c)
+         WHERE rn <= $nProbe),
+       cand AS (SELECT p.q_id, a.vec_id AS c_id
+                FROM probes p JOIN m$iterations a ON a.cell = p.cell),
+       s8 AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+       dq AS (SELECT vec_id,
+                     list_transform(v, x ->
+                       CAST(CAST(CASE WHEN scale = 0 THEN 0
+                                      ELSE round(x / scale * 127)
+                                 END AS TINYINT) AS DOUBLE) * scale / 127) AS dv
+              FROM s8),
+       dqn AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq),
+       t2 AS (SELECT q_id, c_id FROM (
+                SELECT cd.q_id, cd.c_id,
+                       row_number() OVER (PARTITION BY cd.q_id ORDER BY
+                         ${cosSql("q.v", "q.nrm", "d.dv", "d.dnrm")} DESC,
+                         cd.c_id ASC) AS rn
+                FROM cand cd JOIN dqn d ON d.vec_id = cd.c_id
+                        JOIN qset q ON q.vec_id = cd.q_id)
+              WHERE rn <= $c2),
+       t3 AS (SELECT q_id, rn AS rnk, c_id, score FROM (
+                SELECT t2.q_id, t2.c_id,
+                       ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score,
+                       row_number() OVER (PARTITION BY t2.q_id ORDER BY
+                         ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
+                         t2.c_id ASC) AS rn
+                FROM t2 JOIN n c ON c.vec_id = t2.c_id
+                        JOIN qset q ON q.vec_id = t2.q_id)
+              WHERE rn <= $k),
+       ex AS (SELECT q_id, c_id, rn AS exact_rank FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
+                         c.vec_id ASC) AS rn
+                FROM qset q CROSS JOIN n c)
+              WHERE rn <= $k)
+       SELECT t3.q_id, CAST(t3.rnk AS BIGINT) AS "rank", t3.c_id, t3.score,
+              CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
+       FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
+       ORDER BY t3.q_id, t3.rnk"""
+
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}
        SELECT m.vec_id, m.cell, m.dist AS dist2_q, s.cell_n

@@ -1731,7 +1731,9 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
          FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
          ORDER BY t3.q_id, t3.rnk""",
-    "q148_label_match_cooc" -> labelMatchCoocOracle) ++
+    "q148_label_match_cooc" -> labelMatchCoocOracle,
+    "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
+      nProbe = 3, c2 = 30, k = 5, salt = "ivc")) ++
     modelOracles
 
 }

@@ -528,6 +528,25 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id", "rank")
   }
 
+  /** The corpus-scale cascade ([[Ann.retrievalCascadeIvf]]): the
+    * same int8 → exact tail as q147, but candidates come from an IVF
+    * cell probe over a DETERMINISTIC index — q110's integer-micro
+    * k-means as the codebook, so the whole read path (index build →
+    * probe → both re-rank tiers) replays bit-for-bit in the oracle;
+    * q32's MLlib-codebook IVF can never be oracled. Per query, only
+    * the nProbe/kCells slice of the corpus is read (the 100 TB read
+    * shape: corpus persisted partitioned by cell), vs q147's tier-1
+    * whole-corpus prefix scan. `exact_rank` again measures recall
+    * inside the hash check. */
+  private[graft] def q149(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Ann.retrievalCascadeIvf(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding",
+        kCells = 8, iterations = 3, nProbe = 3, c2 = 30, k = 5, salt = "ivc")
+      .orderBy("q_id", "rank")
+  }
+
   /** Winnowing-based near-dup pairs
     * ([[TextAnalysis.winnowNearDuplicates]]): fingerprint-keyed
     * self-join (no doc×doc), ubiquitous fingerprints (df > 5)

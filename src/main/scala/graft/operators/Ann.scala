@@ -433,7 +433,17 @@ object Ann {
         .withColumn("score", VectorOps.cosineWithNorms(
           col("qp_vec"), col("qp_nrm"), col("cp_vec"), col("cp_nrm"))),
       "q_id", "c_id", "score", c1)
-    // tier-2 index: int8 vectors + per-vector scale (4× less bandwidth)
+    cascadeTail(t1.select("q_id", "c_id"), q, c, queries, corpus,
+      qIdCol, cIdCol, vecCol, c2, k)
+  }
+
+  /** Shared tiers 2-3 of the retrieval cascades: int8 re-rank of the
+    * candidate set (4× less bandwidth) → exact full-precision
+    * rescore → exact_rank ground-truth join. */
+  private def cascadeTail(candidates: DataFrame, q: DataFrame, c: DataFrame,
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      c2: Int, k: Int): DataFrame = {
     val cInt8 = broadcast(c
       .withColumn("scale", VectorOps.quantScale(col("c_vec")))
       .select(col("c_id"),
@@ -442,7 +452,7 @@ object Ann {
           col("scale")).as("dq_vec"))
       .withColumn("dq_nrm", VectorOps.l2Norm(col("dq_vec"))))
     val t2 = rankTopK(
-      t1.select("q_id", "c_id")
+      candidates
         .join(cInt8, Seq("c_id"))
         .join(q.select(col("q_id"), col("q_vec"), col("q_nrm")), Seq("q_id"))
         .withColumn("score", VectorOps.cosineWithNorms(
@@ -463,5 +473,49 @@ object Ann {
     t3.join(exact, Seq("q_id", "c_id"), "left")
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
         col("score"), coalesce(col("exact_rank"), lit(0L)).as("exact_rank"))
+  }
+
+  /** The corpus-scale retrieval cascade: IVF cell-probe candidate
+    * generation fronting the same int8 → exact tail as
+    * [[retrievalCascade]]. The index is a DETERMINISTIC k-means
+    * ([[Cluster.kmeansMicroModel]] — exact integer-micro Lloyd's
+    * rounds, the q110 trajectory), so unlike the MLlib-codebook IVF
+    * (q32) the ENTIRE read path — index build, cell probe, both
+    * re-rank tiers — replays bit-for-bit in a SQL oracle.
+    *
+    * Probing ranks each query against the model's ASSIGNING
+    * centroids by the same exact integer distance the build used
+    * (ties → lowest cell), takes `nProbe` cells, and joins candidates
+    * through the cell key — the shuffle is keyed on `cell`, the shape
+    * that lets a 100 TB corpus partition/persist by cell and read
+    * only `nProbe/k` of the data per query, instead of the
+    * whole-corpus scan [[retrievalCascade]]'s tier 1 pays.
+    * `exact_rank` measures IVF recall in the hash-checked result. */
+  def retrievalCascadeIvf(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      kCells: Int, iterations: Int, nProbe: Int, c2: Int, k: Int,
+      salt: String = "ivc"): DataFrame = {
+    require(kCells >= 1 && nProbe >= 1 && nProbe <= kCells,
+      "need 1 <= nProbe <= kCells")
+    require(c2 >= k && k >= 1, "cascade tiers must contract: c2 >= k >= 1")
+    val model = Cluster.kmeansMicroModel(
+      corpus.select(col(cIdCol), col(vecCol)), cIdCol, vecCol,
+      kCells, iterations, salt)
+    val asg = model.assign.select(col(cIdCol).as("c_id"), col("cell"))
+    val qmq = queries.select(col(qIdCol).as("q_id"),
+      Cluster.microQuantize(col(vecCol)).as("__qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__d2").asc, col("cell").asc)
+    val probes = qmq.crossJoin(broadcast(model.centroids))
+      .withColumn("__d2", Cluster.dist2(col("__qq"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    val candidates = probes.join(asg, Seq("cell")).select("q_id", "c_id")
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+    val c = corpus.select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+    cascadeTail(candidates, q, c, queries, corpus, qIdCol, cIdCol, vecCol,
+      c2, k)
   }
 }

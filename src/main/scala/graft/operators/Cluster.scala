@@ -101,7 +101,24 @@ object Cluster {
     * assigned to in that round. */
   def kmeansMicro(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int, salt: String = "km",
-      checkpoint: Boolean = false): DataFrame = {
+      checkpoint: Boolean = false): DataFrame =
+    kmeansMicroModel(vectors, idCol, vecCol, k, iterations, salt, checkpoint)
+      .assign
+
+  /** A fitted deterministic k-means index: the final-round assignment
+    * (idCol, cell, dist2_q) plus the centroids that PRODUCED that
+    * assignment — `(cell, cvec)` in integer micros, the round-
+    * `iterations` ASSIGNING centroids (pre-final-update). An index
+    * probe (IVF cell selection) must rank against exactly these to
+    * agree with the stored assignment; both sides are exact integer
+    * arithmetic, so probe and build replay identically in SQL. */
+  final case class KmeansMicroModel(assign: DataFrame, centroids: DataFrame)
+
+  /** [[kmeansMicro]] returning the full model (assignment +
+    * assigning centroids) for index-build/probe compositions. */
+  def kmeansMicroModel(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, salt: String = "km",
+      checkpoint: Boolean = false): KmeansMicroModel = {
     require(k >= 1, "k must be >= 1")
     require(iterations >= 1, "iterations must be >= 1")
     val reserved = vectors.columns.filter(_.startsWith("__"))
@@ -122,8 +139,10 @@ object Cluster {
         col("__s.__vq").as("cvec"))
 
     var cents = seeds
+    var centsUsed: DataFrame = null
     var lastAssign: DataFrame = null
     for (_ <- 1 to iterations) {
+      centsUsed = cents
       // fold k centroids into one broadcast row, sorted so ties in
       // the argmin resolve to the LOWEST cell id
       val oneRow = cents.agg(
@@ -157,7 +176,9 @@ object Cluster {
           coalesce(col("__ncvec"), col("cvec")).as("cvec"))
       cents = if (checkpoint) next.localCheckpoint(true) else next
     }
-    lastAssign.select(col(idCol), col("cell"), col("dist2_q"))
+    KmeansMicroModel(
+      lastAssign.select(col(idCol), col("cell"), col("dist2_q")),
+      centsUsed.select(col("cell"), col("cvec")))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

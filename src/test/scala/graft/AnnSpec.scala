@@ -291,6 +291,39 @@ class AnnSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("retrievalCascadeIvf: probing every cell reproduces the exact top-k") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 60L).map(i =>
+        (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    // nProbe = kCells: no candidate can be lost to the index, so the
+    // cascade must equal brute force and every exact_rank = rank
+    val full = Ann.retrievalCascadeIvf(queries, corpus, "vec_id", "vec_id",
+        "embedding", kCells = 4, iterations = 2, nProbe = 4, c2 = 20, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("c_id"), r.getAs[Long]("exact_rank"))).toMap
+    val brute = Ann.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank").toLong) ->
+        r.getAs[Long]("c_id")).toMap
+    full.map { case (k2, (c, _)) => k2 -> c } shouldBe brute
+    full.foreach { case ((_, rank), (_, exactRank)) => exactRank shouldBe rank }
+    // narrow probe: still k ranked rows per query, misses surface as 0
+    val narrow = Ann.retrievalCascadeIvf(queries, corpus, "vec_id", "vec_id",
+        "embedding", kCells = 6, iterations = 2, nProbe = 1, c2 = 10, k = 3)
+      .collect()
+    narrow.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      rows.map(_.getAs[Long]("rank")).sorted.toSeq shouldBe
+        (1L to rows.length.toLong)
+      // a query's own cell is always its nearest probe, so the query
+      // itself survives every tier and ranks first with exact_rank 1
+      val top = rows.minBy(_.getAs[Long]("rank"))
+      top.getAs[Long]("c_id") shouldBe top.getAs[Long]("q_id")
+      top.getAs[Long]("exact_rank") shouldBe 1L
+    }
+  }
+
   test("retrievalCascade: narrow prefix tier degrades recall measurably, never silently") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 80L).map(i =>

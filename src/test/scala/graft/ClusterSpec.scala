@@ -177,4 +177,36 @@ class ClusterSpec extends SparkSpec with Matchers {
       k = 1, iterations = 1, tauNum = 1, tauDen = 2)
     uncapped.count() should be > 0L
   }
+
+  test("kmeansMicroModel: assignment is the argmin over the returned centroids") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map(i =>
+        (i, Seq.fill(4)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "v")
+    val model = Cluster.kmeansMicroModel(vecs, "id", "v",
+      k = 3, iterations = 2)
+    val cents = model.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    cents.map(_._1).toSeq shouldBe Seq(0, 1, 2)
+    val micro = vecs.select(col("id"),
+        Cluster.microQuantize(col("v")).as("vq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val assign = model.assign.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assign.foreach { case (id, (cell, dist2q)) =>
+      val dists = cents.map { case (c, cv) => c -> d2(micro(id), cv) }
+      // the stored cell is the exact integer argmin (ties -> lowest
+      // cell) over exactly the centroids the model returned
+      val best = dists.minBy { case (c, d) => (d, c) }
+      cell shouldBe best._1
+      dist2q shouldBe best._2
+    }
+    // the plain kmeansMicro wrapper is the model's assignment
+    val direct = Cluster.kmeansMicro(vecs, "id", "v", k = 3, iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    direct shouldBe assign
+  }
 }

@@ -45,6 +45,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q128_matryoshka_recall", // two bruteForceTopK broadcast scans, like q25
     "q145_semantic_decontaminate", // bruteForceTopK vs the benchmark-sized eval set, like q25
     "q147_retrieval_cascade", // three broadcast similarity tiers, like q25/q128
+    "q149_ivf_cascade",       // kmeansMicro centroid folds + probe/tail broadcasts
     "q132_pmi_collocations") // 1-row bigram/token-total broadcasts, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
