@@ -1681,59 +1681,11 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS k,
                 coalesce(o.n_common, CAST(0 AS BIGINT)) AS n_common
          FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""",
-    "q147_retrieval_cascade" ->
-      s"""$embCte,
-         tn AS (SELECT vec_id, v[1:32] AS tv,
-                       sqrt(list_dot_product(v[1:32], v[1:32])) AS tnrm FROM e),
-         qset AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
-         qp AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
-         t1 AS (SELECT q_id, c_id FROM (
-                  SELECT qp.vec_id AS q_id, c.vec_id AS c_id,
-                         row_number() OVER (PARTITION BY qp.vec_id ORDER BY
-                           ${cosSql("qp.tv", "qp.tnrm", "c.tv", "c.tnrm")} DESC,
-                           c.vec_id ASC) AS rn
-                  FROM qp CROSS JOIN tn c)
-                WHERE rn <= 100),
-         s8 AS (SELECT vec_id, v,
-                       list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
-         dq AS (SELECT vec_id,
-                       list_transform(v, x ->
-                         CAST(CAST(CASE WHEN scale = 0 THEN 0
-                                        ELSE round(x / scale * 127)
-                                   END AS TINYINT) AS DOUBLE) * scale / 127) AS dv
-                FROM s8),
-         dqn AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq),
-         t2 AS (SELECT q_id, c_id FROM (
-                  SELECT t1.q_id, t1.c_id,
-                         row_number() OVER (PARTITION BY t1.q_id ORDER BY
-                           ${cosSql("q.v", "q.nrm", "d.dv", "d.dnrm")} DESC,
-                           t1.c_id ASC) AS rn
-                  FROM t1 JOIN dqn d ON d.vec_id = t1.c_id
-                          JOIN qset q ON q.vec_id = t1.q_id)
-                WHERE rn <= 30),
-         t3 AS (SELECT q_id, rn AS rnk, c_id, score FROM (
-                  SELECT t2.q_id, t2.c_id,
-                         ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score,
-                         row_number() OVER (PARTITION BY t2.q_id ORDER BY
-                           ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
-                           t2.c_id ASC) AS rn
-                  FROM t2 JOIN n c ON c.vec_id = t2.c_id
-                          JOIN qset q ON q.vec_id = t2.q_id)
-                WHERE rn <= 5),
-         ex AS (SELECT q_id, c_id, rn AS exact_rank FROM (
-                  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-                         row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                           ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} DESC,
-                           c.vec_id ASC) AS rn
-                  FROM qset q CROSS JOIN n c)
-                WHERE rn <= 5)
-         SELECT t3.q_id, CAST(t3.rnk AS BIGINT) AS "rank", t3.c_id, t3.score,
-                CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
-         FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
-         ORDER BY t3.q_id, t3.rnk""",
+    "q147_retrieval_cascade" -> retrievalCascadeOracle(withWave = false),
     "q148_label_match_cooc" -> labelMatchCoocOracle,
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
-      nProbe = 3, c2 = 30, k = 5, salt = "ivc")) ++
+      nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
+    "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true)) ++
     modelOracles
 
 }

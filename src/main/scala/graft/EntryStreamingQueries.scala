@@ -290,4 +290,16 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id", "version")
   }
 
+  /** Online retrieval serving
+    * ([[StreamOps.runStreamingRetrievalAvailableNow]]): the q147
+    * cascade driven by a QUERY STREAM against the static corpus —
+    * two staged query waves, each micro-batch answered with the full
+    * certified prefix → int8 → exact tiers and appended. Stateless
+    * per query, so the streamed board equals the batch cascade
+    * exactly; the oracle is q147's replay plus the wave column
+    * (a pure function of q_id under the staged split). */
+  private[graft] def q150(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingRetrievalAvailableNow(s, dir,
+        prefixDim = 32, c1 = 100, c2 = 30, k = 5)
+      .orderBy("q_id", "rank")
 }

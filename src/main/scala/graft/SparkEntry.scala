@@ -173,6 +173,7 @@ object SparkEntry
     "q147_retrieval_cascade" -> (q147 _),
     "q148_label_match_cooc" -> (q148 _),
     "q149_ivf_cascade" -> (q149 _),
+    "q150_stream_retrieval" -> (q150 _),
     "q129_stream_countmin" -> (q129 _),
     "q130_shard_diversity" -> (q130 _),
     "q131_grouped_split" -> (q131 _),

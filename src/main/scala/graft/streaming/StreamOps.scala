@@ -692,6 +692,64 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** ONLINE RETRIEVAL SERVING: a stream of query vectors answered
+    * against a STATIC corpus index — the per-batch stateless form of
+    * the q147 cascade. Each micro-batch runs the full certified
+    * tiers (matryoshka prefix → int8 → exact, via
+    * [[graft.operators.Ann.retrievalCascade]]) against the broadcast
+    * static corpus and APPENDS its answers; queries are independent
+    * rows, so the streamed output over any batch split is EXACTLY
+    * the batch cascade over the whole query set — which is what the
+    * oracle states. No state store, no watermark: serving capacity
+    * is bounded by per-batch compute only, the crawl-rate contract
+    * of the stateless gates (q142). At 100 TB the static side is the
+    * cell-partitioned index (q149's layout); here the corpus rides a
+    * broadcast like every certified cascade tier. Output:
+    * (wave, q_id, rank, c_id, score, exact_rank) — wave = the
+    * micro-batch the query arrived in. */
+  def runStreamingRetrievalAvailableNow(spark: SparkSession, dir: String,
+      prefixDim: Int, c1: Int, c2: Int, k: Int): DataFrame = {
+    val staging = stagedDir("retrieval", dir) { st =>
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0)
+      stageVersionFile(qs.filter(col("vec_id") % 100 === 0)
+        .select(lit(0L).as("wave"), col("vec_id"), col("embedding")),
+        s"$st/w0.parquet")
+      stageVersionFile(qs.filter(col("vec_id") % 100 =!= 0)
+        .select(lit(1L).as("wave"), col("vec_id"), col("embedding")),
+        s"$st/w1.parquet")
+    }
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val sch = spark.read.parquet(s"$staging/w0.parquet").schema
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_retrieval_run_").toString
+    val outDir = s"$work/out"
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    val src = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val query = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val queries = batch.toDF().select(col("wave"), col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        graft.operators.Ann.retrievalCascade(
+            queries.select("vec_id", "embedding"), corpus,
+            "vec_id", "vec_id", "embedding", prefixDim, c1, c2, k)
+          .join(queries.select(col("vec_id").as("q_id"), col("wave")),
+            Seq("q_id"))
+          .select(col("wave"), col("q_id"), col("rank"), col("c_id"),
+            col("score"), col("exact_rank"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   // --- streaming count-min sketch ---------------------------------------
 
   case class CmTok(wave: Long, source: String, tok: String)
