@@ -974,6 +974,17 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     minhashPairsOracle(corpusCte = boilerplateCorpusSql, source = "corpus",
       cap = Some(8))
 
+  /** q151: the capped pair oracle over the COLLAPSED corpus — one
+    * representative (min doc_id) per distinct text, then the same
+    * banding/cap/jaccard replay. */
+  private[graft] def minhashCollapsedPairsOracle: String =
+    minhashPairsOracle(
+      corpusCte = boilerplateCorpusSql +
+        """reps AS (
+         SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text
+       ), """,
+      source = "reps", cap = Some(8))
+
   /** MinHash-LSH near-dup pair oracle. The Spark side emits each pair
     * once via first-match banding; the oracle gets the same SET with a
     * plain UNION (which dedups) over per-band joins. With `cap`, each

@@ -1685,7 +1685,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
     "q148_label_match_cooc" -> labelMatchCoocOracle,
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
-    "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true)) ++
+    "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),
+    "q151_minhash_collapsed" -> minhashCollapsedPairsOracle) ++
     modelOracles
 
 }

@@ -113,6 +113,21 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
 
+  /** q45 with the AUTO-COMPOSED exact-dup collapse
+    * (`collapseExact = true`) — the banded twin of q140's structural
+    * fix: the planted 12-copy boilerplate cluster becomes ONE
+    * representative before signing, so it can neither flood a band
+    * bucket past the cap (dragging its distinct-text neighbours out
+    * with it) nor emit c² identical-pair output. Pairs between
+    * DISTINCT texts survive; the 32x/64x DedupScaleProbe rows show
+    * this composition flat at ~1x wall under a replica flood. */
+  private[graft] def q151(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(corpusWithBoilerplate(s, dir), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2, jaccardThreshold = 0.8,
+        maxBucketSize = Some(8), collapseExact = true)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
   /** The linear companion of the cap: identical-full-signature
     * clusters (the capped boilerplate mass, recovered as ONE group by
     * a map-side-combined aggregate instead of |cluster|² pairs). */

@@ -174,6 +174,7 @@ object SparkEntry
     "q148_label_match_cooc" -> (q148 _),
     "q149_ivf_cascade" -> (q149 _),
     "q150_stream_retrieval" -> (q150 _),
+    "q151_minhash_collapsed" -> (q151 _),
     "q129_stream_countmin" -> (q129 _),
     "q130_shard_diversity" -> (q130 _),
     "q131_grouped_split" -> (q131 _),

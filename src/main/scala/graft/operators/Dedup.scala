@@ -181,7 +181,22 @@ object Dedup {
                             shingleSize: Int = 3, numHashes: Int = 8,
                             rowsPerBand: Int = 2, jaccardThreshold: Double = 0.5,
                             maxBucketSize: Option[Int] = None,
-                            independentHashes: Boolean = false): DataFrame = {
+                            independentHashes: Boolean = false,
+                            collapseExact: Boolean = false): DataFrame = {
+    if (collapseExact) {
+      // one representative (lowest id) per distinct text BEFORE
+      // signing — the banded twin of prefixJaccardPairs' flag: a
+      // c-copy cluster can neither flood a band bucket past the cap
+      // (losing its DISTINCT-text neighbours with it) nor emit c²
+      // identical pairs. Same contract as q140: the exact-dup tier
+      // owns replica mass, banding sees only distinct texts.
+      val reps = docs.groupBy(col(textCol))
+        .agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col(textCol))
+      return minhashNearDuplicates(reps, textCol, idCol, shingleSize,
+        numHashes, rowsPerBand, jaccardThreshold, maxBucketSize,
+        independentHashes, collapseExact = false)
+    }
     val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, numHashes,
       independentHashes)
     val cands = maxBucketSize match {

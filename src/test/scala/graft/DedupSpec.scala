@@ -129,6 +129,27 @@ class DedupSpec extends SparkSpec with Matchers {
       .getAs[Long]("n_docs") shouldBe 2L
   }
 
+  test("collapseExact: a replica flood collapses before signing — distinct-text " +
+    "pairs survive a cap the flood would otherwise drag them out of") {
+    val nearA = "the quick brown fox jumps over the lazy dog today"
+    val nearB = "the quick brown fox jumps over the lazy dog tonight"
+    // 12 copies of nearA flood every band bucket nearA hashes into
+    val flood = (100L until 112L).map(i => (i, nearA))
+    val corpus = (Seq((1L, nearA), (2L, nearB)) ++ flood).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.5, maxBucketSize = Some(8))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    capped shouldBe empty // the flood drowned the real near-dup pair too
+    val collapsed = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+        jaccardThreshold = 0.5, maxBucketSize = Some(8), collapseExact = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // one representative per text: the (nearA-rep, nearB) pair is found,
+    // and no identical-text pair is emitted at all
+    collapsed shouldBe Set((1L, 2L))
+  }
+
   test("a pair sharing only a hot band and a small band still survives via the small band") {
     // construct signatures directly: docs 1..10 share band 0 exactly
     // (sig_0, sig_1 equal — hot at cap 4); docs 1 & 2 additionally share
