@@ -495,12 +495,24 @@ object Ann {
       qIdCol: String, cIdCol: String, vecCol: String,
       kCells: Int, iterations: Int, nProbe: Int, c2: Int, k: Int,
       salt: String = "ivc"): DataFrame = {
-    require(kCells >= 1 && nProbe >= 1 && nProbe <= kCells,
-      "need 1 <= nProbe <= kCells")
+    require(kCells >= 1 && iterations >= 1, "need kCells, iterations >= 1")
+    retrievalCascadeIvf(queries, corpus, qIdCol, cIdCol, vecCol,
+      Cluster.kmeansMicroModel(
+        corpus.select(col(cIdCol), col(vecCol)), cIdCol, vecCol,
+        kCells, iterations, salt),
+      nProbe, c2, k)
+  }
+
+  /** [[retrievalCascadeIvf]] against a PRE-BUILT index — the serving
+    * split: the k-means model is fit offline (or loaded from the
+    * persisted cell layout) and amortizes across every query batch;
+    * this overload pays only the probe + re-rank tiers. */
+  def retrievalCascadeIvf(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      model: Cluster.KmeansMicroModel,
+      nProbe: Int, c2: Int, k: Int): DataFrame = {
+    require(nProbe >= 1, "need nProbe >= 1")
     require(c2 >= k && k >= 1, "cascade tiers must contract: c2 >= k >= 1")
-    val model = Cluster.kmeansMicroModel(
-      corpus.select(col(cIdCol), col(vecCol)), cIdCol, vecCol,
-      kCells, iterations, salt)
     val asg = model.assign.select(col(cIdCol).as("c_id"), col("cell"))
     val qmq = queries.select(col(qIdCol).as("q_id"),
       Cluster.microQuantize(col(vecCol)).as("__qq"))
