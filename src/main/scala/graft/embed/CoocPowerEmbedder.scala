@@ -68,10 +68,17 @@ object CoocPowerEmbedder {
     val rowToks = corpus.select(col(idCol).cast("string").as("__rid"),
       explode(GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength))).as("tok"))
     // (u,v) for every ordered pair of distinct-per-row tokens,
-    // diagonal included: cnt(u,u) = row frequency of u, so deg >= 1
+    // diagonal included: cnt(u,u) = row frequency of u, so deg >= 1.
+    // Persisted: the corpus-sized tokenize + pair shuffle is consumed
+    // once per diffusion round plus the degree/vocab reads — without
+    // the persist, lineage re-executes it rounds+2 times (results are
+    // identical either way: every step is exact integer arithmetic;
+    // the block is vocab-pair-sized and ContextCleaner reclaims it
+    // when the returned frame is dropped)
     val cooc = rowToks.as("a").join(rowToks.as("b"), Seq("__rid"))
       .select(col("a.tok").as("u"), col("b.tok").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+      .persist()
     val deg = cooc.groupBy("u").agg(sum(col("cnt")).as("deg"))
     // ±micro random-indexing init, keyed on content (md5 parity)
     val parity = pmod(
