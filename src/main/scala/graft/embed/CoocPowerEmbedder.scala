@@ -69,12 +69,14 @@ object CoocPowerEmbedder {
       explode(GraftUdfs.tokensCleanDedup(col(textCol), lit(maxTextLength))).as("tok"))
     // (u,v) for every ordered pair of distinct-per-row tokens,
     // diagonal included: cnt(u,u) = row frequency of u, so deg >= 1.
-    // Persisted: the corpus-sized tokenize + pair shuffle is consumed
-    // once per diffusion round plus the degree/vocab reads — without
-    // the persist, lineage re-executes it rounds+2 times (results are
-    // identical either way: every step is exact integer arithmetic;
-    // the block is vocab-pair-sized and ContextCleaner reclaims it
-    // when the returned frame is dropped)
+    // Persisted for the duration of the fit: the corpus-sized
+    // tokenize + pair shuffle is consumed once per diffusion round
+    // plus the degree/vocab reads — without the persist, lineage
+    // re-executes it rounds+2 times (results are identical either
+    // way: every step is exact integer arithmetic). The fit
+    // localCheckpoints its vocab-sized OUTPUT and unpersists the
+    // aggregate before returning, so no CacheManager entry outlives
+    // the call.
     val cooc = rowToks.as("a").join(rowToks.as("b"), Seq("__rid"))
       .select(col("a.tok").as("u"), col("b.tok").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
@@ -101,10 +103,18 @@ object CoocPowerEmbedder {
           ((col("raw") - pmod(col("raw"), col("deg"))) / col("deg"))
             .cast("long").as("x"))
     }
-    vec.groupBy("word")
+    val out = vec.groupBy("word")
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("__dx"))
       .select(col("word"),
         transform(col("__dx"), s => s.getField("x").cast("double")).as("vec"))
+      // materialize the vocab-sized result (one eager job), then drop
+      // the cooc cache entry — the returned frame no longer depends on
+      // it, and localCheckpoint blocks are RDD-scoped (ContextCleaner
+      // reclaims them on GC, unlike Dataset.persist's CacheManager
+      // registration which lives until an explicit unpersist)
+      .localCheckpoint(true)
+    cooc.unpersist()
+    out
   }
 
   /** Fully distributed APPLY: embed `df(textCol)` against a trained
@@ -132,6 +142,14 @@ object CoocPowerEmbedder {
       .select(col(idCol).as("__jid"), explode(col("__toks")).as("__tok"))
       .join(vectors.select(col("word").as("__tok"), col("vec").as("__wv")),
         Seq("__tok"))
+      // fail fast on a dim/table mismatch: without this, in-vocab rows
+      // would carry table-width vectors while all-OOV rows get
+      // dim-width zeros — ragged arrays that downstream dot kernels
+      // silently truncate
+      .withColumn("__wv", when(size(col("__wv")) === dim, col("__wv"))
+        .otherwise(raise_error(concat(
+          lit(s"embedJoined: vectors table width != dim=$dim (got "),
+          size(col("__wv")).cast("string"), lit(")")))))
       .select(col("__jid"), posexplode(col("__wv")).as(Seq("__d", "__x")))
       .groupBy("__jid", "__d").agg(sum(col("__x")).as("__s"))
       .groupBy("__jid")

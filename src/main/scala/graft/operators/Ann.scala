@@ -420,6 +420,13 @@ object Ann {
     require(c1 >= c2 && c2 >= k && k >= 1,
       "cascade tiers must contract: c1 >= c2 >= k >= 1")
     val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      // fail fast on an oversized prefix: slice() would clamp to the
+      // full vector and tier 1 would silently BECOME the exact scan —
+      // "prefilter" numbers that are actually brute-force cost
+      .withColumn("q_vec", when(size(col("q_vec")) >= prefixDim, col("q_vec"))
+        .otherwise(raise_error(concat(
+          lit(s"retrievalCascade: prefixDim=$prefixDim exceeds vector width "),
+          size(col("q_vec")).cast("string")))))
       .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
       .withColumn("qp_vec", slice(col("q_vec"), 1, prefixDim))
       .withColumn("qp_nrm", VectorOps.l2Norm(col("qp_vec")))

@@ -84,6 +84,22 @@ object StreamOps {
   private val stagingCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Run `body` with parquet `_SUCCESS` markers suppressed, restoring
+    * the session-global hadoopConfiguration afterwards — the flag
+    * must not leak into later writes in the JVM (build memos and
+    * external completion checks gate on the markers). */
+  private def withoutSuccessMarkers[A](spark: SparkSession)(body: => A): A = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = Option(hconf.get(key))
+    hconf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => hconf.set(key, v)
+      case None    => hconf.unset(key)
+    }
+  }
+
   private def stagedDir(kind: String, dir: String)(build: String => Unit): String =
     stagingCache.computeIfAbsent((kind, dir), { _ =>
       val work = java.nio.file.Files.createTempDirectory(s"graft_${kind}_").toString
@@ -725,28 +741,28 @@ object StreamOps {
     val work = java.nio.file.Files
       .createTempDirectory("graft_retrieval_run_").toString
     val outDir = s"$work/out"
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-    val src = spark.readStream.schema(sch)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staging/*.parquet")
-    val query = src.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val queries = batch.toDF().select(col("wave"), col("vec_id"),
-          col("embedding").cast("array<double>").as("embedding"))
-        graft.operators.Ann.retrievalCascade(
-            queries.select("vec_id", "embedding"), corpus,
-            "vec_id", "vec_id", "embedding", prefixDim, c1, c2, k)
-          .join(queries.select(col("vec_id").as("q_id"), col("wave")),
-            Seq("q_id"))
-          .select(col("wave"), col("q_id"), col("rank"), col("c_id"),
-            col("score"), col("exact_rank"))
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withoutSuccessMarkers(spark) {
+      val src = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/*.parquet")
+      val query = src.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val queries = batch.toDF().select(col("wave"), col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          graft.operators.Ann.retrievalCascade(
+              queries.select("vec_id", "embedding"), corpus,
+              "vec_id", "vec_id", "embedding", prefixDim, c1, c2, k)
+            .join(queries.select(col("vec_id").as("q_id"), col("wave")),
+              Seq("q_id"))
+            .select(col("wave"), col("q_id"), col("rank"), col("c_id"),
+              col("score"), col("exact_rank"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -1357,9 +1373,7 @@ object StreamOps {
   def ivfIndexUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
                      checkpointDir: String,
                      embedder: graft.embed.Embedder,
-                     codebook: DataFrame): Unit = {
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+                     codebook: DataFrame): Unit = withoutSuccessMarkers(spark) {
     val src = spark.readStream
       .schema(upsertSchema)
       .option("maxFilesPerTrigger", "1")
@@ -1414,11 +1428,9 @@ object StreamOps {
   def embeddingUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
                       checkpointDir: String,
                       embedder: graft.embed.Embedder,
-                      nBuckets: Int = 16): Unit = {
+                      nBuckets: Int = 16): Unit = withoutSuccessMarkers(spark) {
     // every micro-batch runs one delta write; the _SUCCESS marker is
     // one extra FS create+rename per batch and nothing reads it here
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     val src = spark.readStream
       .schema(upsertSchema)
       .option("maxFilesPerTrigger", "1")

@@ -75,11 +75,9 @@ object DedupScaleProbe {
     // the capped near-dup join — the K-replica flood must reduce to
     // ~the 1x pair set at ~the 1x join wall plus one linear scan
     time("minhash_collapsed") { dir =>
-      val reps = docs(dir).groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("text"))
-      Dedup.minhashNearDuplicates(reps, "text", "doc_id",
-        jaccardThreshold = 0.8, maxBucketSize = Some(6)).count()
+      Dedup.minhashNearDuplicates(docs(dir), "text", "doc_id",
+        jaccardThreshold = 0.8, maxBucketSize = Some(6),
+        collapseExact = true).count()
     }
     // closure pressure needs EDGES: cap sized above K so the replica
     // cliques survive banding and each distinct text becomes a

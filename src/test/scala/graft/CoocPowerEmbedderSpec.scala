@@ -88,6 +88,18 @@ class CoocPowerEmbedderSpec extends SparkSpec with Matchers {
     joinOut(8L) shouldBe Seq.fill(16)(0.0)
   }
 
+  test("embedJoined fails fast on a dim/vectors-table width mismatch") {
+    val vectors = CoocPowerEmbedder.fitVectors(corpus, "doc_id", "body",
+      dim = 16, rounds = 1)
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${chain(t.getCause)}"
+    val ex = intercept[Throwable] {
+      CoocPowerEmbedder.embedJoined(corpus, "doc_id", "body", "vec",
+        vectors, dim = 8).collect()
+    }
+    chain(ex) should include("embedJoined")
+  }
+
   test("fit wraps as QuantizedVocabEmbedder and embeds through the shared seam") {
     val emb = CoocPowerEmbedder.fit(corpus, "doc_id", "body", dim = 16, rounds = 2)
     val out = emb.embed(corpus, "body", "vec")

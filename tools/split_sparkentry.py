@@ -163,11 +163,7 @@ order = ["EntryBase", "EntryRelationalQueries", "EntryTextQueries",
 for f in order:
     files[f] = []
 object_blocks = []
-seen = set()
 for name, bl in blocks:
-    if name in seen and name != "minhashSigsSql":
-        pass  # overloads ok
-    seen.add(name)
     tgt = ASSIGN.get(name)
     if tgt is None:
         sys.exit(f"UNASSIGNED member: {name}")
