@@ -418,6 +418,22 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * encoding. Fully independent recomputation — no learned
     * literals cross from the engine. */
   private[graft] def bpeTrainOracle(iterations: Int): String = {
+    val rows = (1 to iterations).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iteration, m.lft, m.rgt,
+                 m.lft || m.rgt AS merged, m.pair_count, k.tokens_after
+          FROM m$i m, k$i k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeMergeCtes(iterations)}
+       $rows ORDER BY iteration"""
+  }
+
+  /** The shared merge-derivation CTE chain of the BPE oracles:
+    * corpus word frequencies → bracket-encoded states → per round
+    * (pair counts, argmax merge m$$i, post-merge states s$$i, corpus
+    * token count k$$i). Both [[bpeTrainOracle]] and
+    * [[bpeEncodeOracle]] retrain the merges from raw data through
+    * these CTEs — no learned literals cross from the engine. */
+  private def bpeMergeCtes(iterations: Int): String = {
     val iterCtes = (1 to iterations).map { i =>
       s"""p$i AS (
            SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS pair_count
@@ -441,12 +457,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
            FROM s$i
          )"""
     }.mkString(", ")
-    val rows = (1 to iterations).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS iteration, m.lft, m.rgt,
-                 m.lft || m.rgt AS merged, m.pair_count, k.tokens_after
-          FROM m$i m, k$i k"""
-    }.mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
          SELECT word, CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
                         AS word
@@ -457,8 +468,44 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          SELECT regexp_replace(word || '_', '(.)', '<\\1>', 'g')
                   AS state, freq
          FROM w
-       ), $iterCtes
-       $rows ORDER BY iteration"""
+       ), $iterCtes"""
+  }
+
+  /** BPE ENCODE oracle mirroring [[graft.operators.Bpe.encodeStats]]:
+    * retrains the `iterations` merges from raw data (the
+    * [[bpeMergeCtes]] chain — the q123 trajectory), then applies
+    * them in learned order to every document's bracket-encoded
+    * words with the same left-to-right non-overlapping `replace`,
+    * and aggregates per-document word / character-tokenizer /
+    * BPE-tokenizer counts. Train → apply in one statement, both
+    * sides derived from raw data only. */
+  private[graft] def bpeEncodeOracle(iterations: Int): String = {
+    val applyCtes = (1 to iterations).map { i =>
+      s"""e$i AS (
+           SELECT doc_id, chars,
+                  replace(state, '<' || m.lft || '><' || m.rgt || '>',
+                          '<' || m.lft || m.rgt || '>') AS state
+           FROM e${i - 1}, m$i m
+         )"""
+    }.mkString(", ")
+    s"""WITH ${bpeMergeCtes(iterations)},
+       dw AS (
+         SELECT doc_id, word FROM (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(text), '\\s+')) AS word
+           FROM documents)
+         WHERE regexp_full_match(word, '[a-z]+')
+       ), e0 AS (
+         SELECT doc_id, CAST(length(word) AS BIGINT) AS chars,
+                regexp_replace(word || '_', '(.)', '<\\1>', 'g') AS state
+         FROM dw
+       ), $applyCtes
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(chars) + count(*) AS BIGINT) AS char_tokens,
+              CAST(sum(len(string_split(substr(state, 2,
+                     length(state) - 2), '><'))) AS BIGINT) AS bpe_tokens
+       FROM e$iterations
+       GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** The q147 cascade replay, parameterized only by the optional

@@ -632,6 +632,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM tk t LEFT JOIN per p USING (doc_id)
          ORDER BY doc_id""",
     "q123_bpe_train" -> bpeTrainOracle(iterations = 8),
+    "q152_bpe_encode" -> bpeEncodeOracle(iterations = 8),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,
@@ -1350,6 +1351,21 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                      AS BIGINT) AS out_px_sum
          FROM gx GROUP BY doc_id
          ORDER BY doc_id""",
+    "q153_wav_features" ->
+      """WITH d AS (
+           SELECT doc_id, 256 + (doc_id % 64) * 16 AS n FROM documents
+         ), s AS (
+           SELECT doc_id, n,
+                  ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS smp
+           FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)
+         )
+         SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+                CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+                CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+                CAST(sum(abs(smp)) AS BIGINT) AS sum_abs
+         FROM s GROUP BY doc_id, n ORDER BY doc_id""",
     "q83_png_roundtrip" ->
       """WITH d AS (
            SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height

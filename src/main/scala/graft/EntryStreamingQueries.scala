@@ -61,6 +61,27 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** REAL audio codec through the multimodal seam: deterministic
+    * 8 kHz PCM-16 waveforms (closed-form samples from doc_id) are
+    * RIFF/WAVE-encoded and parsed back with the chunk-walking codec
+    * ([[Multimodal.withPcmWavPayload]] /
+    * [[Multimodal.wavFeaturesBatched]]) under the
+    * one-codec-init-per-partition batch contract — the writer plants
+    * a JUNK chunk between fmt and data, so a parser that assumed the
+    * fixed 44-byte layout would mis-read every payload. The oracle
+    * recomputes duration/peak/energy stats from the generating
+    * formula alone (exact integer arithmetic end to end): a lossy or
+    * misaligned round trip breaks the hash. Extends the multimodal
+    * family (q31/q83/q146) from image to audio with a real codec. */
+  private[graft] def q153(s: SparkSession, dir: String): DataFrame = {
+    val withWav = Multimodal.withPcmWavPayload(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.wavFeaturesBatched(withWav, "payload")
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_us"), col("peak_abs"), col("sum_sq"), col("sum_abs"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-static enrichment join
     * ([[StreamOps.streamStaticEnrich]]): each micro-batch broadcast-
     * joins a static customer dimension, then aggregates by (segment,

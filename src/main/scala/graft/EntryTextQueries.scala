@@ -409,4 +409,22 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         GraftUdfs.numberWords((col("doc_id") * 12345 + 678).cast("string")).as("w_large"))
       .orderBy("doc_id")
 
+  /** BPE tokenizer APPLY ([[graft.operators.Bpe.encodeStats]]): the
+    * other half of the q123 story — train the 8 merges on the
+    * corpus, then encode EVERY document with them (learned-order
+    * non-overlapping replace folded into one projection; the merge
+    * table is parameter-sized and never shuffles the corpus) and
+    * report per-document word / char-tokenizer / BPE-tokenizer
+    * counts, the compression audit a tokenizer change ships with.
+    * The oracle RETRAINS the merges from raw data (the q123 CTE
+    * chain) and re-encodes every document independently — train →
+    * apply certified end-to-end with no learned literals crossing
+    * engines. */
+  private[graft] def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.trainMerges(docs, "text", iterations = 8,
+      mergesPerAction = 16)
+    Bpe.encodeStats(docs, "doc_id", "text", merges).orderBy("doc_id")
+  }
+
 }

@@ -189,7 +189,9 @@ object SparkEntry
     "q138_table_stats" -> (q138 _),
     "q142_stream_decontaminate" -> (q142 _),
     "q143_stream_bloom_dedup" -> (q143 _),
-    "q145_semantic_decontaminate" -> (q145 _))
+    "q145_semantic_decontaminate" -> (q145 _),
+    "q152_bpe_encode" -> (q152 _),
+    "q153_wav_features" -> (q153 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

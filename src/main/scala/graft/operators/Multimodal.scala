@@ -294,6 +294,164 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // --- REAL audio codec (RIFF/WAVE PCM, pure JVM) -----------------------
+
+  /** Count of REAL audio-codec instantiations (same observability as
+    * [[imageCodecInits]]). */
+  val audioCodecInits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Real RIFF/WAVE PCM-16 codec behind the same per-partition handle
+    * seam as [[ImageCodecHandle]]: a chunk-walking parser (fmt /
+    * data located by iterating the chunk list, unknown chunks
+    * skipped with the RIFF odd-size pad rule — NOT by fixed 44-byte
+    * offsets, so payloads carrying extra metadata chunks still
+    * parse) plus a writer that deliberately inserts a JUNK chunk
+    * between fmt and data to keep the walker honest. Pure JVM byte
+    * twiddling — no audio library needed for PCM. */
+  final class WavCodecHandle private[Multimodal] () {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parse a PCM-16 mono/stereo WAV: walk the chunk list, return
+      * (sampleRate, channels, samples interleaved). Malformed bytes
+      * or non-PCM-16 → None. */
+    def parse(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (bytes == null || bytes.length < 12 ||
+          tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var off = 12
+      var rate = -1; var channels = -1; var bits = -1
+      var samples: Array[Int] = null
+      while (off + 8 <= bytes.length) {
+        val id = tag(bytes, off)
+        val size = u32(bytes, off + 4).toInt
+        val body = off + 8
+        if (body + size > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (size < 16 || u16(bytes, body) != 1) return None // PCM only
+            channels = u16(bytes, body + 2)
+            rate = u32(bytes, body + 4).toInt
+            bits = u16(bytes, body + 14)
+            if (bits != 16 || channels < 1) return None
+          case "data" =>
+            val n = size / 2
+            samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (u16(bytes, body + 2 * i) << 16) >> 16 // sign-extend
+              i += 1
+            }
+          case _ => () // unknown chunk: skip
+        }
+        off = body + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (rate <= 0 || samples == null) None
+      else Some((rate, channels, samples))
+    }
+
+    /** Parse + per-payload integer stats: (sample_rate, n_samples,
+      * duration_us, peak_abs, sum_sq, sum_abs) — all exact integer
+      * arithmetic, so the whole encode→parse→stats chain is
+      * hash-checkable against a closed-form oracle. */
+    def decodeStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
+      parse(bytes).map { case (rate, channels, samples) =>
+        val n = samples.length / channels
+        var peak = 0L; var sumSq = 0L; var sumAbs = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v * v
+          sumAbs += a
+          i += 1
+        }
+        (rate.toLong, n.toLong, n.toLong * 1000000L / rate, peak, sumSq, sumAbs)
+      }
+  }
+
+  private def newWavCodecHandle(): WavCodecHandle = {
+    audioCodecInits.incrementAndGet()
+    new WavCodecHandle
+  }
+
+  /** Encode mono PCM-16 samples as a RIFF/WAVE payload. A 7-byte JUNK
+    * chunk (plus its odd-size pad byte) sits between fmt and data so
+    * any consumer that assumes the fixed 44-byte layout — instead of
+    * walking chunks — breaks loudly in tests. */
+  def encodePcmWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val dataSize = samples.length * 2
+    val junkSize = 7
+    val riffSize = 4 + (8 + 16) + (8 + junkSize + 1) + (8 + dataSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                    // PCM
+      .putShort(1.toShort)                    // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)                 // byte rate
+      .putShort(2.toShort)                    // block align
+      .putShort(16.toShort)                   // bits/sample
+    bb.put("JUNK".getBytes("US-ASCII")).putInt(junkSize)
+      .put(Array.fill[Byte](junkSize + 1)(0)) // body + word-align pad
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic PCM WAV payload per row: 8 kHz mono,
+    * n = 256 + id % 64 · 16 samples,
+    * sample(i) = (id · 2654435761 + i · 40503) mod 65536 − 32768 —
+    * a closed-form waveform an SQL oracle recomputes without any
+    * codec, making the REAL encode→parse round trip hash-checkable
+    * (the audio analog of [[withGrayPngPayload]]). */
+  def withPcmWavPayload(df: DataFrame, idCol: String,
+                        binCol: String = "payload"): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val n = (256 + (id % 64) * 16).toInt
+      val samples = Array.tabulate(n) { i =>
+        (((id * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt
+      }
+      encodePcmWav(8000, samples)
+    }
+    df.withColumn(binCol, gen(col(idCol)))
+  }
+
+  /** Batched REAL audio decode: ONE WAV codec handle per partition
+    * streams all its rows (same mapInPandas batch shape as
+    * [[decodePngFeaturesBatched]]). Appends sample_rate / n_samples /
+    * duration_us / peak_abs / sum_sq / sum_abs; unparseable payloads
+    * yield nulls. */
+  def wavFeaturesBatched(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema
+      .add("sample_rate", LongType).add("n_samples", LongType)
+      .add("duration_us", LongType).add("peak_abs", LongType)
+      .add("sum_sq", LongType).add("sum_abs", LongType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val codec = newWavCodecHandle() // per-PARTITION init, not per row
+      rows.map { r =>
+        codec.decodeStats(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((rate, n, durUs, peak, sumSq, sumAbs)) =>
+            Row.fromSeq(r.toSeq ++ Seq(rate, n, durUs, peak, sumSq, sumAbs))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-frame feature extraction with `mapPartitions` batching — the
     * JVM analog of `mapInPandas`: ONE codec handle per partition
     * streams all its rows (swap the stub handle for a JNI codec and

@@ -141,4 +141,62 @@ class MultimodalSpec extends SparkSpec with Matchers {
       .select("out_width", "out_height", "out_px_sum").collect().head
     (0 to 2).foreach(i => r.isNullAt(i) shouldBe true)
   }
+
+  test("REAL WAV codec: chunk-walking parse recovers the closed-form waveform " +
+       "exactly; per-partition init") {
+    import spark.implicits._
+    val ids = Seq(3L, 70L, 129L).toDF("doc_id").repartition(2)
+    val before = Multimodal.audioCodecInits.get()
+    val out = Multimodal.wavFeaturesBatched(
+        Multimodal.withPcmWavPayload(ids, "doc_id"), "payload")
+      .select("doc_id", "sample_rate", "n_samples", "duration_us",
+        "peak_abs", "sum_sq", "sum_abs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (Multimodal.audioCodecInits.get() - before) shouldBe 2L
+    out.keySet shouldBe Set(3L, 70L, 129L)
+    out.foreach { case (id, r) =>
+      val n = (256 + (id % 64) * 16).toInt
+      val samples = (0 until n).map(i =>
+        ((id * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L)
+      r.getLong(1) shouldBe 8000L
+      r.getLong(2) shouldBe n.toLong
+      r.getLong(3) shouldBe n.toLong * 1000000L / 8000L
+      r.getLong(4) shouldBe samples.map(math.abs).max
+      r.getLong(5) shouldBe samples.map(v => v * v).sum
+      r.getLong(6) shouldBe samples.map(math.abs).sum
+    }
+  }
+
+  test("REAL WAV codec: data chunk is NOT at the fixed 44-byte offset " +
+       "(JUNK chunk keeps the walker honest); malformed payloads yield nulls") {
+    val wav = Multimodal.encodePcmWav(8000, Array(1, -2, 3))
+    // a fixed-layout reader would look for "data" here and find JUNK
+    new String(wav, 36, 4, "US-ASCII") shouldBe "JUNK"
+    import spark.implicits._
+    val bad = Seq(
+      (1L, "RIFFnope".getBytes),   // too short for a RIFF header
+      (2L, wav.take(30)),          // fmt chunk truncated mid-body
+      (3L, "not audio at all".getBytes)).toDF("doc_id", "payload")
+    val rs = Multimodal.wavFeaturesBatched(bad, "payload")
+      .select("sample_rate", "n_samples", "duration_us",
+        "peak_abs", "sum_sq", "sum_abs").collect()
+    rs should have length 3
+    rs.foreach(r => (0 to 5).foreach(i => r.isNullAt(i) shouldBe true))
+  }
+
+  test("REAL WAV codec: negative samples sign-extend through the 16-bit " +
+       "little-endian round trip") {
+    val samples = Array(-32768, -1, 0, 1, 32767, -12345, 12345)
+    val wav = Multimodal.encodePcmWav(44100, samples)
+    val codec = Multimodal.wavFeaturesBatched(
+      { import spark.implicits._
+        Seq((1L, wav)).toDF("doc_id", "payload") }, "payload")
+      .select("sample_rate", "n_samples", "peak_abs", "sum_sq", "sum_abs")
+      .collect().head
+    codec.getLong(0) shouldBe 44100L
+    codec.getLong(1) shouldBe samples.length.toLong
+    codec.getLong(2) shouldBe 32768L
+    codec.getLong(3) shouldBe samples.map(v => v.toLong * v).sum
+    codec.getLong(4) shouldBe samples.map(v => math.abs(v.toLong)).sum
+  }
 }
