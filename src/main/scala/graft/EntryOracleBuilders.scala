@@ -508,6 +508,104 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Unrolled fast-sigmoid-GD oracle mirroring
+    * [[graft.operators.LinearModel.trainFastSigmoidGD]] over
+    * [[graft.operators.LinearModel.qualityTrainingFrame]]: the q17
+    * ratio features (identical IEEE expression trees), an integer-
+    * predicate label, and per round the SAME left-assoc z fold,
+    * rational fast sigmoid, micro-exact BIGINT gradient sums, and
+    * the one double update expression — the whole trajectory
+    * retrained from raw text, no learned literals crossing engines.
+    * `apply = false` emits the per-round trajectory (q154);
+    * `apply = true` scores every document with the oracle's OWN
+    * final weights (q155). */
+  private[graft] def sigmoidGdOracle(rounds: Int, lr: String,
+      apply: Boolean): String = {
+    val nF = 6
+    val xs = (0 until nF).map(j => s"x$j")
+    def zExpr(w: String) = // left-assoc fold, the zLiteral shape
+      xs.zipWithIndex.map { case (x, j) => s"$w.w$j * $x" }.mkString(" + ")
+    val roundCtes = (1 to rounds).map { i =>
+      val grads = (0 until nF).map(j =>
+        s"""CAST(sum(CAST(round(((p - y) * x$j) * 1000000) AS BIGINT))
+               AS BIGINT) AS g$j""").mkString(", ")
+      val updates = (0 until nF).map(j =>
+        s"w.w$j - $lr * ((g.g$j / 1000000.0) / CAST(g.n AS DOUBLE)) AS w$j")
+        .mkString(", ")
+      s"""s$i AS (
+           SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+           FROM (SELECT f.*, (${zExpr("w")}) AS z
+                 FROM f, w${i - 1} w) f
+         ), g$i AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y = 1.0 AND z < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos_err,
+                  CAST(sum(CASE WHEN y = 0.0 AND z >= 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS neg_err,
+                  $grads
+           FROM s$i
+         ), w$i AS (
+           SELECT $updates FROM w${i - 1} w, g$i g
+         )"""
+    }.mkString(", ")
+    val w0 = (0 until nF).map(j => s"0.0 AS w$j").mkString(", ")
+    val prefix = s"""WITH m AS (
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_i,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS BIGINT) AS n_alpha_i,
+           CAST(len(string_split_regex(lower(text), '\\s+'))
+                AS BIGINT) AS n_words_i,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+'))
+                AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                AS DOUBLE) AS n_upper,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+         FROM documents
+       ), f AS (
+         SELECT doc_id, 1.0 AS x0,
+           n_alpha / greatest(n_chars_d, 1.0) AS x1,
+           n_digit / greatest(n_chars_d, 1.0) AS x2,
+           n_punct / greatest(n_chars_d, 1.0) AS x3,
+           n_upper / greatest(n_chars_d, 1.0) AS x4,
+           n_stop / greatest(n_words, 1.0) AS x5,
+           CASE WHEN n_alpha_i * 10 >= n_chars_i * 7 AND n_words_i >= 5
+                THEN 1.0 ELSE 0.0 END AS y
+         FROM m
+       ), w0 AS (SELECT $w0), $roundCtes"""
+    if (!apply) {
+      val wAliases = Seq("bias", "alpha", "digit", "punct", "upper", "stop")
+        .zipWithIndex.map { case (nm, j) => s"w.w$j AS w_x_$nm" }
+        .mkString(", ")
+      val rows = (1 to rounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, g.pos_err AS n_pos_err,
+                   g.neg_err AS n_neg_err, $wAliases
+            FROM g$i g, w$i w"""
+      }.mkString(" UNION ALL ")
+      s"""$prefix
+         $rows ORDER BY round"""
+    } else {
+      s"""$prefix,
+         za AS (
+           SELECT doc_id, y, (${zExpr("w")}) AS z FROM f, w$rounds w
+         )
+         SELECT doc_id, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p,
+                CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+                CAST(y AS BIGINT) AS label,
+                (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = CAST(y AS BIGINT)
+                  AS correct
+         FROM za ORDER BY doc_id"""
+    }
+  }
+
   /** The q147 cascade replay, parameterized only by the optional
     * `wave` output column (q150's streamed twin appends the wave its
     * query arrived in; waves partition the query set by vec_id, so

@@ -633,6 +633,10 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY doc_id""",
     "q123_bpe_train" -> bpeTrainOracle(iterations = 8),
     "q152_bpe_encode" -> bpeEncodeOracle(iterations = 8),
+    "q154_quality_train" ->
+      sigmoidGdOracle(rounds = 8, lr = "4.0", apply = false),
+    "q155_quality_scores" ->
+      sigmoidGdOracle(rounds = 8, lr = "4.0", apply = true),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

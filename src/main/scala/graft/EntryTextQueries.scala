@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, LinearModel, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Text-analysis and NLP queries: the clean-token pipeline, quality scoring, language id, LM scores, TF-IDF/BM25, BPE training, fingerprints. */
@@ -425,6 +425,44 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     val merges = Bpe.trainMerges(docs, "text", iterations = 8,
       mergesPerAction = 16)
     Bpe.encodeStats(docs, "doc_id", "text", merges).orderBy("doc_id")
+  }
+
+  /** TRAINED quality classifier, training trajectory
+    * ([[graft.operators.LinearModel.trainFastSigmoidGD]]): 8 rounds
+    * of full-batch GD over the q17 ratio features with the rational
+    * fast sigmoid (no `exp`, so per-row probabilities are
+    * bit-identical across engines) and micro-exact BIGINT gradient
+    * sums — one map-side-combining aggregate per round, the corpus
+    * never shuffles. The oracle RETRAINS the whole trajectory from
+    * raw text (unrolled rounds, the q123/q148 discipline): per-round
+    * pre-update error counts AND post-update double weights must
+    * hash-match bit-for-bit. */
+  private[graft] def q154(s: SparkSession, dir: String): DataFrame = {
+    val feat = LinearModel.qualityTrainingFrame(t(s, dir, "documents"))
+    val traj = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    LinearModel.trajectoryFrame(s, LinearModel.qualityFeatureCols, traj)
+      .orderBy("round")
+  }
+
+  /** TRAINED quality classifier, apply path
+    * ([[graft.operators.LinearModel.scoreLinear]]): the q154 model's
+    * final weights folded into a pure codegen projection scoring
+    * every document (probability, decision, agreement with the
+    * integer-predicate label) — the shape that scores 100 TB after a
+    * parameter-sized fit. The oracle retrains the 8 rounds itself and
+    * applies its OWN final weights, so train and apply are certified
+    * end-to-end with no learned literals crossing engines. */
+  private[graft] def q155(s: SparkSession, dir: String): DataFrame = {
+    val feat = LinearModel.qualityTrainingFrame(t(s, dir, "documents"))
+    val traj = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    LinearModel.scoreLinear(feat, LinearModel.qualityFeatureCols,
+        traj.last.weights)
+      .select(col("doc_id"), col("p"), col("pred"),
+        col("y").cast("long").as("label"),
+        (col("pred") === col("y").cast("long")).as("correct"))
+      .orderBy("doc_id")
   }
 
 }

@@ -191,7 +191,9 @@ object SparkEntry
     "q143_stream_bloom_dedup" -> (q143 _),
     "q145_semantic_decontaminate" -> (q145 _),
     "q152_bpe_encode" -> (q152 _),
-    "q153_wav_features" -> (q153 _))
+    "q153_wav_features" -> (q153 _),
+    "q154_quality_train" -> (q154 _),
+    "q155_quality_scores" -> (q155 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

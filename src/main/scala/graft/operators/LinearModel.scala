@@ -49,34 +49,122 @@ object LinearModel {
   def fastSigmoid(zc: Column): Column =
     lit(0.5) * (lit(1.0) + zc / (lit(1.0) + abs(zc)))
 
-  /** `iterations` rounds of full-batch GD from w = 0. `rows` must
-    * carry DOUBLE feature columns `xCols` (include a `lit(1.0)` bias
-    * column for an intercept) and a DOUBLE 0/1 label `yCol`.
-    * Returns ONE row with a DOUBLE weight column per feature, named
-    * `w_<xCol>`. */
+  /** `z` with the fitted weights folded in as literals — the pure
+    * projection that scores 100 TB. Same left-assoc fold as [[z]]. */
+  def zLiteral(xCols: Seq[String], weights: Array[Double]): Column = {
+    require(xCols.length == weights.length, "one weight per feature")
+    xCols.zip(weights).map { case (x, w) => lit(w) * col(x) }
+      .reduceLeft(_ + _)
+  }
+
+  /** One round's driver-visible state: error counts measured with the
+    * round's STARTING weights, then the post-update weights. */
+  final case class GdRound(round: Int, nPosErr: Long, nNegErr: Long,
+                           weights: Array[Double])
+
+  /** `iterations` rounds of full-batch GD from w = 0, driver-paced
+    * like [[Cluster.kmeansMicro]]: per round ONE map-side-combining
+    * aggregate over the (persisted) feature frame with the current
+    * weights folded in as literals — gradient sums arrive micro-exact
+    * (BIGINT), the driver applies the one fixed double update
+    * expression, and the corpus is scanned once per round (never
+    * re-executed through lineage). Returns the whole trajectory;
+    * `.last.weights` is the fitted model. `rows` must carry DOUBLE
+    * feature columns `xCols` (include a `lit(1.0)` bias column for an
+    * intercept) and a DOUBLE 0/1 label `yCol`. */
   def trainFastSigmoidGD(rows: DataFrame, xCols: Seq[String], yCol: String,
-      lr: Double, iterations: Int): DataFrame = {
+      lr: Double, iterations: Int): Seq[GdRound] = {
     require(xCols.nonEmpty, "need at least one feature column")
     require(iterations >= 1, "iterations must be >= 1")
-    val wCols = xCols.map(x => s"w_$x")
-    val feat = rows.select((xCols.map(col) :+ col(yCol)): _*)
-    var w: DataFrame = feat.sparkSession.range(1)
-      .select(wCols.map(c => lit(0.0).as(c)): _*)
-    for (_ <- 1 to iterations) {
-      val scored = feat.crossJoin(broadcast(w))
-        .withColumn("__p", fastSigmoid(z(xCols, wCols)))
-      val gradAggs = count(lit(1)).as("__n") +:
-        xCols.zipWithIndex.map { case (x, j) =>
-          sum(round(((col("__p") - col(yCol)) * col(x)) * lit(1e6))
-            .cast("long")).as(s"__g$j")
+    val feat = rows.select((xCols.map(col) :+ col(yCol)): _*).persist()
+    try {
+      val d = xCols.length
+      val w = Array.fill(d)(0.0)
+      (1 to iterations).map { r =>
+        val zc = zLiteral(xCols, w)
+        val p = fastSigmoid(zc)
+        val aggs = Seq(
+          count(lit(1)).as("__n"),
+          sum(when(col(yCol) === 1.0 && zc < 0, 1L).otherwise(0L))
+            .as("__pos_err"),
+          sum(when(col(yCol) === 0.0 && zc >= 0, 1L).otherwise(0L))
+            .as("__neg_err")) ++
+          xCols.zipWithIndex.map { case (x, j) =>
+            sum(round(((p - col(yCol)) * col(x)) * lit(1e6))
+              .cast("long")).as(s"__g$j")
+          }
+        val row = feat.agg(aggs.head, aggs.tail: _*).collect().head
+        val n = row.getLong(0)
+        require(n > 0, "cannot train on an empty feature frame")
+        val nD = n.toDouble
+        var j = 0
+        while (j < d) {
+          // the ONE update expression the oracle replays bit-for-bit
+          w(j) = w(j) - lr * ((row.getLong(3 + j).toDouble / 1e6) / nD)
+          j += 1
         }
-      val grad = scored.agg(gradAggs.head, gradAggs.tail: _*)
-      w = w.crossJoin(broadcast(grad))
-        .select(wCols.zipWithIndex.map { case (wc, j) =>
-          (col(wc) - lit(lr) * ((col(s"__g$j").cast("double") / lit(1e6))
-            / col("__n").cast("double"))).as(wc)
-        }: _*)
-    }
-    w
+        GdRound(r, row.getLong(1), row.getLong(2), w.clone())
+      }
+    } finally feat.unpersist()
   }
+
+  /** The GD trajectory as a DataFrame (round, pre-update error
+    * counts, post-update weights `w_<xCol>`) — parameter-sized, built
+    * on the driver. */
+  def trajectoryFrame(spark: org.apache.spark.sql.SparkSession,
+      xCols: Seq[String], rounds: Seq[GdRound]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    val schema = xCols.foldLeft(new StructType()
+        .add("round", LongType).add("n_pos_err", LongType)
+        .add("n_neg_err", LongType)) { (s, x) => s.add(s"w_$x", DoubleType) }
+    val rows = rounds.map(r => Row.fromSeq(
+      Seq(r.round.toLong, r.nPosErr, r.nNegErr) ++ r.weights.toSeq))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Score with fitted weights: appends `p` (the fast-sigmoid
+    * probability, bit-identical across engines) and `pred`
+    * (p ≥ 0.5 ⇔ z ≥ 0, stated on z so no probability round trip is
+    * involved). A pure codegen projection — the 100 TB apply path. */
+  def scoreLinear(rows: DataFrame, xCols: Seq[String],
+      weights: Array[Double]): DataFrame = {
+    val zc = zLiteral(xCols, weights)
+    rows
+      .withColumn("p", fastSigmoid(zc))
+      .withColumn("pred", when(zc >= 0, 1L).otherwise(0L))
+  }
+
+  /** The engine's standard quality-probe training frame over a
+    * document corpus: bias + the q17 ratio features (identical IEEE
+    * expression trees, so both engines see bit-equal doubles) and an
+    * integer-predicate label (alpha-heavy docs with ≥ 5 words —
+    * exact BIGINT comparisons, the deterministic-membership
+    * discipline). */
+  def qualityTrainingFrame(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val tok = split(lower(t), "\\s+")
+    val nWords = size(tok).cast("double")
+    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val nPunct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double")
+    val nUpper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
+    val enStop = array(graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
+    val nStop = size(filter(tok, w => array_contains(enStop, w))).cast("double")
+    docs.select(col(idCol), lit(1.0).as("x_bias"),
+      (nAlpha / greatest(nChars, lit(1.0))).as("x_alpha"),
+      (nDigit / greatest(nChars, lit(1.0))).as("x_digit"),
+      (nPunct / greatest(nChars, lit(1.0))).as("x_punct"),
+      (nUpper / greatest(nChars, lit(1.0))).as("x_upper"),
+      (nStop / greatest(nWords, lit(1.0))).as("x_stop"),
+      when(length(regexp_replace(t, "[^a-zA-Z]", "")) * 10 >= length(t) * 7
+          && size(split(lower(t), "\\s+")) >= 5, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** The feature column order [[qualityTrainingFrame]] emits. */
+  val qualityFeatureCols: Seq[String] =
+    Seq("x_bias", "x_alpha", "x_digit", "x_punct", "x_upper", "x_stop")
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.LinearModel
+
+class LinearModelSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def toyDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "1234 5678 90!! @@## $$%% ^^&& numbers and noise 99"),
+    (3L, "a clean well formed sentence with many common english words"),
+    (4L, "x"),
+    (5L, "THE LOUD UPPERCASE DOCUMENT WITH MANY WORDS IN IT TODAY"),
+    (6L, "mixed 12 content with some 34 digits but mostly words here"),
+    (7L, "another perfectly ordinary document of plain english text"),
+    (8L, "!!! ??? ... ;;; ::: --- symbols only mostly here now")
+  ).toDF("doc_id", "text")
+
+  test("training trajectory is partition-invariant (order-free integer " +
+       "gradient sums)") {
+    val base = LinearModel.qualityTrainingFrame(toyDocs)
+    val a = LinearModel.trainFastSigmoidGD(base.repartition(1),
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 5)
+    val b = LinearModel.trainFastSigmoidGD(base.repartition(7),
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 5)
+    a.map(_.round) shouldBe b.map(_.round)
+    a.zip(b).foreach { case (ra, rb) =>
+      ra.nPosErr shouldBe rb.nPosErr
+      ra.nNegErr shouldBe rb.nNegErr
+      // bit-identical doubles, not approx equality
+      ra.weights.map(java.lang.Double.doubleToLongBits) shouldBe
+        rb.weights.map(java.lang.Double.doubleToLongBits)
+    }
+  }
+
+  test("the classifier actually learns the label: final errors below the " +
+       "all-positive round-1 baseline") {
+    val feat = LinearModel.qualityTrainingFrame(toyDocs)
+    val traj = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 12)
+    // round 1 scores with w = 0: z = 0 everywhere, pred = 1 for all
+    val nNeg = feat.filter(col("y") === 0.0).count()
+    traj.head.nPosErr shouldBe 0L
+    traj.head.nNegErr shouldBe nNeg
+    val lastErr = traj.last.nPosErr + traj.last.nNegErr
+    lastErr should be < (traj.head.nPosErr + traj.head.nNegErr)
+  }
+
+  test("scoreLinear: pred is exactly the z >= 0 decision and matches " +
+       "p >= 0.5; a pure projection (no shuffle)") {
+    val feat = LinearModel.qualityTrainingFrame(toyDocs)
+    val traj = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 5)
+    val scored = LinearModel.scoreLinear(feat,
+      LinearModel.qualityFeatureCols, traj.last.weights)
+    scored.collect().foreach { r =>
+      val p = r.getAs[Double]("p")
+      val pred = r.getAs[Long]("pred")
+      pred shouldBe (if (p >= 0.5) 1L else 0L)
+      p should (be >= 0.0 and be <= 1.0)
+    }
+    val plan = scored.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("empty feature frame fails fast") {
+    val feat = LinearModel.qualityTrainingFrame(toyDocs).filter(lit(false))
+    an[IllegalArgumentException] should be thrownBy
+      LinearModel.trainFastSigmoidGD(feat,
+        LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 2)
+  }
+}
