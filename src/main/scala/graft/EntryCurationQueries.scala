@@ -104,6 +104,24 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         Seq("source", "doc_id"))
       .orderBy("doc_id")
 
+  /** ORC interchange fidelity ([[graft.sources.Sinks.orc]] /
+    * [[graft.sources.Sinks.readOrc]]): the documents table written
+    * to ORC and read back THROUGH the engine, emitting every row's
+    * typed columns plus a content digest — while the oracle reads
+    * the original parquet. A hash match proves the ORC writer/reader
+    * pair is lossless for the corpus schema (int64 / utf8), the same
+    * certification the parquet path gets implicitly from every other
+    * query. Layout knobs (partitioning, z-order) compose upstream;
+    * pushdown on the ORC scan is pinned by SinksSpec. */
+  private[graft] def q156(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    graft.sources.Sinks.orc(t(s, dir, "documents"), s"$work/documents_orc")
+    graft.sources.Sinks.readOrc(s, s"$work/documents_orc")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8 end-to-end capstone, the q73 pattern over the NEW
     * stages: PII scrub → canonical-URL first-wins dedup → character-
     * entropy quality gate (exact integer predicate) → token-window

@@ -633,6 +633,9 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY doc_id""",
     "q123_bpe_train" -> bpeTrainOracle(iterations = 8),
     "q152_bpe_encode" -> bpeEncodeOracle(iterations = 8),
+    "q156_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+         FROM documents ORDER BY doc_id""",
     "q154_quality_train" ->
       sigmoidGdOracle(rounds = 8, lr = "4.0", apply = false),
     "q155_quality_scores" ->

@@ -193,7 +193,8 @@ object SparkEntry
     "q152_bpe_encode" -> (q152 _),
     "q153_wav_features" -> (q153 _),
     "q154_quality_train" -> (q154 _),
-    "q155_quality_scores" -> (q155 _))
+    "q155_quality_scores" -> (q155 _),
+    "q156_orc_roundtrip" -> (q156 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }
