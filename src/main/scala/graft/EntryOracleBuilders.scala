@@ -520,7 +520,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * `apply = true` scores every document with the oracle's OWN
     * final weights (q155). */
   private[graft] def sigmoidGdOracle(rounds: Int, lr: String,
-      apply: Boolean): String = {
+      apply: Boolean, withWave: Boolean = false): String = {
     val nF = 6
     val xs = (0 until nF).map(j => s"x$j")
     def zExpr(w: String) = // left-assoc fold, the zLiteral shape
@@ -593,15 +593,19 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
       s"""$prefix
          $rows ORDER BY round"""
     } else {
+      val waveCol = if (withWave)
+        "CAST((doc_id // 20) % 2 AS BIGINT) AS wave,\n                " else ""
+      val correctCol = if (withWave) "" else
+        """,
+                (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = CAST(y AS BIGINT)
+                  AS correct"""
       s"""$prefix,
          za AS (
            SELECT doc_id, y, (${zExpr("w")}) AS z FROM f, w$rounds w
          )
-         SELECT doc_id, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p,
+         SELECT doc_id, ${waveCol}0.5 * (1.0 + z / (1.0 + abs(z))) AS p,
                 CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
-                CAST(y AS BIGINT) AS label,
-                (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = CAST(y AS BIGINT)
-                  AS correct
+                CAST(y AS BIGINT) AS label$correctCol
          FROM za ORDER BY doc_id"""
     }
   }

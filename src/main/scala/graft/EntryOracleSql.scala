@@ -640,6 +640,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       sigmoidGdOracle(rounds = 8, lr = "4.0", apply = false),
     "q155_quality_scores" ->
       sigmoidGdOracle(rounds = 8, lr = "4.0", apply = true),
+    "q157_stream_quality_gate" ->
+      sigmoidGdOracle(rounds = 8, lr = "4.0", apply = true, withWave = true),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

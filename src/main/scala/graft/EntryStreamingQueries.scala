@@ -82,6 +82,19 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** STREAMING quality gate
+    * ([[StreamOps.runStreamingQualityGateAvailableNow]]): the
+    * q154/q155 classifier trained once in batch, then scoring two
+    * staged crawl waves as a stateless per-micro-batch projection —
+    * train offline, gate online. The oracle retrains the 8 GD rounds
+    * from raw text and applies its own weights with the wave
+    * restated as a pure function of doc_id, so the streamed board
+    * provably equals the batch apply, trained model included. */
+  private[graft] def q157(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingQualityGateAvailableNow(s, dir,
+        lr = 4.0, iterations = 8)
+      .orderBy("doc_id")
+
   /** Stream-static enrichment join
     * ([[StreamOps.streamStaticEnrich]]): each micro-batch broadcast-
     * joins a static customer dimension, then aggregates by (segment,

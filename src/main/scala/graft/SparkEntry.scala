@@ -194,7 +194,8 @@ object SparkEntry
     "q153_wav_features" -> (q153 _),
     "q154_quality_train" -> (q154 _),
     "q155_quality_scores" -> (q155 _),
-    "q156_orc_roundtrip" -> (q156 _))
+    "q156_orc_roundtrip" -> (q156 _),
+    "q157_stream_quality_gate" -> (q157 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

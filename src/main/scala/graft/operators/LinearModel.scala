@@ -143,7 +143,7 @@ object LinearModel {
     * exact BIGINT comparisons, the deterministic-membership
     * discipline). */
   def qualityTrainingFrame(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nChars = length(t).cast("double")
     val tok = split(lower(t), "\\s+")
@@ -154,14 +154,14 @@ object LinearModel {
     val nUpper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
     val enStop = array(graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
     val nStop = size(filter(tok, w => array_contains(enStop, w))).cast("double")
-    docs.select(col(idCol), lit(1.0).as("x_bias"),
+    docs.select(col(idCol) +: keepCols.map(col) ++: Seq(lit(1.0).as("x_bias"),
       (nAlpha / greatest(nChars, lit(1.0))).as("x_alpha"),
       (nDigit / greatest(nChars, lit(1.0))).as("x_digit"),
       (nPunct / greatest(nChars, lit(1.0))).as("x_punct"),
       (nUpper / greatest(nChars, lit(1.0))).as("x_upper"),
       (nStop / greatest(nWords, lit(1.0))).as("x_stop"),
       when(length(regexp_replace(t, "[^a-zA-Z]", "")) * 10 >= length(t) * 7
-          && size(split(lower(t), "\\s+")) >= 5, 1.0).otherwise(0.0).as("y"))
+          && size(split(lower(t), "\\s+")) >= 5, 1.0).otherwise(0.0).as("y")): _*)
   }
 
   /** The feature column order [[qualityTrainingFrame]] emits. */

@@ -609,6 +609,49 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** STREAMING quality gate: the q154/q155 classifier trained ONCE in
+    * batch, its final weights folded into a stateless per-micro-batch
+    * projection scoring two staged crawl waves at ingest rate — the
+    * "train offline, gate online" production shape (q142's stateless
+    * pattern with a TRAINED model instead of a Bloom literal). No
+    * state store, no watermark, no shuffle inside the stream: the
+    * streamed board provably equals the batch apply, and the oracle
+    * retrains the model itself to say so. */
+  def runStreamingQualityGateAvailableNow(spark: SparkSession, dir: String,
+      lr: Double, iterations: Int): DataFrame = {
+    import graft.operators.LinearModel
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val weights = LinearModel.trainFastSigmoidGD(
+      LinearModel.qualityTrainingFrame(docs),
+      LinearModel.qualityFeatureCols, "y", lr, iterations).last.weights
+    val staging = stagedDir("qgate", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val scored = LinearModel.scoreLinear(
+        LinearModel.qualityTrainingFrame(stream, keepCols = Seq("wave")),
+        LinearModel.qualityFeatureCols, weights)
+      .select(col("doc_id"), col("wave"), col("p"), col("pred"),
+        col("y").cast("long").as("label"))
+    val name = s"graft_stream_qgate_${runCounter.incrementAndGet()}"
+    val query = scored.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming Bloom dedup (bounded-memory crawl dedup) ---------------
 
   case class BloomDoc(wave: Long, doc_id: Long, dig: String, shard: Long)
