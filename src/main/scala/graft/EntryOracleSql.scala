@@ -1360,6 +1360,26 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                      AS BIGINT) AS out_px_sum
          FROM gx GROUP BY doc_id
          ORDER BY doc_id""",
+    "q158_video_frames" ->
+      """WITH d AS (
+           SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                  6 + doc_id % 5 AS nf
+           FROM documents
+         ), fr AS (
+           SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d
+         ), sampled AS (
+           SELECT * FROM fr WHERE f % 2 = 0
+         ), px AS (
+           SELECT doc_id, w, h, nf, f,
+                  unnest(range(0, w * h)) AS i
+           FROM sampled
+         )
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+                CAST(f AS BIGINT) AS frame_idx,
+                CAST(sum((doc_id * 31 + f * 7 + i) % 256) AS BIGINT) AS px_sum
+         FROM px GROUP BY doc_id, w, h, nf, f
+         ORDER BY doc_id, frame_idx""",
     "q153_wav_features" ->
       """WITH d AS (
            SELECT doc_id, 256 + (doc_id % 64) * 16 AS n FROM documents

@@ -82,6 +82,23 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** REAL video demux through the multimodal seam: deterministic
+    * GRV1 raw-video payloads (closed-form pixels from doc_id) are
+    * container-encoded, then header-parsed and STRIDE-SAMPLED by the
+    * per-partition demuxer ([[Multimodal.withGrayVideoPayload]] /
+    * [[Multimodal.videoFrameStatsBatched]]): every 2nd frame's pixel
+    * sum, one bounded stat row per sampled frame (rasters never
+    * shuffle). The oracle recomputes each sampled frame's sum from
+    * the generating formula alone. Completes the multimodal family:
+    * image (q83/q146), audio (q153), video frame-sampling (this). */
+  private[graft] def q158(s: SparkSession, dir: String): DataFrame = {
+    val withVid = Multimodal.withGrayVideoPayload(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.videoFrameStatsBatched(withVid, "doc_id", "payload",
+        stride = 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** STREAMING quality gate
     * ([[StreamOps.runStreamingQualityGateAvailableNow]]): the
     * q154/q155 classifier trained once in batch, then scoring two

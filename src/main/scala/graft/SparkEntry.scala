@@ -195,7 +195,8 @@ object SparkEntry
     "q154_quality_train" -> (q154 _),
     "q155_quality_scores" -> (q155 _),
     "q156_orc_roundtrip" -> (q156 _),
-    "q157_stream_quality_gate" -> (q157 _))
+    "q157_stream_quality_gate" -> (q157 _),
+    "q158_video_frames" -> (q158 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -452,6 +452,120 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // --- raw-video container (header + fixed-size gray frames) ------------
+
+  /** Count of raw-video codec instantiations. */
+  val videoCodecInits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Raw gray video container "GRV1": 4-byte magic, then u16-LE
+    * width / height / frame count, then `n` frames of `w·h` gray
+    * bytes each. The video-shaped sibling of [[WavCodecHandle]] —
+    * a real header-parsing, frame-slicing demuxer (the production
+    * analog is an ffmpeg demux behind this exact seam), so STRIDED
+    * frame sampling — the core video-pipeline op — is exercised
+    * against bytes that actually parse. */
+  final class VideoCodecHandle private[Multimodal] () {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    /** Parse the container and return every `stride`-th frame's
+      * (frame_idx, px_sum) plus the dimensions. Malformed or
+      * truncated payloads → None. */
+    def sampleFrameStats(bytes: Array[Byte], stride: Int)
+        : Option[(Int, Int, Int, Seq[(Int, Long)])] = {
+      if (bytes == null || bytes.length < 10 ||
+          bytes(0) != 'G' || bytes(1) != 'R' ||
+          bytes(2) != 'V' || bytes(3) != '1') return None
+      val w = u16(bytes, 4); val h = u16(bytes, 6); val n = u16(bytes, 8)
+      val frameSize = w * h
+      if (w < 1 || h < 1 || bytes.length < 10 + n * frameSize) return None
+      val stats = (0 until n).filter(_ % stride == 0).map { f =>
+        val off = 10 + f * frameSize
+        var sum = 0L
+        var i = 0
+        while (i < frameSize) { sum += (bytes(off + i) & 0xff); i += 1 }
+        (f, sum)
+      }
+      Some((w, h, n, stats))
+    }
+  }
+
+  private def newVideoCodecHandle(): VideoCodecHandle = {
+    videoCodecInits.incrementAndGet()
+    new VideoCodecHandle
+  }
+
+  /** Encode a GRV1 payload with `pixel(frame, i)` gray values. */
+  def encodeGrayVideo(width: Int, height: Int, nFrames: Int,
+                      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 0, "bad dimensions")
+    val frameSize = width * height
+    val out = new Array[Byte](10 + nFrames * frameSize)
+    out(0) = 'G'; out(1) = 'R'; out(2) = 'V'; out(3) = '1'
+    out(4) = (width & 0xff).toByte; out(5) = ((width >> 8) & 0xff).toByte
+    out(6) = (height & 0xff).toByte; out(7) = ((height >> 8) & 0xff).toByte
+    out(8) = (nFrames & 0xff).toByte; out(9) = ((nFrames >> 8) & 0xff).toByte
+    var f = 0
+    while (f < nFrames) {
+      var i = 0
+      while (i < frameSize) {
+        out(10 + f * frameSize + i) = (pixel(f, i) & 0xff).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Deterministic GRV1 payload per row: w = 4 + id % 5,
+    * h = 4 + id % 3, n = 6 + id % 5 frames,
+    * pixel(f, i) = (id·31 + f·7 + i) % 256 — closed-form video an
+    * SQL oracle recomputes without any demuxer. */
+  def withGrayVideoPayload(df: DataFrame, idCol: String,
+                           binCol: String = "payload"): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = (4 + id % 5).toInt
+      val h = (4 + id % 3).toInt
+      val n = (6 + id % 5).toInt
+      encodeGrayVideo(w, h, n,
+        (f, i) => ((id * 31 + f.toLong * 7 + i) % 256).toInt)
+    }
+    df.withColumn(binCol, gen(col(idCol)))
+  }
+
+  /** Batched REAL frame sampling: ONE demuxer handle per partition;
+    * every `stride`-th frame's pixel sum emitted as one row
+    * (doc-to-frames explode happens AFTER the bounded per-payload
+    * stats, so shuffled bytes are 16/row, not frame rasters).
+    * Output: idCol, width, height, n_frames, frame_idx, px_sum;
+    * malformed payloads are dropped (quarantine upstream via
+    * [[binaryMeta]]'s magic sniff). */
+  def videoFrameStatsBatched(df: DataFrame, idCol: String, binCol: String,
+                             stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val outSchema = new StructType()
+      .add("doc_id", LongType).add("width", LongType)
+      .add("height", LongType).add("n_frames", LongType)
+      .add("frame_idx", LongType).add("px_sum", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val codec = newVideoCodecHandle() // per-PARTITION init
+      rows.flatMap { r =>
+        codec.sampleFrameStats(r.getAs[Array[Byte]](binIdx), stride) match {
+          case Some((w, h, n, stats)) =>
+            val id = r.getLong(idIdx)
+            stats.map { case (f, sum) =>
+              Row(id, w.toLong, h.toLong, n.toLong, f.toLong, sum)
+            }
+          case None => Nil
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-frame feature extraction with `mapPartitions` batching — the
     * JVM analog of `mapInPandas`: ONE codec handle per partition
     * streams all its rows (swap the stub handle for a JNI codec and

@@ -199,4 +199,37 @@ class MultimodalSpec extends SparkSpec with Matchers {
     codec.getLong(3) shouldBe samples.map(v => v.toLong * v).sum
     codec.getLong(4) shouldBe samples.map(v => math.abs(v.toLong)).sum
   }
+
+  test("REAL video demux: strided frame sampling recovers closed-form " +
+       "pixel sums; malformed payloads are dropped; per-partition init") {
+    import spark.implicits._
+    val ids = Seq(2L, 9L).toDF("doc_id").repartition(2)
+    val before = Multimodal.videoCodecInits.get()
+    val out = Multimodal.videoFrameStatsBatched(
+        Multimodal.withGrayVideoPayload(ids, "doc_id"), "doc_id", "payload",
+        stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r).toMap
+    (Multimodal.videoCodecInits.get() - before) shouldBe 2L
+    Seq(2L, 9L).foreach { id =>
+      val w = (4 + id % 5).toInt
+      val h = (4 + id % 3).toInt
+      val n = (6 + id % 5).toInt
+      val sampled = (0 until n).filter(_ % 2 == 0)
+      sampled.foreach { f =>
+        val r = out((id, f.toLong))
+        r.getLong(1) shouldBe w.toLong
+        r.getLong(2) shouldBe h.toLong
+        r.getLong(3) shouldBe n.toLong
+        r.getLong(5) shouldBe
+          (0 until w * h).map(i => (id * 31 + f.toLong * 7 + i) % 256).sum
+      }
+      // only the strided frames appear
+      out.keys.count(_._1 == id) shouldBe sampled.size
+    }
+    val bad = Seq((1L, "GRV1".getBytes), (2L, "nope".getBytes),
+      (3L, Multimodal.encodeGrayVideo(4, 4, 3, (_, _) => 7).take(20)))
+      .toDF("doc_id", "payload")
+    Multimodal.videoFrameStatsBatched(bad, "doc_id", "payload", 1)
+      .count() shouldBe 0L
+  }
 }
