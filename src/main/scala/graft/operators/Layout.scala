@@ -81,4 +81,49 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Before/after footprint of a [[compactParquet]] run. */
+  final case class CompactionStats(filesBefore: Int, bytesBefore: Long,
+                                   filesAfter: Int, bytesAfter: Long,
+                                   rows: Long)
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * 100 TB table needs: streaming ingest, per-trigger sinks, and
+    * fine-grained partition writes all accrete KB-sized part files,
+    * and at scale the SCAN cost becomes file-open/footer overhead,
+    * not bytes (10⁶ tiny files = 10⁶ footer reads + task-schedule
+    * round trips). Sizes the output from the INPUT footprint:
+    * `ceil(bytes / targetBytes)` files, one round-robin shuffle —
+    * or, with `sortCols`, one range shuffle + within-file sort so
+    * compaction simultaneously RE-CLUSTERS for min/max pruning (the
+    * [[clusterByZ]] write discipline). Uses the Hadoop FileSystem
+    * API throughout, so the same code runs against HDFS/object
+    * stores. Rewrites to `outPath` (never in place — swap is the
+    * caller's atomic-rename/metastore step). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String, targetBytes: Long,
+                     sortCols: Seq[String] = Nil): CompactionStats = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    def footprint(p: String): (Int, Long) = {
+      val path = new Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(path)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      (parts.length, parts.map(_.getLen).sum)
+    }
+    val (filesBefore, bytesBefore) = footprint(inPath)
+    val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue).toInt
+    val df = spark.read.parquet(inPath)
+    val sized =
+      if (sortCols.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    sized.write.mode("overwrite").parquet(outPath)
+    val (filesAfter, bytesAfter) = footprint(outPath)
+    // parquet metadata-only count: no data pages are read
+    val rows = spark.read.parquet(outPath).count()
+    CompactionStats(filesBefore, bytesBefore, filesAfter, bytesAfter, rows)
+  }
 }

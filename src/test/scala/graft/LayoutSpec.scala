@@ -67,4 +67,43 @@ class LayoutSpec extends SparkSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should not include "SinglePartition"
   }
+
+  test("compactParquet: collapses a small-file mess to the target size, " +
+       "preserves content exactly, and re-clusters when asked") {
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val messy = s"$work/messy"
+    val df = (1L to 4000L).map(i => (i, s"doc $i", i % 13)).toDF("id", "text", "k")
+    df.repartition(64).write.parquet(messy) // the streaming-ingest debris shape
+    val before = spark.read.parquet(messy)
+      .agg(count(lit(1)), sum(col("id")), sum(md5(col("text")).substr(1, 4).isNotNull.cast("long")))
+      .collect().head
+    val (_, bytes) = {
+      val d = new java.io.File(messy)
+      val parts = d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      (parts.length, parts.map(_.length).sum)
+    }
+    val stats = Layout.compactParquet(spark, messy, s"$work/compact",
+      targetBytes = bytes / 4 + 1)
+    stats.filesBefore shouldBe 64
+    stats.filesAfter should be <= 4
+    stats.filesAfter should be >= 1
+    stats.rows shouldBe 4000L
+    val after = spark.read.parquet(s"$work/compact")
+      .agg(count(lit(1)), sum(col("id")), sum(md5(col("text")).substr(1, 4).isNotNull.cast("long")))
+      .collect().head
+    after shouldBe before // content-identical, order-free
+
+    // sorted compaction: each output file covers a disjoint id range
+    val s2 = Layout.compactParquet(spark, messy, s"$work/clustered",
+      targetBytes = bytes / 4 + 1, sortCols = Seq("id"))
+    s2.rows shouldBe 4000L
+    val spans = spark.read.parquet(s"$work/clustered")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be < lo2
+      case _ => ()
+    }
+  }
 }
