@@ -104,6 +104,41 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         Seq("source", "doc_id"))
       .orderBy("doc_id")
 
+  /** Curation pipeline v4 — the TRAINED-gate composition: fit the
+    * q154 classifier on the corpus, gate with its z ≥ 0 decision
+    * (pure projection after a parameter-sized fit), then exact
+    * first-wins dedup, deterministic split, and 512-token sequence
+    * packing per split shard. Every stage proven individually
+    * (q154/q155, q15/q49's dedup form, q48, q52); ONE oracle —
+    * which RETRAINS the model — proves the composition, closing the
+    * loop from "train a quality model" to "pack the gated corpus
+    * for pretraining". */
+  private[graft] def q159(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinearModel
+    val docs = t(s, dir, "documents")
+    val weights = LinearModel.trainFastSigmoidGD(
+      LinearModel.qualityTrainingFrame(docs),
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+      .last.weights
+    val gated = LinearModel.scoreLinear(
+        LinearModel.qualityTrainingFrame(docs, keepCols = Seq("text")),
+        LinearModel.qualityFeatureCols, weights)
+      .filter(col("pred") === 1L)
+      .select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val deduped = gated.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val withTok = deduped.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"))
+    val withSplit = graft.operators.Curation.deterministicSplit(
+      withTok, "doc_id", Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+    graft.operators.Curation.packSequences(withSplit, "doc_id", "ws_tokens",
+        budget = 512, partCols = Seq("split"))
+      .select("doc_id", "split", "ws_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
   /** ORC interchange fidelity ([[graft.sources.Sinks.orc]] /
     * [[graft.sources.Sinks.readOrc]]): the documents table written
     * to ORC and read back THROUGH the engine, emitting every row's

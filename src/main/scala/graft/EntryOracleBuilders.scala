@@ -519,12 +519,17 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * `apply = false` emits the per-round trajectory (q154);
     * `apply = true` scores every document with the oracle's OWN
     * final weights (q155). */
-  private[graft] def sigmoidGdOracle(rounds: Int, lr: String,
-      apply: Boolean, withWave: Boolean = false): String = {
-    val nF = 6
-    val xs = (0 until nF).map(j => s"x$j")
-    def zExpr(w: String) = // left-assoc fold, the zLiteral shape
-      xs.zipWithIndex.map { case (x, j) => s"$w.w$j * $x" }.mkString(" + ")
+  /** The left-assoc z fold over alias `w`'s weight columns — the
+    * [[graft.operators.LinearModel.zLiteral]] shape. */
+  private def sigmoidZExpr(w: String): String =
+    (0 until 7).map(j => s"$w.w$j * x$j").mkString(" + ")
+
+  /** The WITH-body prefix shared by every trained-classifier oracle:
+    * feature CTE `f` (q17 ratio expressions + integer-predicate
+    * label) and the unrolled GD rounds ending in weights CTE
+    * `w<rounds>`. Used WITHOUT a leading WITH. */
+  private[graft] def sigmoidGdPrefix(rounds: Int, lr: String): String = {
+    val nF = 7
     val roundCtes = (1 to rounds).map { i =>
       val grads = (0 until nF).map(j =>
         s"""CAST(sum(CAST(round(((p - y) * x$j) * 1000000) AS BIGINT))
@@ -534,7 +539,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
         .mkString(", ")
       s"""s$i AS (
            SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
-           FROM (SELECT f.*, (${zExpr("w")}) AS z
+           FROM (SELECT f.*, (${sigmoidZExpr("w")}) AS z
                  FROM f, w${i - 1} w) f
          ), g$i AS (
            SELECT CAST(count(*) AS BIGINT) AS n,
@@ -549,7 +554,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          )"""
     }.mkString(", ")
     val w0 = (0 until nF).map(j => s"0.0 AS w$j").mkString(", ")
-    val prefix = s"""WITH m AS (
+    s"""m AS (
          SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_i,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -577,12 +582,21 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
            n_punct / greatest(n_chars_d, 1.0) AS x3,
            n_upper / greatest(n_chars_d, 1.0) AS x4,
            n_stop / greatest(n_words, 1.0) AS x5,
-           CASE WHEN n_alpha_i * 10 >= n_chars_i * 7 AND n_words_i >= 5
+           (n_alpha * 100.0 - n_chars_d * 82.0) / greatest(n_chars_d, 1.0)
+             AS x6,
+           CASE WHEN n_alpha_i * 100 >= n_chars_i * 82 AND n_words_i >= 5
                 THEN 1.0 ELSE 0.0 END AS y
          FROM m
        ), w0 AS (SELECT $w0), $roundCtes"""
+  }
+
+  private[graft] def sigmoidGdOracle(rounds: Int, lr: String,
+      apply: Boolean, withWave: Boolean = false): String = {
+    def zExpr(w: String) = sigmoidZExpr(w)
+    val prefix = s"WITH ${sigmoidGdPrefix(rounds, lr)}"
     if (!apply) {
-      val wAliases = Seq("bias", "alpha", "digit", "punct", "upper", "stop")
+      val wAliases = Seq("bias", "alpha", "digit", "punct", "upper", "stop",
+          "margin")
         .zipWithIndex.map { case (nm, j) => s"w.w$j AS w_x_$nm" }
         .mkString(", ")
       val rows = (1 to rounds).map { i =>
@@ -609,6 +623,47 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          FROM za ORDER BY doc_id"""
     }
   }
+
+  /** q159: the curation pipeline with a TRAINED gate — the
+    * [[sigmoidGdPrefix]] retrains the classifier, its z ≥ 0 decision
+    * gates the corpus, then exact first-wins dedup, the split-hash
+    * CASE, and the q52 packing window replay the rest. One statement
+    * proves model training composes inside a certified pipeline. */
+  private[graft] def trainedCurationOracle(rounds: Int, lr: String): String =
+    s"""WITH ${sigmoidGdPrefix(rounds, lr)},
+         gate AS (
+           SELECT f.doc_id FROM f, w$rounds w
+           WHERE (${sigmoidZExpr("w")}) >= 0
+         ), gdocs AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN gate USING (doc_id)
+         ), dd AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gdocs)
+           WHERE rn = 1
+         ), tk AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                    AS ws_tokens,
+                  ${splitHashSql("graft", 100)} AS hs
+           FROM dd
+         ), sp AS (
+           SELECT doc_id, ws_tokens,
+                  CASE WHEN hs < 90 THEN 'train'
+                       WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+           FROM tk
+         ), c AS (
+           SELECT doc_id, split, ws_tokens,
+                  CAST(SUM(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - ws_tokens AS strt
+           FROM sp
+         )
+         SELECT doc_id, split, ws_tokens,
+                CAST(floor(strt / 512) AS BIGINT) AS pack_id,
+                strt - CAST(floor(strt / 512) AS BIGINT) * 512 AS pack_offset
+         FROM c ORDER BY doc_id"""
 
   /** The q147 cascade replay, parameterized only by the optional
     * `wave` output column (q150's streamed twin appends the wave its

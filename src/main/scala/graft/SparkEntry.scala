@@ -196,7 +196,8 @@ object SparkEntry
     "q155_quality_scores" -> (q155 _),
     "q156_orc_roundtrip" -> (q156 _),
     "q157_stream_quality_gate" -> (q157 _),
-    "q158_video_frames" -> (q158 _))
+    "q158_video_frames" -> (q158 _),
+    "q159_curation_trained_gate" -> (q159 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -160,11 +160,14 @@ object LinearModel {
       (nPunct / greatest(nChars, lit(1.0))).as("x_punct"),
       (nUpper / greatest(nChars, lit(1.0))).as("x_upper"),
       (nStop / greatest(nWords, lit(1.0))).as("x_stop"),
-      when(length(regexp_replace(t, "[^a-zA-Z]", "")) * 10 >= length(t) * 7
+      ((nAlpha * lit(100.0) - nChars * lit(82.0)) / greatest(nChars, lit(1.0)))
+        .as("x_margin"),
+      when(length(regexp_replace(t, "[^a-zA-Z]", "")) * 100 >= length(t) * 82
           && size(split(lower(t), "\\s+")) >= 5, 1.0).otherwise(0.0).as("y")): _*)
   }
 
   /** The feature column order [[qualityTrainingFrame]] emits. */
   val qualityFeatureCols: Seq[String] =
-    Seq("x_bias", "x_alpha", "x_digit", "x_punct", "x_upper", "x_stop")
+    Seq("x_bias", "x_alpha", "x_digit", "x_punct", "x_upper", "x_stop",
+      "x_margin")
 }

@@ -8,15 +8,16 @@ import graft.operators.LinearModel
 class LinearModelSpec extends SparkSpec with Matchers {
   import spark.implicits._
 
+  // clear margin on both sides of the 0.82 alpha-ratio label
   private def toyDocs = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "extraordinarily comprehensive documentation describing spectacular implementations thoroughly"),
     (2L, "1234 5678 90!! @@## $$%% ^^&& numbers and noise 99"),
-    (3L, "a clean well formed sentence with many common english words"),
+    (3L, "wonderful straightforward paragraphs containing exclusively alphabetic vocabulary throughout everything"),
     (4L, "x"),
-    (5L, "THE LOUD UPPERCASE DOCUMENT WITH MANY WORDS IN IT TODAY"),
-    (6L, "mixed 12 content with some 34 digits but mostly words here"),
-    (7L, "another perfectly ordinary document of plain english text"),
-    (8L, "!!! ??? ... ;;; ::: --- symbols only mostly here now")
+    (5L, "UPPERCASE ALPHABETIC DOCUMENTS REMAIN COMPLETELY ALPHABETIC REGARDLESS OBVIOUSLY"),
+    (6L, "mixed 12 content 34 with 56 plenty 78 of 90 digits 11 interleaved 22 between 33 short 44 words"),
+    (7L, "remarkably consistent linguistic material comprising lengthy dictionary entries exclusively"),
+    (8L, "!!! ??? ... ;;; ::: --- symbols only mostly here now 123 456")
   ).toDF("doc_id", "text")
 
   test("training trajectory is partition-invariant (order-free integer " +
