@@ -624,6 +624,85 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     }
   }
 
+  /** q160: the GROUPED (per-source) GD oracle — the
+    * [[sigmoidGdPrefix]] feature CTE threaded with `source`, weights
+    * keyed by source (one row per model), every round ONE grouped
+    * aggregate joined back by source. Retrains every per-domain
+    * model from raw text, trajectory and weights bit-for-bit. */
+  private[graft] def sigmoidGdGroupedOracle(rounds: Int,
+      lr: String): String = {
+    val nF = 7
+    val roundCtes = (1 to rounds).map { i =>
+      val grads = (0 until nF).map(j =>
+        s"""CAST(sum(CAST(round(((p - y) * x$j) * 1000000) AS BIGINT))
+               AS BIGINT) AS g$j""").mkString(", ")
+      val updates = (0 until nF).map(j =>
+        s"w.w$j - $lr * ((g.g$j / 1000000.0) / CAST(g.n AS DOUBLE)) AS w$j")
+        .mkString(", ")
+      s"""s$i AS (
+           SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+           FROM (SELECT f.*, (${sigmoidZExpr("w")}) AS z
+                 FROM f JOIN w${i - 1} w USING (source)) f
+         ), g$i AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y = 1.0 AND z < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos_err,
+                  CAST(sum(CASE WHEN y = 0.0 AND z >= 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS neg_err,
+                  $grads
+           FROM s$i GROUP BY source
+         ), w$i AS (
+           SELECT g.source, $updates
+           FROM w${i - 1} w JOIN g$i g USING (source)
+         )"""
+    }.mkString(", ")
+    val w0 = (0 until nF).map(j => s"0.0 AS w$j").mkString(", ")
+    val wAliases = Seq("bias", "alpha", "digit", "punct", "upper", "stop",
+        "margin")
+      .zipWithIndex.map { case (nm, j) => s"w.w$j AS w_x_$nm" }
+      .mkString(", ")
+    val rowsSql = (1 to rounds).map { i =>
+      s"""SELECT g.source, CAST($i AS BIGINT) AS round,
+                 g.pos_err AS n_pos_err, g.neg_err AS n_neg_err, $wAliases
+          FROM g$i g JOIN w$i w USING (source)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH m AS (
+         SELECT doc_id, source,
+           CAST(length(text) AS BIGINT) AS n_chars_i,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS BIGINT) AS n_alpha_i,
+           CAST(len(string_split_regex(lower(text), '\\s+'))
+                AS BIGINT) AS n_words_i,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+'))
+                AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                AS DOUBLE) AS n_upper,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+         FROM documents
+       ), f AS (
+         SELECT doc_id, source, 1.0 AS x0,
+           n_alpha / greatest(n_chars_d, 1.0) AS x1,
+           n_digit / greatest(n_chars_d, 1.0) AS x2,
+           n_punct / greatest(n_chars_d, 1.0) AS x3,
+           n_upper / greatest(n_chars_d, 1.0) AS x4,
+           n_stop / greatest(n_words, 1.0) AS x5,
+           (n_alpha * 100.0 - n_chars_d * 82.0) / greatest(n_chars_d, 1.0)
+             AS x6,
+           CASE WHEN n_alpha_i * 100 >= n_chars_i * 82 AND n_words_i >= 5
+                THEN 1.0 ELSE 0.0 END AS y
+         FROM m
+       ), w0 AS (SELECT DISTINCT source, $w0 FROM f), $roundCtes
+       $rowsSql ORDER BY source, round"""
+  }
+
   /** q159: the curation pipeline with a TRAINED gate — the
     * [[sigmoidGdPrefix]] retrains the classifier, its z ≥ 0 decision
     * gates the corpus, then exact first-wins dedup, the split-hash

@@ -644,6 +644,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       sigmoidGdOracle(rounds = 8, lr = "4.0", apply = true, withWave = true),
     "q159_curation_trained_gate" ->
       trainedCurationOracle(rounds = 8, lr = "4.0"),
+    "q160_quality_train_grouped" ->
+      sigmoidGdGroupedOracle(rounds = 8, lr = "4.0"),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

@@ -445,6 +445,23 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("round")
   }
 
+  /** PER-SOURCE trained quality classifiers
+    * ([[graft.operators.LinearModel.trainFastSigmoidGDGrouped]]): 20
+    * independent per-domain models all advancing in the same
+    * per-round grouped aggregate — one map-side-combining pass
+    * carries every model's micro-exact gradient, so training
+    * thousands of per-domain models costs the same scan as one
+    * global model. The oracle retrains every model from raw text
+    * (weights keyed by source, rounds unrolled); trajectory AND
+    * weights hash bit-for-bit across all 160 (source, round) rows. */
+  private[graft] def q160(s: SparkSession, dir: String): DataFrame =
+    LinearModel.trainFastSigmoidGDGrouped(
+        LinearModel.qualityTrainingFrame(t(s, dir, "documents"),
+          keepCols = Seq("source")),
+        "source", LinearModel.qualityFeatureCols, "y",
+        lr = 4.0, iterations = 8)
+      .orderBy("source", "round")
+
   /** TRAINED quality classifier, apply path
     * ([[graft.operators.LinearModel.scoreLinear]]): the q154 model's
     * final weights folded into a pure codegen projection scoring

@@ -108,6 +108,83 @@ object LinearModel {
     } finally feat.unpersist()
   }
 
+  /** GROUPED full-batch GD: one independent model per value of
+    * `groupCol`, ALL groups advancing in the same per-round
+    * aggregate — the "per-domain quality model" shape (one model per
+    * source/language/subreddit), trained as cheaply as one global
+    * model because the grouped aggregate carries every gradient in
+    * a single map-side-combining pass. Per round: current weights
+    * broadcast-joined onto the feature frame by group, then ONE
+    * `groupBy(groupCol)` aggregate returns each group's micro-exact
+    * gradient row; the driver applies the same update expression
+    * per group. Driver state and per-round exchange are
+    * O(groups · features) — groups must be parameter-sized (they
+    * are model instances). Returns the trajectory frame
+    * (groupCol, round, n_pos_err, n_neg_err, w_<xCol>), ordered by
+    * (group, round). */
+  def trainFastSigmoidGDGrouped(rows: DataFrame, groupCol: String,
+      xCols: Seq[String], yCol: String, lr: Double,
+      iterations: Int): DataFrame = {
+    require(xCols.nonEmpty, "need at least one feature column")
+    require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    val spark = rows.sparkSession
+    val d = xCols.length
+    val wCols = xCols.indices.map(j => s"__w$j")
+    val feat = rows
+      .select(col(groupCol) +: (xCols.map(col) :+ col(yCol)): _*).persist()
+    try {
+      val groups = feat.select(col(groupCol)).distinct()
+        .collect().map(_.getString(0)).sorted // model list: parameter-sized
+      val w = scala.collection.mutable.LinkedHashMap(
+        groups.map(g => g -> Array.fill(d)(0.0)): _*)
+      val wSchema = wCols.foldLeft(
+        new StructType().add(groupCol, StringType)) { (s, c) =>
+        s.add(c, DoubleType) }
+      val traj = Seq.newBuilder[Row]
+      for (r <- 1 to iterations) {
+        val wDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            groups.toSeq.map(g => Row.fromSeq(g +: w(g).toSeq)), 1), wSchema)
+        val zc = z(xCols, wCols)
+        val p = fastSigmoid(zc)
+        val aggs = Seq(
+          sum(when(col(yCol) === 1.0 && zc < 0, 1L).otherwise(0L))
+            .as("__pos_err"),
+          sum(when(col(yCol) === 0.0 && zc >= 0, 1L).otherwise(0L))
+            .as("__neg_err"),
+          count(lit(1)).as("__n")) ++
+          xCols.zipWithIndex.map { case (x, j) =>
+            sum(round(((p - col(yCol)) * col(x)) * lit(1e6))
+              .cast("long")).as(s"__g$j")
+          }
+        val byGroup = feat.join(broadcast(wDf), groupCol)
+          .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+          .collect().map(row => row.getString(0) -> row).toMap
+        groups.foreach { g =>
+          val row = byGroup(g)
+          val n = row.getLong(3)
+          val nD = n.toDouble
+          val wg = w(g)
+          var j = 0
+          while (j < d) {
+            wg(j) = wg(j) - lr * ((row.getLong(4 + j).toDouble / 1e6) / nD)
+            j += 1
+          }
+          traj += Row.fromSeq(
+            Seq(g, r.toLong, row.getLong(1), row.getLong(2)) ++ wg.toSeq)
+        }
+      }
+      val outSchema = xCols.foldLeft(new StructType()
+          .add(groupCol, StringType).add("round", LongType)
+          .add("n_pos_err", LongType).add("n_neg_err", LongType)) {
+        (s, x) => s.add(s"w_$x", DoubleType) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(traj.result(), 1), outSchema)
+    } finally feat.unpersist()
+  }
+
   /** The GD trajectory as a DataFrame (round, pre-update error
     * counts, post-update weights `w_<xCol>`) — parameter-sized, built
     * on the driver. */

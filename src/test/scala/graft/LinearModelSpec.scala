@@ -67,6 +67,30 @@ class LinearModelSpec extends SparkSpec with Matchers {
     plan should not include "Exchange"
   }
 
+  test("grouped training == independent per-group training, bit-for-bit") {
+    val docs = toyDocs.withColumn("grp",
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+    val feat = LinearModel.qualityTrainingFrame(docs, keepCols = Seq("grp"))
+    val grouped = LinearModel.trainFastSigmoidGDGrouped(feat, "grp",
+        LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 4)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3),
+            LinearModel.qualityFeatureCols.indices
+              .map(j => java.lang.Double.doubleToLongBits(r.getDouble(4 + j))))
+      }.toMap
+    Seq("even", "odd").foreach { g =>
+      val solo = LinearModel.trainFastSigmoidGD(
+        feat.filter(col("grp") === g),
+        LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 4)
+      solo.foreach { r =>
+        grouped((g, r.round.toLong)) shouldBe
+          ((r.nPosErr, r.nNegErr,
+            r.weights.toIndexedSeq.map(java.lang.Double.doubleToLongBits)))
+      }
+    }
+  }
+
   test("empty feature frame fails fast") {
     val feat = LinearModel.qualityTrainingFrame(toyDocs).filter(lit(false))
     an[IllegalArgumentException] should be thrownBy
