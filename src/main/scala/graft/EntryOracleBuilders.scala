@@ -624,6 +624,25 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     }
   }
 
+  /** q161: calibration audit — the [[sigmoidGdPrefix]] retrains the
+    * model, then decile-bins its own probabilities with micro-exact
+    * per-bin sums. */
+  private[graft] def sigmoidCalibrationOracle(rounds: Int,
+      lr: String): String =
+    s"""WITH ${sigmoidGdPrefix(rounds, lr)},
+         za AS (
+           SELECT doc_id, y, (${sigmoidZExpr("w")}) AS z FROM f, w$rounds w
+         ), pa AS (
+           SELECT y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM za
+         )
+         SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pos,
+                CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT)
+                  AS p_micro_sum
+         FROM pa GROUP BY 1 ORDER BY bin"""
+
   /** q160: the GROUPED (per-source) GD oracle — the
     * [[sigmoidGdPrefix]] feature CTE threaded with `source`, weights
     * keyed by source (one row per model), every round ONE grouped

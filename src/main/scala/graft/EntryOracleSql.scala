@@ -646,6 +646,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       trainedCurationOracle(rounds = 8, lr = "4.0"),
     "q160_quality_train_grouped" ->
       sigmoidGdGroupedOracle(rounds = 8, lr = "4.0"),
+    "q161_quality_calibration" ->
+      sigmoidCalibrationOracle(rounds = 8, lr = "4.0"),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

@@ -445,6 +445,30 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("round")
   }
 
+  /** Calibration audit of the trained classifier (the reliability-
+    * diagram aggregate an MLOps pipeline ships with every model):
+    * final-weights probabilities decile-binned, per bin the doc
+    * count, positive-label count, and the micro-exact probability
+    * sum (order-free BIGINT — a raw double sum would drift with
+    * accumulation order). Bin membership is floor(p·10) on
+    * bit-identical doubles, so even the bin edges cannot disagree
+    * across engines; the oracle retrains the model and re-bins
+    * itself. */
+  private[graft] def q161(s: SparkSession, dir: String): DataFrame = {
+    val feat = LinearModel.qualityTrainingFrame(t(s, dir, "documents"))
+    val weights = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+      .last.weights
+    LinearModel.scoreLinear(feat, LinearModel.qualityFeatureCols, weights)
+      .select(least(floor(col("p") * 10), lit(9)).cast("long").as("bin"),
+        col("y"), col("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(round(col("p") * lit(1e6)).cast("long")).as("p_micro_sum"))
+      .orderBy("bin")
+  }
+
   /** PER-SOURCE trained quality classifiers
     * ([[graft.operators.LinearModel.trainFastSigmoidGDGrouped]]): 20
     * independent per-domain models all advancing in the same

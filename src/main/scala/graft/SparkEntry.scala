@@ -198,7 +198,8 @@ object SparkEntry
     "q157_stream_quality_gate" -> (q157 _),
     "q158_video_frames" -> (q158 _),
     "q159_curation_trained_gate" -> (q159 _),
-    "q160_quality_train_grouped" -> (q160 _))
+    "q160_quality_train_grouped" -> (q160 _),
+    "q161_quality_calibration" -> (q161 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }
