@@ -643,6 +643,44 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                   AS p_micro_sum
          FROM pa GROUP BY 1 ORDER BY bin"""
 
+  /** q162: exact tie-aware AUC — the [[sigmoidGdPrefix]] retrains
+    * the model, collapses to per-score counts, and replays the
+    * integer mid-rank arithmetic. */
+  private[graft] def sigmoidAucOracle(rounds: Int, lr: String): String =
+    s"""WITH ${sigmoidGdPrefix(rounds, lr)},
+         za AS (
+           SELECT doc_id, (${sigmoidZExpr("w")}) AS z FROM f, w$rounds w
+         ), sc AS (
+           SELECT CAST(round((0.5 * (1.0 + z / (1.0 + abs(z)))) * 1000000)
+                       AS BIGINT) AS score_micro,
+                  CASE WHEN m.n_alpha * 100 >= m.n_chars_d * 82
+                            AND m.n_stop * 100 >= m.n_words * 5
+                       THEN 1.0 ELSE 0.0 END AS gold
+           FROM za JOIN m USING (doc_id)
+         ), g AS (
+           SELECT score_micro,
+                  CAST(sum(CASE WHEN gold = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS tp,
+                  CAST(sum(CASE WHEN gold = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS tn
+           FROM sc GROUP BY 1
+         ), c AS (
+           SELECT tp, tn,
+                  CAST(sum(tn) OVER (ORDER BY score_micro
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - tn AS cn
+           FROM g
+         ), tot AS (
+           SELECT CAST(sum(tp) AS BIGINT) AS n_pos,
+                  CAST(sum(tn) AS BIGINT) AS n_neg,
+                  CAST(sum(tp * (2 * cn + tn)) AS BIGINT) AS auc_num2
+           FROM c
+         )
+         SELECT n_pos, n_neg, auc_num2,
+                CAST(auc_num2 AS DOUBLE)
+                  / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) AS auc
+         FROM tot"""
+
   /** q160: the GROUPED (per-source) GD oracle — the
     * [[sigmoidGdPrefix]] feature CTE threaded with `source`, weights
     * keyed by source (one row per model), every round ONE grouped

@@ -648,6 +648,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       sigmoidGdGroupedOracle(rounds = 8, lr = "4.0"),
     "q161_quality_calibration" ->
       sigmoidCalibrationOracle(rounds = 8, lr = "4.0"),
+    "q162_quality_auc" ->
+      sigmoidAucOracle(rounds = 8, lr = "4.0"),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

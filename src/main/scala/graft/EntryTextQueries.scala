@@ -469,6 +469,62 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("bin")
   }
 
+  /** EXACT tie-aware AUC of the trained classifier — the model-eval
+    * half of the MLOps loop, in the 100 TB shape: the corpus
+    * collapses to per-distinct-score (micro-quantized) positive/
+    * negative counts in ONE map-side-combining aggregate, and the
+    * rank arithmetic runs as a window over that score-level table
+    * (bounded by distinct scores, not corpus size — never a global
+    * sort of the corpus). Ties handled by the standard mid-rank
+    * formula kept integer-exact: contribution 2·Σ tp·(2·cn + tn),
+    * so `auc_num2 = 2·numerator` is a BIGINT and the final
+    * `auc = num2 / (2·np·nn)` is one fixed double expression.
+    * Evaluation runs against a STRICTER gold label than the training
+    * heuristic (alpha-heavy AND stopword-rich — the cheap-train-
+    * label / expensive-gold-label audit every production classifier
+    * gets), so the statistic is a real discrimination measure, not a
+    * tautology. The oracle retrains the model and recomputes the
+    * whole statistic. */
+  private[graft] def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weights = LinearModel.trainFastSigmoidGD(
+      LinearModel.qualityTrainingFrame(docs),
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+      .last.weights
+    val tok = split(lower(col("text")), "\\s+")
+    val enStop = array(
+      graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
+    val nStop = size(filter(tok, t => array_contains(enStop, t)))
+      .cast("double")
+    val nWords = size(tok).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double")
+    val nChars = length(col("text")).cast("double")
+    val gold = when(nAlpha * 100 >= nChars * 82
+      && nStop * 100 >= nWords * 5, 1.0).otherwise(0.0)
+    val byScore = LinearModel.scoreLinear(
+        LinearModel.qualityTrainingFrame(docs, keepCols = Seq("text")),
+        LinearModel.qualityFeatureCols, weights)
+      .select(round(col("p") * lit(1e6)).cast("long").as("score_micro"),
+        gold.as("gold"))
+      .groupBy("score_micro")
+      .agg(sum(when(col("gold") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("gold") === 0.0, 1L).otherwise(0L)).as("tn"))
+    val w = Window.orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val contrib = byScore
+      .withColumn("cn", sum(col("tn")).over(w) - col("tn"))
+      .select((col("tp") * (lit(2L) * col("cn") + col("tn"))).as("c2"),
+        col("tp"), col("tn"))
+    contrib
+      .agg(sum(col("tp")).as("n_pos"), sum(col("tn")).as("n_neg"),
+        sum(col("c2")).as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (col("auc_num2").cast("double")
+          / (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")))
+          .as("auc"))
+  }
+
   /** PER-SOURCE trained quality classifiers
     * ([[graft.operators.LinearModel.trainFastSigmoidGDGrouped]]): 20
     * independent per-domain models all advancing in the same

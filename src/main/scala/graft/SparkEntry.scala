@@ -199,7 +199,8 @@ object SparkEntry
     "q158_video_frames" -> (q158 _),
     "q159_curation_trained_gate" -> (q159 _),
     "q160_quality_train_grouped" -> (q160 _),
-    "q161_quality_calibration" -> (q161 _))
+    "q161_quality_calibration" -> (q161 _),
+    "q162_quality_auc" -> (q162 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -59,7 +59,11 @@ class PlanContractSpec extends SparkSpec with Matchers {
   private val intentionalGlobalWindow = Set(
     "q24_label_match_report", "q40_label_match_frozen", "q44_label_match_w2v",
     "q114_mixture_quota", // remainder rank over the catalog-sized quota table
-    "q120_shard_manifest") // same quota stage inside the capstone
+    "q120_shard_manifest", // same quota stage inside the capstone
+    // prefix-sum over the per-distinct-score table: micro-quantized
+    // probabilities cap its input at 1,000,001 rows whatever the
+    // corpus size — bounded by construction, never a corpus sort
+    "q162_quality_auc")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
