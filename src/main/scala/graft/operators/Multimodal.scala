@@ -328,9 +328,10 @@ object Multimodal {
       var samples: Array[Int] = null
       while (off + 8 <= bytes.length) {
         val id = tag(bytes, off)
-        val size = u32(bytes, off + 4).toInt
-        val body = off + 8
-        if (body + size > bytes.length) return None
+        val size32 = u32(bytes, off + 4) // u32: corrupt sizes must not
+        val body = off + 8               // wrap negative and walk back
+        if (size32 > bytes.length - body) return None
+        val size = size32.toInt
         id match {
           case "fmt " =>
             if (size < 16 || u16(bytes, body) != 1) return None // PCM only
@@ -477,8 +478,11 @@ object Multimodal {
           bytes(0) != 'G' || bytes(1) != 'R' ||
           bytes(2) != 'V' || bytes(3) != '1') return None
       val w = u16(bytes, 4); val h = u16(bytes, 6); val n = u16(bytes, 8)
+      // u16·u16 overflows Int — size math in Long; a passing guard
+      // bounds everything by bytes.length, so the Int cast is safe
+      if (w < 1 || h < 1 ||
+          bytes.length.toLong < 10L + n.toLong * (w.toLong * h)) return None
       val frameSize = w * h
-      if (w < 1 || h < 1 || bytes.length < 10 + n * frameSize) return None
       val stats = (0 until n).filter(_ % stride == 0).map { f =>
         val off = 10 + f * frameSize
         var sum = 0L

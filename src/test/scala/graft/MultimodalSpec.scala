@@ -173,14 +173,21 @@ class MultimodalSpec extends SparkSpec with Matchers {
     // a fixed-layout reader would look for "data" here and find JUNK
     new String(wav, 36, 4, "US-ASCII") shouldBe "JUNK"
     import spark.implicits._
+    // corrupt the JUNK chunk's u32 size to 0xffffffff: a parser doing
+    // size.toInt gets -1 and the walker stops advancing (or walks
+    // backwards) — the Long-guarded walker must reject instead
+    val hostile = wav.clone()
+    hostile(40) = 0xff.toByte; hostile(41) = 0xff.toByte
+    hostile(42) = 0xff.toByte; hostile(43) = 0xff.toByte
     val bad = Seq(
       (1L, "RIFFnope".getBytes),   // too short for a RIFF header
       (2L, wav.take(30)),          // fmt chunk truncated mid-body
-      (3L, "not audio at all".getBytes)).toDF("doc_id", "payload")
+      (3L, "not audio at all".getBytes),
+      (4L, hostile)).toDF("doc_id", "payload")
     val rs = Multimodal.wavFeaturesBatched(bad, "payload")
       .select("sample_rate", "n_samples", "duration_us",
         "peak_abs", "sum_sq", "sum_abs").collect()
-    rs should have length 3
+    rs should have length 4
     rs.foreach(r => (0 to 5).foreach(i => r.isNullAt(i) shouldBe true))
   }
 
