@@ -528,33 +528,40 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * feature CTE `f` (q17 ratio expressions + integer-predicate
     * label) and the unrolled GD rounds ending in weights CTE
     * `w<rounds>`. Used WITHOUT a leading WITH. */
+  /** One unrolled GD round over source CTE `src` (ungrouped form):
+    * score with w(i−1), aggregate micro-exact gradients + error
+    * counts, update into w(i). */
+  private def sigmoidRoundCte(i: Int, lr: String, src: String): String = {
+    val nF = 7
+    val grads = (0 until nF).map(j =>
+      s"""CAST(sum(CAST(round(((p - y) * x$j) * 1000000) AS BIGINT))
+             AS BIGINT) AS g$j""").mkString(", ")
+    val updates = (0 until nF).map(j =>
+      s"w.w$j - $lr * ((g.g$j / 1000000.0) / CAST(g.n AS DOUBLE)) AS w$j")
+      .mkString(", ")
+    s"""s$i AS MATERIALIZED (
+         SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+         FROM (SELECT f.*, (${sigmoidZExpr("w")}) AS z
+               FROM $src f, w${i - 1} w) f
+       ), g$i AS MATERIALIZED (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN y = 1.0 AND z < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS pos_err,
+                CAST(sum(CASE WHEN y = 0.0 AND z >= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS neg_err,
+                $grads
+         FROM s$i
+       ), w$i AS MATERIALIZED (
+         SELECT $updates FROM w${i - 1} w, g$i g
+       )"""
+  }
+
   private[graft] def sigmoidGdPrefix(rounds: Int, lr: String): String = {
     val nF = 7
-    val roundCtes = (1 to rounds).map { i =>
-      val grads = (0 until nF).map(j =>
-        s"""CAST(sum(CAST(round(((p - y) * x$j) * 1000000) AS BIGINT))
-               AS BIGINT) AS g$j""").mkString(", ")
-      val updates = (0 until nF).map(j =>
-        s"w.w$j - $lr * ((g.g$j / 1000000.0) / CAST(g.n AS DOUBLE)) AS w$j")
-        .mkString(", ")
-      s"""s$i AS (
-           SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
-           FROM (SELECT f.*, (${sigmoidZExpr("w")}) AS z
-                 FROM f, w${i - 1} w) f
-         ), g$i AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN y = 1.0 AND z < 0 THEN 1 ELSE 0 END)
-                       AS BIGINT) AS pos_err,
-                  CAST(sum(CASE WHEN y = 0.0 AND z >= 0 THEN 1 ELSE 0 END)
-                       AS BIGINT) AS neg_err,
-                  $grads
-           FROM s$i
-         ), w$i AS (
-           SELECT $updates FROM w${i - 1} w, g$i g
-         )"""
-    }.mkString(", ")
+    val roundCtes = (1 to rounds)
+      .map(i => sigmoidRoundCte(i, lr, "f")).mkString(", ")
     val w0 = (0 until nF).map(j => s"0.0 AS w$j").mkString(", ")
-    s"""m AS (
+    s"""m AS MATERIALIZED (
          SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_i,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -575,7 +582,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
              x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
          FROM documents
-       ), f AS (
+       ), f AS MATERIALIZED (
          SELECT doc_id, 1.0 AS x0,
            n_alpha / greatest(n_chars_d, 1.0) AS x1,
            n_digit / greatest(n_chars_d, 1.0) AS x2,
@@ -622,6 +629,31 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                 CAST(y AS BIGINT) AS label$correctCol
          FROM za ORDER BY doc_id"""
     }
+  }
+
+  /** q163: continual training — phase 1 is the q154 fit on the full
+    * corpus; phase 2 WARM-STARTS from its final weights and
+    * fine-tunes on the new crawl wave only ((doc_id // 20) % 2 = 1).
+    * Both phases' trajectories retrained and replayed bit-for-bit. */
+  private[graft] def sigmoidGdWarmOracle(p1: Int, p2: Int,
+      lr: String): String = {
+    val wAliases = Seq("bias", "alpha", "digit", "punct", "upper", "stop",
+        "margin")
+      .zipWithIndex.map { case (nm, j) => s"w.w$j AS w_x_$nm" }
+      .mkString(", ")
+    val phase2 = (p1 + 1 to p1 + p2)
+      .map(i => sigmoidRoundCte(i, lr, "f1")).mkString(", ")
+    val rows = ((1 to p1).map(i => (1, i, i)) ++
+        (p1 + 1 to p1 + p2).map(i => (2, i - p1, i)))
+      .map { case (ph, r, i) =>
+        s"""SELECT CAST($ph AS BIGINT) AS phase, CAST($r AS BIGINT) AS round,
+                   g.pos_err AS n_pos_err, g.neg_err AS n_neg_err, $wAliases
+            FROM g$i g, w$i w"""
+      }.mkString(" UNION ALL ")
+    s"""WITH ${sigmoidGdPrefix(p1, lr)},
+         f1 AS MATERIALIZED (SELECT * FROM f WHERE (doc_id // 20) % 2 = 1),
+         $phase2
+         $rows ORDER BY phase, round"""
   }
 
   /** q161: calibration audit — the [[sigmoidGdPrefix]] retrains the
@@ -696,11 +728,11 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
       val updates = (0 until nF).map(j =>
         s"w.w$j - $lr * ((g.g$j / 1000000.0) / CAST(g.n AS DOUBLE)) AS w$j")
         .mkString(", ")
-      s"""s$i AS (
+      s"""s$i AS MATERIALIZED (
            SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
            FROM (SELECT f.*, (${sigmoidZExpr("w")}) AS z
                  FROM f JOIN w${i - 1} w USING (source)) f
-         ), g$i AS (
+         ), g$i AS MATERIALIZED (
            SELECT source, CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(CASE WHEN y = 1.0 AND z < 0 THEN 1 ELSE 0 END)
                        AS BIGINT) AS pos_err,
@@ -708,7 +740,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                        AS BIGINT) AS neg_err,
                   $grads
            FROM s$i GROUP BY source
-         ), w$i AS (
+         ), w$i AS MATERIALIZED (
            SELECT g.source, $updates
            FROM w${i - 1} w JOIN g$i g USING (source)
          )"""
@@ -723,7 +755,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                  g.pos_err AS n_pos_err, g.neg_err AS n_neg_err, $wAliases
           FROM g$i g JOIN w$i w USING (source)"""
     }.mkString(" UNION ALL ")
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
          SELECT doc_id, source,
            CAST(length(text) AS BIGINT) AS n_chars_i,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -744,7 +776,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
              x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
          FROM documents
-       ), f AS (
+       ), f AS MATERIALIZED (
          SELECT doc_id, source, 1.0 AS x0,
            n_alpha / greatest(n_chars_d, 1.0) AS x1,
            n_digit / greatest(n_chars_d, 1.0) AS x2,

@@ -650,6 +650,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       sigmoidCalibrationOracle(rounds = 8, lr = "4.0"),
     "q162_quality_auc" ->
       sigmoidAucOracle(rounds = 8, lr = "4.0"),
+    "q163_quality_warm_start" ->
+      sigmoidGdWarmOracle(p1 = 8, p2 = 4, lr = "4.0"),
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

@@ -525,6 +525,35 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
           .as("auc"))
   }
 
+  /** CONTINUAL training ([[graft.operators.LinearModel
+    * .trainFastSigmoidGD]] with warm start): phase 1 fits on the
+    * full corpus (= q154); phase 2 warm-starts from those weights
+    * and fine-tunes 4 rounds on the NEW crawl wave only — the
+    * periodic model-refresh loop a production gate actually runs
+    * (never retrain from scratch per wave). Both phases' error
+    * counts and weights retrained by the oracle and hash-matched
+    * bit-for-bit, proving warm-start state transfers exactly. */
+  private[graft] def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val full = LinearModel.qualityTrainingFrame(docs)
+    val t1 = LinearModel.trainFastSigmoidGD(full,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    val wave1 = LinearModel.qualityTrainingFrame(
+      docs.filter(expr("(doc_id div 20) % 2") === 1))
+    val t2 = LinearModel.trainFastSigmoidGD(wave1,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 4,
+      init = Some(t1.last.weights))
+    val cols0 = Seq(col("phase"), col("round"), col("n_pos_err"),
+      col("n_neg_err")) ++
+      LinearModel.qualityFeatureCols.map(c => col(s"w_$c"))
+    LinearModel.trajectoryFrame(s, LinearModel.qualityFeatureCols, t1)
+      .withColumn("phase", lit(1L)).select(cols0: _*)
+      .unionByName(
+        LinearModel.trajectoryFrame(s, LinearModel.qualityFeatureCols, t2)
+          .withColumn("phase", lit(2L)).select(cols0: _*))
+      .orderBy("phase", "round")
+  }
+
   /** PER-SOURCE trained quality classifiers
     * ([[graft.operators.LinearModel.trainFastSigmoidGDGrouped]]): 20
     * independent per-domain models all advancing in the same

@@ -200,7 +200,8 @@ object SparkEntry
     "q159_curation_trained_gate" -> (q159 _),
     "q160_quality_train_grouped" -> (q160 _),
     "q161_quality_calibration" -> (q161 _),
-    "q162_quality_auc" -> (q162 _))
+    "q162_quality_auc" -> (q162 _),
+    "q163_quality_warm_start" -> (q163 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -73,13 +73,16 @@ object LinearModel {
     * feature columns `xCols` (include a `lit(1.0)` bias column for an
     * intercept) and a DOUBLE 0/1 label `yCol`. */
   def trainFastSigmoidGD(rows: DataFrame, xCols: Seq[String], yCol: String,
-      lr: Double, iterations: Int): Seq[GdRound] = {
+      lr: Double, iterations: Int,
+      init: Option[Array[Double]] = None): Seq[GdRound] = {
     require(xCols.nonEmpty, "need at least one feature column")
     require(iterations >= 1, "iterations must be >= 1")
+    require(init.forall(_.length == xCols.length),
+      "init weights must match the feature count")
     val feat = rows.select((xCols.map(col) :+ col(yCol)): _*).persist()
     try {
       val d = xCols.length
-      val w = Array.fill(d)(0.0)
+      val w = init.map(_.clone()).getOrElse(Array.fill(d)(0.0))
       (1 to iterations).map { r =>
         val zc = zLiteral(xCols, w)
         val p = fastSigmoid(zc)

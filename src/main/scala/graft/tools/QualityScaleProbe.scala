@@ -30,7 +30,11 @@ object QualityScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = spark.read.parquet(s"$src/documents.parquet")
-    (0 until k).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+    (0 until k).map(i => base
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        // replica sources stay DISTINCT: the grouped-trainer probe
+        // then fits k x 20 independent models over the k x corpus
+        .withColumn("source", concat(col("source"), lit(s"_$i"))))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
@@ -67,11 +71,20 @@ object QualityScaleProbe {
         LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
       traj.last.nPosErr + traj.last.nNegErr
     }
+    time("gd_train8_grouped") { dir =>
+      val feat = LinearModel.qualityTrainingFrame(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        keepCols = Seq("source"))
+      LinearModel.trainFastSigmoidGDGrouped(feat, "source",
+          LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+        .count()
+    }
     time("gd_apply") { dir =>
       val feat = LinearModel.qualityTrainingFrame(
         spark.read.parquet(s"$dir/documents.parquet"))
       // weights fixed (trained once at 1x): apply is the moving part
-      val w = Array(0.5, 1.0, -2.0, -2.0, -0.5, 1.5)
+      val w = Array(0.5, 1.0, -2.0, -2.0, -0.5, 1.5, 3.0)
+      require(w.length == LinearModel.qualityFeatureCols.length)
       LinearModel.scoreLinear(feat, LinearModel.qualityFeatureCols, w)
         .agg(sum(col("pred"))).head().getLong(0)
     }

@@ -91,6 +91,23 @@ class LinearModelSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("warm start transfers state exactly: 8 rounds then 4 warm == 12 straight") {
+    val feat = LinearModel.qualityTrainingFrame(toyDocs)
+    val straight = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 12)
+    val head = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    val tail = LinearModel.trainFastSigmoidGD(feat,
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 4,
+      init = Some(head.last.weights))
+    (head ++ tail).zip(straight).foreach { case (a, b) =>
+      a.nPosErr shouldBe b.nPosErr
+      a.nNegErr shouldBe b.nNegErr
+      a.weights.map(java.lang.Double.doubleToLongBits) shouldBe
+        b.weights.map(java.lang.Double.doubleToLongBits)
+    }
+  }
+
   test("empty feature frame fails fast") {
     val feat = LinearModel.qualityTrainingFrame(toyDocs).filter(lit(false))
     an[IllegalArgumentException] should be thrownBy
