@@ -652,6 +652,27 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       sigmoidAucOracle(rounds = 8, lr = "4.0"),
     "q163_quality_warm_start" ->
       sigmoidGdWarmOracle(p1 = 8, p2 = 4, lr = "4.0"),
+    "q164_stream_drift_monitor" ->
+      s"""WITH m AS (
+           SELECT (doc_id // 20) % 2 AS wave,
+                  CAST(length(text) AS BIGINT) AS nc,
+                  CAST(len(string_split_regex(lower(text), '\\s+'))
+                       AS BIGINT) AS nw,
+                  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS BIGINT) AS na,
+                  CAST(len(list_filter(string_split_regex(lower(text),
+                    '\\s+'), x -> x IN ($stopwordsSqlList))) AS BIGINT) AS ns
+           FROM documents
+         )
+         SELECT CAST(wave AS BIGINT) AS wave,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nc) AS BIGINT) AS chars_sum,
+                CAST(sum(nw) AS BIGINT) AS words_sum,
+                CAST(sum(na) AS BIGINT) AS alpha_sum,
+                CAST(sum(ns) AS BIGINT) AS stop_sum,
+                CAST(sum(CASE WHEN na * 100 >= nc * 82 AND nw >= 5
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pos
+         FROM m GROUP BY 1 ORDER BY wave""",
     "q124_unicode_nfc" ->
       """WITH m AS (
            SELECT doc_id,

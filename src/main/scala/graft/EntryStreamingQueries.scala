@@ -99,6 +99,17 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** STREAMING data-quality drift monitor
+    * ([[StreamOps.runStreamingDriftMonitorAvailableNow]]): per crawl
+    * wave, one stateless micro-batch aggregate of exact integer
+    * corpus-health counters (docs, chars, words, alpha chars,
+    * stopwords, q154-label positives) — the at-ingest monitoring row
+    * a pipeline alerts on before training reads the wave. The
+    * oracle restates the wave as a function of doc_id and re-sums. */
+  private[graft] def q164(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingDriftMonitorAvailableNow(s, dir)
+      .orderBy("wave")
+
   /** STREAMING quality gate
     * ([[StreamOps.runStreamingQualityGateAvailableNow]]): the
     * q154/q155 classifier trained once in batch, then scoring two

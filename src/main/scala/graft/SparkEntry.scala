@@ -201,7 +201,8 @@ object SparkEntry
     "q160_quality_train_grouped" -> (q160 _),
     "q161_quality_calibration" -> (q161 _),
     "q162_quality_auc" -> (q162 _),
-    "q163_quality_warm_start" -> (q163 _))
+    "q163_quality_warm_start" -> (q163 _),
+    "q164_stream_drift_monitor" -> (q164 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

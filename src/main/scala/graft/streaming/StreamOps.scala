@@ -652,6 +652,64 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** STREAMING data-quality drift monitor: per crawl wave, ONE
+    * stateless micro-batch aggregate of exact integer corpus-health
+    * counters (doc/char/word/alpha/stopword sums + the q154 label
+    * positives) appended via foreachBatch — the at-ingest monitoring
+    * row a 100 TB pipeline alerts on before any training run reads
+    * the wave. No state store; per-wave output is one
+    * counters-sized row, so the monitor costs one map-side-combining
+    * pass per wave at crawl rate. */
+  def runStreamingDriftMonitorAvailableNow(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val staging = stagedDir("drift", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val t = col("text")
+    val tok = split(lower(t), "\\s+")
+    val enStop = array(
+      graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
+    val nChars = length(t).cast("long")
+    val nWords = size(tok).cast("long")
+    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    val nStop = size(filter(tok, w => array_contains(enStop, w)))
+      .cast("long")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val query = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // one wave per staged file → one counters row per micro-batch
+        buf ++= df.groupBy(col("wave"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(nChars).as("chars_sum"), sum(nWords).as("words_sum"),
+            sum(nAlpha).as("alpha_sum"), sum(nStop).as("stop_sum"),
+            sum(when(nAlpha * 100 >= nChars * 82 && nWords >= 5, 1L)
+              .otherwise(0L)).as("n_label_pos"))
+          .collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val schema = StructType(Seq(
+      StructField("wave", LongType), StructField("n_docs", LongType),
+      StructField("chars_sum", LongType), StructField("words_sum", LongType),
+      StructField("alpha_sum", LongType), StructField("stop_sum", LongType),
+      StructField("n_label_pos", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(buf.toSeq, 1), schema)
+  }
+
   // --- streaming Bloom dedup (bounded-memory crawl dedup) ---------------
 
   case class BloomDoc(wave: Long, doc_id: Long, dig: String, shard: Long)
