@@ -525,6 +525,24 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
           .as("auc"))
   }
 
+  /** Per-node triangle counts ([[graft.operators.Graph
+    * .triangleCounts]]) over the q107 co-purchase graph —
+    * degree-ordered orientation caps wedge fan-out at O(√m) per
+    * node (the power-law-hub guard), three hash joins, each
+    * triangle found once. Triangle counts are algorithm-independent
+    * facts, so the oracle states them with its own independent SQL
+    * over the same edge derivation. */
+  private[graft] def q165(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node")
+  }
+
   /** CONTINUAL training ([[graft.operators.LinearModel
     * .trainFastSigmoidGD]] with warm start): phase 1 fits on the
     * full corpus (= q154); phase 2 warm-starts from those weights

@@ -202,7 +202,8 @@ object SparkEntry
     "q161_quality_calibration" -> (q161 _),
     "q162_quality_auc" -> (q162 _),
     "q163_quality_warm_start" -> (q163 _),
-    "q164_stream_drift_monitor" -> (q164 _))
+    "q164_stream_drift_monitor" -> (q164 _),
+    "q165_triangle_count" -> (q165 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -82,4 +82,48 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over the undirected simple graph of
+    * `edges` (direction/duplicates/self-loops dropped) — the classic
+    * degree-ordered distributed algorithm: orient every edge from
+    * its lower to its higher endpoint under the (degree, id) total
+    * order, enumerate wedges as self-join on the SOURCE of oriented
+    * edges, close them against the oriented edge set. Orientation
+    * caps every node's out-degree at O(√m) on any graph, so wedge
+    * fan-out is bounded even at power-law hubs — the difference
+    * between a shuffle in O(m^1.5) and the naive Σdeg² blowup. Three
+    * hash-join shuffles, no windows, each triangle found exactly
+    * once. Returns (node, n_triangles) for nodes in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val ov = oriented
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+    val e1 = ov.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = ov.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val tri = wedges.join(closing,
+      col("x") === col("cu") && col("y") === col("cv"))
+      .select(col("u").as("t1"), col("x").as("t2"), col("y").as("t3"))
+    tri.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -56,4 +56,34 @@ class GraphSpec extends SparkSpec with Matchers {
     val out = ranks(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)), 5)
     out.values.sum shouldBe 3000000L +- 5L
   }
+
+  test("triangleCounts == brute-force enumeration; direction, duplicates " +
+       "and self-loops ignored; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L),    // triangle
+        (3L, 4L), (4L, 5L), (5L, 3L),                  // second triangle
+        (2L, 1L), (1L, 2L), (6L, 6L), (5L, 6L)) ++     // dups/reverse/loop
+      Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)))
+    val df = edges.toDF("src", "dst")
+    val got = Graph.triangleCounts(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the canonical undirected simple graph
+    val und = edges.collect {
+      case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+    }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = nodes.map { n =>
+      n -> (for {
+        a <- nodes; b <- nodes
+        if a < b && a != n && b != n
+        if und((math.min(n, a), math.max(n, a))) &&
+          und((math.min(n, b), math.max(n, b))) && und((a, b))
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    got shouldBe expected
+    val repart = Graph.triangleCounts(df.repartition(7), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    repart shouldBe expected
+  }
 }
