@@ -384,6 +384,31 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          )
          SELECT user_id, event_id, ts_us, ewma
          FROM ew ORDER BY user_id, ts_us, event_id""",
+    "q166_stream_holt" ->
+      """WITH RECURSIVE x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(value AS DOUBLE) AS x
+           FROM events WHERE event_type IN ('signup', 'purchase')
+         ), seq AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS rn
+           FROM x
+         ), hw AS (
+           SELECT user_id, event_id, ts_us, rn, x,
+                  x AS level, CAST(0.0 AS DOUBLE) AS trend
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT user_id, event_id, ts_us, rn, x, lvl AS level,
+                  0.25 * (lvl - prev_level) + 0.75 * prev_trend AS trend
+           FROM (
+             SELECT q.user_id, q.event_id, q.ts_us, q.rn, q.x,
+                    hw.level AS prev_level, hw.trend AS prev_trend,
+                    0.25 * q.x + 0.75 * (hw.level + hw.trend) AS lvl
+             FROM seq q JOIN hw ON q.user_id = hw.user_id
+                                AND q.rn = hw.rn + 1)
+         )
+         SELECT user_id, event_id, ts_us, level, trend
+         FROM hw ORDER BY user_id, ts_us, event_id""",
     "q102_countmin" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -99,6 +99,18 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Streaming Holt double-exponential smoothing
+    * ([[StreamOps.streamingHolt]], α = β = 0.25): level + trend as
+    * two doubles of per-key state across micro-batches — the
+    * trend-aware upgrade of q101's EWMA, same bit-faithful-state
+    * discipline. The oracle replays the exact two-expression
+    * recursion in a recursive CTE, so the hash proves both state
+    * doubles cross micro-batch boundaries bit-for-bit. */
+  private[graft] def q166(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingHoltAvailableNow(s, dir,
+        alpha = 0.25, beta = 0.25)
+      .orderBy("user_id", "ts_us", "event_id")
+
   /** STREAMING data-quality drift monitor
     * ([[StreamOps.runStreamingDriftMonitorAvailableNow]]): per crawl
     * wave, one stateless micro-batch aggregate of exact integer

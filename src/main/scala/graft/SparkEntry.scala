@@ -203,7 +203,8 @@ object SparkEntry
     "q162_quality_auc" -> (q162 _),
     "q163_quality_warm_start" -> (q163 _),
     "q164_stream_drift_monitor" -> (q164 _),
-    "q165_triangle_count" -> (q165 _))
+    "q165_triangle_count" -> (q165 _),
+    "q166_stream_holt" -> (q166 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -1121,6 +1121,77 @@ object StreamOps {
     spark.table(name)
   }
 
+  case class HoltEvent(user_id: Long, event_id: Long, ts_us: Long, x: Double)
+  case class HoltOut(user_id: Long, event_id: Long, ts_us: Long,
+                     level: Double, trend: Double)
+
+  /** Streaming Holt double-exponential smoothing: TWO doubles of
+    * per-key state (level + trend) where q101's EWMA carries one —
+    * the forecasting-grade smoother (trend-aware anomaly baselines)
+    * under the same bit-faithful-state discipline: every update is a
+    * fixed IEEE expression pair, so a DuckDB recursive CTE replays
+    * the whole per-key recursion across micro-batch boundaries
+    * exactly. First observation initializes (level = x, trend = 0). */
+  def streamingHolt(stream: Dataset[HoltEvent], alpha: Double,
+                    beta: Double): Dataset[HoltOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double), HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[HoltEvent],
+         state: GroupState[(Double, Double)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
+          var s = state.getOption
+          val out = sorted.map { r =>
+            val (l2, b2) = s match {
+              case None => (r.x, 0.0)
+              case Some((l, b)) =>
+                // the exact expression pair the oracle replays
+                val lNext = alpha * r.x + (1 - alpha) * (l + b)
+                val bNext = beta * (lNext - l) + (1 - beta) * b
+                (lNext, bNext)
+            }
+            s = Some((l2, b2))
+            HoltOut(uid, r.event_id, r.ts_us, l2, b2)
+          }
+          s.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Drive [[streamingHolt]] over the q101 staging shape. */
+  def runStreamingHoltAvailableNow(spark: SparkSession, dir: String,
+                                   alpha: Double, beta: Double): DataFrame = {
+    import spark.implicits._
+    val staging = stagedDir("holt", dir) { staging =>
+      val ev = graft.sources.EventsLoader.events(spark, dir)
+        .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value").as("x"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long"))
+        .head().getLong(0)
+      stageVersionFile(ev.filter(col("ts_us") < mid), s"$staging/f0.parquet")
+      stageVersionFile(ev.filter(col("ts_us") >= mid), s"$staging/f1.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts_us", LongType), StructField("x", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[HoltEvent]
+    val name = s"graft_stream_holt_${runCounter.incrementAndGet()}"
+    val query = streamingHolt(src, alpha, beta)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming SCD-2 --------------------------------------------------
 
   case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long,

@@ -255,6 +255,36 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
   }
 
+  test("streaming Holt level+trend are bit-identical to the sequential " +
+      "recursion (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingHoltAvailableNow(spark, dir,
+        alpha = 0.25, beta = 0.25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val rows = graft.sources.EventsLoader.events(spark, dir)
+      .filter($"event_type" === "signup" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), (Double, Double)]
+    val state = scala.collection.mutable.Map.empty[Long, (Double, Double)]
+    rows.foreach { case (u, _, ts, x) =>
+      val next = state.get(u) match {
+        case None => (x, 0.0)
+        case Some((l, b)) =>
+          val lNext = 0.25 * x + 0.75 * (l + b)
+          (lNext, 0.25 * (lNext - l) + 0.75 * b)
+      }
+      state(u) = next
+      expected((u, ts)) = next
+    }
+    streamed.size shouldBe expected.size
+    // EXACT equality: BOTH state doubles must be bit-faithful
+    expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
+  }
+
   test("streaming HLL snapshots are bit-identical to the batch sketch " +
       "over each wave's cumulative prefix (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
