@@ -67,6 +67,17 @@ object NewOpsProbe {
       Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
         .agg(sum(col("rank_micro"))).head().getLong(0)
     }
+    time("triangle_count") { dir =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("src"),
+          lead(col("l_partkey"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      Graph.triangleCounts(edges, "src", "dst")
+        .agg(sum(col("n_triangles"))).head().getLong(0)
+    }
     time("bigram_logprob") { dir =>
       TextAnalysis.bigramLogProb(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
