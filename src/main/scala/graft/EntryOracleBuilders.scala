@@ -631,6 +631,53 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     }
   }
 
+  /** q167: MMR greedy replay — the candidate set (rel = query
+    * cosine) built from the shared embCte, then k unrolled greedy
+    * steps, each one an argmax of `0.5·rel − 0.5·max_sim` over the
+    * not-yet-picked candidates with max_sim the MAX cosine to every
+    * picked vector (order-free over bit-identical doubles), ties to
+    * the lower vec_id. */
+  private[graft] def mmrOracle(k: Int): String = {
+    val steps = (2 to k).map { t =>
+      val selIds = s"SELECT vec_id FROM sv${t - 1}"
+      s"""p$t AS MATERIALIZED (
+           SELECT vec_id, rel, max_sim,
+                  0.5 * rel - 0.5 * max_sim AS score
+           FROM (
+             SELECT c.vec_id, c.rel,
+                    max(${cosSql("c.v", "c.nrm", "s.v", "s.nrm")}) AS max_sim
+             FROM cand c, sv${t - 1} s
+             WHERE c.vec_id NOT IN ($selIds)
+             GROUP BY c.vec_id, c.rel)
+           ORDER BY score DESC, vec_id LIMIT 1
+         ), pv$t AS (
+           SELECT c.vec_id, c.v, c.nrm FROM cand c, p$t p
+           WHERE c.vec_id = p.vec_id
+         ), sv$t AS (
+           SELECT * FROM sv${t - 1} UNION ALL SELECT * FROM pv$t
+         )"""
+    }.mkString(", ")
+    val rows = (1 to k).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS "rank", vec_id, rel, max_sim, score
+          FROM p$t"""
+    }.mkString(" UNION ALL ")
+    s"""$embCte,
+         q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+         cand AS MATERIALIZED (
+           SELECT c.vec_id, c.v, c.nrm,
+                  ${cosSql("c.v", "c.nrm", "q.v", "q.nrm")} AS rel
+           FROM n c, q WHERE c.vec_id % 10 = 0 AND c.vec_id <> 0
+         ), p1 AS MATERIALIZED (
+           SELECT vec_id, rel, 0.0 AS max_sim,
+                  0.5 * rel - 0.5 * 0.0 AS score
+           FROM cand ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id LIMIT 1
+         ), pv1 AS (
+           SELECT c.vec_id, c.v, c.nrm FROM cand c, p1 p
+           WHERE c.vec_id = p.vec_id
+         ), sv1 AS (SELECT * FROM pv1), $steps
+         $rows ORDER BY "rank""""
+  }
+
   /** q163: continual training — phase 1 is the q154 fit on the full
     * corpus; phase 2 WARM-STARTS from its final weights and
     * fine-tunes on the new crawl wave only ((doc_id // 20) % 2 = 1).

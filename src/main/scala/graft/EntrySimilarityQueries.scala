@@ -790,4 +790,31 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("source", "raw_input_label")
   }
 
+  /** MMR diverse selection ([[Ann.mmrSelect]]): greedy k = 8 picks
+    * maximizing 0.5·rel − 0.5·max-sim-to-picked against vec 0 as the
+    * query — the diversity-aware subset selection of result
+    * diversification and training-batch curation. Driver-paced
+    * greedy (k rounds, one candidate scan each, picked vectors
+    * broadcast); the oracle replays every greedy step's argmax with
+    * the (score DESC, id) tie-break, so the full selection
+    * trajectory — ids, relevance, max-sim, score — hash-matches. */
+  private[graft] def q167(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+    val cand = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__nrm", VectorOps.l2Norm(col("embedding")))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", VectorOps.cosineWithNorms(
+        col("embedding"), col("__nrm"), col("q_vec"), col("q_nrm")))
+      .select(col("vec_id"), col("embedding"), col("rel"))
+    Ann.mmrSelect(cand, "vec_id", "embedding", "rel", k = 8, lambda = 0.5)
+      .orderBy("rank")
+  }
+
 }

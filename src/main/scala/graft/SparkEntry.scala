@@ -204,7 +204,8 @@ object SparkEntry
     "q163_quality_warm_start" -> (q163 _),
     "q164_stream_drift_monitor" -> (q164 _),
     "q165_triangle_count" -> (q165 _),
-    "q166_stream_holt" -> (q166 _))
+    "q166_stream_holt" -> (q166 _),
+    "q167_mmr_selection" -> (q167 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -537,4 +537,70 @@ object Ann {
     cascadeTail(candidates, q, c, queries, corpus, qIdCol, cIdCol, vecCol,
       c2, k)
   }
+
+  /** Maximal-marginal-relevance greedy selection: pick `k` items
+    * maximizing `λ·rel − (1−λ)·max_sim_to_already_picked` — the
+    * diversity-aware subset selection of search-result
+    * diversification and training-batch curation (don't spend the
+    * data budget on k near-copies of the best hit).
+    *
+    * `candidates` must carry (idCol, vecCol, relCol) with rel
+    * precomputed (e.g. query cosine from [[bruteForceTopK]]'s
+    * machinery). Greedy is inherently sequential in k, so the driver
+    * paces k rounds (the GD-trainer shape); each round is ONE corpus
+    * scan — the ≤ k picked vectors broadcast to every candidate, a
+    * map-side max over their similarities, and a TakeOrdered(1)
+    * argmax with the (score DESC, id ASC) tie-break. Nothing shuffles
+    * the candidate set, driver state is k vectors.
+    *
+    * `max_sim` is an order-free MAX of bit-identical doubles and the
+    * score one fixed IEEE expression, so the whole greedy trajectory
+    * replays exactly in SQL (q167). */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cands = candidates
+      .select(col(idCol).as("__cid"),
+        col(vecCol).cast("array<double>").as("__cvec"),
+        col(relCol).as("__rel"))
+      .withColumn("__cnrm", VectorOps.l2Norm(col("__cvec")))
+      .persist()
+    try {
+      var selected = List.empty[(Long, Array[Double])]
+      val picks = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+      for (t <- 1 to k) {
+        val pool =
+          if (selected.isEmpty) cands
+          else cands.filter(!col("__cid").isin(selected.map(_._1): _*))
+        val withMaxSim =
+          if (selected.isEmpty) pool.withColumn("__maxsim", lit(0.0))
+          else {
+            val selDf = broadcast(selected.toDF("__sid", "__svec")
+              .withColumn("__snrm", VectorOps.l2Norm(col("__svec"))))
+            pool.crossJoin(selDf)
+              .withColumn("__sim", VectorOps.cosineWithNorms(
+                col("__cvec"), col("__cnrm"), col("__svec"), col("__snrm")))
+              .groupBy(col("__cid"))
+              .agg(first(col("__rel")).as("__rel"),
+                max(col("__sim")).as("__maxsim"))
+          }
+        val top = withMaxSim
+          .withColumn("__score",
+            lit(lambda) * col("__rel") - lit(1 - lambda) * col("__maxsim"))
+          .select(col("__cid"), col("__rel"), col("__maxsim"), col("__score"))
+          .orderBy(col("__score").desc, col("__cid"))
+          .limit(1).collect().head
+        val id = top.getLong(0)
+        val vec = cands.filter(col("__cid") === id)
+          .select(col("__cvec")).head().getSeq[Double](0).toArray
+        selected = (id, vec) :: selected
+        picks += ((t.toLong, id, top.getDouble(1), top.getDouble(2),
+          top.getDouble(3)))
+      }
+      picks.result()
+        .toDF("rank", "vec_id", "rel", "max_sim", "score")
+    } finally cands.unpersist()
+  }
 }

@@ -348,4 +348,37 @@ class AnnSpec extends SparkSpec with Matchers {
       r.getAs[Long]("exact_rank") shouldBe exact.getOrElse(key, 0L)
     }
   }
+
+  test("mmrSelect == sequential greedy MMR; first pick is pure relevance; " +
+       "no repeats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))).toMap
+    val qv = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else a.zip(b).map(p => p._1 * p._2).sum / (na * nb)
+    }
+    val cand = vecs.toSeq.map { case (i, v) => (i, v, cos(v, qv)) }
+      .toDF("vec_id", "vec", "rel")
+    val got = Ann.mmrSelect(cand, "vec_id", "vec", "rel", k = 6, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sequential reference greedy
+    var sel = List.empty[Long]
+    val expected = (1 to 6).map { t =>
+      val best = vecs.keys.filter(!sel.contains(_)).map { c =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(vecs(c), vecs(s))).max
+        (c, 0.5 * cos(vecs(c), qv) - 0.5 * ms)
+      }.minBy { case (c, sc) => (-sc, c) }._1
+      sel = sel :+ best
+      (t.toLong, best)
+    }
+    got.toSeq shouldBe expected
+    got.map(_._2).distinct.length shouldBe 6 // no repeats
+    // first pick is the pure-relevance argmax
+    got.head._2 shouldBe vecs.keys.maxBy(c => (cos(vecs(c), qv), -c))
+  }
 }
