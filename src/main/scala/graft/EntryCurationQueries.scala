@@ -157,6 +157,28 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** Schema-evolution read fidelity: two crawl waves land in ONE
+    * parquet table with DIFFERENT schemas (wave B adds `lang` —
+    * the additive-column evolution every long-lived corpus table
+    * goes through), read back with `mergeSchema` so wave-A rows
+    * surface the new column as null. The oracle restates the
+    * per-wave schema as a CASE on doc_id — a hash match proves the
+    * merged read loses nothing and invents nothing. */
+  private[graft] def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$work/tbl")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("append").parquet(s"$work/tbl")
+    s.read.option("mergeSchema", "true").parquet(s"$work/tbl")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("lang").isNotNull.as("has_lang"))
+      .orderBy("doc_id")
+  }
+
   /** Round-8 end-to-end capstone, the q73 pattern over the NEW
     * stages: PII scrub → canonical-URL first-wins dedup → character-
     * entropy quality gate (exact integer predicate) → token-window

@@ -658,6 +658,11 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY doc_id""",
     "q123_bpe_train" -> bpeTrainOracle(iterations = 8),
     "q152_bpe_encode" -> bpeEncodeOracle(iterations = 8),
+    "q168_schema_evolution" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+                CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang,
+                doc_id % 2 = 1 AS has_lang
+         FROM documents ORDER BY doc_id""",
     "q156_orc_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
          FROM documents ORDER BY doc_id""",

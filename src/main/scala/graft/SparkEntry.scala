@@ -205,7 +205,8 @@ object SparkEntry
     "q164_stream_drift_monitor" -> (q164 _),
     "q165_triangle_count" -> (q165 _),
     "q166_stream_holt" -> (q166 _),
-    "q167_mmr_selection" -> (q167 _))
+    "q167_mmr_selection" -> (q167 _),
+    "q168_schema_evolution" -> (q168 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }
