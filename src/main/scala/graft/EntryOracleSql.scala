@@ -409,6 +409,33 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          )
          SELECT user_id, event_id, ts_us, level, trend
          FROM hw ORDER BY user_id, ts_us, event_id""",
+    "q169_ams_f2" ->
+      """WITH toks AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), freq AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks WHERE tok <> '' GROUP BY 1, 2
+         ), ex AS (
+           SELECT source, CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+           FROM freq GROUP BY 1
+         ), sg AS (
+           SELECT source, tok, cnt, h,
+                  CASE WHEN ('0x' || substr(md5('ams:' || CAST(h AS VARCHAR)
+                             || ':' || tok), 1, 14))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END AS sgn
+           FROM freq CROSS JOIN (SELECT unnest(range(0, 8)) AS h)
+         ), ss AS (
+           SELECT source, h, CAST(sum(sgn * cnt) AS BIGINT) AS s
+           FROM sg GROUP BY 1, 2
+         ), es AS (
+           SELECT source, CAST(sum(s * s) AS BIGINT) AS est_num
+           FROM ss GROUP BY 1
+         )
+         SELECT e.source, e.f2_exact,
+                CAST(es.est_num // 8 AS BIGINT) AS ams_est
+         FROM ex e JOIN es USING (source) ORDER BY source""",
     "q102_countmin" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

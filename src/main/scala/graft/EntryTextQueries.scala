@@ -525,6 +525,26 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
           .as("auc"))
   }
 
+  /** AMS F2 sketch vs exact second moment ([[graft.operators.Sketch
+    * .amsF2]]): per source, the exact Σf² of token frequencies next
+    * to the 8-estimator ±1-sign estimate — the self-join-size / skew
+    * signal, with per-group sketch state of 8 longs whatever the
+    * vocabulary. Signs ride the shared md5 coordinate, so the oracle
+    * replays every estimator; the estimate column is certified
+    * exactly, not approximately. */
+  private[graft] def q169(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val exact = counts.groupBy("source")
+      .agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    val est = Sketch.amsF2(counts, "source", "tok", "cnt",
+      depth = 8, salt = "ams")
+    exact.join(est, Seq("source")).orderBy("source")
+  }
+
   /** Per-node triangle counts ([[graft.operators.Graph
     * .triangleCounts]]) over the q107 co-purchase graph —
     * degree-ordered orientation caps wedge fan-out at O(√m) per

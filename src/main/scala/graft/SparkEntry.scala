@@ -206,7 +206,8 @@ object SparkEntry
     "q165_triangle_count" -> (q165 _),
     "q166_stream_holt" -> (q166 _),
     "q167_mmr_selection" -> (q167 _),
-    "q168_schema_evolution" -> (q168 _))
+    "q168_schema_evolution" -> (q168 _),
+    "q169_ams_f2" -> (q169 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

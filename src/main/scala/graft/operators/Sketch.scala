@@ -59,6 +59,36 @@ object Sketch {
       .agg(sum(col("__w")).as("cnt"))
   }
 
+  /** AMS F2 sketch: estimate the second frequency moment Σf² per
+    * group with `depth` independent ±1-sign estimators — the moments
+    * member of the sketch family (CMS = frequencies, Bloom =
+    * membership, HLL = cardinality). F2 is the self-join size /
+    * skew signal a planner reads before shuffling a key. Each
+    * estimator keeps ONE signed BIGINT per group (Σ sign(item)·f,
+    * exact, order-free); the estimate is the mean of their squares.
+    * Signs come from the [[cmBucket]] md5 coordinate's parity, so a
+    * DuckDB oracle replays every estimator exactly. State per group:
+    * `depth` longs, whatever the item count. Returns
+    * (groupCol, ams_est). */
+  def amsF2(items: DataFrame, groupCol: String, itemCol: String,
+            weightCol: String, depth: Int, salt: String): DataFrame = {
+    require(depth >= 1, "depth must be positive")
+    val signed = items
+      .select(col(groupCol).as("__g"), col(itemCol).as("__it"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("h", explode(array((0 until depth).map(i => lit(i)): _*)))
+      .withColumn("__sgn",
+        when(cmBucket(col("__it"), col("h"), 2, salt) === 0L, 1L)
+          .otherwise(-1L))
+    signed.groupBy(col("__g"), col("h"))
+      .agg(sum(col("__sgn") * col("__w")).as("__s"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__s") * col("__s")).as("__est_num"))
+      .select(col("__g").as(groupCol),
+        // nonneg exact ints ≪ 2^53: floor(double div) == integer div
+        floor(col("__est_num") / lit(depth)).cast("long").as("ams_est"))
+  }
+
   /** Bloom filter build over `items`: one row per SET BIT, `(pos)`,
     * bounded by `numBits` rows regardless of item count — like the
     * CMS build, `groupBy(pos)` makes partial aggregation the filter
