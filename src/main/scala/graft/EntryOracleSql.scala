@@ -1859,7 +1859,47 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),
-    "q151_minhash_collapsed" -> minhashCollapsedPairsOracle) ++
+    "q151_minhash_collapsed" -> minhashCollapsedPairsOracle,
+    "q170_sorted_neighbor_dedup" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                         1, 24) AS sk
+           FROM documents
+         ), r AS (
+           SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn
+           FROM k
+         ), cand AS (
+           SELECT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+           FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+         ), w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS words
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w
+         ), sets AS (
+           SELECT doc_id, list_sort(list(shingle)) AS ks,
+                  CAST(count(*) AS BIGINT) AS l
+           FROM sh GROUP BY doc_id
+         ), ver AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(len(list_intersect(sa.ks, sb.ks)) AS BIGINT) AS n_inter,
+                  sa.l AS n_a, sb.l AS n_b
+           FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
+                       JOIN sets sb ON sb.doc_id = c.id_b
+         )
+         SELECT id_a, id_b, n_inter, n_a, n_b,
+                CAST(n_inter AS DOUBLE)
+                  / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+         FROM ver
+         WHERE n_inter * 2 >= (n_a + n_b - n_inter) * 1
+         ORDER BY id_a, id_b""") ++
     modelOracles
 
 }

@@ -817,4 +817,19 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("rank")
   }
 
+  /** Sorted-neighborhood near-dup pairs
+    * ([[graft.operators.Dedup.sortedNeighborPairs]]) — the third
+    * candidate-generation family beside banded MinHash (q28) and
+    * prefix filtering (q111): sort on a 24-char normalized prefix
+    * key, compare only within a 4-position window, verify survivors
+    * with the exact shingle Jaccard at tau >= 1/2. Candidate volume
+    * is exactly n·w rows (no hot buckets, no shingle explode on the
+    * candidate path); recall is bounded by the window — the
+    * merge/purge cheap-first pass of a 100 TB dedup cascade. */
+  private[graft] def q170(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborPairs(t(s, dir, "documents"), "text", "doc_id",
+        windowSize = 4, keyLen = 24, shingleSize = 3,
+        tauNum = 1, tauDen = 2)
+      .orderBy("id_a", "id_b")
+
 }

@@ -207,7 +207,8 @@ object SparkEntry
     "q166_stream_holt" -> (q166 _),
     "q167_mmr_selection" -> (q167 _),
     "q168_schema_evolution" -> (q168 _),
-    "q169_ams_f2" -> (q169 _))
+    "q169_ams_f2" -> (q169 _),
+    "q170_sorted_neighbor_dedup" -> (q170 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -606,4 +606,69 @@ object Dedup {
       .join(seen, col("__md5") === col("__seen_md5"), "left_anti")
       .drop("__md5")
   }
+
+  /** Sorted-neighborhood (SNM) near-duplicate pairs — the THIRD
+    * candidate-generation family beside hash blocking (minhash LSH)
+    * and prefix filtering: sort on a cheap normalized key, compare
+    * only documents within `windowSize` positions of each other, then
+    * verify the survivors with the exact shingle Jaccard
+    * ([[jaccardOnPairs]]). Hernández–Stolfo's merge/purge discipline,
+    * re-expressed for Spark:
+    *
+    *   - the sort key is the first `keyLen` chars of the
+    *     lower-cased, non-alphanumeric-stripped text — near-dups that
+    *     share an opening sort adjacent; edits deep in the document
+    *     cost nothing. (The classic SNM trade: dups whose DIFFERENCE
+    *     is inside the key prefix sort apart and are missed — this is
+    *     a recall/cost point below LSH, at strictly lower cost: no
+    *     shingle explode on the candidate path at all.)
+    *   - the global rank comes from [[Layout.globalOrdinals]] (one
+    *     range shuffle + per-partition prefix sums) — NOT a
+    *     SinglePartition window; the sort stays distributed.
+    *   - the neighborhood is an equi-join: each row fans out to
+    *     `windowSize` (rank + d) probes, so the candidate volume is
+    *     exactly n·w rows whatever the data — no skew amplification,
+    *     no hot buckets (contrast LSH, where one hot band bucket can
+    *     go quadratic and needs [[minhashCandidatePairsCapped]]).
+    *   - verification joins each candidate pair to its two shingle
+    *     sets by id (hash joins) and pays one in-place intersection
+    *     count — pair-local, linear in candidates.
+    *
+    * At 100 TB: one range-partitioned sort of a short key column, a
+    * linear n·w candidate join, and id-keyed verify joins — the
+    * cheapest of the three families, for the lowest recall; run it as
+    * the first pass before LSH when the corpus clusters on openings.
+    *
+    * Pair filter is integer-rational (`n_inter·tauDen ≥ n_union·tauNum`),
+    * so the threshold is cross-engine exact. Output:
+    * (id_a, id_b, n_inter, n_a, n_b, jaccard), id_a < id_b. */
+  def sortedNeighborPairs(docs: DataFrame, textCol: String, idCol: String,
+      windowSize: Int, keyLen: Int = 24, shingleSize: Int = 3,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    require(keyLen >= 1, "keyLen must be >= 1")
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "tau = tauNum/tauDen must be in (0, 1]")
+    val keyed = docs.select(col(idCol),
+      substring(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""),
+        1, keyLen).as("__snm_key"))
+    val ranked = Layout.globalOrdinals(keyed, Seq("__snm_key", idCol),
+      ordCol = "__rn")
+    val a = ranked.select(col(idCol).as("__ida"), col("__rn").as("__ra"))
+      .withColumn("__d",
+        explode(array((1 to windowSize).map(d => lit(d.toLong)): _*)))
+      .select(col("__ida"), (col("__ra") + col("__d")).as("__rb"))
+    val b = ranked.select(col(idCol).as("__idb"), col("__rn").as("__rb"))
+    val cands = a.join(b, Seq("__rb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"))
+    jaccardOnPairs(cands, docs, textCol, idCol, shingleSize)
+      .withColumn("n_inter", col("n_inter").cast("long"))
+      .withColumn("n_a", col("n_a").cast("long"))
+      .withColumn("n_b", col("n_b").cast("long"))
+      .filter(col("n_inter") * tauDen
+        >= (col("n_a") + col("n_b") - col("n_inter")) * tauNum)
+      .withColumn("jaccard", col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+  }
 }

@@ -492,4 +492,58 @@ class DedupSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
     t shouldBe Map(5L -> 5L, 7L -> 5L)
   }
+
+  test("sortedNeighborPairs: prefix-adjacent near-dups found, " +
+      "prefix-divergent dup missed (the SNM window trade), " +
+      "partition-invariant") {
+    // 10&11 share the 24-char normalized prefix and differ at the
+    // tail -> sort adjacent -> found. 20&21 are near-dups whose FIRST
+    // word differs -> sort far apart (separated by > windowSize other
+    // keys) -> structurally missed at windowSize = 1.
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta one"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta two"),
+      (20L, "aardvark shared middle words run along here fine"),
+      (21L, "zebra shared middle words run along here fine"),
+      (30L, "curium text about engines"),
+      (31L, "erbium text about engines"),
+      (32L, "ferium text about engines"),
+      (33L, "helium text about engines")).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborPairs(corpus, "text", "doc_id",
+        windowSize = 1, keyLen = 24, shingleSize = 3,
+        tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out should contain ((10L, 11L))
+    out should not contain ((20L, 21L))
+    // widening the window past the separating keys recovers the pair
+    val wide = Dedup.sortedNeighborPairs(corpus, "text", "doc_id",
+        windowSize = 7, keyLen = 24, shingleSize = 3,
+        tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    wide should contain ((20L, 21L))
+    // global ordinals make the result partition-layout-invariant
+    val shuffled = Dedup.sortedNeighborPairs(corpus.repartition(7),
+        "text", "doc_id", windowSize = 1, keyLen = 24, shingleSize = 3,
+        tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    shuffled shouldBe out
+  }
+
+  test("sortedNeighborPairs: candidate volume is exactly n·w rank " +
+      "pairs before verification — no skew amplification from " +
+      "identical keys") {
+    // 12 identical docs: LSH banding would emit C(12,2)=66 candidates
+    // from one bucket; SNM emits only the w neighbors of each rank.
+    val clones = (1L to 12L).map(i => (i, "same text every time here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborPairs(clones, "text", "doc_id",
+        windowSize = 2, keyLen = 24, shingleSize = 3,
+        tauNum = 1, tauDen = 2).collect()
+    // ranks 1..12, window 2: (12-1) + (12-2) = 21 pairs, all jaccard 1
+    pairs.length shouldBe 21
+    all(pairs.map(_.getAs[Double]("jaccard"))) shouldBe 1.0
+  }
 }
