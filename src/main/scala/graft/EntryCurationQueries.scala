@@ -532,4 +532,19 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         "source", "doc_id", maxPerGroup = 10, salt = "capsalt")
       .orderBy("doc_id")
 
+  /** Exact-size weighted sample without replacement
+    * ([[graft.operators.Curation.weightedSampleWithoutReplacement]],
+    * Efraimidis–Spirakis A-ES): exactly 20 documents drawn
+    * length-proportionally (weight = n_chars) via ln(u)/w keys on
+    * the salted md5 coordinate — the fixed-quota companion to q61's
+    * Bernoulli importance sample. Pure projection + global top-k
+    * (TakeOrderedAndProject): nothing shuffles. The micro-quantized
+    * key makes the selection integer-replayable; the oracle draws
+    * the same 20 rows. */
+  private[graft] def q171(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.weightedSampleWithoutReplacement(
+        t(s, dir, "documents"), "doc_id", col("n_chars"), k = 20,
+        salt = "wsr171")
+      .orderBy(col("key_micro").desc, col("doc_id"))
+
 }

@@ -1899,7 +1899,25 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
          FROM ver
          WHERE n_inter * 2 >= (n_a + n_b - n_inter) * 1
-         ORDER BY id_a, id_b""") ++
+         ORDER BY id_a, id_b""",
+    "q171_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                  ('0x' || substr(md5('wsr171:' || CAST(doc_id AS VARCHAR)),
+                                  1, 14))::BIGINT AS hv
+           FROM documents
+           WHERE CAST(n_chars AS DOUBLE) > 0.0
+         ), keyed AS (
+           SELECT doc_id, weight,
+                  CAST(round(ln(CAST(hv + 1 AS DOUBLE)
+                                / 72057594037927936.0)
+                             / weight * 1000000.0) AS BIGINT) AS key_micro
+           FROM h
+         )
+         SELECT doc_id, weight, key_micro
+         FROM keyed
+         ORDER BY key_micro DESC, doc_id
+         LIMIT 20""") ++
     modelOracles
 
 }

@@ -113,6 +113,39 @@ object Curation {
       floor(w * lit(72057594037927936.0)).cast("long")) // 2^56
   }
 
+  /** Deterministic weighted sample WITHOUT replacement of EXACTLY
+    * `k` rows (Efraimidis–Spirakis A-ES): each row draws the uniform
+    * u = (hash+1)/2⁵⁶ from the salted md5 coordinate and keys on
+    * ln(u)/w; the k largest keys (ties broken by id) are the sample.
+    * P(row first) = wᵢ/Σw, then recursively on the remainder — the
+    * exact-size companion to [[importanceSample]]'s per-row
+    * Bernoulli: quota-filling ("give me exactly k docs, favoring
+    * high quality") needs a fixed k, not a fixed rate.
+    *
+    * Scale shape: a pure projection followed by a global top-k —
+    * Spark plans `orderBy(...).limit(k)` as TakeOrderedAndProject
+    * (per-partition k-heaps, driver merges P·k rows), so NOTHING
+    * shuffles; corpus growth costs one scan. Membership is
+    * partition-invariant and stable under growth (a new row displaces
+    * at most the current k-th member).
+    *
+    * Cross-engine: the key is quantized to integer micros
+    * (`round(ln(u)/w · 10⁶)`) so an oracle replays selection with
+    * integer compares; rows with weight ≤ 0 are never sampled.
+    * Output: the sampled rows' (id, weight, key_micro). */
+  def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
+      weight: Column, k: Int, salt: String = "wsr"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (sampleHash(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(72057594037927936.0) // 2^56; u in (0, 1]
+    df.select(col(idCol), weight.cast("double").as("weight"))
+      .filter(col("weight") > 0.0)
+      .withColumn("key_micro",
+        round(log(u) / col("weight") * lit(1000000.0)).cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic per-group cap: keep at most `maxPerGroup` rows of
     * every group (domain, source, language — the "no domain dominates
     * the corpus" rule of web-scale curation), selected by salted-hash

@@ -264,4 +264,43 @@ class CurationSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     out.foreach { case (id, _, _, k) => again(id) shouldBe k }
   }
+
+  test("weightedSampleWithoutReplacement: exactly k distinct rows, " +
+      "partition-invariant, nonpositive weights never sampled, " +
+      "global top-k plans as TakeOrdered (no shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)) ++
+      Seq((900L, 0.0), (901L, -3.0))
+    val df = rows.toDF("id", "w")
+    val out = Curation.weightedSampleWithoutReplacement(
+      df, "id", col("w"), k = 25, salt = "s1")
+    val picked = out.collect().map(_.getAs[Long]("id"))
+    picked.length shouldBe 25
+    picked.distinct.length shouldBe 25
+    picked should not contain 900L
+    picked should not contain 901L
+    val shuffled = Curation.weightedSampleWithoutReplacement(
+        df.repartition(11), "id", col("w"), k = 25, salt = "s1")
+      .collect().map(_.getAs[Long]("id"))
+    shuffled.toSeq shouldBe picked.toSeq
+    out.queryExecution.executedPlan.toString should
+      include ("TakeOrderedAndProject")
+  }
+
+  test("weightedSampleWithoutReplacement: inclusion frequency tracks " +
+      "the weight across independent salts") {
+    import org.apache.spark.sql.functions.col
+    // one heavy row (w=50) among 49 light rows (w=1); over 12
+    // independent draws of k=5 the heavy row must be picked strictly
+    // more often than any light row's expected handful
+    val df = ((1L to 49L).map(i => (i, 1.0)) :+ (50L, 50.0)).toDF("id", "w")
+    val hits = (0 until 12).count { s =>
+      Curation.weightedSampleWithoutReplacement(
+          df, "id", col("w"), k = 5, salt = s"freq$s")
+        .collect().exists(_.getAs[Long]("id") == 50L)
+    }
+    // P(heavy in a k=5 draw) ≈ 1 - prod(1 - 50/(99-i)) >> 0.9;
+    // light rows land ~5% of draws. 10+/12 separates them decisively.
+    hits should be >= 10
+  }
 }
