@@ -2649,4 +2649,54 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM cl c JOIN best b USING (cluster_id)
        ORDER BY doc_id"""
   }
+
+  /** q172: [[graft.operators.Graph.kCore]] replayed as `rounds`
+    * unrolled peel rounds over the mutual-k-NN edge derivation
+    * ([[graft.operators.Ann.mutualKnnEdges]]). Every CTE is
+    * MATERIALIZED — each round references its predecessor three
+    * times (degree count + both IN filters), the exact
+    * exponential-re-inlining shape the q163 oracle hit. Rounds past
+    * the fixed point no-op, matching the engine's early exit. */
+  private[graft] def kCoreOracle(k: Int, rounds: Int, knn: Int): String = {
+    val head =
+      s"""$embCte,
+         s AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                  ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS score
+           FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         ), r AS MATERIALIZED (
+           SELECT q_id, c_id
+           FROM (SELECT q_id, c_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, c_id) AS rnk
+                 FROM s)
+           WHERE rnk <= $knn
+         ), e0 AS MATERIALIZED (
+           SELECT f.q_id AS a, f.c_id AS b
+           FROM r f JOIN r g ON f.q_id = g.c_id AND f.c_id = g.q_id
+           WHERE f.q_id < f.c_id
+         )"""
+    val iters = (0 until rounds).map { i =>
+      s""", d$i AS MATERIALIZED (
+           SELECT node, CAST(count(*) AS BIGINT) AS dg
+           FROM (SELECT a AS node FROM e$i
+                 UNION ALL SELECT b AS node FROM e$i)
+           GROUP BY 1
+         ), k$i AS MATERIALIZED (
+           SELECT node FROM d$i WHERE dg >= $k
+         ), e${i + 1} AS MATERIALIZED (
+           SELECT a, b FROM e$i
+           WHERE a IN (SELECT node FROM k$i)
+             AND b IN (SELECT node FROM k$i)
+         )"""
+    }.mkString
+    head + iters +
+      s"""
+         SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM (SELECT a AS node FROM e$rounds
+               UNION ALL SELECT b AS node FROM e$rounds)
+         GROUP BY 1
+         HAVING count(*) >= $k
+         ORDER BY node"""
+  }
 }

@@ -1917,7 +1917,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT doc_id, weight, key_micro
          FROM keyed
          ORDER BY key_micro DESC, doc_id
-         LIMIT 20""") ++
+         LIMIT 20""",
+    "q172_kcore" -> kCoreOracle(k = 3, rounds = 8, knn = 6)) ++
     modelOracles
 
 }

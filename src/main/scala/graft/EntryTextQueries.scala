@@ -563,6 +563,25 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** k-core of the mutual-6-NN similarity graph
+    * ([[graft.operators.Ann.mutualKnnEdges]] →
+    * [[graft.operators.Graph.kCore]], k = 3): reciprocated cosine
+    * neighborhoods form the edges (the graph-ANN cleanup graph), and
+    * synchronous peeling extracts the dense interior — vectors in
+    * genuinely clustered regions survive, periphery cascades away
+    * over ~4 peel rounds. Per round one degree aggregate + two
+    * semi-joins, lineage cut per round, convergence = unchanged edge
+    * count. The oracle unrolls the full 8-round budget as
+    * materialized CTEs (converged rounds no-op identically), so the
+    * surviving node set AND its in-core degrees hash-match. */
+  private[graft] def q172(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mutual = graft.operators.Ann.mutualKnnEdges(e, "vec_id", "v", k = 6)
+    Graph.kCore(mutual, "a", "b", k = 3, maxRounds = 8)
+      .orderBy("node")
+  }
+
   /** CONTINUAL training ([[graft.operators.LinearModel
     * .trainFastSigmoidGD]] with warm start): phase 1 fits on the
     * full corpus (= q154); phase 2 warm-starts from those weights

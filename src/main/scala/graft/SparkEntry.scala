@@ -209,7 +209,8 @@ object SparkEntry
     "q168_schema_evolution" -> (q168 _),
     "q169_ams_f2" -> (q169 _),
     "q170_sorted_neighbor_dedup" -> (q170 _),
-    "q171_weighted_sample" -> (q171 _))
+    "q171_weighted_sample" -> (q171 _),
+    "q172_kcore" -> (q172 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -223,6 +223,40 @@ object Ann {
     }
   }
 
+  /** MUTUAL k-NN graph edges: an undirected edge (a, b) exists iff
+    * b is among a's top-`k` cosine neighbors AND a is among b's —
+    * the reciprocity filter that turns the all-or-nothing k-NN graph
+    * (out-degree pinned at k) into a variable-degree similarity
+    * graph whose dense interiors mean something. This is the
+    * standard graph-cleanup step of graph-ANN index builds and the
+    * input [[Graph.kCore]] wants: hubs keep their reciprocated
+    * edges, isolated vectors drop to degree 0.
+    *
+    * Shape: one broadcast cosine scan (the [[bruteForceTopK]] plan —
+    * at corpus scale swap the scan tier for the IVF candidates, the
+    * q149 composition) + a self-join of the n·k directed edge list on
+    * the reversed pair — the join input is k rows per vector, never
+    * the n² scored pairs. Ties break to the lower id on both sides,
+    * so the edge set is deterministic. Output: (a, b), a < b. */
+  def mutualKnnEdges(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = vectors.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+    val c = broadcast(vectors.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec"))))
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+    val directed = rankTopK(scored, "q_id", "c_id", "score", k)
+      .select(col("q_id"), col("c_id"))
+    directed.as("f")
+      .join(directed.as("r"),
+        col("f.q_id") === col("r.c_id") && col("f.c_id") === col("r.q_id"))
+      .filter(col("f.q_id") < col("f.c_id"))
+      .select(col("f.q_id").as("a"), col("f.c_id").as("b"))
+  }
+
   /** Exact cosine top-k: every query row against a broadcast corpus.
     * Norms are materialised once per side, so the per-pair kernel is
     * a single fused dot product + one multiply-divide.

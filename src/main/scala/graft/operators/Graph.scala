@@ -126,4 +126,63 @@ object Graph {
     tri.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Rounds the last [[kCore]] call took to converge (probe surface,
+    * mirrors [[Dedup.lastCcRounds]]). */
+  val lastKCoreRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** k-core subgraph by synchronous peeling: repeatedly delete every
+    * node of degree < k (all at once) until a fixed point — the
+    * degeneracy tier of graph curation: spam farms and boilerplate
+    * link rings live in dense cores; the k-core is the standard
+    * "dense interior" extraction (Seidman's coreness).
+    *
+    * Scale shape, per round: one degree aggregate (map-side combined,
+    * shuffle bounded by the distinct-node count per task) and two
+    * LEFT SEMI joins of the edge list against the surviving-node set
+    * — no adjacency materialization, no driver-side graph. Each
+    * round's lineage is cut with `localCheckpoint` (the
+    * [[Dedup.connectedComponents]] discipline; reliable `checkpoint`
+    * on a real cluster) and convergence is the edge COUNT alone —
+    * peeling only deletes, so an unchanged count IS the fixed point;
+    * one long per round of driver traffic.
+    *
+    * Synchronous peeling converges in at most as many rounds as the
+    * peel DEPTH (the longest chain of "removing u drops v below k"),
+    * typically a handful on real graphs; `maxRounds` bounds the
+    * worst case. Output: (node, core_deg) for nodes of the k-core,
+    * core_deg = degree within the surviving subgraph. An oracle
+    * unrolling exactly `maxRounds` rounds matches: converged rounds
+    * are no-ops on both engines. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var prevN = -1L
+    var n = e.count()
+    var round = 0L
+    while (round < maxRounds && n != prevN) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k)
+      e = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      prevN = n
+      n = e.count()
+      round += 1
+    }
+    lastKCoreRounds.set(round)
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
 }

@@ -381,4 +381,24 @@ class AnnSpec extends SparkSpec with Matchers {
     // first pick is the pure-relevance argmax
     got.head._2 shouldBe vecs.keys.maxBy(c => (cos(vecs(c), qv), -c))
   }
+
+  test("mutualKnnEdges: only reciprocated top-k pairs survive, a < b, " +
+      "partition-invariant") {
+    // two tight direction clusters {1,2} and {3,4}, plus 5 pointing
+    // between them: at k=1, 1<->2 and 3<->4 reciprocate; 5's top-1 is
+    // cluster-bound but nobody's top-1 is 5 -> 5 gets no edge.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.01, 1.0)),
+      (5L, Seq(0.8, 0.62))).toDF("id", "v")
+    val out = Ann.mutualKnnEdges(vecs, "id", "v", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 2L), (3L, 4L))
+    // k = n-1 makes every pair mutual: the complete graph
+    val full = Ann.mutualKnnEdges(vecs, "id", "v", k = 4).count()
+    full shouldBe 10L
+    val repart = Ann.mutualKnnEdges(vecs.repartition(7), "id", "v", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    repart shouldBe out
+  }
 }

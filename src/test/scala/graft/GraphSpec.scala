@@ -86,4 +86,32 @@ class GraphSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     repart shouldBe expected
   }
+
+  test("kCore: cascade peel reaches the fixpoint, core degrees are " +
+      "in-core degrees, partition-invariant") {
+    // K4 on {1,2,3,4} (a true 3-core) + a tail 4-5-6-7 + node 8
+    // hanging off 5: the tail peels over MULTIPLE rounds (7 first,
+    // then 6, then 5's pendant edges) — a depth-3 cascade.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 8L)).toDF("s", "d")
+    val out = Graph.kCore(edges, "s", "d", k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    Graph.lastKCoreRounds.get() should be >= 3L
+    // duplicate and reversed edges collapse before peeling
+    val noisy = edges.union(edges.select($"d", $"s"))
+    Graph.kCore(noisy, "s", "d", k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe out
+    Graph.kCore(edges.repartition(7), "s", "d", k = 3, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe out
+  }
+
+  test("kCore: k=1 keeps every non-isolated node; an over-tight k " +
+      "empties the graph without error") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    Graph.kCore(edges, "s", "d", k = 1, maxRounds = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    Graph.kCore(edges, "s", "d", k = 5, maxRounds = 5).count() shouldBe 0L
+  }
 }

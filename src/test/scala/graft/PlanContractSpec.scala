@@ -48,7 +48,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q147_retrieval_cascade", // three broadcast similarity tiers, like q25/q128
     "q149_ivf_cascade",       // kmeansMicro centroid folds + probe/tail broadcasts
     "q132_pmi_collocations", // 1-row bigram/token-total broadcasts, like q86
-    "q167_mmr_selection")    // 1-row query + <= k picked-vector broadcasts
+    "q167_mmr_selection",    // 1-row query + <= k picked-vector broadcasts
+    "q172_kcore")            // mutualKnnEdges broadcast cosine scan, like q25
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
