@@ -1918,7 +1918,34 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM keyed
          ORDER BY key_micro DESC, doc_id
          LIMIT 20""",
-    "q172_kcore" -> kCoreOracle(k = 3, rounds = 8, knn = 6)) ++
+    "q172_kcore" -> kCoreOracle(k = 3, rounds = 8, knn = 6),
+    "q173_stream_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                  (doc_id // 20) % 2 AS wave
+           FROM documents
+           WHERE CAST(n_chars AS DOUBLE) > 0.0
+         ), keyed AS (
+           SELECT wave, doc_id, weight,
+                  CAST(round(ln(CAST(('0x' || substr(md5('wsr173:'
+                                  || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                                + 1 AS DOUBLE)
+                                / 72057594037927936.0)
+                             / weight * 1000000.0) AS BIGINT) AS key_micro
+           FROM d
+         ), w0 AS (
+           SELECT CAST(0 AS BIGINT) AS wave, doc_id, weight, key_micro
+           FROM keyed WHERE wave = 0
+           ORDER BY key_micro DESC, doc_id LIMIT 20
+         ), w1 AS (
+           SELECT CAST(1 AS BIGINT) AS wave, doc_id, weight, key_micro
+           FROM keyed
+           ORDER BY key_micro DESC, doc_id LIMIT 20
+         )
+         SELECT * FROM w0
+         UNION ALL
+         SELECT * FROM w1
+         ORDER BY wave, key_micro DESC, doc_id""") ++
     modelOracles
 
 }

@@ -376,4 +376,17 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     StreamOps.runStreamingRetrievalAvailableNow(s, dir,
         prefixDim = 32, c1 = 100, c2 = 30, k = 5)
       .orderBy("q_id", "rank")
+
+  /** STREAMING weighted sample
+    * ([[StreamOps.runStreamingWeightedSampleAvailableNow]]): the
+    * q171 A-ES sample maintained across two crawl waves — a running
+    * top-k over pure deterministic keys, so the stream provably
+    * equals the batch sample of everything seen so far at EVERY
+    * wave. Driver state is k triples whatever the stream length (the
+    * reservoir memory contract); the oracle restates each wave's
+    * snapshot as a batch top-k over that wave's prefix. */
+  private[graft] def q173(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingWeightedSampleAvailableNow(s, dir,
+        k = 20, salt = "wsr173")
+      .orderBy(col("wave"), col("key_micro").desc, col("doc_id"))
 }

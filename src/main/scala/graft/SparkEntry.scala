@@ -210,7 +210,8 @@ object SparkEntry
     "q169_ams_f2" -> (q169 _),
     "q170_sorted_neighbor_dedup" -> (q170 _),
     "q171_weighted_sample" -> (q171 _),
-    "q172_kcore" -> (q172 _))
+    "q172_kcore" -> (q172 _),
+    "q173_stream_weighted_sample" -> (q173 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

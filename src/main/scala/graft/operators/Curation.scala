@@ -133,15 +133,24 @@ object Curation {
     * (`round(ln(u)/w · 10⁶)`) so an oracle replays selection with
     * integer compares; rows with weight ≤ 0 are never sampled.
     * Output: the sampled rows' (id, weight, key_micro). */
+  /** The A-ES selection key `round(ln(u)/w · 10⁶)` as a column, with
+    * u = (hash+1)/2⁵⁶ — factored out so batch
+    * ([[weightedSampleWithoutReplacement]]) and streaming
+    * (StreamOps' running sample) draw from the IDENTICAL expression
+    * tree; `weight` must already be a positive double. */
+  def aesKeyMicro(id: Column, weight: Column, salt: String): Column = {
+    val u = (sampleHash(id, salt) + lit(1L)).cast("double") /
+      lit(72057594037927936.0) // 2^56; u in (0, 1]
+    round(log(u) / weight * lit(1000000.0)).cast("long")
+  }
+
   def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
       weight: Column, k: Int, salt: String = "wsr"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val u = (sampleHash(col(idCol), salt) + lit(1L)).cast("double") /
-      lit(72057594037927936.0) // 2^56; u in (0, 1]
     df.select(col(idCol), weight.cast("double").as("weight"))
       .filter(col("weight") > 0.0)
       .withColumn("key_micro",
-        round(log(u) / col("weight") * lit(1000000.0)).cast("long"))
+        aesKeyMicro(col(idCol), col("weight"), salt))
       .orderBy(col("key_micro").desc, col(idCol).asc)
       .limit(k)
   }

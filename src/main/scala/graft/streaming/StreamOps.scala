@@ -710,6 +710,72 @@ object StreamOps {
       spark.sparkContext.parallelize(buf.toSeq, 1), schema)
   }
 
+  /** STREAMING exact-size weighted sample: the
+    * [[graft.operators.Curation.weightedSampleWithoutReplacement]]
+    * A-ES sample maintained over crawl waves. Because each row's
+    * selection key is a pure deterministic function of (id, weight,
+    * salt), a running top-k IS the batch sample of everything seen so
+    * far — streaming and batch agree bit-for-bit, no approximation.
+    * Per micro-batch: one distributed TakeOrdered of the batch's
+    * keys, then a driver-side merge bounded at k rows — total driver
+    * state is k (id, weight, key) triples whatever the stream
+    * length, the reservoir-sampling memory contract.
+    *
+    * Output: the running sample AFTER each wave (wave, doc_id,
+    * weight, key_micro) — the full trajectory, so an oracle
+    * restating each wave's prefix as a batch top-k certifies every
+    * intermediate sample, not just the final one. */
+  def runStreamingWeightedSampleAvailableNow(spark: SparkSession,
+      dir: String, k: Int = 20, salt: String = "wsr173"): DataFrame = {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val staging = stagedDir("wsample", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("n_chars"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("n_chars", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    // running sample: (key_micro, doc_id, weight), capped at k
+    val state = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val query = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batchTop = df
+          .select(col("wave"), col("doc_id"),
+            col("n_chars").cast("double").as("weight"))
+          .filter(col("weight") > 0.0)
+          .withColumn("key_micro",
+            Curation.aesKeyMicro(col("doc_id"), col("weight"), salt))
+          .orderBy(col("key_micro").desc, col("doc_id").asc)
+          .limit(k)
+          .collect()
+        if (batchTop.nonEmpty) {
+          val wave = batchTop.map(_.getAs[Long]("wave")).max
+          state ++= batchTop.map(r => (r.getAs[Long]("key_micro"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("weight")))
+          val kept = state.sortBy { case (km, id, _) => (-km, id) }.take(k)
+          state.clear(); state ++= kept
+          out ++= kept.map { case (km, id, w) =>
+            org.apache.spark.sql.Row(wave, id, w, km) }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val schema = StructType(Seq(
+      StructField("wave", LongType), StructField("doc_id", LongType),
+      StructField("weight", DoubleType), StructField("key_micro", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   // --- streaming Bloom dedup (bounded-memory crawl dedup) ---------------
 
   case class BloomDoc(wave: Long, doc_id: Long, dig: String, shard: Long)

@@ -654,4 +654,28 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     versions(5L) shouldBe 1L
     versions.values.count(_ == 0L) shouldBe 14
   }
+
+  test("streaming weighted sample: every wave snapshot equals the " +
+      "batch A-ES sample over that wave's prefix (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamOps.runStreamingWeightedSampleAvailableNow(
+      spark, dir, k = 10, salt = "wsrspec")
+    val byWave = out.collect()
+      .groupBy(_.getAs[Long]("wave"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("key_micro"))).toSet).toMap
+    byWave.keySet shouldBe Set(0L, 1L)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("wave", org.apache.spark.sql.functions
+        .expr("(doc_id div 20) % 2"))
+    def batchSample(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.weightedSampleWithoutReplacement(
+          df, "doc_id", col("n_chars"), k = 10, salt = "wsrspec")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("key_micro"))).toSet
+    byWave(0L) shouldBe batchSample(docs.filter($"wave" === 0))
+    byWave(1L) shouldBe batchSample(docs) // full prefix after wave 1
+    // snapshots are exactly k rows each
+    out.count() shouldBe 20L
+  }
 }
