@@ -247,6 +247,22 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** HITS hubs/authorities ([[Graph.hits]], 3 rounds) over the q107
+    * co-purchase graph as a simple directed graph — the second
+    * link-analysis member: L∞-normalized integer-micro scores whose
+    * full trajectory the oracle unrolls round by round, so hub AND
+    * authority values hash-match, not just rankings. */
+  private[graft] def q174(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.hits(edges, "src", "dst", iterations = 3)
+      .orderBy("node")
+  }
+
   /** Leakage-safe GROUPED split ([[graft.operators.Curation
     * .groupedSplit]]): q90's synthetic URLs reduced to their
     * registrable domain, split by the DOMAIN hash — every page of a

@@ -354,6 +354,62 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        SELECT node, r AS rank_micro FROM r$iterations ORDER BY node"""
   }
 
+  /** q174: [[graft.operators.Graph.hits]]'s rounds unrolled as CTEs
+    * over the q107 co-purchase graph (simple directed: distinct
+    * edges, self-loops dropped). Each half-round is a join-sum plus
+    * an L∞ normalization whose round() expression is stated in the
+    * identical IEEE shape; per-round CTEs are MATERIALIZED (each is
+    * referenced by the next half-round AND the normalizer). */
+  private[graft] def hitsOracle(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""ar$i AS MATERIALIZED (
+           SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
+           FROM e JOIN h${i - 1} h ON h.node = e.src
+           GROUP BY e.dst
+         ), am$i AS MATERIALIZED (
+           SELECT max(raw) AS mx FROM ar$i
+         ), a$i AS MATERIALIZED (
+           SELECT n.node,
+                  CASE WHEN r.raw IS NULL THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round(CAST(r.raw AS DOUBLE) * 1000000.0
+                                       / CAST(m.mx AS DOUBLE)) AS BIGINT)
+                  END AS a
+           FROM nodes n LEFT JOIN ar$i r USING (node) CROSS JOIN am$i m
+         ), hr$i AS MATERIALIZED (
+           SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
+           FROM e JOIN a$i a ON a.node = e.dst
+           GROUP BY e.src
+         ), hm$i AS MATERIALIZED (
+           SELECT max(raw) AS mx FROM hr$i
+         ), h$i AS MATERIALIZED (
+           SELECT n.node,
+                  CASE WHEN r.raw IS NULL THEN CAST(0 AS BIGINT)
+                       ELSE CAST(round(CAST(r.raw AS DOUBLE) * 1000000.0
+                                       / CAST(m.mx AS DOUBLE)) AS BIGINT)
+                  END AS h
+           FROM nodes n LEFT JOIN hr$i r USING (node) CROSS JOIN hm$i m
+         )"""
+    }.mkString(", ")
+    s"""WITH adj AS (
+         SELECT l_partkey AS src,
+                lead(l_partkey) OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+         FROM lineitem
+       ), e AS MATERIALIZED (
+         SELECT DISTINCT src, dst
+         FROM adj WHERE dst IS NOT NULL AND src <> dst
+       ), nodes AS MATERIALIZED (
+         SELECT src AS node FROM e UNION SELECT dst FROM e
+       ), h0 AS (
+         SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+       ), $iterCtes
+       SELECT n.node, a.a AS auth_micro, h.h AS hub_micro
+       FROM nodes n JOIN a$iterations a USING (node)
+                    JOIN h$iterations h USING (node)
+       ORDER BY node"""
+  }
+
   /** Unrolled micro-quantized Lloyd's oracle mirroring
     * [[graft.operators.Cluster.kmeansMicro]]: per iteration an argmin
     * cross join (ties → lowest cell), a per-(cell,dim) integer mean

@@ -1945,7 +1945,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT * FROM w0
          UNION ALL
          SELECT * FROM w1
-         ORDER BY wave, key_micro DESC, doc_id""") ++
+         ORDER BY wave, key_micro DESC, doc_id""",
+    "q174_hits" -> hitsOracle(iterations = 3)) ++
     modelOracles
 
 }

@@ -211,7 +211,8 @@ object SparkEntry
     "q170_sorted_neighbor_dedup" -> (q170 _),
     "q171_weighted_sample" -> (q171 _),
     "q172_kcore" -> (q172 _),
-    "q173_stream_weighted_sample" -> (q173 _))
+    "q173_stream_weighted_sample" -> (q173 _),
+    "q174_hits" -> (q174 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

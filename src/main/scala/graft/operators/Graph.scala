@@ -83,6 +83,68 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg), `iterations` rounds of
+    * the mutual-reinforcement fixpoint over a simple directed graph:
+    * `a(v) = Σ_{u→v} h(u)`, `h(u) = Σ_{u→v} a(v)` — the second
+    * link-analysis member beside [[pageRank]]: PageRank scores
+    * endorsement FLOW, HITS separates curation pages (hubs: link to
+    * many good sources) from content pages (authorities: linked by
+    * many good hubs) — the crawl-seed-list / source-directory split
+    * a web-scale pipeline wants.
+    *
+    * Determinism: scores are integer micros; each half-round
+    * re-normalizes by the L∞ norm (divide by the round's MAX, a
+    * single order-independent aggregate) instead of the textbook L2
+    * — one multiply + one divide + one round per node in identical
+    * IEEE shape on both engines, so an unrolled-CTE oracle
+    * hash-matches the whole trajectory (the [[pageRank]]
+    * discipline). The score RANKING is what HITS means; the L∞
+    * scale fixes the leader at exactly 10⁶.
+    *
+    * Scale shape per half-round: one hash join of the edge list with
+    * a node-score frame + a map-side-combined groupBy sum, plus a
+    * 1-row max broadcast. Output: (node, auth_micro, hub_micro) for
+    * every node of the graph. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, checkpoint: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__raw").isNull, lit(0L))
+            .otherwise(round(col("__raw").cast("double") * lit(1000000.0)
+              / col("__mx").cast("double")).cast("long"))
+            .as(outCol))
+    }
+    var hubs = nodes.withColumn("hub_micro", lit(1000000L))
+    var auths = nodes.withColumn("auth_micro", lit(0L))
+    for (_ <- 0 until iterations) {
+      val ar = e.join(hubs.select(col("node").as("__src"),
+          col("hub_micro")), Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("hub_micro")).as("__raw"))
+      auths = normalized(ar, "auth_micro")
+      val hr = e.join(auths.select(col("node").as("__dst"),
+          col("auth_micro")), Seq("__dst"))
+        .groupBy(col("__src").as("node"))
+        .agg(sum(col("auth_micro")).as("__raw"))
+      hubs = normalized(hr, "hub_micro")
+      if (checkpoint) {
+        auths = auths.localCheckpoint(true)
+        hubs = hubs.localCheckpoint(true)
+      }
+    }
+    auths.join(hubs, Seq("node"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph of
     * `edges` (direction/duplicates/self-loops dropped) — the classic
     * degree-ordered distributed algorithm: orient every edge from

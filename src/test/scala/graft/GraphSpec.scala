@@ -107,6 +107,33 @@ class GraphSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe out
   }
 
+  test("hits: star and bipartite fixpoints hit exact micro values, " +
+      "duplicates/self-loops dropped, partition-invariant") {
+    // star: 0 -> {1,2,3}. Center: pure hub; leaves: pure authorities.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 0L), (0L, 1L))
+      .toDF("s", "d")
+    val sOut = Graph.hits(star, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sOut(0L) shouldBe ((0L, 1000000L))          // auth 0, hub max
+    Seq(1L, 2L, 3L).foreach(sOut(_) shouldBe ((1000000L, 0L)))
+    // bipartite with an extra edge: hubs {1,2} -> auths {3,4}, 2 -> 5.
+    // After round 1: a = (3:1e6, 4:1e6, 5:5e5); h-raw = (1:2e6,
+    // 2:2.5e6) -> h = (1:8e5, 2:1e6). Round 2+ is the fixpoint ratio.
+    val bi = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (2L, 5L))
+      .toDF("s", "d")
+    val bOut = Graph.hits(bi, "s", "d", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bOut(3L)._1 shouldBe 1000000L
+    bOut(4L)._1 shouldBe 1000000L
+    bOut(5L)._1 shouldBe 500000L
+    bOut(1L)._2 shouldBe 800000L
+    bOut(2L)._2 shouldBe 1000000L
+    val repart = Graph.hits(bi.repartition(7), "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    repart shouldBe Graph.hits(bi, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
   test("kCore: k=1 keeps every non-isolated node; an over-tight k " +
       "empties the graph without error") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
