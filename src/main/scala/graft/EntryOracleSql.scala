@@ -1946,7 +1946,53 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          UNION ALL
          SELECT * FROM w1
          ORDER BY wave, key_micro DESC, doc_id""",
-    "q174_hits" -> hitsOracle(iterations = 3)) ++
+    "q174_hits" -> hitsOracle(iterations = 3),
+    "q175_chunk_scrub" ->
+      s"""WITH ${boilerplateCorpusSql}hs AS (
+           SELECT doc_id, text,
+                  [list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT)
+                                for j in range(0, 8)],
+                               (a, c) -> (a * 257 + c) % 1000000007)
+                   for i in range(1, greatest(length(text) - 8 + 2, 1))] AS h
+           FROM corpus
+         ), cut AS (
+           SELECT doc_id, text,
+                  [i + 7 for i in range(1, len(h) + 1)
+                   if h[i] % 32 = 0 AND i + 7 < length(text)] AS c
+           FROM hs
+         ), bnd AS (
+           SELECT doc_id, text,
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_append(c, CAST(length(text) AS BIGINT))) AS b
+           FROM cut
+         ), chunks AS (
+           SELECT doc_id,
+                  unnest([substr(text, b[i] + 1, b[i + 1] - b[i])
+                          for i in range(1, len(b))]) AS chunk,
+                  unnest(range(1, len(b))) AS pos
+           FROM bnd
+         ), ch AS (
+           SELECT doc_id, pos, chunk, md5(chunk) AS hh
+           FROM chunks WHERE chunk <> ''
+         ), spread AS (
+           SELECT hh, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY hh
+         ), agg AS (
+           SELECT c.doc_id,
+                  CAST(sum(CASE WHEN s.n_docs < 6 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept,
+                  CAST(sum(CASE WHEN s.n_docs >= 6 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dropped,
+                  string_agg(CASE WHEN s.n_docs < 6 THEN c.chunk END, ''
+                             ORDER BY c.pos) AS clean_text
+           FROM ch c JOIN spread s USING (hh)
+           GROUP BY c.doc_id
+         )
+         SELECT d.doc_id,
+                coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                coalesce(a.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM corpus d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""") ++
     modelOracles
 
 }

@@ -563,6 +563,20 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Boilerplate-chunk scrub with reassembly
+    * ([[graft.operators.TextAnalysis.scrubSharedChunks]]) over the
+    * q115 planted-boilerplate corpus: chunks appearing in ≥ 6
+    * distinct documents are dropped and the surviving chunks
+    * re-concatenated in order — the 12-copy banner is scrubbed from
+    * every host while organic text survives. The oracle rebuilds
+    * the identical chunking, df counts, AND the reassembled
+    * `clean_text` strings, so the cleaned corpus itself
+    * hash-matches, not just the drop counts. */
+  private[graft] def q175(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scrubSharedChunks(corpusWithBoilerplate(s, dir),
+        "text", "doc_id", k = 8, maskBits = 5, maxDf = 6)
+      .orderBy("doc_id")
+
   /** k-core of the mutual-6-NN similarity graph
     * ([[graft.operators.Ann.mutualKnnEdges]] →
     * [[graft.operators.Graph.kCore]], k = 3): reciprocated cosine

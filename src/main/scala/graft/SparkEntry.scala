@@ -212,7 +212,8 @@ object SparkEntry
     "q171_weighted_sample" -> (q171 _),
     "q172_kcore" -> (q172 _),
     "q173_stream_weighted_sample" -> (q173 _),
-    "q174_hits" -> (q174 _))
+    "q174_hits" -> (q174 _),
+    "q175_chunk_scrub" -> (q175 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -482,6 +482,54 @@ object TextAnalysis {
     toColumn(graft.functions.CdcChunksExpr(toExpression(text), k, maskBits))
   }
 
+  /** Boilerplate-chunk SCRUB with document reassembly — the CCNet /
+    * RefinedWeb cleaning rule, at chunk granularity: split every
+    * document into content-defined chunks ([[cdcChunks]], so a
+    * boilerplate banner chunks identically wherever it is pasted),
+    * count each chunk's document frequency across the corpus, drop
+    * every instance whose chunk appears in ≥ `maxDf` distinct
+    * documents, and REASSEMBLE the surviving chunks in document
+    * order. Unlike q115's diagnostic (which only counts shared
+    * chunks), this emits the cleaned corpus itself.
+    *
+    * Scale shape: one projection (the chunker), one digest-keyed
+    * df aggregate (map-side combined, output bounded by distinct
+    * chunks), one digest-keyed join back, and one per-document
+    * ordered re-concat — an id-keyed aggregate whose state is the
+    * document's own chunk list. No cross-document comparisons
+    * anywhere: boilerplate removal at 100 TB is frequency counting,
+    * not pairwise matching. Documents whose every chunk is dropped
+    * (or whose text is empty) survive with `clean_text = ''`.
+    *
+    * Output: (id, n_kept, n_dropped, clean_text). */
+  def scrubSharedChunks(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, maskBits: Int = 5, maxDf: Int = 2): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val ch = docs
+      .select(col(idCol),
+        posexplode(cdcChunks(col(textCol), k, maskBits))
+          .as(Seq("__pos", "__chunk")))
+      .withColumn("__hh", md5(col("__chunk")))
+    val spread = ch.groupBy(col("__hh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val keepFlag = col("__df") < maxDf
+    val agg = ch.join(spread, Seq("__hh"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(keepFlag, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(keepFlag, lit(0L)).otherwise(lit(1L))).as("n_dropped"),
+        concat_ws("", transform(
+          sort_array(collect_list(
+            when(keepFlag, struct(col("__pos"), col("__chunk"))))),
+          x => x("__chunk"))).as("clean_text"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def winnowNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int, minShared: Long,
                            maxDocFreq: Long = 50L): DataFrame = {

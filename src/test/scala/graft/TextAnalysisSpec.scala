@@ -410,4 +410,39 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getString(1)))
     floored shouldBe Array(("p", "q"))
   }
+
+  test("scrubSharedChunks: shared chunks dropped everywhere, unique " +
+      "docs reassemble to their exact original text, empty survives") {
+    val banner = "subscribe to our newsletter today for the latest " +
+      "updates and offers from the site please do it now thanks"
+    val organic1 = "the quick brown fox considered the lazy dog with " +
+      "a measure of genuine professional respect and continued on"
+    val organic2 = "completely unrelated discussion of spark plans " +
+      "and shuffle boundaries in a distributed execution engine"
+    val docs = Seq(
+      (1L, banner), (2L, banner), (3L, banner), // df = 3 -> scrubbed
+      (4L, organic1), (5L, organic2),           // unique -> untouched
+      (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubSharedChunks(docs, "text", "doc_id",
+        k = 8, maskBits = 4, maxDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L)
+    Seq(1L, 2L, 3L).foreach { id =>
+      out(id)._1 shouldBe 0L          // nothing kept
+      out(id)._2 should be >= 1L      // every chunk dropped
+      out(id)._3 shouldBe ""
+    }
+    // unique docs reassemble EXACTLY (order-preserving concat)
+    out(4L)._2 shouldBe 0L
+    out(4L)._3 shouldBe organic1
+    out(5L)._3 shouldBe organic2
+    out(6L) shouldBe ((0L, 0L, ""))
+    // partition-invariant
+    val re = TextAnalysis.scrubSharedChunks(docs.repartition(7), "text",
+        "doc_id", k = 8, maskBits = 4, maxDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    re shouldBe out
+  }
 }
