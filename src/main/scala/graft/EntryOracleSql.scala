@@ -1992,7 +1992,27 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 coalesce(a.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
                 coalesce(a.clean_text, '') AS clean_text
          FROM corpus d LEFT JOIN agg a USING (doc_id)
-         ORDER BY doc_id""") ++
+         ORDER BY doc_id""",
+    "q176_transition_matrix" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS to_type
+           FROM events
+         ), pairs AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+           FROM seq WHERE to_type IS NOT NULL
+           GROUP BY 1, 2
+         ), tot AS (
+           SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS t
+           FROM pairs GROUP BY 1
+         )
+         SELECT p.from_type, p.to_type, p.n_trans,
+                CAST(round(CAST(p.n_trans AS DOUBLE) * 1000000.0
+                           / CAST(t.t AS DOUBLE)) AS BIGINT) AS p_micro
+         FROM pairs p JOIN tot t USING (from_type)
+         ORDER BY from_type, to_type""") ++
     modelOracles
 
 }

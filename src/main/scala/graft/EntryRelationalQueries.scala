@@ -473,6 +473,20 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  /** First-order Markov transition matrix
+    * ([[graft.operators.Funnel.transitionMatrix]]): consecutive
+    * event-type pairs per user under the (ts, event_id) total
+    * order, row-normalized to integer-micro probabilities — the
+    * session-behavior fingerprint. Per-key windows (no global
+    * sort), |types|²-bounded pair counts, broadcast row totals. */
+  private[graft] def q176(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(
+        t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")),
+        "user_id", "event_type", Seq(col("ts_us"), col("event_id")))
+      .orderBy("from_type", "to_type")
+
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private[graft] def q33(s: SparkSession, dir: String): DataFrame =

@@ -213,7 +213,8 @@ object SparkEntry
     "q172_kcore" -> (q172 _),
     "q173_stream_weighted_sample" -> (q173 _),
     "q174_hits" -> (q174 _),
-    "q175_chunk_scrub" -> (q175 _))
+    "q175_chunk_scrub" -> (q175 _),
+    "q176_transition_matrix" -> (q176 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

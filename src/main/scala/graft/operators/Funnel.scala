@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered conversion funnel — per key, the earliest event time of
@@ -49,5 +49,40 @@ object Funnel {
       .reduce(_ + _)
     acc.withColumn("stages_reached", reached.cast("long"))
       .withColumnRenamed("__k", keyCol)
+  }
+
+  /** First-order Markov TRANSITION MATRIX over per-key event
+    * sequences: count every consecutive (from → to) event-type pair
+    * under the per-key total order `orderCols`, then row-normalize
+    * to integer-micro probabilities — the behavioral fingerprint
+    * (session model, next-event predictor baseline, bot-vs-human
+    * signature) of event analytics.
+    *
+    * Shape: one window `lead` per event (partitioned BY KEY — never
+    * a global sort), one map-side-combined pair count bounded by
+    * |types|², and a broadcast-sized row-total join. Probabilities
+    * are `round(cnt·10⁶ / row_total)` in one multiply-divide of
+    * exact-integer-valued doubles, so a cross-engine oracle states
+    * the identical IEEE expression.
+    *
+    * `orderCols` must totally order each key's events (ties would
+    * make `lead` nondeterministic). Output:
+    * (from_type, to_type, n_trans, p_micro). */
+  def transitionMatrix(events: DataFrame, keyCol: String,
+      typeCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val pairs = events
+      .select(col(keyCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast("double") * lit(1000000.0)
+          / col("__tot").cast("double")).cast("long").as("p_micro"))
   }
 }

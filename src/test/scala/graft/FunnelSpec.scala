@@ -60,4 +60,27 @@ class FunnelSpec extends SparkSpec with Matchers {
       .toMap
     repart shouldBe out
   }
+
+  test("transitionMatrix: exact pair counts per key, no cross-key " +
+      "transitions, micro rows sum to ~1e6, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // user 1: a a b a  -> (a,a) (a,b) (b,a); user 2: b a -> (b,a)
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 15L, "b"), (2L, 25L, "a")).toDF("k", "t", "e")
+    val out = Funnel.transitionMatrix(ev, "k", "e", Seq(col("t")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    out.keySet shouldBe Set(("a", "a"), ("a", "b"), ("b", "a"))
+    out(("a", "a")) shouldBe ((1L, 500000L))
+    out(("a", "b")) shouldBe ((1L, 500000L))
+    out(("b", "a")) shouldBe ((2L, 1000000L)) // user 1's b->a + user 2's
+    // no transition bridges user 1's last event to user 2's first
+    out.values.map(_._1).sum shouldBe 4L
+    val re = Funnel.transitionMatrix(ev.repartition(5), "k", "e",
+        Seq(col("t")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    re shouldBe out
+  }
 }
