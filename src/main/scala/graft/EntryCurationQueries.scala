@@ -263,6 +263,26 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Deterministic random walks ([[Graph.randomWalks]], 4 hops from
+    * every 50th part) over the q107 co-purchase graph — the
+    * DeepWalk corpus generator with hash-driven hops, so the full
+    * walk corpus is oracle-replayable hop by hop. Two hash joins
+    * per hop, one row per live walk, sinks absorb. */
+  private[graft] def q177(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val starts = t(s, dir, "part")
+      .filter(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey"))
+    Graph.randomWalks(edges, "src", "dst", starts, "p_partkey",
+        steps = 4, salt = "walk")
+      .orderBy("start", "step")
+  }
+
   /** Leakage-safe GROUPED split ([[graft.operators.Curation
     * .groupedSplit]]): q90's synthetic URLs reduced to their
     * registrable domain, split by the DOMAIN hash — every page of a

@@ -410,6 +410,48 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        ORDER BY node"""
   }
 
+  /** q177: [[graft.operators.Graph.randomWalks]] replayed hop by
+    * hop — dst-sorted neighbor indexing, the md5 hop coordinate
+    * `salt:start:t:node`, sink absorption via inner joins. */
+  private[graft] def randomWalksOracle(steps: Int, startMod: Int,
+      salt: String): String = {
+    val hopCtes = (1 to steps).map { t =>
+      s""", w$t AS MATERIALIZED (
+           SELECT f.start, a.dst AS node, CAST($t AS BIGINT) AS step
+           FROM w${t - 1} f
+           JOIN deg d ON d.src = f.node
+           JOIN adj a ON a.src = f.node AND a.idx =
+             ('0x' || substr(md5('$salt:' || CAST(f.start AS VARCHAR)
+                || ':$t:' || CAST(f.node AS VARCHAR)), 1, 14))::BIGINT
+             % d.deg
+         )"""
+    }.mkString
+    val unions = (0 to steps).map(t => s"SELECT * FROM w$t")
+      .mkString(" UNION ALL ")
+    s"""WITH adj0 AS (
+         SELECT l_partkey AS src,
+                lead(l_partkey) OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+         FROM lineitem
+       ), e AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM adj0 WHERE dst IS NOT NULL
+       ), adj AS MATERIALIZED (
+         SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                  AS idx
+         FROM e
+       ), deg AS MATERIALIZED (
+         SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       ), w0 AS (
+         SELECT p_partkey AS start, p_partkey AS node,
+                CAST(0 AS BIGINT) AS step
+         FROM part WHERE p_partkey % $startMod = 0
+       )$hopCtes
+       SELECT start, node, step FROM ($unions)
+       ORDER BY start, step"""
+  }
+
   /** Unrolled micro-quantized Lloyd's oracle mirroring
     * [[graft.operators.Cluster.kmeansMicro]]: per iteration an argmin
     * cross join (ties → lowest cell), a per-(cell,dim) integer mean

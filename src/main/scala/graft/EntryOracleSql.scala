@@ -2012,7 +2012,9 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(round(CAST(p.n_trans AS DOUBLE) * 1000000.0
                            / CAST(t.t AS DOUBLE)) AS BIGINT) AS p_micro
          FROM pairs p JOIN tot t USING (from_type)
-         ORDER BY from_type, to_type""") ++
+         ORDER BY from_type, to_type""",
+    "q177_random_walks" ->
+      randomWalksOracle(steps = 4, startMod = 50, salt = "walk")) ++
     modelOracles
 
 }

@@ -214,7 +214,8 @@ object SparkEntry
     "q173_stream_weighted_sample" -> (q173 _),
     "q174_hits" -> (q174 _),
     "q175_chunk_scrub" -> (q175 _),
-    "q176_transition_matrix" -> (q176 _))
+    "q176_transition_matrix" -> (q176 _),
+    "q177_random_walks" -> (q177 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

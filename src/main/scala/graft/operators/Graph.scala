@@ -247,4 +247,60 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
   }
+
+  /** DETERMINISTIC random walks (the DeepWalk/node2vec corpus
+    * generator, made replayable): one walk of `steps` hops from
+    * every start node, where the hop taken at step `t` from node `v`
+    * is neighbor index `md5(salt:start:t:v) mod deg(v)` over the
+    * dst-sorted adjacency — hash-driven pseudo-randomness instead of
+    * RNG state, so the walk corpus is partition-invariant, stable
+    * under re-runs, and bit-replayable by an oracle engine (the
+    * [[graft.operators.Curation.sampleHash]] rationale; a seeded RNG
+    * would re-roll with the task layout). Including `start` in the
+    * coordinate decorrelates walks that cross the same node;
+    * including `t` lets a walk revisit a node without looping
+    * forever on the same choice.
+    *
+    * Shape per hop: the frontier (one row per live walk) joins the
+    * degree table then the (src, idx)-keyed adjacency — two hash
+    * joins, no fan-out beyond one row per walk. The adjacency index
+    * is a per-src window (partitioned, never global). Walks absorb
+    * at sinks: a node with no out-edges ends its walk (inner join
+    * drops it). Output: (start, step, node), step 0 = the start
+    * itself. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, startCol: String, steps: Int,
+      salt: String): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src")).orderBy(col("__dst"))
+    val adj = e.withColumn("__idx", row_number().over(w) - lit(1))
+      .select(col("__src").as("__asrc"), col("__dst"), col("__idx"))
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      .select(col("__src").as("__dsrc"), col("__deg"))
+    var frontier = starts
+      .select(col(startCol).cast("long").as("start"))
+      .distinct()
+      .select(col("start"), col("start").as("node"),
+        lit(0L).as("step"))
+    var acc = frontier
+    for (t <- 1 to steps) {
+      val chosen = frontier
+        .join(deg, col("node") === col("__dsrc"))
+        .withColumn("__pick",
+          pmod(Curation.sampleHash(
+            concat_ws(":", col("start"), lit(t), col("node")), salt),
+            col("__deg")))
+      val nxt = chosen
+        .join(adj, col("node") === col("__asrc")
+          && col("__pick") === col("__idx"))
+        .select(col("start"), col("__dst").as("node"),
+          lit(t.toLong).as("step"))
+      frontier = nxt
+      acc = acc.unionAll(nxt)
+    }
+    acc
+  }
 }

@@ -134,6 +134,42 @@ class GraphSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
+  test("randomWalks: every hop follows a real edge, step 0 is the " +
+      "start, sinks absorb, deterministic and partition-invariant, " +
+      "salts decorrelate") {
+    // 1 -> {2,3}; 2 -> {3,4}; 3 -> {1,4}; 4 is a sink.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 4L))
+    val starts = Seq(1L, 2L, 3L, 4L).toDF("n")
+    def walks(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Graph.randomWalks(df, "s", "d", starts, "n", steps = 6, salt)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))) // start, step, node
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val out = walks(edges, "s1")
+    // step 0 is the start node for every walk
+    out.foreach { case (start, path) => path.head shouldBe start }
+    // every consecutive hop is a real directed edge
+    out.values.foreach { path =>
+      path.sliding(2).foreach {
+        case Seq(a, b) => edgeSet should contain ((a, b))
+        case _         =>
+      }
+    }
+    // node 4 is a sink: its walk is just the start position, and any
+    // walk reaching 4 ends there (4 never appears mid-path)
+    out(4L) shouldBe Seq(4L)
+    out.values.foreach { p =>
+      p.dropRight(1) should not contain 4L
+    }
+    walks(edges.repartition(7), "s1") shouldBe out
+    // a different salt re-rolls at least one hop somewhere
+    walks(edges, "s2") should not equal out
+  }
+
   test("kCore: k=1 keeps every non-isolated node; an over-tight k " +
       "empties the graph without error") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
