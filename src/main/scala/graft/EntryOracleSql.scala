@@ -2014,7 +2014,58 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM pairs p JOIN tot t USING (from_type)
          ORDER BY from_type, to_type""",
     "q177_random_walks" ->
-      randomWalksOracle(steps = 4, startMod = 50, salt = "walk")) ++
+      randomWalksOracle(steps = 4, startMod = 50, salt = "walk"),
+    "q178_ams_join_size" ->
+      """WITH fa AS (
+           SELECT l_partkey AS it, CAST(count(*) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1
+         ), fb AS (
+           SELECT l_partkey AS it, CAST(count(*) AS BIGINT) AS w
+           FROM lineitem WHERE l_quantity < 10 GROUP BY 1
+         ), ex AS (
+           SELECT CAST(sum(fa.w * fb.w) AS BIGINT) AS exact_join_size
+           FROM fa JOIN fb USING (it)
+         ), sa AS (
+           SELECT h, CAST(sum(CASE WHEN ('0x' || substr(md5('amsj:'
+                        || CAST(h AS VARCHAR) || ':'
+                        || CAST(it AS VARCHAR)), 1, 14))::BIGINT % 2 = 0
+                      THEN w ELSE -w END) AS BIGINT) AS s
+           FROM fa CROSS JOIN (SELECT unnest(range(0, 16)) AS h)
+           GROUP BY h
+         ), sb AS (
+           SELECT h, CAST(sum(CASE WHEN ('0x' || substr(md5('amsj:'
+                        || CAST(h AS VARCHAR) || ':'
+                        || CAST(it AS VARCHAR)), 1, 14))::BIGINT % 2 = 0
+                      THEN w ELSE -w END) AS BIGINT) AS s
+           FROM fb CROSS JOIN (SELECT unnest(range(0, 16)) AS h)
+           GROUP BY h
+         ), num AS (
+           SELECT CAST(sum(sa.s * sb.s) AS BIGINT) AS n
+           FROM sa JOIN sb USING (h)
+         )
+         SELECT e.exact_join_size,
+                CAST(floor(CAST(n.n AS DOUBLE) / 16) AS BIGINT)
+                  AS join_size_est
+         FROM ex e CROSS JOIN num n""",
+    "q179_winsorized_stats" ->
+      """WITH b AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY 1
+         )
+         SELECT e.event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                min(b.lo) AS lo, min(b.hi) AS hi,
+                CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped_lo,
+                CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped_hi,
+                CAST(sum(CAST(round(least(greatest(e.value, b.lo), b.hi)
+                                    * 100.0) AS BIGINT)) AS BIGINT)
+                  AS win_sum_cents
+         FROM events e JOIN b USING (event_type)
+         GROUP BY 1 ORDER BY 1""") ++
     modelOracles
 
 }

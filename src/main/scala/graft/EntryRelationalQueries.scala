@@ -487,6 +487,18 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         "user_id", "event_type", Seq(col("ts_us"), col("event_id")))
       .orderBy("from_type", "to_type")
 
+  /** Winsorized robust stats ([[graft.operators.Analyze
+    * .winsorizedStats]]): per event type, `value` clamped to its
+    * [p5, p95] interpolated percentiles with clipped counts and the
+    * winsorized sum in exact cents — the outlier-robust metric
+    * summary. Percentile bounds broadcast back (|groups| rows);
+    * the clamp-and-sum pass is order-free integer arithmetic. */
+  private[graft] def q179(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.winsorizedStats(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value", pLo = 0.05, pHi = 0.95)
+      .orderBy("event_type")
+
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private[graft] def q33(s: SparkSession, dir: String): DataFrame =

@@ -545,6 +545,27 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     exact.join(est, Seq("source")).orderBy("source")
   }
 
+  /** AMS join-size estimation ([[graft.operators.Sketch
+    * .amsJoinSize]]): |lineitem ⋈ low-quantity-lineitem| on
+    * l_partkey, estimated from 2×16 signed longs beside the exact
+    * Σ f_A·f_B — the pre-shuffle cardinality probe of a 100 TB
+    * planner. Signs ride the shared md5 coordinate, so the oracle
+    * replays every estimator's inner product; the estimate column
+    * is certified exactly. */
+  private[graft] def q178(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fa = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("fa"))
+    val fb = li.filter(col("l_quantity") < 10)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, Seq("l_partkey"))
+      .agg(sum(col("fa") * col("fb")).as("exact_join_size"))
+    val est = Sketch.amsJoinSize(fa, "l_partkey", "fa",
+      fb, "l_partkey", "fb", depth = 16, salt = "amsj")
+    exact.crossJoin(broadcast(est))
+  }
+
   /** Per-node triangle counts ([[graft.operators.Graph
     * .triangleCounts]]) over the q107 co-purchase graph —
     * degree-ordered orientation caps wedge fan-out at O(√m) per

@@ -215,7 +215,9 @@ object SparkEntry
     "q174_hits" -> (q174 _),
     "q175_chunk_scrub" -> (q175 _),
     "q176_transition_matrix" -> (q176 _),
-    "q177_random_walks" -> (q177 _))
+    "q177_random_walks" -> (q177 _),
+    "q178_ams_join_size" -> (q178 _),
+    "q179_winsorized_stats" -> (q179 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

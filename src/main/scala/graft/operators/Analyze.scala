@@ -16,6 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object Analyze {
 
+  /** Per-group WINSORIZED robust statistics: clamp a numeric column
+    * to its group's [pLo, pHi] interpolated percentiles and report
+    * the clipped counts plus the winsorized sum in exact integer
+    * cents — the outlier-robust metric summary (sensor spikes, bot
+    * bursts, fat-finger values) that a plain mean is wrecked by.
+    *
+    * Shape: one exact percentile aggregate per group (Spark's
+    * `percentile`, the same interpolation as `quantile_cont` — the
+    * q109 cross-engine identity), then the bounds — |groups| rows —
+    * broadcast back for a single clamp-and-sum pass. Two scans, one
+    * group-keyed shuffle of partial aggregates, never a global sort.
+    * The winsorized sum is Σ round(clamp(v)·100) — order-free exact
+    * integers, so an oracle restates it verbatim.
+    *
+    * Output: (groupCol, n, lo, hi, n_clipped_lo, n_clipped_hi,
+    * win_sum_cents). */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $pLo)").as("lo"),
+      expr(s"percentile($valueCol, $pHi)").as("hi"))
+    val win = least(greatest(col("__v"), col("lo")), col("hi"))
+    df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(when(col("__v") < col("lo"), lit(1L)).otherwise(lit(0L)))
+          .as("n_clipped_lo"),
+        sum(when(col("__v") > col("hi"), lit(1L)).otherwise(lit(0L)))
+          .as("n_clipped_hi"),
+        sum(round(win * lit(100.0)).cast("long")).as("win_sum_cents"))
+  }
+
   /** 7-region Venn cardinalities for three key sets, in ONE pass:
     * distinct each side, full-outer join on the key (using-column
     * joins coalesce the key), then count by membership pattern.

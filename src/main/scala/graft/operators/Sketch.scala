@@ -89,6 +89,35 @@ object Sketch {
         floor(col("__est_num") / lit(depth)).cast("long").as("ams_est"))
   }
 
+  /** AMS INNER-PRODUCT estimate of the equi-join size between two
+    * weighted item streams: E[Σ_h s_A(h)·s_B(h) / depth] =
+    * Σ_v f_A(v)·f_B(v) — the |A ⋈ B| row count, estimated from
+    * 2·depth signed longs without materializing either frequency
+    * table (Alon–Gibbons–Matias–Szegedy). The planner signal a
+    * 100 TB engine reads BEFORE committing to a join order or a
+    * shuffle size: both sides stream once through map-side-combined
+    * sign-sums; no key ever shuffles. Both sketches must share the
+    * same (depth, salt) sign family — enforced here by construction.
+    * Returns one row: (join_size_est). */
+  def amsJoinSize(a: DataFrame, itemColA: String, weightColA: String,
+                  b: DataFrame, itemColB: String, weightColB: String,
+                  depth: Int, salt: String): DataFrame = {
+    require(depth >= 1, "depth must be positive")
+    def sketch(df: DataFrame, ic: String, wc: String, out: String) =
+      df.select(col(ic).as("__it"), col(wc).cast("long").as("__w"))
+        .withColumn("h", explode(array((0 until depth).map(i => lit(i)): _*)))
+        .withColumn("__sgn",
+          when(cmBucket(col("__it"), col("h"), 2, salt) === 0L, 1L)
+            .otherwise(-1L))
+        .groupBy(col("h"))
+        .agg(sum(col("__sgn") * col("__w")).as(out))
+    sketch(a, itemColA, weightColA, "__sa")
+      .join(sketch(b, itemColB, weightColB, "__sb"), Seq("h"))
+      .agg(sum(col("__sa") * col("__sb")).as("__num"))
+      .select(floor(col("__num") / lit(depth)).cast("long")
+        .as("join_size_est"))
+  }
+
   /** Bloom filter build over `items`: one row per SET BIT, `(pos)`,
     * bounded by `numBits` rows regardless of item count — like the
     * CMS build, `groupBy(pos)` makes partial aggregation the filter

@@ -122,4 +122,35 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     out.forall(_.getAs[Boolean]("axis_optimal")) shouldBe true
     out.forall(_.getAs[Boolean]("norm_contract")) shouldBe true
   }
+
+  test("winsorizedStats: hand-computed interpolated bounds, clipped " +
+      "counts, exact winsorized cents, per-group isolation, " +
+      "partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // group g: 1..20 -> lo = 1.95, hi = 19.05 (linear interpolation);
+    // one value clips each side; win sum = 1.95 + Σ(2..19) + 19.05 = 210
+    val rows = (1 to 20).map(v => ("g", v.toDouble)) ++
+      Seq(("h", 5.0), ("h", 100.0)) // tiny group: bounds interpolate inside
+    val df = rows.toDF("grp", "v")
+    val out = Analyze.winsorizedStats(df, "grp", "v", 0.05, 0.95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    g.getAs[Long]("n") shouldBe 20L
+    g.getAs[Double]("lo") shouldBe 1.95 +- 1e-12
+    g.getAs[Double]("hi") shouldBe 19.05 +- 1e-12
+    g.getAs[Long]("n_clipped_lo") shouldBe 1L
+    g.getAs[Long]("n_clipped_hi") shouldBe 1L
+    g.getAs[Long]("win_sum_cents") shouldBe 21000L
+    // 2-value group: p05 = 5 + 0.05*95 = 9.75, p95 = 5 + 0.95*95 = 95.25
+    val h = out("h")
+    h.getAs[Long]("n_clipped_lo") shouldBe 1L
+    h.getAs[Long]("n_clipped_hi") shouldBe 1L
+    h.getAs[Long]("win_sum_cents") shouldBe (975L + 9525L)
+    val re = Analyze.winsorizedStats(df.repartition(7), "grp", "v",
+        0.05, 0.95)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("win_sum_cents")).toMap
+    re("g") shouldBe 21000L
+    re("h") shouldBe 10500L
+  }
 }

@@ -135,4 +135,30 @@ class SketchSpec extends SparkSpec {
       Sketch.countMinEstimate(sketch, items.withColumn("h", lit(1)), "item", 2, 8, "t")
     }
   }
+
+  test("amsJoinSize: self-join estimate equals the AMS F2 estimate, " +
+      "identical frequency tables estimate exactly like F2, " +
+      "partition-invariant") {
+    import spark.implicits._
+    val freqs = (1 to 200).map(i => (s"k$i", (i % 7 + 1).toLong))
+      .toDF("item", "w")
+    val self = Sketch.amsJoinSize(freqs, "item", "w", freqs, "item", "w",
+      depth = 8, salt = "t").head().getLong(0)
+    // A = B makes every estimator product a square: the inner-product
+    // sketch degenerates to amsF2's Σs²/depth on the same sign family
+    val f2 = Sketch.amsF2(freqs.withColumn("g", lit(1)), "g", "item", "w",
+      depth = 8, salt = "t").head().getAs[Long]("ams_est")
+    assert(self == f2)
+    val repart = Sketch.amsJoinSize(freqs.repartition(7), "item", "w",
+      freqs.repartition(5), "item", "w", depth = 8, salt = "t")
+      .head().getLong(0)
+    assert(repart == self)
+    // the estimate tracks the true inner product within the AMS
+    // error band on this fixed deterministic draw (true Σf² here);
+    // deeper sketch → tighter band (std ≈ sqrt(2/depth)·F2)
+    val deep = Sketch.amsJoinSize(freqs, "item", "w", freqs, "item", "w",
+      depth = 64, salt = "t").head().getLong(0)
+    val exact = (1 to 200).map(i => { val w = (i % 7 + 1).toLong; w * w }).sum
+    assert(math.abs(deep - exact).toDouble / exact < 0.5)
+  }
 }
