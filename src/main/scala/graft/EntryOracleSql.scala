@@ -2065,6 +2065,25 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                                     * 100.0) AS BIGINT)) AS BIGINT)
                   AS win_sum_cents
          FROM events e JOIN b USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+    "q180_skew_join" ->
+      """WITH f AS (
+           SELECT CASE WHEN l_orderkey % 4 <> 0 THEN -1
+                       ELSE l_orderkey % 97 END AS skew_key,
+                  l_quantity
+           FROM lineitem
+         ), d AS (
+           SELECT CASE WHEN o_orderkey % 4 <> 0 THEN -1
+                       ELSE o_orderkey % 97 END AS skew_key,
+                  CAST(count(*) AS BIGINT) AS o_cnt
+           FROM orders GROUP BY 1
+         )
+         SELECT f.skew_key,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(f.l_quantity AS BIGINT)) AS BIGINT)
+                  AS sum_qty,
+                min(d.o_cnt) AS o_cnt
+         FROM f JOIN d USING (skew_key)
          GROUP BY 1 ORDER BY 1""") ++
     modelOracles
 

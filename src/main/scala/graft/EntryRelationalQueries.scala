@@ -499,6 +499,34 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         "event_type", "value", pLo = 0.05, pHi = 0.95)
       .orderBy("event_type")
 
+  /** Skew-aware salted equi-join ([[graft.operators.SkewJoin
+    * .skewEquiJoin]]): lineitem re-keyed onto a planted power-law
+    * key (3/4 of rows share `skew_key = -1`) joined to a per-key
+    * orders dim. Hot keys (exact census ≥ 1000 rows) route through
+    * a `buckets`-way salted replica of their dim slice; cold keys
+    * take the plain shuffle join; the union is EXACTLY the plain
+    * join, which is what the oracle states. The salt expression
+    * only balances reducers — it never appears in the result. */
+  private[graft] def q180(s: SparkSession, dir: String): DataFrame = {
+    def sk(k: Column): Column =
+      when(pmod(k, lit(4)) =!= 0, lit(-1L))
+        .otherwise(pmod(k, lit(97)).cast("long"))
+    val fact = t(s, dir, "lineitem")
+      .select(sk(col("l_orderkey")).as("skew_key"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val dim = t(s, dir, "orders")
+      .groupBy(sk(col("o_orderkey")).as("skew_key"))
+      .agg(count(lit(1)).as("o_cnt"))
+    graft.operators.SkewJoin.skewEquiJoin(fact, dim, "skew_key",
+        hotThreshold = 1000L, buckets = 8,
+        saltOf = col("l_orderkey") * lit(7) + col("l_linenumber"))
+      .groupBy(col("skew_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        min(col("o_cnt")).as("o_cnt"))
+      .orderBy("skew_key")
+  }
+
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private[graft] def q33(s: SparkSession, dir: String): DataFrame =

@@ -217,7 +217,8 @@ object SparkEntry
     "q176_transition_matrix" -> (q176 _),
     "q177_random_walks" -> (q177 _),
     "q178_ams_join_size" -> (q178 _),
-    "q179_winsorized_stats" -> (q179 _))
+    "q179_winsorized_stats" -> (q179 _),
+    "q180_skew_join" -> (q180 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }
