@@ -2084,7 +2084,32 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   AS sum_qty,
                 min(d.o_cnt) AS o_cnt
          FROM f JOIN d USING (skew_key)
-         GROUP BY 1 ORDER BY 1""") ++
+         GROUP BY 1 ORDER BY 1""",
+    "q181_inverted_index" ->
+      """WITH tf AS (
+           SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\s+'))
+                          AS term
+                 FROM documents) u
+           WHERE term <> ''
+           GROUP BY 1, 2
+         ), lagged AS (
+           SELECT term, doc_id, tf,
+                  coalesce(lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), 0)
+                    AS prev_doc
+           FROM tf
+         )
+         SELECT term,
+                CAST(count(*) AS BIGINT) AS df_docs,
+                CAST(sum(tf) AS BIGINT) AS tf_total,
+                string_agg(CAST(doc_id - prev_doc AS VARCHAR) || ':'
+                             || CAST(tf AS VARCHAR),
+                           ',' ORDER BY doc_id) AS postings
+         FROM lagged
+         GROUP BY term
+         ORDER BY term""") ++
     modelOracles
 
 }

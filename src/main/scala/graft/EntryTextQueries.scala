@@ -335,6 +335,19 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         Seq("hash", "join", "dup", "window"))
       .orderBy("doc_id")
 
+  /** Inverted index with delta-encoded postings
+    * ([[graft.operators.TextAnalysis.invertedIndex]]): per term its
+    * df, total tf and the canonical `"docgap:tf,…"` posting string
+    * over doc-id-sorted postings — the IR layout artifact the q60
+    * BM25 scorer would serve from. The synthetic corpus has a
+    * 31-term vocabulary with near-uniform high df, so the full index
+    * is emitted (the minDf/maxDf band is pinned by
+    * TextAnalysisSpec); the oracle restates the whole index — every
+    * gap of every posting — via lag() + ordered string_agg. */
+  private[graft] def q181(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("term")
+
   /** Heavy-hitter token counts through the Misra-Gries bounded-state
     * aggregate, run in its exact regime (capacity ≥ distinct tokens —
     * no decrement ever fires) so the summary IS the exact count table

@@ -218,7 +218,8 @@ object SparkEntry
     "q177_random_walks" -> (q177 _),
     "q178_ams_join_size" -> (q178 _),
     "q179_winsorized_stats" -> (q179 _),
-    "q180_skew_join" -> (q180 _))
+    "q180_skew_join" -> (q180 _),
+    "q181_inverted_index" -> (q181 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -244,6 +244,50 @@ object TextAnalysis {
         sum(col("__contrib")).as("bm25"))
   }
 
+  /** Inverted index with DELTA-ENCODED postings: per term, the
+    * document frequency, total term frequency, and the posting list
+    * `"docgap:tf,docgap:tf,…"` over doc ids sorted ascending, each
+    * id encoded as its gap from the previous (first gap = the id
+    * itself) — the IR layout artifact beside the [[bm25]] scorer.
+    * Gap encoding is what makes web-scale postings compress (small
+    * varints instead of raw 64-bit ids); emitting the canonical
+    * string form lets an oracle restate the whole index verbatim.
+    *
+    * Scale shape: one (term, doc) aggregate (map-side combine
+    * absorbs within-doc repetition), then one term-keyed aggregate
+    * whose per-term state is the posting list itself — bounded by
+    * `maxDf`, the stopword cap every production index applies
+    * (stopword postings are elided or impact-sorted separately).
+    * At web scale the index is built per doc-range SEGMENT (run this
+    * operator per shard of a [[graft.operators.Curation]] split) so
+    * no single posting list spans the corpus. `minDf` drops hapax
+    * noise. The gap transform indexes the sorted array positionally
+    * — pure codegen'd expressions, no UDF. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minDf >= 1L && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    val tf = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => t =!= "")).as("term"))
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"),
+        sum(col("__tf")).as("tf_total"),
+        sort_array(collect_list(struct(col("__doc"), col("__tf"))))
+          .as("__ps"))
+      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
+      .select(col("term"), col("df_docs"), col("tf_total"),
+        concat_ws(",", transform(col("__ps"), (x, i) =>
+          concat(
+            (x.getField("__doc") - when(i === 0, lit(0L))
+              .otherwise(element_at(col("__ps"), i).getField("__doc")))
+              .cast("string"),
+            lit(":"), x.getField("__tf").cast("string"))))
+          .as("postings"))
+  }
+
   /** Corpus-trained unigram log-probability quality score — the
     * "does this document look like the corpus" perplexity-lite filter
     * a curation pipeline runs beside the heuristic metrics: documents

@@ -445,4 +445,33 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     re shouldBe out
   }
+
+  test("invertedIndex: hand-computed delta postings, df bounds, " +
+      "case-fold, empty-token drop, partition-invariant") {
+    val docs = Seq(
+      (10L, "Spark spark JOIN"),
+      (13L, "join   the shuffle"), // double space: empty token dropped
+      (25L, "the spark shuffle shuffle"),
+      (40L, "the")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // spark: docs 10(tf2), 25(tf1) -> gaps 10,15
+    out("spark") shouldBe ((2L, 3L, "10:2,15:1"))
+    out("join") shouldBe ((2L, 2L, "10:1,3:1"))
+    out("shuffle") shouldBe ((2L, 3L, "13:1,12:2"))
+    out("the") shouldBe ((3L, 3L, "13:1,12:1,15:1"))
+    out.size shouldBe 4
+    // minDf drops hapax terms, maxDf caps stopwords
+    val bounded = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        minDf = 2L, maxDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    bounded shouldBe Set("spark", "join", "shuffle") // "the" df=3 > maxDf
+    val re = TextAnalysis.invertedIndex(docs.repartition(5), "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    re shouldBe out
+  }
 }
