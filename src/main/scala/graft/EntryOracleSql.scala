@@ -2109,7 +2109,24 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                            ',' ORDER BY doc_id) AS postings
          FROM lagged
          GROUP BY term
-         ORDER BY term""") ++
+         ORDER BY term""",
+    "q182_pareto_frontier" ->
+      """WITH pts AS (
+           SELECT user_id,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS value_cents
+           FROM events GROUP BY 1
+         ), cand AS (
+           SELECT DISTINCT n_events, value_cents FROM pts
+         )
+         SELECT c.n_events, c.value_cents
+         FROM cand c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM cand d
+           WHERE d.n_events >= c.n_events AND d.value_cents >= c.value_cents
+             AND (d.n_events > c.n_events OR d.value_cents > c.value_cents))
+         ORDER BY c.n_events""") ++
     modelOracles
 
 }

@@ -527,6 +527,23 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("skew_key")
   }
 
+  /** Pareto frontier ([[graft.operators.Analyze.paretoFrontier]]):
+    * the undominated (activity, total value) users — per-user
+    * n_events (the naturally bucketed x axis, ≤ ~50 distinct) vs
+    * exact value cents; full point mass collapses in one per-x
+    * max-combine, frontier over the bounded candidate set. Oracle
+    * states dominance directly with NOT EXISTS. */
+  private[graft] def q182(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+    graft.operators.Analyze.paretoFrontier(pts, "n_events", "value_cents")
+      .withColumnRenamed("x", "n_events")
+      .withColumnRenamed("y", "value_cents")
+      .orderBy("n_events")
+  }
+
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private[graft] def q33(s: SparkSession, dir: String): DataFrame =

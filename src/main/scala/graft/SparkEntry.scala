@@ -219,7 +219,8 @@ object SparkEntry
     "q178_ams_join_size" -> (q178 _),
     "q179_winsorized_stats" -> (q179 _),
     "q180_skew_join" -> (q180 _),
-    "q181_inverted_index" -> (q181 _))
+    "q181_inverted_index" -> (q181 _),
+    "q182_pareto_frontier" -> (q182 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -52,6 +52,34 @@ object Analyze {
         sum(round(win * lit(100.0)).cast("long")).as("win_sum_cents"))
   }
 
+  /** 2-D PARETO FRONTIER (skyline), maximizing both coordinates: the
+    * points no other point dominates (x' ≥ x, y' ≥ y, strict in
+    * one). The classic quality-vs-cost trade-off readout (best
+    * model per token budget, most valuable user per activity tier)
+    * whose naive form is an O(n²) dominance anti-join.
+    *
+    * Distributed shape: one per-x keyed aggregate (`max(y)` — map-
+    * side combined, absorbs the full point mass) collapses n points
+    * to |distinct x| candidates; the frontier is then a running
+    * max-from-the-right over the candidates, a single bounded sort.
+    * The caller bounds |distinct x| by quantizing x upstream (grid
+    * skyline) — at 100 TB x is a bucketed axis (token-budget tier,
+    * activity band), never a raw double. Equal-y ties keep the
+    * largest x (the others are dominated); duplicate points emit
+    * once. Output: `(x, y)` frontier rows, y strictly decreasing in
+    * falling x order. */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = df.groupBy(col(xCol).as("x")).agg(max(col(yCol)).as("y"))
+    // global window over |distinct x| candidate rows — bounded by the
+    // quantized x domain, not the data (PlanContractSpec whitelist)
+    val w = Window.orderBy(desc("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("__ymaxr", max(col("y")).over(w))
+      .filter(col("__ymaxr").isNull || col("__ymaxr") < col("y"))
+      .select(col("x"), col("y"))
+  }
+
   /** 7-region Venn cardinalities for three key sets, in ONE pass:
     * distinct each side, full-outer join on the key (using-column
     * joins coalesce the key), then count by membership pattern.

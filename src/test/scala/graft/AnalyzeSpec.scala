@@ -153,4 +153,25 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     re("g") shouldBe 21000L
     re("h") shouldBe 10500L
   }
+
+  test("paretoFrontier: hand-computed skyline, dominance edges " +
+      "(equal-x, equal-y, duplicates), partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // skyline: (5,10) (3,20) (1,30); (4,10) dominated by (5,10);
+    // (3,15) dominated per-x; (1,20) dominated by (3,20) equal-y;
+    // duplicate (3,20) emits once
+    val pts = Seq((5L, 10L), (4L, 10L), (3L, 20L), (3L, 20L), (3L, 15L),
+      (1L, 30L), (1L, 20L)).toDF("x", "y")
+    val out = Analyze.paretoFrontier(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    out shouldBe Seq((1L, 30L), (3L, 20L), (5L, 10L))
+    // one point dominating everything collapses the frontier to it
+    val allDom = Analyze.paretoFrontier(
+        pts.union(Seq((9L, 99L)).toDF("x", "y")), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    allDom shouldBe Seq((9L, 99L))
+    val re2 = Analyze.paretoFrontier(pts.repartition(5), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    re2 shouldBe out
+  }
 }

@@ -67,7 +67,10 @@ class PlanContractSpec extends SparkSpec with Matchers {
     // prefix-sum over the per-distinct-score table: micro-quantized
     // probabilities cap its input at 1,000,001 rows whatever the
     // corpus size — bounded by construction, never a corpus sort
-    "q162_quality_auc")
+    "q162_quality_auc",
+    // running max over |distinct x| skyline candidates — bounded by
+    // the quantized x domain, the point mass collapses upstream
+    "q182_pareto_frontier")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
