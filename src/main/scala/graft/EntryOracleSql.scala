@@ -2126,7 +2126,44 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            SELECT 1 FROM cand d
            WHERE d.n_events >= c.n_events AND d.value_cents >= c.value_cents
              AND (d.n_events > c.n_events OR d.value_cents > c.value_cents))
-         ORDER BY c.n_events""") ++
+         ORDER BY c.n_events""",
+    "q183_stream_holt_winters" ->
+      """WITH RECURSIVE hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    AS x
+           FROM events GROUP BY 1, 2
+         ), seq AS (
+           SELECT event_type, x,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS BIGINT) AS rn
+           FROM hourly
+         ), hw AS (
+           SELECT event_type, rn, x, x AS level,
+                  CAST(0.0 AS DOUBLE) AS trend,
+                  CAST(0.0 AS DOUBLE) AS seasonal,
+                  list_transform(range(24), i -> CAST(0.0 AS DOUBLE))
+                    AS seas
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT event_type, rn, x, lvl AS level,
+                  0.125 * (lvl - prev_level) + 0.875 * prev_trend AS trend,
+                  0.25 * (x - lvl) + 0.75 * sp AS seasonal,
+                  seas[1:idx - 1] || [0.25 * (x - lvl) + 0.75 * sp]
+                    || seas[idx + 1:24] AS seas
+           FROM (
+             SELECT q.event_type, q.rn, q.x,
+                    h.level AS prev_level, h.trend AS prev_trend,
+                    h.seas AS seas,
+                    CAST((q.rn - 1) % 24 AS INT) + 1 AS idx,
+                    h.seas[CAST((q.rn - 1) % 24 AS INT) + 1] AS sp,
+                    0.25 * (q.x - h.seas[CAST((q.rn - 1) % 24 AS INT) + 1])
+                      + 0.75 * (h.level + h.trend) AS lvl
+             FROM seq q JOIN hw h ON q.event_type = h.event_type
+                                 AND q.rn = h.rn + 1)
+         )
+         SELECT event_type, rn, level, trend, seasonal FROM hw
+         ORDER BY event_type, rn""") ++
     modelOracles
 
 }

@@ -111,6 +111,18 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
         alpha = 0.25, beta = 0.25)
       .orderBy("user_id", "ts_us", "event_id")
 
+  /** STREAMING Holt-Winters additive-seasonal smoothing
+    * ([[StreamOps.streamingHoltWinters]]): level + trend + a
+    * 24-slot seasonal vector per event type over the hourly
+    * value-cents series, state carried across two staged waves; the
+    * oracle replays the whole recursion — seasonal vector included —
+    * as a DuckDB recursive CTE carrying the vector as a list,
+    * bit-exactly (binary-exact α=0.25, β=0.125, γ=0.25). */
+  private[graft] def q183(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingHoltWintersAvailableNow(s, dir,
+        period = 24, alpha = 0.25, beta = 0.125, gamma = 0.25)
+      .orderBy("event_type", "rn")
+
   /** STREAMING data-quality drift monitor
     * ([[StreamOps.runStreamingDriftMonitorAvailableNow]]): per crawl
     * wave, one stateless micro-batch aggregate of exact integer

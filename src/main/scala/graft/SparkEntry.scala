@@ -220,7 +220,8 @@ object SparkEntry
     "q179_winsorized_stats" -> (q179 _),
     "q180_skew_join" -> (q180 _),
     "q181_inverted_index" -> (q181 _),
-    "q182_pareto_frontier" -> (q182 _))
+    "q182_pareto_frontier" -> (q182 _),
+    "q183_stream_holt_winters" -> (q183 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

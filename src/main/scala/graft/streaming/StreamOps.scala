@@ -1225,6 +1225,109 @@ object StreamOps {
       }
   }
 
+  case class HwPoint(event_type: String, rn: Long, x: Double)
+  case class HwOut(event_type: String, rn: Long,
+                   level: Double, trend: Double, seasonal: Double)
+
+  /** Streaming Holt-Winters ADDITIVE-SEASONAL smoothing — the
+    * forecasting tier above [[streamingHolt]]: per-key state is
+    * (level, trend, seasonal[period]), so the smoother tracks a
+    * daily shape (period 24 over an hourly series) on top of level
+    * and trend. Zero-initialized seasonals, the uniform textbook
+    * update:
+    * {{{
+    *   l' = α(x − s_i) + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    *   s_i' = γ(x − l') + (1−γ)s_i,   i = (rn−1) mod period
+    * }}}
+    * Every update is a fixed IEEE expression over doubles, so a
+    * DuckDB recursive CTE carrying the seasonal VECTOR as a list
+    * replays the whole per-key recursion across micro-batch
+    * boundaries bit-exactly. State is period+2 doubles per key —
+    * bounded whatever the stream length. Rows must arrive in rn
+    * order across batches (the staging sorts each wave; state
+    * carries between waves). */
+  def streamingHoltWinters(stream: Dataset[HwPoint], period: Int,
+      alpha: Double, beta: Double, gamma: Double): Dataset[HwOut] = {
+    require(period >= 1, "period must be positive")
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Double, Double, Array[Double]), HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[HwPoint],
+         state: GroupState[(Double, Double, Array[Double])]) =>
+          val sorted = rows.toSeq.sortBy(_.rn)
+          var s = state.getOption
+          val out = sorted.map { r =>
+            val i = ((r.rn - 1) % period).toInt
+            val next = s match {
+              case None =>
+                val seas = Array.fill(period)(0.0)
+                // first observation: level = x ⇒ the seasonal update
+                // is exactly 0.0, matching the oracle's init row
+                seas(i) = gamma * (r.x - r.x) + (1 - gamma) * 0.0
+                (r.x, 0.0, seas)
+              case Some((l, b, seas)) =>
+                val sp = seas(i)
+                // the exact expression triple the oracle replays
+                val lN = alpha * (r.x - sp) + (1 - alpha) * (l + b)
+                val bN = beta * (lN - l) + (1 - beta) * b
+                val s2 = seas.clone()
+                s2(i) = gamma * (r.x - lN) + (1 - gamma) * sp
+                (lN, bN, s2)
+            }
+            s = Some(next)
+            HwOut(key, r.rn, next._1, next._2, next._3(i))
+          }
+          s.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Drive [[streamingHoltWinters]] over the per-type HOURLY series:
+    * hourly value-cents sums (exact integers in doubles) indexed by
+    * rn = the hour's rank within its type, staged as two rn-ordered
+    * waves so the seasonal state demonstrably carries across
+    * micro-batch boundaries. */
+  def runStreamingHoltWintersAvailableNow(spark: SparkSession, dir: String,
+      period: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    import spark.implicits._
+    val staging = stagedDir("holtwinters", dir) { staging =>
+      val hourly = graft.sources.EventsLoader.events(spark, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("__h"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("double")
+          .as("x"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("__h")))
+          .cast("long"))
+        .select(col("event_type"), col("rn"), col("x"))
+      val mid = hourly.agg(((min(col("rn")) + max(col("rn"))) / 2)
+        .cast("long")).head().getLong(0)
+      stageVersionFile(hourly.filter(col("rn") < mid).orderBy("event_type", "rn"),
+        s"$staging/f0.parquet")
+      stageVersionFile(hourly.filter(col("rn") >= mid).orderBy("event_type", "rn"),
+        s"$staging/f1.parquet")
+    }
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType), StructField("rn", LongType),
+        StructField("x", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+      .as[HwPoint]
+    val name = s"graft_stream_hw_${runCounter.incrementAndGet()}"
+    val query = streamingHoltWinters(src, period, alpha, beta, gamma)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** Drive [[streamingHolt]] over the q101 staging shape. */
   def runStreamingHoltAvailableNow(spark: SparkSession, dir: String,
                                    alpha: Double, beta: Double): DataFrame = {

@@ -285,6 +285,48 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
   }
 
+  test("streaming Holt-Winters level+trend+seasonal are bit-identical " +
+      "to the sequential seasonal recursion across waves (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val period = 24
+    val streamed = StreamOps.runStreamingHoltWintersAvailableNow(spark, dir,
+        period = period, alpha = 0.25, beta = 0.125, gamma = 0.25)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val hourly = graft.sources.EventsLoader.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val expected =
+      scala.collection.mutable.Map.empty[(String, Long), (Double, Double, Double)]
+    val state =
+      scala.collection.mutable.Map.empty[String, (Double, Double, Array[Double])]
+    val rnOf = scala.collection.mutable.Map.empty[String, Long]
+    hourly.foreach { case (et, _, x) =>
+      val rn = rnOf.getOrElse(et, 0L) + 1L; rnOf(et) = rn
+      val i = ((rn - 1) % period).toInt
+      val next = state.get(et) match {
+        case None =>
+          val seas = Array.fill(period)(0.0); (x, 0.0, seas)
+        case Some((l, b, seas)) =>
+          val sp = seas(i)
+          val lN = 0.25 * (x - sp) + 0.75 * (l + b)
+          val bN = 0.125 * (lN - l) + 0.875 * b
+          val s2 = seas.clone(); s2(i) = 0.25 * (x - lN) + 0.75 * sp
+          (lN, bN, s2)
+      }
+      state(et) = next
+      expected((et, rn)) = (next._1, next._2, next._3(i))
+    }
+    streamed.size shouldBe expected.size
+    expected.foreach { case (k, v) => assert(streamed(k) == v, s"at $k") }
+    // the series is long enough that the seasonal slots actually cycle
+    assert(rnOf.values.forall(_ > period))
+  }
+
   test("streaming HLL snapshots are bit-identical to the batch sketch " +
       "over each wave's cumulative prefix (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
