@@ -397,6 +397,19 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("source")
   }
 
+  /** Order-free dataset CONTENT DIGEST
+    * ([[graft.operators.Layout.contentDigest]]): per hash-shard row
+    * count + BIT_XOR of a 56-bit md5 row fingerprint, with the
+    * grand-total digest in the same rollup aggregate — the
+    * snapshot-integrity audit that compares two 100 TB replicas by
+    * exchanging 17 rows. XOR commutes, so the digest is independent
+    * of row order and partitioning; the oracle recomputes every
+    * fingerprint and xors relationally. */
+  private[graft] def q185(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.contentDigest(
+        t(s, dir, "documents"), "doc_id", "text", nShards = 16)
+      .orderBy("shard")
+
   /** Round-8 capstone — training-shard MANIFEST build: exact-budget
     * quota selection (q114) → deterministic shard assignment + dense
     * order (q87) → content-defined chunking (q115) → per-shard

@@ -2163,7 +2163,30 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                                  AND q.rn = h.rn + 1)
          )
          SELECT event_type, rn, level, trend, seasonal FROM hw
-         ORDER BY event_type, rn""") ++
+         ORDER BY event_type, rn""",
+    "q184_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                  AS gid,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q185_dataset_digest" ->
+      """WITH h AS (
+           SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || text), 1, 14))::BIGINT AS h
+           FROM documents
+         )
+         SELECT CAST(h % 16 AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(bit_xor(h) AS BIGINT) AS digest
+         FROM h
+         GROUP BY ROLLUP (shard)
+         ORDER BY shard""") ++
     modelOracles
 
 }

@@ -544,6 +544,21 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("n_events")
   }
 
+  /** Multi-dimensional CUBE with grouping_id — every aggregate cell
+    * of the (returnflag × linestatus) lattice in one pass.
+    * Catalyst's Expand multiplies each input row into its 4 lattice
+    * memberships BEFORE the hash aggregate, so partial aggregation
+    * still absorbs the mass map-side; gid disambiguates real NULL
+    * group values from rolled-up cells. */
+  private[graft] def q184(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("rev_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private[graft] def q33(s: SparkSession, dir: String): DataFrame =

@@ -221,7 +221,9 @@ object SparkEntry
     "q180_skew_join" -> (q180 _),
     "q181_inverted_index" -> (q181 _),
     "q182_pareto_frontier" -> (q182 _),
-    "q183_stream_holt_winters" -> (q183 _))
+    "q183_stream_holt_winters" -> (q183 _),
+    "q184_cube" -> (q184 _),
+    "q185_dataset_digest" -> (q185 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

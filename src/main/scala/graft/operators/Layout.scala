@@ -100,6 +100,28 @@ object Layout {
     * API throughout, so the same code runs against HDFS/object
     * stores. Rewrites to `outPath` (never in place — swap is the
     * caller's atomic-rename/metastore step). */
+  /** Order-free CONTENT DIGEST of a dataset, per hash-shard plus the
+    * rolled-up total — the integrity audit that certifies "these two
+    * copies/snapshots hold exactly the same rows" without comparing
+    * any row: per shard, the row count and the BIT_XOR of a 56-bit
+    * md5 row fingerprint. XOR is commutative/associative and never
+    * overflows, so the digest is independent of row order, partition
+    * count, and accumulation order — two 100 TB replicas compare by
+    * exchanging (nShards+1) rows. A rollup supplies the grand-total
+    * digest row (shard NULL) in the same single aggregate. Any
+    * single-row difference flips ~28 digest bits in exactly one
+    * shard, so the mismatch localizes to 1/nShards of the data for
+    * the (rare) row-level diff that follows. */
+  def contentDigest(df: DataFrame, idCol: String, payloadCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col(payloadCol).cast("string"))), 1, 14), 16, 10).cast("long")
+    df.select(pmod(h, lit(nShards.toLong)).as("shard"), h.as("__h"))
+      .rollup(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("digest"))
+  }
+
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
                      inPath: String, outPath: String, targetBytes: Long,
                      sortCols: Seq[String] = Nil): CompactionStats = {

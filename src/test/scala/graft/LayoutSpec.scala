@@ -106,4 +106,34 @@ class LayoutSpec extends SparkSpec with Matchers {
       case _ => ()
     }
   }
+
+  test("contentDigest: order/partition-invariant, rollup total is the " +
+      "xor of shard digests, a single-row change flips exactly one shard") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"text body $i")).toDF("id", "txt")
+    def digestMap(df: org.apache.spark.sql.DataFrame) =
+      Layout.contentDigest(df, "id", "txt", nShards = 8)
+        .collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val base = digestMap(docs)
+    base.size shouldBe 9 // 8 shards + rollup total
+    base(-1L)._1 shouldBe 400L
+    // total digest = xor of per-shard digests
+    val xorAll = base.filter(_._1 >= 0).values.map(_._2).reduce(_ ^ _)
+    base(-1L)._2 shouldBe xorAll
+    // row order / partitioning never changes any digest
+    digestMap(docs.repartition(7).orderBy(desc("id"))) shouldBe base
+    // one changed row: exactly one shard digest differs (counts equal)
+    val mutated = docs.withColumn("txt",
+      when(col("id") === 123L, lit("tampered")).otherwise(col("txt")))
+    val mut = digestMap(mutated)
+    // the rehashed row leaves one shard and enters another (possibly
+    // the same); the mismatch localizes to at most 2 of 8 shards and
+    // the grand total always flips
+    val changedShards = base.keys.filter(k => k >= 0 && mut(k) != base(k)).toSeq
+    changedShards.size should (be >= 1 and be <= 2)
+    mut(-1L)._2 should not be base(-1L)._2
+    mut(-1L)._1 shouldBe 400L
+  }
 }
