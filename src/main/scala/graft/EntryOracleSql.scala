@@ -2186,7 +2186,83 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(bit_xor(h) AS BIGINT) AS digest
          FROM h
          GROUP BY ROLLUP (shard)
-         ORDER BY shard""") ++
+         ORDER BY shard""",
+    "q186_association_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           FROM lineitem
+         ), n AS (
+           SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b
+         ), supp AS (
+           SELECT it, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1
+         ), pairs AS (
+           SELECT x.it AS item_a, y.it AS item_b,
+                  CAST(count(*) AS BIGINT) AS supp_ab
+           FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+           GROUP BY 1, 2
+           HAVING count(*) >= 2
+         )
+         SELECT p.item_a, p.item_b, p.supp_ab,
+                sa.s AS supp_a, sb.s AS supp_b,
+                CAST(floor(p.supp_ab * 1000000 / sa.s) AS BIGINT)
+                  AS conf_micros,
+                CAST(floor(p.supp_ab * 1000000 * n.n / (sa.s * sb.s))
+                     AS BIGINT) AS lift_micros
+         FROM pairs p
+         JOIN supp sa ON sa.it = p.item_a
+         JOIN supp sb ON sb.it = p.item_b
+         CROSS JOIN n
+         ORDER BY p.item_a, p.item_b""",
+    "q187_expectations" ->
+      """WITH checks AS (
+           SELECT 'not_null:o_custkey' AS check_name,
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS violations,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(0 AS BIGINT) AS threshold_micros
+           FROM orders
+           UNION ALL
+           SELECT 'unique:o_orderkey',
+                  CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                       AS BIGINT),
+                  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'range:o_totalprice:1.0-600000.0',
+                  CAST(sum(CASE WHEN o_totalprice < 1.0
+                                  OR o_totalprice > 600000.0
+                                THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'range:o_totalprice:1.0-200000.0',
+                  CAST(sum(CASE WHEN o_totalprice < 1.0
+                                  OR o_totalprice > 200000.0
+                                THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(*) AS BIGINT), CAST(100000 AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'accepted:o_orderstatus',
+                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                                THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'fk:o_custkey',
+                  CAST(sum(CASE WHEN NOT EXISTS (
+                           SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)
+                                THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+           FROM orders o
+         )
+         SELECT check_name, violations, n_rows,
+                CAST(floor(violations * 1000000 / n_rows) AS BIGINT)
+                  AS rate_micros,
+                threshold_micros,
+                CAST(floor(violations * 1000000 / n_rows) AS BIGINT)
+                  <= threshold_micros AS pass
+         FROM checks ORDER BY check_name""") ++
     modelOracles
 
 }

@@ -559,6 +559,38 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         count(lit(1)).as("n_rows"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** Association rules ([[graft.operators.Analyze
+    * .associationRules]]) over order baskets: support, directed
+    * confidence and lift in exact micros for every part pair
+    * co-ordered ≥ 2 times. Pair generation is the basket-keyed
+    * self-join bounded by basket size; supports broadcast back
+    * catalog-sized. */
+  private[graft] def q186(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)
+      .orderBy("item_a", "item_b")
+
+  /** Data-contract expectation suite ([[graft.operators
+    * .Expectations.run]]): six checks over orders — null rate, key
+    * uniqueness, two value ranges (one deliberately tight, so the
+    * FAIL path is certified too), accepted status set, and customer
+    * referential integrity — compiled into ONE scan plus one
+    * broadcast anti-join. Rates in exact micros. */
+  private[graft] def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations._
+    Expectations.run(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        InRange("o_totalprice", 1.0, 600000.0),
+        InRange("o_totalprice", 1.0, 200000.0,
+          thresholdMicros = 100000L), // tight: some orders exceed it
+        AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .orderBy("check_name")
+  }
+
   /** Sliding-window rollup (1 h / 30 min): the batch shape of the
     * streaming sliding-window operator. */
   private[graft] def q33(s: SparkSession, dir: String): DataFrame =

@@ -223,7 +223,9 @@ object SparkEntry
     "q182_pareto_frontier" -> (q182 _),
     "q183_stream_holt_winters" -> (q183 _),
     "q184_cube" -> (q184 _),
-    "q185_dataset_digest" -> (q185 _))
+    "q185_dataset_digest" -> (q185 _),
+    "q186_association_rules" -> (q186 _),
+    "q187_expectations" -> (q187 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -80,6 +80,51 @@ object Analyze {
       .select(col("x"), col("y"))
   }
 
+  /** Market-basket ASSOCIATION RULES over (basket, item) pairs:
+    * pair support, directed confidence and lift for every item pair
+    * co-occurring in at least `minSupport` baskets — the classic
+    * co-occurrence miner (bought-together, co-cited, co-crawled).
+    *
+    * All three metrics are exact integers: `conf_micros` =
+    * ⌊10⁶·supp(a,b)/supp(a)⌋ and `lift_micros` =
+    * ⌊10⁶·supp(a,b)·n_baskets/(supp(a)·supp(b))⌋, so an oracle
+    * restates them verbatim.
+    *
+    * Scale shape: baskets dedup to DISTINCT (basket, item) first;
+    * pair generation is a self-join on the basket key, Σ|basket|²
+    * work — bounded by the max basket size (tiny for orders; for
+    * fat baskets cap or sample items per basket upstream). Item
+    * supports join back catalog-sized (broadcast); the basket count
+    * rides a 1-row broadcast. minSupport prunes the pair tail
+    * BEFORE the support joins. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be positive")
+    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val nBaskets = b.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val supp = b.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(broadcast(supp.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__s", "__sa")), Seq("item_a"))
+      .join(broadcast(supp.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__s", "__sb")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("supp_ab"),
+        col("__sa").as("supp_a"), col("__sb").as("supp_b"),
+        floor(col("supp_ab") * lit(1000000L) / col("__sa"))
+          .cast("long").as("conf_micros"),
+        floor(col("supp_ab") * lit(1000000L) * col("__n")
+          / (col("__sa") * col("__sb"))).cast("long").as("lift_micros"))
+  }
+
   /** 7-region Venn cardinalities for three key sets, in ONE pass:
     * distinct each side, full-outer join on the key (using-column
     * joins coalesce the key), then count by membership pattern.

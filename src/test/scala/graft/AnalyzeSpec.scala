@@ -174,4 +174,30 @@ class AnalyzeSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     re2 shouldBe out
   }
+
+  test("associationRules: hand-computed support/confidence/lift, " +
+      "within-basket duplicates collapse, minSupport prunes, " +
+      "partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // baskets: b1={A,B,C}, b2={A,B}, b3={A,C}, b4={B} (+ dup A in b1)
+    val rows = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C"), (4L, "B"))
+      .toDF("bk", "it")
+    val out = Analyze.associationRules(rows, "bk", "it", minSupport = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // supp: A=3, B=3, C=2; n=4
+    // (A,B): supp 2, conf 2/3 -> 666666, lift 2*4/(3*3) -> 888888
+    out(("A", "B")) shouldBe ((2L, 3L, 3L, 666666L, 888888L))
+    // (A,C): supp 2, conf 2/3, lift 2*4/(3*2) = 4/3 -> 1333333
+    out(("A", "C")) shouldBe ((2L, 3L, 2L, 666666L, 1333333L))
+    // (B,C): supp 1 < minSupport -> pruned
+    out.size shouldBe 2
+    val re = Analyze.associationRules(rows.repartition(5), "bk", "it",
+        minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    re shouldBe out.keySet
+  }
 }

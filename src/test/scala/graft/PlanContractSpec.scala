@@ -51,7 +51,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q167_mmr_selection",    // 1-row query + <= k picked-vector broadcasts
     "q172_kcore",            // mutualKnnEdges broadcast cosine scan, like q25
     "q174_hits",             // 1-row L-inf max broadcast per half-round, like q110
-    "q178_ams_join_size")    // two 1-row sketch totals crossed, like q116
+    "q178_ams_join_size",    // two 1-row sketch totals crossed, like q116
+    "q186_association_rules") // 1-row basket-count broadcast, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
