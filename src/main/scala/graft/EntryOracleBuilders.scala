@@ -2797,4 +2797,113 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          HAVING count(*) >= $k
          ORDER BY node"""
   }
+
+  /** q188: the K-FOLD CV oracle — the [[sigmoidGdGroupedOracle]]
+    * machinery keyed by model over a fold-replicated train set
+    * (model m trains on every fold except m; deterministic md5
+    * folds), then the [[sigmoidAucOracle]] rank arithmetic per model
+    * over its HELD-OUT fold. Retrains all k models from raw text and
+    * replays every per-fold AUC bit-for-bit. */
+  private[graft] def sigmoidCvOracle(folds: Int, rounds: Int,
+      lr: String): String = {
+    val nF = 7
+    val roundCtes = (1 to rounds).map { i =>
+      val grads = (0 until nF).map(j =>
+        s"""CAST(sum(CAST(round(((p - y) * x$j) * 1000000) AS BIGINT))
+               AS BIGINT) AS g$j""").mkString(", ")
+      val updates = (0 until nF).map(j =>
+        s"w.w$j - $lr * ((g.g$j / 1000000.0) / CAST(g.n AS DOUBLE)) AS w$j")
+        .mkString(", ")
+      s"""s$i AS MATERIALIZED (
+           SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+           FROM (SELECT f.*, (${sigmoidZExpr("w")}) AS z
+                 FROM ftrain f JOIN w${i - 1} w USING (model)) f
+         ), g$i AS MATERIALIZED (
+           SELECT model, CAST(count(*) AS BIGINT) AS n,
+                  $grads
+           FROM s$i GROUP BY model
+         ), w$i AS MATERIALIZED (
+           SELECT g.model, $updates
+           FROM w${i - 1} w JOIN g$i g USING (model)
+         )"""
+    }.mkString(", ")
+    val w0 = (0 until nF).map(j => s"0.0 AS w$j").mkString(", ")
+    s"""WITH m AS MATERIALIZED (
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_i,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS BIGINT) AS n_alpha_i,
+           CAST(len(string_split_regex(lower(text), '\\s+'))
+                AS BIGINT) AS n_words_i,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len(string_split_regex(lower(text), '\\s+'))
+                AS DOUBLE) AS n_words,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                AS DOUBLE) AS n_upper,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop,
+           CAST(('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)),
+                 1, 14))::BIGINT % $folds AS BIGINT) AS fold
+         FROM documents
+       ), f AS MATERIALIZED (
+         SELECT doc_id, fold, 1.0 AS x0,
+           n_alpha / greatest(n_chars_d, 1.0) AS x1,
+           n_digit / greatest(n_chars_d, 1.0) AS x2,
+           n_punct / greatest(n_chars_d, 1.0) AS x3,
+           n_upper / greatest(n_chars_d, 1.0) AS x4,
+           n_stop / greatest(n_words, 1.0) AS x5,
+           (n_alpha * 100.0 - n_chars_d * 82.0) / greatest(n_chars_d, 1.0)
+             AS x6,
+           CASE WHEN n_alpha_i * 100 >= n_chars_i * 82 AND n_words_i >= 5
+                THEN 1.0 ELSE 0.0 END AS y
+         FROM m
+       ), ftrain AS MATERIALIZED (
+         SELECT f.*, 'm' || CAST(g.g AS VARCHAR) AS model
+         FROM f CROSS JOIN (SELECT unnest(range($folds)) AS g) g
+         WHERE g.g <> f.fold
+       ), w0 AS (
+         SELECT DISTINCT model, $w0 FROM ftrain
+       ), $roundCtes,
+       za AS (
+         SELECT 'm' || CAST(f.fold AS VARCHAR) AS model, f.doc_id,
+                (${sigmoidZExpr("w")}) AS z
+         FROM f JOIN w$rounds w ON w.model = 'm' || CAST(f.fold AS VARCHAR)
+       ), sc AS (
+         SELECT za.model,
+                CAST(round((0.5 * (1.0 + z / (1.0 + abs(z)))) * 1000000)
+                     AS BIGINT) AS score_micro,
+                CASE WHEN m.n_alpha * 100 >= m.n_chars_d * 82
+                          AND m.n_stop * 100 >= m.n_words * 5
+                     THEN 1.0 ELSE 0.0 END AS gold
+         FROM za JOIN m USING (doc_id)
+       ), g AS (
+         SELECT model, score_micro,
+                CAST(sum(CASE WHEN gold = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS tp,
+                CAST(sum(CASE WHEN gold = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS tn
+         FROM sc GROUP BY 1, 2
+       ), c AS (
+         SELECT model, tp, tn,
+                CAST(sum(tn) OVER (PARTITION BY model ORDER BY score_micro
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - tn AS cn
+         FROM g
+       ), tot AS (
+         SELECT model, CAST(sum(tp) AS BIGINT) AS n_pos,
+                CAST(sum(tn) AS BIGINT) AS n_neg,
+                CAST(sum(tp * (2 * cn + tn)) AS BIGINT) AS auc_num2
+         FROM c GROUP BY model
+       )
+       SELECT model, n_pos, n_neg, auc_num2,
+              CAST(auc_num2 AS DOUBLE)
+                / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) AS auc
+       FROM tot ORDER BY model"""
+  }
 }

@@ -707,6 +707,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       sigmoidCalibrationOracle(rounds = 8, lr = "4.0"),
     "q162_quality_auc" ->
       sigmoidAucOracle(rounds = 8, lr = "4.0"),
+    "q188_quality_cv" ->
+      sigmoidCvOracle(folds = 3, rounds = 8, lr = "4.0"),
     "q167_mmr_selection" -> mmrOracle(k = 8),
     "q163_quality_warm_start" ->
       sigmoidGdWarmOracle(p1 = 8, p2 = 4, lr = "4.0"),

@@ -676,6 +676,79 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         lr = 4.0, iterations = 8)
       .orderBy("source", "round")
 
+  /** K-FOLD CROSS-VALIDATION of the trained quality classifier — the
+    * model-selection loop above q154/q162: deterministic md5 folds,
+    * one model per held-out fold trained on the OTHER folds, each
+    * evaluated on its own held-out slice with the exact tie-aware
+    * AUC against the stricter q162 gold label.
+    *
+    * Scale shape: the "train on k−1 folds" membership is expressed
+    * by replicating each row to its k−1 participating models
+    * (explode over model ids, one filter) and then reusing
+    * [[graft.operators.LinearModel.trainFastSigmoidGDGrouped]]
+    * verbatim — ALL k models advance in the same per-round grouped
+    * aggregate, so k-fold CV costs (k−1)× the scan mass of one
+    * model, never k separate jobs. Held-out scoring joins each
+    * fold's rows to its model's final weights by key; AUC rank
+    * arithmetic runs per model over the micro-quantized
+    * score-level table (windows PARTITIONED by model). The oracle
+    * retrains all k models from raw text and replays every AUC. */
+  private[graft] def q188(s: SparkSession, dir: String): DataFrame = {
+    val folds = 3
+    val rounds = 8
+    val xCols = LinearModel.qualityFeatureCols
+    val feat = LinearModel.qualityTrainingFrame(
+        t(s, dir, "documents"), keepCols = Seq("text"))
+      .withColumn("fold", pmod(
+        conv(substring(md5(concat(lit("cv:"), col("doc_id").cast("string"))),
+          1, 14), 16, 10).cast("long"), lit(folds.toLong)))
+    val replicated = feat
+      .withColumn("model_f", explode(array((0 until folds)
+        .map(i => lit(i.toLong)): _*)))
+      .filter(col("model_f") =!= col("fold"))
+      .withColumn("model", concat(lit("m"), col("model_f")))
+    val traj = LinearModel.trainFastSigmoidGDGrouped(
+      replicated.drop("text"), "model", xCols, "y",
+      lr = 4.0, iterations = rounds)
+    val finalW = traj.filter(col("round") === rounds)
+      .select(col("model") +: xCols.map(x => col(s"w_$x")): _*)
+    val wCols = xCols.map(x => s"w_$x")
+    val zc = LinearModel.z(xCols, wCols)
+    val tok = split(lower(col("text")), "\\s+")
+    val enStop = array(
+      graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
+    val nStop = size(filter(tok, t => array_contains(enStop, t)))
+      .cast("double")
+    val nWords = size(tok).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double")
+    val nChars = length(col("text")).cast("double")
+    val gold = when(nAlpha * 100 >= nChars * 82
+      && nStop * 100 >= nWords * 5, 1.0).otherwise(0.0)
+    val byScore = feat
+      .withColumn("model", concat(lit("m"), col("fold")))
+      .join(broadcast(finalW), Seq("model"))
+      .select(col("model"),
+        round(LinearModel.fastSigmoid(zc) * lit(1e6)).cast("long")
+          .as("score_micro"),
+        gold.as("gold"))
+      .groupBy("model", "score_micro")
+      .agg(sum(when(col("gold") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("gold") === 0.0, 1L).otherwise(0L)).as("tn"))
+    val w = Window.partitionBy(col("model")).orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cn", sum(col("tn")).over(w) - col("tn"))
+      .groupBy("model")
+      .agg(sum(col("tp")).as("n_pos"), sum(col("tn")).as("n_neg"),
+        sum(col("tp") * (lit(2L) * col("cn") + col("tn"))).as("auc_num2"))
+      .select(col("model"), col("n_pos"), col("n_neg"), col("auc_num2"),
+        (col("auc_num2").cast("double")
+          / (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")))
+          .as("auc"))
+      .orderBy("model")
+  }
+
   /** TRAINED quality classifier, apply path
     * ([[graft.operators.LinearModel.scoreLinear]]): the q154 model's
     * final weights folded into a pure codegen projection scoring

@@ -225,7 +225,8 @@ object SparkEntry
     "q184_cube" -> (q184 _),
     "q185_dataset_digest" -> (q185 _),
     "q186_association_rules" -> (q186 _),
-    "q187_expectations" -> (q187 _))
+    "q187_expectations" -> (q187 _),
+    "q188_quality_cv" -> (q188 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

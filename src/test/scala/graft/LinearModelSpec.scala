@@ -108,6 +108,36 @@ class LinearModelSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("k-fold replication training: model m (grouped over exploded " +
+      "fold membership) == direct training on fold != m, bit-for-bit") {
+    val folds = 3
+    val feat = LinearModel.qualityTrainingFrame(toyDocs)
+      .withColumn("fold", pmod(
+        conv(substring(md5(concat(lit("cv:"), col("doc_id").cast("string"))),
+          1, 14), 16, 10).cast("long"), lit(folds.toLong)))
+    val replicated = feat
+      .withColumn("model_f", explode(array((0 until folds)
+        .map(i => lit(i.toLong)): _*)))
+      .filter(col("model_f") =!= col("fold"))
+      .withColumn("model", concat(lit("m"), col("model_f")))
+    val grouped = LinearModel.trainFastSigmoidGDGrouped(replicated,
+        "model", LinearModel.qualityFeatureCols, "y",
+        lr = 4.0, iterations = 4)
+      .filter(col("round") === 4)
+      .collect()
+      .map(r => r.getString(0) ->
+        LinearModel.qualityFeatureCols.map(x =>
+          java.lang.Double.doubleToLongBits(r.getAs[Double](s"w_$x"))))
+      .toMap
+    (0 until folds).foreach { m =>
+      val direct = LinearModel.trainFastSigmoidGD(
+        feat.filter(col("fold") =!= m.toLong),
+        LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 4)
+        .last.weights.map(java.lang.Double.doubleToLongBits).toSeq
+      grouped(s"m$m") shouldBe direct
+    }
+  }
+
   test("empty feature frame fails fast") {
     val feat = LinearModel.qualityTrainingFrame(toyDocs).filter(lit(false))
     an[IllegalArgumentException] should be thrownBy
