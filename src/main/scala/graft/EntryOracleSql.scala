@@ -2264,7 +2264,40 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 threshold_micros,
                 CAST(floor(violations * 1000000 / n_rows) AS BIGINT)
                   <= threshold_micros AS pass
-         FROM checks ORDER BY check_name""") ++
+         FROM checks ORDER BY check_name""",
+    "q189_attribution" ->
+      """WITH conv AS (
+           SELECT user_id, epoch_us(ts) AS ct, event_id AS cid,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'
+         ), tch AS (
+           SELECT user_id, epoch_us(ts) AS tt
+           FROM events WHERE event_type = 'click'
+         ), pc AS (
+           SELECT c.user_id, c.cid, c.cents,
+                  CAST(sum(CASE WHEN t.tt IS NOT NULL AND t.tt < c.ct
+                                     AND t.tt >= c.ct - 21600000000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM conv c LEFT JOIN tch t USING (user_id)
+           GROUP BY 1, 2, 3
+         )
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_attributed,
+                CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_orphans,
+                CAST(sum(k) AS BIGINT) AS touches_total,
+                CAST(sum(CASE WHEN k > 0 THEN cents ELSE 0 END) AS BIGINT)
+                  AS attributed_cents,
+                CAST(sum(CASE WHEN k > 0
+                              THEN CAST(floor(cents / k) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS first_touch_cents,
+                CAST(sum(CASE WHEN k > 0
+                              THEN cents - (k - 1)
+                                   * CAST(floor(cents / k) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS last_touch_cents
+         FROM pc GROUP BY 1 ORDER BY 1""") ++
     modelOracles
 
 }

@@ -162,6 +162,23 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         col("event_type"), col("n_events"), col("value_milli"))
       .orderBy("hour", "event_type")
 
+  /** Multi-touch linear attribution ([[graft.operators.Funnel
+    * .linearAttribution]]): every purchase's cents split evenly
+    * across the user's clicks in the 6 h lookback, remainder to the
+    * last touch — per-conversion credit sums to the conversion
+    * EXACTLY (attributed_cents proves zero leakage), orphans
+    * reported. Key-equi join + range predicate, all-BIGINT credit
+    * arithmetic. */
+  private[graft] def q189(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.linearAttribution(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value")),
+        "user_id", conversionType = "purchase", touchType = "click",
+        tsCol = "ts_us", idCol = "event_id",
+        valueCol = cents(col("value")), windowUs = 6L * 3600L * 1000000L)
+      .orderBy("user_id")
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

@@ -226,7 +226,8 @@ object SparkEntry
     "q185_dataset_digest" -> (q185 _),
     "q186_association_rules" -> (q186 _),
     "q187_expectations" -> (q187 _),
-    "q188_quality_cv" -> (q188 _))
+    "q188_quality_cv" -> (q188 _),
+    "q189_attribution" -> (q189 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -51,6 +51,66 @@ object Funnel {
       .withColumnRenamed("__k", keyCol)
   }
 
+  /** MULTI-TOUCH ATTRIBUTION, linear model with exact-cents
+    * accounting: every conversion's value splits evenly across the
+    * key's touch events inside the lookback window `[t−window, t)`,
+    * with the integer remainder credited to the LAST touch (latest
+    * time, then highest id — deterministic), so per-conversion
+    * credit sums to the conversion's cents EXACTLY. The marketing /
+    * growth staple beside [[funnel]] and [[transitionMatrix]];
+    * first- and last-touch credit are reported alongside for the
+    * position-model comparison.
+    *
+    * Shape: conversions equi-join touches on the key (the window
+    * bound is a post-join range predicate — per-key touch lists are
+    * session-sized, the q57/q64 as-of/range discipline; at 100 TB
+    * bucket both sides by key first), one per-conversion aggregate
+    * (counts + min/max touch structs), then one per-key rollup. All
+    * credit arithmetic is BIGINT floor division — order-free.
+    *
+    * Output per key: n_conversions, n_attributed (≥1 touch),
+    * n_orphans, touches_total, attributed_cents (= Σ cents of
+    * attributed conversions, proving the split loses nothing),
+    * first_touch_cents, last_touch_cents. */
+  def linearAttribution(events: DataFrame, keyCol: String,
+      conversionType: String, touchType: String,
+      tsCol: String, idCol: String, valueCol: Column,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ct"),
+        col(idCol).as("__cid"), valueCol.cast("long").as("__cents"))
+    val touch = events.filter(col("event_type") === touchType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__tt"),
+        col(idCol).as("__tid"))
+    val joined = conv.join(touch, Seq("__k"), "left")
+      .withColumn("__hit",
+        col("__tt").isNotNull && col("__tt") < col("__ct") &&
+          col("__tt") >= col("__ct") - lit(windowUs))
+    val perConv = joined
+      .groupBy(col("__k"), col("__cid"), col("__cents"))
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("__n_touch"))
+    perConv
+      .withColumn("__share",
+        when(col("__n_touch") > 0, floor(col("__cents") / col("__n_touch"))
+          .cast("long")).otherwise(lit(0L)))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(when(col("__n_touch") > 0, 1L).otherwise(0L))
+          .as("n_attributed"),
+        sum(when(col("__n_touch") === 0, 1L).otherwise(0L))
+          .as("n_orphans"),
+        sum(col("__n_touch")).as("touches_total"),
+        sum(when(col("__n_touch") > 0, col("__cents")).otherwise(lit(0L)))
+          .as("attributed_cents"),
+        sum(when(col("__n_touch") > 0, col("__share")).otherwise(lit(0L)))
+          .as("first_touch_cents"),
+        sum(when(col("__n_touch") > 0,
+          col("__cents") - (col("__n_touch") - 1) * col("__share"))
+          .otherwise(lit(0L))).as("last_touch_cents"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
   /** First-order Markov TRANSITION MATRIX over per-key event
     * sequences: count every consecutive (from → to) event-type pair
     * under the per-key total order `orderCols`, then row-normalize

@@ -83,4 +83,41 @@ class FunnelSpec extends SparkSpec with Matchers {
         ((r.getLong(2), r.getLong(3)))).toMap
     re shouldBe out
   }
+
+  test("linearAttribution: exact split with remainder to last touch, " +
+      "window edges, orphans, zero leakage, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // u1 purchase of 1000 at t=100 with 3 clicks in window (t=50,60,99;
+    //   click at t=100 excluded: not strictly before; t=-1 outside)
+    //   -> shares 333/333/334: first=333, last=334
+    // u1 purchase of 7 at t=200, 1 click in window (t=150+...) -- all
+    //   5 clicks of u1 in [200-100, 200)? window=100: t in [100,200):
+    //   clicks at 100,150 -> k=2, share 3, last 4
+    // u2 purchase with no clicks -> orphan
+    val ev = Seq(
+      (1L, "click", 1L, 50L, 0.0), (1L, "click", 2L, 60L, 0.0),
+      (1L, "click", 3L, 99L, 0.0), (1L, "click", 4L, 100L, 0.0),
+      (1L, "click", 5L, 150L, 0.0), (1L, "click", 6L, -1L, 0.0),
+      (1L, "purchase", 7L, 100L, 10.0), // 1000 cents
+      (1L, "purchase", 8L, 200L, 0.07), // 7 cents
+      (2L, "purchase", 9L, 100L, 5.0),
+      (2L, "view", 10L, 50L, 0.0))
+      .toDF("user_id", "event_type", "event_id", "ts_us", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Funnel.linearAttribution(df, "user_id", "purchase", "click",
+          "ts_us", "event_id",
+          org.apache.spark.sql.functions.round(col("value") * 100)
+            .cast("long"), windowUs = 100L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val out = run(ev)
+    // u1: purchase7: window [0,100): clicks 50,60,99 -> k=3, share 333,
+    //     last 1000-2*333=334. purchase8: window [100,200): clicks
+    //     100,150 -> k=2, share 3, last 7-3=4
+    out(1L) shouldBe ((2L, 2L, 0L, 5L, 1007L, 333L + 3L, 334L + 4L))
+    // u2: orphan purchase, view is not a touch
+    out(2L) shouldBe ((1L, 0L, 1L, 0L, 0L, 0L, 0L))
+    run(ev.repartition(5)) shouldBe out
+  }
 }
