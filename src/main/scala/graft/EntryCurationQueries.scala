@@ -247,6 +247,27 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Multi-source BFS distances ([[Graph.bfsDistances]], 4 hops)
+    * over the undirected q107 co-purchase graph from the
+    * `p_partkey % 500 = 0` seed set — frontier-only expansion, one
+    * src-keyed join + one anti-join per hop; the oracle unrolls the
+    * same four frontier rounds. */
+  private[graft] def q190(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val adj = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val und = adj.unionByName(
+      adj.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, dir, "part")
+      .filter(pmod(col("p_partkey"), lit(500)) === 0)
+      .select(col("p_partkey"))
+    Graph.bfsDistances(und, "src", "dst", seeds, "p_partkey", rounds = 4)
+      .orderBy("node")
+  }
+
   /** HITS hubs/authorities ([[Graph.hits]], 3 rounds) over the q107
     * co-purchase graph as a simple directed graph — the second
     * link-analysis member: L∞-normalized integer-micro scores whose

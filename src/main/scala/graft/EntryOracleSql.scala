@@ -2297,7 +2297,40 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                               THEN cents - (k - 1)
                                    * CAST(floor(cents / k) AS BIGINT)
                               ELSE 0 END) AS BIGINT) AS last_touch_cents
-         FROM pc GROUP BY 1 ORDER BY 1""") ++
+         FROM pc GROUP BY 1 ORDER BY 1""",
+    "q190_bfs_distances" -> {
+      val roundCtes = (1 to 4).map { i =>
+        s"""f$i AS (
+             SELECT DISTINCT e.d AS node FROM f${i - 1} f
+             JOIN e ON f.node = e.s
+             WHERE e.d NOT IN (SELECT node FROM s${i - 1})
+           ), s$i AS (
+             SELECT * FROM s${i - 1}
+             UNION ALL
+             SELECT node, CAST($i AS BIGINT) AS dist FROM f$i
+           )"""
+      }.mkString(", ")
+      s"""WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT DISTINCT src AS s, dst AS d
+           FROM (SELECT src, dst FROM adj
+                 WHERE dst IS NOT NULL AND src <> dst
+                 UNION ALL
+                 SELECT dst, src FROM adj
+                 WHERE dst IS NOT NULL AND src <> dst)
+         ), s0 AS (
+           SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM part WHERE p_partkey % 500 = 0
+         ), f0 AS (
+           SELECT node FROM s0
+         ), $roundCtes
+         SELECT node, dist FROM s4 ORDER BY node"""
+    }) ++
     modelOracles
 
 }

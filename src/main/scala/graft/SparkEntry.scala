@@ -227,7 +227,8 @@ object SparkEntry
     "q186_association_rules" -> (q186 _),
     "q187_expectations" -> (q187 _),
     "q188_quality_cv" -> (q188 _),
-    "q189_attribution" -> (q189 _))
+    "q189_attribution" -> (q189 _),
+    "q190_bfs_distances" -> (q190 _))
 
   // --- oracle SQL (DuckDB dialect) ---------------------------------------
 }

@@ -248,6 +248,45 @@ object Graph {
       .filter(col("core_deg") >= k)
   }
 
+  /** Multi-source BFS DISTANCES, fixed hop budget: the hop distance
+    * from the nearest seed to every node reachable within `rounds`
+    * hops along `src → dst` edges — reachability/blast-radius
+    * analysis (distance from flagged spam domains, hops from a
+    * compromised account), the last classic of the graph family
+    * beside PageRank/HITS/CC/k-core/triangles/walks.
+    *
+    * FRONTIER-based: each round expands only the nodes discovered
+    * in the previous round (one src-keyed hash join), then one
+    * anti-join against the settled set — per-round work is
+    * O(frontier-adjacency), not O(settled-state), which is what
+    * keeps a 100 TB 4-hop neighborhood from rescanning the whole
+    * reach every round. First discovery IS the minimum distance
+    * (unweighted BFS invariant), so no min-aggregate over the
+    * settled set is ever needed. `localCheckpoint` cuts the lineage
+    * per round (the [[kCore]] discipline). Output: (node, dist),
+    * seeds at dist 0. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().localCheckpoint()
+    var settled = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled
+    var r = 1
+    while (r <= rounds) {
+      val next = frontier.join(e, col("node") === col("__s"))
+        .select(col("__d").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+      r += 1
+    }
+    settled
+  }
+
   /** DETERMINISTIC random walks (the DeepWalk/node2vec corpus
     * generator, made replayable): one walk of `steps` hops from
     * every start node, where the hop taken at step `t` from node `v`

@@ -177,4 +177,27 @@ class GraphSpec extends SparkSpec with Matchers {
       .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
     Graph.kCore(edges, "s", "d", k = 5, maxRounds = 5).count() shouldBe 0L
   }
+
+  test("bfsDistances: hand-computed hop distances, shortest path wins " +
+      "over a longer route, hop budget truncates, multi-seed min, " +
+      "unreachable and isolated-seed handling, partition-invariant") {
+    // 1→2→3→4→5 chain plus shortcut 1→4; 9 seeds too; 7 unreachable;
+    // directed: 5→1 back-edge must not give 5 dist via reverse
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 3L), (6L, 7L)).toDF("s", "d")
+    val seeds = Seq(1L, 9L).toDF("n")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.bfsDistances(e, "s", "d", seeds, "n", rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = run(edges)
+    // dist: 1=0, 9=0 (seed, even though 9 only has out-edges),
+    // 2=1, 4=1 (shortcut), 3=1 (via 9), 5=2 (via 4); 6/7 unreachable
+    out shouldBe Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L)
+    // a 1-round budget truncates the reach
+    Graph.bfsDistances(edges, "s", "d", seeds, "n", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    run(edges.repartition(5)) shouldBe out
+  }
 }
