@@ -2330,7 +2330,47 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            SELECT node FROM s0
          ), $roundCtes
          SELECT node, dist FROM s4 ORDER BY node"""
-    }) ++
+    },
+    "q191_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CAST(max(CASE WHEN event_type = 'purchase'
+                                     AND value >= 150.0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+                  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                     1, 14))::BIGINT % 2 AS arm
+           FROM events GROUP BY user_id
+         ), agg AS (
+           SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                       AS BIGINT) AS conv_a,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b,
+                  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                       AS BIGINT) AS conv_b
+           FROM u
+         )
+         SELECT n_a, conv_a,
+                CAST(floor(CAST(conv_a AS DOUBLE) * 1000000.0
+                           / CAST(n_a AS DOUBLE)) AS BIGINT)
+                  AS rate_a_micros,
+                n_b, conv_b,
+                CAST(floor(CAST(conv_b AS DOUBLE) * 1000000.0
+                           / CAST(n_b AS DOUBLE)) AS BIGINT)
+                  AS rate_b_micros,
+                CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                          AND conv_a + conv_b < n_a + n_b
+                     THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+                                   / CAST(n_a + n_b AS DOUBLE)
+                                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                          / CAST(n_a + n_b AS DOUBLE))
+                                 * (1.0 / CAST(n_a AS DOUBLE)
+                                    + 1.0 / CAST(n_b AS DOUBLE)))
+                     ELSE NULL END AS z_score
+         FROM agg""") ++
     modelOracles
 
 }

@@ -179,6 +179,17 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         valueCol = cents(col("value")), windowUs = 6L * 3600L * 1000000L)
       .orderBy("user_id")
 
+  /** Deterministic A/B experiment readout ([[graft.operators
+    * .Analyze.abTest]]): users md5-hash-assigned to two arms,
+    * conversion = any purchase event; exact per-arm counts + rate
+    * micros and the bit-replayable pooled two-proportion z-score
+    * in ONE row. */
+  private[graft] def q191(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.abTest(
+      t(s, dir, "events"), "user_id",
+      (col("event_type") === "purchase" && col("value") >= 150.0)
+        .cast("long"), salt = "ab")
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

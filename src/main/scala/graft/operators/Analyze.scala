@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Set-agreement and projection analytics (`utilities/plotting.py`).
@@ -78,6 +78,58 @@ object Analyze {
     cand.withColumn("__ymaxr", max(col("y")).over(w))
       .filter(col("__ymaxr").isNull || col("__ymaxr") < col("y"))
       .select(col("x"), col("y"))
+  }
+
+  /** Deterministic A/B EXPERIMENT readout: units hash-assigned to
+    * two arms (`md5(salt:unit) mod 2` — the [[graft.operators
+    * .Curation]] membership discipline, so assignment is stable
+    * under re-runs and replayable by the oracle), per-arm exact
+    * unit/conversion counts and rate micros, plus the pooled
+    * two-proportion z-score. The experimentation primitive of every
+    * growth stack; at 100 TB the whole readout is one per-unit
+    * aggregate followed by a conditional-sum collapse to ONE row.
+    *
+    * The z-score is built from correctly-rounded IEEE ops only
+    * (divisions, sqrt), with a FIXED expression tree, so even the
+    * double is bit-identical across engines. Output (one row):
+    * (n_a, conv_a, rate_a_micros, n_b, conv_b, rate_b_micros,
+    * z_score). */
+  def abTest(df: DataFrame, unitCol: String, convertedCol: Column,
+      salt: String): DataFrame = {
+    val units = df
+      .select(col(unitCol).as("__u"), convertedCol.cast("long").as("__c"))
+      .groupBy(col("__u")).agg(max(col("__c")).as("__conv"))
+      .withColumn("__arm", pmod(
+        conv(substring(md5(concat(lit(s"$salt:"), col("__u").cast("string"))),
+          1, 14), 16, 10).cast("long"), lit(2L)))
+    val row = units.agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 0L, col("__conv")).otherwise(lit(0L)))
+        .as("conv_a"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 1L, col("__conv")).otherwise(lit(0L)))
+        .as("conv_b"))
+    // explicit DOUBLE arithmetic: under ANSI mode a bare long/long
+    // is integral "div" (and decimal coercions differ from DuckDB);
+    // doubles make both engines run the identical IEEE tree
+    def d(c: Column): Column = c.cast("double")
+    val pa = d(col("conv_a")) / d(col("n_a"))
+    val pb = d(col("conv_b")) / d(col("n_b"))
+    val pp = d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    row.select(col("n_a"), col("conv_a"),
+      floor(d(col("conv_a")) * lit(1000000.0) / d(col("n_a"))).cast("long")
+        .as("rate_a_micros"),
+      col("n_b"), col("conv_b"),
+      floor(d(col("conv_b")) * lit(1000000.0) / d(col("n_b"))).cast("long")
+        .as("rate_b_micros"),
+      // z undefined when an arm is empty or the pooled rate
+      // saturates (se = 0): NULL, replayed by the oracle's CASE
+      when(col("n_a") > 0 && col("n_b") > 0
+          && col("conv_a") + col("conv_b") > 0
+          && col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        (pa - pb) / se).as("z_score"))
   }
 
   /** Market-basket ASSOCIATION RULES over (basket, item) pairs:

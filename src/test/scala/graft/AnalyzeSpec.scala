@@ -200,4 +200,39 @@ class AnalyzeSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     re shouldBe out.keySet
   }
+
+  test("abTest: arm assignment is the md5 rule, counts partition the " +
+      "units, rate/z arithmetic matches a scala recompute, " +
+      "partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val ev = (1L to 200L).flatMap { u =>
+      // user u converts iff u % 3 == 0 (arm-independent ground truth)
+      Seq((u, "view"), (u, if (u % 3 == 0) "purchase" else "click"))
+    }.toDF("user_id", "event_type")
+    val out = Analyze.abTest(ev, "user_id",
+      (col("event_type") === "purchase").cast("long"), "t").head()
+    val armOf = (u: Long) => {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(14), 16) % 2
+    }
+    val units = (1L to 200L).map(u => (armOf(u), u % 3 == 0))
+    val (nA, cA) = (units.count(_._1 == 0L),
+      units.count(u => u._1 == 0L && u._2))
+    val (nB, cB) = (units.count(_._1 == 1L),
+      units.count(u => u._1 == 1L && u._2))
+    out.getLong(0) shouldBe nA.toLong
+    out.getLong(1) shouldBe cA.toLong
+    out.getLong(3) shouldBe nB.toLong
+    out.getLong(4) shouldBe cB.toLong
+    out.getLong(2) shouldBe (cA.toLong * 1000000L / nA)
+    val pa = cA.toDouble / nA; val pb = cB.toDouble / nB
+    val pp = (cA + cB).toDouble / (nA + nB)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB))
+    java.lang.Double.doubleToLongBits(out.getDouble(6)) shouldBe
+      java.lang.Double.doubleToLongBits(z)
+    val re = Analyze.abTest(ev.repartition(7), "user_id",
+      (col("event_type") === "purchase").cast("long"), "t").head()
+    re shouldBe out
+  }
 }
