@@ -2370,7 +2370,62 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                                  * (1.0 / CAST(n_a AS DOUBLE)
                                     + 1.0 / CAST(n_b AS DOUBLE)))
                      ELSE NULL END AS z_score
-         FROM agg""") ++
+         FROM agg""",
+    "q192_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k,
+                  CAST(-9223372036854775808 AS BIGINT) AS seq,
+                  'I' AS op, o_orderstatus AS st,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+           FROM orders
+         ), upd AS (
+           SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'X',
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 100
+           FROM orders WHERE o_orderkey % 7 = 0
+         ), del AS (
+           SELECT o_orderkey, CAST(2 AS BIGINT), 'D', '',
+                  CAST(0 AS BIGINT)
+           FROM orders WHERE o_orderkey % 11 = 0
+         ), ins AS (
+           SELECT o_orderkey + 100000000, CAST(1 AS BIGINT), 'I', 'N',
+                  CAST(4200 AS BIGINT)
+           FROM orders WHERE o_orderkey % 13 = 0
+         ), allrows AS (
+           SELECT * FROM base UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+         ), last AS (
+           SELECT * FROM allrows
+           QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+         )
+         SELECT st AS o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(pc) AS BIGINT) AS sum_cents,
+                min(k) AS min_key, max(k) AS max_key
+         FROM last WHERE op <> 'D'
+         GROUP BY st ORDER BY st""",
+    "q193_twap" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS v,
+                  lead(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    AS tn
+           FROM events
+         ), agg AS (
+           SELECT user_id,
+                  CAST(count(*) AS BIGINT) AS n_obs,
+                  CAST(max(t) - min(t) AS BIGINT) AS duration_us,
+                  CAST(sum(CASE WHEN tn IS NOT NULL
+                                THEN v * (tn - t) ELSE 0 END) AS BIGINT)
+                    AS twap_num
+           FROM e GROUP BY 1
+         )
+         SELECT user_id, n_obs, duration_us, twap_num,
+                CASE WHEN duration_us > 0
+                     THEN CAST(twap_num AS DOUBLE)
+                          / CAST(duration_us AS DOUBLE)
+                     ELSE NULL END AS twap_cents
+         FROM agg ORDER BY user_id""") ++
     modelOracles
 
 }

@@ -190,6 +190,53 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       (col("event_type") === "purchase" && col("value") >= 150.0)
         .cast("long"), salt = "ab")
 
+  /** CDC changelog apply ([[graft.operators.Cdc.applyChangelog]]):
+    * a deterministic synthetic changelog over the orders snapshot —
+    * updates on keys %7=0 (seq 1), deletes on %11=0 (seq 2, so
+    * update-then-delete keys resolve to deleted), inserts of new
+    * keys from %13=0 — folded by ONE max-of-struct aggregate; the
+    * post-image summarized per status. The oracle replays the merge
+    * with a row_number-by-seq QUALIFY. */
+  private[graft] def q192(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+        lit("X").as("o_orderstatus"),
+        (cents(col("o_totalprice")) + lit(100L)).as("price_cents"))
+    val del = o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+        lit("").as("o_orderstatus"), lit(0L).as("price_cents"))
+    val ins = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit(1L).as("seq"), lit("I").as("op"),
+        lit("N").as("o_orderstatus"), lit(4200L).as("price_cents"))
+    graft.operators.Cdc.applyChangelog(base,
+        upd.unionByName(del).unionByName(ins),
+        "o_orderkey", "seq", "op", Seq("o_orderstatus", "price_cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Time-weighted average value per user ([[graft.operators
+    * .Analyze.timeWeightedAverage]]): each event's cents held until
+    * the user's next event; exact BIGINT cents·µs numerator and
+    * duration, one fixed double division for the TWAP itself
+    * (NULL for single-event users). */
+  private[graft] def q193(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.timeWeightedAverage(
+        t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value"), col("event_id")),
+        "user_id", "ts_us", cents(col("value")),
+        Seq(col("ts_us"), col("event_id")))
+      .orderBy("user_id")
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

@@ -132,6 +132,38 @@ object Analyze {
         (pa - pb) / se).as("z_score"))
   }
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) per key: each observation's value
+    * holds until the next observation, so the average weights each
+    * value by its holding duration — the correct "average price /
+    * average gauge reading" when sampling is irregular (a plain mean
+    * over-weights bursts). The telemetry/finance staple.
+    *
+    * Exact-integer core: `twap_num = Σ cents_i · (t_{i+1} − t_i)`
+    * (cents × micros, bounded ≤ 2⁶³ for realistic ranges) and
+    * `duration_us = t_last − t_first` are order-free BIGINT sums; the
+    * final `twap_cents = num/duration` is one double division,
+    * NULL when duration is 0 (single-observation keys). One
+    * key-partitioned `lead` window (never global), one aggregate.
+    * `ordCols` must totally order each key's rows. */
+  def timeWeightedAverage(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCentsCol: Column, ordCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordCols: _*)
+    df.withColumn("__t", col(tsUsCol).cast("long"))
+      .withColumn("__v", valueCentsCol.cast("long"))
+      .withColumn("__tn", lead(col("__t"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("__t")) - min(col("__t"))).as("duration_us"),
+        sum(when(col("__tn").isNotNull,
+          col("__v") * (col("__tn") - col("__t"))).otherwise(lit(0L)))
+          .as("twap_num"))
+      .withColumn("twap_cents",
+        when(col("duration_us") > 0,
+          col("twap_num").cast("double")
+            / col("duration_us").cast("double")))
+  }
+
   /** Market-basket ASSOCIATION RULES over (basket, item) pairs:
     * pair support, directed confidence and lift for every item pair
     * co-occurring in at least `minSupport` baskets — the classic

@@ -235,4 +235,25 @@ class AnalyzeSpec extends SparkSpec with Matchers {
       (col("event_type") === "purchase").cast("long"), "t").head()
     re shouldBe out
   }
+
+  test("timeWeightedAverage: hand-computed holding-weighted mean, " +
+      "single-observation NULL, per-key isolation, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // key g: v=100 held 10us, v=200 held 30us, last v=300 holds 0
+    //   num = 100*10 + 200*30 = 7000, dur = 40 -> twap 175.0
+    // key h: one observation -> duration 0, twap NULL
+    val rows = Seq(("g", 0L, 100L, 1L), ("g", 10L, 200L, 2L),
+      ("g", 40L, 300L, 3L), ("h", 5L, 999L, 4L))
+      .toDF("k", "t", "cents", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analyze.timeWeightedAverage(df, "k", "t", col("cents"),
+          Seq(col("t"), col("id")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val out = run(rows)
+    out("g") shouldBe ((3L, 40L, 7000L, Some(175.0)))
+    out("h") shouldBe ((1L, 0L, 0L, None))
+    run(rows.repartition(5)) shouldBe out
+  }
 }

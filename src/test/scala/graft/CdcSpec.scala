@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Cdc
+
+class CdcSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+    .toDF("k", "st", "v")
+
+  // k=1 updated; k=2 update then delete; k=3 delete then REINSERT;
+  // k=5 fresh insert; k=4 untouched
+  private val changes = Seq(
+    (1L, 1L, "U", "a2", 11L),
+    (2L, 1L, "U", "b2", 21L), (2L, 2L, "D", "", 0L),
+    (3L, 1L, "D", "", 0L), (3L, 2L, "I", "c2", 33L),
+    (5L, 1L, "I", "e", 50L))
+    .toDF("k", "seq", "op", "st", "v")
+
+  private def canon(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("last-writer-wins by seq: update, update-then-delete, " +
+      "delete-then-reinsert, fresh insert, untouched base, " +
+      "partition-invariant") {
+    val out = canon(Cdc.applyChangelog(base, changes, "k", "seq", "op",
+      Seq("st", "v")))
+    out shouldBe Seq((1L, "a2", 11L), (3L, "c2", 33L), (4L, "d", 40L),
+      (5L, "e", 50L))
+    canon(Cdc.applyChangelog(base.repartition(5), changes.repartition(3),
+      "k", "seq", "op", Seq("st", "v"))) shouldBe out
+    // empty changelog is the identity
+    canon(Cdc.applyChangelog(base, changes.filter($"k" < 0), "k", "seq",
+      "op", Seq("st", "v"))) shouldBe canon(base)
+  }
+}

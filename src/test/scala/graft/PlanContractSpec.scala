@@ -52,7 +52,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q172_kcore",            // mutualKnnEdges broadcast cosine scan, like q25
     "q174_hits",             // 1-row L-inf max broadcast per half-round, like q110
     "q178_ams_join_size",    // two 1-row sketch totals crossed, like q116
-    "q186_association_rules") // 1-row basket-count broadcast, like q86
+    "q186_association_rules", // 1-row basket-count broadcast, like q86
+    "q187_expectations")     // 1-row total crossed onto the FK orphan row
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
