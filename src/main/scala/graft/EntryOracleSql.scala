@@ -2425,7 +2425,46 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                      THEN CAST(twap_num AS DOUBLE)
                           / CAST(duration_us AS DOUBLE)
                      ELSE NULL END AS twap_cents
-         FROM agg ORDER BY user_id""") ++
+         FROM agg ORDER BY user_id""",
+    "q194_entity_resolution" ->
+      """WITH c AS (
+           SELECT c_custkey, c_name,
+                  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer
+         ), dup AS (
+           SELECT c_custkey + 10000000 AS c_custkey,
+                  upper(c_name) AS c_name, c_nationkey,
+                  c_mktsegment, bal_cents + 50 AS bal_cents
+           FROM c WHERE c_custkey % 17 = 0
+         ), recs AS (
+           SELECT *, CAST(c_nationkey AS VARCHAR) || '|'
+                       || CAST(CAST(floor(CAST(bal_cents AS DOUBLE)
+                                          / 10000.0) AS BIGINT)
+                               AS VARCHAR) AS block
+           FROM (SELECT * FROM c UNION ALL SELECT * FROM dup)
+         ), pairs AS (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  lower(a.c_name) = lower(b.c_name) AS agree_name_ci,
+                  a.c_mktsegment = b.c_mktsegment AS agree_segment,
+                  abs(a.bal_cents - b.bal_cents) <= 100 AS agree_balance
+           FROM recs a JOIN recs b
+             ON a.block = b.block AND a.c_custkey < b.c_custkey
+         )
+         SELECT id_a, id_b, agree_name_ci, agree_segment, agree_balance,
+                CAST(CASE WHEN agree_name_ci THEN 2000000
+                          ELSE -2000000 END
+                   + CASE WHEN agree_segment THEN 500000
+                          ELSE -500000 END
+                   + CASE WHEN agree_balance THEN 1500000
+                          ELSE -1000000 END AS BIGINT) AS score_micros
+         FROM pairs
+         WHERE CASE WHEN agree_name_ci THEN 2000000 ELSE -2000000 END
+             + CASE WHEN agree_segment THEN 500000 ELSE -500000 END
+             + CASE WHEN agree_balance THEN 1500000 ELSE -1000000 END
+             >= 3000000
+         ORDER BY id_a, id_b""") ++
     modelOracles
 
 }

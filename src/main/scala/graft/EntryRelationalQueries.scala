@@ -237,6 +237,41 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         Seq(col("ts_us"), col("event_id")))
       .orderBy("user_id")
 
+  /** Entity resolution ([[graft.operators.EntityResolution
+    * .fellegiSunter]]): duplicate-customer detection over the
+    * customer table with deterministically PLANTED perturbed copies
+    * (every 17th customer re-enters with upper-cased name and +50¢
+    * balance drift — the classic re-keyed-account shape). Blocking
+    * on (nation, 100-dollar balance bucket) — the drift can cross a
+    * bucket edge, the REAL blocking-recall trade, replayed
+    * identically by the oracle; three field rules (case-insensitive
+    * name, segment, balance within 100¢) under integer micro
+    * log-odds; pairs survive at score ≥ 3M. The oracle replays
+    * every block, agreement bit and score. */
+  private[graft] def q194(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution.{fellegiSunter, FieldRule}
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      col("c_mktsegment"), cents(col("c_acctbal")).as("bal_cents"))
+    val dup = c.filter(pmod(col("c_custkey"), lit(17)) === 0)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        upper(col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_mktsegment"),
+        (col("bal_cents") + lit(50L)).as("bal_cents"))
+    val recs = c.unionByName(dup)
+      .withColumn("block", concat(col("c_nationkey"), lit("|"),
+        floor(col("bal_cents").cast("double") / lit(10000.0)).cast("long")))
+    fellegiSunter(recs, "c_custkey", "block", Seq(
+        FieldRule("name_ci", "c_name",
+          (a, b) => lower(a) === lower(b), 2000000L, -2000000L),
+        FieldRule("segment", "c_mktsegment",
+          (a, b) => a === b, 500000L, -500000L),
+        FieldRule("balance", "bal_cents",
+          (a, b) => abs(a - b) <= 100L, 1500000L, -1000000L)),
+      thresholdMicros = 3000000L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
