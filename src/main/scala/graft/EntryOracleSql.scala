@@ -2464,7 +2464,52 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
              + CASE WHEN agree_segment THEN 500000 ELSE -500000 END
              + CASE WHEN agree_balance THEN 1500000 ELSE -1000000 END
              >= 3000000
-         ORDER BY id_a, id_b""") ++
+         ORDER BY id_a, id_b""",
+    "q195_experiment_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_type, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT user_id, ts, event_type, value,
+                  CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x
+         ), z AS (
+           SELECT user_id, event_type, value,
+                  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         ), sess AS (
+           SELECT user_id, session_id,
+                  CAST(count(*) AS BIGINT) AS n_ev,
+                  CAST(max(CASE WHEN event_type = 'purchase'
+                                     AND value >= 150.0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS converted
+           FROM z GROUP BY 1, 2
+         ), armed AS (
+           SELECT *, ('0x' || substr(md5('ab:'
+                        || CAST(user_id AS VARCHAR)), 1, 14))::BIGINT % 2
+                     AS arm
+           FROM sess
+         ), agg AS (
+           SELECT arm,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                  CAST(count(*) AS BIGINT) AS n_sessions,
+                  CAST(sum(n_ev) AS BIGINT) AS n_events,
+                  CAST(sum(converted) AS BIGINT) AS conv_sessions
+           FROM armed GROUP BY 1
+         )
+         SELECT arm, n_users, n_sessions, n_events, conv_sessions,
+                CAST(floor(CAST(n_sessions AS DOUBLE) * 1000000.0
+                           / CAST(n_users AS DOUBLE)) AS BIGINT)
+                  AS sessions_per_user_micros,
+                CAST(floor(CAST(conv_sessions AS DOUBLE) * 1000000.0
+                           / CAST(n_sessions AS DOUBLE)) AS BIGINT)
+                  AS conv_rate_micros
+         FROM agg ORDER BY arm""") ++
     modelOracles
 
 }

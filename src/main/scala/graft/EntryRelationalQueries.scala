@@ -272,6 +272,44 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("id_a", "id_b")
   }
 
+  /** EXPERIMENT-SESSION capstone — the events-analytics chain as one
+    * certified statement: 30-min gap sessionization (q30) →
+    * per-session conversion flag (the q191 criterion) → md5 arm
+    * assignment → per-arm experiment rollup with exact counts and
+    * explicit-double rate micros. Session structure, arm hashing and
+    * every rate replayed by one oracle SQL chain. */
+  private[graft] def q195(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sess = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+        1L).otherwise(0L))
+      .withColumn("session_id", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          1L).otherwise(0L)).as("converted"))
+    def d(c: Column): Column = c.cast("double")
+    sess
+      .withColumn("arm", pmod(
+        conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 14), 16, 10).cast("long"), lit(2L)))
+      .groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("converted")).as("conv_sessions"))
+      .select(col("arm"), col("n_users"), col("n_sessions"),
+        col("n_events"), col("conv_sessions"),
+        floor(d(col("n_sessions")) * lit(1000000.0) / d(col("n_users")))
+          .cast("long").as("sessions_per_user_micros"),
+        floor(d(col("conv_sessions")) * lit(1000000.0)
+          / d(col("n_sessions"))).cast("long").as("conv_rate_micros"))
+      .orderBy("arm")
+  }
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
