@@ -197,7 +197,11 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     * keys from %13=0 — folded by ONE max-of-struct aggregate; the
     * post-image summarized per status. The oracle replays the merge
     * with a row_number-by-seq QUALIFY. */
-  private[graft] def q192(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic CDC fixture shared by q192/q196: orders
+    * snapshot + a synthetic changelog (updates %7, deletes %11 at a
+    * later seq, inserts from %13 re-keyed). */
+  private def cdcFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val o = t(s, dir, "orders")
     val base = o.select(col("o_orderkey"), col("o_orderstatus"),
       cents(col("o_totalprice")).as("price_cents"))
@@ -212,14 +216,35 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
         lit(1L).as("seq"), lit("I").as("op"),
         lit("N").as("o_orderstatus"), lit(4200L).as("price_cents"))
-    graft.operators.Cdc.applyChangelog(base,
-        upd.unionByName(del).unionByName(ins),
+    (base, upd.unionByName(del).unionByName(ins))
+  }
+
+  private[graft] def q192(s: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, dir)
+    graft.operators.Cdc.applyChangelog(base, changes,
         "o_orderkey", "seq", "op", Seq("o_orderstatus", "price_cents"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price_cents")).as("sum_cents"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Incremental view maintenance ([[graft.operators.Cdc
+    * .maintainGroupedAgg]]): the per-status count/sum view refreshed
+    * INCREMENTALLY from the q192 changelog — pre-image retraction +
+    * post-image addition over changed keys only, merged into the
+    * old aggregate. The oracle recomputes the view from the FULL
+    * post-image, so a hash match certifies the IVM algebra (two
+    * different computation paths, one answer). */
+  private[graft] def q196(s: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, dir)
+    val baseAgg = base.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_cents"))
+    graft.operators.Cdc.maintainGroupedAgg(baseAgg, base, changes,
+        "o_orderkey", "seq", "op", "o_orderstatus", "price_cents")
       .orderBy("o_orderstatus")
   }
 

@@ -37,4 +37,24 @@ class CdcSpec extends SparkSpec with Matchers {
     canon(Cdc.applyChangelog(base, changes.filter($"k" < 0), "k", "seq",
       "op", Seq("st", "v"))) shouldBe canon(base)
   }
+
+  test("maintainGroupedAgg == full recompute from the post-image, " +
+      "groups reaching zero drop, new groups appear") {
+    import org.apache.spark.sql.functions._
+    def agg(df: DataFrame) = df.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
+    def canonAgg(df: DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val incremental = Cdc.maintainGroupedAgg(agg(base), base, changes,
+      "k", "seq", "op", "st", "v")
+    val full = agg(Cdc.applyChangelog(base, changes, "k", "seq", "op",
+      Seq("st", "v")))
+    canonAgg(incremental) shouldBe canonAgg(full)
+    // group "a" disappeared (its only key updated to st "a2"), "e" is new
+    val groups = canonAgg(incremental).map(_._1)
+    groups should contain("e")
+    groups.contains("a") shouldBe false
+    groups.contains("b") shouldBe false // deleted key's group had one row
+  }
 }
