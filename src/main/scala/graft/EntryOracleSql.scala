@@ -2540,7 +2540,54 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(pc) AS BIGINT) AS sum_cents
          FROM last WHERE op <> 'D'
-         GROUP BY st ORDER BY st""") ++
+         GROUP BY st ORDER BY st""",
+    "q197_retention_cohorts" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ts_us FROM events
+         ), firsts AS (
+           SELECT user_id, min(ts_us) AS first_us FROM ev GROUP BY 1
+         ), activity AS (
+           SELECT CAST(floor(CAST(f.first_us AS DOUBLE) / 604800000000.0)
+                       AS BIGINT) AS cohort_week,
+                  CAST(floor(CAST(e.ts_us - f.first_us AS DOUBLE)
+                             / 604800000000.0) AS BIGINT) AS week_k,
+                  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+           FROM ev e JOIN firsts f USING (user_id)
+           GROUP BY 1, 2
+         ), sizes AS (
+           SELECT CAST(floor(CAST(first_us AS DOUBLE) / 604800000000.0)
+                       AS BIGINT) AS cohort_week,
+                  CAST(count(*) AS BIGINT) AS cohort_size
+           FROM firsts GROUP BY 1
+         )
+         SELECT a.cohort_week, a.week_k, a.n_active, s.cohort_size,
+                CAST(floor(CAST(a.n_active AS DOUBLE) * 1000000.0
+                           / CAST(s.cohort_size AS DOUBLE)) AS BIGINT)
+                  AS retention_micros
+         FROM activity a JOIN sizes s USING (cohort_week)
+         ORDER BY a.cohort_week, a.week_k""",
+    "q198_conversion_latency" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+         ), s0 AS (
+           SELECT user_id, min(t) AS t_0 FROM e
+           WHERE event_type = 'view' GROUP BY 1
+         ), s1 AS (
+           SELECT e.user_id, min(t) AS t_1 FROM e JOIN s0 USING (user_id)
+           WHERE event_type = 'click' AND t > t_0 GROUP BY 1
+         ), s2 AS (
+           SELECT e.user_id, min(t) AS t_2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t_1 GROUP BY 1
+         ), lat AS (
+           SELECT CAST(floor(CAST(s2.t_2 - s0.t_0 AS DOUBLE) / 60000000.0)
+                       AS BIGINT) AS lat_min
+           FROM s2 JOIN s0 USING (user_id)
+         )
+         SELECT CASE WHEN lat_min <= 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(length(to_base(lat_min, 4)) AS BIGINT)
+                END AS bucket,
+                CAST(count(*) AS BIGINT) AS n_conversions
+         FROM lat GROUP BY 1 ORDER BY 1""") ++
     modelOracles
 
 }

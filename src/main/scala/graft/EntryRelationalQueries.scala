@@ -335,6 +335,63 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("arm")
   }
 
+  /** RETENTION COHORTS — the product-analytics triangle: users
+    * cohorted by first-seen week (integer week index since epoch —
+    * pure integer arithmetic, no calendar semantics to disagree
+    * on), per (cohort, week-offset k) the distinct active users and
+    * the retention rate vs the cohort size (= the k=0 row).
+    * Two keyed aggregates + one broadcast-sized cohort join. */
+  private[graft] def q197(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"))
+    val activity = ev.join(firsts, Seq("user_id"))
+      .select(col("user_id"),
+        floor(col("first_us").cast("double") / lit(weekUs.toDouble))
+          .cast("long").as("cohort_week"),
+        floor((col("ts_us") - col("first_us")).cast("double")
+          / lit(weekUs.toDouble)).cast("long").as("week_k"))
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = firsts
+      .groupBy(floor(col("first_us").cast("double") / lit(weekUs.toDouble))
+        .cast("long").as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_k"), col("n_active"),
+        col("cohort_size"),
+        floor(col("n_active").cast("double") * lit(1000000.0)
+          / col("cohort_size").cast("double")).cast("long")
+          .as("retention_micros"))
+      .orderBy("cohort_week", "week_k")
+  }
+
+  /** CONVERSION-LATENCY histogram over the q62 funnel: time from
+    * first view to the converting purchase, bucketed into
+    * power-of-4-minute bands via INTEGER base-4 digit count (no
+    * float log edges to disagree on cross-engine). The "how long
+    * does conversion take" readout beside the funnel's "how many
+    * convert". */
+  private[graft] def q198(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.operators.Funnel.funnel(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val latencyMin = floor(
+      (unix_micros(col("t_2")) - unix_micros(col("t_0"))).cast("double")
+        / lit(60000000.0)).cast("long")
+    f.filter(col("t_2").isNotNull)
+      .select(latencyMin.as("lat_min"))
+      .select(
+        when(col("lat_min") <= 0, lit(0L))
+          .otherwise(length(conv(col("lat_min"), 10, 4)).cast("long"))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("bucket")
+  }
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
