@@ -2798,6 +2798,44 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          ORDER BY node"""
   }
 
+  /** q199: the half-sample CI oracle — mirrors
+    * [[graft.operators.Analyze.halfSampleCI]] over events grouped by
+    * event_type: the same md5 replica membership, exact integer
+    * cents sums, and the IDENTICAL left-associated double tree for
+    * replica means, their mean, and the spread. */
+  private[graft] def halfSampleCiOracle(replicas: Int): String = {
+    def mem(b: Int) =
+      s"(('0x' || substr(md5('ci:$b:' || CAST(event_id AS VARCHAR))," +
+        s" 1, 14))::BIGINT % 2 = 0)"
+    val sums = (0 until replicas).map { b =>
+      s"""CAST(sum(CASE WHEN ${mem(b)}
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS s$b,
+          CAST(sum(CASE WHEN ${mem(b)} THEN 1 ELSE 0 END) AS BIGINT)
+            AS n$b"""
+    }.mkString(",\n          ")
+    val ms = (0 until replicas).map(b =>
+      s"(CAST(s$b AS DOUBLE) / CAST(n$b AS DOUBLE))")
+    val mbar = s"(${ms.mkString(" + ")}) / $replicas.0"
+    val varE = ms.map(m => s"($m - ($mbar)) * ($m - ($mbar))")
+      .mkString(" + ")
+    val guard = (0 until replicas).map(b => s"n$b > 0").mkString(" AND ")
+    s"""WITH g AS (
+         SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           $sums
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type, n, sum_cents,
+              CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+              CASE WHEN $guard
+                   THEN sqrt(($varE) / $replicas.0)
+                   ELSE NULL END AS half_sample_std_cents
+       FROM g ORDER BY event_type"""
+  }
+
   /** q188: the K-FOLD CV oracle — the [[sigmoidGdGroupedOracle]]
     * machinery keyed by model over a fold-replicated train set
     * (model m trains on every fold except m; deterministic md5

@@ -2587,7 +2587,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                      ELSE CAST(length(to_base(lat_min, 4)) AS BIGINT)
                 END AS bucket,
                 CAST(count(*) AS BIGINT) AS n_conversions
-         FROM lat GROUP BY 1 ORDER BY 1""") ++
+         FROM lat GROUP BY 1 ORDER BY 1""",
+    "q199_half_sample_ci" -> halfSampleCiOracle(replicas = 16)) ++
     modelOracles
 
 }

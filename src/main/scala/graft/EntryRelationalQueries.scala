@@ -392,6 +392,17 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("bucket")
   }
 
+  /** Half-sample uncertainty for the per-type mean value
+    * ([[graft.operators.Analyze.halfSampleCI]], 16 md5 replicas):
+    * the deterministic subsampling standard error, every double
+    * derived from exact integer sums through one fixed IEEE tree
+    * and bit-replayed by the generated oracle. */
+  private[graft] def q199(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.halfSampleCI(
+        t(s, dir, "events"), "event_type", "event_id",
+        cents(col("value")), replicas = 16, salt = "ci")
+      .orderBy("event_type")
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

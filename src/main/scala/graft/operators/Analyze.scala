@@ -164,6 +164,48 @@ object Analyze {
             / col("duration_us").cast("double")))
   }
 
+  /** HALF-SAMPLE uncertainty for a per-group mean — deterministic
+    * subsampling CI: `replicas` half-samples drawn by md5 bit
+    * (`md5(salt:b:id) mod 2`, the engine's stable-membership
+    * discipline — no RNG state, so the replica set is identical on
+    * re-runs and replayable by the oracle), each replica's mean from
+    * EXACT integer cents sums, and the spread of replica means as
+    * the standard error estimate. The cheap, embarrassingly-parallel
+    * cousin of the bootstrap: ONE grouped aggregate carries all
+    * 2·replicas conditional sums, so the uncertainty costs the same
+    * scan as the mean itself at 100 TB.
+    *
+    * All doubles derive from exact BIGINT sums through a FIXED
+    * left-associated expression order (m₀…m_B, then
+    * Σ(m_b−m̄)²/B), so even the std is bit-identical across
+    * engines. Output: (groupCol, n, sum_cents, mean_cents,
+    * half_sample_std_cents — NULL if any replica is empty). */
+  def halfSampleCI(df: DataFrame, groupCol: String, idCol: String,
+      centsCol: Column, replicas: Int, salt: String): DataFrame = {
+    require(replicas >= 2, "need at least two replicas")
+    def member(b: Int): Column = pmod(
+      conv(substring(md5(concat(lit(s"$salt:$b:"),
+        col(idCol).cast("string"))), 1, 14), 16, 10).cast("long"),
+      lit(2L)) === 0L
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(centsCol.cast("long")).as("sum_cents")) ++
+      (0 until replicas).flatMap { b =>
+        Seq(sum(when(member(b), centsCol.cast("long")).otherwise(lit(0L)))
+          .as(s"__s$b"),
+          sum(when(member(b), 1L).otherwise(0L)).as(s"__n$b"))
+      }
+    def d(c: Column): Column = c.cast("double")
+    val ms = (0 until replicas).map(b => d(col(s"__s$b")) / d(col(s"__n$b")))
+    val mbar = ms.reduceLeft(_ + _) / lit(replicas.toDouble)
+    val varE = ms.map(m => (m - mbar) * (m - mbar)).reduceLeft(_ + _) /
+      lit(replicas.toDouble)
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), col("n"), col("sum_cents"),
+        (d(col("sum_cents")) / d(col("n"))).as("mean_cents"),
+        when((0 until replicas).map(b => col(s"__n$b") > 0L).reduce(_ && _),
+          sqrt(varE)).as("half_sample_std_cents"))
+  }
+
   /** Market-basket ASSOCIATION RULES over (basket, item) pairs:
     * pair support, directed confidence and lift for every item pair
     * co-occurring in at least `minSupport` baskets — the classic

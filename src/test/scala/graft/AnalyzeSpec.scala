@@ -236,6 +236,38 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     re shouldBe out
   }
 
+  test("halfSampleCI: replica membership is the md5 rule, std matches " +
+      "a scala recompute of the same IEEE tree bit-for-bit, " +
+      "partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 400L).map(i => ("g", i, (i % 37) * 10L))
+      .toDF("grp", "id", "cents")
+    val reps = 8
+    val out = Analyze.halfSampleCI(rows, "grp", "id", col("cents"),
+      replicas = reps, salt = "t").head()
+    def memberOf(b: Int, id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$b:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(14), 16) % 2 == 0
+    }
+    val data = (1L to 400L).map(i => i -> (i % 37) * 10L)
+    val ms = (0 until reps).map { b =>
+      val sel = data.filter(d => memberOf(b, d._1))
+      sel.map(_._2).sum.toDouble / sel.size.toDouble
+    }
+    val mbar = ms.reduceLeft(_ + _) / reps.toDouble
+    val varE = ms.map(m => (m - mbar) * (m - mbar)).reduceLeft(_ + _) /
+      reps.toDouble
+    out.getAs[Long]("n") shouldBe 400L
+    out.getAs[Long]("sum_cents") shouldBe data.map(_._2).sum
+    java.lang.Double.doubleToLongBits(
+      out.getAs[Double]("half_sample_std_cents")) shouldBe
+      java.lang.Double.doubleToLongBits(math.sqrt(varE))
+    val re = Analyze.halfSampleCI(rows.repartition(7), "grp", "id",
+      col("cents"), replicas = reps, salt = "t").head()
+    re shouldBe out
+  }
+
   test("timeWeightedAverage: hand-computed holding-weighted mean, " +
       "single-observation NULL, per-key isolation, partition-invariant") {
     import org.apache.spark.sql.functions.col
