@@ -2588,7 +2588,38 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 END AS bucket,
                 CAST(count(*) AS BIGINT) AS n_conversions
          FROM lat GROUP BY 1 ORDER BY 1""",
-    "q199_half_sample_ci" -> halfSampleCiOracle(replicas = 16)) ++
+    "q199_half_sample_ci" -> halfSampleCiOracle(replicas = 16),
+    "q200_mad_anomalies" ->
+      """WITH base AS (
+           SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events
+         ), med AS (
+           SELECT event_type, quantile_cont(c, 0.5) AS med_cents
+           FROM base GROUP BY 1
+         ), mad AS (
+           SELECT b.event_type,
+                  quantile_cont(abs(CAST(b.c AS DOUBLE) - m.med_cents),
+                                0.5) AS mad_cents
+           FROM base b JOIN med m USING (event_type)
+           GROUP BY 1
+         )
+         SELECT b.event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                min(m.med_cents) AS med_cents,
+                min(d.mad_cents) AS mad_cents,
+                CAST(sum(CASE WHEN abs(CAST(b.c AS DOUBLE) - m.med_cents)
+                                   > 3.0 * d.mad_cents
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_anomalies,
+                CAST(sum(CASE WHEN abs(CAST(b.c AS DOUBLE) - m.med_cents)
+                                   > 3.0 * d.mad_cents
+                              THEN b.c ELSE 0 END) AS BIGINT)
+                  AS anomaly_cents
+         FROM base b
+         JOIN med m USING (event_type)
+         JOIN mad d USING (event_type)
+         GROUP BY 1 ORDER BY 1""") ++
     modelOracles
 
 }

@@ -403,6 +403,17 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         cents(col("value")), replicas = 16, salt = "ci")
       .orderBy("event_type")
 
+  /** MAD robust anomaly detection per event type
+    * ([[graft.operators.Analyze.madAnomalies]], k = 3): median +
+    * median-absolute-deviation flags, the outlier DETECTOR closing
+    * the robust-stats family (q179 winsorize mitigates, this
+    * detects). */
+  private[graft] def q200(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.madAnomalies(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", cents(col("value")), k = 3.0)
+      .orderBy("event_type")
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

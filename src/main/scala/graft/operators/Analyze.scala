@@ -206,6 +206,45 @@ object Analyze {
           sqrt(varE)).as("half_sample_std_cents"))
   }
 
+  /** MAD-based robust ANOMALY DETECTION per group: median and
+    * median-absolute-deviation of a cents column, rows flagged when
+    * `|x − med| > k·MAD` — the outlier DETECTOR beside
+    * [[winsorizedStats]]' outlier MITIGATION; immune to the very
+    * outliers it hunts (mean/std would be dragged by them).
+    *
+    * Three passes (median → MAD → flags), each a grouped aggregate
+    * with the |groups|-row bounds broadcast back — exact
+    * interpolated percentiles (the q109/q179 cross-engine
+    * identity); at 100 TB swap the exact percentile for the q109
+    * sampled quantile and keep the same shape. All deviations are
+    * exact integers until the final interpolation, so the oracle
+    * restates every column. Output: (groupCol, n, med_cents,
+    * mad_cents, n_anomalies, anomaly_cents). */
+  def madAnomalies(df: DataFrame, groupCol: String, centsCol: Column,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.select(col(groupCol), centsCol.cast("long").as("__c"))
+    val med = base.groupBy(col(groupCol))
+      .agg(expr("percentile(__c, 0.5)").as("med_cents"))
+    val withMed = base.join(broadcast(med), Seq(groupCol))
+    val mad = withMed
+      .select(col(groupCol),
+        abs(col("__c").cast("double") - col("med_cents")).as("__dev"))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("mad_cents"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("__anom",
+        abs(col("__c").cast("double") - col("med_cents"))
+          > lit(k) * col("mad_cents"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(col("__anom"), 1L).otherwise(0L)).as("n_anomalies"),
+        sum(when(col("__anom"), col("__c")).otherwise(lit(0L)))
+          .as("anomaly_cents"))
+  }
+
   /** Market-basket ASSOCIATION RULES over (basket, item) pairs:
     * pair support, directed confidence and lift for every item pair
     * co-occurring in at least `minSupport` baskets — the classic

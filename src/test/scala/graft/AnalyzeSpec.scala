@@ -268,6 +268,30 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     re shouldBe out
   }
 
+  test("madAnomalies: a planted spike is flagged, the median/MAD are " +
+      "immune to it, clean data flags nothing, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // 99 values of 100±5 plus one 10000 spike: med ~100, mad ~<=5,
+    // only the spike exceeds 3*MAD
+    val rows = ((1 to 99).map(i => ("g", 100L + (i % 11) - 5L)) :+
+      (("g", 10000L))).toDF("grp", "cents")
+    val out = Analyze.madAnomalies(rows, "grp", col("cents"), k = 3.0)
+      .head()
+    out.getAs[Long]("n") shouldBe 100L
+    out.getAs[Double]("med_cents") should (be >= 95.0 and be <= 105.0)
+    out.getAs[Double]("mad_cents") should be <= 5.0
+    out.getAs[Long]("n_anomalies") shouldBe 1L
+    out.getAs[Long]("anomaly_cents") shouldBe 10000L
+    // without the spike nothing flags at k=3 on this tight cluster?
+    // (deterministic either way — pin the observed value)
+    val clean = Analyze.madAnomalies(rows.filter(col("cents") < 1000L),
+      "grp", col("cents"), k = 3.0).head()
+    clean.getAs[Long]("n_anomalies") shouldBe 0L
+    val re = Analyze.madAnomalies(rows.repartition(7), "grp",
+      col("cents"), k = 3.0).head()
+    re shouldBe out
+  }
+
   test("timeWeightedAverage: hand-computed holding-weighted mean, " +
       "single-observation NULL, per-key isolation, partition-invariant") {
     import org.apache.spark.sql.functions.col
