@@ -2619,7 +2619,54 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM base b
          JOIN med m USING (event_type)
          JOIN mad d USING (event_type)
-         GROUP BY 1 ORDER BY 1""") ++
+         GROUP BY 1 ORDER BY 1""",
+    "q201_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS t, event_type, value
+           FROM events
+         ), mid AS (
+           SELECT (min(t) + max(t)) // 2 AS mid FROM ev
+         ), units AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN t < mid AND event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN t >= mid AND event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS y,
+                  'arm' || CAST(('0x' || substr(md5('ab:'
+                      || CAST(user_id AS VARCHAR)), 1, 14))::BIGINT % 2
+                    AS VARCHAR) AS arm
+           FROM ev CROSS JOIN mid
+           GROUP BY user_id
+         ), perarm AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sum_x,
+                  CAST(sum(y) AS BIGINT) AS sum_y,
+                  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                  CAST(sum(x * x) AS BIGINT) AS sum_xx
+           FROM units GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS tn,
+                  CAST(sum(sum_x) AS BIGINT) AS tx,
+                  CAST(sum(sum_y) AS BIGINT) AS ty,
+                  CAST(sum(sum_xy) AS BIGINT) AS txy,
+                  CAST(sum(sum_xx) AS BIGINT) AS txx
+           FROM perarm
+         )
+         SELECT arm, n, sum_x, sum_y,
+                CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+                CASE WHEN CAST(txx AS DOUBLE) * CAST(tn AS DOUBLE)
+                          - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) > 0.0
+                     THEN CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(txy AS DOUBLE) * CAST(tn AS DOUBLE)
+                             - CAST(tx AS DOUBLE) * CAST(ty AS DOUBLE))
+                            / (CAST(txx AS DOUBLE) * CAST(tn AS DOUBLE)
+                               - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE))
+                            * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)
+                               - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+                     ELSE NULL END AS mean_y_adj
+         FROM perarm CROSS JOIN tot ORDER BY arm""") ++
     modelOracles
 
 }

@@ -414,6 +414,33 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         "event_type", cents(col("value")), k = 3.0)
       .orderBy("event_type")
 
+  /** CUPED variance-reduced experiment readout ([[graft.operators
+    * .Analyze.cuped]]): per-user purchase cents split at the global
+    * time midpoint into pre-period covariate x and experiment
+    * metric y, md5 arms, pooled θ from five exact BIGINT sums, and
+    * the covariate-adjusted per-arm means as one fixed
+    * explicit-double tree. */
+  private[graft] def q201(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+    val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / lit(2L))
+      .cast("long").as("mid"))
+    val isPurchase = col("event_type") === "purchase"
+    val units = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts_us") < col("mid") && isPurchase,
+          cents(col("value"))).otherwise(lit(0L))).as("x_cents"),
+        sum(when(col("ts_us") >= col("mid") && isPurchase,
+          cents(col("value"))).otherwise(lit(0L))).as("y_cents"))
+      .withColumn("arm", concat(lit("arm"), pmod(
+        conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 14), 16, 10).cast("long"), lit(2L))))
+    graft.operators.Analyze.cuped(units, "arm", "x_cents", "y_cents")
+      .orderBy("arm")
+  }
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

@@ -80,6 +80,46 @@ object Analyze {
       .select(col("x"), col("y"))
   }
 
+  /** CUPED variance-reduced experiment readout — the industry-
+    * standard upgrade to [[abTest]]: each unit's experiment-period
+    * metric `y` is adjusted by its PRE-period covariate `x`
+    * (`y_adj = y − θ·(x − x̄)`, θ = cov(x,y)/var(x) pooled across
+    * arms), which removes the between-user variance the covariate
+    * explains and tightens the same comparison at the same sample
+    * size.
+    *
+    * Everything derives from five exact BIGINT sums per arm (n, Σx,
+    * Σy, Σxy, Σx²) collected in ONE grouped aggregate over
+    * per-unit integer cents, then one fixed explicit-double IEEE
+    * tree for θ and the adjusted means — bit-replayable, the
+    * [[abTest]]/[[halfSampleCI]] discipline. θ guard: NULL-adjusted
+    * means when var(x) = 0. Output (one row per arm): (arm, n,
+    * sum_x, sum_y, mean_y, mean_y_adj). */
+  def cuped(units: DataFrame, armCol: String, xCentsCol: String,
+      yCentsCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    val perArm = units.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCentsCol)).as("sum_x"),
+        sum(col(yCentsCol)).as("sum_y"),
+        sum(col(xCentsCol) * col(yCentsCol)).as("sum_xy"),
+        sum(col(xCentsCol) * col(xCentsCol)).as("sum_xx"))
+    val tot = perArm.agg(sum(col("n")).as("tn"),
+      sum(col("sum_x")).as("tx"), sum(col("sum_y")).as("ty"),
+      sum(col("sum_xy")).as("txy"), sum(col("sum_xx")).as("txx"))
+    val joined = perArm.crossJoin(broadcast(tot))
+    val varNum = d(col("txx")) * d(col("tn")) - d(col("tx")) * d(col("tx"))
+    val theta = (d(col("txy")) * d(col("tn"))
+      - d(col("tx")) * d(col("ty"))) / varNum
+    val xbarAll = d(col("tx")) / d(col("tn"))
+    val meanY = d(col("sum_y")) / d(col("n"))
+    val meanX = d(col("sum_x")) / d(col("n"))
+    joined.select(col("arm"), col("n"), col("sum_x"), col("sum_y"),
+      meanY.as("mean_y"),
+      when(varNum > 0.0, meanY - theta * (meanX - xbarAll))
+        .as("mean_y_adj"))
+  }
+
   /** Deterministic A/B EXPERIMENT readout: units hash-assigned to
     * two arms (`md5(salt:unit) mod 2` — the [[graft.operators
     * .Curation]] membership discipline, so assignment is stable

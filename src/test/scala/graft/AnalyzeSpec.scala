@@ -292,6 +292,44 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     re shouldBe out
   }
 
+  test("cuped: adjustment removes a pure covariate imbalance, matches " +
+      "the scala recompute bit-for-bit, var(x)=0 yields NULL") {
+    import org.apache.spark.sql.functions.col
+    // y = x exactly; arm A drew bigger x's. Raw means differ by the
+    // imbalance; CUPED with theta=1 removes it COMPLETELY: both
+    // adjusted means collapse to the pooled mean.
+    val units = ((1 to 50).map(i => ("A", 100L + i, 100L + i)) ++
+      (1 to 50).map(i => ("B", i.toLong, i.toLong)))
+      .toDF("arm", "x_cents", "y_cents")
+    val out = Analyze.cuped(units, "arm", "x_cents", "y_cents")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5)))).toMap
+    val rawGap = math.abs(out("A")._2 - out("B")._2)
+    val adjGap = math.abs(out("A")._3 - out("B")._3)
+    rawGap shouldBe 100.0 +- 1e-9
+    adjGap should be < 1e-9 // theta = 1 exactly, imbalance fully removed
+    // scala recompute of the same tree for arm A
+    val xs = ((1 to 50).map(i => (100L + i, 100L + i)) ++
+      (1 to 50).map(i => (i.toLong, i.toLong)))
+    val (tn, tx, ty) = (xs.size.toLong, xs.map(_._1).sum, xs.map(_._2).sum)
+    val txy = xs.map(p => p._1 * p._2).sum
+    val txx = xs.map(p => p._1 * p._1).sum
+    val varNum = txx.toDouble * tn.toDouble - tx.toDouble * tx.toDouble
+    val theta = (txy.toDouble * tn.toDouble - tx.toDouble * ty.toDouble) /
+      varNum
+    val aX = (1 to 50).map(i => 100L + i)
+    val meanYA = aX.sum.toDouble / 50.0
+    val adjA = meanYA - theta * (aX.sum.toDouble / 50.0
+      - tx.toDouble / tn.toDouble)
+    java.lang.Double.doubleToLongBits(out("A")._3) shouldBe
+      java.lang.Double.doubleToLongBits(adjA)
+    // constant covariate: var(x) = 0 -> NULL adjusted means
+    val const = Seq(("A", 5L, 10L), ("B", 5L, 20L))
+      .toDF("arm", "x_cents", "y_cents")
+    Analyze.cuped(const, "arm", "x_cents", "y_cents")
+      .collect().forall(_.isNullAt(5)) shouldBe true
+  }
+
   test("timeWeightedAverage: hand-computed holding-weighted mean, " +
       "single-observation NULL, per-key isolation, partition-invariant") {
     import org.apache.spark.sql.functions.col

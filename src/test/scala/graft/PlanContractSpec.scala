@@ -53,7 +53,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q174_hits",             // 1-row L-inf max broadcast per half-round, like q110
     "q178_ams_join_size",    // two 1-row sketch totals crossed, like q116
     "q186_association_rules", // 1-row basket-count broadcast, like q86
-    "q187_expectations")     // 1-row total crossed onto the FK orphan row
+    "q187_expectations",     // 1-row total crossed onto the FK orphan row
+    "q201_cuped")            // 1-row midpoint + pooled-moments broadcasts
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
