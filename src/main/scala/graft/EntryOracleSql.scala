@@ -2666,7 +2666,33 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                             * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)
                                - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
                      ELSE NULL END AS mean_y_adj
-         FROM perarm CROSS JOIN tot ORDER BY arm""") ++
+         FROM perarm CROSS JOIN tot ORDER BY arm""",
+    "q202_benford" -> {
+      // the SAME JVM-computed log10 constants as the Spark query,
+      // printed shortest-roundtrip so DuckDB parses identical bits
+      val counts = (1 to 9).map(dd =>
+        s"""CAST(sum(CASE WHEN substr(CAST(c AS VARCHAR), 1, 1) = '$dd'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c$dd""")
+        .mkString(",\n            ")
+      val terms = (1 to 9).map { dd =>
+        val k = math.log10(1.0 + 1.0 / dd)
+        s"""(CAST(c$dd AS DOUBLE) - CAST(n AS DOUBLE) * $k)
+            * (CAST(c$dd AS DOUBLE) - CAST(n AS DOUBLE) * $k)
+            / (CAST(n AS DOUBLE) * $k)"""
+      }.mkString(" + ")
+      s"""WITH base AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders
+           WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+         ), g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+            $counts
+           FROM base
+         )
+         SELECT n, ${(1 to 9).map(dd => s"c$dd").mkString(", ")},
+                $terms AS chi2
+         FROM g"""
+    }) ++
     modelOracles
 
 }

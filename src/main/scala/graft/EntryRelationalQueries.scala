@@ -441,6 +441,30 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("arm")
   }
 
+  /** BENFORD first-digit audit over order totals — the
+    * fraud/data-entry screening staple: observed leading-digit
+    * counts vs Benford expectation with the χ² statistic. The
+    * log₁₀(1+1/d) constants are PRECOMPUTED Scala doubles embedded
+    * as literals in BOTH engines (shortest-roundtrip decimal text →
+    * identical bits), so no cross-engine log evaluation exists; the
+    * digit pivot makes χ² one fixed 9-term left-assoc tree over a
+    * single aggregate row. */
+  private[graft] def q202(s: SparkSession, dir: String): DataFrame = {
+    val c = cents(col("o_totalprice"))
+    val digit = substring(c.cast("string"), 1, 1)
+    val counts = (1 to 9).map(dd =>
+      sum(when(digit === dd.toString, 1L).otherwise(0L)).as(s"c$dd"))
+    val row = t(s, dir, "orders").filter(c > 0)
+      .agg(count(lit(1)).as("n"), counts: _*)
+    def d(x: Column): Column = x.cast("double")
+    val terms = (1 to 9).map { dd =>
+      val e = d(col("n")) * lit(math.log10(1.0 + 1.0 / dd))
+      (d(col(s"c$dd")) - e) * (d(col(s"c$dd")) - e) / e
+    }
+    row.select(col("n") +: (1 to 9).map(dd => col(s"c$dd")) :+
+      terms.reduceLeft(_ + _).as("chi2"): _*)
+  }
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
