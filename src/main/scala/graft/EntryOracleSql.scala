@@ -2692,6 +2692,42 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT n, ${(1 to 9).map(dd => s"c$dd").mkString(", ")},
                 $terms AS chi2
          FROM g"""
+    },
+    "q203_rfm_segments" -> {
+      def score(x: String, b: String) =
+        (1 to 4).map(i =>
+          s"CASE WHEN CAST($x AS DOUBLE) > $b[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ") + " + 1"
+      s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM events
+         ), users AS (
+           SELECT user_id, max(ts_us) AS last_us,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS m_cents
+           FROM ev GROUP BY 1
+         ), g AS (
+           SELECT max(ts_us) AS gmax FROM ev
+         ), withr AS (
+           SELECT u.*, g.gmax - u.last_us AS r_us
+           FROM users u CROSS JOIN g
+         ), bounds AS (
+           SELECT quantile_cont(r_us, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                  quantile_cont(f_cnt, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                  quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+           FROM withr
+         )
+         SELECT CAST(${score("w.r_us", "b.rb")} AS BIGINT) AS r_score,
+                CAST(${score("w.f_cnt", "b.fb")} AS BIGINT) AS f_score,
+                CAST(${score("w.m_cents", "b.mb")} AS BIGINT) AS m_score,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(w.m_cents) AS BIGINT) AS sum_m_cents
+         FROM withr w CROSS JOIN bounds b
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3"""
     }) ++
     modelOracles
 

@@ -465,6 +465,44 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       terms.reduceLeft(_ + _).as("chi2"): _*)
   }
 
+  /** RFM customer segmentation — recency (µs since each user's last
+    * event vs the global max), frequency (purchase count), monetary
+    * (purchase cents) scored into 1..5 quintile buckets against
+    * exact interpolated percentile bounds (ONE 1-row bounds
+    * aggregate broadcast back — no ntile global sort), segments
+    * rolled up. Bucket = 1 + Σ(x > bound_i), pure integer-vs-bound
+    * comparisons. */
+  private[graft] def q203(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("f_cnt"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(lit(0L))).as("m_cents"))
+    val withR = users.crossJoin(broadcast(
+        ev.agg(max(col("ts_us")).as("gmax"))))
+      .withColumn("r_us", col("gmax") - col("last_us"))
+    val bounds = withR.agg(
+      expr("percentile(r_us, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(f_cnt, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(m_cents, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def score(x: Column, b: String): Column =
+      (1 to 4).map(i => when(x.cast("double") > element_at(col(b), i),
+        1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+    withR.crossJoin(broadcast(bounds))
+      .select(score(col("r_us"), "rb").as("r_score"),
+        score(col("f_cnt"), "fb").as("f_score"),
+        score(col("m_cents"), "mb").as("m_score"),
+        col("m_cents"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("m_cents")).as("sum_m_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Gap-based sessionization (30-min idle gap) per user. */
   private[graft] def q30(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 30)

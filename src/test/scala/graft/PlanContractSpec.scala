@@ -54,7 +54,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q178_ams_join_size",    // two 1-row sketch totals crossed, like q116
     "q186_association_rules", // 1-row basket-count broadcast, like q86
     "q187_expectations",     // 1-row total crossed onto the FK orphan row
-    "q201_cuped")            // 1-row midpoint + pooled-moments broadcasts
+    "q201_cuped",            // 1-row midpoint + pooled-moments broadcasts
+    "q203_rfm_segments")     // 1-row global-max + quintile-bounds broadcasts
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
