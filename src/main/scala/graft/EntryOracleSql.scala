@@ -12,6 +12,41 @@ import graft.streaming.StreamOps
 /** The oracle registry: one DuckDB SQL twin per query in [[SparkEntry.queries]] (the driver's hash-parity gate). */
 private[graft] trait EntryOracleSql { this: SparkEntry.type =>
 
+  /** The q192-changelog FULL post-image per-status view — the shared
+    * oracle of q196 (batch incremental view) and q204 (streaming CDC
+    * merge): three Spark computation paths, one answer. */
+  private val cdcPostImageViewOracle: String =
+    """WITH base AS (
+         SELECT o_orderkey AS k,
+                CAST(-9223372036854775808 AS BIGINT) AS seq,
+                'I' AS op, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+         FROM orders
+       ), upd AS (
+         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'X',
+                CAST(round(o_totalprice * 100) AS BIGINT) + 100
+         FROM orders WHERE o_orderkey % 7 = 0
+       ), del AS (
+         SELECT o_orderkey, CAST(2 AS BIGINT), 'D', '',
+                CAST(0 AS BIGINT)
+         FROM orders WHERE o_orderkey % 11 = 0
+       ), ins AS (
+         SELECT o_orderkey + 100000000, CAST(1 AS BIGINT), 'I', 'N',
+                CAST(4200 AS BIGINT)
+         FROM orders WHERE o_orderkey % 13 = 0
+       ), allrows AS (
+         SELECT * FROM base UNION ALL SELECT * FROM upd
+         UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+       ), last AS (
+         SELECT * FROM allrows
+         QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+       )
+       SELECT st AS o_orderstatus,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(pc) AS BIGINT) AS sum_cents
+       FROM last WHERE op <> 'D'
+       GROUP BY st ORDER BY st"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2510,37 +2545,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                            / CAST(n_sessions AS DOUBLE)) AS BIGINT)
                   AS conv_rate_micros
          FROM agg ORDER BY arm""",
-    "q196_incremental_view" ->
-      """WITH base AS (
-           SELECT o_orderkey AS k,
-                  CAST(-9223372036854775808 AS BIGINT) AS seq,
-                  'I' AS op, o_orderstatus AS st,
-                  CAST(round(o_totalprice * 100) AS BIGINT) AS pc
-           FROM orders
-         ), upd AS (
-           SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'X',
-                  CAST(round(o_totalprice * 100) AS BIGINT) + 100
-           FROM orders WHERE o_orderkey % 7 = 0
-         ), del AS (
-           SELECT o_orderkey, CAST(2 AS BIGINT), 'D', '',
-                  CAST(0 AS BIGINT)
-           FROM orders WHERE o_orderkey % 11 = 0
-         ), ins AS (
-           SELECT o_orderkey + 100000000, CAST(1 AS BIGINT), 'I', 'N',
-                  CAST(4200 AS BIGINT)
-           FROM orders WHERE o_orderkey % 13 = 0
-         ), allrows AS (
-           SELECT * FROM base UNION ALL SELECT * FROM upd
-           UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
-         ), last AS (
-           SELECT * FROM allrows
-           QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
-         )
-         SELECT st AS o_orderstatus,
-                CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(sum(pc) AS BIGINT) AS sum_cents
-         FROM last WHERE op <> 'D'
-         GROUP BY st ORDER BY st""",
+    "q196_incremental_view" -> cdcPostImageViewOracle,
+    "q204_stream_cdc" -> cdcPostImageViewOracle,
     "q197_retention_cohorts" ->
       """WITH ev AS (
            SELECT user_id, epoch_us(ts) AS ts_us FROM events

@@ -200,7 +200,7 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
   /** The deterministic CDC fixture shared by q192/q196: orders
     * snapshot + a synthetic changelog (updates %7, deletes %11 at a
     * later seq, inserts from %13 re-keyed). */
-  private def cdcFixture(s: SparkSession, dir: String)
+  private[graft] def cdcFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val o = t(s, dir, "orders")
     val base = o.select(col("o_orderkey"), col("o_orderstatus"),

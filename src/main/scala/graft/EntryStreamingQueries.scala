@@ -321,6 +321,35 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     * equals the batch SQL oracle). Checked columns are the winning
     * (doc_id, version, content md5) plus the embedding width — the
     * dimension contract on the incrementally-embedded column. */
+  /** STREAMING CDC merge ([[StreamOps.cdcStreamMerge]]): the q192
+    * changelog applied as two seq-ordered micro-batch waves against
+    * a bucketed parquet target — max-seq-wins per key, winning
+    * deletes REMOVE the key (the tombstone path no other streaming
+    * op exercised), only touched buckets rewrite per batch. The
+    * final target summarizes per status against the SAME full
+    * post-image oracle as q192/q196 — three computation paths
+    * (batch merge, incremental view, streaming merge), one answer. */
+  private[graft] def q204(s: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    base.select(col("o_orderkey"), lit(Long.MinValue).as("seq"),
+        lit("I").as("op"), col("o_orderstatus"), col("price_cents"))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(16L)))
+      .write.partitionBy("bucket").parquet(s"$work/target")
+    StreamOps.stageVersionFile(changes.filter(col("seq") === 1),
+      s"$staging/w0.parquet")
+    StreamOps.stageVersionFile(changes.filter(col("seq") === 2),
+      s"$staging/w1.parquet")
+    StreamOps.cdcStreamMerge(s, staging, s"$work/target", s"$work/ckpt")
+    s.read.parquet(s"$work/target")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   private[graft] def q39(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val work = java.nio.file.Files.createTempDirectory("graft_upsert_").toString

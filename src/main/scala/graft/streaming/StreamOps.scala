@@ -1766,6 +1766,78 @@ object StreamOps {
     fs.delete(delta, true)
   }
 
+  /** STREAMING CDC MERGE — the delete-aware sibling of
+    * [[embeddingUpsert]], closing the §2.9 gap that no streaming
+    * operator handled tombstones: each micro-batch of
+    * `(o_orderkey, seq, op, o_orderstatus, price_cents)` change rows
+    * merges into the bucketed parquet target with max-seq-wins per
+    * key, and a winning `D` removes the key from the touched
+    * partition on the spot. Tombstones collapse immediately under
+    * the CDC log's usual contract — batch order is seq-monotone per
+    * key (a log replayed out of order would instead retain
+    * tombstones until compaction; that trade is the q149 LSM note).
+    * Per batch only the touched buckets rewrite — the
+    * [[embeddingUpsert]] partition-swap discipline. */
+  def cdcStreamMerge(spark: SparkSession, stagingDir: String,
+      targetDir: String, checkpointDir: String,
+      nBuckets: Int = 16): Unit = withoutSuccessMarkers(spark) {
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("seq", LongType),
+      StructField("op", StringType),
+      StructField("o_orderstatus", StringType),
+      StructField("price_cents", LongType)))
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/*.parquet")
+    val query = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        cdcMergeBatch(batch.toDF(), targetDir, nBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  private def cdcMergeBatch(batch: DataFrame, targetDir: String,
+      nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val bucketOf = pmod(col("o_orderkey"), lit(nBuckets.toLong))
+    val touched = batch.select(bucketOf.as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val inc = batch.withColumn("bucket", bucketOf)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val unioned =
+      if (fs.exists(target))
+        spark.read.parquet(targetDir)
+          .withColumn("bucket", col("bucket").cast("long"))
+          .filter(col("bucket").isin(touched: _*))
+          .unionByName(inc)
+      else inc
+    val w = Window.partitionBy(col("bucket"), col("o_orderkey"))
+      .orderBy(col("seq").desc)
+    val merged = unioned
+      .repartition(col("bucket"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .filter(col("op") =!= "D") // seq-monotone staging: tombstone collapses
+    val delta = new org.apache.hadoop.fs.Path(targetDir + "__delta")
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(delta.toString)
+    if (!fs.exists(target)) fs.mkdirs(target)
+    fs.globStatus(new org.apache.hadoop.fs.Path(delta, "bucket=*"))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
+        fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+    fs.delete(delta, true)
+  }
+
   def embeddingUpsert(spark: SparkSession, stagingDir: String, targetDir: String,
                       checkpointDir: String,
                       embedder: graft.embed.Embedder,

@@ -656,6 +656,51 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     indexRows() shouldBe expected(winners)
   }
 
+  test("cdcStreamMerge: deletes remove keys, max-seq wins across " +
+      "waves, untouched buckets keep their bytes") {
+    import graft.operators.Cdc
+    val work = java.nio.file.Files.createTempDirectory("graft_cdcm_").toString
+    val staging = s"$work/staging"
+    new java.io.File(staging).mkdirs()
+    val target = s"$work/target"
+    // keys 0..15 across 4 buckets (nBuckets=4): k%4
+    val base = (0L to 15L).map(k => (k, Long.MinValue, "I", s"s${k % 3}",
+      k * 100L)).toDF("o_orderkey", "seq", "op", "o_orderstatus",
+      "price_cents")
+    base.withColumn("bucket", pmod($"o_orderkey", lit(4L)))
+      .write.partitionBy("bucket").parquet(target)
+    // wave1: update k=1, insert k=20 (bucket 0); wave2: delete k=1
+    val w1 = Seq((1L, 1L, "U", "sX", 999L), (20L, 1L, "I", "sN", 42L))
+      .toDF("o_orderkey", "seq", "op", "o_orderstatus", "price_cents")
+    val w2 = Seq((1L, 2L, "D", "", 0L))
+      .toDF("o_orderkey", "seq", "op", "o_orderstatus", "price_cents")
+    def bucketMtimes() = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(d =>
+        d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    val before = bucketMtimes()
+    Thread.sleep(1100)
+    StreamOps.stageVersionFile(w1, s"$staging/w0.parquet")
+    StreamOps.stageVersionFile(w2, s"$staging/w1.parquet")
+    StreamOps.cdcStreamMerge(spark, staging, target, s"$work/ckpt",
+      nBuckets = 4)
+    val got = spark.read.parquet(target)
+      .select("o_orderkey", "o_orderstatus", "price_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expected = Cdc.applyChangelog(
+        base.drop("seq", "op"), w1.unionByName(w2),
+        "o_orderkey", "seq", "op", Seq("o_orderstatus", "price_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    got shouldBe expected
+    got.exists(_._1 == 1L) shouldBe false // delete won
+    got.contains((20L, "sN", 42L)) shouldBe true // insert landed
+    // buckets 2 and 3 were never touched by any change
+    val after = bucketMtimes()
+    after("bucket=2") shouldBe before("bucket=2")
+    after("bucket=3") shouldBe before("bucket=3")
+  }
+
   test("embeddingUpsert rewrites ONLY the buckets a batch touches") {
     val work = java.nio.file.Files.createTempDirectory("graft_upsert_bkt_").toString
     val staging = s"$work/staging"
