@@ -57,4 +57,38 @@ class CdcSpec extends SparkSpec with Matchers {
     groups.contains("a") shouldBe false
     groups.contains("b") shouldBe false // deleted key's group had one row
   }
+
+  test("fuzz: applyChangelog == a sequential per-key fold over the " +
+      "seq-ordered ops (seeded random changelogs)") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 8).foreach { _ =>
+      val keys = (1L to (2 + rnd.nextInt(8))).toSeq
+      val baseRows = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"b$k", k * 10L))
+      val changeRows = keys.flatMap { k =>
+        (1 to rnd.nextInt(4)).map { seq =>
+          val op = rnd.nextInt(3) match {
+            case 0 => "I"; case 1 => "U"; case 2 => "D"
+          }
+          (k, seq.toLong, op, s"v$k-$seq", k * 100L + seq)
+        }
+      }
+      // scala reference: fold ops in seq order on top of the base
+      val state = scala.collection.mutable.Map.empty[Long, (String, Long)]
+      baseRows.foreach { case (k, st, v) => state(k) = (st, v) }
+      changeRows.sortBy(c => (c._1, c._2)).foreach {
+        case (k, _, "D", _, _) => state.remove(k)
+        case (k, _, _, st, v)  => state(k) = (st, v)
+      }
+      val expected = state.toSeq.map { case (k, (st, v)) => (k, st, v) }
+        .sortBy(_._1)
+      val got = Cdc.applyChangelog(
+          baseRows.toDF("k", "st", "v"),
+          changeRows.toDF("k", "seq", "op", "st", "v"),
+          "k", "seq", "op", Seq("st", "v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      got shouldBe expected
+    }
+  }
 }

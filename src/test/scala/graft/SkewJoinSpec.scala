@@ -66,4 +66,25 @@ class SkewJoinSpec extends SparkSpec {
       .groupBy("salt").count().collect()
     assert(spread.length == 4 && spread.forall(_.getLong(1) > 50))
   }
+
+  test("fuzz: skewEquiJoin == plain join on random skewed frames " +
+      "across thresholds and bucket counts (seeded)") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 8).foreach { _ =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val f = (0 until nKeys).flatMap { k =>
+        val mult = 1 + rnd.nextInt(40) // some keys hot, some cold
+        (0 until mult).map(i => (s"k$k", rnd.nextLong() % 1000))
+      }.toDF("key", "v")
+      val dm = (0 until nKeys).filter(_ => rnd.nextBoolean())
+        .flatMap(k => (0 to rnd.nextInt(2)).map(j => (s"k$k", k * 10L + j)))
+        .toDF("key", "w")
+      val thr = 1L + rnd.nextInt(30)
+      val bk = 1 + rnd.nextInt(5)
+      val expected = canon(f.join(dm, Seq("key")))
+      val got = canon(SkewJoin.skewEquiJoin(f, dm, "key", thr, bk,
+        saltOf = col("v")))
+      assert(got == expected, s"thr=$thr buckets=$bk")
+    }
+  }
 }
