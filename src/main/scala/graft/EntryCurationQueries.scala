@@ -617,4 +617,48 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         salt = "wsr171")
       .orderBy(col("key_micro").desc, col("doc_id"))
 
+  /** The q190 co-occurrence graph: parts consecutive within an order
+    * become undirected edges — shared by the BFS (q190), label
+    * propagation (q205) and bounded-SSSP (q206) queries. `withW`
+    * carries the source line's quantity as an integer edge weight. */
+  private def partChainEdges(s: SparkSession, dir: String,
+      withW: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val adj = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val cols: Seq[String] = if (withW) Seq("src", "dst", "w") else Seq("src", "dst")
+    adj.select(cols.head, cols.tail: _*).unionByName(
+      adj.select((Seq(col("dst").as("src"), col("src").as("dst")) ++
+        (if (withW) Seq(col("w")) else Nil)): _*))
+  }
+
+  /** Label-propagation communities
+    * ([[graft.operators.Graph.labelPropagation]], 3 synchronous
+    * rounds) over the part co-occurrence graph — the mirror-site /
+    * topic-cluster grouping pass, made deterministic (smallest-label
+    * tie-break, synchronous sweep) so every round replays verbatim
+    * in the oracle's CTE chain. */
+  private[graft] def q205(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(partChainEdges(s, dir, withW = false),
+        "src", "dst", rounds = 3)
+      .orderBy("node")
+
+  /** Hop-bounded weighted shortest paths
+    * ([[graft.operators.Graph.ssspBounded]], 4 Bellman-Ford sweeps)
+    * from the q190 seed set, edge weight = the source line's
+    * quantity (min over duplicate pairs) — exact integer distances,
+    * so the oracle's unrolled relaxation chain hash-matches. */
+  private[graft] def q206(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "part")
+      .filter(pmod(col("p_partkey"), lit(500)) === 0)
+      .select(col("p_partkey"))
+    Graph.ssspBounded(partChainEdges(s, dir, withW = true),
+        "src", "dst", "w", seeds, "p_partkey", rounds = 4)
+      .orderBy("node")
+  }
+
 }

@@ -2366,6 +2366,79 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ), $roundCtes
          SELECT node, dist FROM s4 ORDER BY node"""
     },
+    "q205_label_propagation" -> {
+      // three synchronous LPA rounds, each the literal two-step
+      // max-count / min-label argmax the Spark operator runs
+      val roundCtes = (1 to 3).map { i =>
+        s"""c$i AS (
+             SELECT e.s, l.label, CAST(count(*) AS BIGINT) AS c
+             FROM e JOIN l${i - 1} l ON e.d = l.node
+             GROUP BY e.s, l.label
+           ), m$i AS (
+             SELECT s, max(c) AS mc FROM c$i GROUP BY s
+           ), u$i AS (
+             SELECT c.s, min(c.label) AS nl
+             FROM c$i c JOIN m$i m ON c.s = m.s AND c.c = m.mc
+             GROUP BY c.s
+           ), l$i AS (
+             SELECT l.node, coalesce(u.nl, l.label) AS label
+             FROM l${i - 1} l LEFT JOIN u$i u ON l.node = u.s
+           )"""
+      }.mkString(", ")
+      s"""WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT DISTINCT src AS s, dst AS d
+           FROM (SELECT src, dst FROM adj
+                 WHERE dst IS NOT NULL AND src <> dst
+                 UNION ALL
+                 SELECT dst, src FROM adj
+                 WHERE dst IS NOT NULL AND src <> dst)
+         ), l0 AS (
+           SELECT node, node AS label
+           FROM (SELECT DISTINCT s AS node FROM e
+                 UNION SELECT DISTINCT d FROM e)
+         ), $roundCtes
+         SELECT node, label FROM l3 ORDER BY node"""
+    },
+    "q206_sssp_bounded" -> {
+      // four unrolled Bellman-Ford sweeps over exact integer weights
+      val roundCtes = (1 to 4).map { i =>
+        s"""d$i AS (
+             SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             FROM (SELECT node, dist FROM d${i - 1}
+                   UNION ALL
+                   SELECT e.d AS node, p.dist + e.w AS dist
+                   FROM d${i - 1} p JOIN e ON p.node = e.s)
+             GROUP BY node
+           )"""
+      }.mkString(", ")
+      s"""WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem
+         ), e0 AS (
+           SELECT src AS s, dst AS d, w FROM adj
+           WHERE dst IS NOT NULL AND src <> dst
+           UNION ALL
+           SELECT dst, src, w FROM adj
+           WHERE dst IS NOT NULL AND src <> dst
+         ), e AS (
+           SELECT s, d, CAST(min(w) AS BIGINT) AS w
+           FROM e0 GROUP BY s, d
+         ), d0 AS (
+           SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM part WHERE p_partkey % 500 = 0
+         ), $roundCtes
+         SELECT node, dist FROM d4 ORDER BY node"""
+    },
     "q191_ab_test" ->
       """WITH u AS (
            SELECT user_id,

@@ -342,4 +342,109 @@ object Graph {
     }
     acc
   }
+
+  /** Synchronous LABEL PROPAGATION community detection, `rounds`
+    * fixed iterations — the near-linear community pass (Raghavan et
+    * al. 2007) a curation pipeline runs over a link/co-occurrence
+    * graph to group mirror sites or topic clusters, sitting between
+    * [[Dedup.connectedComponents]] (pure reachability) and
+    * modularity methods (non-deterministic, driver-heavy).
+    *
+    * Every node starts labeled with its own id; each round EVERY
+    * node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — the classic
+    * async scan order (and RNG tie-break) is replaced by a
+    * synchronous sweep with a total tie order, so the result is
+    * partition-invariant and an oracle engine can replay every round
+    * verbatim. Callers pass an undirected graph as a both-ways edge
+    * list (the [[bfsDistances]] convention).
+    *
+    * Per-round shape: neighbor-label counts are ONE groupBy over the
+    * joined edge list (map-side partials bound the exchange by
+    * distinct (node,label) per task), then the argmax is the
+    * two-step max-count ⋈ min-label aggregate — deliberately plain
+    * aggregates, no window, no struct-ordering subtleties, so the
+    * SQL replay is literal. Isolated nodes (no neighbors) keep their
+    * label via the left join. `localCheckpoint` cuts per-round
+    * lineage (the [[kCore]] discipline). Output: (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d")).distinct().localCheckpoint()
+    var labels = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val counts = e.join(labels, col("__d") === col("node"))
+        .groupBy(col("__s"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val best = counts.groupBy(col("__s"))
+        .agg(max(col("__c")).as("__mc"))
+      val next = counts
+        .join(best, Seq("__s"))
+        .filter(col("__c") === col("__mc"))
+        .groupBy(col("__s"))
+        .agg(min(col("label")).as("__nl"))
+        .select(col("__s").as("node"), col("__nl"))
+      labels = labels.join(next, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__nl"), col("label")).as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
+  }
+
+  /** Hop-BOUNDED weighted shortest paths (Bellman-Ford, `rounds`
+    * relaxation sweeps): the minimum total edge weight from the
+    * nearest seed to every node reachable within `rounds` hops —
+    * the weighted upgrade of [[bfsDistances]] (cheapest supply
+    * chain, lowest-latency route, trust-weighted blast radius).
+    * Weights are caller-supplied LONGS (micro-quantize upstream if
+    * fractional) so every candidate distance is an exact integer sum
+    * and the per-node min is order-independent — an oracle engine
+    * unrolling the same sweeps hash-matches exactly.
+    *
+    * Bellman-Ford, not Dijkstra, is the distributed choice: no
+    * priority queue, each sweep is one dist ⋈ edges hash join plus
+    * one groupBy(node) min whose map-side partials bound the
+    * exchange by distinct dst per task. After round r every
+    * ≤ r-hop shortest path is final (standard BF invariant), so a
+    * fixed budget gives exact distances for the r-hop neighborhood
+    * — same bounded-frontier contract as [[bfsDistances]], and the
+    * same reason no convergence test (a driver round-trip per sweep)
+    * appears. Unlike BFS the frontier cannot shrink to
+    * newly-discovered nodes only: a later sweep may IMPROVE an
+    * already-settled distance through a longer-but-lighter path, so
+    * each sweep relaxes the full dist table (edge-linear, the
+    * correct price for weighted exactness). Negative weights are
+    * rejected — distances must be monotone for the bounded sweep to
+    * mean "shortest within r hops". Output: (node, dist), seeds at
+    * 0. */
+  def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy(col("__s"), col("__d"))
+      .agg(min(col("__w")).as("__w"))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"),
+          (col("dist") + col("__w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      r += 1
+    }
+    dist
+  }
 }

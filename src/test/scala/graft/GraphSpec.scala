@@ -200,4 +200,60 @@ class GraphSpec extends SparkSpec with Matchers {
       Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
     run(edges.repartition(5)) shouldBe out
   }
+
+  private def und(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("s", "d")
+
+  test("labelPropagation: two triangles joined by a bridge settle " +
+      "into their min-label communities; hand-traced sweeps") {
+    // {1,2,3} and {4,5,6} triangles, bridge 3-4
+    val e = und(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    def run(edges: org.apache.spark.sql.DataFrame, r: Int) =
+      Graph.labelPropagation(edges, "s", "d", r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hand-traced synchronous rounds with (max count, min label):
+    // r1: 1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+    run(e, 1) shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L)
+    // r3: the triangles have converged, one community label each
+    val out = run(e, 3)
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L)
+    run(e.repartition(7), 3) shouldBe out
+  }
+
+  test("labelPropagation: duplicate edge rows do not double-count " +
+      "a neighbor's vote") {
+    // node 3 sees {1, 2, 2}: with dup rows collapsed, 2's single
+    // extra edge row must NOT outvote; counts are per distinct edge
+    val e = und(Seq((3L, 1L), (3L, 2L), (3L, 2L)))
+    val out = Graph.labelPropagation(e, "s", "d", 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    out(3L) shouldBe 1L // tie {1,2} → min label 1
+  }
+
+  test("ssspBounded: a lighter 2-hop path beats the direct heavy " +
+      "edge once the sweep budget allows it") {
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("n")
+    def run(edges: org.apache.spark.sql.DataFrame, r: Int) =
+      Graph.ssspBounded(edges, "s", "d", "w", seeds, "n", r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    run(e, 1) shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 1L)
+    val out = run(e, 2)
+    out shouldBe Map(1L -> 0L, 2L -> 3L, 3L -> 1L)
+    run(e.repartition(5), 2) shouldBe out
+  }
+
+  test("ssspBounded: duplicate (s,d) edges collapse to the min " +
+      "weight; unreachable nodes are absent") {
+    val e = Seq((1L, 2L, 7L), (1L, 2L, 4L), (5L, 6L, 1L))
+      .toDF("s", "d", "w")
+    val out = Graph.ssspBounded(e, "s", "d", "w",
+        Seq(1L).toDF("n"), "n", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    out shouldBe Map(1L -> 0L, 2L -> 4L)
+  }
 }
