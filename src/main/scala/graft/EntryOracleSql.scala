@@ -2366,6 +2366,45 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ), $roundCtes
          SELECT node, dist FROM s4 ORDER BY node"""
     },
+    "q207_image_ahash_neardup" -> {
+      // closed-form pixel → integer cell threshold → packed 60-bit
+      // aHash → the simhash-oracle slice-join union, hamming ≤ 6
+      val unions = (0 until 4).map { sl =>
+        s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+            FROM sb a JOIN sb b
+              ON ((a.ahash >> ${sl * 15}) & 32767) = ((b.ahash >> ${sl * 15}) & 32767)
+             AND a.doc_id < b.doc_id"""
+      }.mkString(" UNION ")
+      s"""WITH px0 AS (
+           SELECT doc_id,
+                  (y.y // 2) * 10 + (x.x // 2) AS bi,
+                  y.y * 20 + x.x AS pos,
+                  ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || ':' ||
+                     CAST(y.y * 20 + x.x AS VARCHAR)), 1, 2))::INTEGER AS hb
+           FROM documents, range(20) x(x), range(12) y(y)
+         ), px AS (
+           SELECT doc_id, bi,
+                  CASE WHEN pos = (doc_id * 17) % 240
+                       THEN (hb + 128) % 256 ELSE hb END AS p
+           FROM px0
+         ), blk AS (
+           SELECT doc_id, bi, CAST(sum(p) AS BIGINT) AS bs
+           FROM px GROUP BY doc_id, bi
+         ), tot AS (
+           SELECT doc_id, CAST(sum(p) AS BIGINT) AS ts
+           FROM px GROUP BY doc_id
+         ), sb AS (
+           SELECT b.doc_id,
+                  CAST(sum(CASE WHEN b.bs * 60 > t.ts
+                                THEN (1::BIGINT << b.bi)
+                                ELSE 0::BIGINT END) AS BIGINT) AS ahash
+           FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+           GROUP BY b.doc_id
+         ), pairs AS ($unions)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 6 ORDER BY id_a, id_b"""
+    },
     "q205_label_propagation" -> {
       // three synchronous LPA rounds, each the literal two-step
       // max-count / min-label argmax the Spark operator runs

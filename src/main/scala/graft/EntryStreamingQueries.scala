@@ -61,6 +61,32 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** IMAGE near-dup dedup, end to end through the REAL codec: q83's
+    * deterministic gray PNGs in a planted-group variant (four
+    * consecutive ids share a base image, each perturbing one pixel —
+    * [[Multimodal.withGrayPngGroupPayload]]) are decoded and
+    * perceptually fingerprinted by integer average-hash
+    * ([[Multimodal.aHashPngBatched]], 10×6 cells = 60 bits), then
+    * paired by the SAME slice-blocked hamming tier the text SimHash
+    * path uses ([[Dedup.hammingNearDupPairs]]) — the multimodal ×
+    * dedup capstone: image dedup is fingerprint + the existing
+    * blocking infrastructure, not a new join. The oracle recomputes
+    * every pixel, cell threshold, packed hash and slice join
+    * closed-form, so a lossy decode, a pooling off-by-one or a
+    * blocking drift all break the hash. Planted groups sit at
+    * hamming ≤ ~4 while distinct bases scatter far above the
+    * threshold; group size is fixed at 4, so pair output stays
+    * LINEAR in corpus size at any SF. */
+  private[graft] def q207(s: SparkSession, dir: String): DataFrame = {
+    val withPng = Multimodal.withGrayPngGroupPayload(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    val sigs = Multimodal.aHashPngBatched(withPng, "payload",
+        blocksX = 10, blocksY = 6)
+      .select(col("doc_id"), col("ahash"))
+    Dedup.hammingNearDupPairs(sigs, "doc_id", "ahash", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** REAL audio codec through the multimodal seam: deterministic
     * 8 kHz PCM-16 waveforms (closed-form samples from doc_id) are
     * RIFF/WAVE-encoded and parsed back with the chunk-walking codec

@@ -437,6 +437,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming near-dup pairs over PRECOMPUTED 60-bit signatures —
+    * the [[simhashNearDuplicates]] blocking tier factored out so any
+    * fingerprint family rides it (image aHash from
+    * [[Multimodal.aHashPngBatched]], audio fingerprints, simhash
+    * variants): 4 slice keys of 15 bits, pairs produced only by
+    * their lowest agreeing slice (first-match emission — no distinct
+    * over duplicate candidate occurrences), Hamming verify on the
+    * carried signatures. Same scale posture as the text path:
+    * slice-keyed shuffle, never all-pairs. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 8): DataFrame = {
+    def sliceKey(fp: Column, s: Int): Column =
+      shiftright(fp, s * 15).bitwiseAND(0x7fff)
+    val sliced = sigs.select(
+      col(idCol), col(hashCol).as("__sig"),
+      explode(array((0 until 4).map(s =>
+        struct(lit(s).as("slice"), sliceKey(col(hashCol), s).as("key"))): _*)).as("sl"))
+      .select(col(idCol), col("__sig"), col("sl.slice"), col("sl.key"))
+    val a = sliced.as("a")
+    val b = sliced.as("b")
+    val firstMatch = (0 until 3)
+      .map { t =>
+        (col("a.slice") <= t) ||
+          (sliceKey(col("a.__sig"), t) =!= sliceKey(col("b.__sig"), t))
+      }
+      .foldLeft(lit(true))(_ && _)
+    a.join(b,
+        col("a.slice") === col("b.slice") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol") && firstMatch)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hammingDistance(col("a.__sig"), col("b.__sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Convergence rounds of the most recent [[connectedComponents]]
     * call (probe-visible: the closure's scale driver is rounds ×
     * per-round shuffle). */

@@ -272,6 +272,96 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Deterministic gray-PNG payload with PLANTED NEAR-DUPLICATES:
+    * every four consecutive ids share one base image (base = id div
+    * 4, fixed 20×12 raster, pixel = first md5 byte of "base:pos")
+    * and each id perturbs a single id-dependent pixel
+    * (position (id·17) % 240 gets +128 mod 256) — group members are
+    * perceptually near-identical while DISTINCT bases are
+    * md5-decorrelated (a linear gradient family would leave distant
+    * bases near-identical whenever their offsets collide mod 256,
+    * quadratic pair mass at scale; hashed pixels make cross-base
+    * hamming ~Binomial(60, ½)). An SQL oracle recomputes every
+    * pixel closed-form from the same md5 coordinate. The image-dedup
+    * companion of [[withGrayPngPayload]]. */
+  def withGrayPngGroupPayload(df: DataFrame, idCol: String,
+                              binCol: String = "payload"): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = id / 4
+      val hot = (id * 17 % 240).toInt
+      encodeGrayPng(20, 12, { (x, y) =>
+        md.reset()
+        val d = md.digest(s"$base:${y * 20 + x}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val p = d(0) & 0xff
+        if (y * 20 + x == hot) ((p + 128) % 256) else p
+      })
+    }
+    df.withColumn(binCol, gen(col(idCol)))
+  }
+
+  /** Batched REAL average-hash (aHash): decode → pool the raster
+    * into `blocksX`×`blocksY` cells on exact integer boundaries
+    * (`x0 = bx·w div blocksX`, the [[resizePngBatched]] index-map
+    * discipline) → bit(by·blocksX + bx) = cell sum · (w·h) > total
+    * sum · cell pixels, packed into one long — the perceptual
+    * fingerprint an image-dedup pass feeds into the SAME hamming
+    * blocking tier text SimHash uses
+    * ([[Dedup.hammingNearDupPairs]]). All-integer comparisons make
+    * the hash a pure function of the decoded pixels, so the whole
+    * encode→decode→pool→threshold chain hash-certifies against a
+    * closed-form oracle (q207). Keep blocksX·blocksY ≤ 60 so packed
+    * hashes stay clear of the sign bit in every engine. ONE codec
+    * handle per partition; undecodable payloads yield null. */
+  def aHashPngBatched(df: DataFrame, binCol: String,
+                      blocksX: Int, blocksY: Int): DataFrame = {
+    require(blocksX >= 1 && blocksY >= 1 && blocksX * blocksY <= 60,
+      "block grid must be 1..60 cells")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema.add("ahash", LongType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val codec = newImageCodecHandle() // per-PARTITION init, not per row
+      rows.map { r =>
+        val hash = codec.decodeRaw(r.getAs[Array[Byte]](binIdx)).map {
+          case (w, h, px) =>
+            var total = 0L
+            var i = 0
+            while (i < px.length) { total += px(i); i += 1 }
+            val wh = w.toLong * h
+            var bits = 0L
+            var by = 0
+            while (by < blocksY) {
+              val y0 = by * h / blocksY; val y1 = (by + 1) * h / blocksY
+              var bx = 0
+              while (bx < blocksX) {
+                val x0 = bx * w / blocksX; val x1 = (bx + 1) * w / blocksX
+                var bs = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) { bs += px(y * w + x); x += 1 }
+                  y += 1
+                }
+                val cellPx = (y1 - y0).toLong * (x1 - x0)
+                if (bs * wh > total * cellPx)
+                  bits |= 1L << (by * blocksX + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            bits
+        }
+        hash match {
+          case Some(b) => Row.fromSeq(r.toSeq :+ b)
+          case None    => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Batched REAL decode: ONE ImageIO codec handle per partition
     * streams all its rows (the mapInPandas batch shape, JVM form —
     * same contract as [[extractFrameFeaturesBatched]]). Appends

@@ -239,4 +239,60 @@ class MultimodalSpec extends SparkSpec with Matchers {
     Multimodal.videoFrameStatsBatched(bad, "doc_id", "payload", 1)
       .count() shouldBe 0L
   }
+
+  test("aHash: hand-checked bits on a half-dark half-bright image; " +
+      "undecodable payload yields null") {
+    // 4×2, left half 0, right half 255 → 2×1 cells: only the bright
+    // cell's bit (index 1) is set
+    val img = Multimodal.encodeGrayPng(4, 2,
+      (x, _) => if (x < 2) 0 else 255)
+    val out = Multimodal.aHashPngBatched(
+        Seq((1L, img), (2L, "nope".getBytes)).toDF("doc_id", "payload"),
+        "payload", blocksX = 2, blocksY = 1)
+      .select("doc_id", "ahash")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    out(1L) shouldBe Some(2L)
+    out(2L) shouldBe None
+  }
+
+  test("aHash: a FLAT image sets no bits (no cell exceeds the mean); " +
+      "uneven block boundaries use the exact integer index map") {
+    val flat = Multimodal.encodeGrayPng(5, 3, (_, _) => 77)
+    Multimodal.aHashPngBatched(
+        Seq((1L, flat)).toDF("doc_id", "payload"),
+        "payload", blocksX = 2, blocksY = 2)
+      .select("ahash").collect().head.getLong(0) shouldBe 0L
+  }
+
+  test("group PNG payloads: planted groups land within hamming 6, " +
+      "md5-decorrelated bases land far apart") {
+    import graft.operators.Dedup
+    val ids = (0L until 16L).map(Tuple1(_)).toDF("doc_id")
+    val sigs = Multimodal.aHashPngBatched(
+        Multimodal.withGrayPngGroupPayload(ids, "doc_id"), "payload",
+        blocksX = 10, blocksY = 6)
+      .select(col("doc_id"), col("ahash"))
+    val hashes = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force hamming: every intra-group pair ≤ 6, every
+    // cross-group pair far above it
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (i <- 0L until 16L; j <- i + 1 until 16L) {
+      val h = ham(hashes(i), hashes(j))
+      if (i / 4 == j / 4) assert(h <= 6, s"intra pair ($i,$j) hamming $h")
+      else assert(h > 6, s"cross pair ($i,$j) hamming $h")
+    }
+    // the slice-blocked pair join finds exactly the brute-force set
+    // that agrees on ≥1 of the 4 slice keys
+    def slice(v: Long, s: Int) = (v >> (s * 15)) & 0x7fff
+    val expected = (for {
+      i <- 0L until 16L; j <- i + 1 until 16L
+      if ham(hashes(i), hashes(j)) <= 6
+      if (0 until 4).exists(s => slice(hashes(i), s) == slice(hashes(j), s))
+    } yield (i, j)).toSet
+    val got = Dedup.hammingNearDupPairs(sigs, "doc_id", "ahash", 6)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+    expected should not be empty
+  }
 }
