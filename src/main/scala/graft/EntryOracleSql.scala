@@ -2052,6 +2052,37 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY from_type, to_type""",
     "q177_random_walks" ->
       randomWalksOracle(steps = 4, startMod = 50, salt = "walk"),
+    "q208_sequential_patterns" ->
+      """WITH ranked0 AS (
+           SELECT user_id AS k, event_type AS t,
+                  row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events
+         ), ranked AS (
+           SELECT k, t, CAST(rn AS BIGINT) AS rn FROM ranked0
+           WHERE rn <= 12
+         ), ext AS (
+           SELECT k, t, min(rn) AS f, max(rn) AS l
+           FROM ranked GROUP BY k, t
+         ), pair AS (
+           SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS support
+           FROM ext a JOIN ext b ON a.k = b.k AND a.f < b.l
+           GROUP BY a.t, b.t
+         ), minafter AS (
+           SELECT a.k, a.t AS t1, r.t AS t2, min(r.rn) AS mid
+           FROM ext a JOIN ranked r ON a.k = r.k AND r.rn > a.f
+           GROUP BY a.k, a.t, r.t
+         ), triple AS (
+           SELECT m.t1, m.t2, c.t AS t3, CAST(count(*) AS BIGINT) AS support
+           FROM minafter m JOIN ext c ON m.k = c.k AND m.mid < c.l
+           GROUP BY m.t1, m.t2, c.t
+         )
+         SELECT t1, t2, CAST(NULL AS VARCHAR) AS t3, support
+         FROM pair WHERE support >= 5
+         UNION ALL
+         SELECT t1, t2, t3, support FROM triple WHERE support >= 5
+         ORDER BY t1, t2, t3 NULLS FIRST""",
     "q178_ams_join_size" ->
       """WITH fa AS (
            SELECT l_partkey AS it, CAST(count(*) AS BIGINT) AS w

@@ -828,6 +828,25 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         "user_id", "event_type", Seq(col("ts_us"), col("event_id")))
       .orderBy("from_type", "to_type")
 
+  /** Sequential-pattern support mining
+    * ([[graft.operators.Funnel.sequentialPatterns]]): how many
+    * users' first-12-event streams contain each ordered event-type
+    * pair and triple as a gap-allowed subsequence (support ≥ 5) —
+    * PrefixSpan's support question answered by per-user interval
+    * logic (`first(a) < last(b)`; `minAfter(a,b) < last(c)`) instead
+    * of embedding enumeration, so the work stays linear in events ×
+    * |alphabet| with no candidate explosion. The ordered companion
+    * of q186's association rules and q176's first-order transitions
+    * (which see only CONSECUTIVE pairs — this sees across gaps). */
+  private[graft] def q208(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequentialPatterns(
+        t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")),
+        "user_id", "event_type", Seq(col("ts_us"), col("event_id")),
+        maxRank = 12, minSupport = 5L)
+      .orderBy("t1", "t2", "t3")
+
   /** Winsorized robust stats ([[graft.operators.Analyze
     * .winsorizedStats]]): per event type, `value` clamped to its
     * [p5, p95] interpolated percentiles with clipped counts and the

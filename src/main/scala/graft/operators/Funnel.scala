@@ -145,4 +145,68 @@ object Funnel {
         round(col("n_trans").cast("double") * lit(1000000.0)
           / col("__tot").cast("double")).cast("long").as("p_micro"))
   }
+
+  /** SEQUENTIAL PATTERN support counts (the PrefixSpan question
+    * answered relationally): for every ordered event-type pair
+    * (t1, t2) and triple (t1, t2, t3), how many keys' event streams
+    * contain it as a (gap-allowed) subsequence — behavioral motif
+    * mining over clickstreams, the ordered sibling of q186's
+    * unordered association rules.
+    *
+    * The enumerate-all-embeddings explosion is avoided by interval
+    * logic on each key's per-type extremes: under the per-key total
+    * order `orderCols` (rank rn), a pair (a, b) embeds iff
+    * `first(a) < last(b)`, and a triple (a, b, c) embeds iff some
+    * b-event lies strictly between `first(a)` and `last(c)` — which
+    * reduces to `minAfter(a, b) < last(c)` where `minAfter(a, b)` =
+    * the smallest b-rank after `first(a)`. Proof sketch: any such
+    * b-event extends left to first(a) and right to last(c); and any
+    * embedding's middle element is such a b-event.
+    *
+    * Shape: one per-key rank window (never global), per-(key, type)
+    * min/max aggregates (map-combined, ≤ |types| rows per key),
+    * then per-key joins bounded by |types|·events — linear in the
+    * stream with a small-alphabet constant, and the final support
+    * count is a (t1, t2[, t3]) groupBy over ≤ |types|³ keys.
+    * `maxRank` truncates each stream to its first N events (the
+    * analyst's window; also keeps dense streams from saturating
+    * every pattern). Output: (t1, t2, t3, support), t3 null for
+    * pairs, support ≥ `minSupport` keys, one row per pattern. */
+  def sequentialPatterns(events: DataFrame, keyCol: String,
+      typeCol: String, orderCols: Seq[Column], maxRank: Int,
+      minSupport: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val ranked = events
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+        row_number().over(w).as("__rn"))
+      .filter(col("__rn") <= maxRank)
+    val ext = ranked.groupBy(col("__k"), col("__t"))
+      .agg(min(col("__rn")).as("__first"), max(col("__rn")).as("__last"))
+    val pairs = ext.select(col("__k"), col("__t").as("t1"), col("__first"))
+      .join(ext.select(col("__k"), col("__t").as("t2"), col("__last")),
+        Seq("__k"))
+      .filter(col("__first") < col("__last"))
+    val pairSupport = pairs
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("support"))
+      .select(col("t1"), col("t2"), lit(null).cast("string").as("t3"),
+        col("support"))
+    // minAfter(a, b): smallest b-rank strictly after first(a)
+    val minAfter = ext.select(col("__k"), col("__t").as("t1"), col("__first"))
+      .join(ranked.select(col("__k"), col("__t").as("t2"), col("__rn")),
+        Seq("__k"))
+      .filter(col("__rn") > col("__first"))
+      .groupBy(col("__k"), col("t1"), col("t2"))
+      .agg(min(col("__rn")).as("__mid"))
+    val tripleSupport = minAfter
+      .join(ext.select(col("__k"), col("__t").as("t3"), col("__last")),
+        Seq("__k"))
+      .filter(col("__mid") < col("__last"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("support"))
+      .select(col("t1"), col("t2"), col("t3"), col("support"))
+    pairSupport.unionByName(tripleSupport)
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -84,6 +84,83 @@ class FunnelSpec extends SparkSpec with Matchers {
     re shouldBe out
   }
 
+  test("sequentialPatterns: interval logic equals brute-force subsequence " +
+      "enumeration on seeded random streams") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c", "d")
+    val rows = for {
+      k <- 1L to 40L
+      n = 1 + rnd.nextInt(15)
+      i <- 1 to n
+    } yield (k, i.toLong, alphabet(rnd.nextInt(alphabet.size)))
+    val maxRank = 10
+    val minSupport = 3L
+    // brute force: per key, enumerate distinct ordered pairs/triples of
+    // the first-maxRank prefix, then count keys per pattern
+    val byKey = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).take(maxRank).toVector)
+    val pairCounts = byKey.values.toSeq
+      .flatMap { s =>
+        (for (i <- s.indices; j <- s.indices if i < j)
+          yield (s(i), s(j))).distinct
+      }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSupport).toMap
+    val tripleCounts = byKey.values.toSeq
+      .flatMap { s =>
+        (for (i <- s.indices; j <- s.indices; k <- s.indices
+          if i < j && j < k) yield (s(i), s(j), s(k))).distinct
+      }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSupport).toMap
+    val df = rows.toDF("k", "pos", "e")
+    val out = Funnel.sequentialPatterns(df, "k", "e", Seq(col("pos")),
+        maxRank = maxRank, minSupport = minSupport)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))) ->
+        r.getLong(3)).toMap
+    val gotPairs = out.collect { case ((t1, t2, None), n) => (t1, t2) -> n }
+    val gotTriples = out.collect {
+      case ((t1, t2, Some(t3)), n) => (t1, t2, t3) -> n }
+    gotPairs.toMap shouldBe pairCounts
+    gotTriples.toMap shouldBe tripleCounts
+    // sanity: the stream actually exercised both pattern arities
+    pairCounts should not be empty
+    tripleCounts should not be empty
+    // partition invariance
+    val re = Funnel.sequentialPatterns(df.repartition(7), "k", "e",
+        Seq(col("pos")), maxRank = maxRank, minSupport = minSupport)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))) ->
+        r.getLong(3)).toMap
+    re shouldBe out
+  }
+
+  test("sequentialPatterns: repeats need two occurrences, maxRank " +
+      "truncates, gaps allowed") {
+    import org.apache.spark.sql.functions.col
+    // u1: b a b  -> (b,a) (a,b) (b,b) and triple (b,a,b)
+    // u2: a x b  -> (a,x) (a,b) (x,b) + triple (a,x,b): gap-allowed
+    // u3: a ... then b at rank 4 with maxRank=3: (a,b) NOT counted
+    val ev = Seq(
+      (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "x"), (2L, 3L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "c"), (3L, 3L, "c"), (3L, 4L, "b"))
+      .toDF("k", "pos", "e")
+    val out = Funnel.sequentialPatterns(ev, "k", "e", Seq(col("pos")),
+        maxRank = 3, minSupport = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))) ->
+        r.getLong(3)).toMap
+    out(("b", "a", None)) shouldBe 1L
+    out(("a", "b", None)) shouldBe 2L // u1 + u2; u3's b is past maxRank
+    out(("b", "b", None)) shouldBe 1L // needs two occurrences
+    out.contains(("a", "a", None)) shouldBe false // single occurrence
+    out(("b", "a", Some("b"))) shouldBe 1L
+    out(("a", "x", Some("b"))) shouldBe 1L
+    out(("a", "c", Some("c"))) shouldBe 1L // u3's two c's both in rank
+    out.contains(("a", "c", Some("b"))) shouldBe false // b truncated
+  }
+
   test("linearAttribution: exact split with remainder to last touch, " +
       "window edges, orphans, zero leakage, partition-invariant") {
     import org.apache.spark.sql.functions.col
