@@ -661,4 +661,26 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Resource-allocation link prediction
+    * ([[graft.operators.Graph.linkPredictionRA]]) over the STRONG-TIE
+    * subgraph of the part co-occurrence chain (lines with quantity
+    * ≤ 15, so the graph is sparse enough that missing links are
+    * informative): non-adjacent part pairs sharing ≥ 2 common
+    * neighbors of degree ≤ 24, scored by Σ 1/deg(w) in exact integer
+    * micros — the related-item suggestion / KG-completion pass, with
+    * the hub cap and the integer-exact RA choice (over Adamic-Adar's
+    * log) documented on the operator. */
+  private[graft] def q209(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val adj = t(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 15)
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    Graph.linkPredictionRA(adj, "src", "dst", maxHubDeg = 24,
+        minCommon = 2L)
+      .orderBy("n1", "n2")
+  }
+
 }

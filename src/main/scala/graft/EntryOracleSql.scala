@@ -2509,6 +2509,39 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ), $roundCtes
          SELECT node, dist FROM d4 ORDER BY node"""
     },
+    "q209_link_prediction" ->
+      """WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+           FROM lineitem WHERE l_quantity <= 15
+         ), e AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM adj WHERE dst IS NOT NULL AND src <> dst
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS dg
+           FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           GROUP BY node
+         ), nb AS (
+           SELECT a AS w, b AS n FROM e
+           UNION ALL SELECT b, a FROM e
+         ), nbd AS (
+           SELECT nb.w, nb.n, d.dg FROM nb JOIN deg d ON nb.w = d.node
+           WHERE d.dg <= 24
+         ), pr AS (
+           SELECT x.n AS n1, y.n AS n2,
+                  CAST(count(*) AS BIGINT) AS n_common,
+                  CAST(sum(1000000 // x.dg) AS BIGINT) AS ra_micro
+           FROM nbd x JOIN nbd y ON x.w = y.w AND x.n < y.n
+           GROUP BY x.n, y.n
+         )
+         SELECT n1, n2, n_common, ra_micro
+         FROM pr
+         WHERE n_common >= 2
+           AND NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.a = pr.n1 AND e.b = pr.n2)
+         ORDER BY n1, n2""",
     "q191_ab_test" ->
       """WITH u AS (
            SELECT user_id,

@@ -447,4 +447,56 @@ object Graph {
     }
     dist
   }
+
+  /** LINK PREDICTION by the resource-allocation index (Zhou, Lü &
+    * Zhang 2009): for every non-adjacent pair (n1, n2) score
+    * Σ_{w ∈ N(n1) ∩ N(n2)} 1/deg(w) — the "which edges are missing"
+    * question behind related-item suggestion, record-linkage
+    * candidate generation, and knowledge-graph completion. RA is
+    * chosen over Adamic-Adar's 1/log deg(w) deliberately: its terms
+    * are integer-exact (`1000000 div deg`), so the score replays
+    * bit-for-bit in any engine — no transcendental whose last ulp
+    * differs between libm implementations.
+    *
+    * Scale shape: the all-pairs explosion is avoided because
+    * candidates are enumerated THROUGH their common neighbors — one
+    * self-join of the adjacency list keyed on the wedge center w,
+    * Σ deg(w)² rows. `maxHubDeg` excludes high-degree centers from
+    * wedge formation (the [[graft.operators.Banding]] hot-bucket cap
+    * in graph form), bounding the fan-out at maxHubDeg·2|E| rows —
+    * linear in edges with a chosen constant. A hub every node
+    * touches predicts every pair anyway (RA term → 0); dropping it
+    * is the standard recall-for-mass trade, stated not silent.
+    * `minCommon` keeps the emission to multi-witness pairs.
+    *
+    * Output: (n1, n2, n_common, ra_micro) per non-adjacent pair with
+    * ≥ minCommon capped common neighbors, n1 < n2. */
+  def linkPredictionRA(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHubDeg: Int, minCommon: Long): DataFrame = {
+    require(maxHubDeg >= 2, "maxHubDeg must be >= 2")
+    require(minCommon >= 1L, "minCommon must be >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val nb = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val nbd = nb.join(
+      deg.filter(col("dg") <= maxHubDeg)
+        .select(col("node").as("w"), col("dg")), Seq("w"))
+    val pairs = nbd.select(col("w"), col("n").as("n1"), col("dg"))
+      .join(nbd.select(col("w"), col("n").as("n2")), Seq("w"))
+      .filter(col("n1") < col("n2"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div dg")).as("ra_micro"))
+    pairs
+      .join(und, pairs("n1") === und("a") && pairs("n2") === und("b"),
+        "left_anti")
+      .filter(col("n_common") >= minCommon)
+  }
 }

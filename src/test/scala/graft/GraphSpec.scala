@@ -256,4 +256,58 @@ class GraphSpec extends SparkSpec with Matchers {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     out shouldBe Map(1L -> 0L, 2L -> 4L)
   }
+
+  test("linkPredictionRA: integer RA scores, existing edges excluded, " +
+      "hub centers capped out, minCommon enforced") {
+    // square 1-3-2-4-1 plus diagonal 3-4; hub 9 touches 1,2,5,6,7
+    // (deg 5 > cap 4, so 9 never acts as a wedge CENTER — but it may
+    // still be an ENDPOINT of a predicted pair)
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 5L), (9L, 6L), (9L, 7L))
+      .toDF("s", "d")
+    val out = Graph.linkPredictionRA(e, "s", "d", maxHubDeg = 4,
+        minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (1,2): common {3,4} (deg 3 each; 9 capped out) → 2×(1e6 div 3)
+    out(((1L, 2L))) shouldBe ((2L, 666666L))
+    // (3,9)/(4,9): common {1,2} (deg 3 each) — the hub as endpoint
+    out(((3L, 9L))) shouldBe ((2L, 666666L))
+    out(((4L, 9L))) shouldBe ((2L, 666666L))
+    // (3,4) share {1,2} but ARE an edge; (5,6) share only the hub
+    out.keySet shouldBe Set((1L, 2L), (3L, 9L), (4L, 9L))
+  }
+
+  test("linkPredictionRA equals brute force on a seeded random graph; " +
+      "partition-invariant") {
+    val rnd = new scala.util.Random(42L)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong + 1L, rnd.nextInt(30).toLong + 1L))
+      .filter { case (a, b) => a != b }
+    val cap = 6
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adjSet = und.toSet
+    val nbrs = (und.map(p => p._1 -> p._2) ++ und.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val expected = (for {
+      n1 <- nbrs.keys; n2 <- nbrs.keys
+      if n1 < n2 && !adjSet.contains((n1, n2))
+      common = (nbrs(n1) & nbrs(n2)).filter(w => deg(w) <= cap)
+      if common.size >= 2
+    } yield (n1, n2) -> ((common.size.toLong,
+      common.toSeq.map(w => 1000000L / deg(w)).sum))).toMap
+    val df = edges.toDF("s", "d")
+    val out = Graph.linkPredictionRA(df, "s", "d", maxHubDeg = cap,
+        minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    out shouldBe expected
+    expected should not be empty
+    Graph.linkPredictionRA(df.repartition(7), "s", "d", maxHubDeg = cap,
+        minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap shouldBe out
+  }
 }
