@@ -2542,6 +2542,35 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            AND NOT EXISTS (SELECT 1 FROM e
                            WHERE e.a = pr.n1 AND e.b = pr.n2)
          ORDER BY n1, n2""",
+    "q210_autocorrelation" ->
+      """WITH daily AS (
+           SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                    AS BIGINT) AS day,
+                  CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events GROUP BY 1
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS s
+           FROM daily
+         ), y AS (
+           SELECT day AS t, n * cents - s AS y FROM daily, tot
+         ), den AS (
+           SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y
+         ), nums AS (
+           SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(a.y * b.y) AS BIGINT) AS num
+           FROM (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag) l
+           JOIN y a ON TRUE
+           JOIN y b ON b.t = a.t - l.lag
+           GROUP BY l.lag
+         )
+         SELECT lag, n_pairs,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST(round(1000000
+                       * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+                       AS BIGINT) END AS acf_micro
+         FROM nums, den ORDER BY lag""",
     "q191_ab_test" ->
       """WITH u AS (
            SELECT user_id,

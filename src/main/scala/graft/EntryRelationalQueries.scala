@@ -1000,4 +1000,22 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     // GraftExtensionsSpec.
   }
 
+  /** AUTOCORRELATION of the daily revenue series
+    * ([[graft.operators.Analyze.autocorrelation]], lags 1–7): events
+    * reduce to one (day-index, cents) row per day — integer day =
+    * ⌊µs/86400·10⁶⌋, per-row cents BEFORE the sum so the reduction
+    * is order-free — then the exact integer-centered ACF. The
+    * weekly-seasonality readout that picks q183's Holt-Winters
+    * period. */
+  private[graft] def q210(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(floor(unix_micros(col("ts")).cast("double")
+          / lit(86400000000.0)).cast("long").as("day"),
+        round(col("value") * lit(100.0)).cast("long").as("__c"))
+      .groupBy(col("day"))
+      .agg(sum(col("__c")).as("cents"))
+    graft.operators.Analyze.autocorrelation(daily, "day", "cents", 7)
+      .orderBy("lag")
+  }
+
 }

@@ -504,4 +504,52 @@ object Analyze {
       lit(signCanonical).as("sign_canonical"),
       lit(axisOptimal).as("axis_optimal")): _*)
   }
+
+  /** Sample AUTOCORRELATION FUNCTION of an integer-indexed series:
+    * for each lag k ∈ [1, maxLag], r_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) /
+    * Σ_t (x_t−x̄)² — the seasonality / burst-memory detector that
+    * tells a pipeline which lag its forecaster (q183 Holt-Winters)
+    * or its drift monitor should key on.
+    *
+    * Cross-engine exactness: centering by the rational mean is
+    * lifted to integers by scaling through n — y_t = n·x_t − Σx is
+    * exact BIGINT, and n²-scaling cancels in the ratio, so
+    * numerator and denominator are both order-free integer sums;
+    * the final `round(10⁶·num/den)` is ONE fixed double expression
+    * (the q117 OLS discipline). Bounds: |y| ≤ n·max|x−x̄|, so y²
+    * sums stay under 2⁶³ for any cents-scale daily series shorter
+    * than ~10⁴ points — callers aggregate to the series grain
+    * first, which is also the scale story: the heavy reduction
+    * (raw rows → one row per t) happens upstream; everything here
+    * is linear in n·maxLag with the two totals riding 1-row
+    * broadcasts and lag pairing one equi-join on t.
+    *
+    * Output: (lag, n_pairs, acf_micro), acf_micro NULL on a
+    * zero-variance series. */
+  def autocorrelation(series: DataFrame, tCol: String, xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val base = series.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"))
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val y = base.crossJoin(broadcast(tot))
+      .select(col("__t"), (col("__n") * col("__x") - col("__s")).as("__y"))
+    val den = y.agg(sum(col("__y") * col("__y")).as("__den"))
+    val nums = y
+      .select(col("__t"), col("__y").as("__ya"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .select(col("lag"), (col("__t") - col("lag")).as("__tb"),
+        col("__ya"))
+      .join(y.select(col("__t").as("__tb"), col("__y").as("__yb")),
+        Seq("__tb"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__ya") * col("__yb")).as("__num"))
+    nums.crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("__den") === 0L, lit(null))
+          .otherwise(round(lit(1000000)
+            * (col("__num").cast("double") / col("__den").cast("double")))
+            .cast("long")).as("acf_micro"))
+  }
 }

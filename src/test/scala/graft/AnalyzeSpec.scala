@@ -350,4 +350,40 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     out("h") shouldBe ((1L, 0L, 0L, None))
     run(rows.repartition(5)) shouldBe out
   }
+
+  test("autocorrelation matches brute force on a seeded series; " +
+      "period-4 series peaks at lag 4; partition-invariant") {
+    val rnd = new scala.util.Random(7L)
+    val xs = (0 until 40).map(i =>
+      1000L + 500L * (i % 4) + rnd.nextInt(100).toLong)
+    val n = xs.length.toLong
+    val s = xs.sum
+    val ys = xs.map(x => n * x - s)
+    val den = ys.map(y => y * y).sum
+    val expected = (1 to 7).map { k =>
+      val num = (k until xs.length).map(t => ys(t) * ys(t - k)).sum
+      k.toLong -> (((xs.length - k).toLong,
+        Some(math.round(1e6 * (num.toDouble / den.toDouble)))))
+    }.toMap
+    val df = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }
+      .toDF("t", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analyze.autocorrelation(d, "t", "x", 7)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val out = run(df)
+    out shouldBe expected
+    // the planted period-4 signal dominates: lag 4 strongest, positive
+    out(4L)._2.get should be > out(1L)._2.get
+    out(4L)._2.get should be > 500000L
+    run(df.repartition(9)) shouldBe out
+  }
+
+  test("autocorrelation: zero-variance series yields NULL acf") {
+    val df = (0 until 10).map(t => (t.toLong, 42L)).toDF("t", "x")
+    val out = Analyze.autocorrelation(df, "t", "x", 3)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    out shouldBe Map(1L -> true, 2L -> true, 3L -> true)
+  }
 }
