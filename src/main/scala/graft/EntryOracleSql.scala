@@ -1891,6 +1891,53 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS k,
                 coalesce(o.n_common, CAST(0 AS BIGINT)) AS n_common
          FROM q LEFT JOIN ov o ON o.q_id = q.vec_id ORDER BY q_id""",
+    "q211_ndcg_matryoshka" -> {
+      // the SAME JVM-computed 1/log2(pos+1) weights as the Spark
+      // query, printed shortest-roundtrip so DuckDB parses the
+      // identical bits (q202's Benford discipline)
+      val k = 10
+      val w = (1 to k).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0)))
+      val idcg = (1 to k).map(p => (k + 1 - p).toDouble * w(p - 1))
+        .reduceLeft(_ + _)
+      val posCols = (1 to k).map(p =>
+        s"""CAST(sum(CASE WHEN pos = $p THEN rel ELSE 0 END)
+                 AS BIGINT) AS r$p""").mkString(",\n                ")
+      val dcg = (1 to k).map(p => s"CAST(r$p AS DOUBLE) * ${w(p - 1)}")
+        .mkString(" + ")
+      s"""$embCte,
+         tn AS (SELECT vec_id, v[1:16] AS tv,
+                       sqrt(list_dot_product(v[1:16], v[1:16])) AS tnrm FROM e),
+         q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         qt AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
+         sf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+                FROM q CROSS JOIN n c),
+         rf AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM sf),
+         rel AS (SELECT q_id, c_id, CAST(11 - rnk AS BIGINT) AS rel
+                 FROM rf WHERE rnk <= 10),
+         st AS (SELECT qt.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("qt.tv", "qt.tnrm", "c.tv", "c.tnrm")} AS score
+                FROM qt CROSS JOIN tn c),
+         rt AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM st),
+         hits AS (SELECT rt.q_id, rt.rnk AS pos,
+                    coalesce(rel.rel, CAST(0 AS BIGINT)) AS rel
+                  FROM rt LEFT JOIN rel
+                    ON rel.q_id = rt.q_id AND rel.c_id = rt.c_id
+                  WHERE rt.rnk <= 10),
+         perq AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS rel_mass,
+                $posCols
+                  FROM hits GROUP BY q_id)
+         SELECT q_id, rel_mass,
+                CAST(round(1000000.0 * ($dcg) / $idcg) AS BIGINT)
+                  AS ndcg_micro
+         FROM perq ORDER BY q_id"""
+    },
     "q147_retrieval_cascade" -> retrievalCascadeOracle(withWave = false),
     "q148_label_match_cooc" -> labelMatchCoocOracle,
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,

@@ -832,4 +832,50 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
         tauNum = 1, tauDen = 2)
       .orderBy("id_a", "id_b")
 
+  /** nDCG@10 of the matryoshka 16-dim prefix retrieval against the
+    * exact full-width ranking — the POSITION-AWARE upgrade of q128's
+    * set-overlap recall: graded relevance rel = 11 − exact_rank for
+    * the exact top-10, gain discounted by WHERE the cheap tier
+    * places each hit. The metric a retrieval rollout actually gates
+    * on (a prefilter that finds all 10 but inverts their order
+    * scores 10/10 recall yet measurably lower nDCG here).
+    *
+    * Cross-engine exactness: per-position relevance lands in 10
+    * integer columns via one conditional aggregate; DCG is then ONE
+    * fixed left-assoc tree over the 1/log₂(pos+1) weights embedded
+    * as identical shortest-roundtrip double literals in both
+    * engines (the q202 Benford discipline), and IDCG is a single
+    * JVM-computed literal (every query has exactly 10 graded docs).
+    * Scale shape = q128's: both rankings are broadcast brute-force
+    * over the catalog-sized corpus; the nDCG reduction is one
+    * grouped aggregate on q_id. */
+  private[graft] def q211(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val et = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val k = 10
+    val full = Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e,
+      "vec_id", "vec_id", "embedding", k)
+    val trunc = Ann.bruteForceTopK(et.filter(col("vec_id") % 50 === 0), et,
+      "vec_id", "vec_id", "embedding", k)
+    val rel = full.select(col("q_id"), col("c_id"),
+      (lit(k + 1) - col("rank")).cast("long").as("rel"))
+    val hits = trunc.select(col("q_id"), col("rank").as("pos"), col("c_id"))
+      .join(rel, Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("pos"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val posAggs = sum(col("rel")).as("rel_mass") +: (1 to k).map(p =>
+      sum(when(col("pos") === p, col("rel")).otherwise(0L)).as(s"r$p"))
+    val perQ = hits.groupBy(col("q_id")).agg(posAggs.head, posAggs.tail: _*)
+    val w = (1 to k).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0)))
+    val idcg = (1 to k).map(p => (k + 1 - p).toDouble * w(p - 1))
+      .reduceLeft(_ + _)
+    val dcg = (1 to k).map(p => col(s"r$p").cast("double") * lit(w(p - 1)))
+      .reduceLeft(_ + _)
+    perQ.select(col("q_id"), col("rel_mass"),
+        round(lit(1000000.0) * dcg / lit(idcg)).cast("long")
+          .as("ndcg_micro"))
+      .orderBy("q_id")
+  }
+
 }
