@@ -2618,6 +2618,41 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                        * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
                        AS BIGINT) END AS acf_micro
          FROM nums, den ORDER BY lag""",
+    "q212_ks_drift" ->
+      """WITH ev AS (
+           SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                    AS BIGINT) AS day,
+                  CAST(round(value * 100.0) AS BIGINT) AS cents
+           FROM events
+         ), d0 AS (SELECT min(day) AS d0 FROM ev),
+         sided AS (SELECT (day < d0 + 15) AS a, cents FROM ev, d0),
+         byv AS (
+           SELECT cents AS x,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM sided GROUP BY cents
+         ), cum AS (
+           SELECT x,
+                  CAST(sum(c1) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum1,
+                  CAST(sum(c2) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum2
+           FROM byv
+         ), tot AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                  CAST(sum(c2) AS BIGINT) AS n2
+           FROM byv
+         )
+         SELECT n1, n2,
+                CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * (CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE))) AS BIGINT) END
+                  AS ks_micro
+         FROM cum, tot GROUP BY n1, n2""",
     "q191_ab_test" ->
       """WITH u AS (
            SELECT user_id,

@@ -1018,4 +1018,22 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
       .orderBy("lag")
   }
 
+  /** Two-sample KS drift test
+    * ([[graft.operators.Analyze.ksTwoSample]]): the event `value`
+    * distribution of the first 15 days vs the rest of the window —
+    * the deploy-boundary "did the metric's SHAPE move" check beside
+    * q164's streaming mean/rate monitor. Values quantize to cents;
+    * the era split rides the 1-row min-day broadcast. */
+  private[graft] def q212(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+        .cast("long").as("day"),
+      round(col("value") * lit(100.0)).cast("long").as("cents"))
+    val d0 = ev.agg(min(col("day")).as("__d0"))
+    val sided = ev.crossJoin(broadcast(d0))
+      .select((col("day") < col("__d0") + lit(15L)).as("__a"),
+        col("cents"))
+    graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
+  }
+
 }

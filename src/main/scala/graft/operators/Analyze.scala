@@ -505,6 +505,51 @@ object Analyze {
       lit(axisOptimal).as("axis_optimal")): _*)
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic over an integer metric
+    * column: D = max_x |F₁(x) − F₂(x)| between the rows where
+    * `sideCol` is true (sample 1) and the rest — the
+    * distribution-level drift detector (did this week's value
+    * distribution shift vs last week's?) that mean/variance
+    * monitors miss, e.g. a symmetric fattening of both tails.
+    *
+    * Exactness: the ECDF difference is kept rational — per distinct
+    * value the scaled gap |cum₁·n₂ − cum₂·n₁| is exact BIGINT, the
+    * max is order-free, and only the final `round(10⁶·D_scaled /
+    * (n₁·n₂))` is ONE fixed double expression. Bounds: n₁·n₂ < 2⁶³
+    * ⇒ exact up to ~3·10⁹ rows per side; past that, pre-aggregate
+    * to a quantized grid upstream (which this already groups by).
+    *
+    * Shape: one map-combined groupBy collapses the row mass to
+    * |distinct values| count rows; the prefix sum over them is a
+    * global window BOUNDED BY THE QUANTIZED VALUE DOMAIN, not the
+    * data (the q162 AUC / q182 skyline whitelist pattern); totals
+    * ride a 1-row broadcast. Output: one row (n1, n2, d_scaled,
+    * ks_micro), ks_micro NULL when either sample is empty. */
+  def ksTwoSample(df: DataFrame, sideCol: Column, xCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.select(xCol.cast("long").as("__x"), sideCol.as("__a"))
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("__d"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("__d")).as("d_scaled"))
+      .select(col("n1"), col("n2"), col("d_scaled"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null))
+          .otherwise(round(lit(1000000.0)
+            * (col("d_scaled").cast("double")
+              / (col("n1") * col("n2")).cast("double")))
+            .cast("long")).as("ks_micro"))
+  }
+
   /** Sample AUTOCORRELATION FUNCTION of an integer-indexed series:
     * for each lag k ∈ [1, maxLag], r_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) /
     * Σ_t (x_t−x̄)² — the seasonality / burst-memory detector that

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.matchers.should.Matchers
 
 import graft.operators.Analyze
@@ -378,6 +379,39 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     out(4L)._2.get should be > out(1L)._2.get
     out(4L)._2.get should be > 500000L
     run(df.repartition(9)) shouldBe out
+  }
+
+  test("ksTwoSample matches brute force on seeded samples; " +
+      "identical samples give D = 0; empty side gives NULL") {
+    val rnd = new scala.util.Random(11L)
+    // sample A uniform-ish on [0,100), B shifted to [20,120)
+    val rows = (0 until 300).map(_ => (true, rnd.nextInt(100).toLong)) ++
+      (0 until 200).map(_ => (false, 20L + rnd.nextInt(100).toLong))
+    val (as, bs) = (rows.filter(_._1).map(_._2), rows.filterNot(_._1).map(_._2))
+    val n1 = as.length.toLong
+    val n2 = bs.length.toLong
+    val dExp = rows.map(_._2).distinct.map { x =>
+      math.abs(as.count(_ <= x) * n2 - bs.count(_ <= x) * n1)
+    }.max
+    val df = rnd.shuffle(rows).toDF("a", "x").repartition(7)
+    val out = Analyze.ksTwoSample(df, col("a"), col("x")).collect()
+    out.length shouldBe 1
+    out(0).getLong(0) shouldBe n1
+    out(0).getLong(1) shouldBe n2
+    out(0).getLong(2) shouldBe dExp
+    out(0).getLong(3) shouldBe
+      math.round(1e6 * (dExp.toDouble / (n1 * n2).toDouble))
+    // the planted +20 shift must register strongly
+    out(0).getLong(3) should be > 150000L
+
+    val same = (0 until 50).flatMap(i =>
+      Seq((true, (i % 7).toLong), (false, (i % 7).toLong))).toDF("a", "x")
+    Analyze.ksTwoSample(same, col("a"), col("x"))
+      .collect()(0).getLong(3) shouldBe 0L
+
+    val oneSided = (0 until 10).map(i => (true, i.toLong)).toDF("a", "x")
+    Analyze.ksTwoSample(oneSided, col("a"), col("x"))
+      .collect()(0).isNullAt(3) shouldBe true
   }
 
   test("autocorrelation: zero-variance series yields NULL acf") {

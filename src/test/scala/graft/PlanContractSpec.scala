@@ -55,7 +55,10 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q186_association_rules", // 1-row basket-count broadcast, like q86
     "q187_expectations",     // 1-row total crossed onto the FK orphan row
     "q201_cuped",            // 1-row midpoint + pooled-moments broadcasts
-    "q203_rfm_segments")     // 1-row global-max + quintile-bounds broadcasts
+    "q203_rfm_segments",     // 1-row global-max + quintile-bounds broadcasts
+    "q210_autocorrelation",  // 1-row series-total + denominator broadcasts
+    "q211_ndcg_matryoshka",  // two bruteForceTopK broadcast scans, like q128
+    "q212_ks_drift")         // 1-row min-day + sample-total broadcasts
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
@@ -74,7 +77,10 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q162_quality_auc",
     // running max over |distinct x| skyline candidates — bounded by
     // the quantized x domain, the point mass collapses upstream
-    "q182_pareto_frontier")
+    "q182_pareto_frontier",
+    // ECDF prefix-sum over per-distinct-cents count rows — bounded
+    // by the quantized value domain (the q162 shape)
+    "q212_ks_drift")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
