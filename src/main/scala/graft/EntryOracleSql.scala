@@ -2653,6 +2653,40 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                           / CAST(n1 * n2 AS DOUBLE))) AS BIGINT) END
                   AS ks_micro
          FROM cum, tot GROUP BY n1, n2""",
+    "q213_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                    AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s
+           FROM daily
+         ), y AS (
+           SELECT day AS t, n, n * x - s AS y FROM daily, tot
+         ), pre AS (
+           SELECT t, n, y,
+                  CAST(sum(y) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cs
+           FROM y
+         ), mx AS (
+           SELECT CAST(max(abs(cs)) AS BIGINT) AS s_abs_max,
+                  CAST(sum(abs(y)) AS BIGINT) AS sum_abs_dev
+           FROM pre
+         )
+         SELECT p.n AS n,
+                CASE WHEN m.sum_abs_dev = 0 THEN NULL
+                     ELSE min(p.t) END AS cp_t,
+                m.s_abs_max, m.sum_abs_dev,
+                CASE WHEN m.sum_abs_dev = 0 THEN NULL
+                     ELSE CAST(floor(CAST(m.s_abs_max AS DOUBLE) * 1000000.0
+                       / CAST(m.sum_abs_dev AS DOUBLE)) AS BIGINT) END
+                  AS cusum_rel_micro
+         FROM pre p, mx m
+         WHERE abs(p.cs) = m.s_abs_max
+         GROUP BY p.n, m.s_abs_max, m.sum_abs_dev""",
     "q191_ab_test" ->
       """WITH u AS (
            SELECT user_id,

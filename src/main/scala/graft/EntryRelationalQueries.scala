@@ -1036,4 +1036,19 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** CUSUM changepoint locator
+    * ([[graft.operators.Analyze.cusumChangepoint]]) over the daily
+    * event-RATE series — "when did the traffic level shift": the
+    * cumulative mean-deviation peak dates the break, and
+    * `cusum_rel_micro` scores its strength scale-free. Completes
+    * the monitoring triptych: q212 asks IF the shape moved, q200
+    * flags WHICH points are odd, this dates WHEN the level broke. */
+  private[graft] def q213(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(floor(unix_micros(col("ts")).cast("double")
+          / lit(86400000000.0)).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Analyze.cusumChangepoint(daily, "day", "n_events")
+  }
+
 }

@@ -550,6 +550,56 @@ object Analyze {
             .cast("long")).as("ks_micro"))
   }
 
+  /** CUSUM CHANGEPOINT detection over an integer-indexed series:
+    * the cumulative sum of deviations from the global mean,
+    * S_t = Σ_{i≤t}(x_i − x̄), peaks in magnitude AT the changepoint
+    * when a level shift exists — the classic single-changepoint
+    * locator (deploy regressions, data-source swaps, crawl-mix
+    * changes) that per-point thresholds miss because no single
+    * point is anomalous.
+    *
+    * Exactness: mean-centering is lifted to integers through n
+    * (y_t = n·x_t − Σx, the [[autocorrelation]] scaling), so every
+    * prefix sum is exact BIGINT and argmax/max are order-free; ties
+    * break to the EARLIEST index. The magnitude is also reported
+    * relative to the series' total absolute deviation as
+    * `cusum_rel_micro` = ⌊10⁶·max|S|/Σ|y|⌋ — a scale-free 0..~10⁶
+    * shift-strength score with no distributional constant baked in.
+    *
+    * Shape: callers aggregate to the series grain first (the
+    * reduction carries the 100 TB mass); the prefix sum over the
+    * series is a global window bounded by the time-bucket domain
+    * (the q162/q212 whitelist pattern); the two totals ride 1-row
+    * broadcasts. Output: one row (n, cp_t, s_abs_max, sum_abs_dev,
+    * cusum_rel_micro) — cp_t NULL on a constant series. */
+  def cusumChangepoint(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = series.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"))
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val y = base.crossJoin(broadcast(tot))
+      .select(col("__t"), col("__n"),
+        (col("__n") * col("__x") - col("__s")).as("__y"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = y.withColumn("__cs", sum(col("__y")).over(w))
+    val mx = pre.agg(count(lit(1)).as("n"),
+      max(abs(col("__cs"))).as("s_abs_max"),
+      sum(abs(col("__y"))).as("sum_abs_dev"))
+    pre.crossJoin(broadcast(mx))
+      .filter(abs(col("__cs")) === col("s_abs_max"))
+      .groupBy(col("n"), col("s_abs_max"), col("sum_abs_dev"))
+      .agg(min(col("__t")).as("__cp"))
+      .select(col("n"),
+        when(col("sum_abs_dev") === 0L, lit(null)).otherwise(col("__cp"))
+          .as("cp_t"),
+        col("s_abs_max"), col("sum_abs_dev"),
+        when(col("sum_abs_dev") === 0L, lit(null))
+          .otherwise(floor(col("s_abs_max").cast("double") * lit(1000000.0)
+            / col("sum_abs_dev").cast("double")).cast("long"))
+          .as("cusum_rel_micro"))
+  }
+
   /** Sample AUTOCORRELATION FUNCTION of an integer-indexed series:
     * for each lag k ∈ [1, maxLag], r_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) /
     * Σ_t (x_t−x̄)² — the seasonality / burst-memory detector that

@@ -414,6 +414,39 @@ class AnalyzeSpec extends SparkSpec with Matchers {
       .collect()(0).isNullAt(3) shouldBe true
   }
 
+  test("cusumChangepoint dates a planted level shift; matches brute " +
+      "force; constant series yields NULLs; partition-invariant") {
+    val rnd = new scala.util.Random(3L)
+    // level 100±5 for t<20, level 140±5 after — break between 19 and 20
+    val xs = (0 until 40).map(i =>
+      (if (i < 20) 100L else 140L) + rnd.nextInt(11).toLong - 5L)
+    val n = xs.length.toLong
+    val s = xs.sum
+    val ys = xs.map(x => n * x - s)
+    val cs = ys.scanLeft(0L)(_ + _).drop(1)
+    val sMax = cs.map(math.abs).max
+    val cpExp = cs.indexWhere(c => math.abs(c) == sMax).toLong
+    val sumAbs = ys.map(math.abs).sum
+    val df = rnd.shuffle(xs.zipWithIndex.map { case (x, t) => (t.toLong, x) })
+      .toDF("t", "x")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val r = Analyze.cusumChangepoint(d, "t", "x").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    val out = run(df.repartition(6))
+    out shouldBe ((n, cpExp, sMax,
+      sumAbs, math.floor(sMax.toDouble * 1e6 / sumAbs.toDouble).toLong))
+    out._2 shouldBe 19L // the CUSUM peak sits on the last pre-break point
+    run(df.repartition(3)) shouldBe out
+
+    val const = (0 until 12).map(t => (t.toLong, 7L)).toDF("t", "x")
+    val r = Analyze.cusumChangepoint(const, "t", "x").collect()(0)
+    r.getLong(0) shouldBe 12L
+    r.isNullAt(1) shouldBe true
+    r.getLong(2) shouldBe 0L
+    r.isNullAt(4) shouldBe true
+  }
+
   test("autocorrelation: zero-variance series yields NULL acf") {
     val df = (0 until 10).map(t => (t.toLong, 42L)).toDF("t", "x")
     val out = Analyze.autocorrelation(df, "t", "x", 3)

@@ -58,7 +58,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q203_rfm_segments",     // 1-row global-max + quintile-bounds broadcasts
     "q210_autocorrelation",  // 1-row series-total + denominator broadcasts
     "q211_ndcg_matryoshka",  // two bruteForceTopK broadcast scans, like q128
-    "q212_ks_drift")         // 1-row min-day + sample-total broadcasts
+    "q212_ks_drift",         // 1-row min-day + sample-total broadcasts
+    "q213_cusum_changepoint") // 1-row series-total + peak broadcasts
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
@@ -80,7 +81,10 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q182_pareto_frontier",
     // ECDF prefix-sum over per-distinct-cents count rows — bounded
     // by the quantized value domain (the q162 shape)
-    "q212_ks_drift")
+    "q212_ks_drift",
+    // CUSUM prefix-sum over the day-grain series — bounded by the
+    // time-bucket domain
+    "q213_cusum_changepoint")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
