@@ -843,6 +843,55 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                UNION ALL SELECT t2 AS node FROM tri
                UNION ALL SELECT t3 AS node FROM tri)
          GROUP BY 1 ORDER BY node""",
+    "q214_clustering_coeff" ->
+      """WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+           FROM lineitem
+         ), und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM adj WHERE dst IS NOT NULL AND src <> dst
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS degree
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b AS node FROM und)
+           GROUP BY 1
+         ), orient AS (
+           SELECT CASE WHEN da.degree < db.degree
+                            OR (da.degree = db.degree AND u.a < u.b)
+                       THEN u.a ELSE u.b END AS u,
+                  CASE WHEN da.degree < db.degree
+                            OR (da.degree = db.degree AND u.a < u.b)
+                       THEN u.b ELSE u.a END AS v
+           FROM und u JOIN deg da ON da.node = u.a
+                      JOIN deg db ON db.node = u.b
+         ), ov AS (
+           SELECT o.u, o.v, d.degree AS dv
+           FROM orient o JOIN deg d ON d.node = o.v
+         ), tri AS (
+           SELECT e1.u AS t1, e1.v AS t2, e2.v AS t3
+           FROM ov e1
+           JOIN ov e2 ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+           JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+         ), tc AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT t1 AS node FROM tri
+                 UNION ALL SELECT t2 AS node FROM tri
+                 UNION ALL SELECT t3 AS node FROM tri)
+           GROUP BY 1
+         )
+         SELECT d.node, d.degree,
+                coalesce(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+                CASE WHEN d.degree < 2 THEN NULL
+                     ELSE CAST((2000000
+                       * coalesce(tc.n_triangles, CAST(0 AS BIGINT)))
+                       // (d.degree * (d.degree - 1)) AS BIGINT) END
+                  AS lcc_micro
+         FROM deg d LEFT JOIN tc ON tc.node = d.node
+         ORDER BY d.node""",
     "q108_hll_distinct" -> hllDistinctOracle(p = 6),
     "q110_kmeans" -> kmeansOracle(k = 4, iterations = 3),
     "q111_prefix_jaccard_join" -> prefixJaccardOracle(tauNum = 4, tauDen = 5),

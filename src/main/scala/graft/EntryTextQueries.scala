@@ -597,6 +597,23 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Local clustering coefficients
+    * ([[graft.operators.Graph.clusteringCoefficients]]) over q165's
+    * part co-occurrence chain — per node, how clique-like its
+    * neighborhood is: the community-vs-bridge texture readout
+    * (⌊2·10⁶·tri/(deg·(deg−1))⌋, exact BIGINT division) on the
+    * same edge derivation whose raw triangle counts q165 states. */
+  private[graft] def q214(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    Graph.clusteringCoefficients(edges, "src", "dst")
+      .orderBy("node")
+  }
+
   /** Boilerplate-chunk scrub with reassembly
     * ([[graft.operators.TextAnalysis.scrubSharedChunks]]) over the
     * q115 planted-boilerplate corpus: chunks appearing in ≥ 6

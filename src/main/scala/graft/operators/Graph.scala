@@ -471,6 +471,39 @@ object Graph {
     *
     * Output: (n1, n2, n_common, ra_micro) per non-adjacent pair with
     * ≥ minCommon capped common neighbors, n1 < n2. */
+  /** Per-node LOCAL CLUSTERING COEFFICIENT: lcc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to
+    * a clique. The node-level texture readout beside
+    * [[triangleCounts]]' raw counts: high-lcc nodes sit in tight
+    * communities (link rings, template families), low-lcc
+    * high-degree nodes are bridges/hubs — the standard
+    * spam-farm-vs-connector discriminator.
+    *
+    * Exactness: lcc is emitted as ⌊2·10⁶·tri / (deg·(deg−1))⌋ —
+    * pure BIGINT division, replayable verbatim. Scale shape =
+    * [[triangleCounts]] (degree-ordered wedge join, Σ min-degree
+    * bounded) plus one degree aggregate and a node-keyed left join;
+    * no new quadratic term. Output: (node, degree, n_triangles,
+    * lcc_micro) for every node, lcc_micro NULL when degree < 2. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_micro",
+        when(col("degree") < 2L, lit(null))
+          .otherwise(expr(
+            "(2000000 * n_triangles) div (degree * (degree - 1))")))
+  }
+
   def linkPredictionRA(edges: DataFrame, srcCol: String, dstCol: String,
       maxHubDeg: Int, minCommon: Long): DataFrame = {
     require(maxHubDeg >= 2, "maxHubDeg must be >= 2")

@@ -278,6 +278,45 @@ class GraphSpec extends SparkSpec with Matchers {
     out.keySet shouldBe Set((1L, 2L), (3L, 9L), (4L, 9L))
   }
 
+  test("clusteringCoefficients: clique = 1.0, star center = 0, " +
+      "leaf degree-1 = NULL; matches brute force on a random graph") {
+    // triangle {1,2,3} + star center 4 -> {5,6}, leaf 7 - 5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (4L, 6L),
+      (7L, 5L)).toDF("s", "d")
+    val out = Graph.clusteringCoefficients(e, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    out(1L) shouldBe ((2L, 1L, Some(1000000L)))
+    out(4L) shouldBe ((2L, 0L, Some(0L)))
+    out(7L) shouldBe ((1L, 0L, None))
+    out(5L) shouldBe ((2L, 0L, Some(0L)))
+
+    val rnd = new scala.util.Random(13L)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong + 1L, rnd.nextInt(25).toLong + 1L))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSet
+    val nbrs = (und.toSeq.map(p => p._1 -> p._2) ++
+      und.toSeq.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = nbrs.map { case (v, nb) =>
+      val d = nb.size.toLong
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(x, y) =>
+          und.contains((math.min(x, y), math.max(x, y))) }.toLong
+      v -> ((d, tri,
+        if (d < 2) None else Some(2000000L * tri / (d * (d - 1)))))
+    }
+    Graph.clusteringCoefficients(edges.toDF("s", "d").repartition(7),
+        "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap shouldBe
+      expected
+  }
+
   test("linkPredictionRA equals brute force on a seeded random graph; " +
       "partition-invariant") {
     val rnd = new scala.util.Random(42L)
