@@ -1987,6 +1987,34 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   AS ndcg_micro
          FROM perq ORDER BY q_id"""
     },
+    "q215_mrr_matryoshka" ->
+      s"""$embCte,
+         tn AS (SELECT vec_id, v[1:16] AS tv,
+                       sqrt(list_dot_product(v[1:16], v[1:16])) AS tnrm FROM e),
+         q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+         qt AS (SELECT vec_id, tv, tnrm FROM tn WHERE vec_id % 50 = 0),
+         sf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+                FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+         rf AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM sf),
+         gold AS (SELECT q_id, c_id AS gold_id FROM rf WHERE rnk = 1),
+         st AS (SELECT qt.vec_id AS q_id, c.vec_id AS c_id,
+                  ${cosSql("qt.tv", "qt.tnrm", "c.tv", "c.tnrm")} AS score
+                FROM qt CROSS JOIN tn c WHERE c.vec_id <> qt.vec_id),
+         rt AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id ASC) AS rnk
+                FROM st),
+         hit AS (SELECT q_id, c_id AS gold_id, CAST(rnk AS BIGINT) AS pos
+                 FROM rt WHERE rnk <= 10)
+         SELECT g.q_id, g.gold_id, h.pos,
+                coalesce(1000000 // h.pos, CAST(0 AS BIGINT)) AS rr_micro
+         FROM gold g LEFT JOIN hit h
+           ON h.q_id = g.q_id AND h.gold_id = g.gold_id
+         ORDER BY g.q_id""",
     "q147_retrieval_cascade" -> retrievalCascadeOracle(withWave = false),
     "q148_label_match_cooc" -> labelMatchCoocOracle,
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,

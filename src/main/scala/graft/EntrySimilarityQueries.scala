@@ -878,4 +878,29 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id")
   }
 
+  /** MRR@10 of the matryoshka prefix retrieval — the first-hit
+    * metric beside q211's graded nDCG and q128's set recall: gold =
+    * each query's exact full-width nearest NON-SELF neighbor, score
+    * = 1/position of the gold in the truncated-prefix top-10 (0 on
+    * a miss). Pure integer division (10⁶ div pos) — no logs, no
+    * doubles — and self-matches are excluded in BOTH rankings so
+    * the metric measures retrieval, not identity lookup. Shape =
+    * two broadcast brute-force scans (q128's). */
+  private[graft] def q215(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val et = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val gold = Ann.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", 1, excludeSelf = true)
+      .select(col("q_id"), col("c_id").as("gold_id"))
+    val trunc = Ann.bruteForceTopK(et.filter(col("vec_id") % 50 === 0), et,
+        "vec_id", "vec_id", "embedding", 10, excludeSelf = true)
+      .select(col("q_id"), col("rank").cast("long").as("pos"),
+        col("c_id").as("gold_id"))
+    gold.join(trunc, Seq("q_id", "gold_id"), "left")
+      .select(col("q_id"), col("gold_id"), col("pos"),
+        coalesce(expr("1000000 div pos"), lit(0L)).as("rr_micro"))
+      .orderBy("q_id")
+  }
+
 }

@@ -265,14 +265,16 @@ object Ann {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qIdCol: String, cIdCol: String, vecCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, excludeSelf: Boolean = false): DataFrame = {
     val q = queries.select(
       col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
     val c = broadcast(corpus.select(
       col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec"))))
-    val scored = q.crossJoin(c)
+    val paired = q.crossJoin(c)
+    val scored = (if (excludeSelf) paired.filter(col("q_id") =!= col("c_id"))
+      else paired)
       .withColumn("score", VectorOps.cosineWithNorms(
         col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
     rankTopK(scored, "q_id", "c_id", "score", k)

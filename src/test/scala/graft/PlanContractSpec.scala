@@ -58,6 +58,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q203_rfm_segments",     // 1-row global-max + quintile-bounds broadcasts
     "q210_autocorrelation",  // 1-row series-total + denominator broadcasts
     "q211_ndcg_matryoshka",  // two bruteForceTopK broadcast scans, like q128
+    "q215_mrr_matryoshka",   // two bruteForceTopK broadcast scans, like q128
     "q212_ks_drift",         // 1-row min-day + sample-total broadcasts
     "q213_cusum_changepoint") // 1-row series-total + peak broadcasts
 
