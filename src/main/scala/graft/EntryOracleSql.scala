@@ -2367,6 +2367,19 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM lineitem
          GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+    "q216_rollup" ->
+      """SELECT r_name, n_name, c_mktsegment,
+                CAST(GROUPING(r_name, n_name, c_mktsegment) AS BIGINT)
+                  AS gid,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+         ORDER BY gid, r_name, n_name, c_mktsegment""",
     "q185_dataset_digest" ->
       """WITH h AS (
            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'

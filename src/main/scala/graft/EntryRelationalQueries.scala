@@ -919,6 +919,26 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
         count(lit(1)).as("n_rows"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
+  /** ROLLUP hierarchy aggregate — q184's CUBE sibling for the
+    * drill-down path the lattice doesn't need: region → nation →
+    * market-segment subtotals plus the grand total in ONE pass
+    * (4 grouping sets, not 8), revenue in exact cents. The dims
+    * arrive through two broadcast-sized joins (nation, region) on
+    * the one orders⋈customer shuffle. */
+  private[graft] def q216(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(grouping_id().as("gid"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("gid", "r_name", "n_name", "c_mktsegment")
+
   /** Association rules ([[graft.operators.Analyze
     * .associationRules]]) over order baskets: support, directed
     * confidence and lift in exact micros for every part pair
