@@ -2743,6 +2743,39 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                           / CAST(n1 * n2 AS DOUBLE))) AS BIGINT) END
                   AS ks_micro
          FROM cum, tot GROUP BY n1, n2""",
+    "q217_logbucket_quantiles" ->
+      """WITH base AS (
+           SELECT l_returnflag AS g,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+           FROM lineitem
+         ), bk AS (
+           SELECT g,
+                  CASE WHEN len(CAST(x AS VARCHAR)) < 3 THEN x
+                       ELSE CAST(substr(CAST(x AS VARCHAR), 1, 2)
+                         || repeat('0', len(CAST(x AS VARCHAR)) - 2)
+                         AS BIGINT) END AS b
+           FROM base
+         ), h AS (
+           SELECT g, b, CAST(count(*) AS BIGINT) AS c
+           FROM bk GROUP BY g, b
+         ), cum AS (
+           SELECT g, b,
+                  CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM h
+         ), tot AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g
+         ), tg AS (
+           SELECT g, n, CAST(p AS BIGINT) AS permille,
+                  (CAST(p AS BIGINT) * n + 999) // 1000 AS t
+           FROM tot, (SELECT unnest([500, 900, 990, 999]) AS p)
+         )
+         SELECT tg.g AS l_returnflag, tg.permille, tg.n,
+                CAST(min(cum.b) AS BIGINT) AS est
+         FROM tg JOIN cum ON cum.g = tg.g AND cum.cum >= tg.t
+         GROUP BY tg.g, tg.permille, tg.n
+         ORDER BY l_returnflag, permille""",
     "q213_cusum_changepoint" ->
       """WITH daily AS (
            SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)

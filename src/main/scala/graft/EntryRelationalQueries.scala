@@ -1056,6 +1056,19 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Mergeable log-bucket quantile sketch
+    * ([[graft.operators.Sketch.logBucketQuantiles]]): p50/p90/p99/
+    * p999 of line revenue cents per return flag from 2-significant-
+    * digit buckets — the bounded-state quantile a 100 TB scan ships
+    * when the exact per-value table can't be held; <10% relative
+    * error by construction, zero randomness, partial aggregation IS
+    * the merge. */
+  private[graft] def q217(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketch.logBucketQuantiles(
+        t(s, dir, "lineitem"), "l_returnflag",
+        cents(col("l_extendedprice")), Seq(500, 900, 990, 999))
+      .orderBy("l_returnflag", "permille")
+
   /** CUSUM changepoint locator
     * ([[graft.operators.Analyze.cusumChangepoint]]) over the daily
     * event-RATE series — "when did the traffic level shift": the

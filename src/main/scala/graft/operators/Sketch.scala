@@ -256,4 +256,56 @@ object Sketch {
       .groupBy(payload: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** MERGEABLE QUANTILE SKETCH by 2-significant-digit log bucketing:
+    * each positive integer x collapses to its leading two decimal
+    * digits (1234567 → 1200000), so the per-group state is a bucket
+    * histogram of AT MOST 90 cells per decade — bounded by the value
+    * DOMAIN's magnitude range, never the row count — and the
+    * estimate for quantile q is the smallest bucket whose cumulative
+    * count reaches ⌈q·n⌉. Guaranteed relative error < 10% (one unit
+    * in the second significant digit) with zero randomness: unlike
+    * KLL/t-digest the state is order-free and partition-invariant,
+    * so Spark's partial aggregation IS the sketch merge and a SQL
+    * oracle replays every cell (the [[cmBuild]] discipline; contrast
+    * q109's sampled exact quantile, which trades determinism for
+    * precision).
+    *
+    * Everything is integer: bucketing is string-arithmetic on the
+    * decimal representation (no float log whose last ulp could flip
+    * a bucket cross-engine), the rank target is `(permille·n + 999)
+    * div 1000`, and the per-group prefix scan runs over the bounded
+    * bucket domain. Rows with x ≤ 0 are rejected (log buckets need a
+    * sign-free domain; shift upstream).
+    *
+    * Output: (group, permille, n, est) per requested permille. */
+  def logBucketQuantiles(df: DataFrame, groupCol: String, xCol: Column,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val s = col("__x").cast("string")
+    // the positivity guard lives INSIDE the kept expression — a
+    // separate check column would be pruned away by Catalyst
+    val bucket = when(col("__x") <= 0L, raise_error(lit(
+        "logBucketQuantiles requires positive values")).cast("long"))
+      .otherwise(when(length(s) < 3, col("__x"))
+        .otherwise(concat(substring(s, 1, 2),
+          repeat(lit("0"), length(s) - 2)).cast("long")))
+    val b = df.select(col(groupCol).as("g"), xCol.cast("long").as("__x"))
+      .select(col("g"), bucket.as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.withColumn("cum", sum(col("c")).over(w))
+    val targets = b.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .withColumn("permille",
+        explode(array(permilles.map(p => lit(p.toLong)): _*)))
+      .withColumn("t", expr("(permille * n + 999) div 1000"))
+    targets.join(cum, Seq("g"))
+      .filter(col("cum") >= col("t"))
+      .groupBy(col("g"), col("permille"), col("n"))
+      .agg(min(col("b")).as("est"))
+      .select(col("g").as(groupCol), col("permille"), col("n"), col("est"))
+  }
 }

@@ -161,4 +161,54 @@ class SketchSpec extends SparkSpec {
     val exact = (1 to 200).map(i => { val w = (i % 7 + 1).toLong; w * w }).sum
     assert(math.abs(deep - exact).toDouble / exact < 0.5)
   }
+
+  test("logBucketQuantiles: matches the brute-force bucket replay, " +
+      "stays within 10% of the exact quantile, partition-invariant, " +
+      "rejects non-positive values") {
+    val rnd = new scala.util.Random(21L)
+    // two groups with very different scales, incl. sub-100 exact zone
+    val rows = (1 to 4000).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val x = if (g == "a") 1L + rnd.nextInt(80).toLong
+      else (math.exp(rnd.nextDouble() * 9) * 10).toLong + 1L
+      (g, x)
+    }
+    val perms = Seq(500, 900, 990)
+    def bucketOf(x: Long): Long = {
+      val s = x.toString
+      if (s.length < 3) x
+      else (s.substring(0, 2) + "0" * (s.length - 2)).toLong
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val bs = rs.map(r => bucketOf(r._2)).sorted
+      val n = bs.length.toLong
+      perms.map { p =>
+        val t = (p.toLong * n + 999) / 1000
+        (g, p.toLong) -> ((n, bs((t - 1).toInt)))
+      }
+    }
+    val df = rnd.shuffle(rows).toDF("g", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketch.logBucketQuantiles(d, "g", col("x"), perms)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val out = run(df.repartition(8))
+    assert(out == expected)
+    assert(run(df.repartition(3)) == out)
+    // error contract vs the exact quantile at the same rank rule
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2).sorted
+      perms.foreach { p =>
+        val t = ((p.toLong * xs.length + 999) / 1000).toInt
+        val exactQ = xs(t - 1)
+        val est = out((g, p.toLong))._2
+        assert(math.abs(est - exactQ).toDouble <= exactQ.toDouble / 10)
+      }
+    }
+    val bad = Seq(("a", 5L), ("a", 0L)).toDF("g", "x")
+    intercept[Exception] {
+      Sketch.logBucketQuantiles(bad, "g", col("x"), Seq(500)).collect()
+    }
+  }
 }
