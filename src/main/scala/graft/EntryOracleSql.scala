@@ -2743,6 +2743,38 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                           / CAST(n1 * n2 AS DOUBLE))) AS BIGINT) END
                   AS ks_micro
          FROM cum, tot GROUP BY n1, n2""",
+    "q218_token_drift" ->
+      """WITH toks AS (
+           SELECT (CAST(substr(source, 4) AS BIGINT) < 10) AS a,
+                  unnest(string_split_regex(lower(text), '\s+')) AS tok
+           FROM documents
+         ), nz AS (SELECT * FROM toks WHERE tok <> ''
+         ), bytok AS (
+           SELECT tok,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+                    AS c2
+           FROM nz GROUP BY tok
+         ), tot AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                  CAST(sum(c2) AS BIGINT) AS n2
+           FROM bytok
+         ), scored AS (
+           SELECT tok, c1, c2, c1 * n2 - c2 * n1 AS diff_scaled,
+                  CAST(round(1000000.0
+                    * (CAST(c1 * n2 - c2 * n1 AS DOUBLE)
+                       * CAST(c1 * n2 - c2 * n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * CAST(c1 + c2 AS DOUBLE))) AS BIGINT)
+                    AS chi2_micro
+           FROM bytok, tot
+           WHERE c1 + c2 >= 5
+         ), top AS (
+           SELECT * FROM scored ORDER BY chi2_micro DESC, tok LIMIT 100
+         )
+         SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
+                chi2_micro
+         FROM top ORDER BY tok""",
     "q217_logbucket_quantiles" ->
       """WITH base AS (
            SELECT l_returnflag AS g,

@@ -614,6 +614,20 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Token drift attribution
+    * ([[graft.operators.TextAnalysis.tokenDrift]]): top-100 χ²
+    * mover tokens between the src0–src9 and src10–src19 crawl
+    * batches (≥ 5 total occurrences) — the per-token WHY behind
+    * q212's scalar drift alarm. Output re-ordered by token so the
+    * frame is hash-stable; the top-k cut itself ties-breaks on the
+    * token. */
+  private[graft] def q218(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tokenDrift(
+        t(s, dir, "documents"), "text",
+        expr("CAST(substring(source, 4) AS BIGINT) < 10"),
+        minCount = 5L, topK = 100)
+      .orderBy("tok")
+
   /** Boilerplate-chunk scrub with reassembly
     * ([[graft.operators.TextAnalysis.scrubSharedChunks]]) over the
     * q115 planted-boilerplate corpus: chunks appearing in ≥ 6

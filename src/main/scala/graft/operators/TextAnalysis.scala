@@ -702,4 +702,48 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           expr("(dup_tokens * 1000000) div n_tokens")).otherwise(lit(0L)))
   }
+
+  /** TOKEN DRIFT ATTRIBUTION between two corpus slices: per token
+    * the era counts and the two-multinomial χ² contribution
+    * χ²_w = (c₁n₂ − c₂n₁)² / (n₁n₂(c₁+c₂)), top-k movers — the
+    * "WHICH tokens drove the shift" attribution behind a scalar
+    * drift alarm ([[graft.operators.Analyze.ksTwoSample]] answers
+    * IF). The crawl-mix / template-injection / topic-shift
+    * diagnostic a corpus refresh gates on.
+    *
+    * Exactness: `diff_scaled` = c₁n₂ − c₂n₁ is exact BIGINT (sign =
+    * drift direction); the score is ONE fixed double tree over
+    * exact integers (the q117 discipline) — round, not floor, so
+    * the last-ulp agreement both engines share decides identically.
+    * Shape: one map-combined token aggregate (the mass reduction),
+    * 1-row totals broadcast, and a distributed top-k
+    * (TakeOrderedAndProject — no global sort materializes); ties
+    * break on the token for a deterministic cut. `minCount` prunes
+    * the long tail BEFORE scoring. */
+  def tokenDrift(docs: DataFrame, textCol: String, sideCol: Column,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val byTok = docs
+      .select(sideCol.as("__a"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("c2"))
+    val tot = byTok.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    def d(c: Column): Column = c.cast("double")
+    val diff = col("c1") * col("n2") - col("c2") * col("n1")
+    byTok.filter(col("c1") + col("c2") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("diff_scaled", diff)
+      .withColumn("chi2_micro",
+        round(lit(1000000.0) * (d(col("diff_scaled")) * d(col("diff_scaled")))
+          / (d(col("n1")) * d(col("n2")) * d(col("c1") + col("c2"))))
+          .cast("long"))
+      .select(col("tok"), col("c1"), col("c2"), col("diff_scaled"),
+        col("chi2_micro"))
+      .orderBy(col("chi2_micro").desc, col("tok"))
+      .limit(topK)
+  }
 }

@@ -474,4 +474,35 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     re shouldBe out
   }
+
+  test("tokenDrift: planted mover dominates, matches brute force, " +
+      "minCount prunes, partition-invariant") {
+    // era A: 30 docs of shared filler; era B: same filler + "zebra"
+    val docs = (0 until 30).map(i => (true, "the quick fox")) ++
+      (0 until 30).map(i => (false, "the quick fox zebra zebra")) ++
+      Seq((true, "rare"))  // 1 occurrence — pruned by minCount 3
+    val df = docs.toDF("a", "text")
+    val out = TextAnalysis.tokenDrift(df, "text", col("a"),
+        minCount = 3L, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out should not contain key("rare")
+    // brute-force replay
+    val n1 = 30L * 3 + 1
+    val n2 = 30L * 5
+    def chi2(c1: Long, c2: Long): Long = {
+      val diff = (c1 * n2 - c2 * n1).toDouble
+      math.round(1e6 * (diff * diff)
+        / (n1.toDouble * n2.toDouble * (c1 + c2).toDouble))
+    }
+    out("zebra") shouldBe ((0L, 60L, -60L * n1, chi2(0L, 60L)))
+    out("the") shouldBe ((30L, 30L, 30L * n2 - 30L * n1, chi2(30L, 30L)))
+    // zebra is the top mover
+    out.values.map(_._4).max shouldBe out("zebra")._4
+    TextAnalysis.tokenDrift(df.repartition(7), "text", col("a"),
+        minCount = 3L, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap shouldBe out
+  }
 }
