@@ -247,6 +247,27 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("node")
   }
 
+  /** Personalized PageRank ([[Graph.personalizedPageRank]]) over
+    * q107's co-purchase graph, restarting at the Brand#4 parts — the
+    * seed-conditioned "what do THESE products' buyers touch" ranking
+    * (4 rounds, the oracle unrolls the identical trajectory with the
+    * seed-gated restart term). */
+  private[graft] def q219(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val seeds = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    Graph.personalizedPageRank(edges, "src", "dst", "w",
+        seeds, "p_partkey", iterations = 4)
+      .orderBy("node")
+  }
+
   /** Multi-source BFS distances ([[Graph.bfsDistances]], 4 hops)
     * over the undirected q107 co-purchase graph from the
     * `p_partkey % 500 = 0` seed set — frontier-only expansion, one

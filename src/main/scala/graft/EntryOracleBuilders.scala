@@ -354,6 +354,53 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        SELECT node, r AS rank_micro FROM r$iterations ORDER BY node"""
   }
 
+  /** q219: [[Graph.personalizedPageRank]]'s rounds unrolled as CTEs —
+    * the [[pageRankOracle]] trajectory with the restart term gated on
+    * the seed flag (Brand#4 parts) and seed-only initial mass. */
+  private[graft] def personalizedPageRankOracle(iterations: Int,
+      damping: Double): String = {
+    val base = (1.0 - damping) * 1e6
+    val iterCtes = (1 to iterations).map { i =>
+      s"""r$i AS (
+           SELECT n.node, n.seed,
+                  CAST(round(CASE WHEN n.seed THEN $base ELSE 0.0 END
+                             + CAST($damping AS DOUBLE)
+                             * CAST(coalesce(c.s, 0) AS DOUBLE)) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT er.dst AS node,
+                    sum(CAST(round(CAST(p.r AS DOUBLE) * er.ratio) AS BIGINT)) AS s
+             FROM r${i - 1} p JOIN er ON er.src = p.node
+             GROUP BY er.dst) c USING (node)
+         )"""
+    }.mkString(", ")
+    s"""WITH adj AS (
+         SELECT l_partkey AS src,
+                lead(l_partkey) OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+         FROM lineitem
+       ), ed AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         FROM adj WHERE dst IS NOT NULL GROUP BY src, dst
+       ), ow AS (
+         SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY src
+       ), er AS (
+         SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS ratio
+         FROM ed e JOIN ow o USING (src)
+       ), sd AS (
+         SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#4'
+       ), nodes AS (
+         SELECT node, (node IN (SELECT node FROM sd)) AS seed
+         FROM (SELECT src AS node FROM ed UNION SELECT dst FROM ed)
+       ), r0 AS (
+         SELECT node, seed,
+                CASE WHEN seed THEN CAST(1000000 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS r
+         FROM nodes
+       ), $iterCtes
+       SELECT node, r AS rank_micro FROM r$iterations ORDER BY node"""
+  }
+
   /** q174: [[graft.operators.Graph.hits]]'s rounds unrolled as CTEs
     * over the q107 co-purchase graph (simple directed: distinct
     * edges, self-loops dropped). Each half-round is a join-sum plus

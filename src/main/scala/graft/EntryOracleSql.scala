@@ -804,6 +804,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
     "q107_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
+    "q219_personalized_pagerank" ->
+      personalizedPageRankOracle(iterations = 4, damping = 0.85),
     "q165_triangle_count" ->
       """WITH adj AS (
            SELECT l_partkey AS src,

@@ -83,6 +83,66 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: [[pageRank]] with the restart mass
+    * pinned to a SEED SET instead of spread uniformly — rank flows
+    * outward from the seeds through the link structure, scoring
+    * every node by its proximity to them. The "related to THESE"
+    * primitive behind seed-expanded crawl frontiers, related-item
+    * panels, and topic-conditioned source ranking (contrast
+    * [[linkPredictionRA]], which scores 2-hop pairs; PPR integrates
+    * over ALL paths with damped decay).
+    *
+    * Semantics: seeds start at 10⁶ micros and receive the
+    * `(1−d)·10⁶` restart term each round; non-seeds start at 0 and
+    * get restart 0 — the per-node-scale analog of [[pageRank]]'s
+    * uniform base, so the two trajectories share every expression
+    * shape and the same unrolled-CTE oracle discipline certifies
+    * this one. Dangling mass leaks, as in the uniform variant.
+    *
+    * Scale shape per round: identical to [[pageRank]] (one edge
+    * join + map-combined sum); the seed flag is one broadcast-sized
+    * semi-join materialized once before the loop. Output: (node,
+    * rank_micro) for every node. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      seedIdCol: String, iterations: Int, damping: Double = 0.85,
+      checkpoint: Boolean = false): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+    val outW = e.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
+    val rated = e.join(outW, Seq("__src"))
+      .withColumn("__ratio",
+        col("__w").cast("double") / col("__ow").cast("double"))
+      .select("__src", "__dst", "__ratio")
+    val seedSet = broadcast(
+      seeds.select(col(seedIdCol).as("node")).distinct()
+        .withColumn("__s", lit(true)))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"))
+    val base = (1.0 - damping) * 1e6
+    var ranks = nodes.withColumn("rank_micro",
+      when(col("__seed"), lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 0 until iterations) {
+      val contribs = ranks
+        .join(rated, ranks("node") === rated("__src"))
+        .select(col("__dst").as("node"),
+          round(col("rank_micro").cast("double") * col("__ratio"))
+            .cast("long").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("__seed"),
+          round(when(col("__seed"), lit(base)).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("__in"), lit(0L)).cast("double"))
+            .cast("long").as("rank_micro"))
+      ranks = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    ranks.select(col("node"), col("rank_micro"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg), `iterations` rounds of
     * the mutual-reinforcement fixpoint over a simple directed graph:
     * `a(v) = Σ_{u→v} h(u)`, `h(u) = Σ_{u→v} a(v)` — the second

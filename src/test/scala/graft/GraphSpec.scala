@@ -278,6 +278,38 @@ class GraphSpec extends SparkSpec with Matchers {
     out.keySet shouldBe Set((1L, 2L), (3L, 9L), (4L, 9L))
   }
 
+  test("personalizedPageRank matches a brute-force trajectory replay; " +
+      "seeds hold the mass; partition-invariant") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (2L, 4L, 1L), (4L, 5L, 1L), (5L, 4L, 2L))
+    val seeds = Seq(1L)
+    val iters = 4
+    val d = 0.85
+    // brute force with the operator's exact quantization
+    val ow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val base = (1.0 - d) * 1e6
+    var r = nodes.map(n => n -> (if (seeds.contains(n)) 1000000L else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _, w) =>
+        math.round(r(u).toDouble * (w.toDouble / ow(u).toDouble))
+      }.sum).toMap
+      r = nodes.map(n => n -> math.round(
+        (if (seeds.contains(n)) base else 0.0)
+          + d * in.getOrElse(n, 0L).toDouble)).toMap
+    }
+    val df = edges.toDF("s", "d", "w")
+    val seedDf = seeds.toDF("id")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.personalizedPageRank(e, "s", "d", "w", seedDf, "id", iters)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val out = run(df)
+    out shouldBe r
+    // the disconnected-from-seed pair 4<->5 only gets mass THROUGH 2
+    out(1L) should be > out(5L)
+    run(df.repartition(5)) shouldBe out
+  }
+
   test("clusteringCoefficients: clique = 1.0, star center = 0, " +
       "leaf degree-1 = NULL; matches brute force on a random graph") {
     // triangle {1,2,3} + star center 4 -> {5,6}, leaf 7 - 5
