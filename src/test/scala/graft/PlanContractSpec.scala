@@ -60,7 +60,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q211_ndcg_matryoshka",  // two bruteForceTopK broadcast scans, like q128
     "q215_mrr_matryoshka",   // two bruteForceTopK broadcast scans, like q128
     "q212_ks_drift",         // 1-row min-day + sample-total broadcasts
-    "q213_cusum_changepoint") // 1-row series-total + peak broadcasts
+    "q213_cusum_changepoint", // 1-row series-total + peak broadcasts
+    "q218_token_drift")       // 1-row era-total broadcast, like q86
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
