@@ -668,6 +668,19 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         "src", "dst", rounds = 3)
       .orderBy("node")
 
+  /** Modularity audit ([[graft.operators.Graph.modularity]]) of the
+    * q205 label-propagation partition over the same co-occurrence
+    * graph — per community, the exact Newman-Girvan contribution
+    * (Q_c·4m² in BIGINT, micro ratio as one fixed double): did LPA
+    * find real structure or just relabel noise? The oracle replays
+    * the full LPA trajectory AND the modularity arithmetic. */
+  private[graft] def q220(s: SparkSession, dir: String): DataFrame = {
+    val edges = partChainEdges(s, dir, withW = false)
+    val labels = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+    Graph.modularity(edges, "src", "dst", labels, "node", "label")
+      .orderBy("label")
+  }
+
   /** Hop-bounded weighted shortest paths
     * ([[graft.operators.Graph.ssspBounded]], 4 Bellman-Ford sweeps)
     * from the q190 seed set, edge weight = the source line's

@@ -2614,6 +2614,75 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ), $roundCtes
          SELECT node, label FROM l3 ORDER BY node"""
     },
+    "q220_modularity" -> {
+      // the q205 LPA trajectory replayed verbatim, then the exact
+      // Newman-Girvan per-community arithmetic over the canonical
+      // undirected edge set
+      val roundCtes = (1 to 3).map { i =>
+        s"""c$i AS (
+             SELECT e.s, l.label, CAST(count(*) AS BIGINT) AS c
+             FROM e JOIN l${i - 1} l ON e.d = l.node
+             GROUP BY e.s, l.label
+           ), m$i AS (
+             SELECT s, max(c) AS mc FROM c$i GROUP BY s
+           ), u$i AS (
+             SELECT c.s, min(c.label) AS nl
+             FROM c$i c JOIN m$i m ON c.s = m.s AND c.c = m.mc
+             GROUP BY c.s
+           ), l$i AS (
+             SELECT l.node, coalesce(u.nl, l.label) AS label
+             FROM l${i - 1} l LEFT JOIN u$i u ON l.node = u.s
+           )"""
+      }.mkString(", ")
+      s"""WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT DISTINCT src AS s, dst AS d
+           FROM (SELECT src, dst FROM adj
+                 WHERE dst IS NOT NULL AND src <> dst
+                 UNION ALL
+                 SELECT dst, src FROM adj
+                 WHERE dst IS NOT NULL AND src <> dst)
+         ), l0 AS (
+           SELECT node, node AS label
+           FROM (SELECT DISTINCT s AS node FROM e
+                 UNION SELECT DISTINCT d FROM e)
+         ), $roundCtes, und AS (
+           SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e
+         ), mm AS (
+           SELECT CAST(count(*) AS BIGINT) AS m FROM und
+         ), ein AS (
+           SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+           FROM und u JOIN l3 la ON la.node = u.a
+                      JOIN l3 lb ON lb.node = u.b
+           WHERE la.label = lb.label
+           GROUP BY la.label
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS dg
+           FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           GROUP BY node
+         ), dt AS (
+           SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(d.dg) AS BIGINT) AS d_tot
+           FROM deg d JOIN l3 l ON l.node = d.node
+           GROUP BY l.label
+         )
+         SELECT dt.label, dt.n_nodes,
+                coalesce(ein.e_in, CAST(0 AS BIGINT)) AS e_in, dt.d_tot,
+                CAST(4 * mm.m * coalesce(ein.e_in, CAST(0 AS BIGINT))
+                     - dt.d_tot * dt.d_tot AS BIGINT) AS contrib_scaled,
+                CAST(round(1000000.0
+                  * CAST(4 * mm.m * coalesce(ein.e_in, CAST(0 AS BIGINT))
+                         - dt.d_tot * dt.d_tot AS DOUBLE)
+                  / (4.0 * CAST(mm.m * mm.m AS DOUBLE))) AS BIGINT)
+                  AS q_contrib_micro
+         FROM dt LEFT JOIN ein ON ein.label = dt.label CROSS JOIN mm
+         ORDER BY dt.label"""
+    },
     "q206_sssp_bounded" -> {
       // four unrolled Bellman-Ford sweeps over exact integer weights
       val roundCtes = (1 to 4).map { i =>

@@ -508,6 +508,57 @@ object Graph {
     dist
   }
 
+  /** MODULARITY of a node partition over the undirected simple
+    * graph: per community c, the Newman-Girvan contribution
+    * Q_c = e_c/m − (d_c/2m)² — how much denser the community is
+    * than the degree-preserving random expectation. The quality
+    * audit for ANY clustering over a graph ([[labelPropagation]]
+    * communities, CC clusters, k-core tiers): ΣQ_c near 0 means the
+    * partition explains nothing; the per-community rows localize
+    * which "communities" are real.
+    *
+    * Exactness: Q_c·4m² = 4m·e_c − d_c² is exact BIGINT (bounded by
+    * 4m², fine to ~10⁹ edges), emitted as `contrib_scaled` with the
+    * micro ratio as ONE fixed double expression. Shape: one
+    * canonical-edge distinct, one degree aggregate, two node-keyed
+    * label joins, the edge count riding a 1-row broadcast. Output:
+    * (label, n_nodes, e_in, d_tot, contrib_scaled, q_contrib_micro)
+    * per community; ΣQ = Σ q_contrib_micro / 10⁶. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val m1 = und.agg(count(lit(1)).as("m"))
+    val lab = labels.select(col(nodeCol).as("node"),
+      col(labelCol).as("__l"))
+    val eIn = und
+      .join(lab.select(col("node").as("a"), col("__l").as("__la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("__l").as("__lb")),
+        Seq("b"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__dg"))
+    val dTot = deg.join(lab, Seq("node"))
+      .groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__dg")).as("d_tot"))
+    val contrib = lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+      col("d_tot") * col("d_tot")
+    dTot.join(eIn, Seq("label"), "left")
+      .crossJoin(broadcast(m1))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        contrib.as("contrib_scaled"),
+        round(lit(1000000.0) * contrib.cast("double")
+          / (lit(4.0) * (col("m") * col("m")).cast("double")))
+          .cast("long").as("q_contrib_micro"))
+  }
+
   /** LINK PREDICTION by the resource-allocation index (Zhou, Lü &
     * Zhang 2009): for every non-adjacent pair (n1, n2) score
     * Σ_{w ∈ N(n1) ∩ N(n2)} 1/deg(w) — the "which edges are missing"

@@ -278,6 +278,39 @@ class GraphSpec extends SparkSpec with Matchers {
     out.keySet shouldBe Set((1L, 2L), (3L, 9L), (4L, 9L))
   }
 
+  test("modularity: two triangles + bridge matches hand arithmetic; " +
+      "random partition of a random graph scores near zero; " +
+      "partition-invariant") {
+    // communities {1,2,3} and {4,5,6}, one bridge 3-4; m = 7
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "label")
+    val out = Graph.modularity(e, "s", "d", lab, "node", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // each community: e_in = 3, d_tot = 7 → 4·7·3 − 49 = 35;
+    // q_c = 35/(4·49) = 0.17857... → 178571 micros
+    out(10L) shouldBe ((3L, 3L, 7L, 35L, 178571L))
+    out(20L) shouldBe ((3L, 3L, 7L, 35L, 178571L))
+
+    val rnd = new scala.util.Random(5L)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(40).toLong + 1L, rnd.nextInt(40).toLong + 1L))
+      .filter { case (a, b) => a != b }.toDF("s", "d")
+    val nodes = (1L to 40L).map(n => (n, n % 4)).toDF("node", "label")
+    val q = Graph.modularity(edges, "s", "d", nodes, "node", "label")
+      .agg(sum(col("q_contrib_micro"))).head().getLong(0)
+    // a label-blind partition of a random graph explains nothing
+    math.abs(q) should be < 60000L
+    Graph.modularity(edges.repartition(7), "s", "d",
+        nodes.repartition(3), "node", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap shouldBe
+      Graph.modularity(edges, "s", "d", nodes, "node", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+  }
+
   test("personalizedPageRank matches a brute-force trajectory replay; " +
       "seeds hold the mass; partition-invariant") {
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),

@@ -61,7 +61,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q215_mrr_matryoshka",   // two bruteForceTopK broadcast scans, like q128
     "q212_ks_drift",         // 1-row min-day + sample-total broadcasts
     "q213_cusum_changepoint", // 1-row series-total + peak broadcasts
-    "q218_token_drift")       // 1-row era-total broadcast, like q86
+    "q218_token_drift",       // 1-row era-total broadcast, like q86
+    "q220_modularity")        // 1-row edge-count broadcast
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
