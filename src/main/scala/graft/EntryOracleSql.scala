@@ -2846,6 +2846,34 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
                 chi2_micro
          FROM top ORDER BY tok""",
+    "q221_spearman" ->
+      """WITH base AS (
+           SELECT doc_id AS k, n_chars AS x,
+                  CAST(len([t for t in string_split_regex(text, '\s+')
+                            if t <> '']) AS BIGINT) AS y
+           FROM documents
+         ), rx AS (
+           SELECT k, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS rx
+           FROM base
+         ), ry AS (
+           SELECT k, CAST(row_number() OVER (ORDER BY y, k) AS BIGINT) AS ry
+           FROM base
+         ), j AS (
+           SELECT (rx.rx - ry.ry) * (rx.rx - ry.ry) AS d2
+           FROM rx JOIN ry ON rx.k = ry.k
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(d2) AS BIGINT) AS sum_d2
+           FROM j
+         )
+         SELECT n, sum_d2,
+                CASE WHEN n < 2 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * (1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                          / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                - 1.0)))) AS BIGINT) END AS rho_micro
+         FROM a""",
     "q217_logbucket_quantiles" ->
       """WITH base AS (
            SELECT l_returnflag AS g,

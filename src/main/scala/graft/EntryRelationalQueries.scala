@@ -1056,6 +1056,19 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Spearman rank correlation
+    * ([[graft.operators.Analyze.spearman]]) between document length
+    * and whitespace token count — the monotone-association sibling
+    * of q117's linear OLS over the same pair: ranks are
+    * deterministic (value, doc_id) ordinals through the
+    * globalOrdinals range-shuffle machinery, Σd² exact BIGINT, ρ
+    * one fixed double tree. */
+  private[graft] def q221(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.spearman(
+      t(s, dir, "documents"), "doc_id",
+      col("n_chars"),
+      expr("CAST(size(filter(split(text, '\\\\s+'), t -> t != '')) AS BIGINT)"))
+
   /** Mergeable log-bucket quantile sketch
     * ([[graft.operators.Sketch.logBucketQuantiles]]): p50/p90/p99/
     * p999 of line revenue cents per return flag from 2-significant-

@@ -505,6 +505,47 @@ object Analyze {
       lit(axisOptimal).as("axis_optimal")): _*)
   }
 
+  /** SPEARMAN RANK CORRELATION between two integer metrics:
+    * ρ = 1 − 6Σd²/(n(n²−1)) over the rank difference d per row —
+    * the monotone-association readout that Pearson misses when the
+    * relation is nonlinear or the tails are heavy (does quality
+    * score track length? does spend track balance?).
+    *
+    * Ranks are DETERMINISTIC dense ordinals with ties broken by the
+    * caller's unique key (rank = position under ORDER BY (value,
+    * key)) — a documented deviation from textbook average-rank ties
+    * chosen because it replays bit-for-bit in any engine; on near-
+    * continuous metrics the two agree to noise. Ranking runs
+    * through [[graft.operators.Layout.globalOrdinals]] (range
+    * shuffle + per-partition prefix counts — one long per partition
+    * of driver state, never a one-task global sort), Σd² is an
+    * exact BIGINT (overflows only past ~2·10⁶ rows — pre-aggregate
+    * or sample above that, stated not silent), and ρ is ONE fixed
+    * double tree with the denominator built from doubles so no n³
+    * integer overflow exists. Output: one row (n, sum_d2,
+    * rho_micro), NULL below 2 rows. */
+  def spearman(df: DataFrame, keyCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+    val rx = Layout.globalOrdinals(base.select(col("__k"), col("__x")),
+      Seq("__x", "__k"), "__rx")
+    val ry = Layout.globalOrdinals(base.select(col("__k"), col("__y")),
+      Seq("__y", "__k"), "__ry")
+    def d(c: Column): Column = c.cast("double")
+    rx.select(col("__k"), col("__rx"))
+      .join(ry.select(col("__k"), col("__ry")), Seq("__k"))
+      .select(((col("__rx") - col("__ry"))
+        * (col("__rx") - col("__ry"))).as("__d2"))
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") < 2L, lit(null))
+          .otherwise(round(lit(1000000.0)
+            * (lit(1.0) - lit(6.0) * d(col("sum_d2"))
+              / (d(col("n")) * (d(col("n")) * d(col("n")) - lit(1.0)))))
+            .cast("long")).as("rho_micro"))
+  }
+
   /** Two-sample KOLMOGOROV–SMIRNOV statistic over an integer metric
     * column: D = max_x |F₁(x) − F₂(x)| between the rows where
     * `sideCol` is true (sample 1) and the rest — the

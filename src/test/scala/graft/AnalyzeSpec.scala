@@ -381,6 +381,38 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     run(df.repartition(9)) shouldBe out
   }
 
+  test("spearman: monotone = 1.0, reversed = -1.0, matches brute " +
+      "force on noisy data, partition-invariant") {
+    def run(rows: Seq[(Long, Long, Long)], parts: Int) = {
+      val r = Analyze.spearman(
+        rows.toDF("k", "x", "y").repartition(parts), "k",
+        col("x"), col("y")).collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    val mono = (1L to 50L).map(i => (i, i * 3L, i * i))
+    run(mono, 4) shouldBe ((50L, 0L, Some(1000000L)))
+    val rev = (1L to 50L).map(i => (i, i, 100L - i))
+    run(rev, 4)._3 shouldBe Some(-1000000L)
+
+    val rnd = new scala.util.Random(17L)
+    val noisy = (1L to 200L).map(i =>
+      (i, i + rnd.nextInt(40).toLong, i + rnd.nextInt(40).toLong))
+    // brute force with the same (value, key) tie-break
+    val n = noisy.length.toLong
+    def ranks(f: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      noisy.sortBy(r => (f(r), r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    val (rx, ry) = (ranks(_._2), ranks(_._3))
+    val sd2 = noisy.map(r => { val d = rx(r._1) - ry(r._1); d * d }).sum
+    val rho = math.round(1e6 * (1.0 - 6.0 * sd2.toDouble
+      / (n.toDouble * (n.toDouble * n.toDouble - 1.0))))
+    val out = run(noisy, 7)
+    out shouldBe ((n, sd2, Some(rho)))
+    out._3.get should be > 700000L // the planted monotone signal
+    run(noisy, 3) shouldBe out
+  }
+
   test("ksTwoSample matches brute force on seeded samples; " +
       "identical samples give D = 0; empty side gives NULL") {
     val rnd = new scala.util.Random(11L)
