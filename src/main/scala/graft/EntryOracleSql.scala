@@ -2846,6 +2846,36 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
                 chi2_micro
          FROM top ORDER BY tok""",
+    "q222_cohen_kappa" ->
+      """WITH r AS (
+           SELECT (100 * len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   >= 82 * len(text)) AS a,
+                  (len(text) >= 300) AS b
+           FROM documents
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+                  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+           FROM r
+         ), s AS (
+           SELECT n, n11, n10, n01, n00,
+                  (n11 + n10) * (n11 + n01)
+                    + (n01 + n00) * (n10 + n00) AS pe
+           FROM m
+         )
+         SELECT n, n11, n10, n01, n00,
+                CASE WHEN n * n - pe = 0 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * (CAST(n * (n11 + n00) - pe AS DOUBLE)
+                          / CAST(n * n - pe AS DOUBLE))) AS BIGINT) END
+                  AS kappa_micro
+         FROM s""",
     "q221_spearman" ->
       """WITH base AS (
            SELECT doc_id AS k, n_chars AS x,

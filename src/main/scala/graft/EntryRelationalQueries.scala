@@ -1056,6 +1056,23 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Cohen's kappa ([[graft.operators.Analyze.cohenKappa]]) between
+    * two document-quality screens — the alpha-dominance gate (alpha
+    * chars ≥ 82%, the q162 gold axis) and the substance gate
+    * (≥ 300 chars): do the screens agree beyond what their pass
+    * rates force? Both discriminate on this corpus (~64%/~51% pass,
+    * all four confusion cells populated); κ near 0 = the screens
+    * are complementary, not redundant — exactly what a gate-stack
+    * audit wants to know. Integer-comparison raters, one
+    * confusion-matrix pass, κ exact to the final micro ratio. */
+  private[graft] def q222(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text"))
+    val a = lit(100) * length(regexp_replace(col("text"), "[^a-zA-Z]", "")) >=
+      lit(82) * nChars
+    val b = nChars >= lit(300)
+    graft.operators.Analyze.cohenKappa(t(s, dir, "documents"), a, b)
+  }
+
   /** Spearman rank correlation
     * ([[graft.operators.Analyze.spearman]]) between document length
     * and whitespace token count — the monotone-association sibling

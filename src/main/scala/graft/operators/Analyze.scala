@@ -505,6 +505,38 @@ object Analyze {
       lit(axisOptimal).as("axis_optimal")): _*)
   }
 
+  /** COHEN'S KAPPA between two boolean raters: agreement beyond
+    * chance, κ = (p_o − p_e)/(1 − p_e) — the standard
+    * inter-annotator / inter-gate consistency audit (do two quality
+    * screens, a heuristic and a model, agree more than their base
+    * rates force them to?). Raw agreement p_o alone misleads when
+    * both raters pass almost everything; κ is the correction.
+    *
+    * One pass builds the exact 2×2 confusion matrix; κ is lifted to
+    * integers by scaling through n² — num = n·(n11+n00) −
+    * (r1·c1 + r0·c0), den = n² − (r1·c1 + r0·c0), both exact BIGINT
+    * (n² < 2⁶³ ⇒ exact to ~3·10⁹ rows), and the micro ratio is ONE
+    * fixed double expression. Output: one row (n, n11, n10, n01,
+    * n00, kappa_micro), NULL when p_e = 1 (both raters constant on
+    * the same side — κ undefined). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val agg = df.select(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
+    val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    val num = col("n") * (col("n11") + col("n00")) - pe
+    val den = col("n") * col("n") - pe
+    agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(den === 0L, lit(null))
+        .otherwise(round(lit(1000000.0)
+          * (num.cast("double") / den.cast("double"))).cast("long"))
+        .as("kappa_micro"))
+  }
+
   /** SPEARMAN RANK CORRELATION between two integer metrics:
     * ρ = 1 − 6Σd²/(n(n²−1)) over the rank difference d per row —
     * the monotone-association readout that Pearson misses when the

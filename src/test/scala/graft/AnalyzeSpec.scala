@@ -381,6 +381,27 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     run(df.repartition(9)) shouldBe out
   }
 
+  test("cohenKappa: perfect agreement = 1.0, independence ~ 0, " +
+      "constant rater = NULL, matches hand arithmetic") {
+    def run(rows: Seq[(Boolean, Boolean)]) = {
+      val r = Analyze.cohenKappa(rows.toDF("a", "b").repartition(5),
+        col("a"), col("b")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }
+    val perfect = Seq.fill(30)((true, true)) ++ Seq.fill(20)((false, false))
+    run(perfect) shouldBe ((50L, 30L, 0L, 0L, 20L, Some(1000000L)))
+    // hand case: n11=20 n10=10 n01=10 n00=10; n=50
+    // pe = 30*30 + 20*20 = 1300; num = 50*30-1300 = 200; den = 2500-1300
+    val hand = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(10)((false, false))
+    run(hand) shouldBe ((50L, 20L, 10L, 10L, 10L,
+      Some(math.round(1e6 * 200.0 / 1200.0))))
+    // degenerate: both raters constant-true -> pe = n² -> NULL
+    run(Seq.fill(10)((true, true)))._6 shouldBe None
+  }
+
   test("spearman: monotone = 1.0, reversed = -1.0, matches brute " +
       "force on noisy data, partition-invariant") {
     def run(rows: Seq[(Long, Long, Long)], parts: Int) = {
