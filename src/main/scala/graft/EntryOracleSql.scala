@@ -2846,6 +2846,32 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
                 chi2_micro
          FROM top ORDER BY tok""",
+    "q223_gini" ->
+      """WITH spend AS (
+           SELECT o_custkey AS k,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY o_custkey
+         ), allc AS (
+           SELECT c.c_custkey AS k,
+                  coalesce(s.x, CAST(0 AS BIGINT)) AS x
+           FROM customer c LEFT JOIN spend s ON s.k = c.c_custkey
+         ), r AS (
+           SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+           FROM allc
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS total,
+                  CAST(sum(i * x) AS BIGINT) AS six
+           FROM r
+         )
+         SELECT n, total,
+                CASE WHEN total = 0 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * (CAST(2 * six - (n + 1) * total AS DOUBLE)
+                          / CAST(n * total AS DOUBLE))) AS BIGINT) END
+                  AS gini_micro
+         FROM a""",
     "q222_cohen_kappa" ->
       """WITH r AS (
            SELECT (100 * len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))

@@ -1056,6 +1056,21 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Gini coefficient ([[graft.operators.Analyze.gini]]) of
+    * lifetime spend across ALL customers (zero-spend customers
+    * included via left join — excluding them understates
+    * concentration): the whale-heaviness readout for revenue,
+    * exact integer numerator over ranked cents. */
+  private[graft] def q223(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    val all = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      .join(spend, Seq("k"), "left")
+      .select(col("k"), coalesce(col("x"), lit(0L)).as("x"))
+    graft.operators.Analyze.gini(all, "k", col("x"))
+  }
+
   /** Cohen's kappa ([[graft.operators.Analyze.cohenKappa]]) between
     * two document-quality screens — the alpha-dominance gate (alpha
     * chars ≥ 82%, the q162 gold axis) and the substance gate

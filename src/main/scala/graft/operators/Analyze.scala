@@ -505,6 +505,36 @@ object Analyze {
       lit(axisOptimal).as("axis_optimal")): _*)
   }
 
+  /** GINI COEFFICIENT of a non-negative integer metric: the
+    * inequality of the distribution, G = (2Σᵢ i·x₍ᵢ₎ − (n+1)Σx) /
+    * (n·Σx) over values ranked ascending — the concentration
+    * readout behind "do 1% of sources contribute 90% of tokens",
+    * "how whale-heavy is revenue", "is the shard load balanced".
+    *
+    * Exactness: the rank weighting is lifted to one integer
+    * numerator (2Σi·x − (n+1)Σx, exact BIGINT to ~10⁸ rows at cents
+    * scale) over the integer denominator n·Σx; ranks come from
+    * [[graft.operators.Layout.globalOrdinals]] with the caller's
+    * unique key as tie-break — and Gini is TIE-INVARIANT (equal
+    * values contribute the same Σi·x whichever order they take), so
+    * the tie-break never shows in the result. Output: one row (n,
+    * total, gini_micro), NULL when the total is 0. */
+  def gini(df: DataFrame, keyCol: String, xCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      xCol.cast("long").as("__x"))
+    val ranked = Layout.globalOrdinals(base, Seq("__x", "__k"), "__i")
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__six"))
+      .select(col("n"), col("total"),
+        when(col("total") === 0L, lit(null))
+          .otherwise(round(lit(1000000.0)
+            * ((lit(2L) * col("__six")
+              - (col("n") + lit(1L)) * col("total")).cast("double")
+              / (col("n") * col("total")).cast("double")))
+            .cast("long")).as("gini_micro"))
+  }
+
   /** COHEN'S KAPPA between two boolean raters: agreement beyond
     * chance, κ = (p_o − p_e)/(1 − p_e) — the standard
     * inter-annotator / inter-gate consistency audit (do two quality

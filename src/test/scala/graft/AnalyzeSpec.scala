@@ -381,6 +381,35 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     run(df.repartition(9)) shouldBe out
   }
 
+  test("gini: uniform = 0, one-holder extreme, matches brute force, " +
+      "tie-invariant across partitionings, zero total = NULL") {
+    def run(rows: Seq[(Long, Long)], parts: Int) = {
+      val r = Analyze.gini(rows.toDF("k", "x").repartition(parts), "k",
+        col("x")).collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // perfectly equal: G = 0
+    run((1L to 20L).map(k => (k, 50L)), 4) shouldBe
+      ((20L, 1000L, Some(0L)))
+    // one holder of everything: G = (n-1)/n = 0.9
+    val one = (1L to 9L).map(k => (k, 0L)) :+ ((10L, 1000L))
+    run(one, 3) shouldBe ((10L, 1000L, Some(900000L)))
+    // brute force on seeded skewed data (with heavy ties)
+    val rnd = new scala.util.Random(23L)
+    val rows = (1L to 100L).map(k =>
+      (k, (math.pow(rnd.nextDouble(), 3) * 1000).toLong))
+    val xs = rows.map(_._2).sorted
+    val n = xs.length.toLong
+    val total = xs.sum
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val exp = math.round(1e6 * ((2 * six - (n + 1) * total).toDouble
+      / (n * total).toDouble))
+    run(rows, 7) shouldBe ((n, total, Some(exp)))
+    run(rows, 2) shouldBe ((n, total, Some(exp)))
+    run(Seq((1L, 0L), (2L, 0L)), 2)._3 shouldBe None
+  }
+
   test("cohenKappa: perfect agreement = 1.0, independence ~ 0, " +
       "constant rater = NULL, matches hand arithmetic") {
     def run(rows: Seq[(Boolean, Boolean)]) = {
