@@ -2846,6 +2846,29 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
                 chi2_micro
          FROM top ORDER BY tok""",
+    "q224_hhi" ->
+      """WITH units AS (
+           SELECT n_name AS g, l_suppkey AS u,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name, l_suppkey
+         ), a AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(sum(x) AS BIGINT) AS total_cents,
+                  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sumsq
+           FROM units GROUP BY g
+         )
+         SELECT g AS n_name, n_units, total_cents,
+                CASE WHEN total_cents = 0 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * (CAST(sumsq AS DOUBLE)
+                          / (CAST(total_cents AS DOUBLE)
+                             * CAST(total_cents AS DOUBLE))))
+                       AS BIGINT) END AS hhi_micro
+         FROM a ORDER BY n_name""",
     "q223_gini" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

@@ -1056,6 +1056,22 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Supplier-concentration HHI per nation
+    * ([[graft.operators.Analyze.hhi]]): line revenue share per
+    * supplier within its nation, Σshare² — which procurement
+    * markets are single-supplier risks. The group sibling of q223's
+    * global Gini: Gini says HOW unequal, HHI says HOW FEW
+    * effectively. 128-bit-exact square sums (decimal ↔ HUGEINT). */
+  private[graft] def q224(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.hhi(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey")),
+        "n_name", "s_suppkey", cents(col("l_extendedprice")))
+      .orderBy("n_name")
+
   /** Gini coefficient ([[graft.operators.Analyze.gini]]) of
     * lifetime spend across ALL customers (zero-spend customers
     * included via left join — excluding them understates

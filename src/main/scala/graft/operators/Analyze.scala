@@ -505,6 +505,40 @@ object Analyze {
       lit(axisOptimal).as("axis_optimal")): _*)
   }
 
+  /** HERFINDAHL–HIRSCHMAN INDEX per market: the concentration of a
+    * value column across units within each group, HHI = Σᵤ shareᵤ²
+    * ∈ (0, 1] — the antitrust-grade "is this market owned by one
+    * player" readout (supplier concentration per region, source
+    * concentration per language shard, token share per detector).
+    * 1/HHI is the effective number of competitors.
+    *
+    * Exactness: per-unit totals are exact BIGINT cents; the square
+    * sum runs in DECIMAL(38,0) (mirrored by the oracle's HUGEINT —
+    * both are exact 128-bit integer spaces, and equal integers cast
+    * to equal doubles), so HHI_micro = round(10⁶·Σx²/S²) is ONE
+    * fixed double expression over exactly-agreed operands. Shape:
+    * two map-combined aggregates (unit totals, then group moments)
+    * — no window, no broadcast. Output: (group, n_units,
+    * total_cents, hhi_micro) per group, NULL on a zero-total
+    * group. */
+  def hhi(df: DataFrame, groupCol: String, unitCol: String,
+      centsCol: Column): DataFrame = {
+    val units = df.select(col(groupCol).as("g"), col(unitCol).as("__u"),
+        centsCol.cast("long").as("__c"))
+      .groupBy(col("g"), col("__u")).agg(sum(col("__c")).as("__x"))
+    val dec = col("__x").cast("decimal(38,0)")
+    units.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("total_cents"),
+        sum(dec * dec).as("__sumsq"))
+      .select(col("g").as(groupCol), col("n_units"), col("total_cents"),
+        when(col("total_cents") === 0L, lit(null))
+          .otherwise(round(lit(1000000.0)
+            * (col("__sumsq").cast("double")
+              / (col("total_cents").cast("double")
+                * col("total_cents").cast("double"))))
+            .cast("long")).as("hhi_micro"))
+  }
+
   /** GINI COEFFICIENT of a non-negative integer metric: the
     * inequality of the distribution, G = (2Σᵢ i·x₍ᵢ₎ − (n+1)Σx) /
     * (n·Σx) over values ranked ascending — the concentration

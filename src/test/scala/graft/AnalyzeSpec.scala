@@ -381,6 +381,33 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     run(df.repartition(9)) shouldBe out
   }
 
+  test("hhi: monopoly = 1.0, k equal units = 1/k, matches brute " +
+      "force with 128-bit squares, partition-invariant") {
+    def run(rows: Seq[(String, Long, Long)], parts: Int) =
+      Analyze.hhi(rows.toDF("g", "u", "c").repartition(parts),
+          "g", "u", col("c"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val rows = Seq(("mono", 1L, 500L)) ++
+      (1L to 4L).map(u => ("quad", u, 250L)) ++
+      Seq(("skew", 1L, 900L), ("skew", 2L, 100L)) ++
+      // unit totals needing the cross-row sum first
+      Seq(("skew", 1L, 0L))
+    val out = run(rows, 5)
+    out("mono") shouldBe ((1L, 500L, Some(1000000L)))
+    out("quad") shouldBe ((4L, 1000L, Some(250000L)))
+    // skew: shares 0.9/0.1 -> 0.81 + 0.01 = 0.82
+    out("skew") shouldBe ((2L, 1000L, Some(820000L)))
+    run(rows, 2) shouldBe out
+    // 128-bit check: values whose squares overflow BIGINT
+    val big = Seq(("b", 1L, 4000000000L), ("b", 2L, 6000000000L))
+    val r = run(big, 2)("b")
+    r._2 shouldBe 10000000000L
+    // shares 0.4/0.6 -> 0.16+0.36 = 0.52
+    r._3 shouldBe Some(520000L)
+  }
+
   test("gini: uniform = 0, one-holder extreme, matches brute force, " +
       "tie-invariant across partitionings, zero total = NULL") {
     def run(rows: Seq[(Long, Long)], parts: Int) = {
