@@ -681,6 +681,15 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("label")
   }
 
+  /** Degree assortativity
+    * ([[graft.operators.Graph.degreeAssortativity]]) of the part
+    * co-occurrence graph — hub-to-hub or hub-and-spoke: the
+    * topology-regime scalar beside q214's per-node clustering
+    * texture and q220's partition quality. */
+  private[graft] def q225(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(partChainEdges(s, dir, withW = false),
+      "src", "dst")
+
   /** Hop-bounded weighted shortest paths
     * ([[graft.operators.Graph.ssspBounded]], 4 Bellman-Ford sweeps)
     * from the q190 seed set, edge weight = the source line's

@@ -2846,6 +2846,43 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
                 chi2_micro
          FROM top ORDER BY tok""",
+    "q225_assortativity" ->
+      """WITH adj AS (
+           SELECT l_partkey AS src,
+                  lead(l_partkey) OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+           FROM lineitem
+         ), und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM adj WHERE dst IS NOT NULL AND src <> dst
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS dg
+           FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           GROUP BY node
+         ), j AS (
+           SELECT da.dg AS da, db.dg AS db
+           FROM und u JOIN deg da ON da.node = u.a
+                      JOIN deg db ON db.node = u.b
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(da + db) AS BIGINT) AS sum_j,
+                  CAST(sum(da * da + db * db) AS BIGINT) AS sum_jj,
+                  CAST(sum(2 * da * db) AS BIGINT) AS sum_jk
+           FROM j
+         )
+         SELECT m, sum_j, sum_jj, sum_jk,
+                CASE WHEN CAST(m AS DOUBLE) * 2.0 * CAST(sum_jj AS DOUBLE)
+                          - CAST(sum_j AS DOUBLE) * CAST(sum_j AS DOUBLE)
+                          = 0.0 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * ((CAST(m AS DOUBLE) * 2.0 * CAST(sum_jk AS DOUBLE)
+                           - CAST(sum_j AS DOUBLE) * CAST(sum_j AS DOUBLE))
+                          / (CAST(m AS DOUBLE) * 2.0 * CAST(sum_jj AS DOUBLE)
+                             - CAST(sum_j AS DOUBLE)
+                               * CAST(sum_j AS DOUBLE))))
+                       AS BIGINT) END AS r_micro
+         FROM s""",
     "q224_hhi" ->
       """WITH units AS (
            SELECT n_name AS g, l_suppkey AS u,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms as relational fixpoints — the tier the
@@ -506,6 +506,48 @@ object Graph {
       r += 1
     }
     dist
+  }
+
+  /** DEGREE ASSORTATIVITY of the undirected simple graph (Newman):
+    * the Pearson correlation of endpoint degrees over all
+    * half-edges — positive = hubs attach to hubs (social cores,
+    * citation elites), negative = hub-and-spoke (the web, spam
+    * farms, star boilerplate). One scalar that tells a graph
+    * pipeline which topology regime its caps and salts must expect.
+    *
+    * By half-edge symmetry both marginals coincide, so r =
+    * (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) with Σj = Σ_e(dᵤ+dᵥ),
+    * Σj² = Σ_e(dᵤ²+dᵥ²), Σjk = 2Σ_e dᵤdᵥ, M = 2m — four exact
+    * BIGINT sums from ONE pass over the degree-joined edge list;
+    * the three cross-products run in the final double tree (the
+    * sums stay < 2⁶³; their products need not), identical in both
+    * engines. Output: one row (m, sum_j, sum_jj, sum_jk, r_micro),
+    * NULL on a degree-regular graph (zero variance). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val j = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+    def d(c: Column): Column = c.cast("double")
+    val agg = j.agg(count(lit(1)).as("m"),
+      sum(col("da") + col("db")).as("sum_j"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("sum_jj"),
+      sum(lit(2L) * col("da") * col("db")).as("sum_jk"))
+    val bigM = d(col("m")) * lit(2.0)
+    val num = bigM * d(col("sum_jk")) - d(col("sum_j")) * d(col("sum_j"))
+    val den = bigM * d(col("sum_jj")) - d(col("sum_j")) * d(col("sum_j"))
+    agg.select(col("m"), col("sum_j"), col("sum_jj"), col("sum_jk"),
+      when(den === lit(0.0), lit(null))
+        .otherwise(round(lit(1000000.0) * (num / den)).cast("long"))
+        .as("r_micro"))
   }
 
   /** MODULARITY of a node partition over the undirected simple

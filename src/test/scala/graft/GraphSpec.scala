@@ -278,6 +278,44 @@ class GraphSpec extends SparkSpec with Matchers {
     out.keySet shouldBe Set((1L, 2L), (3L, 9L), (4L, 9L))
   }
 
+  test("degreeAssortativity: star is maximally disassortative, " +
+      "regular graph is NULL, matches brute force, partition-invariant") {
+    // star 1 -> {2..6}: every edge joins deg 5 with deg 1 → r = -1
+    val star = (2L to 6L).map(v => (1L, v)).toDF("s", "d")
+    val so = Graph.degreeAssortativity(star, "s", "d").collect()(0)
+    so.getLong(4) shouldBe -1000000L
+    // triangle: regular, zero degree variance → NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    Graph.degreeAssortativity(tri, "s", "d").collect()(0)
+      .isNullAt(4) shouldBe true
+    // brute force on a seeded random graph
+    val rnd = new scala.util.Random(31L)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(25).toLong + 1L, rnd.nextInt(25).toLong + 1L))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val degm = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = und.size.toLong
+    val sj = und.map { case (a, b) => degm(a) + degm(b) }.sum
+    val sjj = und.map { case (a, b) =>
+      degm(a) * degm(a) + degm(b) * degm(b) }.sum
+    val sjk = und.map { case (a, b) => 2L * degm(a) * degm(b) }.sum
+    val bigM = m.toDouble * 2.0
+    val exp = math.round(1e6
+      * ((bigM * sjk.toDouble - sj.toDouble * sj.toDouble)
+        / (bigM * sjj.toDouble - sj.toDouble * sj.toDouble)))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Graph.degreeAssortativity(df, "s", "d").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    }
+    val out = run(edges.toDF("s", "d").repartition(6))
+    out shouldBe ((m, sj, sjj, sjk, exp))
+    run(edges.toDF("s", "d").repartition(2)) shouldBe out
+  }
+
   test("modularity: two triangles + bridge matches hand arithmetic; " +
       "random partition of a random graph scores near zero; " +
       "partition-invariant") {
