@@ -2846,6 +2846,50 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT tok, c1, c2, CAST(diff_scaled AS BIGINT) AS diff_scaled,
                 chi2_micro
          FROM top ORDER BY tok""",
+    "q226_burstiness" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ts_us FROM events
+         ), g AS (
+           SELECT user_id,
+                  CAST(floor(CAST(ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us) AS DOUBLE)
+                    / 1000000.0) AS BIGINT) AS gap
+           FROM ev
+         ), a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                  CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+                  CAST(sum(gap * gap) AS BIGINT) AS sum_gap_sq
+           FROM g WHERE gap IS NOT NULL GROUP BY user_id
+         )
+         SELECT user_id, n_gaps, sum_gap_s, sum_gap_sq,
+                CASE WHEN n_gaps < 2
+                       OR sqrt((CAST(n_gaps AS DOUBLE)
+                                * CAST(sum_gap_sq AS DOUBLE)
+                                - CAST(sum_gap_s AS DOUBLE)
+                                  * CAST(sum_gap_s AS DOUBLE))
+                               / (CAST(n_gaps AS DOUBLE)
+                                  * CAST(n_gaps AS DOUBLE)))
+                          + CAST(sum_gap_s AS DOUBLE)
+                            / CAST(n_gaps AS DOUBLE) = 0.0 THEN NULL
+                     ELSE CAST(round(1000000.0
+                       * ((sqrt((CAST(n_gaps AS DOUBLE)
+                                 * CAST(sum_gap_sq AS DOUBLE)
+                                 - CAST(sum_gap_s AS DOUBLE)
+                                   * CAST(sum_gap_s AS DOUBLE))
+                                / (CAST(n_gaps AS DOUBLE)
+                                   * CAST(n_gaps AS DOUBLE)))
+                           - CAST(sum_gap_s AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE))
+                          / (sqrt((CAST(n_gaps AS DOUBLE)
+                                   * CAST(sum_gap_sq AS DOUBLE)
+                                   - CAST(sum_gap_s AS DOUBLE)
+                                     * CAST(sum_gap_s AS DOUBLE))
+                                  / (CAST(n_gaps AS DOUBLE)
+                                     * CAST(n_gaps AS DOUBLE)))
+                             + CAST(sum_gap_s AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE))))
+                       AS BIGINT) END AS b_micro
+         FROM a ORDER BY user_id""",
     "q225_assortativity" ->
       """WITH adj AS (
            SELECT l_partkey AS src,

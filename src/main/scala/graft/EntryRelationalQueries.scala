@@ -1056,6 +1056,15 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Per-user burstiness ([[graft.operators.Analyze.burstiness]])
+    * of event timing — metronome vs Poisson vs bursty: the temporal
+    * fingerprint that separates timer-driven crawlers from human
+    * sessions at equal mean rate. */
+  private[graft] def q226(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.burstiness(
+        t(s, dir, "events"), "user_id", unix_micros(col("ts")))
+      .orderBy("user_id")
+
   /** Supplier-concentration HHI per nation
     * ([[graft.operators.Analyze.hhi]]): line revenue share per
     * supplier within its nation, Σshare² — which procurement

@@ -505,6 +505,45 @@ object Analyze {
       lit(axisOptimal).as("axis_optimal")): _*)
   }
 
+  /** BURSTINESS per key over an ordered event stream: Goh-Barabási
+    * B = (σ−μ)/(σ+μ) of the inter-event gaps — −1 for a metronome,
+    * → 0 for a Poisson process, → 1 for extreme bursts. The
+    * bot-vs-human / crawler-cadence discriminator beside rate
+    * (q213) and shape (q212) monitors: a scraper on a timer and a
+    * human session can share a mean rate yet sit at opposite ends
+    * of B.
+    *
+    * Per key, ONE grouped aggregate over lag-gaps (seconds — at µs
+    * the squares overflow BIGINT on month-long gaps) yields exact
+    * (n, Σg, Σg²); σ and B are ONE fixed double tree (population
+    * variance lifted over n², `sqrt` is IEEE-correctly-rounded in
+    * both engines — the cosSql precedent). The lag itself is a
+    * key-partitioned window (co-partitioned, never global). Output:
+    * (key, n_gaps, sum_gap_s, sum_gap_sq, b_micro), NULL under 2
+    * gaps or σ+μ = 0 (all gaps zero). */
+  def burstiness(df: DataFrame, keyCol: String, tsUsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"))
+    val gaps = df.select(col(keyCol).as("__k"), tsUsCol.as("__ts"))
+      .withColumn("__gap",
+        floor((col("__ts") - lag(col("__ts"), 1).over(w)).cast("double")
+          / lit(1000000.0)).cast("long"))
+      .filter(col("__gap").isNotNull)
+    def d(c: Column): Column = c.cast("double")
+    val agg = gaps.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("sum_gap_s"),
+        sum(col("__gap") * col("__gap")).as("sum_gap_sq"))
+    val mu = d(col("sum_gap_s")) / d(col("n_gaps"))
+    val sg = sqrt((d(col("n_gaps")) * d(col("sum_gap_sq"))
+      - d(col("sum_gap_s")) * d(col("sum_gap_s")))
+      / (d(col("n_gaps")) * d(col("n_gaps"))))
+    agg.select(col("__k").as(keyCol), col("n_gaps"), col("sum_gap_s"),
+      col("sum_gap_sq"),
+      when(col("n_gaps") < 2L || (sg + mu) === lit(0.0), lit(null))
+        .otherwise(round(lit(1000000.0) * ((sg - mu) / (sg + mu)))
+          .cast("long")).as("b_micro"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN INDEX per market: the concentration of a
     * value column across units within each group, HHI = Σᵤ shareᵤ²
     * ∈ (0, 1] — the antitrust-grade "is this market owned by one

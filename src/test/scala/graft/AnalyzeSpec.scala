@@ -381,6 +381,37 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     run(df.repartition(9)) shouldBe out
   }
 
+  test("burstiness: metronome = -1, bursty > 0, matches brute force, " +
+      "single-gap users NULL, partition-invariant") {
+    def us(s: Long) = s * 1000000L
+    // user 1: metronome every 10s; user 2: bursts (1s,1s,1s, 3000s)x;
+    // user 3: two events = one gap -> NULL
+    val rows =
+      (0L to 10L).map(i => (1L, us(i * 10L))) ++
+      (0L to 2L).flatMap(b => Seq(0L, 1L, 2L, 3L).map(i =>
+        (2L, us(b * 3003L + i)))) ++
+      Seq((3L, us(0L)), (3L, us(100L)))
+    def run(parts: Int) =
+      Analyze.burstiness(rows.toDF("user_id", "tsus").repartition(parts),
+          "user_id", col("tsus"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val out = run(5)
+    out(1L)._4 shouldBe Some(-1000000L)
+    out(3L)._4 shouldBe None
+    // brute force for user 2
+    val gaps = rows.filter(_._1 == 2L).map(_._2).sorted
+      .sliding(2).map(p => (p(1) - p(0)) / 1000000L).toSeq
+    val n = gaps.length.toDouble
+    val mu = gaps.sum / n
+    val sg = math.sqrt((n * gaps.map(g => g * g).sum
+      - gaps.sum.toDouble * gaps.sum.toDouble) / (n * n))
+    out(2L)._4 shouldBe Some(math.round(1e6 * ((sg - mu) / (sg + mu))))
+    out(2L)._4.get should be > 300000L // clearly bursty (B ≈ 0.36)
+    run(2) shouldBe out
+  }
+
   test("hhi: monopoly = 1.0, k equal units = 1/k, matches brute " +
       "force with 128-bit squares, partition-invariant") {
     def run(rows: Seq[(String, Long, Long)], parts: Int) =
