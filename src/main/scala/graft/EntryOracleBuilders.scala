@@ -1247,6 +1247,56 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        ORDER BY source, wave"""
   }
 
+  /** q227: each streamed snapshot replayed as the BATCH log-bucket
+    * quantile over that wave's cumulative prefix — identical bucket
+    * string-arithmetic and `(p·n + 999) // 1000` rank rule as
+    * q217's oracle, pivoted to the snapshot's p50/p90/p99 columns. */
+  private[graft] def streamQuantilesOracle: String = {
+    def waveSel(w: Int): String =
+      s"""(WITH base AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100.0) AS BIGINT) AS x
+            FROM events WHERE (event_id // 20) % 2 <= $w
+              AND CAST(round(value * 100.0) AS BIGINT) > 0
+          ), bk AS (
+            SELECT g,
+                   CASE WHEN len(CAST(x AS VARCHAR)) < 3 THEN x
+                        ELSE CAST(substr(CAST(x AS VARCHAR), 1, 2)
+                          || repeat('0', len(CAST(x AS VARCHAR)) - 2)
+                          AS BIGINT) END AS b
+            FROM base
+          ), h AS (
+            SELECT g, b, CAST(count(*) AS BIGINT) AS c
+            FROM bk GROUP BY g, b
+          ), cum AS (
+            SELECT g, b,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+            FROM h
+          ), tot AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g
+          ), tg AS (
+            SELECT g, n, CAST(p AS BIGINT) AS permille,
+                   (CAST(p AS BIGINT) * n + 999) // 1000 AS t
+            FROM tot, (SELECT unnest([500, 900, 990]) AS p)
+          ), sel AS (
+            SELECT tg.g, tg.n, tg.permille, CAST(min(cum.b) AS BIGINT) AS est
+            FROM tg JOIN cum ON cum.g = tg.g AND cum.cum >= tg.t
+            GROUP BY tg.g, tg.n, tg.permille
+          )
+          SELECT g AS event_type, CAST($w AS BIGINT) AS wave, n,
+                 CAST(min(CASE WHEN permille = 500 THEN est END)
+                   AS BIGINT) AS p50,
+                 CAST(min(CASE WHEN permille = 900 THEN est END)
+                   AS BIGINT) AS p90,
+                 CAST(min(CASE WHEN permille = 990 THEN est END)
+                   AS BIGINT) AS p99
+          FROM sel GROUP BY g, n)"""
+    s"""SELECT * FROM (${waveSel(0)} UNION ALL ${waveSel(1)}) z
+       ORDER BY event_type, wave"""
+  }
+
   /** q131: q90's domain derivation + the grouped-split hash on the
     * DOMAIN string (same md5-14-hex arithmetic as splitHashSql, keyed
     * on the group value instead of the row id). */

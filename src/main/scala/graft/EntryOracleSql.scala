@@ -900,6 +900,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
     "q140_prefix_jaccard_collapsed" ->
       prefixJaccardOracle(tauNum = 4, tauDen = 5, collapse = true),
     "q112_stream_hll" -> hllWaveOracle(p = 6),
+    "q227_stream_quantiles" -> streamQuantilesOracle,
     "q120_shard_manifest" ->
       """WITH counts AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -247,6 +247,17 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     StreamOps.runStreamingHllAvailableNow(s, dir, p = 6, salt = "hll")
       .orderBy("source", "wave")
 
+  /** STREAMING quantiles: q217's 2-significant-digit bucket
+    * histogram as PER-KEY STREAMING STATE ([[graft.streaming
+    * .StreamOps.streamingLogBucketQuantiles]]) — per-event-type
+    * p50/p90/p99 snapshots after each wave, ≤90 cells/decade of
+    * state whatever the stream length. Bucket and rank rules are
+    * the identical integer arithmetic as the batch sketch, so the
+    * cumulative-prefix batch oracle hash-matches every snapshot. */
+  private[graft] def q227(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingQuantilesAvailableNow(s, dir)
+      .orderBy("event_type", "wave")
+
   /** STREAMING decontamination gate ([[StreamOps
     * .runStreamingDecontaminateAvailableNow]]): the q103 Bloom
     * pre-filter at crawl rate — eval 3-gram Bloom built once in

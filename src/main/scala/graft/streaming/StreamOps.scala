@@ -553,6 +553,107 @@ object StreamOps {
     spark.table(name)
   }
 
+  case class QuantPoint(wave: Long, event_type: String, cents: Long)
+  case class QuantHist(hist: Map[Long, Long])
+  case class QuantOut(event_type: String, wave: Long, n: Long,
+      p50: Long, p90: Long, p99: Long)
+
+  /** Streaming QUANTILES: [[graft.operators.Sketch.logBucketQuantiles]]'
+    * 2-significant-digit bucket histogram carried as PER-KEY
+    * STREAMING STATE — the "p99 so far" feed a latency/size monitor
+    * wants, with state bounded by ≤90 cells per decade of the value
+    * DOMAIN whatever the stream length (the [[streamingHllDistinct]]
+    * architecture with the sketch swapped). Each micro-batch folds
+    * its values into the histogram (count addition — order- and
+    * batch-split-independent) and emits one (key, wave, n, p50, p90,
+    * p99) snapshot per key touched. The bucket rule is the IDENTICAL
+    * decimal-string arithmetic as the batch operator, and the rank
+    * rule the identical `(permille·n + 999) div 1000`, so a batch
+    * oracle over each wave's cumulative prefix hash-matches the
+    * streamed snapshots exactly. Values must be positive (the batch
+    * operator's contract). */
+  def streamingLogBucketQuantiles(points: Dataset[QuantPoint]): Dataset[QuantOut] = {
+    import points.sparkSession.implicits._
+    def bucketOf(x: Long): Long = {
+      require(x > 0L, "streamingLogBucketQuantiles requires positive values")
+      val s = x.toString
+      if (s.length < 3) x
+      else (s.substring(0, 2) + "0" * (s.length - 2)).toLong
+    }
+    points.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QuantHist, QuantOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[QuantPoint], state: GroupState[QuantHist]) =>
+          val batch = rows.toSeq
+          var hist = state.getOption.map(_.hist).getOrElse(Map.empty[Long, Long])
+          batch.foreach { r =>
+            val b = bucketOf(r.cents)
+            hist = hist.updated(b, hist.getOrElse(b, 0L) + 1L)
+          }
+          state.update(QuantHist(hist))
+          val n = hist.valuesIterator.sum
+          val sorted = hist.toSeq.sortBy(_._1)
+          def q(permille: Long): Long = {
+            val t = (permille * n + 999L) / 1000L
+            var cum = 0L
+            var res = sorted.last._1
+            val it = sorted.iterator
+            var found = false
+            while (it.hasNext && !found) {
+              val (b, c) = it.next(); cum += c
+              if (cum >= t) { res = b; found = true }
+            }
+            res
+          }
+          Iterator.single(QuantOut(key, batch.map(_.wave).max, n,
+            q(500L), q(900L), q(990L)))
+      }
+  }
+
+  /** Drive [[streamingLogBucketQuantiles]] through the engine: event
+    * values in cents staged as two waves by `(event_id div 20) % 2`
+    * (the round-robin event_id layout lands every event_type in both
+    * waves — enforced, the tokenWaveStream contract), snapshots per
+    * (event_type, wave). */
+  def runStreamingQuantilesAvailableNow(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val staging = stagedDir("quantwaves", dir) { st =>
+      val d = graft.sources.EventsLoader.events(spark, dir)
+        .select(expr("(event_id div 20) % 2").as("wave"), col("event_type"),
+          round(col("value") * lit(100.0)).cast("long").as("cents"))
+        // the sketch's positive-domain contract: zero-cent events
+        // (value < 0.005) carry no spend signal and are excluded in
+        // BOTH the stream and the cumulative-prefix oracle
+        .filter(col("cents") > 0L)
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+      val oneWave = d.groupBy("event_type")
+        .agg(countDistinct(col("wave")).as("nw"))
+        .filter(col("nw") < 2).count()
+      require(oneWave == 0L,
+        s"$oneWave event_type(s) absent from a wave — staged value " +
+          "waves no longer satisfy the every-key-in-both-waves " +
+          "contract the cumulative-prefix oracle assumes")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("event_type", StringType),
+        StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val name = s"graft_stream_quant_${runCounter.incrementAndGet()}"
+    val query = streamingLogBucketQuantiles(stream.as[QuantPoint])
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   // --- streaming decontamination gate -----------------------------------
 
   /** Streaming benchmark-decontamination gate: the eval side is

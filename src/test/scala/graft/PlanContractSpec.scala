@@ -21,7 +21,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q89_stream_static_join", "q93_stream_scd2", "q95_stream_late_data",
     "q100_stream_ingest", "q101_stream_ewma", "q112_stream_hll",
     "q148_label_match_cooc", // cooc fit collects its vocab on construction
-    "q150_stream_retrieval") // AvailableNow drain runs on construction
+    "q150_stream_retrieval", // AvailableNow drain runs on construction
+    "q227_stream_quantiles") // AvailableNow drain runs on construction
 
   /** Broadcast similarity scans (reference side catalog-sized by
     * contract, guarded in Matcher/Ann — the nested loop IS the plan),

@@ -765,4 +765,47 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     // snapshots are exactly k rows each
     out.count() shouldBe 20L
   }
+
+  test("streamingLogBucketQuantiles snapshots equal the batch sketch " +
+      "over each wave's cumulative prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29L)
+    val pts = (0 until 2).flatMap(w => (1 to 300).map { _ =>
+      val key = if (rnd.nextBoolean()) "a" else "b"
+      (w.toLong, key, 1L + rnd.nextInt(100000).toLong)
+    })
+    val input = MemoryStream[(Long, String, Long)]
+    val query = StreamOps.streamingLogBucketQuantiles(
+        input.toDS().toDF("wave", "event_type", "cents")
+          .as[StreamOps.QuantPoint])
+      .writeStream.format("memory").queryName("graft_quant_test")
+      .outputMode("append").start()
+    try {
+      input.addData(pts.filter(_._1 == 0L))
+      query.processAllAvailable()
+      input.addData(pts.filter(_._1 == 1L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("graft_quant_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def batch(upTo: Long, key: String) = {
+      val rows = pts.filter(p => p._1 <= upTo && p._2 == key)
+        .map(p => ("all", p._3))
+      graft.operators.Sketch.logBucketQuantiles(
+          rows.toDF("k", "x"), "k", org.apache.spark.sql.functions
+            .col("x"), Seq(500, 900, 990))
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    }
+    for (w <- Seq(0L, 1L); key <- Seq("a", "b")) {
+      val b = batch(w, key)
+      val (n, p50, p90, p99) = out((key, w))
+      b(500L) shouldBe ((n, p50))
+      b(900L) shouldBe ((n, p90))
+      b(990L) shouldBe ((n, p99))
+    }
+    // one snapshot per (key, wave)
+    out.size shouldBe 4
+  }
 }
