@@ -2951,6 +2951,34 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                              * CAST(total_cents AS DOUBLE))))
                        AS BIGINT) END AS hhi_micro
          FROM a ORDER BY n_name""",
+    "q228_lorenz_deciles" ->
+      """WITH spend AS (
+           SELECT o_custkey AS k,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+           FROM orders GROUP BY o_custkey
+         ), allc AS (
+           SELECT c.c_custkey AS k,
+                  coalesce(s.x, CAST(0 AS BIGINT)) AS x
+           FROM customer c LEFT JOIN spend s ON s.k = c.c_custkey
+         ), r AS (
+           SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+           FROM allc
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS total
+           FROM r
+         ), d AS (
+           SELECT ((i - 1) * 10) // n + 1 AS decile, x, total
+           FROM r, tot
+         )
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(x) AS BIGINT) AS decile_cents,
+                CASE WHEN total = 0 THEN NULL
+                     ELSE (CAST(sum(x) AS BIGINT) * 1000000) // total END
+                  AS share_micro
+         FROM d GROUP BY decile, total
+         ORDER BY decile""",
     "q223_gini" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

@@ -1056,6 +1056,21 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.ksTwoSample(sided, col("__a"), col("cents"))
   }
 
+  /** Lorenz deciles ([[graft.operators.Analyze.lorenzDeciles]]) of
+    * customer lifetime spend — the distributional detail behind
+    * q223's Gini scalar: which decile holds what share (zero-spend
+    * customers included, same frame as q223). */
+  private[graft] def q228(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    val all = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      .join(spend, Seq("k"), "left")
+      .select(col("k"), coalesce(col("x"), lit(0L)).as("x"))
+    graft.operators.Analyze.lorenzDeciles(all, "k", col("x"))
+      .orderBy("decile")
+  }
+
   /** Per-user burstiness ([[graft.operators.Analyze.burstiness]])
     * of event timing — metronome vs Poisson vs bursty: the temporal
     * fingerprint that separates timer-driven crawlers from human

@@ -608,6 +608,33 @@ object Analyze {
             .cast("long")).as("gini_micro"))
   }
 
+  /** LORENZ DECILES of a non-negative integer metric: the value
+    * share held by each rank decile — the distributional readout
+    * behind [[gini]]'s scalar ("the top decile holds 38%" instead
+    * of "G = 0.21"). Deciles are INTEGER rank arithmetic over the
+    * same [[graft.operators.Layout.globalOrdinals]] ranking
+    * (decile = ((i−1)·10) div n + 1 — no float quantile edges),
+    * shares are ⌊10⁶·Σdecile/Σ⌋ with the 1-row total broadcast.
+    * Ties straddling a decile boundary split by the key order —
+    * boundary-exact either way since equal values contribute
+    * equally. Output: (decile, n_rows, decile_cents, share_micro),
+    * 10 rows, NULL shares on a zero total. */
+  def lorenzDeciles(df: DataFrame, keyCol: String, xCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      xCol.cast("long").as("__x"))
+    val ranked = Layout.globalOrdinals(base, Seq("__x", "__k"), "__i")
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("__x")).as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr("((__i - 1) * 10) div n + 1").as("decile"),
+        col("__x"), col("total"))
+      .groupBy(col("decile"), col("total"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("decile_cents"))
+      .select(col("decile"), col("n_rows"), col("decile_cents"),
+        when(col("total") === 0L, lit(null))
+          .otherwise(expr("(decile_cents * 1000000) div total"))
+          .as("share_micro"))
+  }
+
   /** COHEN'S KAPPA between two boolean raters: agreement beyond
     * chance, κ = (p_o − p_e)/(1 − p_e) — the standard
     * inter-annotator / inter-gate consistency audit (do two quality

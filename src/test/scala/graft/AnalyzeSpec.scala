@@ -439,6 +439,29 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     r._3 shouldBe Some(520000L)
   }
 
+  test("lorenzDeciles: known shares on a planted ramp, 10 balanced " +
+      "deciles, zero total = NULL shares, partition-invariant") {
+    // 100 rows, value = rank: decile d holds ranks (10d-9..10d),
+    // sum = 100d - 45, total = 5050
+    val rows = (1L to 100L).map(k => (k, k))
+    def run(parts: Int) =
+      Analyze.lorenzDeciles(rows.toDF("k", "x").repartition(parts),
+          "k", col("x"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val out = run(5)
+    out.keySet shouldBe (1L to 10L).toSet
+    (1L to 10L).foreach { d =>
+      val cents = 100L * d - 45L
+      out(d) shouldBe ((10L, cents, Some(cents * 1000000L / 5050L)))
+    }
+    run(3) shouldBe out
+    val zero = (1L to 20L).map(k => (k, 0L))
+    Analyze.lorenzDeciles(zero.toDF("k", "x"), "k", col("x"))
+      .collect().foreach(_.isNullAt(3) shouldBe true)
+  }
+
   test("gini: uniform = 0, one-holder extreme, matches brute force, " +
       "tie-invariant across partitionings, zero total = NULL") {
     def run(rows: Seq[(Long, Long)], parts: Int) = {

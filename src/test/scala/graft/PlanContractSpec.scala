@@ -63,7 +63,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q212_ks_drift",         // 1-row min-day + sample-total broadcasts
     "q213_cusum_changepoint", // 1-row series-total + peak broadcasts
     "q218_token_drift",       // 1-row era-total broadcast, like q86
-    "q220_modularity")        // 1-row edge-count broadcast
+    "q220_modularity",        // 1-row edge-count broadcast
+    "q228_lorenz_deciles")    // 1-row n/total broadcast onto ranks
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
