@@ -2857,10 +2857,10 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                     / 1000000.0) AS BIGINT) AS gap
            FROM ev
          ), a AS (
-           SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
                   CAST(sum(gap) AS BIGINT) AS sum_gap_s,
                   CAST(sum(gap * gap) AS BIGINT) AS sum_gap_sq
-           FROM g WHERE gap IS NOT NULL GROUP BY user_id
+           FROM g GROUP BY user_id
          )
          SELECT user_id, n_gaps, sum_gap_s, sum_gap_sq,
                 CASE WHEN n_gaps < 2

@@ -358,6 +358,26 @@ object Analyze {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** 3-region Venn cardinalities for TWO key sets — the reference's
+    * `C=None` default (`plotting.py:9` builds a 2-circle venn when
+    * the third frame is absent), previously reachable only by
+    * passing [[vennCounts3]] an empty third frame. One distinct per
+    * side + one full-outer join. Region labels: a_only, b_only, ab;
+    * empty regions are absent (the [[vennCounts3]] convention). */
+  def vennCounts2(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, flag: String): DataFrame =
+      df.select(col(df.columns.head).as("k")).distinct()
+        .withColumn(flag, lit(true))
+    side(a, "in_a").join(side(b, "in_b"), Seq("k"), "full_outer")
+      .na.fill(false, Seq("in_a", "in_b"))
+      .withColumn("region",
+        when(col("in_a") && col("in_b"), "ab")
+          .when(col("in_a"), "a_only")
+          .otherwise("b_only"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** 2-d PCA projection of a vector column — the engine-side
     * equivalent of the reference's UMAP scatter table
     * (`plotting.py:97-103`): id + (x, y) coordinates. The Gram
@@ -519,8 +539,12 @@ object Analyze {
     * variance lifted over n², `sqrt` is IEEE-correctly-rounded in
     * both engines — the cosSql precedent). The lag itself is a
     * key-partitioned window (co-partitioned, never global). Output:
-    * (key, n_gaps, sum_gap_s, sum_gap_sq, b_micro), NULL under 2
-    * gaps or σ+μ = 0 (all gaps zero). */
+    * (key, n_gaps, sum_gap_s, sum_gap_sq, b_micro) for EVERY
+    * distinct key — a single-event key emits (0, NULL, NULL, NULL)
+    * rather than vanishing (each key's first row carries a NULL lag
+    * gap, which `count(__gap)`/`sum` skip, so presence is free: no
+    * extra distinct-key join). b_micro is NULL under 2 gaps or
+    * σ+μ = 0 (all gaps zero). */
   def burstiness(df: DataFrame, keyCol: String, tsUsCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"))
@@ -528,10 +552,9 @@ object Analyze {
       .withColumn("__gap",
         floor((col("__ts") - lag(col("__ts"), 1).over(w)).cast("double")
           / lit(1000000.0)).cast("long"))
-      .filter(col("__gap").isNotNull)
     def d(c: Column): Column = c.cast("double")
     val agg = gaps.groupBy(col("__k"))
-      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("sum_gap_s"),
+      .agg(count(col("__gap")).as("n_gaps"), sum(col("__gap")).as("sum_gap_s"),
         sum(col("__gap") * col("__gap")).as("sum_gap_sq"))
     val mu = d(col("sum_gap_s")) / d(col("n_gaps"))
     val sg = sqrt((d(col("n_gaps")) * d(col("sum_gap_sq"))

@@ -583,24 +583,43 @@ object Ann {
     * `candidates` must carry (idCol, vecCol, relCol) with rel
     * precomputed (e.g. query cosine from [[bruteForceTopK]]'s
     * machinery). Greedy is inherently sequential in k, so the driver
-    * paces k rounds (the GD-trainer shape); each round is ONE corpus
+    * paces k rounds (the GD-trainer shape); each round is ONE pool
     * scan — the ≤ k picked vectors broadcast to every candidate, a
     * map-side max over their similarities, and a TakeOrdered(1)
     * argmax with the (score DESC, id ASC) tie-break. Nothing shuffles
     * the candidate set, driver state is k vectors.
     *
+    * POOL-CAP CONTRACT (the 100× posture): the k driver-paced rounds
+    * each rescan the pool, so at corpus-sized inputs the pool must be
+    * BOUNDED first. `poolCap` > 0 keeps only the top-`poolCap`
+    * candidates by (rel DESC, id ASC) — one TakeOrderedAndProject,
+    * no global sort — and the greedy runs inside that pool; items an
+    * uncapped run might pick purely for diversity from below the
+    * relevance cut are forgone BY CONTRACT (the standard
+    * retrieve-then-diversify cascade: MMR diversifies a retrieved
+    * shortlist, it does not search the corpus). `poolCap` ≥ pool size
+    * (or 0 = uncapped) is exactly the uncapped trajectory — pinned in
+    * AnnSpec.
+    *
     * `max_sim` is an order-free MAX of bit-identical doubles and the
     * score one fixed IEEE expression, so the whole greedy trajectory
     * replays exactly in SQL (q167). */
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
-                relCol: String, k: Int, lambda: Double): DataFrame = {
+                relCol: String, k: Int, lambda: Double,
+                poolCap: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(poolCap == 0 || poolCap >= k,
+      "poolCap must be 0 (uncapped) or >= k")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cands = candidates
+    val projected = candidates
       .select(col(idCol).as("__cid"),
         col(vecCol).cast("array<double>").as("__cvec"),
         col(relCol).as("__rel"))
+    val capped =
+      if (poolCap == 0) projected
+      else projected.orderBy(col("__rel").desc, col("__cid")).limit(poolCap)
+    val cands = capped
       .withColumn("__cnrm", VectorOps.l2Norm(col("__cvec")))
       .persist()
     try {

@@ -445,7 +445,17 @@ object Dedup {
     * their lowest agreeing slice (first-match emission — no distinct
     * over duplicate candidate occurrences), Hamming verify on the
     * carried signatures. Same scale posture as the text path:
-    * slice-keyed shuffle, never all-pairs. Output:
+    * slice-keyed shuffle, never all-pairs.
+    *
+    * RECALL CONTRACT (pigeonhole): with 4 exact-match slices, a pair
+    * at Hamming distance d is guaranteed to share at least one
+    * unchanged slice only for d < 4 — at `maxHamming` ≥ 4 the 4+
+    * differing bits can straddle all 4 slices and the pair is
+    * silently missed, so recall is HEURISTIC in that regime (same
+    * caveat as [[simhashNearDuplicates]]; near-dup signatures
+    * concentrate flips, which is why the default 8 still recovers
+    * most mass in practice). Pass `maxHamming` ≤ 3 when exhaustive
+    * pair recovery is required. Output:
     * (id_a, id_b, hamming), id_a < id_b. */
   def hammingNearDupPairs(sigs: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 8): DataFrame = {

@@ -37,8 +37,9 @@ object Layout {
     * order columns — partitions are globally ordered, each sorted
     * locally — then one metadata-sized pass collects per-partition
     * counts, and each partition adds its exclusive prefix offset to
-    * its local index. Two scans, both fully parallel; driver state is
-    * one long per partition.
+    * its local index. The shuffled-and-sorted RDD is persisted
+    * between the two passes, so the range shuffle + sort runs ONCE;
+    * driver state is one long per partition.
     *
     * The order columns must be a total key (unique) for the ordinals
     * to be deterministic — range-boundary SAMPLING is not, but with a
@@ -54,13 +55,21 @@ object Layout {
       .map(n => df.repartitionByRange(n, cols: _*))
       .getOrElse(df.repartitionByRange(cols: _*))
       .sortWithinPartitions(cols: _*)
+    // ONE materialization of the range shuffle + sort, shared by both
+    // passes (without it each `.rdd` below re-plans the shuffle and
+    // the sort runs twice — the RDD.zipWithIndex recompute trap).
+    // MEMORY_AND_DISK so a 100 TB input spills instead of OOMing; the
+    // ContextCleaner unpersists it once the result's lineage is
+    // unreachable.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition row counts (one long per partition)
-    val counts = sorted.rdd
+    val counts = sortedRdd
       .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _) // exclusive prefix sums
     val outSchema = sorted.schema.add(ordCol, LongType, nullable = false)
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val outRdd = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var ord = offsets(i)
       it.map { r => ord += 1; Row.fromSeq(r.toSeq :+ ord) }
     }

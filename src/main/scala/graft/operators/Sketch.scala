@@ -286,8 +286,12 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val s = col("__x").cast("string")
     // the positivity guard lives INSIDE the kept expression — a
-    // separate check column would be pruned away by Catalyst
-    val bucket = when(col("__x") <= 0L, raise_error(lit(
+    // separate check column would be pruned away by Catalyst. NULL
+    // must be caught explicitly: `null <= 0` is NULL, which falls
+    // through to the otherwise-branch and would be silently counted
+    // as a NULL bucket that sorts first in the cumulative window.
+    val bucket = when(col("__x").isNull || col("__x") <= 0L,
+        raise_error(lit(
         "logBucketQuantiles requires positive values")).cast("long"))
       .otherwise(when(length(s) < 3, col("__x"))
         .otherwise(concat(substring(s, 1, 2),

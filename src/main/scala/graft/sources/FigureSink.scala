@@ -85,6 +85,54 @@ object FigureSink {
     writePng(img, path)
   }
 
+  /** Two-circle Venn diagram — the reference's `C=None` default
+    * (`plotting.py:9`): `counts` is the output of
+    * [[graft.operators.Analyze.vennCounts2]] (region ∈ {a_only,
+    * b_only, ab}; ≤ 3 rows). Missing regions render 0. Same
+    * driver-side-by-design contract as the 3-circle sink. */
+  def vennPng2(counts: DataFrame, path: String,
+               labels: Seq[String] = Seq("A", "B"),
+               title: String = "", width: Int = 700, height: Int = 500): Unit = {
+    require(labels.length == 2, "two set labels required")
+    val byRegion = counts.select(col("region"), col("n").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING, RenderingHints.VALUE_ANTIALIAS_ON)
+      g.setColor(Color.WHITE); g.fillRect(0, 0, width, height)
+      val r = (width * 0.22).toInt
+      val cy0 = height / 2
+      val cx = Array(width / 2 - (r * 3) / 5, width / 2 + (r * 3) / 5)
+      val fills = Seq(new Color(148, 0, 211, 90), new Color(0, 191, 255, 90))
+      fills.zipWithIndex.foreach { case (c, i) =>
+        g.setColor(c)
+        g.fillOval(cx(i) - r, cy0 - r, 2 * r, 2 * r)
+      }
+      g.setStroke(new BasicStroke(2f))
+      g.setColor(Color.DARK_GRAY)
+      (0 until 2).foreach(i => g.drawOval(cx(i) - r, cy0 - r, 2 * r, 2 * r))
+      g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 16))
+      g.setColor(Color.BLACK)
+      def at(x: Int, y: Int, s: String): Unit = {
+        val w = g.getFontMetrics.stringWidth(s)
+        g.drawString(s, x - w / 2, y)
+      }
+      def n(reg: String): String = byRegion.getOrElse(reg, 0L).toString
+      at(cx(0) - r / 2, cy0, n("a_only"))
+      at(cx(1) + r / 2, cy0, n("b_only"))
+      at((cx(0) + cx(1)) / 2, cy0, n("ab"))
+      at(cx(0) - r / 2, cy0 - r - 8, labels(0))
+      at(cx(1) + r / 2, cy0 - r - 8, labels(1))
+      if (title.nonEmpty) {
+        g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 20))
+        g.setColor(Color.ORANGE)
+        at(width / 2, 30, title)
+      }
+    } finally g.dispose()
+    writePng(img, path)
+  }
+
   /** 2-d projection scatter (`plotting.py:93-119`'s UMAP figure).
     * `points` needs numeric `xCol`/`yCol`; rows beyond `maxPoints`
     * are dropped after a deterministic ORDER BY `orderCols` — the

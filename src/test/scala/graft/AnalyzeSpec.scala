@@ -34,6 +34,23 @@ class AnalyzeSpec extends SparkSpec with Matchers {
     out shouldBe Map("a_only" -> 1L, "ab_only" -> 1L, "c_only" -> 1L)
   }
 
+  test("vennCounts2: 3 regions, set semantics, agrees with vennCounts3 " +
+      "given an empty third frame (the plotting.py:9 C=None default)") {
+    val a = Seq(1, 1, 2, 3, 4).toDF("k")
+    val b = Seq(3, 4, 5).toDF("k")
+    val out = Analyze.vennCounts2(a, b)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("a_only" -> 2L, "b_only" -> 1L, "ab" -> 2L)
+    // equivalence with the 3-set form under an empty C: the 2-set
+    // regions are the C-free projections of the 3-set regions
+    val empty = Seq.empty[Int].toDF("k")
+    val via3 = Analyze.vennCounts3(a, b, empty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("a_only") shouldBe via3.getOrElse("a_only", 0L)
+    out("b_only") shouldBe via3.getOrElse("b_only", 0L)
+    out("ab") shouldBe via3.getOrElse("ab_only", 0L)
+  }
+
   test("pcaProject2d: 2 coordinates per row; first component carries at least as much variance") {
     val rnd = new scala.util.Random(7)
     // anisotropic cloud: x-axis variance 100, others 1
@@ -382,24 +399,30 @@ class AnalyzeSpec extends SparkSpec with Matchers {
   }
 
   test("burstiness: metronome = -1, bursty > 0, matches brute force, " +
-      "single-gap users NULL, partition-invariant") {
+      "single-gap users NULL, single-event users present with 0 gaps, " +
+      "partition-invariant") {
     def us(s: Long) = s * 1000000L
     // user 1: metronome every 10s; user 2: bursts (1s,1s,1s, 3000s)x;
-    // user 3: two events = one gap -> NULL
+    // user 3: two events = one gap -> NULL; user 4: ONE event -> the
+    // key must still appear, with (n_gaps=0, NULL, NULL, NULL)
     val rows =
       (0L to 10L).map(i => (1L, us(i * 10L))) ++
       (0L to 2L).flatMap(b => Seq(0L, 1L, 2L, 3L).map(i =>
         (2L, us(b * 3003L + i)))) ++
-      Seq((3L, us(0L)), (3L, us(100L)))
+      Seq((3L, us(0L)), (3L, us(100L))) ++
+      Seq((4L, us(7L)))
+    def optL(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
     def run(parts: Int) =
       Analyze.burstiness(rows.toDF("user_id", "tsus").repartition(parts),
           "user_id", col("tsus"))
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3),
-            if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+          ((r.getLong(1), optL(r, 2), optL(r, 3), optL(r, 4)))).toMap
     val out = run(5)
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
     out(1L)._4 shouldBe Some(-1000000L)
     out(3L)._4 shouldBe None
+    out(4L) shouldBe ((0L, None, None, None))
     // brute force for user 2
     val gaps = rows.filter(_._1 == 2L).map(_._2).sorted
       .sliding(2).map(p => (p(1) - p(0)) / 1000000L).toSeq

@@ -380,6 +380,18 @@ class AnnSpec extends SparkSpec with Matchers {
     got.map(_._2).distinct.length shouldBe 6 // no repeats
     // first pick is the pure-relevance argmax
     got.head._2 shouldBe vecs.keys.maxBy(c => (cos(vecs(c), qv), -c))
+    // pool-cap contract: cap >= pool size == uncapped trajectory
+    val capped = Ann.mmrSelect(cand, "vec_id", "vec", "rel", k = 6,
+        lambda = 0.5, poolCap = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    capped.toSeq shouldBe expected
+    // a tight cap restricts picks to the relevance-top-N shortlist
+    val topIds = vecs.toSeq.map { case (i, v) => (i, cos(v, qv)) }
+      .sortBy { case (i, r) => (-r, i) }.take(8).map(_._1).toSet
+    val tight = Ann.mmrSelect(cand, "vec_id", "vec", "rel", k = 6,
+        lambda = 0.5, poolCap = 8)
+      .collect().map(_.getLong(1))
+    tight.foreach(id => topIds should contain(id))
   }
 
   test("mutualKnnEdges: only reciprocated top-k pairs survive, a < b, " +

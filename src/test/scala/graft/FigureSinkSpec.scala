@@ -37,6 +37,21 @@ class FigureSinkSpec extends SparkSpec with Matchers {
     colors.size should be > 4
   }
 
+  test("vennPng2 renders the vennCounts2 output to a real PNG") {
+    val a = Seq(1, 2, 3, 4).toDF("k")
+    val b = Seq(3, 4, 5).toDF("k")
+    val counts = Analyze.vennCounts2(a, b)
+    val path = java.nio.file.Files.createTempDirectory("graft_fig_").toString + "/venn2.png"
+    FigureSink.vennPng2(counts, path, labels = Seq("A", "B"), title = "probe2")
+    pngMagic(path) shouldBe true
+    val img = ImageIO.read(new java.io.File(path))
+    img.getWidth shouldBe 700
+    img.getHeight shouldBe 500
+    val colors = (for (x <- 0 until img.getWidth by 7; y <- 0 until img.getHeight by 7)
+      yield img.getRGB(x, y)).toSet
+    colors.size should be > 3
+  }
+
   test("scatterPng downsamples deterministically and renders points") {
     val pts = (1 to 500).map(i => (i.toLong, math.sin(i * 0.1), math.cos(i * 0.07)))
       .toDF("id", "x", "y")
