@@ -75,6 +75,33 @@ private[graft] trait EntryBase { this: SparkEntry.type =>
         (col("id") + 10000000L).as("doc_id"),
         lit(boilerplateText).as("text")))
 
+  /** The planted LONG passage shared across three docs (cross-doc
+    * repeated substring, different offsets) — inlined verbatim into
+    * the q229-q231 oracle SQL. */
+  private[graft] val longDupPassage =
+    "shuffle partition broadcast join filter scan codegen stage " +
+    "task executor driver memory spill merge sort hash exchange"
+
+  /** The planted passage repeated TWICE inside one doc (within-doc
+    * repeat) — also inlined into the q229-q231 oracles. */
+  private[graft] val longDupInner =
+    "boilerplate navigation banner accept cookies to continue "
+
+  /** documents plus four planted docs for the suffix-dedup family
+    * (q229-q231): three docs share [[longDupPassage]] at different
+    * offsets; one doc contains [[longDupInner]] twice. The same four
+    * rows appear as a VALUES table in the oracle SQL. */
+  private[graft] def corpusWithLongDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (20000001L, s"alpha head $longDupPassage alpha tail"),
+        (20000002L, s"beta intro $longDupPassage beta ending words"),
+        (20000003L, s"$longDupPassage gamma afterword"),
+        (20000004L, s"delta ${longDupInner}interlude ${longDupInner}coda"))
+        .toDF("doc_id", "text"))
+  }
+
   /** One planted PII string per category (doc_id mod 7 picks the
     * class) so every [[Scrub.piiPatterns]] regex fires inside the
     * hash check — the q41 planting pattern. Shared verbatim with the

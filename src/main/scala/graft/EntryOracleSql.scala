@@ -47,6 +47,22 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
        FROM last WHERE op <> 'D'
        GROUP BY st ORDER BY st"""
 
+  /** The q229-q231 corpus: documents + the planted long-dup docs —
+    * the VALUES rows interpolate the SAME Scala constants
+    * ([[longDupPassage]]/[[longDupInner]]) the Spark builders plant,
+    * so engine and oracle read one corpus definition. */
+  private def suffixCorpusCte: String =
+    s"""corpus AS (
+       |           SELECT doc_id, text FROM documents
+       |           UNION ALL
+       |           SELECT * FROM (VALUES
+       |             (20000001, 'alpha head $longDupPassage alpha tail'),
+       |             (20000002, 'beta intro $longDupPassage beta ending words'),
+       |             (20000003, '$longDupPassage gamma afterword'),
+       |             (20000004, 'delta ${longDupInner}interlude ${longDupInner}coda'))
+       |             AS v(doc_id, text)
+       |         )""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2951,6 +2967,151 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                              * CAST(total_cents AS DOUBLE))))
                        AS BIGINT) END AS hhi_micro
          FROM a ORDER BY n_name""",
+    "q229_suffix_lrs" ->
+      s"""WITH $suffixCorpusCte, suf AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, length(text) - 38)) AS BIGINT) AS pos,
+                  text
+           FROM corpus WHERE length(text) >= 40
+         ), sufp AS (
+           SELECT doc_id, pos,
+                  substr(text, CAST(pos AS INTEGER), 640) AS pref,
+                  CASE WHEN pos = 1 THEN ''
+                       ELSE substr(text, CAST(pos AS INTEGER) - 1, 1)
+                  END AS prev
+           FROM suf
+         ), nb AS (
+           SELECT doc_id AS doc_b, pos AS pos_b, pref AS pref_b,
+                  prev AS prev_b,
+                  lag(doc_id) OVER w AS doc_a, lag(pos) OVER w AS pos_a,
+                  lag(pref) OVER w AS pref_a, lag(prev) OVER w AS prev_a
+           FROM sufp WINDOW w AS (ORDER BY pref, doc_id, pos)
+         ), pairs AS (
+           SELECT doc_a, pos_a, doc_b, pos_b,
+                  CAST(coalesce(list_min(
+                    [i FOR i IN range(1, least(length(pref_a),
+                                                length(pref_b)) + 1)
+                       IF pref_a[i:i] <> pref_b[i:i]]) - 1,
+                    least(length(pref_a), length(pref_b))) AS BIGINT) AS lcp
+           FROM nb
+           WHERE doc_a IS NOT NULL
+             AND substr(pref_a, 1, 40) = substr(pref_b, 1, 40)
+             AND (prev_a <> prev_b OR prev_a = '' OR prev_b = '')
+         ), top AS (
+           SELECT * FROM pairs WHERE lcp >= 40
+           ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT 28
+         )
+         SELECT CAST(row_number() OVER (ORDER BY t.lcp DESC, t.doc_a,
+                  t.pos_a, t.doc_b, t.pos_b) AS BIGINT) AS rank,
+                t.lcp, CAST(t.doc_a AS BIGINT) AS doc_a, t.pos_a,
+                CAST(t.doc_b AS BIGINT) AS doc_b, t.pos_b,
+                substr(c.text, CAST(t.pos_a AS INTEGER),
+                  CAST(t.lcp AS INTEGER)) AS "repeat"
+         FROM top t JOIN corpus c ON c.doc_id = t.doc_a
+         ORDER BY rank""",
+    "q230_suffix_spans" ->
+      s"""WITH $suffixCorpusCte, g AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, length(text) - 23)) AS BIGINT) AS pos,
+                  text
+           FROM corpus WHERE length(text) >= 25
+         ), grams AS (
+           SELECT doc_id, pos,
+                  substr(text, CAST(pos AS INTEGER), 25) AS gram
+           FROM g
+         ), dup AS (
+           SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+         ), marked AS (
+           SELECT doc_id, pos, pos + 24 AS e
+           FROM grams WHERE gram IN (SELECT gram FROM dup)
+         ), isl AS (
+           SELECT doc_id, pos, e,
+                  CASE WHEN pos > coalesce(max(e) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100) + 1
+                       THEN 1 ELSE 0 END AS nw
+           FROM marked
+         ), isl2 AS (
+           SELECT doc_id, pos, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+           FROM isl
+         )
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, min(pos) AS span_start,
+                max(e) AS span_end, max(e) - min(pos) + 1 AS span_len
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+    "q231_suffix_scrub" ->
+      s"""WITH $suffixCorpusCte, g AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, length(text) - 23)) AS BIGINT) AS pos,
+                  text
+           FROM corpus WHERE length(text) >= 25
+         ), grams AS (
+           SELECT doc_id, pos,
+                  substr(text, CAST(pos AS INTEGER), 25) AS gram
+           FROM g
+         ), occ AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY gram
+                                     ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY gram) AS c
+           FROM grams
+         ), marks AS (
+           SELECT doc_id, pos, pos + 24 AS e FROM occ
+           WHERE c >= 2 AND rn >= 2
+         ), isl AS (
+           SELECT doc_id, pos, e,
+                  CASE WHEN pos > coalesce(max(e) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100) + 1
+                       THEN 1 ELSE 0 END AS nw
+           FROM marks
+         ), isl2 AS (
+           SELECT doc_id, pos, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+           FROM isl
+         ), spans AS (
+           SELECT doc_id, min(pos) AS s, max(e) AS en
+           FROM isl2 GROUP BY doc_id, island
+         ), spanstats AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
+                  CAST(sum(en - s + 1) AS BIGINT) AS n_cut
+           FROM spans GROUP BY doc_id
+         ), cover AS (
+           SELECT DISTINCT doc_id,
+                  CAST(unnest(range(s, en + 1)) AS BIGINT) AS j
+           FROM spans
+         ), chars AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS i,
+                  text
+           FROM corpus
+         ), kept AS (
+           SELECT c.doc_id, c.i,
+                  substr(c.text, CAST(c.i AS INTEGER), 1) AS ch
+           FROM chars c
+           WHERE NOT EXISTS (SELECT 1 FROM cover v
+                             WHERE v.doc_id = c.doc_id AND v.j = c.i)
+         ), clean AS (
+           SELECT doc_id,
+                  coalesce(string_agg(ch, '' ORDER BY i), '') AS clean_text
+           FROM kept GROUP BY doc_id
+         )
+         SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                CAST(length(c.text) AS BIGINT) AS n_chars,
+                coalesce(s.n_spans_cut, 0) AS n_spans_cut,
+                coalesce(s.n_cut, 0) AS n_cut,
+                md5(coalesce(cl.clean_text, '')) AS clean_md5
+         FROM corpus c
+         LEFT JOIN spanstats s ON s.doc_id = c.doc_id
+         LEFT JOIN clean cl ON cl.doc_id = c.doc_id
+         ORDER BY doc_id""",
     "q228_lorenz_deciles" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

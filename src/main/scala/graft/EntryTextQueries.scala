@@ -800,4 +800,51 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** Top-20 LONGEST repeated substrings corpus-wide
+    * ([[graft.operators.SuffixDedup.longestRepeatedSubstrings]]):
+    * suffix ordinals over one 640-char fixed-width prefix column
+    * ([[graft.operators.Layout.globalOrdinals]] — one range shuffle,
+    * no driver sort), adjacent-pair LCP via the codegen'd
+    * [[graft.functions.LcpExpr]], TakeOrdered top-k. The 640-char
+    * depth exceeds every doc in this corpus, so every reported
+    * length is EXACT — the suffix-array deliverable n-gram counting
+    * cannot produce. Corpus = documents + the planted cross-doc /
+    * within-doc long passages; the oracle re-sorts the same suffix
+    * prefixes and recomputes every LCP with a codepoint
+    * comprehension. */
+  private[graft] def q229(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.longestRepeatedSubstrings(
+        corpusWithLongDup(s, dir), "doc_id", "text",
+        minLcp = 40, maxLcp = 640, k = 28)
+      .orderBy("rank")
+
+  /** Maximal duplicated CHAR spans per doc
+    * ([[graft.operators.SuffixDedup.repeatedCharSpans]], minLen 25,
+    * cap 128): every character covered by a ≥25-char corpus repeat,
+    * coalesced into maximal runs — the char-level sibling of q122's
+    * token-gram report, here running the CAPPED suffix-order regime
+    * (128 < the corpus's ~530-char whole-doc dups) to pin that
+    * coverage is cap-independent. The oracle replays through the
+    * provably-equivalent duplicated-gram coverage formulation. */
+  private[graft] def q230(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.repeatedCharSpans(
+        corpusWithLongDup(s, dir), "doc_id", "text",
+        minLen = 25, maxLcp = 128)
+      .orderBy("doc_id", "span_start")
+
+  /** ExactSubstr SCRUB
+    * ([[graft.operators.SuffixDedup.scrubRepeatedSubstrings]],
+    * minLen 25): cut every char covered by a non-first occurrence of
+    * a ≥25-char repeat (deterministic keep-first: smallest
+    * (doc, pos) per duplicated gram is canonical) and reassemble the
+    * corpus. clean_text rides as md5 to keep the gate result
+    * row-sized; the oracle rebuilds each doc char-by-char from the
+    * kept positions and hashes the same string. */
+  private[graft] def q231(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.scrubRepeatedSubstrings(
+        corpusWithLongDup(s, dir), "doc_id", "text", minLen = 25)
+      .select(col("doc_id"), col("n_chars"), col("n_spans_cut"),
+        col("n_cut"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
 }

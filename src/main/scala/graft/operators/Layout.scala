@@ -76,6 +76,67 @@ object Layout {
     sorted.sparkSession.createDataFrame(outRdd, outSchema)
   }
 
+  /** ADJACENT-ROW PAIRS in global sort order: each row joined with
+    * its successor under the total order `orderCols` — the neighbor
+    * primitive of suffix-array LCP ([[SuffixDedup]]), sorted-run
+    * diffing, and gap detection. Emits n−1 rows, columns prefixed
+    * `a_`/`b_`.
+    *
+    * The declarative form ([[globalOrdinals]] + self-join on
+    * ordinal±1) pays a SECOND full shuffle to hash-join the frame
+    * with itself; at suffix scale the payload is the wide prefix
+    * column, so that join dominated the whole pipeline (measured
+    * ~2× of q229 at sf0.1). Here adjacency is read off the range
+    * shuffle directly: partitions are globally ordered and locally
+    * sorted, so all pairs are consecutive rows WITHIN a partition —
+    * except the one pair straddling each boundary, which needs only
+    * each partition's FIRST row. Those are one collect of
+    * numPartitions rows; each partition then pairs its run and
+    * closes with (its last row, the next non-empty partition's
+    * first). One shuffle total, driver state one row per partition —
+    * the same RDD-drop-down contract as [[globalOrdinals]], for the
+    * same reason (per-partition adjacency is not expressible in
+    * declarative ops without re-shuffling). */
+  def sortedNeighborPairs(df: DataFrame, orderCols: Seq[String],
+                          aPrefix: String = "a_", bPrefix: String = "b_",
+                          numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val cols = orderCols.map(col)
+    val sorted = numPartitions
+      .map(n => df.repartitionByRange(n, cols: _*))
+      .getOrElse(df.repartitionByRange(cols: _*))
+      .sortWithinPartitions(cols: _*)
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nParts = sortedRdd.getNumPartitions
+    // pass 1: each partition's first row (bounded: one row/partition)
+    val firsts = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.hasNext) Iterator((i, it.next())) else Iterator.empty
+    }.collect().toMap
+    val bc = sorted.sparkSession.sparkContext.broadcast(firsts)
+    val fields = sorted.schema.fields
+    val outSchema = StructType(
+      fields.map(f => f.copy(name = aPrefix + f.name)) ++
+        fields.map(f => f.copy(name = bPrefix + f.name)))
+    val pairsRdd = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      val nextFirst = (i + 1 until nParts).iterator
+        .flatMap(bc.value.get).nextOption()
+      new Iterator[Row] {
+        private var prev: Row = if (it.hasNext) it.next() else null
+        private var tailDone = false
+        def hasNext: Boolean = prev != null &&
+          (it.hasNext || (nextFirst.isDefined && !tailDone))
+        def next(): Row = {
+          val p = prev
+          if (it.hasNext) { prev = it.next(); Row.fromSeq(p.toSeq ++ prev.toSeq) }
+          else { tailDone = true; Row.fromSeq(p.toSeq ++ nextFirst.get.toSeq) }
+        }
+      }
+    }
+    sorted.sparkSession.createDataFrame(pairsRdd, outSchema)
+  }
+
   /** Cluster a frame for writing: range-partition on the Z key into
     * `numFiles` output partitions and sort within each — every output
     * file then covers a compact Z range, i.e. a tight (x, y)

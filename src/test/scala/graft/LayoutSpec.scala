@@ -107,6 +107,32 @@ class LayoutSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("sortedNeighborPairs == zip(sorted, sorted.tail): boundary pairs " +
+      "across partitions, empty partitions, any input partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 500L).map(i => (rnd.nextInt(40).toLong, i))
+    val expect = rows.sorted.sliding(2).collect {
+      case Seq((k1, v1), (k2, v2)) => (k1, v1, k2, v2)
+    }.toSet
+    for (parts <- Seq(1, 7); outParts <- Seq(None, Some(3), Some(64))) {
+      // Some(64) > distinct keys exercises EMPTY output partitions:
+      // the boundary successor must skip them
+      val got = Layout.sortedNeighborPairs(
+          rows.toDF("k", "v").repartition(parts), Seq("k", "v"),
+          numPartitions = outParts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      withClue(s"parts=$parts outParts=$outParts") { got shouldBe expect }
+    }
+    // empty and single-row inputs produce no pairs
+    Layout.sortedNeighborPairs(Seq.empty[(Long, Long)].toDF("k", "v"),
+      Seq("k", "v")).count() shouldBe 0L
+    Layout.sortedNeighborPairs(Seq((1L, 1L)).toDF("k", "v"),
+      Seq("k", "v")).count() shouldBe 0L
+  }
+
   test("contentDigest: order/partition-invariant, rollup total is the " +
       "xor of shard digests, a single-row change flips exactly one shard") {
     import spark.implicits._

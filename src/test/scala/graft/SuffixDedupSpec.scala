@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.SuffixDedup
+
+class SuffixDedupSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def lcpCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.LcpExpr(toExpression(a), toExpression(b)))
+  }
+
+  test("LcpExpr: codepoint LCP, multi-byte safety, empty/null edges") {
+    val rows = Seq(
+      ("abcdef", "abcxyz", 3L),
+      ("same", "same", 4L),
+      ("", "anything", 0L),
+      ("a", "b", 0L),
+      ("préfixe", "préfab", 4L), // é is 2 bytes; common chars p,r,é,f
+      ("日本語テスト", "日本語デモ", 3L), // 3-byte CJK common prefix
+      ("ab", "abcde", 2L))
+    rows.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(lcpCol(col("a"), col("b"))).head().getLong(0)
+      withClue(s"lcp($a, $b)") { got shouldBe want }
+    }
+    // null propagates
+    Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+      .select(lcpCol(col("a"), col("b"))).head().isNullAt(0) shouldBe true
+  }
+
+  // a planted corpus: P (59 chars) shared by docs 1 and 2 at different
+  // offsets; Q (31 chars) repeated twice INSIDE doc 4; doc 3 unrelated
+  private val P = "the quick brown fox jumps over the lazy dog near the river"
+  private val Q = "repeated middle filler passage "
+  private def planted = Seq(
+    (1L, s"alpha head $P alpha tail"),
+    (2L, s"beta $P beta ending words"),
+    (3L, "nothing shared here at all in this one document text"),
+    (4L, s"delta ${Q}interlude ${Q}coda"))
+
+  test("longestRepeatedSubstrings: planted cross-doc passage found with " +
+      "EXACT length and positions; within-doc repeat found; deterministic") {
+    P.length shouldBe 58
+    val docs = planted.toDF("doc_id", "text").repartition(3)
+    val out = SuffixDedup.longestRepeatedSubstrings(docs, "doc_id", "text",
+        minLcp = 20, maxLcp = 128, k = 40)
+      .collect()
+    // LEFT-MAXIMALITY: the one-char suffix shifts of each repeat are
+    // filtered (equal preceding chars), so the board holds exactly
+    // the two distinct maximal repeats:
+    // rank 1: " " + P + " " (P.length+2 chars) — both docs surround P
+    // with spaces, so the repeat extends one char left and right of
+    // the planted passage; left-maximal because the chars before the
+    // leading space differ ('d' in "head", 'a' in "beta"). 1-based
+    // positions: doc 1 pos 11, doc 2 pos 5.
+    out.length shouldBe 2
+    val r1 = out.find(_.getLong(0) == 1L).get
+    r1.getLong(1) shouldBe (P.length + 2).toLong
+    Set(r1.getLong(2), r1.getLong(4)) shouldBe Set(1L, 2L)
+    Set(r1.getLong(3), r1.getLong(5)) shouldBe Set(11L, 5L)
+    r1.getAs[String]("repeat") shouldBe (" " + P + " ")
+    // rank 2: the within-doc " " + Q repeat (leading space shared —
+    // preceded by 'a'/'e' — following chars 'i'/'c' differ)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    r2.getLong(2) shouldBe 4L
+    r2.getLong(4) shouldBe 4L
+    r2.getLong(1) shouldBe (Q.length + 1).toLong
+    r2.getAs[String]("repeat") shouldBe (" " + Q)
+  }
+
+  test("lcp CAPS at maxLcp; capped order still finds the repeat") {
+    val docs = planted.toDF("doc_id", "text")
+    val out = SuffixDedup.longestRepeatedSubstrings(docs, "doc_id", "text",
+        minLcp = 20, maxLcp = 30, k = 3) // cap 30 < the 60-char repeat
+      .collect()
+    out.head.getLong(1) shouldBe 30L // capped, not 60
+  }
+
+  // brute-force L-gram coverage (the proof-side of the operator docs)
+  private def bruteSpans(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long)] = {
+    val grams = docs.flatMap { case (d, t) =>
+      (0 to t.length - L).map(p => (t.substring(p, p + L), d, p + 1)) }
+    val dupG = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+    val cov = grams.filter(g => dupG(g._1))
+      .groupBy(_._2)
+      .map { case (d, gs) =>
+        d -> gs.flatMap(g => g._3 until (g._3 + L)).toSet }
+    cov.flatMap { case (d, ps) =>
+      val sorted = ps.toSeq.sorted
+      val runs = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      runs.map { case (s, e) => (d, s.toLong, e.toLong) }
+    }.toSet
+  }
+
+  test("repeatedCharSpans == brute-force gram coverage (planted corpus, " +
+      "capped AND uncapped regimes, partition-invariant)") {
+    val expect = bruteSpans(planted, 20)
+    for (parts <- Seq(1, 5); cap <- Seq(128, 20)) {
+      val docs = planted.toDF("doc_id", "text").repartition(parts)
+      val got = SuffixDedup.repeatedCharSpans(docs, "doc_id", "text",
+          minLen = 20, maxLcp = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"parts=$parts cap=$cap") { got shouldBe expect }
+    }
+  }
+
+  test("repeatedCharSpans == brute force on a random word-salad corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("spark", "row", "scan", "agg", "key", "the", "a")
+    val docs = (1L to 40L).map(d =>
+      (d, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val L = 15
+    val expect = bruteSpans(docs, L)
+    val got = SuffixDedup.repeatedCharSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = L, maxLcp = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe expect
+  }
+
+  test("scrubRepeatedSubstrings: keep-first semantics — canonical " +
+      "occurrence survives verbatim, later occurrences cut; short and " +
+      "clean docs pass through; reassembly is exact") {
+    val docs = planted.toDF("doc_id", "text").repartition(3)
+    val out = SuffixDedup.scrubRepeatedSubstrings(docs, "doc_id", "text",
+        minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1 holds the canonical (smallest doc_id) occurrence: untouched
+    out(1L)._4 shouldBe planted(0)._2
+    out(1L)._3 shouldBe 0L
+    // doc 2 loses the shared passage (P + trailing space context): its
+    // clean text no longer contains P, but keeps its own prefix
+    out(2L)._4.contains(P) shouldBe false
+    out(2L)._4.startsWith("beta") shouldBe true
+    out(2L)._3 should be >= 59L
+    // doc 3 untouched
+    out(3L)._4 shouldBe planted(2)._2
+    // doc 4: first Q occurrence kept, second cut
+    val firstQ = out(4L)._4.indexOf(Q.trim)
+    firstQ should be >= 0
+    out(4L)._4.indexOf(Q.trim, firstQ + 1) shouldBe -1
+    // n_chars always the ORIGINAL length
+    out(1L)._1 shouldBe planted(0)._2.length.toLong
+    out(4L)._1 shouldBe planted(3)._2.length.toLong
+  }
+
+  test("scrubRepeatedSubstrings matches a brute-force scrub on the " +
+      "random corpus, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("big", "data", "dedup", "span", "the")
+    val docs = (1L to 30L).map(d =>
+      (d, (0 until 25).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val L = 12
+    // brute force: canonical = min (doc,pos) per duplicated gram
+    val grams = docs.flatMap { case (d, t) =>
+      (0 to t.length - L).map(p => (t.substring(p, p + L), d, p + 1)) }
+    val byGram = grams.groupBy(_._1).filter(_._2.size >= 2)
+    val cut = scala.collection.mutable.Map.empty[Long, Set[Int]].withDefaultValue(Set())
+    byGram.foreach { case (_, occ) =>
+      val canon = occ.map(g => (g._2, g._3)).min
+      occ.filter(g => (g._2, g._3) != canon).foreach { g =>
+        cut(g._2) = cut(g._2) ++ (g._3 until (g._3 + L)) }
+    }
+    val expect = docs.map { case (d, t) =>
+      val keep = (1 to t.length).filterNot(cut(d)).map(i => t.charAt(i - 1))
+      d -> ((t.length.toLong, cut(d).size.toLong, keep.mkString))
+    }.toMap
+    for (parts <- Seq(2, 7)) {
+      val got = SuffixDedup.scrubRepeatedSubstrings(
+          docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", minLen = L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+      withClue(s"parts=$parts") { got shouldBe expect }
+    }
+  }
+}

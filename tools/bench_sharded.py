@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Sharded bench ledger — the drift-isolation harness.
+
+The single-JVM board (graft.Bench over all queries) accumulates
+JVM/GC/code-cache pressure as the query count grows: round 11 showed
+a UNIFORM ~1.2x within-round drift across 190 code-unchanged queries,
+larger than the regressions the ledger exists to catch. This tool
+runs the same Bench main in FRESH JVMs, one per shard of the query
+board, so every query's wall is measured in a session whose heap and
+JIT state do not depend on how many other queries ran before it.
+
+Usage:
+  python3 tools/bench_sharded.py out.json [--shards N] [--reps N]
+          [--sf DIR] [--cpus N]
+  python3 tools/bench_sharded.py --compare a.json b.json [--tol 0.05]
+
+Launches java directly against target/scala-2.13/classes +
+/opt/spark/jars (no sbt startup per shard); query names are parsed
+from SparkEntry.scala. --compare prints per-query agreement between
+two ledgers (the re-pin acceptance check: same commit, two runs,
+agreement within tolerance on all but sub-second noise-floor
+queries).
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLASSPATH = os.path.join(ROOT, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
+
+
+def query_names():
+    src = open(os.path.join(
+        ROOT, "src/main/scala/graft/SparkEntry.scala")).read()
+    names = re.findall(r'"(q\d+[a-z0-9_]*)"\s*->', src)
+    if not names:
+        sys.exit("no query names parsed from SparkEntry.scala")
+    return names
+
+
+def run_shard(names, sf, cpus, reps):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_REPS=str(reps),
+               SPARK_GRAFT_BENCH_ONLY=",".join(names))
+    out = subprocess.run(
+        ["java", "-cp", CLASSPATH, "graft.Bench"],
+        env=env, cwd=ROOT, capture_output=True, text=True)
+    for line in out.stdout.splitlines():
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    sys.exit(f"shard produced no bench line (rc={out.returncode}):\n"
+             + out.stderr[-2000:])
+
+
+def compare(a_path, b_path, tol):
+    a = json.load(open(a_path))["queries"]
+    b = json.load(open(b_path))["queries"]
+    keys = sorted(set(a) & set(b))
+    bad = []
+    for q in keys:
+        lo, hi = sorted((a[q], b[q]))
+        # sub-noise-floor queries compare on absolute delta: a 0.08s
+        # vs 0.11s "1.4x" is scheduler noise, not drift
+        if hi - lo <= 0.15:
+            continue
+        if lo > 0 and hi / lo - 1 > tol:
+            bad.append((q, a[q], b[q], hi / lo))
+    print(f"{len(keys)} shared queries; {len(bad)} beyond {tol:.0%} "
+          f"(>0.15s absolute)")
+    for q, va, vb, r in sorted(bad, key=lambda x: -x[3]):
+        print(f"  {q:40s} {va:7.2f} vs {vb:7.2f}  ({r:.2f}x)")
+    return 1 if bad else 0
+
+
+def main():
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        tol = 0.05
+        if "--tol" in sys.argv:
+            tol = float(sys.argv[sys.argv.index("--tol") + 1])
+        sys.exit(compare(sys.argv[i + 1], sys.argv[i + 2], tol))
+
+    out_path = sys.argv[1]
+    def opt(flag, default):
+        return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+    shards = int(opt("--shards", "8"))
+    reps = int(opt("--reps", "5"))
+    sf = opt("--sf", "/root/testdata/sf0.1")
+    cpus = int(opt("--cpus", "32"))
+
+    names = query_names()
+    chunks = [names[i::shards] for i in range(shards)]
+    merged, failed = {}, []
+    for i, chunk in enumerate(chunks):
+        r = run_shard(chunk, sf, cpus, reps)
+        merged.update(r["queries"])
+        failed.extend(r.get("failed", []))
+        print(f"shard {i + 1}/{shards}: {len(r['queries'])} queries, "
+              f"{sum(r['queries'].values()):.1f}s", flush=True)
+    doc = {"metric": "total", "value": round(sum(merged.values()), 3),
+           "unit": "sec", "queries": merged, "failed": failed,
+           "sf": sf, "shards": shards, "reps": reps}
+    with open(out_path, "w") as f:
+        json.dump(doc, f)
+    print(f"{out_path}: {len(merged)} queries, total "
+          f"{doc['value']:.1f}s, failed={failed}")
+
+
+if __name__ == "__main__":
+    main()
