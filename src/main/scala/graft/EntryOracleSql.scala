@@ -3112,6 +3112,62 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          LEFT JOIN spanstats s ON s.doc_id = c.doc_id
          LEFT JOIN clean cl ON cl.doc_id = c.doc_id
          ORDER BY doc_id""",
+    "q232_substring_decontaminate" ->
+      s"""WITH $suffixCorpusCte, ev AS (
+           SELECT doc_id, text FROM corpus
+           WHERE doc_id % 19 = 0 OR doc_id = 20000003
+         ), tr AS (
+           SELECT doc_id, text FROM corpus
+           WHERE NOT (doc_id % 19 = 0 OR doc_id = 20000003)
+         ), eg AS (
+           SELECT DISTINCT substr(text, CAST(i AS INTEGER), 30) AS gram
+           FROM (SELECT text,
+                        CAST(unnest(range(1, length(text) - 28)) AS BIGINT)
+                          AS i
+                 FROM ev WHERE length(text) >= 30)
+         ), tg AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, length(text) - 28)) AS BIGINT) AS pos,
+                  text
+           FROM tr WHERE length(text) >= 30
+         ), marked AS (
+           SELECT doc_id, pos, pos + 29 AS e
+           FROM (SELECT doc_id, pos,
+                        substr(text, CAST(pos AS INTEGER), 30) AS gram
+                 FROM tg)
+           WHERE gram IN (SELECT gram FROM eg)
+         ), isl AS (
+           SELECT doc_id, pos, e,
+                  CASE WHEN pos > coalesce(max(e) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100) + 1
+                       THEN 1 ELSE 0 END AS nw
+           FROM marked
+         ), isl2 AS (
+           SELECT doc_id, pos, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+           FROM isl
+         ), spans AS (
+           SELECT doc_id, min(pos) AS s, max(e) AS en
+           FROM isl2 GROUP BY doc_id, island
+         ), per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(en - s + 1) AS BIGINT) AS contam_chars
+           FROM spans GROUP BY doc_id
+         )
+         SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                CAST(length(t.text) AS BIGINT) AS n_chars,
+                coalesce(p.n_spans, 0) AS n_spans,
+                coalesce(p.contam_chars, 0) AS contam_chars,
+                CASE WHEN length(t.text) > 0
+                     THEN coalesce(p.contam_chars, 0) * 1000000
+                          // length(t.text)
+                     ELSE 0 END AS contam_frac_micros
+         FROM tr t LEFT JOIN per p ON p.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     "q228_lorenz_deciles" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

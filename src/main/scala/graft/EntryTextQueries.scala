@@ -847,4 +847,23 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         col("n_cut"), md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
 
+  /** Substring-level DECONTAMINATION
+    * ([[graft.operators.SuffixDedup.substringContamination]],
+    * minLen 30): per train doc, the verbatim ≥30-char overlap mass
+    * with the eval slice (doc_id % 19 = 0 plus the planted
+    * passage-at-origin doc) — the ExactSubstr leakage criterion
+    * beside the fixed-feature gates (q58 exact token membership,
+    * q103 Bloom, q145 embedding cosine). The planted cross-doc
+    * passage plus the corpus's natural dup twins put deterministic
+    * mass on the contaminated branch. One gram-keyed semi join —
+    * eval is never broadcast by assumption. */
+  private[graft] def q232(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithLongDup(s, dir)
+    val isEval = col("doc_id") % 19 === 0 || col("doc_id") === 20000003L
+    graft.operators.SuffixDedup.substringContamination(
+        corpus.filter(!isEval), corpus.filter(isEval),
+        "doc_id", "text", minLen = 30)
+      .orderBy("doc_id")
+  }
+
 }

@@ -232,6 +232,58 @@ object SuffixDedup {
       .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"))
   }
 
+  /** SUBSTRING-LEVEL DECONTAMINATION report: per train doc, the
+    * characters covered by any ≥ `minLen` substring that ALSO
+    * appears anywhere in the eval corpus — the ExactSubstr
+    * counterpart of the n-gram membership gates (q58/q103's exact
+    * and Bloom token tests, q145's embedding cosine): those ask "do
+    * train and eval share a fixed-size feature", this measures the
+    * VERBATIM overlap mass itself, the published eval-leakage
+    * criterion (Lee et al. 2021 decontaminate exactly this way).
+    *
+    * Same coverage reduction as [[scrubRepeatedSubstrings]]: a train
+    * char sits inside an ≥ L shared substring iff a duplicated
+    * L-gram window covers it where "duplicated" here means "present
+    * in eval" — so the whole report is ONE gram-keyed left-semi join
+    * against the distinct eval gram set, a per-doc island window,
+    * and a doc-keyed left join back; no suffix sort, nothing
+    * quadratic, eval never broadcast by assumption (the join is
+    * gram-keyed, so a 100× eval set just shards).
+    *
+    * Output: (doc, n_chars, n_spans, contam_chars,
+    * contam_frac_micros) for EVERY train doc — clean and short docs
+    * report zeros. */
+  def substringContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    def grams(df: DataFrame): DataFrame = {
+      val len = length(col(textCol))
+      df.filter(len >= minLen)
+        .select(col(idCol).as("__doc"), col(textCol).as("__t"),
+          explode(sequence(lit(1), len - (minLen - 1))).as("__pos"))
+        .select(col("__doc"), col("__pos").cast("long").as("__pos"),
+          col("__t").substr(col("__pos"), lit(minLen)).as("__g"))
+    }
+    val evalGrams = grams(eval).select(col("__g")).distinct()
+    val marks = grams(train).join(evalGrams, Seq("__g"), "left_semi")
+      .select(col("__doc"), col("__pos"),
+        (col("__pos") + lit(minLen.toLong) - 1).as("__end"))
+    val perDoc = islandSpans(marks)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1).as("contam_chars"))
+    train
+      .select(col(idCol).as("__doc"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        when(col("n_chars") > 0,
+          expr("coalesce(contam_chars, 0) * 1000000 div n_chars"))
+          .otherwise(lit(0L)).as("contam_frac_micros"))
+  }
+
   /** SCRUB non-first occurrences of every ≥ `minLen` repeated
     * substring and reassemble the corpus — the ExactSubstr cleaning
     * pass with a DETERMINISTIC keep-first contract: for each

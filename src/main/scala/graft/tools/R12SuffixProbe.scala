@@ -77,6 +77,11 @@ object R12SuffixProbe {
       time("q231 scrub", kDir)(d =>
         SuffixDedup.scrubRepeatedSubstrings(d, "doc_id", "text",
           minLen = 25).count())
+      time("q232 decontaminate", kDir) { d =>
+        val isEval = col("doc_id") % 19 === 0
+        SuffixDedup.substringContamination(d.filter(!isEval),
+          d.filter(isEval), "doc_id", "text", minLen = 30).count()
+      }
     }
     spark.stop()
   }

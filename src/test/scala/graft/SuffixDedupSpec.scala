@@ -152,6 +152,27 @@ class SuffixDedupSpec extends SparkSpec with Matchers {
     out(4L)._1 shouldBe planted(3)._2.length.toLong
   }
 
+  test("substringContamination: train chars covered by eval-shared " +
+      ">=L substrings; clean train docs report zeros; within-train " +
+      "repeats do NOT count; matches hand arithmetic") {
+    // eval = doc 2 (carries P); train = docs 1, 3, 4
+    val evalDf = planted.filter(_._1 == 2L).toDF("doc_id", "text")
+    val trainDf = planted.filter(_._1 != 2L).toDF("doc_id", "text")
+      .repartition(3)
+    val out = SuffixDedup.substringContamination(trainDf, evalDf,
+        "doc_id", "text", minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out.keySet shouldBe Set(1L, 3L, 4L)
+    // doc 1 shares " " + P + " " (60 chars) with eval doc 2: one span
+    val len1 = planted(0)._2.length.toLong
+    out(1L) shouldBe ((len1, 1L, 60L, 60L * 1000000L / len1))
+    // doc 3 shares nothing; doc 4's Q repeat is WITHIN train only —
+    // never flagged (contamination is vs eval, not self-dup)
+    out(3L) shouldBe ((planted(2)._2.length.toLong, 0L, 0L, 0L))
+    out(4L) shouldBe ((planted(3)._2.length.toLong, 0L, 0L, 0L))
+  }
+
   test("scrubRepeatedSubstrings matches a brute-force scrub on the " +
       "random corpus, any partitioning") {
     val rnd = new scala.util.Random(7)

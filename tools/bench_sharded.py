@@ -30,6 +30,23 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CLASSPATH = os.path.join(ROOT, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
 
+# the same JVM flags build.sbt's forked `run` uses — Spark 4 on JDK 17
+# needs the module opens when SparkSession is created outside
+# spark-submit (q44's MLlib Word2Vec path fails without them), and the
+# heap/TZ flags keep walls comparable with the sbt-launched board
+JAVA_OPTS = sum((["--add-opens", p + "=ALL-UNNAMED"] for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]), []) + [
+    "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+    "-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "8g"),
+]
+
 
 def query_names():
     src = open(os.path.join(
@@ -46,7 +63,7 @@ def run_shard(names, sf, cpus, reps):
                SPARK_GRAFT_REPS=str(reps),
                SPARK_GRAFT_BENCH_ONLY=",".join(names))
     out = subprocess.run(
-        ["java", "-cp", CLASSPATH, "graft.Bench"],
+        ["java"] + JAVA_OPTS + ["-cp", CLASSPATH, "graft.Bench"],
         env=env, cwd=ROOT, capture_output=True, text=True)
     for line in out.stdout.splitlines():
         if line.startswith('{"metric"'):
