@@ -92,7 +92,28 @@ def compare(a_path, b_path, tol):
     return 1 if bad else 0
 
 
+def merge_min(out_path, paths):
+    docs = [json.load(open(p)) for p in paths]
+    keys = set(docs[0]["queries"])
+    for d in docs[1:]:
+        keys &= set(d["queries"])
+    merged = {q: min(d["queries"][q] for d in docs) for q in sorted(keys)}
+    failed = sorted({f for d in docs for f in d.get("failed", [])})
+    doc = {"metric": "total", "value": round(sum(merged.values()), 3),
+           "unit": "sec", "queries": merged, "failed": failed,
+           "sf": docs[0].get("sf"), "shards": docs[0].get("shards"),
+           "reps": docs[0].get("reps"), "merged_runs": len(docs)}
+    with open(out_path, "w") as f:
+        json.dump(doc, f)
+    print(f"{out_path}: element-wise min of {len(docs)} runs, "
+          f"{len(merged)} queries, total {doc['value']:.1f}s")
+
+
 def main():
+    if "--merge-min" in sys.argv:
+        i = sys.argv.index("--merge-min")
+        merge_min(sys.argv[i + 1], sys.argv[i + 2:])
+        return
     if "--compare" in sys.argv:
         i = sys.argv.index("--compare")
         tol = 0.05
