@@ -3168,6 +3168,45 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                      ELSE 0 END AS contam_frac_micros
          FROM tr t LEFT JOIN per p ON p.doc_id = t.doc_id
          ORDER BY t.doc_id""",
+    "q233_self_lrs" ->
+      s"""WITH $suffixCorpusCte, suf AS (
+           SELECT doc_id,
+                  CAST(unnest(range(1, length(text) - 13)) AS BIGINT) AS pos,
+                  text
+           FROM corpus WHERE length(text) >= 15
+         ), sufp AS (
+           SELECT doc_id, pos,
+                  substr(text, CAST(pos AS INTEGER), 128) AS pref
+           FROM suf
+         ), nb AS (
+           SELECT doc_id, pos AS pos_b, pref AS pref_b,
+                  lag(pos) OVER w AS pos_a, lag(pref) OVER w AS pref_a
+           FROM sufp WINDOW w AS (PARTITION BY doc_id ORDER BY pref, pos)
+         ), pairs AS (
+           SELECT doc_id, pos_a, pos_b,
+                  CAST(coalesce(list_min(
+                    [i FOR i IN range(1, least(length(pref_a),
+                                                length(pref_b)) + 1)
+                       IF pref_a[i:i] <> pref_b[i:i]]) - 1,
+                    least(length(pref_a), length(pref_b))) AS BIGINT) AS lcp
+           FROM nb
+           WHERE pos_a IS NOT NULL
+             AND substr(pref_a, 1, 15) = substr(pref_b, 1, 15)
+         ), win AS (
+           SELECT doc_id, lcp AS lrs_len, pos_a, pos_b FROM pairs
+           WHERE lcp >= 15
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY lcp DESC, pos_a, pos_b) = 1
+         )
+         SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                CAST(length(c.text) AS BIGINT) AS n_chars,
+                coalesce(w.lrs_len, 0) AS lrs_len, w.pos_a, w.pos_b,
+                CASE WHEN length(c.text) > 0
+                     THEN coalesce(w.lrs_len, 0) * 1000000
+                          // length(c.text)
+                     ELSE 0 END AS lrs_frac_micros
+         FROM corpus c LEFT JOIN win w ON w.doc_id = c.doc_id
+         ORDER BY c.doc_id""",
     "q228_lorenz_deciles" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

@@ -866,4 +866,19 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** Per-doc self-LRS ([[graft.operators.SuffixDedup.selfLongestRepeat]],
+    * minLen 15): each document's longest INTERNALLY-repeated
+    * substring with exact length and both occurrence positions — the
+    * worst-single-template-run quality signal beside the fixed-gram
+    * repetition fractions (q84) and the corpus-wide repeats (q229).
+    * Doc-leading suffix order: each doc's suffixes are one
+    * contiguous sorted run, so the per-doc maximum reads off
+    * adjacent pairs; the planted within-doc passage doc reports its
+    * repeat exactly. */
+  private[graft] def q233(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.selfLongestRepeat(
+        corpusWithLongDup(s, dir), "doc_id", "text",
+        minLen = 15, maxLcp = 128)
+      .orderBy("doc_id")
+
 }

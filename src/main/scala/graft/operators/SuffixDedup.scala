@@ -232,6 +232,79 @@ object SuffixDedup {
       .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"))
   }
 
+  /** Per-doc SELF-LRS: the length (and occurrence positions) of each
+    * document's longest INTERNALLY-repeated substring ≥ `minLen` —
+    * the arbitrary-length upgrade of fixed-gram repetition fractions
+    * (the Gopher/RefinedWeb repetition rules measure duplicate
+    * line/n-gram MASS; this measures the worst single template run,
+    * the spam/boilerplate-loop signature). Exact up to `maxLcp`.
+    *
+    * Same machinery as the corpus pass with `doc` as the LEADING
+    * sort key: each doc's suffixes form one contiguous run, so
+    * within-run adjacency IS that doc's own suffix order and the
+    * per-doc maximal LCP reads off adjacent pairs (cross-doc
+    * boundary pairs are discarded — their prefix comparison is
+    * meaningless under the doc-first order). The seed filter
+    * becomes per-(doc, gram): only positions whose gram repeats
+    * WITHIN their doc survive — output-identical by the per-doc
+    * restriction of the same interval argument.
+    *
+    * Output: (doc, n_chars, lrs_len, pos_a, pos_b,
+    * lrs_frac_micros) for EVERY doc — repeat-free docs report
+    * (0, NULL, NULL, 0). pos_a precedes pos_b in SUFFIX order (not
+    * numerically); max-lcp ties break to the smallest
+    * (pos_a, pos_b) pair. */
+  def selfLongestRepeat(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxLcp: Int = 128): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(maxLcp >= minLen, "maxLcp must be >= minLen")
+    val len = length(col(textCol))
+    val base = docs.filter(len >= minLen)
+      .select(col(idCol).as("__doc"), col(textCol).as("__t"))
+    val gramRows = base
+      .select(col("__doc"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (minLen - 1)))
+          .as("__pos"))
+      .select(col("__doc"), col("__pos").cast("long").as("__pos"),
+        col("__t").substr(col("__pos"), lit(minLen)).as("__g"))
+    val dup = gramRows.groupBy(col("__doc"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("__doc"), col("__g"))
+    val survivors = gramRows.join(dup, Seq("__doc", "__g"), "left_semi")
+      .select(col("__doc"), col("__pos"))
+    val suff = survivors.join(base, Seq("__doc"))
+      .select(col("__doc"), col("__pos"),
+        col("__t").substr(col("__pos"), lit(maxLcp)).as("__pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Layout
+      .sortedNeighborPairs(suff, Seq("__doc", "__pref", "__pos"))
+      .filter(col("a___doc") === col("b___doc"))
+      .select(col("a___doc").as("__doc"), col("a___pos").as("pos_a"),
+        col("b___pos").as("pos_b"),
+        lcpOf(col("a___pref"), col("b___pref")).as("lcp"))
+      .filter(col("lcp") >= minLen)
+    val best = pairs.groupBy(col("__doc")).agg(max(col("lcp")).as("lrs_len"))
+      .withColumnRenamed("__doc", "__bd")
+    val winners = pairs
+      .join(best, col("__doc") === col("__bd") &&
+        col("lcp") === col("lrs_len"))
+      .groupBy(col("__doc"), col("lrs_len"))
+      .agg(min(struct(col("pos_a"), col("pos_b"))).as("__w"))
+      .select(col("__doc"), col("lrs_len"),
+        col("__w.pos_a").as("pos_a"), col("__w.pos_b").as("pos_b"))
+    docs
+      .select(col(idCol).as("__doc"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(winners, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol), col("n_chars"),
+        coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
+        col("pos_a"), col("pos_b"),
+        when(col("n_chars") > 0,
+          expr("coalesce(lrs_len, 0) * 1000000 div n_chars"))
+          .otherwise(lit(0L)).as("lrs_frac_micros"))
+  }
+
   /** SUBSTRING-LEVEL DECONTAMINATION report: per train doc, the
     * characters covered by any ≥ `minLen` substring that ALSO
     * appears anywhere in the eval corpus — the ExactSubstr

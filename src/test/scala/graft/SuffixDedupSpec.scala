@@ -173,6 +173,37 @@ class SuffixDedupSpec extends SparkSpec with Matchers {
     out(4L) shouldBe ((planted(3)._2.length.toLong, 0L, 0L, 0L))
   }
 
+  test("selfLongestRepeat: within-doc repeat found with exact length " +
+      "and positions; cross-doc repeats NEVER count; repeat-free docs " +
+      "report zeros; partition-invariant") {
+    val docs = planted.toDF("doc_id", "text").repartition(3)
+    val out = SuffixDedup.selfLongestRepeat(docs, "doc_id", "text",
+        minLen = 20, maxLcp = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    // docs 1-3: P is shared CROSS-doc only — no internal repeat
+    Seq(1L, 2L, 3L).foreach { d =>
+      withClue(s"doc $d") { out(d)._2 shouldBe 0L; out(d)._3 shouldBe None }
+    }
+    // doc 4: " " + Q repeats internally (32 chars at positions 6 and
+    // 47). Positions come out in SUFFIX order, not numeric order:
+    // the pos-47 suffix continues "...coda" and the pos-6 suffix
+    // "...interlude", and 'c' < 'i', so 47 precedes 6.
+    val len4 = planted(3)._2.length.toLong
+    out(4L) shouldBe ((len4, (Q.length + 1).toLong, Some(47L), Some(6L),
+      (Q.length + 1).toLong * 1000000L / len4))
+    // partition invariance
+    SuffixDedup.selfLongestRepeat(
+        planted.toDF("doc_id", "text").repartition(1),
+        "doc_id", "text", minLen = 20, maxLcp = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .apply(4L) shouldBe (Q.length + 1).toLong
+  }
+
   test("scrubRepeatedSubstrings matches a brute-force scrub on the " +
       "random corpus, any partitioning") {
     val rnd = new scala.util.Random(7)
