@@ -664,16 +664,25 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * kernel-sharing pattern lifted to a materialized frame;
     * [[graft.operators.Graph.labelPropagation]] ends in an eager
     * `localCheckpoint`, so the memoized DataFrame is a cached block
-    * set, not a lazy lineage that would re-run). Keyed by session
-    * identity + dir so sf0.01 and sf0.1 runs in one JVM don't
-    * collide and a restarted session can't serve stale blocks. */
+    * set, not a lazy lineage that would re-run). Keyed by
+    * `applicationId` + dir: the appId is unique per SparkContext
+    * (collision-free across context restarts, unlike an
+    * identityHashCode, which a post-GC session can reuse), and
+    * sibling sessions of one live context may share the frame —
+    * checkpoint blocks live in the context's block manager, not the
+    * session. Entries whose owning context has stopped are evicted
+    * on every access, so the map stays bounded across restarts in
+    * one JVM and can never serve blocks of a dead context. */
   private val lpaLabelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    lpaLabelMemo.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
     lpaLabelMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
+      s"${s.sparkContext.applicationId}:$dir",
       _ => Graph.labelPropagation(partChainEdges(s, dir, withW = false),
         "src", "dst", rounds = 3))
+  }
 
   /** Label-propagation communities
     * ([[graft.operators.Graph.labelPropagation]], 3 synchronous

@@ -802,9 +802,11 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
 
   /** Top-20 LONGEST repeated substrings corpus-wide
     * ([[graft.operators.SuffixDedup.longestRepeatedSubstrings]]):
-    * suffix ordinals over one 640-char fixed-width prefix column
-    * ([[graft.operators.Layout.globalOrdinals]] — one range shuffle,
-    * no driver sort), adjacent-pair LCP via the codegen'd
+    * adjacent suffix pairs straight off the range sort of one
+    * 640-char fixed-width prefix column
+    * ([[graft.operators.Layout.sortedNeighborPairs]] — one range
+    * shuffle, a one-row-per-partition boundary exchange, no ordinal
+    * attach, no driver sort), adjacent-pair LCP via the codegen'd
     * [[graft.functions.LcpExpr]], TakeOrdered top-k. The 640-char
     * depth exceeds every doc in this corpus, so every reported
     * length is EXACT — the suffix-array deliverable n-gram counting
@@ -874,7 +876,9 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * Doc-leading suffix order: each doc's suffixes are one
     * contiguous sorted run, so the per-doc maximum reads off
     * adjacent pairs; the planted within-doc passage doc reports its
-    * repeat exactly. */
+    * repeat exactly. Repeats longer than the 128-char cap would
+    * report lrs_len = 128 (a lower bound, per the operator's cap
+    * contract); no doc in this corpus reaches it. */
   private[graft] def q233(s: SparkSession, dir: String): DataFrame =
     graft.operators.SuffixDedup.selfLongestRepeat(
         corpusWithLongDup(s, dir), "doc_id", "text",

@@ -107,13 +107,17 @@ object SuffixDedup {
       .select(col("__doc"), col("__pos"), prev.as("__prev"),
         col("__t").substr(col("__pos"), lit(maxLcp)).as("__pref"))
       // the range partitioner downstream SAMPLES its input before the
-      // shuffle-write pass: without a persist the whole seed-filter
-      // pipeline (gram aggregate + semi join + doc join) runs twice
-      // (measured ~2× of the suffix wall at sf0.1). Survivor rows are
-      // the duplicated fraction only, so the cache is small; the
-      // ContextCleaner drops it when the result's lineage is
-      // unreachable (the globalOrdinals discipline).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // shuffle-write pass: without materialization the whole
+      // seed-filter pipeline (gram aggregate + semi join + doc join)
+      // runs twice (measured ~2× of the suffix wall at sf0.1).
+      // localCheckpoint(eager) — NOT Dataset.persist — is the
+      // CoocPowerEmbedder discipline: checkpoint blocks are RDD-scoped
+      // and the ContextCleaner reclaims them once the result's lineage
+      // is unreachable, whereas Dataset.persist registers in the
+      // CacheManager and leaks a MEMORY_AND_DISK entry per invocation
+      // until an explicit unpersist. Survivor rows are the duplicated
+      // fraction only, so the materialized set is small.
+      .localCheckpoint(true)
   }
 
   /** Adjacent-suffix LCP pairs with LCP ≥ `minLcp`: the corpus's
@@ -237,7 +241,13 @@ object SuffixDedup {
     * the arbitrary-length upgrade of fixed-gram repetition fractions
     * (the Gopher/RefinedWeb repetition rules measure duplicate
     * line/n-gram MASS; this measures the worst single template run,
-    * the spam/boilerplate-loop signature). Exact up to `maxLcp`.
+    * the spam/boilerplate-loop signature). Exact up to `maxLcp`:
+    * a self-repeat LONGER than the cap reports `lrs_len = maxLcp`
+    * with no flag, so `lrs_len` is a LOWER BOUND at the cap value
+    * and `lrs_frac_micros` is a lower bound on the true fraction —
+    * a quality GATE thresholding at some len < cap is unaffected,
+    * but a report consuming the raw lengths must treat rows at
+    * exactly the cap as "≥ cap".
     *
     * Same machinery as the corpus pass with `doc` as the LEADING
     * sort key: each doc's suffixes form one contiguous run, so
@@ -276,7 +286,10 @@ object SuffixDedup {
     val suff = survivors.join(base, Seq("__doc"))
       .select(col("__doc"), col("__pos"),
         col("__t").substr(col("__pos"), lit(maxLcp)).as("__pref"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist — see suffixRows: the range
+      // sampler would otherwise re-run the seed filter, and checkpoint
+      // blocks are ContextCleaner-reclaimed (no CacheManager leak)
+      .localCheckpoint(true)
     val pairs = Layout
       .sortedNeighborPairs(suff, Seq("__doc", "__pref", "__pos"))
       .filter(col("a___doc") === col("b___doc"))

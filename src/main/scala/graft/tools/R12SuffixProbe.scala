@@ -10,9 +10,12 @@ import graft.operators.SuffixDedup
   *
   *   - ROTATED: replica i's text passes through an alphabet rotation
   *     by i (injective char map — within-replica duplicate structure
-  *     is preserved exactly, cross-replica collisions are nil), so
-  *     the duplicated mass scales k× the way independent crawl
-  *     shards would. This is the natural-growth row.
+  *     is preserved exactly; cross-replica collisions are limited to
+  *     substrings with NO lowercase letter, since only a-z rotates —
+  *     negligible here where the corpus is lowercase words, but not
+  *     strictly nil for digit/punctuation-only runs), so the
+  *     duplicated mass scales ~k× the way independent crawl shards
+  *     would. This is the natural-growth row.
   *   - FLOOD: k verbatim copies of every doc (doc_id shifted) — the
   *     adversarial whole-corpus-duplicated regime. Every suffix
   *     passes the seed filter, so this prices the UNFILTERED wide

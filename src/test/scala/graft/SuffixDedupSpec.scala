@@ -204,6 +204,19 @@ class SuffixDedupSpec extends SparkSpec with Matchers {
       .apply(4L) shouldBe (Q.length + 1).toLong
   }
 
+  test("selfLongestRepeat: a self-repeat LONGER than maxLcp reports the " +
+      "cap (lrs_len is a lower bound at the cap value — documented " +
+      "contract), and lrs_frac_micros derives from the capped length") {
+    val docs = planted.toDF("doc_id", "text")
+    // doc 4's true self-repeat is " " + Q = 32 chars; cap at 20
+    val out = SuffixDedup.selfLongestRepeat(docs, "doc_id", "text",
+        minLen = 20, maxLcp = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    val len4 = planted(3)._2.length.toLong
+    out(4L)._1 shouldBe 20L // capped, not 32
+    out(4L)._2 shouldBe 20L * 1000000L / len4 // frac is the capped lower bound
+  }
+
   test("scrubRepeatedSubstrings matches a brute-force scrub on the " +
       "random corpus, any partitioning") {
     val rnd = new scala.util.Random(7)
