@@ -102,6 +102,49 @@ private[graft] trait EntryBase { this: SparkEntry.type =>
         .toDF("doc_id", "text"))
   }
 
+  /** The cross-doc boilerplate paragraph planted by [[htmlCorpus]] —
+    * prose-shaped (passes the density rules) so only the cross-doc
+    * frequency criterion can catch it; shared verbatim with the
+    * q234-q237 oracles. */
+  private[graft] val htmlDisclaimer =
+    "this disclaimer paragraph repeats on every page of the site"
+
+  /** Synthetic crawl-HTML corpus for the extraction family
+    * (q234-q237): every document's text wrapped in a site template
+    * with planted boilerplate (nav / footer / promo / disclaimer),
+    * hostile markup (script containing fake tags and a quoted '>',
+    * a comment hiding a fake block tag, a quoted attribute '>', a
+    * literal '<' in text), entities (&amp; &#65; &#x42; plus the
+    * out-of-table &copy; which must stay literal), and a CDATA
+    * section on the mod-7 branch. The engine PARSES this generically
+    * ([[graft.functions.HtmlBlocksExpr]]); the oracle never parses —
+    * it rebuilds the expected block set from the same construction
+    * arithmetic, so a hash match certifies the parser recovered the
+    * plant exactly through all the hostile markup. */
+  private[graft] def htmlCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { color: red; }</style>" +
+        "<script>if (x < 2 && y > \"a>b\") { tag = \"<div>\"; }</script>" +
+        "</head><body data-x=\"a>b\"><!-- <p>commented out block</p> -->" +
+        "<nav><a href=\"/h\">home</a> <a href=\"/a\">about pages</a>"),
+      when(col("doc_id") % 3 === 0, lit(" <a href=\"/c\">contact us</a>"))
+        .otherwise(lit("")),
+      lit("</nav><div class=\"main\">"), col("text"),
+      lit(" &amp; tail &#65;&#x42; marker"),
+      when(col("doc_id") % 7 === 0, lit("<![CDATA[ raw < & data]]>"))
+        .otherwise(lit("")),
+      lit("</div>"),
+      when(col("doc_id") % 5 === 0,
+        lit("<p><a href=\"/buy\">buy now</a> limited offer</p>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<p>summary: "), substring(col("text"), 1, 40),
+          lit(" 1 < 2 ok</p>"))).otherwise(lit("")),
+      lit(s"<p>$htmlDisclaimer</p>" +
+        "<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a>" +
+        " &copy; 2026</footer></body></html>")).as("html"))
+
   /** One planted PII string per category (doc_id mod 7 picks the
     * class) so every [[Scrub.piiPatterns]] regex fires inside the
     * hash check — the q41 planting pattern. Shared verbatim with the

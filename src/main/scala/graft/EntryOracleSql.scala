@@ -63,6 +63,78 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
        |             AS v(doc_id, text)
        |         )""".stripMargin
 
+  /** The q234-q237 expected-block set, rebuilt from [[htmlCorpus]]'s
+    * construction arithmetic — the oracle never parses HTML: it knows
+    * exactly which blocks the planted template yields per doc (title,
+    * nav variant, main div with the decoded entity/CDATA tails, the
+    * mod-5 promo, the mod-4 summary, the disclaimer, the footer),
+    * with block indices shifted by the optional branches. `n_chars`
+    * counts non-space chars (document texts are single-spaced ASCII
+    * with no tabs/newlines — verified at all SFs); the regexp
+    * collapse mirrors the parser's whitespace-run collapsing at the
+    * summary's substr(40) junction. */
+  private def htmlBlocksCte: String =
+    s"""d AS (SELECT doc_id, text FROM documents
+       |         ), b AS (
+       |           SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+       |                  'Doc ' || CAST(doc_id AS VARCHAR) AS raw,
+       |                  CAST(0 AS BIGINT) AS link_chars
+       |           FROM d
+       |           UNION ALL
+       |           SELECT doc_id, CAST(1 AS BIGINT),
+       |                  'home about pages' || CASE WHEN doc_id % 3 = 0
+       |                    THEN ' contact us' ELSE '' END,
+       |                  CAST(CASE WHEN doc_id % 3 = 0 THEN 23 ELSE 14 END
+       |                    AS BIGINT)
+       |           FROM d
+       |           UNION ALL
+       |           SELECT doc_id, CAST(2 AS BIGINT),
+       |                  text || ' & tail AB marker' ||
+       |                    CASE WHEN doc_id % 7 = 0
+       |                      THEN ' raw < & data' ELSE '' END,
+       |                  CAST(0 AS BIGINT)
+       |           FROM d
+       |           UNION ALL
+       |           SELECT doc_id, CAST(3 AS BIGINT), 'buy now limited offer',
+       |                  CAST(6 AS BIGINT)
+       |           FROM d WHERE doc_id % 5 = 0
+       |           UNION ALL
+       |           SELECT doc_id,
+       |                  CAST(3 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+       |                    AS BIGINT),
+       |                  'summary: ' || substr(text, 1, 40) || ' 1 < 2 ok',
+       |                  CAST(0 AS BIGINT)
+       |           FROM d WHERE doc_id % 4 = 0
+       |           UNION ALL
+       |           SELECT doc_id,
+       |                  CAST(3 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+       |                         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+       |                    AS BIGINT),
+       |                  '$htmlDisclaimer', CAST(0 AS BIGINT)
+       |           FROM d
+       |           UNION ALL
+       |           SELECT doc_id,
+       |                  CAST(4 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+       |                         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+       |                    AS BIGINT),
+       |                  'terms privacy &copy; 2026', CAST(12 AS BIGINT)
+       |           FROM d
+       |         ), blk AS (
+       |           SELECT doc_id, block_idx,
+       |                  trim(regexp_replace(raw, ' +', ' ', 'g')) AS text,
+       |                  CAST(length(replace(raw, ' ', '')) AS BIGINT)
+       |                    AS n_chars,
+       |                  link_chars
+       |           FROM b
+       |         ), rep AS (
+       |           SELECT doc_id, block_idx, text, n_chars, link_chars,
+       |                  link_chars * 1000000 // n_chars
+       |                    AS link_density_micros,
+       |                  (n_chars >= 10 AND
+       |                   link_chars * 1000000 // n_chars <= 300000) AS kept
+       |           FROM blk
+       |         )""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3207,6 +3279,60 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                      ELSE 0 END AS lrs_frac_micros
          FROM corpus c LEFT JOIN win w ON w.doc_id = c.doc_id
          ORDER BY c.doc_id""",
+    "q234_html_blocks" ->
+      s"""WITH $htmlBlocksCte
+         SELECT doc_id, block_idx, text, n_chars, link_chars,
+                link_density_micros, kept
+         FROM rep ORDER BY doc_id, block_idx""",
+    "q235_html_extract" ->
+      s"""WITH $htmlBlocksCte, tot AS (
+           SELECT doc_id, count(*) AS n_blocks FROM rep GROUP BY doc_id
+         ), k AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  CAST(sum(n_chars) AS BIGINT) AS main_chars,
+                  string_agg(text, chr(10) ORDER BY block_idx) AS main_text
+           FROM rep WHERE kept GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(t.n_blocks, 0) AS BIGINT) AS n_blocks,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(coalesce(k.main_chars, 0) AS BIGINT) AS main_chars,
+                coalesce(k.main_text, '') AS main_text
+         FROM (SELECT DISTINCT doc_id FROM d) d
+         LEFT JOIN tot t ON t.doc_id = d.doc_id
+         LEFT JOIN k ON k.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q236_boilerplate_blocks" ->
+      s"""WITH $htmlBlocksCte
+         SELECT text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                count(*) AS n_occurrences
+         FROM blk GROUP BY text
+         HAVING count(DISTINCT doc_id) >= 10
+         ORDER BY n_docs DESC, text""",
+    "q237_html_extract_df" ->
+      s"""WITH $htmlBlocksCte, boiler AS (
+           SELECT text FROM blk GROUP BY text
+           HAVING count(DISTINCT doc_id) >= 10
+         ), surv AS (
+           SELECT * FROM rep
+           WHERE kept AND text NOT IN (SELECT text FROM boiler)
+         ), tot AS (
+           SELECT doc_id, count(*) AS n_blocks FROM rep GROUP BY doc_id
+         ), k AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  CAST(sum(n_chars) AS BIGINT) AS main_chars,
+                  string_agg(text, chr(10) ORDER BY block_idx) AS main_text
+           FROM surv GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(t.n_blocks, 0) AS BIGINT) AS n_blocks,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(coalesce(k.main_chars, 0) AS BIGINT) AS main_chars,
+                coalesce(k.main_text, '') AS main_text
+         FROM (SELECT DISTINCT doc_id FROM d) d
+         LEFT JOIN tot t ON t.doc_id = d.doc_id
+         LEFT JOIN k ON k.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q228_lorenz_deciles" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

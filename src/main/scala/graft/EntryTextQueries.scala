@@ -885,4 +885,50 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         minLen = 15, maxLcp = 128)
       .orderBy("doc_id")
 
+  /** HTML block segmentation + density report
+    * ([[graft.operators.Extract.blockReport]] over [[htmlCorpus]]):
+    * per block, the collapsed text, non-whitespace codepoint count,
+    * link-char count, exact integer link density, and the
+    * jusText-style keep/drop verdict. The parse runs the full
+    * hostile-markup gauntlet (script with fake tags, comment-hidden
+    * blocks, quoted-attribute '>', literal '<', entities, CDATA);
+    * the oracle rebuilds every expected block from the plant's
+    * construction arithmetic without parsing anything. */
+  private[graft] def q234(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.blockReport(htmlCorpus(s, dir),
+        "doc_id", "html", minChars = 10, maxLinkDensityMicros = 300000L)
+      .orderBy("doc_id", "block_idx")
+
+  /** Per-doc main-content extraction under the local density rules
+    * ([[graft.operators.Extract.mainContent]]): the C4/jusText
+    * cleaning pass — article body (and the prose-shaped planted
+    * disclaimer, which local rules CANNOT catch — q237 closes that
+    * gap) kept verbatim; titles, nav, promo, footer scrubbed. */
+  private[graft] def q235(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.mainContent(htmlCorpus(s, dir),
+        "doc_id", "html", minChars = 10, maxLinkDensityMicros = 300000L)
+      .orderBy("doc_id")
+
+  /** Cross-doc boilerplate table
+    * ([[graft.operators.Extract.boilerplateBlocks]], minDocs 10):
+    * blocks whose exact collapsed text recurs in ≥10 distinct docs —
+    * the site-template report (nav variants, footer, promo,
+    * disclaimer); article bodies and summaries stay below the
+    * threshold (max natural text-dup cluster is 2). */
+  private[graft] def q236(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.boilerplateBlocks(htmlCorpus(s, dir),
+        "doc_id", "html", minDocs = 10L)
+      .orderBy(desc("n_docs"), col("text"))
+
+  /** Main content under BOTH boilerplate criteria
+    * ([[graft.operators.Extract.mainContentDf]]): density rules plus
+    * the CCNet-style cross-doc frequency rule — the planted
+    * disclaimer that q235 keeps (it reads like prose) is dropped
+    * here because it recurs across the whole corpus. */
+  private[graft] def q237(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.mainContentDf(htmlCorpus(s, dir),
+        "doc_id", "html", minChars = 10, maxLinkDensityMicros = 300000L,
+        minDocs = 10L)
+      .orderBy("doc_id")
+
 }

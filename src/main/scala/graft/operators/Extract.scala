@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML MAIN-CONTENT EXTRACTION — the canonical pipeline stage
+  * upstream of every clean-text operator in the engine: raw crawl
+  * markup → segmented text blocks → boilerplate-scrubbed main
+  * content. Every published LLM corpus assembly (C4, RefinedWeb,
+  * Gopher; the jusText/boilerpipe lineage) opens with exactly this
+  * pass; the engine's curation capstones (q73/q98/q136/q159) all
+  * assume its OUTPUT (a plain-text `documents` table) already
+  * exists. Reference capability anchor: the reference pipeline
+  * consumes already-clean sheet text (`asctb_data_wrangling.py`),
+  * so this family is part of the beyond-reference 100 TB surface,
+  * not a port.
+  *
+  * Two independent, composable boilerplate criteria, both
+  * INTEGER-EXACT so oracles replay them verbatim:
+  *
+  *  - LOCAL DENSITY RULES (jusText-style, per block, no shuffle):
+  *    drop a block when it is too short (`n_chars < minChars`) or
+  *    too link-dense (`link_chars * 1e6 div n_chars >
+  *    maxLinkDensityMicros`) — navigation, button bars, footers;
+  *  - CROSS-DOC FREQUENCY (CCNet/RefinedWeb line-dedup style, one
+  *    gram^W block-text keyed aggregate): drop a block whose exact
+  *    collapsed text appears in ≥ `minDocs` DISTINCT documents —
+  *    site templates, disclaimers, cookie banners that local rules
+  *    cannot see because they look like prose.
+  *
+  * Parsing itself (tag/script/comment strip, entity decode, block
+  * segmentation, per-block link-char counts) is ONE codegen
+  * projection per document — [[graft.functions.HtmlBlocksExpr]],
+  * which documents the exact state-machine contract.
+  *
+  * 100 TB POSTURE: block segmentation and the density rules are
+  * embarrassingly parallel (no shuffle at all — the explode stays
+  * inside the stage). The frequency pass adds one aggregate keyed on
+  * the block text and one left-anti join back, both partitioned by
+  * the same key, and block texts are bounded by document size — the
+  * same shape as the exact-dedup family ([[Dedup]]). Nothing is
+  * collected to the driver; nothing is quadratic.
+  */
+object Extract {
+
+  private def blocksCol(htmlCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.HtmlBlocksExpr(toExpression(htmlCol)))
+  }
+
+  /** Segmented text blocks, one row per non-empty block in document
+    * order: (idCol, block_idx, text, n_chars, link_chars) with
+    * 0-based block_idx. Docs whose markup yields no text emit no
+    * rows. */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(blocksCol(col(htmlCol))).as(Seq("block_idx", "__b")))
+      .select(col(idCol), col("block_idx").cast("long").as("block_idx"),
+        col("__b.text").as("text"), col("__b.n_chars").as("n_chars"),
+        col("__b.link_chars").as("link_chars"))
+
+  /** Per-block keep/drop report under the local density rules:
+    * (idCol, block_idx, text, n_chars, link_chars,
+    * link_density_micros, kept). `link_density_micros` is the exact
+    * integer `link_chars * 1000000 div n_chars` (n_chars ≥ 1 for
+    * every emitted block, so the division is total); `kept` is
+    * `n_chars >= minChars AND density <= maxLinkDensityMicros`. */
+  def blockReport(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 10, maxLinkDensityMicros: Long = 300000L): DataFrame = {
+    require(minChars >= 1, "minChars must be >= 1")
+    htmlBlocks(df, idCol, htmlCol)
+      .withColumn("link_density_micros",
+        expr("link_chars * 1000000 div n_chars"))
+      .withColumn("kept",
+        col("n_chars") >= minChars &&
+          col("link_density_micros") <= maxLinkDensityMicros)
+  }
+
+  /** Per-document main content under the local density rules:
+    * (idCol, n_blocks, n_kept, main_chars, main_text) for EVERY
+    * input document — text-free markup reports (0, 0, 0, "").
+    * `main_chars` is the total non-whitespace codepoints of the kept
+    * blocks; `main_text` joins kept block texts with '\n' in
+    * document order. */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 10, maxLinkDensityMicros: Long = 300000L): DataFrame =
+    rollup(df, idCol,
+      blockReport(df, idCol, htmlCol, minChars, maxLinkDensityMicros))
+
+  /** Cross-document boilerplate table: blocks whose exact collapsed
+    * text appears in ≥ `minDocs` distinct documents —
+    * (text, n_docs, n_occurrences), the site-template report. One
+    * aggregate keyed on the block text. */
+  def boilerplateBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 flags everything)")
+    htmlBlocks(df, idCol, htmlCol)
+      .groupBy(col("text"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Main content under BOTH criteria: the density rules plus the
+    * cross-doc frequency rule (a block in ≥ `minDocs` distinct docs
+    * is boilerplate even when it reads like prose — the disclaimer/
+    * cookie-banner case local rules cannot catch). Same output shape
+    * as [[mainContent]]; `n_blocks`/`n_kept` count all blocks and
+    * the doubly-filtered survivors. The frequency set is derived
+    * from the SAME corpus (self-referential, like line-dedup in
+    * CCNet) — one block-text-keyed aggregate + one left-anti join. */
+  def mainContentDf(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 10, maxLinkDensityMicros: Long = 300000L,
+      minDocs: Long = 10L): DataFrame = {
+    val rep = blockReport(df, idCol, htmlCol, minChars, maxLinkDensityMicros)
+    val boiler = boilerplateBlocks(df, idCol, htmlCol, minDocs)
+      .select(col("text"))
+    // left-anti join is the scale-safe "not in boilerplate set": both
+    // sides shuffle on the block text, no broadcast of an unbounded set
+    val surviving = rep.filter(col("kept"))
+      .join(boiler, Seq("text"), "left_anti")
+    rollupBoth(df, idCol, rep, surviving)
+  }
+
+  /** Shared per-doc rollup for [[mainContent]]: every input doc gets
+    * a row; kept blocks aggregate in document order. */
+  private def rollup(df: DataFrame, idCol: String, rep: DataFrame): DataFrame =
+    rollupBoth(df, idCol, rep, rep.filter(col("kept")))
+
+  private def rollupBoth(df: DataFrame, idCol: String, rep: DataFrame,
+      surviving: DataFrame): DataFrame = {
+    val totals = rep.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"))
+    val keptAgg = surviving
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("main_chars"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("block_idx"), col("text")))),
+          b => b("text"))).as("main_text"))
+    df.select(col(idCol)).distinct()
+      .join(totals, Seq(idCol), "left")
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("main_chars"), lit(0L)).as("main_chars"),
+        coalesce(col("main_text"), lit("")).as("main_text"))
+  }
+}

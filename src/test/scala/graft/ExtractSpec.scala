@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Extract
+
+class ExtractSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def blocksOf(html: String): Seq[(String, Long, Long)] =
+    Extract.htmlBlocks(Seq((1L, html)).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .orderBy("block_idx")
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+
+  test("htmlBlocks: basic segmentation, whitespace collapse, link counting") {
+    val html = "<html><head><title>My  Page</title></head><body>" +
+      "<nav><a href='/x'>home</a> <a href='/y'>about</a></nav>" +
+      "<div>real   article\n\ttext here</div>" +
+      "<footer><a>terms</a> (c) 2026</footer></body></html>"
+    blocksOf(html) shouldBe Seq(
+      ("My Page", 6L, 0L),
+      ("home about", 9L, 9L), // all non-ws chars inside <a>
+      ("real article text here", 19L, 0L),
+      ("terms (c) 2026", 12L, 5L))
+  }
+
+  test("script/style raw content dropped, fake tags and quotes inert inside") {
+    val html = "<p>before</p><script>if (x < 2 && y > \"<div>junk</div>\")" +
+      " { a = '</p>'; }</script><style>p>span { color: red }</style>" +
+      "<p>after</p>"
+    blocksOf(html) shouldBe Seq(("before", 6L, 0L), ("after", 5L, 0L))
+  }
+
+  test("comments drop their content including fake block tags; " +
+      "unterminated comment drops the rest") {
+    blocksOf("<p>a</p><!-- <p>ghost</p> --><p>b</p>") shouldBe
+      Seq(("a", 1L, 0L), ("b", 1L, 0L))
+    blocksOf("<p>a</p><!-- never closed <p>x</p>") shouldBe
+      Seq(("a", 1L, 0L))
+  }
+
+  test("CDATA content is verbatim text (no entity decode, tags inert); " +
+      "unterminated CDATA emits to end") {
+    blocksOf("<p>x <![CDATA[raw < & &amp; <p>y]]> z</p>") shouldBe
+      Seq(("x raw < & &amp; <p>y z", 16L, 0L))
+    blocksOf("<p>a <![CDATA[tail") shouldBe Seq(("a tail", 5L, 0L))
+  }
+
+  test("entities: named table, decimal, hex, invalid stays literal") {
+    blocksOf("<p>&amp; &lt;tag&gt; &quot;q&quot; &apos;s&apos; " +
+      "a&nbsp;b &#65;&#x42;&#X43; &copy; &amp &#; &#xZZ; &#999999999; &</p>") shouldBe
+      Seq(("& <tag> \"q\" 's' a b ABC &copy; &amp &#; &#xZZ; &#999999999; &",
+        // & <tag>(5) "q"(3) 's'(3) ab ABC &copy;(6) &amp(4) &#;(3) &#xZZ;(6) &#999999999;(12) &
+        1L + 5L + 3L + 3L + 2L + 3L + 6L + 4L + 3L + 6L + 12L + 1L, 0L))
+  }
+
+  test("literal '<' when not opening a tag; unterminated tag drops the rest") {
+    blocksOf("<p>1 < 2 and x <3 ok</p>") shouldBe
+      Seq(("1 < 2 and x <3 ok", 11L, 0L))
+    blocksOf("<p>seen</p><div class=\"never closed") shouldBe
+      Seq(("seen", 4L, 0L))
+  }
+
+  test("'>' inside quoted attribute values does not close the tag; " +
+      "self-closing <br/> still splits blocks; uppercase tags match") {
+    blocksOf("<DIV DATA-X=\"a>b\">one</DIV><P>two<BR/>three</P>") shouldBe
+      Seq(("one", 3L, 0L), ("two", 3L, 0L), ("three", 5L, 0L))
+  }
+
+  test("nested and stray <a>: depth counted, clamps at zero; " +
+      "self-closing <a/> opens nothing") {
+    blocksOf("<p><a>out<a>in</a>still</a>free</a>post <a/>none</p>") shouldBe
+      Seq(("outinstillfreepost none", 22L, 10L))
+  }
+
+  test("doctype and processing instructions skipped") {
+    blocksOf("<!DOCTYPE html><?xml version=\"1.0\"?><p>body</p>") shouldBe
+      Seq(("body", 4L, 0L))
+  }
+
+  test("empty / whitespace-only / text-free markup yields no blocks; " +
+      "null html yields no rows") {
+    blocksOf("") shouldBe Seq.empty
+    blocksOf("<html><head></head><body>  \n </body></html>") shouldBe Seq.empty
+    Extract.htmlBlocks(
+        Seq((1L, Option.empty[String])).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .count() shouldBe 0L
+  }
+
+  private val sitePage: Long => String = id =>
+    s"<html><body><nav><a>home</a> <a>about</a></nav>" +
+      s"<div>unique article body for document $id with plenty of text</div>" +
+      "<p>shared disclaimer paragraph repeated on every page verbatim</p>" +
+      "<footer><a>terms</a> <a>privacy</a> fine print</footer></body></html>"
+
+  private def site = (1L to 12L).map(i => (i, sitePage(i))).toDF("doc_id", "html")
+
+  test("blockReport + mainContent: density rules drop nav/footer, keep " +
+      "article AND the (locally invisible) shared disclaimer") {
+    val rep = Extract.blockReport(site, "doc_id", "html",
+      minChars = 10, maxLinkDensityMicros = 300000L)
+    val r1 = rep.filter(col("doc_id") === 1L).orderBy("block_idx").collect()
+    r1.map(_.getAs[Boolean]("kept")).toSeq shouldBe
+      Seq(false, true, true, false) // nav, article, disclaimer, footer
+    // nav: all link chars -> density exactly 1e6
+    r1(0).getAs[Long]("link_density_micros") shouldBe 1000000L
+    val mc = Extract.mainContent(site, "doc_id", "html",
+        minChars = 10, maxLinkDensityMicros = 300000L)
+      .filter(col("doc_id") === 3L).head()
+    mc.getAs[Long]("n_blocks") shouldBe 4L
+    mc.getAs[Long]("n_kept") shouldBe 2L
+    mc.getAs[String]("main_text") shouldBe
+      "unique article body for document 3 with plenty of text\n" +
+        "shared disclaimer paragraph repeated on every page verbatim"
+  }
+
+  test("boilerplateBlocks + mainContentDf: cross-doc frequency catches the " +
+      "disclaimer the density rules kept; unique article survives both") {
+    val boiler = Extract.boilerplateBlocks(site, "doc_id", "html", minDocs = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    boiler.keySet shouldBe Set(
+      "home about",
+      "shared disclaimer paragraph repeated on every page verbatim",
+      "terms privacy fine print")
+    boiler.values.toSet shouldBe Set(12L)
+    val out = Extract.mainContentDf(site, "doc_id", "html",
+        minChars = 10, maxLinkDensityMicros = 300000L, minDocs = 10L)
+      .filter(col("doc_id") === 7L).head()
+    out.getAs[Long]("n_blocks") shouldBe 4L
+    out.getAs[Long]("n_kept") shouldBe 1L
+    out.getAs[String]("main_text") shouldBe
+      "unique article body for document 7 with plenty of text"
+  }
+
+  test("mainContent: every input doc reports a row, text-free docs zeroed") {
+    val docs = Seq((1L, "<p>kept body text here</p>"),
+      (2L, "<p>   </p>"), (3L, "")).toDF("doc_id", "html")
+    val out = Extract.mainContent(docs, "doc_id", "html", minChars = 5,
+        maxLinkDensityMicros = 300000L)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(1L, 0L, 0L)
+    out.map(_.getAs[String]("main_text")).toSeq shouldBe
+      Seq("kept body text here", "", "")
+  }
+}
