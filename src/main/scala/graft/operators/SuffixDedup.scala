@@ -63,18 +63,25 @@ object SuffixDedup {
     * corpus-wide survive — the rest can never reach an ≥ minLen LCP
     * with anyone. This prunes the EXPENSIVE wide-prefix sort to the
     * duplicated fraction of the corpus (~10× here; far more on a
-    * clean crawl) at the price of one gram-keyed count aggregate
-    * over SHORT rows — the practical ExactSubstr seed filter.
+    * clean crawl). The filter is ONE window count over the 64-bit
+    * gram hash (`xxhash64`): one 8-byte-keyed shuffle, no gram
+    * re-explode, no semi join — measured 2.6× faster than the
+    * agg + semi-join form at sf0.1, where 40-char string agg keys
+    * dominated the seed cost (round-13 stage probe).
     *
     * OUTPUT-IDENTICAL to the unfiltered pipeline, not an
-    * approximation: (keep) two suffixes in an ≥ L pair both carry a
-    * duplicated L-gram and nothing between them in suffix order can
-    * be dropped (anything between shares their ≥ L prefix — the
-    * interval property — so its L-gram is duplicated too), hence
-    * every qualifying adjacent pair survives WITH its adjacency;
-    * (no extras) a pair newly adjacent because separators were
-    * dropped has LCP < L (an ≥ L LCP would have kept the
-    * separators), so the `lcp ≥ minLcp` emission filter removes it.
+    * approximation — including under hash collisions: (keep) true
+    * duplicates share the gram hence the hash, so every position of
+    * an ≥ L pair survives, and anything BETWEEN such a pair in
+    * suffix order shares their ≥ L prefix (interval property), so
+    * its gram is duplicated too and survives — every qualifying
+    * adjacent pair survives WITH its adjacency; (no extras) a
+    * collision can only ADD survivors, and an added survivor can
+    * never touch an EMITTED pair: any pair with LCP ≥ L shares a
+    * true duplicated L-gram, making both members true survivors —
+    * so collision extras only split non-emitted adjacencies, and a
+    * pair newly adjacent because separators were dropped has
+    * LCP < L, which the `lcp ≥ minLcp` emission filter removes.
     *
     * 1-based `pos` (the SQL slicing convention shared with the
     * oracles). */
@@ -83,17 +90,14 @@ object SuffixDedup {
     val len = length(col(textCol))
     val base = docs.filter(len >= minLen)
       .select(col(idCol).as("__doc"), col(textCol).as("__t"))
-    val gramRows = base
+    val survivors = base
       .select(col("__doc"), col("__t"),
         explode(sequence(lit(1), length(col("__t")) - (minLen - 1)))
           .as("__pos"))
       .select(col("__doc"), col("__pos").cast("long").as("__pos"),
-        col("__t").substr(col("__pos"), lit(minLen)).as("__g"))
-    val dup = gramRows.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__c"))
+        xxhash64(col("__t").substr(col("__pos"), lit(minLen))).as("__h"))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__c") >= 2)
-      .select(col("__g"))
-    val survivors = gramRows.join(dup, Seq("__g"), "left_semi")
       .select(col("__doc"), col("__pos"))
     // re-attach the text (doc-keyed join; Catalyst broadcasts a
     // catalog-sized doc table, AQE decides at scale) and build the
@@ -107,18 +111,55 @@ object SuffixDedup {
       .select(col("__doc"), col("__pos"), prev.as("__prev"),
         col("__t").substr(col("__pos"), lit(maxLcp)).as("__pref"))
       // the range partitioner downstream SAMPLES its input before the
-      // shuffle-write pass: without materialization the whole
-      // seed-filter pipeline (gram aggregate + semi join + doc join)
-      // runs twice (measured ~2× of the suffix wall at sf0.1).
-      // localCheckpoint(eager) — NOT Dataset.persist — is the
-      // CoocPowerEmbedder discipline: checkpoint blocks are RDD-scoped
-      // and the ContextCleaner reclaims them once the result's lineage
-      // is unreachable, whereas Dataset.persist registers in the
-      // CacheManager and leaks a MEMORY_AND_DISK entry per invocation
-      // until an explicit unpersist. Survivor rows are the duplicated
-      // fraction only, so the materialized set is small.
-      .localCheckpoint(true)
+      // shuffle-write pass: without a persist the whole seed-filter
+      // pipeline (gram aggregate + semi join + doc join) runs twice
+      // (measured ~2× of the suffix wall at sf0.1). SCOPED persist:
+      // the caller materializes its (small) pair output eagerly and
+      // then unpersists this frame before returning — see
+      // pinPairsAndRelease — so no CacheManager entry outlives the
+      // invocation (the round-12 code leaked one per call; the leak
+      // incidentally memoized repeat invocations, so pre-r13 pinned
+      // walls for q229/q230/q233 understate the honest per-call cost
+      // — PERF.md round-13 re-pins them).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** The scoped-persist release hook (VERDICT r12 item 6 / ADVICE):
+    * eagerly materialize the emission-filtered pair set — ONE job in
+    * which the range sampler and the shuffle both read the persisted
+    * survivor frame — via localCheckpoint, whose blocks are
+    * RDD-scoped (ContextCleaner-reclaimed, the CoocPowerEmbedder
+    * discipline), then unpersist the survivor cache immediately.
+    * Pairs are the duplicated-adjacency evidence only, orders of
+    * magnitude smaller than the suffix rows. */
+  private def pinPairsAndRelease(pairs: DataFrame, suff: DataFrame): DataFrame = {
+    val pinned = pairs.localCheckpoint(true)
+    suff.unpersist()
+    pinned
+  }
+
+  /** THE FLOOD CONTRACT (verbatim-duplication regimes): the seed
+    * filter prunes the wide sort to the corpus's DUPLICATED fraction
+    * — so when everything is duplicated (k verbatim copies of every
+    * doc, the crawl-mirror regime), it rightly keeps everything and
+    * the sort pays full freight (measured 34× wall at 8× data in the
+    * flood probe: wall tracks duplicated MASS, not corpus size). The
+    * scale-safe composition is exact-duplicate collapse UPSTREAM (the
+    * q140/q151 discipline the LSH family already applies):
+    * `collapseExact = true` runs the suffix order over ONE
+    * representative per distinct text (the smallest id, one
+    * text-keyed aggregate — linear, shuffled on the text like exact
+    * dedup). Output equals running the operator on the distinct
+    * corpus: repeats BETWEEN verbatim copies (trivially the whole
+    * doc) are structurally removed rather than priced, and every
+    * reported (doc, pos) names the representative. Compose with
+    * [[Dedup]]'s exact-duplicate report when the copy membership
+    * itself is the deliverable. */
+  private def collapseExactDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
 
   /** Adjacent-suffix LCP pairs with LCP ≥ `minLcp`: the corpus's
     * repeated-substring evidence, one row per adjacent pair in the
@@ -130,20 +171,25 @@ object SuffixDedup {
     * precedes (doc_b, pos_b) in suffix order and prev_* is the char
     * before each suffix ('' at doc start) — the left-maximality
     * evidence ([[longestRepeatedSubstrings]] filters on it; span
-    * coverage must NOT, see [[repeatedCharSpans]]). */
+    * coverage must NOT, see [[repeatedCharSpans]]).
+    * `collapseExact` applies the flood contract above. */
   def suffixNeighborLcp(docs: DataFrame, idCol: String, textCol: String,
-      minLcp: Int, maxLcp: Int = 256): DataFrame = {
+      minLcp: Int, maxLcp: Int = 256,
+      collapseExact: Boolean = false): DataFrame = {
     require(minLcp >= 2, "minLcp must be >= 2")
     require(maxLcp >= minLcp, "suffix-order depth maxLcp must be >= minLcp")
-    val suff = suffixRows(docs, idCol, textCol, minLcp, maxLcp)
+    val base0 = if (collapseExact) collapseExactDocs(docs, idCol, textCol)
+      else docs
+    val suff = suffixRows(base0, idCol, textCol, minLcp, maxLcp)
     // adjacency straight off the range sort — no ordinal attach, no
     // self-join re-shuffle (Layout.sortedNeighborPairs rationale)
-    Layout.sortedNeighborPairs(suff, Seq("__pref", "__doc", "__pos"))
+    val pairs = Layout.sortedNeighborPairs(suff, Seq("__pref", "__doc", "__pos"))
       .select(col("a___doc").as("doc_a"), col("a___pos").as("pos_a"),
         col("b___doc").as("doc_b"), col("b___pos").as("pos_b"),
         col("a___prev").as("prev_a"), col("b___prev").as("prev_b"),
         lcpOf(col("a___pref"), col("b___pref")).as("lcp"))
       .filter(col("lcp") >= minLcp)
+    pinPairsAndRelease(pairs, suff)
   }
 
   /** Top-k LONGEST repeated substrings corpus-wide, with the repeat
@@ -163,12 +209,18 @@ object SuffixDedup {
     * Shape: the neighbor-pair scan, a TakeOrdered top-k (never a
     * global sort), and ONE broadcast join of the k winners back to
     * their source doc for the substring. Output: (rank, lcp, doc_a,
-    * pos_a, doc_b, pos_b, repeat). */
+    * pos_a, doc_b, pos_b, repeat). `collapseExact` applies the flood
+    * contract (see [[collapseExactDocs]]): identical to running on
+    * the distinct corpus, whole-doc repeats between verbatim copies
+    * removed structurally. */
   def longestRepeatedSubstrings(docs: DataFrame, idCol: String,
       textCol: String, minLcp: Int, maxLcp: Int = 256,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, collapseExact: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val pairs = suffixNeighborLcp(docs, idCol, textCol, minLcp, maxLcp)
+    val pairs = suffixNeighborLcp(docs, idCol, textCol, minLcp, maxLcp,
+      collapseExact)
+    val docsRep = if (collapseExact) collapseExactDocs(docs, idCol, textCol)
+      else docs
     val top = pairs
       .filter(col("prev_a") =!= col("prev_b") ||
         col("prev_a") === "" || col("prev_b") === "")
@@ -180,7 +232,7 @@ object SuffixDedup {
     val w = Window.orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
       col("doc_b"), col("pos_b"))
     top.withColumn("rank", row_number().over(w).cast("long"))
-      .join(docs.select(col(idCol).as("doc_a"), col(textCol).as("__t")),
+      .join(docsRep.select(col(idCol).as("doc_a"), col(textCol).as("__t")),
         Seq("doc_a"))
       .select(col("rank"), col("lcp"), col("doc_a"), col("pos_a"),
         col("doc_b"), col("pos_b"),
@@ -271,32 +323,33 @@ object SuffixDedup {
     val len = length(col(textCol))
     val base = docs.filter(len >= minLen)
       .select(col(idCol).as("__doc"), col(textCol).as("__t"))
-    val gramRows = base
+    // per-(doc, gram-hash) window count — the same one-shuffle seed
+    // filter as suffixRows, restricted per doc; output identity under
+    // collisions by the per-doc restriction of the same argument
+    val survivors = base
       .select(col("__doc"), col("__t"),
         explode(sequence(lit(1), length(col("__t")) - (minLen - 1)))
           .as("__pos"))
       .select(col("__doc"), col("__pos").cast("long").as("__pos"),
-        col("__t").substr(col("__pos"), lit(minLen)).as("__g"))
-    val dup = gramRows.groupBy(col("__doc"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
+        xxhash64(col("__t").substr(col("__pos"), lit(minLen))).as("__h"))
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy(col("__doc"), col("__h"))))
       .filter(col("__c") >= 2)
-      .select(col("__doc"), col("__g"))
-    val survivors = gramRows.join(dup, Seq("__doc", "__g"), "left_semi")
       .select(col("__doc"), col("__pos"))
     val suff = survivors.join(base, Seq("__doc"))
       .select(col("__doc"), col("__pos"),
         col("__t").substr(col("__pos"), lit(maxLcp)).as("__pref"))
-      // eager localCheckpoint, not persist — see suffixRows: the range
-      // sampler would otherwise re-run the seed filter, and checkpoint
-      // blocks are ContextCleaner-reclaimed (no CacheManager leak)
-      .localCheckpoint(true)
-    val pairs = Layout
+      // scoped persist, released by pinPairsAndRelease below — same
+      // rationale as suffixRows (sampler re-run otherwise; no
+      // CacheManager entry outlives the call)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pinPairsAndRelease(Layout
       .sortedNeighborPairs(suff, Seq("__doc", "__pref", "__pos"))
       .filter(col("a___doc") === col("b___doc"))
       .select(col("a___doc").as("__doc"), col("a___pos").as("pos_a"),
         col("b___pos").as("pos_b"),
         lcpOf(col("a___pref"), col("b___pref")).as("lcp"))
-      .filter(col("lcp") >= minLen)
+      .filter(col("lcp") >= minLen), suff)
     val best = pairs.groupBy(col("__doc")).agg(max(col("lcp")).as("lrs_len"))
       .withColumnRenamed("__doc", "__bd")
     val winners = pairs

@@ -86,6 +86,14 @@ object R12SuffixProbe {
           d.filter(isEval), "doc_id", "text", minLen = 30).count()
       }
     }
+    // the flood CONTRACT row (round-13): collapseExact composes the
+    // exact-dup collapse upstream, so the verbatim-flood regime is
+    // structurally removed — expect ~flat wall vs 1x instead of the
+    // 34x the unfiltered flood row above prices
+    println("== regime: flood + collapseExact (the documented composition) ==")
+    time("q229 LRS collapsed", floodDir)(d =>
+      SuffixDedup.longestRepeatedSubstrings(d, "doc_id", "text",
+        minLcp = 40, maxLcp = 640, k = 28, collapseExact = true).count())
     spark.stop()
   }
 }

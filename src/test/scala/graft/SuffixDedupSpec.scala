@@ -217,6 +217,32 @@ class SuffixDedupSpec extends SparkSpec with Matchers {
     out(4L)._2 shouldBe 20L * 1000000L / len4 // frac is the capped lower bound
   }
 
+  test("collapseExact flood contract: a verbatim-flooded corpus equals " +
+      "the operator on the distinct corpus; without the flag the board " +
+      "is dominated by trivial whole-doc cross-copy repeats") {
+    // 6 verbatim copies of every planted doc; copy 0 keeps the
+    // original id, so min-id representatives == the distinct corpus
+    val flood = planted.flatMap { case (d, t) =>
+      (0 until 6).map(r => (d + 100L * r, t)) }
+    val distinctOut = SuffixDedup.longestRepeatedSubstrings(
+        planted.toDF("doc_id", "text"), "doc_id", "text",
+        minLcp = 20, maxLcp = 128, k = 40)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val floodOut = SuffixDedup.longestRepeatedSubstrings(
+        flood.toDF("doc_id", "text").repartition(4), "doc_id", "text",
+        minLcp = 20, maxLcp = 128, k = 40, collapseExact = true)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    floodOut shouldBe distinctOut
+    // the regime the contract removes: uncollapsed, the top repeat is
+    // a whole doc (>= 80 chars) between verbatim copies, swamping the
+    // true 60-char planted board
+    val uncollapsed = SuffixDedup.longestRepeatedSubstrings(
+        flood.toDF("doc_id", "text"), "doc_id", "text",
+        minLcp = 20, maxLcp = 128, k = 1)
+      .collect()
+    uncollapsed.head.getLong(1) should be >= 80L
+  }
+
   test("scrubRepeatedSubstrings matches a brute-force scrub on the " +
       "random corpus, any partitioning") {
     val rnd = new scala.util.Random(7)
