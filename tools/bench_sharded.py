@@ -13,6 +13,12 @@ Usage:
   python3 tools/bench_sharded.py out.json [--shards N] [--reps N]
           [--sf DIR] [--cpus N]
   python3 tools/bench_sharded.py --compare a.json b.json [--tol 0.05]
+  python3 tools/bench_sharded.py --cross-round prior.json current.json
+
+--cross-round emits the PERF.md round-close block verbatim (shared
+totals, median/p90 per-query ratio, the "regressions >1.5x above
+0.3s" table, and the new/removed query lists) so the cross-round
+comparison is one command instead of hand assembly.
 
 Launches java directly against target/scala-2.13/classes +
 /opt/spark/jars (no sbt startup per shard); query names are parsed
@@ -92,6 +98,38 @@ def compare(a_path, b_path, tol):
     return 1 if bad else 0
 
 
+def cross_round(prior_path, cur_path):
+    """Emit the PERF.md cross-round block: totals over shared queries,
+    ratio quantiles, regressions >1.5x above the 0.3s noise floor,
+    new/removed queries."""
+    pa = json.load(open(prior_path))
+    cu = json.load(open(cur_path))
+    a, b = pa["queries"], cu["queries"]
+    shared = sorted(set(a) & set(b))
+    new = sorted(set(b) - set(a))
+    gone = sorted(set(a) - set(b))
+    ratios = sorted(b[q] / a[q] for q in shared if a[q] > 0)
+    med = ratios[len(ratios) // 2] if ratios else float("nan")
+    p90 = ratios[int(len(ratios) * 0.9)] if ratios else float("nan")
+    reg = [(q, a[q], b[q], b[q] / a[q]) for q in shared
+           if b[q] > 0.3 and a[q] > 0 and b[q] / a[q] > 1.5]
+    ta = sum(a[q] for q in shared)
+    tb = sum(b[q] for q in shared)
+    print(f"Cross-round ledger: {os.path.basename(prior_path)} -> "
+          f"{os.path.basename(cur_path)}")
+    print(f"- {len(shared)} shared queries: {ta:.1f} s -> {tb:.1f} s "
+          f"(median per-query ratio {med:.2f}, p90 {p90:.2f})")
+    print(f"- regressions >1.5x above 0.3 s: {len(reg)}")
+    for q, va, vb, r in sorted(reg, key=lambda x: -x[3]):
+        print(f"  - {q}: {va:.2f} s -> {vb:.2f} s ({r:.2f}x)")
+    if new:
+        print(f"- new queries ({len(new)}): "
+              + ", ".join(f"{q} {b[q]:.2f} s" for q in new))
+    if gone:
+        print(f"- removed queries ({len(gone)}): " + ", ".join(gone))
+    return 0
+
+
 def merge_min(out_path, paths):
     docs = [json.load(open(p)) for p in paths]
     keys = set(docs[0]["queries"])
@@ -114,6 +152,9 @@ def main():
         i = sys.argv.index("--merge-min")
         merge_min(sys.argv[i + 1], sys.argv[i + 2:])
         return
+    if "--cross-round" in sys.argv:
+        i = sys.argv.index("--cross-round")
+        sys.exit(cross_round(sys.argv[i + 1], sys.argv[i + 2]))
     if "--compare" in sys.argv:
         i = sys.argv.index("--compare")
         tol = 0.05
