@@ -143,7 +143,10 @@ private[graft] trait EntryBase { this: SparkEntry.type =>
           lit(" 1 < 2 ok</p>"))).otherwise(lit("")),
       lit(s"<p>$htmlDisclaimer</p>" +
         "<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a>" +
-        " &copy; 2026</footer></body></html>")).as("html"))
+        " <a href=\""),
+      syntheticUrl,
+      lit("?x=1&amp;y=2\">site map</a> &copy; 2026</footer></body></html>"))
+      .as("html"))
 
   /** One planted PII string per category (doc_id mod 7 picks the
     * class) so every [[Scrub.piiPatterns]] regex fires inside the

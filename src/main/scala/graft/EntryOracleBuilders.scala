@@ -2406,6 +2406,47 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM l ORDER BY doc_id"""
   }
 
+  /** q239 oracle — the planted footer outlink (syntheticUrl +
+    * '?x=1&y=2', the &amp; decoded by the parser) folded to eTLD+1
+    * with the q90 machinery, grouped per domain. GENERATED from
+    * [[UrlOps.publicSuffixes]] like [[registrableDomainOracle]]. */
+  private[graft] def htmlOutlinkDomainsOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  || '?x=1&y=2'
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, host, string_split(host, '.') AS toks FROM h
+       ), r AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS domain
+         FROM l
+       )
+       SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              count(*) AS n_links
+       FROM r GROUP BY domain ORDER BY domain"""
+  }
+
   /** q91 oracle — the same Morton interleave, generated as the
     * shift-mask chain (disjoint bit positions, so | is exact). */
   private[graft] def zOrderOracle: String = {

@@ -117,7 +117,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
        |                  CAST(4 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
        |                         + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
        |                    AS BIGINT),
-       |                  'terms privacy &copy; 2026', CAST(12 AS BIGINT)
+       |                  'terms privacy site map &copy; 2026',
+       |                  CAST(19 AS BIGINT)
        |           FROM d
        |         ), blk AS (
        |           SELECT doc_id, block_idx,
@@ -3333,6 +3334,32 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          LEFT JOIN tot t ON t.doc_id = d.doc_id
          LEFT JOIN k ON k.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "q238_html_links" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS m3,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS m5,
+                  (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                    'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                    || CAST(doc_id % 20 AS VARCHAR)
+                    || (['.com/p', '.co.uk/a', '.co.uk/b',
+                        '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                    || '?x=1&y=2' AS url
+           FROM documents
+         ), l AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS link_idx, '/h' AS href FROM d
+           UNION ALL SELECT doc_id, CAST(1 AS BIGINT), '/a' FROM d
+           UNION ALL SELECT doc_id, CAST(2 AS BIGINT), '/c' FROM d
+             WHERE m3 = 1
+           UNION ALL SELECT doc_id, CAST(2 + m3 AS BIGINT), '/buy' FROM d
+             WHERE m5 = 1
+           UNION ALL SELECT doc_id, CAST(2 + m3 + m5 AS BIGINT), '/t' FROM d
+           UNION ALL SELECT doc_id, CAST(3 + m3 + m5 AS BIGINT), '/p' FROM d
+           UNION ALL SELECT doc_id, CAST(4 + m3 + m5 AS BIGINT), url FROM d
+         )
+         SELECT doc_id, link_idx, href FROM l
+         ORDER BY doc_id, link_idx""",
+    "q239_outlink_domains" -> htmlOutlinkDomainsOracle,
     "q228_lorenz_deciles" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

@@ -931,4 +931,31 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         minDocs = 10L)
       .orderBy("doc_id")
 
+  /** Outlink extraction ([[graft.operators.Extract.htmlLinks]]): the
+    * href list per doc in document order — relative nav/footer links
+    * plus the planted absolute footer URL, whose `&amp;` in the
+    * query string must decode in the ATTRIBUTE path (the text path
+    * never sees it). The oracle rebuilds the expected link list from
+    * the plant's branch arithmetic. */
+  private[graft] def q238(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.htmlLinks(htmlCorpus(s, dir),
+        "doc_id", "html")
+      .orderBy("doc_id", "link_idx")
+
+  /** Crawl-frontier domain rollup: absolute outlinks from q238 folded
+    * to eTLD+1 ([[graft.operators.UrlOps.registrableDomain]], the q90
+    * PSL machinery) and grouped — the per-site frontier census that
+    * politeness quotas (q134) and domain caps consume. HTML → links →
+    * domains is the full crawl-graph construction path. */
+  private[graft] def q239(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.htmlLinks(htmlCorpus(s, dir),
+        "doc_id", "html")
+      .filter(col("href").startsWith("http"))
+      .select(col("doc_id"),
+        graft.operators.UrlOps.registrableDomain(col("href")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_links"))
+      .orderBy("domain")
+
 }

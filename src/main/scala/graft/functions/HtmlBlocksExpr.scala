@@ -105,15 +105,68 @@ object HtmlBlocksExpr {
     m
   }
 
-  private def isAsciiLetter(c: Char): Boolean =
+  private[functions] def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  private def isNameChar(c: Char): Boolean =
+  private[functions] def isNameChar(c: Char): Boolean =
     isAsciiLetter(c) || (c >= '0' && c <= '9')
+
+  /** Entity parse at `s(i) == '&'`: returns `(codepoint << 32) | next`
+    * or -1 when not a valid entity (shared by the block parser and
+    * [[HtmlLinksExpr]]'s attribute-value decoding). */
+  private[functions] def entityAt(s: String, i: Int): Long = {
+    val n = s.length
+    if (i + 1 >= n) return -1L
+    var j = i + 1
+    var cp = -1
+    if (s.charAt(j) == '#') {
+      j += 1
+      var v = 0L
+      var digits = 0
+      if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+        j += 1
+        while (j < n && digits < 7 && Character.digit(s.charAt(j), 16) >= 0) {
+          v = v * 16 + Character.digit(s.charAt(j), 16); j += 1; digits += 1
+        }
+      } else {
+        while (j < n && digits < 8 && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          v = v * 10 + (s.charAt(j) - '0'); j += 1; digits += 1
+        }
+      }
+      if (digits == 0 || j >= n || s.charAt(j) != ';') return -1L
+      if (v <= 0 || v > 0x10FFFFL || (v >= 0xD800L && v <= 0xDFFFL)) return -1L
+      cp = v.toInt
+    } else {
+      val ns = j
+      while (j < n && j - ns < 8 && isAsciiLetter(s.charAt(j))) j += 1
+      if (j >= n || s.charAt(j) != ';') return -1L
+      val hit = namedEntities.get(s.substring(ns, j))
+      if (hit == null) return -1L
+      cp = hit.intValue()
+    }
+    (cp.toLong << 32) | (j + 1).toLong
+  }
+
+  /** Decode the entity table over a raw string (attribute values —
+    * the `&amp;` in query strings). Same rules as the text path. */
+  private[functions] def decodeEntities(raw: String): String = {
+    if (raw.indexOf('&') < 0) return raw
+    val out = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val r = entityAt(raw, i)
+        if (r < 0) { out.append('&'); i += 1 }
+        else { out.appendCodePoint((r >>> 32).toInt); i = (r & 0xFFFFFFFFL).toInt }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** Case-insensitive indexOf for the raw-text close-tag scan (ASCII
     * needles only). */
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+  private[functions] def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     val n = s.length - needle.length
     var i = math.max(from, 0)
     while (i <= n) {
@@ -163,39 +216,6 @@ object HtmlBlocksExpr {
           UTF8String.fromString(collapsed.toString), curNonWs, curLink))
       }
       cur.setLength(0); curNonWs = 0L; curLink = 0L
-    }
-
-    // entity at s(i) == '&'; returns (codepoint << 32 | nextIndex) or -1
-    def tryEntity(i: Int): Long = {
-      if (i + 1 >= n) return -1L
-      var j = i + 1
-      var cp = -1
-      if (s.charAt(j) == '#') {
-        j += 1
-        var v = 0L
-        var digits = 0
-        if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
-          j += 1
-          while (j < n && digits < 7 && Character.digit(s.charAt(j), 16) >= 0) {
-            v = v * 16 + Character.digit(s.charAt(j), 16); j += 1; digits += 1
-          }
-        } else {
-          while (j < n && digits < 8 && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
-            v = v * 10 + (s.charAt(j) - '0'); j += 1; digits += 1
-          }
-        }
-        if (digits == 0 || j >= n || s.charAt(j) != ';') return -1L
-        if (v <= 0 || v > 0x10FFFFL || (v >= 0xD800L && v <= 0xDFFFL)) return -1L
-        cp = v.toInt
-      } else {
-        val ns = j
-        while (j < n && j - ns < 8 && isAsciiLetter(s.charAt(j))) j += 1
-        if (j >= n || s.charAt(j) != ';') return -1L
-        val hit = namedEntities.get(s.substring(ns, j))
-        if (hit == null) return -1L
-        cp = hit.intValue()
-      }
-      (cp.toLong << 32) | (j + 1).toLong
     }
 
     var i = 0
@@ -254,7 +274,7 @@ object HtmlBlocksExpr {
           i = if (e < 0) n else e + 1
         } else { emitCp('<'); i += 1 }
       } else if (c == '&') {
-        val r = tryEntity(i)
+        val r = entityAt(s, i)
         if (r < 0) { emitCp('&'); i += 1 }
         else { emitCp((r >>> 32).toInt); i = (r & 0xFFFFFFFFL).toInt }
       } else {

@@ -48,6 +48,22 @@ object Extract {
     toColumn(graft.functions.HtmlBlocksExpr(toExpression(htmlCol)))
   }
 
+  private def linksCol(htmlCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.HtmlLinksExpr(toExpression(htmlCol)))
+  }
+
+  /** Outlinks ([[graft.functions.HtmlLinksExpr]]), one row per
+    * `<a href>` in document order: (idCol, link_idx, href) with
+    * 0-based link_idx — the crawl-frontier edge list; compose with
+    * [[UrlOps]] for canonicalization / domain folding / politeness
+    * quotas downstream. */
+  def htmlLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(linksCol(col(htmlCol))).as(Seq("link_idx", "href")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("href"))
+
   /** Segmented text blocks, one row per non-empty block in document
     * order: (idCol, block_idx, text, n_chars, link_chars) with
     * 0-based block_idx. Docs whose markup yields no text emit no

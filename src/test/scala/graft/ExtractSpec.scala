@@ -136,6 +136,53 @@ class ExtractSpec extends SparkSpec with Matchers {
       "unique article body for document 7 with plenty of text"
   }
 
+  private def linksOf(html: String): Seq[(Long, String)] =
+    Extract.htmlLinks(Seq((1L, html)).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .orderBy("link_idx")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+
+  test("htmlLinks: hrefs in document order; quoted values may hold '>', " +
+      "whitespace, '/'; unquoted values end at whitespace/'>'; entities " +
+      "decode in the value; first href per tag wins") {
+    val html = "<a href=\"/one\">1</a><a class='x' href='/t wo>w'>2</a>" +
+      "<A HREF=/three>3</A><a href=\"/q?a=1&amp;b=2\">4</a>" +
+      "<a href=\"/first\" href=\"/second\">5</a>"
+    linksOf(html) shouldBe Seq((0L, "/one"), (1L, "/t wo>w"),
+      (2L, "/three"), (3L, "/q?a=1&b=2"), (4L, "/first"))
+  }
+
+  test("htmlLinks: links inside comments, CDATA, and script raw content " +
+      "never count; self-closing <script/> has no raw content; <a> " +
+      "without href and closing </a> contribute nothing") {
+    val html = "<!-- <a href=\"/ghost\">x</a> -->" +
+      "<![CDATA[<a href=\"/cd\">y</a>]]>" +
+      "<script>var s = '<a href=\"/js\">z</a>';</script>" +
+      "<script src=\"/app.js\"/><a href=\"/real\">ok</a>" +
+      "<a name=\"anchor\">no href</a></a>"
+    linksOf(html) shouldBe Seq((0L, "/real"))
+  }
+
+  test("htmlLinks: unterminated tag drops the rest; valueless href and " +
+      "empty href are kept as empty only when a value exists") {
+    linksOf("<a href=\"/ok\">x</a><a href=\"/never") shouldBe
+      Seq((0L, "/ok"))
+    // href with no '=' value contributes nothing; explicit empty does
+    linksOf("<a href>x</a><a href=\"\">y</a>") shouldBe Seq((0L, ""))
+  }
+
+  test("htmlLinks: one row per <a href> across docs, none for docs " +
+      "without links; null html yields no rows") {
+    val docs = Seq(
+      (1L, "<p><a href=\"/a\">a</a> and <a href=\"/b\">b</a></p>"),
+      (2L, "<p>plain text only</p>"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "html")
+    val out = Extract.htmlLinks(docs, "doc_id", "html")
+      .orderBy("doc_id", "link_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    out shouldBe Seq((1L, 0L, "/a"), (1L, 1L, "/b"))
+  }
+
   test("mainContent: every input doc reports a row, text-free docs zeroed") {
     val docs = Seq((1L, "<p>kept body text here</p>"),
       (2L, "<p>   </p>"), (3L, "")).toDF("doc_id", "html")
