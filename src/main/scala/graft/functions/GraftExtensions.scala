@@ -97,6 +97,28 @@ object GraftExtensions {
             s"graft_bucket_counts: dim must be an integer literal, got $other")
         }
         BucketCountsExpr(args(0), dim)
+      }),
+    ("graft_lcp",
+      info("graft_lcp",
+        "graft_lcp(a, b) - longest-common-prefix length in codepoints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_lcp expects exactly 2 arguments")
+        LcpExpr(args(0), args(1))
+      }),
+    ("graft_html_blocks",
+      info("graft_html_blocks",
+        "graft_html_blocks(html) - segmented text blocks of an HTML " +
+          "document as array<struct<text, n_chars, link_chars>>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_html_blocks expects exactly 1 argument")
+        HtmlBlocksExpr(args(0))
+      }),
+    ("graft_html_links",
+      info("graft_html_links",
+        "graft_html_links(html) - href values of <a> tags in document order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_html_links expects exactly 1 argument")
+        HtmlLinksExpr(args(0))
       }))
 
   /** Register on an already-built session (the extensions hook only

@@ -95,4 +95,20 @@ class GraftExtensionsSpec extends SparkSpec with Matchers {
     }
     e.getMessage should include("integer literal")
   }
+
+  test("graft_lcp, graft_html_blocks, graft_html_links run through spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_lcp('abcdef', 'abcxyz') AS lcp,
+                graft_html_blocks(
+                  '<p>hi <a href="/x">go</a></p>') AS blocks,
+                graft_html_links(
+                  '<a href="/x">1</a><a href=\'/y?a=1&amp;b=2\'>2</a>') AS links
+      """).head()
+    row.getLong(0) shouldBe 3L
+    val b = row.getSeq[org.apache.spark.sql.Row](1)
+    b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      Seq(("hi go", 4L, 2L))
+    row.getSeq[String](2) shouldBe Seq("/x", "/y?a=1&b=2")
+  }
 }
