@@ -136,6 +136,27 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
        |           FROM blk
        |         )""".stripMargin
 
+  /** q235 AND q240 (batch and streaming extraction share one oracle —
+    * two engine paths, one answer). */
+  private def htmlExtractOracle: String =
+    s"""WITH $htmlBlocksCte, tot AS (
+         SELECT doc_id, count(*) AS n_blocks FROM rep GROUP BY doc_id
+       ), k AS (
+         SELECT doc_id, count(*) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS main_chars,
+                string_agg(text, chr(10) ORDER BY block_idx) AS main_text
+         FROM rep WHERE kept GROUP BY doc_id
+       )
+       SELECT d.doc_id,
+              CAST(coalesce(t.n_blocks, 0) AS BIGINT) AS n_blocks,
+              CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(coalesce(k.main_chars, 0) AS BIGINT) AS main_chars,
+              coalesce(k.main_text, '') AS main_text
+       FROM (SELECT DISTINCT doc_id FROM d) d
+       LEFT JOIN tot t ON t.doc_id = d.doc_id
+       LEFT JOIN k ON k.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3285,24 +3306,11 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT doc_id, block_idx, text, n_chars, link_chars,
                 link_density_micros, kept
          FROM rep ORDER BY doc_id, block_idx""",
-    "q235_html_extract" ->
-      s"""WITH $htmlBlocksCte, tot AS (
-           SELECT doc_id, count(*) AS n_blocks FROM rep GROUP BY doc_id
-         ), k AS (
-           SELECT doc_id, count(*) AS n_kept,
-                  CAST(sum(n_chars) AS BIGINT) AS main_chars,
-                  string_agg(text, chr(10) ORDER BY block_idx) AS main_text
-           FROM rep WHERE kept GROUP BY doc_id
-         )
-         SELECT d.doc_id,
-                CAST(coalesce(t.n_blocks, 0) AS BIGINT) AS n_blocks,
-                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-                CAST(coalesce(k.main_chars, 0) AS BIGINT) AS main_chars,
-                coalesce(k.main_text, '') AS main_text
-         FROM (SELECT DISTINCT doc_id FROM d) d
-         LEFT JOIN tot t ON t.doc_id = d.doc_id
-         LEFT JOIN k ON k.doc_id = d.doc_id
-         ORDER BY d.doc_id""",
+    "q235_html_extract" -> htmlExtractOracle,
+    // the streaming ingest gate runs the SAME extraction per
+    // micro-batch — one oracle certifies both execution paths (the
+    // q196/q204 shared-oracle discipline)
+    "q240_stream_html_extract" -> htmlExtractOracle,
     "q236_boilerplate_blocks" ->
       s"""WITH $htmlBlocksCte
          SELECT text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

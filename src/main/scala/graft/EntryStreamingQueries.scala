@@ -467,4 +467,16 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     StreamOps.runStreamingWeightedSampleAvailableNow(s, dir,
         k = 20, salt = "wsr173")
       .orderBy(col("wave"), col("key_micro").desc, col("doc_id"))
+
+  /** Streaming HTML main-content extraction
+    * ([[StreamOps.runStreamingHtmlExtractAvailableNow]]): the q235
+    * extraction — a pure projection since the round-13 `aggregate`
+    * rollup — run per micro-batch over two staged crawl waves of the
+    * SAME planted markup corpus; no state store, no watermark, no
+    * shuffle. Shares q235's oracle verbatim: two engine paths, one
+    * answer. */
+  private[graft] def q240(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingHtmlExtractAvailableNow(s, dir,
+        htmlCorpus(s, dir), minChars = 10, maxLinkDensityMicros = 300000L)
+      .orderBy("doc_id")
 }

@@ -93,15 +93,46 @@ object Extract {
   }
 
   /** Per-document main content under the local density rules:
-    * (idCol, n_blocks, n_kept, main_chars, main_text) for EVERY
-    * input document — text-free markup reports (0, 0, 0, "").
+    * (idCol, n_blocks, n_kept, main_chars, main_text), one row per
+    * input row — text-free markup reports (0, 0, 0, "").
     * `main_chars` is the total non-whitespace codepoints of the kept
     * blocks; `main_text` joins kept block texts with '\n' in
-    * document order. */
+    * document order.
+    *
+    * ONE PURE PROJECTION — no explode, no shuffle: the blocks of a
+    * document live in one array cell, so the per-doc rollup is a
+    * single `aggregate` fold over that cell (the parser runs ONCE
+    * per row — the fold references the array, not the parse;
+    * ExtractSpec pins exchange-freedom and single-parse in the
+    * physical plan). This is both the 100 TB shape (extraction
+    * cost strictly linear in bytes, embarrassingly parallel) and
+    * what makes the operator STREAMING-COMPATIBLE: a stateless
+    * projection runs per micro-batch with no state store
+    * ([[graft.streaming.StreamOps]]'s HTML ingest gate). */
   def mainContent(df: DataFrame, idCol: String, htmlCol: String,
-      minChars: Int = 10, maxLinkDensityMicros: Long = 300000L): DataFrame =
-    rollup(df, idCol,
-      blockReport(df, idCol, htmlCol, minChars, maxLinkDensityMicros))
+      minChars: Int = 10, maxLinkDensityMicros: Long = 300000L): DataFrame = {
+    require(minChars >= 1, "minChars must be >= 1")
+    val cond = s"x.n_chars >= $minChars AND " +
+      s"x.link_chars * 1000000 div x.n_chars <= $maxLinkDensityMicros"
+    df.select(col(idCol), blocksCol(col(htmlCol)).as("__b"))
+      .select(col(idCol), expr(
+        s"""aggregate(
+              __b,
+              named_struct('nb', CAST(0 AS BIGINT), 'nk', CAST(0 AS BIGINT),
+                           'mc', CAST(0 AS BIGINT), 'mt', ''),
+              (acc, x) -> named_struct(
+                'nb', acc.nb + CAST(1 AS BIGINT),
+                'nk', acc.nk + IF($cond, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                'mc', acc.mc + IF($cond, x.n_chars, CAST(0 AS BIGINT)),
+                'mt', IF($cond,
+                         IF(acc.nk = 0, x.text, concat(acc.mt, '\n', x.text)),
+                         acc.mt)))""").as("__r"))
+      .select(col(idCol),
+        coalesce(col("__r.nb"), lit(0L)).as("n_blocks"),
+        coalesce(col("__r.nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__r.mc"), lit(0L)).as("main_chars"),
+        coalesce(col("__r.mt"), lit("")).as("main_text"))
+  }
 
   /** Cross-document boilerplate table: blocks whose exact collapsed
     * text appears in ≥ `minDocs` distinct documents —
@@ -137,11 +168,6 @@ object Extract {
       .join(boiler, Seq("text"), "left_anti")
     rollupBoth(df, idCol, rep, surviving)
   }
-
-  /** Shared per-doc rollup for [[mainContent]]: every input doc gets
-    * a row; kept blocks aggregate in document order. */
-  private def rollup(df: DataFrame, idCol: String, rep: DataFrame): DataFrame =
-    rollupBoth(df, idCol, rep, rep.filter(col("kept")))
 
   private def rollupBoth(df: DataFrame, idCol: String, rep: DataFrame,
       surviving: DataFrame): DataFrame = {

@@ -710,6 +710,45 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** STREAMING HTML main-content extraction: raw crawl markup arrives
+    * as two staged waves and every micro-batch runs
+    * [[graft.operators.Extract.mainContent]] — which is ONE pure
+    * projection (parser expression + an in-row `aggregate` fold), so
+    * the streaming form needs no state store, no watermark, no
+    * shuffle: extraction at ingest rate, the crawl-pipeline front
+    * door (parse → density rules → clean text, with the cross-doc
+    * frequency rule running downstream in batch like q58 vs q142's
+    * split). The streamed result provably equals the batch q235
+    * board — they share one oracle. Emits the [[graft.operators
+    * .Extract.mainContent]] shape per doc. */
+  def runStreamingHtmlExtractAvailableNow(spark: SparkSession, dir: String,
+      corpus: DataFrame, minChars: Int,
+      maxLinkDensityMicros: Long): DataFrame = {
+    val staging = stagedDir("htmlx", dir) { st =>
+      val d = corpus.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("html"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("html", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val extracted = graft.operators.Extract.mainContent(
+      stream, "doc_id", "html", minChars, maxLinkDensityMicros)
+    val name = s"graft_stream_htmlx_${runCounter.incrementAndGet()}"
+    val query = extracted.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** STREAMING quality gate: the q154/q155 classifier trained ONCE in
     * batch, its final weights folded into a stateless per-micro-batch
     * projection scoring two staged crawl waves at ingest rate — the

@@ -183,6 +183,28 @@ class ExtractSpec extends SparkSpec with Matchers {
     out shouldBe Seq((1L, 0L, "/a"), (1L, 1L, "/b"))
   }
 
+  test("mainContent is ONE pure projection: no exchange anywhere in the " +
+      "physical plan, and the parser expression appears exactly once " +
+      "(the aggregate fold references the array, not the parse)") {
+    // built over range, not a LocalRelation — ConvertToLocalRelation
+    // would otherwise evaluate the whole projection at optimize time
+    // and leave nothing to inspect
+    val rangeSite = spark.range(1, 13).select(col("id").as("doc_id"),
+      concat(lit("<html><body><nav><a>home</a> <a>about</a></nav>" +
+          "<div>unique article body for document "),
+        col("id").cast("string"),
+        lit(" with plenty of text</div></body></html>")).as("html"))
+    val df = Extract.mainContent(rangeSite, "doc_id", "html")
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    } shouldBe empty
+    val parses = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case h: graft.functions.HtmlBlocksExpr => h })
+    }.flatten
+    parses.size shouldBe 1
+  }
+
   test("mainContent: every input doc reports a row, text-free docs zeroed") {
     val docs = Seq((1L, "<p>kept body text here</p>"),
       (2L, "<p>   </p>"), (3L, "")).toDF("doc_id", "html")
