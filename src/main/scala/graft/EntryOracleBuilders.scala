@@ -2447,6 +2447,57 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM r GROUP BY domain ORDER BY domain"""
   }
 
+  /** q242 oracle — the planted frontier URL folded to its domain
+    * (q90 machinery), the path+query target extracted with the same
+    * regex pair as the engine, and the robots OUTCOME stated in
+    * closed form per planted regime (deny-all / graftbot override
+    * allowing /p by longest match / open site): the engine must
+    * PARSE its way to these answers; the oracle states the spec. */
+  private[graft] def robotsGateOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  || '?x=1&y=2'
+                  AS url
+         FROM documents
+       ), h AS (
+         SELECT doc_id, url,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, url, host, string_split(host, '.') AS toks FROM h
+       ), r AS (
+         SELECT doc_id, url,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS domain
+         FROM l
+       ), g AS (
+         SELECT doc_id, domain,
+                regexp_replace(regexp_replace(url, '#.*$$', ''),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS target
+         FROM r
+       )
+       SELECT doc_id, domain, target,
+              CASE CAST(length(domain) % 3 AS INTEGER)
+                WHEN 0 THEN false
+                WHEN 1 THEN starts_with(target, '/p')
+                ELSE true END AS allowed
+       FROM g ORDER BY doc_id"""
+  }
+
   /** q91 oracle — the same Morton interleave, generated as the
     * shift-mask chain (disjoint bit positions, so | is exact). */
   private[graft] def zOrderOracle: String = {

@@ -3368,6 +3368,54 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT doc_id, link_idx, href FROM l
          ORDER BY doc_id, link_idx""",
     "q239_outlink_domains" -> htmlOutlinkDomainsOracle,
+    "q242_robots_gate" -> robotsGateOracle,
+    "q241_crawl_pipeline" ->
+      s"""WITH $htmlBlocksCte, boiler AS (
+           SELECT text FROM blk GROUP BY text
+           HAVING count(DISTINCT doc_id) >= 10
+         ), surv AS (
+           SELECT * FROM rep
+           WHERE kept AND text NOT IN (SELECT text FROM boiler)
+         ), k AS (
+           SELECT doc_id,
+                  CAST(sum(n_chars) AS BIGINT) AS main_chars,
+                  string_agg(text, chr(10) ORDER BY block_idx) AS main_text
+           FROM surv GROUP BY doc_id
+         ), mt AS (
+           SELECT d.doc_id,
+                  CAST(coalesce(k.main_chars, 0) AS BIGINT) AS main_chars,
+                  coalesce(k.main_text, '') AS t
+           FROM (SELECT DISTINCT doc_id FROM d) d
+           LEFT JOIN k ON k.doc_id = d.doc_id
+         ), m AS (
+           SELECT doc_id, main_chars,
+             CAST(length(t) AS DOUBLE) AS n_chars_d,
+             CAST(len(string_split_regex(lower(t), '\\s+')) AS DOUBLE) AS n_words,
+             CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+             CAST(length(regexp_replace(t, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+               x -> x IN ($stopwordsSqlList))) AS DOUBLE) AS n_stop
+           FROM mt
+         ), r AS (
+           SELECT doc_id, main_chars, n_words,
+             n_alpha / greatest(n_chars_d, 1.0) AS alpha_ratio,
+             n_digit / greatest(n_chars_d, 1.0) AS digit_ratio,
+             n_punct / greatest(n_chars_d, 1.0) AS punct_ratio,
+             n_stop / greatest(n_words, 1.0) AS stopword_ratio
+           FROM m
+         )
+         SELECT doc_id, main_chars, n_words, alpha_ratio, stopword_ratio,
+                least(alpha_ratio / 0.7, 1.0) * 0.4
+                  + least(stopword_ratio / 0.3, 1.0) * 0.3
+                  + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
+                  + (1.0 - least(punct_ratio * 5, 1.0)) * 0.15 AS quality_score,
+                (least(alpha_ratio / 0.7, 1.0) * 0.4
+                  + least(stopword_ratio / 0.3, 1.0) * 0.3
+                  + (1.0 - least(digit_ratio * 5, 1.0)) * 0.15
+                  + (1.0 - least(punct_ratio * 5, 1.0)) * 0.15 >= 0.5
+                 AND main_chars >= 40) AS kept
+         FROM r ORDER BY doc_id""",
     "q228_lorenz_deciles" ->
       """WITH spend AS (
            SELECT o_custkey AS k,

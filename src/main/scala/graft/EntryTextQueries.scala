@@ -958,4 +958,67 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         count(lit(1)).as("n_links"))
       .orderBy("domain")
 
+  /** CRAWL FRONT-DOOR capstone: raw markup → main-content extraction
+    * under BOTH boilerplate criteria ([[graft.operators.Extract
+    * .mainContentDf]]) → q17's quality signals computed over the
+    * EXTRACTED text → keep/drop gate — the full pipeline stage the
+    * curation capstones (q73/q98/q136/q159) previously assumed had
+    * already run. The oracle rebuilds the expected main_text from
+    * the plant (the q237 machinery), then replays the exact quality
+    * arithmetic over it (the q17 machinery, generated stopword
+    * list) — one hash certifies parse → scrub → score → gate end to
+    * end. The gate compares doubles both engines derive from one
+    * fixed IEEE expression tree, so the boolean is deterministic. */
+  private[graft] def q241(s: SparkSession, dir: String): DataFrame = {
+    val mc = graft.operators.Extract.mainContentDf(htmlCorpus(s, dir),
+      "doc_id", "html", minChars = 10, maxLinkDensityMicros = 300000L,
+      minDocs = 10L)
+    TextAnalysis.qualityMetrics(mc, "main_text")
+      .select(col("doc_id"), col("main_chars"), col("n_words"),
+        col("alpha_ratio"), col("stopword_ratio"), col("quality_score"),
+        (col("quality_score") >= 0.5 && col("main_chars") >= 40L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic robots.txt plant per frontier domain (domain
+    * length mod 3 picks the shape) — three REP regimes: deny-all,
+    * an agent-specific override group (with an inline comment and a
+    * longest-match Allow/Disallow tie the gate must resolve), and
+    * the empty-Disallow open-site idiom (with a CRLF comment line).
+    * The q242 oracle states each regime's OUTCOME in closed form;
+    * the engine must parse its way there. */
+  private[graft] def robotsTxtFor(domain: Column): Column =
+    when(length(domain) % 3 === 0,
+      lit("User-agent: *\nDisallow: /\n"))
+    .when(length(domain) % 3 === 1,
+      lit("User-agent: *\nDisallow: /\n\n" +
+        "User-agent: graftbot # our crawler\nAllow: /p\nDisallow: /\n"))
+    .otherwise(
+      lit("# open site\r\nUser-agent: *\nDisallow:\n"))
+
+  /** robots.txt fetch gate over the q238 frontier
+    * ([[graft.operators.Extract.robotsGate]], agent `graftbot`,
+    * REP longest-match): absolute outlinks gated by their
+    * registrable domain's planted robots — deny-all domains refuse,
+    * override-group domains allow exactly the /p paths (the Allow
+    * beats the group's own deny-all by prefix length), open-site
+    * domains pass everything. Parse runs once per domain on the
+    * small join side; evaluation is an in-row fold per URL. */
+  private[graft] def q242(s: SparkSession, dir: String): DataFrame = {
+    val frontier = graft.operators.Extract.htmlLinks(
+        htmlCorpus(s, dir), "doc_id", "html")
+      .filter(col("href").startsWith("http"))
+    val domains = frontier
+      .select(graft.operators.UrlOps.registrableDomain(col("href"))
+        .as("domain"))
+      .distinct()
+    val robots = domains.select(col("domain"),
+      robotsTxtFor(col("domain")).as("robots_txt"))
+    graft.operators.Extract.robotsGate(
+        frontier.select(col("doc_id"), col("href")), "href",
+        robots, "domain", "robots_txt", "graftbot")
+      .select(col("doc_id"), col("domain"), col("target"), col("allowed"))
+      .orderBy("doc_id")
+  }
+
 }

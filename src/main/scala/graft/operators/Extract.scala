@@ -159,14 +159,71 @@ object Extract {
   def mainContentDf(df: DataFrame, idCol: String, htmlCol: String,
       minChars: Int = 10, maxLinkDensityMicros: Long = 300000L,
       minDocs: Long = 10L): DataFrame = {
+    // ONE parse: the block report feeds three consumers (frequency
+    // census, per-doc totals, survivors), which would otherwise each
+    // re-run the parser over the corpus (plan-audited: 3 scans).
+    // Pinning it via eager localCheckpoint (RDD-scoped blocks, the
+    // suffix-family discipline — nothing outlives the ContextCleaner)
+    // trades one materialization of the EXTRACTED blocks — a fraction
+    // of the raw markup bytes — for two full re-parses. (The rollup's
+    // all-docs spine still scans the source, but column-pruned to the
+    // id alone — no parse.)
     val rep = blockReport(df, idCol, htmlCol, minChars, maxLinkDensityMicros)
-    val boiler = boilerplateBlocks(df, idCol, htmlCol, minDocs)
+      .localCheckpoint(true)
+    val boiler = rep.groupBy(col("text"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
       .select(col("text"))
     // left-anti join is the scale-safe "not in boilerplate set": both
-    // sides shuffle on the block text, no broadcast of an unbounded set
+    // sides key on the block text (Catalyst picks broadcast when the
+    // census is small — site templates are constant in corpus size —
+    // and falls back to a shuffled join past the threshold)
     val surviving = rep.filter(col("kept"))
       .join(boiler, Seq("text"), "left_anti")
     rollupBoth(df, idCol, rep, surviving)
+  }
+
+  private def robotsRulesCol(txtCol: Column, agent: String): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.RobotsRulesExpr(toExpression(txtCol), agent))
+  }
+
+  /** robots.txt fetch-permission gate (REP longest-match semantics):
+    * every URL joins its registrable domain's robots rules for
+    * `agent` ([[graft.functions.RobotsRulesExpr]] — parsed ONCE per
+    * domain on the small side of the join, never per URL) and is
+    * gated by the longest matching prefix rule: among rules whose
+    * prefix starts the URL's path+query target, the LONGEST wins;
+    * equal-length ties go to Allow; no match (or no robots for the
+    * domain) means allowed. The evaluation is an in-row `aggregate`
+    * fold — per URL a pure projection, no explode.
+    *
+    * Output: `urls` plus (domain, target, allowed). 100 TB posture:
+    * one broadcast-or-shuffled equi join keyed on the domain (robots
+    * tables are domain-count-sized — tiny next to a frontier), fold
+    * cost linear in the domain's rule count. */
+  def robotsGate(urls: DataFrame, urlCol: String, robots: DataFrame,
+      domainCol: String, txtCol: String, agent: String): DataFrame = {
+    val rulesTbl = robots.select(col(domainCol).as("__dom"),
+      robotsRulesCol(col(txtCol), agent).as("__rules"))
+    val rawTarget = regexp_replace(
+      regexp_replace(col(urlCol), "#.*$", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    urls
+      .withColumn("domain", UrlOps.registrableDomain(col(urlCol)))
+      .withColumn("target",
+        when(rawTarget === "", lit("/")).otherwise(rawTarget))
+      .join(rulesTbl, col("domain") === col("__dom"), "left")
+      .withColumn("allowed", coalesce(expr(
+        """aggregate(__rules,
+             named_struct('len', CAST(-1 AS INT), 'allow', true),
+             (acc, r) -> IF(startswith(target, r.prefix)
+                            AND (length(r.prefix) > acc.len
+                                 OR (length(r.prefix) = acc.len AND r.allow)),
+                          named_struct('len', length(r.prefix),
+                                       'allow', r.allow),
+                          acc)).allow"""), lit(true)))
+      .drop("__dom", "__rules")
   }
 
   private def rollupBoth(df: DataFrame, idCol: String, rep: DataFrame,

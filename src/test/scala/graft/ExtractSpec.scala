@@ -205,6 +205,59 @@ class ExtractSpec extends SparkSpec with Matchers {
     parses.size shouldBe 1
   }
 
+  private def gateOne(robotsTxt: Option[String], url: String,
+      agent: String): (String, Boolean) = {
+    val urls = Seq((1L, url)).toDF("id", "url")
+    val robots = robotsTxt
+      .map(t => Seq(("ex.com", t)).toDF("domain", "robots_txt"))
+      .getOrElse(Seq.empty[(String, String)].toDF("domain", "robots_txt"))
+    val r = Extract.robotsGate(urls, "url", robots,
+      "domain", "robots_txt", agent).head()
+    (r.getAs[String]("target"), r.getAs[Boolean]("allowed"))
+  }
+
+  test("robotsGate: REP longest-match — longest prefix wins, ties go to " +
+      "Allow, no match or no robots means allowed; target is path+query") {
+    val txt = "User-agent: *\nDisallow: /private\nAllow: /private/pub\n" +
+      "Disallow: /p\nAllow: /p\n"
+    gateOne(Some(txt), "https://ex.com/private/x", "bot") shouldBe
+      (("/private/x", false))
+    gateOne(Some(txt), "https://ex.com/private/pub/y?q=1", "bot") shouldBe
+      (("/private/pub/y?q=1", true)) // longest match /private/pub
+    gateOne(Some(txt), "https://ex.com/p", "bot") shouldBe
+      (("/p", true)) // equal-length tie -> Allow
+    gateOne(Some(txt), "https://ex.com/open", "bot") shouldBe
+      (("/open", true)) // no matching rule
+    gateOne(None, "https://ex.com/anything", "bot") shouldBe
+      (("/anything", true)) // no robots for the domain
+    // bare host: target normalizes to "/", which none of the rule
+    // prefixes start -> allowed
+    gateOne(Some(txt), "https://ex.com", "bot") shouldBe (("/", true))
+    // and under a deny-all it refuses
+    gateOne(Some("User-agent: *\nDisallow: /\n"),
+      "https://ex.com", "bot") shouldBe (("/", false))
+  }
+
+  test("robotsGate: agent-specific group REPLACES the * group; agent and " +
+      "field names match case-insensitively; comments, CRLF, empty " +
+      "Disallow, and unknown directives handled") {
+    val txt = "# banner\r\nUser-AGENT: * # everyone\r\nDisallow: /\r\n" +
+      "Crawl-delay: 10\r\n\r\nuser-agent: GraftBot\r\nDisallow: /a\r\n" +
+      "Sitemap: https://ex.com/map.xml\r\n"
+    gateOne(Some(txt), "https://ex.com/b", "graftbot") shouldBe
+      (("/b", true)) // graftbot group only disallows /a
+    gateOne(Some(txt), "https://ex.com/a/x", "GRAFTBOT") shouldBe
+      (("/a/x", false))
+    gateOne(Some(txt), "https://ex.com/b", "otherbot") shouldBe
+      (("/b", false)) // falls back to the * deny-all
+    // empty Disallow contributes no rule: open site
+    gateOne(Some("User-agent: *\nDisallow:\n"),
+      "https://ex.com/x", "bot") shouldBe (("/x", true))
+    // multiple user-agent lines share one rule set
+    val multi = "User-agent: a\nUser-agent: b\nDisallow: /\n"
+    gateOne(Some(multi), "https://ex.com/x", "b") shouldBe (("/x", false))
+  }
+
   test("mainContent: every input doc reports a row, text-free docs zeroed") {
     val docs = Seq((1L, "<p>kept body text here</p>"),
       (2L, "<p>   </p>"), (3L, "")).toDF("doc_id", "html")
