@@ -73,6 +73,24 @@ object R13HtmlProbe {
         .agg(sum(length(col("main_text")))).head().getLong(0))
     time("q238 links")(d =>
       Extract.htmlLinks(html(d), "doc_id", "html").count())
+    // q242 posture: REP parse once per domain (small join side),
+    // longest-match fold per URL — expect flat per-URL cost
+    time("q242 robots gate")(d => {
+      val docs = if (d == src) base
+        else spark.read.parquet(d).select(col("doc_id"), col("text"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://ex"), (col("doc_id") % 500).cast("string"),
+          lit(".com/p"), (col("doc_id") % 7).cast("string")).as("url"))
+      val robots = urls
+        .select(graft.operators.UrlOps.registrableDomain(col("url"))
+          .as("domain")).distinct()
+        .select(col("domain"), concat(lit("User-agent: *\nDisallow: /p"),
+          (length(col("domain")) % 7).cast("string"), lit("\nAllow: /p\n"))
+          .as("robots_txt"))
+      Extract.robotsGate(urls, "url", robots, "domain", "robots_txt",
+          "graftbot")
+        .filter(col("allowed")).count()
+    })
     spark.stop()
   }
 }
