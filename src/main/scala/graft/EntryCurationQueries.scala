@@ -753,4 +753,25 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("n1", "n2")
   }
 
+  /** LEAKAGE-FREE train/valid/test split keyed on the NEAR-DUP
+    * CLUSTER: q53's MinHash-LSH connected components supply
+    * `cluster_id`, and [[graft.operators.Curation.groupedSplit]]
+    * hashes THAT instead of the row id — so two near-duplicate
+    * scrapes of one page can never straddle train and test (the
+    * row-id split q48 would put the 12-copy boilerplate cluster in
+    * several splits and the eval set would score memorization).
+    * The oracle recomputes the clusters (recursive-CTE connected
+    * components over the replayed LSH pairs) and applies the same
+    * md5 split arithmetic to the cluster id — the full
+    * dedup-to-split chain under one hash. */
+  private[graft] def q245(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.groupedSplit(
+        graft.operators.Dedup.duplicateClusters(
+          corpusWithBoilerplate(s, dir), "text", "doc_id",
+          shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+          jaccardThreshold = 0.8),
+        col("cluster_id"), Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+
 }

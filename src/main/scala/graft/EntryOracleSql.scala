@@ -3369,6 +3369,133 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY doc_id, link_idx""",
     "q239_outlink_domains" -> htmlOutlinkDomainsOracle,
     "q242_robots_gate" -> robotsGateOracle,
+    "q243_stupid_backoff" ->
+      s"""WITH tr AS (
+           SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '') AS ts
+           FROM documents WHERE doc_id % 10 <> 0
+         ), c1 AS (
+           SELECT tok AS w, CAST(count(*) AS BIGINT) AS c1
+           FROM (SELECT unnest(ts) AS tok FROM tr) GROUP BY tok
+         ), tot AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS v FROM c1
+         ), c2 AS (
+           SELECT b.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1]}
+                                for i in range(1, len(ts))]) AS b
+                 FROM tr WHERE len(ts) >= 2)
+           GROUP BY b.u, b.v
+         ), c3 AS (
+           SELECT g.u AS u, g.v AS v, g.w AS w,
+                  CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                for i in range(1, len(ts) - 1)]) AS g
+                 FROM tr WHERE len(ts) >= 3)
+           GROUP BY g.u, g.v, g.w
+         ), sd AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '') AS ts
+           FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                 UNION ALL
+                 SELECT 30000001, '$sbOovDoc')
+         ), pd AS (
+           SELECT doc_id, g.u AS u, g.v AS v, g.w AS w,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id,
+                        unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                for i in range(1, len(ts) - 1)]) AS g
+                 FROM sd WHERE len(ts) >= 3)
+           GROUP BY doc_id, g.u, g.v, g.w
+         )
+         SELECT pd.doc_id,
+                CAST(sum(pd.c) AS BIGINT) AS n_trigrams,
+                CAST(sum(CAST(round(ln(CASE
+                    WHEN c3.c3 IS NOT NULL
+                      THEN CAST(c3.c3 AS DOUBLE) / CAST(uv.c2 AS DOUBLE)
+                    WHEN vw.c2 IS NOT NULL
+                      THEN 0.4 * (CAST(vw.c2 AS DOUBLE) / CAST(cv.c1 AS DOUBLE))
+                    ELSE 0.4 * 0.4 *
+                      (CAST(coalesce(cw.c1, 0) + 1 AS DOUBLE)
+                        / CAST(t.n + t.v AS DOUBLE))
+                  END) * 1e6) AS BIGINT) * pd.c) AS BIGINT) AS logprob_micros
+         FROM pd
+         LEFT JOIN c3 ON c3.u = pd.u AND c3.v = pd.v AND c3.w = pd.w
+         LEFT JOIN c2 uv ON uv.u = pd.u AND uv.v = pd.v
+         LEFT JOIN c2 vw ON vw.u = pd.v AND vw.v = pd.w
+         LEFT JOIN c1 cv ON cv.w = pd.v
+         LEFT JOIN c1 cw ON cw.w = pd.w
+         CROSS JOIN tot t
+         GROUP BY pd.doc_id ORDER BY pd.doc_id""",
+    "q244_blocklist_scan" -> {
+      val plantRows = spamPlants.map { case (id, txt) =>
+        s"($id, '${txt.replace("'", "''")}')" }.mkString(", ")
+      val patRows = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH d AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           UNION ALL
+           SELECT doc_id, lower(text)
+           FROM (VALUES $plantRows) AS plants(doc_id, text)
+         ), p AS (
+           SELECT pattern FROM (VALUES $patRows) AS pv(pattern)
+         ), h AS (
+           SELECT doc_id, pattern,
+                  CAST((length(t) - length(replace(t, pattern, '')))
+                       // length(pattern) AS BIGINT) AS hits
+           FROM d CROSS JOIN p
+         )
+         SELECT doc_id, pattern, hits FROM h
+         WHERE hits > 0 ORDER BY doc_id, pattern"""
+    },
+    "q245_cluster_split" ->
+      s"""SELECT doc_id, cluster_id,
+                CASE WHEN h < 90 THEN 'train'
+                     WHEN h < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5('graft:' || CAST(cluster_id AS VARCHAR)),
+                   1, 14))::BIGINT % 100 AS h
+               FROM ($duplicateClustersOracle) cc)
+         ORDER BY doc_id""",
+    "q246_k_anonymity" ->
+      """WITH b AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 10000)
+                       AS BIGINT) AS bal_hundreds
+           FROM customer
+         )
+         SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS class_size,
+                CAST(count(DISTINCT bal_hundreds) AS BIGINT) AS l_distinct,
+                count(*) >= 8 AS k_anonymous,
+                count(DISTINCT bal_hundreds) >= 5 AS l_diverse
+         FROM b GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q247_stream_blocklist_gate" -> {
+      val plantRows = spamPlants.map { case (id, txt) =>
+        s"($id, '${txt.replace("'", "''")}')" }.mkString(", ")
+      val patRows = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH d AS (
+           SELECT doc_id, (doc_id // 20) % 2 AS wave, lower(text) AS t
+           FROM (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id, text
+                 FROM (VALUES $plantRows) AS plants(doc_id, text))
+         ), p AS (
+           SELECT pattern FROM (VALUES $patRows) AS pv(pattern)
+         ), h AS (
+           SELECT doc_id, wave, pattern,
+                  CAST((length(t) - length(replace(t, pattern, '')))
+                       // length(pattern) AS BIGINT) AS hits
+           FROM d CROSS JOIN p
+         )
+         SELECT doc_id, CAST(wave AS BIGINT) AS wave,
+                CAST(sum(hits) AS BIGINT) AS total_hits,
+                CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_patterns_hit,
+                sum(hits) < 1 AS blocklist_keep
+         FROM h GROUP BY doc_id, wave ORDER BY doc_id"""
+    },
     "q241_crawl_pipeline" ->
       s"""WITH $htmlBlocksCte, boiler AS (
            SELECT text FROM blk GROUP BY text

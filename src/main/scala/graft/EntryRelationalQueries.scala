@@ -1169,4 +1169,21 @@ private[graft] trait EntryRelationalQueries { this: SparkEntry.type =>
     graft.operators.Analyze.cusumChangepoint(daily, "day", "n_events")
   }
 
+  /** k-anonymity / l-diversity release audit
+    * ([[graft.operators.Analyze.kAnonymity]]) of the customer table
+    * against the (nation, market-segment) quasi-identifier pair,
+    * with the account balance in whole hundreds as the sensitive
+    * attribute: every equivalence class reports its size and
+    * distinct-sensitive count plus the k=8 / l=5 flags — the
+    * compliance gate a dataset passes before release. One keyed
+    * aggregate; the class count is bounded by the QI domain (25
+    * nations × 5 segments), not the row count. */
+  private[graft] def q246(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.kAnonymity(
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(cents(col("c_acctbal")) / 10000L).as("bal_hundreds")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_hundreds", k = 8, l = 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+
 }

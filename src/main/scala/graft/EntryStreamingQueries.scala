@@ -479,4 +479,16 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     StreamOps.runStreamingHtmlExtractAvailableNow(s, dir,
         htmlCorpus(s, dir), minChars = 10, maxLinkDensityMicros = 300000L)
       .orderBy("doc_id")
+
+  /** Streaming blocklist gate
+    * ([[StreamOps.runStreamingBlocklistGateAvailableNow]]): the q244
+    * Aho-Corasick dictionary screen applied per micro-batch over two
+    * staged crawl waves of the same corpus + spam plants — stateless,
+    * no state store; the at-ingest policy gate beside the q157
+    * trained quality gate. The oracle restates the batch replace
+    * arithmetic with the wave as `(doc_id // 20) % 2`. */
+  private[graft] def q247(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingBlocklistGateAvailableNow(s, dir,
+        spamPlants, blocklistPatterns, maxHits = 1)
+      .orderBy("doc_id")
 }

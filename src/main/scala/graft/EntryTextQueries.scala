@@ -1021,4 +1021,67 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** The OOV plant on q243's score side — a doc whose middle token
+    * never occurs in the train corpus, so the α²·add-one unigram
+    * rung (and its +1 OOV arithmetic) is inside the hash check, not
+    * just inside the spec. Shared verbatim with the oracle. */
+  private[graft] val sbOovDoc =
+    "key agg zzzunseen row scan slow fast table"
+
+  /** Stupid Backoff trigram LM scoring of held-out documents
+    * ([[TextAnalysis.stupidBackoffScore]], Brants et al. 2007): train
+    * the count model on the 90% of the corpus with `doc_id % 10 ≠ 0`,
+    * score the held-out 10% (plus the planted OOV doc), α = 0.4.
+    * Unlike q86/q104 — which score the corpus on itself — the
+    * backoff ladder genuinely fires here: held-out trigrams miss the
+    * train counts and cascade to the bigram and add-one-unigram
+    * rungs. The oracle rebuilds all three count tables from the same
+    * split predicate and replays the identical CASE ladder inside
+    * the micro-quantized ln. */
+  private[graft] def q243(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val score = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(Seq((30000001L, sbOovDoc)).toDF("doc_id", "text"))
+    TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** q244's pattern dictionary — corpus words/phrases that hit
+    * naturally ("a a" additionally exercises the non-overlapping
+    * run semantics inside the hash: "a a a" counts ONE) plus spam
+    * phrases only the planted docs contain. Shared verbatim with the
+    * oracle's VALUES table. */
+  private[graft] val blocklistPatterns = Seq(
+    "slow", "fast table", "merge batch", "a a",
+    "click here", "buy now", "winner")
+
+  /** Planted spam docs for q244 — mixed case (the screen matches on
+    * `lower(text)`), repeated phrases, and one clean doc that only
+    * hits the benign corpus patterns. Shared verbatim with the
+    * oracle. */
+  private[graft] val spamPlants = Seq(
+    (40000001L, "Click Here to claim your prize click here buy now winner winner winner"),
+    (40000002L, "BUY NOW buy now limited offer"),
+    (40000003L, "totally clean text about spark merge batch jobs"))
+
+  /** Multi-pattern blocklist scan
+    * ([[graft.operators.Blocklist.hitCounts]]): one Aho-Corasick
+    * automaton pass per document over the whole dictionary
+    * ([[graft.functions.AhoCorasickCountsExpr]]) — long-form
+    * `(doc_id, pattern, hits)` rows for every pattern with hits,
+    * leftmost non-overlapping counts. The oracle needs no automaton:
+    * the count contract IS the per-pattern replace arithmetic
+    * `(len(t) − len(replace(t,p,''))) / len(p)`, stated per pattern
+    * over the same corpus + plants. */
+  private[graft] def q244(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(spamPlants.toDF("doc_id", "text"))
+    graft.operators.Blocklist.hitCounts(docs, "doc_id", "text",
+        blocklistPatterns)
+      .orderBy("doc_id", "pattern")
+  }
+
 }

@@ -873,4 +873,31 @@ object Analyze {
             * (col("__num").cast("double") / col("__den").cast("double")))
             .cast("long")).as("acf_micro"))
   }
+
+  /** k-ANONYMITY / l-DIVERSITY audit of a table against a
+    * quasi-identifier set — the release-compliance check a dataset
+    * runs before leaving the curation pipeline (Sweeney's k-anonymity;
+    * Machanavajjhala's l-diversity): every row must share its
+    * quasi-identifier combination with ≥ k−1 others, and each such
+    * equivalence class must carry ≥ l distinct sensitive values
+    * (k alone fails under homogeneity — a size-50 class whose
+    * sensitive value is constant still discloses it).
+    *
+    * Output: one row per equivalence class — the quasi columns,
+    * `class_size`, `l_distinct`, and the two flags. Shape: ONE
+    * map-side-combining aggregate keyed on the quasi columns
+    * (`countDistinct` rewrites to a two-phase exact distinct) — at
+    * 100 TB this is a plain corpus-keyed pass, no joins, and the
+    * output is bounded by the quasi-identifier domain, not the row
+    * count. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1,
+      "need quasi columns and positive k, l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("k_anonymous", col("class_size") >= k.toLong)
+      .withColumn("l_diverse", col("l_distinct") >= l.toLong)
+  }
 }

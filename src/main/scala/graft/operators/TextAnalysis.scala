@@ -366,6 +366,103 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** Stupid Backoff trigram scoring of HELD-OUT text — the
+    * train-on-clean / score-the-crawl LM quality gate (the CCNet
+    * recipe), with the backoff chosen for distribution: Stupid
+    * Backoff (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") replaces normalized discounting with a fixed
+    * multiplier α so the model is NOTHING but raw n-gram counts —
+    * exactly the statistic a count aggregate produces, no smoothing
+    * pass over the full vocabulary, which is why it was designed for
+    * MapReduce-scale corpora. [[bigramLogProb]] scores the corpus on
+    * itself (interpolation keeps that well-defined); this scorer is
+    * the held-out sibling where the ladder genuinely fires:
+    *
+    *   S(w|u,v) = c₃(u,v,w)/c₂(u,v)            if c₃ > 0
+    *            = α · c₂(v,w)/c₁(v)            else if c₂(v,w) > 0
+    *            = α² · (c₁(w)+1)/(N+V)         otherwise (add-one
+    *                                           unigram; OOV-safe)
+    *
+    * Per scored position `round(ln(S)·10⁶)`, summed per doc — the
+    * exact-integer discipline of q86/q104 (order-independent, so a
+    * DuckDB oracle replaying the same CASE ladder hash-matches).
+    * Docs with fewer than three tokens have no scored positions and
+    * drop out.
+    *
+    * Scale shape: the model IS three count aggregates over the train
+    * corpus (map-side combined); scoring pre-aggregates per-doc
+    * trigram instances first so every subsequent join is keyed on
+    * DISTINCT (doc,u,v,w) rows, then five hash joins (c₃, the two c₂
+    * contexts, the two c₁ lookups) — hot function-word keys split
+    * under AQE, and the 1-row (N,V) total broadcasts. Nothing here
+    * is per-token state: at 100 TB the count tables are themselves
+    * just DataFrames you'd persist once and reuse across scoring
+    * runs. */
+  def stupidBackoffScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    def ts(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(extra :+
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("__ts"): _*)
+    def bigrams(c: Column): Column = zip_with(
+      slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+      (a, b) => struct(a.as("u"), b.as("v")))
+    def trigrams(c: Column): Column = transform(
+      sequence(lit(1), size(c) - 2),
+      i => struct(element_at(c, i).as("u"), element_at(c, i + 1).as("v"),
+        element_at(c, i + 2).as("w")))
+
+    val trainTs = ts(train, Nil)
+    val c1 = trainTs.select(explode(col("__ts")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val totals = c1.agg(sum(col("__c1")).as("__ntok"), count(lit(1)).as("__vocab"))
+    val c2 = trainTs.filter(size(col("__ts")) >= 2)
+      .select(explode(bigrams(col("__ts"))).as("__bg"))
+      .select(col("__bg.u").as("__u"), col("__bg.v").as("__v"))
+      .groupBy("__u", "__v").agg(count(lit(1)).as("__c2"))
+    val c3 = trainTs.filter(size(col("__ts")) >= 3)
+      .select(explode(trigrams(col("__ts"))).as("__tg"))
+      .select(col("__tg.u").as("__u"), col("__tg.v").as("__v"),
+        col("__tg.w").as("__w"))
+      .groupBy("__u", "__v", "__w").agg(count(lit(1)).as("__c3"))
+
+    val pd = ts(docs, Seq(col(idCol)))
+      .filter(size(col("__ts")) >= 3)
+      .select(col(idCol), explode(trigrams(col("__ts"))).as("__tg"))
+      .select(col(idCol), col("__tg.u").as("__u"), col("__tg.v").as("__v"),
+        col("__tg.w").as("__w"))
+      .groupBy(col(idCol), col("__u"), col("__v"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+
+    // c2/c1 each serve two lookups — fresh-named copies (toDF aliases
+    // re-id the attributes) keep the self-joins unambiguous
+    val c3k = c3.toDF("__f_u", "__f_v", "__f_w", "__c3")
+    val c2uv = c2.toDF("__a_u", "__a_v", "__c2uv")
+    val c2vw = c2.toDF("__b_v", "__b_w", "__c2vw")
+    val c1v = c1.toDF("__d_v", "__c1v")
+    val c1w = c1.toDF("__e_w", "__c1w")
+    pd.join(c3k, col("__u") === col("__f_u") && col("__v") === col("__f_v") &&
+        col("__w") === col("__f_w"), "left")
+      .join(c2uv, col("__u") === col("__a_u") && col("__v") === col("__a_v"), "left")
+      .join(c2vw, col("__v") === col("__b_v") && col("__w") === col("__b_w"), "left")
+      .join(c1v, col("__v") === col("__d_v"), "left")
+      .join(c1w, col("__w") === col("__e_w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp_micro",
+        round(log(
+          when(col("__c3").isNotNull,
+            col("__c3").cast("double") / col("__c2uv").cast("double"))
+          .when(col("__c2vw").isNotNull,
+            lit(alpha) * (col("__c2vw").cast("double") / col("__c1v").cast("double")))
+          .otherwise(lit(alpha) * lit(alpha) *
+            ((coalesce(col("__c1w"), lit(0L)) + lit(1L)).cast("double") /
+              (col("__ntok") + col("__vocab")).cast("double")))
+        ) * 1e6).cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        sum(col("__lp_micro")).as("logprob_micros"))
+  }
+
   /** Top-k COLLOCATIONS by pointwise mutual information over adjacent
     * token pairs: pmi = ln(P(u,v) / (P(u)·P(v))) with bigram and
     * unigram probabilities from the corpus counts, quantized to

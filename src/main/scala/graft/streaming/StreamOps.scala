@@ -850,6 +850,50 @@ object StreamOps {
       spark.sparkContext.parallelize(buf.toSeq, 1), schema)
   }
 
+  /** STREAMING blocklist gate: the q244 Aho-Corasick dictionary scan
+    * ([[graft.operators.Blocklist.screen]]) applied at ingest — each
+    * crawl wave's micro-batch is screened as a STATELESS projection
+    * (the automaton ships inside the expression; no state store, no
+    * join), the same train-offline/gate-online shape as the q157
+    * quality gate. At crawl rate this costs one fused pass per
+    * document, so policy screening adds nothing to the ingest
+    * pipeline's shuffle footprint. The oracle restates the batch
+    * replace arithmetic with the wave as a pure function of doc_id —
+    * streamed gate ≡ batch screen, dictionary included. */
+  def runStreamingBlocklistGateAvailableNow(spark: SparkSession, dir: String,
+      plants: Seq[(Long, String)], patterns: Seq[String],
+      maxHits: Int): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(plants.toDF("doc_id", "text"))
+    val staging = stagedDir("blgate", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val gated = graft.operators.Blocklist.screen(
+        stream, "doc_id", "text", patterns, maxHits)
+      .select(col("doc_id"), col("wave"), col("total_hits"),
+        col("n_patterns_hit"), col("blocklist_keep"))
+    val name = s"graft_stream_blgate_${runCounter.incrementAndGet()}"
+    val query = gated.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** STREAMING exact-size weighted sample: the
     * [[graft.operators.Curation.weightedSampleWithoutReplacement]]
     * A-ES sample maintained over crawl waves. Because each row's

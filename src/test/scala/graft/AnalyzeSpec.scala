@@ -639,4 +639,20 @@ class AnalyzeSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
     out shouldBe Map(1L -> true, 2L -> true, 3L -> true)
   }
+  test("kAnonymity: class sizes, l-diversity, and both flags hand-checked") {
+    val df = Seq(
+      ("us", "A", 1), ("us", "A", 1), ("us", "A", 2), // size 3, l=2
+      ("us", "B", 5),                                 // size 1, l=1
+      ("de", "A", 1), ("de", "A", 1)                  // size 2, l=1
+    ).toDF("country", "seg", "sens")
+    val out = Analyze.kAnonymity(df, Seq("country", "seg"), "sens",
+        k = 2, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    out(("us", "A")) shouldBe ((3L, 2L, true, true))
+    out(("us", "B")) shouldBe ((1L, 1L, false, false))
+    out(("de", "A")) shouldBe ((2L, 1L, true, false))
+  }
+
 }

@@ -303,4 +303,22 @@ class CurationSpec extends SparkSpec with Matchers {
     // light rows land ~5% of draws. 10+/12 separates them decisively.
     hits should be >= 10
   }
+  test("cluster-keyed split (q245 shape): near-duplicate docs never straddle " +
+      "splits; a row-id split over the same ids does") {
+    val docs = (0L until 60L).map(i => (i * 37L + 5L,
+      "subscribe to our newsletter for updates all rights reserved"))
+      .toDF("doc_id", "text")
+    val clustered = graft.operators.Dedup.duplicateClusters(docs, "text",
+      "doc_id", shingleSize = 3, numHashes = 8, rowsPerBand = 2,
+      jaccardThreshold = 0.8)
+    val out = Curation.groupedSplit(clustered, col("cluster_id"),
+      Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+    // identical text -> one cluster -> exactly one split for all 60 docs
+    out.select("split").distinct().count() shouldBe 1L
+    // the row-id split straddles the same cluster (the leak q245 prevents)
+    docs.select(Curation.splitLabel(col("doc_id"),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5)).as("s"))
+      .distinct().count() should be > 1L
+  }
+
 }

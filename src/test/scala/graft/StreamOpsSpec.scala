@@ -808,4 +808,27 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     // one snapshot per (key, wave)
     out.size shouldBe 4
   }
+  test("streaming blocklist gate equals the batch screen per document " +
+      "(sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val pats = Seq("slow", "a a", "buy now")
+    val plants = Seq((40000001L, "BUY NOW buy now limited"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("total_hits")),
+          r.getLong(r.fieldIndex("n_patterns_hit")),
+          r.getBoolean(r.fieldIndex("blocklist_keep"))))
+    val streamed = StreamOps.runStreamingBlocklistGateAvailableNow(
+        spark, dir, plants, pats, maxHits = 1)
+      .collect().map(key).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(plants.toDF("doc_id", "text"))
+    val batch = graft.operators.Blocklist.screen(docs, "doc_id", "text",
+        pats, maxHits = 1)
+      .collect().map(key).toMap
+    streamed shouldBe batch
+    streamed(40000001L) shouldBe ((2L, 1L, false))
+  }
+
 }

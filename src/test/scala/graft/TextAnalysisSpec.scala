@@ -57,6 +57,47 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     fps(4L) should not be fps(1L)
   }
 
+  test("stupidBackoffScore: every ladder rung hand-checked at exact micros") {
+    // train "a b c a b d": c1 a2 b2 c1 d1 (N=6, V=4);
+    // c2 (a,b)2 (b,c)1 (c,a)1 (b,d)1; c3 abc/bca/cab/abd ×1
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // trigram rung: 1/2
+      (2L, "a b x"), // OOV w: α²·(0+1)/(N+V)
+      (3L, "c a b"), // trigram rung: 1/1
+      (4L, "b c d"), // bigram (c,d) unseen, d seen: α²·(1+1)/(N+V)
+      (5L, "a a b"), // trigram miss, bigram (a,b) rung: α·(2/2)
+      (6L, "a b")    // <3 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def m(p: Double) = math.round(math.log(p) * 1e6)
+    out(1L) shouldBe ((1L, m(1.0 / 2.0)))
+    out(2L) shouldBe ((1L, m(0.4 * 0.4 * (1.0 / 10.0))))
+    out(3L) shouldBe ((1L, m(1.0)))
+    out(4L) shouldBe ((1L, m(0.4 * 0.4 * (2.0 / 10.0))))
+    out(5L) shouldBe ((1L, m(0.4 * (2.0 / 2.0))))
+    out.contains(6L) shouldBe false
+    out.contains(100L) shouldBe false // train docs are not scored
+  }
+
+  test("stupidBackoffScore counts repeated instances and is partition-invariant") {
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    // 9 tokens → 7 trigram instances: abc ×3 (1/2 each), bca ×2 (1/1), cab ×2 (1/1)
+    val score = Seq((7L, "a b c a b c a b c")).toDF("doc_id", "text")
+    def m(p: Double) = math.round(math.log(p) * 1e6)
+    val expected = (7L, 3L * m(0.5))
+    for (parts <- Seq(1, 7)) {
+      val out = TextAnalysis.stupidBackoffScore(
+          train.repartition(parts), score.repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toList
+      out shouldBe List(expected)
+      out.head._2 shouldBe 3L * m(0.5)
+    }
+    TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .head().getLong(1) shouldBe 7L
+  }
+
   test("repetitionMetrics: hand-computed fractions and keep flag") {
     val docs = Seq(
       // 6 words, 3 distinct; "buy now" ×2 of 5 bigrams; trigram
