@@ -774,4 +774,24 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
 
+  /** DSIR data selection ([[graft.operators.Curation.importanceWeights]]
+    * → [[graft.operators.Curation.gumbelTopK]], Xie et al. 2023):
+    * hashed-unigram importance weights of every raw document against
+    * the mod-7 "target" slice (1024 md5 feature buckets, add-one
+    * smoothing, integer-micro ln ratios), then the top-100 docs by
+    * weight + deterministic salted-hash Gumbel noise — importance
+    * RESAMPLING, not just ranking, with the randomness itself a
+    * replayable projection. The oracle rebuilds both bucket count
+    * tables, the ratio ladder, and the Gumbel transform from the
+    * same md5 arithmetic. */
+  private[graft] def q248(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Curation.gumbelTopK(
+        graft.operators.Curation.importanceWeights(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+        "doc_id", k = 100)
+      .orderBy(col("key_micros").desc, col("doc_id"))
+  }
+
 }

@@ -338,4 +338,84 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"),
         col("old_md5"), col("new_md5"))
   }
+
+  /** Hashed-unigram bucket id for the DSIR features: the salted
+    * 56-bit md5 hash of the token folded into `buckets` — the same
+    * engine-portable hash family as [[sampleHash]], so the oracle
+    * restates it verbatim. */
+  def featureBucket(tok: Column, buckets: Int, salt: String = "dsir"): Column =
+    pmod(sampleHash(tok, salt), lit(buckets.toLong))
+
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how
+    * much more likely its hashed-unigram features are under a small
+    * TARGET corpus than under the raw corpus itself —
+    * `weight = Σ_tokens ln(p_target(b)/p_raw(b))`, with add-one
+    * smoothing over the `buckets`-sized feature space so unseen
+    * buckets stay finite. Hashing replaces the vocabulary with a
+    * fixed-size table, which is the whole trick: both "models" are
+    * ONE `buckets`-row count aggregate each, however large the
+    * corpus.
+    *
+    * Exactness: per-(doc,bucket) counts × `round(ln(ratio)·10⁶)` —
+    * the q86/q104 integer-micro discipline, order-independent and
+    * oracle-replayable. Output per raw doc: `n_tokens`,
+    * `weight_micros`.
+    *
+    * Scale shape: two bucket-keyed count aggregates (target, raw —
+    * each `buckets` rows, broadcastable by construction), the raw
+    * side pre-aggregated per (doc, bucket) before its single join,
+    * 1-row totals broadcast. Nothing grows with the vocabulary. */
+  def importanceWeights(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, "need at least two feature buckets")
+    def toks(df: DataFrame, extra: Seq[Column]) =
+      df.select(extra :+ explode(split(lower(col(textCol)), "\\s+")).as("__tok"): _*)
+        .filter(col("__tok") =!= "")
+    val tb = toks(target, Nil)
+      .select(featureBucket(col("__tok"), buckets, salt).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val nt = tb.agg(sum(col("__ct")).as("__nt"))
+    val perDocB = toks(raw, Seq(col(idCol)))
+      .select(col(idCol), featureBucket(col("__tok"), buckets, salt).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val rb = perDocB.groupBy("__b").agg(sum(col("__c")).as("__cr"))
+    val nr = rb.agg(sum(col("__cr")).as("__nr"))
+    val bd = lit(buckets.toLong)
+    perDocB
+      .join(broadcast(tb), Seq("__b"), "left")
+      .join(broadcast(rb), Seq("__b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("__lr_micro",
+        round(log(
+          ((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("__nt") + bd).cast("double"))
+          / ((col("__cr") + lit(1L)).cast("double")
+            / (col("__nr") + bd).cast("double"))
+        ) * 1e6).cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__lr_micro")).as("weight_micros"))
+  }
+
+  /** Gumbel top-k resampling over [[importanceWeights]] — DSIR's
+    * selection step: sampling k docs ∝ softmax(weight) without
+    * replacement ≡ taking the top k by `weight + Gumbel noise`
+    * (the Gumbel-max trick), and the noise here is a PURE salted-hash
+    * projection — `u = (hash56 + 0.5)/2⁵⁶`, `g = −ln(−ln u)` — so the
+    * "random" draw is deterministic, partition-invariant, and
+    * replayable in the oracle, the same property [[inSample]] gives
+    * plain sampling. One TakeOrdered top-k; no shuffle beyond it. */
+  def gumbelTopK(weights: DataFrame, idCol: String, k: Int,
+      salt: String = "gumbel"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (sampleHash(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(72057594037927936.0) // 2^56, exact as a double
+    weights
+      .withColumn("gumbel_micros", round(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_micros", col("weight_micros") + col("gumbel_micros"))
+      .orderBy(col("key_micros").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -321,4 +321,56 @@ class CurationSpec extends SparkSpec with Matchers {
       .distinct().count() should be > 1L
   }
 
+  test("importanceWeights: exact micros vs a local brute-force replay; " +
+      "gumbelTopK is deterministic and weight-shift-invariant") {
+    val target = Seq((100L, "good words flow here"), (101L, "good words again"))
+      .toDF("doc_id", "text")
+    val rawDocs = Map(1L -> "good words flow", 2L -> "zz qq junk junk",
+      3L -> "good junk")
+    val raw = rawDocs.toSeq.toDF("doc_id", "text")
+    val out = Curation.importanceWeights(target, raw, "doc_id", "text",
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dsir:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 14), 16) % 64).toLong
+    }
+    def toks(s2: String) = s2.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tgtToks = Seq("good words flow here", "good words again").flatMap(toks)
+    val ct = tgtToks.groupBy(bucket).map { case (b, xs) => b -> xs.size.toLong }
+    val ntv = tgtToks.size.toLong
+    val allRaw = rawDocs.values.toSeq.flatMap(toks)
+    val cr = allRaw.groupBy(bucket).map { case (b, xs) => b -> xs.size.toLong }
+    val nrv = allRaw.size.toLong
+    val expected = rawDocs.map { case (id, s2) =>
+      val perB = toks(s2).groupBy(bucket).map { case (b, xs) => b -> xs.size.toLong }
+      val w = perB.map { case (b, c) =>
+        val pt = (ct.getOrElse(b, 0L) + 1).toDouble / (ntv + 64).toDouble
+        val pr = (cr(b) + 1).toDouble / (nrv + 64).toDouble
+        math.round(math.log(pt / pr) * 1e6) * c
+      }.sum
+      id -> ((toks(s2).size.toLong, w))
+    }
+    out shouldBe expected
+    // the target-like doc outscores the all-junk doc
+    out(1L)._2 should be > out(2L)._2
+
+    val weights = Curation.importanceWeights(target, raw, "doc_id", "text",
+      buckets = 64)
+    val sel = Curation.gumbelTopK(weights, "doc_id", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    sel.size shouldBe 2
+    Curation.gumbelTopK(weights, "doc_id", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe sel
+    // adding a constant to every weight shifts every Gumbel key equally
+    val shifted = Curation.gumbelTopK(
+        weights.withColumn("weight_micros", col("weight_micros") + 1000000L),
+        "doc_id", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    shifted shouldBe sel
+  }
 }
