@@ -794,4 +794,36 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy(col("key_micros").desc, col("doc_id"))
   }
 
+  /** CURATION PIPELINE v4 — the round's new gates composed into the
+    * crawl-to-training-set front door: Aho-Corasick POLICY gate
+    * (spam dictionary, zero-tolerance) → DSIR importance
+    * RESAMPLING of the surviving pool against the mod-7 target slice
+    * (top-200 by weight + deterministic Gumbel) → LEAKAGE-SAFE
+    * train/valid/test split keyed on the content digest so byte-dup
+    * scrapes can never straddle splits. Every stage is an operator
+    * proven individually (q244, q248, q48/q245); this query proves
+    * the COMPOSITION — per-doc weights, Gumbel keys, and split
+    * labels — against ONE oracle assembled from the same fragments
+    * (the q98 capstone discipline). */
+  private[graft] def q249(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(spamPlants.toDF("doc_id", "text"))
+    val clean = graft.operators.Blocklist.screen(docs, "doc_id", "text",
+        spamPatterns, maxHits = 1)
+      .filter(col("blocklist_keep"))
+      .select(col("doc_id"), col("text"))
+    val selected = graft.operators.Curation.gumbelTopK(
+      graft.operators.Curation.importanceWeights(
+        clean.filter(col("doc_id") % 7 === 0),
+        clean.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+      "doc_id", k = 200)
+    graft.operators.Curation.groupedSplit(
+        selected.join(clean, Seq("doc_id")), md5(col("text")),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("n_tokens"), col("weight_micros"),
+        col("key_micros"), col("split"))
+      .orderBy("doc_id")
+  }
+
 }

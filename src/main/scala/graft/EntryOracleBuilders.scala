@@ -3133,4 +3133,59 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                 / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) AS auc
        FROM tot ORDER BY model"""
   }
+
+  /** The DSIR CTE chain (q248, reused over the q249 capstone's
+    * gated corpus): hashed-unigram bucket counts for target
+    * (mod-7 slice of `source`) and raw (the rest), add-one ratio
+    * weights in integer micros, and the deterministic Gumbel keys.
+    * `source` must expose (doc_id, text). Ends with CTE `g`
+    * (doc_id, n_tokens, weight_micros, gumbel_micros); used WITHOUT
+    * a leading WITH. */
+  private[graft] def dsirCtes(source: String): String =
+    s"""tgt AS (
+         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '')) AS tok
+         FROM $source WHERE doc_id % 7 = 0
+       ), tb AS (
+         SELECT ('0x' || substr(md5('dsir:' || tok), 1, 14))::BIGINT % 1024 AS b,
+                CAST(count(*) AS BIGINT) AS ct
+         FROM tgt GROUP BY 1
+       ), nt AS (
+         SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tb
+       ), rawt AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '')) AS tok
+         FROM $source WHERE doc_id % 7 <> 0
+       ), pd AS (
+         SELECT doc_id,
+                ('0x' || substr(md5('dsir:' || tok), 1, 14))::BIGINT % 1024 AS b,
+                CAST(count(*) AS BIGINT) AS c
+         FROM rawt GROUP BY doc_id, b
+       ), rb AS (
+         SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM pd GROUP BY b
+       ), nr AS (
+         SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rb
+       ), w AS (
+         SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(round(ln(
+                    (CAST(coalesce(tb.ct, 0) + 1 AS DOUBLE)
+                      / CAST(nt.nt + 1024 AS DOUBLE))
+                    / (CAST(rb.cr + 1 AS DOUBLE)
+                      / CAST(nr.nr + 1024 AS DOUBLE))
+                  ) * 1e6) AS BIGINT) * pd.c) AS BIGINT) AS weight_micros
+         FROM pd
+         LEFT JOIN tb ON tb.b = pd.b
+         JOIN rb ON rb.b = pd.b
+         CROSS JOIN nt CROSS JOIN nr
+         GROUP BY pd.doc_id
+       ), g AS (
+         SELECT doc_id, n_tokens, weight_micros,
+                CAST(round(-ln(-ln(
+                    (CAST(('0x' || substr(md5('gumbel:'
+                       || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS DOUBLE)
+                      + 0.5) / 72057594037927936.0
+                  )) * 1e6) AS BIGINT) AS gumbel_micros
+         FROM w
+       )"""
 }

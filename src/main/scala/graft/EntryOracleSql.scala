@@ -3497,55 +3497,44 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM h GROUP BY doc_id, wave ORDER BY doc_id"""
     },
     "q248_dsir_resample" ->
-      """WITH tgt AS (
-           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                     t -> t <> '')) AS tok
-           FROM documents WHERE doc_id % 7 = 0
-         ), tb AS (
-           SELECT ('0x' || substr(md5('dsir:' || tok), 1, 14))::BIGINT % 1024 AS b,
-                  CAST(count(*) AS BIGINT) AS ct
-           FROM tgt GROUP BY 1
-         ), nt AS (
-           SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tb
-         ), rawt AS (
-           SELECT doc_id,
-                  unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                     t -> t <> '')) AS tok
-           FROM documents WHERE doc_id % 7 <> 0
-         ), pd AS (
-           SELECT doc_id,
-                  ('0x' || substr(md5('dsir:' || tok), 1, 14))::BIGINT % 1024 AS b,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM rawt GROUP BY doc_id, b
-         ), rb AS (
-           SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM pd GROUP BY b
-         ), nr AS (
-           SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rb
-         ), w AS (
-           SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
-                  CAST(sum(CAST(round(ln(
-                      (CAST(coalesce(tb.ct, 0) + 1 AS DOUBLE)
-                        / CAST(nt.nt + 1024 AS DOUBLE))
-                      / (CAST(rb.cr + 1 AS DOUBLE)
-                        / CAST(nr.nr + 1024 AS DOUBLE))
-                    ) * 1e6) AS BIGINT) * pd.c) AS BIGINT) AS weight_micros
-           FROM pd
-           LEFT JOIN tb ON tb.b = pd.b
-           JOIN rb ON rb.b = pd.b
-           CROSS JOIN nt CROSS JOIN nr
-           GROUP BY pd.doc_id
-         ), g AS (
-           SELECT doc_id, n_tokens, weight_micros,
-                  CAST(round(-ln(-ln(
-                      (CAST(('0x' || substr(md5('gumbel:'
-                         || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS DOUBLE)
-                        + 0.5) / 72057594037927936.0
-                    )) * 1e6) AS BIGINT) AS gumbel_micros
-           FROM w
-         )
+      s"""WITH ${dsirCtes("documents")}
          SELECT doc_id, n_tokens, weight_micros, gumbel_micros,
                 weight_micros + gumbel_micros AS key_micros
          FROM g ORDER BY key_micros DESC, doc_id LIMIT 100""",
+    "q249_curation_pipeline_v4" -> {
+      val plantRows = spamPlants.map { case (id, txt) =>
+        s"($id, '${txt.replace("'", "''")}')" }.mkString(", ")
+      val patRows = spamPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH d0 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id, text FROM (VALUES $plantRows) AS plants(doc_id, text)
+         ), hh0 AS (
+           SELECT d0.doc_id,
+                  sum(CAST((length(lower(d0.text))
+                        - length(replace(lower(d0.text), p.pattern, '')))
+                      // length(p.pattern) AS BIGINT)) AS h
+           FROM d0 CROSS JOIN (VALUES $patRows) AS p(pattern)
+           GROUP BY d0.doc_id
+         ), clean AS (
+           SELECT d0.doc_id, d0.text
+           FROM d0 JOIN hh0 ON hh0.doc_id = d0.doc_id
+           WHERE hh0.h < 1
+         ), ${dsirCtes("clean")}
+         , sel AS (
+           SELECT doc_id, n_tokens, weight_micros,
+                  weight_micros + gumbel_micros AS key_micros
+           FROM g ORDER BY key_micros DESC, doc_id LIMIT 200
+         )
+         SELECT doc_id, n_tokens, weight_micros, key_micros,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT sel.*,
+                 ('0x' || substr(md5('graft:' || md5(c.text)), 1, 14))::BIGINT
+                   % 100 AS hs
+               FROM sel JOIN clean c ON c.doc_id = sel.doc_id)
+         ORDER BY doc_id"""
+    },
     "q241_crawl_pipeline" ->
       s"""WITH $htmlBlocksCte, boiler AS (
            SELECT text FROM blk GROUP BY text

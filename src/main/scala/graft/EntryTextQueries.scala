@@ -1053,9 +1053,12 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * run semantics inside the hash: "a a a" counts ONE) plus spam
     * phrases only the planted docs contain. Shared verbatim with the
     * oracle's VALUES table. */
-  private[graft] val blocklistPatterns = Seq(
-    "slow", "fast table", "merge batch", "a a",
-    "click here", "buy now", "winner")
+  /** The spam-phrase subset — the ACTUAL policy dictionary (q249's
+    * gate): only the planted spam docs contain these. */
+  private[graft] val spamPatterns = Seq("click here", "buy now", "winner")
+
+  private[graft] val blocklistPatterns =
+    Seq("slow", "fast table", "merge batch", "a a") ++ spamPatterns
 
   /** Planted spam docs for q244 — mixed case (the screen matches on
     * `lower(text)`), repeated phrases, and one clean doc that only

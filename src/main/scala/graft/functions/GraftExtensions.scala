@@ -119,6 +119,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_html_links expects exactly 1 argument")
         HtmlLinksExpr(args(0))
+      }),
+    ("graft_ac_counts",
+      info("graft_ac_counts",
+        "graft_ac_counts(text, p1, p2, ...) - one-pass Aho-Corasick " +
+          "leftmost-non-overlapping hit counts per pattern, aligned " +
+          "with the pattern argument order"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "graft_ac_counts expects a text column and at least one pattern")
+        val pats = args.tail.map {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_ac_counts: patterns must be string literals, got $other")
+        }
+        AhoCorasickCountsExpr(args.head, pats)
       }))
 
   /** Register on an already-built session (the extensions hook only

@@ -111,4 +111,15 @@ class GraftExtensionsSpec extends SparkSpec with Matchers {
       Seq(("hi go", 4L, 2L))
     row.getSeq[String](2) shouldBe Seq("/x", "/y?a=1&b=2")
   }
+  test("graft_ac_counts runs through spark.sql; rejects non-literal patterns") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_ac_counts('ababa aaaa', 'aba', 'aa', 'zz') AS c").head()
+    row.getSeq[Int](0) shouldBe Seq(1, 2, 0)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_ac_counts('x', upper('a'))").collect()
+    }
+    e.getMessage should include("string literals")
+  }
+
 }
