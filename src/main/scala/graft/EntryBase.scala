@@ -148,6 +148,26 @@ private[graft] trait EntryBase { this: SparkEntry.type =>
       lit("?x=1&amp;y=2\">site map</a> &copy; 2026</footer></body></html>"))
       .as("html"))
 
+  /** Anchor texts planted by [[anchorCorpus]] (doc_id mod 4 picks
+    * one) — shared verbatim with the q251 oracle. */
+  private[graft] val anchorTexts = Seq(
+    "great spark guide", "slow data blog",
+    "fast table reference", "big query docs")
+
+  /** Synthetic corpus for the anchor-text rollup (q251): one absolute
+    * outlink per doc (the shared [[syntheticUrl]] arithmetic) whose
+    * anchor varies by doc_id mod 4, plus a relative link with an
+    * entity in its anchor. The q250 parser certification runs on the
+    * hostile [[htmlCorpus]]; THIS corpus exists so the per-domain
+    * token rollup has planted structure the oracle restates. */
+  private[graft] def anchorCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<p>see <a href=\""), syntheticUrl, lit("\">"),
+      element_at(array(anchorTexts.map(lit): _*),
+        (col("doc_id") % 4 + 1).cast("int")),
+      lit("</a> &amp; a <a href=\"/rel\">relative &#65; link</a></p>"))
+      .as("html"))
+
   /** One planted PII string per category (doc_id mod 7 picks the
     * class) so every [[Scrub.piiPatterns]] regex fires inside the
     * hash check — the q41 planting pattern. Shared verbatim with the

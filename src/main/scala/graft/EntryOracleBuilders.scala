@@ -3134,6 +3134,50 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM tot ORDER BY model"""
   }
 
+  /** q251 oracle — the planted anchor corpus restated: the shared
+    * syntheticUrl arithmetic folded to its registrable domain (the
+    * q90/q239 machinery) and the mod-4 anchor text split into
+    * tokens, counted per (domain, token). The relative link never
+    * enters (the query keeps absolute links only). */
+  private[graft] def anchorRollupOracle: String = {
+    val sufs = UrlOps.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    val anchors = anchorTexts.map(a => s"'$a'").mkString(", ")
+    s"""WITH u AS (
+         SELECT doc_id,
+                (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                  'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                  || CAST(doc_id % 20 AS VARCHAR)
+                  || (['.com/p', '.co.uk/a', '.co.uk/b',
+                      '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                  || '?x=1&y=2' AS url,
+                ([$anchors])[(doc_id % 4) + 1] AS anchor
+         FROM documents
+       ), h AS (
+         SELECT doc_id, anchor,
+                regexp_replace(
+                  lower(regexp_extract(
+                    regexp_replace(regexp_replace(url, '#.*$$', '', 'g'),
+                                   '\\?.*$$', '', 'g'),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$$', 2)),
+                  '^www\\.', '', 'g') AS host
+         FROM u
+       ), l AS (
+         SELECT doc_id, anchor, host, string_split(host, '.') AS toks FROM h
+       ), r AS (
+         SELECT doc_id, anchor,
+                CASE WHEN len(toks) <= 2 THEN host
+                     WHEN toks[-2] || '.' || toks[-1] IN ($sufs)
+                       THEN toks[-3] || '.' || toks[-2] || '.' || toks[-1]
+                     ELSE toks[-2] || '.' || toks[-1] END AS domain
+         FROM l
+       ), tk AS (
+         SELECT domain, unnest(string_split(anchor, ' ')) AS token FROM r
+       )
+       SELECT domain, token, CAST(count(*) AS BIGINT) AS n_mentions
+       FROM tk GROUP BY domain, token ORDER BY domain, token"""
+  }
+
   /** The DSIR CTE chain (q248, reused over the q249 capstone's
     * gated corpus): hashed-unigram bucket counts for target
     * (mod-7 slice of `source`) and raw (the rest), add-one ratio

@@ -3368,6 +3368,37 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT doc_id, link_idx, href FROM l
          ORDER BY doc_id, link_idx""",
     "q239_outlink_domains" -> htmlOutlinkDomainsOracle,
+    "q250_html_anchors" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS m3,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS m5,
+                  (['https://ex', 'https://news.ex', 'https://WWW.ex',
+                    'https://a.b.ex', 'https://ex', 'https://sub.ex'])[(doc_id % 6) + 1]
+                    || CAST(doc_id % 20 AS VARCHAR)
+                    || (['.com/p', '.co.uk/a', '.co.uk/b',
+                        '.com.au/x', '.org/y', '.de/z'])[(doc_id % 6) + 1]
+                    || '?x=1&y=2' AS url
+           FROM documents
+         ), l AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS link_idx, '/h' AS href,
+                  'home' AS anchor FROM d
+           UNION ALL SELECT doc_id, CAST(1 AS BIGINT), '/a', 'about pages'
+             FROM d
+           UNION ALL SELECT doc_id, CAST(2 AS BIGINT), '/c', 'contact us'
+             FROM d WHERE m3 = 1
+           UNION ALL SELECT doc_id, CAST(2 + m3 AS BIGINT), '/buy', 'buy now'
+             FROM d WHERE m5 = 1
+           UNION ALL SELECT doc_id, CAST(2 + m3 + m5 AS BIGINT), '/t', 'terms'
+             FROM d
+           UNION ALL SELECT doc_id, CAST(3 + m3 + m5 AS BIGINT), '/p',
+             'privacy' FROM d
+           UNION ALL SELECT doc_id, CAST(4 + m3 + m5 AS BIGINT), url,
+             'site map' FROM d
+         )
+         SELECT doc_id, link_idx, href, anchor FROM l
+         ORDER BY doc_id, link_idx""",
+    "q251_anchor_rollup" -> anchorRollupOracle,
     "q242_robots_gate" -> robotsGateOracle,
     "q243_stupid_backoff" ->
       s"""WITH tr AS (

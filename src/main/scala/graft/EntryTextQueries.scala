@@ -1087,4 +1087,34 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id", "pattern")
   }
 
+  /** Outlinks WITH anchor text over the hostile markup corpus
+    * ([[graft.operators.Extract.htmlAnchors]]): (doc_id, link_idx,
+    * href, anchor) — link_idx aligns with q238 by the shared scan
+    * contract, and the anchors must survive the same
+    * script/comment/CDATA/entity traps (the oracle rebuilds both
+    * columns from the construction arithmetic, never parsing). */
+  private[graft] def q250(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Extract.htmlAnchors(htmlCorpus(s, dir), "doc_id", "html")
+      .orderBy("doc_id", "link_idx")
+
+  /** Anchor-text rollup per TARGET registrable domain
+    * ([[graft.operators.Extract.htmlAnchors]] → [[graft.operators
+    * .UrlOps.registrableDomain]] → token counts): "what the linking
+    * web calls this site" — the classic link-description signal a
+    * web corpus aggregates per target for ranking/labeling. Absolute
+    * links only; one domain-and-token-keyed aggregate after the
+    * per-doc parse projection. */
+  private[graft] def q251(s: SparkSession, dir: String): DataFrame = {
+    val anchors = graft.operators.Extract.htmlAnchors(
+        anchorCorpus(s, dir), "doc_id", "html")
+      .filter(col("href").startsWith("http"))
+    anchors
+      .select(graft.operators.UrlOps.registrableDomain(col("href"))
+          .as("domain"),
+        explode(split(col("anchor"), " ")).as("token"))
+      .groupBy("domain", "token")
+      .agg(count(lit(1)).as("n_mentions"))
+      .orderBy("domain", "token")
+  }
+
 }

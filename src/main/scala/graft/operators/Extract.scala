@@ -53,6 +53,23 @@ object Extract {
     toColumn(graft.functions.HtmlLinksExpr(toExpression(htmlCol)))
   }
 
+  private def anchorsCol(htmlCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.HtmlAnchorsExpr(toExpression(htmlCol)))
+  }
+
+  /** Outlinks WITH their anchor text
+    * ([[graft.functions.HtmlAnchorsExpr]]), one row per `<a href>` in
+    * document order: (idCol, link_idx, href, anchor) — `link_idx`
+    * aligns index-for-index with [[htmlLinks]] by the shared scan
+    * contract. The anchor is the link-description signal the web
+    * aggregates per target page/domain. */
+  def htmlAnchors(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(anchorsCol(col(htmlCol))).as(Seq("link_idx", "__a")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("__a.href").as("href"), col("__a.anchor").as("anchor"))
+
   /** Outlinks ([[graft.functions.HtmlLinksExpr]]), one row per
     * `<a href>` in document order: (idCol, link_idx, href) with
     * 0-based link_idx — the crawl-frontier edge list; compose with

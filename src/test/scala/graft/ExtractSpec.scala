@@ -268,4 +268,35 @@ class ExtractSpec extends SparkSpec with Matchers {
     out.map(_.getAs[String]("main_text")).toSeq shouldBe
       Seq("kept body text here", "", "")
   }
+  test("htmlAnchors: hostile markup — inner tags stripped, script/comment " +
+      "content excluded, entities decode, superseding <a> splits captures") {
+    val html =
+      """<a href="/x">foo <b>bar</b></a>
+        |<a href="/y">one<a href="/z?a=1&amp;b=2">two &#65;</a>
+        |<a href="/s">pre<script>ignored "</a>" text</script>post</a>
+        |<a>no href closes nothing</a>
+        |<a href="/open">runs to end of input""".stripMargin
+    val out = graft.operators.Extract.htmlAnchors(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    out shouldBe Seq(
+      (0L, "/x", "foo bar"),
+      (1L, "/y", "one"),
+      (2L, "/z?a=1&b=2", "two A"),
+      (3L, "/s", "prepost"),
+      (4L, "/open", "runs to end of input"))
+  }
+
+  test("htmlAnchors link_idx aligns with htmlLinks index-for-index") {
+    val html = "<a href=\"/a\">first</a><p>x</p><a name=n>skip</a>" +
+      "<a href=\"/b\">second</a>"
+    val df = Seq((7L, html)).toDF("doc_id", "html")
+    val links = graft.operators.Extract.htmlLinks(df, "doc_id", "html")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    val anchors = graft.operators.Extract.htmlAnchors(df, "doc_id", "html")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    anchors shouldBe links
+    anchors shouldBe Seq((0L, "/a"), (1L, "/b"))
+  }
+
 }
