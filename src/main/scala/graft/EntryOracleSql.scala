@@ -3399,6 +3399,56 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT doc_id, link_idx, href, anchor FROM l
          ORDER BY doc_id, link_idx""",
     "q251_anchor_rollup" -> anchorRollupOracle,
+    "q252_topic_tags" -> {
+      val cats = topicCategories.sortBy(_._1)
+      val catCols = cats.map { case (name, pats) =>
+        val sum = pats.map(p =>
+          s"(length(t) - length(replace(t, '$p', ''))) // ${p.length}")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS hits_$name"
+      }.mkString(", ")
+      val names = cats.map(_._1)
+      val m = "greatest(" + names.map(n => s"hits_$n").mkString(", ") + ")"
+      val pick = names.map(n => s"WHEN hits_$n = $m THEN '$n'").mkString(" ")
+      val hitsSel = names.map(n => s"hits_$n").mkString(", ")
+      s"""WITH d AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+         ), h AS (
+           SELECT doc_id, $catCols FROM d
+         )
+         SELECT doc_id, $hitsSel,
+                CASE WHEN $m = 0 THEN 'none' ELSE CASE $pick END END AS topic
+         FROM h ORDER BY doc_id"""
+    },
+    "q253_source_overlap" ->
+      s"""WITH w AS (
+           SELECT source, string_split_regex(text, '\\s+') AS words
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT source, shingle FROM (
+             SELECT source, unnest(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[i:i+2], ' ')
+                          for i in range(1, len(words) - 1)]
+               END) AS shingle
+             FROM w)
+         ), sz AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+         ), pr AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY a.source, b.source
+         )
+         SELECT pr.source_a, pr.source_b, pr.n_common,
+                za.n AS n_a, zb.n AS n_b,
+                CAST(pr.n_common * 1000000 // least(za.n, zb.n) AS BIGINT)
+                  AS containment_micros
+         FROM pr
+         JOIN sz za ON za.source = pr.source_a
+         JOIN sz zb ON zb.source = pr.source_b
+         ORDER BY source_a, source_b""",
     "q242_robots_gate" -> robotsGateOracle,
     "q243_stupid_backoff" ->
       s"""WITH tr AS (

@@ -1117,4 +1117,58 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("domain", "token")
   }
 
+  /** q252's keyword taxonomy — three categories over corpus
+    * vocabulary; the oracle's per-category sums and argmax CASE are
+    * GENERATED from this same data. */
+  private[graft] val topicCategories = Seq(
+    "compute" -> Seq("query", "scan", "join", "agg"),
+    "storage" -> Seq("table", "column", "row", "part"),
+    "speed" -> Seq("slow", "fast", "big", "small"))
+
+  /** Keyword-dictionary topic tagging
+    * ([[graft.operators.Blocklist.categorize]]): all three category
+    * lists compiled into ONE Aho-Corasick automaton, one pass per
+    * document, per-category hit totals by in-row arithmetic, argmax
+    * topic with the lexicographic tie-break — the domain tagger a
+    * mixture pipeline runs before weighting sources. */
+  private[graft] def q252(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.categorize(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", topicCategories)
+      .select(Seq(col("doc_id")) ++
+        topicCategories.map(_._1).sorted.map(n => col(s"hits_$n")) :+
+        col("topic"): _*)
+      .orderBy("doc_id")
+
+  /** Pairwise SOURCE-OVERLAP matrix — the corpus-governance report
+    * "how much does each source duplicate each other source":
+    * distinct (source, 3-gram shingle) pairs, self-joined on the
+    * shingle with `source_a < source_b`, counted per source pair,
+    * plus each side's distinct-shingle size and the exact integer
+    * containment `n_common·10⁶ div min(n_a, n_b)`. The join key is
+    * the shingle, so fan-out per key is bounded by |sources|² — at
+    * 100 TB this is one dedup-shaped aggregate plus a
+    * bounded-fan-out join, never doc×doc. */
+  private[graft] def q253(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(
+          graft.operators.Dedup.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("source_a", "sh")
+      .join(sh.toDF("source_b", "sh"), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.toDF("source_a", "n_a"), "source_a")
+      .join(sizes.toDF("source_b", "n_b"), "source_b")
+      .withColumn("containment_micros",
+        expr("n_common * 1000000L div least(n_a, n_b)"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment_micros"))
+      .orderBy("source_a", "source_b")
+  }
+
 }

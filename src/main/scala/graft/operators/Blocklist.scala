@@ -44,6 +44,45 @@ object Blocklist {
         col("hits").cast("long").as("hits"))
   }
 
+  /** Keyword-dictionary TOPIC TAGGING — the domain classifier a
+    * mixture pipeline runs to weight sources (news/code/reference/…):
+    * every category owns a keyword list, ALL lists are compiled into
+    * ONE Aho-Corasick automaton, and a single text pass yields every
+    * category's hit total; `topic` is the argmax (ties break toward
+    * the lexicographically smallest category name, `none` when
+    * nothing hits). Still a pure fused projection — the per-category
+    * rollup is in-row arithmetic over the one counts array, so
+    * tagging N categories costs the same corpus read as one.
+    *
+    * Output: idCol, one `hits_<category>` column per category, and
+    * `topic`. */
+  def categorize(docs: DataFrame, idCol: String, textCol: String,
+      categories: Seq[(String, Seq[String])],
+      lowerCase: Boolean = true): DataFrame = {
+    require(categories.nonEmpty && categories.forall(_._2.nonEmpty),
+      "need at least one category, each with at least one keyword")
+    require(categories.map(_._1).distinct.size == categories.size,
+      "category names must be unique")
+    val cats = categories.sortBy(_._1)
+    val flat = cats.flatMap(_._2)
+    val text = if (lowerCase) lower(col(textCol)) else col(textCol)
+    val offsets = cats.map(_._2.size).scanLeft(0)(_ + _)
+    val withCounts = docs.withColumn("__ac", acCounts(text, flat))
+    val hitCols = cats.zipWithIndex.map { case ((name, pats), i) =>
+      aggregate(slice(col("__ac"), offsets(i) + 1, pats.size), lit(0L),
+        (acc, h) => acc + h).as(s"hits_$name")
+    }
+    val tagged = withCounts.select(
+      withCounts.columns.filterNot(_ == "__ac").map(col).toSeq ++ hitCols: _*)
+    val names = cats.map(_._1)
+    val best = greatest(names.map(n =>
+      struct(col(s"hits_$n").as("h"), lit(-names.indexOf(n)).as("ord"))): _*)
+    tagged.withColumn("topic",
+      when(best.getField("h") === 0L, lit("none"))
+        .otherwise(element_at(array(names.map(lit): _*),
+          -best.getField("ord") + 1)))
+  }
+
   /** Per-doc screening summary: total hits, number of distinct
     * patterns hit, and the keep flag (`total_hits < maxHits`). The
     * rollup is an in-row `aggregate` fold over the count array — the

@@ -58,4 +58,23 @@ class BlocklistSpec extends SparkSpec with Matchers {
     val plan = out.queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+  test("categorize: per-category sums, argmax topic, none, lexicographic ties") {
+    val cats = Seq("b_cat" -> Seq("beta"), "a_cat" -> Seq("alpha"),
+      "c_cat" -> Seq("gamma", "delta"))
+    val docs = Seq(
+      (1L, "alpha beta beta"),   // b_cat wins 2-1
+      (2L, "ALPHA beta"),        // tie 1-1 -> a_cat (lexicographic)
+      (3L, "gamma delta gamma"), // c_cat 3
+      (4L, "nothing here")       // none
+    ).toDF("id", "t")
+    val out = graft.operators.Blocklist.categorize(docs, "id", "t", cats)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("hits_a_cat"), r.getAs[Long]("hits_b_cat"),
+          r.getAs[Long]("hits_c_cat"), r.getAs[String]("topic")))).toMap
+    out(1L) shouldBe ((1L, 2L, 0L, "b_cat"))
+    out(2L) shouldBe ((1L, 1L, 0L, "a_cat"))
+    out(3L) shouldBe ((0L, 0L, 3L, "c_cat"))
+    out(4L) shouldBe ((0L, 0L, 0L, "none"))
+  }
+
 }
