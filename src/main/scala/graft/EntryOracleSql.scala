@@ -3399,6 +3399,85 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          SELECT doc_id, link_idx, href, anchor FROM l
          ORDER BY doc_id, link_idx""",
     "q251_anchor_rollup" -> anchorRollupOracle,
+    "q254_cms_backoff" -> {
+      val depth = 3
+      val width = 4096
+      def estCte(prev: String, name: String, itemSql: String, sk: String,
+          saltK: String, carry: String): String =
+        s"""q_$name AS (
+           SELECT $carry,
+                  h,
+                  ('0x' || substr(md5('$saltK:' || CAST(h AS VARCHAR)
+                    || ':' || $itemSql), 1, 14))::BIGINT % $width AS bucket
+           FROM $prev CROSS JOIN (SELECT unnest(range(0, $depth)) AS h)
+         ), $name AS (
+           SELECT $carry, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS $name
+           FROM q_$name LEFT JOIN $sk s USING (h, bucket)
+           GROUP BY $carry
+         )"""
+      def sketchCtes(k: Int, items: String): String =
+        s"""i$k AS ($items
+         ), f$k AS (
+           SELECT it, CAST(count(*) AS BIGINT) AS f FROM i$k GROUP BY it
+         ), c$k AS (
+           SELECT f, h,
+                  ('0x' || substr(md5('cmslm$k:' || CAST(h AS VARCHAR)
+                    || ':' || it), 1, 14))::BIGINT % $width AS bucket
+           FROM f$k CROSS JOIN (SELECT unnest(range(0, $depth)) AS h)
+         ), sk$k AS (
+           SELECT h, bucket, CAST(sum(f) AS BIGINT) AS cnt
+           FROM c$k GROUP BY h, bucket
+         )"""
+      val base = "doc_id, u, v, w, c"
+      s"""WITH tr AS (
+           SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '') AS ts
+           FROM documents WHERE doc_id % 10 <> 0
+         ), ${sketchCtes(1, "SELECT unnest(ts) AS it FROM tr")},
+         ${sketchCtes(2,
+          """SELECT unnest([ts[i] || ' ' || ts[i+1]
+                            for i in range(1, len(ts))]) AS it
+           FROM tr WHERE len(ts) >= 2""")},
+         ${sketchCtes(3,
+          """SELECT unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                            for i in range(1, len(ts) - 1)]) AS it
+           FROM tr WHERE len(ts) >= 3""")},
+         ntok AS (SELECT CAST(count(*) AS BIGINT) AS n FROM i1),
+         sd AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '') AS ts
+           FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                 UNION ALL
+                 SELECT 30000001, '$sbOovDoc')
+         ), pd AS (
+           SELECT doc_id, g.u AS u, g.v AS v, g.w AS w,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id,
+                        unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                for i in range(1, len(ts) - 1)]) AS g
+                 FROM sd WHERE len(ts) >= 3)
+           GROUP BY doc_id, g.u, g.v, g.w
+         ),
+         ${estCte("pd", "e3", "u || ' ' || v || ' ' || w", "sk3", "cmslm3", base)},
+         ${estCte("e3", "e2uv", "u || ' ' || v", "sk2", "cmslm2", s"$base, e3")},
+         ${estCte("e2uv", "e2vw", "v || ' ' || w", "sk2", "cmslm2", s"$base, e3, e2uv")},
+         ${estCte("e2vw", "e1v", "v", "sk1", "cmslm1", s"$base, e3, e2uv, e2vw")},
+         ${estCte("e1v", "e1w", "w", "sk1", "cmslm1", s"$base, e3, e2uv, e2vw, e1v")}
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_trigrams,
+                CAST(sum(CAST(round(ln(CASE
+                    WHEN e3 > 0 AND e2uv > 0
+                      THEN least(CAST(e3 AS DOUBLE) / CAST(e2uv AS DOUBLE), 1.0)
+                    WHEN e2vw > 0 AND e1v > 0
+                      THEN 0.4 * least(CAST(e2vw AS DOUBLE)
+                             / CAST(e1v AS DOUBLE), 1.0)
+                    ELSE 0.4 * 0.4 * (CAST(e1w + 1 AS DOUBLE)
+                           / CAST(t.n + $width AS DOUBLE))
+                  END) * 1e6) AS BIGINT) * c) AS BIGINT) AS logprob_micros
+         FROM e1w CROSS JOIN ntok t
+         GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q252_topic_tags" -> {
       val cats = topicCategories.sortBy(_._1)
       val catCols = cats.map { case (name, pats) =>

@@ -1117,6 +1117,27 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("domain", "token")
   }
 
+  /** Stupid Backoff LM scoring served from Count-Min sketches
+    * ([[TextAnalysis.cmsStupidBackoffScore]]): q243's scorer with
+    * the three exact n-gram tables replaced by depth-3 × width-4096
+    * CMS tables — the bounded-memory LM path when the trigram table
+    * itself is corpus-sized. The ladder's sketch adaptations
+    * (est>0 rungs, ratio clamp at 1, bucket-space unigram floor) are
+    * part of the contract; the oracle REBUILDS all three sketches
+    * cell by cell (the q102 discipline) and replays the adapted
+    * ladder, so the hash certifies the sketch arithmetic end to
+    * end. Same train/score split and OOV plant as q243 — the two
+    * scoreboards are directly comparable. */
+  private[graft] def q254(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val score = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(Seq((30000001L, sbOovDoc)).toDF("doc_id", "text"))
+    TextAnalysis.cmsStupidBackoffScore(train, score, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** q252's keyword taxonomy — three categories over corpus
     * vocabulary; the oracle's per-category sums and argmax CASE are
     * GENERATED from this same data. */

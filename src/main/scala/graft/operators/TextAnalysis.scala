@@ -398,19 +398,39 @@ object TextAnalysis {
     * is per-token state: at 100 TB the count tables are themselves
     * just DataFrames you'd persist once and reuse across scoring
     * runs. */
+  /** Non-empty lowercase whitespace tokens — the LM-family tokenizer
+    * (q86/q104/q243 share it). */
+  private def lmTokens(textCol: String): Column =
+    filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+
+  private def bigramStructs(c: Column): Column = zip_with(
+    slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+    (a, b) => struct(a.as("u"), b.as("v")))
+
+  private def trigramStructs(c: Column): Column = transform(
+    sequence(lit(1), size(c) - 2),
+    i => struct(element_at(c, i).as("u"), element_at(c, i + 1).as("v"),
+      element_at(c, i + 2).as("w")))
+
+  /** (id, u, v, w, __c) pre-aggregated trigram instances of the
+    * scored side — both backoff scorers join against this. */
+  private def scoredTrigramCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), lmTokens(textCol).as("__ts"))
+      .filter(size(col("__ts")) >= 3)
+      .select(col(idCol), explode(trigramStructs(col("__ts"))).as("__tg"))
+      .select(col(idCol), col("__tg.u").as("__u"), col("__tg.v").as("__v"),
+        col("__tg.w").as("__w"))
+      .groupBy(col(idCol), col("__u"), col("__v"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+
   def stupidBackoffScore(train: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
     def ts(df: DataFrame, extra: Seq[Column]): DataFrame =
-      df.select(extra :+
-        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("__ts"): _*)
-    def bigrams(c: Column): Column = zip_with(
-      slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
-      (a, b) => struct(a.as("u"), b.as("v")))
-    def trigrams(c: Column): Column = transform(
-      sequence(lit(1), size(c) - 2),
-      i => struct(element_at(c, i).as("u"), element_at(c, i + 1).as("v"),
-        element_at(c, i + 2).as("w")))
+      df.select(extra :+ lmTokens(textCol).as("__ts"): _*)
+    def bigrams(c: Column): Column = bigramStructs(c)
+    def trigrams(c: Column): Column = trigramStructs(c)
 
     val trainTs = ts(train, Nil)
     val c1 = trainTs.select(explode(col("__ts")).as("__w"))
@@ -426,13 +446,7 @@ object TextAnalysis {
         col("__tg.w").as("__w"))
       .groupBy("__u", "__v", "__w").agg(count(lit(1)).as("__c3"))
 
-    val pd = ts(docs, Seq(col(idCol)))
-      .filter(size(col("__ts")) >= 3)
-      .select(col(idCol), explode(trigrams(col("__ts"))).as("__tg"))
-      .select(col(idCol), col("__tg.u").as("__u"), col("__tg.v").as("__v"),
-        col("__tg.w").as("__w"))
-      .groupBy(col(idCol), col("__u"), col("__v"), col("__w"))
-      .agg(count(lit(1)).as("__c"))
+    val pd = scoredTrigramCounts(docs, idCol, textCol)
 
     // c2/c1 each serve two lookups — fresh-named copies (toDF aliases
     // re-id the attributes) keep the self-joins unambiguous
@@ -457,6 +471,85 @@ object TextAnalysis {
           .otherwise(lit(alpha) * lit(alpha) *
             ((coalesce(col("__c1w"), lit(0L)) + lit(1L)).cast("double") /
               (col("__ntok") + col("__vocab")).cast("double")))
+        ) * 1e6).cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        sum(col("__lp_micro")).as("logprob_micros"))
+  }
+
+  /** [[stupidBackoffScore]] served from COUNT-MIN SKETCHES — the
+    * bounded-memory LM path at extreme scale: the exact trigram
+    * table grows with the corpus (CommonCrawl-scale counts run to
+    * billions of rows), but three `depth×width` CMS tables hold
+    * whatever the corpus throws at them in O(depth·width) cells,
+    * broadcastable by construction, at the price of one-sided error
+    * (estimates only ever OVERCOUNT — [[graft.operators.Sketch
+    * .countMinBuild]]).
+    *
+    * Ladder changes forced by the sketch, all deterministic and
+    * oracle-replayable:
+    *  - a rung fires on `est > 0` (a colliding unseen n-gram can
+    *    fire the trigram rung with a small overcount — the standard
+    *    CMS trade);
+    *  - ratios clamp at 1 (`least(est_num/est_den, 1)`): numerator
+    *    and denominator collide independently, so the raw ratio can
+    *    exceed 1 where exact counts never could;
+    *  - the unigram floor smooths over the BUCKET space —
+    *    `α²·(est₁(w)+1)/(N+width)` — because a vocabulary size would
+    *    itself be a corpus-sized statistic (N is one exact scalar).
+    *
+    * Shape: three count aggregates bounded by depth×width, five
+    * broadcast estimate-joins against pre-aggregated (doc, trigram)
+    * rows, no corpus-sized model state anywhere. */
+  def cmsStupidBackoffScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4, depth: Int = 3, width: Int = 4096,
+      salt: String = "cmslm"): DataFrame = {
+    import graft.operators.Sketch
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val trainTs = train.select(lmTokens(textCol).as("__ts"))
+    val uniItems = trainTs.select(explode(col("__ts")).as("__it"))
+      .withColumn("__wt", lit(1L))
+    val biItems = trainTs.filter(size(col("__ts")) >= 2)
+      .select(explode(bigramStructs(col("__ts"))).as("__bg"))
+      .select(concat_ws(" ", col("__bg.u"), col("__bg.v")).as("__it"))
+      .withColumn("__wt", lit(1L))
+    val triItems = trainTs.filter(size(col("__ts")) >= 3)
+      .select(explode(trigramStructs(col("__ts"))).as("__tg"))
+      .select(concat_ws(" ", col("__tg.u"), col("__tg.v"), col("__tg.w"))
+        .as("__it"))
+      .withColumn("__wt", lit(1L))
+    val s1 = Sketch.countMinBuild(uniItems, "__it", "__wt", depth, width, s"${salt}1")
+    val s2 = Sketch.countMinBuild(biItems, "__it", "__wt", depth, width, s"${salt}2")
+    val s3 = Sketch.countMinBuild(triItems, "__it", "__wt", depth, width, s"${salt}3")
+    val nTok = uniItems.agg(count(lit(1)).as("__ntok"))
+
+    def withEst(df: DataFrame, item: Column, sk: DataFrame, skSalt: String,
+        out: String): DataFrame =
+      Sketch.countMinEstimate(sk, df.withColumn("__it", item), "__it",
+          depth, width, skSalt)
+        .withColumnRenamed("est", out).drop("__it")
+
+    val pd = scoredTrigramCounts(docs, idCol, textCol)
+    val est = withEst(withEst(withEst(withEst(withEst(pd,
+      concat_ws(" ", col("__u"), col("__v"), col("__w")), s3, s"${salt}3", "__e3"),
+      concat_ws(" ", col("__u"), col("__v")), s2, s"${salt}2", "__e2uv"),
+      concat_ws(" ", col("__v"), col("__w")), s2, s"${salt}2", "__e2vw"),
+      col("__v"), s1, s"${salt}1", "__e1v"),
+      col("__w"), s1, s"${salt}1", "__e1w")
+    est.crossJoin(broadcast(nTok))
+      .withColumn("__lp_micro",
+        round(log(
+          when(col("__e3") > 0L && col("__e2uv") > 0L,
+            least(col("__e3").cast("double") / col("__e2uv").cast("double"),
+              lit(1.0)))
+          .when(col("__e2vw") > 0L && col("__e1v") > 0L,
+            lit(alpha) * least(
+              col("__e2vw").cast("double") / col("__e1v").cast("double"),
+              lit(1.0)))
+          .otherwise(lit(alpha) * lit(alpha) *
+            ((col("__e1w") + lit(1L)).cast("double") /
+              (col("__ntok") + lit(width.toLong)).cast("double")))
         ) * 1e6).cast("long") * col("__c"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_trigrams"),

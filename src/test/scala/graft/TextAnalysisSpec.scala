@@ -546,4 +546,21 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap shouldBe out
   }
+  test("cmsStupidBackoffScore: a wide sketch reproduces the exact scorer on " +
+      "seen rungs; the bucket-space OOV floor is hand-exact") {
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (3L, "c a b"), (5L, "a a b"),
+      (2L, "a b x")).toDF("doc_id", "text")
+    val exact = TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cms = TextAnalysis.cmsStupidBackoffScore(train, score, "doc_id",
+        "text", width = 65536)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // no collisions at this width/corpus -> estimates equal exact counts
+    for (id <- Seq(1L, 3L, 5L)) cms(id) shouldBe exact(id)
+    // the OOV rung smooths over the BUCKET space, not the vocabulary
+    def m(p: Double) = math.round(math.log(p) * 1e6)
+    cms(2L) shouldBe m(0.4 * 0.4 * (1.0 / (6.0 + 65536.0)))
+  }
+
 }
