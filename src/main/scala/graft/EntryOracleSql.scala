@@ -3499,6 +3499,31 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CASE WHEN $m = 0 THEN 'none' ELSE CASE $pick END END AS topic
          FROM h ORDER BY doc_id"""
     },
+    "q255_stream_topic_monitor" -> {
+      val cats = topicCategories.sortBy(_._1)
+      val catCols = cats.map { case (name, pats) =>
+        val sum = pats.map(p =>
+          s"(length(t) - length(replace(t, '$p', ''))) // ${p.length}")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS hits_$name"
+      }.mkString(", ")
+      val names = cats.map(_._1)
+      val m = "greatest(" + names.map(n => s"hits_$n").mkString(", ") + ")"
+      val pick = names.map(n => s"WHEN hits_$n = $m THEN '$n'").mkString(" ")
+      s"""WITH d AS (
+           SELECT doc_id, (doc_id // 20) % 2 AS wave, lower(text) AS t
+           FROM documents
+         ), h AS (
+           SELECT doc_id, wave, $catCols FROM d
+         ), tg AS (
+           SELECT wave,
+                  CASE WHEN $m = 0 THEN 'none' ELSE CASE $pick END END AS topic
+           FROM h
+         )
+         SELECT CAST(wave AS BIGINT) AS wave, topic,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM tg GROUP BY wave, topic ORDER BY wave, topic"""
+    },
     "q253_source_overlap" ->
       s"""WITH w AS (
            SELECT source, string_split_regex(text, '\\s+') AS words

@@ -491,4 +491,14 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     StreamOps.runStreamingBlocklistGateAvailableNow(s, dir,
         spamPlants, blocklistPatterns, maxHits = 1)
       .orderBy("doc_id")
+
+  /** Streaming topic-mixture monitor
+    * ([[StreamOps.runStreamingTopicMonitorAvailableNow]]): the q252
+    * keyword tagger per micro-batch, one (wave, topic, n_docs) row
+    * per crawl wave — the at-ingest mixture alert. The oracle
+    * replays the generated per-category sums and argmax with the
+    * wave restated as `(doc_id // 20) % 2`. */
+  private[graft] def q255(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingTopicMonitorAvailableNow(s, dir, topicCategories)
+      .orderBy("wave", "topic")
 }

@@ -894,6 +894,51 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** STREAMING topic-mixture monitor: the q252 keyword tagger
+    * ([[graft.operators.Blocklist.categorize]] — one Aho-Corasick
+    * pass, stateless) applied per crawl-wave micro-batch, rolled up
+    * to one (wave, topic, n_docs) row per topic — the at-ingest
+    * mixture readout a pipeline alerts on when a wave's domain
+    * balance shifts (beside the q164 corpus-health counters and the
+    * q247 per-doc policy gate). foreachBatch emits one bounded
+    * aggregate per wave; no state store. */
+  def runStreamingTopicMonitorAvailableNow(spark: SparkSession, dir: String,
+      categories: Seq[(String, Seq[String])]): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staging = stagedDir("topicmon", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val query = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        buf ++= graft.operators.Blocklist.categorize(df, "doc_id", "text",
+            categories)
+          .groupBy(col("wave"), col("topic"))
+          .agg(count(lit(1)).as("n_docs"))
+          .collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val schema = StructType(Seq(
+      StructField("wave", LongType), StructField("topic", StringType),
+      StructField("n_docs", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(buf.toSeq, 1), schema)
+  }
+
   /** STREAMING exact-size weighted sample: the
     * [[graft.operators.Curation.weightedSampleWithoutReplacement]]
     * A-ES sample maintained over crawl waves. Because each row's
