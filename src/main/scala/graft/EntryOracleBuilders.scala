@@ -510,9 +510,10 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * final assignment (vec_id, vq, cell, dist). Shared by the q110
     * oracle and the q121 semantic-dedup oracle. */
   private[graft] def kmeansCtesSql(src: String, k: Int, iterations: Int,
-      salt: String): String = {
+      salt: String, prefix: String = ""): String = {
+    val P = prefix
     val iterCtes = (1 to iterations).map { i =>
-      s"""a$i AS (
+      s"""${P}a$i AS (
            SELECT vec_id, vq, cell, dist,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY dist, cell) AS rn
@@ -522,35 +523,35 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                                    * (q.vq[j] - c.cvec[j])
                                    for j in range(1, len(q.vq) + 1)])
                          AS BIGINT) AS dist
-             FROM q, c${i - 1} c)
-         ), m$i AS (
-           SELECT vec_id, vq, cell, dist FROM a$i WHERE rn = 1
-         ), u$i AS (
+             FROM ${P}q q, ${P}c${i - 1} c)
+         ), ${P}m$i AS (
+           SELECT vec_id, vq, cell, dist FROM ${P}a$i WHERE rn = 1
+         ), ${P}u$i AS (
            SELECT cell, j,
                   CAST(round(CAST(sum(v) AS DOUBLE)
                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv
            FROM (SELECT cell, unnest(vq) AS v,
-                        unnest(range(1, len(vq) + 1)) AS j FROM m$i)
+                        unnest(range(1, len(vq) + 1)) AS j FROM ${P}m$i)
            GROUP BY cell, j
-         ), c$i AS (
+         ), ${P}c$i AS (
            SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
-           FROM c${i - 1} p LEFT JOIN (
-             SELECT cell, list(cv ORDER BY j) AS cvec FROM u$i
+           FROM ${P}c${i - 1} p LEFT JOIN (
+             SELECT cell, list(cv ORDER BY j) AS cvec FROM ${P}u$i
              GROUP BY cell) n USING (cell)
          )"""
     }.mkString(", ")
-    s"""q AS (
+    s"""${P}q AS (
          SELECT vec_id,
                 list_transform(CAST(embedding AS DOUBLE[]),
                   x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
          FROM $src
-       ), sk AS (
+       ), ${P}sk AS (
          SELECT md5('$salt:' || CAST(vec_id AS VARCHAR)) AS h, vq
-         FROM q ORDER BY h LIMIT $k
-       ), c0 AS (
+         FROM ${P}q ORDER BY h LIMIT $k
+       ), ${P}c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cell,
                 vq AS cvec
-         FROM sk
+         FROM ${P}sk
        ), $iterCtes"""
   }
 
@@ -1145,6 +1146,78 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
               CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
        FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
        ORDER BY t3.q_id, t3.rnk"""
+
+  /** q256's oracle: retrain all `m` per-subspace PQ codebooks inside
+    * DuckDB (m prefixed [[kmeansCtesSql]] trajectories over sliced
+    * embeddings), rebuild the codes and the |Q|·m·k ADC distance
+    * table, sum the looked-up entries per (query, vector), and rank
+    * — with brute-force integer-micro exact ranks joined in, the
+    * q149 measured-recall discipline. */
+  private[graft] def pqAdcOracle(m: Int, subDim: Int, k: Int,
+      iterations: Int, topK: Int, salt: String): String = {
+    val chains = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      kmeansCtesSql(
+        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)",
+        k, iterations, s"$salt$s", prefix = s"p${s}_")
+    }.mkString(",\n       ")
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cell AS code FROM p${s}_m$iterations")
+      .mkString(" UNION ALL ")
+    val booksUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, cell AS code, cvec FROM p${s}_c${iterations - 1}")
+      .mkString(" UNION ALL ")
+    val qsubUnion = (0 until m).map(s =>
+      s"SELECT q_id, $s AS sub, qvq[${s * subDim + 1}:${(s + 1) * subDim}] AS qv FROM qs")
+      .mkString(" UNION ALL ")
+    s"""WITH $chains,
+       codes AS ($codesUnion),
+       books AS ($booksUnion),
+       qs AS (
+         SELECT vec_id AS q_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS qvq
+         FROM embeddings WHERE vec_id % 50 = 0
+       ), qsub AS ($qsubUnion
+       ), dtab AS (
+         SELECT q_id, sub, code,
+                CAST(list_sum([(qv[j] - cvec[j]) * (qv[j] - cvec[j])
+                               for j in range(1, len(qv) + 1)])
+                     AS BIGINT) AS d2
+         FROM qsub JOIN books USING (sub)
+       ), sc AS (
+         SELECT d.q_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist2
+         FROM codes c JOIN dtab d ON d.sub = c.sub AND d.code = c.code
+         GROUP BY d.q_id, c.vec_id
+       ), tk AS (
+         SELECT q_id, vec_id, adc_dist2,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist2, vec_id) AS rnk
+         FROM sc
+       ), cvq AS (
+         SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+         FROM embeddings
+       ), ex AS (
+         SELECT q_id, vec_id, rn AS exact_rank FROM (
+           SELECT q.q_id, c.vec_id,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    CAST(list_sum([(q.qvq[j] - c.vq[j]) * (q.qvq[j] - c.vq[j])
+                                   for j in range(1, len(q.qvq) + 1)])
+                         AS BIGINT) ASC,
+                    c.vec_id ASC) AS rn
+           FROM qs q CROSS JOIN cvq c)
+         WHERE rn <= $topK
+       )
+       SELECT tk.q_id, CAST(tk.rnk AS BIGINT) AS "rank", tk.vec_id,
+              tk.adc_dist2,
+              CAST(coalesce(ex.exact_rank, 0) AS BIGINT) AS exact_rank
+       FROM tk LEFT JOIN ex ON ex.q_id = tk.q_id AND ex.vec_id = tk.vec_id
+       WHERE tk.rnk <= $topK
+       ORDER BY tk.q_id, tk.rnk"""
+  }
 
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}

@@ -2130,6 +2130,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY g.q_id""",
     "q147_retrieval_cascade" -> retrievalCascadeOracle(withWave = false),
     "q148_label_match_cooc" -> labelMatchCoocOracle,
+    "q256_pq_adc_topk" -> pqAdcOracle(m = 8, subDim = 8, k = 8,
+      iterations = 2, topK = 5, salt = "pq"),
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),

@@ -903,4 +903,23 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id")
   }
 
+  /** PRODUCT-QUANTIZATION ADC top-k ([[Ann.pqTrainEncode]] →
+    * [[Ann.pqAdcTopK]]): the 64-d embeddings split into 8×8-d
+    * subspaces, each with its own deterministic micro-kmeans
+    * codebook (k=8, 2 iterations), corpus encoded to 8 codes per
+    * vector, queries (every 50th vector) scored by summed
+    * lookup-table distances — the FAISS-style compression tier of
+    * the ANN family, with brute-force exact ranks carried INSIDE the
+    * hashed result (the q147/q149 measured-recall discipline). The
+    * oracle RETRAINS all eight codebooks in DuckDB and replays the
+    * encode, the distance table, and both rankings. */
+  private[graft] def q256(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (codes, books) = Ann.pqTrainEncode(e, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 8, iterations = 2, salt = "pq")
+    Ann.pqAdcTopK(codes, books, e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", m = 8, subDim = 8, topK = 5)
+      .orderBy("q_id", "rank")
+  }
+
 }

@@ -658,4 +658,94 @@ object Ann {
         .toDF("rank", "vec_id", "rel", "max_sim", "score")
     } finally cands.unpersist()
   }
+
+  /** PRODUCT QUANTIZATION model: the vector space split into `m`
+    * contiguous `subDim`-wide subspaces, each quantized by its own
+    * deterministic micro-kmeans codebook
+    * ([[Cluster.kmeansMicroModel]], independent salt per subspace) —
+    * the FAISS-style compression tier of the ANN family: a 64-d
+    * float vector becomes `m` small codes (m bytes at k ≤ 256), so
+    * the candidate scan reads codes instead of vectors and the
+    * corpus' float payload is touched only by an exact re-rank tail.
+    *
+    * Returns (codes, codebooks): codes = one (id, sub, code) row per
+    * vector per subspace (the assignment of the subvector to its
+    * nearest centroid under the EXACT integer-micro L2 the trainer
+    * used, ties → lowest cell); codebooks = (sub, code, cvec) with
+    * micro-long centroids. Training is m independent bounded
+    * kmeans runs; encoding IS the final assignment — no extra pass. */
+  def pqTrainEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iterations: Int,
+      salt: String = "pq"): (DataFrame, DataFrame) = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && iterations >= 1,
+      "m, subDim, k, iterations must be positive")
+    val parts = (0 until m).map { s =>
+      val sliced = vectors.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)
+          .as("subvec"))
+      val model = Cluster.kmeansMicroModel(sliced, idCol, "subvec", k,
+        iterations, s"$salt$s")
+      (model.assign.select(col(idCol), lit(s).as("sub"),
+          col("cell").as("code")),
+        model.centroids.select(lit(s).as("sub"), col("cell").as("code"),
+          col("cvec")))
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** ASYMMETRIC-DISTANCE (ADC) top-k over a PQ-encoded corpus: per
+    * query, the exact integer-micro squared L2 from each query
+    * SUBVECTOR to every codebook centroid goes into a small
+    * distance table (|Q|·m·k rows — broadcastable by construction,
+    * THE PQ trick), and a corpus vector's approximate distance is
+    * the sum of its m looked-up entries. The scan side touches only
+    * the (id, sub, code) rows — never the float vectors. Output per
+    * query: top `topK` by (adc_dist2 asc, id asc), each row carrying
+    * `exact_rank` (the brute-force integer-micro rank, 0 = outside
+    * the exact top-k) so recall is measured INSIDE the hashed
+    * result, the q147/q149 discipline.
+    *
+    * 100 TB posture: dtab broadcast, one (sub, code)-keyed hash join
+    * against the code rows, one (q, id)-keyed sum, one per-query
+    * window (WindowGroupLimit). Compose behind an IVF probe (q149)
+    * to cut the scan side; this operator is the in-cell scorer. */
+  def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val qsub = queries.select(col(idCol).as("q_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          slice(Cluster.microQuantize(col(vecCol)), s * subDim + 1,
+            lit(subDim))))
+          .as(Seq("sub", "__qv")))
+    val dtab = qsub.join(codebooks, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        Cluster.dist2(col("__qv"), col("cvec")).as("__d2"))
+    val scored = codes.toDF("vec_id", "sub", "code")
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("__d2")).as("adc_dist2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    val top = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+    // exact ground truth, measured INSIDE the result: micro-L2 rank
+    // of every (query, corpus) pair — queries are few, so this is a
+    // broadcast of Q against the corpus, the brute-force oracle tier
+    val qv = queries.select(col(idCol).as("q_id"),
+      Cluster.microQuantize(col(vecCol)).as("__qvq"))
+    val cvs = corpus.select(col(idCol).as("vec_id"),
+      Cluster.microQuantize(col(vecCol)).as("__cvq"))
+    val exact = cvs.crossJoin(broadcast(qv))
+      .withColumn("__xd", Cluster.dist2(col("__qvq"), col("__cvq")))
+      .withColumn("exact_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("__xd"), col("vec_id"))).cast("long"))
+      .filter(col("exact_rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("exact_rank"))
+    top.join(exact, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist2"),
+        coalesce(col("exact_rank"), lit(0L)).as("exact_rank"))
+  }
 }

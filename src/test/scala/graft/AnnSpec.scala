@@ -413,4 +413,28 @@ class AnnSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     repart shouldBe out
   }
+  test("PQ ADC: with one cell per vector the ADC ranking IS the exact " +
+      "ranking; codes stay in range and cover every (vec, subspace)") {
+    // 8 deterministic 4-d vectors, m=2 subspaces of 2 dims
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Array(i * 0.1, 1.0 - i * 0.05, i * 0.02, 0.5 - i * 0.03))
+    }.toDF("vec_id", "v")
+    val (codes, books) = Ann.pqTrainEncode(vecs, "vec_id", "v",
+      m = 2, subDim = 2, k = 8, iterations = 2, salt = "pqt")
+    val codeRows = codes.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2)))
+    codeRows.length shouldBe 16
+    all(codeRows.map(_._3)) should (be >= 0 and be < 8)
+    // k = n -> every subvector sits alone in its own cell, so the
+    // looked-up centroid IS the vector: ADC distance == exact distance
+    val out = Ann.pqAdcTopK(codes, books, vecs.filter($"vec_id" < 2), vecs,
+        "vec_id", "v", m = 2, subDim = 2, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    out.foreach { case (_, rank, _, exactRank) => rank shouldBe exactRank }
+    // rank 1 for a query over its own corpus is itself at distance 0
+    out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap shouldBe
+      Map(0L -> 0L, 1L -> 1L)
+  }
+
 }
