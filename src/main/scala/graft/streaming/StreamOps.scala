@@ -867,7 +867,10 @@ object StreamOps {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .unionByName(plants.toDF("doc_id", "text"))
-    val staging = stagedDir("blgate", dir) { st =>
+    // the staged CONTENT depends on the plants — fingerprint them into
+    // the cache key so two callers with different plants never share
+    // a staging dir (the q247 spec-vs-query collision)
+    val staging = stagedDir(s"blgate_${(plants, patterns).hashCode}", dir) { st =>
       val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
         col("doc_id"), col("text"))
       stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")

@@ -78,6 +78,59 @@ object R13LmBlocklistProbe {
           dd.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .agg(sum(col("logprob_micros"))).head(); 0L
     })
+
+    time("q254 cms backoff")(d => {
+      val dd = docs(d)
+      TextAnalysis.cmsStupidBackoffScore(
+          dd.filter(col("doc_id") % 10 =!= 0),
+          dd.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .agg(sum(col("logprob_micros"))).head(); 0L
+    })
+
+    time("q248 dsir weights+topk")(d => {
+      val dd = docs(d)
+      graft.operators.Curation.gumbelTopK(
+          graft.operators.Curation.importanceWeights(
+            dd.filter(col("doc_id") % 7 === 0),
+            dd.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+          "doc_id", k = 100)
+        .count()
+    })
+
+    // PQ over embeddings: replicate the embeddings table the same way
+    val ebase = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val eKDir = s"/tmp/graft_r13_pq_x$k"
+    (0 until k).map(i =>
+        ebase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(eKDir)
+    def embs(dir: String): org.apache.spark.sql.DataFrame =
+      if (dir == src) ebase
+      else spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
+    def timePq(name: String)(f: String => Long): Unit = {
+      def once(dir: String): Double = {
+        val walls = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val n = f(dir)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (sWall, n) = walls.minBy(_._1)
+        println(f"  $name%-26s ${dir.split('/').last}%-22s $sWall%7.2f s  rows=$n")
+        sWall
+      }
+      val t1 = once(src)
+      val tk = once(eKDir)
+      println(f"  $name%-26s scaling: ${tk / t1}%.1fx wall for ${k}x data")
+    }
+    timePq("q256 pq train+adc")(d => {
+      val e = embs(d)
+      val (codes, books) = graft.operators.Ann.pqTrainEncode(e, "vec_id",
+        "embedding", m = 8, subDim = 8, k = 8, iterations = 2, salt = "pq")
+      graft.operators.Ann.pqAdcTopK(codes, books,
+          e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+          m = 8, subDim = 8, topK = 5)
+        .count()
+    })
     spark.stop()
   }
 }

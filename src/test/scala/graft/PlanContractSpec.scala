@@ -64,7 +64,12 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q213_cusum_changepoint", // 1-row series-total + peak broadcasts
     "q218_token_drift",       // 1-row era-total broadcast, like q86
     "q220_modularity",        // 1-row edge-count broadcast
-    "q228_lorenz_deciles")    // 1-row n/total broadcast onto ranks
+    "q228_lorenz_deciles",    // 1-row n/total broadcast onto ranks
+    "q243_stupid_backoff",    // 1-row (N, V) totals broadcast, like q86
+    "q248_dsir_resample",     // 1-row target/raw token-total broadcasts
+    "q249_curation_pipeline_v4", // the q248 totals inside the capstone
+    "q254_cms_backoff",       // 1-row exact-N broadcast beside the sketches
+    "q256_pq_adc_topk")       // broadcast exact-rank scan, like q25
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
