@@ -1147,14 +1147,13 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM t3 LEFT JOIN ex ON ex.q_id = t3.q_id AND ex.c_id = t3.c_id
        ORDER BY t3.q_id, t3.rnk"""
 
-  /** q256's oracle: retrain all `m` per-subspace PQ codebooks inside
-    * DuckDB (m prefixed [[kmeansCtesSql]] trajectories over sliced
-    * embeddings), rebuild the codes and the |Q|·m·k ADC distance
-    * table, sum the looked-up entries per (query, vector), and rank
-    * — with brute-force integer-micro exact ranks joined in, the
-    * q149 measured-recall discipline. */
-  private[graft] def pqAdcOracle(m: Int, subDim: Int, k: Int,
-      iterations: Int, topK: Int, salt: String): String = {
+  /** Shared PQ oracle fragments (q256/q257): the m prefixed
+    * per-subspace [[kmeansCtesSql]] trajectories over sliced
+    * embeddings, the rebuilt codes/codebooks, the micro-quantized
+    * query set, and the |Q|·m·k ADC distance table. Ends with CTE
+    * `dtab`; used WITHOUT a leading WITH. */
+  private[graft] def pqCoreCtes(m: Int, subDim: Int, k: Int,
+      iterations: Int, salt: String): String = {
     val chains = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -1171,7 +1170,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     val qsubUnion = (0 until m).map(s =>
       s"SELECT q_id, $s AS sub, qvq[${s * subDim + 1}:${(s + 1) * subDim}] AS qv FROM qs")
       .mkString(" UNION ALL ")
-    s"""WITH $chains,
+    s"""$chains,
        codes AS ($codesUnion),
        books AS ($booksUnion),
        qs AS (
@@ -1186,11 +1185,14 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                                for j in range(1, len(qv) + 1)])
                      AS BIGINT) AS d2
          FROM qsub JOIN books USING (sub)
-       ), sc AS (
-         SELECT d.q_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist2
-         FROM codes c JOIN dtab d ON d.sub = c.sub AND d.code = c.code
-         GROUP BY d.q_id, c.vec_id
-       ), tk AS (
+       )"""
+  }
+
+  /** Shared PQ oracle tail (q256/q257): rank the ADC scores, join in
+    * brute-force integer-micro exact ranks, emit the final board.
+    * Consumes a CTE `sc` (q_id, vec_id, adc_dist2) and `qs`. */
+  private[graft] def pqRankTailSql(topK: Int): String =
+    s"""tk AS (
          SELECT q_id, vec_id, adc_dist2,
                 row_number() OVER (PARTITION BY q_id
                                    ORDER BY adc_dist2, vec_id) AS rnk
@@ -1217,7 +1219,54 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM tk LEFT JOIN ex ON ex.q_id = tk.q_id AND ex.vec_id = tk.vec_id
        WHERE tk.rnk <= $topK
        ORDER BY tk.q_id, tk.rnk"""
-  }
+
+  /** q256's oracle: retrain all `m` per-subspace PQ codebooks inside
+    * DuckDB (m prefixed [[kmeansCtesSql]] trajectories over sliced
+    * embeddings), rebuild the codes and the |Q|·m·k ADC distance
+    * table, sum the looked-up entries per (query, vector), and rank
+    * — with brute-force integer-micro exact ranks joined in, the
+    * q149 measured-recall discipline. */
+  private[graft] def pqAdcOracle(m: Int, subDim: Int, k: Int,
+      iterations: Int, topK: Int, salt: String): String =
+    s"""WITH ${pqCoreCtes(m, subDim, k, iterations, salt)},
+       sc AS (
+         SELECT d.q_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist2
+         FROM codes c JOIN dtab d ON d.sub = c.sub AND d.code = c.code
+         GROUP BY d.q_id, c.vec_id
+       ),
+       ${pqRankTailSql(topK)}"""
+
+  /** q257's oracle: the q256 fragments fronted by a RETRAINED coarse
+    * quantizer — probes = nProbe nearest coarse cells per query
+    * (exact integer distance, ties to the lowest cell), candidates =
+    * the probed cells' members, ADC restricted to candidates. */
+  private[graft] def ivfPqOracle(kCells: Int, coarseIters: Int, nProbe: Int,
+      m: Int, subDim: Int, kCodes: Int, pqIters: Int, topK: Int,
+      coarseSalt: String, pqSalt: String): String =
+    s"""WITH ${kmeansCtesSql("embeddings", kCells, coarseIters, coarseSalt,
+          prefix = "cq_")},
+       ${pqCoreCtes(m, subDim, kCodes, pqIters, pqSalt)},
+       probes AS (
+         SELECT q_id, cell FROM (
+           SELECT q.q_id, c.cell,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    CAST(list_sum([(q.qvq[j] - c.cvec[j]) * (q.qvq[j] - c.cvec[j])
+                                   for j in range(1, len(q.qvq) + 1)])
+                         AS BIGINT) ASC,
+                    c.cell ASC) AS rn
+           FROM qs q CROSS JOIN cq_c${coarseIters - 1} c)
+         WHERE rn <= $nProbe
+       ), cand AS (
+         SELECT p.q_id, a.vec_id
+         FROM probes p JOIN cq_m$coarseIters a ON a.cell = p.cell
+       ), sc AS (
+         SELECT d.q_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist2
+         FROM cand x
+         JOIN codes c ON c.vec_id = x.vec_id
+         JOIN dtab d ON d.q_id = x.q_id AND d.sub = c.sub AND d.code = c.code
+         GROUP BY d.q_id, c.vec_id
+       ),
+       ${pqRankTailSql(topK)}"""
 
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}

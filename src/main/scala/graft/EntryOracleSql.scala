@@ -2132,6 +2132,9 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
     "q148_label_match_cooc" -> labelMatchCoocOracle,
     "q256_pq_adc_topk" -> pqAdcOracle(m = 8, subDim = 8, k = 8,
       iterations = 2, topK = 5, salt = "pq"),
+    "q257_ivf_pq_topk" -> ivfPqOracle(kCells = 8, coarseIters = 2,
+      nProbe = 3, m = 8, subDim = 8, kCodes = 8, pqIters = 2, topK = 5,
+      coarseSalt = "ivfpqc", pqSalt = "ivfpq"),
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),

@@ -922,4 +922,20 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ ([[Ann.ivfPqTopK]]): the production ANN composition —
+    * a retrained 8-cell coarse quantizer fronts the q256 PQ code
+    * scan, each query probing its 3 nearest cells, ADC restricted to
+    * the candidates (scan cost ~nProbe/kCells of q256's, m bytes per
+    * candidate). Exact ranks inside the hashed result price the
+    * probe's recall per query. The oracle retrains BOTH tiers —
+    * coarse quantizer and all eight codebooks — and replays probe,
+    * candidate set, lookup table, and both rankings. */
+  private[graft] def q257(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Ann.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id",
+        "embedding", kCells = 8, coarseIterations = 2, nProbe = 3,
+        m = 8, subDim = 8, kCodes = 8, pqIterations = 2, topK = 5)
+      .orderBy("q_id", "rank")
+  }
+
 }

@@ -714,25 +714,85 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
       topK: Int): DataFrame = {
     require(topK >= 1, "topK must be positive")
+    val scored = codes.toDF("vec_id", "sub", "code")
+      .join(broadcast(pqDistTable(queries, idCol, vecCol, codebooks,
+        m, subDim)), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("__d2")).as("adc_dist2"))
+    rankWithExact(scored, queries, corpus, idCol, vecCol, topK)
+  }
+
+  /** IVF-PQ — the production composition ([[retrievalCascadeIvf]]'s
+    * coarse probe fronting [[pqAdcTopK]]'s code scan): a coarse
+    * micro-kmeans quantizer partitions the corpus into cells, each
+    * query probes its `nProbe` nearest cells, and ADC scoring runs
+    * over the CANDIDATE codes only — the scan cost drops by
+    * ~nProbe/kCells AND reads m bytes per candidate instead of the
+    * float vector. PQ here encodes the RAW vectors (IVF-Flat-PQ; the
+    * residual-encoding variant would retrain codebooks per this
+    * corpus's residuals — a documented simplification, same join
+    * shapes). Same output contract as [[pqAdcTopK]] (exact ranks
+    * from the brute-force tier carried inside the result), so the
+    * recall cost of the probe is measurable per query. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, kCells: Int, coarseIterations: Int, nProbe: Int,
+      m: Int, subDim: Int, kCodes: Int, pqIterations: Int, topK: Int,
+      coarseSalt: String = "ivfpqc", pqSalt: String = "ivfpq"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
+    val coarse = Cluster.kmeansMicroModel(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      kCells, coarseIterations, coarseSalt)
+    val (codes, books) = pqTrainEncode(corpus, idCol, vecCol,
+      m, subDim, kCodes, pqIterations, pqSalt)
+    val qmq = queries.select(col(idCol).as("q_id"),
+      Cluster.microQuantize(col(vecCol)).as("__qq"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d2").asc, col("cell").asc)
+    val probes = qmq.crossJoin(broadcast(coarse.centroids))
+      .withColumn("__d2", Cluster.dist2(col("__qq"), col("cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    val cand = probes
+      .join(coarse.assign.select(col(idCol).as("vec_id"), col("cell")),
+        Seq("cell"))
+      .select("q_id", "vec_id")
+    val scored = codes.toDF("vec_id", "sub", "code")
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(pqDistTable(queries, idCol, vecCol, books,
+        m, subDim)), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("__d2")).as("adc_dist2"))
+    rankWithExact(scored, queries, corpus, idCol, vecCol, topK)
+  }
+
+  /** (q_id, sub, code, __d2): exact integer-micro L2 from every query
+    * subvector to every codebook centroid — |Q|·m·k rows, THE PQ
+    * lookup table, broadcast at every use site. */
+  private def pqDistTable(queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
     val qsub = queries.select(col(idCol).as("q_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
           slice(Cluster.microQuantize(col(vecCol)), s * subDim + 1,
             lit(subDim))))
           .as(Seq("sub", "__qv")))
-    val dtab = qsub.join(codebooks, Seq("sub"))
+    qsub.join(codebooks, Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
         Cluster.dist2(col("__qv"), col("cvec")).as("__d2"))
-    val scored = codes.toDF("vec_id", "sub", "code")
-      .join(broadcast(dtab), Seq("sub", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("__d2")).as("adc_dist2"))
+  }
+
+  /** Rank (adc_dist2 asc, vec_id asc) per query and join in the
+    * brute-force micro-L2 exact ranks (0 = outside the exact top-k)
+    * — queries are few, so the ground-truth tier is a broadcast of Q
+    * against the corpus. */
+  private def rankWithExact(scored: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist2"), col("vec_id"))
     val top = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
-    // exact ground truth, measured INSIDE the result: micro-L2 rank
-    // of every (query, corpus) pair — queries are few, so this is a
-    // broadcast of Q against the corpus, the brute-force oracle tier
     val qv = queries.select(col(idCol).as("q_id"),
       Cluster.microQuantize(col(vecCol)).as("__qvq"))
     val cvs = corpus.select(col(idCol).as("vec_id"),

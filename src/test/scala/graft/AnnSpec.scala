@@ -437,4 +437,25 @@ class AnnSpec extends SparkSpec with Matchers {
       Map(0L -> 0L, 1L -> 1L)
   }
 
+  test("IVF-PQ with nProbe = kCells degenerates to plain PQ ADC exactly") {
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array(i * 0.07, 1.0 - i * 0.04, 0.3 + i * 0.02,
+        0.9 - i * 0.05))
+    }.toDF("vec_id", "v")
+    val qs = vecs.filter($"vec_id" % 5 === 0)
+    val (codes, books) = Ann.pqTrainEncode(vecs, "vec_id", "v",
+      m = 2, subDim = 2, k = 3, iterations = 2, salt = "ivfpq")
+    val full = Ann.pqAdcTopK(codes, books, qs, vecs, "vec_id", "v",
+        m = 2, subDim = 2, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val ivf = Ann.ivfPqTopK(qs, vecs, "vec_id", "v",
+        kCells = 3, coarseIterations = 2, nProbe = 3,
+        m = 2, subDim = 2, kCodes = 3, pqIterations = 2, topK = 4,
+        pqSalt = "ivfpq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    ivf shouldBe full
+  }
+
 }
