@@ -3686,6 +3686,35 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 sum(hits) < 1 AS blocklist_keep
          FROM h GROUP BY doc_id, wave ORDER BY doc_id"""
     },
+    "q258_stream_dsir_gate" ->
+      s"""WITH ${dsirCtes("documents")},
+         sall AS (
+           SELECT doc_id, (doc_id // 20) % 2 AS wave,
+                  unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> t <> '')) AS tok
+           FROM documents
+         ), pall AS (
+           SELECT doc_id, wave,
+                  ('0x' || substr(md5('dsir:' || tok), 1, 14))::BIGINT % 1024 AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM sall GROUP BY doc_id, wave, b
+         ), scall AS (
+           SELECT p.doc_id, p.wave, CAST(sum(p.c) AS BIGINT) AS n_tokens,
+                  CAST(sum(CAST(round(ln(
+                      (CAST(coalesce(tb.ct, 0) + 1 AS DOUBLE)
+                        / CAST(nt.nt + 1024 AS DOUBLE))
+                      / (CAST(coalesce(rb.cr, 0) + 1 AS DOUBLE)
+                        / CAST(nr.nr + 1024 AS DOUBLE))
+                    ) * 1e6) AS BIGINT) * p.c) AS BIGINT) AS weight_micros
+           FROM pall p
+           LEFT JOIN tb ON tb.b = p.b
+           LEFT JOIN rb ON rb.b = p.b
+           CROSS JOIN nt CROSS JOIN nr
+           GROUP BY p.doc_id, p.wave
+         )
+         SELECT doc_id, CAST(wave AS BIGINT) AS wave, n_tokens,
+                weight_micros, weight_micros >= 0 AS dsir_keep
+         FROM scall ORDER BY doc_id""",
     "q248_dsir_resample" ->
       s"""WITH ${dsirCtes("documents")}
          SELECT doc_id, n_tokens, weight_micros, gumbel_micros,

@@ -501,4 +501,17 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
   private[graft] def q255(s: SparkSession, dir: String): DataFrame =
     StreamOps.runStreamingTopicMonitorAvailableNow(s, dir, topicCategories)
       .orderBy("wave", "topic")
+
+  /** Streaming DSIR gate
+    * ([[StreamOps.runStreamingDsirGateAvailableNow]]): the q248
+    * importance model fitted offline, each crawl wave scored against
+    * the FROZEN bucket counts per micro-batch and gated at
+    * weight >= 0 ("more target-like than the raw average") — data
+    * SELECTION at ingest, beside the q157 quality gate and the q247
+    * policy gate. The oracle rebuilds the model from the same mod-7
+    * split and scores every doc with both-side add-one smoothing,
+    * the wave restated as (doc_id // 20) % 2. */
+  private[graft] def q258(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingDsirGateAvailableNow(s, dir, thresholdMicros = 0L)
+      .orderBy("doc_id")
 }

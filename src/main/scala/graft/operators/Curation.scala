@@ -366,38 +366,74 @@ object Curation {
     * each `buckets` rows, broadcastable by construction), the raw
     * side pre-aggregated per (doc, bucket) before its single join,
     * 1-row totals broadcast. Nothing grows with the vocabulary. */
-  def importanceWeights(target: DataFrame, raw: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1024,
-      salt: String = "dsir"): DataFrame = {
+  /** The fitted DSIR model — bucket count tables + 1-row totals, a
+    * parameter-sized frame trio (≤ `buckets` rows each) that
+    * broadcasts at every scoring site. Train once offline, score any
+    * batch or stream against the FROZEN counts (the q157
+    * train-offline/gate-online shape). */
+  final case class DsirModel(targetBuckets: DataFrame, rawBuckets: DataFrame,
+      totals: DataFrame, buckets: Int, salt: String)
+
+  /** Fit a [[DsirModel]]: one bucket-keyed count aggregate per corpus
+    * (target and raw) plus the 1-row totals. */
+  def dsirTrain(target: DataFrame, raw: DataFrame, textCol: String,
+      buckets: Int = 1024, salt: String = "dsir"): DsirModel = {
     require(buckets >= 2, "need at least two feature buckets")
-    def toks(df: DataFrame, extra: Seq[Column]) =
-      df.select(extra :+ explode(split(lower(col(textCol)), "\\s+")).as("__tok"): _*)
+    def toks(df: DataFrame) =
+      df.select(explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
         .filter(col("__tok") =!= "")
-    val tb = toks(target, Nil)
+    val tb = toks(target)
       .select(featureBucket(col("__tok"), buckets, salt).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val nt = tb.agg(sum(col("__ct")).as("__nt"))
-    val perDocB = toks(raw, Seq(col(idCol)))
-      .select(col(idCol), featureBucket(col("__tok"), buckets, salt).as("__b"))
+    val rb = toks(raw)
+      .select(featureBucket(col("__tok"), buckets, salt).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val totals = tb.agg(sum(col("__ct")).as("__nt"))
+      .crossJoin(rb.agg(sum(col("__cr")).as("__nr")))
+    DsirModel(tb, rb, totals, buckets, salt)
+  }
+
+  /** Score documents against a FROZEN [[DsirModel]]: per-doc
+    * `n_tokens` and `weight_micros` = Σ round(ln(p_t(b)/p_r(b))·10⁶)
+    * with add-one smoothing on BOTH sides, so buckets the model never
+    * saw (new-crawl vocabulary) stay finite — the property that lets
+    * the same scorer gate an unbounded stream. One keyed per-(doc,
+    * bucket) pre-aggregation, two broadcast joins, 1-row totals;
+    * nothing grows with the model corpus. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    val bd = lit(model.buckets.toLong)
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col(idCol),
+        featureBucket(col("__tok"), model.buckets, model.salt).as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-    val rb = perDocB.groupBy("__b").agg(sum(col("__c")).as("__cr"))
-    val nr = rb.agg(sum(col("__cr")).as("__nr"))
-    val bd = lit(buckets.toLong)
-    perDocB
-      .join(broadcast(tb), Seq("__b"), "left")
-      .join(broadcast(rb), Seq("__b"))
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .join(broadcast(model.targetBuckets), Seq("__b"), "left")
+      .join(broadcast(model.rawBuckets), Seq("__b"), "left")
+      .crossJoin(broadcast(model.totals))
       .withColumn("__lr_micro",
         round(log(
           ((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double")
             / (col("__nt") + bd).cast("double"))
-          / ((col("__cr") + lit(1L)).cast("double")
+          / ((coalesce(col("__cr"), lit(0L)) + lit(1L)).cast("double")
             / (col("__nr") + bd).cast("double"))
         ) * 1e6).cast("long") * col("__c"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_tokens"),
         sum(col("__lr_micro")).as("weight_micros"))
   }
+
+  /** [[dsirScore]] over the raw corpus with the model trained on the
+    * same split — the one-shot batch form (q248/q249). Identical
+    * output to the pre-refactor fused version: raw-side buckets are
+    * always present in the model there, so the scorer's
+    * coalesce(cr, 0) never fires on this path. */
+  def importanceWeights(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame =
+    dsirScore(raw, idCol, textCol,
+      dsirTrain(target, raw, textCol, buckets, salt))
 
   /** Gumbel top-k resampling over [[importanceWeights]] — DSIR's
     * selection step: sampling k docs ∝ softmax(weight) without

@@ -942,6 +942,62 @@ object StreamOps {
       spark.sparkContext.parallelize(buf.toSeq, 1), schema)
   }
 
+  /** STREAMING DSIR gate: the importance model
+    * ([[graft.operators.Curation.dsirTrain]]) is fitted OFFLINE on
+    * the batch corpus (target = the mod-7 slice, raw = the rest),
+    * then each crawl-wave micro-batch is scored against the FROZEN
+    * bucket counts ([[graft.operators.Curation.dsirScore]]) and gated
+    * at `weight ≥ thresholdMicros` — train-offline/score-online, the
+    * q157 shape, for DATA SELECTION: only target-like documents pass
+    * to the training corpus at ingest. Both-side add-one smoothing is
+    * what makes the frozen model total on stream vocabulary. Scoring
+    * aggregates per doc, so the gate runs via foreachBatch (each
+    * wave file is one complete micro-batch — per-batch aggregation is
+    * exact, the q164 monitor discipline). */
+  def runStreamingDsirGateAvailableNow(spark: SparkSession, dir: String,
+      thresholdMicros: Long): DataFrame = {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = Curation.dsirTrain(
+      docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 =!= 0), "text")
+    val staging = stagedDir("dsirgate", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val query = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        buf ++= Curation.dsirScore(df, "doc_id", "text", model)
+          .join(df.select(col("doc_id"), col("wave")), Seq("doc_id"))
+          .select(col("doc_id"), col("wave"), col("n_tokens"),
+            col("weight_micros"),
+            (col("weight_micros") >= thresholdMicros).as("dsir_keep"))
+          .collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("wave", LongType),
+      StructField("n_tokens", LongType),
+      StructField("weight_micros", LongType),
+      StructField("dsir_keep", org.apache.spark.sql.types.BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(buf.toSeq, 1), schema)
+  }
+
   /** STREAMING exact-size weighted sample: the
     * [[graft.operators.Curation.weightedSampleWithoutReplacement]]
     * A-ES sample maintained over crawl waves. Because each row's

@@ -831,4 +831,25 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed(40000001L) shouldBe ((2L, 1L, false))
   }
 
+  test("streaming DSIR gate equals the frozen-model batch score per " +
+      "document (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingDsirGateAvailableNow(spark, dir, 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val model = graft.operators.Curation.dsirTrain(
+      docs.filter($"doc_id" % 7 === 0), docs.filter($"doc_id" % 7 =!= 0),
+      "text")
+    val batch = graft.operators.Curation.dsirScore(docs, "doc_id", "text",
+        model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(2) >= 0L))).toMap
+    streamed shouldBe batch
+    // every doc is scored (none dropped by the gate plumbing)
+    streamed.keySet shouldBe docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+  }
+
 }
