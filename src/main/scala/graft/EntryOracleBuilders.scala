@@ -3256,6 +3256,94 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM tot ORDER BY model"""
   }
 
+  /** q259 oracle — the sketch-tier overlap matrix replayed register
+    * by register: per-source HLL registers over distinct (source,
+    * shingle) pairs, the single-source estimator, pairwise
+    * register-wise max + the union estimator, inclusion-exclusion,
+    * and the exact intersection counts joined in. */
+  private[graft] def hllOverlapOracle(p: Int, salt: String): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val alphaM2 = Sketch.hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    def estChain(pref: String, src: String, groupSql: String): String =
+      s"""${pref}agg AS (
+         SELECT $groupSql, CAST(count(*) AS BIGINT) AS n_used,
+                CAST(sum(1::BIGINT << ($maxM - mb)) AS BIGINT) AS sp
+         FROM $src GROUP BY $groupSql
+       ), ${pref}fin AS (
+         SELECT $groupSql, n_used,
+                CAST(sp + ($m - n_used) * (1::BIGINT << $maxM) AS BIGINT) AS s,
+                $m - n_used AS v
+         FROM ${pref}agg
+       ), ${pref}est AS (
+         SELECT $groupSql, n_used,
+                CASE WHEN $alphaM2 * ($twoK / CAST(s AS DOUBLE)) <= ${2.5 * m}
+                          AND v > 0
+                     THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v AS DOUBLE))
+                     ELSE $alphaM2 * ($twoK / CAST(s AS DOUBLE)) END AS est
+         FROM ${pref}fin
+       )"""
+    s"""WITH w AS (
+         SELECT source, string_split_regex(text, '\\s+') AS words
+         FROM documents
+       ), shd AS (
+         SELECT DISTINCT source, shingle FROM (
+           SELECT source, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM w)
+       ), hh AS (
+         SELECT source,
+                ('0x' || substr(md5('$salt:' || shingle), 1, 15))::BIGINT AS h
+         FROM shd
+       ), reg AS (
+         SELECT source, h >> $remBits AS bucket,
+                h & ((1::BIGINT << $remBits) - 1) AS r
+         FROM hh
+       ), mm AS (
+         SELECT source, bucket,
+                max(CASE WHEN r = 0 THEN $maxM
+                         ELSE $maxM - length(bin(r)) END) AS mb
+         FROM reg GROUP BY source, bucket
+       ),
+       ${estChain("s_", "mm", "source")},
+       grp AS (SELECT DISTINCT source FROM mm),
+       prs AS (
+         SELECT a.source AS source_a, b.source AS source_b
+         FROM grp a, grp b WHERE a.source < b.source
+       ), pm AS (
+         SELECT source_a, source_b, bucket, max(mb) AS mb FROM (
+           SELECT p.source_a, p.source_b, m1.bucket, m1.mb
+           FROM prs p JOIN mm m1 ON m1.source = p.source_a
+           UNION ALL
+           SELECT p.source_a, p.source_b, m2.bucket, m2.mb
+           FROM prs p JOIN mm m2 ON m2.source = p.source_b)
+         GROUP BY source_a, source_b, bucket
+       ),
+       ${estChain("u_", "pm", "source_a, source_b")},
+       exx AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(count(*) AS BIGINT) AS n_inter_exact
+         FROM shd a JOIN shd b
+           ON a.shingle = b.shingle AND a.source < b.source
+         GROUP BY a.source, b.source
+       )
+       SELECT u.source_a, u.source_b, u.n_used AS n_used_union,
+              sa.est AS est_a, sb.est AS est_b, u.est AS est_union,
+              sa.est + sb.est - u.est AS est_inter,
+              CAST(coalesce(exx.n_inter_exact, 0) AS BIGINT) AS n_inter_exact
+       FROM u_est u
+       JOIN s_est sa ON sa.source = u.source_a
+       JOIN s_est sb ON sb.source = u.source_b
+       LEFT JOIN exx ON exx.source_a = u.source_a
+                    AND exx.source_b = u.source_b
+       ORDER BY u.source_a, u.source_b"""
+  }
+
   /** q251 oracle — the planted anchor corpus restated: the shared
     * syntheticUrl arithmetic folded to its registrable domain (the
     * q90/q239 machinery) and the mod-4 anchor text split into

@@ -3529,6 +3529,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(count(*) AS BIGINT) AS n_docs
          FROM tg GROUP BY wave, topic ORDER BY wave, topic"""
     },
+    "q259_hll_overlap" -> hllOverlapOracle(p = 6, salt = "hllov"),
     "q253_source_overlap" ->
       s"""WITH w AS (
            SELECT source, string_split_regex(text, '\\s+') AS words

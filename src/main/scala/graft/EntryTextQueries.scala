@@ -1192,4 +1192,32 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("source_a", "source_b")
   }
 
+  /** SKETCH-tier source-overlap matrix
+    * ([[graft.operators.Sketch.hllOverlapMatrix]]): q253's exact
+    * governance report estimated from per-source HLL registers —
+    * pairwise register-wise max is the sketch UNION, and
+    * inclusion-exclusion gives the intersection estimate. The exact
+    * `n_inter_exact` rides INSIDE the hashed result (the
+    * measured-recall discipline), so the sketch's error is itself
+    * certified data. At scale this is the screening pass: |groups|·2⁶
+    * register rows decide which pairs deserve q253's exact
+    * shingle join. */
+  private[graft] def q259(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(
+          graft.operators.Dedup.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+    val est = graft.operators.Sketch.hllOverlapMatrix(sh, "source", "sh",
+      p = 6, salt = "hllov")
+    val exact = sh.toDF("source_a", "sh")
+      .join(sh.toDF("source_b", "sh"), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_inter_exact"))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      .orderBy("source_a", "source_b")
+  }
+
 }

@@ -206,16 +206,22 @@ object Sketch {
     * ≤ m rows per group per task, and the final per-group fold is m
     * rows. Output: group cols + (n_used, est). */
   def hllDistinct(items: DataFrame, groupCols: Seq[String], itemCol: String,
+      p: Int = 6, salt: String): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegisters(items, groupCols, itemCol, p, salt), groupCols, p)
+
+  /** The per-group HLL REGISTER table (group..., __bucket, __mb) —
+    * ≤ 2^p rows per group, the mergeable state: register-wise max IS
+    * the sketch union, which is what [[hllOverlapMatrix]] exploits
+    * pairwise. */
+  def hllRegisters(items: DataFrame, groupCols: Seq[String], itemCol: String,
       p: Int = 6, salt: String): DataFrame = {
     require(p >= 4 && p <= 12, "p must be in [4, 12]")
-    val m = 1 << p
     val remBits = 60 - p
-    val maxM = remBits + 1 // register value of an all-zero remainder
+    val maxM = remBits + 1
     val g = groupCols.map(col)
     val h = conv(substring(md5(concat(lit(salt), lit(":"),
       col(itemCol).cast("string"))), 1, 15), 16, 10).cast("long")
-    val alphaM2 = hllAlpha(m) * m * m
-    val twoK = math.pow(2.0, maxM)
     items
       .select(g :+ h.as("__h"): _*)
       .withColumn("__bucket", shiftright(col("__h"), remBits))
@@ -225,6 +231,21 @@ object Sketch {
           .otherwise(lit(maxM) - length(bin(col("__r")))))
       .groupBy(g :+ col("__bucket"): _*)
       .agg(max(col("__m")).as("__mb"))
+  }
+
+  /** Registers → (group..., n_used, est): the standard α·m²/Σ2^−M
+    * estimator with the small-range linear-count branch, integer
+    * register math throughout ([[hllDistinct]]'s contract). */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 12, "p must be in [4, 12]")
+    val m = 1 << p
+    val remBits = 60 - p
+    val maxM = remBits + 1
+    val g = groupCols.map(col)
+    val alphaM2 = hllAlpha(m) * m * m
+    val twoK = math.pow(2.0, maxM)
+    regs
       .withColumn("__term", expr(s"shiftleft(CAST(1 AS BIGINT), $maxM - __mb)"))
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_used"), sum(col("__term")).as("__sp"))
@@ -239,7 +260,50 @@ object Sketch {
       .select(g ++ Seq(col("n_used"), col("est")): _*)
   }
 
-  /** Point-query the sketch for every row of `queries`: appends
+  /** SKETCH-TIER source-overlap matrix — q253's exact governance
+    * report at HLL cost: per-group registers once, pairwise
+    * register-wise MAX (the HLL merge) for every group pair, union
+    * estimates from the merged registers, and the
+    * inclusion-exclusion intersection `est_a + est_b − est_union`.
+    * At 100 TB the exact matrix's shingle self-join touches every
+    * distinct (group, shingle) row; this touches |groups|·2^p
+    * register rows — the screening pass that decides WHICH pairs
+    * deserve the exact join. Estimates carry HLL noise (est_inter
+    * can even go negative on near-disjoint pairs); callers measure
+    * it against the exact counts, the measured-recall discipline.
+    *
+    * Output per (a < b) pair: n_used_union, est_a, est_b, est_union,
+    * est_inter. */
+  def hllOverlapMatrix(items: DataFrame, groupCol: String, itemCol: String,
+      p: Int = 6, salt: String): DataFrame = {
+    val regs = hllRegisters(items, Seq(groupCol), itemCol, p, salt)
+    val singles = hllEstimateFromRegisters(regs, Seq(groupCol), p)
+    val groups = regs.select(col(groupCol)).distinct()
+    val pairs = groups.toDF("source_a")
+      .crossJoin(broadcast(groups.toDF("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val ra = regs.toDF("source_a", "__bucket", "__mb")
+    val rb = regs.toDF("source_b", "__bucket", "__mb")
+    val pairRegs = pairs.join(ra, Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("__bucket"), col("__mb"))
+      .unionByName(pairs.join(rb, Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("__bucket"),
+          col("__mb")))
+      .groupBy(col("source_a"), col("source_b"), col("__bucket"))
+      .agg(max(col("__mb")).as("__mb"))
+    hllEstimateFromRegisters(pairRegs, Seq("source_a", "source_b"), p)
+      .withColumnRenamed("n_used", "n_used_union")
+      .withColumnRenamed("est", "est_union")
+      .join(broadcast(singles.toDF("source_a", "n_used_a", "est_a")
+        .drop("n_used_a")), Seq("source_a"))
+      .join(broadcast(singles.toDF("source_b", "n_used_b", "est_b")
+        .drop("n_used_b")), Seq("source_b"))
+      .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+      .select(col("source_a"), col("source_b"), col("n_used_union"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"))
+  }
+
+    /** Point-query the sketch for every row of `queries`: appends
     * `est = min over depth rows of cnt[h][bucket(item)]` (0 for an
     * item no build row ever touched — empty cells are absent rows).
     * Payload columns of `queries` ride along (they join the groupBy

@@ -70,7 +70,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q249_curation_pipeline_v4", // the q248 totals inside the capstone
     "q254_cms_backoff",       // 1-row exact-N broadcast beside the sketches
     "q256_pq_adc_topk",       // broadcast exact-rank scan, like q25
-    "q257_ivf_pq_topk")       // centroid-fold + exact-rank broadcasts, like q149/q256
+    "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
+    "q259_hll_overlap")       // tiny group-list pair cross, broadcast
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):

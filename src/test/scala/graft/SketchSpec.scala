@@ -211,4 +211,25 @@ class SketchSpec extends SparkSpec {
       Sketch.logBucketQuantiles(bad, "g", col("x"), Seq(500)).collect()
     }
   }
+  test("hllOverlapMatrix: the pairwise union estimate IS the sketch of the " +
+      "concatenated stream; inclusion-exclusion wiring is exact") {
+    val items = Seq(("a", "x1"), ("a", "x2"), ("a", "c1"), ("b", "y1"),
+      ("b", "c1"), ("b", "y2"), ("c", "z1"), ("c", "c1"))
+      .toDF("g", "it")
+    val rows = Sketch.hllOverlapMatrix(items, "g", "it", p = 6, salt = "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(rows.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // register-wise max == sketch of the union stream, exactly
+    val abUnion = Sketch.hllDistinct(
+        items.filter($"g" =!= "c").withColumn("g", lit("ab")),
+        Seq("g"), "it", p = 6, salt = "t")
+      .head().getDouble(2)
+    assert(rows(("a", "b"))._3 == abUnion)
+    // inclusion-exclusion is the literal double arithmetic
+    val (ea, eb, eu, ei) = rows(("a", "b"))
+    assert(ei == ea + eb - eu)
+  }
+
 }
