@@ -632,6 +632,19 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * (TakeOrderedAndProject): nothing shuffles. The micro-quantized
     * key makes the selection integer-replayable; the oracle draws
     * the same 20 rows. */
+  /** Per-SOURCE exact-k weighted sample
+    * ([[graft.operators.Curation.weightedSamplePerGroup]]): q171's
+    * A-ES draw quota'd per group through the bounded top-k heap
+    * aggregate — "5 docs per source, favoring long documents", the
+    * skew-proof per-domain sampler (k-entry states cross the
+    * group-keyed shuffle, never rows). Oracle replays the key
+    * arithmetic with a per-group rank. */
+  private[graft] def q260(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.weightedSamplePerGroup(
+        t(s, dir, "documents"), "source", "doc_id", col("n_chars"),
+        k = 5, salt = "wsrg260")
+      .orderBy(col("source"), col("key_micro").desc, col("doc_id"))
+
   private[graft] def q171(s: SparkSession, dir: String): DataFrame =
     graft.operators.Curation.weightedSampleWithoutReplacement(
         t(s, dir, "documents"), "doc_id", col("n_chars"), k = 20,

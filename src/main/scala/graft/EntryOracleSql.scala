@@ -2197,6 +2197,27 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          FROM keyed
          ORDER BY key_micro DESC, doc_id
          LIMIT 20""",
+    "q260_group_weighted_sample" ->
+      """WITH h AS (
+           SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                  ('0x' || substr(md5('wsrg260:' || CAST(doc_id AS VARCHAR)),
+                                  1, 14))::BIGINT AS hv
+           FROM documents
+           WHERE CAST(n_chars AS DOUBLE) > 0.0
+         ), keyed AS (
+           SELECT source, doc_id, weight,
+                  CAST(round(ln(CAST(hv + 1 AS DOUBLE)
+                                / 72057594037927936.0)
+                             / weight * 1000000.0) AS BIGINT) AS key_micro
+           FROM h
+         ), rk AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY key_micro DESC, doc_id ASC) AS rn
+           FROM keyed
+         )
+         SELECT source, doc_id, weight, key_micro
+         FROM rk WHERE rn <= 5
+         ORDER BY source, key_micro DESC, doc_id""",
     "q172_kcore" -> kCoreOracle(k = 3, rounds = 8, knn = 6),
     "q173_stream_weighted_sample" ->
       """WITH d AS (

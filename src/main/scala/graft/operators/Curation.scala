@@ -190,6 +190,38 @@ object Curation {
     df.join(picks, col(idCol).cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Per-GROUP exact-k weighted sample without replacement — the
+    * quality-weighted refinement of [[capPerGroup]]: within every
+    * group (domain, source, language), keep exactly k rows drawn
+    * ∝ weight by the A-ES key ([[aesKeyMicro]] — deterministic,
+    * partition-invariant, oracle-replayable), the "k docs per
+    * domain, favoring high quality" quota sampler.
+    *
+    * Same skew-proof shape as the cap: the per-group selection is a
+    * bounded top-k HEAP aggregate (`TopKByScoreAgg` on the integer
+    * key), so the group-keyed shuffle carries k-entry states, not
+    * rows — a 10⁹-page domain costs its scan, never a per-group
+    * sort. Output: (groupCol, idCol, weight, key_micro), the sampled
+    * rows with their selection keys. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, salt: String = "wsrg"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val keyed = df
+      .select(col(groupCol), col(idCol).cast("long").as("__wid"),
+        weight.cast("double").as("__w"))
+      .filter(col("__w") > 0.0)
+      .withColumn("__key", aesKeyMicro(col("__wid"), col("__w"), salt))
+    keyed
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScoreAgg.topK(
+        col("__key").cast("double"), col("__wid"), k).as("__picks"))
+      .select(col(groupCol), explode(col("__picks")).as("__p"))
+      .select(col(groupCol), col("__p.id").as("__wid"))
+      .join(keyed, Seq(groupCol, "__wid"))
+      .select(col(groupCol), col("__wid").as(idCol),
+        col("__w").as("weight"), col("__key").as("key_micro"))
+  }
+
   /** Concat-and-chunk sequence packing — the standard LLM-pretraining
     * batch prep: documents are laid out in deterministic id order and
     * chunked at `budget` tokens; `pack_id` is the training sequence a

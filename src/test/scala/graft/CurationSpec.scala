@@ -373,4 +373,25 @@ class CurationSpec extends SparkSpec with Matchers {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     shifted shouldBe sel
   }
+  test("weightedSamplePerGroup: exactly k per group, equals the window-rank " +
+      "form, non-positive weights never sampled") {
+    val rows = (0L until 40L).map(i =>
+      (s"g${i % 3}", i, if (i % 7 == 0) 0.0 else (i % 5 + 1).toDouble))
+      .toDF("g", "id", "w")
+    val out = Curation.weightedSamplePerGroup(rows, "g", "id", col("w"),
+        k = 4, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    out.groupBy(_._1).values.foreach(_.size shouldBe 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy(col("key").desc, $"id".asc)
+    val brute = rows.filter($"w" > 0)
+      .withColumn("key", Curation.aesKeyMicro($"id", $"w", "t"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    out shouldBe brute
+    // the zero-weight rows (i % 7 == 0) are never sampled
+    out.map(_._2).exists(_ % 7 == 0) shouldBe false
+  }
+
 }
