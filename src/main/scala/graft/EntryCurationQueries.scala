@@ -420,6 +420,32 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * deterministic md5 bottom-k pick per source. `picked_md5` hashes
     * the actual selected id set, so the driver check pins the full
     * selection, not just its size. */
+  /** Temperature-based mixture sampling
+    * ([[graft.operators.Curation.temperatureQuotas]], α = 0.7): the
+    * q114 budget apportionment with quotas ∝ n^0.7 instead of raw
+    * proportions — the multilingual α-sampling rule that up-samples
+    * small sources; the selection and digest machinery is q114's
+    * verbatim, so the two boards differ exactly by the temperature.
+    * The oracle replays pow at micro rounding (the ln-parity class)
+    * plus the exact largest-remainder arithmetic. */
+  private[graft] def q261(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotas = graft.operators.Curation.temperatureQuotas(
+      docs, "source", budget = 123L, alpha = 0.7)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("lr:"), col("doc_id").cast("string"))))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .join(quotas.select("source", "n_docs", "weight_micros", "quota"),
+        Seq("source"))
+      .filter(col("__rn") <= col("quota"))
+      .groupBy("source", "n_docs", "weight_micros", "quota")
+      .agg(count(lit(1)).as("picked_n"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("picked_md5"))
+      .orderBy("source")
+  }
+
   private[graft] def q114(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val quotas = graft.operators.Curation.largestRemainderQuotas(

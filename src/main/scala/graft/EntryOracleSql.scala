@@ -1231,6 +1231,46 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(sum(c.clen) AS BIGINT) AS total_chars
          FROM ch c JOIN spread s USING (hh)
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q261_temperature_mixture" ->
+      """WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7) * 1e6)
+                       AS BIGINT) AS weight_micros
+           FROM documents GROUP BY source
+         ), tot AS (
+           SELECT CAST(sum(weight_micros) AS BIGINT) AS t FROM counts
+         ), b AS (
+           SELECT source, n_docs, weight_micros,
+                  (123 * weight_micros) // t AS base,
+                  123 * weight_micros
+                    - ((123 * weight_micros) // t) * t AS rem
+           FROM counts, tot
+         ), l AS (SELECT CAST(123 - sum(base) AS BIGINT) AS lft FROM b),
+         r AS (
+           SELECT source, n_docs, weight_micros, base,
+                  row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM b
+         ), q AS (
+           SELECT source, n_docs, weight_micros,
+                  CAST(base + CASE WHEN rk <= (SELECT lft FROM l)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM r
+         ), sel AS (
+           SELECT d.source, d.doc_id,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5('lr:' || CAST(d.doc_id AS VARCHAR))) AS rn
+           FROM documents d
+         ), p AS (
+           SELECT s.source, CAST(count(*) AS BIGINT) AS picked_n,
+                  md5(array_to_string(
+                    list(CAST(s.doc_id AS VARCHAR) ORDER BY s.doc_id),
+                    ',')) AS picked_md5
+           FROM sel s JOIN q USING (source)
+           WHERE s.rn <= q.quota GROUP BY s.source
+         )
+         SELECT q.source, q.n_docs, q.weight_micros, q.quota,
+                p.picked_n, p.picked_md5
+         FROM q JOIN p USING (source) ORDER BY q.source""",
     "q114_mixture_quota" ->
       """WITH counts AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs

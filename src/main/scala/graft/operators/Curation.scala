@@ -312,6 +312,41 @@ object Curation {
           .otherwise(lit(0L))).as("quota"))
   }
 
+  /** TEMPERATURE-based mixture quotas — the multilingual sampling
+    * rule (mBERT/XLM's α-sampling): per-key quota ∝ n^α with
+    * α ∈ (0, 1), flattening the head so low-resource keys are
+    * up-sampled relative to raw proportions (α = 1 reproduces
+    * [[largestRemainderQuotas]]; α → 0 approaches uniform). The
+    * power weight is micro-quantized ONCE
+    * (`round(n^α·10⁶)` — one pow per KEY, never per row) and the
+    * budget is apportioned over the integer weights by the exact
+    * largest-remainder rule, so quotas sum to the budget and replay
+    * cross-engine. Shape: one keyed count, |keys|-row arithmetic. */
+  def temperatureQuotas(df: DataFrame, keyCol: String, budget: Long,
+      alpha: Double): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micros",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+    val tot = counts.agg(sum(col("weight_micros")).as("__tot"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"($budget * weight_micros) div __tot"))
+      .withColumn("__rem",
+        lit(budget) * col("weight_micros") - col("__base") * col("__tot"))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(keyCol))
+    based
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .select(col(keyCol), col("n_docs"), col("weight_micros"),
+        (col("__base") + when(col("__rk") <= col("__left"), lit(1L))
+          .otherwise(lit(0L))).as("quota"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, partCols: Seq[String]): DataFrame = {
     require(budget > 0, "budget must be positive")

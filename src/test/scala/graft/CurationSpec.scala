@@ -394,4 +394,21 @@ class CurationSpec extends SparkSpec with Matchers {
     out.map(_._2).exists(_ % 7 == 0) shouldBe false
   }
 
+  test("temperatureQuotas: sum to budget; alpha=1 reproduces raw-proportion " +
+      "quotas; alpha<1 up-samples small groups") {
+    val rows = ((0 until 90).map(i => ("big", i.toLong)) ++
+      (0 until 10).map(i => ("small", 100L + i))).toDF("g", "id")
+    val t1 = Curation.temperatureQuotas(rows, "g", budget = 50L, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    val lr = Curation.largestRemainderQuotas(rows, "g", budget = 50L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    t1 shouldBe lr
+    t1.values.sum shouldBe 50L
+    val t07 = Curation.temperatureQuotas(rows, "g", budget = 50L, alpha = 0.7)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    t07.values.sum shouldBe 50L
+    t07("small") should be > t1("small")
+    t07("big") should be < t1("big")
+  }
+
 }

@@ -71,7 +71,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q254_cms_backoff",       // 1-row exact-N broadcast beside the sketches
     "q256_pq_adc_topk",       // broadcast exact-rank scan, like q25
     "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
-    "q259_hll_overlap")       // tiny group-list pair cross, broadcast
+    "q259_hll_overlap",       // tiny group-list pair cross, broadcast
+    "q261_temperature_mixture") // 1-row weight-total/leftover broadcasts, like q114
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
@@ -83,6 +84,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
   private val intentionalGlobalWindow = Set(
     "q24_label_match_report", "q40_label_match_frozen", "q44_label_match_w2v",
     "q114_mixture_quota", // remainder rank over the catalog-sized quota table
+    "q261_temperature_mixture", // same remainder rank, temperature weights
     "q120_shard_manifest", // same quota stage inside the capstone
     // prefix-sum over the per-distinct-score table: micro-quantized
     // probabilities cap its input at 1,000,001 rows whatever the
