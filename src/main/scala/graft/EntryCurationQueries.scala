@@ -420,6 +420,46 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * deterministic md5 bottom-k pick per source. `picked_md5` hashes
     * the actual selected id set, so the driver check pins the full
     * selection, not just its size. */
+  /** CORPUS DATASHEET — the one-row governance summary a released
+    * dataset publishes (the "datasheets for datasets" card, composed
+    * from fragments this board certifies individually): doc/source/
+    * lang cardinalities, whitespace-token and char totals, exact-dup
+    * mass (docs minus distinct content digests), the q252 topic
+    * mixture, the dominant source, and the mean doc length in exact
+    * integer micros. One corpus pass + a 1-row argmax broadcast. */
+  private[graft] def q262(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tagged = graft.operators.Blocklist.categorize(
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")),
+      "doc_id", "text", topicCategories)
+    val topSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("top_source_n"))
+      .orderBy(col("top_source_n").desc, col("source"))
+      .limit(1)
+      .select(col("source").as("top_source"), col("top_source_n"))
+    tagged.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("n_ws_tokens"),
+        sum(col("n_chars")).as("n_chars_sum"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(when(col("topic") === "compute", 1L).otherwise(0L))
+          .as("n_topic_compute"),
+        sum(when(col("topic") === "speed", 1L).otherwise(0L))
+          .as("n_topic_speed"),
+        sum(when(col("topic") === "storage", 1L).otherwise(0L))
+          .as("n_topic_storage"),
+        sum(when(col("topic") === "none", 1L).otherwise(0L))
+          .as("n_topic_none"))
+      .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("mean_chars_micros",
+        expr("n_chars_sum * 1000000L div n_docs"))
+      .crossJoin(broadcast(topSource))
+      .orderBy("n_docs")
+  }
+
   /** Temperature-based mixture sampling
     * ([[graft.operators.Curation.temperatureQuotas]], α = 0.7): the
     * q114 budget apportionment with quotas ∝ n^0.7 instead of raw

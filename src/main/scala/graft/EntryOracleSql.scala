@@ -1231,6 +1231,56 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(sum(c.clen) AS BIGINT) AS total_chars
          FROM ch c JOIN spread s USING (hh)
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q262_corpus_datasheet" -> {
+      val cats = topicCategories.sortBy(_._1)
+      val catCols = cats.map { case (name, pats) =>
+        val sum = pats.map(p =>
+          s"(length(t) - length(replace(t, '$p', ''))) // ${p.length}")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS hits_$name"
+      }.mkString(", ")
+      val names = cats.map(_._1)
+      val m = "greatest(" + names.map(n => s"hits_$n").mkString(", ") + ")"
+      val pick = names.map(n => s"WHEN hits_$n = $m THEN '$n'").mkString(" ")
+      s"""WITH d AS (
+           SELECT doc_id, text, lang, source, n_chars, lower(text) AS t
+           FROM documents
+         ), h AS (
+           SELECT doc_id, text, lang, source, n_chars, $catCols FROM d
+         ), tg AS (
+           SELECT *, CASE WHEN $m = 0 THEN 'none'
+                          ELSE CASE $pick END END AS topic
+           FROM h
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(sum(len(string_split_regex(text, '\\s+')))
+                       AS BIGINT) AS n_ws_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                  CAST(count(DISTINCT md5(text)) AS BIGINT)
+                    AS n_distinct_texts,
+                  CAST(sum(CASE WHEN topic = 'compute' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_topic_compute,
+                  CAST(sum(CASE WHEN topic = 'speed' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_topic_speed,
+                  CAST(sum(CASE WHEN topic = 'storage' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_topic_storage,
+                  CAST(sum(CASE WHEN topic = 'none' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_topic_none
+           FROM tg
+         ), ts AS (
+           SELECT source AS top_source,
+                  CAST(count(*) AS BIGINT) AS top_source_n
+           FROM documents GROUP BY source
+           ORDER BY count(*) DESC, source LIMIT 1
+         )
+         SELECT agg.*,
+                n_docs - n_distinct_texts AS n_exact_dup_docs,
+                n_chars_sum * 1000000 // n_docs AS mean_chars_micros,
+                ts.top_source, ts.top_source_n
+         FROM agg CROSS JOIN ts ORDER BY n_docs"""
+    },
     "q261_temperature_mixture" ->
       """WITH counts AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

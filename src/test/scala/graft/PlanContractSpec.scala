@@ -72,7 +72,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q256_pq_adc_topk",       // broadcast exact-rank scan, like q25
     "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
     "q259_hll_overlap",       // tiny group-list pair cross, broadcast
-    "q261_temperature_mixture") // 1-row weight-total/leftover broadcasts, like q114
+    "q261_temperature_mixture", // 1-row weight-total/leftover broadcasts, like q114
+    "q262_corpus_datasheet")  // 1-row dominant-source broadcast onto the card
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
