@@ -152,9 +152,15 @@ object HtmlAnchorsExpr {
             }
             if (name == "a") {
               // a new `a` open tag supersedes a pending capture; a
-              // closing one finishes it
+              // closing one finishes it; a SELF-CLOSING one
+              // (`<a href="x"/>`) emits an empty anchor immediately —
+              // following body text belongs to no link, and the row
+              // stays index-aligned with HtmlLinksExpr
               emit()
-              if (!closing && href != null) capHref = href
+              if (!closing && href != null) {
+                capHref = href
+                if (lastWasSlash) emit()
+              }
             }
           }
         } else if (s.startsWith("<!", i) || s.startsWith("<?", i)) {

@@ -75,8 +75,11 @@ object Blocklist {
     val tagged = withCounts.select(
       withCounts.columns.filterNot(_ == "__ac").map(col).toSeq ++ hitCols: _*)
     val names = cats.map(_._1)
-    val best = greatest(names.map(n =>
-      struct(col(s"hits_$n").as("h"), lit(-names.indexOf(n)).as("ord"))): _*)
+    // greatest() needs >= 2 args; with one category the argmax IS
+    // that category's struct
+    val structs = names.map(n =>
+      struct(col(s"hits_$n").as("h"), lit(-names.indexOf(n)).as("ord")))
+    val best = if (structs.size == 1) structs.head else greatest(structs: _*)
     tagged.withColumn("topic",
       when(best.getField("h") === 0L, lit("none"))
         .otherwise(element_at(array(names.map(lit): _*),

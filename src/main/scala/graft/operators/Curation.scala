@@ -328,14 +328,32 @@ object Curation {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val counts = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__wd",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6))
+      // fail loudly (not wrap) if n^α·10⁶ ever exceeds Long — needs
+      // ~9.2e12 docs under ONE key, but a silent wrap here would
+      // corrupt every quota downstream
       .withColumn("weight_micros",
-        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
-          .cast("long"))
+        when(col("__wd") > lit(9.0e18),
+          raise_error(concat(
+            lit("temperatureQuotas: weight_micros overflows Long for key "),
+            col(keyCol).cast("string"))).cast("long"))
+          .otherwise(col("__wd").cast("long")))
+      .drop("__wd")
     val tot = counts.agg(sum(col("weight_micros")).as("__tot"))
+    // budget·weight_micros exceeds Long at realistic corpus scale
+    // (budget ~1e7 × weight ~3e12 ≈ 3e19), so apportionment runs in
+    // Decimal(38,0): products stay ≤ 38 digits by the guard above,
+    // and `div` (IntegralDivide) is exact on decimals
     val based = counts.crossJoin(broadcast(tot))
-      .withColumn("__base", expr(s"($budget * weight_micros) div __tot"))
+      .withColumn("__base", expr(
+        s"(cast($budget as decimal(38,0)) * cast(weight_micros as " +
+          "decimal(38,0))) div cast(__tot as decimal(38,0))"))
       .withColumn("__rem",
-        lit(budget) * col("weight_micros") - col("__base") * col("__tot"))
+        lit(budget).cast("decimal(38,0)") *
+          col("weight_micros").cast("decimal(38,0)") -
+          col("__base").cast("decimal(38,0)") *
+          col("__tot").cast("decimal(38,0)"))
     val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__rem").desc, col(keyCol))

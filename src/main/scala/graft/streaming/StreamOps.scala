@@ -869,8 +869,14 @@ object StreamOps {
       .unionByName(plants.toDF("doc_id", "text"))
     // the staged CONTENT depends on the plants — fingerprint them into
     // the cache key so two callers with different plants never share
-    // a staging dir (the q247 spec-vs-query collision)
-    val staging = stagedDir(s"blgate_${(plants, patterns).hashCode}", dir) { st =>
+    // a staging dir (the q247 spec-vs-query collision). A strong md5
+    // digest, not hashCode: a hashCode collision between two configs
+    // would silently reintroduce exactly that sharing.
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((plants.map { case (id, t) => s"$id\u0001$t" } ++
+        Seq("\u0002") ++ patterns).mkString("\u0003").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val staging = stagedDir(s"blgate_$fp", dir) { st =>
       val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
         col("doc_id"), col("text"))
       stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
