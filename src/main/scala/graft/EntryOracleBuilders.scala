@@ -81,6 +81,84 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM h ORDER BY doc_id"""
   }
 
+  /** Trained-NB langid oracle chain (q263/q264): RETRAINS the
+    * [[graft.operators.TextAnalysis.langIdTrain]] model from raw text
+    * — ground-truth labels on the deterministic 80% split, hashed
+    * char-trigram bucket counts (salted-md5 % 1024, the DSIR hash
+    * restatement), dense add-one smoothed micro-ln weights + micro-ln
+    * priors, and the exact BIGINT scoring with the
+    * (score DESC, lang ASC) argmax. Ends with CTEs `best`
+    * (doc_id, trained_lang, score_micros, rn) and `hl`
+    * (doc_id, lang, heur_lang, is_train); used WITHOUT a leading
+    * WITH. */
+  private[graft] def langIdTrainedCtes: String = {
+    val hitCols = langMarkersSql.map { case (lang, list) =>
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkersSql.map(_._1)
+    val m = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
+    val pick = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+    s"""h AS (
+         SELECT doc_id, text, lang, $hitCols FROM documents
+       ), hl AS (
+         SELECT doc_id, lang, CASE $pick END AS heur_lang,
+                (doc_id % 5 <> 0) AS is_train FROM h
+       ), lab AS (
+         SELECT doc_id, lang, substr(lower(text), 1, 1024) AS t
+         FROM documents WHERE doc_id % 5 <> 0
+       ), lg AS (
+         SELECT lang,
+                ('0x' || substr(md5('langid:' || g), 1, 14))::BIGINT % 1024
+                  AS bucket
+         FROM (SELECT lang, unnest(list_transform(range(1, length(t) - 1),
+                 i -> substr(t, i, 3))) AS g
+               FROM lab)
+       ), c AS (
+         SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+         FROM lg GROUP BY 1, 2
+       ), tt AS (
+         SELECT lang, CAST(sum(c) AS BIGINT) AS n_grams FROM c GROUP BY 1
+       ), grid AS (
+         SELECT tt.lang, b.bucket, tt.n_grams
+         FROM tt CROSS JOIN (SELECT unnest(range(0, 1024)) AS bucket) b
+       ), w AS (
+         SELECT grid.lang, grid.bucket,
+                CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                    / CAST(grid.n_grams + 1024 AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS w_micros
+         FROM grid LEFT JOIN c
+           ON c.lang = grid.lang AND c.bucket = grid.bucket
+       ), dc AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM lab GROUP BY 1
+       ), td AS (SELECT CAST(count(*) AS BIGINT) AS d FROM lab),
+       pr AS (
+         SELECT lang, CAST(round(ln(CAST(n_docs AS DOUBLE)
+             / CAST(td.d AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micros
+         FROM dc CROSS JOIN td
+       ), ag AS (
+         SELECT doc_id,
+                ('0x' || substr(md5('langid:' || g), 1, 14))::BIGINT % 1024
+                  AS bucket
+         FROM (SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                 i -> substr(t, i, 3))) AS g
+               FROM (SELECT doc_id, substr(lower(text), 1, 1024) AS t
+                     FROM documents))
+       ), db AS (
+         SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM ag GROUP BY 1, 2
+       ), sc AS (
+         SELECT db.doc_id, w.lang,
+                CAST(sum(db.cnt * w.w_micros) AS BIGINT) AS s
+         FROM db JOIN w ON w.bucket = db.bucket GROUP BY 1, 2
+       ), best AS (
+         SELECT sc.doc_id, sc.lang AS trained_lang,
+                sc.s + pr.prior_micros AS score_micros,
+                row_number() OVER (PARTITION BY sc.doc_id
+                  ORDER BY sc.s + pr.prior_micros DESC, sc.lang ASC) AS rn
+         FROM sc JOIN pr ON pr.lang = sc.lang
+       )"""
+  }
+
   private[graft] def qualityOracle: String =
     s"""WITH m AS (
          SELECT doc_id,
@@ -1153,7 +1231,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * query set, and the |Q|·m·k ADC distance table. Ends with CTE
     * `dtab`; used WITHOUT a leading WITH. */
   private[graft] def pqCoreCtes(m: Int, subDim: Int, k: Int,
-      iterations: Int, salt: String): String = {
+      iterations: Int, salt: String, qMod: Int = 50): String = {
     val chains = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -1177,7 +1255,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          SELECT vec_id AS q_id,
                 list_transform(CAST(embedding AS DOUBLE[]),
                   x -> CAST(round(x * 1000000) AS BIGINT)) AS qvq
-         FROM embeddings WHERE vec_id % 50 = 0
+         FROM embeddings WHERE vec_id % $qMod = 0
        ), qsub AS ($qsubUnion
        ), dtab AS (
          SELECT q_id, sub, code,
@@ -1242,10 +1320,10 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * the probed cells' members, ADC restricted to candidates. */
   private[graft] def ivfPqOracle(kCells: Int, coarseIters: Int, nProbe: Int,
       m: Int, subDim: Int, kCodes: Int, pqIters: Int, topK: Int,
-      coarseSalt: String, pqSalt: String): String =
+      coarseSalt: String, pqSalt: String, qMod: Int = 50): String =
     s"""WITH ${kmeansCtesSql("embeddings", kCells, coarseIters, coarseSalt,
           prefix = "cq_")},
-       ${pqCoreCtes(m, subDim, kCodes, pqIters, pqSalt)},
+       ${pqCoreCtes(m, subDim, kCodes, pqIters, pqSalt, qMod)},
        probes AS (
          SELECT q_id, cell FROM (
            SELECT q.q_id, c.cell,
@@ -1267,6 +1345,83 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          GROUP BY d.q_id, c.vec_id
        ),
        ${pqRankTailSql(topK)}"""
+
+  /** q265's oracle: RESIDUAL IVF-PQ fully retrained in DuckDB —
+    * coarse quantizer, then residuals `v_micro − c_micro` (exact
+    * BIGINT, re-expressed as doubles by one exact /1e6) feed the m
+    * per-subspace codebook retrains; the ADC table is per
+    * (query, probed cell) with the query's OWN residual. Same rank
+    * tail as q256/q257 (brute-force exact ranks joined in). */
+  private[graft] def ivfPqResidualOracle(kCells: Int, coarseIters: Int,
+      nProbe: Int, m: Int, subDim: Int, kCodes: Int, pqIters: Int,
+      topK: Int, coarseSalt: String, pqSalt: String,
+      qMod: Int = 50): String = {
+    val chains = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      kmeansCtesSql(
+        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM resid)",
+        kCodes, pqIters, s"$pqSalt$s", prefix = s"p${s}_")
+    }.mkString(",\n       ")
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cell AS code FROM p${s}_m$pqIters")
+      .mkString(" UNION ALL ")
+    val booksUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, cell AS code, cvec FROM p${s}_c${pqIters - 1}")
+      .mkString(" UNION ALL ")
+    val qsubUnion = (0 until m).map(s =>
+      s"SELECT q_id, cell, $s AS sub, rq[${s * subDim + 1}:${(s + 1) * subDim}] AS qv FROM qres")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtesSql("embeddings", kCells, coarseIters, coarseSalt,
+          prefix = "cq_")},
+       resid AS (
+         SELECT a.vec_id,
+                [CAST(a.vq[j] - c.cvec[j] AS DOUBLE) / 1000000.0
+                 for j in range(1, len(a.vq) + 1)] AS embedding
+         FROM cq_m$coarseIters a
+         JOIN cq_c${coarseIters - 1} c USING (cell)
+       ),
+       $chains,
+       codes AS ($codesUnion),
+       books AS ($booksUnion),
+       qs AS (
+         SELECT vec_id AS q_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS qvq
+         FROM embeddings WHERE vec_id % $qMod = 0
+       ), probes AS (
+         SELECT q_id, cell, rq FROM (
+           SELECT q.q_id, c.cell,
+                  [q.qvq[j] - c.cvec[j]
+                   for j in range(1, len(q.qvq) + 1)] AS rq,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    CAST(list_sum([(q.qvq[j] - c.cvec[j]) * (q.qvq[j] - c.cvec[j])
+                                   for j in range(1, len(q.qvq) + 1)])
+                         AS BIGINT) ASC,
+                    c.cell ASC) AS rn
+           FROM qs q CROSS JOIN cq_c${coarseIters - 1} c)
+         WHERE rn <= $nProbe
+       ), qres AS (SELECT q_id, cell, rq FROM probes
+       ), qsub AS ($qsubUnion
+       ), dtab AS (
+         SELECT q_id, cell, sub, code,
+                CAST(list_sum([(qv[j] - cvec[j]) * (qv[j] - cvec[j])
+                               for j in range(1, len(qv) + 1)])
+                     AS BIGINT) AS d2
+         FROM qsub JOIN books USING (sub)
+       ), cand AS (
+         SELECT p.q_id, a.vec_id, p.cell
+         FROM probes p JOIN cq_m$coarseIters a USING (cell)
+       ), sc AS (
+         SELECT d.q_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist2
+         FROM cand x
+         JOIN codes c ON c.vec_id = x.vec_id
+         JOIN dtab d ON d.q_id = x.q_id AND d.cell = x.cell
+                    AND d.sub = c.sub AND d.code = c.code
+         GROUP BY d.q_id, c.vec_id
+       ),
+       ${pqRankTailSql(topK)}"""
+  }
 
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}

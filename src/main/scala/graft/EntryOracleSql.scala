@@ -2225,6 +2225,38 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
     "q257_ivf_pq_topk" -> ivfPqOracle(kCells = 8, coarseIters = 2,
       nProbe = 3, m = 8, subDim = 8, kCodes = 8, pqIters = 2, topK = 5,
       coarseSalt = "ivfpqc", pqSalt = "ivfpq"),
+    "q265_ivf_pq_residual" -> ivfPqResidualOracle(kCells = 8,
+      coarseIters = 2, nProbe = 3, m = 8, subDim = 8, kCodes = 8,
+      pqIters = 2, topK = 5, coarseSalt = "ivfpqc", pqSalt = "ivfpqr"),
+    "q266_pq_recall_audit" -> {
+      def one(variant: String, kCodes: Int, nProbe: Int): String = {
+        val inner =
+          if (variant == "raw")
+            ivfPqOracle(kCells = 8, coarseIters = 2, nProbe = nProbe,
+              m = 8, subDim = 8, kCodes = kCodes, pqIters = 2, topK = 5,
+              coarseSalt = "ivfpqc", pqSalt = "ivfpq", qMod = 100)
+          else
+            ivfPqResidualOracle(kCells = 8, coarseIters = 2,
+              nProbe = nProbe, m = 8, subDim = 8, kCodes = kCodes,
+              pqIters = 2, topK = 5, coarseSalt = "ivfpqc",
+              pqSalt = "ivfpqr", qMod = 100)
+        s"""SELECT '$variant' AS variant, 8 AS m, $kCodes AS k_codes,
+              $nProbe AS n_probe,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN exact_rank > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              (CAST(sum(CASE WHEN exact_rank > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000)
+                // CAST(count(*) AS BIGINT) AS recall_micros
+           FROM ($inner) b"""
+      }
+      s"""SELECT * FROM (
+           ${one("raw", 8, 3)}
+           UNION ALL ${one("residual", 8, 3)}
+           UNION ALL ${one("raw", 16, 5)}
+           UNION ALL ${one("residual", 16, 5)})
+         ORDER BY variant, k_codes, n_probe"""
+    },
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),
@@ -4461,6 +4493,24 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3"""
     }) ++
-    modelOracles
+    modelOracles ++
+    Map(
+      "q263_langid_trained" ->
+        s"""WITH ${langIdTrainedCtes}
+           SELECT b.doc_id, b.trained_lang, b.score_micros, hl.lang,
+                  (b.trained_lang = hl.lang) AS correct, hl.heur_lang,
+                  (b.trained_lang = hl.heur_lang) AS agree_heur,
+                  hl.is_train
+           FROM best b JOIN hl ON hl.doc_id = b.doc_id
+           WHERE b.rn = 1 ORDER BY b.doc_id""",
+      "q264_langid_confusion" ->
+        s"""WITH ${langIdTrainedCtes}
+           SELECT hl.lang, b.trained_lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN hl.is_train THEN 0 ELSE 1 END)
+                       AS BIGINT) AS n_holdout
+           FROM best b JOIN hl ON hl.doc_id = b.doc_id
+           WHERE b.rn = 1
+           GROUP BY 1, 2 ORDER BY 1, 2""")
 
 }

@@ -938,4 +938,57 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id", "rank")
   }
 
+  /** RESIDUAL IVF-PQ ([[Ann.ivfPqResidualTopK]]): q257's composition
+    * with the standard FAISS residual encoding — codebooks trained on
+    * `v − c_cell` (exact integer-micro differences), the ADC table
+    * per (query, probed cell) with the query's own residual. Same
+    * coarse quantizer (same salt) and same (kCells, nProbe, m,
+    * kCodes, topK) as q257, so the two boards price raw-vs-residual
+    * recall head-to-head. The oracle retrains coarse AND all eight
+    * residual codebooks. */
+  private[graft] def q265(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Ann.ivfPqResidualTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id",
+        "embedding", kCells = 8, coarseIterations = 2, nProbe = 3,
+        m = 8, subDim = 8, kCodes = 8, pqIterations = 2, topK = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** PQ PRESET RECALL AUDIT — the q133/q139/q141 measured-preset
+    * discipline applied to the PQ tier: raw ([[Ann.ivfPqTopK]]) vs
+    * residual ([[Ann.ivfPqResidualTopK]]) encoding at two
+    * (kCodes, nProbe) operating points, each run's measured recall@5
+    * (exact_rank hits from the in-result ground truth) as ONE row —
+    * the table a 100 TB rollout reads to pick compression with data
+    * instead of folklore. Query set thinned to vec_id % 100 (the
+    * audit reprices 4 full train+scan boards; presets are the
+    * product, not the per-query rows). The oracle re-runs all four
+    * boards — every codebook retrained per preset — and re-counts. */
+  private[graft] def q266(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qset = e.filter(col("vec_id") % 100 === 0)
+    def audit(variant: String, kCodes: Int, nProbe: Int): DataFrame = {
+      val run =
+        if (variant == "raw")
+          Ann.ivfPqTopK(qset, e, "vec_id", "embedding", kCells = 8,
+            coarseIterations = 2, nProbe = nProbe, m = 8, subDim = 8,
+            kCodes = kCodes, pqIterations = 2, topK = 5)
+        else
+          Ann.ivfPqResidualTopK(qset, e, "vec_id", "embedding", kCells = 8,
+            coarseIterations = 2, nProbe = nProbe, m = 8, subDim = 8,
+            kCodes = kCodes, pqIterations = 2, topK = 5)
+      run.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("exact_rank") > 0, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(variant).as("variant"), lit(8).as("m"),
+          lit(kCodes).as("k_codes"), lit(nProbe).as("n_probe"),
+          col("n_rows"), col("n_hits"),
+          expr("(n_hits * 1000000) div n_rows").as("recall_micros"))
+    }
+    audit("raw", 8, 3)
+      .unionByName(audit("residual", 8, 3))
+      .unionByName(audit("raw", 16, 5))
+      .unionByName(audit("residual", 16, 5))
+      .orderBy("variant", "k_codes", "n_probe")
+  }
+
 }

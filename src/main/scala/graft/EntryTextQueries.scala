@@ -1220,4 +1220,60 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("source_a", "source_b")
   }
 
+  /** Shared spine of the trained-langid pair: TRAIN the
+    * hashed-char-trigram NB classifier
+    * ([[graft.operators.TextAnalysis.langIdTrain]]) on the
+    * deterministic 80% split (`doc_id % 5 != 0`) with the corpus's
+    * ground-truth `lang` labels, score EVERY document with the
+    * fitted model, and carry the truth label, the q18 marker-
+    * heuristic prediction, and the split flag for the audits.
+    * Returns per-doc (doc_id, trained_lang, score_micros, lang,
+    * heur_lang, is_train). The oracle RETRAINS the whole model from
+    * raw text (the q148/q154 discipline) — no learned literal
+    * crosses engines. */
+  private def langIdTrainedBase(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val heur = TextAnalysis.languageId(docs.select(col("doc_id"), col("text")))
+    val labeled = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val model = TextAnalysis.langIdTrain(labeled, "text", "lang")
+    TextAnalysis.langIdApply(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("lang"),
+        (pmod(col("doc_id"), lit(5L)) =!= 0L).as("is_train")), Seq("doc_id"))
+      .join(heur.select(col("doc_id"),
+        col("predicted_lang").as("heur_lang")), Seq("doc_id"))
+  }
+
+  /** TRAINED language ID, per-doc decisions: the multinomial-NB
+    * hashed-char-trigram classifier (the langid.py / CLD model
+    * class) trained on the 80% ground-truth split and applied to the
+    * full corpus — per doc the integer-micro best score, the truth
+    * label with in-row correctness, the q18 marker-heuristic
+    * prediction with in-row agreement, and the split flag (so
+    * holdout accuracy is measurable INSIDE the hashed result, the
+    * q147/q149 discipline). */
+  private[graft] def q263(s: SparkSession, dir: String): DataFrame =
+    langIdTrainedBase(s, dir)
+      .select(col("doc_id"), col("trained_lang"), col("score_micros"),
+        col("lang"), (col("trained_lang") === col("lang")).as("correct"),
+        col("heur_lang"),
+        (col("trained_lang") === col("heur_lang")).as("agree_heur"),
+        col("is_train"))
+      .orderBy("doc_id")
+
+  /** TRAINED language-ID confusion matrix: truth × predicted doc
+    * counts with the holdout count per cell — the eval table a
+    * multilingual pipeline reviews before switching its front gate
+    * from the marker heuristic to the trained model (diagonal mass
+    * on the holdout = generalisation, off-diagonal cells = the
+    * languages the char-gram model confuses). One |L|²-bounded
+    * rollup over the q263 spine. */
+  private[graft] def q264(s: SparkSession, dir: String): DataFrame =
+    langIdTrainedBase(s, dir)
+      .groupBy(col("lang"), col("trained_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_holdout"))
+      .orderBy("lang", "trained_lang")
+
 }

@@ -679,10 +679,13 @@ object Ann {
       salt: String = "pq"): (DataFrame, DataFrame) = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iterations >= 1,
       "m, subDim, k, iterations must be positive")
+    // plan-level dim guard: a vector whose length != m·subDim would
+    // otherwise silently train codebooks on truncated/empty slices
+    val checked = vectors.select(col(idCol),
+      dimChecked(col(vecCol), m, subDim, "pqTrainEncode").as("__pqv"))
     val parts = (0 until m).map { s =>
-      val sliced = vectors.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)
-          .as("subvec"))
+      val sliced = checked.select(col(idCol),
+        slice(col("__pqv"), s * subDim + 1, subDim).as("subvec"))
       val model = Cluster.kmeansMicroModel(sliced, idCol, "subvec", k,
         iterations, s"$salt$s")
       (model.assign.select(col(idCol), lit(s).as("sub"),
@@ -766,6 +769,80 @@ object Ann {
     rankWithExact(scored, queries, corpus, idCol, vecCol, topK)
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the standard FAISS IVF-PQ
+    * (Jégou et al. 2011): PQ codebooks are trained on each vector's
+    * residual vs its coarse centroid (`r = v − c_cell`) instead of
+    * the raw vector, which removes the coarse structure from what PQ
+    * must compress and materially tightens ADC distances at the same
+    * m (closes [[ivfPqTopK]]'s documented simplification). The ADC
+    * table becomes per-(query, probed cell): the query's OWN residual
+    * vs that cell scores the cell's members — |Q|·nProbe·m·k rows,
+    * still broadcastable by construction.
+    *
+    * Exactness: residuals are exact integer-micro differences
+    * (`v_micro − c_micro`), re-expressed as doubles by one exact
+    * division (micro magnitudes ≪ 2⁵³), so the residual kmeans
+    * trainer sees bit-identical inputs in both engines and the
+    * oracle RETRAINS coarse + all m residual codebooks. Same output
+    * contract as [[pqAdcTopK]] (brute-force exact ranks inside the
+    * result), so raw-vs-residual recall is measurable per query.
+    * Scale shape: unchanged vs [[ivfPqTopK]] — one id-keyed residual
+    * join (the encode pass), m bounded kmeans runs, a broadcast
+    * (q, cell, sub, code) lookup join, one (q, id)-keyed sum. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, kCells: Int, coarseIterations: Int,
+      nProbe: Int, m: Int, subDim: Int, kCodes: Int, pqIterations: Int,
+      topK: Int, coarseSalt: String = "ivfpqc",
+      pqSalt: String = "ivfpqr"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
+    val coarse = Cluster.kmeansMicroModel(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      kCells, coarseIterations, coarseSalt)
+    // residual frame: exact micro differences, one exact /1e6 back to
+    // doubles so the PQ trainer's micro-quantize round-trips losslessly
+    val resid = corpus.select(col(idCol),
+        Cluster.microQuantize(
+          dimChecked(col(vecCol), m, subDim, "ivfPqResidualTopK"))
+          .as("__vq"))
+      .join(coarse.assign.select(col(idCol), col("cell")), Seq(idCol))
+      .join(broadcast(coarse.centroids), Seq("cell"))
+      .select(col(idCol),
+        zip_with(col("__vq"), col("cvec"),
+          (a, b) => (a - b).cast("double") / lit(1e6)).as("__rvec"))
+    val (codes, books) = pqTrainEncode(resid, idCol, "__rvec",
+      m, subDim, kCodes, pqIterations, pqSalt)
+    val qmq = queries.select(col(idCol).as("q_id"),
+      Cluster.microQuantize(
+        dimChecked(col(vecCol), m, subDim, "ivfPqResidualTopK"))
+        .as("__qq"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d2").asc, col("cell").asc)
+    // per probed cell, carry the query's residual micro vector
+    val probes = qmq.crossJoin(broadcast(coarse.centroids))
+      .withColumn("__d2", Cluster.dist2(col("__qq"), col("cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("cell"),
+        zip_with(col("__qq"), col("cvec"), (a, b) => a - b).as("__rq"))
+    val qsub = probes.select(col("q_id"), col("cell"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+        slice(col("__rq"), s * subDim + 1, lit(subDim))))
+        .as(Seq("sub", "__qv")))
+    val dtab = qsub.join(books, Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        Cluster.dist2(col("__qv"), col("cvec")).as("__d2"))
+    val cand = probes.select(col("q_id"), col("cell"))
+      .join(coarse.assign.select(col(idCol).as("vec_id"), col("cell")),
+        Seq("cell"))
+      .select("q_id", "vec_id", "cell")
+    val scored = codes.toDF("vec_id", "sub", "code")
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "cell", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("__d2")).as("adc_dist2"))
+    rankWithExact(scored, queries, corpus, idCol, vecCol, topK)
+  }
+
   /** (q_id, sub, code, __d2): exact integer-micro L2 from every query
     * subvector to every codebook centroid — |Q|·m·k rows, THE PQ
     * lookup table, broadcast at every use site. */
@@ -773,12 +850,26 @@ object Ann {
       codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
     val qsub = queries.select(col(idCol).as("q_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
-          slice(Cluster.microQuantize(col(vecCol)), s * subDim + 1,
-            lit(subDim))))
+          slice(Cluster.microQuantize(
+              dimChecked(col(vecCol), m, subDim, "pqDistTable")),
+            s * subDim + 1, lit(subDim))))
           .as(Seq("sub", "__qv")))
     qsub.join(codebooks, Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
         Cluster.dist2(col("__qv"), col("cvec")).as("__d2"))
+  }
+
+  /** Plan-level PQ dim guard: the vector cast to array<double> iff
+    * its length is exactly m·subDim, raise_error otherwise — a
+    * mismatched config fails loudly instead of silently training on
+    * truncated/empty slices. */
+  private def dimChecked(vec: Column, m: Int, subDim: Int,
+      site: String): Column = {
+    val dims = m * subDim
+    when(size(vec) === dims, vec.cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit(s"$site: size(vec) must equal m*subDim = $dims, got "),
+        size(vec).cast("string"))).cast("array<double>"))
   }
 
   /** Rank (adc_dist2 asc, vec_id asc) per query and join in the

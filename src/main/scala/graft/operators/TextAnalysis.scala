@@ -936,4 +936,121 @@ object TextAnalysis {
       .orderBy(col("chi2_micro").desc, col("tok"))
       .limit(topK)
   }
+
+  // ===== TRAINED language identification (langid.py model class) =====
+
+  /** Fitted langid model: dense per-(lang, bucket) smoothed
+    * log-likelihood weights in integer micros plus per-lang log
+    * priors — L·B rows total, parameter-sized and broadcastable by
+    * construction (the 100 TB apply path never shuffles the model).
+    * `langs` is the sorted class list (the deterministic argmax
+    * tie-break order). */
+  final case class LangIdModel(langs: Seq[String], buckets: Int, n: Int,
+      maxChars: Int, salt: String, weights: DataFrame, priors: DataFrame)
+
+  /** One (key, bucket) row per overlapping character n-gram of
+    * `substr(lower(text), 1, maxChars)` — the hashed char-n-gram
+    * feature stream both [[langIdTrain]] and [[langIdApply]] consume.
+    * The prefix cap is standard langid practice (classifiers sample a
+    * prefix) AND the scale bound: position-explode duplicates the
+    * prefix per gram, so per-doc transient cost is ≤ maxChars² bytes
+    * — parameter-bounded, never corpus-length-quadratic. Buckets use
+    * the engine-portable salted-md5 family ([[Curation.featureBucket]])
+    * so the oracle restates the hash verbatim. */
+  private def charGramBuckets(df: DataFrame, keyCol: String,
+      textCol: String, n: Int, maxChars: Int, buckets: Int,
+      salt: String): DataFrame = {
+    val pre = df.select(col(keyCol),
+      substring(lower(col(textCol)), 1, maxChars).as("__t"))
+    pre.select(col(keyCol), col("__t"),
+        explode(when(length(col("__t")) >= n,
+            sequence(lit(1), length(col("__t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(keyCol),
+        Curation.featureBucket(col("__t").substr(col("__i"), lit(n)),
+          buckets, salt).as("bucket"))
+  }
+
+  /** Train a multinomial-Naive-Bayes language classifier over hashed
+    * character n-grams — the langid.py / CLD model class (NB over
+    * byte/char n-grams), the trained replacement for [[languageId]]'s
+    * marker heuristic that every production multilingual pipeline
+    * (CCNet / RefinedWeb lineage) runs before anything else.
+    * `labeled` must carry `textCol` and a language label `langCol`
+    * (weak labels from the marker heuristic work — the classifier
+    * generalises through the char-gram features).
+    *
+    * Certifiable where a learned-embedding classifier is not:
+    * training is pure counting — per-(lang, bucket) gram counts with
+    * add-one smoothing, `w = round(ln((c+1)/(n_lang+B))·10⁶)` and
+    * `prior = round(ln(d_lang/D)·10⁶)` — the [[Curation.dsirWeights]]
+    * micro-ln discipline, so a DuckDB oracle RETRAINS the identical
+    * model from raw text. Weights are emitted DENSE over all B
+    * buckets (unseen buckets carry the smoothing floor), which is
+    * what lets [[langIdApply]] score with one broadcast hash join.
+    * Scale shape: one gram-keyed count aggregate (map-side combined)
+    * + |L|·B-row arithmetic; the corpus is read once. */
+  def langIdTrain(labeled: DataFrame, textCol: String, langCol: String,
+      buckets: Int = 1024, n: Int = 3, maxChars: Int = 1024,
+      salt: String = "langid"): LangIdModel = {
+    require(buckets >= 2, "buckets must be >= 2")
+    require(n >= 1 && maxChars >= n, "need n >= 1 and maxChars >= n")
+    val spark = labeled.sparkSession
+    val g = charGramBuckets(
+      labeled.select(col(langCol).as("lang"), col(textCol)),
+      "lang", textCol, n, maxChars, buckets, salt)
+    val c = g.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = c.groupBy(col("lang")).agg(sum(col("__c")).as("__n_grams"))
+    // the class list is the model's parameter-sized spine (like the
+    // grouped-GD group list) — collected once, |L| strings
+    val langs = tot.select(col("lang")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+      .crossJoin(broadcast(tot)) // B × |L| rows, parameter-sized
+    val weights = grid.join(c, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"),
+        round(log((coalesce(col("__c"), lit(0L)) + lit(1L)).cast("double")
+            / (col("__n_grams") + lit(buckets.toLong)).cast("double"))
+          * 1e6).cast("long").as("w_micros"))
+    val dc = labeled.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val td = labeled.agg(count(lit(1)).as("__d"))
+    val priors = dc.crossJoin(broadcast(td))
+      .select(col("lang"),
+        round(log(col("n_docs").cast("double") / col("__d").cast("double"))
+          * 1e6).cast("long").as("prior_micros"))
+    LangIdModel(langs, buckets, n, maxChars, salt, weights, priors)
+  }
+
+  /** Score every document with a fitted [[LangIdModel]] — the 100 TB
+    * apply path: per-doc (bucket, count) rows (≤ min(grams, B) per
+    * doc, map-side combined), ONE broadcast hash join against the
+    * dense L·B weight table, an exact BIGINT
+    * `score = prior + Σ count·w` per (doc, lang), and a grouped
+    * struct-max argmax (ties → lexicographically smallest lang, the
+    * [[languageId]] convention). Every arithmetic step is integer, so
+    * the result hashes bit-identically cross-engine. Docs shorter
+    * than `n` chars produce no grams and no row (both engines agree).
+    * Output: (idCol, trained_lang, score_micros). */
+  def langIdApply(docs: DataFrame, idCol: String, textCol: String,
+      model: LangIdModel): DataFrame = {
+    val g = charGramBuckets(docs.select(col(idCol), col(textCol)), idCol,
+      textCol, model.n, model.maxChars, model.buckets, model.salt)
+    val db = g.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val scored = db.join(broadcast(model.weights), Seq("bucket"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("__cnt") * col("w_micros")).as("__s"))
+      .join(broadcast(model.priors), Seq("lang"))
+      .withColumn("__score", col("__s") + col("prior_micros"))
+    val langArr = array(model.langs.map(lit): _*)
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"),
+        (-array_position(langArr, col("lang"))).as("ord"))).as("__b"))
+      .select(col(idCol),
+        element_at(langArr, (-col("__b").getField("ord")).cast("int"))
+          .as("trained_lang"),
+        col("__b").getField("s").as("score_micros"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.TextAnalysis
+
+/** Trained multinomial-NB langid over hashed char trigrams
+  * ([[graft.operators.TextAnalysis.langIdTrain]]/[[graft.operators.TextAnalysis.langIdApply]]).
+  * The synthetic corpus here carries REAL per-language character
+  * statistics (unlike the harness documents table, whose `lang`
+  * column is uncorrelated with its text — q264's chance-level
+  * holdout accuracy is the honest readout there), so the spec can
+  * assert the classifier actually learns. */
+class LangIdTrainedSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  // three toy "languages" with disjoint character inventories; text
+  // per doc is a deterministic word mix so the train/holdout split
+  // sees the same distributions
+  private val vocab = Map(
+    "aa" -> Seq("tanaka", "harati", "salama", "karana", "matata"),
+    "bb" -> Seq("grumpf", "brozzle", "splorch", "frunzle", "drubble"),
+    "cc" -> Seq("vieuxne", "ouielle", "heureux", "oiseaux", "beaucoup"))
+
+  private lazy val corpus = {
+    val rows = for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until 60
+    } yield {
+      val text = (0 until 12)
+        .map(j => words((i * 7 + j * 3) % words.size)).mkString(" ")
+      (vocab.keys.toSeq.sorted.indexOf(lang) * 60L + i, text, lang)
+    }
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("holdout accuracy is high when the text carries language signal") {
+    val train = corpus.filter(pmod($"doc_id", lit(3L)) =!= 0L)
+    val model = TextAnalysis.langIdTrain(train, "text", "lang",
+      buckets = 256, n = 3, maxChars = 512, salt = "lidspec")
+    model.langs shouldBe Seq("aa", "bb", "cc")
+    // dense model: exactly L x B weight rows, one prior per lang
+    model.weights.count() shouldBe 3L * 256
+    model.priors.count() shouldBe 3L
+    val applied = TextAnalysis.langIdApply(corpus, "doc_id", "text", model)
+      .join(corpus.select($"doc_id", $"lang"), Seq("doc_id"))
+    val holdout = applied.filter(pmod($"doc_id", lit(3L)) === 0L)
+    val acc = holdout.agg(
+      avg(when($"trained_lang" === $"lang", 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    acc should be >= 0.95
+  }
+
+  test("scores are exact integers, invariant to partitioning") {
+    val model = TextAnalysis.langIdTrain(corpus, "text", "lang",
+      buckets = 64, n = 3, maxChars = 512, salt = "lidspec")
+    val a = TextAnalysis.langIdApply(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val b = TextAnalysis.langIdApply(corpus.repartition(13), "doc_id",
+        "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    b shouldBe a
+  }
+
+  test("docs shorter than n produce no row; ties break to smallest lang") {
+    val tiny = Seq((1L, "xy", "aa"), (2L, "zq", "bb")).toDF(
+      "doc_id", "text", "lang")
+    val model = TextAnalysis.langIdTrain(corpus, "text", "lang",
+      buckets = 64, n = 3, maxChars = 512, salt = "lidspec")
+    TextAnalysis.langIdApply(tiny, "doc_id", "text", model)
+      .count() shouldBe 0L
+    // a gram seen equally by every class scores only the prior
+    // difference; equal priors -> tie -> lexicographically smallest
+    val balanced = vocab.toSeq.flatMap { case (lang, _) =>
+      (0 until 10).map(i =>
+        (vocab.keys.toSeq.sorted.indexOf(lang) * 10L + i, "zzzz", lang))
+    }.toDF("doc_id", "text", "lang")
+    val m2 = TextAnalysis.langIdTrain(balanced, "text", "lang",
+      buckets = 64, n = 3, maxChars = 512, salt = "lidspec")
+    val pred = TextAnalysis.langIdApply(
+      Seq((99L, "zzzz")).toDF("doc_id", "text"), "doc_id", "text", m2)
+      .head()
+    pred.getString(1) shouldBe "aa"
+  }
+
+  test("prefix cap bounds the gram stream") {
+    val longDoc = Seq((1L, ("tanaka " * 100) + ("grumpf " * 100), "aa"))
+      .toDF("doc_id", "text", "lang")
+    // maxChars = 42 sees only the tanaka prefix -> classifies as aa
+    val model = TextAnalysis.langIdTrain(corpus, "text", "lang",
+      buckets = 256, n = 3, maxChars = 42, salt = "lidspec")
+    val pred = TextAnalysis.langIdApply(longDoc, "doc_id", "text", model)
+      .head()
+    pred.getString(1) shouldBe "aa"
+  }
+}

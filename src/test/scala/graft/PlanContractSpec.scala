@@ -71,9 +71,13 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q254_cms_backoff",       // 1-row exact-N broadcast beside the sketches
     "q256_pq_adc_topk",       // broadcast exact-rank scan, like q25
     "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
+    "q265_ivf_pq_residual",   // same tiers as q257, residual codebooks
+    "q266_pq_recall_audit",   // four q257/q265-shaped boards, rolled up
     "q259_hll_overlap",       // tiny group-list pair cross, broadcast
     "q261_temperature_mixture", // 1-row weight-total/leftover broadcasts, like q114
-    "q262_corpus_datasheet")  // 1-row dominant-source broadcast onto the card
+    "q262_corpus_datasheet",  // 1-row dominant-source broadcast onto the card
+    "q263_langid_trained",    // L-row gram-total + 1-row doc-total model broadcasts
+    "q264_langid_confusion")  // same trained-langid model spine as q263
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
