@@ -713,7 +713,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          )"""
     }.mkString(", ")
     s"""WITH ${bpeMergeCtes(iterations)},
-       dw AS (
+       dw AS MATERIALIZED (
          SELECT doc_id, word FROM (
            SELECT doc_id,
                   unnest(string_split_regex(lower(text), '\\s+')) AS word
@@ -1422,6 +1422,143 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        ),
        ${pqRankTailSql(topK)}"""
   }
+
+  /** One unrolled Viterbi DP over the word-frequency CTE `wf`
+    * (columns word, cnt), weights from CTE `wCte` (piece, w):
+    * `maxWordLen` forward cells (argmin by score then SHORTEST
+    * candidate piece — `row_number() ORDER BY s, k`), then a
+    * backtrack chain emitting best-path pieces. Ends with CTEs
+    * `${P}fin` (word, n, cnt, s, np) and `${P}vc` (piece, vc) —
+    * the exact replay of
+    * [[graft.functions.UnigramSegmentExpr]]'s DP. */
+  private def unigramDpCtes(P: String, wCte: String,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val dCtes = (1 to maxWordLen).map { i =>
+      val branches = (1 to math.min(maxPieceLen, i)).map { k =>
+        s"""SELECT b.word, b.n, b.cnt, b.s + v.w AS s,
+                   b.np + 1 AS np, $k AS k
+            FROM ${P}d${i - k} b JOIN $wCte v
+              ON v.piece = substr(b.word, ${i - k + 1}, $k)
+            WHERE b.n >= $i"""
+      }.mkString(" UNION ALL ")
+      s"""${P}d$i AS MATERIALIZED (
+           SELECT word, n, cnt, s, np, k, $i AS i FROM (
+             SELECT c.*, row_number() OVER (PARTITION BY c.word
+               ORDER BY c.s ASC, c.k ASC) AS rn
+             FROM ($branches) c) WHERE rn = 1)"""
+    }.mkString(", ")
+    val dAll = (1 to maxWordLen).map(i => s"SELECT * FROM ${P}d$i")
+      .mkString(" UNION ALL ")
+    val tCtes = (1 until maxWordLen).map { j =>
+      s"""${P}t$j AS MATERIALIZED (
+           SELECT t.word, t.cnt, t.pos - d.k AS pos
+           FROM ${P}t${j - 1} t JOIN ${P}dall d
+             ON d.word = t.word AND d.i = t.pos
+           WHERE t.pos > 0)"""
+    }.mkString(", ")
+    val tAll = (0 until maxWordLen).map(j => s"SELECT * FROM ${P}t$j")
+      .mkString(" UNION ALL ")
+    s"""${P}d0 AS MATERIALIZED (
+         SELECT word, length(word) AS n, cnt, CAST(0 AS BIGINT) AS s,
+                CAST(0 AS BIGINT) AS np, 0 AS k, 0 AS i FROM wf),
+       $dCtes,
+       ${P}dall AS MATERIALIZED ($dAll),
+       ${P}fin AS MATERIALIZED (SELECT word, n, cnt, s, np FROM ${P}dall WHERE i = n),
+       ${P}t0 AS MATERIALIZED (SELECT word, cnt, n AS pos FROM ${P}fin),
+       $tCtes,
+       ${P}tall AS MATERIALIZED ($tAll),
+       ${P}pieces AS (
+         SELECT t.word, t.cnt, substr(t.word, t.pos - d.k + 1, d.k) AS piece
+         FROM ${P}tall t JOIN ${P}dall d
+           ON d.word = t.word AND d.i = t.pos
+         WHERE t.pos > 0),
+       ${P}vc AS MATERIALIZED (
+         SELECT piece, CAST(sum(cnt) AS BIGINT) AS vc
+         FROM ${P}pieces GROUP BY piece)"""
+  }
+
+  /** One hard-EM round r: the DP under v(r−1), then the add-one
+    * micro-ln re-estimate into CTE `v$r`. */
+  private def unigramRoundCtes(r: Int, maxPieceLen: Int,
+      maxWordLen: Int): String =
+    s"""${unigramDpCtes(s"r${r}_", s"v${r - 1}", maxPieceLen, maxWordLen)},
+       r${r}tot AS (SELECT CAST(sum(vc) AS BIGINT) AS tot FROM r${r}_vc),
+       v$r AS MATERIALIZED (
+         SELECT vo.piece,
+                CAST(round(-ln(CAST(coalesce(c.vc, 0) + 1 AS DOUBLE)
+                    / CAST(t.tot + vn.v AS DOUBLE)) * 1e6) AS BIGINT) AS w
+         FROM vocab vo
+         LEFT JOIN r${r}_vc c ON c.piece = vo.piece
+         CROSS JOIN r${r}tot t CROSS JOIN vn)"""
+
+  /** The unigram-LM training chain mirroring
+    * [[graft.operators.UnigramLm.trainViterbiEm]]: word-frequency
+    * table, capped substring seed with the single-char coverage
+    * union, frequency-seeded micro-ln costs, and `rounds` unrolled
+    * hard-EM iterations — every Viterbi DP cell replayed. Ends with
+    * `vocab`, `r${rounds}_vc` and `v$rounds`; used WITHOUT a
+    * leading WITH. */
+  private[graft] def unigramPrefixCtes(rounds: Int, maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int): String =
+    s"""dw AS MATERIALIZED (
+         SELECT doc_id, word FROM (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(text), '\\s+')) AS word
+           FROM documents)
+         WHERE regexp_full_match(word, '[a-z]+')
+           AND length(word) <= $maxWordLen
+       ), wf AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM dw GROUP BY word
+       ), sub AS (
+         SELECT substr(word, st, k) AS piece, cnt FROM (
+           SELECT word, cnt, st,
+                  unnest(range(1, least($maxPieceLen,
+                    length(word) - st + 1) + 1)) AS k
+           FROM (SELECT word, cnt,
+                        unnest(range(1, length(word) + 1)) AS st
+                 FROM wf))
+       ), pc AS (
+         SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM sub GROUP BY piece
+       ), vocab AS MATERIALIZED (
+         SELECT piece, c FROM
+           (SELECT piece, c FROM pc ORDER BY c DESC, piece LIMIT $vocabCap)
+         UNION
+         SELECT piece, c FROM pc WHERE length(piece) = 1
+       ), vn AS MATERIALIZED (
+         SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS tot
+         FROM vocab
+       ), v0 AS MATERIALIZED (
+         SELECT piece, CAST(round(-ln(CAST(c AS DOUBLE)
+             / CAST(vn.tot AS DOUBLE)) * 1e6) AS BIGINT) AS w
+         FROM vocab, vn
+       ), ${(1 to rounds).map(r =>
+             unigramRoundCtes(r, maxPieceLen, maxWordLen)).mkString(", ")}"""
+
+  /** q267: the fitted unigram-LM vocabulary, fully retrained. */
+  private[graft] def unigramTrainOracle(rounds: Int, maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int): String =
+    s"""WITH ${unigramPrefixCtes(rounds, maxPieceLen, vocabCap, maxWordLen)}
+       SELECT vo.piece, vo.c AS seed_count,
+              CAST(coalesce(c.vc, 0) AS BIGINT) AS viterbi_count,
+              v.w AS w_micros
+       FROM vocab vo
+       LEFT JOIN r${rounds}_vc c ON c.piece = vo.piece
+       JOIN v$rounds v ON v.piece = vo.piece
+       ORDER BY vo.piece"""
+
+  /** q268: per-doc encode stats under the retrained final costs —
+    * one more unrolled DP (prefix `e_`), rolled up per document. */
+  private[graft] def unigramEncodeOracle(rounds: Int, maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int): String =
+    s"""WITH ${unigramPrefixCtes(rounds, maxPieceLen, vocabCap, maxWordLen)},
+       ${unigramDpCtes("e_", s"v$rounds", maxPieceLen, maxWordLen)}
+       SELECT dw.doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(length(dw.word)) AS BIGINT) AS char_tokens,
+              CAST(sum(f.np) AS BIGINT) AS unigram_tokens,
+              CAST(sum(f.s) AS BIGINT) AS cost_micros
+       FROM dw JOIN e_fin f ON f.word = dw.word
+       GROUP BY dw.doc_id ORDER BY dw.doc_id"""
 
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}

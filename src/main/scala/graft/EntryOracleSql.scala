@@ -4511,6 +4511,10 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                        AS BIGINT) AS n_holdout
            FROM best b JOIN hl ON hl.doc_id = b.doc_id
            WHERE b.rn = 1
-           GROUP BY 1, 2 ORDER BY 1, 2""")
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q267_unigram_train" -> unigramTrainOracle(rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12),
+      "q268_unigram_encode" -> unigramEncodeOracle(rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12))
 
 }

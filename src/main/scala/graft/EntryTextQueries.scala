@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, LinearModel, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, LinearModel, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UnigramLm, UrlOps}
 import graft.streaming.StreamOps
 
 /** Text-analysis and NLP queries: the clean-token pipeline, quality scoring, language id, LM scores, TF-IDF/BM25, BPE training, fingerprints. */
@@ -1275,5 +1275,36 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_holdout"))
       .orderBy("lang", "trained_lang")
+
+  /** UNIGRAM-LM tokenizer training
+    * ([[graft.operators.UnigramLm.trainViterbiEm]]): the
+    * SentencePiece-family trainer beside BPE (q123/q152) — capped
+    * substring seed, two hard-EM (Viterbi) rounds, micro-ln cost
+    * re-estimates. The oracle RETRAINS everything, replaying every
+    * Viterbi DP cell through an unrolled forward/backtrack chain —
+    * the q123/q148/q154 retrained-oracle discipline extended to a
+    * dynamic program. */
+  private[graft] def q267(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainViterbiEm(t(s, dir, "documents"), "text", rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+      .orderBy("piece")
+
+  /** UNIGRAM-LM encode stats ([[graft.operators.UnigramLm.encodeStats]]):
+    * per-doc word/char/subword-token counts plus the EXACT total
+    * Viterbi path cost under the q267-trained vocabulary — the token
+    * count certifies the segmentation, the cost certifies the DP
+    * itself. Encoding is one fused codegen projection (vocabulary as
+    * expression state, the BPE-merge-table posture). */
+  private[graft] def q268(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = UnigramLm.trainViterbiEm(docs, "text", rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+      .select(col("piece"), col("w_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    UnigramLm.encodeStats(docs, "doc_id", "text",
+        vocab.map(_._1).toSeq, vocab.map(_._2).toSeq,
+        maxPieceLen = 4, maxWordLen = 12)
+      .orderBy("doc_id")
+  }
 
 }

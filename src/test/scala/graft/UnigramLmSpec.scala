@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.UnigramLm
+
+/** Unigram-LM trainer/encoder
+  * ([[graft.operators.UnigramLm]] / [[graft.functions.UnigramSegmentExpr]]):
+  * Viterbi DP against a brute-force all-segmentations reference,
+  * tie-break and coverage pins, EM cost monotonicity. */
+class UnigramLmSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  /** Brute force: minimum total cost over ALL segmentations into
+    * vocab pieces (ties resolved like the DP: at each cell the
+    * shortest last piece wins — realized here by preferring the
+    * lexicographically-first candidate list built k-ascending). */
+  private def bruteMinCost(word: String, costs: Map[String, Long],
+      maxLen: Int): Option[Long] =
+    if (word.isEmpty) Some(0L)
+    else (1 to math.min(maxLen, word.length)).flatMap { k =>
+      val piece = word.substring(word.length - k)
+      costs.get(piece).flatMap(c =>
+        bruteMinCost(word.dropRight(k), costs, maxLen).map(_ + c))
+    } match {
+      case s if s.isEmpty => None
+      case s => Some(s.min)
+    }
+
+  private val vocab = Map(
+    "a" -> 900000L, "b" -> 1200000L, "c" -> 1500000L,
+    "ab" -> 1400000L, "bc" -> 1300000L, "abc" -> 2100000L,
+    "ca" -> 1000000L)
+
+  test("DP cost equals the brute-force minimum over all segmentations") {
+    val words = Seq("a", "ab", "abc", "abcabc", "cabcab", "bbbb",
+      "acbacb", "ccccab").toDF("word")
+    val pieces = vocab.keys.toSeq.sorted
+    val costs = pieces.map(vocab)
+    val got = words
+      .withColumn("__s",
+        UnigramLm.segment(col("word"), pieces, costs, 3, 99000000L))
+      .select(col("word"), col("__s").getField("cost_micros"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- Seq("a", "ab", "abc", "abcabc", "cabcab", "bbbb",
+        "acbacb", "ccccab")) {
+      got(w) shouldBe bruteMinCost(w, vocab, 3).get
+    }
+  }
+
+  test("pieces concatenate back to the word; cost is the piece-cost sum") {
+    val words = Seq("abcabc", "cabcab", "abcbcab").toDF("word")
+    val pieces = vocab.keys.toSeq.sorted
+    val costs = pieces.map(vocab)
+    val rows = words
+      .withColumn("__s",
+        UnigramLm.segment(col("word"), pieces, costs, 3, 99000000L))
+      .select(col("word"), col("__s").getField("pieces"),
+        col("__s").getField("cost_micros"))
+      .collect()
+    rows.foreach { r =>
+      val ps = r.getSeq[String](1)
+      ps.mkString("") shouldBe r.getString(0)
+      ps.map(vocab).sum shouldBe r.getLong(2)
+    }
+  }
+
+  test("equal-cost tie breaks to the SHORTEST last piece at each cell") {
+    // "ab" via [a,b] costs 900000+1200000 = 2100000; piece "ab" would
+    // need < 2100000 to win; at exactly 2100000 the two-piece path
+    // (shorter last piece at both cells) must win deterministically
+    val tie = Map("a" -> 900000L, "b" -> 1200000L, "ab" -> 2100000L)
+    val pieces = tie.keys.toSeq.sorted
+    val costs = pieces.map(tie)
+    val r = Seq("ab").toDF("word")
+      .withColumn("__s", UnigramLm.segment(col("word"), pieces, costs, 2, 9L))
+      .select(col("__s").getField("pieces")).head()
+    r.getSeq[String](0) shouldBe Seq("a", "b")
+  }
+
+  test("trainViterbiEm: cap binds, single chars always survive, deterministic") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq("banana", "bandana", "cabana", "nab")
+        .take(i % 4 + 1).mkString(" "))).toDF("doc_id", "text")
+    val a = UnigramLm.trainViterbiEm(docs, "text", rounds = 2,
+      maxPieceLen = 3, vocabCap = 10, maxWordLen = 12).collect()
+    val b = UnigramLm.trainViterbiEm(docs.repartition(7), "text", rounds = 2,
+      maxPieceLen = 3, vocabCap = 10, maxWordLen = 12).collect()
+    a.map(_.toString).sorted shouldBe b.map(_.toString).sorted
+    val piecesSet = a.map(_.getString(0)).toSet
+    // coverage: every corpus character is in the vocab despite the cap
+    Set("a", "b", "c", "d", "n").subsetOf(piecesSet) shouldBe true
+    a.length should be >= 10
+  }
+
+  test("encodeStats: tokens and exact path cost roll up per doc") {
+    val docs = Seq((1L, "banana nab"), (2L, "cabana")).toDF("doc_id", "text")
+    val model = UnigramLm.trainViterbiEm(docs, "text", rounds = 1,
+      maxPieceLen = 3, vocabCap = 32, maxWordLen = 12)
+      .select("piece", "w_micros")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val stats = UnigramLm.encodeStats(docs, "doc_id", "text",
+        model.map(_._1).toSeq, model.map(_._2).toSeq, 3)
+      .orderBy("doc_id").collect()
+    stats.length shouldBe 2
+    stats(0).getLong(1) shouldBe 2L // n_words
+    stats(0).getLong(2) shouldBe 9L // chars: banana+nab
+    // token count is between 2 (one piece per word, impossible at
+    // maxPieceLen=3 for 6 chars) and 9 (all singles)
+    stats(0).getLong(3) should be >= 3L
+    stats(0).getLong(3) should be <= 9L
+  }
+}
