@@ -460,6 +460,51 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("n_docs")
   }
 
+  /** CORPUS DATASHEET v2 — the q262 card extended with the
+    * governance fragments the board certifies individually, still ONE
+    * row and one corpus pass per fragment family: the top
+    * source-overlap pair (the q253 matrix's argmax), exact corpus
+    * length quantiles (the q109 percentile discipline), PII category
+    * counts on the RAW text (q84's dialect-shared patterns, no
+    * plants — zeros are the honest value on a clean corpus), and the
+    * near-dup mass (q46's identical-MinHash-signature tier: docs
+    * removable and cluster count). Every fragment is a parameter-
+    * sized 1-row aggregate broadcast onto the card. */
+  private[graft] def q269(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(col("source"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+    val topOv = sh.toDF("source_a", "sh")
+      .join(sh.toDF("source_b", "sh"), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("top_ov_n_common"))
+      .orderBy(col("top_ov_n_common").desc, col("source_a"), col("source_b"))
+      .limit(1)
+      .select(col("source_a").as("top_ov_source_a"),
+        col("source_b").as("top_ov_source_b"), col("top_ov_n_common"))
+    val quant = docs.agg(
+      expr("percentile(n_chars, 0.5)").as("p50_chars"),
+      expr("percentile(n_chars, 0.9)").as("p90_chars"))
+    val piiAggs = Scrub.piiPatterns.map { case (cat, pat, _) =>
+      sum(size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long")).as(s"n_pii_$cat")
+    }
+    val pii = docs.agg(piiAggs.head, piiAggs.tail: _*)
+    val nd = Dedup.exactSignatureDuplicates(
+        Dedup.minhashSignatures(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 8), "doc_id", numHashes = 8)
+      .agg(coalesce(sum(col("n_docs") - 1), lit(0L)).as("n_neardup_excess"),
+        count(lit(1)).as("n_neardup_clusters"))
+    q262(s, dir)
+      .crossJoin(broadcast(topOv))
+      .crossJoin(broadcast(quant))
+      .crossJoin(broadcast(pii))
+      .crossJoin(broadcast(nd))
+      .orderBy("n_docs")
+  }
+
   /** Temperature-based mixture sampling
     * ([[graft.operators.Curation.temperatureQuotas]], α = 0.7): the
     * q114 budget apportionment with quotas ∝ n^0.7 instead of raw

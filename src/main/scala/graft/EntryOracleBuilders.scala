@@ -1560,6 +1560,62 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM dw JOIN e_fin f ON f.word = dw.word
        GROUP BY dw.doc_id ORDER BY dw.doc_id"""
 
+  /** The q262 datasheet card's shared CTE chain (topic tagging via
+    * replace arithmetic, the one-row corpus aggregate `agg`, the
+    * dominant-source row `ts`) and its select list — reused verbatim
+    * by the q269 v2 card, which appends its fragment CTEs. */
+  private[graft] def datasheetBaseCtes: String = {
+    val cats = topicCategories.sortBy(_._1)
+    val catCols = cats.map { case (name, pats) =>
+      val sum = pats.map(p =>
+        s"(length(t) - length(replace(t, '$p', ''))) // ${p.length}")
+        .mkString(" + ")
+      s"CAST($sum AS BIGINT) AS hits_$name"
+    }.mkString(", ")
+    val names = cats.map(_._1)
+    val m = "greatest(" + names.map(n => s"hits_$n").mkString(", ") + ")"
+    val pick = names.map(n => s"WHEN hits_$n = $m THEN '$n'").mkString(" ")
+    s"""d AS (
+         SELECT doc_id, text, lang, source, n_chars, lower(text) AS t
+         FROM documents
+       ), h AS (
+         SELECT doc_id, text, lang, source, n_chars, $catCols FROM d
+       ), tg AS (
+         SELECT *, CASE WHEN $m = 0 THEN 'none'
+                        ELSE CASE $pick END END AS topic
+         FROM h
+       ), agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(len(string_split_regex(text, '\\s+')))
+                     AS BIGINT) AS n_ws_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                CAST(count(DISTINCT md5(text)) AS BIGINT)
+                  AS n_distinct_texts,
+                CAST(sum(CASE WHEN topic = 'compute' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_topic_compute,
+                CAST(sum(CASE WHEN topic = 'speed' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_topic_speed,
+                CAST(sum(CASE WHEN topic = 'storage' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_topic_storage,
+                CAST(sum(CASE WHEN topic = 'none' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_topic_none
+         FROM tg
+       ), ts AS (
+         SELECT source AS top_source,
+                CAST(count(*) AS BIGINT) AS top_source_n
+         FROM documents GROUP BY source
+         ORDER BY count(*) DESC, source LIMIT 1
+       )"""
+  }
+
+  private[graft] def datasheetBaseSelect: String =
+    """agg.*,
+       n_docs - n_distinct_texts AS n_exact_dup_docs,
+       n_chars_sum * 1000000 // n_docs AS mean_chars_micros,
+       ts.top_source, ts.top_source_n"""
+
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}
        SELECT m.vec_id, m.cell, m.dist AS dist2_q, s.cell_n

@@ -1231,55 +1231,70 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                 CAST(sum(c.clen) AS BIGINT) AS total_chars
          FROM ch c JOIN spread s USING (hh)
          GROUP BY c.doc_id ORDER BY c.doc_id""",
-    "q262_corpus_datasheet" -> {
-      val cats = topicCategories.sortBy(_._1)
-      val catCols = cats.map { case (name, pats) =>
-        val sum = pats.map(p =>
-          s"(length(t) - length(replace(t, '$p', ''))) // ${p.length}")
-          .mkString(" + ")
-        s"CAST($sum AS BIGINT) AS hits_$name"
-      }.mkString(", ")
-      val names = cats.map(_._1)
-      val m = "greatest(" + names.map(n => s"hits_$n").mkString(", ") + ")"
-      val pick = names.map(n => s"WHEN hits_$n = $m THEN '$n'").mkString(" ")
-      s"""WITH d AS (
-           SELECT doc_id, text, lang, source, n_chars, lower(text) AS t
+    "q262_corpus_datasheet" ->
+      s"""WITH ${datasheetBaseCtes}
+         SELECT $datasheetBaseSelect
+         FROM agg CROSS JOIN ts ORDER BY n_docs""",
+    "q269_datasheet_v2" -> {
+      val piiCounts = graft.operators.Scrub.piiPatterns
+        .map { case (cat, pat, _) =>
+          s"CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_pii_$cat"
+        }.mkString(",\n                ")
+      s"""WITH ${datasheetBaseCtes},
+         shw AS (
+           SELECT source, string_split_regex(text, '\\s+') AS words
            FROM documents
-         ), h AS (
-           SELECT doc_id, text, lang, source, n_chars, $catCols FROM d
-         ), tg AS (
-           SELECT *, CASE WHEN $m = 0 THEN 'none'
-                          ELSE CASE $pick END END AS topic
-           FROM h
-         ), agg AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-                  CAST(sum(len(string_split_regex(text, '\\s+')))
-                       AS BIGINT) AS n_ws_tokens,
-                  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
-                  CAST(count(DISTINCT md5(text)) AS BIGINT)
-                    AS n_distinct_texts,
-                  CAST(sum(CASE WHEN topic = 'compute' THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_topic_compute,
-                  CAST(sum(CASE WHEN topic = 'speed' THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_topic_speed,
-                  CAST(sum(CASE WHEN topic = 'storage' THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_topic_storage,
-                  CAST(sum(CASE WHEN topic = 'none' THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_topic_none
-           FROM tg
-         ), ts AS (
-           SELECT source AS top_source,
-                  CAST(count(*) AS BIGINT) AS top_source_n
-           FROM documents GROUP BY source
-           ORDER BY count(*) DESC, source LIMIT 1
+         ), shc AS (
+           SELECT DISTINCT source, shingle FROM (
+             SELECT source, unnest(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[i:i+2], ' ')
+                          for i in range(1, len(words) - 1)]
+               END) AS shingle
+             FROM shw)
+         ), topov AS (
+           SELECT a.source AS top_ov_source_a, b.source AS top_ov_source_b,
+                  CAST(count(*) AS BIGINT) AS top_ov_n_common
+           FROM shc a JOIN shc b
+             ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY 1, 2
+           ORDER BY top_ov_n_common DESC, 1, 2 LIMIT 1
+         ), qnt AS (
+           SELECT quantile_cont(n_chars, 0.5) AS p50_chars,
+                  quantile_cont(n_chars, 0.9) AS p90_chars
+           FROM documents
+         ), pii AS (
+           SELECT $piiCounts FROM documents
+         ), ndw AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS words
+           FROM documents
+         ), ndsh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM ndw
+         ), ndsig AS (
+           SELECT doc_id, $minhashSigsSql FROM ndsh GROUP BY doc_id
+         ), nd0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs
+           FROM ndsig
+           GROUP BY sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7
+           HAVING count(*) > 1
+         ), nd AS (
+           SELECT CAST(coalesce(sum(n_docs - 1), 0) AS BIGINT)
+                    AS n_neardup_excess,
+                  CAST(count(*) AS BIGINT) AS n_neardup_clusters
+           FROM nd0
          )
-         SELECT agg.*,
-                n_docs - n_distinct_texts AS n_exact_dup_docs,
-                n_chars_sum * 1000000 // n_docs AS mean_chars_micros,
-                ts.top_source, ts.top_source_n
-         FROM agg CROSS JOIN ts ORDER BY n_docs"""
+         SELECT $datasheetBaseSelect,
+                topov.top_ov_source_a, topov.top_ov_source_b,
+                topov.top_ov_n_common, qnt.p50_chars, qnt.p90_chars,
+                pii.*, nd.n_neardup_excess, nd.n_neardup_clusters
+         FROM agg CROSS JOIN ts CROSS JOIN topov CROSS JOIN qnt
+              CROSS JOIN pii CROSS JOIN nd
+         ORDER BY n_docs"""
     },
     "q261_temperature_mixture" ->
       """WITH counts AS (
