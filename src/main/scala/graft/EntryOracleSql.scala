@@ -2248,12 +2248,12 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
         val inner =
           if (variant == "raw")
             ivfPqOracle(kCells = 8, coarseIters = 2, nProbe = nProbe,
-              m = 8, subDim = 8, kCodes = kCodes, pqIters = 2, topK = 5,
+              m = 8, subDim = 8, kCodes = kCodes, pqIters = 1, topK = 5,
               coarseSalt = "ivfpqc", pqSalt = "ivfpq", qMod = 100)
           else
             ivfPqResidualOracle(kCells = 8, coarseIters = 2,
               nProbe = nProbe, m = 8, subDim = 8, kCodes = kCodes,
-              pqIters = 2, topK = 5, coarseSalt = "ivfpqc",
+              pqIters = 1, topK = 5, coarseSalt = "ivfpqc",
               pqSalt = "ivfpqr", qMod = 100)
         s"""SELECT '$variant' AS variant, 8 AS m, $kCodes AS k_codes,
               $nProbe AS n_probe,

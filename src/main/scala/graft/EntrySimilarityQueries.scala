@@ -960,9 +960,10 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
     * (kCodes, nProbe) operating points, each run's measured recall@5
     * (exact_rank hits from the in-result ground truth) as ONE row —
     * the table a 100 TB rollout reads to pick compression with data
-    * instead of folklore. Query set thinned to vec_id % 100 (the
-    * audit reprices 4 full train+scan boards; presets are the
-    * product, not the per-query rows). The oracle re-runs all four
+    * instead of folklore. Audit footprint is deliberately thinned
+    * (query set vec_id % 100, codebooks at pqIterations = 1): the
+    * audit reprices FOUR full train+scan boards and the presets are
+    * the product, not the per-query rows. The oracle re-runs all four
     * boards — every codebook retrained per preset — and re-counts. */
   private[graft] def q266(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -972,11 +973,11 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
         if (variant == "raw")
           Ann.ivfPqTopK(qset, e, "vec_id", "embedding", kCells = 8,
             coarseIterations = 2, nProbe = nProbe, m = 8, subDim = 8,
-            kCodes = kCodes, pqIterations = 2, topK = 5)
+            kCodes = kCodes, pqIterations = 1, topK = 5)
         else
           Ann.ivfPqResidualTopK(qset, e, "vec_id", "embedding", kCells = 8,
             coarseIterations = 2, nProbe = nProbe, m = 8, subDim = 8,
-            kCodes = kCodes, pqIterations = 2, topK = 5)
+            kCodes = kCodes, pqIterations = 1, topK = 5)
       run.agg(count(lit(1)).as("n_rows"),
           sum(when(col("exact_rank") > 0, 1L).otherwise(0L)).as("n_hits"))
         .select(lit(variant).as("variant"), lit(8).as("m"),

@@ -742,6 +742,9 @@ object Ann {
       m: Int, subDim: Int, kCodes: Int, pqIterations: Int, topK: Int,
       coarseSalt: String = "ivfpqc", pqSalt: String = "ivfpq"): DataFrame = {
     require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
+    // NOT pinned (contrast ivfPqResidualTopK): here the coarse tier's
+    // lineage is a cheap parquet re-scan, and an eager checkpoint job
+    // costs more than the one recompute it saves (measured 1.7x)
     val coarse = Cluster.kmeansMicroModel(
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
       kCells, coarseIterations, coarseSalt)
@@ -795,9 +798,15 @@ object Ann {
       topK: Int, coarseSalt: String = "ivfpqc",
       pqSalt: String = "ivfpqr"): DataFrame = {
     require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
-    val coarse = Cluster.kmeansMicroModel(
+    val coarse0 = Cluster.kmeansMicroModel(
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
       kCells, coarseIterations, coarseSalt)
+    // pin the coarse tier eagerly (the "write the index" step): its
+    // assignment feeds BOTH the residual join and the candidate join,
+    // and its lineage is the whole coarse training DAG
+    val assign = coarse0.assign.localCheckpoint(true)
+    val cents = coarse0.centroids.localCheckpoint(true)
+    val coarse = Cluster.KmeansMicroModel(assign, cents)
     // residual frame: exact micro differences, one exact /1e6 back to
     // doubles so the PQ trainer's micro-quantize round-trips losslessly
     val resid = corpus.select(col(idCol),
@@ -809,8 +818,19 @@ object Ann {
       .select(col(idCol),
         zip_with(col("__vq"), col("cvec"),
           (a, b) => (a - b).cast("double") / lit(1e6)).as("__rvec"))
-    val (codes, books) = pqTrainEncode(resid, idCol, "__rvec",
+      // SCOPED persist (the SuffixDedup discipline): the m per-subspace
+      // kmeans trainings would otherwise re-execute the residual JOIN
+      // on every action (measured ~4x the q257 wall at sf0.1); codes
+      // and codebooks are pinned eagerly below — the "write the codes
+      // once" step every real PQ deployment has — then the cache is
+      // released before scoring, so no CacheManager entry outlives
+      // the call
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (codes0, books0) = pqTrainEncode(resid, idCol, "__rvec",
       m, subDim, kCodes, pqIterations, pqSalt)
+    val codes = codes0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    resid.unpersist()
     val qmq = queries.select(col(idCol).as("q_id"),
       Cluster.microQuantize(
         dimChecked(col(vecCol), m, subDim, "ivfPqResidualTopK"))

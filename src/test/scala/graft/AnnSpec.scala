@@ -458,4 +458,72 @@ class AnnSpec extends SparkSpec with Matchers {
     ivf shouldBe full
   }
 
+  // three tight, well-separated clusters: the regime residual
+  // encoding exists for — the coarse quantizer absorbs the cluster
+  // structure, PQ only has to code the small offsets
+  private def clusteredVecs = {
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    (0 until 24).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, Array(c(0) + (i / 3) * 0.01, c(1) + (i / 5) * 0.01,
+        c(2) - (i / 4) * 0.01, c(3) + (i % 7) * 0.01))
+    }.toDF("vec_id", "v")
+  }
+
+  test("residual IVF-PQ: recall >= raw IVF-PQ on clustered data; " +
+      "partition-invariant") {
+    val vecs = clusteredVecs
+    val qs = vecs.filter($"vec_id" % 6 === 0)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect()
+      rows.count(_.getLong(4) > 0).toDouble / rows.length
+    }
+    val raw = Ann.ivfPqTopK(qs, vecs, "vec_id", "v",
+      kCells = 3, coarseIterations = 2, nProbe = 1,
+      m = 2, subDim = 2, kCodes = 3, pqIterations = 2, topK = 3)
+    val res = Ann.ivfPqResidualTopK(qs, vecs, "vec_id", "v",
+      kCells = 3, coarseIterations = 2, nProbe = 1,
+      m = 2, subDim = 2, kCodes = 3, pqIterations = 2, topK = 3)
+    recall(res) should be >= recall(raw)
+    val a = res.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b = Ann.ivfPqResidualTopK(qs.repartition(5), vecs.repartition(7),
+        "vec_id", "v", kCells = 3, coarseIterations = 2, nProbe = 1,
+        m = 2, subDim = 2, kCodes = 3, pqIterations = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    b shouldBe a
+  }
+
+  test("residual IVF-PQ: singleton residual codes + full probe " +
+      "reproduce the exact ranking") {
+    // kCodes >= points per (cell, subspace): every residual subvector
+    // is its own centroid, so ADC distance is the exact distance and
+    // the ranks equal the brute-force ranks
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Array(i * 0.11, 1.0 - i * 0.06, 0.2 + i * 0.04,
+        0.7 - i * 0.02))
+    }.toDF("vec_id", "v")
+    val qs = vecs.filter($"vec_id" % 4 === 0)
+    val out = Ann.ivfPqResidualTopK(qs, vecs, "vec_id", "v",
+        kCells = 2, coarseIterations = 2, nProbe = 2,
+        m = 2, subDim = 2, kCodes = 10, pqIterations = 2, topK = 4)
+      .collect()
+    out.foreach { r => r.getLong(1) shouldBe r.getLong(4) }
+  }
+
+  test("residual IVF-PQ: dim mismatch fails loudly") {
+    val vecs = (0 until 6).map(i => (i.toLong, Array(i * 0.1, 1.0 - i * 0.1)))
+      .toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      Ann.ivfPqResidualTopK(vecs, vecs, "vec_id", "v",
+        kCells = 2, coarseIterations = 1, nProbe = 1,
+        m = 2, subDim = 2, kCodes = 2, pqIterations = 1, topK = 2)
+        .collect()
+    }
+    ex.getMessage should include("m*subDim")
+  }
+
 }
