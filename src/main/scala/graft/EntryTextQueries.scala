@@ -1276,6 +1276,16 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_holdout"))
       .orderBy("lang", "trained_lang")
 
+  /** GOPHER repetition-quality gate
+    * ([[graft.operators.TextAnalysis.repetitionSignals]]): per-doc
+    * top-2/3/4-gram character mass and duplicated-5/6-gram character
+    * mass in exact integer micros, plus the composite keep flag at
+    * the published thresholds — the standard "natural text doesn't
+    * repeat itself" corpus filter beside the q17 ratio gate. */
+  private[graft] def q270(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** UNIGRAM-LM tokenizer training
     * ([[graft.operators.UnigramLm.trainViterbiEm]]): the
     * SentencePiece-family trainer beside BPE (q123/q152) — capped

@@ -937,6 +937,84 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // ===== Gopher-style repetition quality signals =====
+
+  /** Gopher repetition filters (Rae et al. 2021, arXiv:2112.11446
+    * Table A1) — the standard "natural text doesn't repeat itself"
+    * corpus gate beside the q17 ratio metrics: per doc, the character
+    * mass of the MOST FREQUENT word n-gram for n ∈ `topNs`
+    * (boilerplate headers repeat one phrase), and the character mass
+    * of all DUPLICATED word n-grams for n ∈ `dupNs` (spun/looped
+    * text repeats many), each as exact integer micros of the doc's
+    * character count, plus the composite keep flag at Gopher's
+    * published thresholds (top 2/3/4-gram < 0.20/0.18/0.16; dup
+    * 5/6-gram < 0.15/0.14). Mass counts `count·len(gram)` over
+    * gram OCCURRENCES — the standard proxy; exact position-coverage
+    * semantics live in the suffix tier (q230). Ties for "most
+    * frequent" break to the lexicographically smallest gram.
+    *
+    * Shape: one explode per n (a union of |topNs|+|dupNs| gram
+    * streams), ONE (doc, n, gram)-keyed map-side-combined count, a
+    * per-(doc, n) bounded rollup, and a pivot back to columns — the
+    * same bounded-shuffle posture as the n-gram LM counters. All
+    * arithmetic integer; hash-identical cross-engine. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6),
+      thresholdsMicros: Map[Int, Long] = Map(2 -> 200000L, 3 -> 180000L,
+        4 -> 160000L, 5 -> 150000L, 6 -> 140000L)): DataFrame = {
+    require(topNs.nonEmpty && dupNs.nonEmpty, "need at least one n per family")
+    require((topNs ++ dupNs).forall(thresholdsMicros.contains),
+      "need a threshold per n")
+    val base = docs.select(col(idCol), length(col(textCol)).as("__nc"),
+      split(lower(col(textCol)), "\\s+").as("__w"))
+    def gramCounts(n: Int): DataFrame = base
+      .select(col(idCol), col("__nc"),
+        explode(when(size(col("__w")) >= n,
+            transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+              i => concat_ws(" ", slice(col("__w"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+      .groupBy(col(idCol), col("__nc"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val tops = topNs.map { n =>
+      gramCounts(n)
+        .groupBy(col(idCol), col("__nc"))
+        // argmax by count with ties to the lexicographically smallest
+        // gram: min over (-count, gram)
+        .agg(min(struct((-col("__c")).as("negc"), col("__g").as("g")))
+          .as("__b"))
+        .select(col(idCol),
+          ((-col("__b").getField("negc")) *
+            length(col("__b").getField("g")).cast("long") *
+            lit(1000000L)).as("__mass"), col("__nc"))
+        .select(col(idCol),
+          expr("__mass div __nc").as(s"top${n}_mass_micros"))
+    }
+    val dups = dupNs.map { n =>
+      gramCounts(n)
+        .groupBy(col(idCol), col("__nc"))
+        .agg(sum(when(col("__c") >= 2,
+            col("__c") * length(col("__g")).cast("long")).otherwise(0L))
+          .as("__dm"))
+        .select(col(idCol),
+          expr(s"(__dm * 1000000) div __nc").as(s"dup${n}_mass_micros"))
+    }
+    val joined = (tops ++ dups).foldLeft(
+        docs.select(col(idCol), length(col(textCol)).as("n_chars"))) {
+      (acc, d) => acc.join(d, Seq(idCol), "left")
+    }
+    val massCols = topNs.map(n => s"top${n}_mass_micros") ++
+      dupNs.map(n => s"dup${n}_mass_micros")
+    val filled = massCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+    val keep = (topNs ++ dupNs).map { n =>
+      val c = if (topNs.contains(n)) s"top${n}_mass_micros"
+              else s"dup${n}_mass_micros"
+      col(c) < thresholdsMicros(n)
+    }.reduce(_ && _)
+    filled.withColumn("gopher_keep", keep)
+  }
+
   // ===== TRAINED language identification (langid.py model class) =====
 
   /** Fitted langid model: dense per-(lang, bucket) smoothed

@@ -563,4 +563,47 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     cms(2L) shouldBe m(0.4 * 0.4 * (1.0 / (6.0 + 65536.0)))
   }
 
+  test("repetitionSignals: looped boilerplate fails the gate, varied text passes; " +
+      "exact masses; short docs are all-zero and keep") {
+    val loop = ("click here " * 30).trim            // one bigram dominates
+    val varied = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, loop), (2L, varied), (3L, "only two"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    byId(1L).getAs[Boolean]("gopher_keep") shouldBe false
+    byId(2L).getAs[Boolean]("gopher_keep") shouldBe true
+    // doc 1: "click here" repeated 30x, "here click" 29x; the top
+    // bigram is "click here" (10 chars) with count 30 over
+    // 11*30 - 1 = 329 chars
+    byId(1L).getAs[Long]("top2_mass_micros") shouldBe
+      30L * 10L * 1000000L / 329L
+    // dup 5-grams: every 5-gram occurrence in the loop is a duplicate
+    byId(1L).getAs[Long]("dup5_mass_micros") should be > 500000L
+    // doc 3 has no 5-grams at all -> zero dup/top3+ masses; but its
+    // ONLY bigram covers the whole text (mass = 1e6), so the blind
+    // threshold gate rejects it — production pipelines front these
+    // rules with a min-word-count filter (Gopher does), which is the
+    // q17 gate's job, not this operator's
+    byId(3L).getAs[Long]("dup5_mass_micros") shouldBe 0L
+    byId(3L).getAs[Long]("top3_mass_micros") shouldBe 0L
+    byId(3L).getAs[Long]("top2_mass_micros") shouldBe 1000000L
+    byId(3L).getAs[Boolean]("gopher_keep") shouldBe false
+    // partition invariance
+    val b = TextAnalysis.repetitionSignals(docs.repartition(5), "doc_id",
+      "text").orderBy("doc_id").collect()
+    b.map(_.toString) shouldBe out.map(_.toString)
+  }
+
+  test("repetitionSignals: top-gram tie breaks to the lexicographically smallest gram") {
+    // "b a" and "a b" both occur twice; tie -> "a b" (7 chars total in
+    // text "a b a b a"): bigrams: "a b"x2, "b a"x2
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .head()
+    // top2 = count 2 * len("a b")=3 * 1e6 div 9 chars
+    r.getAs[Long]("top2_mass_micros") shouldBe 2L * 3L * 1000000L / 9L
+  }
+
 }
