@@ -4527,6 +4527,18 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            FROM best b JOIN hl ON hl.doc_id = b.doc_id
            WHERE b.rn = 1
            GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q271_langid_expr" ->
+        s"""WITH ${langIdTrainedCtes},
+           ng AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+                  FROM db GROUP BY doc_id)
+           SELECT b.doc_id, b.trained_lang, b.score_micros, ng.n_grams
+           FROM best b JOIN ng ON ng.doc_id = b.doc_id
+           WHERE b.rn = 1 ORDER BY b.doc_id""",
+      "q272_stream_langid_gate" ->
+        s"""WITH ${langIdTrainedCtes}
+           SELECT b.doc_id, (b.doc_id // 20) % 2 AS wave, b.trained_lang,
+                  (b.trained_lang = 'en') AS lang_keep
+           FROM best b WHERE b.rn = 1 ORDER BY b.doc_id""",
       "q270_repetition_gate" -> {
         def gramCtes(n: Int): String =
           s"""g$n AS (

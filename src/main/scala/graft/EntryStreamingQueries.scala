@@ -514,4 +514,18 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
   private[graft] def q258(s: SparkSession, dir: String): DataFrame =
     StreamOps.runStreamingDsirGateAvailableNow(s, dir, thresholdMicros = 0L)
       .orderBy("doc_id")
+
+  /** Streaming LANGUAGE-ID gate
+    * ([[StreamOps.runStreamingLangIdGateAvailableNow]]): the
+    * q263-trained NB langid model applied per crawl-wave micro-batch
+    * as one stateless fused projection (weights inside the
+    * expression — fastText-style), each doc kept iff its predicted
+    * language ∈ {en} — the FIRST gate of every multilingual corpus
+    * pipeline, now trained, frozen, and running at ingest beside the
+    * q157 quality / q247 policy / q258 DSIR gates. The oracle
+    * retrains the model and restates the scoring chain with the wave
+    * as a pure function of doc_id. */
+  private[graft] def q272(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingLangIdGateAvailableNow(s, dir, Seq("en"))
+      .orderBy("doc_id")
 }

@@ -1276,6 +1276,32 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_holdout"))
       .orderBy("lang", "trained_lang")
 
+  /** FUSED-EXPRESSION trained language ID
+    * ([[graft.operators.TextAnalysis.langIdScore]] /
+    * [[graft.functions.LangIdScoreExpr]]): the q263 model applied as
+    * ONE stateless in-row expression with the fitted weights as
+    * expression state — the fastText deployment posture (no join, no
+    * aggregation; the 100 TB apply is a pure scan projection, and the
+    * same column gates streaming micro-batches in q272). Shares the
+    * q263 oracle chain, so expression ≡ relational apply is itself
+    * hash-certified. */
+  private[graft] def q271(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val model = TextAnalysis.langIdTrain(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+    val (langs, w, p) = TextAnalysis.langIdModelArrays(model)
+    docs.select(col("doc_id"),
+        TextAnalysis.langIdScore(col("text"), langs, w, p, model.buckets,
+          model.n, model.maxChars, model.salt).as("__r"))
+      .select(col("doc_id"),
+        col("__r").getField("trained_lang").as("trained_lang"),
+        col("__r").getField("score_micros").as("score_micros"),
+        col("__r").getField("n_grams").as("n_grams"))
+      .filter(col("n_grams") > 0)
+      .orderBy("doc_id")
+  }
+
   /** GOPHER repetition-quality gate
     * ([[graft.operators.TextAnalysis.repetitionSignals]]): per-doc
     * top-2/3/4-gram character mass and duplicated-5/6-gram character

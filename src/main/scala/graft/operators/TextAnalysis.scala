@@ -1101,6 +1101,37 @@ object TextAnalysis {
     LangIdModel(langs, buckets, n, maxChars, salt, weights, priors)
   }
 
+  /** A fitted [[LangIdModel]] flattened to driver arrays for the
+    * fused scorer ([[graft.functions.LangIdScoreExpr]]): (sorted
+    * langs, dense L×B weight rows, priors). Parameter-sized collect
+    * (≤ |L|·buckets longs — the fastText ship-the-model posture). */
+  def langIdModelArrays(model: LangIdModel)
+      : (Seq[String], Seq[Seq[Long]], Seq[Long]) = {
+    val w = model.weights.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wm = w.groupBy(_._1).map { case (l, rows) =>
+      val arr = new Array[Long](model.buckets)
+      rows.foreach { case (_, b, v) => arr(b.toInt) = v }
+      l -> arr.toSeq
+    }
+    val p = model.priors.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (model.langs, model.langs.map(wm), model.langs.map(p))
+  }
+
+  /** The fused in-row scorer column —
+    * struct(trained_lang, score_micros, n_grams); bit-identical to
+    * [[langIdApply]] on every doc with ≥ 1 gram (shared oracle), but
+    * STATELESS, so it runs inside streaming micro-batch projections
+    * and plain scans with no join at all. */
+  def langIdScore(text: Column, langs: Seq[String],
+      weights: Seq[Seq[Long]], priors: Seq[Long], buckets: Int, n: Int,
+      maxChars: Int, salt: String): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.functions.LangIdScoreExpr(toExpression(text), langs,
+      weights, priors, buckets, n, maxChars, salt))
+  }
+
   /** Score every document with a fitted [[LangIdModel]] — the 100 TB
     * apply path: per-doc (bucket, count) rows (≤ min(grams, B) per
     * doc, map-side combined), ONE broadcast hash join against the

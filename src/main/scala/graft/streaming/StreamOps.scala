@@ -903,6 +903,55 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** STREAMING language-ID gate: the q263-trained multinomial-NB
+    * langid model applied per crawl-wave micro-batch as ONE stateless
+    * projection ([[graft.operators.TextAnalysis.langIdScore]] — the
+    * fitted weights ride inside the expression, fastText-style), each
+    * doc tagged with its predicted language and the keep flag
+    * (predicted ∈ `allowed`) — the FIRST gate every multilingual
+    * corpus pipeline runs at ingest (CCNet/RefinedWeb lineage). Train
+    * offline / gate online, the q157/q247/q258 shape: no state store,
+    * no join, nothing added to the ingest shuffle footprint. The
+    * oracle restates the batch scoring chain with the wave as a pure
+    * function of doc_id. */
+  def runStreamingLangIdGateAvailableNow(spark: SparkSession, dir: String,
+      allowed: Seq[String]): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val model = graft.operators.TextAnalysis.langIdTrain(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+    val (langs, w, p) = graft.operators.TextAnalysis.langIdModelArrays(model)
+    val staging = stagedDir("langidgate", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val gated = stream
+      .withColumn("__r", graft.operators.TextAnalysis.langIdScore(
+        col("text"), langs, w, p, model.buckets, model.n, model.maxChars,
+        model.salt))
+      .select(col("doc_id"), col("wave"),
+        col("__r").getField("trained_lang").as("trained_lang"),
+        col("__r").getField("trained_lang").isin(allowed: _*)
+          .as("lang_keep"))
+    val name = s"graft_stream_langid_${runCounter.incrementAndGet()}"
+    val query = gated.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** STREAMING topic-mixture monitor: the q252 keyword tagger
     * ([[graft.operators.Blocklist.categorize]] — one Aho-Corasick
     * pass, stateless) applied per crawl-wave micro-batch, rolled up

@@ -86,6 +86,36 @@ class LangIdTrainedSpec extends SparkSpec with Matchers {
     pred.getString(1) shouldBe "aa"
   }
 
+  test("fused LangIdScoreExpr equals the relational apply on every doc with grams") {
+    val model = TextAnalysis.langIdTrain(corpus, "text", "lang",
+      buckets = 256, n = 3, maxChars = 512, salt = "lidspec")
+    val (langs, w, p) = TextAnalysis.langIdModelArrays(model)
+    val rel = TextAnalysis.langIdApply(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val fused = corpus.select($"doc_id",
+        TextAnalysis.langIdScore($"text", langs, w, p, 256, 3, 512,
+          "lidspec").as("__r"))
+      .select($"doc_id", $"__r.trained_lang", $"__r.score_micros",
+        $"__r.n_grams")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    fused.keySet shouldBe rel.keySet
+    rel.foreach { case (id, (lang, score)) =>
+      fused(id)._1 shouldBe lang
+      fused(id)._2 shouldBe score
+      fused(id)._3 should be > 0L
+    }
+    // a sub-n doc scores priors only (n_grams = 0) instead of vanishing
+    val tiny = Seq((99L, "xy")).toDF("doc_id", "text")
+      .select(TextAnalysis.langIdScore($"text", langs, w, p, 256, 3, 512,
+        "lidspec").as("__r"))
+      .select($"__r.trained_lang", $"__r.n_grams").head()
+    tiny.getLong(1) shouldBe 0L
+    langs should contain(tiny.getString(0))
+  }
+
   test("prefix cap bounds the gram stream") {
     val longDoc = Seq((1L, ("tanaka " * 100) + ("grumpf " * 100), "aa"))
       .toDF("doc_id", "text", "lang")
