@@ -2243,6 +2243,36 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
     "q265_ivf_pq_residual" -> ivfPqResidualOracle(kCells = 8,
       coarseIters = 2, nProbe = 3, m = 8, subDim = 8, kCodes = 8,
       pqIters = 2, topK = 5, coarseSalt = "ivfpqc", pqSalt = "ivfpqr"),
+    "q273_ivf_pq_rerank" -> {
+      val inner = ivfPqResidualOracle(kCells = 8, coarseIters = 2,
+        nProbe = 3, m = 8, subDim = 8, kCodes = 8, pqIters = 2,
+        topK = 20, coarseSalt = "ivfpqc", pqSalt = "ivfpqr")
+      s"""WITH b AS (SELECT * FROM ($inner) t),
+         rcv AS (
+           SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+           FROM embeddings
+         ), rqv AS (
+           SELECT vec_id AS q_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000000) AS BIGINT)) AS qq
+           FROM embeddings WHERE vec_id % 50 = 0
+         ), rd AS (
+           SELECT b.q_id, b.vec_id, b."rank" AS adc_rank, b.exact_rank,
+                  CAST(list_sum([(q.qq[j] - c.vq[j]) * (q.qq[j] - c.vq[j])
+                                 for j in range(1, len(q.qq) + 1)])
+                       AS BIGINT) AS dist2_q
+           FROM b JOIN rcv c ON c.vec_id = b.vec_id
+                  JOIN rqv q ON q.q_id = b.q_id
+         ), rr AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist2_q, vec_id) AS rnk FROM rd
+         )
+         SELECT q_id, CAST(rnk AS BIGINT) AS "rank", vec_id, dist2_q,
+                adc_rank, exact_rank
+         FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk"""
+    },
     "q266_pq_recall_audit" -> {
       def one(variant: String, kCodes: Int, nProbe: Int): String = {
         val inner =

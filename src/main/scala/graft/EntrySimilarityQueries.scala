@@ -954,6 +954,22 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id", "rank")
   }
 
+  /** RESIDUAL IVF-PQ + EXACT RE-RANK ([[Ann.ivfPqResidualRerankTopK]]):
+    * the full production cascade — ADC proposes its top-20 per query,
+    * the exact integer-micro distance over the FULL vectors re-ranks,
+    * the top-5 ship. `adc_rank` and the global `exact_rank` ride in
+    * the result, so the compression loss and the re-rank's repair are
+    * both priced per query. Same tiers and salts as q265 — the two
+    * boards differ exactly by the refine stage. */
+  private[graft] def q273(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Ann.ivfPqResidualRerankTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", kCells = 8, coarseIterations = 2, nProbe = 3,
+        m = 8, subDim = 8, kCodes = 8, pqIterations = 2,
+        candK = 20, topK = 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** PQ PRESET RECALL AUDIT — the q133/q139/q141 measured-preset
     * discipline applied to the PQ tier: raw ([[Ann.ivfPqTopK]]) vs
     * residual ([[Ann.ivfPqResidualTopK]]) encoding at two

@@ -879,6 +879,43 @@ object Ann {
         Cluster.dist2(col("__qv"), col("cvec")).as("__d2"))
   }
 
+  /** RESIDUAL IVF-PQ with the EXACT RE-RANK TAIL — the full
+    * production cascade (FAISS's `refine` stage): ADC ranks the
+    * probed cells' codes, the top `candK` candidates per query are
+    * re-scored against their FULL vectors (the only point floats are
+    * read — candK rows per query, not the corpus), and the exact
+    * distances pick the final `topK`. Carries `adc_rank` (where ADC
+    * put the candidate) and the global brute-force `exact_rank`
+    * (0 = outside the exact top-candK) so both the compression loss
+    * and the re-rank's repair are measurable inside the hashed
+    * result. Scale shape: everything of [[ivfPqResidualTopK]] plus
+    * one id-keyed join reading candK·|Q| float vectors and one
+    * per-query bounded window. */
+  def ivfPqResidualRerankTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, kCells: Int, coarseIterations: Int,
+      nProbe: Int, m: Int, subDim: Int, kCodes: Int, pqIterations: Int,
+      candK: Int, topK: Int, coarseSalt: String = "ivfpqc",
+      pqSalt: String = "ivfpqr"): DataFrame = {
+    require(candK >= topK && topK >= 1, "need candK >= topK >= 1")
+    val cand = ivfPqResidualTopK(queries, corpus, idCol, vecCol, kCells,
+        coarseIterations, nProbe, m, subDim, kCodes, pqIterations,
+        topK = candK, coarseSalt, pqSalt)
+      .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"),
+        col("exact_rank"))
+    val cv = corpus.select(col(idCol).as("vec_id"),
+      Cluster.microQuantize(col(vecCol)).as("__cv"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      Cluster.microQuantize(col(vecCol)).as("__qv"))
+    cand.join(cv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("dist2_q", Cluster.dist2(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("dist2_q"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dist2_q"),
+        col("adc_rank"), col("exact_rank"))
+  }
+
   /** Plan-level PQ dim guard: the vector cast to array<double> iff
     * its length is exactly m·subDim, raise_error otherwise — a
     * mismatched config fails loudly instead of silently training on

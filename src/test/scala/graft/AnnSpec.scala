@@ -514,6 +514,31 @@ class AnnSpec extends SparkSpec with Matchers {
     out.foreach { r => r.getLong(1) shouldBe r.getLong(4) }
   }
 
+  test("residual IVF-PQ + exact re-rank: candK = corpus and full probe " +
+      "reproduce the exact ranking; re-rank never lowers recall") {
+    val vecs = clusteredVecs
+    val qs = vecs.filter($"vec_id" % 6 === 0)
+    // candK = |corpus| with all cells probed: ADC proposes everyone,
+    // the exact tail IS the brute-force ranking
+    val out = Ann.ivfPqResidualRerankTopK(qs, vecs, "vec_id", "v",
+        kCells = 3, coarseIterations = 2, nProbe = 3,
+        m = 2, subDim = 2, kCodes = 3, pqIterations = 2,
+        candK = 24, topK = 3)
+      .collect()
+    out.foreach { r => r.getLong(1) shouldBe r.getLong(5) } // rank == exact_rank
+    // at a narrow candidate budget, re-ranked recall >= raw ADC recall
+    def recall(rows: Array[org.apache.spark.sql.Row], exactIdx: Int) =
+      rows.count(r => r.getLong(exactIdx) > 0).toDouble / rows.length
+    val adc = Ann.ivfPqResidualTopK(qs, vecs, "vec_id", "v",
+      kCells = 3, coarseIterations = 2, nProbe = 1,
+      m = 2, subDim = 2, kCodes = 3, pqIterations = 2, topK = 3).collect()
+    val rer = Ann.ivfPqResidualRerankTopK(qs, vecs, "vec_id", "v",
+      kCells = 3, coarseIterations = 2, nProbe = 1,
+      m = 2, subDim = 2, kCodes = 3, pqIterations = 2,
+      candK = 6, topK = 3).collect()
+    recall(rer, 5) should be >= recall(adc, 4)
+  }
+
   test("residual IVF-PQ: dim mismatch fails loudly") {
     val vecs = (0 until 6).map(i => (i.toLong, Array(i * 0.1, 1.0 - i * 0.1)))
       .toDF("vec_id", "v")

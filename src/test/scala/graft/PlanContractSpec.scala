@@ -73,6 +73,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
     "q265_ivf_pq_residual",   // same tiers as q257, residual codebooks
     "q266_pq_recall_audit",   // four q257/q265-shaped boards, rolled up
+    "q273_ivf_pq_rerank",     // q265's tiers + the exact refine tail
     "q269_datasheet_v2",      // 1-row fragment broadcasts onto the card, like q262
     "q259_hll_overlap",       // tiny group-list pair cross, broadcast
     "q261_temperature_mixture", // 1-row weight-total/leftover broadcasts, like q114
