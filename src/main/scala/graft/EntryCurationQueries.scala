@@ -950,4 +950,47 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** CURATION CAPSTONE v5 — the round-14 front gates composed onto
+    * the v4 selection spine, end to end under ONE oracle: TRAINED
+    * language-ID gate (the q263 model as the fused q271 expression,
+    * keep = 'en') → Gopher repetition gate (q270's keep flag) →
+    * Aho-Corasick policy screen (q244) → DSIR importance resampling
+    * with deterministic Gumbel top-150 (q248) → leakage-free
+    * content-digest split (q245's groupedSplit). Every stage is a
+    * shape this board certifies individually; the capstone certifies
+    * their COMPOSITION — the canonical multilingual corpus pipeline
+    * front half, every gate trained/frozen/replayed cross-engine. */
+  private[graft] def q274(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val model = TextAnalysis.langIdTrain(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+    val (langs, w, p) = TextAnalysis.langIdModelArrays(model)
+    val lk = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.langIdScore(col("text"), langs, w, p, model.buckets,
+          model.n, model.maxChars, model.salt)
+          .getField("trained_lang").as("__tl"))
+      .filter(col("__tl") === "en")
+      .select(col("doc_id"), col("text"))
+    val rp = TextAnalysis.repetitionSignals(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .filter(col("gopher_keep")).select(col("doc_id"))
+    val bl = graft.operators.Blocklist.screen(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        spamPatterns, maxHits = 1)
+      .filter(col("blocklist_keep")).select(col("doc_id"))
+    val clean = lk.join(rp, Seq("doc_id")).join(bl, Seq("doc_id"))
+    val selected = graft.operators.Curation.gumbelTopK(
+      graft.operators.Curation.importanceWeights(
+        clean.filter(col("doc_id") % 7 === 0),
+        clean.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+      "doc_id", k = 150)
+    graft.operators.Curation.groupedSplit(
+        selected.join(clean, Seq("doc_id")), md5(col("text")),
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("n_tokens"), col("weight_micros"),
+        col("key_micros"), col("split"))
+      .orderBy("doc_id")
+  }
+
 }

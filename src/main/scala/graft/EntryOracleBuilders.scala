@@ -1616,6 +1616,57 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        n_chars_sum * 1000000 // n_docs AS mean_chars_micros,
        ts.top_source, ts.top_source_n"""
 
+  /** q270's oracle (also embedded by the q274 capstone as a scoped
+    * subquery): per-doc Gopher repetition masses + the keep flag. */
+  private[graft] def repetitionGateOracle: String = {
+        def gramCtes(n: Int): String =
+          s"""g$n AS (
+               SELECT doc_id, nc, unnest(
+                 CASE WHEN len(words) >= $n
+                      THEN [array_to_string(words[i:i+${n - 1}], ' ')
+                            for i in range(1, len(words) - ${n - 2})]
+                      ELSE [] END) AS g
+               FROM w
+             ), c$n AS (
+               SELECT doc_id, nc, g, CAST(count(*) AS BIGINT) AS c
+               FROM g$n GROUP BY 1, 2, 3
+             )"""
+        val tops = Seq(2, 3, 4).map(n =>
+          s"""t$n AS (
+               SELECT doc_id, (c * length(g) * 1000000) // nc AS m FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, g ASC) AS rn FROM c$n)
+               WHERE rn = 1)""").mkString(", ")
+        val dups = Seq(5, 6).map(n =>
+          s"""d$n AS (
+               SELECT doc_id,
+                      (CAST(sum(CASE WHEN c >= 2 THEN c * length(g)
+                                     ELSE 0 END) AS BIGINT) * 1000000)
+                        // max(nc) AS m
+               FROM c$n GROUP BY doc_id)""").mkString(", ")
+        s"""WITH w AS (
+             SELECT doc_id, length(text) AS nc,
+                    string_split_regex(lower(text), '\\s+') AS words
+             FROM documents
+           ), ${Seq(2, 3, 4, 5, 6).map(gramCtes).mkString(", ")},
+           $tops, $dups
+           SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+                  coalesce(t2.m, 0) AS top2_mass_micros,
+                  coalesce(t3.m, 0) AS top3_mass_micros,
+                  coalesce(t4.m, 0) AS top4_mass_micros,
+                  coalesce(d5.m, 0) AS dup5_mass_micros,
+                  coalesce(d6.m, 0) AS dup6_mass_micros,
+                  (coalesce(t2.m, 0) < 200000 AND coalesce(t3.m, 0) < 180000
+                   AND coalesce(t4.m, 0) < 160000
+                   AND coalesce(d5.m, 0) < 150000
+                   AND coalesce(d6.m, 0) < 140000) AS gopher_keep
+           FROM documents d
+           LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+           LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+           LEFT JOIN d6 USING (doc_id)
+           ORDER BY d.doc_id"""
+      }
+
   private[graft] def kmeansOracle(k: Int, iterations: Int): String =
     s"""WITH ${kmeansCtesSql("embeddings", k, iterations, "km")}
        SELECT m.vec_id, m.cell, m.dist AS dist2_q, s.cell_n

@@ -3943,6 +3943,43 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                FROM sel JOIN clean c ON c.doc_id = sel.doc_id)
          ORDER BY doc_id"""
     },
+    "q274_curation_pipeline_v5" -> {
+      val patRows = spamPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH lk AS (
+           SELECT doc_id FROM (
+             WITH ${langIdTrainedCtes}
+             SELECT b.doc_id, b.trained_lang FROM best b WHERE b.rn = 1) t
+           WHERE trained_lang = 'en'
+         ), rp AS (
+           SELECT doc_id FROM ($repetitionGateOracle) t WHERE gopher_keep
+         ), bl AS (
+           SELECT d.doc_id
+           FROM documents d CROSS JOIN (VALUES $patRows) AS p(pattern)
+           GROUP BY d.doc_id
+           HAVING sum(CAST((length(lower(d.text))
+                        - length(replace(lower(d.text), p.pattern, '')))
+                      // length(p.pattern) AS BIGINT)) < 1
+         ), clean AS (
+           SELECT d.doc_id, d.text
+           FROM documents d
+           JOIN lk ON lk.doc_id = d.doc_id
+           JOIN rp ON rp.doc_id = d.doc_id
+           JOIN bl ON bl.doc_id = d.doc_id
+         ), ${dsirCtes("clean")}
+         , sel AS (
+           SELECT doc_id, n_tokens, weight_micros,
+                  weight_micros + gumbel_micros AS key_micros
+           FROM g ORDER BY key_micros DESC, doc_id LIMIT 150
+         )
+         SELECT doc_id, n_tokens, weight_micros, key_micros,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT sel.*,
+                 ('0x' || substr(md5('graft:' || md5(c.text)), 1, 14))::BIGINT
+                   % 100 AS hs
+               FROM sel JOIN clean c ON c.doc_id = sel.doc_id)
+         ORDER BY doc_id"""
+    },
     "q241_crawl_pipeline" ->
       s"""WITH $htmlBlocksCte, boiler AS (
            SELECT text FROM blk GROUP BY text
@@ -4569,54 +4606,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            SELECT b.doc_id, (b.doc_id // 20) % 2 AS wave, b.trained_lang,
                   (b.trained_lang = 'en') AS lang_keep
            FROM best b WHERE b.rn = 1 ORDER BY b.doc_id""",
-      "q270_repetition_gate" -> {
-        def gramCtes(n: Int): String =
-          s"""g$n AS (
-               SELECT doc_id, nc, unnest(
-                 CASE WHEN len(words) >= $n
-                      THEN [array_to_string(words[i:i+${n - 1}], ' ')
-                            for i in range(1, len(words) - ${n - 2})]
-                      ELSE [] END) AS g
-               FROM w
-             ), c$n AS (
-               SELECT doc_id, nc, g, CAST(count(*) AS BIGINT) AS c
-               FROM g$n GROUP BY 1, 2, 3
-             )"""
-        val tops = Seq(2, 3, 4).map(n =>
-          s"""t$n AS (
-               SELECT doc_id, (c * length(g) * 1000000) // nc AS m FROM (
-                 SELECT *, row_number() OVER (PARTITION BY doc_id
-                   ORDER BY c DESC, g ASC) AS rn FROM c$n)
-               WHERE rn = 1)""").mkString(", ")
-        val dups = Seq(5, 6).map(n =>
-          s"""d$n AS (
-               SELECT doc_id,
-                      (CAST(sum(CASE WHEN c >= 2 THEN c * length(g)
-                                     ELSE 0 END) AS BIGINT) * 1000000)
-                        // max(nc) AS m
-               FROM c$n GROUP BY doc_id)""").mkString(", ")
-        s"""WITH w AS (
-             SELECT doc_id, length(text) AS nc,
-                    string_split_regex(lower(text), '\\s+') AS words
-             FROM documents
-           ), ${Seq(2, 3, 4, 5, 6).map(gramCtes).mkString(", ")},
-           $tops, $dups
-           SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
-                  coalesce(t2.m, 0) AS top2_mass_micros,
-                  coalesce(t3.m, 0) AS top3_mass_micros,
-                  coalesce(t4.m, 0) AS top4_mass_micros,
-                  coalesce(d5.m, 0) AS dup5_mass_micros,
-                  coalesce(d6.m, 0) AS dup6_mass_micros,
-                  (coalesce(t2.m, 0) < 200000 AND coalesce(t3.m, 0) < 180000
-                   AND coalesce(t4.m, 0) < 160000
-                   AND coalesce(d5.m, 0) < 150000
-                   AND coalesce(d6.m, 0) < 140000) AS gopher_keep
-           FROM documents d
-           LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
-           LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
-           LEFT JOIN d6 USING (doc_id)
-           ORDER BY d.doc_id"""
-      },
+      "q270_repetition_gate" -> repetitionGateOracle,
       "q267_unigram_train" -> unigramTrainOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12),
       "q268_unigram_encode" -> unigramEncodeOracle(rounds = 2,

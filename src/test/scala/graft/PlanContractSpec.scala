@@ -68,6 +68,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q243_stupid_backoff",    // 1-row (N, V) totals broadcast, like q86
     "q248_dsir_resample",     // 1-row target/raw token-total broadcasts
     "q249_curation_pipeline_v4", // the q248 totals inside the capstone
+    "q274_curation_pipeline_v5", // q249's totals + the langid model broadcasts
     "q254_cms_backoff",       // 1-row exact-N broadcast beside the sketches
     "q256_pq_adc_topk",       // broadcast exact-rank scan, like q25
     "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
