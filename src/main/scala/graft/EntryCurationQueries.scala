@@ -963,14 +963,13 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
   private[graft] def q274(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
-    val model = TextAnalysis.langIdTrain(
-      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
-    val (langs, w, p) = TextAnalysis.langIdModelArrays(model)
+    val f = TextAnalysis.langIdCorpusModel(s, dir)
+    val (model, langs, w, p) = (f.model, f.langs, f.weights, f.priors)
     val lk = docs.select(col("doc_id"), col("text"),
         TextAnalysis.langIdScore(col("text"), langs, w, p, model.buckets,
-          model.n, model.maxChars, model.salt)
-          .getField("trained_lang").as("__tl"))
-      .filter(col("__tl") === "en")
+          model.n, model.maxChars, model.salt).as("__r"))
+      .filter(col("__r").getField("n_grams") > 0 &&
+        col("__r").getField("trained_lang") === "en")
       .select(col("doc_id"), col("text"))
     val rp = TextAnalysis.repetitionSignals(
         docs.select(col("doc_id"), col("text")), "doc_id", "text")
@@ -991,6 +990,66 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .select(col("doc_id"), col("n_tokens"), col("weight_micros"),
         col("key_micros"), col("split"))
       .orderBy("doc_id")
+  }
+
+  /** TRAINED-TOKENIZER token-ID packing — the last mile of the
+    * corpus→trainer handoff: encode every doc with the q267-trained
+    * unigram-LM tokenizer ([[graft.operators.UnigramLm.encodeIds]] —
+    * the ORDERED Viterbi piece stream, not just counts), assign
+    * integer token ids from the FITTED vocabulary (1-based rank by
+    * piece; 0 = the doc-boundary EOS every doc appends), and pack the
+    * id stream into fixed-length 512-token training sequences per
+    * deterministic split shard. Per sequence: token count, docs
+    * closed (EOS count), first/last doc provenance, and an md5 over
+    * the ORDERED token-id stream — the q120 manifest_md5 discipline,
+    * so any drift in training, segmentation, id assignment, or pack
+    * order breaks the hash. This is what a pretraining-data delivery
+    * actually emits (GPT/LLaMA-style concat-and-chunk with boundary
+    * markers); q52 packs whitespace COUNTS, this packs the real ids.
+    *
+    * Scale shape: train on the word table (Heaps regime), encode as
+    * one fused projection, pack with a PER-SHARD window (split here;
+    * at 100 TB the shard key is sized to a worker, the q120
+    * shardAndOrder posture) — no corpus-global sort anywhere. The
+    * oracle retrains the tokenizer, replays every DP cell, and
+    * re-packs the stream (q267's unrolled-CTE machinery + one
+    * ordered string_agg per sequence). */
+  private[graft] def q275(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val vocab = graft.operators.UnigramLm.trainViterbiEm(docs, "text",
+        rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+      .select(col("piece"), col("w_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val pieces = vocab.map(_._1).toSeq
+    val tid = pieces.zipWithIndex
+      .map { case (p, i) => (p, (i + 1).toLong) }.toDF("piece", "tid")
+    val enc = graft.operators.UnigramLm.encodeIds(docs, "doc_id", "text",
+        pieces, vocab.map(_._2).toSeq, maxPieceLen = 4, maxWordLen = 12)
+      .join(broadcast(tid), Seq("piece"))
+      .select(col("doc_id"), lit(0L).as("is_eos"), col("word_pos"),
+        col("piece_idx").cast("long").as("piece_idx"), col("tid"))
+    val eos = docs.select(col("doc_id"), lit(1L).as("is_eos"),
+      lit(0L).as("word_pos"), lit(0L).as("piece_idx"), lit(0L).as("tid"))
+    val stream = enc.unionByName(eos).join(
+      graft.operators.Curation.deterministicSplit(
+        docs.select(col("doc_id")), "doc_id",
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5)), Seq("doc_id"))
+    val w = Window.partitionBy(col("split"))
+      .orderBy(col("doc_id"), col("is_eos"), col("word_pos"),
+        col("piece_idx"))
+    stream.withColumn("__g", row_number().over(w).cast("long"))
+      .withColumn("seq_id", expr("(__g - 1) div 512"))
+      .withColumn("__p", col("__g") - 1 - col("seq_id") * 512)
+      .groupBy(col("split"), col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("is_eos")).as("n_docs_closed"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"),
+        md5(array_join(transform(sort_array(collect_list(struct(
+            col("__p").as("p"), col("tid").cast("string").as("t")))),
+          x => x.getField("t")), ",")).as("ids_md5"))
+      .orderBy("split", "seq_id")
   }
 
 }

@@ -1560,6 +1560,70 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM dw JOIN e_fin f ON f.word = dw.word
        GROUP BY dw.doc_id ORDER BY dw.doc_id"""
 
+  /** q275: retrain the unigram tokenizer, replay the encode DP, then
+    * re-derive the ORDERED per-word piece stream from the backtrack
+    * chain (`e_tall` joined to the argmin cells `e_dall` — ascending
+    * end position = left-to-right piece order), assign 1-based
+    * sorted-piece token ids, append the EOS id 0 per doc, and re-pack
+    * per split shard with one ordered string_agg digest per
+    * sequence. */
+  private[graft] def unigramPackOracle(rounds: Int, maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int, budget: Int): String =
+    s"""WITH ${unigramPrefixCtes(rounds, maxPieceLen, vocabCap, maxWordLen)},
+       ${unigramDpCtes("e_", s"v$rounds", maxPieceLen, maxWordLen)},
+       tid AS MATERIALIZED (
+         SELECT piece,
+                CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS tid
+         FROM v$rounds
+       ), e_op AS MATERIALIZED (
+         SELECT t.word, t.pos,
+                substr(t.word, t.pos - d.k + 1, d.k) AS piece
+         FROM e_tall t JOIN e_dall d
+           ON d.word = t.word AND d.i = t.pos
+         WHERE t.pos > 0
+       ), dws AS (
+         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         FROM documents
+       ), dwo AS MATERIALIZED (
+         SELECT doc_id, CAST(i AS BIGINT) AS word_pos, word FROM (
+           SELECT doc_id, i, ws[CAST(i AS INT)] AS word FROM (
+             SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+             FROM dws))
+         WHERE regexp_full_match(word, '[a-z]+')
+           AND length(word) <= $maxWordLen
+       ), tok AS (
+         SELECT w.doc_id, CAST(0 AS BIGINT) AS is_eos, w.word_pos,
+                p.pos AS piece_pos, t.tid
+         FROM dwo w
+         JOIN e_op p ON p.word = w.word
+         JOIN tid t ON t.piece = p.piece
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM documents
+       ), spl AS (
+         SELECT doc_id,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id, ${splitHashSql("graft", 100)} AS hs
+               FROM documents)
+       ), st AS (
+         SELECT s.split, k.doc_id, k.is_eos, k.tid,
+                row_number() OVER (PARTITION BY s.split
+                  ORDER BY k.doc_id, k.is_eos, k.word_pos, k.piece_pos)
+                  AS gpos
+         FROM tok k JOIN spl s USING (doc_id)
+       )
+       SELECT split, CAST((gpos - 1) // $budget AS BIGINT) AS seq_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(is_eos) AS BIGINT) AS n_docs_closed,
+              min(doc_id) AS first_doc_id,
+              max(doc_id) AS last_doc_id,
+              md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos))
+                AS ids_md5
+       FROM st GROUP BY split, (gpos - 1) // $budget
+       ORDER BY split, seq_id"""
+
   /** The q262 datasheet card's shared CTE chain (topic tagging via
     * replace arithmetic, the one-row corpus aggregate `agg`, the
     * dominant-source row `ts`) and its select list — reused verbatim

@@ -4610,6 +4610,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       "q267_unigram_train" -> unigramTrainOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12),
       "q268_unigram_encode" -> unigramEncodeOracle(rounds = 2,
-        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12))
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12),
+      "q275_token_id_packing" -> unigramPackOracle(rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12, budget = 512))
 
 }

@@ -98,14 +98,26 @@ object LangIdScoreExpr {
 
     def scoreRow(text: UTF8String): InternalRow = {
       val full = text.toString.toLowerCase(java.util.Locale.ROOT)
-      val s = if (full.length > maxChars) full.substring(0, maxChars) else full
+      // Truncate and window by CODE POINT, matching the relational
+      // path's Spark `substring`/`length` (and the DuckDB oracle) on
+      // supplementary-plane text — UTF-16 code-unit indexing would
+      // split grams differently past an astral character.
+      val offs = new Array[Int](maxChars + 1)
+      var cp = 0
+      var j = 0
+      while (j < full.length && cp < maxChars) {
+        offs(cp) = j
+        j += Character.charCount(full.codePointAt(j))
+        cp += 1
+      }
+      offs(cp) = j
       val L = langs.length
       val scores = priors.clone()
       var nGrams = 0L
       var i = 0
-      val last = s.length - n
+      val last = cp - n
       while (i <= last) {
-        val b = bucket(s.substring(i, i + n))
+        val b = bucket(full.substring(offs(i), offs(i + n)))
         var l = 0
         while (l < L) { scores(l) += weights(l)(b); l += 1 }
         nGrams += 1

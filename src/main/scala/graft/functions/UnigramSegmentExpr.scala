@@ -94,7 +94,15 @@ object UnigramSegmentExpr {
               else if (k == 1) unkCost
               else -1L
             if (cost >= 0L) {
-              val sc = prev + cost
+              // Saturating add: with arbitrary caller vocabularies a
+              // run of unkCost cells (Long.MaxValue/4 in UnigramLm)
+              // would wrap negative and the corrupted path would win
+              // the DP. Saturate to MaxValue - 1 so the cell stays
+              // reachable (totality: backtrack always terminates) but
+              // a saturated path never beats a finite one.
+              val sc =
+                if (prev > Long.MaxValue - 1L - cost) Long.MaxValue - 1L
+                else prev + cost
               if (sc < best(i)) { best(i) = sc; choice(i) = k }
             }
           }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-scale text analysis for training-data pipelines: language
@@ -1117,6 +1117,48 @@ object TextAnalysis {
     val p = model.priors.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (model.langs, model.langs.map(wm), model.langs.map(p))
+  }
+
+  /** A fitted langid model with its driver-side arrays — what the
+    * board memo hands to both the relational apply (via `model`, whose
+    * weights/priors are LOCAL frames) and the fused expression (via
+    * the arrays). */
+  final case class LangIdFitted(model: LangIdModel, langs: Seq[String],
+      weights: Seq[Seq[Long]], priors: Seq[Long])
+
+  /** Board-shared fitted langid model, memoized per
+    * (SparkContext, dir): q263/q264/q271/q272/q274 all train the
+    * IDENTICAL model (the deterministic 80% split of `dir`'s
+    * documents, default params), so the training aggregation runs
+    * once per (application, dir) — the q205/q220 LPA-memo discipline
+    * (applicationId-keyed: collision-free across context restarts;
+    * stopped-context entries evicted on every access). The fitted
+    * weights/priors are re-exposed as LOCAL frames built from the
+    * collected arrays (|L|·B parameter-sized), so downstream
+    * broadcast joins scan a LocalTableScan instead of replaying the
+    * training lineage — memoized ≡ fresh bit-for-bit (the arrays ARE
+    * [[langIdModelArrays]]'s output; pinned by LangIdTrainedSpec). */
+  private val corpusModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, LangIdFitted]()
+  def langIdCorpusModel(spark: SparkSession, dir: String): LangIdFitted = {
+    corpusModelMemo.entrySet().removeIf(
+      e => e.getValue.model.weights.sparkSession.sparkContext.isStopped)
+    corpusModelMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", _ => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val fresh = langIdTrain(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+        val (langs, w, p) = langIdModelArrays(fresh)
+        import spark.implicits._
+        val wLocal = langs.zipWithIndex.flatMap { case (l, i) =>
+          (0 until fresh.buckets).map(b => (l, b.toLong, w(i)(b)))
+        }.toDF("lang", "bucket", "w_micros")
+        val pLocal = langs.zip(p).toDF("lang", "prior_micros")
+        LangIdFitted(
+          LangIdModel(langs, fresh.buckets, fresh.n, fresh.maxChars,
+            fresh.salt, wLocal, pLocal), langs, w, p)
+      })
   }
 
   /** The fused in-row scorer column —

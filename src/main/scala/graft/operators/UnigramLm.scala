@@ -145,6 +145,36 @@ object UnigramLm {
     * count, and the exact total path cost (certifying the DP itself
     * inside the hashed result). Only `[a-z]+` words of length ≤
     * `maxWordLen` participate (both engines agree). */
+  /** The ORDERED token stream under a fitted vocabulary — per kept
+    * word occurrence, the Viterbi best-path pieces in left-to-right
+    * order: (idCol, word_pos, piece_idx, piece). This is the actual
+    * pretraining-data deliverable shape ([[encodeStats]] only rolls
+    * up counts): joined to a (piece → token id) table it becomes the
+    * integer id stream a trainer consumes (q275 packs it into
+    * fixed-length sequences). Same scale posture as [[encodeStats]] —
+    * one fused codegen projection per word, one generator per piece;
+    * `word_pos`/`piece_idx` order tokens WITHIN a doc, so downstream
+    * packing never needs a corpus-global sort, only a per-shard one.
+    * Only `[a-z]+` words of length ≤ `maxWordLen` participate (both
+    * engines agree); dropped words leave gaps in `word_pos`, which is
+    * an ordering key, not an index. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[String], costMicros: Seq[Long], maxPieceLen: Int,
+      maxWordLen: Int = 12): DataFrame = {
+    val seg = segment(col("word"), pieces, costMicros, maxPieceLen,
+      unkCost = Long.MaxValue / 4)
+    docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+"))
+          .as(Seq("word_pos", "word")))
+      .filter(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= maxWordLen)
+      .withColumn("__seg", seg)
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("__seg").getField("pieces"))
+          .as(Seq("piece_idx", "piece")))
+  }
+
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
       pieces: Seq[String], costMicros: Seq[Long], maxPieceLen: Int,
       maxWordLen: Int = 12): DataFrame = {

@@ -918,9 +918,8 @@ object StreamOps {
       allowed: Seq[String]): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
-    val model = graft.operators.TextAnalysis.langIdTrain(
-      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
-    val (langs, w, p) = graft.operators.TextAnalysis.langIdModelArrays(model)
+    val f = graft.operators.TextAnalysis.langIdCorpusModel(spark, dir)
+    val (model, langs, w, p) = (f.model, f.langs, f.weights, f.priors)
     val staging = stagedDir("langidgate", dir) { st =>
       val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
         col("doc_id"), col("text"))
@@ -937,6 +936,7 @@ object StreamOps {
       .withColumn("__r", graft.operators.TextAnalysis.langIdScore(
         col("text"), langs, w, p, model.buckets, model.n, model.maxChars,
         model.salt))
+      .filter(col("__r").getField("n_grams") > 0)
       .select(col("doc_id"), col("wave"),
         col("__r").getField("trained_lang").as("trained_lang"),
         col("__r").getField("trained_lang").isin(allowed: _*)

@@ -116,6 +116,62 @@ class LangIdTrainedSpec extends SparkSpec with Matchers {
     langs should contain(tiny.getString(0))
   }
 
+  test("fused equals relational on supplementary-plane text (code-point truncation)") {
+    // Astral characters (1 code point, 2 UTF-16 units) before and
+    // inside the window: a code-UNIT scorer would cap the prefix and
+    // split trigrams differently from Spark substring/length, which
+    // count code POINTS. maxChars = 8 so the cap lands mid-text.
+    val astral = Seq(
+      (1L, "😀abc😁defgh", "aa"), // 😀abc😁defgh
+      (2L, "ta💩naka salama", "aa"),        // ta💩naka…
+      (3L, "🚀🚀🚀xyzw", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.langIdTrain(corpus, "text", "lang",
+      buckets = 256, n = 3, maxChars = 8, salt = "lidspec")
+    val (langs, w, p) = TextAnalysis.langIdModelArrays(model)
+    val rel = TextAnalysis.langIdApply(astral, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val fused = astral.select($"doc_id",
+        TextAnalysis.langIdScore($"text", langs, w, p, 256, 3, 8,
+          "lidspec").as("__r"))
+      .filter($"__r.n_grams" > 0)
+      .select($"doc_id", $"__r.trained_lang", $"__r.score_micros")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    fused shouldBe rel
+    rel.keySet shouldBe Set(1L, 2L, 3L)
+  }
+
+  test("langIdCorpusModel memoized model equals a fresh train, and trains once") {
+    val dir = java.nio.file.Files.createTempDirectory("lidmemo").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f1 = TextAnalysis.langIdCorpusModel(spark, dir)
+    val f2 = TextAnalysis.langIdCorpusModel(spark, dir)
+    // same cached entry, not a re-train
+    assert(f1 eq f2)
+    val fresh = TextAnalysis.langIdTrain(
+      corpus.filter(pmod($"doc_id", lit(5L)) =!= 0L), "text", "lang")
+    val (langs, w, p) = TextAnalysis.langIdModelArrays(fresh)
+    f1.langs shouldBe langs
+    f1.weights shouldBe w
+    f1.priors shouldBe p
+    // the reconstructed LOCAL weight/prior frames carry identical rows
+    val memoW = f1.model.weights.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val freshW = fresh.weights.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    memoW shouldBe freshW
+    // and the relational apply through the memoized model matches
+    val a = TextAnalysis.langIdApply(corpus, "doc_id", "text", f1.model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val b = TextAnalysis.langIdApply(corpus, "doc_id", "text", fresh)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    a shouldBe b
+  }
+
   test("prefix cap bounds the gram stream") {
     val longDoc = Seq((1L, ("tanaka " * 100) + ("grumpf " * 100), "aa"))
       .toDF("doc_id", "text", "lang")

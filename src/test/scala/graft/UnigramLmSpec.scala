@@ -94,6 +94,88 @@ class UnigramLmSpec extends SparkSpec with Matchers {
     a.length should be >= 10
   }
 
+  test("segment saturates instead of wrapping on long out-of-vocab runs") {
+    // unkCost = Long.MaxValue/4: five consecutive OOV chars would
+    // overflow a naive prev + cost into a negative path that wins the
+    // DP. The saturating add must keep costs non-negative and still
+    // segment the in-vocab suffix correctly.
+    val pieces = Seq("ab")
+    val costs = Seq(100L)
+    val r = Seq("xxxxxxab").toDF("word")
+      .withColumn("__s", UnigramLm.segment(col("word"), pieces, costs, 2,
+        Long.MaxValue / 4))
+      .select(col("__s").getField("pieces"), col("__s").getField("cost_micros"))
+      .head()
+    r.getLong(1) should be >= 0L
+    // saturated or not, backtrack terminates and is lossless
+    r.getSeq[String](0).mkString shouldBe "xxxxxxab"
+    // three OOV singles stay finite (3·MaxValue/4 < MaxValue), so the
+    // in-vocab "ab" beats the saturated all-singles path
+    val r2 = Seq("xxxab").toDF("word")
+      .withColumn("__s", UnigramLm.segment(col("word"), pieces, costs, 2,
+        Long.MaxValue / 4))
+      .select(col("__s").getField("pieces"), col("__s").getField("cost_micros"))
+      .head()
+    r2.getLong(1) shouldBe Long.MaxValue / 4 * 3 + 100L
+    r2.getSeq[String](0) shouldBe Seq("x", "x", "x", "ab")
+  }
+
+  test("encodeIds: ordered pieces are lossless per word and agree with encodeStats") {
+    val docs = Seq((1L, "banana nab cabana"), (2L, "nab banana"))
+      .toDF("doc_id", "text")
+    val model = UnigramLm.trainViterbiEm(docs, "text", rounds = 1,
+      maxPieceLen = 3, vocabCap = 32, maxWordLen = 12)
+      .select("piece", "w_micros")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ids = UnigramLm.encodeIds(docs, "doc_id", "text",
+        model.map(_._1).toSeq, model.map(_._2).toSeq, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    // losslessness: pieces of each word occurrence, in piece_idx
+    // order, concatenate back to the original word
+    val byWord = ids.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      k -> rows.sortBy(_._3).map(_._4).mkString
+    }
+    val expected = docs.collect().flatMap { r =>
+      r.getString(1).split("\\s+").zipWithIndex
+        .map { case (w, i) => (r.getLong(0), i.toLong) -> w }
+    }.toMap
+    byWord.keySet shouldBe expected.keySet
+    byWord.foreach { case (k, w) => w shouldBe expected(k) }
+    // token counts agree with encodeStats' rollup
+    val stats = UnigramLm.encodeStats(docs, "doc_id", "text",
+        model.map(_._1).toSeq, model.map(_._2).toSeq, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val nByDoc = ids.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    nByDoc shouldBe stats
+  }
+
+  test("q275 packing invariants: 512-token sequences, doc boundaries, per-split streams") {
+    val rows = SparkEntry.queries("q275_token_id_packing")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows.length should be >= 1
+    val bySplit = rows.groupBy(_.getString(0))
+    bySplit.foreach { case (_, seqs) =>
+      val sorted = seqs.sortBy(_.getLong(1))
+      // dense seq ids from 0
+      sorted.map(_.getLong(1)).toSeq shouldBe
+        (0L until seqs.length.toLong).toSeq
+      // every sequence is exactly 512 tokens except possibly the last
+      sorted.init.foreach(_.getLong(2) shouldBe 512L)
+      sorted.last.getLong(2) should be <= 512L
+      // provenance: the stream is doc-ordered, so consecutive
+      // sequences overlap in at most the straddling doc
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b.getLong(4) should be >= a.getLong(5)
+        case _ =>
+      }
+    }
+    // every doc closes exactly once: EOS total = doc count
+    val docsN = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    rows.map(_.getLong(3)).sum shouldBe docsN
+  }
+
   test("encodeStats: tokens and exact path cost roll up per doc") {
     val docs = Seq((1L, "banana nab"), (2L, "cabana")).toDF("doc_id", "text")
     val model = UnigramLm.trainViterbiEm(docs, "text", rounds = 1,
