@@ -181,6 +181,28 @@ private[graft] trait EntryBase { this: SparkEntry.type =>
     " token deadbeefcafebabe0123456789abcdef leaked",
     " key sk-AbCd1234EfGh5678Ij leaked")
 
+  /** Deterministic language-correlated planted docs for q276: three
+    * synthetic "languages" with disjoint character inventories, 40
+    * docs each, text a fixed word mix — ids ≥ 9,000,000 so the slice
+    * split is a pure id threshold. The harness `lang` column is
+    * uncorrelated with `text`, so the q264 holdout audit is
+    * chance-level by construction; this planted slice gives the
+    * confusion matrix a real diagonal. Shared VERBATIM with the
+    * oracle (the q229-suffix / q121-twin planting discipline). */
+  private[graft] val langPlants: Seq[(Long, String, String)] = {
+    val vocab = Seq(
+      "zqa" -> Seq("tanaka", "harati", "salama", "karana", "matata"),
+      "zqb" -> Seq("grumpf", "brozzle", "splorch", "frunzle", "drubble"),
+      "zqc" -> Seq("vieuxne", "ouielle", "heureux", "oiseaux", "beaucoup"))
+    for {
+      ((lg, words), li) <- vocab.zipWithIndex
+      i <- 0 until 40
+    } yield (9000000L + li * 40 + i,
+      (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+        .mkString(" "),
+      lg)
+  }
+
   /** Registrable-domain (eTLD+1) folding
     * ([[UrlOps.registrableDomain]]): international URLs with
     * subdomain shards and two-label public suffixes fold to the

@@ -159,6 +159,95 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        )"""
   }
 
+  /** The NB-langid score chain of [[langIdTrainedCtes]] with the
+    * corpus source parameterized (CTE or table name `src` carrying
+    * doc_id, text, lang) — retrains the model on src's 80% split and
+    * scores every src doc; ends in `best` (doc_id, trained_lang,
+    * score_micros, rn). Used WITHOUT a leading WITH. */
+  private[graft] def langIdChainCtes(src: String): String =
+    s"""lab AS (
+         SELECT doc_id, lang, substr(lower(text), 1, 1024) AS t
+         FROM $src WHERE doc_id % 5 <> 0
+       ), lg AS (
+         SELECT lang,
+                ('0x' || substr(md5('langid:' || g), 1, 14))::BIGINT % 1024
+                  AS bucket
+         FROM (SELECT lang, unnest(list_transform(range(1, length(t) - 1),
+                 i -> substr(t, i, 3))) AS g
+               FROM lab)
+       ), c AS (
+         SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+         FROM lg GROUP BY 1, 2
+       ), tt AS (
+         SELECT lang, CAST(sum(c) AS BIGINT) AS n_grams FROM c GROUP BY 1
+       ), grid AS (
+         SELECT tt.lang, b.bucket, tt.n_grams
+         FROM tt CROSS JOIN (SELECT unnest(range(0, 1024)) AS bucket) b
+       ), w AS (
+         SELECT grid.lang, grid.bucket,
+                CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                    / CAST(grid.n_grams + 1024 AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS w_micros
+         FROM grid LEFT JOIN c
+           ON c.lang = grid.lang AND c.bucket = grid.bucket
+       ), dc AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM lab GROUP BY 1
+       ), td AS (SELECT CAST(count(*) AS BIGINT) AS d FROM lab),
+       pr AS (
+         SELECT lang, CAST(round(ln(CAST(n_docs AS DOUBLE)
+             / CAST(td.d AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micros
+         FROM dc CROSS JOIN td
+       ), ag AS (
+         SELECT doc_id,
+                ('0x' || substr(md5('langid:' || g), 1, 14))::BIGINT % 1024
+                  AS bucket
+         FROM (SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                 i -> substr(t, i, 3))) AS g
+               FROM (SELECT doc_id, substr(lower(text), 1, 1024) AS t
+                     FROM $src))
+       ), db AS (
+         SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM ag GROUP BY 1, 2
+       ), sc AS (
+         SELECT db.doc_id, w.lang,
+                CAST(sum(db.cnt * w.w_micros) AS BIGINT) AS s
+         FROM db JOIN w ON w.bucket = db.bucket GROUP BY 1, 2
+       ), best AS (
+         SELECT sc.doc_id, sc.lang AS trained_lang,
+                sc.s + pr.prior_micros AS score_micros,
+                row_number() OVER (PARTITION BY sc.doc_id
+                  ORDER BY sc.s + pr.prior_micros DESC, sc.lang ASC) AS rn
+         FROM sc JOIN pr ON pr.lang = sc.lang
+       )"""
+
+  /** q276: retrain the NB-langid model on documents UNION the
+    * [[graft.SparkEntry.langPlants]] VALUES rows (shared verbatim),
+    * then roll up the per-slice confusion matrix with in-result
+    * holdout-correct counts. */
+  private[graft] def langPlantedOracle(
+      plants: Seq[(Long, String, String)]): String = {
+    val vals = plants.map { case (id, txt, lg) => s"($id, '$txt', '$lg')" }
+      .mkString(",\n  ")
+    s"""WITH corp AS MATERIALIZED (
+         SELECT doc_id, text, lang FROM documents
+         UNION ALL
+         SELECT * FROM (VALUES $vals) AS p(doc_id, text, lang)
+       ), ${langIdChainCtes("corp")}
+       SELECT CASE WHEN b.doc_id >= 9000000 THEN 'planted'
+                   ELSE 'harness' END AS slice,
+              c2.lang, b.trained_lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN b.doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_holdout,
+              CAST(sum(CASE WHEN b.doc_id % 5 = 0
+                             AND b.trained_lang = c2.lang
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_holdout_correct
+       FROM best b JOIN corp c2 ON c2.doc_id = b.doc_id
+       WHERE b.rn = 1
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
+
   private[graft] def qualityOracle: String =
     s"""WITH m AS (
          SELECT doc_id,

@@ -4612,6 +4612,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       "q268_unigram_encode" -> unigramEncodeOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12),
       "q275_token_id_packing" -> unigramPackOracle(rounds = 2,
-        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12, budget = 512))
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12, budget = 512),
+      "q276_langid_planted" -> langPlantedOracle(langPlants))
 
 }

@@ -1316,6 +1316,39 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** TRAINED language-ID discrimination audit on a PLANTED slice:
+    * the q263/q264 holdout audit is chance-level by construction (the
+    * harness `lang` column is uncorrelated with `text`), so this
+    * query retrains the NB model on the harness corpus UNION the
+    * 120 language-correlated planted docs ([[langPlants]], ids ≥
+    * 9,000,000 — disjoint character inventories per synthetic
+    * language) and emits the per-slice confusion matrix: the planted
+    * slice's holdout diagonal demonstrates the classifier actually
+    * discriminates, IN-RESULT, while the harness slice stays the
+    * honest chance-level baseline. The oracle retrains the combined
+    * model from the same VALUES rows. */
+  private[graft] def q276(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(langPlants.toDF("doc_id", "text", "lang"))
+    val model = TextAnalysis.langIdTrain(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+    TextAnalysis.langIdApply(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("lang"),
+        (pmod(col("doc_id"), lit(5L)) =!= 0L).as("is_train")),
+        Seq("doc_id"))
+      .withColumn("slice",
+        when(col("doc_id") >= 9000000L, "planted").otherwise("harness"))
+      .groupBy(col("slice"), col("lang"), col("trained_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_holdout"),
+        sum(when(!col("is_train") && col("trained_lang") === col("lang"),
+          1L).otherwise(0L)).as("n_holdout_correct"))
+      .orderBy("slice", "lang", "trained_lang")
+  }
+
   /** GOPHER repetition-quality gate
     * ([[graft.operators.TextAnalysis.repetitionSignals]]): per-doc
     * top-2/3/4-gram character mass and duplicated-5/6-gram character

@@ -172,6 +172,21 @@ class LangIdTrainedSpec extends SparkSpec with Matchers {
     a shouldBe b
   }
 
+  test("q276 planted slice shows real holdout discrimination; harness slice stays chance-level") {
+    val rows = SparkEntry.queries("q276_langid_planted")(
+      spark, "/root/testdata/sf0.001").collect()
+    val planted = rows.filter(_.getString(0) == "planted")
+    planted.nonEmpty shouldBe true
+    val nHold = planted.map(_.getLong(4)).sum
+    val nCorrect = planted.map(_.getLong(5)).sum
+    nHold should be >= 10L
+    // the disjoint-inventory plants must classify near-perfectly
+    nCorrect.toDouble / nHold should be >= 0.9
+    // diagonal-only correctness: n_holdout_correct is zero off-diagonal
+    planted.filter(r => r.getString(1) != r.getString(2))
+      .foreach(_.getLong(5) shouldBe 0L)
+  }
+
   test("prefix cap bounds the gram stream") {
     val longDoc = Seq((1L, ("tanaka " * 100) + ("grumpf " * 100), "aa"))
       .toDF("doc_id", "text", "lang")
