@@ -1589,6 +1589,15 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * leading WITH. */
   private[graft] def unigramPrefixCtes(rounds: Int, maxPieceLen: Int,
       vocabCap: Int, maxWordLen: Int): String =
+    s"""${unigramSeedCtes(maxPieceLen, vocabCap, maxWordLen)},
+       ${(1 to rounds).map(r =>
+           unigramRoundCtes(r, maxPieceLen, maxWordLen)).mkString(", ")}"""
+
+  /** The corpus-to-seed half of [[unigramPrefixCtes]]: word table,
+    * capped substring seed with single-char coverage, seeded costs.
+    * Ends with `dw`, `wf`, `vocab`, `vn`, `v0`; no EM rounds. */
+  private[graft] def unigramSeedCtes(maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int): String =
     s"""dw AS MATERIALIZED (
          SELECT doc_id, word FROM (
            SELECT doc_id,
@@ -1620,8 +1629,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          SELECT piece, CAST(round(-ln(CAST(c AS DOUBLE)
              / CAST(vn.tot AS DOUBLE)) * 1e6) AS BIGINT) AS w
          FROM vocab, vn
-       ), ${(1 to rounds).map(r =>
-             unigramRoundCtes(r, maxPieceLen, maxWordLen)).mkString(", ")}"""
+       )"""
 
   /** q267: the fitted unigram-LM vocabulary, fully retrained. */
   private[graft] def unigramTrainOracle(rounds: Int, maxPieceLen: Int,
@@ -1648,6 +1656,53 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
               CAST(sum(f.s) AS BIGINT) AS cost_micros
        FROM dw JOIN e_fin f ON f.word = dw.word
        GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+
+  /** One PRUNED hard-EM round r: the DP under v(r−1) over the
+    * current vocabulary `vocab{r-1}`, the exact floor-fraction prune
+    * of multi-char pieces by (viterbi count ASC, piece ASC), then the
+    * add-one re-estimate over SURVIVORS only — the replay of
+    * [[graft.operators.UnigramLm.trainViterbiEmPruned]]'s round. */
+  private def unigramPrunedRoundCtes(r: Int, maxPieceLen: Int,
+      maxWordLen: Int, pruneNum: Int, pruneDen: Int): String =
+    s"""${unigramDpCtes(s"p${r}_", s"v${r - 1}", maxPieceLen, maxWordLen)},
+       p${r}cnt AS (
+         SELECT vo.piece, CAST(coalesce(c.vc, 0) AS BIGINT) AS vc
+         FROM vocab${r - 1} vo LEFT JOIN p${r}_vc c ON c.piece = vo.piece
+       ), p${r}m AS (
+         SELECT CAST(count(*) AS BIGINT) AS m FROM p${r}cnt
+         WHERE length(piece) > 1
+       ), p${r}rk AS (
+         SELECT piece, vc,
+                row_number() OVER (ORDER BY vc ASC, piece ASC) AS rk
+         FROM p${r}cnt WHERE length(piece) > 1
+       ), vocab$r AS MATERIALIZED (
+         SELECT piece, vc FROM p${r}rk, p${r}m
+         WHERE rk > (m * $pruneNum) // $pruneDen
+         UNION ALL
+         SELECT piece, vc FROM p${r}cnt WHERE length(piece) = 1
+       ), p${r}tot AS (
+         SELECT CAST(sum(vc) AS BIGINT) AS tot,
+                CAST(count(*) AS BIGINT) AS v
+         FROM vocab$r
+       ), v$r AS MATERIALIZED (
+         SELECT vo.piece,
+                CAST(round(-ln(CAST(vo.vc + 1 AS DOUBLE)
+                    / CAST(t.tot + t.v AS DOUBLE)) * 1e6) AS BIGINT) AS w
+         FROM vocab$r vo CROSS JOIN p${r}tot t)"""
+
+  /** q277: the pruned unigram trainer fully retrained — seed, then
+    * `rounds` DP + prune + re-estimate rounds, each prune decision
+    * replayed with the same floor fraction and tie order. */
+  private[graft] def unigramPrunedOracle(rounds: Int, maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int, pruneNum: Int,
+      pruneDen: Int): String =
+    s"""WITH ${unigramSeedCtes(maxPieceLen, vocabCap, maxWordLen)},
+       vocab0 AS (SELECT piece, c AS vc FROM vocab),
+       ${(1 to rounds).map(r => unigramPrunedRoundCtes(r, maxPieceLen,
+           maxWordLen, pruneNum, pruneDen)).mkString(", ")}
+       SELECT vo.piece, vo.vc AS viterbi_count, v.w AS w_micros
+       FROM vocab$rounds vo JOIN v$rounds v ON v.piece = vo.piece
+       ORDER BY vo.piece"""
 
   /** q275: retrain the unigram tokenizer, replay the encode DP, then
     * re-derive the ORDERED per-word piece stream from the backtrack

@@ -4613,6 +4613,9 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12),
       "q275_token_id_packing" -> unigramPackOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12, budget = 512),
-      "q276_langid_planted" -> langPlantedOracle(langPlants))
+      "q276_langid_planted" -> langPlantedOracle(langPlants),
+      "q277_unigram_pruned" -> unigramPrunedOracle(rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4))
 
 }

@@ -1390,4 +1390,19 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** PRUNED unigram-LM tokenizer training
+    * ([[graft.operators.UnigramLm.trainViterbiEmPruned]]): the actual
+    * SentencePiece shrink loop — each hard-EM round drops the
+    * bottom-¼ of multi-char pieces by Viterbi-count contribution
+    * (single-char coverage always kept), re-estimating costs over the
+    * survivors — closing q267's documented fixed-V simplification.
+    * The oracle retrains everything, replaying every DP cell AND
+    * every prune decision round by round (exact floor fraction, exact
+    * (count, piece) tie order). */
+  private[graft] def q277(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainViterbiEmPruned(t(s, dir, "documents"), "text",
+        rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4)
+      .orderBy("piece")
+
 }

@@ -145,6 +145,74 @@ object UnigramLm {
     * count, and the exact total path cost (certifying the DP itself
     * inside the hashed result). Only `[a-z]+` words of length ≤
     * `maxWordLen` participate (both engines agree). */
+  /** [[trainViterbiEm]] with SentencePiece's vocabulary SHRINK loop —
+    * closes the documented fixed-V simplification: each hard-EM round
+    * Viterbi-counts the distinct-word table, then PRUNES the bottom
+    * `pruneNum/pruneDen` fraction (floor) of MULTI-character pieces
+    * by Viterbi-count contribution (ties → lexicographically smaller
+    * piece drops first), always keeping the single-character coverage
+    * set (SentencePiece's required-char rule), then re-estimates
+    * `cost = round(-ln((c+1)/(Σc'+V'))·10⁶)` over the SURVIVORS only
+    * (Σc' = surviving counts, V' = surviving vocab size). The
+    * vocabulary is driver-paced parameter state shrinking round by
+    * round — the real SentencePiece trainer loop, each prune decision
+    * exact integer arithmetic a DuckDB oracle replays round by round
+    * (the q123 unrolled-rounds discipline).
+    *
+    * Returns the SURVIVING vocabulary: (piece, viterbi_count,
+    * w_micros) — viterbi_count is the FINAL round's count. */
+  def trainViterbiEmPruned(docs: DataFrame, textCol: String, rounds: Int,
+      maxPieceLen: Int = 4, vocabCap: Int = 512, maxWordLen: Int = 12,
+      pruneNum: Int = 1, pruneDen: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(pruneNum >= 0 && pruneDen >= 1 && pruneNum < pruneDen,
+      "prune fraction must be in [0, 1)")
+    val spark = docs.sparkSession
+    val words = wordFreq(docs, textCol, maxWordLen).persist()
+    try {
+      val seed = seedVocab(words, maxPieceLen, vocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      val totSeed = seed.map(_._2).sum
+      var pieceArr = seed.map(_._1)
+      var costs = seed.map { case (_, c) =>
+        math.round(-math.log(c.toDouble / totSeed.toDouble) * 1e6)
+      }
+      var lastCounts = Map.empty[String, Long]
+      for (_ <- 1 to rounds) {
+        val seg = segment(col("word"), pieceArr.toSeq, costs.toSeq,
+          maxPieceLen, unkCost = Long.MaxValue / 4)
+        lastCounts = words
+          .select(col("cnt"), explode(seg.getField("pieces")).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("vc"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val multi = pieceArr.filter(_.length > 1)
+        val nDrop = (multi.length.toLong * pruneNum / pruneDen).toInt
+        val dropped = multi
+          .sortBy(p => (lastCounts.getOrElse(p, 0L), p))(
+            Ordering.Tuple2(Ordering.Long, Ordering.String))
+          .take(nDrop).toSet
+        pieceArr = pieceArr.filterNot(dropped)
+        val totR = pieceArr.iterator
+          .map(p => lastCounts.getOrElse(p, 0L)).sum
+        val v = pieceArr.length
+        costs = pieceArr.map { p =>
+          val c = lastCounts.getOrElse(p, 0L)
+          math.round(-math.log((c + 1).toDouble / (totR + v).toDouble) * 1e6)
+        }
+      }
+      val rows = pieceArr.zip(costs).map { case (p, w) =>
+        Row(p, lastCounts.getOrElse(p, 0L), w)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        new StructType()
+          .add("piece", StringType, nullable = false)
+          .add("viterbi_count", LongType, nullable = false)
+          .add("w_micros", LongType, nullable = false))
+    } finally words.unpersist()
+  }
+
   /** The ORDERED token stream under a fitted vocabulary — per kept
     * word occurrence, the Viterbi best-path pieces in left-to-right
     * order: (idCol, word_pos, piece_idx, piece). This is the actual

@@ -120,6 +120,45 @@ class UnigramLmSpec extends SparkSpec with Matchers {
     r2.getSeq[String](0) shouldBe Seq("x", "x", "x", "ab")
   }
 
+  test("trainViterbiEmPruned: exact floor-fraction prune, singles survive, bottom-by-count dropped") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq("banana", "bandana", "cabana", "nab")
+        .take(i % 4 + 1).mkString(" "))).toDF("doc_id", "text")
+    // one round of the UNpruned trainer gives the same seed and the
+    // same round-1 Viterbi counts — the prune's inputs
+    val unpruned = UnigramLm.trainViterbiEm(docs, "text", rounds = 1,
+        maxPieceLen = 3, vocabCap = 24, maxWordLen = 12)
+      .collect().map(r => (r.getString(0), r.getLong(2))) // (piece, vc)
+    val multi = unpruned.filter(_._1.length > 1)
+    val nDrop = multi.length / 4
+    val expectDropped = multi.sortBy { case (p, c) => (c, p) }
+      .take(nDrop).map(_._1).toSet
+    val pruned = UnigramLm.trainViterbiEmPruned(docs, "text", rounds = 1,
+        maxPieceLen = 3, vocabCap = 24, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val prunedPieces = pruned.map(_._1).toSet
+    prunedPieces shouldBe unpruned.map(_._1).toSet -- expectDropped
+    // singles all survive
+    unpruned.map(_._1).filter(_.length == 1)
+      .foreach(p => prunedPieces should contain(p))
+    // counts carried through are the round's counts
+    val vcMap = unpruned.toMap
+    pruned.foreach { case (p, vc, _) => vc shouldBe vcMap(p) }
+    // costs re-normalize over survivors only: exact micro-ln replay
+    val totR = pruned.map(_._2).sum
+    val v = pruned.length
+    pruned.foreach { case (_, vc, w) =>
+      w shouldBe math.round(
+        -math.log((vc + 1).toDouble / (totR + v).toDouble) * 1e6)
+    }
+    // a second round shrinks further (monotone vocabulary)
+    val twoRounds = UnigramLm.trainViterbiEmPruned(docs, "text",
+      rounds = 2, maxPieceLen = 3, vocabCap = 24, maxWordLen = 12,
+      pruneNum = 1, pruneDen = 4).count()
+    twoRounds should be <= pruned.length.toLong
+  }
+
   test("encodeIds: ordered pieces are lossless per word and agree with encodeStats") {
     val docs = Seq((1L, "banana nab cabana"), (2L, "nab banana"))
       .toDF("doc_id", "text")
