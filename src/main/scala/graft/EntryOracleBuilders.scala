@@ -1320,12 +1320,13 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * query set, and the |Q|·m·k ADC distance table. Ends with CTE
     * `dtab`; used WITHOUT a leading WITH. */
   private[graft] def pqCoreCtes(m: Int, subDim: Int, k: Int,
-      iterations: Int, salt: String, qMod: Int = 50): String = {
+      iterations: Int, salt: String, qMod: Int = 50,
+      src: String = "embeddings"): String = {
     val chains = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       kmeansCtesSql(
-        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)",
+        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $src)",
         k, iterations, s"$salt$s", prefix = s"p${s}_")
     }.mkString(",\n       ")
     val codesUnion = (0 until m).map(s =>
@@ -1344,7 +1345,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          SELECT vec_id AS q_id,
                 list_transform(CAST(embedding AS DOUBLE[]),
                   x -> CAST(round(x * 1000000) AS BIGINT)) AS qvq
-         FROM embeddings WHERE vec_id % $qMod = 0
+         FROM $src WHERE vec_id % $qMod = 0
        ), qsub AS ($qsubUnion
        ), dtab AS (
          SELECT q_id, sub, code,
@@ -1358,7 +1359,8 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
   /** Shared PQ oracle tail (q256/q257): rank the ADC scores, join in
     * brute-force integer-micro exact ranks, emit the final board.
     * Consumes a CTE `sc` (q_id, vec_id, adc_dist2) and `qs`. */
-  private[graft] def pqRankTailSql(topK: Int): String =
+  private[graft] def pqRankTailSql(topK: Int,
+      src: String = "embeddings"): String =
     s"""tk AS (
          SELECT q_id, vec_id, adc_dist2,
                 row_number() OVER (PARTITION BY q_id
@@ -1368,7 +1370,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          SELECT vec_id,
                 list_transform(CAST(embedding AS DOUBLE[]),
                   x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
-         FROM embeddings
+         FROM $src
        ), ex AS (
          SELECT q_id, vec_id, rn AS exact_rank FROM (
            SELECT q.q_id, c.vec_id,
@@ -1386,6 +1388,38 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM tk LEFT JOIN ex ON ex.q_id = tk.q_id AND ex.vec_id = tk.vec_id
        WHERE tk.rnk <= $topK
        ORDER BY tk.q_id, tk.rnk"""
+
+  /** The OPQ-lite permutation chain
+    * ([[graft.operators.Ann.opqPermutation]] replayed): per-coordinate
+    * integer-micro variance keys `n·Σx² − (Σx)²` in HUGEINT, the
+    * (key DESC, j ASC) argsort, the round-robin subspace assignment,
+    * and the rebuilt permuted corpus as CTE `pemb` (vec_id,
+    * embedding DOUBLE[]). Used as `preCtes` for [[ivfPqOracle]]. */
+  private[graft] def opqPermCtes(m: Int, subDim: Int): String =
+    s"""oq_ed AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), oq_u AS (
+         SELECT vec_id, unnest(v) AS val,
+                unnest(range(1, len(v) + 1)) AS j
+         FROM oq_ed
+       ), oq_vk AS (
+         SELECT j,
+                CAST(count(*) AS HUGEINT)
+                  * sum(CAST(round(val * 1000000) AS HUGEINT)
+                        * CAST(round(val * 1000000) AS HUGEINT))
+                - sum(CAST(round(val * 1000000) AS HUGEINT))
+                  * sum(CAST(round(val * 1000000) AS HUGEINT)) AS vkey
+         FROM oq_u GROUP BY j
+       ), oq_pm AS (
+         SELECT j, ((r % $m) * $subDim + (r // $m)) AS newpos
+         FROM (SELECT j, row_number() OVER (ORDER BY vkey DESC, j ASC) - 1
+                      AS r
+               FROM oq_vk)
+       ), pemb AS MATERIALIZED (
+         SELECT u.vec_id, array_agg(u.val ORDER BY p.newpos) AS embedding
+         FROM oq_u u JOIN oq_pm p ON p.j = u.j
+         GROUP BY u.vec_id
+       ), """
 
   /** q256's oracle: retrain all `m` per-subspace PQ codebooks inside
     * DuckDB (m prefixed [[kmeansCtesSql]] trajectories over sliced
@@ -1409,10 +1443,11 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * the probed cells' members, ADC restricted to candidates. */
   private[graft] def ivfPqOracle(kCells: Int, coarseIters: Int, nProbe: Int,
       m: Int, subDim: Int, kCodes: Int, pqIters: Int, topK: Int,
-      coarseSalt: String, pqSalt: String, qMod: Int = 50): String =
-    s"""WITH ${kmeansCtesSql("embeddings", kCells, coarseIters, coarseSalt,
+      coarseSalt: String, pqSalt: String, qMod: Int = 50,
+      src: String = "embeddings", preCtes: String = ""): String =
+    s"""WITH $preCtes${kmeansCtesSql(src, kCells, coarseIters, coarseSalt,
           prefix = "cq_")},
-       ${pqCoreCtes(m, subDim, kCodes, pqIters, pqSalt, qMod)},
+       ${pqCoreCtes(m, subDim, kCodes, pqIters, pqSalt, qMod, src)},
        probes AS (
          SELECT q_id, cell FROM (
            SELECT q.q_id, c.cell,
@@ -1433,7 +1468,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          JOIN dtab d ON d.q_id = x.q_id AND d.sub = c.sub AND d.code = c.code
          GROUP BY d.q_id, c.vec_id
        ),
-       ${pqRankTailSql(topK)}"""
+       ${pqRankTailSql(topK, src)}"""
 
   /** q265's oracle: RESIDUAL IVF-PQ fully retrained in DuckDB —
     * coarse quantizer, then residuals `v_micro − c_micro` (exact

@@ -2302,6 +2302,27 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            UNION ALL ${one("residual", 16, 5)})
          ORDER BY variant, k_codes, n_probe"""
     },
+    "q278_opq_audit" -> {
+      def one(variant: String, src: String, pre: String): String = {
+        val inner = ivfPqOracle(kCells = 8, coarseIters = 2, nProbe = 3,
+          m = 8, subDim = 8, kCodes = 8, pqIters = 1, topK = 5,
+          coarseSalt = "ivfpqc", pqSalt = "ivfpq", qMod = 100,
+          src = src, preCtes = pre)
+        s"""SELECT '$variant' AS variant, 8 AS m, 8 AS k_codes,
+              3 AS n_probe,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN exact_rank > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              (CAST(sum(CASE WHEN exact_rank > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000)
+                // CAST(count(*) AS BIGINT) AS recall_micros
+           FROM ($inner) b"""
+      }
+      s"""SELECT * FROM (
+           ${one("raw", "embeddings", "")}
+           UNION ALL ${one("opq_permuted", "pemb", opqPermCtes(8, 8))})
+         ORDER BY variant"""
+    },
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),

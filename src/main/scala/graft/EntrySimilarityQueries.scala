@@ -1008,4 +1008,34 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("variant", "k_codes", "n_probe")
   }
 
+  /** OPQ-LITE PERMUTATION AUDIT ([[Ann.opqPermutation]]): the
+    * variance-balancing coordinate permutation priced head-to-head
+    * against raw contiguous slicing — same IVF-PQ board (q266's cheap
+    * operating point), same query set, measured recall@5 in-result.
+    * Exact L2 is permutation-invariant, so both variants share the
+    * identical ground truth and the recall delta isolates the
+    * subspace assignment. The oracle recomputes the variance keys
+    * (HUGEINT), replays the argsort round-robin permutation, rebuilds
+    * the permuted corpus, and retrains both full boards. */
+  private[graft] def q278(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val perm = Ann.opqPermutation(e, "embedding", m = 8, subDim = 8)
+    val pe = e.select(col("vec_id"),
+      Ann.permuteVec(col("embedding"), perm).as("embedding"))
+    def audit(variant: String, corpus: DataFrame): DataFrame =
+      Ann.ivfPqTopK(corpus.filter(col("vec_id") % 100 === 0), corpus,
+          "vec_id", "embedding", kCells = 8, coarseIterations = 2,
+          nProbe = 3, m = 8, subDim = 8, kCodes = 8, pqIterations = 1,
+          topK = 5)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("exact_rank") > 0, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(variant).as("variant"), lit(8).as("m"),
+          lit(8).as("k_codes"), lit(3).as("n_probe"),
+          col("n_rows"), col("n_hits"),
+          expr("(n_hits * 1000000) div n_rows").as("recall_micros"))
+    audit("raw", e)
+      .unionByName(audit("opq_permuted", pe))
+      .orderBy("variant")
+  }
+
 }

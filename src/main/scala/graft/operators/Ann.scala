@@ -697,6 +697,54 @@ object Ann {
       parts.map(_._2).reduce(_ unionByName _))
   }
 
+  /** OPQ-LITE subspace balancing — a deterministic coordinate
+    * PERMUTATION in front of [[pqTrainEncode]] (the certifiable slice
+    * of OPQ, Ge et al. 2013: balance information across subspaces
+    * before quantizing; the full method learns a rotation, this takes
+    * the permutation special case so every step stays exact integer
+    * arithmetic a DuckDB oracle replays). Per coordinate j the
+    * integer-micro variance key `n·Σx² − (Σx)²` (Decimal(38,0) — the
+    * q261 exact-apportionment discipline; micro squares overflow Long
+    * at corpus scale), argsorted (key DESC, j ASC), assigned
+    * round-robin: rank r → subspace r mod m, slot r div m — so each
+    * subspace receives one coordinate from every variance stratum
+    * instead of whatever contiguity the embedder happened to emit.
+    *
+    * Returns the permutation as a driver array (parameter-sized, like
+    * the BPE merge table): `perm(newPos) = oldIdx` (0-based). One
+    * aggregate over the corpus computes it; applying it
+    * ([[permuteVec]]) is a pure projection. Exact L2 is
+    * permutation-invariant, so ground-truth ranks are unchanged and
+    * raw-vs-permuted recall is directly comparable (q278). */
+  def opqPermutation(vectors: DataFrame, vecCol: String, m: Int,
+      subDim: Int): Seq[Int] = {
+    require(m >= 1 && subDim >= 1, "m and subDim must be positive")
+    val dim = m * subDim
+    val keys = vectors
+      .select(posexplode(Cluster.microQuantize(
+        dimChecked(col(vecCol), m, subDim, "opqPermutation")))
+        .as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg((count(lit(1)).cast("decimal(38,0)") *
+          sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+        - sum(col("x").cast("decimal(38,0)")) *
+          sum(col("x").cast("decimal(38,0)"))).as("vkey"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+    require(keys.length == dim, s"expected $dim coordinates, got ${keys.length}")
+    val ranked = keys.sortBy { case (j, v) => (v, j) }(
+      Ordering.Tuple2(Ordering[java.math.BigDecimal].reverse, Ordering.Int))
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case ((j, _), r) =>
+      perm((r % m) * subDim + (r / m)) = j
+    }
+    perm.toSeq
+  }
+
+  /** Apply an [[opqPermutation]]: `out(i) = vec(perm(i))` — one fused
+    * projection, no shuffle. */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(j => element_at(vec, j + 1)): _*)
+
   /** ASYMMETRIC-DISTANCE (ADC) top-k over a PQ-encoded corpus: per
     * query, the exact integer-micro squared L2 from each query
     * SUBVECTOR to every codebook centroid goes into a small

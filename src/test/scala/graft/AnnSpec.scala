@@ -539,6 +539,30 @@ class AnnSpec extends SparkSpec with Matchers {
     recall(rer, 5) should be >= recall(adc, 4)
   }
 
+  test("opqPermutation: valid permutation, variance round-robin, L2-invariant") {
+    // coordinate variances descend with index: 0 biggest, 3 smallest
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array(i * 1.0, i * 0.5, i * 0.25, i * 0.125))
+    }.toDF("vec_id", "v")
+    val perm = Ann.opqPermutation(vecs, "v", m = 2, subDim = 2)
+    perm.sorted shouldBe Seq(0, 1, 2, 3)
+    // round-robin by variance rank: subspace 0 gets ranks 0,2 = coords
+    // 0,2; subspace 1 gets ranks 1,3 = coords 1,3
+    perm shouldBe Seq(0, 2, 1, 3)
+    // applying it permutes, and exact L2 between any two rows is
+    // unchanged (ground truth invariance)
+    val p = vecs.select($"vec_id",
+      Ann.permuteVec($"v", perm).as("pv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val o = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0L until 5L; j <- 5L until 10L)
+      d2(p(i), p(j)) shouldBe d2(o(i), o(j)) +- 1e-12
+    // determinism
+    Ann.opqPermutation(vecs.repartition(7), "v", 2, 2) shouldBe perm
+  }
+
   test("residual IVF-PQ: dim mismatch fails loudly") {
     val vecs = (0 until 6).map(i => (i.toLong, Array(i * 0.1, 1.0 - i * 0.1)))
       .toDF("vec_id", "v")
