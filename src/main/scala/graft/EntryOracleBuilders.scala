@@ -1421,6 +1421,68 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          GROUP BY u.vec_id
        ), """
 
+  /** q279's oracle: retrain the coarse quantizer and the PQ codebooks
+    * (the frozen operating parameters), rebuild both arriving waves —
+    * every vector at version 1, every 7th re-embedded as its exact
+    * coordinate REVERSAL at version 2 — then replay coarse
+    * assignment, frozen-codebook encoding, and the per-(cell, doc)
+    * max-version merge including the staleness contract (a migrated
+    * doc's version-1 row survives in its OLD cell). */
+  private[graft] def pqIndexUpsertOracle: String =
+    s"""WITH ${kmeansCtesSql("embeddings", 8, 2, "ivfpqc", prefix = "cq_")},
+       ${pqCoreCtes(8, 8, 8, 1, "ivfpq", qMod = 100)},
+       corp AS MATERIALIZED (
+         SELECT vec_id, CAST(1 AS BIGINT) AS version,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id, CAST(2 AS BIGINT),
+                list_transform(list_reverse(CAST(embedding AS DOUBLE[])),
+                  x -> CAST(round(x * 1000000) AS BIGINT))
+         FROM embeddings WHERE vec_id % 7 = 0
+       ), casg AS MATERIALIZED (
+         SELECT vec_id, version, cell FROM (
+           SELECT c.vec_id, c.version, k.cell,
+                  row_number() OVER (PARTITION BY c.vec_id, c.version
+                    ORDER BY
+                      CAST(list_sum([(c.vq[j] - k.cvec[j])
+                                     * (c.vq[j] - k.cvec[j])
+                                     for j in range(1, len(c.vq) + 1)])
+                           AS BIGINT) ASC,
+                      k.cell ASC) AS rn
+           FROM corp c CROSS JOIN cq_c1 k)
+         WHERE rn = 1
+       ), csub AS (
+         SELECT vec_id, version, s.sub,
+                vq[s.sub * 8 + 1 : s.sub * 8 + 8] AS qv
+         FROM corp CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+       ), cd AS MATERIALIZED (
+         SELECT vec_id, version, sub, code FROM (
+           SELECT x.vec_id, x.version, x.sub, b.code,
+                  row_number() OVER (PARTITION BY x.vec_id, x.version, x.sub
+                    ORDER BY
+                      CAST(list_sum([(x.qv[j] - b.cvec[j])
+                                     * (x.qv[j] - b.cvec[j])
+                                     for j in range(1, len(x.qv) + 1)])
+                           AS BIGINT) ASC,
+                      b.code ASC) AS rn
+           FROM csub x JOIN books b USING (sub))
+         WHERE rn = 1
+       ), keep AS (
+         SELECT vec_id, version, cell FROM casg WHERE version = 2
+         UNION ALL
+         SELECT a1.vec_id, a1.version, a1.cell
+         FROM casg a1 LEFT JOIN casg a2
+           ON a2.vec_id = a1.vec_id AND a2.version = 2
+          AND a2.cell = a1.cell
+         WHERE a1.version = 1 AND a2.vec_id IS NULL
+       )
+       SELECT k.cell, k.vec_id, k.version, c.sub, c.code
+       FROM keep k JOIN cd c
+         ON c.vec_id = k.vec_id AND c.version = k.version
+       ORDER BY k.cell, k.vec_id, k.version, c.sub"""
+
   /** q256's oracle: retrain all `m` per-subspace PQ codebooks inside
     * DuckDB (m prefixed [[kmeansCtesSql]] trajectories over sliced
     * embeddings), rebuild the codes and the |Q|·m·k ADC distance

@@ -2323,6 +2323,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            UNION ALL ${one("opq_permuted", "pemb", opqPermCtes(8, 8))})
          ORDER BY variant"""
     },
+    "q279_stream_pq_index" -> pqIndexUpsertOracle,
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),

@@ -528,4 +528,22 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
   private[graft] def q272(s: SparkSession, dir: String): DataFrame =
     StreamOps.runStreamingLangIdGateAvailableNow(s, dir, Seq("en"))
       .orderBy("doc_id")
+
+  /** Streaming IVF-PQ index maintenance
+    * ([[StreamOps.ivfPqIndexUpsert]] via
+    * [[StreamOps.runStreamingPqIndexAvailableNow]]): arriving vectors
+    * coarse-assigned AND PQ-encoded against FROZEN codebooks inside
+    * each micro-batch, merged max-version-wins into the
+    * cell-partitioned index with only touched cells rewritten — the
+    * LSM-style updatable ANN index, code tier included (q257/q265's
+    * tiers as frozen operating parameters). Every 7th vector arrives
+    * re-embedded in wave 2, so cell migrations and the staleness
+    * contract (old-cell rows linger until compaction) are inside the
+    * hashed result. The oracle retrains both tiers and replays
+    * assignment, encoding, and the per-(cell, doc) merge. */
+  private[graft] def q279(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingPqIndexAvailableNow(s, dir)
+      .select(col("cell"), col("vec_id"), col("version"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .orderBy("cell", "vec_id", "version", "sub")
 }

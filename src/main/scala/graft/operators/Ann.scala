@@ -697,6 +697,34 @@ object Ann {
       parts.map(_._2).reduce(_ unionByName _))
   }
 
+  /** Encode vectors against FROZEN PQ codebooks — the apply half of
+    * [[pqTrainEncode]], for vectors that arrive AFTER training (the
+    * LSM-style streaming index maintenance posture, q272's
+    * frozen-model discipline): per subspace, the nearest codebook
+    * centroid under the EXACT integer-micro L2 (ties → lowest code),
+    * matching the trainer's own assignment rule bit for bit. One
+    * broadcast join against the parameter-sized (sub, code, cvec)
+    * table + a (id, sub)-keyed argmin — no training pass, no corpus
+    * shuffle. Output: (idCol, sub, code). */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val checked = vectors.select(col(idCol),
+      dimChecked(col(vecCol), m, subDim, "pqEncode").as("__pqv"))
+    val sliced = (0 until m).map { s =>
+      checked.select(col(idCol), lit(s).as("sub"),
+        Cluster.microQuantize(
+          slice(col("__pqv"), s * subDim + 1, subDim)).as("__sq"))
+    }.reduce(_ unionByName _)
+    sliced
+      .join(broadcast(codebooks.select(col("sub"), col("code"),
+        col("cvec"))), Seq("sub"))
+      .withColumn("__d2", Cluster.dist2(col("__sq"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d2"), col("code"))).as("__b"))
+      .select(col(idCol), col("sub"),
+        col("__b").getField("code").as("code"))
+  }
+
   /** OPQ-LITE subspace balancing — a deterministic coordinate
     * PERMUTATION in front of [[pqTrainEncode]] (the certifiable slice
     * of OPQ, Ge et al. 2013: balance information across subspaces

@@ -2109,6 +2109,107 @@ object StreamOps {
     fs.delete(delta, true)
   }
 
+  /** STREAMING IVF-PQ INDEX MAINTENANCE — [[ivfIndexUpsert]] extended
+    * to the PQ-code tier: arriving (doc_id, version, embedding) rows
+    * are coarse-assigned to their nearest cell under the EXACT
+    * integer-micro L2 (ties → lowest cell, the
+    * [[graft.operators.Cluster.kmeansMicroModel]] convention) AND
+    * PQ-encoded against the FROZEN codebooks inside the micro-batch
+    * ([[graft.operators.Ann.pqEncode]] — the q272 frozen-model
+    * posture), then merged max-version-wins into the cell-partitioned
+    * index with the codes packed as an m-wide array per row (the
+    * FAISS inverted-list layout: the scan side reads m codes, never
+    * floats). Only touched cell directories rewrite; a re-embedded
+    * doc that migrates cells leaves its stale row behind under the
+    * SAME staleness contract as [[ivfIndexUpsert]] (readers resolve
+    * max-version over probed candidates; [[ivfIndexCompact]] sweeps).
+    * Coarse centroids and codebooks are frozen operating parameters —
+    * retrain + full re-encode is the rare offline event. */
+  def ivfPqIndexUpsert(spark: SparkSession, stagingDir: String,
+      targetDir: String, checkpointDir: String,
+      coarseCentroids: DataFrame, codebooks: DataFrame,
+      m: Int, subDim: Int): Unit = withoutSuccessMarkers(spark) {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("version", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/*.parquet")
+    val query = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val assigned = batch.toDF()
+          .withColumn("__vq", graft.operators.Cluster.microQuantize(
+            col("embedding")))
+          .crossJoin(broadcast(coarseCentroids.select(
+            col("cell").cast("long").as("__cell"), col("cvec"))))
+          .withColumn("__d2", graft.operators.Cluster.dist2(
+            col("__vq"), col("cvec")))
+          .groupBy(col("doc_id"))
+          .agg(first(col("version")).as("version"),
+            first(col("embedding")).as("embedding"),
+            min(struct(col("__d2"), col("__cell"))).as("__b"))
+          .select(col("doc_id"), col("version"), col("embedding"),
+            col("__b").getField("__cell").as("cell"))
+        val codes = graft.operators.Ann.pqEncode(assigned, "doc_id",
+            "embedding", codebooks, m, subDim)
+          .groupBy(col("doc_id"))
+          .agg(transform(sort_array(collect_list(struct(col("sub"),
+              col("code")))), x => x.getField("code")).as("codes"))
+        val inc = assigned
+          .join(codes, Seq("doc_id"))
+          .select(col("cell"), col("doc_id"), col("version"), col("codes"))
+          .cache() // the touched-cell collect below reuses assign+encode
+        try {
+          val touched = inc.select(col("cell")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          mergeTouchedPartitions(inc, targetDir, "cell", touched)
+        } finally inc.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The q279 replay: [[ivfPqIndexUpsert]] driven end-to-end through
+    * the real engine — coarse quantizer + PQ codebooks trained ONCE on
+    * the corpus (the frozen operating parameters, q257/q265's tiers
+    * and salts), then two staged waves: every vector at version 1,
+    * then every 7th vector RE-EMBEDDED at version 2 as its coordinate
+    * REVERSAL — a model refresh produces an unrelated vector, and
+    * reversal is that, exactly replayable with zero arithmetic — so
+    * docs migrate cells and the staleness contract is exercised
+    * inside the hashed result. Returns the raw index contents (cell, vec_id,
+    * version, codes); the oracle retrains both tiers and replays
+    * assignment, encoding, and the per-(cell, doc) max-version merge. */
+  def runStreamingPqIndexAvailableNow(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val coarse = graft.operators.Cluster.kmeansMicroModel(
+      e, "vec_id", "embedding", 8, 2, "ivfpqc")
+    val (_, books) = graft.operators.Ann.pqTrainEncode(
+      e, "vec_id", "embedding", m = 8, subDim = 8, k = 8,
+      iterations = 1, salt = "ivfpq")
+    val staging = stagedDir("pqidx", dir) { st =>
+      stageVersionFile(e.select(col("vec_id").as("doc_id"),
+        lit(1L).as("version"), col("embedding")), s"$st/f0.parquet")
+      stageVersionFile(e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("doc_id"), lit(2L).as("version"),
+          reverse(col("embedding")).as("embedding")),
+        s"$st/f1.parquet")
+    }
+    val work = java.nio.file.Files.createTempDirectory(
+      s"graft_pqidx_${runCounter.incrementAndGet()}_").toString
+    ivfPqIndexUpsert(spark, staging, s"$work/target", s"$work/ckpt",
+      coarse.centroids, books, m = 8, subDim = 8)
+    spark.read.parquet(s"$work/target")
+      .select(col("cell").cast("long").as("cell"),
+        col("doc_id").as("vec_id"), col("version"), col("codes"))
+  }
+
   /** STREAMING CDC MERGE — the delete-aware sibling of
     * [[embeddingUpsert]], closing the §2.9 gap that no streaming
     * operator handled tombstones: each micro-batch of

@@ -656,6 +656,95 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     indexRows() shouldBe expected(winners)
   }
 
+  test("ivfPqIndexUpsert: batch == incremental code content, untouched cells keep their bytes") {
+    import graft.operators.{Ann, Cluster}
+    val work = java.nio.file.Files.createTempDirectory("graft_pq_upsert_").toString
+    val staging = s"$work/staging"
+    val target = s"$work/target"
+    new java.io.File(staging).mkdirs()
+    // 4-d vectors in two obvious coarse clusters
+    val vecs = (0L until 16L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, Array(base, base * 0.5, i * 0.01, -i * 0.01))
+    }.toDF("vec_id", "v")
+    val coarse = Cluster.kmeansMicroModel(vecs, "vec_id", "v", 2, 2, "sp")
+    val (trainCodes, books) = Ann.pqTrainEncode(vecs, "vec_id", "v",
+      m = 2, subDim = 2, k = 2, iterations = 1, salt = "spq")
+    // pqEncode against the frozen books reproduces the trainer's own
+    // assignment on the training corpus
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue,
+        r.getAs[Number](2).longValue)).toSet
+    codeRows(trainCodes) shouldBe
+      codeRows(Ann.pqEncode(vecs, "vec_id", "v", books, 2, 2))
+    // wave 0: all docs at v1
+    StreamOps.stageVersionFile(
+      vecs.select($"vec_id".as("doc_id"), lit(1L).as("version"),
+        $"v".as("embedding")),
+      s"$staging/f0.parquet")
+    StreamOps.ivfPqIndexUpsert(spark, staging, target, s"$work/ckpt",
+      coarse.centroids, books, 2, 2)
+    def indexRows() = spark.read.parquet(target)
+      .select($"doc_id", $"version", $"cell".cast("long"),
+        concat_ws(",", $"codes").as("cs")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // batch equivalent: assign + encode everything in one pass
+    def batchRows(winners: org.apache.spark.sql.DataFrame) = {
+      val asg = winners
+        .withColumn("__vq", Cluster.microQuantize($"embedding"))
+        .crossJoin(broadcast(coarse.centroids.select(
+          $"cell".cast("long").as("__cell"), $"cvec")))
+        .withColumn("__d2", Cluster.dist2($"__vq", $"cvec"))
+        .groupBy($"doc_id")
+        .agg(first($"version").as("version"),
+          first($"embedding").as("embedding"),
+          min(struct($"__d2", $"__cell")).as("__b"))
+        .select($"doc_id", $"version", $"embedding",
+          $"__b".getField("__cell").as("cell"))
+      val cs = Ann.pqEncode(asg, "doc_id", "embedding", books, 2, 2)
+        .groupBy($"doc_id")
+        .agg(concat_ws(",", transform(sort_array(collect_list(
+          struct($"sub", $"code"))), x => x.getField("code"))).as("cs"))
+      asg.join(cs, Seq("doc_id"))
+        .select($"doc_id", $"version", $"cell", $"cs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    }
+    val v0 = vecs.select($"vec_id".as("doc_id"), lit(1L).as("version"),
+      $"v".as("embedding"))
+    indexRows() shouldBe batchRows(v0)
+    // wave 1: doc 3 re-embedded to the OTHER cluster — it migrates
+    val v1 = Seq((3L, 2L, Array(1.0, 0.5, 0.9, -0.9)))
+      .toDF("doc_id", "version", "embedding")
+    def cellMtimes() = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    val before = cellMtimes()
+    val touched = batchRows(v1).map(_._3)
+    Thread.sleep(1100)
+    StreamOps.stageVersionFile(v1, s"$staging/f1.parquet")
+    StreamOps.ivfPqIndexUpsert(spark, staging, target, s"$work/ckpt",
+      coarse.centroids, books, 2, 2)
+    val rows = indexRows()
+    // resolved view (max version per doc) equals the batch build over
+    // the winners — code content included
+    val winners = v0.filter($"doc_id" =!= 3L).unionByName(v1)
+    rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet shouldBe
+      batchRows(winners)
+    // the migrated doc's stale v1 row lingers in its OLD cell
+    (rows -- batchRows(winners)).foreach { stale =>
+      stale._1 shouldBe 3L
+      stale._2 shouldBe 1L
+    }
+    // untouched cells keep their bytes
+    val after = cellMtimes()
+    before.foreach { case (d, m) =>
+      if (!touched.contains(d.stripPrefix("cell=").toLong))
+        after(d) shouldBe m
+    }
+  }
+
   test("cdcStreamMerge: deletes remove keys, max-seq wins across " +
       "waves, untouched buckets keep their bytes") {
     import graft.operators.Cdc
