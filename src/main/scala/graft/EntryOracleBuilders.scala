@@ -1421,6 +1421,108 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          GROUP BY u.vec_id
        ), """
 
+  /** q280's oracle: rebuild the NN-descent graph round by round —
+    * banded hash-bucket random init trimmed by salted-hash order,
+    * then `rounds` refinements each re-deriving the candidate set
+    * {undirected ∪ neighbor-of-neighbor} and keeping the `degree`
+    * nearest by exact integer-micro L2 — then replay every hop of the
+    * fixed-budget beam walk as chained CTEs, ending in the shared PQ
+    * rank tail (brute-force exact ranks joined in). */
+  private[graft] def nnDescentOracle(degree: Int, rounds: Int, bands: Int,
+      beam: Int, hops: Int, topK: Int, salt: String, qMod: Int,
+      longLinks: Int = 2): String = {
+    val d2 = "CAST(list_sum([(sv[j] - dv[j]) * (sv[j] - dv[j]) " +
+      "for j in range(1, len(sv) + 1)]) AS BIGINT)"
+    val bandUnion = (0 until bands).map(r =>
+      s"""SELECT vec_id, $r AS r,
+             ('0x' || substr(md5('$salt:$r:' || CAST(vec_id AS VARCHAR)),
+              1, 14))::BIGINT % (SELECT b FROM nb) AS bkt
+          FROM embeddings""").mkString(" UNION ALL ")
+    val roundCtes = (1 to rounds).map { i =>
+      s"""und$i AS (
+           SELECT src, dst FROM g${i - 1}
+           UNION SELECT dst, src FROM g${i - 1}
+         ), cand$i AS (
+           SELECT src, dst FROM und$i
+           UNION
+           SELECT x.src, y.dst FROM und$i x JOIN und$i y ON x.dst = y.src
+           WHERE x.src <> y.dst
+         ), g$i AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT c.src, c.dst,
+                    row_number() OVER (PARTITION BY c.src
+                      ORDER BY $d2, c.dst) AS rn
+             FROM (SELECT c0.src, c0.dst, s.vq AS sv, d.vq AS dv
+                   FROM cand$i c0
+                   JOIN ev s ON s.vec_id = c0.src
+                   JOIN ev d ON d.vec_id = c0.dst) c)
+           WHERE rn <= $degree)"""
+    }.mkString(", ")
+    val qd2 = "CAST(list_sum([(q.qvq[j] - v.vq[j]) * (q.qvq[j] - v.vq[j]) " +
+      "for j in range(1, len(q.qvq) + 1)]) AS BIGINT)"
+    val hopCtes = (1 to hops).map { h =>
+      s"""x$h AS (
+           SELECT DISTINCT q_id, vec_id FROM (
+             SELECT q_id, vec_id FROM b${h - 1}
+             UNION ALL
+             SELECT b.q_id, g.dst FROM b${h - 1} b
+             JOIN gfin g ON g.src = b.vec_id)
+         ), b$h AS MATERIALIZED (
+           SELECT q_id, vec_id FROM (
+             SELECT x.q_id, x.vec_id,
+                    row_number() OVER (PARTITION BY x.q_id
+                      ORDER BY $qd2, x.vec_id) AS rn
+             FROM x$h x
+             JOIN ev v ON v.vec_id = x.vec_id
+             JOIN qs q ON q.q_id = x.q_id)
+           WHERE rn <= $beam)"""
+    }.mkString(", ")
+    s"""WITH nb AS (
+         SELECT greatest(1, CAST(count(*) AS BIGINT) // $degree) AS b
+         FROM embeddings
+       ), ev AS MATERIALIZED (
+         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+         FROM embeddings
+       ), bk AS ($bandUnion
+       ), e0 AS (
+         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         FROM bk a JOIN bk b ON a.r = b.r AND a.bkt = b.bkt
+         WHERE a.vec_id <> b.vec_id
+       ), e0rn AS MATERIALIZED (
+         SELECT src, dst,
+                row_number() OVER (PARTITION BY src ORDER BY
+                  ('0x' || substr(md5('${salt}e:' || CAST(src AS VARCHAR)
+                    || ':' || CAST(dst AS VARCHAR)), 1, 14))::BIGINT,
+                  dst) AS rn
+         FROM e0
+       ), g0 AS MATERIALIZED (
+         SELECT src, dst FROM e0rn WHERE rn <= $degree
+       ), $roundCtes,
+       gfin AS MATERIALIZED (
+         SELECT src, dst FROM g$rounds
+         UNION
+         SELECT src, dst FROM e0rn
+         WHERE rn <= ${math.min(longLinks, degree)}
+       ),
+       qs AS (
+         SELECT vec_id AS q_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000) AS BIGINT)) AS qvq
+         FROM embeddings WHERE vec_id % $qMod = 0
+       ), b0 AS (
+         SELECT q_id, (SELECT min(vec_id) FROM embeddings) AS vec_id
+         FROM qs
+       ), $hopCtes,
+       sc AS (
+         SELECT b.q_id, b.vec_id, $qd2 AS adc_dist2
+         FROM b$hops b
+         JOIN ev v ON v.vec_id = b.vec_id
+         JOIN qs q ON q.q_id = b.q_id
+       ),
+       ${pqRankTailSql(topK)}"""
+  }
+
   /** q279's oracle: retrain the coarse quantizer and the PQ codebooks
     * (the frozen operating parameters), rebuild both arriving waves —
     * every vector at version 1, every 7th re-embedded as its exact

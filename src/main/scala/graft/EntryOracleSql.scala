@@ -2324,6 +2324,12 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
          ORDER BY variant"""
     },
     "q279_stream_pq_index" -> pqIndexUpsertOracle,
+    "q280_graph_ann" -> {
+      val inner = nnDescentOracle(degree = 16, rounds = 2, bands = 2,
+        beam = 16, hops = 4, topK = 5, salt = "nnd", qMod = 50)
+      s"""SELECT q_id, "rank", vec_id, adc_dist2 AS dist2, exact_rank
+         FROM ($inner) t ORDER BY q_id, "rank""""
+    },
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),

@@ -1038,4 +1038,24 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("variant")
   }
 
+  /** GRAPH-BASED ANN — NN-descent neighbor graph + greedy beam search
+    * ([[Ann.nnDescentGraph]] / [[Ann.graphBeamTopK]]): the production
+    * index family beside IVF-PQ, built as bounded relational rounds
+    * (banded hash-random init, 2 NN-descent refinements at degree 16)
+    * and searched with a FIXED 4-hop beam-16 walk from the lowest-id
+    * entry point — every step exact integer arithmetic with pinned
+    * tie-breaks, so the oracle retrains the whole graph round by
+    * round AND replays every hop of every query's walk (the q267
+    * unrolled-chain discipline). Same query set and in-result
+    * exact_rank as q265/q273, so graph-vs-IVF-PQ recall is read
+    * directly off the board (R15HnswProbe: 0.915+ vs 0.365). */
+  private[graft] def q280(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val g = Ann.nnDescentGraph(e, "vec_id", "embedding",
+      degree = 16, rounds = 2, salt = "nnd")
+    Ann.graphBeamTopK(g, e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", beam = 16, hops = 4, topK = 5)
+      .orderBy("q_id", "rank")
+  }
+
 }

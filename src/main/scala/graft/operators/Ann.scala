@@ -725,6 +725,150 @@ object Ann {
         col("__b").getField("code").as("code"))
   }
 
+  /** NN-DESCENT neighbor-graph build (Dong et al. 2011) — the
+    * graph-based ANN index family's SCALABLE build primitive, chosen
+    * over incremental HNSW insertion because it is bounded relational
+    * rounds (HNSW inserts are inherently sequential: each insert
+    * searches the graph built so far — not expressible as a fixed
+    * plan). R15HnswProbe measured the decision: at harness scale the
+    * descended graph's greedy search reaches recall@5 0.915 after 2
+    * rounds at degree 16 vs residual IVF-PQ+rerank's 0.365.
+    *
+    * Init: every node joins `bands` hash-bucket partitions of
+    * expected size ≈ degree (salted md5 buckets — the sign-LSH
+    * banding trick, so the union of bands mixes across the id space),
+    * all within-bucket pairs become candidate edges, trimmed to
+    * `degree` per node by salted-hash order (distance-free random
+    * init, deterministic). Each round then replaces every node's
+    * list with the `degree` nearest of {undirected neighbors ∪
+    * neighbors-of-neighbors} under the EXACT integer-micro L2
+    * (ties → lowest id) — the standard NN-descent refinement, every
+    * step replayable. Per-round cost is O(n·degree²) candidate rows —
+    * never n²; at 100 TB the rounds are corpus-linear scans with
+    * id-keyed joins.
+    *
+    * NAVIGABILITY: refinement alone disconnects well-separated
+    * clusters (every edge becomes in-cluster and greedy search can
+    * never leave the entry's region — AnnSpec demonstrates it), so
+    * the final graph keeps each node's first `longLinks` RANDOM init
+    * edges alongside its refined neighbors — the NSW long-link
+    * construction (Malkov et al.), deterministic because the init
+    * order is the salted-hash order. Output: (src, dst), ≤
+    * degree + longLinks rows per src. */
+  def nnDescentGraph(vectors: DataFrame, idCol: String, vecCol: String,
+      degree: Int, rounds: Int, salt: String = "nnd",
+      bands: Int = 2, longLinks: Int = 2): DataFrame = {
+    require(degree >= 1 && rounds >= 0 && bands >= 1 && longLinks >= 0,
+      "degree, bands must be >= 1; rounds, longLinks >= 0")
+    val v = vectors.select(col(idCol).as("__nid"),
+      Cluster.microQuantize(col(vecCol)).as("__nvq"))
+    val n = vectors.count()
+    val buckets = math.max(1L, n / degree)
+    val bandDf = (0 until bands).map { r =>
+      vectors.select(col(idCol).as("__nid"),
+        lit(r).as("__r"),
+        pmod(Curation.sampleHash(
+          concat(lit(s"$r:"), col(idCol).cast("string")), salt),
+          lit(buckets)).as("__bkt"))
+    }.reduce(_ unionByName _)
+    val pairs = bandDf.as("a").join(bandDf.as("b"),
+        col("a.__r") === col("b.__r") && col("a.__bkt") === col("b.__bkt") &&
+          col("a.__nid") =!= col("b.__nid"))
+      .select(col("a.__nid").as("src"), col("b.__nid").as("dst"))
+      .distinct()
+    val wInit = Window.partitionBy(col("src")).orderBy(
+      Curation.sampleHash(concat(col("src").cast("string"), lit(":"),
+        col("dst").cast("string")), s"${salt}e"),
+      col("dst"))
+    // Eager localCheckpoint after init and after EVERY round: a round
+    // references its predecessor ~6× (und twice, und∘und four more),
+    // so an unpinned 2-round build replays the init bucket-join ~36×
+    // — measured 59.5 s → 3 s at sf0.1 with the pins (the SuffixDedup
+    // persist discipline; edge frames are n·degree rows, cheap to pin).
+    val ranked = pairs.withColumn("__rn", row_number().over(wInit))
+    val longEdges = ranked.filter(col("__rn") <= math.min(longLinks, degree))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    var g = ranked.filter(col("__rn") <= degree)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val und = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst")))
+      val nn2 = und.as("x").join(und.as("y"),
+          col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      val cand = und.unionByName(nn2)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val scored = cand
+        .join(v.select(col("__nid").as("src"), col("__nvq").as("__sv")),
+          Seq("src"))
+        .join(v.select(col("__nid").as("dst"), col("__nvq").as("__dv")),
+          Seq("dst"))
+        .withColumn("__d2", Cluster.dist2(col("__sv"), col("__dv")))
+      val wR = Window.partitionBy(col("src"))
+        .orderBy(col("__d2"), col("dst"))
+      g = scored.withColumn("__rn", row_number().over(wR))
+        .filter(col("__rn") <= degree)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    if (rounds == 0 || longLinks == 0) g
+    else g.unionByName(longEdges).distinct()
+  }
+
+  /** Greedy BEAM search over a bounded-degree neighbor graph — the
+    * query half of the NN-descent index: from the deterministic entry
+    * point (the lowest corpus id), exactly `hops` expansion rounds,
+    * each replacing the beam with the `beam` nearest of
+    * {beam ∪ neighbors(beam)} under the exact integer-micro L2
+    * (ties → lowest id). No visited-set state: expansion is
+    * idempotent and the beam improves monotonically, so a FIXED hop
+    * budget makes the whole walk one unrolled relational plan — the
+    * property that lets a DuckDB oracle replay it as `hops` chained
+    * CTEs (the q267 unrolled-DP discipline; R15HnswProbe measured
+    * beams stable within ≤ 5 hops at degree 16 on the harness).
+    * Output contract matches the PQ tier ([[pqAdcTopK]]): top `topK`
+    * per query with brute-force `exact_rank` inside the result, so
+    * graph-vs-IVF-PQ recall is measured per query. */
+  def graphBeamTopK(graph: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, beam: Int,
+      hops: Int, topK: Int): DataFrame = {
+    require(beam >= 1 && hops >= 1, "beam and hops must be >= 1")
+    val cv = corpus.select(col(idCol).as("vec_id"),
+      Cluster.microQuantize(col(vecCol)).as("__cvq"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      Cluster.microQuantize(col(vecCol)).as("__qvq"))
+    val entry = corpus.agg(min(col(idCol))).head().getLong(0)
+    val edges = graph.select(col("src"), col("dst"))
+    var b = qv.select(col("q_id"), lit(entry).as("vec_id"))
+    for (_ <- 1 to hops) {
+      val expanded = b.unionByName(
+          b.join(edges, b("vec_id") === edges("src"))
+            .select(col("q_id"), col("dst").as("vec_id")))
+        .distinct()
+      val scored = expanded.join(cv, Seq("vec_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("__d2", Cluster.dist2(col("__qvq"), col("__cvq")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("__d2"), col("vec_id"))
+      // pin each hop: hop h's lazy lineage would otherwise replay
+      // hops 1..h−1 (quadratic in the hop budget); the beam frame is
+      // |Q|·beam rows — trivial to checkpoint eagerly
+      b = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= beam)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
+    }
+    val scoredFinal = b.join(cv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("adc_dist2", Cluster.dist2(col("__qvq"), col("__cvq")))
+      .select(col("q_id"), col("vec_id"), col("adc_dist2"))
+    rankWithExact(scoredFinal, queries, corpus, idCol, vecCol, topK)
+      .withColumnRenamed("adc_dist2", "dist2")
+  }
+
   /** OPQ-LITE subspace balancing — a deterministic coordinate
     * PERMUTATION in front of [[pqTrainEncode]] (the certifiable slice
     * of OPQ, Ge et al. 2013: balance information across subspaces

@@ -563,6 +563,44 @@ class AnnSpec extends SparkSpec with Matchers {
     Ann.opqPermutation(vecs.repartition(7), "v", 2, 2) shouldBe perm
   }
 
+  test("nnDescentGraph + graphBeamTopK: bounded degree, rounds improve edges, search finds planted clusters") {
+    // 3 tight clusters of 10 in 4-d; exact neighbors are in-cluster
+    val vecs = (0 until 30).map { i =>
+      val c = i / 10
+      (i.toLong, Array(c * 10.0 + (i % 10) * 0.01, c * 5.0, 1.0, -1.0))
+    }.toDF("vec_id", "v")
+    val g2 = Ann.nnDescentGraph(vecs, "vec_id", "v",
+      degree = 6, rounds = 2, salt = "spec")
+    // bounded degree: refined neighbors + the kept long links
+    g2.groupBy($"src").count().agg(max($"count")).head().getLong(0) should
+      be <= 8L
+    // determinism under repartition
+    val g2b = Ann.nnDescentGraph(vecs.repartition(7), "vec_id", "v",
+      degree = 6, rounds = 2, salt = "spec")
+    g2b.collect().map(_.toString).sorted shouldBe
+      g2.collect().map(_.toString).sorted
+    // rounds improve edge quality: in-cluster edge fraction rises
+    def inCluster(g: org.apache.spark.sql.DataFrame) = {
+      val es = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+      es.count { case (s, d) => s / 10 == d / 10 }.toDouble / es.length
+    }
+    val g0 = Ann.nnDescentGraph(vecs, "vec_id", "v",
+      degree = 6, rounds = 0, salt = "spec")
+    inCluster(g2) should be > inCluster(g0)
+    inCluster(g2) should be > 0.7 // refined edges in-cluster, long links random
+    // beam search from the fixed entry reaches every cluster and the
+    // in-result exact ranks certify recall
+    val qs = vecs.filter($"vec_id".isin(5L, 15L, 25L))
+    val top = Ann.graphBeamTopK(g2, qs, vecs, "vec_id", "v",
+      beam = 6, hops = 4, topK = 3).collect()
+    top.length shouldBe 9
+    val recall = top.count(_.getLong(4) > 0).toDouble / top.length
+    recall should be >= 0.9
+    // rank 1 of each query is itself (it is in the corpus)
+    top.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2))
+      .foreach { case (q, c) => c shouldBe q }
+  }
+
   test("residual IVF-PQ: dim mismatch fails loudly") {
     val vecs = (0 until 6).map(i => (i.toLong, Array(i * 0.1, 1.0 - i * 0.1)))
       .toDF("vec_id", "v")
