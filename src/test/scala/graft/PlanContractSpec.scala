@@ -66,6 +66,8 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q220_modularity",        // 1-row edge-count broadcast
     "q228_lorenz_deciles",    // 1-row n/total broadcast onto ranks
     "q243_stupid_backoff",    // 1-row (N, V) totals broadcast, like q86
+    "q281_ppl_buckets",       // the q243 totals inside the bucketing spine
+    "q282_epoch_allocation",  // q243 totals + 1-row budget broadcast
     "q248_dsir_resample",     // 1-row target/raw token-total broadcasts
     "q249_curation_pipeline_v4", // the q248 totals inside the capstone
     "q274_curation_pipeline_v5", // q249's totals + the langid model broadcasts
@@ -80,7 +82,10 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q261_temperature_mixture", // 1-row weight-total/leftover broadcasts, like q114
     "q262_corpus_datasheet",  // 1-row dominant-source broadcast onto the card
     "q263_langid_trained",    // L-row gram-total + 1-row doc-total model broadcasts
-    "q264_langid_confusion")  // same trained-langid model spine as q263
+    "q264_langid_confusion",  // same trained-langid model spine as q263
+    "q276_langid_planted",    // q263's model broadcasts over corpus + plants
+    "q278_opq_audit",         // two q266-shaped PQ boards + exact-rank scans
+    "q280_graph_ann")         // exact-rank broadcast scan beside the beam walk, like q25
 
   /** Queries whose plan legitimately carries a GLOBAL window (empty
     * partitionSpec ⇒ a one-task sort of the window's input):
@@ -106,7 +111,10 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q212_ks_drift",
     // CUSUM prefix-sum over the day-grain series — bounded by the
     // time-bucket domain
-    "q213_cusum_changepoint")
+    "q213_cusum_changepoint",
+    // quality rank + greedy-fill prefix sum over the per-SOURCE
+    // stats table — catalog-sized by construction, like q114
+    "q282_epoch_allocation")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
