@@ -960,7 +960,12 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * shape this board certifies individually; the capstone certifies
     * their COMPOSITION — the canonical multilingual corpus pipeline
     * front half, every gate trained/frozen/replayed cross-engine. */
-  private[graft] def q274(s: SparkSession, dir: String): DataFrame = {
+  /** The v5 selection spine shared by q274 and the v6 capstone
+    * (q285): trained-langid gate → Gopher repetition gate → AC policy
+    * screen → DSIR Gumbel top-150 → leakage-free digest split.
+    * Returns the selected docs with text, DSIR columns and `split`. */
+  private def v5SelectedWithSplit(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
     val f = TextAnalysis.langIdCorpusModel(s, dir)
@@ -985,12 +990,15 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         clean.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
       "doc_id", k = 150)
     graft.operators.Curation.groupedSplit(
-        selected.join(clean, Seq("doc_id")), md5(col("text")),
-        Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+      selected.join(clean, Seq("doc_id")), md5(col("text")),
+      Seq("train" -> 90, "valid" -> 5, "test" -> 5))
+  }
+
+  private[graft] def q274(s: SparkSession, dir: String): DataFrame =
+    v5SelectedWithSplit(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("weight_micros"),
         col("key_micros"), col("split"))
       .orderBy("doc_id")
-  }
 
   /** TRAINED-TOKENIZER token-ID packing — the last mile of the
     * corpus→trainer handoff: encode every doc with the q267-trained
@@ -1015,26 +1023,41 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * re-packs the stream (q267's unrolled-CTE machinery + one
     * ordered string_agg per sequence). */
   private[graft] def q275(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = t(s, dir, "documents")
     val vocab = graft.operators.UnigramLm.trainViterbiEm(docs, "text",
         rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
       .select(col("piece"), col("w_micros"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    packTokenIds(s,
+      docs.select(col("doc_id"), col("text")).join(
+        graft.operators.Curation.deterministicSplit(
+          docs.select(col("doc_id")), "doc_id",
+          Seq("train" -> 90, "valid" -> 5, "test" -> 5)), Seq("doc_id")),
+      vocab)
+  }
+
+  /** The q275/q285 packing tail: encode `(doc_id, text, split)` rows
+    * with the fitted vocabulary, assign 1-based sorted-piece token
+    * ids (+ EOS 0 per doc), pack the ordered id stream into
+    * 512-token sequences per split shard with an ordered-stream md5
+    * per sequence. */
+  private def packTokenIds(s: SparkSession, docsWithSplit: DataFrame,
+      vocab: Array[(String, Long)]): DataFrame = {
+    import s.implicits._
     val pieces = vocab.map(_._1).toSeq
     val tid = pieces.zipWithIndex
       .map { case (p, i) => (p, (i + 1).toLong) }.toDF("piece", "tid")
-    val enc = graft.operators.UnigramLm.encodeIds(docs, "doc_id", "text",
-        pieces, vocab.map(_._2).toSeq, maxPieceLen = 4, maxWordLen = 12)
+    val enc = graft.operators.UnigramLm.encodeIds(docsWithSplit,
+        "doc_id", "text", pieces, vocab.map(_._2).toSeq,
+        maxPieceLen = 4, maxWordLen = 12)
       .join(broadcast(tid), Seq("piece"))
       .select(col("doc_id"), lit(0L).as("is_eos"), col("word_pos"),
         col("piece_idx").cast("long").as("piece_idx"), col("tid"))
-    val eos = docs.select(col("doc_id"), lit(1L).as("is_eos"),
+    val eos = docsWithSplit.select(col("doc_id"), lit(1L).as("is_eos"),
       lit(0L).as("word_pos"), lit(0L).as("piece_idx"), lit(0L).as("tid"))
-    val stream = enc.unionByName(eos).join(
-      graft.operators.Curation.deterministicSplit(
-        docs.select(col("doc_id")), "doc_id",
-        Seq("train" -> 90, "valid" -> 5, "test" -> 5)), Seq("doc_id"))
+    val stream = enc.unionByName(eos)
+      .join(docsWithSplit.select(col("doc_id"), col("split")),
+        Seq("doc_id"))
     val w = Window.partitionBy(col("split"))
       .orderBy(col("doc_id"), col("is_eos"), col("word_pos"),
         col("piece_idx"))
@@ -1050,6 +1073,68 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
             col("__p").as("p"), col("tid").cast("string").as("t")))),
           x => x.getField("t")), ",")).as("ids_md5"))
       .orderBy("split", "seq_id")
+  }
+
+  /** Data-constrained EPOCH ALLOCATION
+    * ([[graft.operators.Curation.epochAllocation]]): the Muennighoff
+    * et al. 2023 budgeting recipe — rank sources by quality (mean
+    * per-trigram NLL under the q243 LM, exact-integer normalized),
+    * then fill a token budget of 2× the corpus in quality order with
+    * at most 4 epochs per source; the boundary source serves a
+    * FRACTIONAL epoch (`served·10⁶ div n_tokens`, Decimal-exact) and
+    * everything past it serves zero. One row per source: token mass,
+    * quality key, rank, tokens served, micro-epochs. The oracle
+    * retrains the LM, recomputes the masses, and replays the greedy
+    * fill as a window prefix sum. */
+  private[graft] def q282(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ntok = size(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= "")).cast("long")
+    val srcTok = docs.groupBy(col("source")).agg(sum(ntok).as("n_tokens"))
+    // the q281 salted-hash holdout (doc_id % 10 correlates with source)
+    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
+    val train = docs.filter(!hold).select(col("doc_id"), col("text"))
+    val held = docs.filter(hold).select(col("doc_id"), col("text"))
+    val qual = graft.operators.TextAnalysis.stupidBackoffScore(
+        train, held, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr("cast(((-sum(logprob_micros)) * 1000L) div " +
+        "sum(n_trigrams) as long)").as("nll_nanos"))
+    val budget = srcTok.agg((sum(col("n_tokens")) * lit(2L)).as("budget"))
+    val stats = srcTok.join(qual, Seq("source"))
+      .crossJoin(broadcast(budget))
+    graft.operators.Curation.epochAllocation(stats, "source",
+        "n_tokens", "nll_nanos", "budget", maxEpochs = 4)
+      .select(col("source"), col("n_tokens"), col("nll_nanos"),
+        col("q_rank"), col("served_tokens"), col("epochs_micros"),
+        col("budget"))
+      .orderBy("source")
+  }
+
+  /** CURATION CAPSTONE v6 — the FULL pretraining-data delivery under
+    * one hash: the v5 spine (trained-langid → repetition → policy →
+    * DSIR Gumbel top-150 → digest split), then the corpus→trainer
+    * handoff on the SELECTED docs — train the unigram-LM tokenizer on
+    * the selected corpus (the GPT-2 posture: the tokenizer fits the
+    * data it ships), Viterbi-encode every selected doc, assign token
+    * ids, and pack the ordered id stream into 512-token training
+    * sequences per split shard (q275's machinery over v5's output).
+    * The result rows are the sequences themselves with ordered-stream
+    * digests — what a trainer's data loader actually reads. One
+    * composed oracle: the v5 chains, the tokenizer retrained from the
+    * selected CTE, every DP cell replayed, the pack re-derived. */
+  private[graft] def q285(s: SparkSession, dir: String): DataFrame = {
+    val seldoc = v5SelectedWithSplit(s, dir)
+      .select(col("doc_id"), col("text"), col("split"))
+    // pin the spine: the tokenizer trainer + encode + pack otherwise
+    // replay the langid/repetition/DSIR lineage once per EM round
+    val pinned = seldoc.localCheckpoint(true)
+    val vocab = graft.operators.UnigramLm.trainViterbiEm(pinned, "text",
+        rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+      .select(col("piece"), col("w_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    packTokenIds(s, pinned, vocab)
   }
 
 }

@@ -1787,21 +1787,26 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * `vocab`, `r${rounds}_vc` and `v$rounds`; used WITHOUT a
     * leading WITH. */
   private[graft] def unigramPrefixCtes(rounds: Int, maxPieceLen: Int,
-      vocabCap: Int, maxWordLen: Int): String =
-    s"""${unigramSeedCtes(maxPieceLen, vocabCap, maxWordLen)},
+      vocabCap: Int, maxWordLen: Int,
+      src: String = "documents"): String =
+    s"""${unigramSeedCtes(maxPieceLen, vocabCap, maxWordLen, src)},
        ${(1 to rounds).map(r =>
            unigramRoundCtes(r, maxPieceLen, maxWordLen)).mkString(", ")}"""
 
   /** The corpus-to-seed half of [[unigramPrefixCtes]]: word table,
     * capped substring seed with single-char coverage, seeded costs.
-    * Ends with `dw`, `wf`, `vocab`, `vn`, `v0`; no EM rounds. */
+    * Ends with `dw`, `wf`, `vocab`, `vn`, `v0`; no EM rounds.
+    * `src` is the (doc_id, text) relation the trainer reads —
+    * `documents` for the q267 family, the selected-corpus CTE for
+    * the v6 capstone. */
   private[graft] def unigramSeedCtes(maxPieceLen: Int,
-      vocabCap: Int, maxWordLen: Int): String =
+      vocabCap: Int, maxWordLen: Int,
+      src: String = "documents"): String =
     s"""dw AS MATERIALIZED (
          SELECT doc_id, word FROM (
            SELECT doc_id,
                   unnest(string_split_regex(lower(text), '\\s+')) AS word
-           FROM documents)
+           FROM $src)
          WHERE regexp_full_match(word, '[a-z]+')
            AND length(word) <= $maxWordLen
        ), wf AS MATERIALIZED (
@@ -1903,6 +1908,32 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM vocab$rounds vo JOIN v$rounds v ON v.piece = vo.piece
        ORDER BY vo.piece"""
 
+  /** q283: per-SOURCE fertility audit of the PRUNED tokenizer —
+    * retrains the q277 shrink loop, replays the encode DP under the
+    * final pruned costs, and rolls word/char/piece masses up per
+    * source with the exact integer fertility ratios. */
+  private[graft] def unigramFertilityOracle(rounds: Int, maxPieceLen: Int,
+      vocabCap: Int, maxWordLen: Int, pruneNum: Int,
+      pruneDen: Int): String =
+    s"""WITH ${unigramSeedCtes(maxPieceLen, vocabCap, maxWordLen)},
+       vocab0 AS (SELECT piece, c AS vc FROM vocab),
+       ${(1 to rounds).map(r => unigramPrunedRoundCtes(r, maxPieceLen,
+           maxWordLen, pruneNum, pruneDen)).mkString(", ")},
+       ${unigramDpCtes("e_", s"v$rounds", maxPieceLen, maxWordLen)}
+       SELECT d.source,
+              CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(length(dw.word)) AS BIGINT) AS char_tokens,
+              CAST(sum(f.np) AS BIGINT) AS unigram_tokens,
+              CAST(sum(f.s) AS BIGINT) AS cost_micros,
+              CAST((sum(f.np) * 1000000) // count(*) AS BIGINT)
+                AS pieces_per_word_micros,
+              CAST((sum(length(dw.word)) * 1000000) // sum(f.np)
+                   AS BIGINT) AS chars_per_piece_micros
+       FROM dw JOIN e_fin f ON f.word = dw.word
+       JOIN documents d ON d.doc_id = dw.doc_id
+       GROUP BY d.source ORDER BY d.source"""
+
   /** q275: retrain the unigram tokenizer, replay the encode DP, then
     * re-derive the ORDERED per-word piece stream from the backtrack
     * chain (`e_tall` joined to the argmin cells `e_dall` — ascending
@@ -1956,6 +1987,62 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                   ORDER BY k.doc_id, k.is_eos, k.word_pos, k.piece_pos)
                   AS gpos
          FROM tok k JOIN spl s USING (doc_id)
+       )
+       SELECT split, CAST((gpos - 1) // $budget AS BIGINT) AS seq_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(is_eos) AS BIGINT) AS n_docs_closed,
+              min(doc_id) AS first_doc_id,
+              max(doc_id) AS last_doc_id,
+              md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos))
+                AS ids_md5
+       FROM st GROUP BY split, (gpos - 1) // $budget
+       ORDER BY split, seq_id"""
+
+  /** The encode+pack tail for a corpus whose relation CARRIES its own
+    * `split` column (the v6 capstone's selected corpus): the q275
+    * encode-DP/backtrack/id-assignment/packing machinery, minus the
+    * leading WITH and with `$src(doc_id, text, split)` in place of
+    * `documents` + the hash split. Must follow [[unigramPrefixCtes]]
+    * (same src) in the caller's WITH chain. */
+  private[graft] def unigramPackTailSql(rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, budget: Int, src: String): String =
+    s"""${unigramDpCtes("e_", s"v$rounds", maxPieceLen, maxWordLen)},
+       tid AS MATERIALIZED (
+         SELECT piece,
+                CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS tid
+         FROM v$rounds
+       ), e_op AS MATERIALIZED (
+         SELECT t.word, t.pos,
+                substr(t.word, t.pos - d.k + 1, d.k) AS piece
+         FROM e_tall t JOIN e_dall d
+           ON d.word = t.word AND d.i = t.pos
+         WHERE t.pos > 0
+       ), dws AS (
+         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         FROM $src
+       ), dwo AS MATERIALIZED (
+         SELECT doc_id, CAST(i AS BIGINT) AS word_pos, word FROM (
+           SELECT doc_id, i, ws[CAST(i AS INT)] AS word FROM (
+             SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+             FROM dws))
+         WHERE regexp_full_match(word, '[a-z]+')
+           AND length(word) <= $maxWordLen
+       ), tok AS (
+         SELECT w.doc_id, CAST(0 AS BIGINT) AS is_eos, w.word_pos,
+                p.pos AS piece_pos, t.tid
+         FROM dwo w
+         JOIN e_op p ON p.word = w.word
+         JOIN tid t ON t.piece = p.piece
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM $src
+       ), st AS (
+         SELECT s.split, k.doc_id, k.is_eos, k.tid,
+                row_number() OVER (PARTITION BY s.split
+                  ORDER BY k.doc_id, k.is_eos, k.word_pos, k.piece_pos)
+                  AS gpos
+         FROM tok k JOIN $src s USING (doc_id)
        )
        SELECT split, CAST((gpos - 1) // $budget AS BIGINT) AS seq_id,
               CAST(count(*) AS BIGINT) AS n_tokens,
@@ -4247,5 +4334,73 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                       + 0.5) / 72057594037927936.0
                   )) * 1e6) AS BIGINT) AS gumbel_micros
          FROM w
+       )"""
+
+  /** Stupid-Backoff heldout-scoring chain shared by the q281 CCNet
+    * bucketing and q282 epoch-budgeting oracles: trains the q243 LM
+    * on 90% of docs, scores the held-out 10% — ends in
+    * `sc(doc_id, n_trigrams, lp_micros)`. The ladder text is q243's
+    * verbatim (same ln micro-quantization, same CASE order). The
+    * holdout is the SALTED-HASH 1/10 sample (not q243's `doc_id %
+    * 10`): doc_id blocks correlate with `source` in the testdata, so
+    * the modulo split would leave most sources without held-out
+    * docs — the hash split covers every source uniformly. */
+  private[graft] val sbHeldoutCtes: String =
+    s"""tr AS (
+         SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '') AS ts
+         FROM documents WHERE ${splitHashSql("ppl", 10)} >= 1
+       ), c1 AS (
+         SELECT tok AS w, CAST(count(*) AS BIGINT) AS c1
+         FROM (SELECT unnest(ts) AS tok FROM tr) GROUP BY tok
+       ), tot AS (
+         SELECT CAST(sum(c1) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS v FROM c1
+       ), c2 AS (
+         SELECT b.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS c2
+         FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1]}
+                              for i in range(1, len(ts))]) AS b
+               FROM tr WHERE len(ts) >= 2)
+         GROUP BY b.u, b.v
+       ), c3 AS (
+         SELECT g.u AS u, g.v AS v, g.w AS w,
+                CAST(count(*) AS BIGINT) AS c3
+         FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                              for i in range(1, len(ts) - 1)]) AS g
+               FROM tr WHERE len(ts) >= 3)
+         GROUP BY g.u, g.v, g.w
+       ), sd AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '') AS ts
+         FROM documents WHERE ${splitHashSql("ppl", 10)} < 1
+       ), pd AS (
+         SELECT doc_id, g.u AS u, g.v AS v, g.w AS w,
+                CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id,
+                      unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                              for i in range(1, len(ts) - 1)]) AS g
+               FROM sd WHERE len(ts) >= 3)
+         GROUP BY doc_id, g.u, g.v, g.w
+       ), sc AS (
+         SELECT pd.doc_id,
+                CAST(sum(pd.c) AS BIGINT) AS n_trigrams,
+                CAST(sum(CAST(round(ln(CASE
+                    WHEN c3.c3 IS NOT NULL
+                      THEN CAST(c3.c3 AS DOUBLE) / CAST(uv.c2 AS DOUBLE)
+                    WHEN vw.c2 IS NOT NULL
+                      THEN 0.4 * (CAST(vw.c2 AS DOUBLE) / CAST(cv.c1 AS DOUBLE))
+                    ELSE 0.4 * 0.4 *
+                      (CAST(coalesce(cw.c1, 0) + 1 AS DOUBLE)
+                        / CAST(t.n + t.v AS DOUBLE))
+                  END) * 1e6) AS BIGINT) * pd.c) AS BIGINT) AS lp_micros
+         FROM pd
+         LEFT JOIN c3 ON c3.u = pd.u AND c3.v = pd.v AND c3.w = pd.w
+         LEFT JOIN c2 uv ON uv.u = pd.u AND uv.v = pd.v
+         LEFT JOIN c2 vw ON vw.u = pd.v AND vw.v = pd.w
+         LEFT JOIN c1 cv ON cv.w = pd.v
+         LEFT JOIN c1 cw ON cw.w = pd.w
+         CROSS JOIN tot t
+         GROUP BY pd.doc_id
        )"""
 }

@@ -2330,6 +2330,16 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       s"""SELECT q_id, "rank", vec_id, adc_dist2 AS dist2, exact_rank
          FROM ($inner) t ORDER BY q_id, "rank""""
     },
+    "q284_stream_graph_serve" -> {
+      // same frozen index + walk as q280; wave derived from the id
+      // (the q150/q272 streaming-oracle convention)
+      val inner = nnDescentOracle(degree = 16, rounds = 2, bands = 2,
+        beam = 16, hops = 4, topK = 5, salt = "nnd", qMod = 50)
+      s"""SELECT CAST(CASE WHEN q_id % 100 = 0 THEN 0 ELSE 1 END
+                      AS BIGINT) AS wave,
+                q_id, "rank", vec_id, adc_dist2 AS dist2, exact_rank
+         FROM ($inner) t ORDER BY q_id, "rank""""
+    },
     "q149_ivf_cascade" -> ivfCascadeOracle(kCells = 8, iterations = 3,
       nProbe = 3, c2 = 30, k = 5, salt = "ivc"),
     "q150_stream_retrieval" -> retrievalCascadeOracle(withWave = true),
@@ -4644,6 +4654,112 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       "q276_langid_planted" -> langPlantedOracle(langPlants),
       "q277_unigram_pruned" -> unigramPrunedOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
-        pruneNum = 1, pruneDen = 4))
+        pruneNum = 1, pruneDen = 4),
+      "q281_ppl_buckets" ->
+        s"""WITH $sbHeldoutCtes, nb AS (
+             SELECT sc.doc_id, d.source, sc.n_trigrams,
+                    CAST(((-sc.lp_micros) * 1000) // sc.n_trigrams
+                         AS BIGINT) AS nll
+             FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+           ), rk AS (
+             SELECT doc_id, source, n_trigrams, nll,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY nll, doc_id) AS rn,
+                    count(*) OVER (PARTITION BY source) AS n
+             FROM nb
+           )
+           SELECT source,
+                  CASE WHEN (rn - 1) * 3 < n THEN 'head'
+                       WHEN (rn - 1) * 3 < n * 2 THEN 'middle'
+                       ELSE 'tail' END AS ppl_bucket,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+                  CAST(min(nll) AS BIGINT) AS min_nll_nanos,
+                  CAST(max(nll) AS BIGINT) AS max_nll_nanos,
+                  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                 ORDER BY doc_id)) AS ids_md5
+           FROM rk GROUP BY 1, 2
+           ORDER BY source, ppl_bucket""",
+      "q282_epoch_allocation" ->
+        s"""WITH $sbHeldoutCtes, st AS (
+             SELECT source,
+                    CAST(sum(len(list_filter(
+                      string_split_regex(lower(text), '\\s+'),
+                      t -> t <> ''))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source
+           ), q AS (
+             SELECT d.source,
+                    CAST(((-sum(sc.lp_micros)) * 1000)
+                         // sum(sc.n_trigrams) AS BIGINT) AS nll_nanos
+             FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+             GROUP BY d.source
+           ), b AS (
+             SELECT CAST(sum(n_tokens) * 2 AS BIGINT) AS budget FROM st
+           ), r AS (
+             SELECT st.source, st.n_tokens, q.nll_nanos,
+                    row_number() OVER (ORDER BY q.nll_nanos, st.source)
+                      AS q_rank,
+                    st.n_tokens * 4 AS cap
+             FROM st JOIN q ON q.source = st.source
+           ), c AS (
+             SELECT r.*, b.budget,
+                    coalesce(sum(cap) OVER (ORDER BY q_rank
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS bef
+             FROM r CROSS JOIN b
+           )
+           SELECT source, n_tokens, nll_nanos,
+                  CAST(q_rank AS BIGINT) AS q_rank,
+                  CAST(greatest(0, least(cap, budget - bef))
+                       AS BIGINT) AS served_tokens,
+                  CAST((CAST(greatest(0, least(cap, budget - bef))
+                             AS HUGEINT) * 1000000)
+                       // CAST(n_tokens AS HUGEINT) AS BIGINT)
+                    AS epochs_micros,
+                  budget
+           FROM c ORDER BY source""",
+      "q283_tokenizer_fertility" -> unigramFertilityOracle(rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4),
+      "q285_curation_pipeline_v6" -> {
+        val patRows = spamPatterns.map(p => s"('$p')").mkString(", ")
+        s"""WITH lk AS (
+             SELECT doc_id FROM (
+               WITH ${langIdTrainedCtes}
+               SELECT b.doc_id, b.trained_lang FROM best b WHERE b.rn = 1) t
+             WHERE trained_lang = 'en'
+           ), rp AS (
+             SELECT doc_id FROM ($repetitionGateOracle) t WHERE gopher_keep
+           ), bl AS (
+             SELECT d.doc_id
+             FROM documents d CROSS JOIN (VALUES $patRows) AS p(pattern)
+             GROUP BY d.doc_id
+             HAVING sum(CAST((length(lower(d.text))
+                          - length(replace(lower(d.text), p.pattern, '')))
+                        // length(p.pattern) AS BIGINT)) < 1
+           ), clean AS (
+             SELECT d.doc_id, d.text
+             FROM documents d
+             JOIN lk ON lk.doc_id = d.doc_id
+             JOIN rp ON rp.doc_id = d.doc_id
+             JOIN bl ON bl.doc_id = d.doc_id
+           ), ${dsirCtes("clean")}
+           , sel AS (
+             SELECT doc_id
+             FROM (SELECT doc_id,
+                     weight_micros + gumbel_micros AS key_micros
+                   FROM g ORDER BY key_micros DESC, doc_id LIMIT 150)
+           ), seldoc AS MATERIALIZED (
+             SELECT doc_id, text,
+                    CASE WHEN hs < 90 THEN 'train'
+                         WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+             FROM (SELECT sel.doc_id, c.text,
+                     ('0x' || substr(md5('graft:' || md5(c.text)),
+                       1, 14))::BIGINT % 100 AS hs
+                   FROM sel JOIN clean c ON c.doc_id = sel.doc_id) q
+           ),
+           ${unigramPrefixCtes(2, 4, 128, 12, src = "seldoc")},
+           ${unigramPackTailSql(2, 4, 12, 512, src = "seldoc")}"""
+      })
 
 }

@@ -1051,8 +1051,10 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
     * directly off the board (R15HnswProbe: 0.915+ vs 0.365). */
   private[graft] def q280(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val g = Ann.nnDescentGraph(e, "vec_id", "embedding",
-      degree = 16, rounds = 2, salt = "nnd")
+    // memoized: the streaming serve gate (q284) walks the SAME frozen
+    // index, so the build runs once per application
+    val g = Ann.nnDescentGraphMemo(s, dir, degree = 16, rounds = 2,
+      salt = "nnd")
     Ann.graphBeamTopK(g, e.filter(col("vec_id") % 50 === 0), e,
         "vec_id", "embedding", beam = 16, hops = 4, topK = 5)
       .orderBy("q_id", "rank")

@@ -546,4 +546,19 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .select(col("cell"), col("vec_id"), col("version"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .orderBy("cell", "vec_id", "version", "sub")
+
+  /** Streaming graph-ANN serving
+    * ([[StreamOps.runStreamingGraphServeAvailableNow]]): q280's
+    * fixed-hop beam walk over the FROZEN NN-descent index, run inside
+    * each query micro-batch — the serving half of the graph tier,
+    * beside q150 (cascade serving) and q279 (index maintenance). The
+    * walk is stateless given the frozen graph, so streaming ≡ batch
+    * per query by construction; the oracle replays the q280 chain
+    * over the full query set and derives the wave from the id.
+    * Exact ranks stay inside the hashed result (graph recall measured
+    * at serve time, per wave). */
+  private[graft] def q284(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingGraphServeAvailableNow(s, dir,
+        degree = 16, rounds = 2, beam = 16, hops = 4, topK = 5)
+      .orderBy("q_id", "rank")
 }

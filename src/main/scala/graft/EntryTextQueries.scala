@@ -1405,4 +1405,77 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         pruneNum = 1, pruneDen = 4)
       .orderBy("piece")
 
+  /** CCNet perplexity bucketing
+    * ([[graft.operators.TextAnalysis.perplexityBuckets]]): the
+    * head/middle/tail quality partition every CommonCrawl-derived
+    * corpus ships with (CCNet, RedPajama, FineWeb all publish these
+    * slices). The q243 Stupid Backoff LM (trained on the 90% split)
+    * scores the held-out 10%, the per-trigram NLL is exact-integer
+    * length-normalized, and each SOURCE is cut into equal terciles.
+    * One row per (source, bucket): doc count, trigram mass, the NLL
+    * range the bucket spans, and an md5 over the ordered member ids
+    * — so the hash certifies the LM, the normalization, the tercile
+    * boundaries, AND the membership. The oracle retrains the LM
+    * (q243's chain), replays the same window, and re-cuts. */
+  private[graft] def q281(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // salted-hash 1/10 holdout, NOT doc_id % 10: doc_id blocks
+    // correlate with source in the testdata, so the modulo split
+    // would leave most sources with zero held-out docs
+    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
+    val train = docs.filter(!hold).select(col("doc_id"), col("text"))
+    val held = docs.filter(hold).select(col("doc_id"), col("text"))
+    val scored = TextAnalysis.stupidBackoffScore(train, held,
+        "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    TextAnalysis.perplexityBuckets(scored, "source", "doc_id")
+      .groupBy(col("source"), col("ppl_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trigrams")).as("n_trigrams"),
+        min(col("nll_per_tri_nanos")).as("min_nll_nanos"),
+        max(col("nll_per_tri_nanos")).as("max_nll_nanos"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("ids_md5"))
+      .orderBy("source", "ppl_bucket")
+  }
+
+  /** Tokenizer FERTILITY audit per source — the tokens-per-word /
+    * chars-per-token table every tokenizer paper publishes, measured
+    * for the PRODUCTION trainer (q277's pruned shrink loop) on its
+    * own corpus: per source, word/char/piece masses plus the exact
+    * integer ratios `pieces_per_word_micros` and
+    * `chars_per_piece_micros`. High fertility on a domain means the
+    * tokenizer serves that domain badly (more pieces per word =
+    * fewer effective context tokens) — THE acceptance gate before a
+    * vocabulary ships. The oracle retrains the pruned tokenizer,
+    * replays every encode DP cell, and re-derives the same rollup;
+    * encode is the fused q268 projection under the PRUNED costs (new
+    * coverage: q268 encodes under the fixed-V vocabulary). */
+  private[graft] def q283(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = UnigramLm.trainViterbiEmPruned(docs, "text", rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4)
+      .select(col("piece"), col("w_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    UnigramLm.encodeStats(docs, "doc_id", "text",
+        vocab.map(_._1).toSeq, vocab.map(_._2).toSeq,
+        maxPieceLen = 4, maxWordLen = 12)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("char_tokens")).as("char_tokens"),
+        sum(col("unigram_tokens")).as("unigram_tokens"),
+        sum(col("cost_micros")).as("cost_micros"))
+      .withColumn("pieces_per_word_micros",
+        expr("(unigram_tokens * 1000000L) div n_words"))
+      .withColumn("chars_per_piece_micros",
+        expr("(char_tokens * 1000000L) div unigram_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("char_tokens"), col("unigram_tokens"), col("cost_micros"),
+        col("pieces_per_word_micros"), col("chars_per_piece_micros"))
+      .orderBy("source")
+  }
+
 }

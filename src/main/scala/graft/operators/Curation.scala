@@ -377,6 +377,44 @@ object Curation {
       .drop("__start")
   }
 
+  /** Data-constrained EPOCH ALLOCATION (the Muennighoff et al. 2023
+    * repetition recipe): given per-key token masses, a quality
+    * ordering, a token budget, and a maximum repeat count, fill the
+    * budget greedily in quality order — each key serves up to
+    * `maxEpochs` full epochs of its tokens; the key that straddles
+    * the budget boundary serves a FRACTIONAL epoch; everything after
+    * it serves zero. This is how a data-constrained pretraining run
+    * actually spends its budget: repeat the cleanest sources up to
+    * ~4 epochs before touching the noisier tail.
+    *
+    * All arithmetic is exact: the cumulative fill is an integer
+    * prefix sum, the fractional epoch is `served·10⁶ div n_tokens`
+    * computed in Decimal(38,0) (token masses at 100 TB overflow the
+    * `served·10⁶` Long product). Input rows are one per KEY
+    * (catalog-sized by contract), so the rank/prefix-sum global
+    * window sorts a handful of rows, never the corpus. Expects
+    * `budgetCol` already crossed on (a 1-row broadcast). */
+  def epochAllocation(srcStats: DataFrame, keyCol: String,
+      tokenCol: String, qualityCol: String, budgetCol: String,
+      maxEpochs: Int): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(qualityCol), col(keyCol))
+    val cumW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    srcStats
+      .withColumn("__cap", col(tokenCol) * lit(maxEpochs.toLong))
+      .withColumn("q_rank", row_number().over(w).cast("long"))
+      .withColumn("__before", coalesce(sum(col("__cap")).over(cumW), lit(0L)))
+      .withColumn("served_tokens",
+        greatest(lit(0L), least(col("__cap"), col(budgetCol) - col("__before"))))
+      .withColumn("epochs_micros",
+        coalesce(expr(
+          s"cast((cast(served_tokens as decimal(38,0)) * 1000000) div " +
+            s"cast($tokenCol as decimal(38,0)) as long)"), lit(0L)))
+      .drop("__cap", "__before")
+  }
+
   /** Deterministic training-order shuffle + sharding — the last stage
     * before a corpus ships to a trainer: every row gets a `shard`
     * (uniform over nShards via the salted 56-bit hash) and a `pos`

@@ -477,6 +477,43 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * scored document by its LENGTH-NORMALIZED language-model negative
+    * log-likelihood and cut each group (source/language) into equal
+    * head/middle/tail terciles — head = "looks most like the reference
+    * corpus", the slice CCNet keeps for pretraining; tail = the noise
+    * slice it drops. Input is [[stupidBackoffScore]]'s per-doc output
+    * joined with the grouping column.
+    *
+    * All arithmetic is exact: `nll_per_tri_nanos =
+    * (-logprob_micros · 1000) div n_trigrams` — both operands
+    * non-negative (Stupid Backoff scores are log-probabilities of
+    * ratios ≤ 1), so Spark's truncating `div` ≡ DuckDB's `//` floor.
+    * Tercile = `((rank−1)·3) div groupSize` over a rank ordered by
+    * (nll asc, id asc) — deterministic, no doubles anywhere.
+    *
+    * Scale shape: one window partitioned by the GROUP key (never
+    * global), over rows that are already one-per-doc aggregates. At
+    * 100 TB the per-source rank is the only shuffle and it moves one
+    * row per document, not the corpus text. */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = scored.withColumn("nll_per_tri_nanos",
+      expr(s"((-logprob_micros) * 1000L) div n_trigrams"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("nll_per_tri_nanos"), col(idCol))
+    nll
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))))
+      .withColumn("ppl_bucket",
+        when((col("__rn") - 1) * 3 < col("__n"), lit("head"))
+          .when((col("__rn") - 1) * 3 < col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rn", "__n")
+  }
+
   /** [[stupidBackoffScore]] served from COUNT-MIN SKETCHES — the
     * bounded-memory LM path at extreme scale: the exact trigram
     * table grows with the corpus (CommonCrawl-scale counts run to

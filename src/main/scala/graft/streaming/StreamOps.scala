@@ -2210,6 +2210,63 @@ object StreamOps {
         col("doc_id").as("vec_id"), col("version"), col("codes"))
   }
 
+  /** STREAMING GRAPH-ANN SERVING — the q150 retrieval-cascade posture
+    * for the graph tier: the NN-descent index (edge frame + corpus
+    * vectors) is FROZEN state built once before the stream opens
+    * ([[graft.operators.Ann.nnDescentGraphMemo]] — shared with q280's
+    * batch board, so the board trains the index exactly once); each
+    * query wave runs the fixed-hop beam walk inside its micro-batch
+    * and appends. The walk is STATELESS given the frozen graph, so
+    * batch ≡ streaming per query by construction — the oracle replays
+    * the full query set through the q280 chain and derives the wave
+    * from the id. At crawl rate this is the serving half of an
+    * LSM-style vector index: queries stream, the graph refreshes on
+    * compaction (the q279 maintenance contract's read side). */
+  def runStreamingGraphServeAvailableNow(spark: SparkSession, dir: String,
+      degree: Int, rounds: Int, beam: Int, hops: Int,
+      topK: Int): DataFrame = {
+    val staging = stagedDir("graphserve", dir) { st =>
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0)
+      stageVersionFile(qs.filter(col("vec_id") % 100 === 0)
+        .select(lit(0L).as("wave"), col("vec_id"), col("embedding")),
+        s"$st/w0.parquet")
+      stageVersionFile(qs.filter(col("vec_id") % 100 =!= 0)
+        .select(lit(1L).as("wave"), col("vec_id"), col("embedding")),
+        s"$st/w1.parquet")
+    }
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val graph = graft.operators.Ann.nnDescentGraphMemo(
+      spark, dir, degree, rounds)
+    val sch = spark.read.parquet(s"$staging/w0.parquet").schema
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_graphserve_run_").toString
+    val outDir = s"$work/out"
+    withoutSuccessMarkers(spark) {
+      val src = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/*.parquet")
+      val query = src.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          graft.operators.Ann.graphBeamTopK(graph,
+              b.select(col("vec_id"), col("embedding")), corpus,
+              "vec_id", "embedding", beam, hops, topK)
+            .join(b.select(col("vec_id").as("q_id"), col("wave")),
+              Seq("q_id"))
+            .select(col("wave"), col("q_id"), col("rank"),
+              col("vec_id"), col("dist2"), col("exact_rank"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** STREAMING CDC MERGE — the delete-aware sibling of
     * [[embeddingUpsert]], closing the §2.9 gap that no streaming
     * operator handled tombstones: each micro-batch of

@@ -613,4 +613,18 @@ class AnnSpec extends SparkSpec with Matchers {
     ex.getMessage should include("m*subDim")
   }
 
+  test("nnDescentGraphMemo: memoized == fresh edge set, second call serves the same frame") {
+    val dir = "/root/testdata/sf0.001"
+    val fresh = Ann.nnDescentGraph(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")),
+        "vec_id", "embedding", degree = 16, rounds = 2, salt = "nnd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m1 = Ann.nnDescentGraphMemo(spark, dir, degree = 16, rounds = 2)
+    val m2 = Ann.nnDescentGraphMemo(spark, dir, degree = 16, rounds = 2)
+    m1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe fresh
+    (m2 eq m1) shouldBe true // the memo returns the SAME pinned frame
+  }
+
 }

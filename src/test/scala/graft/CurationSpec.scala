@@ -411,4 +411,34 @@ class CurationSpec extends SparkSpec with Matchers {
     t07("big") should be < t1("big")
   }
 
+  test("epochAllocation: greedy quality-ordered fill, fractional boundary epoch, exact micros") {
+    import org.apache.spark.sql.functions._
+    // quality order: a (q=1), b (q=2), c (q=3); budget 50, cap 4 epochs
+    val stats = Seq(("a", 10L, 1L), ("b", 5L, 2L), ("c", 8L, 3L))
+      .toDF("src", "n_tokens", "q")
+      .withColumn("budget", lit(50L))
+    val out = Curation.epochAllocation(stats, "src", "n_tokens", "q",
+        "budget", maxEpochs = 4)
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("q_rank"), r.getAs[Long]("served_tokens"),
+          r.getAs[Long]("epochs_micros")))).toMap
+    out("a") shouldBe ((1L, 40L, 4000000L))   // full 4 epochs
+    out("b") shouldBe ((2L, 10L, 2000000L))   // fractional: 10/5 = 2 epochs
+    out("c") shouldBe ((3L, 0L, 0L))          // budget exhausted
+    // budget larger than every cap -> everyone serves maxEpochs
+    val rich = Curation.epochAllocation(
+        stats.withColumn("budget", lit(1000L)), "src", "n_tokens", "q",
+        "budget", maxEpochs = 4)
+      .collect().map(r => r.getAs[String]("src") ->
+        r.getAs[Long]("epochs_micros")).toMap
+    rich.values.toSet shouldBe Set(4000000L)
+    // exact fractional division: budget 45 -> b serves 5 of cap 20
+    val frac = Curation.epochAllocation(
+        stats.withColumn("budget", lit(45L)), "src", "n_tokens", "q",
+        "budget", maxEpochs = 4)
+      .collect().map(r => r.getAs[String]("src") ->
+        r.getAs[Long]("epochs_micros")).toMap
+    frac("b") shouldBe 1000000L // 5*1e6 div 5
+  }
+
 }

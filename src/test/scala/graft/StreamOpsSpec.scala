@@ -941,4 +941,30 @@ class StreamOpsSpec extends SparkSpec with Matchers {
       .map(_.getLong(0)).toSet
   }
 
+  test("streaming graph-ANN serve equals the batch beam walk per query (frozen index, sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runStreamingGraphServeAvailableNow(spark, dir,
+        degree = 16, rounds = 2, beam = 16, hops = 4, topK = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("wave"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("dist2"), r.getAs[Long]("exact_rank")))).toMap
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val g = graft.operators.Ann.nnDescentGraphMemo(spark, dir,
+      degree = 16, rounds = 2)
+    val batch = graft.operators.Ann.graphBeamTopK(g,
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", beam = 16, hops = 4, topK = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("q_id") % 100 match {
+           case 0 => 0L; case _ => 1L
+         }, r.getAs[Long]("vec_id"),
+          r.getAs[Long]("dist2"), r.getAs[Long]("exact_rank")))).toMap
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
 }

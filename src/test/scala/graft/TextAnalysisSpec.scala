@@ -606,4 +606,33 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     r.getAs[Long]("top2_mass_micros") shouldBe 2L * 3L * 1000000L / 9L
   }
 
+  test("perplexityBuckets: equal terciles, NLL-monotone, exact normalization") {
+    // 9 docs in one source, NLL proxy: logprob_micros = -k*1e6 over k
+    // trigrams -> nll_per_tri_nanos = 1e9 for all? No: vary the rate.
+    val scored = Seq(
+      (1L, "s", 2L, -2000000L),  // 1e9 nanos/tri
+      (2L, "s", 2L, -4000000L),  // 2e9
+      (3L, "s", 2L, -6000000L),  // 3e9
+      (4L, "s", 2L, -8000000L),  // 4e9
+      (5L, "s", 2L, -10000000L), // 5e9
+      (6L, "s", 2L, -12000000L), // 6e9
+      (7L, "s", 2L, -14000000L), // 7e9
+      (8L, "s", 2L, -16000000L), // 8e9
+      (9L, "s", 3L, -10000000L)  // 10/3 e9 -> 3333333333 (floor)
+    ).toDF("doc_id", "source", "n_trigrams", "logprob_micros")
+    val out = TextAnalysis.perplexityBuckets(scored, "source", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("nll_per_tri_nanos"), r.getAs[String]("ppl_bucket")))
+      .sortBy(_._1).toSeq
+    out.find(_._1 == 9L).get._2 shouldBe (10000000L * 1000L) / 3L
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    byBucket("head") shouldBe Set(1L, 2L, 3L)
+    byBucket("middle") shouldBe Set(9L, 4L, 5L) // 3.33e9 sorts before 4e9
+    byBucket("tail") shouldBe Set(6L, 7L, 8L)
+    // monotone: max head nll <= min middle nll <= ... holds by rank order
+    val nll = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    nll("head").max should be <= nll("middle").min
+    nll("middle").max should be <= nll("tail").min
+  }
+
 }
