@@ -1137,4 +1137,28 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     packTokenIds(s, pinned, vocab)
   }
 
+  /** DoReMi-lite domain reweighting
+    * ([[graft.operators.Curation.doremiWeights]]): the iterative
+    * trained-mixture stage the selection spine lacked — every doc
+    * scored once under the q281 LM (trained on the hash-90%, scoring
+    * EVERYTHING), then 3 Group-DRO multiplicative-weight rounds with
+    * selection feedback over the per-source hardest slices. Output is
+    * the weight trajectory: (source, round, w_micros, share_micros) —
+    * the mixture a DoReMi-guided pretraining run would sample from,
+    * with every round's arithmetic exact inside the hash. The oracle
+    * retrains the LM and replays all three rounds unrolled. */
+  private[graft] def q286(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
+    val perDoc = graft.operators.TextAnalysis.stupidBackoffScore(
+        docs.filter(!hold).select(col("doc_id"), col("text")),
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .withColumn("nll",
+        expr("((-logprob_micros) * 1000L) div n_trigrams"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.operators.Curation.doremiWeights(perDoc, "source", "doc_id",
+        "nll", rounds = 3, etaDen = 2000L)
+      .orderBy("source", "round")
+  }
+
 }

@@ -1998,6 +1998,70 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM st GROUP BY split, (gpos - 1) // $budget
        ORDER BY split, seq_id"""
 
+  /** q286's oracle: retrain the scoring LM over the hash-90%, score
+    * every doc, then replay the DoReMi-lite rounds unrolled — each
+    * round one per-source hardest-slice rank (`sel_r`), per-source
+    * and global emphasized means, and the clamped multiplicative
+    * update. Negative-division parity: the step uses the
+    * `(x + SHIFT) // d − SHIFT/d` floor form, which equals Scala's
+    * `Math.floorDiv` for any sign of x (SHIFT chosen divisible by
+    * etaDen). */
+  private[graft] def doremiOracle(rounds: Int, etaDen: Long,
+      stepCap: Long): String = {
+    val SHIFT = 10000000000000L
+    require(SHIFT % etaDen == 0, "etaDen must divide the floor shift")
+    val shiftDiv = SHIFT / etaDen
+    val roundCtes = (1 to rounds).map { r =>
+      s"""sel$r AS (
+           SELECT source, nll FROM (
+             SELECT d0.source, d0.nll,
+                    row_number() OVER (PARTITION BY d0.source
+                      ORDER BY d0.nll DESC, d0.doc_id) AS rn,
+                    greatest(1, (c.n * w.w) // 1000000) AS k
+             FROM d0
+             JOIN cnt c ON c.source = d0.source
+             JOIN w${r - 1} w ON w.source = d0.source) t
+           WHERE rn <= k
+         ), a$r AS (
+           SELECT source, CAST(sum(nll) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM sel$r GROUP BY source
+         ), g$r AS (
+           SELECT CAST(sum(s) AS BIGINT) AS gs,
+                  CAST(sum(c) AS BIGINT) AS gc FROM a$r
+         ), w$r AS MATERIALIZED (
+           SELECT a.source,
+                  CAST(greatest(1, least(1000000,
+                    (w.w * (1000000 + greatest(-$stepCap, least($stepCap,
+                      ((a.s // a.c) - (g.gs // g.gc) + $SHIFT) // $etaDen
+                        - $shiftDiv)))) // 1000000)) AS BIGINT) AS w
+           FROM a$r a JOIN w${r - 1} w ON w.source = a.source
+           CROSS JOIN g$r g
+         )"""
+    }.mkString(", ")
+    val unionSel = (1 to rounds).map { r =>
+      s"""SELECT source, CAST($r AS BIGINT) AS round,
+              w AS w_micros,
+              CAST((w * 1000000)
+                   // (SELECT CAST(sum(w) AS BIGINT) FROM w$r)
+                   AS BIGINT) AS share_micros
+          FROM w$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${sbScoreCtes("TRUE")},
+       d0 AS MATERIALIZED (
+         SELECT sc.doc_id, d.source,
+                CAST(((-sc.lp_micros) * 1000) // sc.n_trigrams
+                     AS BIGINT) AS nll
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       ), cnt AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n
+         FROM d0 GROUP BY source
+       ), w0 AS (
+         SELECT source, CAST(1000000 AS BIGINT) AS w FROM cnt
+       ), $roundCtes
+       SELECT * FROM ($unionSel) u ORDER BY source, round"""
+  }
+
   /** The encode+pack tail for a corpus whose relation CARRIES its own
     * `split` column (the v6 capstone's selected corpus): the q275
     * encode-DP/backtrack/id-assignment/packing machinery, minus the
@@ -4344,8 +4408,12 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * holdout is the SALTED-HASH 1/10 sample (not q243's `doc_id %
     * 10`): doc_id blocks correlate with `source` in the testdata, so
     * the modulo split would leave most sources without held-out
-    * docs — the hash split covers every source uniformly. */
+    * docs — the hash split covers every source uniformly.
+    * [[sbScoreCtes]] generalizes the SCORED set (q286 scores every
+    * doc under the same 90% model). */
   private[graft] val sbHeldoutCtes: String =
+    sbScoreCtes(s"${splitHashSql("ppl", 10)} < 1")
+  private[graft] def sbScoreCtes(scoreWhere: String): String =
     s"""tr AS (
          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
                             t -> t <> '') AS ts
@@ -4373,7 +4441,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          SELECT doc_id,
                 list_filter(string_split_regex(lower(text), '\\s+'),
                             t -> t <> '') AS ts
-         FROM documents WHERE ${splitHashSql("ppl", 10)} < 1
+         FROM documents WHERE $scoreWhere
        ), pd AS (
          SELECT doc_id, g.u AS u, g.v AS v, g.w AS w,
                 CAST(count(*) AS BIGINT) AS c

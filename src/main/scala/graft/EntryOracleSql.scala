@@ -4760,6 +4760,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            ),
            ${unigramPrefixCtes(2, 4, 128, 12, src = "seldoc")},
            ${unigramPackTailSql(2, 4, 12, 512, src = "seldoc")}"""
-      })
+      },
+      "q286_doremi_mixture" -> doremiOracle(rounds = 3, etaDen = 2000L,
+        stepCap = 500000L))
 
 }

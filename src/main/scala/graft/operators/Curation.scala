@@ -415,6 +415,77 @@ object Curation {
       .drop("__cap", "__before")
   }
 
+  /** DoReMi-LITE domain reweighting (Xie et al. 2023, the certifiable
+    * slice): Group-DRO-flavored multiplicative weights over domains,
+    * iterated with SELECTION FEEDBACK under a FROZEN per-doc proxy
+    * loss. Each round, domain d's emphasized slice is its hardest
+    * `max(1, n_d·w_d div 10⁶)` docs by loss (DRO emphasizes high
+    * loss); the domain's excess = mean emphasized loss − global mean
+    * emphasized loss; the weight updates multiplicatively
+    * `w ← clamp(w·(10⁶ + step) div 10⁶, 1, 10⁶)` with
+    * `step = clamp(floor(excess / etaDen), ±stepCap)`. Rounds
+    * genuinely interact: a down-weighted domain's slice narrows to
+    * its hardest docs, raising its measured mean back up — the DRO
+    * self-correction that keeps easy domains from collapsing to
+    * zero. (Full DoReMi retrains the proxy under the current
+    * mixture; the frozen-proxy + selection-feedback slice keeps
+    * every round exact integer arithmetic a DuckDB oracle replays
+    * unrolled.)
+    *
+    * Weights are driver-paced parameter state (the BPE-merge-table
+    * posture): per round, ONE catalog-sized per-domain aggregate is
+    * collected; the corpus-sized frame is pinned once. Returns long
+    * form (group, round, w_micros, share_micros) — share is the
+    * round's normalized mixture. */
+  def doremiWeights(perDoc: DataFrame, groupCol: String, idCol: String,
+      lossCol: String, rounds: Int, etaDen: Long,
+      stepCap: Long = 500000L): DataFrame = {
+    require(rounds >= 1 && etaDen > 0 && stepCap > 0,
+      "rounds, etaDen, stepCap must be positive")
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val pinned = perDoc.select(col(groupCol).as("__g"),
+        col(idCol).as("__id"), col(lossCol).as("__loss"))
+      .localCheckpoint(true)
+    val counts = pinned.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val domains = counts.keys.toSeq.sorted
+    var w = domains.map(_ -> 1000000L).toMap
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+      .orderBy(col("__loss").desc, col("__id"))
+    for (_ <- 1 to rounds) {
+      val wDf = domains.map(d => (d, w(d), counts(d)))
+        .toDF("__g", "__w", "__n")
+      val sel = pinned.join(broadcast(wDf), Seq("__g"))
+        .withColumn("__k",
+          greatest(lit(1L), expr("(__n * __w) div 1000000")))
+        .withColumn("__rn", row_number().over(rankW).cast("long"))
+        .filter(col("__rn") <= col("__k"))
+      val stats = sel.groupBy(col("__g"))
+        .agg(sum(col("__loss")).as("__s"), count(lit(1)).as("__c"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val gs = stats.values.map(_._1).sum
+      val gc = stats.values.map(_._2).sum
+      val mg = gs / gc // losses non-negative: / == floor in both engines
+      w = domains.map { d =>
+        val (sD, cD) = stats(d)
+        val step0 = Math.floorDiv(sD / cD - mg, etaDen)
+        val step = Math.max(-stepCap, Math.min(stepCap, step0))
+        d -> Math.max(1L, Math.min(1000000L,
+          w(d) * (1000000L + step) / 1000000L))
+      }.toMap
+      hist += w
+    }
+    hist.zipWithIndex.flatMap { case (wr, i) =>
+      val tot = domains.map(wr).sum
+      domains.map(d =>
+        (d, (i + 1).toLong, wr(d), wr(d) * 1000000L / tot))
+    }.toSeq.toDF(groupCol, "round", "w_micros", "share_micros")
+  }
+
   /** Deterministic training-order shuffle + sharding — the last stage
     * before a corpus ships to a trainer: every row gets a `shard`
     * (uniform over nShards via the salted 56-bit hash) and a `pos`

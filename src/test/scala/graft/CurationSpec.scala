@@ -441,4 +441,43 @@ class CurationSpec extends SparkSpec with Matchers {
     frac("b") shouldBe 1000000L // 5*1e6 div 5
   }
 
+  test("doremiWeights: hand-computed multiplicative rounds with selection feedback") {
+    import org.apache.spark.sql.functions._
+    // domain a: losses {2000, 2000}; domain b: {0, 0}; etaDen=1
+    val perDoc = Seq(
+      ("a", 1L, 2000L), ("a", 2L, 2000L),
+      ("b", 3L, 0L), ("b", 4L, 0L)
+    ).toDF("src", "id", "loss")
+    val out = Curation.doremiWeights(perDoc, "src", "id", "loss",
+        rounds = 2, etaDen = 1L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("round")) ->
+        r.getAs[Long]("w_micros")).toMap
+    // r1: everyone selected; m_a=2000, m_b=0, mg=1000
+    //   a: step +1000 -> clamped at 1e6; b: step -1000 -> 999000
+    out(("a", 1L)) shouldBe 1000000L
+    out(("b", 1L)) shouldBe 999000L
+    // r2: k_b = (2*999000) div 1e6 = 1 -> b's hardest doc (loss 0)
+    //   mg = 4000/3 = 1333; a: +667 clamped; b: step -1333 ->
+    //   999000*998667 div 1e6 = 997668
+    out(("a", 2L)) shouldBe 1000000L
+    out(("b", 2L)) shouldBe 997668L
+    // selection feedback: a domain whose HARDEST doc dominates keeps
+    // its weight once its slice narrows — b'={5000,0} has mean 2500
+    // (> a's 2000), so b' never shrinks and a shrinks instead
+    val fb = Curation.doremiWeights(Seq(
+        ("a", 1L, 2000L), ("a", 2L, 2000L),
+        ("b", 3L, 5000L), ("b", 4L, 0L)
+      ).toDF("src", "id", "loss"), "src", "id", "loss",
+        rounds = 1, etaDen = 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("w_micros")).toMap
+    fb("b") shouldBe 1000000L
+    fb("a") should be < 1000000L
+    // share normalizes each round to ~1e6 total
+    val shares = Curation.doremiWeights(perDoc, "src", "id", "loss",
+        rounds = 1, etaDen = 1L)
+      .collect().map(_.getAs[Long]("share_micros")).sum
+    shares should be <= 1000000L
+    shares should be > 999990L
+  }
+
 }
