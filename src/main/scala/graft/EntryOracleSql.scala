@@ -4762,6 +4762,44 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            ${unigramPackTailSql(2, 4, 12, 512, src = "seldoc")}"""
       },
       "q286_doremi_mixture" -> doremiOracle(rounds = 3, etaDen = 2000L,
-        stepCap = 500000L))
+        stepCap = 500000L),
+      "q287_stream_quota_gate" ->
+        """WITH counts AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7) * 1e6)
+                         AS BIGINT) AS weight_micros
+             FROM documents GROUP BY source
+           ), tot AS (
+             SELECT CAST(sum(weight_micros) AS BIGINT) AS t FROM counts
+           ), b AS (
+             SELECT source, n_docs, weight_micros,
+                    (123 * weight_micros) // t AS base,
+                    123 * weight_micros
+                      - ((123 * weight_micros) // t) * t AS rem
+             FROM counts, tot
+           ), l AS (SELECT CAST(123 - sum(base) AS BIGINT) AS lft FROM b),
+           r AS (
+             SELECT source, base,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rk
+             FROM b
+           ), q AS (
+             SELECT source,
+                    CAST(base + CASE WHEN rk <= (SELECT lft FROM l)
+                                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+             FROM r
+           ), dd AS (
+             SELECT doc_id, source, (doc_id // 20) % 2 AS wave
+             FROM documents
+           ), rr AS (
+             SELECT doc_id, source, wave,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY wave, doc_id) AS rn
+             FROM dd
+           )
+           SELECT rr.doc_id, rr.source, CAST(rr.wave AS BIGINT) AS wave,
+                  rn <= q.quota AS admitted,
+                  CAST(CASE WHEN rn <= q.quota THEN rn ELSE 0 END
+                       AS BIGINT) AS adm_rank
+           FROM rr JOIN q USING (source) ORDER BY doc_id""")
 
 }

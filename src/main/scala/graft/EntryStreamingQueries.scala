@@ -561,4 +561,19 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
     StreamOps.runStreamingGraphServeAvailableNow(s, dir,
         degree = 16, rounds = 2, beam = 16, hops = 4, topK = 5)
       .orderBy("q_id", "rank")
+
+  /** Streaming mixture-QUOTA admission gate
+    * ([[StreamOps.streamingQuotaGate]]): q261's temperature quotas
+    * (budget 123, α = 0.7 — the identical fitted table) enforced at
+    * ingest with one admitted-counter per source as streaming state.
+    * Wave 2 docs of a source whose quota wave 1 already filled are
+    * rejected ON ARRIVAL — admission position and the reject flag
+    * both inside the hash. The oracle refits the quota chain and
+    * replays admission as a per-source (wave, doc_id) rank. */
+  private[graft] def q287(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingQuotaGateAvailableNow(s, dir,
+        budget = 123L, alpha = 0.7)
+      .select(col("doc_id"), col("source"), col("wave"),
+        col("admitted"), col("adm_rank"))
+      .orderBy("doc_id")
 }

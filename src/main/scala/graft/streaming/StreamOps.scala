@@ -952,6 +952,79 @@ object StreamOps {
     spark.table(name)
   }
 
+  case class QuotaDoc(wave: Long, doc_id: Long, source: String)
+  case class QuotaSt(admitted: Long)
+  case class QuotaAdm(doc_id: Long, source: String, wave: Long,
+      admitted: Boolean, adm_rank: Long)
+
+  /** STREAMING mixture-QUOTA admission gate — q261's temperature
+    * quotas ENFORCED at ingest: the fitted per-source quota table is
+    * frozen state (the q272 posture), and each source carries one
+    * Long of streaming state — its running admitted count. A doc is
+    * admitted iff its source's count is still under quota;
+    * `adm_rank` is its admission position (0 when rejected).
+    * Arrival order is pinned (waves drain one file per trigger;
+    * within a batch the group folds in (wave, doc_id) order), so the
+    * oracle replays admission as one per-source rank against the
+    * same quota chain. This is how a crawl actually stops
+    * over-ingesting a dominant domain — the mixture is enforced
+    * BEFORE storage, not fixed afterwards. State per source: one
+    * counter, O(|sources|) total whatever the stream length. */
+  def streamingQuotaGate(docs: Dataset[QuotaDoc],
+      quotas: Map[String, Long]): Dataset[QuotaAdm] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaSt, QuotaAdm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[QuotaDoc], state: GroupState[QuotaSt]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val q = quotas.getOrElse(src, 0L)
+          val out = rows.toSeq.sortBy(r => (r.wave, r.doc_id)).map { r =>
+            if (n < q) {
+              n += 1
+              QuotaAdm(r.doc_id, src, r.wave, admitted = true, n)
+            } else QuotaAdm(r.doc_id, src, r.wave, admitted = false, 0L)
+          }
+          state.update(QuotaSt(n))
+          out.iterator
+      }
+  }
+
+  /** Drive [[streamingQuotaGate]]: fit q261's temperature quotas
+    * (quota ∝ n^α over the whole corpus — the frozen-model half),
+    * then admit the two crawl waves against them. */
+  def runStreamingQuotaGateAvailableNow(spark: SparkSession, dir: String,
+      budget: Long, alpha: Double): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val quotas = graft.operators.Curation.temperatureQuotas(
+        docs, "source", budget, alpha)
+      .select(col("source"), col("quota"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val staging = stagedDir("quotagate", dir) { st =>
+      val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
+        col("doc_id"), col("source"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("wave", LongType), StructField("doc_id", LongType),
+        StructField("source", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staging/*.parquet")
+    val name = s"graft_stream_quota_${runCounter.incrementAndGet()}"
+    val query = streamingQuotaGate(stream.as[QuotaDoc], quotas)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** STREAMING topic-mixture monitor: the q252 keyword tagger
     * ([[graft.operators.Blocklist.categorize]] — one Aho-Corasick
     * pass, stateless) applied per crawl-wave micro-batch, rolled up

@@ -967,4 +967,40 @@ class StreamOpsSpec extends SparkSpec with Matchers {
     streamed.nonEmpty shouldBe true
   }
 
+  test("streaming quota gate: admission equals the (wave, doc_id) rank replay; wave-2 arrivals rejected once wave-1 fills the quota") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamOps.runStreamingQuotaGateAvailableNow(spark, dir,
+        budget = 123L, alpha = 0.7).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("wave"),
+          r.getAs[Boolean]("admitted"), r.getAs[Long]("adm_rank")))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val quotas = graft.operators.Curation.temperatureQuotas(
+        docs, "source", 123L, 0.7)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    // batch replay: rank per source by (wave, doc_id)
+    val replay = docs.select(col("doc_id"), col("source"),
+        expr("(doc_id div 20) % 2").as("wave"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, i) =>
+          r._1 -> ((src, r._3, i + 1 <= quotas(src),
+            if (i + 1 <= quotas(src)) (i + 1).toLong else 0L))
+        }
+      }.toMap
+    out shouldBe replay
+    // every source admits exactly min(quota, n) docs
+    val admittedBySrc = out.values.groupBy(_._1)
+      .map { case (s, vs) => s -> vs.count(_._3).toLong }
+    admittedBySrc.foreach { case (s, n) =>
+      n shouldBe math.min(quotas(s),
+        out.values.count(_._1 == s).toLong)
+    }
+    // temporal correctness: some wave-1 doc is rejected while an
+    // EARLIER wave-0 doc of the same source was admitted
+    val rejectedW1 = out.values.exists(v => v._2 == 1L && !v._3)
+    rejectedW1 shouldBe true
+  }
+
 }
