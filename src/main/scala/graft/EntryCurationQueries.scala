@@ -1161,4 +1161,67 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("source", "round")
   }
 
+  /** PACKED-DELIVERY SHARD MANIFEST — the q120 manifest discipline
+    * over the q275 token-id sequences: one row per split shard with
+    * sequence/token/doc totals and `manifest_md5` over the ORDERED
+    * per-sequence id-stream digests — the single line a consumer
+    * checks before training on a shard. Chained digests: ids_md5
+    * pins each sequence's ordered token ids, manifest_md5 pins the
+    * sequence set AND order, so any drift anywhere in
+    * train→encode→pack breaks one top-level hash per shard. */
+  /** CORPUS DATASHEET v3 — the q269 card + the round-15 families as
+    * one-row fragments: corpus-wide tokenizer FERTILITY under the
+    * production pruned vocabulary (pieces-per-word /
+    * chars-per-piece, exact micros — the card's "how well does the
+    * shipped tokenizer fit this corpus" line) and the held-out LM
+    * QUALITY summary (held-out doc count, median/min/max per-trigram
+    * NLL under the q281 model — the card's perplexity line). Each
+    * fragment is one corpus pass, 1-row broadcast onto the card; the
+    * oracle retrains the pruned tokenizer AND the LM inside the same
+    * WITH chain. */
+  private[graft] def q289(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.operators.UnigramLm.trainViterbiEmPruned(docs,
+        "text", rounds = 2, maxPieceLen = 4, vocabCap = 128,
+        maxWordLen = 12, pruneNum = 1, pruneDen = 4)
+      .select(col("piece"), col("w_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val fert = graft.operators.UnigramLm.encodeStats(docs, "doc_id",
+        "text", vocab.map(_._1).toSeq, vocab.map(_._2).toSeq,
+        maxPieceLen = 4, maxWordLen = 12)
+      .agg(sum(col("n_words")).as("__w"),
+        sum(col("char_tokens")).as("__c"),
+        sum(col("unigram_tokens")).as("__u"))
+      .select(expr("(__u * 1000000L) div __w")
+          .as("fert_pieces_per_word_micros"),
+        expr("(__c * 1000000L) div __u")
+          .as("fert_chars_per_piece_micros"))
+    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
+    val lm = graft.operators.TextAnalysis.stupidBackoffScore(
+        docs.filter(!hold).select(col("doc_id"), col("text")),
+        docs.filter(hold).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .withColumn("nll",
+        expr("((-logprob_micros) * 1000L) div n_trigrams"))
+      .agg(count(lit(1)).as("lm_heldout_docs"),
+        expr("percentile(nll, 0.5)").as("lm_nll_p50"),
+        min(col("nll")).as("lm_nll_min"),
+        max(col("nll")).as("lm_nll_max"))
+    q269(s, dir)
+      .crossJoin(broadcast(fert))
+      .crossJoin(broadcast(lm))
+      .orderBy("n_docs")
+  }
+
+  private[graft] def q288(s: SparkSession, dir: String): DataFrame =
+    q275(s, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_sequences"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_docs_closed")).as("n_docs_closed"),
+        md5(array_join(transform(sort_array(collect_list(struct(
+            col("seq_id").as("s"), col("ids_md5").as("h")))),
+          x => x.getField("h")), "")).as("manifest_md5"))
+      .orderBy("split")
+
 }

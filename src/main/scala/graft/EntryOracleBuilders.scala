@@ -1719,7 +1719,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * `${P}fin` (word, n, cnt, s, np) and `${P}vc` (piece, vc) —
     * the exact replay of
     * [[graft.functions.UnigramSegmentExpr]]'s DP. */
-  private def unigramDpCtes(P: String, wCte: String,
+  private[graft] def unigramDpCtes(P: String, wCte: String,
       maxPieceLen: Int, maxWordLen: Int): String = {
     val dCtes = (1 to maxWordLen).map { i =>
       val branches = (1 to math.min(maxPieceLen, i)).map { k =>
@@ -1866,7 +1866,7 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     * of multi-char pieces by (viterbi count ASC, piece ASC), then the
     * add-one re-estimate over SURVIVORS only — the replay of
     * [[graft.operators.UnigramLm.trainViterbiEmPruned]]'s round. */
-  private def unigramPrunedRoundCtes(r: Int, maxPieceLen: Int,
+  private[graft] def unigramPrunedRoundCtes(r: Int, maxPieceLen: Int,
       maxWordLen: Int, pruneNum: Int, pruneDen: Int): String =
     s"""${unigramDpCtes(s"p${r}_", s"v${r - 1}", maxPieceLen, maxWordLen)},
        p${r}cnt AS (
@@ -2117,6 +2117,74 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
                 AS ids_md5
        FROM st GROUP BY split, (gpos - 1) // $budget
        ORDER BY split, seq_id"""
+
+  /** The q269 v2 fragment CTEs (top source-overlap pair, length
+    * quantiles, raw-text PII counts, near-dup cluster mass) + select
+    * list + FROM join list — shared verbatim by the q289 v3 card,
+    * which appends its fertility/LM fragments. */
+  private[graft] def datasheetV2FragCtes: String = {
+    val piiCounts = graft.operators.Scrub.piiPatterns
+      .map { case (cat, pat, _) =>
+        s"CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_pii_$cat"
+      }.mkString(",\n                ")
+    s"""shw AS (
+           SELECT source, string_split_regex(text, '\\s+') AS words
+           FROM documents
+         ), shc AS (
+           SELECT DISTINCT source, shingle FROM (
+             SELECT source, unnest(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[i:i+2], ' ')
+                          for i in range(1, len(words) - 1)]
+               END) AS shingle
+             FROM shw)
+         ), topov AS (
+           SELECT a.source AS top_ov_source_a, b.source AS top_ov_source_b,
+                  CAST(count(*) AS BIGINT) AS top_ov_n_common
+           FROM shc a JOIN shc b
+             ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY 1, 2
+           ORDER BY top_ov_n_common DESC, 1, 2 LIMIT 1
+         ), qnt AS (
+           SELECT quantile_cont(n_chars, 0.5) AS p50_chars,
+                  quantile_cont(n_chars, 0.9) AS p90_chars
+           FROM documents
+         ), pii AS (
+           SELECT $piiCounts FROM documents
+         ), ndw AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS words
+           FROM documents
+         ), ndsh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE [array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]
+             END) AS shingle
+           FROM ndw
+         ), ndsig AS (
+           SELECT doc_id, $minhashSigsSql FROM ndsh GROUP BY doc_id
+         ), nd0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs
+           FROM ndsig
+           GROUP BY sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7
+           HAVING count(*) > 1
+         ), nd AS (
+           SELECT CAST(coalesce(sum(n_docs - 1), 0) AS BIGINT)
+                    AS n_neardup_excess,
+                  CAST(count(*) AS BIGINT) AS n_neardup_clusters
+           FROM nd0
+         )"""
+  }
+
+  private[graft] def datasheetV2Select: String =
+    s"""$datasheetBaseSelect,
+                topov.top_ov_source_a, topov.top_ov_source_b,
+                topov.top_ov_n_common, qnt.p50_chars, qnt.p90_chars,
+                pii.*, nd.n_neardup_excess, nd.n_neardup_clusters"""
+
+  private[graft] val datasheetV2From: String =
+    """agg CROSS JOIN ts CROSS JOIN topov CROSS JOIN qnt
+              CROSS JOIN pii CROSS JOIN nd"""
 
   /** The q262 datasheet card's shared CTE chain (topic tagging via
     * replace arithmetic, the one-row corpus aggregate `agg`, the

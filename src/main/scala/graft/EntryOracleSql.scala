@@ -1235,67 +1235,12 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
       s"""WITH ${datasheetBaseCtes}
          SELECT $datasheetBaseSelect
          FROM agg CROSS JOIN ts ORDER BY n_docs""",
-    "q269_datasheet_v2" -> {
-      val piiCounts = graft.operators.Scrub.piiPatterns
-        .map { case (cat, pat, _) =>
-          s"CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_pii_$cat"
-        }.mkString(",\n                ")
+    "q269_datasheet_v2" ->
       s"""WITH ${datasheetBaseCtes},
-         shw AS (
-           SELECT source, string_split_regex(text, '\\s+') AS words
-           FROM documents
-         ), shc AS (
-           SELECT DISTINCT source, shingle FROM (
-             SELECT source, unnest(
-               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-                    ELSE [array_to_string(words[i:i+2], ' ')
-                          for i in range(1, len(words) - 1)]
-               END) AS shingle
-             FROM shw)
-         ), topov AS (
-           SELECT a.source AS top_ov_source_a, b.source AS top_ov_source_b,
-                  CAST(count(*) AS BIGINT) AS top_ov_n_common
-           FROM shc a JOIN shc b
-             ON a.shingle = b.shingle AND a.source < b.source
-           GROUP BY 1, 2
-           ORDER BY top_ov_n_common DESC, 1, 2 LIMIT 1
-         ), qnt AS (
-           SELECT quantile_cont(n_chars, 0.5) AS p50_chars,
-                  quantile_cont(n_chars, 0.9) AS p90_chars
-           FROM documents
-         ), pii AS (
-           SELECT $piiCounts FROM documents
-         ), ndw AS (
-           SELECT doc_id, string_split_regex(text, '\\s+') AS words
-           FROM documents
-         ), ndsh AS (
-           SELECT doc_id, unnest(
-             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-                  ELSE [array_to_string(words[i:i+2], ' ')
-                        for i in range(1, len(words) - 1)]
-             END) AS shingle
-           FROM ndw
-         ), ndsig AS (
-           SELECT doc_id, $minhashSigsSql FROM ndsh GROUP BY doc_id
-         ), nd0 AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_docs
-           FROM ndsig
-           GROUP BY sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7
-           HAVING count(*) > 1
-         ), nd AS (
-           SELECT CAST(coalesce(sum(n_docs - 1), 0) AS BIGINT)
-                    AS n_neardup_excess,
-                  CAST(count(*) AS BIGINT) AS n_neardup_clusters
-           FROM nd0
-         )
-         SELECT $datasheetBaseSelect,
-                topov.top_ov_source_a, topov.top_ov_source_b,
-                topov.top_ov_n_common, qnt.p50_chars, qnt.p90_chars,
-                pii.*, nd.n_neardup_excess, nd.n_neardup_clusters
-         FROM agg CROSS JOIN ts CROSS JOIN topov CROSS JOIN qnt
-              CROSS JOIN pii CROSS JOIN nd
-         ORDER BY n_docs"""
-    },
+         $datasheetV2FragCtes
+         SELECT $datasheetV2Select
+         FROM $datasheetV2From
+         ORDER BY n_docs""",
     "q261_temperature_mixture" ->
       """WITH counts AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -4800,6 +4745,48 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   rn <= q.quota AS admitted,
                   CAST(CASE WHEN rn <= q.quota THEN rn ELSE 0 END
                        AS BIGINT) AS adm_rank
-           FROM rr JOIN q USING (source) ORDER BY doc_id""")
+           FROM rr JOIN q USING (source) ORDER BY doc_id""",
+      "q288_packed_manifest" ->
+        s"""SELECT split,
+                  CAST(count(*) AS BIGINT) AS n_sequences,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_docs_closed) AS BIGINT) AS n_docs_closed,
+                  md5(string_agg(ids_md5, '' ORDER BY seq_id))
+                    AS manifest_md5
+           FROM (${unigramPackOracle(rounds = 2, maxPieceLen = 4,
+             vocabCap = 128, maxWordLen = 12, budget = 512)}) t
+           GROUP BY split ORDER BY split""",
+      "q289_datasheet_v3" ->
+        s"""WITH ${datasheetBaseCtes},
+           $datasheetV2FragCtes,
+           ${unigramSeedCtes(4, 128, 12)},
+           vocab0 AS (SELECT piece, c AS vc FROM vocab),
+           ${(1 to 2).map(r => unigramPrunedRoundCtes(r, 4, 12, 1, 4))
+             .mkString(", ")},
+           ${unigramDpCtes("e_", "v2", 4, 12)},
+           fert AS (
+             SELECT CAST((sum(f.np) * 1000000) // count(*) AS BIGINT)
+                      AS fert_pieces_per_word_micros,
+                    CAST((sum(length(dw.word)) * 1000000) // sum(f.np)
+                         AS BIGINT) AS fert_chars_per_piece_micros
+             FROM dw JOIN e_fin f ON f.word = dw.word
+           ),
+           ${sbHeldoutCtes},
+           lm AS (
+             SELECT CAST(count(*) AS BIGINT) AS lm_heldout_docs,
+                    quantile_cont(nll, 0.5) AS lm_nll_p50,
+                    CAST(min(nll) AS BIGINT) AS lm_nll_min,
+                    CAST(max(nll) AS BIGINT) AS lm_nll_max
+             FROM (SELECT CAST(((-lp_micros) * 1000) // n_trigrams
+                               AS BIGINT) AS nll FROM sc)
+           )
+           SELECT $datasheetV2Select,
+                  fert.fert_pieces_per_word_micros,
+                  fert.fert_chars_per_piece_micros,
+                  lm.lm_heldout_docs, lm.lm_nll_p50,
+                  lm.lm_nll_min, lm.lm_nll_max
+           FROM $datasheetV2From
+                CROSS JOIN fert CROSS JOIN lm
+           ORDER BY n_docs""")
 
 }

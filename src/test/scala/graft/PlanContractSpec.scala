@@ -78,6 +78,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q266_pq_recall_audit",   // four q257/q265-shaped boards, rolled up
     "q273_ivf_pq_rerank",     // q265's tiers + the exact refine tail
     "q269_datasheet_v2",      // 1-row fragment broadcasts onto the card, like q262
+    "q289_datasheet_v3",      // the q269 card + 1-row fertility/LM fragments
     "q259_hll_overlap",       // tiny group-list pair cross, broadcast
     "q261_temperature_mixture", // 1-row weight-total/leftover broadcasts, like q114
     "q262_corpus_datasheet",  // 1-row dominant-source broadcast onto the card
