@@ -1091,12 +1091,10 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     val ntok = size(filter(split(lower(col("text")), "\\s+"),
       t => t =!= "")).cast("long")
     val srcTok = docs.groupBy(col("source")).agg(sum(ntok).as("n_tokens"))
-    // the q281 salted-hash holdout (doc_id % 10 correlates with source)
-    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
-    val train = docs.filter(!hold).select(col("doc_id"), col("text"))
-    val held = docs.filter(hold).select(col("doc_id"), col("text"))
-    val qual = graft.operators.TextAnalysis.stupidBackoffScore(
-        train, held, "doc_id", "text")
+    // the q281 memoized held-out scores (salted-hash holdout —
+    // doc_id % 10 correlates with source)
+    val qual = graft.operators.TextAnalysis.sbCorpusScores(
+        s, dir, scoreAll = false)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(expr("cast(((-sum(logprob_micros)) * 1000L) div " +
@@ -1149,10 +1147,8 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * retrains the LM and replays all three rounds unrolled. */
   private[graft] def q286(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
-    val perDoc = graft.operators.TextAnalysis.stupidBackoffScore(
-        docs.filter(!hold).select(col("doc_id"), col("text")),
-        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val perDoc = graft.operators.TextAnalysis.sbCorpusScores(
+        s, dir, scoreAll = true)
       .withColumn("nll",
         expr("((-logprob_micros) * 1000L) div n_trigrams"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -1196,11 +1192,8 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
           .as("fert_pieces_per_word_micros"),
         expr("(__c * 1000000L) div __u")
           .as("fert_chars_per_piece_micros"))
-    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
-    val lm = graft.operators.TextAnalysis.stupidBackoffScore(
-        docs.filter(!hold).select(col("doc_id"), col("text")),
-        docs.filter(hold).select(col("doc_id"), col("text")),
-        "doc_id", "text")
+    val lm = graft.operators.TextAnalysis.sbCorpusScores(
+        s, dir, scoreAll = false)
       .withColumn("nll",
         expr("((-logprob_micros) * 1000L) div n_trigrams"))
       .agg(count(lit(1)).as("lm_heldout_docs"),

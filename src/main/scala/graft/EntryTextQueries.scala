@@ -1421,12 +1421,9 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     val docs = t(s, dir, "documents")
     // salted-hash 1/10 holdout, NOT doc_id % 10: doc_id blocks
     // correlate with source in the testdata, so the modulo split
-    // would leave most sources with zero held-out docs
-    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
-    val train = docs.filter(!hold).select(col("doc_id"), col("text"))
-    val held = docs.filter(hold).select(col("doc_id"), col("text"))
-    val scored = TextAnalysis.stupidBackoffScore(train, held,
-        "doc_id", "text")
+    // would leave most sources with zero held-out docs. Scores are
+    // memoized per (application, dir) — q282/q289 read the same frame
+    val scored = TextAnalysis.sbCorpusScores(s, dir, scoreAll = false)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     TextAnalysis.perplexityBuckets(scored, "source", "doc_id")
       .groupBy(col("source"), col("ppl_bucket"))

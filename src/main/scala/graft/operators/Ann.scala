@@ -1041,8 +1041,27 @@ object Ann {
       idCol: String, vecCol: String, kCells: Int, coarseIterations: Int,
       nProbe: Int, m: Int, subDim: Int, kCodes: Int, pqIterations: Int,
       topK: Int, coarseSalt: String = "ivfpqc",
-      pqSalt: String = "ivfpqr"): DataFrame = {
-    require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
+      pqSalt: String = "ivfpqr"): DataFrame =
+    ivfPqResidualSearch(
+      buildResidualPqIndex(corpus, idCol, vecCol, kCells,
+        coarseIterations, m, subDim, kCodes, pqIterations, coarseSalt,
+        pqSalt),
+      queries, corpus, idCol, vecCol, nProbe, m, subDim, topK)
+
+  /** The fitted residual IVF-PQ index: pinned coarse
+    * assignment/centroids + pinned residual codes/codebooks — the
+    * on-disk state a real deployment writes once and serves from. */
+  case class ResidualPqIndex(assign: DataFrame, centroids: DataFrame,
+      codes: DataFrame, books: DataFrame)
+
+  /** The index-build half of [[ivfPqResidualTopK]] — identical
+    * arithmetic, factored out so the board can train the index ONCE
+    * per (application, dir, params) via [[residualPqIndexMemo]]. */
+  def buildResidualPqIndex(corpus: DataFrame, idCol: String,
+      vecCol: String, kCells: Int, coarseIterations: Int, m: Int,
+      subDim: Int, kCodes: Int, pqIterations: Int,
+      coarseSalt: String = "ivfpqc",
+      pqSalt: String = "ivfpqr"): ResidualPqIndex = {
     val coarse0 = Cluster.kmeansMicroModel(
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
       kCells, coarseIterations, coarseSalt)
@@ -1076,6 +1095,42 @@ object Ann {
     val codes = codes0.localCheckpoint(true)
     val books = books0.localCheckpoint(true)
     resid.unpersist()
+    ResidualPqIndex(assign, cents, codes, books)
+  }
+
+  /** Board-level memo for [[buildResidualPqIndex]] over a testdata
+    * dir — the langid/nnDescent memo precedent: q265, q273 and any
+    * serving caller train the IDENTICAL index, so the build runs once
+    * per (application, dir, params). Memoized ≡ fresh bit-for-bit
+    * (the value IS [[buildResidualPqIndex]]'s pinned frames). */
+  private val residIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResidualPqIndex]()
+  def residualPqIndexMemo(spark: SparkSession, dir: String, kCells: Int,
+      coarseIterations: Int, m: Int, subDim: Int, kCodes: Int,
+      pqIterations: Int, coarseSalt: String = "ivfpqc",
+      pqSalt: String = "ivfpqr"): ResidualPqIndex = {
+    residIndexMemo.entrySet().removeIf(
+      e => e.getValue.codes.sparkSession.sparkContext.isStopped)
+    residIndexMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$kCells:" +
+        s"$coarseIterations:$m:$subDim:$kCodes:$pqIterations:" +
+        s"$coarseSalt:$pqSalt",
+      _ => buildResidualPqIndex(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", kCells, coarseIterations, m, subDim,
+        kCodes, pqIterations, coarseSalt, pqSalt))
+  }
+
+  /** The search half of [[ivfPqResidualTopK]] over a fitted
+    * [[ResidualPqIndex]]. */
+  def ivfPqResidualSearch(index: ResidualPqIndex, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, nProbe: Int,
+      m: Int, subDim: Int, topK: Int): DataFrame = {
+    require(nProbe >= 1, "need nProbe >= 1")
+    val coarse = Cluster.KmeansMicroModel(index.assign, index.centroids)
+    val codes = index.codes
+    val books = index.books
     val qmq = queries.select(col(idCol).as("q_id"),
       Cluster.microQuantize(
         dimChecked(col(vecCol), m, subDim, "ivfPqResidualTopK"))
@@ -1140,11 +1195,14 @@ object Ann {
       idCol: String, vecCol: String, kCells: Int, coarseIterations: Int,
       nProbe: Int, m: Int, subDim: Int, kCodes: Int, pqIterations: Int,
       candK: Int, topK: Int, coarseSalt: String = "ivfpqc",
-      pqSalt: String = "ivfpqr"): DataFrame = {
+      pqSalt: String = "ivfpqr",
+      index: Option[ResidualPqIndex] = None): DataFrame = {
     require(candK >= topK && topK >= 1, "need candK >= topK >= 1")
-    val cand = ivfPqResidualTopK(queries, corpus, idCol, vecCol, kCells,
-        coarseIterations, nProbe, m, subDim, kCodes, pqIterations,
-        topK = candK, coarseSalt, pqSalt)
+    val idx = index.getOrElse(buildResidualPqIndex(corpus, idCol, vecCol,
+      kCells, coarseIterations, m, subDim, kCodes, pqIterations,
+      coarseSalt, pqSalt))
+    val cand = ivfPqResidualSearch(idx, queries, corpus, idCol, vecCol,
+        nProbe, m, subDim, topK = candK)
       .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"),
         col("exact_rank"))
     val cv = corpus.select(col(idCol).as("vec_id"),

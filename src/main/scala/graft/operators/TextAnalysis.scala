@@ -477,6 +477,30 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** Board-level memo for the q281-family Stupid-Backoff scoring —
+    * the langid-memo precedent: q281/q282/q289 score the held-out
+    * hash-10% and q286 scores everything, all under the IDENTICAL
+    * model trained on the hash-90%, so each variant's scored frame is
+    * computed once per (application, dir). Memoized ≡ fresh
+    * bit-for-bit (the value IS [[stupidBackoffScore]]'s output,
+    * eagerly pinned — one row per scored doc). */
+  private val sbScoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def sbCorpusScores(spark: SparkSession, dir: String,
+      scoreAll: Boolean): DataFrame = {
+    sbScoreMemo.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
+    sbScoreMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$scoreAll", _ => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val hold = Curation.inSample(col("doc_id"), 1, 10, "ppl")
+        stupidBackoffScore(docs.filter(!hold),
+            if (scoreAll) docs else docs.filter(hold), "doc_id", "text")
+          .localCheckpoint(true)
+      })
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
     * scored document by its LENGTH-NORMALIZED language-model negative
     * log-likelihood and cut each group (source/language) into equal

@@ -613,6 +613,28 @@ class AnnSpec extends SparkSpec with Matchers {
     ex.getMessage should include("m*subDim")
   }
 
+  test("residualPqIndexMemo: memoized == fresh index content, search over it == the one-shot operator") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+    val oneShot = Ann.ivfPqResidualTopK(qs, e, "vec_id", "embedding",
+        kCells = 8, coarseIterations = 2, nProbe = 3, m = 8, subDim = 8,
+        kCodes = 8, pqIterations = 2, topK = 5)
+      .collect().map(_.toString).sorted
+    val idx = Ann.residualPqIndexMemo(spark, dir, kCells = 8,
+      coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 2)
+    val idx2 = Ann.residualPqIndexMemo(spark, dir, kCells = 8,
+      coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 2)
+    (idx2 eq idx) shouldBe true
+    Ann.ivfPqResidualSearch(idx, qs, e, "vec_id", "embedding",
+        nProbe = 3, m = 8, subDim = 8, topK = 5)
+      .collect().map(_.toString).sorted shouldBe oneShot
+  }
+
   test("nnDescentGraphMemo: memoized == fresh edge set, second call serves the same frame") {
     val dir = "/root/testdata/sf0.001"
     val fresh = Ann.nnDescentGraph(

@@ -606,6 +606,25 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     r.getAs[Long]("top2_mass_micros") shouldBe 2L * 3L * 1000000L / 9L
   }
 
+  test("sbCorpusScores: memoized == fresh scores for both variants; second call serves the same frame") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hold = graft.operators.Curation.inSample(col("doc_id"), 1, 10, "ppl")
+    val freshHeld = TextAnalysis.stupidBackoffScore(
+        docs.filter(!hold), docs.filter(hold), "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val m1 = TextAnalysis.sbCorpusScores(spark, dir, scoreAll = false)
+    val m2 = TextAnalysis.sbCorpusScores(spark, dir, scoreAll = false)
+    (m2 eq m1) shouldBe true
+    m1.collect().map(_.toString).sorted shouldBe freshHeld
+    val freshAll = TextAnalysis.stupidBackoffScore(
+        docs.filter(!hold), docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    TextAnalysis.sbCorpusScores(spark, dir, scoreAll = true)
+      .collect().map(_.toString).sorted shouldBe freshAll
+  }
+
   test("perplexityBuckets: equal terciles, NLL-monotone, exact normalization") {
     // 9 docs in one source, NLL proxy: logprob_micros = -k*1e6 over k
     // trigrams -> nll_per_tri_nanos = 1e9 for all? No: vary the rate.
