@@ -1086,7 +1086,10 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * quality key, rank, tokens served, micro-epochs. The oracle
     * retrains the LM, recomputes the masses, and replays the greedy
     * fill as a window prefix sum. */
-  private[graft] def q282(s: SparkSession, dir: String): DataFrame = {
+  /** The q282 allocation frame (source, n_tokens, nll_nanos, q_rank,
+    * served_tokens, epochs_micros, budget) — shared with the q290
+    * epoch schedule. */
+  private def epochAlloc(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val ntok = size(filter(split(lower(col("text")), "\\s+"),
       t => t =!= "")).cast("long")
@@ -1103,11 +1106,43 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     val stats = srcTok.join(qual, Seq("source"))
       .crossJoin(broadcast(budget))
     graft.operators.Curation.epochAllocation(stats, "source",
-        "n_tokens", "nll_nanos", "budget", maxEpochs = 4)
+      "n_tokens", "nll_nanos", "budget", maxEpochs = 4)
+  }
+
+  private[graft] def q282(s: SparkSession, dir: String): DataFrame =
+    epochAlloc(s, dir)
       .select(col("source"), col("n_tokens"), col("nll_nanos"),
         col("q_rank"), col("served_tokens"), col("epochs_micros"),
         col("budget"))
       .orderBy("source")
+
+  /** EPOCH SCHEDULE manifest
+    * ([[graft.operators.Curation.epochSchedule]]): q282's allocation
+    * made EXECUTABLE — per (source, epoch), the docs actually served:
+    * full epochs serve every doc reshuffled by an epoch-salted hash
+    * (the data-loader reshuffle), the fractional tail epoch serves
+    * the hash-ordered PREFIX whose token mass fits the fractional
+    * budget (Decimal-exact). One row per (source, epoch) with served
+    * doc/token counts and an md5 over the SERVE-ORDERED doc ids —
+    * the schedule a data loader replays byte-for-byte. The oracle
+    * refits the allocation and replays every epoch's shuffle and
+    * prefix cut. */
+  private[graft] def q290(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ntok = size(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= "")).cast("long")
+    val perDoc = docs.select(col("source"), col("doc_id"),
+      ntok.as("n_tok"))
+    graft.operators.Curation.epochSchedule(perDoc, "source", "doc_id",
+        "n_tok", epochAlloc(s, dir), salt = "epsched")
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs_served"),
+        sum(col("n_tok")).as("n_tokens_served"),
+        md5(array_join(transform(sort_array(collect_list(struct(
+            col("serve_rank").as("r"),
+            col("doc_id").cast("string").as("d")))),
+          x => x.getField("d")), ",")).as("order_md5"))
+      .orderBy("source", "epoch")
   }
 
   /** CURATION CAPSTONE v6 — the FULL pretraining-data delivery under

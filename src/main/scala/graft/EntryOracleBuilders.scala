@@ -1998,6 +1998,51 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        FROM st GROUP BY split, (gpos - 1) // $budget
        ORDER BY split, seq_id"""
 
+  /** q282's allocation chain (after [[sbHeldoutCtes]]): per-source
+    * token masses + LM quality ranks + the greedy ≤4-epoch budget
+    * fill — ends in `al(source, n_tokens, nll_nanos, q_rank,
+    * served_tokens, epochs_micros, budget)`. Shared by the q290
+    * epoch-schedule oracle. */
+  private[graft] val epochAllocCtes: String =
+    s"""st AS (
+         SELECT source,
+                CAST(sum(len(list_filter(
+                  string_split_regex(lower(text), '\\s+'),
+                  t -> t <> ''))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source
+       ), q AS (
+         SELECT d.source,
+                CAST(((-sum(sc.lp_micros)) * 1000)
+                     // sum(sc.n_trigrams) AS BIGINT) AS nll_nanos
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         GROUP BY d.source
+       ), b AS (
+         SELECT CAST(sum(n_tokens) * 2 AS BIGINT) AS budget FROM st
+       ), r AS (
+         SELECT st.source, st.n_tokens, q.nll_nanos,
+                row_number() OVER (ORDER BY q.nll_nanos, st.source)
+                  AS q_rank,
+                st.n_tokens * 4 AS cap
+         FROM st JOIN q ON q.source = st.source
+       ), c AS (
+         SELECT r.*, b.budget,
+                coalesce(sum(cap) OVER (ORDER BY q_rank
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS bef
+         FROM r CROSS JOIN b
+       ), al AS MATERIALIZED (
+         SELECT source, n_tokens, nll_nanos,
+                CAST(q_rank AS BIGINT) AS q_rank,
+                CAST(greatest(0, least(cap, budget - bef))
+                     AS BIGINT) AS served_tokens,
+                CAST((CAST(greatest(0, least(cap, budget - bef))
+                           AS HUGEINT) * 1000000)
+                     // CAST(n_tokens AS HUGEINT) AS BIGINT)
+                  AS epochs_micros,
+                budget
+         FROM c
+       )"""
+
   /** q286's oracle: retrain the scoring LM over the hash-90%, score
     * every doc, then replay the DoReMi-lite rounds unrolled — each
     * round one per-source hardest-slice rank (`sel_r`), per-source

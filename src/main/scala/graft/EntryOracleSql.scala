@@ -4626,43 +4626,59 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            FROM rk GROUP BY 1, 2
            ORDER BY source, ppl_bucket""",
       "q282_epoch_allocation" ->
-        s"""WITH $sbHeldoutCtes, st AS (
-             SELECT source,
-                    CAST(sum(len(list_filter(
+        s"""WITH $sbHeldoutCtes, $epochAllocCtes
+           SELECT source, n_tokens, nll_nanos, q_rank, served_tokens,
+                  epochs_micros, budget
+           FROM al ORDER BY source""",
+      "q290_epoch_schedule" ->
+        s"""WITH $sbHeldoutCtes, $epochAllocCtes,
+           pdk AS (
+             SELECT source, doc_id,
+                    CAST(len(list_filter(
                       string_split_regex(lower(text), '\\s+'),
-                      t -> t <> ''))) AS BIGINT) AS n_tokens
-             FROM documents GROUP BY source
-           ), q AS (
-             SELECT d.source,
-                    CAST(((-sum(sc.lp_micros)) * 1000)
-                         // sum(sc.n_trigrams) AS BIGINT) AS nll_nanos
-             FROM sc JOIN documents d ON d.doc_id = sc.doc_id
-             GROUP BY d.source
-           ), b AS (
-             SELECT CAST(sum(n_tokens) * 2 AS BIGINT) AS budget FROM st
-           ), r AS (
-             SELECT st.source, st.n_tokens, q.nll_nanos,
-                    row_number() OVER (ORDER BY q.nll_nanos, st.source)
-                      AS q_rank,
-                    st.n_tokens * 4 AS cap
-             FROM st JOIN q ON q.source = st.source
-           ), c AS (
-             SELECT r.*, b.budget,
-                    coalesce(sum(cap) OVER (ORDER BY q_rank
+                      t -> t <> '')) AS BIGINT) AS n_tok
+             FROM documents
+           ), ae AS (
+             SELECT source,
+                    epochs_micros // 1000000 AS efull,
+                    epochs_micros - (epochs_micros // 1000000) * 1000000
+                      AS rem,
+                    n_tokens AS ktok
+             FROM al
+           ), ab AS (
+             SELECT source, efull, rem,
+                    efull + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS ne,
+                    CAST((CAST(rem AS HUGEINT) * CAST(ktok AS HUGEINT))
+                         // 1000000 AS BIGINT) AS fractok
+             FROM ae WHERE efull + CASE WHEN rem > 0 THEN 1 ELSE 0 END > 0
+           ), ex AS (
+             SELECT p.source, p.doc_id, p.n_tok, b.efull, b.fractok,
+                    CAST(e.e AS BIGINT) AS epoch,
+                    ('0x' || substr(md5('epsched:' || CAST(e.e AS VARCHAR)
+                      || ':' || CAST(p.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                      AS h
+             FROM pdk p
+             JOIN ab b ON b.source = p.source
+             CROSS JOIN (SELECT unnest(range(1, 5)) AS e) e
+             WHERE e.e <= b.ne
+           ), cb AS (
+             SELECT *, coalesce(sum(n_tok) OVER (
+                      PARTITION BY source, epoch ORDER BY h, doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS bef
-             FROM r CROSS JOIN b
+                    0) AS bef
+             FROM ex
+           ), served AS (
+             SELECT source, epoch, doc_id, n_tok, h
+             FROM cb
+             WHERE epoch <= efull OR bef < fractok
            )
-           SELECT source, n_tokens, nll_nanos,
-                  CAST(q_rank AS BIGINT) AS q_rank,
-                  CAST(greatest(0, least(cap, budget - bef))
-                       AS BIGINT) AS served_tokens,
-                  CAST((CAST(greatest(0, least(cap, budget - bef))
-                             AS HUGEINT) * 1000000)
-                       // CAST(n_tokens AS HUGEINT) AS BIGINT)
-                    AS epochs_micros,
-                  budget
-           FROM c ORDER BY source""",
+           SELECT source, epoch,
+                  CAST(count(*) AS BIGINT) AS n_docs_served,
+                  CAST(sum(n_tok) AS BIGINT) AS n_tokens_served,
+                  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                 ORDER BY h, doc_id)) AS order_md5
+           FROM served GROUP BY source, epoch
+           ORDER BY source, epoch""",
       "q283_tokenizer_fertility" -> unigramFertilityOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
         pruneNum = 1, pruneDen = 4),

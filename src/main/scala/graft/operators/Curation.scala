@@ -486,6 +486,54 @@ object Curation {
     }.toSeq.toDF(groupCol, "round", "w_micros", "share_micros")
   }
 
+  /** EPOCH SCHEDULE — [[epochAllocation]] made executable: for every
+    * key serving `epochs_micros`, emit the doc instances of each
+    * epoch. Full epochs (e ≤ micros div 10⁶) serve EVERY doc,
+    * reshuffled per epoch by the salted hash (each epoch has its own
+    * deterministic order — the data-loader reshuffle). The fractional
+    * tail epoch serves the hash-ordered PREFIX whose cumulative
+    * token mass fits `rem·n_tokens div 10⁶` (Decimal-exact — the
+    * product overflows Long at corpus scale): docs stream in shuffle
+    * order until the fractional budget is spent. Returns one row per
+    * (key, epoch, doc) with the serve-order hash, so a digest over
+    * the ordered stream certifies content AND order.
+    *
+    * Scale shape: docs × epochs is ≤ maxEpochs+1 replication; the
+    * only windows are per-(key, epoch) — never global. */
+  def epochSchedule(perDoc: DataFrame, keyCol: String, idCol: String,
+      tokenCol: String, alloc: DataFrame, salt: String): DataFrame = {
+    val keyTok = perDoc.groupBy(col(keyCol))
+      .agg(sum(col(tokenCol)).as("__ktok"))
+    val a = alloc.select(col(keyCol), col("epochs_micros"))
+      .join(keyTok, Seq(keyCol))
+      .withColumn("__full", expr("epochs_micros div 1000000"))
+      .withColumn("__rem", col("epochs_micros") - col("__full") * 1000000L)
+      .withColumn("__ne",
+        col("__full") + when(col("__rem") > 0, 1L).otherwise(0L))
+      .withColumn("__fractok", expr(
+        "cast((cast(__rem as decimal(38,0)) * cast(__ktok as " +
+          "decimal(38,0))) div 1000000 as long)"))
+      .filter(col("__ne") > 0)
+    val exploded = perDoc.join(broadcast(a), Seq(keyCol))
+      .withColumn("epoch", explode(sequence(lit(1L), col("__ne"))))
+      .withColumn("__h", conv(substring(md5(concat(
+          lit(s"$salt:"), col("epoch").cast("string"), lit(":"),
+          col(idCol).cast("string"))), 1, 14), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("epoch"))
+      .orderBy(col("__h"), col(idCol))
+    exploded
+      .withColumn("__before", coalesce(sum(col(tokenCol)).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .filter(col("epoch") <= col("__full") ||
+        col("__before") < col("__fractok"))
+      .withColumn("serve_rank", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("epoch"), col(idCol), col(tokenCol),
+        col("serve_rank"))
+  }
+
   /** Deterministic training-order shuffle + sharding — the last stage
     * before a corpus ships to a trainer: every row gets a `shard`
     * (uniform over nShards via the salted 56-bit hash) and a `pos`

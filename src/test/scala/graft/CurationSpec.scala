@@ -441,6 +441,42 @@ class CurationSpec extends SparkSpec with Matchers {
     frac("b") shouldBe 1000000L // 5*1e6 div 5
   }
 
+  test("epochSchedule: full epochs serve everything reshuffled; the fractional epoch serves the exact hash-ordered token prefix") {
+    import org.apache.spark.sql.functions._
+    // one key, 3 docs of 4/3/3 tokens, 2.5 epochs:
+    // 2 full epochs + a fractional epoch of 0.5*10 = 5 tokens
+    val perDoc = Seq(("s", 1L, 4L), ("s", 2L, 3L), ("s", 3L, 3L))
+      .toDF("src", "id", "tok")
+    val alloc = Seq(("s", 2500000L)).toDF("src", "epochs_micros")
+    val out = Curation.epochSchedule(perDoc, "src", "id", "tok",
+        alloc, salt = "ts")
+      .collect().map(r => (r.getAs[Long]("epoch"),
+        r.getAs[Long]("serve_rank"), r.getAs[Long]("id"))).toSeq
+    val byEpoch = out.groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    byEpoch.keySet shouldBe Set(1L, 2L, 3L)
+    byEpoch(1L).toSet shouldBe Set(1L, 2L, 3L)
+    byEpoch(2L).toSet shouldBe Set(1L, 2L, 3L)
+    // replicate the epoch-salted shuffle exactly
+    def h(e: Long, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ts:$e:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (1L to 2L).foreach { e =>
+      byEpoch(e) shouldBe Seq(1L, 2L, 3L).sortBy(id => (h(e, id), id))
+    }
+    // fractional epoch: hash-ordered docs stream while cumBefore < 5
+    val toks = Map(1L -> 4L, 2L -> 3L, 3L -> 3L)
+    val order3 = Seq(1L, 2L, 3L).sortBy(id => (h(3L, id), id))
+    var cum = 0L
+    val pref = order3.takeWhile { id =>
+      val keep = cum < 5L; cum += toks(id); keep
+    }
+    byEpoch(3L) shouldBe pref
+  }
+
   test("doremiWeights: hand-computed multiplicative rounds with selection feedback") {
     import org.apache.spark.sql.functions._
     // domain a: losses {2000, 2000}; domain b: {0, 0}; etaDen=1

@@ -68,6 +68,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q243_stupid_backoff",    // 1-row (N, V) totals broadcast, like q86
     "q281_ppl_buckets",       // the q243 totals inside the bucketing spine
     "q282_epoch_allocation",  // q243 totals + 1-row budget broadcast
+    "q290_epoch_schedule",    // the q282 alloc spine's 1-row broadcasts
     "q248_dsir_resample",     // 1-row target/raw token-total broadcasts
     "q249_curation_pipeline_v4", // the q248 totals inside the capstone
     "q274_curation_pipeline_v5", // q249's totals + the langid model broadcasts
@@ -115,7 +116,9 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q213_cusum_changepoint",
     // quality rank + greedy-fill prefix sum over the per-SOURCE
     // stats table — catalog-sized by construction, like q114
-    "q282_epoch_allocation")
+    "q282_epoch_allocation",
+    // the same alloc spine inside the epoch schedule
+    "q290_epoch_schedule")
 
   test("no batch query plans a CartesianProduct; nested loops only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
