@@ -1036,13 +1036,16 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       vocab)
   }
 
-  /** The q275/q285 packing tail: encode `(doc_id, text, split)` rows
-    * with the fitted vocabulary, assign 1-based sorted-piece token
-    * ids (+ EOS 0 per doc), pack the ordered id stream into
+  /** The q275/q285/q291 packing tail: encode `(doc_id, text, split)`
+    * rows with the fitted vocabulary, assign 1-based sorted-piece
+    * token ids (+ EOS 0 per doc), pack the ordered id stream into
     * 512-token sequences per split shard with an ordered-stream md5
-    * per sequence. */
+    * per sequence. With `difficultyCol` set (a per-doc column on the
+    * input), docs pack in (difficulty, doc_id) order — curriculum
+    * packing — and each sequence carries its difficulty range. */
   private def packTokenIds(s: SparkSession, docsWithSplit: DataFrame,
-      vocab: Array[(String, Long)]): DataFrame = {
+      vocab: Array[(String, Long)],
+      difficultyCol: Option[String] = None): DataFrame = {
     import s.implicits._
     val pieces = vocab.map(_._1).toSeq
     val tid = pieces.zipWithIndex
@@ -1055,23 +1058,29 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         col("piece_idx").cast("long").as("piece_idx"), col("tid"))
     val eos = docsWithSplit.select(col("doc_id"), lit(1L).as("is_eos"),
       lit(0L).as("word_pos"), lit(0L).as("piece_idx"), lit(0L).as("tid"))
+    val docCols = col("doc_id") +: col("split") +:
+      difficultyCol.map(col).toSeq
     val stream = enc.unionByName(eos)
-      .join(docsWithSplit.select(col("doc_id"), col("split")),
-        Seq("doc_id"))
-    val w = Window.partitionBy(col("split"))
-      .orderBy(col("doc_id"), col("is_eos"), col("word_pos"),
+      .join(docsWithSplit.select(docCols: _*), Seq("doc_id"))
+    val orderCols = difficultyCol.map(col).toSeq ++
+      Seq(col("doc_id"), col("is_eos"), col("word_pos"),
         col("piece_idx"))
-    stream.withColumn("__g", row_number().over(w).cast("long"))
+    val w = Window.partitionBy(col("split")).orderBy(orderCols: _*)
+    val base = stream.withColumn("__g", row_number().over(w).cast("long"))
       .withColumn("seq_id", expr("(__g - 1) div 512"))
       .withColumn("__p", col("__g") - 1 - col("seq_id") * 512)
       .groupBy(col("split"), col("seq_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("is_eos")).as("n_docs_closed"),
-        min(col("doc_id")).as("first_doc_id"),
-        max(col("doc_id")).as("last_doc_id"),
-        md5(array_join(transform(sort_array(collect_list(struct(
-            col("__p").as("p"), col("tid").cast("string").as("t")))),
-          x => x.getField("t")), ",")).as("ids_md5"))
+    val aggs = Seq(count(lit(1)).as("n_tokens"),
+      sum(col("is_eos")).as("n_docs_closed"),
+      min(col("doc_id")).as("first_doc_id"),
+      max(col("doc_id")).as("last_doc_id"),
+      md5(array_join(transform(sort_array(collect_list(struct(
+          col("__p").as("p"), col("tid").cast("string").as("t")))),
+        x => x.getField("t")), ",")).as("ids_md5")) ++
+      difficultyCol.toSeq.flatMap(d =>
+        Seq(min(col(d)).as("min_difficulty"),
+          max(col(d)).as("max_difficulty")))
+    base.agg(aggs.head, aggs.tail: _*)
       .orderBy("split", "seq_id")
   }
 
@@ -1239,6 +1248,37 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .crossJoin(broadcast(fert))
       .crossJoin(broadcast(lm))
       .orderBy("n_docs")
+  }
+
+  /** CURRICULUM-ordered packing — q275's delivery with the
+    * data-loader curriculum: docs pack EASIEST-FIRST (per-doc
+    * per-trigram NLL under the q286 memoized corpus LM, ascending;
+    * sub-trigram docs coalesce to 0 = easiest), so sequence order IS
+    * the curriculum schedule (Bengio et al. 2009 — warm up on
+    * predictable text, introduce the hard tail late). Each sequence
+    * carries its difficulty range; min_difficulty is non-decreasing
+    * across seq_ids within a split by construction, certified by the
+    * hash. The oracle retrains the LM AND the tokenizer, replays the
+    * DP, and re-packs under the same (nll, doc_id) order. */
+  private[graft] def q291(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nll = graft.operators.TextAnalysis.sbCorpusScores(
+        s, dir, scoreAll = true)
+      .select(col("doc_id"),
+        expr("((-logprob_micros) * 1000L) div n_trigrams").as("__nll"))
+    val withSplit = docs.select(col("doc_id"), col("text"))
+      .join(graft.operators.Curation.deterministicSplit(
+        docs.select(col("doc_id")), "doc_id",
+        Seq("train" -> 90, "valid" -> 5, "test" -> 5)), Seq("doc_id"))
+      .join(nll, Seq("doc_id"), "left")
+      .withColumn("difficulty", coalesce(col("__nll"), lit(0L)))
+      .select(col("doc_id"), col("text"), col("split"),
+        col("difficulty"))
+    val vocab = graft.operators.UnigramLm.trainViterbiEm(docs, "text",
+        rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+      .select(col("piece"), col("w_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    packTokenIds(s, withSplit, vocab, difficultyCol = Some("difficulty"))
   }
 
   private[graft] def q288(s: SparkSession, dir: String): DataFrame =

@@ -2107,6 +2107,82 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
        SELECT * FROM ($unionSel) u ORDER BY source, round"""
   }
 
+  /** q291: the q275 pack replayed under the CURRICULUM order — the
+    * sb LM retrained and every doc's per-trigram NLL computed, then
+    * the split-shard pack windows order by (difficulty, doc_id)
+    * instead of doc_id, with each sequence's difficulty range in the
+    * result. */
+  private[graft] def unigramCurriculumPackOracle(rounds: Int,
+      maxPieceLen: Int, vocabCap: Int, maxWordLen: Int,
+      budget: Int): String =
+    s"""WITH ${sbScoreCtes("TRUE")},
+       nl AS (
+         SELECT doc_id, CAST(((-lp_micros) * 1000) // n_trigrams
+                             AS BIGINT) AS nll
+         FROM sc
+       ), dif AS MATERIALIZED (
+         SELECT d.doc_id, coalesce(nl.nll, 0) AS dif
+         FROM documents d LEFT JOIN nl ON nl.doc_id = d.doc_id
+       ),
+       ${unigramPrefixCtes(rounds, maxPieceLen, vocabCap, maxWordLen)},
+       ${unigramDpCtes("e_", s"v$rounds", maxPieceLen, maxWordLen)},
+       tid AS MATERIALIZED (
+         SELECT piece,
+                CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS tid
+         FROM v$rounds
+       ), e_op AS MATERIALIZED (
+         SELECT t.word, t.pos,
+                substr(t.word, t.pos - d.k + 1, d.k) AS piece
+         FROM e_tall t JOIN e_dall d
+           ON d.word = t.word AND d.i = t.pos
+         WHERE t.pos > 0
+       ), dws AS (
+         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         FROM documents
+       ), dwo AS MATERIALIZED (
+         SELECT doc_id, CAST(i AS BIGINT) AS word_pos, word FROM (
+           SELECT doc_id, i, ws[CAST(i AS INT)] AS word FROM (
+             SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+             FROM dws))
+         WHERE regexp_full_match(word, '[a-z]+')
+           AND length(word) <= $maxWordLen
+       ), tok AS (
+         SELECT w.doc_id, CAST(0 AS BIGINT) AS is_eos, w.word_pos,
+                p.pos AS piece_pos, t.tid
+         FROM dwo w
+         JOIN e_op p ON p.word = w.word
+         JOIN tid t ON t.piece = p.piece
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM documents
+       ), spl AS (
+         SELECT doc_id,
+                CASE WHEN hs < 90 THEN 'train'
+                     WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id, ${splitHashSql("graft", 100)} AS hs
+               FROM documents)
+       ), st AS (
+         SELECT s.split, k.doc_id, k.is_eos, k.tid, f.dif,
+                row_number() OVER (PARTITION BY s.split
+                  ORDER BY f.dif, k.doc_id, k.is_eos, k.word_pos,
+                           k.piece_pos) AS gpos
+         FROM tok k
+         JOIN spl s USING (doc_id)
+         JOIN dif f USING (doc_id)
+       )
+       SELECT split, CAST((gpos - 1) // $budget AS BIGINT) AS seq_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(is_eos) AS BIGINT) AS n_docs_closed,
+              min(doc_id) AS first_doc_id,
+              max(doc_id) AS last_doc_id,
+              md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos))
+                AS ids_md5,
+              CAST(min(dif) AS BIGINT) AS min_difficulty,
+              CAST(max(dif) AS BIGINT) AS max_difficulty
+       FROM st GROUP BY split, (gpos - 1) // $budget
+       ORDER BY split, seq_id"""
+
   /** The encode+pack tail for a corpus whose relation CARRIES its own
     * `split` column (the v6 capstone's selected corpus): the q275
     * encode-DP/backtrack/id-assignment/packing machinery, minus the

@@ -4630,6 +4630,8 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            SELECT source, n_tokens, nll_nanos, q_rank, served_tokens,
                   epochs_micros, budget
            FROM al ORDER BY source""",
+      "q291_curriculum_pack" -> unigramCurriculumPackOracle(rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12, budget = 512),
       "q290_epoch_schedule" ->
         s"""WITH $sbHeldoutCtes, $epochAllocCtes,
            pdk AS (
