@@ -2043,6 +2043,89 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          FROM c
        )"""
 
+  /** q292's oracle: rebuild the corpus signature index AND the
+    * arriving docs' signatures, replay the (band, bucket) probes and
+    * the full-signature agreement argmax, admit on best_agree <
+    * rejectAgree. The arrival transforms are stated inline —
+    * verbatim the [[graft.streaming.StreamOps.neardupArrivals]]
+    * plants. */
+  private[graft] def neardupGateOracle(rejectAgree: Int): String = {
+    val shingleCte = (w: String) =>
+      s"""SELECT doc_id, unnest(
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ')
+                      for i in range(1, len(words) - 1)]
+           END) AS shingle
+         FROM $w"""
+    val bandUnnest = (0 until 4).map(b =>
+      s"{'band': $b, 'bucket': md5(concat_ws('|', sig_${2 * b}, sig_${2 * b + 1}))}")
+      .mkString(",\n               ")
+    val eqSum = (0 until 8)
+      .map(i => s"CASE WHEN ns.sig_$i = isg.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH nd AS (
+         SELECT doc_id + 50000000 AS doc_id,
+                text || ' graft crawl refresh token' AS text
+         FROM documents WHERE doc_id % 40 = 0
+         UNION ALL
+         SELECT doc_id + 70000000, text
+         FROM documents WHERE doc_id % 50 = 25
+         UNION ALL
+         SELECT doc_id + 60000000,
+                'novel crawl page ' || CAST(doc_id AS VARCHAR)
+                  || ' unseen content entirely fresh tokens'
+         FROM documents WHERE doc_id % 97 = 0
+       ), iw AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words
+         FROM documents
+       ), ish AS (${shingleCte("iw")}
+       ), isig AS MATERIALIZED (
+         SELECT doc_id, $minhashSigsSql FROM ish GROUP BY doc_id
+       ), nw AS (
+         SELECT doc_id, string_split_regex(text, '\\s+') AS words
+         FROM nd
+       ), nsh AS (${shingleCte("nw")}
+       ), nsig AS MATERIALIZED (
+         SELECT doc_id, $minhashSigsSql FROM nsh GROUP BY doc_id
+       ), ibb AS (
+         SELECT doc_id, b.band AS band, b.bucket AS bucket FROM (
+           SELECT doc_id, unnest([
+               $bandUnnest]) AS b
+           FROM isig)
+       ), nbb AS (
+         SELECT doc_id, b.band AS band, b.bucket AS bucket FROM (
+           SELECT doc_id, unnest([
+               $bandUnnest]) AS b
+           FROM nsig)
+       ), hits AS (
+         SELECT DISTINCT n.doc_id AS n_id, i.doc_id AS i_id
+         FROM nbb n JOIN ibb i
+           ON i.band = n.band AND i.bucket = n.bucket
+       ), ag AS (
+         SELECT h.n_id, h.i_id, CAST($eqSum AS BIGINT) AS agree
+         FROM hits h
+         JOIN nsig ns ON ns.doc_id = h.n_id
+         JOIN isig isg ON isg.doc_id = h.i_id
+       ), best AS (
+         SELECT n_id, n_partners, i_id AS best_match_id,
+                agree AS best_agree
+         FROM (SELECT n_id, i_id, agree,
+                      CAST(count(*) OVER (PARTITION BY n_id) AS BIGINT)
+                        AS n_partners,
+                      row_number() OVER (PARTITION BY n_id
+                        ORDER BY agree DESC, i_id ASC) AS rn
+               FROM ag)
+         WHERE rn = 1
+       )
+       SELECT nd.doc_id, CAST((nd.doc_id // 20) % 2 AS BIGINT) AS wave,
+              coalesce(b.n_partners, 0) AS n_partners,
+              coalesce(b.best_match_id, -1) AS best_match_id,
+              coalesce(b.best_agree, 0) AS best_agree,
+              coalesce(b.best_agree, 0) < $rejectAgree AS admitted
+       FROM nd LEFT JOIN best b ON b.n_id = nd.doc_id
+       ORDER BY nd.doc_id"""
+  }
+
   /** q286's oracle: retrain the scoring LM over the hash-90%, score
     * every doc, then replay the DoReMi-lite rounds unrolled — each
     * round one per-source hardest-slice rank (`sel_r`), per-source

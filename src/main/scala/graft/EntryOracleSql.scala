@@ -4632,6 +4632,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
            FROM al ORDER BY source""",
       "q291_curriculum_pack" -> unigramCurriculumPackOracle(rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12, budget = 512),
+      "q292_stream_neardup_gate" -> neardupGateOracle(rejectAgree = 6),
       "q290_epoch_schedule" ->
         s"""WITH $sbHeldoutCtes, $epochAllocCtes,
            pdk AS (

@@ -576,4 +576,21 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
       .select(col("doc_id"), col("source"), col("wave"),
         col("admitted"), col("adm_rank"))
       .orderBy("doc_id")
+
+  /** Streaming incremental near-dup ADMISSION
+    * ([[StreamOps.runStreamingNeardupGateAvailableNow]] over
+    * [[graft.operators.Dedup.neardupAdmission]]): the delta-dedup
+    * gate every incremental crawl needs — arriving docs probe the
+    * FROZEN corpus LSH index (band-bucket join, never the corpus)
+    * and are admitted only when their best collided partner agrees
+    * on < 6 of 8 signature slots. Three planted arrival classes
+    * (near-dup edits, exact resends, novel pages) certify the
+    * discrimination inside the hash: resends collide at agree 8,
+    * edits collide high, novels pass untouched. The oracle rebuilds
+    * both signature sets, replays the band probes and the agreement
+    * argmax. */
+  private[graft] def q292(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingNeardupGateAvailableNow(s, dir,
+        rejectAgree = 6)
+      .orderBy("doc_id")
 }

@@ -125,6 +125,75 @@ object Dedup {
     signatures.select(col(idCol), array(bucketCols: _*).as("bks"))
   }
 
+  /** Long-form (id, band, bucket) LSH keys of a signature frame —
+    * the INDEX shape of the incremental near-dup gate: written once
+    * for the existing corpus, probed by every arriving doc. */
+  def bandBuckets(signatures: DataFrame, idCol: String,
+                  numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val cols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bucket"))
+    }
+    signatures.select(col(idCol), explode(array(cols: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"),
+        col("__bb.bucket").as("bucket"))
+  }
+
+  /** INCREMENTAL near-dup ADMISSION — dedup an arriving crawl against
+    * a FROZEN corpus index (the production delta-dedup problem: the
+    * existing corpus is indexed once; new docs must not re-run
+    * within-corpus dedup). For every new doc: LSH band buckets probe
+    * the index, every collided partner's full-signature agreement is
+    * counted, and the doc is admitted iff its BEST partner agrees on
+    * fewer than `rejectAgree` of `numHashes` slots (no collision ⇒
+    * admitted). Output per new doc: distinct partner count, best
+    * match id (−1 when none), best agreement, the admit flag.
+    *
+    * Scale shape: the probe is one (band, bucket)-keyed join — new
+    * docs meet only same-bucket index rows, never the corpus; the
+    * agreement join reads numHashes longs for the COLLIDED pairs
+    * only. Skew: a degenerate index bucket should be pre-capped when
+    * the index is written (the [[minhashCandidatePairsCapped]] cap —
+    * boilerplate buckets reject everything anyway). */
+  def neardupAdmission(indexSigs: DataFrame, newSigs: DataFrame,
+      idCol: String, numHashes: Int = 8, rowsPerBand: Int = 2,
+      rejectAgree: Int = 6): DataFrame = {
+    require(rejectAgree >= 1 && rejectAgree <= numHashes,
+      "need 1 <= rejectAgree <= numHashes")
+    val ibb = bandBuckets(indexSigs, idCol, numHashes, rowsPerBand)
+      .toDF("__i_id", "band", "bucket")
+    val nbb = bandBuckets(newSigs, idCol, numHashes, rowsPerBand)
+      .toDF("__n_id", "band", "bucket")
+    val hits = nbb.join(ibb, Seq("band", "bucket"))
+      .select(col("__n_id"), col("__i_id")).distinct()
+    val ns = newSigs.toDF(
+      "__n_id" +: (0 until numHashes).map(h => s"__ns_$h"): _*)
+    val is = indexSigs.toDF(
+      "__i_id" +: (0 until numHashes).map(h => s"__is_$h"): _*)
+    val agree = (0 until numHashes).map(h =>
+        when(col(s"__ns_$h") === col(s"__is_$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = hits.join(ns, Seq("__n_id")).join(is, Seq("__i_id"))
+      .select(col("__n_id"), col("__i_id"), agree.as("__agree"))
+    val best = scored.groupBy(col("__n_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        max(struct(col("__agree").as("a"),
+          (-col("__i_id")).as("ni"))).as("__b"))
+      .select(col("__n_id"), col("n_partners"),
+        (-col("__b.ni")).as("best_match_id"),
+        col("__b.a").as("best_agree"))
+    newSigs.select(col(idCol))
+      .join(best.withColumnRenamed("__n_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_agree"), lit(0L)).as("best_agree"),
+        (coalesce(col("best_agree"), lit(0L)) < rejectAgree)
+          .as("admitted"))
+  }
+
   /** [[minhashCandidatePairs]] with a HOT-BUCKET CAP — the skew guard
     * the uncapped form needs at 100 TB. A degenerate bucket (web
     * boilerplate, empty documents, any text shared by millions of

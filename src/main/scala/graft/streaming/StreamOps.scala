@@ -1025,6 +1025,77 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** The deterministic "arriving crawl" of the incremental near-dup
+    * gate — three planted classes over the corpus: near-dup EDITS
+    * (every 40th doc resent with one appended token), exact RESENDS
+    * (every 50th ≡ 25 resent verbatim), and NOVEL pages (synthetic
+    * text keyed by every 97th id). Shared verbatim with the oracle. */
+  private[graft] def neardupArrivals(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 50000000L).as("doc_id"),
+        concat(col("text"), lit(" graft crawl refresh token")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 25)
+        .select((col("doc_id") + 70000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 60000000L).as("doc_id"),
+          concat(lit("novel crawl page "), col("doc_id").cast("string"),
+            lit(" unseen content entirely fresh tokens")).as("text")))
+
+  /** STREAMING incremental near-dup ADMISSION gate
+    * ([[graft.operators.Dedup.neardupAdmission]]): the existing
+    * corpus's MinHash signature index is FROZEN state built before
+    * the stream opens (pinned once — the real deployment writes it
+    * when the corpus ships); each arriving micro-batch computes its
+    * own signatures, probes the index through the (band, bucket)
+    * join, and admits only docs whose best collided partner agrees
+    * on fewer than `rejectAgree` signature slots. Stateless per
+    * batch — no state store, the index IS the state — so this runs
+    * at crawl rate beside the q143 exact-dup Bloom gate: Bloom
+    * catches verbatim resends O(bits), this catches the EDITED
+    * resends Bloom provably cannot. */
+  def runStreamingNeardupGateAvailableNow(spark: SparkSession,
+      dir: String, rejectAgree: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idxSigs = graft.operators.Dedup.minhashSignatures(
+      docs, "text", "doc_id").localCheckpoint(true)
+    val staging = stagedDir("neardupgate", dir) { st =>
+      val d = neardupArrivals(docs)
+        .select(expr("(doc_id div 20) % 2").as("wave"),
+          col("doc_id"), col("text"))
+      stageVersionFile(d.filter(col("wave") === 0), s"$st/f0.parquet")
+      stageVersionFile(d.filter(col("wave") === 1), s"$st/f1.parquet")
+    }
+    val sch = StructType(Seq(
+      StructField("wave", LongType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_neardupgate_run_").toString
+    val outDir = s"$work/out"
+    withoutSuccessMarkers(spark) {
+      val src = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/*.parquet")
+      val query = src.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          graft.operators.Dedup.neardupAdmission(idxSigs,
+              graft.operators.Dedup.minhashSignatures(
+                b.select(col("doc_id"), col("text")), "text", "doc_id"),
+              "doc_id", rejectAgree = rejectAgree)
+            .join(b.select(col("doc_id"), col("wave")), Seq("doc_id"))
+            .select(col("doc_id"), col("wave"), col("n_partners"),
+              col("best_match_id"), col("best_agree"), col("admitted"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** STREAMING topic-mixture monitor: the q252 keyword tagger
     * ([[graft.operators.Blocklist.categorize]] — one Aho-Corasick
     * pass, stateless) applied per crawl-wave micro-batch, rolled up

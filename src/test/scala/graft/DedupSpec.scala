@@ -546,4 +546,34 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs.length shouldBe 21
     all(pairs.map(_.getAs[Double]("jaccard"))) shouldBe 1.0
   }
+
+  test("neardupAdmission: exact resends rejected at agree 8, novel docs admitted, edits matched to their source") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different text about spark shuffles and partitions at scale"),
+      (3L, "a third document with its own unique shingle inventory for indexing")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"), // exact resend of 1
+      (102L, "the quick brown fox jumps over the lazy dog again and again today extra"), // edit of 1
+      (103L, "an entirely novel page with fresh unseen vocabulary nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.neardupAdmission(
+        Dedup.minhashSignatures(corpus, "text", "doc_id"),
+        Dedup.minhashSignatures(arrivals, "text", "doc_id"),
+        "doc_id", rejectAgree = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_partners"), r.getAs[Long]("best_match_id"),
+          r.getAs[Long]("best_agree"), r.getAs[Boolean]("admitted"))))
+      .toMap
+    out(101L)._2 shouldBe 1L
+    out(101L)._3 shouldBe 8L
+    out(101L)._4 shouldBe false
+    out(102L)._2 shouldBe 1L // the edit still matches its source
+    out(103L) shouldBe ((0L, -1L, 0L, true)) // novel: no collision
+    // bandBuckets emits one row per band
+    Dedup.bandBuckets(Dedup.minhashSignatures(corpus, "text", "doc_id"),
+      "doc_id").count() shouldBe 12L // 3 docs x 4 bands
+  }
 }
