@@ -1281,6 +1281,22 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     packTokenIds(s, withSplit, vocab, difficultyCol = Some("difficulty"))
   }
 
+  /** Padding-waste batching audit
+    * ([[graft.operators.Curation.paddingWasteAudit]]): q52/q275 pack
+    * tokens into dense sequences; THIS query measures what NOT
+    * packing costs — per source, the naive arrival-order loader vs
+    * length-sorted vs 16-token-bucketed batching (batch 8), compared
+    * by exact integer padded-vs-real token mass. The oracle restates
+    * the three windowed batchings verbatim. */
+  private[graft] def q295(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      expr("CAST(size(filter(split(text, '\\\\s+'), t -> t != '')) AS BIGINT)")
+        .as("n_tok"))
+    graft.operators.Curation.paddingWasteAudit(d, "source", "doc_id",
+        "n_tok", batchSize = 8, bucketWidth = 16)
+      .orderBy("strategy", "source")
+  }
+
   private[graft] def q288(s: SparkSession, dir: String): DataFrame =
     q275(s, dir)
       .groupBy(col("split"))

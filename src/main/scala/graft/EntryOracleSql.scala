@@ -4806,6 +4806,62 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   lm.lm_nll_min, lm.lm_nll_max
            FROM $datasheetV2From
                 CROSS JOIN fert CROSS JOIN lm
-           ORDER BY n_docs""")
+           ORDER BY n_docs""",
+      "q295_padding_waste" ->
+        """WITH d AS (
+             SELECT source, doc_id,
+                    CAST(len([t for t in string_split_regex(text, '\s+')
+                              if t <> '']) AS BIGINT) AS n_tok
+             FROM documents
+           ), arr AS (
+             SELECT source, n_tok,
+                    (row_number() OVER (PARTITION BY source
+                       ORDER BY doc_id) - 1) // 8 AS b
+             FROM d
+           ), srt AS (
+             SELECT source, n_tok,
+                    (row_number() OVER (PARTITION BY source
+                       ORDER BY n_tok, doc_id) - 1) // 8 AS b
+             FROM d
+           ), bkt AS (
+             SELECT source, n_tok, n_tok // 16 AS bk,
+                    (row_number() OVER (PARTITION BY source, n_tok // 16
+                       ORDER BY doc_id) - 1) // 8 AS b
+             FROM d
+           ), arr_b AS (
+             SELECT source, b, CAST(count(*) AS BIGINT) AS bn,
+                    max(n_tok) AS bmax, CAST(sum(n_tok) AS BIGINT) AS bsum
+             FROM arr GROUP BY source, b
+           ), srt_b AS (
+             SELECT source, b, CAST(count(*) AS BIGINT) AS bn,
+                    max(n_tok) AS bmax, CAST(sum(n_tok) AS BIGINT) AS bsum
+             FROM srt GROUP BY source, b
+           ), bkt_b AS (
+             SELECT source, bk, b, CAST(count(*) AS BIGINT) AS bn,
+                    max(n_tok) AS bmax, CAST(sum(n_tok) AS BIGINT) AS bsum
+             FROM bkt GROUP BY source, bk, b
+           ), u AS (
+             SELECT 'arrival' AS strategy, source,
+                    CAST(count(*) AS BIGINT) AS n_batches,
+                    CAST(sum(bsum) AS BIGINT) AS total_tokens,
+                    CAST(sum(bn * bmax) AS BIGINT) AS padded_tokens
+             FROM arr_b GROUP BY source
+             UNION ALL
+             SELECT 'sorted', source, CAST(count(*) AS BIGINT),
+                    CAST(sum(bsum) AS BIGINT),
+                    CAST(sum(bn * bmax) AS BIGINT)
+             FROM srt_b GROUP BY source
+             UNION ALL
+             SELECT 'bucketed', source, CAST(count(*) AS BIGINT),
+                    CAST(sum(bsum) AS BIGINT),
+                    CAST(sum(bn * bmax) AS BIGINT)
+             FROM bkt_b GROUP BY source
+           )
+           SELECT strategy, source, n_batches, total_tokens, padded_tokens,
+                  CAST(CASE WHEN padded_tokens > 0
+                       THEN ((padded_tokens - total_tokens) * 1000000)
+                              // padded_tokens
+                       ELSE 0 END AS BIGINT) AS waste_micros
+           FROM u ORDER BY strategy, source""")
 
 }

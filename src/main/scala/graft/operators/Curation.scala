@@ -677,6 +677,67 @@ object Curation {
     dsirScore(raw, idCol, textCol,
       dsirTrain(target, raw, textCol, buckets, salt))
 
+  /** Batch PADDING-WASTE audit — the data-loader efficiency question
+    * every padded (non-packed) training setup answers before picking
+    * its batching strategy: of the tokens a batch ships, how many are
+    * pad? Each group (training shard / source) is batched three ways
+    * and the padded-vs-real token mass compared per strategy:
+    *
+    *  - `arrival`  — consecutive `batchSize` docs in id order (the
+    *    naive loader);
+    *  - `sorted`   — docs length-sorted first (minimal waste,
+    *    maximal length correlation within a batch);
+    *  - `bucketed` — docs grouped into `bucketWidth`-token length
+    *    buckets, batched in id order within each bucket (the
+    *    production compromise: near-sorted waste, arrival-order
+    *    mixing inside a bucket).
+    *
+    * A batch pads every member to its longest member, so batch cost =
+    * n_rows · max(tokens) and waste = cost − Σtokens; trailing
+    * partial batches cost their actual row count (no phantom rows).
+    * `waste_micros` is the padded-token fraction in integer micros —
+    * exact integer arithmetic end to end, oracle-replayable.
+    *
+    * Scale shape: every window is partitioned by the group (and
+    * bucket) — never global; the per-batch then per-group rollup is
+    * two map-side-combining aggregates. At 100 TB the group is the
+    * training shard, so each rank's waste is measured exactly where
+    * its loader would pay it. */
+  def paddingWasteAudit(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize >= 1 && bucketWidth >= 1,
+      "batchSize and bucketWidth must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    def strategy(name: String, extraKey: Option[Column],
+        order: Seq[Column]): DataFrame = {
+      val partCols = col(groupCol) +: extraKey.toSeq
+      val w = W.partitionBy(partCols: _*).orderBy(order: _*)
+      val batched = df
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__batch", expr(s"(__rn - 1) div $batchSize"))
+        .drop("__rn")
+        .groupBy(partCols :+ col("__batch"): _*)
+        .agg(count(lit(1)).as("__bn"), max(col(tokenCol)).as("__bmax"),
+          sum(col(tokenCol)).as("__bsum"))
+      batched.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__bn") * col("__bmax")).as("padded_tokens"),
+          sum(col("__bsum")).as("total_tokens"))
+        .withColumn("strategy", lit(name))
+    }
+    val arrival = strategy("arrival", None, Seq(col(idCol)))
+    val sorted = strategy("sorted", None, Seq(col(tokenCol), col(idCol)))
+    val bucketed = strategy("bucketed",
+      Some(expr(s"$tokenCol div $bucketWidth")), Seq(col(idCol)))
+    arrival.unionByName(sorted).unionByName(bucketed)
+      .withColumn("waste_micros",
+        when(col("padded_tokens") > 0, expr(
+          "((padded_tokens - total_tokens) * 1000000) div padded_tokens"))
+          .otherwise(lit(0L)))
+      .select(col("strategy"), col(groupCol), col("n_batches"),
+        col("total_tokens"), col("padded_tokens"), col("waste_micros"))
+  }
+
   /** Gumbel top-k resampling over [[importanceWeights]] — DSIR's
     * selection step: sampling k docs ∝ softmax(weight) without
     * replacement ≡ taking the top k by `weight + Gumbel noise`

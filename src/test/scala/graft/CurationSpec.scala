@@ -516,4 +516,25 @@ class CurationSpec extends SparkSpec with Matchers {
     shares should be > 999990L
   }
 
+  test("paddingWasteAudit: hand-computed batch costs per strategy") {
+    val rows = Seq((1L, "a", 5L), (2L, "a", 1L), (3L, "a", 4L),
+      (4L, "a", 8L), (5L, "a", 2L)).toDF("doc_id", "grp", "tok")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.paddingWasteAudit(df, "grp", "doc_id", "tok",
+          batchSize = 2, bucketWidth = 4)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_batches"), r.getAs[Long]("total_tokens"),
+            r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_micros")))
+        .toMap
+    val out = run(rows)
+    // arrival (id order): [5,1]→10, [4,8]→16, [2]→2; Σtok=20
+    out("arrival") shouldBe ((3L, 20L, 28L, 8000000L / 28L))
+    // sorted (tok order 1,2,4,5,8): [1,2]→4, [4,5]→10, [8]→8
+    out("sorted") shouldBe ((3L, 20L, 22L, 2000000L / 22L))
+    // bucketed (tok div 4): b0=[1,2]→4, b1=[5,4]→10, b2=[8]→8
+    out("bucketed") shouldBe ((3L, 20L, 22L, 2000000L / 22L))
+    // partition-invariant: windows are keyed, never positional
+    run(rows.repartition(7)) shouldBe out
+  }
+
 }
