@@ -1297,6 +1297,41 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .orderBy("strategy", "source")
   }
 
+  /** The q296 stopword slice — a compact high-frequency subset; the
+    * oracle inlines the same list. */
+  private[graft] val overlapStopwords = Seq("the", "a", "of", "to", "and",
+    "in", "is", "it", "that", "for")
+
+  /** q296's gate stack — (name, fail-flag) over the shared doc
+    * features; names sorted so the matrix key order is total. */
+  private[graft] val overlapGateNames =
+    Seq("len_long", "len_short", "stopword", "ttr")
+
+  /** Curation-gate overlap matrix
+    * ([[graft.operators.Curation.gateOverlapMatrix]]): four corpus
+    * gates (short-doc, long-doc, low-stopword-ratio, low type-token
+    * ratio) evaluated once per doc, then every pairwise co-failure
+    * count plus each gate's exclusive-kill count from ONE full-scan
+    * aggregate — the filter-redundancy audit run before freezing a
+    * gate stack. The oracle restates each generated pair sum over the
+    * same gate expressions. */
+  private[graft] def q296(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(overlapStopwords.map(lit): _*)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val flags = t(s, dir, "documents")
+      .withColumn("__toks", toks)
+      .withColumn("__w", size(col("__toks")).cast("long"))
+      .select(
+        (col("n_chars") < 150).as("len_short"),
+        (col("n_chars") > 420).as("len_long"),
+        (size(filter(col("__toks"), t => array_contains(stopArr, t)))
+          .cast("long") * 1000 < col("__w") * 60).as("stopword"),
+        (size(array_distinct(col("__toks"))).cast("long") * 1000
+          < col("__w") * 520).as("ttr"))
+    graft.operators.Curation.gateOverlapMatrix(flags, overlapGateNames)
+      .orderBy("gate_a", "gate_b")
+  }
+
   private[graft] def q288(s: SparkSession, dir: String): DataFrame =
     q275(s, dir)
       .groupBy(col("split"))

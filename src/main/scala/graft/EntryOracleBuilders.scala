@@ -4743,4 +4743,48 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
          CROSS JOIN tot t
          GROUP BY pd.doc_id
        )"""
+
+  /** q296's oracle: the same four gate expressions per doc, then one
+    * generated UNION ALL arm per unordered gate pair restating the
+    * pairwise / exclusive sums the Spark side computes in its single
+    * aggregate — names and thresholds shared verbatim. */
+  private[graft] def gateOverlapOracle: String = {
+    val gs = overlapGateNames
+    val stopList = overlapStopwords.map(w => s"'$w'").mkString(", ")
+    val pairs = for { i <- gs.indices; j <- i until gs.size }
+      yield (gs(i), gs(j))
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS gate_a, '$b' AS gate_b,
+            CAST(sum(CASE WHEN $a THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_a,
+            CAST(sum(CASE WHEN $b THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_b,
+            CAST(sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_fail_both,
+            CAST(sum(CASE WHEN $a AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_only_a
+          FROM f"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+         SELECT n_chars,
+                [t for t in string_split_regex(lower(text), '\\s+')
+                 if t <> ''] AS toks
+         FROM documents
+       ), e AS (
+         SELECT n_chars, CAST(len(toks) AS BIGINT) AS w,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS dw,
+                CAST(len([t for t in toks if t in ($stopList)]) AS BIGINT)
+                  AS st
+         FROM d
+       ), f AS (
+         SELECT (n_chars < 150) AS len_short,
+                (n_chars > 420) AS len_long,
+                (st * 1000 < w * 60) AS stopword,
+                (dw * 1000 < w * 520) AS ttr,
+                (CASE WHEN n_chars < 150 THEN 1 ELSE 0 END
+                 + CASE WHEN n_chars > 420 THEN 1 ELSE 0 END
+                 + CASE WHEN st * 1000 < w * 60 THEN 1 ELSE 0 END
+                 + CASE WHEN dw * 1000 < w * 520 THEN 1 ELSE 0 END) AS nf
+         FROM e
+       )
+       SELECT * FROM ($arms) ORDER BY gate_a, gate_b"""
+  }
 }

@@ -4862,6 +4862,7 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                        THEN ((padded_tokens - total_tokens) * 1000000)
                               // padded_tokens
                        ELSE 0 END AS BIGINT) AS waste_micros
-           FROM u ORDER BY strategy, source""")
+           FROM u ORDER BY strategy, source""",
+      "q296_gate_overlap" -> gateOverlapOracle)
 
 }

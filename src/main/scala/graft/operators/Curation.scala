@@ -738,6 +738,49 @@ object Curation {
         col("total_tokens"), col("padded_tokens"), col("waste_micros"))
   }
 
+  /** Curation-gate OVERLAP matrix — the "which filters are redundant"
+    * audit run before freezing a gate stack: for every unordered gate
+    * pair, how many docs fail both (are the gates measuring the same
+    * thing?), and for every gate, how many docs ONLY it catches (is
+    * it pulling unique weight?). The report that justifies dropping a
+    * gate — or proves each one earns its scan — before a 100 TB
+    * pipeline pays for all of them.
+    *
+    * Input: one boolean fail-flag column per gate. Output: one row
+    * per pair `gate_a ≤ gate_b` (diagonal included) with
+    * `n_fail_a`, `n_fail_b`, `n_fail_both`, and `n_only_a` (docs
+    * failing gate_a and NO other gate).
+    *
+    * Scale shape: ONE full-scan aggregate computes every pairwise sum
+    * as a generated column (k gates → k(k+1)/2 + 2k sums, all
+    * map-side combining — the row set is never multiplied k² the way
+    * an explode-pairs plan would); the 1-row result unpivots to the
+    * tall matrix driver-side-free via a literal-array explode. */
+  def gateOverlapMatrix(df: DataFrame, gateCols: Seq[String]): DataFrame = {
+    require(gateCols.nonEmpty, "need at least one gate column")
+    val gs = gateCols.sorted
+    val nf = gs.map(g => when(col(g), 1).otherwise(0)).reduce(_ + _)
+    val pairs = for {
+      i <- gs.indices; j <- i until gs.size
+    } yield (gs(i), gs(j))
+    val aggs =
+      pairs.map { case (a, b) =>
+        sum(when(col(a) && col(b), 1L).otherwise(0L)).as(s"__both_${a}_$b")
+      } ++ gs.flatMap { g => Seq(
+        sum(when(col(g), 1L).otherwise(0L)).as(s"__fail_$g"),
+        sum(when(col(g) && nf === 1, 1L).otherwise(0L)).as(s"__only_$g"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
+        coalesce(col(s"__fail_$a"), lit(0L)).as("n_fail_a"),
+        coalesce(col(s"__fail_$b"), lit(0L)).as("n_fail_b"),
+        coalesce(col(s"__both_${a}_$b"), lit(0L)).as("n_fail_both"),
+        coalesce(col(s"__only_$a"), lit(0L)).as("n_only_a"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Gumbel top-k resampling over [[importanceWeights]] — DSIR's
     * selection step: sampling k docs ∝ softmax(weight) without
     * replacement ≡ taking the top k by `weight + Gumbel noise`

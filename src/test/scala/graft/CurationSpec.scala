@@ -537,4 +537,29 @@ class CurationSpec extends SparkSpec with Matchers {
     run(rows.repartition(7)) shouldBe out
   }
 
+  test("gateOverlapMatrix: pairwise and exclusive counts, sorted keys") {
+    // docs: 1 fails a only; 2 fails a+b; 3 fails b+c; 4 fails none
+    val flags = Seq(
+      (1L, true, false, false), (2L, true, true, false),
+      (3L, false, true, true), (4L, false, false, false))
+      .toDF("id", "ga", "gb", "gc")
+    val out = Curation.gateOverlapMatrix(flags, Seq("gc", "ga", "gb"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out.keySet shouldBe Set(("ga", "ga"), ("ga", "gb"), ("ga", "gc"),
+      ("gb", "gb"), ("gb", "gc"), ("gc", "gc"))
+    // (n_fail_a, n_fail_b, n_fail_both, n_only_a)
+    out(("ga", "ga")) shouldBe ((2L, 2L, 2L, 1L)) // doc 1 is a-exclusive
+    out(("ga", "gb")) shouldBe ((2L, 2L, 1L, 1L)) // doc 2 co-fails
+    out(("ga", "gc")) shouldBe ((2L, 1L, 0L, 1L)) // disjoint
+    out(("gb", "gc")) shouldBe ((2L, 1L, 1L, 0L)) // gb never exclusive
+    out(("gc", "gc")) shouldBe ((1L, 1L, 1L, 0L))
+    // empty input: sums coalesce to 0 instead of a null-row explosion
+    val empty = Curation.gateOverlapMatrix(
+      flags.filter(col("id") < 0), Seq("ga", "gb"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4))
+      .toMap
+    empty(("ga", "gb")) shouldBe 0L
+  }
+
 }
