@@ -4863,6 +4863,57 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                               // padded_tokens
                        ELSE 0 END AS BIGINT) AS waste_micros
            FROM u ORDER BY strategy, source""",
-      "q296_gate_overlap" -> gateOverlapOracle)
+      "q296_gate_overlap" -> gateOverlapOracle,
+      "q297_zipf_fit" ->
+        """WITH tk AS (
+             SELECT source,
+                    unnest([t for t in string_split_regex(lower(text),
+                            '\s+') if t <> '']) AS tok
+             FROM documents
+           ), fr AS (
+             SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+             FROM tk GROUP BY source, tok
+           ), rk AS (
+             SELECT source, tok, f,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY f DESC, tok) AS r
+             FROM fr
+           ), xy AS (
+             SELECT source,
+                    CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                    CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             FROM rk WHERE r <= 100
+           ), s AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(y * y) AS BIGINT) AS syy
+             FROM xy GROUP BY source
+           ), ab AS (
+             SELECT source, n, sx, sy,
+                    n * sxy - sx * sy AS a,
+                    n * sxx - sx * sx AS b,
+                    n * syy - sy * sy AS c
+             FROM s
+           )
+           SELECT source, n AS n_ranks,
+                  CASE WHEN b = 0 THEN NULL
+                       ELSE CAST(round(1000000
+                         * (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)))
+                         AS BIGINT) END AS slope_micro,
+                  CASE WHEN b = 0 THEN NULL
+                       ELSE CAST(round((CAST(sy AS DOUBLE)
+                           - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+                             * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) AS BIGINT)
+                       END AS intercept_micro,
+                  CASE WHEN b = 0 OR c = 0 THEN NULL
+                       ELSE CAST(round(1000000
+                         * ((CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                            / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))
+                         AS BIGINT) END AS r2_micro
+           FROM ab ORDER BY source""")
 
 }

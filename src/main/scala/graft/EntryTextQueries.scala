@@ -1475,4 +1475,16 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("source")
   }
 
+  /** Zipf rank-frequency fit per source
+    * ([[graft.operators.TextAnalysis.zipfFit]]): the top-100 token
+    * frequencies of each source OLS-fitted in log-log space — slope,
+    * intercept, r² in exact integer micros from micro-quantized ln
+    * over integer counts. The power-law corpus-health alarm beside
+    * q118's distribution drift and q226's burstiness. The oracle
+    * replays the ranking and the five-sum fit verbatim. */
+  private[graft] def q297(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(s, dir, "documents"), "source", "text",
+        topRanks = 100)
+      .orderBy("source")
+
 }

@@ -28,6 +28,71 @@ object TextAnalysis {
   private def tokens(text: Column): Column =
     split(lower(text), "\\s+")
 
+  /** ZIPF rank-frequency fit per group — the corpus-health power-law
+    * check: token frequencies ranked within each group and the top
+    * `topRanks` fitted by OLS in log-log space. Natural text follows
+    * freq ∝ rank^s with s ≈ −1; a templated / machine-generated /
+    * keyword-stuffed slice bends away from the line, so per-source
+    * slope + r² is a one-row-per-source drift alarm.
+    *
+    * Exactness: ln(rank) and ln(freq) are micro-quantized per
+    * (group, token) row, the five OLS sums are exact integer
+    * aggregates, and slope/intercept/r² are each ONE fixed double
+    * expression over them (the q117 discipline) — order-independent
+    * and oracle-exact. Micro (not nano) quantization keeps every
+    * cross-product inside Long at any corpus scale.
+    *
+    * Scale shape: the corpus reduces to (group, token) counts first
+    * (vocabulary-sized, map-side combined); the top-`topRanks` window
+    * ranks within each group over that reduced set; the fit is a
+    * per-group 5-sum aggregate. Nothing corpus-sized crosses a
+    * second shuffle. */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+      topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 2, "need at least two ranks to fit")
+    val freq = docs
+      .select(col(groupCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__f").desc, col("__tok"))
+    val ranked = freq
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .filter(col("__r") <= topRanks)
+      .select(col(groupCol),
+        round(log(col("__r").cast("double")) * 1e6).cast("long").as("__x"),
+        round(log(col("__f").cast("double")) * 1e6).cast("long").as("__y"))
+    val d = (c: Column) => c.cast("double")
+    ranked.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_ranks"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .withColumn("__a",
+        col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__b",
+        col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__c",
+        col("n_ranks") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope_micro", when(col("__b") === 0, lit(null))
+        .otherwise(round(lit(1000000) * (d(col("__a")) / d(col("__b"))))
+          .cast("long")))
+      .withColumn("intercept_micro", when(col("__b") === 0, lit(null))
+        .otherwise(round((d(col("sy"))
+          - (d(col("__a")) / d(col("__b"))) * d(col("sx")))
+          / d(col("n_ranks"))).cast("long")))
+      .withColumn("r2_micro",
+        when(col("__b") === 0 || col("__c") === 0, lit(null))
+          .otherwise(round(lit(1000000) * ((d(col("__a")) * d(col("__a")))
+            / (d(col("__b")) * d(col("__c"))))).cast("long")))
+      .select(col(groupCol), col("n_ranks"), col("slope_micro"),
+        col("intercept_micro"), col("r2_micro"))
+  }
+
   /** Per-language marker-hit counts + predicted language (argmax hit
     * count; deterministic lexicographic tie-break on language code).
     * One explode-free pass: `size(filter(tokens, in markers))` per

@@ -625,6 +625,51 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       .collect().map(_.toString).sorted shouldBe freshAll
   }
 
+  test("zipfFit: exact f=C/r corpus fits slope -1, r2 = 1, micros replayed") {
+    // freqs 12, 6, 4, 3 = 12/r for r = 1..4 -> y = ln 12 - x exactly.
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq(("s", text)).toDF("source", "text")
+    val r = TextAnalysis.zipfFit(docs, "source", "text").head()
+    // replay the operator's quantization: per-rank micro'd ln, 5 sums,
+    // one fixed double expression each
+    val pts = Seq((1L, 12L), (2L, 6L), (3L, 4L), (4L, 3L)).map {
+      case (rk, f) => (math.round(math.log(rk.toDouble) * 1e6),
+        math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val a = n * sxy - sx * sy; val b = n * sxx - sx * sx
+    val c = n * syy - sy * sy
+    r.getAs[Long]("n_ranks") shouldBe 4L
+    r.getAs[Long]("slope_micro") shouldBe
+      math.round(1e6 * (a.toDouble / b.toDouble))
+    r.getAs[Long]("intercept_micro") shouldBe
+      math.round((sy.toDouble - (a.toDouble / b.toDouble) * sx) / n)
+    r.getAs[Long]("r2_micro") shouldBe
+      math.round(1e6 * (a.toDouble * a / (b.toDouble * c)))
+    // semantics: slope ~ -1, r2 ~ 1 (quantization noise only)
+    r.getAs[Long]("slope_micro") shouldBe -1000000L +- 5L
+    r.getAs[Long]("r2_micro") shouldBe 1000000L +- 5L
+  }
+
+  test("zipfFit: topRanks truncates; equal-frequency ranks tie-break on token") {
+    // 3 tokens at freq 2 ("x","y","z") and 1 at freq 4 -> ranks by
+    // (f desc, tok): w=1, x=2, y=3; topRanks=3 drops z.
+    val text = "w w w w x x y y z z"
+    val docs = Seq(("s", text)).toDF("source", "text")
+    val r3 = TextAnalysis.zipfFit(docs, "source", "text", topRanks = 3).head()
+    r3.getAs[Long]("n_ranks") shouldBe 3L
+    // degenerate single-rank fit -> b = 0 -> nulls
+    val r1 = TextAnalysis.zipfFit(docs, "source", "text", topRanks = 2)
+    r1.head().getAs[Long]("n_ranks") shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.zipfFit(docs, "source", "text", topRanks = 1)
+  }
+
   test("perplexityBuckets: equal terciles, NLL-monotone, exact normalization") {
     // 9 docs in one source, NLL proxy: logprob_micros = -k*1e6 over k
     // trigrams -> nll_per_tri_nanos = 1e9 for all? No: vary the rate.
