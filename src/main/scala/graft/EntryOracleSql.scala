@@ -4864,6 +4864,24 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                        ELSE 0 END AS BIGINT) AS waste_micros
            FROM u ORDER BY strategy, source""",
       "q296_gate_overlap" -> gateOverlapOracle,
+      "q293_attr_filtered_ann" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  label FROM embeddings),
+           n AS (SELECT vec_id, v, label,
+                   sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           q AS (SELECT vec_id, v, nrm, label FROM n
+                 WHERE vec_id % 50 = 0),
+           s AS (SELECT q.vec_id AS q_id, q.label AS label,
+                   c.vec_id AS c_id,
+                   ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+                 FROM q JOIN n c ON q.label = c.label
+                 WHERE q.vec_id <> c.vec_id),
+           r AS (SELECT q_id, label, c_id, score,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, c_id ASC) AS rnk
+                 FROM s)
+           SELECT q_id, label, CAST(rnk AS BIGINT) AS "rank", c_id, score
+           FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
       "q297_zipf_fit" ->
         """WITH tk AS (
              SELECT source,

@@ -1067,4 +1067,24 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("q_id", "rank")
   }
 
+  /** ATTRIBUTE-CONSTRAINED (filtered) vector search
+    * ([[Ann.attributeTopK]]): q25's query set, but each query ranks
+    * only corpus vectors sharing its `label` — metadata-scoped
+    * retrieval done as PRE-filtering (an equi-join on the label), so
+    * the answer is exactly filter-then-rank; post-filtering an
+    * unconstrained top-k list would lose recall at ~10% selectivity.
+    * The pairing shuffle is keyed by label instead of a cross join —
+    * |C|/|labels| candidates per query, co-located when the corpus
+    * is bucketed by the attribute. The oracle states the same
+    * equi-join + rank directly. */
+  private[graft] def q293(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    Ann.attributeTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", Seq("label"), k = 5,
+        excludeSelf = true)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q_id", "rank")
+  }
+
 }

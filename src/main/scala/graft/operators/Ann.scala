@@ -280,6 +280,58 @@ object Ann {
     rankTopK(scored, "q_id", "c_id", "score", k)
   }
 
+  /** ATTRIBUTE-CONSTRAINED exact top-k: each query ranks only the
+    * corpus vectors sharing its `attrCols` values (same label /
+    * tenant / language partition) — the "filtered vector search"
+    * every metadata-scoped retrieval stack needs, done as
+    * PRE-filtering: the constraint is an equi-join key, so the
+    * result is exactly the filter-then-rank answer (post-filtering
+    * an unconstrained ANN list loses recall when the filter is
+    * selective).
+    *
+    * Scale shape: the candidate pairing is an equi-JOIN on the
+    * attribute columns, not a cross join — the shuffle is keyed by
+    * attribute, each query meets |C|/|attr-partitions| candidates,
+    * and with the corpus bucketed by the attribute the probe is
+    * co-located. Catalyst broadcasts whichever side is small; the
+    * rank is the same bounded-heap aggregate as [[bruteForceTopK]]
+    * (map-side partial, no per-query sort). Ties break to the lower
+    * corpus id. Output: (q_id, attrCols..., rank, c_id, score). */
+  def attributeTopK(queries: DataFrame, corpus: DataFrame,
+                    qIdCol: String, cIdCol: String, vecCol: String,
+                    attrCols: Seq[String], k: Int,
+                    excludeSelf: Boolean = false): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val idType = corpus.schema(cIdCol).dataType
+    val q = queries.select(
+      (col(qIdCol).as("q_id") +: col(vecCol).as("q_vec") +:
+        attrCols.map(col)): _*)
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+    val c = corpus.select(
+      (col(cIdCol).as("c_id") +: col(vecCol).as("c_vec") +:
+        attrCols.map(col)): _*)
+      .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec")))
+    val paired = q.join(c, attrCols)
+    val scored = (if (excludeSelf) paired.filter(col("q_id") =!= col("c_id"))
+      else paired)
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+    scored
+      .groupBy(col("q_id"))
+      .agg(
+        graft.functions.TopKByScoreAgg
+          .topK(col("score"), col("c_id").cast("long"), k).as("__tk"),
+        attrCols.map(a => first(col(a)).as(a)): _*)
+      .select(
+        (Seq(col("q_id")) ++ attrCols.map(col) :+
+          posexplode(col("__tk")).as(Seq("__pos", "__e"))): _*)
+      .select(
+        (Seq(col("q_id")) ++ attrCols.map(col) ++ Seq(
+          (col("__pos") + 1).as("rank"),
+          col("__e.id").cast(idType).as("c_id"),
+          col("__e.score").as("score"))): _*)
+  }
+
   // --- IVF ---------------------------------------------------------------
 
   /** Assign each vector to its nearest centroid by cosine (ties → the

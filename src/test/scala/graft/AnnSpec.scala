@@ -649,4 +649,33 @@ class AnnSpec extends SparkSpec with Matchers {
     (m2 eq m1) shouldBe true // the memo returns the SAME pinned frame
   }
 
+  test("attributeTopK: candidates restricted to the query's attribute; equals filter-then-rank") {
+    val labeled = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, Seq(0.95, 0.3, 0.0, 0.0), 0),  // near 0, same label
+      (2L, Seq(0.99, 0.1, 0.0, 0.0), 1),  // nearer 0 but OTHER label
+      (3L, Seq(0.0, 1.0, 0.0, 0.0), 0),
+      (4L, Seq(0.9, 0.4, 0.0, 0.0), 1),
+      (5L, Seq(0.0, 0.0, 1.0, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.attributeTopK(
+        labeled.filter(col("vec_id") < 1), labeled,
+        "vec_id", "vec_id", "embedding", Seq("label"), k = 3,
+        excludeSelf = true)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // query 0 (label 0): id 2 would rank first unconstrained, but
+    // carries label 1 — constrained answer is 1 then 3 only
+    out.map(_.getAs[Long]("c_id")).toSeq shouldBe Seq(1L, 3L)
+    out.map(_.getAs[Int]("label")).distinct.toSeq shouldBe Seq(0)
+    // equals explicit filter-then-rank via bruteForceTopK on the slice
+    val slice = labeled.filter(col("label") === 0)
+    val ref = Ann.bruteForceTopK(
+        slice.filter(col("vec_id") < 1), slice,
+        "vec_id", "vec_id", "embedding", k = 3, excludeSelf = true)
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("c_id"), r.getAs[Double]("score"))).toSeq
+    out.map(r => (r.getAs[Long]("c_id"), r.getAs[Double]("score")))
+      .toSeq shouldBe ref
+  }
+
 }
