@@ -4864,6 +4864,53 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                        ELSE 0 END AS BIGINT) AS waste_micros
            FROM u ORDER BY strategy, source""",
       "q296_gate_overlap" -> gateOverlapOracle,
+      "q294_homoglyph_scrub" -> {
+        val plantRows = (spamPlants ++ obfuscationPlants).map { case (id, txt) =>
+          s"($id, '${txt.replace("'", "''")}')" }.mkString(", ")
+        val patRows = spamPatterns.map(p => s"('$p')").mkString(", ")
+        val cyr = "аео"
+        val from = graft.operators.Scrub.confusableFrom
+        val to = graft.operators.Scrub.confusableTo
+        val zw = graft.operators.Scrub.zeroWidthClass
+        s"""WITH d0 AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id, text
+             FROM (VALUES $plantRows) AS plants(doc_id, text)
+           ), d AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 1 THEN 'homoglyph'
+                         WHEN doc_id % 3 = 2 THEN 'zwsp'
+                         ELSE 'none' END AS obf_mode,
+                    CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeo', '$cyr')
+                         WHEN doc_id % 3 = 2 THEN replace(text, 'e', 'e' || chr(8203))
+                         ELSE text END AS ot
+             FROM d0
+           ), s AS (
+             SELECT doc_id, obf_mode, lower(ot) AS raw_t,
+                    lower(translate(regexp_replace(ot, '$zw', '', 'g'),
+                          '$from', '$to')) AS scr_t
+             FROM d
+           ), p AS (
+             SELECT pattern FROM (VALUES $patRows) AS pv(pattern)
+           ), h AS (
+             SELECT doc_id, obf_mode,
+                    CAST((length(raw_t) - length(replace(raw_t, pattern, '')))
+                         // length(pattern) AS BIGINT) AS rh,
+                    CAST((length(scr_t) - length(replace(scr_t, pattern, '')))
+                         // length(pattern) AS BIGINT) AS sh
+             FROM s CROSS JOIN p
+           ), g AS (
+             SELECT doc_id, obf_mode,
+                    CAST(sum(rh) AS BIGINT) AS raw_hits,
+                    CAST(sum(sh) AS BIGINT) AS scrubbed_hits
+             FROM h GROUP BY doc_id, obf_mode
+           )
+           SELECT doc_id, obf_mode, raw_hits, scrubbed_hits,
+                  raw_hits < 1 AS raw_keep,
+                  scrubbed_hits < 1 AS scrubbed_keep,
+                  (raw_hits < 1 AND scrubbed_hits >= 1) AS evaded
+           FROM g ORDER BY doc_id""" },
       "q293_attr_filtered_ann" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   label FROM embeddings),

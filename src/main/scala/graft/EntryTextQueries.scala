@@ -1475,6 +1475,61 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("source")
   }
 
+  /** Obfuscation-resistant blocklist audit
+    * ([[graft.operators.Scrub.foldConfusables]] →
+    * [[graft.operators.Blocklist.screen]] twice): the corpus +
+    * spam plants, deterministically obfuscated in-query (doc_id%3=1
+    * → Cyrillic homoglyph translate of a/e/o; doc_id%3=2 → ZWSP
+    * injected after every 'e'), then screened RAW vs SCRUBBED
+    * against the spam dictionary. `evaded` marks docs the naive
+    * screen passes but the fold catches — exactly the two
+    * [[obfuscationPlants]] (the q244 spam plants land on modes that
+    * leave an un-obfuscated pattern hitting, so they stay caught
+    * raw — the partial-evasion control). The whole audit is one
+    * shuffle-free projection
+    * (translate/regexp_replace/Aho-Corasick all codegen'd), and the
+    * oracle replays the obfuscation, the fold (interpolating the
+    * SAME confusable map), and the replace-arithmetic counts. */
+  /** q294's full-evasion plants — ids CHOSEN mod 3 so the spam text
+    * lands on an obfuscation that garbles EVERY matching pattern:
+    * 50000002 %3=1 (homoglyph; every pattern carries an a/e/o) and
+    * 50000003 %3=2 (ZWSP; only e-carrying patterns, no "buy now"). */
+  private[graft] val obfuscationPlants = Seq(
+    (50000002L, "click here buy now winner takes all"),
+    (50000003L, "the winner should click here twice"))
+
+  private[graft] def q294(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName((spamPlants ++ obfuscationPlants).toDF("doc_id", "text"))
+    val obf = docs
+      .withColumn("obf_mode",
+        when(col("doc_id") % 3 === 1, lit("homoglyph"))
+          .when(col("doc_id") % 3 === 2, lit("zwsp"))
+          .otherwise(lit("none")))
+      .withColumn("obf_text",
+        when(col("obf_mode") === "homoglyph",
+          translate(col("text"), "aeo", "\u0430\u0435\u043e"))
+        .when(col("obf_mode") === "zwsp",
+          regexp_replace(col("text"), "e", "e\u200b"))
+        .otherwise(col("text")))
+      .withColumn("scr_text",
+        graft.operators.Scrub.foldConfusables(col("obf_text")))
+    val raw = graft.operators.Blocklist.screen(obf, "doc_id", "obf_text",
+        spamPatterns, maxHits = 1)
+      .withColumnRenamed("total_hits", "raw_hits")
+      .withColumnRenamed("blocklist_keep", "raw_keep")
+      .drop("n_patterns_hit")
+    graft.operators.Blocklist.screen(raw, "doc_id", "scr_text",
+        spamPatterns, maxHits = 1)
+      .withColumnRenamed("total_hits", "scrubbed_hits")
+      .withColumnRenamed("blocklist_keep", "scrubbed_keep")
+      .select(col("doc_id"), col("obf_mode"), col("raw_hits"),
+        col("scrubbed_hits"), col("raw_keep"), col("scrubbed_keep"),
+        (col("raw_keep") && !col("scrubbed_keep")).as("evaded"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf rank-frequency fit per source
     * ([[graft.operators.TextAnalysis.zipfFit]]): the top-100 token
     * frequencies of each source OLS-fitted in log-log space — slope,

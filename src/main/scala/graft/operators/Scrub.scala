@@ -51,4 +51,29 @@ object Scrub {
     }
     counted.withColumn(outCol, redacted)
   }
+
+  /** Confusable (homoglyph) fold map: Cyrillic lookalikes → their
+    * ASCII targets, lower + upper. PUBLIC shared state — the q294
+    * oracle interpolates exactly these two strings into its
+    * `translate`, so both engines fold the identical code points.
+    * (A production fold ships the full Unicode confusables table;
+    * the mechanism — one codepoint-wise `translate` — is the same.) */
+  val confusableFrom =
+    "\u0430\u0435\u043e\u0440\u0441\u0445" + // Cyrillic a e o r s h (lower)
+    "\u0410\u0415\u041e\u0420\u0421\u0425"   // upper
+  val confusableTo = "aeopcx" + "AEOPCX"
+
+  /** Zero-width characters adversaries interleave to break substring
+    * screens: ZWSP, ZWNJ, ZWJ, BOM/ZWNBSP. */
+  val zeroWidthClass = "[\u200b\u200c\u200d\ufeff]"
+
+  /** Obfuscation-resistant text normalisation: strip zero-width
+    * characters, then fold Cyrillic homoglyphs to ASCII — the
+    * pre-pass that makes a blocklist/quality screen robust to
+    * "cl​ick here" and "сlick" evasion. Pure codegen'd
+    * projection (`regexp_replace` + `translate`): no shuffle, runs
+    * at scan speed, composes under any downstream screen. */
+  def foldConfusables(text: Column): Column =
+    translate(regexp_replace(text, zeroWidthClass, ""),
+      confusableFrom, confusableTo)
 }

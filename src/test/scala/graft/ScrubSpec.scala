@@ -78,4 +78,25 @@ class ScrubSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("foldConfusables: strips zero-width chars, folds Cyrillic homoglyphs, idempotent") {
+    val df = Seq(
+      (1L, "cl\u200bick he\u200cre"),              // ZWSP + ZWNJ inside words
+      (2L, "\u0441lick h\u0435r\u0435"),          // Cyrillic s/e lookalikes
+      (3L, "\u0421LICK \u0425ERE"),                // upper-case Cyrillic
+      (4L, "plain ascii stays"),
+      (5L, "\ufeffbom\u200dgone")).toDF("id", "t")
+    val out = df.select(col("id"), Scrub.foldConfusables(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "click here"
+    out(2L) shouldBe "click here"
+    out(3L) shouldBe "CLICK XERE" // Cyrillic Es -> X: codepoint map, not language
+    out(4L) shouldBe "plain ascii stays"
+    out(5L) shouldBe "bomgone"
+    // idempotent: folding folded text is a no-op
+    val twice = df.select(
+        Scrub.foldConfusables(Scrub.foldConfusables(col("t"))).as("f"))
+      .collect().map(_.getString(0)).toSet
+    twice shouldBe out.values.toSet
+  }
 }
