@@ -4911,6 +4911,56 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   scrubbed_hits < 1 AS scrubbed_keep,
                   (raw_hits < 1 AND scrubbed_hits >= 1) AS evaded
            FROM g ORDER BY doc_id""" },
+      "q298_margin_mining" ->
+        s"""$embCte,
+           x AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),
+           y AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 1),
+           sf AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+                    CAST(round(1000000 *
+                      ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")})
+                      AS BIGINT) AS cm,
+                    row_number() OVER (PARTITION BY x.vec_id
+                      ORDER BY ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")}
+                        DESC, y.vec_id ASC) AS rnk
+                  FROM x CROSS JOIN y),
+           fwd AS (SELECT x_id, y_id, cm FROM sf WHERE rnk <= 4),
+           sb AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+                    CAST(round(1000000 *
+                      ${cosSql("y.v", "y.nrm", "x.v", "x.nrm")})
+                      AS BIGINT) AS cm,
+                    row_number() OVER (PARTITION BY y.vec_id
+                      ORDER BY ${cosSql("y.v", "y.nrm", "x.v", "x.nrm")}
+                        DESC, x.vec_id ASC) AS rnk
+                  FROM y CROSS JOIN x),
+           bwd AS (SELECT x_id, y_id, cm FROM sb WHERE rnk <= 4),
+           penx AS (SELECT x_id, CAST(sum(cm) AS BIGINT) AS px
+                    FROM fwd GROUP BY x_id),
+           peny AS (SELECT y_id, CAST(sum(cm) AS BIGINT) AS py
+                    FROM bwd GROUP BY y_id),
+           fm AS (SELECT f.x_id, f.y_id, f.cm,
+                    (f.cm * 8 * 1000000) // (px + py) AS margin
+                  FROM fwd f
+                  JOIN penx USING (x_id) JOIN peny USING (y_id)
+                  WHERE f.cm >= 0 AND px + py > 0),
+           bm AS (SELECT b.x_id, b.y_id, b.cm,
+                    (b.cm * 8 * 1000000) // (px + py) AS margin
+                  FROM bwd b
+                  JOIN penx USING (x_id) JOIN peny USING (y_id)
+                  WHERE b.cm >= 0 AND px + py > 0),
+           bestf AS (SELECT x_id, y_id, cm, margin FROM (
+                       SELECT *, row_number() OVER (PARTITION BY x_id
+                         ORDER BY margin DESC, y_id ASC) AS r FROM fm)
+                     WHERE r = 1),
+           bestb AS (SELECT x_id, y_id FROM (
+                       SELECT *, row_number() OVER (PARTITION BY y_id
+                         ORDER BY margin DESC, x_id ASC) AS r FROM bm)
+                     WHERE r = 1)
+           SELECT f.x_id, f.y_id, f.cm AS cos_micro,
+                  f.margin AS margin_micro,
+                  f.margin >= 1060000 AS mined
+           FROM bestf f JOIN bestb b
+             ON f.x_id = b.x_id AND f.y_id = b.y_id
+           ORDER BY f.x_id""",
       "q293_attr_filtered_ann" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   label FROM embeddings),

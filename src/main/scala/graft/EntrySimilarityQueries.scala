@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.functions.GraftUdfs
-import graft.operators.{Analyze, Ann, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
+import graft.operators.{Analyze, Ann, Bitext, Bpe, Cluster, Dedup, Graph, Matcher, Multimodal, Scrub, Sketch, TextAnalysis, UrlOps}
 import graft.streaming.StreamOps
 
 /** Dedup / similarity-search / sketch queries plus the flagship matcher family: minhash-LSH tiers, SimHash, prefix-filter Jaccard, ANN tiers, the retrieval cascade, trained-embedder flagships. */
@@ -1085,6 +1085,23 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
         excludeSelf = true)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("q_id", "rank")
+  }
+
+  /** MARGIN-based bitext mining ([[Bitext.marginMine]]): the
+    * LASER/CCMatrix ratio-margin criterion over two halves of the
+    * embedding table standing in for two language spaces — candidate
+    * cosines micro-quantized once, k-NN penalties as integer sums,
+    * margin as one guarded integer div, mutual best-by-margin in both
+    * directions. One row per mutual pair with the 1.06 operating
+    * point flagged in `mined`. The oracle replays both directed
+    * top-4 scans, both penalty sums, and the margin arithmetic. */
+  private[graft] def q298(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Bitext.marginMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4)
+      .orderBy("x_id")
   }
 
 }
