@@ -4911,6 +4911,44 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   scrubbed_hits < 1 AS scrubbed_keep,
                   (raw_hits < 1 AND scrubbed_hits >= 1) AS evaded
            FROM g ORDER BY doc_id""" },
+      "q299_mauve_frontier" ->
+        s"""WITH ${kmeansCtesSql("embeddings", 8, 2, "mauve")},
+          mfl AS (SELECT m.vec_id, m.cell, e.label < 5 AS is_p
+                  FROM m2 m JOIN embeddings e USING (vec_id)),
+          mhc AS (SELECT cell,
+                   CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cnt_p,
+                   CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT)
+                     AS cnt_q
+                 FROM mfl GROUP BY cell),
+          mtt AS (SELECT CAST(sum(cnt_p) AS BIGINT) AS np,
+                        CAST(sum(cnt_q) AS BIGINT) AS nq FROM mhc),
+          mlg AS (SELECT CAST(j AS BIGINT) AS lambda_num
+                 FROM generate_series(1, 7) AS gs(j)),
+           tm AS (SELECT lambda_num, cnt_p, cnt_q, np, nq,
+                    lambda_num * cnt_p * nq
+                      + (8 - lambda_num) * cnt_q * np AS den
+                  FROM mhc CROSS JOIN mtt CROSS JOIN mlg),
+          mkq AS (SELECT lambda_num,
+                   CAST(sum(cnt_p * (CASE WHEN cnt_p > 0
+                     THEN CAST(round(1000000 * ln(
+                       CAST(8 * cnt_p * nq AS DOUBLE)
+                         / CAST(den AS DOUBLE))) AS BIGINT)
+                     ELSE 0 END)) AS BIGINT) AS sump,
+                   CAST(sum(cnt_q * (CASE WHEN cnt_q > 0
+                     THEN CAST(round(1000000 * ln(
+                       CAST(8 * cnt_q * np AS DOUBLE)
+                         / CAST(den AS DOUBLE))) AS BIGINT)
+                     ELSE 0 END)) AS BIGINT) AS sumq,
+                   CAST(max(np) AS BIGINT) AS np,
+                   CAST(max(nq) AS BIGINT) AS nq
+                 FROM tm GROUP BY lambda_num)
+           SELECT lambda_num,
+                  (sump * 1000 + 1000000000000 * np) // np
+                    - 1000000000000 AS kl_p_nano,
+                  (sumq * 1000 + 1000000000000 * nq) // nq
+                    - 1000000000000 AS kl_q_nano
+           FROM mkq ORDER BY lambda_num""",
       "q298_margin_mining" ->
         s"""$embCte,
            x AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),

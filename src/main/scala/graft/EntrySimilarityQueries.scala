@@ -1104,4 +1104,24 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("x_id")
   }
 
+  /** MAUVE-lite corpus-divergence frontier
+    * ([[Cluster.kmeansMicro]] → [[Cluster.divergenceFrontier]]): the
+    * two label halves of the embedding table compared through the
+    * quantized-KL mixture frontier over a shared deterministic
+    * k-means assignment (k=8, 2 rounds) — one row per λ = j/8 with
+    * KL(P‖R_λ)/KL(Q‖R_λ) in nanos, the generative-eval family's
+    * corpus-level distance beside q118's drift and q226's
+    * burstiness. The oracle RETRAINS the same k-means rounds (the
+    * q110 CTE chain) and replays the histogram + frontier
+    * arithmetic. */
+  private[graft] def q299(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val asg = Cluster.kmeansMicro(e, "vec_id", "embedding", k = 8,
+      iterations = 2, salt = "mauve")
+    val flagged = asg.join(
+      e.select(col("vec_id"), (col("label") < 5).as("is_p")), "vec_id")
+    Cluster.divergenceFrontier(flagged, "cell", "is_p", grid = 8)
+      .orderBy("lambda_num")
+  }
+
 }

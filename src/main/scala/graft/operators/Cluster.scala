@@ -259,4 +259,63 @@ object Cluster {
       .select("cell", "id_a", "id_b", "dot_q", "na2_q", "nb2_q",
         "cos_micros", "keep_id", "drop_id")
   }
+
+  /** MAUVE-lite divergence frontier between two corpora over a shared
+    * cluster assignment (Pillutla et al. 2021's quantized KL
+    * frontier, minus the scaling constant): items carry a cell and a
+    * side flag (`isPCol`); the two per-cell histograms P, Q are
+    * compared through mixtures R_λ = λP + (1−λ)Q on the grid
+    * λ = j/`grid`, j = 1..grid−1, emitting one row per λ with
+    * KL(P‖R_λ) and KL(Q‖R_λ) in nanos — the frontier whose area is
+    * the MAUVE score.
+    *
+    * Exactness: p_i/r_i reduces to the integer rational
+    * `grid·cnt_p·Nq / (j·cnt_p·Nq + (grid−j)·cnt_q·Np)`; ln of that
+    * one double ratio is micro-quantized per (cell, λ) term, the
+    * weighted term sum is an exact integer aggregate, and the final
+    * normalization is a shift-guarded floor div (identical in Spark
+    * `div` and DuckDB `//` because the shifted operands are
+    * non-negative). Zero-count cells contribute 0 by the lazy guard.
+    * Integer-range contract: counts·totals·grid must stay below 2⁶³
+    * (swap the products to Decimal beyond ~10¹² items per side).
+    *
+    * Scale shape: the corpus collapses to k cluster-count rows in ONE
+    * map-side-combined aggregate; everything after (totals row,
+    * λ grid, KL sums) is catalog-sized arithmetic. */
+  def divergenceFrontier(assigned: DataFrame, cellCol: String,
+      isPCol: String, grid: Int = 8): DataFrame = {
+    require(grid >= 2, "grid must be >= 2")
+    val counts = assigned.groupBy(col(cellCol)).agg(
+      sum(when(col(isPCol), 1L).otherwise(0L)).as("cnt_p"),
+      sum(when(col(isPCol), 0L).otherwise(1L)).as("cnt_q"))
+    val totals = counts.agg(sum(col("cnt_p")).as("np"),
+      sum(col("cnt_q")).as("nq"))
+    val lambdas = assigned.sparkSession.range(1, grid)
+      .toDF("lambda_num")
+    val g = lit(grid.toLong)
+    val j = col("lambda_num")
+    val den = j * col("cnt_p") * col("nq") +
+      (g - j) * col("cnt_q") * col("np")
+    def lnTerm(cnt: Column, tot: Column): Column =
+      when(cnt > 0,
+        round(log((g * cnt * tot).cast("double") / den.cast("double"))
+          * 1e6).cast("long"))
+        .otherwise(lit(0L))
+    val K = 1000000000000L // shift: |sum·1000| < K·total at any tested SF
+    counts
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(lambdas))
+      .withColumn("__ltp", lnTerm(col("cnt_p"), col("nq")))
+      .withColumn("__ltq", lnTerm(col("cnt_q"), col("np")))
+      .groupBy(col("lambda_num"))
+      .agg(
+        sum(col("cnt_p") * col("__ltp")).as("__sump"),
+        sum(col("cnt_q") * col("__ltq")).as("__sumq"),
+        max(col("np")).as("__np"), max(col("nq")).as("__nq"))
+      .select(col("lambda_num"),
+        expr(s"(__sump * 1000 + ${K}L * __np) div __np - ${K}L")
+          .as("kl_p_nano"),
+        expr(s"(__sumq * 1000 + ${K}L * __nq) div __nq - ${K}L")
+          .as("kl_q_nano"))
+  }
 }

@@ -209,4 +209,29 @@ class ClusterSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     direct shouldBe assign
   }
+
+  test("divergenceFrontier: hand-computed KL at grid=2; identical corpora give zero") {
+    // cells A,B with P counts (3,1), Q counts (1,3); Np=Nq=4, λ=1/2:
+    // den=16 both cells; ratios 1.5 / 0.5 → lt = ±round(1e6·ln)
+    val rows = Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false))
+    val df = rows.toDF("cell", "is_p")
+    val out = Cluster.divergenceFrontier(df, "cell", "is_p", grid = 2)
+      .collect()
+    out.length shouldBe 1
+    val lt15 = math.round(1e6 * math.log(1.5)) // 405465
+    val lt05 = math.round(1e6 * math.log(0.5)) // -693147
+    val expected = math.floorDiv((3 * lt15 + 1 * lt05) * 1000L, 4L)
+    out.head.getAs[Long]("kl_p_nano") shouldBe expected
+    out.head.getAs[Long]("kl_q_nano") shouldBe expected // symmetric counts
+    // identical histograms → every λ's KLs are exactly 0
+    val same = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(2)(("B", true)) ++ Seq.fill(2)(("B", false)))
+      .toDF("cell", "is_p")
+    val zeros = Cluster.divergenceFrontier(same, "cell", "is_p", grid = 4)
+      .collect()
+    zeros.length shouldBe 3
+    all(zeros.map(_.getAs[Long]("kl_p_nano"))) shouldBe 0L
+    all(zeros.map(_.getAs[Long]("kl_q_nano"))) shouldBe 0L
+  }
 }
