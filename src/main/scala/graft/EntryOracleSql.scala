@@ -5017,6 +5017,65 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                  FROM s)
            SELECT q_id, label, CAST(rnk AS BIGINT) AS "rank", c_id, score
            FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+      "q300_heaps_fit" ->
+        """WITH tk AS (
+             SELECT source, doc_id,
+                    unnest([t for t in string_split_regex(lower(text),
+                            '\s+') if t <> '']) AS tok
+             FROM documents
+           ), pd AS (
+             SELECT source, doc_id, CAST(count(*) AS BIGINT) AS ntok
+             FROM tk GROUP BY source, doc_id
+           ), fo AS (
+             SELECT source, tok, min(doc_id) AS doc_id
+             FROM tk GROUP BY source, tok
+           ), nv AS (
+             SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nvoc
+             FROM fo GROUP BY source, doc_id
+           ), cm AS (
+             SELECT p.source, p.doc_id,
+                    sum(p.ntok) OVER (PARTITION BY p.source
+                      ORDER BY p.doc_id) AS ct,
+                    sum(coalesce(n.nvoc, 0)) OVER (PARTITION BY p.source
+                      ORDER BY p.doc_id) AS cv
+             FROM pd p LEFT JOIN nv n USING (source, doc_id)
+           ), xy AS (
+             SELECT source,
+                    CAST(round(ln(CAST(ct AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                    CAST(round(ln(CAST(cv AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             FROM cm WHERE ct > 0 AND cv > 0
+           ), s AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(y * y) AS BIGINT) AS syy
+             FROM xy GROUP BY source
+           ), ab AS (
+             SELECT source, n, sx, sy,
+                    n * sxy - sx * sy AS a,
+                    n * sxx - sx * sx AS b,
+                    n * syy - sy * sy AS c
+             FROM s
+           )
+           SELECT source, n AS n_points,
+                  CASE WHEN b = 0 THEN NULL
+                       ELSE CAST(round(1000000
+                         * (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)))
+                         AS BIGINT) END AS slope_micro,
+                  CASE WHEN b = 0 THEN NULL
+                       ELSE CAST(round((CAST(sy AS DOUBLE)
+                           - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+                             * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) AS BIGINT)
+                       END AS intercept_micro,
+                  CASE WHEN b = 0 OR c = 0 THEN NULL
+                       ELSE CAST(round(1000000
+                         * ((CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                            / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))
+                         AS BIGINT) END AS r2_micro
+           FROM ab ORDER BY source""",
       "q297_zipf_fit" ->
         """WITH tk AS (
              SELECT source,

@@ -1542,4 +1542,17 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         topRanks = 100)
       .orderBy("source")
 
+  /** Heaps-law vocabulary-growth fit per source
+    * ([[graft.operators.TextAnalysis.heapsFit]]): cumulative
+    * (tokens, distinct vocabulary) after each doc in doc_id order,
+    * OLS-fitted in log-log space — β near 1 flags never-saturating
+    * vocabulary (noise/ids), near 0 a closed template. The growth
+    * companion to q297's static Zipf law, on the shared
+    * exact-integer five-sum fit; the oracle replays the first-
+    * occurrence reduction, both cumulative windows, and the fit. */
+  private[graft] def q300(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsFit(t(s, dir, "documents"), "source", "doc_id",
+        "text")
+      .orderBy("source")
+
 }

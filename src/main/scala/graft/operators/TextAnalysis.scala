@@ -65,32 +65,86 @@ object TextAnalysis {
       .select(col(groupCol),
         round(log(col("__r").cast("double")) * 1e6).cast("long").as("__x"),
         round(log(col("__f").cast("double")) * 1e6).cast("long").as("__y"))
+    olsMicroFit(ranked, groupCol)
+      .withColumnRenamed("n_points", "n_ranks")
+  }
+
+  /** Shared exact-integer OLS-in-micros fit: `pts` carries one
+    * (`groupCol`, `__x`, `__y`) row per point (both longs, already
+    * micro-quantized); the five sums are exact integer aggregates and
+    * slope/intercept/r² are each ONE fixed double expression over
+    * them (the q117 discipline) — order-independent and replayable
+    * verbatim in SQL. Degenerate groups (zero x-variance) yield
+    * nulls. Output: (groupCol, n_points, slope_micro,
+    * intercept_micro, r2_micro). */
+  private[graft] def olsMicroFit(pts: DataFrame,
+      groupCol: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
-    ranked.groupBy(col(groupCol)).agg(
-        count(lit(1)).as("n_ranks"),
+    pts.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_points"),
         sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
         sum(col("__x") * col("__y")).as("sxy"),
         sum(col("__x") * col("__x")).as("sxx"),
         sum(col("__y") * col("__y")).as("syy"))
       .withColumn("__a",
-        col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+        col("n_points") * col("sxy") - col("sx") * col("sy"))
       .withColumn("__b",
-        col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+        col("n_points") * col("sxx") - col("sx") * col("sx"))
       .withColumn("__c",
-        col("n_ranks") * col("syy") - col("sy") * col("sy"))
+        col("n_points") * col("syy") - col("sy") * col("sy"))
       .withColumn("slope_micro", when(col("__b") === 0, lit(null))
         .otherwise(round(lit(1000000) * (d(col("__a")) / d(col("__b"))))
           .cast("long")))
       .withColumn("intercept_micro", when(col("__b") === 0, lit(null))
         .otherwise(round((d(col("sy"))
           - (d(col("__a")) / d(col("__b"))) * d(col("sx")))
-          / d(col("n_ranks"))).cast("long")))
+          / d(col("n_points"))).cast("long")))
       .withColumn("r2_micro",
         when(col("__b") === 0 || col("__c") === 0, lit(null))
           .otherwise(round(lit(1000000) * ((d(col("__a")) * d(col("__a")))
             / (d(col("__b")) * d(col("__c"))))).cast("long")))
-      .select(col(groupCol), col("n_ranks"), col("slope_micro"),
+      .select(col(groupCol), col("n_points"), col("slope_micro"),
         col("intercept_micro"), col("r2_micro"))
+  }
+
+  /** HEAPS-law vocabulary-growth fit per group: V(n) = K·n^β — after
+    * each document (in `idCol` order) the cumulative token count n
+    * and cumulative distinct-vocabulary size V give one log-log
+    * point; the OLS fit's slope is β (≈0.4–0.6 for natural text;
+    * near 1 means vocabulary never saturates — OCR noise / random
+    * ids; near 0 means a closed template vocabulary). The growth
+    * companion to [[zipfFit]]'s static rank law.
+    *
+    * Scale shape: the corpus reduces to per-doc token counts and
+    * per-(group, token) FIRST occurrences (both map-side combined);
+    * the cumulative window is one row per DOCUMENT within each
+    * group, never per token; the fit is the shared per-group 5-sum
+    * aggregate. */
+  def heapsFit(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(groupCol), col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val perDoc = tok.groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).as("__ntok"))
+    val newVocab = tok.groupBy(col(groupCol), col("__tok"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).as("__nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    val pts = perDoc
+      .join(newVocab, Seq(groupCol, idCol), "left")
+      .withColumn("__ct", sum(col("__ntok")).over(w))
+      .withColumn("__cv", sum(coalesce(col("__nv"), lit(0L))).over(w))
+      .filter(col("__ct") > 0 && col("__cv") > 0)
+      .select(col(groupCol),
+        round(log(col("__ct").cast("double")) * 1e6).cast("long")
+          .as("__x"),
+        round(log(col("__cv").cast("double")) * 1e6).cast("long")
+          .as("__y"))
+    olsMicroFit(pts, groupCol)
   }
 
   /** Per-language marker-hit counts + predicted language (argmax hit

@@ -670,6 +670,36 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       TextAnalysis.zipfFit(docs, "source", "text", topRanks = 1)
   }
 
+  test("heapsFit: cumulative vocab-growth points replayed exactly; saturated vocab fits slope 0") {
+    val docs = Seq(
+      ("s", 1L, "a b"),              // ct=2,  cv=2
+      ("s", 2L, "c d"),              // ct=4,  cv=4
+      ("s", 3L, "a b c d e f g h")). // ct=12, cv=8
+      toDF("source", "doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, "source", "doc_id", "text").head()
+    val pts = Seq((2L, 2L), (4L, 4L), (12L, 8L)).map { case (ct, cv) =>
+      (math.round(math.log(ct.toDouble) * 1e6),
+        math.round(math.log(cv.toDouble) * 1e6))
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val a = n * sxy - sx * sy; val b = n * sxx - sx * sx
+    r.getAs[Long]("n_points") shouldBe 3L
+    r.getAs[Long]("slope_micro") shouldBe
+      math.round(1e6 * (a.toDouble / b.toDouble))
+    // β < 1: vocabulary grows slower than tokens
+    r.getAs[Long]("slope_micro") should be < 1000000L
+    // closed vocabulary: repeated identical doc → y constant → slope 0,
+    // zero y-variance → r² null
+    val sat = Seq(("t", 1L, "a b"), ("t", 2L, "a b"))
+      .toDF("source", "doc_id", "text")
+    val rs = TextAnalysis.heapsFit(sat, "source", "doc_id", "text").head()
+    rs.getAs[Long]("slope_micro") shouldBe 0L
+    rs.isNullAt(rs.fieldIndex("r2_micro")) shouldBe true
+  }
+
   test("perplexityBuckets: equal terciles, NLL-monotone, exact normalization") {
     // 9 docs in one source, NLL proxy: logprob_micros = -k*1e6 over k
     // trigrams -> nll_per_tri_nanos = 1e9 for all? No: vary the rate.
