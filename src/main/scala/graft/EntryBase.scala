@@ -57,6 +57,11 @@ private[graft] trait EntryBase { this: SparkEntry.type =>
   /** q74 projection planes — 64-d → 8-d JL, independent seed. */
   private[graft] val projPlanes = Ann.hyperplanes(dim = 64, nPlanes = 8, seed = 7L)
 
+  /** q301 sign-code planes — 64-d → 32 sign bits in one long,
+    * independent seed; shared with the oracle via the same inlined
+    * literals as [[lshPlanes]]. */
+  private[graft] val hammingPlanes = Ann.hyperplanes(dim = 64, nPlanes = 32, seed = 11L)
+
   private[graft] val lshBandSize = 8
 
   private[graft] def lshBands = lshPlanes.grouped(lshBandSize).toSeq

@@ -336,6 +336,18 @@ private[graft] trait EntryOracleBuilders { this: SparkEntry.type =>
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
 
+  /** One ≤63-bit sign code over an explicit plane list (q301's
+    * single-band generalization of [[bucketSql]]) — the plane
+    * CONSTANTS are inlined so both engines evaluate identical dot
+    * products. */
+  private[graft] def signCodeSql(vExpr: String,
+      planes: Seq[Array[Double]]): String = {
+    val bits = planes.zipWithIndex.map { case (p, r) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${Ann.hyperplaneSqlLiteral(p)}) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
   private[graft] def knnOracle: String =
     s"""$embCte,
        q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),

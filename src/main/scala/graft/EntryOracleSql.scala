@@ -4949,6 +4949,31 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   (sumq * 1000 + 1000000000000 * nq) // nq
                     - 1000000000000 AS kl_q_nano
            FROM mkq ORDER BY lambda_num""",
+      "q301_hamming_rerank" ->
+        s"""$embCte,
+           c0 AS (SELECT vec_id, v, nrm,
+                    ${signCodeSql("v", hammingPlanes)} AS code FROM n),
+           qs AS (SELECT vec_id, v, nrm, code FROM c0
+                  WHERE vec_id % 50 = 0),
+           hm AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    CAST(bit_count(xor(q.code, c.code)) AS BIGINT)
+                      AS hamming,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY bit_count(xor(q.code, c.code)) ASC,
+                        c.vec_id ASC) AS rnk
+                  FROM qs q CROSS JOIN c0 c),
+           sh AS (SELECT q_id, c_id, hamming FROM hm WHERE rnk <= 20),
+           rr AS (SELECT sh.q_id, sh.c_id, sh.hamming,
+                    ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS score
+                  FROM sh JOIN qs q ON q.vec_id = sh.q_id
+                          JOIN c0 c ON c.vec_id = sh.c_id),
+           fin AS (SELECT q_id, c_id, hamming, score,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, c_id ASC) AS rnk
+                   FROM rr)
+           SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, hamming,
+                  score
+           FROM fin WHERE rnk <= 5 ORDER BY q_id, rnk""",
       "q298_margin_mining" ->
         s"""$embCte,
            x AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),

@@ -1124,4 +1124,21 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("lambda_num")
   }
 
+  /** BINARY-quantized ANN with exact rerank
+    * ([[Ann.hammingRerankTopK]]): 32 sign bits per vector, per-query
+    * shortlist of 20 by Hamming distance (one `bit_count(xor)` per
+    * pair — codes, not vectors, ride the broadcast), exact-cosine
+    * rerank to top-5. The cheapest tier of the quantization family
+    * beside PQ/ADC (q256) and residual IVF-PQ (q265); same query set
+    * as q25 so binary-tier recall reads directly off the board. The
+    * oracle inlines the same plane literals and replays code,
+    * shortlist, and rerank. */
+  private[graft] def q301(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Ann.hammingRerankTopK(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "vec_id", "embedding", hammingPlanes,
+        shortlist = 20, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
 }

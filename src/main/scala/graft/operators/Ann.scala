@@ -107,6 +107,60 @@ object Ann {
   def bucketExpr(vec: Column, planes: Seq[Array[Double]]): Column =
     element_at(bandBucketsExpr(vec, planes, planes.length), 1)
 
+  /** BINARY-quantized search with asymmetric exact rerank: every
+    * vector is collapsed to a sign-bit code (bit i = sign of the
+    * i-th hyperplane projection, ≤63 bits in one long), candidates
+    * are shortlisted per query by HAMMING distance — a single
+    * `bit_count(xor)` per pair, the cheapest distance in the whole
+    * quantization family (32× smaller than PQ codes, no codebook) —
+    * and the shortlist is re-ranked by exact cosine. The standard
+    * first tier of binary-embedding retrieval stacks.
+    *
+    * Scale shape: only the 8-byte codes travel through the compare
+    * (the broadcast carries codes, not vectors); the shortlist is
+    * the bounded-heap aggregate (map-side partial, ties → lower id);
+    * full vectors are touched only for `shortlist` candidates per
+    * query via the equi-join on c_id. Shortlist ranking is
+    * (hamming asc, c_id asc); final ranking (score desc, c_id asc).
+    * Output: (q_id, rank, c_id, hamming, score). */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      planes: Seq[Array[Double]], shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final top-k")
+    require(planes.length <= 63, "codes must fit one long")
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_code", bucketExpr(col("q_vec"), planes))
+      .withColumn("q_nrm", VectorOps.l2Norm(col("q_vec")))
+    val c = broadcast(corpus.select(
+      col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_code", bucketExpr(col("c_vec"), planes))
+      .withColumn("c_nrm", VectorOps.l2Norm(col("c_vec"))))
+    val ham = q.crossJoin(c.select(col("c_id"), col("c_code")))
+      .withColumn("hamming",
+        expr("bit_count(q_code ^ c_code)").cast("long"))
+    val short = ham.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScoreAgg.topK(
+          -col("hamming").cast("double"), col("c_id").cast("long"),
+          shortlist).as("__tk"),
+        first(col("q_vec")).as("q_vec"), first(col("q_nrm")).as("q_nrm"))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        explode(col("__tk")).as("__e"))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        col("__e.id").as("c_id"),
+        (-col("__e.score")).cast("long").as("hamming"))
+    val scored = short
+      .join(c.select(col("c_id").cast("long").as("c_id"), col("c_vec"),
+        col("c_nrm")), Seq("c_id"))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("hamming"),
+        col("score"))
+  }
+
   /** Train an IVF codebook with k-means (MLlib, fixed seed) — the
     * index-build's training pass. At 100 TB you fit on a sample (one
     * scan feeding a driver-side Lloyd's loop over k·dim doubles) and

@@ -649,6 +649,34 @@ class AnnSpec extends SparkSpec with Matchers {
     (m2 eq m1) shouldBe true // the memo returns the SAME pinned frame
   }
 
+  test("hammingRerankTopK: sign-code shortlist by hamming, exact rerank, shortlist excludes") {
+    val planes = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val vecs = Seq(
+      (0L, Seq(1.0, 1.0, 1.0, 0.0)),   // code 111
+      (1L, Seq(1.0, 1.0, 1.0, 0.1)),   // code 111, near-identical to 0
+      (2L, Seq(-1.0, -1.0, -1.0, 0.0)),// code 000, hamming 3
+      (3L, Seq(1.0, -1.0, 1.0, 0.0)))  // code 101, hamming 1
+      .toDF("vec_id", "embedding")
+    val out = Ann.hammingRerankTopK(
+        vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "vec_id", "embedding", planes, shortlist = 2, k = 2)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    // shortlist of 2 by (hamming asc, id asc) = {0, 1}; id 3 is cut
+    // despite a decent cosine — the binary-tier approximation
+    out.map(_.getAs[Long]("c_id")).toSeq shouldBe Seq(0L, 1L)
+    out.map(_.getAs[Long]("hamming")).toSeq shouldBe Seq(0L, 0L)
+    out.head.getAs[Double]("score") shouldBe 1.0 +- 1e-12
+    // widening the shortlist does not change the exact top-2 here
+    val wide = Ann.hammingRerankTopK(
+        vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "vec_id", "embedding", planes, shortlist = 4, k = 2)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    wide.map(_.getAs[Long]("c_id")).toSeq shouldBe Seq(0L, 1L)
+  }
+
   test("attributeTopK: candidates restricted to the query's attribute; equals filter-then-rank") {
     val labeled = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0), 0),
