@@ -5042,6 +5042,94 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                  FROM s)
            SELECT q_id, label, CAST(rnk AS BIGINT) AS "rank", c_id, score
            FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+      "q302_kneser_ney" ->
+        s"""WITH tr AS (
+             SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '') AS ts
+             FROM documents WHERE doc_id % 10 <> 0
+           ), c1 AS (
+             SELECT tok AS w, CAST(count(*) AS BIGINT) AS c1
+             FROM (SELECT unnest(ts) AS tok FROM tr) GROUP BY tok
+           ), bt AS (
+             SELECT DISTINCT b.u AS u, b.v AS v
+             FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1]}
+                                  for i in range(1, len(ts))]) AS b
+                   FROM tr WHERE len(ts) >= 2)
+           ), c3 AS (
+             SELECT g.u AS u, g.v AS v, g.w AS w,
+                    CAST(count(*) AS BIGINT) AS c3
+             FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                  for i in range(1, len(ts) - 1)]) AS g
+                   FROM tr WHERE len(ts) >= 3)
+             GROUP BY g.u, g.v, g.w
+           ), ctx3 AS (
+             SELECT u, v, CAST(sum(c3) AS BIGINT) AS ctx3,
+                    CAST(count(*) AS BIGINT) AS n3after
+             FROM c3 GROUP BY u, v
+           ), cvw AS (
+             SELECT v, w, CAST(count(*) AS BIGINT) AS cc2
+             FROM c3 GROUP BY v, w
+           ), mid AS (
+             SELECT v, CAST(count(*) AS BIGINT) AS ccmid,
+                    CAST(count(DISTINCT w) AS BIGINT) AS ccafter
+             FROM c3 GROUP BY v
+           ), cc1 AS (
+             SELECT v AS w, CAST(count(*) AS BIGINT) AS cc1
+             FROM bt GROUP BY v
+           ), tot AS (
+             SELECT (SELECT CAST(count(*) AS BIGINT) FROM bt) AS b,
+                    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS vocab
+           ), sd AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '') AS ts
+             FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                   UNION ALL
+                   SELECT 30000002, '$sbOovDoc')
+           ), pd AS (
+             SELECT doc_id, g.u AS u, g.v AS v, g.w AS w,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT doc_id,
+                          unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                  for i in range(1, len(ts) - 1)]) AS g
+                   FROM sd WHERE len(ts) >= 3)
+             GROUP BY doc_id, g.u, g.v, g.w
+           ), j1 AS (
+             SELECT pd.doc_id, pd.c,
+                    c3.c3, x.ctx3, x.n3after, cvw.cc2,
+                    mid.ccmid, mid.ccafter,
+                    CAST(coalesce(cc1.cc1, 0) + 1 AS DOUBLE)
+                      / CAST(t.b + t.vocab + 1 AS DOUBLE) AS p1
+             FROM pd
+             LEFT JOIN c3 ON c3.u = pd.u AND c3.v = pd.v AND c3.w = pd.w
+             LEFT JOIN ctx3 x ON x.u = pd.u AND x.v = pd.v
+             LEFT JOIN cvw ON cvw.v = pd.v AND cvw.w = pd.w
+             LEFT JOIN mid ON mid.v = pd.v
+             LEFT JOIN cc1 ON cc1.w = pd.w
+             CROSS JOIN tot t
+           ), j2 AS (
+             SELECT doc_id, c, c3, ctx3, n3after,
+                    CASE WHEN ccmid IS NOT NULL
+                         THEN greatest(CAST(coalesce(cc2, 0) AS DOUBLE)
+                                - 0.75, 0.0) / CAST(ccmid AS DOUBLE)
+                           + 0.75 * CAST(ccafter AS DOUBLE)
+                             / CAST(ccmid AS DOUBLE) * p1
+                         ELSE p1 END AS p2
+             FROM j1
+           ), j3 AS (
+             SELECT doc_id, c,
+                    CASE WHEN ctx3 IS NOT NULL
+                         THEN greatest(CAST(coalesce(c3, 0) AS DOUBLE)
+                                - 0.75, 0.0) / CAST(ctx3 AS DOUBLE)
+                           + 0.75 * CAST(n3after AS DOUBLE)
+                             / CAST(ctx3 AS DOUBLE) * p2
+                         ELSE p2 END AS p3
+             FROM j2
+           )
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                  CAST(sum(CAST(round(ln(p3) * 1e6) AS BIGINT) * c)
+                       AS BIGINT) AS logprob_micros
+           FROM j3 GROUP BY doc_id ORDER BY doc_id""",
       "q300_heaps_fit" ->
         """WITH tk AS (
              SELECT source, doc_id,

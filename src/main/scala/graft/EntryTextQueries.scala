@@ -1555,4 +1555,23 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
         "text")
       .orderBy("source")
 
+  /** Interpolated Kneser-Ney trigram scoring
+    * ([[graft.operators.TextAnalysis.kneserNeyScore]]): the KenLM
+    * smoother beside q243's stupid backoff — raw-count discounting
+    * at the trigram level, CONTINUATION-type counts below, fixed
+    * D = 0.75, whole-level fallback on unseen contexts, add-one
+    * continuation floor for OOV. Same train/score split and OOV
+    * plant as q243, so the two smoothers' per-doc scores compare
+    * directly. The oracle rebuilds all five type/count tables and
+    * replays the nested discount expressions verbatim. */
+  private[graft] def q302(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val score = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(Seq((30000002L, sbOovDoc)).toDF("doc_id", "text"))
+    TextAnalysis.kneserNeyScore(train, score, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
 }

@@ -543,6 +543,92 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__u"), col("__v"), col("__w"))
       .agg(count(lit(1)).as("__c"))
 
+  /** Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; the
+    * KenLM default) — the principled smoother beside
+    * [[stupidBackoffScore]]: the highest order discounts RAW counts,
+    * lower orders use CONTINUATION (type) counts — "how many distinct
+    * contexts precede this gram" — so frequent-but-context-bound
+    * words ("francisco") stop leaking probability into unseen
+    * contexts. Fixed discount D (default 0.75, exact in binary).
+    *
+    * Model contract (all counts from `train`):
+    *   p₃(w|u,v) = max(c₃−D,0)/Σ_w c₃(uv·) + D·N₁₊(uv·)/Σ_w c₃(uv·) · p₂
+    *   p₂(w|v)  = max(N₁₊(·vw)−D,0)/N₁₊(·v·) + D·N₁₊(v·)/N₁₊(·v·) · p₁
+    *   p₁(w)    = (N₁₊(·w)+1)/(B+V+1)   — add-one continuation floor
+    *              over bigram types (B = #bigram types, V = vocab)
+    * with whole-level fallback when a context has no trigram types
+    * (→ p₂) or no middle-v types (→ p₁). Every probability is ONE
+    * fixed double expression over integer counts, ln is
+    * micro-quantized per scored trigram and weighted by its exact
+    * count — the q243 determinism discipline.
+    *
+    * Scale shape identical to [[stupidBackoffScore]]: the model is
+    * five type/count aggregates (map-side combined), scoring joins
+    * the per-doc DISTINCT trigram instances against them plus one
+    * 1-row (B, V) broadcast. */
+  def kneserNeyScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val trainTs = train.select(lmTokens(textCol).as("__ts"))
+    val c1 = trainTs.select(explode(col("__ts")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val bigramTypes = trainTs.filter(size(col("__ts")) >= 2)
+      .select(explode(bigramStructs(col("__ts"))).as("__bg"))
+      .select(col("__bg.u").as("__u"), col("__bg.v").as("__v"))
+      .distinct()
+    val c3 = trainTs.filter(size(col("__ts")) >= 3)
+      .select(explode(trigramStructs(col("__ts"))).as("__tg"))
+      .select(col("__tg.u").as("__u"), col("__tg.v").as("__v"),
+        col("__tg.w").as("__w"))
+      .groupBy("__u", "__v", "__w").agg(count(lit(1)).as("__c3"))
+    val ctx3 = c3.groupBy("__u", "__v")
+      .agg(sum(col("__c3")).as("__ctx3"), count(lit(1)).as("__n3after"))
+      .toDF("__a_u", "__a_v", "__ctx3", "__n3after")
+    val cvw = c3.groupBy("__v", "__w")
+      .agg(count(lit(1)).as("__cc2"))
+      .toDF("__b_v", "__b_w", "__cc2")
+    val mid = c3.groupBy("__v")
+      .agg(count(lit(1)).as("__ccmid"),
+        countDistinct(col("__w")).as("__ccafter"))
+      .toDF("__d_v", "__ccmid", "__ccafter")
+    val cc1 = bigramTypes.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cc1"))
+      .toDF("__e_w", "__cc1")
+    val totals = bigramTypes.agg(count(lit(1)).as("__b"))
+      .crossJoin(c1.agg(count(lit(1)).as("__vocab")))
+    val c3k = c3.toDF("__f_u", "__f_v", "__f_w", "__c3")
+
+    val pd = scoredTrigramCounts(docs, idCol, textCol)
+    val dd = (c: Column) => c.cast("double")
+    val D = lit(discount)
+    val joined = pd
+      .join(c3k, col("__u") === col("__f_u") && col("__v") === col("__f_v") &&
+        col("__w") === col("__f_w"), "left")
+      .join(ctx3, col("__u") === col("__a_u") && col("__v") === col("__a_v"), "left")
+      .join(cvw, col("__v") === col("__b_v") && col("__w") === col("__b_w"), "left")
+      .join(mid, col("__v") === col("__d_v"), "left")
+      .join(cc1, col("__w") === col("__e_w"), "left")
+      .crossJoin(broadcast(totals))
+    val p1 = dd(coalesce(col("__cc1"), lit(0L)) + lit(1L)) /
+      dd(col("__b") + col("__vocab") + lit(1L))
+    val p2 = when(col("__ccmid").isNotNull,
+      greatest(dd(coalesce(col("__cc2"), lit(0L))) - D, lit(0.0))
+          / dd(col("__ccmid"))
+        + D * dd(col("__ccafter")) / dd(col("__ccmid")) * p1)
+      .otherwise(p1)
+    val p3 = when(col("__ctx3").isNotNull,
+      greatest(dd(coalesce(col("__c3"), lit(0L))) - D, lit(0.0))
+          / dd(col("__ctx3"))
+        + D * dd(col("__n3after")) / dd(col("__ctx3")) * p2)
+      .otherwise(p2)
+    joined
+      .withColumn("__lp_micro",
+        round(log(p3) * 1e6).cast("long") * col("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        sum(col("__lp_micro")).as("logprob_micros"))
+  }
+
   def stupidBackoffScore(train: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")

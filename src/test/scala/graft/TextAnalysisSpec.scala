@@ -670,6 +670,31 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       TextAnalysis.zipfFit(docs, "source", "text", topRanks = 1)
   }
 
+  test("kneserNeyScore: hand-computed discount ladder — seen, discount-only, and OOV-floor paths") {
+    // train "a b c a b d": c3 {abc,bca,cab,abd}=1; ctx3(a,b)=2,n3after=2;
+    // bigram types B=4, vocab V=4 -> p1 denom 9
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),  // full ladder: seen trigram
+      (2L, "x y z"),  // every level unseen -> p1 floor with cc1=0
+      (3L, "b c d")). // seen context, unseen trigram -> pure backoff mass
+      toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("logprob_micros"))).toMap
+    def p1(cc1: Long) = (cc1 + 1).toDouble / 9.0
+    // doc 1: p3 = (1-.75)/2 + .75*2/2 * ((1-.75)/2 + .75*2/2*p1(1))
+    val p2c = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p1(1)
+    val p3c = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p2c
+    out(1L) shouldBe ((1L, math.round(math.log(p3c) * 1e6)))
+    // doc 2: all-OOV floor
+    out(2L) shouldBe ((1L, math.round(math.log(p1(0)) * 1e6)))
+    // doc 3: max(0-.75,0)=0 at both upper levels -> backoff mass only
+    val p2d = 0.0 / 1.0 + 0.75 * 1.0 / 1.0 * p1(1)
+    val p3d = 0.0 / 1.0 + 0.75 * 1.0 / 1.0 * p2d
+    out(3L) shouldBe ((1L, math.round(math.log(p3d) * 1e6)))
+  }
+
   test("heapsFit: cumulative vocab-growth points replayed exactly; saturated vocab fits slope 0") {
     val docs = Seq(
       ("s", 1L, "a b"),              // ct=2,  cv=2
