@@ -5042,6 +5042,74 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                  FROM s)
            SELECT q_id, label, CAST(rnk AS BIGINT) AS "rank", c_id, score
            FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+      "q303_stream_semantic_drift" ->
+        s"""WITH ${kmeansCtesSql(
+              "(SELECT vec_id, embedding FROM embeddings WHERE label < 5)",
+              8, 2, "drift", "d")},
+           refh AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt_p
+                    FROM dm2 GROUP BY cell),
+           rt AS (SELECT CAST(sum(cnt_p) AS BIGINT) AS np FROM refh),
+           sq AS (SELECT vec_id,
+                    CASE WHEN vec_id % 3 = 0 THEN 0 ELSE 1 END AS wave,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+                  FROM embeddings WHERE label >= 5),
+           sa0 AS (SELECT s.vec_id, s.wave, c.cell,
+                     CAST(list_sum([(s.vq[j] - c.cvec[j])
+                                    * (s.vq[j] - c.cvec[j])
+                                    for j in range(1, len(s.vq) + 1)])
+                          AS BIGINT) AS dist
+                   FROM sq s, dc1 c),
+           sa AS (SELECT vec_id, wave, cell FROM (
+                    SELECT vec_id, wave, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cell) AS rn
+                    FROM sa0) WHERE rn = 1),
+           sh AS (SELECT wave, cell, CAST(count(*) AS BIGINT) AS cnt_q
+                  FROM sa GROUP BY wave, cell),
+           swt AS (SELECT wave, CAST(sum(cnt_q) AS BIGINT) AS nq
+                   FROM sh GROUP BY wave),
+           cl AS (SELECT DISTINCT wave, cell FROM (
+                    SELECT w.wave, r.cell
+                    FROM (SELECT DISTINCT wave FROM sh) w
+                    CROSS JOIN refh r
+                    UNION ALL SELECT wave, cell FROM sh)),
+           base AS (SELECT c.wave, c.cell,
+                      coalesce(r.cnt_p, 0) AS cnt_p,
+                      coalesce(s.cnt_q, 0) AS cnt_q
+                    FROM cl c
+                    LEFT JOIN refh r ON r.cell = c.cell
+                    LEFT JOIN sh s ON s.wave = c.wave
+                                  AND s.cell = c.cell),
+           dlg AS (SELECT CAST(j AS BIGINT) AS lambda_num
+                   FROM generate_series(1, 7) AS gs(j)),
+           dtm AS (SELECT b.wave, b.cnt_p, b.cnt_q, t.np, u.nq,
+                     l.lambda_num,
+                     l.lambda_num * b.cnt_p * u.nq
+                       + (8 - l.lambda_num) * b.cnt_q * t.np AS den
+                   FROM base b CROSS JOIN rt t
+                   JOIN swt u ON u.wave = b.wave
+                   CROSS JOIN dlg l),
+           dkq AS (SELECT wave, lambda_num,
+                     CAST(sum(cnt_p * (CASE WHEN cnt_p > 0
+                       THEN CAST(round(1000000 * ln(
+                         CAST(8 * cnt_p * nq AS DOUBLE)
+                           / CAST(den AS DOUBLE))) AS BIGINT)
+                       ELSE 0 END)) AS BIGINT) AS sump,
+                     CAST(sum(cnt_q * (CASE WHEN cnt_q > 0
+                       THEN CAST(round(1000000 * ln(
+                         CAST(8 * cnt_q * np AS DOUBLE)
+                           / CAST(den AS DOUBLE))) AS BIGINT)
+                       ELSE 0 END)) AS BIGINT) AS sumq,
+                     CAST(max(np) AS BIGINT) AS np,
+                     CAST(max(nq) AS BIGINT) AS nq
+                   FROM dtm GROUP BY wave, lambda_num)
+           SELECT CAST(wave AS BIGINT) AS wave, lambda_num,
+                  (sump * 1000 + 1000000000000 * np) // np
+                    - 1000000000000 AS kl_p_nano,
+                  (sumq * 1000 + 1000000000000 * nq) // nq
+                    - 1000000000000 AS kl_q_nano
+           FROM dkq ORDER BY wave, lambda_num""",
       "q302_kneser_ney" ->
         s"""WITH tr AS (
              SELECT list_filter(string_split_regex(lower(text), '\\s+'),

@@ -577,6 +577,20 @@ private[graft] trait EntryStreamingQueries { this: SparkEntry.type =>
         col("admitted"), col("adm_rank"))
       .orderBy("doc_id")
 
+  /** Streaming semantic-drift monitor
+    * ([[StreamOps.runStreamingSemanticDriftAvailableNow]]): q299's
+    * quantized-KL mixture frontier evaluated at ingest against a
+    * FROZEN reference model — each wave of label≥5 embeddings is
+    * assigned to the label<5 corpus's k-means centroids
+    * (exact-integer argmin, bit-identical to training) and its cell
+    * histogram diverged against the frozen reference histogram. The
+    * oracle retrains the reference rounds and replays assignment +
+    * frontier per wave. */
+  private[graft] def q303(s: SparkSession, dir: String): DataFrame =
+    StreamOps.runStreamingSemanticDriftAvailableNow(s, dir, k = 8,
+        iterations = 2, grid = 8)
+      .orderBy("wave", "lambda_num")
+
   /** Streaming incremental near-dup ADMISSION
     * ([[StreamOps.runStreamingNeardupGateAvailableNow]] over
     * [[graft.operators.Dedup.neardupAdmission]]): the delta-dedup

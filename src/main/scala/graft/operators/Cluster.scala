@@ -260,6 +260,34 @@ object Cluster {
         "cos_micros", "keep_id", "drop_id")
   }
 
+  /** Assign vectors to FROZEN centroids — the serving half of
+    * [[kmeansMicroModel]]: exact integer-micro argmin against the
+    * model's `(cell, cvec)` table with the identical fold shape and
+    * tie rule (strictly-smaller wins over the cell-sorted array, so
+    * ties go to the LOWEST cell) as the training assignment — a
+    * vector re-assigned through this helper lands in exactly the
+    * cell `model.assign` recorded. One broadcast row, no shuffle.
+    * Output: (idCol, cell, dist2_q). */
+  def assignToCentroids(vectors: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val q = vectors.select(col(idCol), microQuantize(col(vecCol)).as("__vq"))
+    val oneRow = centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("cvec"))))
+        .as("__cents"))
+    q.crossJoin(broadcast(oneRow))
+      .withColumn("__best",
+        aggregate(col("__cents"),
+          struct(lit(Long.MaxValue).as("d"), lit(-1).as("cell")),
+          (acc, c) => {
+            val d = dist2(col("__vq"), c.getField("cvec"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.getField("cell").as("cell")))
+              .otherwise(acc)
+          }))
+      .select(col(idCol), col("__best").getField("cell").as("cell"),
+        col("__best").getField("d").as("dist2_q"))
+  }
+
   /** MAUVE-lite divergence frontier between two corpora over a shared
     * cluster assignment (Pillutla et al. 2021's quantized KL
     * frontier, minus the scaling constant): items carry a cell and a

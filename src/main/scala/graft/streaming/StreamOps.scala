@@ -2411,6 +2411,70 @@ object StreamOps {
     spark.read.parquet(outDir)
   }
 
+  /** STREAMING SEMANTIC-DRIFT MONITOR — q299's MAUVE-lite frontier
+    * run at ingest: the reference corpus's k-means model and cell
+    * histogram are FROZEN state built before the stream opens
+    * (pinned with `localCheckpoint`, the memo discipline); each
+    * arriving wave of embeddings is assigned to the frozen centroids
+    * ([[graft.operators.Cluster.assignToCentroids]] — exact
+    * integer-micro argmin, bit-identical to the training
+    * assignment) and its cell histogram compared to the reference
+    * through the quantized-KL mixture frontier. One (wave, λ) row
+    * per grid point per micro-batch — the alarm that a crawl
+    * snapshot stopped looking like the corpus it feeds. Stateless
+    * given the frozen model, so streaming ≡ batch per wave by
+    * construction; the oracle retrains the reference model and
+    * replays assignment + frontier per wave. */
+  def runStreamingSemanticDriftAvailableNow(spark: SparkSession,
+      dir: String, k: Int, iterations: Int, grid: Int): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val model = graft.operators.Cluster.kmeansMicroModel(
+      e.filter(col("label") < 5).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k, iterations, "drift")
+    val centroids = model.centroids.localCheckpoint(true)
+    val refCells = model.assign.select(col("cell"))
+      .withColumn("is_p", lit(true)).localCheckpoint(true)
+    val staging = stagedDir("semdrift", dir) { st =>
+      val s5 = e.filter(col("label") >= 5)
+      stageVersionFile(s5.filter(col("vec_id") % 3 === 0)
+        .select(lit(0L).as("wave"), col("vec_id"), col("embedding")),
+        s"$st/w0.parquet")
+      stageVersionFile(s5.filter(col("vec_id") % 3 =!= 0)
+        .select(lit(1L).as("wave"), col("vec_id"), col("embedding")),
+        s"$st/w1.parquet")
+    }
+    val sch = spark.read.parquet(s"$staging/w0.parquet").schema
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_semdrift_run_").toString
+    val outDir = s"$work/out"
+    withoutSuccessMarkers(spark) {
+      val src = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/*.parquet")
+      val query = src.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.toDF()
+          val wave = b.select(col("wave")).head().getLong(0)
+          val asg = graft.operators.Cluster.assignToCentroids(
+            b, "vec_id", "embedding", centroids)
+          val uni = refCells.unionByName(
+            asg.select(col("cell")).withColumn("is_p", lit(false)))
+          graft.operators.Cluster.divergenceFrontier(uni, "cell",
+              "is_p", grid)
+            .withColumn("wave", lit(wave))
+            .select(col("wave"), col("lambda_num"), col("kl_p_nano"),
+              col("kl_q_nano"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** STREAMING CDC MERGE — the delete-aware sibling of
     * [[embeddingUpsert]], closing the §2.9 gap that no streaming
     * operator handled tombstones: each micro-batch of

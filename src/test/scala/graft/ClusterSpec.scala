@@ -210,6 +210,19 @@ class ClusterSpec extends SparkSpec with Matchers {
     direct shouldBe assign
   }
 
+  test("assignToCentroids: frozen re-assignment is bit-identical to the model's own assignment") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = Cluster.kmeansMicroModel(vecs, "vec_id", "embedding",
+      k = 4, iterations = 2, salt = "frz")
+    val stored = model.assign
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val re = Cluster.assignToCentroids(vecs, "vec_id", "embedding",
+        model.centroids)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    re shouldBe stored
+  }
+
   test("divergenceFrontier: hand-computed KL at grid=2; identical corpora give zero") {
     // cells A,B with P counts (3,1), Q counts (1,3); Np=Nq=4, λ=1/2:
     // den=16 both cells; ratios 1.5 / 0.5 → lt = ±round(1e6·ln)
