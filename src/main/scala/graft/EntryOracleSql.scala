@@ -5042,6 +5042,67 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                  FROM s)
            SELECT q_id, label, CAST(rnk AS BIGINT) AS "rank", c_id, score
            FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+      "q304_late_interaction" ->
+        """WITH li_t AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '') AS ts
+             FROM documents
+           ), li_p AS (
+             SELECT doc_id, unnest(ts) AS tok,
+                    unnest(range(1, len(ts) + 1)) AS pos
+             FROM li_t
+           ), li_m AS (
+             SELECT doc_id, tok, min(pos) AS mp
+             FROM li_p GROUP BY doc_id, tok
+           ), li_k AS (
+             SELECT doc_id, tok FROM (
+               SELECT doc_id, tok,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY mp) AS r
+               FROM li_m) WHERE r <= 8
+           ), li_g AS (
+             SELECT doc_id, tok,
+                    unnest(CASE WHEN len(tok) < 3 THEN [tok]
+                           ELSE [substr(tok, i, 3)
+                                 for i in range(1, len(tok) - 1)]
+                           END) AS g
+             FROM li_k
+           ), li_b AS (
+             SELECT doc_id, tok,
+                    ('0x' || substr(md5(g), 1, 14))::BIGINT % 64 AS b,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM li_g GROUP BY doc_id, tok, b
+           ), li_n AS (
+             SELECT doc_id, tok, CAST(sum(c * c) AS BIGINT) AS n2
+             FROM li_b GROUP BY doc_id, tok
+           ), li_pair AS (
+             SELECT q.doc_id AS q_id, q.tok AS qt, qn.n2 AS qn2,
+                    c.doc_id AS c_id, c.tok AS dt, cn.n2 AS dn2,
+                    CAST(sum(q.c * c.c) AS BIGINT) AS dot
+             FROM li_b q
+             JOIN li_b c ON q.b = c.b
+             JOIN li_n qn ON qn.doc_id = q.doc_id AND qn.tok = q.tok
+             JOIN li_n cn ON cn.doc_id = c.doc_id AND cn.tok = c.tok
+             WHERE q.doc_id % 100 = 0 AND c.doc_id % 5 = 0
+             GROUP BY q.doc_id, q.tok, qn.n2, c.doc_id, c.tok, cn.n2
+           ), li_ms AS (
+             SELECT q_id, qt, c_id,
+                    CAST(round(max(CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(qn2 AS DOUBLE))
+                         * sqrt(CAST(dn2 AS DOUBLE)))) * 1e6) AS BIGINT)
+                      AS msq
+             FROM li_pair GROUP BY q_id, qt, c_id
+           ), li_sc AS (
+             SELECT q_id, c_id, CAST(sum(msq) AS BIGINT) AS score_micros
+             FROM li_ms GROUP BY q_id, c_id
+           )
+           SELECT q_id, CAST(rnk AS BIGINT) AS "rank", c_id, score_micros
+           FROM (SELECT q_id, c_id, score_micros,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_micros DESC, c_id ASC) AS rnk
+                 FROM li_sc)
+           WHERE rnk <= 3 ORDER BY q_id, rnk""",
       "q303_stream_semantic_drift" ->
         s"""WITH ${kmeansCtesSql(
               "(SELECT vec_id, embedding FROM embeddings WHERE label < 5)",

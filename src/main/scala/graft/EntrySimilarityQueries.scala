@@ -1124,6 +1124,25 @@ private[graft] trait EntrySimilarityQueries { this: SparkEntry.type =>
       .orderBy("lambda_num")
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval
+    * ([[graft.operators.LateInteraction.maxSimTopK]]): every query
+    * token independently finds its best-matching corpus token by
+    * cosine over hashed char-trigram TF vectors (the md5 bucket
+    * kernel), and the doc score is the exact integer sum of
+    * micro-quantized per-token maxima. Candidates meet through the
+    * gram-bucket equi-join — the inverted index — never a cross
+    * join. Every 100th doc queries the every-5th-doc corpus, top-3.
+    * The oracle replays tokenization, gram hashing, the bucket-join
+    * dot products, and both aggregation levels. */
+  private[graft] def q304(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.LateInteraction.maxSimTopK(
+        d.filter(col("doc_id") % 100 === 0),
+        d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "doc_id", "text", maxTokens = 8, dim = 64, k = 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** BINARY-quantized ANN with exact rerank
     * ([[Ann.hammingRerankTopK]]): 32 sign bits per vector, per-query
     * shortlist of 20 by Hamming distance (one `bit_count(xor)` per
