@@ -5171,6 +5171,120 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   (sumq * 1000 + 1000000000000 * nq) // nq
                     - 1000000000000 AS kl_q_nano
            FROM dkq ORDER BY wave, lambda_num""",
+      "q305_lm_interp_sweep" ->
+        s"""WITH tr AS (
+             SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '') AS ts
+             FROM documents WHERE doc_id % 10 <> 0
+           ), c1 AS (
+             SELECT tok AS w, CAST(count(*) AS BIGINT) AS c1
+             FROM (SELECT unnest(ts) AS tok FROM tr) GROUP BY tok
+           ), tot AS (
+             SELECT CAST(sum(c1) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS v FROM c1
+           ), c2 AS (
+             SELECT b.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS c2
+             FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1]}
+                                  for i in range(1, len(ts))]) AS b
+                   FROM tr WHERE len(ts) >= 2)
+             GROUP BY b.u, b.v
+           ), c3 AS (
+             SELECT g.u AS u, g.v AS v, g.w AS w,
+                    CAST(count(*) AS BIGINT) AS c3
+             FROM (SELECT unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                  for i in range(1, len(ts) - 1)]) AS g
+                   FROM tr WHERE len(ts) >= 3)
+             GROUP BY g.u, g.v, g.w
+           ), bt AS (
+             SELECT u, v FROM c2
+           ), btot AS (
+             SELECT CAST(count(*) AS BIGINT) AS b FROM bt
+           ), ctx3 AS (
+             SELECT u, v, CAST(sum(c3) AS BIGINT) AS ctx3,
+                    CAST(count(*) AS BIGINT) AS n3after
+             FROM c3 GROUP BY u, v
+           ), cvw AS (
+             SELECT v, w, CAST(count(*) AS BIGINT) AS cc2
+             FROM c3 GROUP BY v, w
+           ), mid AS (
+             SELECT v, CAST(count(*) AS BIGINT) AS ccmid,
+                    CAST(count(DISTINCT w) AS BIGINT) AS ccafter
+             FROM c3 GROUP BY v
+           ), cc1 AS (
+             SELECT v AS w, CAST(count(*) AS BIGINT) AS cc1
+             FROM bt GROUP BY v
+           ), sd AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '') AS ts
+             FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                   UNION ALL
+                   SELECT 30000002, '$sbOovDoc')
+           ), pd AS (
+             SELECT doc_id, g.u AS u, g.v AS v, g.w AS w,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT doc_id,
+                          unnest([{'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]}
+                                  for i in range(1, len(ts) - 1)]) AS g
+                   FROM sd WHERE len(ts) >= 3)
+             GROUP BY doc_id, g.u, g.v, g.w
+           ), j1 AS (
+             SELECT pd.c,
+                    c3.c3, uv.c2 AS c2uv, vw.c2 AS c2vw,
+                    cv.c1 AS c1v, cw.c1 AS c1w,
+                    x.ctx3, x.n3after, cvw.cc2, mid.ccmid, mid.ccafter,
+                    t.n, t.v AS vv, bb.b,
+                    CAST(coalesce(cc1.cc1, 0) + 1 AS DOUBLE)
+                      / CAST(bb.b + t.v + 1 AS DOUBLE) AS p1
+             FROM pd
+             LEFT JOIN c3 ON c3.u = pd.u AND c3.v = pd.v AND c3.w = pd.w
+             LEFT JOIN c2 uv ON uv.u = pd.u AND uv.v = pd.v
+             LEFT JOIN c2 vw ON vw.u = pd.v AND vw.v = pd.w
+             LEFT JOIN c1 cv ON cv.w = pd.v
+             LEFT JOIN c1 cw ON cw.w = pd.w
+             LEFT JOIN ctx3 x ON x.u = pd.u AND x.v = pd.v
+             LEFT JOIN cvw ON cvw.v = pd.v AND cvw.w = pd.w
+             LEFT JOIN mid ON mid.v = pd.v
+             LEFT JOIN cc1 ON cc1.w = pd.w
+             CROSS JOIN tot t CROSS JOIN btot bb
+           ), j2 AS (
+             SELECT c, c3, ctx3, n3after,
+                    CASE WHEN c3 IS NOT NULL
+                         THEN CAST(c3 AS DOUBLE) / CAST(c2uv AS DOUBLE)
+                         WHEN c2vw IS NOT NULL
+                         THEN 0.4 * (CAST(c2vw AS DOUBLE)
+                                     / CAST(c1v AS DOUBLE))
+                         ELSE 0.4 * 0.4 *
+                           (CAST(coalesce(c1w, 0) + 1 AS DOUBLE)
+                             / CAST(n + vv AS DOUBLE)) END AS psb,
+                    CASE WHEN ccmid IS NOT NULL
+                         THEN greatest(CAST(coalesce(cc2, 0) AS DOUBLE)
+                                - 0.75, 0.0) / CAST(ccmid AS DOUBLE)
+                           + 0.75 * CAST(ccafter AS DOUBLE)
+                             / CAST(ccmid AS DOUBLE) * p1
+                         ELSE p1 END AS p2
+             FROM j1
+           ), j3 AS (
+             SELECT c, psb,
+                    CASE WHEN ctx3 IS NOT NULL
+                         THEN greatest(CAST(coalesce(c3, 0) AS DOUBLE)
+                                - 0.75, 0.0) / CAST(ctx3 AS DOUBLE)
+                           + 0.75 * CAST(n3after AS DOUBLE)
+                             / CAST(ctx3 AS DOUBLE) * p2
+                         ELSE p2 END AS pkn
+             FROM j2
+           ), lam AS (
+             SELECT CAST(j AS BIGINT) AS lambda_num
+             FROM generate_series(0, 8) AS gs(j)
+           )
+           SELECT lambda_num, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                  CAST(sum(CAST(round(ln(
+                      (CAST(lambda_num AS DOUBLE) * pkn
+                       + CAST(8 - lambda_num AS DOUBLE) * psb)
+                      / CAST(8 AS DOUBLE)) * 1e6) AS BIGINT) * c)
+                    AS BIGINT) AS logprob_micros
+           FROM j3 CROSS JOIN lam
+           GROUP BY lambda_num ORDER BY lambda_num""",
       "q302_kneser_ney" ->
         s"""WITH tr AS (
              SELECT list_filter(string_split_regex(lower(text), '\\s+'),

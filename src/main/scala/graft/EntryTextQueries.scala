@@ -1574,4 +1574,23 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("doc_id")
   }
 
+  /** LM interpolation-weight sweep
+    * ([[graft.operators.TextAnalysis.interpolatedLmSweep]]): the
+    * held-out λ grid over p_mix = λ·KN + (1−λ)·SB on q302's exact
+    * split and OOV plant — λ=0 and λ=1 reproduce q243/q302's models
+    * bit-exactly (grid 8 is a power of two), interior rows are the
+    * mixture-tuning curve whose argmax is the weight a KenLM-style
+    * pipeline would ship. One scoring pass; only the catalog-sized
+    * λ grid fans it out. The oracle shares one set of count CTEs
+    * between both component models and replays the mixture ladder. */
+  private[graft] def q305(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val score = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(Seq((30000002L, sbOovDoc)).toDF("doc_id", "text"))
+    TextAnalysis.interpolatedLmSweep(train, score, "doc_id", "text")
+      .orderBy("lambda_num")
+  }
+
 }

@@ -629,6 +629,116 @@ object TextAnalysis {
         sum(col("__lp_micro")).as("logprob_micros"))
   }
 
+  /** LM INTERPOLATION-WEIGHT SWEEP — the classic held-out mixture
+    * tuning run as one relational pass: for every λ = j/`grid`
+    * (j = 0..grid, endpoints included), score the held-out corpus
+    * under `p_mix = λ·p_KN + (1−λ)·p_SB` and emit the total
+    * log-likelihood — the grid whose argmax is the tuned mixture
+    * weight. Both component models share ONE set of count tables
+    * (trained once, the c₁/c₂/c₃ aggregates), each probability is
+    * the IDENTICAL expression tree as [[kneserNeyScore]] /
+    * [[stupidBackoffScore]] (with `grid` a power of two, the λ=0 and
+    * λ=grid rows reproduce the pure models bit-exactly), and the mix
+    * is one fixed double expression per λ; ln is micro-quantized per
+    * (trigram, λ) and weighted by the exact count.
+    *
+    * Scale shape: the scored joins run ONCE (per-trigram rows carry
+    * both component probabilities); only the catalog-sized λ grid
+    * fans them out, so the sweep costs one scoring pass plus a
+    * (grid+1)× projection — not grid+1 model evaluations.
+    * Output: (lambda_num, n_trigrams, logprob_micros). */
+  def interpolatedLmSweep(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, grid: Int = 8,
+      alpha: Double = 0.4, discount: Double = 0.75): DataFrame = {
+    require(grid >= 1, "grid must be >= 1")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val trainTs = train.select(lmTokens(textCol).as("__ts"))
+    val c1 = trainTs.select(explode(col("__ts")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val c2 = trainTs.filter(size(col("__ts")) >= 2)
+      .select(explode(bigramStructs(col("__ts"))).as("__bg"))
+      .select(col("__bg.u").as("__u"), col("__bg.v").as("__v"))
+      .groupBy("__u", "__v").agg(count(lit(1)).as("__c2"))
+    val c3 = trainTs.filter(size(col("__ts")) >= 3)
+      .select(explode(trigramStructs(col("__ts"))).as("__tg"))
+      .select(col("__tg.u").as("__u"), col("__tg.v").as("__v"),
+        col("__tg.w").as("__w"))
+      .groupBy("__u", "__v", "__w").agg(count(lit(1)).as("__c3"))
+    // SB lookups
+    val c3k = c3.toDF("__f_u", "__f_v", "__f_w", "__c3")
+    val c2uv = c2.toDF("__a_u", "__a_v", "__c2uv")
+    val c2vw = c2.toDF("__b_v", "__b_w", "__c2vw")
+    val c1v = c1.toDF("__d_v", "__c1v")
+    val c1w = c1.toDF("__e_w", "__c1w")
+    // KN continuation tables
+    val ctx3 = c3.groupBy("__u", "__v")
+      .agg(sum(col("__c3")).as("__ctx3"), count(lit(1)).as("__n3after"))
+      .toDF("__g_u", "__g_v", "__ctx3", "__n3after")
+    val cvw = c3.groupBy("__v", "__w").agg(count(lit(1)).as("__cc2"))
+      .toDF("__h_v", "__h_w", "__cc2")
+    val mid = c3.groupBy("__v")
+      .agg(count(lit(1)).as("__ccmid"),
+        countDistinct(col("__w")).as("__ccafter"))
+      .toDF("__i_v", "__ccmid", "__ccafter")
+    val bigramTypes = c2.select(col("__u"), col("__v"))
+    val cc1k = bigramTypes.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cc1")).toDF("__j_w", "__cc1")
+    val totals = c1
+      .agg(sum(col("__c1")).as("__ntok"), count(lit(1)).as("__vocab"))
+      .crossJoin(bigramTypes.agg(count(lit(1)).as("__b")))
+
+    val pd = scoredTrigramCounts(docs, idCol, textCol)
+    val dd = (c: Column) => c.cast("double")
+    val D = lit(discount)
+    val joined = pd
+      .join(c3k, col("__u") === col("__f_u") && col("__v") === col("__f_v") &&
+        col("__w") === col("__f_w"), "left")
+      .join(c2uv, col("__u") === col("__a_u") && col("__v") === col("__a_v"), "left")
+      .join(c2vw, col("__v") === col("__b_v") && col("__w") === col("__b_w"), "left")
+      .join(c1v, col("__v") === col("__d_v"), "left")
+      .join(c1w, col("__w") === col("__e_w"), "left")
+      .join(ctx3, col("__u") === col("__g_u") && col("__v") === col("__g_v"), "left")
+      .join(cvw, col("__v") === col("__h_v") && col("__w") === col("__h_w"), "left")
+      .join(mid, col("__v") === col("__i_v"), "left")
+      .join(cc1k, col("__w") === col("__j_w"), "left")
+      .crossJoin(broadcast(totals))
+    // identical trees to the standalone scorers
+    val pSb =
+      when(col("__c3").isNotNull,
+        col("__c3").cast("double") / col("__c2uv").cast("double"))
+      .when(col("__c2vw").isNotNull,
+        lit(alpha) * (col("__c2vw").cast("double") / col("__c1v").cast("double")))
+      .otherwise(lit(alpha) * lit(alpha) *
+        ((coalesce(col("__c1w"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__ntok") + col("__vocab")).cast("double")))
+    val p1 = dd(coalesce(col("__cc1"), lit(0L)) + lit(1L)) /
+      dd(col("__b") + col("__vocab") + lit(1L))
+    val p2 = when(col("__ccmid").isNotNull,
+      greatest(dd(coalesce(col("__cc2"), lit(0L))) - D, lit(0.0))
+          / dd(col("__ccmid"))
+        + D * dd(col("__ccafter")) / dd(col("__ccmid")) * p1)
+      .otherwise(p1)
+    val pKn = when(col("__ctx3").isNotNull,
+      greatest(dd(coalesce(col("__c3"), lit(0L))) - D, lit(0.0))
+          / dd(col("__ctx3"))
+        + D * dd(col("__n3after")) / dd(col("__ctx3")) * p2)
+      .otherwise(p2)
+    val lambdas = docs.sparkSession.range(0, grid + 1)
+      .toDF("lambda_num")
+    val pMix = (dd(col("lambda_num")) * col("__pkn")
+      + dd(lit(grid.toLong) - col("lambda_num")) * col("__psb"))
+      .divide(dd(lit(grid.toLong)))
+    joined
+      .withColumn("__psb", pSb).withColumn("__pkn", pKn)
+      .crossJoin(broadcast(lambdas))
+      .withColumn("__lp",
+        round(log(pMix) * 1e6).cast("long") * col("__c"))
+      .groupBy(col("lambda_num"))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        sum(col("__lp")).as("logprob_micros"))
+  }
+
   def stupidBackoffScore(train: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")

@@ -695,6 +695,31 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     out(3L) shouldBe ((1L, math.round(math.log(p3d) * 1e6)))
   }
 
+  test("interpolatedLmSweep: endpoint lambdas reproduce the pure models bit-exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val score = docs.filter(col("doc_id") % 10 === 0)
+    val sweep = TextAnalysis.interpolatedLmSweep(train, score,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("logprob_micros")))
+      .toMap
+    def total(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(sum("n_trigrams"), sum("logprob_micros")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    sweep(0L) shouldBe total(
+      TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text"))
+    sweep(8L) shouldBe total(
+      TextAnalysis.kneserNeyScore(train, score, "doc_id", "text"))
+    // interior rows are a proper mixture: bounded by the endpoints'
+    // neighborhood, strictly between the component extremes modulo
+    // quantization (monotone here is corpus-dependent, so only bound)
+    val lps = (0L to 8L).map(sweep(_)._2)
+    lps.min should be >= lps.head.min(lps.last) - 1000000L
+  }
+
   test("heapsFit: cumulative vocab-growth points replayed exactly; saturated vocab fits slope 0") {
     val docs = Seq(
       ("s", 1L, "a b"),              // ct=2,  cv=2
