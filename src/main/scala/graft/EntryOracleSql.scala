@@ -5171,6 +5171,32 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   (sumq * 1000 + 1000000000000 * nq) // nq
                     - 1000000000000 AS kl_q_nano
            FROM dkq ORDER BY wave, lambda_num""",
+      "q306_eb_source_prior" -> {
+        val hitCols = langMarkersSql.map { case (lang, list) =>
+          s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"
+        }.mkString(",\n  ")
+        val langs = langMarkersSql.map(_._1)
+        val mx = "greatest(" + langs.map(l => s"hits_$l").mkString(", ") + ")"
+        val pick = langs.map(l => s"WHEN hits_$l = $mx THEN '$l'").mkString(" ")
+        s"""WITH h AS (
+             SELECT doc_id, source, lang, $hitCols FROM documents
+           ), p AS (
+             SELECT doc_id, source, lang, CASE $pick END AS pl FROM h
+           ), g AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CASE WHEN pl = lang THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_match
+             FROM p GROUP BY source
+           ), t AS (
+             SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                    CAST(sum(n_match) AS BIGINT) AS tk FROM g
+           )
+           SELECT source, n_docs, n_match,
+                  n_match * 1000000 // n_docs AS raw_rate_micros,
+                  tk * 1000000 // tn AS global_rate_micros,
+                  (n_match * tn + 25 * tk) * 1000000
+                    // ((n_docs + 25) * tn) AS shrunk_rate_micros
+           FROM g CROSS JOIN t ORDER BY source""" },
       "q305_lm_interp_sweep" ->
         s"""WITH tr AS (
              SELECT list_filter(string_split_regex(lower(text), '\\s+'),

@@ -1593,4 +1593,40 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("lambda_num")
   }
 
+  /** Empirical-Bayes per-source quality prior — shrinkage estimation
+    * (the beta-binomial / James-Stein posture): each source's
+    * langid-agreement rate (q18's marker argmax vs the recorded
+    * lang) is shrunk toward the corpus-wide rate with pseudo-count
+    * strength m=25, `(k + m·p₀)/(n + m)` as ONE exact integer
+    * rational — small sources collapse to the prior, large sources
+    * keep their evidence. The domain/source trust score a crawl
+    * scheduler consumes. All-integer div on non-negative operands
+    * (Spark `div` ≡ DuckDB `//`); counts·totals must stay < 2⁶³
+    * (Decimal beyond ~10⁹ docs/side). */
+  private[graft] def q306(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pred = TextAnalysis.languageId(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("predicted_lang"))
+    val per = d.select(col("doc_id"), col("source"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_lang") === col("lang"), 1L)
+          .otherwise(0L)).as("n_match"))
+    val tot = per.agg(sum(col("n_docs")).as("__tn"),
+      sum(col("n_match")).as("__tk"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("raw_rate_micros",
+        expr("n_match * 1000000 div n_docs"))
+      .withColumn("global_rate_micros",
+        expr("__tk * 1000000 div __tn"))
+      .withColumn("shrunk_rate_micros",
+        expr("(n_match * __tn + 25 * __tk) * 1000000" +
+          " div ((n_docs + 25) * __tn)"))
+      .select(col("source"), col("n_docs"), col("n_match"),
+        col("raw_rate_micros"), col("global_rate_micros"),
+        col("shrunk_rate_micros"))
+      .orderBy("source")
+  }
+
 }

@@ -78,6 +78,7 @@ class PlanContractSpec extends SparkSpec with Matchers {
     "q301_hamming_rerank",    // broadcast code scan + rerank, like q256
     "q302_kneser_ney",        // 1-row (B, V) totals broadcast, like q243
     "q305_lm_interp_sweep",   // q302's totals + the catalog-sized λ grid
+    "q306_eb_source_prior",   // 1-row corpus-total broadcast, like q116
     "q256_pq_adc_topk",       // broadcast exact-rank scan, like q25
     "q257_ivf_pq_topk",       // centroid-fold + exact-rank broadcasts, like q149/q256
     "q265_ivf_pq_residual",   // same tiers as q257, residual codebooks
