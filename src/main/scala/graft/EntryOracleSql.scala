@@ -5171,6 +5171,31 @@ private[graft] trait EntryOracleSql { this: SparkEntry.type =>
                   (sumq * 1000 + 1000000000000 * nq) // nq
                     - 1000000000000 AS kl_q_nano
            FROM dkq ORDER BY wave, lambda_num""",
+      "q307_vocab_richness" ->
+        """WITH tk AS (
+             SELECT source,
+                    unnest([t for t in string_split_regex(lower(text),
+                            '\s+') if t <> '']) AS tok
+             FROM documents
+           ), fr AS (
+             SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY source, tok
+           ), sp AS (
+             SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS vocab,
+                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_hapax,
+                    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_dis
+             FROM fr GROUP BY source
+           )
+           SELECT source, n_tokens, vocab, n_hapax, n_dis,
+                  n_hapax * 1000000 // n_tokens AS gt_unseen_micros,
+                  CASE WHEN n_dis > 0
+                       THEN vocab * 1000000
+                         + n_hapax * n_hapax * 1000000 // (2 * n_dis)
+                       ELSE NULL END AS chao1_micros
+           FROM sp ORDER BY source""",
       "q306_eb_source_prior" -> {
         val hitCols = langMarkersSql.map { case (lang, list) =>
           s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($list))) AS INTEGER) AS hits_$lang"

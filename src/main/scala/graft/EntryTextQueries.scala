@@ -1629,4 +1629,14 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
       .orderBy("source")
   }
 
+  /** Good-Turing unseen mass + Chao1 richness per source
+    * ([[graft.operators.TextAnalysis.vocabRichness]]): the frequency
+    * -spectrum law completing the corpus trilogy with q297 (Zipf)
+    * and q300 (Heaps) — N1/N flags sources whose vocabulary is still
+    * being discovered, Chao1 extrapolates total type richness. Exact
+    * integer rationals; the oracle replays the spectrum directly. */
+  private[graft] def q307(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabRichness(t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+
 }

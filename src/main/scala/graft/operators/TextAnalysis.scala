@@ -543,6 +543,38 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__u"), col("__v"), col("__w"))
       .agg(count(lit(1)).as("__c"))
 
+  /** Good-Turing / Chao1 vocabulary-richness estimates per group —
+    * the third corpus law beside [[zipfFit]] and [[heapsFit]]: from
+    * the token frequency spectrum, the Good-Turing unseen-mass
+    * estimate `N₁/N` (Good 1953 — the probability the NEXT token is
+    * a new type; high = open vocabulary still being discovered) and
+    * the Chao1 total-richness estimate `V + N₁²/(2N₂)` (Chao 1984 —
+    * how many types the source would show at infinite sampling).
+    * Exact integer rationals in micros (non-negative operands, so
+    * Spark `div` ≡ DuckDB `//`); Chao1 is null when no doubletons
+    * exist. Scale shape: the corpus reduces to (group, token) counts
+    * map-side, then to ONE spectrum row per group. */
+  def vocabRichness(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    docs.select(col(groupCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("gt_unseen_micros",
+        expr("n_hapax * 1000000 div n_tokens"))
+      .withColumn("chao1_micros",
+        when(col("n_dis") > 0,
+          col("vocab") * lit(1000000L) +
+            expr("n_hapax * n_hapax * 1000000 div (2 * n_dis)"))
+          .otherwise(lit(null)))
+  }
+
   /** Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; the
     * KenLM default) — the principled smoother beside
     * [[stupidBackoffScore]]: the highest order discounts RAW counts,

@@ -670,6 +670,25 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       TextAnalysis.zipfFit(docs, "source", "text", topRanks = 1)
   }
 
+  test("vocabRichness: hand-computed spectrum — GT unseen mass and Chao1; no-doubleton null") {
+    // "a a a b b c d": N=7, V=4, N1={c,d}=2, N2={b}=1
+    val docs = Seq(("s", "a a a b b c d")).toDF("source", "text")
+    val r = TextAnalysis.vocabRichness(docs, "source", "text").head()
+    r.getAs[Long]("n_tokens") shouldBe 7L
+    r.getAs[Long]("vocab") shouldBe 4L
+    r.getAs[Long]("n_hapax") shouldBe 2L
+    r.getAs[Long]("n_dis") shouldBe 1L
+    r.getAs[Long]("gt_unseen_micros") shouldBe 2000000L / 7L
+    // chao1 = 4 + 2²/(2·1) = 6 -> 6e6 exactly
+    r.getAs[Long]("chao1_micros") shouldBe 4000000L + 4000000L / 2L
+    // all-singleton corpus: no doubletons -> chao1 null
+    val r2 = TextAnalysis.vocabRichness(
+        Seq(("t", "x y z")).toDF("source", "text"), "source", "text")
+      .head()
+    r2.isNullAt(r2.fieldIndex("chao1_micros")) shouldBe true
+    r2.getAs[Long]("gt_unseen_micros") shouldBe 1000000L
+  }
+
   test("kneserNeyScore: hand-computed discount ladder — seen, discount-only, and OOV-floor paths") {
     // train "a b c a b d": c3 {abc,bca,cab,abd}=1; ctx3(a,b)=2,n3after=2;
     // bigram types B=4, vocab V=4 -> p1 denom 9
