@@ -116,10 +116,8 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
   private[graft] def q159(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.LinearModel
     val docs = t(s, dir, "documents")
-    val weights = LinearModel.trainFastSigmoidGD(
-      LinearModel.qualityTrainingFrame(docs),
-      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
-      .last.weights
+    val weights = LinearModel.qualityCorpusTrajectory(s, dir,
+      lr = 4.0, iterations = 8).last.weights
     val gated = LinearModel.scoreLinear(
         LinearModel.qualityTrainingFrame(docs, keepCols = Seq("text")),
         LinearModel.qualityFeatureCols, weights)
@@ -301,6 +299,10 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .select(col("l_partkey").as("src"),
         lead(col("l_partkey"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
+    // checkpoint = false (measured): per-round eager pins cost 12
+    // extra jobs and LOST to the linear plan (5.5 s vs 3.2-4.1 s at
+    // sf0.1); the e/nodes pins inside Graph.hits are the win (5.8 ->
+    // 3.2 s)
     Graph.hits(edges, "src", "dst", iterations = 3)
       .orderBy("node")
   }
@@ -1024,7 +1026,7 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * ordered string_agg per sequence). */
   private[graft] def q275(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val vocab = graft.operators.UnigramLm.trainViterbiEm(docs, "text",
+    val vocab = graft.operators.UnigramLm.trainViterbiEmMemo(s, dir,
         rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
       .select(col("piece"), col("w_micros"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
@@ -1221,8 +1223,8 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * WITH chain. */
   private[graft] def q289(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val vocab = graft.operators.UnigramLm.trainViterbiEmPruned(docs,
-        "text", rounds = 2, maxPieceLen = 4, vocabCap = 128,
+    val vocab = graft.operators.UnigramLm.trainViterbiEmPrunedMemo(s,
+        dir, rounds = 2, maxPieceLen = 4, vocabCap = 128,
         maxWordLen = 12, pruneNum = 1, pruneDen = 4)
       .select(col("piece"), col("w_micros"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
@@ -1274,7 +1276,7 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
       .withColumn("difficulty", coalesce(col("__nll"), lit(0L)))
       .select(col("doc_id"), col("text"), col("split"),
         col("difficulty"))
-    val vocab = graft.operators.UnigramLm.trainViterbiEm(docs, "text",
+    val vocab = graft.operators.UnigramLm.trainViterbiEmMemo(s, dir,
         rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
       .select(col("piece"), col("w_micros"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)

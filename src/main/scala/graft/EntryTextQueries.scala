@@ -451,9 +451,10 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * pre-update error counts AND post-update double weights must
     * hash-match bit-for-bit. */
   private[graft] def q154(s: SparkSession, dir: String): DataFrame = {
-    val feat = LinearModel.qualityTrainingFrame(t(s, dir, "documents"))
-    val traj = LinearModel.trainFastSigmoidGD(feat,
-      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    // board-shared memoized trajectory (identical training in
+    // q154/q155/q159/q161/q162/q163/q157 — trained once per app)
+    val traj = LinearModel.qualityCorpusTrajectory(s, dir,
+      lr = 4.0, iterations = 8)
     LinearModel.trajectoryFrame(s, LinearModel.qualityFeatureCols, traj)
       .orderBy("round")
   }
@@ -469,9 +470,8 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * itself. */
   private[graft] def q161(s: SparkSession, dir: String): DataFrame = {
     val feat = LinearModel.qualityTrainingFrame(t(s, dir, "documents"))
-    val weights = LinearModel.trainFastSigmoidGD(feat,
-      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
-      .last.weights
+    val weights = LinearModel.qualityCorpusTrajectory(s, dir,
+      lr = 4.0, iterations = 8).last.weights
     LinearModel.scoreLinear(feat, LinearModel.qualityFeatureCols, weights)
       .select(least(floor(col("p") * 10), lit(9)).cast("long").as("bin"),
         col("y"), col("p"))
@@ -500,10 +500,8 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * whole statistic. */
   private[graft] def q162(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val weights = LinearModel.trainFastSigmoidGD(
-      LinearModel.qualityTrainingFrame(docs),
-      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
-      .last.weights
+    val weights = LinearModel.qualityCorpusTrajectory(s, dir,
+      lr = 4.0, iterations = 8).last.weights
     val tok = split(lower(col("text")), "\\s+")
     val enStop = array(
       graft.functions.TextNlp.stopwords.toSeq.sorted.map(lit): _*)
@@ -671,9 +669,8 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * bit-for-bit, proving warm-start state transfers exactly. */
   private[graft] def q163(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val full = LinearModel.qualityTrainingFrame(docs)
-    val t1 = LinearModel.trainFastSigmoidGD(full,
-      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    val t1 = LinearModel.qualityCorpusTrajectory(s, dir,
+      lr = 4.0, iterations = 8)
     val wave1 = LinearModel.qualityTrainingFrame(
       docs.filter(expr("(doc_id div 20) % 2") === 1))
     val t2 = LinearModel.trainFastSigmoidGD(wave1,
@@ -790,8 +787,8 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * end-to-end with no learned literals crossing engines. */
   private[graft] def q155(s: SparkSession, dir: String): DataFrame = {
     val feat = LinearModel.qualityTrainingFrame(t(s, dir, "documents"))
-    val traj = LinearModel.trainFastSigmoidGD(feat,
-      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    val traj = LinearModel.qualityCorpusTrajectory(s, dir,
+      lr = 4.0, iterations = 8)
     LinearModel.scoreLinear(feat, LinearModel.qualityFeatureCols,
         traj.last.weights)
       .select(col("doc_id"), col("p"), col("pred"),
@@ -1332,10 +1329,24 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
       .unionByName(langPlants.toDF("doc_id", "text", "lang"))
-    val model = TextAnalysis.langIdTrain(
-      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
-    TextAnalysis.langIdApply(docs.select(col("doc_id"), col("text")),
-        "doc_id", "text", model)
+    // its own memoized model (documents ∪ plants ≠ the q263 corpus):
+    // trained once per application, local weight frames downstream
+    val f = TextAnalysis.langIdFittedMemo(s, s"planted:$dir",
+      TextAnalysis.langIdTrain(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang"))
+    // apply through the FUSED scorer (q271's certified fused ≡
+    // relational equivalence; the n_grams > 0 gate reproduces the
+    // relational path's no-row-for-gramless-docs contract exactly) —
+    // one stateless projection instead of the per-gram md5 bucket
+    // aggregate + broadcast join chain (measured 8.5 s -> the
+    // projection's wall at sf0.1, the q271-vs-q263 gap)
+    val m = f.model
+    docs.select(col("doc_id"),
+        TextAnalysis.langIdScore(col("text"), f.langs, f.weights,
+          f.priors, m.buckets, m.n, m.maxChars, m.salt).as("__r"))
+      .filter(col("__r").getField("n_grams") > 0)
+      .select(col("doc_id"),
+        col("__r").getField("trained_lang").as("trained_lang"))
       .join(docs.select(col("doc_id"), col("lang"),
         (pmod(col("doc_id"), lit(5L)) =!= 0L).as("is_train")),
         Seq("doc_id"))
@@ -1368,7 +1379,9 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * the q123/q148/q154 retrained-oracle discipline extended to a
     * dynamic program. */
   private[graft] def q267(s: SparkSession, dir: String): DataFrame =
-    UnigramLm.trainViterbiEm(t(s, dir, "documents"), "text", rounds = 2,
+    // board-shared memoized vocabulary (identical training in
+    // q267/q268/q275/q291 — trained once per application)
+    UnigramLm.trainViterbiEmMemo(s, dir, rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
       .orderBy("piece")
 
@@ -1380,7 +1393,7 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * expression state, the BPE-merge-table posture). */
   private[graft] def q268(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val vocab = UnigramLm.trainViterbiEm(docs, "text", rounds = 2,
+    val vocab = UnigramLm.trainViterbiEmMemo(s, dir, rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
       .select(col("piece"), col("w_micros"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
@@ -1400,7 +1413,9 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * every prune decision round by round (exact floor fraction, exact
     * (count, piece) tie order). */
   private[graft] def q277(s: SparkSession, dir: String): DataFrame =
-    UnigramLm.trainViterbiEmPruned(t(s, dir, "documents"), "text",
+    // board-shared memoized pruned vocabulary (identical training in
+    // q277/q283/q289 — trained once per application)
+    UnigramLm.trainViterbiEmPrunedMemo(s, dir,
         rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
         pruneNum = 1, pruneDen = 4)
       .orderBy("piece")
@@ -1450,7 +1465,7 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     * coverage: q268 encodes under the fixed-V vocabulary). */
   private[graft] def q283(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val vocab = UnigramLm.trainViterbiEmPruned(docs, "text", rounds = 2,
+    val vocab = UnigramLm.trainViterbiEmPrunedMemo(s, dir, rounds = 2,
         maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
         pruneNum = 1, pruneDen = 4)
       .select(col("piece"), col("w_micros"))
@@ -1607,6 +1622,11 @@ private[graft] trait EntryTextQueries { this: SparkEntry.type =>
     val d = t(s, dir, "documents")
     val pred = TextAnalysis.languageId(d.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("predicted_lang"))
+    // NOT pinned (measured): the per-source rollup feeds both the
+    // result and the 1-row total, but an eager localCheckpoint job
+    // costs more than the one cheap re-scan it saves (0.35 s -> 0.88 s
+    // at sf0.1, reverted — the q257-raw counter-example to the pin
+    // discipline)
     val per = d.select(col("doc_id"), col("source"), col("lang"))
       .join(pred, "doc_id")
       .groupBy(col("source"))

@@ -1228,6 +1228,137 @@ object Ann {
         kCodes, pqIterations, coarseSalt, pqSalt))
   }
 
+  /** The index-build half of [[ivfPqTopK]] (RAW encoding — IVF-Flat-PQ):
+    * identical arithmetic, factored out so the board can train each
+    * (params)-distinct raw board ONCE per application via
+    * [[rawPqIndexMemo]] — the [[buildResidualPqIndex]] discipline on
+    * the raw tier. Coarse assignment/centroids and codes/codebooks
+    * are pinned eagerly (the "write the index" step a real deployment
+    * has); content is bit-identical to the in-line training inside
+    * [[ivfPqTopK]] because both tiers are deterministic. */
+  def buildRawPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, coarseIterations: Int, m: Int, subDim: Int,
+      kCodes: Int, pqIterations: Int, coarseSalt: String = "ivfpqc",
+      pqSalt: String = "ivfpq"): ResidualPqIndex = {
+    val coarse0 = Cluster.kmeansMicroModel(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      kCells, coarseIterations, coarseSalt)
+    val assign = coarse0.assign.localCheckpoint(true)
+    val cents = coarse0.centroids.localCheckpoint(true)
+    val (codes0, books0) = pqTrainEncode(corpus, idCol, vecCol,
+      m, subDim, kCodes, pqIterations, pqSalt)
+    val codes = codes0.localCheckpoint(true)
+    val books = books0.localCheckpoint(true)
+    ResidualPqIndex(assign, cents, codes, books)
+  }
+
+  /** Board-level memo for [[buildRawPqIndex]] over a testdata dir —
+    * the [[residualPqIndexMemo]] precedent on the raw tier: q257,
+    * q266's raw presets, q278's raw baseline and q279's frozen
+    * operating parameters all train (params)-keyed raw boards, so
+    * each distinct board trains once per (application, dir, params).
+    * Memoized ≡ fresh bit-for-bit (the value IS
+    * [[buildRawPqIndex]]'s pinned frames; pinned by AnnSpec). */
+  private val rawIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResidualPqIndex]()
+  def rawPqIndexMemo(spark: SparkSession, dir: String, kCells: Int,
+      coarseIterations: Int, m: Int, subDim: Int, kCodes: Int,
+      pqIterations: Int, coarseSalt: String = "ivfpqc",
+      pqSalt: String = "ivfpq"): ResidualPqIndex = {
+    rawIndexMemo.entrySet().removeIf(
+      e => e.getValue.codes.sparkSession.sparkContext.isStopped)
+    rawIndexMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$kCells:" +
+        s"$coarseIterations:$m:$subDim:$kCodes:$pqIterations:" +
+        s"$coarseSalt:$pqSalt",
+      _ => buildRawPqIndex(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", kCells, coarseIterations, m, subDim,
+        kCodes, pqIterations, coarseSalt, pqSalt))
+  }
+
+  /** The search half of [[ivfPqTopK]] over a fitted raw board —
+    * identical expressions (probe, candidate join, one shared ADC
+    * table per query, rank-with-exact), reading the index's pinned
+    * frames instead of retraining. */
+  def ivfPqRawSearch(index: ResidualPqIndex, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, nProbe: Int,
+      m: Int, subDim: Int, topK: Int): DataFrame = {
+    require(nProbe >= 1, "need nProbe >= 1")
+    val qmq = queries.select(col(idCol).as("q_id"),
+      Cluster.microQuantize(col(vecCol)).as("__qq"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d2").asc, col("cell").asc)
+    val probes = qmq.crossJoin(broadcast(index.centroids))
+      .withColumn("__d2", Cluster.dist2(col("__qq"), col("cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    val cand = probes
+      .join(index.assign.select(col(idCol).as("vec_id"), col("cell")),
+        Seq("cell"))
+      .select("q_id", "vec_id")
+    val scored = index.codes.toDF("vec_id", "sub", "code")
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(pqDistTable(queries, idCol, vecCol, index.books,
+        m, subDim)), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("__d2")).as("adc_dist2"))
+    rankWithExact(scored, queries, corpus, idCol, vecCol, topK)
+  }
+
+  /** A fitted OPQ-lite board: the variance-balancing permutation plus
+    * the raw IVF-PQ board trained on the PERMUTED corpus. */
+  final case class OpqPqIndex(perm: Seq[Int], index: ResidualPqIndex)
+
+  /** Board-level memo for the OPQ-permuted raw board (q278's second
+    * audit arm): the permutation is deterministic from (dir, m,
+    * subDim) and the permuted board from the remaining params, so the
+    * pair trains once per (application, dir, params). */
+  private val opqIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, OpqPqIndex]()
+  def opqPqIndexMemo(spark: SparkSession, dir: String, kCells: Int,
+      coarseIterations: Int, m: Int, subDim: Int, kCodes: Int,
+      pqIterations: Int): OpqPqIndex = {
+    opqIndexMemo.entrySet().removeIf(
+      e => e.getValue.index.codes.sparkSession.sparkContext.isStopped)
+    opqIndexMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$kCells:" +
+        s"$coarseIterations:$m:$subDim:$kCodes:$pqIterations",
+      _ => {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val perm = opqPermutation(e, "embedding", m, subDim)
+        val pe = e.select(col("vec_id"),
+          permuteVec(col("embedding"), perm).as("embedding"))
+        OpqPqIndex(perm, buildRawPqIndex(pe, "vec_id", "embedding",
+          kCells, coarseIterations, m, subDim, kCodes, pqIterations))
+      })
+  }
+
+  /** Board-level memo for [[pqTrainEncode]] over a testdata dir
+    * (q256's flat-PQ codes/codebooks, same discipline): the fitted
+    * pair is pinned once per (application, dir, params). */
+  private val pqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+  def pqTrainEncodeMemo(spark: SparkSession, dir: String, m: Int,
+      subDim: Int, k: Int, iterations: Int,
+      salt: String): (DataFrame, DataFrame) = {
+    pqCodesMemo.entrySet().removeIf(
+      e => e.getValue._1.sparkSession.sparkContext.isStopped)
+    pqCodesMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$m:$subDim:$k:" +
+        s"$iterations:$salt",
+      _ => {
+        val (codes, books) = pqTrainEncode(
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", m, subDim, k, iterations, salt)
+        (codes.localCheckpoint(true), books.localCheckpoint(true))
+      })
+  }
+
   /** The search half of [[ivfPqResidualTopK]] over a fitted
     * [[ResidualPqIndex]]. */
   def ivfPqResidualSearch(index: ResidualPqIndex, queries: DataFrame,

@@ -168,12 +168,23 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int, checkpoint: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // Eagerly pin the simple edge set and the node list: both are
+    // referenced TWICE per half-round (join side + normalize), so an
+    // unpinned 3-round board replays the caller's edge derivation
+    // (q174: a window over lineitem) ~12x inside one plan — the
+    // nnDescentGraph lineage discipline (measured 5.8 -> 3.2 s at
+    // sf0.1; per-round checkpoints were ALSO tried and lost, 5.5 s —
+    // the q257-raw counter-example). Content is deterministic; at
+    // 100 TB this is the "materialize the edge list once" step every
+    // link-analysis job has.
     val e = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .filter(col("__src") =!= col("__dst"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(true)
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       nodes.join(raw, Seq("node"), "left")

@@ -927,9 +927,18 @@ object TextAnalysis {
       .select(concat_ws(" ", col("__tg.u"), col("__tg.v"), col("__tg.w"))
         .as("__it"))
       .withColumn("__wt", lit(1L))
-    val s1 = Sketch.countMinBuild(uniItems, "__it", "__wt", depth, width, s"${salt}1")
-    val s2 = Sketch.countMinBuild(biItems, "__it", "__wt", depth, width, s"${salt}2")
-    val s3 = Sketch.countMinBuild(triItems, "__it", "__wt", depth, width, s"${salt}3")
+    // Pin each fitted sketch eagerly (depth×width parameter tables —
+    // "the model is three count aggregates"): the unigram and bigram
+    // sketches each feed TWO estimate joins below, so the unpinned
+    // plan re-tokenizes the train corpus ~6x in one query; pinned,
+    // each sketch is built in one pass and served from memory — the
+    // write-the-model-once step a production scorer has.
+    val s1 = Sketch.countMinBuild(uniItems, "__it", "__wt", depth, width,
+      s"${salt}1").localCheckpoint(true)
+    val s2 = Sketch.countMinBuild(biItems, "__it", "__wt", depth, width,
+      s"${salt}2").localCheckpoint(true)
+    val s3 = Sketch.countMinBuild(triItems, "__it", "__wt", depth, width,
+      s"${salt}3").localCheckpoint(true)
     val nTok = uniItems.agg(count(lit(1)).as("__ntok"))
 
     def withEst(df: DataFrame, item: Column, sk: DataFrame, skSalt: String,
@@ -1548,15 +1557,18 @@ object TextAnalysis {
     * [[langIdModelArrays]]'s output; pinned by LangIdTrainedSpec). */
   private val corpusModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, LangIdFitted]()
-  def langIdCorpusModel(spark: SparkSession, dir: String): LangIdFitted = {
+
+  /** Generic fitted-langid memo: runs `train` once per
+    * (application, key), collapsing its weights/priors to LOCAL
+    * frames (the [[langIdCorpusModel]] discipline, factored out so
+    * q276's planted-corpus model shares the machinery). */
+  def langIdFittedMemo(spark: SparkSession, key: String,
+      train: => LangIdModel): LangIdFitted = {
     corpusModelMemo.entrySet().removeIf(
       e => e.getValue.model.weights.sparkSession.sparkContext.isStopped)
     corpusModelMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", _ => {
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"), col("lang"))
-        val fresh = langIdTrain(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+      s"${spark.sparkContext.applicationId}:$key", _ => {
+        val fresh = train
         val (langs, w, p) = langIdModelArrays(fresh)
         import spark.implicits._
         val wLocal = langs.zipWithIndex.flatMap { case (l, i) =>
@@ -1568,6 +1580,14 @@ object TextAnalysis {
             fresh.salt, wLocal, pLocal), langs, w, p)
       })
   }
+
+  def langIdCorpusModel(spark: SparkSession, dir: String): LangIdFitted =
+    langIdFittedMemo(spark, s"corpus:$dir", {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      langIdTrain(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), "text", "lang")
+    })
 
   /** The fused in-row scorer column —
     * struct(trained_lang, score_micros, n_grams); bit-identical to

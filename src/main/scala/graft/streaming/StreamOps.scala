@@ -761,9 +761,10 @@ object StreamOps {
       lr: Double, iterations: Int): DataFrame = {
     import graft.operators.LinearModel
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val weights = LinearModel.trainFastSigmoidGD(
-      LinearModel.qualityTrainingFrame(docs),
-      LinearModel.qualityFeatureCols, "y", lr, iterations).last.weights
+    // board-shared memoized model (identical training in q154/q155/
+    // q159/q161/q162/q163 — the fitted weights, trained once per app)
+    val weights = LinearModel.qualityCorpusTrajectory(spark, dir,
+      lr, iterations).last.weights
     val staging = stagedDir("qgate", dir) { st =>
       val d = docs.select(expr("(doc_id div 20) % 2").as("wave"),
         col("doc_id"), col("text"))
@@ -2332,11 +2333,17 @@ object StreamOps {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-    val coarse = graft.operators.Cluster.kmeansMicroModel(
-      e, "vec_id", "embedding", 8, 2, "ivfpqc")
-    val (_, books) = graft.operators.Ann.pqTrainEncode(
-      e, "vec_id", "embedding", m = 8, subDim = 8, k = 8,
-      iterations = 1, salt = "ivfpq")
+    // frozen operating parameters from the memoized raw board — the
+    // SAME (kCells=8, coarse=2, m=8, k=8, iter=1) tiers q266's cheap
+    // raw preset trains ([[graft.operators.Ann.rawPqIndexMemo]]);
+    // microQuantize widens float→double exactly, so training off the
+    // uncast parquet column is bit-identical to the cast frame here
+    val idx = graft.operators.Ann.rawPqIndexMemo(spark, dir,
+      kCells = 8, coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 1)
+    val coarse = graft.operators.Cluster.KmeansMicroModel(
+      idx.assign, idx.centroids)
+    val books = idx.books
     val staging = stagedDir("pqidx", dir) { st =>
       stageVersionFile(e.select(col("vec_id").as("doc_id"),
         lit(1L).as("version"), col("embedding")), s"$st/f0.parquet")

@@ -635,6 +635,61 @@ class AnnSpec extends SparkSpec with Matchers {
       .collect().map(_.toString).sorted shouldBe oneShot
   }
 
+  test("rawPqIndexMemo: search over the memoized board == the one-shot operator, second call serves the same index") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+    val oneShot = Ann.ivfPqTopK(qs, e, "vec_id", "embedding",
+        kCells = 8, coarseIterations = 2, nProbe = 3, m = 8, subDim = 8,
+        kCodes = 8, pqIterations = 1, topK = 5)
+      .collect().map(_.toString).sorted
+    val idx = Ann.rawPqIndexMemo(spark, dir, kCells = 8,
+      coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 1)
+    val idx2 = Ann.rawPqIndexMemo(spark, dir, kCells = 8,
+      coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 1)
+    (idx2 eq idx) shouldBe true
+    Ann.ivfPqRawSearch(idx, qs, e, "vec_id", "embedding",
+        nProbe = 3, m = 8, subDim = 8, topK = 5)
+      .collect().map(_.toString).sorted shouldBe oneShot
+  }
+
+  test("opqPqIndexMemo: permutation == fresh opqPermutation, board == fresh board on the permuted corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val freshPerm = Ann.opqPermutation(e, "embedding", m = 8, subDim = 8)
+    val opq = Ann.opqPqIndexMemo(spark, dir, kCells = 8,
+      coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 1)
+    opq.perm shouldBe freshPerm
+    val pe = e.select(col("vec_id"),
+      Ann.permuteVec(col("embedding"), freshPerm).as("embedding"))
+    val freshBooks = Ann.buildRawPqIndex(pe, "vec_id", "embedding",
+      kCells = 8, coarseIterations = 2, m = 8, subDim = 8, kCodes = 8,
+      pqIterations = 1).books.collect().map(_.toString).sorted
+    opq.index.books.collect().map(_.toString).sorted shouldBe freshBooks
+  }
+
+  test("pqTrainEncodeMemo: memoized codes/books == fresh pqTrainEncode") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (fc, fb) = Ann.pqTrainEncode(e, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 8, iterations = 2, salt = "pq")
+    val (mc, mb) = Ann.pqTrainEncodeMemo(spark, dir, m = 8, subDim = 8,
+      k = 8, iterations = 2, salt = "pq")
+    mc.collect().map(_.toString).sorted shouldBe
+      fc.collect().map(_.toString).sorted
+    mb.collect().map(_.toString).sorted shouldBe
+      fb.collect().map(_.toString).sorted
+  }
+
   test("nnDescentGraphMemo: memoized == fresh edge set, second call serves the same frame") {
     val dir = "/root/testdata/sf0.001"
     val fresh = Ann.nnDescentGraph(

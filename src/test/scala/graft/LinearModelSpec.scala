@@ -138,6 +138,26 @@ class LinearModelSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("qualityCorpusTrajectory: memoized == fresh training bit-for-bit, second call serves the same value") {
+    val dir = "/root/testdata/sf0.001"
+    val fresh = LinearModel.trainFastSigmoidGD(
+      LinearModel.qualityTrainingFrame(
+        spark.read.parquet(s"$dir/documents.parquet")),
+      LinearModel.qualityFeatureCols, "y", lr = 4.0, iterations = 8)
+    val m1 = LinearModel.qualityCorpusTrajectory(spark, dir,
+      lr = 4.0, iterations = 8)
+    val m2 = LinearModel.qualityCorpusTrajectory(spark, dir,
+      lr = 4.0, iterations = 8)
+    (m2.asInstanceOf[AnyRef] eq m1.asInstanceOf[AnyRef]) shouldBe true
+    m1.map(_.round) shouldBe fresh.map(_.round)
+    m1.zip(fresh).foreach { case (ra, rb) =>
+      ra.nPosErr shouldBe rb.nPosErr
+      ra.nNegErr shouldBe rb.nNegErr
+      ra.weights.map(java.lang.Double.doubleToLongBits) shouldBe
+        rb.weights.map(java.lang.Double.doubleToLongBits)
+    }
+  }
+
   test("empty feature frame fails fast") {
     val feat = LinearModel.qualityTrainingFrame(toyDocs).filter(lit(false))
     an[IllegalArgumentException] should be thrownBy

@@ -215,6 +215,28 @@ class UnigramLmSpec extends SparkSpec with Matchers {
     rows.map(_.getLong(3)).sum shouldBe docsN
   }
 
+  test("trainViterbiEmMemo / trainViterbiEmPrunedMemo: memoized == fresh vocabulary, second call serves the same frame") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fresh = UnigramLm.trainViterbiEm(docs, "text", rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+      .collect().map(_.toString).sorted
+    val m1 = UnigramLm.trainViterbiEmMemo(spark, dir, rounds = 2,
+      maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+    val m2 = UnigramLm.trainViterbiEmMemo(spark, dir, rounds = 2,
+      maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
+    (m2 eq m1) shouldBe true
+    m1.collect().map(_.toString).sorted shouldBe fresh
+    val freshP = UnigramLm.trainViterbiEmPruned(docs, "text", rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4)
+      .collect().map(_.toString).sorted
+    UnigramLm.trainViterbiEmPrunedMemo(spark, dir, rounds = 2,
+        maxPieceLen = 4, vocabCap = 128, maxWordLen = 12,
+        pruneNum = 1, pruneDen = 4)
+      .collect().map(_.toString).sorted shouldBe freshP
+  }
+
   test("encodeStats: tokens and exact path cost roll up per doc") {
     val docs = Seq((1L, "banana nab"), (2L, "cabana")).toDF("doc_id", "text")
     val model = UnigramLm.trainViterbiEm(docs, "text", rounds = 1,
