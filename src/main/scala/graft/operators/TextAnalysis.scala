@@ -927,18 +927,23 @@ object TextAnalysis {
       .select(concat_ws(" ", col("__tg.u"), col("__tg.v"), col("__tg.w"))
         .as("__it"))
       .withColumn("__wt", lit(1L))
-    // Pin each fitted sketch eagerly (depth×width parameter tables —
-    // "the model is three count aggregates"): the unigram and bigram
-    // sketches each feed TWO estimate joins below, so the unpinned
-    // plan re-tokenizes the train corpus ~6x in one query; pinned,
-    // each sketch is built in one pass and served from memory — the
-    // write-the-model-once step a production scorer has.
+    // NOT pinned (measured both ways, r15-opt): the unigram/bigram
+    // sketches each feed TWO estimate joins below, so the lazy plan
+    // re-tokenizes the train corpus ~6x in one query — but eager
+    // localCheckpoints of the three depth×width tables LOST the
+    // idle-machine A/B decisively (4.29 s pinned vs 2.86 s unpinned
+    // at sf0.1: three eager jobs + their fixed overheads cost more
+    // than the repeated in-plan tokenization of a 4,500-doc train
+    // side, which Spark runs with full parallelism inside one job).
+    // At a 100 TB train corpus the trade flips — the production
+    // posture is "build each sketch once, persist, broadcast", which
+    // is an index-build step outside this operator's wall.
     val s1 = Sketch.countMinBuild(uniItems, "__it", "__wt", depth, width,
-      s"${salt}1").localCheckpoint(true)
+      s"${salt}1")
     val s2 = Sketch.countMinBuild(biItems, "__it", "__wt", depth, width,
-      s"${salt}2").localCheckpoint(true)
+      s"${salt}2")
     val s3 = Sketch.countMinBuild(triItems, "__it", "__wt", depth, width,
-      s"${salt}3").localCheckpoint(true)
+      s"${salt}3")
     val nTok = uniItems.agg(count(lit(1)).as("__ntok"))
 
     def withEst(df: DataFrame, item: Column, sk: DataFrame, skSalt: String,
