@@ -935,10 +935,14 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     import s.implicits._
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionByName(spamPlants.toDF("doc_id", "text"))
+    // pin the screened pool ONCE (guide §2.4): the DSIR chain below
+    // reads it several times and each read would otherwise replay
+    // the Aho-Corasick screen over the corpus
     val clean = graft.operators.Blocklist.screen(docs, "doc_id", "text",
         spamPatterns, maxHits = 1)
       .filter(col("blocklist_keep"))
       .select(col("doc_id"), col("text"))
+      .localCheckpoint()
     val selected = graft.operators.Curation.gumbelTopK(
       graft.operators.Curation.importanceWeights(
         clean.filter(col("doc_id") % 7 === 0),
@@ -966,21 +970,12 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * (q285): trained-langid gate → Gopher repetition gate → AC policy
     * screen → DSIR Gumbel top-150 → leakage-free digest split.
     * Returns the selected docs with text, DSIR columns and `split`. */
-  private val v5SpineMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // NO cross-query memo here: q274's declared result IS this frame,
+  // so caching it would turn q274's bench entry into a 150-row
+  // checkpoint read (result caching, not optimization — round-15
+  // verdict item 1). The fitted INPUTS (langid model, AC automaton)
+  // stay memoized; the gates + DSIR selection run per invocation.
   private def v5SelectedWithSplit(s: SparkSession,
-      dir: String): DataFrame = {
-    // q274 emits this spine and q285 packs it — the q263/q264
-    // shared-spine discipline: the gates + DSIR selection run once
-    // per (application, dir) and the 150-row selection is pinned by
-    // an eager localCheckpoint (stopped-context entries evicted).
-    v5SpineMemo.entrySet().removeIf(
-      e => e.getValue.sparkSession.sparkContext.isStopped)
-    v5SpineMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:$dir",
-      _ => v5SelectedWithSplitFresh(s, dir).localCheckpoint(true))
-  }
-  private def v5SelectedWithSplitFresh(s: SparkSession,
       dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
@@ -999,7 +994,12 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
         docs.select(col("doc_id"), col("text")), "doc_id", "text",
         spamPatterns, maxHits = 1)
       .filter(col("blocklist_keep")).select(col("doc_id"))
+    // pin the gated pool ONCE per invocation (guide §2.4): the DSIR
+    // chain reads it several times (target/raw tokenize + totals +
+    // score + the final join) and each read would otherwise replay
+    // the langid + repetition + blocklist gate lineage
     val clean = lk.join(rp, Seq("doc_id")).join(bl, Seq("doc_id"))
+      .localCheckpoint()
     val selected = graft.operators.Curation.gumbelTopK(
       graft.operators.Curation.importanceWeights(
         clean.filter(col("doc_id") % 7 === 0),
@@ -1183,12 +1183,12 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     * composed oracle: the v5 chains, the tokenizer retrained from the
     * selected CTE, every DP cell replayed, the pack re-derived. */
   private[graft] def q285(s: SparkSession, dir: String): DataFrame = {
-    // the spine arrives PINNED from the shared v5 memo (q274/q285
-    // train the gates + DSIR selection once per application), so the
-    // tokenizer trainer + encode + pack all read the 150-row
-    // checkpoint instead of replaying the gate lineage per EM round
-    val pinned = v5SelectedWithSplit(s, dir)
+    val seldoc = v5SelectedWithSplit(s, dir)
       .select(col("doc_id"), col("text"), col("split"))
+    // pin the spine WITHIN the query (guide §2.4 repeated subtree):
+    // the tokenizer trainer + encode + pack otherwise replay the
+    // langid/repetition/DSIR lineage once per EM round
+    val pinned = seldoc.localCheckpoint(true)
     val vocab = graft.operators.UnigramLm.trainViterbiEm(pinned, "text",
         rounds = 2, maxPieceLen = 4, vocabCap = 128, maxWordLen = 12)
       .select(col("piece"), col("w_micros"))

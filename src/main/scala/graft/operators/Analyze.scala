@@ -237,13 +237,33 @@ object Analyze {
     def d(c: Column): Column = c.cast("double")
     val ms = (0 until replicas).map(b => d(col(s"__s$b")) / d(col(s"__n$b")))
     val mbar = ms.reduceLeft(_ + _) / lit(replicas.toDouble)
-    val varE = ms.map(m => (m - mbar) * (m - mbar)).reduceLeft(_ + _) /
-      lit(replicas.toDouble)
-    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(groupCol), col("n"), col("sum_cents"),
-        (d(col("sum_cents")) / d(col("n"))).as("mean_cents"),
-        when((0 until replicas).map(b => col(s"__n$b") > 0L).reduce(_ && _),
-          sqrt(varE)).as("half_sample_std_cents"))
+    // Stage the replicate means m_b (and m̄) as COLUMNS of an
+    // intermediate projection instead of inlining the m_b = s_b/n_b
+    // division into every (m_b − m̄)² term: the inlined tree put
+    // ~300 division nodes into the final aggregate's one generated
+    // output method, janino rejected it (64 KB method limit) and the
+    // whole post-shuffle stage ran interpreted (guide §4; the one
+    // codegen failure on the r15 board). CollapseProject keeps the
+    // two projections separate because each staged alias is
+    // non-cheap and referenced more than once downstream. The IEEE
+    // tree is UNCHANGED — same operations in the same order over the
+    // same exact-integer sums, shared subterms evaluate to identical
+    // bits — so the oracle hash is preserved.
+    val staged = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(
+        Seq(col(groupCol), col("n"), col("sum_cents")) ++
+          (0 until replicas).map(b => col(s"__n$b")) ++
+          (0 until replicas).map(b =>
+            (d(col(s"__s$b")) / d(col(s"__n$b"))).as(s"__m$b")) :+
+          mbar.as("__mbar"): _*)
+    val varE = (0 until replicas)
+      .map(b => (col(s"__m$b") - col("__mbar"))
+        * (col(s"__m$b") - col("__mbar")))
+      .reduceLeft(_ + _) / lit(replicas.toDouble)
+    staged.select(col(groupCol), col("n"), col("sum_cents"),
+      (d(col("sum_cents")) / d(col("n"))).as("mean_cents"),
+      when((0 until replicas).map(b => col(s"__n$b") > 0L).reduce(_ && _),
+        sqrt(varE)).as("half_sample_std_cents"))
   }
 
   /** MAD-based robust ANOMALY DETECTION per group: median and

@@ -974,7 +974,7 @@ object Ann {
     val entry = corpus.agg(min(col(idCol))).head().getLong(0)
     val edges = graph.select(col("src"), col("dst"))
     var b = qv.select(col("q_id"), lit(entry).as("vec_id"))
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val expanded = b.unionByName(
           b.join(edges, b("vec_id") === edges("src"))
             .select(col("q_id"), col("dst").as("vec_id")))
@@ -984,13 +984,17 @@ object Ann {
         .withColumn("__d2", Cluster.dist2(col("__qvq"), col("__cvq")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("__d2"), col("vec_id"))
-      // pin each hop: hop h's lazy lineage would otherwise replay
-      // hops 1..h−1 (quadratic in the hop budget); the beam frame is
-      // |Q|·beam rows — trivial to checkpoint eagerly
-      b = scored.withColumn("__rn", row_number().over(w))
+      // pin each INTERIOR hop: hop h's lazy lineage would otherwise
+      // replay hops 1..h−1 (the beam is referenced twice per
+      // expansion, so unpinned lineage doubles per hop); the beam
+      // frame is |Q|·beam rows — trivial to checkpoint eagerly. The
+      // LAST hop stays lazy: the ranking tail consumes it exactly
+      // once, so its eager pin was a pure extra job per walk —
+      // 2 wasted jobs per q284 serve round (guide §2.4, measured r16)
+      val nb = scored.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= beam)
         .select(col("q_id"), col("vec_id"))
-        .localCheckpoint()
+      b = if (h < hops) nb.localCheckpoint() else nb
     }
     val scoredFinal = b.join(cv, Seq("vec_id"))
       .join(broadcast(qv), Seq("q_id"))
@@ -1286,6 +1290,12 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String, nProbe: Int,
       m: Int, subDim: Int, topK: Int): DataFrame = {
     require(nProbe >= 1, "need nProbe >= 1")
+    // Unlike ivfPqTopK this cannot cheaply assert nProbe <= kCells
+    // (the fitted index does not carry kCells, and counting the
+    // pinned centroid frame would cost a job per search): an
+    // over-large nProbe silently degrades to probing ALL cells —
+    // correct results, brute-force cost. Callers on this board pass
+    // nProbe from the same literals as the index build.
     val qmq = queries.select(col(idCol).as("q_id"),
       Cluster.microQuantize(col(vecCol)).as("__qq"))
     val wp = Window.partitionBy(col("q_id"))

@@ -223,7 +223,7 @@ object Cluster {
       graft.functions.VectorOps.dotProduct(a, b).cast("long")
     val withv0 = asg.join(q, Seq(idCol))
       .withColumn("__n2", exactDot(col("__vq"), col("__vq")))
-    val withv = maxCellSize match {
+    val withv1 = maxCellSize match {
       case None => withv0
       case Some(cap) =>
         val sizes = withv0.groupBy(col("cell"))
@@ -231,6 +231,11 @@ object Cluster {
         withv0.join(broadcast(sizes), Seq("cell"))
           .filter(col("__cn") <= cap).drop("__cn")
     }
+    // pin the assigned+quantized side ONCE: both halves of the cell
+    // self-join read it, so the lazy plan would run the k-means
+    // assignment lineage (train rounds included) twice per query —
+    // the q110 repeated-subtree pin (guide §2.4; measured r16)
+    val withv = withv1.localCheckpoint()
     val a = withv.select(col("cell"), col(idCol).as("id_a"),
       col("dist2_q").as("__da"), col("__vq").as("__va"),
       col("__n2").as("na2_q"))

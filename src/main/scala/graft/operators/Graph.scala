@@ -58,6 +58,10 @@ object Graph {
       col(weightCol).cast("long").as("__w"))
     val outW = e.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
     // contribution RATIO per edge, fixed across iterations
+    // NO eager pins on rated/nodes: tried r16 (the r15 hits e/nodes
+    // pin) and REVERTED after measurement — q107 1.50 → 2.93 s at
+    // sf0.1; with few iterations the two extra eager jobs cost more
+    // than the per-round re-inline of the edge derivation saves
     val rated = e.join(outW, Seq("__src"))
       .withColumn("__ratio",
         col("__w").cast("double") / col("__ow").cast("double"))
@@ -112,6 +116,8 @@ object Graph {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(weightCol).cast("long").as("__w"))
     val outW = e.groupBy(col("__src")).agg(sum(col("__w")).as("__ow"))
+    // no eager pins — see [[pageRank]] (tried r16, reverted on
+    // measurement)
     val rated = e.join(outW, Seq("__src"))
       .withColumn("__ratio",
         col("__w").cast("double") / col("__ow").cast("double"))
@@ -229,6 +235,14 @@ object Graph {
     * once. Returns (node, n_triangles) for nodes in ≥ 1 triangle. */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
+    // NO eager pins on und/deg/oriented (tried r16, REVERTED on
+    // measurement): the lazy plan inlines the caller's edge
+    // derivation ~8×, but it runs as ONE wide job that overlaps all
+    // copies — three eager pin jobs serialized it instead (q165 flat
+    // within noise, q214 — which pays these pins through
+    // clusteringCoefficients — 1.65 → 2.9-3.7 s). The q254/q107/q177
+    // lesson: pins only win when the duplicated subtree is expensive
+    // relative to the serialized job overhead.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -351,7 +365,12 @@ object Graph {
         .join(settled.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
+      // settled stays a LAZY union of the pinned frontiers: each
+      // round's anti-join (and the final result) reads r pinned
+      // frames instead of paying a second eager checkpoint job per
+      // round — halves the per-round job count (guide §2.4; measured
+      // r16)
+      settled = settled.unionByName(next)
       frontier = next
       r += 1
     }
@@ -382,6 +401,11 @@ object Graph {
       starts: DataFrame, startCol: String, steps: Int,
       salt: String): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    // NO eager pins (tried r16 — adj/deg/per-step frontier pins —
+    // and REVERTED on measurement: q177 2.93 → 4.02 s; seven small
+    // eager jobs serialized hops the lazy plan computed in one wide
+    // job, and the per-hop window over the edge list is cheap enough
+    // that the ≤2^4 re-inline never dominates at any measured SF)
     val e = edges.select(col(srcCol).cast("long").as("__src"),
       col(dstCol).cast("long").as("__dst")).distinct()
     val w = org.apache.spark.sql.expressions.Window
@@ -511,9 +535,15 @@ object Graph {
       val relaxed = dist.join(e, col("node") === col("__s"))
         .select(col("__d").as("node"),
           (col("dist") + col("__w")).as("dist"))
-      dist = dist.union(relaxed)
+      val next = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      // pin every SECOND sweep and never the last: two relaxations
+      // per eager job halves the per-round job overhead, and the
+      // caller's own action computes the final (lazy) sweep — the
+      // q174 per-round-vs-once A/B discipline, measured r16. Lineage
+      // between pins is ≤ 2 joins + 2 aggregates over pinned frames.
+      dist = if (r % 2 == 1 && r + 1 < rounds) next.localCheckpoint()
+        else next
       r += 1
     }
     dist
@@ -536,14 +566,19 @@ object Graph {
     * NULL on a degree-regular graph (zero variance). */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // pin: `und` feeds the degree union (×2) and the degree join,
+    // `deg` joins twice — unpinned, the caller's edge-derivation
+    // window rebuilds per reference (guide §2.4, measured r16)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
     val j = und
       .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
@@ -579,11 +614,15 @@ object Graph {
     * per community; ΣQ = Σ q_contrib_micro / 10⁶. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    // pin: `und` feeds the edge count, the in-community join and the
+    // degree union (×2) — four references to the caller's edge
+    // derivation (guide §2.4, measured r16)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val m1 = und.agg(count(lit(1)).as("m"))
     val lab = labels.select(col(nodeCol).as("node"),
       col(labelCol).as("__l"))
@@ -651,6 +690,10 @@ object Graph {
     * lcc_micro) for every node, lcc_micro NULL when degree < 2. */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // NO pin on this local `und` (tried r16 together with the
+    // triangleCounts pins, reverted on measurement: q214
+    // 1.65 → 2.9-3.7 s — eager derivation jobs serialized work the
+    // lazy union overlapped; see the note on [[triangleCounts]])
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -672,11 +715,17 @@ object Graph {
       maxHubDeg: Int, minCommon: Long): DataFrame = {
     require(maxHubDeg >= 2, "maxHubDeg must be >= 2")
     require(minCommon >= 1L, "minCommon must be >= 1")
+    // pin the repeated subtrees (guide §2.4, measured r16): `und` is
+    // referenced FIVE times (degree union ×2, neighbor union ×2, the
+    // final anti-join) and `nbd` twice (both sides of the wedge
+    // self-join) — unpinned, each reference inlines the caller's
+    // edge-derivation window
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -685,6 +734,7 @@ object Graph {
     val nbd = nb.join(
       deg.filter(col("dg") <= maxHubDeg)
         .select(col("node").as("w"), col("dg")), Seq("w"))
+      .localCheckpoint()
     val pairs = nbd.select(col("w"), col("n").as("n1"), col("dg"))
       .join(nbd.select(col("w"), col("n").as("n2")), Seq("w"))
       .filter(col("n1") < col("n2"))

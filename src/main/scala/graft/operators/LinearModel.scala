@@ -129,12 +129,19 @@ object LinearModel {
   private val qualityTrajMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[GdRound]]()
   def qualityCorpusTrajectory(spark: org.apache.spark.sql.SparkSession,
-      dir: String, lr: Double, iterations: Int): Seq[GdRound] =
+      dir: String, lr: Double, iterations: Int): Seq[GdRound] = {
+    // drop entries from earlier SparkContexts (the other memos'
+    // cleanup discipline): appId-keyed entries are never reused
+    // after a context restart, so without this they leak fitted
+    // trajectories across restarts in one JVM (e.g. test suites)
+    val appId = spark.sparkContext.applicationId
+    qualityTrajMemo.keySet.removeIf(k => !k.startsWith(s"$appId:"))
     qualityTrajMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir:$lr:$iterations",
+      s"$appId:$dir:$lr:$iterations",
       _ => trainFastSigmoidGD(
         qualityTrainingFrame(spark.read.parquet(s"$dir/documents.parquet")),
         qualityFeatureCols, "y", lr, iterations))
+  }
 
   /** GROUPED full-batch GD: one independent model per value of
     * `groupCol`, ALL groups advancing in the same per-round

@@ -1566,7 +1566,15 @@ object TextAnalysis {
   /** Generic fitted-langid memo: runs `train` once per
     * (application, key), collapsing its weights/priors to LOCAL
     * frames (the [[langIdCorpusModel]] discipline, factored out so
-    * q276's planted-corpus model shares the machinery). */
+    * q276's planted-corpus model shares the machinery).
+    *
+    * KEY-OWNERSHIP contract: the memo keys only on
+    * (applicationId, key) — the by-name `train` thunk is NOT part of
+    * the key, so each key string must be owned by exactly ONE
+    * training recipe. Call sites namespace their keys
+    * ("corpus:<dir>" here, "planted:<dir>" in q276); a new caller
+    * MUST pick a fresh prefix, or it would silently share another
+    * site's fitted model. */
   def langIdFittedMemo(spark: SparkSession, key: String,
       train: => LangIdModel): LangIdFitted = {
     corpusModelMemo.entrySet().removeIf(

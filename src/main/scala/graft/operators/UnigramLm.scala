@@ -221,7 +221,17 @@ object UnigramLm {
     * own driver-built local frame (vocabulary-sized parameter state —
     * the fitted tokenizer a production pipeline trains once and
     * ships); memoized ≡ fresh bit-for-bit because both trainers are
-    * deterministic. Pinned by UnigramLmSpec. */
+    * deterministic. Pinned by UnigramLmSpec.
+    *
+    * INVARIANT (shared by every dir-keyed memo on the board —
+    * langid, quality, PQ/ANN, these): the data under `dir` is
+    * immutable for the lifetime of one Spark application. The memos
+    * key on (applicationId, dir, params) and read the parquet under
+    * `dir` at training time only — a harness that rewrote testdata within
+    * one application would be served a stale fitted model. The
+    * driver's contract (testdata generated once, read-only) makes
+    * this safe; any future in-application rewrite must bust these
+    * memos (new dir or new application). */
   private val trainMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def trainViterbiEmMemo(spark: org.apache.spark.sql.SparkSession,

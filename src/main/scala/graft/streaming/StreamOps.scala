@@ -31,6 +31,94 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     graft.sources.EventsLoader.eventsStream(spark, dir)
 
+  /** Scale-ADAPTIVE shuffle/state partition count for a bounded
+    * streaming replay (guide §2.2/§2.5: derive partitioning from the
+    * DATA, not from a constant tuned to either local mode or the
+    * cluster). Every stateful streaming operator instantiates ONE
+    * state store per shuffle partition per operator per micro-batch,
+    * and AQE cannot coalesce streaming shuffles — so a replay over
+    * megabytes at the session default (= core count on the bench
+    * harness) pays partitions × stores × batches store commits for
+    * state that fits in one partition. The round-15 scaling block
+    * measured the tier actively HURT by core count (q72 low/high
+    * ratio 0.29, q59 0.32 at 8-vs-32 cores).
+    *
+    * Derivation: ceil(inputBytes / spark.graft.stream.bytesPerPartition,
+    * default 16 MiB), clamped to [min(sessionN, minPartitions),
+    * session spark.sql.shuffle.partitions] — it only ever COALESCES
+    * below the configured parallelism when the input is small; at
+    * 100 TB the ceil saturates and the configured parallelism wins
+    * unchanged. The floor (`spark.graft.stream.minPartitions`,
+    * default 4) keeps group-parallel (flat)MapGroupsWithState folds
+    * from serializing onto one core: the r16 probe measured the
+    * state-commit tier flat below ~4 (q72 2.86 s @4 vs 2.73 @2)
+    * while the fold tier degrades sharply (q129 4.1 @4 → 9.9 @1,
+    * q112 2.1 @4 → 4.5 @1) — 4 is where both curves are near their
+    * minima. All knobs are plain Spark confs
+    * (`spark.graft.stream.shufflePartitions` pins an explicit
+    * count), so production sizes them per deployment; the partition
+    * count is a pure performance parameter here — every stateful
+    * operator on this board keys its state by a column hash, so
+    * results are partition-count-invariant (the oracle re-certifies
+    * that per round). */
+  private[graft] def streamShufflePartitions(spark: SparkSession,
+      inputBytes: Long): Int =
+    spark.conf.getOption("spark.graft.stream.shufflePartitions") match {
+      case Some(v) => v.toInt
+      case None =>
+        val per = spark.conf
+          .getOption("spark.graft.stream.bytesPerPartition")
+          .map(_.toLong).getOrElse(16L << 20)
+        val sessionN =
+          spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+        val floor = math.min(sessionN, spark.conf
+          .getOption("spark.graft.stream.minPartitions")
+          .map(_.toInt).getOrElse(4))
+        math.max(floor.toLong, math.min(sessionN.toLong,
+          (inputBytes + per - 1) / per)).toInt
+    }
+
+  /** Total bytes under a path/glob (file, directory, or glob). */
+  private[graft] def inputBytes(spark: SparkSession, glob: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.globStatus(p)
+    if (stats == null) 0L
+    else stats.map { st =>
+      if (st.isDirectory) fs.getContentSummary(st.getPath).getLength
+      else st.getLen
+    }.sum
+  }
+
+  /** Run `body` (a streaming start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to the adaptive count for
+    * `inputGlobs`, restoring the session value afterwards. The conf
+    * is read at stream START (fresh checkpoint per run), so the
+    * override covers exactly this replay; batch queries around it
+    * see the session default. */
+  private def withStreamShuffle[A](spark: SparkSession,
+      inputGlobs: Seq[String])(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = streamShufflePartitions(spark,
+      inputGlobs.map(inputBytes(spark, _)).sum)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Start a configured stream writer under the adaptive partition
+    * count for its inputs and block until the replay drains. The
+    * override must span start() AND awaitTermination(): the
+    * micro-batch thread snapshots the conf after start() returns. */
+  private def startAndAwait[T](spark: SparkSession, inputGlobs: Seq[String],
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withStreamShuffle(spark, inputGlobs) {
+      val q = w.start()
+      q.awaitTermination()
+      q
+    }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: each micro-batch of the event stream hash/broadcast-joins
     * a STATIC dimension (no state store, no watermark; the dim is
@@ -60,8 +148,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(s"$dir/events.parquet"), query)
     spark.table(name)
   }
 
@@ -121,8 +208,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(s"$dir/events.parquet"), query)
     spark.table(name)
   }
 
@@ -179,8 +265,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(s"$dir/events.parquet"), query)
     spark.table(name)
   }
 
@@ -232,9 +317,18 @@ object StreamOps {
       }
     }
 
+    // NO maxFilesPerTrigger: real events + sentinels land in ONE
+    // micro-batch (guide §2 — fewer replay batches, r16). The final
+    // output is unchanged: watermarks only advance at batch
+    // boundaries, so with the sentinels in batch 1 the watermark
+    // jumps past every real purchase after that single batch and the
+    // engine's closing no-data batch evicts ALL unmatched purchase
+    // state (previously split between batch 2 and the closing
+    // batch); inner matches never depended on the split. One fewer
+    // full state-commit cycle (4 stores × partitions). Oracle
+    // re-certified r16 at sf0.01/sf0.001.
     val src = spark.readStream
       .schema(stagedEventsSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(s"$staging/*.parquet")
     val name = s"graft_stream_ojoin_${runCounter.incrementAndGet()}"
     val query = clickAttribution(
@@ -246,8 +340,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name).filter(col("purchase_id") >= 0)
   }
 
@@ -264,8 +357,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(s"$dir/events.parquet"), query)
     spark.table(name)
   }
 
@@ -428,8 +520,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -508,7 +599,8 @@ object StreamOps {
     * (HLL, Count-Min): documents tokenized and split into two crawl
     * waves by `(doc_id div 20) % 2` — the round-robin doc_id layout
     * puts every source in both waves. */
-  private def tokenWaveStream(spark: SparkSession, dir: String): DataFrame = {
+  private def tokenWaveStream(spark: SparkSession,
+      dir: String): (DataFrame, String) = {
     val staging = stagedDir("tokwaves", dir) { staging =>
       val d = spark.read.parquet(s"$dir/documents.parquet")
         .select(expr("(doc_id div 20) % 2").as("wave"), col("source"),
@@ -530,26 +622,26 @@ object StreamOps {
           "waves no longer satisfy the every-source-in-both-waves " +
           "contract the streaming-sketch oracles assume")
     }
-    spark.readStream
+    (spark.readStream
       .schema(StructType(Seq(
         StructField("wave", LongType), StructField("source", StringType),
         StructField("tok", StringType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staging/*.parquet")
+      .parquet(s"$staging/*.parquet"), staging)
   }
 
   def runStreamingHllAvailableNow(spark: SparkSession, dir: String,
                                   p: Int, salt: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_hll_${runCounter.incrementAndGet()}"
-    val query = streamingHllDistinct(tokenWaveStream(spark, dir).as[HllTok], p, salt)
+    val (waves, staging) = tokenWaveStream(spark, dir)
+    val query = streamingHllDistinct(waves.as[HllTok], p, salt)
       .writeStream
       .format("memory")
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -649,8 +741,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -705,8 +796,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -744,8 +834,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -788,8 +877,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -840,8 +928,7 @@ object StreamOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     val schema = StructType(Seq(
       StructField("wave", LongType), StructField("n_docs", LongType),
       StructField("chars_sum", LongType), StructField("words_sum", LongType),
@@ -899,8 +986,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -948,8 +1034,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1021,8 +1106,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1091,8 +1175,7 @@ object StreamOps {
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      startAndAwait(spark, Seq(staging), query)
     }
     spark.read.parquet(outDir)
   }
@@ -1133,8 +1216,7 @@ object StreamOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     val schema = StructType(Seq(
       StructField("wave", LongType), StructField("topic", StringType),
       StructField("n_docs", LongType)))
@@ -1187,8 +1269,7 @@ object StreamOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("wave", LongType),
       StructField("n_tokens", LongType),
@@ -1255,8 +1336,7 @@ object StreamOps {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     val schema = StructType(Seq(
       StructField("wave", LongType), StructField("doc_id", LongType),
       StructField("weight", DoubleType), StructField("key_micro", LongType)))
@@ -1358,8 +1438,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1415,8 +1494,7 @@ object StreamOps {
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      startAndAwait(spark, Seq(staging), query)
     }
     spark.read.parquet(outDir)
   }
@@ -1484,7 +1562,13 @@ object StreamOps {
                                        probes: Seq[String]): DataFrame = {
     import spark.implicits._
     val name = s"graft_stream_cms_${runCounter.incrementAndGet()}"
-    val query = streamingCountMin(tokenWaveStream(spark, dir).as[CmTok],
+    // NOT coalesced: the CMS fold is COMPUTE-bound per source group
+    // (depth × width cell map touched per token), so shrinking the
+    // state partitions serializes the 20 groups — measured r16:
+    // 2.5 s at the session default vs 4.1 s at the adaptive floor.
+    // The one stateful op here is group-parallel work, not
+    // state-commit overhead; it keeps the session's parallelism.
+    val query = streamingCountMin(tokenWaveStream(spark, dir)._1.as[CmTok],
         depth, width, salt, probes)
       .writeStream
       .format("memory")
@@ -1592,9 +1676,8 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    lastLateDropCount = query.recentProgress
+    val finished = startAndAwait(spark, Seq(staging), query)
+    lastLateDropCount = finished.recentProgress
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     spark.table(name)
   }
@@ -1670,8 +1753,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1811,8 +1893,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1844,8 +1925,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1917,8 +1997,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1947,8 +2026,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(staging), query)
     spark.table(name)
   }
 
@@ -1986,8 +2064,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
     spark.table(name)
   }
 
@@ -2020,8 +2097,7 @@ object StreamOps {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
     spark.table(name)
   }
 
@@ -2045,8 +2121,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
     spark.read.parquet(outDir)
   }
 
@@ -2222,8 +2297,7 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
   }
 
   /** Offline compaction for [[ivfIndexUpsert]]'s staleness contract:
@@ -2313,8 +2387,7 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
   }
 
   /** The q279 replay: [[ivfPqIndexUpsert]] driven end-to-end through
@@ -2412,8 +2485,7 @@ object StreamOps {
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      startAndAwait(spark, Seq(staging), query)
     }
     spark.read.parquet(outDir)
   }
@@ -2476,8 +2548,7 @@ object StreamOps {
         }
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      startAndAwait(spark, Seq(staging), query)
     }
     spark.read.parquet(outDir)
   }
@@ -2512,8 +2583,7 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
   }
 
   private def cdcMergeBatch(batch: DataFrame, targetDir: String,
@@ -2570,7 +2640,6 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    startAndAwait(spark, Seq(stagingDir), query)
   }
 }
