@@ -935,14 +935,13 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     import s.implicits._
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionByName(spamPlants.toDF("doc_id", "text"))
-    // pin the screened pool ONCE (guide §2.4): the DSIR chain below
-    // reads it several times and each read would otherwise replay
-    // the Aho-Corasick screen over the corpus
+    // NO pin on the screened pool (tried r16, reverted on a
+    // same-session A/B: flat — unlike the v5 spine the single AC
+    // screen is cheap and its repeats overlap in one wide job)
     val clean = graft.operators.Blocklist.screen(docs, "doc_id", "text",
         spamPatterns, maxHits = 1)
       .filter(col("blocklist_keep"))
       .select(col("doc_id"), col("text"))
-      .localCheckpoint()
     val selected = graft.operators.Curation.gumbelTopK(
       graft.operators.Curation.importanceWeights(
         clean.filter(col("doc_id") % 7 === 0),
@@ -997,7 +996,10 @@ private[graft] trait EntryCurationQueries { this: SparkEntry.type =>
     // pin the gated pool ONCE per invocation (guide §2.4): the DSIR
     // chain reads it several times (target/raw tokenize + totals +
     // score + the final join) and each read would otherwise replay
-    // the langid + repetition + blocklist gate lineage
+    // the langid + repetition + blocklist gate lineage — the one pin
+    // in this family that survives its A/B (q274 3.38 s pinned vs
+    // 5.26 s unpinned, q285 5.44 vs 6.43, same session), because the
+    // THREE-GATE lineage is expensive, unlike q249's single screen
     val clean = lk.join(rp, Seq("doc_id")).join(bl, Seq("doc_id"))
       .localCheckpoint()
     val selected = graft.operators.Curation.gumbelTopK(

@@ -624,18 +624,16 @@ object Curation {
     def toks(df: DataFrame) =
       df.select(explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
         .filter(col("__tok") =!= "")
-    // pin both bucket tables (≤ `buckets` rows each): each one feeds
-    // a broadcast join in the scorer AND the totals aggregate, so
-    // the lazy plan would tokenize each corpus twice (guide §2.4
-    // repeated subtree; measured r16)
+    // NO pins on the bucket tables (tried r16, reverted on a
+    // same-session A/B: q248/q249 flat — the double tokenization the
+    // pins remove overlaps inside one wide job, and two eager
+    // 1024-row checkpoint jobs per model bought nothing back)
     val tb = toks(target)
       .select(featureBucket(col("__tok"), buckets, salt).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
-      .localCheckpoint()
     val rb = toks(raw)
       .select(featureBucket(col("__tok"), buckets, salt).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__cr"))
-      .localCheckpoint()
     val totals = tb.agg(sum(col("__ct")).as("__nt"))
       .crossJoin(rb.agg(sum(col("__cr")).as("__nr")))
     DsirModel(tb, rb, totals, buckets, salt)

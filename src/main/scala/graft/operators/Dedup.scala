@@ -671,12 +671,11 @@ object Dedup {
         rowsPerBand, jaccardThreshold, maxBucketSize)
       .select(col(idCol), col("cluster_id"))
     val scored = docs.select(col(idCol).as("__sid"), scoreCol.as("score"))
-    // pin the (id, cluster, score) frame ONCE: the argmax aggregate
-    // and the join-back both read it, so the lazy plan would replay
-    // the docs ⋈ clusters ⋈ scores lineage twice (guide §2.4
-    // repeated subtree; measured r16). Narrow |docs|-row frame.
+    // NO pin on `m` (tried r16, reverted on a same-session A/B:
+    // q127/q136 flat-to-worse pinned — the doubled docs ⋈ clusters ⋈
+    // scores lineage reads pinned cc output and overlaps in one wide
+    // job, so the eager pin only added a job)
     val m = cl.join(scored, col(idCol) === col("__sid")).drop("__sid")
-      .localCheckpoint()
     val best = m.groupBy("cluster_id").agg(
       min_by(col(idCol), struct((-col("score")).as("ns"), col(idCol))).as("keep_id"))
     m.join(best, Seq("cluster_id"))

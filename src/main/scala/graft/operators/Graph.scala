@@ -566,19 +566,18 @@ object Graph {
     * NULL on a degree-regular graph (zero variance). */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    // pin: `und` feeds the degree union (×2) and the degree join,
-    // `deg` joins twice — unpinned, the caller's edge-derivation
-    // window rebuilds per reference (guide §2.4, measured r16)
+    // NO pins (tried r16 — und + deg — and REVERTED on a decisive
+    // same-session A/B: 2.48 s pinned vs 1.99 s unpinned at sf0.1;
+    // the one-pass degree-joined aggregate overlaps the re-derived
+    // window copies in one wide job, the triangleCounts lesson)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
-      .localCheckpoint()
     val j = und
       .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
